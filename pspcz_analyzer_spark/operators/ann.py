@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with pure column expressions
+(F.zip_with dot products — JVM-side, no Python). Scale path: LSH bucketing
+(random-hyperplane signs with deterministic pseudo-random planes) so
+candidate generation joins on buckets instead of crossing n x n.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from pspcz_analyzer_spark.operators.pagination import top_k
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns; null-safe
+    zero-norm guard (the reference zero-fills: similarity_service.py:75-80)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k nearest (cosine) to a constant query vector.
+
+    One scan + TakeOrderedAndProject: the per-row score is codegen'd; no
+    shuffle except the final top-k merge. This is the correct *exact* plan
+    at any scale — it reads everything once, which is the lower bound.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = cosine(F.col(vec_col).cast("array<double>"), q)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = df.select(F.col(id_col), score.alias("cosine_sim"))
+    return top_k(scored, [F.desc("cosine_sim"), F.asc(id_col)], k)
+
+
+def pairwise_topk(
+    df: DataFrame,
+    k: int | None = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k most-similar pairs (optionally only cross-group pairs,
+    the reference's cross-party constraint, similarity_service.py:93-105).
+
+    O(n^2/2) — correct for dims in the thousands (the reference's ~200 MPs);
+    use lsh_bucketed_pairs at corpus scale.
+    """
+    cols = [id_col, vec_col] + ([group_col] if group_col else [])
+    a = df.select(*[F.col(c).alias(f"{c}_a") for c in cols])
+    b = df.select(*[F.col(c).alias(f"{c}_b") for c in cols])
+    pairs = a.join(b, F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    if group_col:
+        pairs = pairs.filter(F.col(f"{group_col}_a") != F.col(f"{group_col}_b"))
+    score = cosine(
+        F.col(f"{vec_col}_a").cast("array<double>"),
+        F.col(f"{vec_col}_b").cast("array<double>"),
+    )
+    if round_to is not None:
+        score = F.round(score, round_to)
+    out_cols = [F.col(f"{id_col}_a").alias("id_a"), F.col(f"{id_col}_b").alias("id_b")]
+    if group_col:
+        out_cols += [
+            F.col(f"{group_col}_a").alias("group_a"),
+            F.col(f"{group_col}_b").alias("group_b"),
+        ]
+    scored = pairs.select(*out_cols, score.alias("cosine_sim"))
+    if not k:
+        return scored
+    return top_k(scored, [F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")], k)
+
+
+def _plane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a tiny splitmix-style PRNG
+    (no Date.now/np.random — reproducible across runs and machines)."""
+    out = []
+    state = (plane_idx + 1) * 0x9E3779B97F4A7C15 & (1 << 64) - 1
+    for _ in range(dim):
+        state = (state ^ (state >> 30)) * 0xBF58476D1CE4E5B9 & (1 << 64) - 1
+        state = (state ^ (state >> 27)) * 0x94D049BB133111EB & (1 << 64) - 1
+        v = ((state >> 11) / float(1 << 53)) * 2.0 - 1.0
+        out.append(v)
+    return out
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per row: sign bits of <v, plane_i>.
+
+    Rows in the same bucket are cosine-close with high probability; bucket
+    id is a deterministic function of the vector, so candidate joins are
+    plain equi-joins on `lsh_bucket` (shuffle keyed by bucket — the 100 TB
+    path for similarity self-join).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _plane(dim, i)])
+        bit = F.when(_dot(v, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k similar pairs: exact cosine, but only within LSH
+    buckets. Recall grows with fewer planes / multiple tables; cost is
+    sum of bucket^2 instead of n^2."""
+    bucketed = lsh_bucket(df, dim, num_planes, vec_col)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket"
+    )
+    score = cosine(F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    pairs = (
+        a.join(b, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias("cosine_sim"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return top_k(pairs, [F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")], k)

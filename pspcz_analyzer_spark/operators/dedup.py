@@ -1,0 +1,239 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers, cheapest to most robust, all expressed as DataFrame plans:
+
+  exact_dedup          hash-groupBy on a content fingerprint (one shuffle)
+  ngram_jaccard_pairs  token/shingle Jaccard via explode + self-join on the
+                       shingle — exact pairwise similarity, band-limited by
+                       requiring at least one shared shingle
+  minhash_lsh_pairs    MinHash signatures + banding: candidate pairs only
+                       bucket-join on (band, band_hash) — the 100 TB path
+                       (pair cost ~ duplicates, not n^2)
+  simhash              64-bit SimHash fingerprint per doc; near-dups share
+                       fingerprints at small Hamming distance
+
+Determinism: every hash is Spark's xxhash64/crc32 with fixed seeds — stable
+across runs and partitionings, so signatures are reproducible (required for
+incremental dedup at scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pspcz_analyzer_spark.functions.text import fingerprint, normalize_text
+
+# Large Mersenne prime for affine rehashing of xxhash64 outputs.
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per identical normalized text.
+
+    One shuffle on the md5 fingerprint; survivors keep their full row via a
+    semi-join back (so arbitrarily wide rows never ride the shuffle).
+    """
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.split(normalize_text(text_col), " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding n-grams via transform over index range
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over word n-gram shingle sets.
+
+    explode(shingles) -> self-join on shingle -> count intersections ->
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Only docs sharing >= 1 shingle ever meet,
+    so cost tracks true overlap, not n^2. Shuffles: explode join on shingle
+    + final pair aggregation.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "__raw_jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("__raw_jaccard") >= threshold)  # raw, not rounded: keeps
+        # the cutoff identical to any SQL oracle computing the same ratio
+        .select("id_a", "id_b", F.round("__raw_jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as array<bigint>.
+
+    h_i(x) = (a_i * xxhash64(x) + b_i) mod M over the shingle set; min per
+    hash. Coefficients derive deterministically from the hash index, so
+    signatures are stable across runs/partitions (incremental-dedup safe).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle")
+    ).withColumn("h0", F.abs(F.xxhash64("shingle")) % _MERSENNE)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("h0") + F.lit(13 * i + 7)) % _MERSENNE).alias(
+                f"mh_{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Split the signature into ``bands`` rows-per-band groups; docs colliding
+    on any (band_idx, band_hash) become candidates. This is the scale path:
+    the only join key is the band hash, so work is proportional to true
+    collisions. Verify candidates downstream with ngram_jaccard_pairs on
+    the candidate set (or estimated Jaccard from signature agreement).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[i].cast("string")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document over unigram tokens.
+
+    Bit k of the fingerprint is the sign of sum over tokens of
+    (+1 if bit k of xxhash64(token) else -1). Near-duplicate docs differ in
+    few bits (compare with bit_count(a XOR b) downstream).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    contribs = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return contribs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block the 64-bit space into ``blocks``
+    16-bit chunks (pigeonhole: pairs within max_hamming <= blocks-1 share at
+    least one exact chunk), join on (block_idx, chunk), verify Hamming."""
+    sig = simhash(df, text_col, id_col)
+    chunk_width = 64 // blocks
+    mask = (1 << chunk_width) - 1
+    chunked = sig.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned(F.col("simhash"), i * chunk_width).bitwiseAND(F.lit(mask)))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block_idx", "chunk"),
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block_idx", "chunk"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block_idx", "chunk"
+    )
+    return (
+        a.join(b, ["block_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,144 @@
+"""Join-shaped operators: latest-per-key, top-n-per-key, fuzzy match, as-of.
+
+Reference parity:
+* latest_per_key re-expresses the "sort desc + unique keep first" idiom the
+  reference uses for latest club membership
+  (/root/reference/pspcz_analyzer/services/mp_builder.py:31-33, SURVEY J3/W1).
+* fuzzy_best_match re-expresses the difflib best-match submitter resolver
+  (/root/reference/pspcz_analyzer/services/amendments/submitter_resolver.py:19-91,
+  SURVEY J11) with Spark's built-in levenshtein — JVM-side, no Python UDF.
+* asof_join re-expresses the vote→stage date cascade
+  (/root/reference/pspcz_analyzer/services/votes_service.py:45-84, SURVEY J12)
+  as the scalable union+window technique: ONE shuffle on (key, time), no
+  range cross-product — this is the 100 TB-safe formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Keep exactly one row per key: the first under ``order_by``.
+
+    Callers must make ``order_by`` a total order (append a unique id as the
+    last column) for deterministic results — Spark window ties, unlike the
+    reference's stable Polars sort, are otherwise nondeterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topn_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-n rows per key with an explicit rank column (dense, 1-based)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+
+
+def fuzzy_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, the right row whose ``right_col`` has the smallest
+    Levenshtein distance to ``left_col`` (optionally capped).
+
+    Implementation: broadcast the smaller ``right`` side, score with the
+    built-in ``levenshtein`` (whole-stage codegen, no UDF), pick top-1 per
+    left row via window. At huge right-side cardinality swap this for
+    MinHashLSH blocking first (see operators/dedup.py) — the scoring and
+    top-1 selection below stay the same.
+    """
+    scored = left.join(F.broadcast(right)).withColumn(
+        "distance", F.levenshtein(F.col(left_col), F.col(right_col))
+    )
+    if max_distance is not None:
+        scored = scored.filter(F.col("distance") <= max_distance)
+    tiebreaks: list[Column] = [F.col("distance").asc()]
+    if right_tiebreak:
+        tiebreaks = [F.col("distance").asc(), F.col(right_tiebreak).asc()]
+    else:
+        tiebreaks = [F.col("distance").asc(), F.col(right_col).asc()]
+    return latest_per_key(scored, [left_col], tiebreaks)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    strict: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the values of the
+    latest right row with the same key and ``right_time`` <= (or < when
+    ``strict``) ``left_time``.
+
+    Scalable formulation: tag both sides, union on a common schema, and use
+    ``last(..., ignorenulls=True)`` over a (key, time) window. Exactly one
+    shuffle on the key — no per-row range scan, no cross product — so the
+    plan survives arbitrarily large inputs as long as single keys fit a
+    partition (salt upstream if one key dominates).
+
+    Ties: right rows sorted by (time, original order not guaranteed) — pass
+    pre-deduplicated right sides (e.g. via latest_per_key) when multiple
+    right rows can share a timestamp.
+    """
+    on = list(on)
+    lcols = left.columns
+    # Common layout: key cols, event time, side tag, payload struct.
+    l_tag = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in right_values]).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in right_values]).alias("__r"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # Right rows sort before left rows at equal time iff non-strict;
+    # strict (<) puts left first so it cannot see same-instant right rows.
+    order_tag = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), order_tag)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[F.col("__match")[c].alias(f"{prefix}{c}") for c in right_values],
+    )
+    return out

@@ -1,0 +1,494 @@
+"""Relational operator coverage: SURVEY §2.2 filters, §2.3 joins, §2.5
+windows, §2.6 sort/limit/pagination, §2.7 set ops, §2.8 scalar functions.
+
+Each query is the testdata-star-schema incarnation of a reference idiom; the
+docstrings say which. Operators come from pspcz_analyzer_spark.operators —
+the queries are thin compositions, as the serving layer would write them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.operators.joins import (
+    asof_join,
+    fuzzy_best_match,
+    latest_per_key,
+    topn_per_key,
+)
+from pspcz_analyzer_spark.operators.pagination import page_offset
+from pspcz_analyzer_spark.operators.pairs import unordered_pairs
+from pspcz_analyzer_spark.plans import register
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+    tags=("P4", "anti-join"),
+    doc="Void-vote exclusion idiom (SURVEY P4): left_anti join.",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "semi_join_customers_with_1997_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    ORDER BY c.c_custkey
+    """,
+    tags=("P3", "semi-join"),
+    doc="Set-membership filter as left_semi join (SURVEY P3).",
+)
+def semi_join_customers_with_1997_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+    FROM (
+      SELECT o.*,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders o
+    ) t
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    tags=("W1", "J3", "window"),
+    doc="Latest-per-key window — the reference's latest-club-membership idiom "
+    "(mp_builder.py:31-33) with a deterministic id tiebreak.",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return latest_per_key(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus").orderBy("o_custkey")
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ) t
+    WHERE rank <= 3
+    ORDER BY o_custkey, rank
+    """,
+    tags=("W2", "window"),
+    doc="Top-N per group (SURVEY W2 ranking).",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        topn_per_key(
+            orders,
+            ["o_custkey"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            n=3,
+        )
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rank"
+        )
+        .orderBy("o_custkey", "rank")
+    )
+
+
+@register(
+    "orders_page3",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    ORDER BY o_orderkey DESC
+    LIMIT 25 OFFSET 50
+    """,
+    tags=("O3", "pagination"),
+    doc="Offset pagination (votes browser idiom, votes_service.py:171-177).",
+)
+def orders_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return page_offset(orders, [F.col("o_orderkey").desc()], page=3, per_page=25).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+
+
+@register(
+    "nation_pairs_same_region",
+    oracle="""
+    SELECT a.n_regionkey, a.n_name, b.n_name AS n_name_b
+    FROM nation a
+    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    ORDER BY a.n_regionkey, a.n_name, n_name_b
+    """,
+    tags=("J7", "self-join"),
+    doc="Unordered pairs via self-join + theta predicate (coalition party "
+    "pairs, coalition_service.py:70-74).",
+)
+def nation_pairs_same_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        unordered_pairs(nation, "n_regionkey", "n_name")
+        .orderBy("n_regionkey", "n_name", "n_name_b")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("A9", "pivot"),
+    doc="Pivot to wide (similarity vote-matrix idiom, similarity_service.py:30-36) "
+    "with explicit value list so the plan avoids a distinct-values job.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "point_lookup_order",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey = 42
+    """,
+    tags=("P8", "point-lookup"),
+    doc="Point lookup by primary key (vote detail, votes_service.py:305).",
+)
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") == 42).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+@register(
+    "distinct_status_priority",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("A8", "distinct"),
+    doc="Distinct combos (SURVEY A8).",
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+@register(
+    "except_building_without_bigspenders",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 30000
+    ORDER BY c_custkey
+    """,
+    tags=("U3", "set-op"),
+    doc="Set difference on keys (SURVEY U3 set algebra).",
+)
+def except_building_without_bigspenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = orders.filter(F.col("o_totalprice") > 30000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.exceptAll(big).distinct().orderBy("c_custkey")
+
+
+@register(
+    "rollup_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("rollup", "new-surface"),
+    doc="Hierarchical totals via ROLLUP — subtotal surface beyond the "
+    "reference (it has no grouping sets; SURVEY §2.4 note).",
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "order_lines_nested",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 5
+    ORDER BY l_orderkey
+    """,
+    tags=("A10", "nested"),
+    doc="Group-reassembly into nested arrays (amendment bill reassembly, "
+    "cache_manager.py:222-254) — native ArrayType, not JSON strings.",
+)
+def order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 5)
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "fuzzy_match_supplier_customer",
+    oracle="""
+    SELECT s_name, c_name AS best_match, distance
+    FROM (
+      SELECT s.s_name, c.c_name,
+             levenshtein(s.s_name, c.c_name) AS distance,
+             row_number() OVER (
+               PARTITION BY s.s_name
+               ORDER BY levenshtein(s.s_name, c.c_name), c.c_name) AS rn
+      FROM supplier s CROSS JOIN customer c
+    ) t
+    WHERE rn = 1
+    ORDER BY s_name
+    """,
+    tags=("J11", "M4", "fuzzy"),
+    doc="Fuzzy best-match join via built-in levenshtein (submitter resolver, "
+    "submitter_resolver.py:19-91) — JVM-side, window top-1, broadcast right side.",
+)
+def fuzzy_match_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier").select("s_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_name")
+    return (
+        fuzzy_best_match(supp, cust, "s_name", "c_name")
+        .select("s_name", F.col("c_name").alias("best_match"), "distance")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "asof_latest_order_before_event",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate < e.ts
+    )
+    SELECT e.event_id, e.ts, e.user_id,
+           r.o_orderkey AS asof_o_orderkey, r.o_orderdate AS asof_o_orderdate
+    FROM events e
+    LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+    ORDER BY e.event_id
+    """,
+    tags=("J12", "asof"),
+    doc="Backward as-of join (vote→stage date cascade, votes_service.py:45-84) "
+    "via the union+window formulation: one shuffle, no range cross-product.",
+)
+def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    # Deterministic ties: one right row per (key, timestamp) — keep max orderkey.
+    orders_dedup = latest_per_key(
+        orders, ["user_id", "o_orderdate"], [F.col("o_orderkey").desc()]
+    )
+    return asof_join(
+        events,
+        orders_dedup,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+        strict=True,
+    ).select(
+        "event_id", "ts", "user_id", "asof_o_orderkey", "asof_o_orderdate"
+    ).orderBy("event_id")
+
+
+@register(
+    "prefix_match_parts",
+    oracle="""
+    WITH prefixes AS (
+      SELECT * FROM (VALUES ('b'),('bl'),('blue'),('c'),('co'),('cold'),
+                           ('s'),('sm'),('small'),('l'),('la'),('large')) AS t(prefix)
+    ),
+    m AS (
+      SELECT p.p_partkey, p.p_name, pre.prefix,
+             row_number() OVER (
+               PARTITION BY p.p_partkey
+               ORDER BY length(pre.prefix) DESC, pre.prefix) AS rn
+      FROM part p
+      JOIN prefixes pre ON p.p_name LIKE pre.prefix || '%'
+    )
+    SELECT p_partkey, p_name, prefix FROM m
+    WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+    tags=("J13", "prefix-join"),
+    doc="Longest-prefix text-match join (tisk fallback linking, "
+    "lookup_builder.py:138-207): startswith join + length-ranked top-1.",
+)
+def prefix_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    prefixes = spark.createDataFrame(
+        [(p,) for p in ["b", "bl", "blue", "c", "co", "cold", "s", "sm", "small", "l", "la", "large"]],
+        "prefix: string",
+    )
+    matched = part.join(
+        F.broadcast(prefixes), F.col("p_name").startswith(F.col("prefix"))
+    )
+    return (
+        latest_per_key(
+            matched,
+            ["p_partkey"],
+            [F.length("prefix").desc(), F.col("prefix").asc()],
+        )
+        .select("p_partkey", "p_name", "prefix")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("F5", "date"),
+    doc="Temporal bucketing (date parse/format family, SURVEY F5).",
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@register(
+    "customer_display_names",
+    oracle="""
+    SELECT c.c_custkey,
+           upper(substr(c.c_name, 10, 9)) || ' / ' || n.n_name AS display,
+           CASE c.c_mktsegment
+             WHEN 'AUTOMOBILE' THEN 'AUTO'
+             WHEN 'BUILDING' THEN 'BLD'
+             ELSE c.c_mktsegment END AS seg_short
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY c.c_custkey
+    """,
+    tags=("F2", "F3", "F10", "F11", "J1", "string"),
+    doc="String functions + dim enrich join + value remap (party alias idiom, "
+    "mp_builder.py:42-48).",
+)
+def customer_display_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "c_custkey",
+            F.concat(
+                F.upper(F.substring("c_name", 10, 9)), F.lit(" / "), F.col("n_name")
+            ).alias("display"),
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", "AUTO")
+            .when(F.col("c_mktsegment") == "BUILDING", "BLD")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg_short"),
+        )
+        .orderBy("c_custkey")
+    )

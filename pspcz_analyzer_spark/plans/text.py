@@ -1,0 +1,273 @@
+"""Text-analysis + dedup coverage over the documents table.
+
+The training-data-pipeline surface (BASELINE.json north star): search with
+diacritic folding (SURVEY P6/F4), token counting, quality scoring,
+fingerprinting, exact + near-duplicate detection. Every oracle replicates
+the exact normalization pipeline in DuckDB SQL (strip_accents == our
+translate table on this corpus; both asserted in unit tests).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.functions.text import (
+    bpe_ish_token_count,
+    contains_normalized,
+    token_count,
+)
+from pspcz_analyzer_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+from pspcz_analyzer_spark.operators.textual import (
+    add_fingerprint,
+    language_id,
+    quality_score,
+)
+from pspcz_analyzer_spark.plans import register
+
+# DuckDB expression equal to functions.text.normalize_text on this corpus.
+_NORM = "trim(regexp_replace(strip_accents(lower({c})), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "doc_search_normalized",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_NORM.format(c="text")} LIKE '%merge%'
+    ORDER BY doc_id
+    """,
+    tags=("P6", "F4", "search"),
+    doc="Diacritic-insensitive substring search (votes browser search, "
+    "votes_service.py:101-112) — built-in translate, no UDF.",
+)
+def doc_search_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(contains_normalized("text", "merge"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+             AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("tokens", "text-analysis"),
+    doc="Token counting: whitespace + BPE-ish regex pieces (LLM budget "
+    "accounting; reference caps by chars, config.py:113-121).",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             len(list_distinct(string_split({_NORM.format(c="text")}, ' '))) AS n_distinct,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio,
+             length(text)::DOUBLE AS n_chars_d
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             round(n_distinct / greatest(n_tokens, 1), 6) AS distinct_ratio,
+             round(punct_ratio, 6) AS punct_ratio,
+             round(n_chars_d / greatest(n_tokens, 1), 6) AS mean_token_len,
+             n_distinct / greatest(n_tokens, 1) AS dr_raw,
+             n_chars_d / greatest(n_tokens, 1) AS mtl_raw,
+             punct_ratio AS pr_raw
+      FROM feat
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, distinct_ratio, punct_ratio,
+           mean_token_len,
+           round(
+             (CASE WHEN n_tokens < 5 THEN 0.0 ELSE 1.0 END) * 0.25
+             + (CASE WHEN mtl_raw >= 3 AND mtl_raw <= 12 THEN 1.0 ELSE 0.0 END) * 0.25
+             + (CASE WHEN dr_raw >= 0.3 THEN 1.0 ELSE 0.0 END) * 0.25
+             + (CASE WHEN pr_raw <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality_score
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("quality", "text-analysis"),
+    doc="Per-document quality features + rule score (C4/Gopher-style corpus "
+    "filtering shape) — all codegen'd column expressions.",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "distinct_ratio", "punct_ratio", "mean_token_len", "quality_score"
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM.format(c="text")}) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("fingerprint", "text-analysis"),
+    doc="Content fingerprint: md5 of normalized text (exact-dup grouping key).",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return add_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@register(
+    "exact_dedup_survivors",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    fp AS (SELECT doc_id, md5({_NORM.format(c="text")}) AS f FROM corpus)
+    SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+    ORDER BY doc_id
+    """,
+    tags=("dedup-exact",),
+    doc="Exact dedup (hash-groupBy on fingerprint, keep min id) over a "
+    "corpus with planted exact duplicates.",
+)
+def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dups)
+    return exact_dedup(corpus).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "near_dup_jaccard",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             substr(text, 1, CAST(floor(n_chars / 2) AS INT)) AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             string_split({_NORM.format(c="text")}, ' ') AS toks
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT n.doc_id,
+             array_to_string(n.toks[r.i:least(r.i + 2, len(n.toks))], ' ') AS shingle
+      FROM norm n, range(1, greatest(len(n.toks) - 2, 1) + 1) r(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.intersection / (sa.set_size + sb.set_size - i.intersection), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.intersection / (sa.set_size + sb.set_size - i.intersection) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup-near", "J11-scale"),
+    doc="Exact n-gram (3-shingle) Jaccard near-dup pairs over a corpus with "
+    "planted half-length near-duplicates; docs only meet via shared "
+    "shingles (no n^2).",
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    halved = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(n_chars / 2) AS INT))").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(halved)
+    return ngram_jaccard_pairs(corpus, n=3, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@register(
+    "doc_language_id",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_distinct(string_split({_NORM.format(c="text")}, ' ')) AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+        len(list_intersect(toks, ['the','and','of','to','is','with'])) AS h_en,
+        len(list_intersect(toks, ['der','die','und','ist','nicht','das'])) AS h_de,
+        len(list_intersect(toks, ['le','la','et','est','les','des'])) AS h_fr,
+        len(list_intersect(toks, ['el','la','que','de','los','es'])) AS h_es,
+        len(list_intersect(toks, ['a','je','se','na','to','pro'])) AS h_cs
+      FROM norm
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_cs) = 0 THEN 'und'
+           WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_cs THEN 'fr'
+           WHEN h_es >= h_en AND h_es >= h_de AND h_es >= h_cs THEN 'es'
+           WHEN h_en >= h_de AND h_en >= h_cs THEN 'en'
+           WHEN h_de >= h_cs THEN 'de'
+           ELSE 'cs' END AS pred_lang
+    FROM hits
+    ORDER BY doc_id
+    """,
+    tags=("lang-id", "text-analysis"),
+    doc="Stopword-marker language ID (argmax of marker hits, deterministic "
+    "tie-break) — the n-gram heuristic shape, zero UDFs.",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", language_id("text").alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_by_source_stats",
+    oracle="""
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    tags=("A7", "agg"),
+    doc="Min/max/avg aggregate per group (period date-range idiom, "
+    "tisk_models.py:119-131).",
+)
+def docs_by_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -1,0 +1,182 @@
+"""Embedding similarity search + MP vote-similarity coverage (SURVEY M1-M3).
+
+Brute-force cosine is the exact baseline (single scan + top-k merge); the
+LSH-bucketed variant is the scale path and gets a rows-only check (its
+bucketing planes are deterministic but not reasonably SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.operators.ann import (
+    brute_force_topk,
+    cosine,
+    lsh_bucketed_pairs,
+)
+from pspcz_analyzer_spark.plans import register
+from pspcz_analyzer_spark.plans.voting import (
+    _SQL_MP_INFO,
+    _SQL_MP_VOTES,
+    _SQL_VOID,
+    derive_mp_info,
+    derive_mp_votes,
+    derive_void_votes,
+)
+
+
+@register(
+    "ann_bruteforce_top10",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    flat AS (
+      SELECT e.vec_id, r.i,
+             CAST(e.embedding[r.i] AS DOUBLE) AS v,
+             CAST(q.qe[r.i] AS DOUBLE) AS qv
+      FROM embeddings e, q, range(1, len(e.embedding) + 1) r(i)
+    ),
+    scored AS (
+      SELECT vec_id,
+             sum(v * qv) / (sqrt(sum(v * v)) * sqrt(sum(qv * qv))) AS raw
+      FROM flat GROUP BY vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS cosine_sim
+    FROM scored
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("ann", "M3", "similarity-search"),
+    doc="Exact cosine top-k to a query vector: one scan, codegen'd "
+    "zip_with dot product, TakeOrderedAndProject merge.",
+)
+def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("__query"))
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("__query").cast("array<double>"),
+            ),
+            6,
+        ).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "ann_lsh_pairs",
+    oracle=None,  # LSH planes are deterministic but not SQL-expressible
+    tags=("ann", "lsh", "scale-path"),
+    doc="Approximate similar pairs via random-hyperplane LSH buckets: "
+    "equi-join on bucket id instead of n^2 cross join (rows-only check).",
+)
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(emb, dim=64, num_planes=8, k=50)
+
+
+@register(
+    "embedding_pairs_cross_label",
+    oracle="""
+    WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 200),
+    flat AS (
+      SELECT vec_id, label, r.i, CAST(embedding[r.i] AS DOUBLE) AS v
+      FROM sub, range(1, len(embedding) + 1) r(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      WHERE a.label <> b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    ORDER BY cosine_sim DESC, id_a, id_b
+    LIMIT 20
+    """,
+    tags=("ann", "M3", "cross-group"),
+    doc="Exact top-k most-similar cross-label pairs (the reference's "
+    "cross-party cosine top-20, similarity_service.py:93-108).",
+)
+def embedding_pairs_cross_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import pairwise_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return pairwise_topk(
+        emb, k=20, id_col="vec_id", vec_col="embedding", group_col="label"
+    ).select("id_a", "id_b", "cosine_sim")
+
+
+@register(
+    "mp_vote_similarity",
+    oracle=f"""
+    WITH mp_votes AS ({_SQL_MP_VOTES}),
+    void_votes AS ({_SQL_VOID}),
+    mp_info AS ({_SQL_MP_INFO}),
+    clean AS (
+      SELECT * FROM mp_votes
+      WHERE id_hlasovani NOT IN (SELECT id_hlasovani FROM void_votes)
+    ),
+    enc AS (
+      SELECT id_poslanec, id_hlasovani,
+             max(CASE vysledek WHEN 'A' THEN 1.0 WHEN 'B' THEN -1.0 ELSE 0.0 END) AS v
+      FROM clean GROUP BY id_poslanec, id_hlasovani
+    ),
+    norms AS (SELECT id_poslanec, sqrt(sum(v * v)) AS nrm FROM enc GROUP BY 1),
+    dots AS (
+      SELECT a.id_poslanec AS id_a, b.id_poslanec AS id_b, sum(a.v * b.v) AS dot
+      FROM enc a JOIN enc b
+        ON a.id_hlasovani = b.id_hlasovani AND a.id_poslanec < b.id_poslanec
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b, ia.party AS group_a, ib.party AS group_b,
+           round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                      ELSE d.dot / (na.nrm * nb.nrm) END, 6) AS cosine_sim
+    FROM dots d
+    JOIN norms na ON na.id_poslanec = d.id_a
+    JOIN norms nb ON nb.id_poslanec = d.id_b
+    JOIN mp_info ia ON ia.id_poslanec = d.id_a
+    JOIN mp_info ib ON ib.id_poslanec = d.id_b
+    WHERE ia.party <> ib.party
+    ORDER BY id_a, id_b
+    """,
+    tags=("M1", "M3", "voting", "similarity"),
+    doc="Cross-party MP vote-vector cosine pairs (similarity_service.py:75-108) "
+    "— vectors assembled via collect_list, NOT pivot (scale-safe).",
+)
+def mp_vote_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.similarity import mp_cosine_pairs
+
+    pairs = mp_cosine_pairs(
+        derive_mp_votes(spark, sf_dir),
+        derive_void_votes(spark, sf_dir),
+        derive_mp_info(spark, sf_dir),
+        k=None,  # no limit: full deterministic pair list
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "mp_pca_coords",
+    oracle=None,  # SVD basis signs are implementation-defined; rows-only
+    tags=("M2", "pca", "voting"),
+    doc="2-D PCA of the MP x vote matrix via pyspark.ml (distributed "
+    "centering + PCA; replaces np.linalg.svd, similarity_service.py:47-72).",
+)
+def mp_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.similarity import pca_coords
+
+    return pca_coords(
+        derive_mp_votes(spark, sf_dir), derive_void_votes(spark, sf_dir)
+    ).orderBy("id_poslanec")

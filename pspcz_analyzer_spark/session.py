@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference runs a single eager-Polars process with a 2-thread compute pool
+(``/root/reference/pspcz_analyzer/middleware.py:16``). Our equivalent of its
+hand-tuned execution knobs is a properly configured SparkSession: AQE for
+runtime re-planning (skew joins, partition coalescing), Arrow for any
+pandas-UDF boundary, and broadcast thresholds sized so dimension tables never
+shuffle.
+
+All configs are chosen for a large cluster but work identically on
+``local[N]``; tests override ``master`` and shrink shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale-out correctness; see docstring for rationale.
+_SCALE_CONFS: dict[str, str] = {
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed ones.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier, persons/organs in the
+    # reference schema) are tiny even at 100 TB fact scale — broadcast them.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow everywhere Python touches data: pandas UDFs, toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Vote-matrix pivots can be wide (~10^4 distinct votes per period).
+    "spark.sql.pivotMaxValues": "100000",
+    # Respect partition-size targets when scanning big Parquet.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Timestamps in testdata are naive; keep them stable across engines.
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off => lenient casts (invalid -> null), matching the reference's
+    # strict=False casts (/root/reference/pspcz_analyzer/data/parser.py:51-57).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "pspcz_analyzer_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` outside a cluster;
+    ``shuffle_partitions`` defaults to the core count in local mode (a real
+    cluster wants ~2-3x total cores — leave unset there and let AQE coalesce).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in {**_SCALE_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
