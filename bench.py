@@ -1,0 +1,89 @@
+"""Headline benchmark over the driver's testdata.
+
+Runs the flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed to full materialization (count of collected rows) on a
+warm session; the first query absorbs session/JIT warmup, so a tiny warmup
+query runs first and is not reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the five TPC-H-shaped plans + one per pipeline family
+# (voting two-phase agg, self-join agreement, dedup, quality, ANN, windows,
+# as-of, similarity, PCA). Order: cheap scans first.
+HEADLINE = [
+    "q6_forecast_revenue",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "q3_top_revenue_orders",
+    "q18_large_orders",
+    "attendance_rates",
+    "loyalty_rebellion_rates",
+    "party_pair_agreement",
+    "exact_dedup_survivors",
+    "doc_quality_scores",
+    "ann_bruteforce_top10",
+    "events_sessionized",
+    "asof_latest_order_before_event",
+    "mp_vote_similarity",
+    "mp_pca_coords",
+    "near_dup_jaccard",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as E
+    from pspcz_analyzer_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = E.queries()
+
+    # Warmup: touch every table once so scans/JIT don't bill the first query.
+    from pspcz_analyzer_spark.catalog import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        try:
+            load_table(spark, sf_dir, t).limit(1).collect()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep benching; a broken query reports -1
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

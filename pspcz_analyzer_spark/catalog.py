@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver's deterministic TPC-H-ish tables (TESTDATA.md).
@@ -36,8 +37,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one Parquet table lazily (scan node only; no action)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Read one Parquet table lazily (scan node only; no action).
+
+    ``events.ts`` is written as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds,
+    so rebuild a microsecond timestamp (``div 1000`` truncates exactly like
+    DuckDB's nanos->micros read — keeps oracles hash-identical).
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(
@@ -48,7 +58,7 @@ def load_tables(
     for name in names:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -1,0 +1,147 @@
+"""Window-function coverage over the events table (SURVEY W3 + sessionize).
+
+The reference's only sequential-state pattern is the steno carry-forward
+(challenge blocks inherit the previous block's letter/vote number,
+/root/reference/pspcz_analyzer/services/amendments/steno_parser.py:415-478).
+Relationally that is ``last(..., ignorenulls=True)`` over an ordered
+per-document window — here per-user over event time. Sessionization (gap >
+30 min starts a new session) is the same window machinery: a boundary flag
+plus a running sum. Both shuffle ONCE on user_id and scale with per-key
+cardinality, not total rows.
+
+Every window orders by (ts, event_id): event_id is the deterministic
+tiebreak for same-timestamp rows (hash-stable vs. the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.operators.sessionize import sessionize
+from pspcz_analyzer_spark.plans import register
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+_SESSION_GAP_SECONDS = 30 * 60
+
+
+def _user_window() -> Window:
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@register(
+    "events_carry_forward_purchase",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER ({_W} ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("W3", "window", "carry-forward"),
+    doc="Sequential carry-forward (steno letter inheritance, "
+    "steno_parser.py:415-478): last(ignorenulls) over per-user event order.",
+)
+def events_carry_forward_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = _user_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return events.select(
+        "event_id", "user_id", "ts", "event_type",
+        carried.alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_lag_gap",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER ({_W})) AS BIGINT) AS gap_us
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("W3", "window", "lag"),
+    doc="Per-user inter-event gap via lag() — the building block for "
+    "sessionization and rate analysis.",
+)
+def events_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    prev_ts = F.lag("ts").over(_user_window())
+    return events.select(
+        "event_id", "user_id", "ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_running_value",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER ({_W} ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+           CAST(row_number() OVER ({_W}) AS BIGINT) AS event_seq
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("window", "running-total"),
+    doc="Per-user running total + sequence number (cumulative window agg).",
+)
+def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_acc = _user_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id", "user_id", "ts",
+        F.round(F.sum("value").over(w_acc), 2).alias("running_value"),
+        F.row_number().over(_user_window()).cast("long").alias("event_seq"),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_sessionized",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER ({_W}) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER ({_W}))
+                          > {_SESSION_GAP_SECONDS} * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER ({_W} ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    tags=("sessionize", "W3", "window"),
+    doc="Gap-based sessionization (30 min inactivity gap): boundary flag + "
+    "running sum assigns session ids in one shuffle on user_id; the "
+    "streaming twin is F.session_window (streaming/events.py).",
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(
+        events,
+        key_col="user_id",
+        time_col="ts",
+        gap_seconds=_SESSION_GAP_SECONDS,
+        order_tiebreak="event_id",
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

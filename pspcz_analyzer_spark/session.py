@@ -37,6 +37,10 @@ _SCALE_CONFS: dict[str, str] = {
     # ANSI off => lenient casts (invalid -> null), matching the reference's
     # strict=False casts (/root/reference/pspcz_analyzer/data/parser.py:51-57).
     "spark.sql.ansi.enabled": "false",
+    # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS), which
+    # Spark's vectorized reader rejects outright; read the raw nanos as long
+    # and let catalog.load_table rebuild a (microsecond) timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

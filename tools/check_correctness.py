@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given sf_dir and
+compares it with its ``oracle_sql()`` twin on DuckDB: row count, sorted
+column names, and an order-insensitive value comparison (rows sorted by all
+columns; floats compared to 9 significant digits; timestamps compared at
+microseconds). Prints one status line per query plus a summary.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(f"{v:.9g}")
+    # datetime/date -> isoformat (micros); Decimal -> float
+    t = type(v).__name__
+    if t in ("datetime", "date", "Timestamp"):
+        return v.isoformat()
+    if t == "Decimal":
+        return float(f"{float(v):.9g}")
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return [cols[i] for i in idx], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from pspcz_analyzer_spark.session import get_spark
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    spark = get_spark(shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        sc, sr = _norm_rows(scols, srows)
+        dc, dr = _norm_rows(dcols, drows)
+        dt = time.time() - t0
+        if sc != dc:
+            print(f"FAIL {name}: columns {sc} vs {dc}")
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
+        elif sr != dr:
+            bad = sum(1 for a, b in zip(sr, dr) if a != b)
+            print(f"FAIL {name}: {bad}/{len(sr)} rows differ [{dt:.1f}s]")
+            for a, b in zip(sr, dr):
+                if a != b:
+                    print(f"   spark:  {a}\n   oracle: {b}")
+                    break
+        else:
+            print(f"PASS {name}: {len(sr)} rows [{dt:.1f}s]")
+            n_pass += 1
+            continue
+        n_fail += 1
+        failures.append(name)
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+        + (f"; failing: {' '.join(failures)}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
