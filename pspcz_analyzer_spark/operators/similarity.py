@@ -1,22 +1,30 @@
 """MP voting-similarity operators (SURVEY M1-M3, A9).
 
 The reference pivots MPs x votes into a NumPy matrix, then does SVD-PCA and
-an O(n^2) Python cosine loop (similarity_service.py:10-108). Here:
+an O(n^2) Python cosine loop
+(/root/reference/pspcz_analyzer/services/similarity_service.py:10-108).
 
-* the "matrix" is assembled per-MP as a dense vector via sorted
-  collect_list — NOT a pivot: pivot column count = distinct votes (~10^4+)
-  breaks at scale, while vectors shuffle once on id_poslanec;
-* PCA runs on pyspark.ml (distributed covariance/SVD);
-* all-pairs cosine reuses operators.ann.pairwise_topk (cross-group filter =
-  cross-party).
+Scale-first formulations — the matrix is never materialized densely:
+
+* cosine pairs: sparse dot products via an equi-join of (mp, vote, value)
+  entries on the vote id, grouped by MP pair, divided by per-MP norms.
+  ONE shuffle keyed by vote id, work proportional to matrix entries times
+  per-vote fanout — no dense vectors, no nested-loop join, no global
+  vote-axis broadcast. (A dense per-MP vector of dim = #distinct votes is
+  ~150k doubles at sf0.1 and unbounded at corpus scale.)
+* PCA: the classic transpose/Gram trick the reference itself exploits
+  (SVD of a thin 200 x 10^4 matrix, similarity_service.py:47-72). The
+  MP x MP Gram matrix of the *centered* rows is assembled from the same
+  sparse entries (n ~ hundreds), eigendecomposed on the driver (tiny,
+  deterministic), and coordinates come straight from U * S. The
+  feature x feature covariance (dim^2 ~ 10^10 doubles at sf0.1) is never
+  formed.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-
-from pspcz_analyzer_spark.operators.ann import pairwise_topk
 
 # Vote encoding (similarity_service.py:20-28): YES=+1, NO=-1, other 0.
 _ENCODE = {"A": 1.0, "B": -1.0}
@@ -34,40 +42,66 @@ def encode_votes(mp_votes: DataFrame) -> DataFrame:
     )
 
 
-def vote_vectors(mp_votes: DataFrame, void_votes: DataFrame | None = None) -> DataFrame:
-    """Dense per-MP vote vector over the global ordered vote-id axis.
+def vote_entries(mp_votes: DataFrame, void_votes: DataFrame | None = None) -> DataFrame:
+    """Sparse matrix entries: one row per observed (MP, vote) cell.
 
-    Missing (MP, vote) cells become 0.0 exactly like the reference's
-    pivot + fill_null(0) (similarity_service.py:30-36), but assembled as
-    map -> lookup per ordered vote id: one groupBy per side, no pivot.
+    Missing cells are implicit zeros — exactly the reference's
+    pivot + fill_null(0) semantics (similarity_service.py:30-36) without
+    ever building the dense matrix. Duplicate cells collapse via max
+    (deterministic; the reference's pivot used row-order "first").
     """
     if void_votes is not None:
         from pspcz_analyzer_spark.operators.voting import exclude_void
 
         mp_votes = exclude_void(mp_votes, void_votes)
-    # One cell per (MP, vote): max(vote_num) — the reference's pivot used
-    # agg "first" (row-order dependent); max is the deterministic choice.
-    enc = (
+    return (
         encode_votes(mp_votes)
         .groupBy("id_poslanec", "id_hlasovani")
-        .agg(F.max("vote_num").alias("vote_num"))
+        .agg(F.max("vote_num").alias("v"))
     )
-    # Global ordered vote axis, broadcast to every MP row.
-    axis = (
-        enc.select("id_hlasovani")
-        .distinct()
-        .agg(F.sort_array(F.collect_list("id_hlasovani")).alias("axis"))
+
+
+def sparse_cosine_pairs(
+    entries: DataFrame,
+    id_col: str = "id_poslanec",
+    key_col: str = "id_hlasovani",
+    val_col: str = "v",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All-pairs cosine over sparse (id, key, value) entries.
+
+    Pairs meet ONLY via shared keys (equi-join on ``key_col``), so cost is
+    sum over keys of per-key-count^2 — never n^2 over ids. Zero-valued
+    entries still create the pair (dot contribution 0), matching the dense
+    semantics for any pair sharing at least one observed key.
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b.
+    """
+    norms = entries.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col(val_col) * F.col(val_col))).alias("nrm")
     )
-    per_mp = enc.groupBy("id_poslanec").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("id_hlasovani", "vote_num"))
-        ).alias("vote_map")
+    a = entries.select(
+        F.col(id_col).alias("id_a"), F.col(key_col).alias("__k"), F.col(val_col).alias("va")
     )
-    return per_mp.crossJoin(F.broadcast(axis)).select(
-        "id_poslanec",
-        F.transform(
-            F.col("axis"), lambda vid: F.coalesce(F.col("vote_map")[vid], F.lit(0.0))
-        ).alias("embedding"),
+    b = entries.select(
+        F.col(id_col).alias("id_b"), F.col(key_col).alias("__k"), F.col(val_col).alias("vb")
+    )
+    dots = (
+        a.join(b, "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nrm_b"))
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    score = F.when(denom == 0, F.lit(0.0)).otherwise(F.col("dot") / denom)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", score.alias("cosine_sim"))
     )
 
 
@@ -79,58 +113,108 @@ def mp_cosine_pairs(
     cross_party_only: bool = True,
 ) -> DataFrame:
     """Top-k most-similar MP pairs by vote-vector cosine, cross-party only
-    (similarity_service.py:75-108)."""
-    vecs = vote_vectors(mp_votes, void_votes).join(
-        F.broadcast(mp_info.select("id_poslanec", "party")), "id_poslanec"
+    (similarity_service.py:75-108), via the sparse-join formulation."""
+    from pspcz_analyzer_spark.operators.pagination import top_k
+
+    pairs = sparse_cosine_pairs(vote_entries(mp_votes, void_votes))
+    info = F.broadcast(mp_info.select("id_poslanec", "party"))
+    out = (
+        pairs.join(
+            info.select(F.col("id_poslanec").alias("id_a"), F.col("party").alias("group_a")),
+            "id_a",
+        )
+        .join(
+            info.select(F.col("id_poslanec").alias("id_b"), F.col("party").alias("group_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "group_a", "group_b", "cosine_sim")
     )
-    return pairwise_topk(
-        vecs,
-        k=k,
-        id_col="id_poslanec",
-        vec_col="embedding",
-        group_col="party" if cross_party_only else None,
-    )
+    if cross_party_only:
+        out = out.filter(F.col("group_a") != F.col("group_b"))
+    if not k:
+        return out
+    return top_k(out, [F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")], k)
 
 
-def pca_coords(mp_votes: DataFrame, void_votes: DataFrame, n_components: int = 2) -> DataFrame:
-    """2-D PCA coordinates per MP from the vote matrix via pyspark.ml
-    (distributed; replaces np.linalg.svd at similarity_service.py:47-72).
+def pca_coords(
+    mp_votes: DataFrame, void_votes: DataFrame, n_components: int = 2
+) -> DataFrame:
+    """2-D PCA coordinates per MP from the vote matrix.
 
-    Column means are subtracted by PCA's internal centering?  No — Spark ML
-    PCA does not center; we center explicitly to match the reference.
+    Transpose/Gram trick (samples n << features d, like the reference's
+    200 x 10^4 SVD at similarity_service.py:47-72):
+
+        G = Xc Xc^T  (n x n)  with  G[a,b] = D[a,b] - s_a - s_b + m2
+          D[a,b] = sum_j x_aj x_bj   — sparse equi-join on vote id
+          s_a    = sum_j mu_j x_aj   — join entries with per-vote means
+          m2     = sum_j mu_j^2      — scalar
+
+    (mu_j is the per-vote column mean over ALL n MPs, zeros included.)
+    Distributed work is three aggregations over the sparse entries; only
+    the n x n Gram (n = #MPs: hundreds-to-thousands) reaches the driver,
+    where eigh gives U, S^2 and coords = U[:, :k] * S[:k]. The d x d
+    covariance is never materialized, so vote-count growth is free.
     """
-    from pyspark.ml.feature import PCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
 
-    vecs = vote_vectors(mp_votes, void_votes)
-    # Center per-dimension (reference centers before SVD; Spark ML PCA does
-    # not center for us). explode/groupBy = one shuffle on dimension index.
-    exploded = vecs.select(
-        "id_poslanec", F.posexplode("embedding").alias("dim_idx", "v")
+    entries = vote_entries(mp_votes, void_votes)
+    nz = entries.filter(F.col("v") != 0)
+
+    ids = [r[0] for r in entries.select("id_poslanec").distinct().orderBy("id_poslanec").collect()]
+    n = len(ids)
+    if n == 0:
+        return mp_votes.sparkSession.createDataFrame([], "id_poslanec long, x double, y double")
+    idx = {p: i for i, p in enumerate(ids)}
+
+    # Per-vote column mean over all n MPs (missing cells are zeros).
+    mu = nz.groupBy("id_hlasovani").agg((F.sum("v") / F.lit(n)).alias("mu"))
+
+    # D: pairwise dots incl. the diagonal, only over shared nonzero votes.
+    a = nz.select(F.col("id_poslanec").alias("pa"), F.col("id_hlasovani").alias("k"), F.col("v").alias("va"))
+    b = nz.select(F.col("id_poslanec").alias("pb"), F.col("id_hlasovani").alias("k"), F.col("v").alias("vb"))
+    dots = (
+        a.join(b, "k")
+        .filter(F.col("pa") <= F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        .collect()
     )
-    mu = exploded.groupBy("dim_idx").agg(F.avg("v").alias("mu"))
-    centered = (
-        exploded.join(F.broadcast(mu), "dim_idx")
-        .withColumn("cv", F.col("v") - F.col("mu"))
+    s_rows = (
+        nz.join(mu, "id_hlasovani")
         .groupBy("id_poslanec")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim_idx", "cv"))
-            ).alias("entries")
-        )
-        .select(
-            "id_poslanec",
-            F.transform(F.col("entries"), lambda e: e["cv"]).alias("centered"),
-        )
+        .agg(F.sum(F.col("v") * F.col("mu")).alias("s"))
+        .collect()
     )
-    with_vec = centered.withColumn("features", array_to_vector("centered"))
-    model = PCA(k=n_components, inputCol="features", outputCol="pca").fit(with_vec)
-    out = model.transform(with_vec)
-    return out.select(
-        "id_poslanec",
-        vector_to_array("pca").alias("coords"),
-    ).select(
-        "id_poslanec",
-        F.round(F.col("coords")[0], 6).alias("x"),
-        F.round(F.col("coords")[1], 6).alias("y"),
-    )
+    m2_row = mu.agg(F.sum(F.col("mu") * F.col("mu")).alias("m2")).collect()[0]
+    m2 = float(m2_row["m2"] or 0.0)
+
+    s = np.zeros(n)
+    for r in s_rows:
+        s[idx[r["id_poslanec"]]] = r["s"]
+    G = np.full((n, n), m2) - s[:, None] - s[None, :]
+    for r in dots:
+        i, j = idx[r["pa"]], idx[r["pb"]]
+        G[i, j] += r["dot"]
+        if i != j:
+            G[j, i] += r["dot"]
+
+    evals, evecs = np.linalg.eigh(G)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    for col in order:
+        lam = max(float(evals[col]), 0.0)
+        u = evecs[:, col]
+        # Deterministic sign: largest-|.| component positive.
+        pivot = int(np.argmax(np.abs(u)))
+        if u[pivot] < 0:
+            u = -u
+        comps.append(u * np.sqrt(lam))
+    while len(comps) < n_components:
+        comps.append(np.zeros(n))
+
+    spark = mp_votes.sparkSession
+    data = [
+        (int(p), float(round(comps[0][i], 6)), float(round(comps[1][i], 6)))
+        for i, p in enumerate(ids)
+    ]
+    return spark.createDataFrame(data, "id_poslanec long, x double, y double")

@@ -100,11 +100,12 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, distinct_ratio, punct_ratio,
            mean_token_len,
-           round(
+           CAST(round(
              (CASE WHEN n_tokens < 5 THEN 0.0 ELSE 1.0 END) * 0.25
              + (CASE WHEN mtl_raw >= 3 AND mtl_raw <= 12 THEN 1.0 ELSE 0.0 END) * 0.25
              + (CASE WHEN dr_raw >= 0.3 THEN 1.0 ELSE 0.0 END) * 0.25
-             + (CASE WHEN pr_raw <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality_score
+             + (CASE WHEN pr_raw <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25, 6)
+           AS DOUBLE) AS quality_score
     FROM scored
     ORDER BY doc_id
     """,
@@ -173,9 +174,12 @@ def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus
     ),
     sh AS (
-      SELECT DISTINCT n.doc_id,
-             array_to_string(n.toks[r.i:least(r.i + 2, len(n.toks))], ' ') AS shingle
-      FROM norm n, range(1, greatest(len(n.toks) - 2, 1) + 1) r(i)
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')
+             )) AS shingle
+      FROM norm
     ),
     sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
     inter AS (

@@ -30,20 +30,16 @@ from pspcz_analyzer_spark.plans.voting import (
 @register(
     "ann_bruteforce_top10",
     oracle="""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    flat AS (
-      SELECT e.vec_id, r.i,
-             CAST(e.embedding[r.i] AS DOUBLE) AS v,
-             CAST(q.qe[r.i] AS DOUBLE) AS qv
-      FROM embeddings e, q, range(1, len(e.embedding) + 1) r(i)
-    ),
-    scored AS (
-      SELECT vec_id,
-             sum(v * qv) / (sqrt(sum(v * v)) * sqrt(sum(qv * qv))) AS raw
-      FROM flat GROUP BY vec_id
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
     )
-    SELECT vec_id, round(raw, 6) AS cosine_sim
-    FROM scored
+    SELECT e.vec_id,
+           round(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine_sim
+    FROM embeddings e, q
     ORDER BY cosine_sim DESC, vec_id
     LIMIT 10
     """,
@@ -85,23 +81,17 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_pairs_cross_label",
     oracle="""
-    WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 200),
-    flat AS (
-      SELECT vec_id, label, r.i, CAST(embedding[r.i] AS DOUBLE) AS v
-      FROM sub, range(1, len(embedding) + 1) r(i)
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
-    dots AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
-      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
-      WHERE a.label <> b.label
-      GROUP BY 1, 2
+    WITH sub AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 200
     )
-    SELECT d.id_a, d.id_b,
-           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine_sim
-    FROM dots d
-    JOIN norms na ON na.vec_id = d.id_a
-    JOIN norms nb ON nb.vec_id = d.id_b
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS cosine_sim
+    FROM sub a
+    JOIN sub b ON a.vec_id < b.vec_id AND a.label <> b.label
     ORDER BY cosine_sim DESC, id_a, id_b
     LIMIT 20
     """,
