@@ -1,0 +1,120 @@
+"""Dedup-operator tests on a planted-duplicate corpus: exact survivors,
+Jaccard values, MinHash-LSH recall against exact Jaccard, SimHash blocking."""
+
+from __future__ import annotations
+
+import pytest
+
+from pspcz_analyzer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, _BASE),
+        (2, _BASE),  # exact duplicate of 1
+        (3, "  THE   quick brown fox jumps over the lazy dog while the cat watches "
+            "from a warm windowsill and the birds sing in the garden outside "),
+        # 3 = duplicate of 1 modulo case/whitespace (same normalized text)
+        (4, _BASE + " an extra tail sentence appended to make a near duplicate"),
+        (5, "completely different content about spark catalyst optimizer internals "
+            "and the physics of distributed shuffle exchanges at terabyte scale"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_survivors_min_id(self, corpus):
+        ids = sorted(r["doc_id"] for r in exact_dedup(corpus).collect())
+        assert ids == [1, 4, 5, 6]  # 2 and 3 collapse into 1
+
+    def test_idempotent(self, corpus):
+        once = exact_dedup(corpus)
+        assert sorted(r["doc_id"] for r in exact_dedup(once).collect()) == [1, 4, 5, 6]
+
+
+class TestNgramJaccard:
+    def test_exact_dup_scores_one(self, corpus):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert pairs[(1, 3)] == 1.0  # normalization-invariant
+
+    def test_near_dup_above_threshold(self, corpus):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+        }
+        assert 0.3 <= pairs[(1, 4)] < 1.0
+
+    def test_unrelated_docs_absent(self, corpus):
+        pairs = ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+        assert all(5 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, corpus):
+        s1 = minhash_signatures(corpus, num_hashes=32).collect()
+        s2 = minhash_signatures(corpus, num_hashes=32).collect()
+        by_id_1 = {r["doc_id"]: r["signature"] for r in s1}
+        by_id_2 = {r["doc_id"]: r["signature"] for r in s2}
+        assert by_id_1 == by_id_2  # stable across runs/partitionings
+        assert all(len(sig) == 32 for sig in by_id_1.values())
+
+    def test_identical_docs_identical_signatures(self, corpus):
+        sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(corpus).collect()}
+        assert sigs[1] == sigs[2] == sigs[3]
+
+    def test_independent_hashes(self, corpus):
+        """Distinct hash functions must not be affine rehashes of each other:
+        two docs' per-hash minima should not agree/disagree in lockstep."""
+        sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(corpus, num_hashes=64).collect()}
+        agree = [a == b for a, b in zip(sigs[1], sigs[4])]
+        # Near-dups agree on some but not all hash positions.
+        assert 0 < sum(agree) < 64
+
+    def test_lsh_recall_of_planted_dups(self, corpus):
+        cand = {
+            (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(corpus).collect()
+        }
+        assert (1, 2) in cand and (1, 3) in cand and (2, 3) in cand
+        assert (1, 4) in cand  # high-Jaccard near-dup caught by banding
+
+    def test_lsh_estimate_tracks_jaccard(self, corpus):
+        """Signature agreement fraction ~ true Jaccard for the near-dup pair."""
+        sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(corpus, num_hashes=64).collect()}
+        est = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 64
+        true_j = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(corpus, threshold=0.0).collect()
+        }[(1, 4)]
+        assert abs(est - true_j) < 0.25
+
+
+class TestSimHash:
+    def test_identical_docs_same_hash(self, corpus):
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+        assert sigs[1] == sigs[2] == sigs[3]
+
+    def test_pairs_hamming_zero_for_dups(self, corpus):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(corpus, max_hamming=10).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert pairs.get((1, 4), 99) <= 10  # near-dup within radius

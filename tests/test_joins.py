@@ -1,0 +1,143 @@
+"""Tests for join-shaped operators: latest-per-key, top-n, fuzzy match,
+as-of join (strict/non-strict boundary behavior), sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from pspcz_analyzer_spark.operators.joins import (
+    asof_join,
+    fuzzy_best_match,
+    latest_per_key,
+    topn_per_key,
+)
+from pspcz_analyzer_spark.operators.sessionize import session_bounds, sessionize
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestLatestPerKey:
+    def test_picks_latest_with_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (1, 20, "c"), (2, 5, "d")],
+            "k long, ord long, payload string",
+        )
+        rows = {
+            r["k"]: r["payload"]
+            for r in latest_per_key(
+                df, ["k"], [F.col("ord").desc(), F.col("payload").desc()]
+            ).collect()
+        }
+        assert rows == {1: "c", 2: "d"}
+
+    def test_one_row_per_key(self, spark):
+        df = spark.createDataFrame(
+            [(i % 3, i) for i in range(30)], "k long, ord long"
+        )
+        out = latest_per_key(df, ["k"], [F.col("ord").desc()])
+        assert out.count() == 3
+
+
+class TestTopNPerKey:
+    def test_rank_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, v) for v in (30, 10, 20, 40)], "k long, v long"
+        )
+        rows = topn_per_key(df, ["k"], [F.col("v").desc()], n=2).collect()
+        assert [(r["v"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+            (40, 1),
+            (30, 2),
+        ]
+
+
+class TestFuzzyBestMatch:
+    def test_best_and_threshold(self, spark):
+        left = spark.createDataFrame([("Novak",), ("Dvorzak",)], "name string")
+        right = spark.createDataFrame(
+            [("Novak",), ("Dvorak",), ("Svoboda",)], "cand string"
+        )
+        out = {
+            r["name"]: (r["cand"], r["distance"])
+            for r in fuzzy_best_match(left, right, "name", "cand").collect()
+        }
+        assert out["Novak"] == ("Novak", 0)
+        assert out["Dvorzak"] == ("Dvorak", 1)
+
+    def test_max_distance_filters(self, spark):
+        left = spark.createDataFrame([("xyzzy",)], "name string")
+        right = spark.createDataFrame([("aaaaa",)], "cand string")
+        assert (
+            fuzzy_best_match(left, right, "name", "cand", max_distance=2).count() == 0
+        )
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), "e1"), (1, _ts("2024-01-01T12:00:00"), "e2"),
+             (2, _ts("2024-01-01T09:00:00"), "e3")],
+            "uid long, t timestamp, ev string",
+        )
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01T09:30:00"), 100), (1, _ts("2024-01-01T11:00:00"), 200),
+             (3, _ts("2024-01-01T08:00:00"), 300)],
+            "uid long, rt timestamp, val long",
+        )
+        return left, right
+
+    def test_backward_match(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r["ev"]: r["asof_val"]
+            for r in asof_join(
+                left, right, ["uid"], "t", "rt", ["val"], strict=True
+            ).collect()
+        }
+        assert out == {"e1": 100, "e2": 200, "e3": None}
+
+    def test_strict_excludes_same_instant(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), "e")], "uid long, t timestamp, ev string"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), 7)], "uid long, rt timestamp, val long"
+        )
+        strict = asof_join(left, right, ["uid"], "t", "rt", ["val"], strict=True).collect()
+        loose = asof_join(left, right, ["uid"], "t", "rt", ["val"], strict=False).collect()
+        assert strict[0]["asof_val"] is None
+        assert loose[0]["asof_val"] == 7
+
+    def test_left_rows_preserved(self, spark):
+        left, right = self._frames(spark)
+        assert asof_join(left, right, ["uid"], "t", "rt", ["val"]).count() == left.count()
+
+
+class TestSessionize:
+    def _events(self, spark):
+        rows = [
+            (1, _ts("2024-01-01T10:00:00"), 1),
+            (1, _ts("2024-01-01T10:29:59"), 2),  # 29:59 gap -> same session
+            (1, _ts("2024-01-01T10:59:59"), 3),  # exactly 30:00 gap -> same
+            (1, _ts("2024-01-01T11:30:00"), 4),  # 30:01 gap -> NEW session
+            (2, _ts("2024-01-01T10:00:00"), 5),
+        ]
+        return spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+
+    def test_gap_boundary(self, spark):
+        out = {
+            r["event_id"]: r["session_seq"]
+            for r in sessionize(self._events(spark), order_tiebreak="event_id").collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+    def test_session_bounds(self, spark):
+        sess = sessionize(self._events(spark), order_tiebreak="event_id")
+        bounds = {
+            (r["user_id"], r["session_seq"]): r["n_events"]
+            for r in session_bounds(sess).collect()
+        }
+        assert bounds == {(1, 1): 3, (1, 2): 1, (2, 1): 1}

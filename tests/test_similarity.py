@@ -1,0 +1,169 @@
+"""Similarity + ANN + PCA tests: hand-computed cosines, invariants, the
+Gram-trick PCA recovering cluster structure, LSH bucket determinism."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from pspcz_analyzer_spark.operators.ann import (
+    brute_force_topk,
+    cosine,
+    lsh_bucket,
+    lsh_bucketed_pairs,
+)
+from pspcz_analyzer_spark.operators.similarity import (
+    encode_votes,
+    mp_cosine_pairs,
+    pca_coords,
+    sparse_cosine_pairs,
+    vote_entries,
+)
+
+
+class TestEncoding:
+    def test_vote_mapping(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "A"), (1, 2, "B"), (1, 3, "C"), (1, 4, "@")],
+            "id_poslanec long, id_hlasovani long, vysledek string",
+        )
+        vals = {
+            r["id_hlasovani"]: r["vote_num"] for r in encode_votes(df).collect()
+        }
+        assert vals == {1: 1.0, 2: -1.0, 3: 0.0, 4: 0.0}
+
+
+class TestSparseCosine:
+    def test_hand_computed(self, spark):
+        # a = (1, 1, 0), b = (1, -1, 0) over keys 1..3 -> cos = 0
+        # a = (1, 1), c = (1, 1) -> cos = 1
+        entries = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 1.0),
+             ("b", 1, 1.0), ("b", 2, -1.0),
+             ("c", 1, 1.0), ("c", 2, 1.0)],
+            "id_poslanec string, id_hlasovani long, v double",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in sparse_cosine_pairs(entries).collect()
+        }
+        assert got[("a", "b")] == 0.0
+        assert got[("a", "c")] == 1.0
+        assert got[("b", "c")] == 0.0
+
+    def test_zero_norm_guard(self, spark):
+        entries = spark.createDataFrame(
+            [("a", 1, 0.0), ("b", 1, 1.0)],
+            "id_poslanec string, id_hlasovani long, v double",
+        )
+        got = sparse_cosine_pairs(entries).collect()
+        assert got[0]["cosine_sim"] == 0.0
+
+    def test_no_plan_blowup(self, spark):
+        """The pair join must be an equi-join on the vote key — never a
+        nested-loop/cartesian over ids (the round-1 scale killer)."""
+        entries = spark.createDataFrame(
+            [("a", 1, 1.0), ("b", 1, 1.0)],
+            "id_poslanec string, id_hlasovani long, v double",
+        )
+        plan = sparse_cosine_pairs(entries)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestMpCosinePairs:
+    def test_cross_party_only_and_range(self, mp_votes, void_votes, mp_info):
+        rows = mp_cosine_pairs(mp_votes, void_votes, mp_info, k=None).collect()
+        assert rows
+        for r in rows:
+            assert r["group_a"] != r["group_b"]
+            assert -1.0 <= r["cosine_sim"] <= 1.0
+            assert r["id_a"] < r["id_b"]
+
+    def test_identical_voters_cosine_one(self, mp_votes, void_votes, mp_info):
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in mp_cosine_pairs(mp_votes, void_votes, mp_info, k=None).collect()
+        }
+        # MPs 1 (ANO) and 4 (ODS) both vote YES on all 5 votes.
+        assert got[(1, 4)] == 1.0
+
+
+class TestPCA:
+    def test_recovers_two_clusters(self, spark, void_votes):
+        # 4 MPs: two always-YES, two always-NO over 6 votes -> PC1 splits them.
+        rows = []
+        for vid in range(1, 7):
+            rows += [(1, vid, "A"), (2, vid, "A"), (3, vid, "B"), (4, vid, "B")]
+        mp_votes = spark.createDataFrame(
+            rows, "id_poslanec long, id_hlasovani long, vysledek string"
+        )
+        coords = {r["id_poslanec"]: (r["x"], r["y"]) for r in pca_coords(mp_votes, void_votes).collect()}
+        assert len(coords) == 4
+        # Same-cluster MPs coincide on PC1; clusters are symmetric about 0.
+        assert coords[1][0] == pytest.approx(coords[2][0], abs=1e-6)
+        assert coords[3][0] == pytest.approx(coords[4][0], abs=1e-6)
+        assert coords[1][0] == pytest.approx(-coords[3][0], abs=1e-6)
+        assert abs(coords[1][0]) > 1.0
+        # No variance left for PC2.
+        assert all(abs(y) < 1e-6 for _, y in coords.values())
+
+    def test_total_variance_matches_numpy(self, spark, void_votes, mp_votes):
+        """Coordinates match a direct dense NumPy PCA of the same matrix."""
+        import numpy as np
+
+        entries = vote_entries(mp_votes, void_votes).collect()
+        ids = sorted({r["id_poslanec"] for r in entries})
+        votes = sorted({r["id_hlasovani"] for r in entries})
+        X = np.zeros((len(ids), len(votes)))
+        for r in entries:
+            X[ids.index(r["id_poslanec"]), votes.index(r["id_hlasovani"])] = r["v"]
+        Xc = X - X.mean(axis=0)
+        U, S, _ = np.linalg.svd(Xc, full_matrices=False)
+        want = np.abs(U[:, :2] * S[:2])
+        got_rows = {r["id_poslanec"]: (r["x"], r["y"]) for r in pca_coords(mp_votes, void_votes).collect()}
+        got = np.abs(np.array([got_rows[p] for p in ids]))
+        assert np.allclose(got, want, atol=1e-4)
+
+
+class TestANN:
+    def test_cosine_known_values(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+            "a array<double>, b array<double>",
+        )
+        got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+        assert got[0] == pytest.approx(0.0)
+        assert got[1] == pytest.approx(1.0)
+        assert got[2] == 0.0  # zero-norm guard
+
+    def test_brute_force_topk(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = brute_force_topk(df, [1.0, 0.0], k=2).collect()
+        assert [r["vec_id"] for r in rows] == [1, 2]
+        assert rows[0]["cosine_sim"] == 1.0
+
+    def test_lsh_bucket_deterministic_and_locality(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.001, 0.0, 0.0]), (3, [-1.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        b1 = {r["vec_id"]: r["lsh_bucket"] for r in lsh_bucket(df, dim=4).collect()}
+        b2 = {r["vec_id"]: r["lsh_bucket"] for r in lsh_bucket(df, dim=4).collect()}
+        assert b1 == b2
+        assert b1[1] == b1[2]  # near-identical vectors share a bucket
+        assert b1[1] != b1[3]  # opposite vectors do not
+
+    def test_lsh_pairs_find_near_identical(self, spark):
+        df = spark.createDataFrame(
+            [(i, [1.0 + 0.001 * i, 0.5]) for i in range(5)] + [(99, [-1.0, -0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in lsh_bucketed_pairs(df, dim=2, k=50).collect()}
+        assert (0, 1) in pairs
+        assert all(99 not in p for p in pairs)
