@@ -1,0 +1,149 @@
+"""Ingestion + sink coverage (SURVEY S1/S2/S4/S10/S12, F1, T4).
+
+Each query exercises a real source/sink surface end-to-end against the
+testdata tables, with a DuckDB oracle over the ORIGINAL table — so a
+round-trip through the format under test must be lossless to pass.
+
+Scratch files live under the system temp dir at stable per-sf paths
+(overwritten each run, no unbounded growth).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.plans import register
+from pspcz_analyzer_spark.sources.sinks import overwrite_parquet, upsert_parquet
+from pspcz_analyzer_spark.sources.unl import read_unl
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_{name}")
+
+
+@register(
+    "unl_roundtrip_nation",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("S1", "S2", "F1", "unl"),
+    doc="UNL round-trip: export nation to two pipe-delimited windows-1250 "
+    "headerless files (trailing pipe, no quoting), read them back as one "
+    "multi-file scan with lenient typed casts (data/parser.py:12-86). The "
+    "oracle reads the original table, so the format must be lossless.",
+)
+def unl_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    out_dir = _scratch(sf_dir, "unl_nation")
+    os.makedirs(out_dir, exist_ok=True)
+    # Two files to exercise the multi-file union path (S2).
+    halves = (rows[: len(rows) // 2], rows[len(rows) // 2 :])
+    for i, part in enumerate(halves):
+        lines = "".join(
+            f"{r['n_nationkey']}|{r['n_name']}|{r['n_regionkey']}|\n" for r in part
+        )
+        with open(os.path.join(out_dir, f"nation_{i}.unl"), "wb") as f:
+            f.write(lines.encode("windows-1250"))
+    back = read_unl(
+        spark,
+        os.path.join(out_dir, "*.unl"),
+        cols=["n_nationkey", "n_name", "n_regionkey"],
+        cast={"n_nationkey": "int", "n_regionkey": "int"},
+    )
+    return back.orderBy("n_nationkey")
+
+
+@register(
+    "parquet_overwrite_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+    tags=("S4", "sink"),
+    doc="Overwrite-mode Parquet sink (cache invalidation = fresh snapshot, "
+    "data/cache.py:18-61): write twice, second write fully replaces the "
+    "first, read back.",
+)
+def parquet_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = _scratch(sf_dir, "region_rt")
+    # First write is garbage the overwrite must fully replace.
+    overwrite_parquet(region.withColumn("r_name", F.lit("STALE")), path)
+    overwrite_parquet(region, path)
+    return spark.read.parquet(path).orderBy("r_regionkey")
+
+
+@register(
+    "parquet_partitioned_prune",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_orderstatus = 'P'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("S10", "partitioning", "sink"),
+    doc="Partitioned Parquet layout (the per-period directory scheme, "
+    "generalized): write orders partitioned by status, read back with a "
+    "partition filter — the scan must touch only the matching directory "
+    "(partition pruning; asserted in tests).",
+)
+def parquet_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    path = _scratch(sf_dir, "orders_part")
+    overwrite_parquet(orders, path, partition_by=["o_orderstatus"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "parquet_upsert_resume",
+    oracle="""
+    SELECT batch, count(*) AS n
+    FROM (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'b2'
+                  WHEN c_custkey % 2 = 0 THEN 'b1' END AS batch
+      FROM customer
+    )
+    WHERE batch IS NOT NULL
+    GROUP BY batch ORDER BY batch
+    """,
+    tags=("S12", "T4", "upsert", "sink"),
+    doc="Incremental key-merged sink (resumable classification cache, "
+    "classifier.py:37-111): batch 2 overwrites overlapping keys, batch 1 "
+    "rows with unmatched keys survive; the snapshot swap is atomic.",
+)
+def parquet_upsert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    path = _scratch(sf_dir, "cust_upsert")
+    if os.path.exists(path):  # stable scratch: reset between runs
+        import shutil
+
+        shutil.rmtree(path)
+    b1 = cust.filter(F.col("c_custkey") % 2 == 0).withColumn("batch", F.lit("b1"))
+    b2 = cust.filter(F.col("c_custkey") % 3 == 0).withColumn("batch", F.lit("b2"))
+    upsert_parquet(spark, b1, path, keys=["c_custkey"])
+    upsert_parquet(spark, b2, path, keys=["c_custkey"])
+    return (
+        spark.read.parquet(path)
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("batch")
+    )

@@ -41,6 +41,9 @@ _SCALE_CONFS: dict[str, str] = {
     # Spark's vectorized reader rejects outright; read the raw nanos as long
     # and let catalog.load_table rebuild a (microsecond) timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # UNL files are Windows-1250; Spark 4 whitelists only a few charsets
+    # unless legacy JVM charsets are allowed.
+    "spark.sql.legacy.javaCharsets": "true",
 }
 
 

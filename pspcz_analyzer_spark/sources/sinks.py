@@ -1,0 +1,69 @@
+"""Parquet write paths (SURVEY S4/S10/S12, T4).
+
+The reference writes Parquet caches everywhere and resumes incremental
+work by re-reading + merging
+(/root/reference/pspcz_analyzer/data/cache.py:18-43,
+services/tisk/classifier.py:37-111, services/amendments/cache_manager.py:94-165).
+Spark equivalents:
+
+* overwrite_parquet — ``mode("overwrite")`` replaces S3/S4's
+  write-then-invalidate (a fresh snapshot IS the invalidation; readers of
+  the old file set are unaffected mid-query);
+* partitioned writes — ``partitionBy`` gives partition-pruned scans, the
+  per-period directory layout of the reference (one dir per electoral
+  period) generalized;
+* upsert_parquet — key-based merge for incremental/resumable sinks: keep
+  existing rows whose keys are absent from the new batch, union the batch,
+  rewrite atomically (stage to a sibling dir, then swap) — plain-Parquet
+  stand-in for a Delta MERGE;
+* resume_anti_join — T4's "skip already-done items": the work-remaining
+  set as a left_anti join against the done table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def overwrite_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+) -> None:
+    """Merge ``new`` into the Parquet dataset at ``path`` by key: new rows
+    win; existing rows with unmatched keys survive.
+
+    Parquet cannot overwrite a path that feeds the writing plan, so the
+    merged snapshot is staged next to the target and swapped in — readers
+    see either the old or the new complete file set, never a mix.
+    """
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(new.select(*keys).distinct(), keys, "left_anti")
+        merged = keep.unionByName(new)
+    else:
+        merged = new
+    stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(stage)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(stage, path)
+
+
+def resume_anti_join(todo: DataFrame, done: DataFrame, keys: list[str]) -> DataFrame:
+    """Work remaining: todo rows whose keys are not yet in done (T4)."""
+    return todo.join(done.select(*keys).distinct(), keys, "left_anti")

@@ -1,0 +1,132 @@
+"""UNL source + Parquet sink tests, mirroring the reference's parser suite
+(/root/reference/tests/unit/test_parser.py:16-102): encoding, trailing
+pipe, quote-char handling, lenient casts, empty files; plus upsert/resume
+sink semantics and partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from pspcz_analyzer_spark import schemas
+from pspcz_analyzer_spark.sources.sinks import (
+    overwrite_parquet,
+    resume_anti_join,
+    upsert_parquet,
+)
+from pspcz_analyzer_spark.sources.unl import read_unl
+
+
+def _write_unl(tmp_path, name: str, lines: list[str]) -> str:
+    p = tmp_path / name
+    p.write_bytes(("\n".join(lines) + "\n").encode("windows-1250"))
+    return str(p)
+
+
+class TestReadUnl:
+    def test_basic_and_trailing_pipe(self, spark, tmp_path):
+        path = _write_unl(tmp_path, "t.unl", ["1|Jan|Novak|", "2|Petr|Svoboda|"])
+        df = read_unl(spark, path, cols=["id", "jmeno", "prijmeni"])
+        assert df.columns == ["id", "jmeno", "prijmeni"]
+        rows = df.orderBy("id").collect()
+        assert [r["id"] for r in rows] == ["1", "2"]  # untyped stays string
+
+    def test_windows_1250_czech(self, spark, tmp_path):
+        path = _write_unl(tmp_path, "t.unl", ["1|Dvořák|Černý|", "2|řžůěšč|ňťď|"])
+        rows = read_unl(spark, path, cols=["id", "a", "b"]).orderBy("id").collect()
+        assert rows[0]["a"] == "Dvořák" and rows[0]["b"] == "Černý"
+        assert rows[1]["a"] == "řžůěšč" and rows[1]["b"] == "ňťď"
+
+    def test_literal_quotes_not_csv_quoting(self, spark, tmp_path):
+        path = _write_unl(tmp_path, "t.unl", ['1|He said "hello"|done|'])
+        row = read_unl(spark, path, cols=["id", "text", "status"]).collect()[0]
+        assert row["text"] == 'He said "hello"'
+
+    def test_lenient_cast_and_whitespace(self, spark, tmp_path):
+        path = _write_unl(tmp_path, "t.unl", [" 42 |  100  |text|", "oops|7|x|"])
+        rows = (
+            read_unl(
+                spark, path, cols=["a", "b", "c"], cast={"a": "bigint", "b": "int"}
+            )
+            .orderBy(F.col("b"))
+            .collect()
+        )
+        assert rows[0]["a"] is None and rows[0]["b"] == 7  # invalid -> null
+        assert rows[1]["a"] == 42 and rows[1]["b"] == 100  # whitespace stripped
+
+    def test_empty_file(self, spark, tmp_path):
+        p = tmp_path / "empty.unl"
+        p.write_bytes(b"")
+        df = read_unl(spark, str(p), cols=["a", "b", "c"])
+        assert df.columns == ["a", "b", "c"]
+        assert df.count() == 0
+
+    def test_multi_file_glob_union(self, spark, tmp_path):
+        _write_unl(tmp_path, "h1.unl", ["1|x|"])
+        _write_unl(tmp_path, "h2.unl", ["2|y|"])
+        df = read_unl(spark, str(tmp_path / "*.unl"), cols=["id", "v"])
+        assert sorted(r["id"] for r in df.collect()) == ["1", "2"]
+
+    def test_schema_registry_table(self, spark, tmp_path):
+        path = _write_unl(
+            tmp_path, "zm.unl", ["123|", "456|", "notanumber|"]
+        )
+        df = read_unl(spark, path, table="zmatecne")
+        assert dict(df.dtypes) == {"id_hlasovani": "bigint"}
+        vals = sorted(
+            (r["id_hlasovani"] for r in df.collect()), key=lambda v: (v is None, v)
+        )
+        assert vals == [123, 456, None]
+
+    def test_registry_tables_well_formed(self):
+        for t in schemas.TABLES:
+            cols = schemas.columns(t)
+            assert len(cols) == len(set(cols)), t
+            assert set(schemas.cast_types(t)) <= set(cols), t
+            assert len(schemas.typed_schema(t).fields) == len(cols), t
+
+
+class TestSinks:
+    def test_overwrite_replaces(self, spark, tmp_path):
+        path = str(tmp_path / "p")
+        overwrite_parquet(spark.range(10).withColumn("tag", F.lit("old")), path)
+        overwrite_parquet(spark.range(3).withColumn("tag", F.lit("new")), path)
+        rows = spark.read.parquet(path).collect()
+        assert len(rows) == 3 and all(r["tag"] == "new" for r in rows)
+
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        path = str(tmp_path / "part")
+        df = spark.range(100).withColumn(
+            "bucket", (F.col("id") % 4).cast("string")
+        )
+        overwrite_parquet(df, path, partition_by=["bucket"])
+        assert os.path.isdir(os.path.join(path, "bucket=0"))
+        scan = spark.read.parquet(path).filter(F.col("bucket") == "1")
+        assert scan.count() == 25
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+
+    def test_upsert_new_wins_old_survives(self, spark, tmp_path):
+        path = str(tmp_path / "ups")
+        b1 = spark.createDataFrame([(1, "a"), (2, "a")], "k long, v string")
+        b2 = spark.createDataFrame([(2, "b"), (3, "b")], "k long, v string")
+        upsert_parquet(spark, b1, path, keys=["k"])
+        upsert_parquet(spark, b2, path, keys=["k"])
+        got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == {1: "a", 2: "b", 3: "b"}
+
+    def test_upsert_idempotent(self, spark, tmp_path):
+        path = str(tmp_path / "ups2")
+        b = spark.createDataFrame([(1, "a")], "k long, v string")
+        upsert_parquet(spark, b, path, keys=["k"])
+        upsert_parquet(spark, b, path, keys=["k"])
+        assert spark.read.parquet(path).count() == 1
+
+    def test_resume_anti_join(self, spark):
+        todo = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        done = spark.createDataFrame([(2,)], "k long")
+        assert sorted(
+            r["k"] for r in resume_anti_join(todo, done, ["k"]).collect()
+        ) == [1, 3]
