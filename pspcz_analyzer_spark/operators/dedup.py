@@ -59,6 +59,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets.
 
@@ -66,10 +67,26 @@ def ngram_jaccard_pairs(
     |A ∪ B| = |A| + |B| - |A ∩ B|. Only docs sharing >= 1 shingle ever meet,
     so cost tracks true overlap, not n^2. Shuffles: explode join on shingle
     + final pair aggregation.
+
+    ``max_shingle_df`` caps shingle document frequency: shingles appearing
+    in more than that many docs (stopword n-grams) are dropped BEFORE the
+    self-join — they dominate join fanout (df^2 pairs each) while carrying
+    no discriminative signal. Jaccard is then computed over the reduced
+    shingle universe (set sizes counted after the cap), a standard
+    approximation for corpus-scale near-dup mining; leave None for the
+    exact oracle-checkable semantics.
     """
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, n)).alias("shingle")
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -104,18 +121,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as array<bigint>.
 
-    h_i(x) = (a_i * xxhash64(x) + b_i) mod M over the shingle set; min per
-    hash. Coefficients derive deterministically from the hash index, so
-    signatures are stable across runs/partitions (incremental-dedup safe).
+    h_i(x) = xxhash64(x, i) mod M over the shingle set; min per hash. Each
+    hash gets an INDEPENDENT seed (the hash index is mixed into xxhash64's
+    input), not an affine rehash of one value — affine families share
+    collision structure, which correlates the permutations and biases the
+    Jaccard estimate. Deterministic, so signatures are stable across
+    runs/partitions (incremental-dedup safe).
     """
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle")
-    ).withColumn("h0", F.abs(F.xxhash64("shingle")) % _MERSENNE)
+    )
     mins = sh.groupBy(id_col).agg(
         *[
-            F.min((F.lit(2 * i + 1) * F.col("h0") + F.lit(13 * i + 7)) % _MERSENNE).alias(
-                f"mh_{i}"
-            )
+            F.min(F.abs(F.xxhash64("shingle", F.lit(i))) % _MERSENNE).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
     )

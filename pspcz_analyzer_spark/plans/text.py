@@ -18,7 +18,12 @@ from pspcz_analyzer_spark.functions.text import (
     contains_normalized,
     token_count,
 )
-from pspcz_analyzer_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+from pspcz_analyzer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from pspcz_analyzer_spark.operators.textual import (
     add_fingerprint,
     language_id,
@@ -208,6 +213,74 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(halved)
     return ngram_jaccard_pairs(corpus, n=3, threshold=0.3).orderBy("id_a", "id_b")
+
+
+# Planted-exact-duplicate corpus + the fingerprint-equal pair list both the
+# LSH queries must recover. Identical normalized text => identical MinHash
+# signature / SimHash fingerprint, so a correct implementation catches every
+# such pair structurally (recall 1 on exact dups); the verification join
+# then removes any near-dup candidates, making the result oracle-equal.
+_SQL_DUP_PAIRS = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    fp AS (SELECT doc_id, md5({_NORM.format(c="text")}) AS f FROM corpus)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+"""
+
+
+def _planted_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+@register(
+    "minhash_lsh_exact_recall",
+    oracle=_SQL_DUP_PAIRS,
+    tags=("dedup-minhash", "lsh", "scale-path"),
+    doc="MinHash-LSH banding over a corpus with planted exact duplicates: "
+    "candidate pairs (band-hash equi-join — the 100 TB dedup path) verified "
+    "by fingerprint equality must equal the full fingerprint-equal pair "
+    "set, proving banding loses no identical pair and signatures are "
+    "content-determined.",
+)
+def minhash_lsh_exact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_dup_corpus(spark, sf_dir)
+    cand = minhash_lsh_pairs(corpus)
+    fp = add_fingerprint(corpus).select("doc_id", "fingerprint")
+    verified = (
+        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("fingerprint").alias("f_a")), "id_a")
+        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("fingerprint").alias("f_b")), "id_b")
+        .filter(F.col("f_a") == F.col("f_b"))
+    )
+    return verified.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_dup_pairs",
+    oracle=_SQL_DUP_PAIRS,
+    tags=("dedup-simhash", "scale-path"),
+    doc="SimHash + pigeonhole 16-bit chunk blocking over planted exact "
+    "duplicates: Hamming<=3 pairs verified by fingerprint equality must "
+    "equal the fingerprint-equal pair set (identical text => identical "
+    "64-bit SimHash => caught by every chunk).",
+)
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_dup_corpus(spark, sf_dir)
+    pairs = simhash_pairs(corpus, max_hamming=3)
+    fp = add_fingerprint(corpus).select("doc_id", "fingerprint")
+    verified = (
+        pairs.join(fp.select(F.col("doc_id").alias("id_a"), F.col("fingerprint").alias("f_a")), "id_a")
+        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("fingerprint").alias("f_b")), "id_b")
+        .filter(F.col("f_a") == F.col("f_b"))
+    )
+    return verified.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
 @register(
