@@ -52,6 +52,7 @@ def _load_all() -> None:
     # Import side effects populate the registry.
     from pspcz_analyzer_spark.plans import (  # noqa: F401
         ingest,
+        media,
         relational,
         text,
         tpch,

@@ -1,0 +1,103 @@
+"""Multimodal-column coverage (binary payloads + Pandas-UDF decode stages).
+
+A synthetic media table is derived from documents: payload = container
+magic bytes (PNG/JPEG/RIFF chosen by doc_id % 3) ++ utf-8 text bytes. That
+makes every stage oracle-checkable in DuckDB — the fake decoders are
+deterministic functions of byte length, which SQL can replicate — while
+the Spark side exercises the REAL plumbing: binary columns, magic-byte
+sniffing as column expressions, Arrow-batched mapInPandas feature
+extraction, and one-to-many frame expansion.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.operators.multimodal import (
+    binary_stats,
+    extract_image_features,
+    sample_frames,
+)
+from pspcz_analyzer_spark.plans import register
+
+_PNG = bytes.fromhex("89504E470D0A1A0A")
+_JPEG = bytes.fromhex("FFD8FF")
+_RIFF = b"RIFF"
+
+# DuckDB twin of _media(): payload length per kind (prefix + utf-8 text).
+_SQL_MEDIA = """
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'image/jpeg'
+                         ELSE 'audio/riff' END AS mime,
+         CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 4 END
+           + octet_length(encode(text)) AS n_bytes
+  FROM documents
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_PNG))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_JPEG))
+        .otherwise(F.lit(_RIFF))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(prefix, F.encode("text", "utf-8").cast("binary")).alias("content"),
+    )
+
+
+@register(
+    "media_binary_stats",
+    oracle=f"""
+    SELECT media_id, n_bytes, mime AS mime_guess
+    FROM ({_SQL_MEDIA})
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "binary"),
+    doc="Binary-column metadata pass: payload size + container sniffing "
+    "from magic bytes, all JVM-side column expressions (no UDF).",
+)
+def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = binary_stats(_media(spark, sf_dir))
+    return media.select("media_id", "n_bytes", "mime_guess").orderBy("media_id")
+
+
+@register(
+    "media_image_features",
+    oracle=f"""
+    SELECT media_id, mime, n_bytes,
+           CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
+           CAST((n_bytes * 7) % 480 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels
+    FROM ({_SQL_MEDIA})
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "pandas-udf"),
+    doc="Arrow-batched mapInPandas decode/feature stage (deterministic fake "
+    "decoder — swap for PIL in production; the batch plumbing is real and "
+    "this oracle proves rows/values survive the Python boundary).",
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_image_features(_media(spark, sf_dir)).orderBy("media_id")
+
+
+@register(
+    "media_frame_sample",
+    oracle=f"""
+    SELECT media_id,
+           CAST(unnest(generate_series(0, n_bytes % 5)) AS INTEGER) AS frame_idx
+    FROM ({_SQL_MEDIA})
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("multimodal", "udtf"),
+    doc="One-to-many frame sampling (video keyframe shape): mapInPandas "
+    "emitting n_bytes % 5 + 1 rows per input row.",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(_media(spark, sf_dir), max_frames=5)
+    return frames.select("media_id", "frame_idx").orderBy("media_id", "frame_idx")

@@ -99,6 +99,103 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming-twin", "tumbling-window"),
+    doc="Tumbling 1h event-time window (batch twin of the Structured "
+    "Streaming aggregation in streaming/events.py — identical plan shape, "
+    "proven equal in tests/test_streaming.py).",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    SELECT w AS window_start, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS w,
+             value
+      FROM events
+    )
+    GROUP BY w ORDER BY w
+    """,
+    tags=("streaming-twin", "sliding-window"),
+    doc="Sliding 1h window every 30m: each event lands in two overlapping "
+    "windows (the oracle enumerates both bucket starts explicitly).",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_session_window_10m",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER ({_W}) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER ({_W}))
+                          >= 600 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER ({_W} ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, seq
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming-twin", "session-window", "sessionize"),
+    doc="F.session_window (10 min gap) in batch mode — the streaming-native "
+    "sessionization. NB a gap EXACTLY equal to the threshold starts a new "
+    "session (session end is exclusive), hence >= in the oracle; the "
+    "batch sessionize operator uses > (documented difference).",
+)
+def events_session_window_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "events_sessionized",
     oracle=f"""
     WITH flagged AS (

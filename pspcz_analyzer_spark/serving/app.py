@@ -1,0 +1,48 @@
+"""HTTP route factory mirroring the reference's API surface.
+
+GET /api/attendance?sort=&top=&party=   (routes/voting.py:49-70)
+GET /api/loyalty?top=&party=            (routes/voting.py:23-45)
+GET /api/query/{name}                   (generic catalog endpoint)
+
+FastAPI is optional (not present in every runtime); ``create_app`` raises a
+clear error when it is missing, and everything above the HTTP edge —
+params, cache, compute — lives in QueryService and is fully tested without
+it (tests/test_serving.py).
+"""
+
+from __future__ import annotations
+
+from pspcz_analyzer_spark.serving.service import QueryService
+
+
+def create_app(service: QueryService):
+    try:
+        from fastapi import FastAPI, HTTPException
+    except ImportError as e:  # pragma: no cover - depends on runtime extras
+        raise ImportError(
+            "fastapi is not installed; QueryService is usable directly, or "
+            "install fastapi to serve HTTP"
+        ) from e
+
+    app = FastAPI(title="pspcz_analyzer_spark")
+
+    @app.get("/api/attendance")
+    def attendance(sort: str = "worst", top: int = 30, party: str | None = None):
+        return service.attendance(sort=sort, top=top, party=party)
+
+    @app.get("/api/loyalty")
+    def loyalty(top: int = 30, party: str | None = None):
+        return service.loyalty(top=top, party=party)
+
+    @app.get("/api/query/{name}")
+    def query(name: str):
+        try:
+            return service.query(name)
+        except KeyError:
+            raise HTTPException(status_code=404, detail=f"unknown query: {name}")
+
+    @app.post("/api/invalidate")
+    def invalidate(prefix: str = ""):
+        return {"dropped": service.invalidate(prefix)}
+
+    return app

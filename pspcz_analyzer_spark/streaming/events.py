@@ -1,0 +1,121 @@
+"""Streaming operators over events (new surface per SURVEY §2.10 note).
+
+The reference's freshness machinery is a 30 s mtime poller
+(/root/reference/pspcz_analyzer/services/data_reader.py:57,388-508); its
+Spark-native replacement is a Structured Streaming file source plus
+event-time windows with watermarks — specified from Spark semantics
+directly (the reference has no event-time behavior to copy).
+
+Every aggregation here has a registered BATCH twin in plans/windows.py
+(same expressions, same window functions); tests/test_streaming.py proves
+stream(availableNow) == batch on the driver's events table. That parity is
+the correctness story for the streaming path — the oracle gate covers the
+batch twin, and the twin covers the stream.
+
+Scale notes: the watermark bounds state (old windows are evicted);
+shuffle is keyed by window/session key exactly as in batch; a file-source
+backlog is processed in bounded availableNow batches, so state never
+depends on total corpus size, only on the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# events.parquet read schema: ts arrives as long nanoseconds under
+# spark.sql.legacy.parquet.nanosAsLong (see session.py).
+_EVENTS_RAW = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one-file backlog; in
+    production a landing directory that keeps growing)."""
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum (batch twin: events_tumbling_1h)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows (batch twin: events_sliding_1h_30m)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming sessionization via session_window (batch twin:
+    events_session_window_10m). State per open session, evicted past the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedupe_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup bounded by the watermark — state holds only
+    keys newer than the horizon (dropDuplicatesWithinWatermark), the
+    streaming analog of exact_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the whole backlog in one bounded run into a memory sink and
+    return the result table (test/backfill harness; batch-parity checks)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,98 @@
+"""Serving-layer tests: TTL cache semantics with an injected clock, the
+QueryService facade (caching, params, invalidation), import-gated HTTP app."""
+
+from __future__ import annotations
+
+import pytest
+
+from pspcz_analyzer_spark.serving.cache import TTLCache
+from pspcz_analyzer_spark.serving.service import QueryService
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+class TestTTLCache:
+    def test_hit_within_ttl(self):
+        clk = FakeClock()
+        c = TTLCache(ttl_seconds=10, clock=clk)
+        calls = []
+        assert c.get_or_compute("k", lambda: calls.append(1) or "v") == "v"
+        clk.t = 9.9
+        assert c.get_or_compute("k", lambda: calls.append(1) or "v2") == "v"
+        assert len(calls) == 1
+
+    def test_expiry(self):
+        clk = FakeClock()
+        c = TTLCache(ttl_seconds=10, clock=clk)
+        c.get_or_compute("k", lambda: "old")
+        clk.t = 10.1
+        assert c.get_or_compute("k", lambda: "new") == "new"
+
+    def test_prefix_invalidation(self):
+        c = TTLCache(ttl_seconds=100)
+        c.get_or_compute("loyalty:1", lambda: 1)
+        c.get_or_compute("loyalty:2", lambda: 2)
+        c.get_or_compute("attendance:1", lambda: 3)
+        assert c.invalidate_prefix("loyalty:") == 2
+        assert c.get_or_compute("attendance:1", lambda: 99) == 3
+        assert c.get_or_compute("loyalty:1", lambda: 42) == 42
+
+
+class TestQueryService:
+    @pytest.fixture()
+    def svc(self, spark):
+        return QueryService(spark, SF_DIR, ttl_seconds=3600)
+
+    def test_attendance_rows_and_cache(self, svc):
+        rows = svc.attendance(top=5)
+        assert len(rows) == 5
+        assert {"id_poslanec", "attendance_pct", "party"} <= set(rows[0])
+        again = svc.attendance(top=5)
+        assert again == rows
+        assert svc.compute_calls == 1  # second call was a cache hit
+
+    def test_distinct_params_distinct_keys(self, svc):
+        svc.attendance(top=3)
+        svc.attendance(top=4)
+        assert svc.compute_calls == 2
+
+    def test_loyalty_party_filter(self, svc):
+        rows = svc.loyalty(top=None, party="nation_3")  # case-insensitive
+        assert rows and all(r["party"] == "NATION_3" for r in rows)
+
+    def test_generic_query_endpoint(self, svc):
+        rows = svc.query("q5_nation_revenue")
+        assert rows and set(rows[0]) == {"n_name", "revenue"}
+
+    def test_unknown_query_raises(self, svc):
+        with pytest.raises(KeyError):
+            svc.query("nope")
+
+    def test_invalidate_forces_recompute(self, svc):
+        svc.attendance(top=2)
+        svc.invalidate("attendance:")
+        svc.attendance(top=2)
+        assert svc.compute_calls == 2
+
+
+def test_http_app_import_gated(spark):
+    from pspcz_analyzer_spark.serving.app import create_app
+
+    svc = QueryService(spark, SF_DIR)
+    try:
+        import fastapi  # noqa: F401
+
+        app = create_app(svc)
+        routes = {r.path for r in app.routes}
+        assert "/api/attendance" in routes and "/api/loyalty" in routes
+    except ImportError:
+        with pytest.raises(ImportError, match="fastapi"):
+            create_app(svc)
