@@ -1,0 +1,119 @@
+"""Document-parser UDTFs (SURVEY X2-X4, F6-F9, in-parser W3).
+
+The reference's semantic heart is ~1,000 lines of regex state machines that
+turn stenographic-protocol / PDF text into structured amendment-vote rows
+(/root/reference/pspcz_analyzer/services/amendments/steno_parser.py:21-152,
+415-683, pdf_parser.py:21-125). Per SURVEY §7.2 the non-relational control
+flow (challenge blocks inheriting the previous block's letter and linking
+its vote number) stays INSIDE the per-document parser rather than being
+forced relational.
+
+Spark-first shape: a generic Arrow-batched ``mapInPandas`` UDTF runner —
+one document in, many record rows out, documents distributed across
+executors, state confined to one document at a time (bounded memory no
+matter the corpus size) — plus a concrete steno-like parser implementing
+the reference's block semantics:
+
+* a block = paragraph; each voting block carries "Hlasování č. N: outcome";
+* amendment letters ("Pozměňovací návrh X") name the proposal voted on;
+* challenge blocks ("námitka") are re-votes: they inherit the previous
+  block's letter and link the original vote number (carry-forward state);
+* the final whole-bill vote is flagged ("jako celku") and carries no letter.
+
+The regexes are this engine's own; the reference's parser is consulted for
+BEHAVIOR only (its unit suites define the semantics above).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+RECORD_SCHEMA = (
+    "doc_id long, seq int, letter string, vote_number int, outcome string, "
+    "is_revote boolean, original_vote_number int, is_final boolean"
+)
+
+ParseFn = Callable[[int, str], list[dict[str, Any]]]
+
+
+def parse_documents(
+    df: DataFrame,
+    parse_fn: ParseFn,
+    schema: str = RECORD_SCHEMA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Generic document-parser UDTF: run ``parse_fn(doc_id, text)`` per row,
+    emit its record dicts as rows. Arrow-batched; parser state never spans
+    documents, so partitioning is free (hash on any column)."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    field_names = [f.split()[0].strip() for f in schema.split(",")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records: list[dict[str, Any]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                records.extend(parse_fn(int(doc_id), text or ""))
+            yield pd.DataFrame(records, columns=field_names)
+
+    return src.mapInPandas(run, schema=schema)
+
+
+# -- steno-like parser ------------------------------------------------------
+
+_VOTE = re.compile(r"[Hh]lasování\s+č(?:íslo|\.)\s*(\d+)\s*:\s*(přijat\w*|zamítnut\w*)", re.IGNORECASE)
+_LETTER = re.compile(r"[Pp]ozměňovací\s+návrh\w*\s+([A-Z]\d?)")
+_CHALLENGE = re.compile(r"námitk", re.IGNORECASE)
+_FINAL = re.compile(r"jako\s+celku", re.IGNORECASE)
+
+
+def parse_steno_like(doc_id: int, text: str) -> list[dict[str, Any]]:
+    """Blocks -> amendment-vote records with challenge carry-forward
+    (the reference's _blocks_to_amendments semantics,
+    steno_parser.py:415-478)."""
+    records: list[dict[str, Any]] = []
+    last_letter = ""
+    last_vote: int | None = None
+    for seq, block in enumerate(b for b in text.split("\n\n") if b.strip()):
+        m = _VOTE.search(block)
+        if not m:
+            continue
+        vote_number = int(m.group(1))
+        outcome = "accepted" if m.group(2).lower().startswith("přijat") else "rejected"
+        lm = _LETTER.search(block)
+        challenge = bool(_CHALLENGE.search(block))
+        is_final = bool(_FINAL.search(block))
+        if lm:
+            letter = lm.group(1)
+        elif challenge and last_letter:
+            letter = last_letter  # carry-forward: re-vote of the same proposal
+        else:
+            letter = ""
+        records.append(
+            {
+                "doc_id": doc_id,
+                "seq": seq,
+                "letter": letter,
+                "vote_number": vote_number,
+                "outcome": outcome,
+                "is_revote": challenge and last_vote is not None,
+                "original_vote_number": last_vote if challenge else None,
+                "is_final": is_final,
+            }
+        )
+        last_vote = vote_number
+        if lm:
+            last_letter = lm.group(1)
+    return records
+
+
+def parse_steno_documents(docs: DataFrame) -> DataFrame:
+    """Steno-like documents -> amendment-vote record table."""
+    return parse_documents(docs, parse_steno_like)

@@ -51,6 +51,7 @@ def register(
 def _load_all() -> None:
     # Import side effects populate the registry.
     from pspcz_analyzer_spark.plans import (  # noqa: F401
+        documents,
         ingest,
         media,
         relational,

@@ -1,0 +1,130 @@
+"""Document-parser coverage (X2 UDTF + F6 regex suite + in-parser W3).
+
+Steno-like protocol documents are synthesized deterministically from the
+orders table (one document per customer, one voting block per order: letter
+blocks, challenge re-vote blocks every 5th position, a final whole-bill
+block last), pushed through the mapInPandas parser, and the recovered
+records are compared against a pure-SQL oracle that derives the same
+structure directly from orders — an end-to-end proof that the regex state
+machine (including the challenge letter/vote carry-forward) is exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.operators.docparse import parse_steno_documents
+from pspcz_analyzer_spark.plans import register
+
+
+def _steno_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("doc_id"),
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n"),
+        F.when(F.col("o_orderstatus") == "F", "přijato").otherwise("zamítnuto").alias("out"),
+    )
+    is_final = F.col("rn") == F.col("n")
+    is_chal = (F.col("rn") % 5 == 0) & (F.col("rn") > 1) & ~is_final
+    letter = F.expr("char(65 + (rn - 1) % 6)")
+    vote = F.concat(F.lit("Hlasování č. "), F.col("o_orderkey"), F.lit(": "), F.col("out"), F.lit("."))
+    line = (
+        F.when(is_chal, F.concat(F.lit("Proti předchozímu hlasování byla vznesena námitka. "), vote))
+        .when(is_final, F.concat(F.lit("Nyní budeme hlasovat o návrhu jako celku. "), vote))
+        .otherwise(F.concat(F.lit("Pozměňovací návrh "), letter, F.lit(". "), vote))
+    )
+    return (
+        seq.select("doc_id", F.struct("rn", line.alias("line")).alias("blk"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n\n", F.transform(F.array_sort(F.collect_list("blk")), lambda b: b["line"])
+            ).alias("text")
+        )
+    )
+
+
+@register(
+    "doc_topics_enriched",
+    oracle="""
+    SELECT doc_id,
+           lower(coalesce(string_split_regex(trim(text), '\\s+')[1], '')) AS topic,
+           CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...'
+                ELSE text END AS summary
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("X5", "T4", "enrichment", "resume"),
+    doc="Checkpointed LLM-enrichment stage (deterministic stub model): the "
+    "query runs TWO passes — half the corpus, then a resumed full pass "
+    "whose anti-join skips finished docs — and returns the merged "
+    "enrichment table; the oracle recomputes every doc directly, so the "
+    "result only matches if resume processed exactly the remainder "
+    "(classifier.py:37-111 semantics).",
+)
+def doc_topics_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pspcz_analyzer_spark.operators.enrich import enrich_incremental
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_enrich")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    enrich_incremental(spark, docs.filter(F.col("doc_id") % 2 == 0), path)
+    enrich_incremental(spark, docs, path)  # resume: anti-join skips phase 1
+    return spark.read.parquet(path).orderBy("doc_id")
+
+
+@register(
+    "steno_parse_votes",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS doc_id, o_orderkey, o_orderstatus,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n,
+             lag(o_orderkey) OVER w AS prev_vote
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ),
+    feat AS (
+      SELECT doc_id, CAST(rn - 1 AS INTEGER) AS seq, rn,
+             rn = n AS is_final,
+             (rn % 5 = 0 AND rn > 1 AND rn <> n) AS is_chal,
+             chr(65 + CAST((rn - 1) % 6 AS INTEGER)) AS letter_base,
+             CAST(o_orderkey AS INTEGER) AS vote_number,
+             CASE WHEN o_orderstatus = 'F' THEN 'accepted'
+                  ELSE 'rejected' END AS outcome,
+             CAST(prev_vote AS INTEGER) AS prev_vote
+      FROM seq
+    )
+    SELECT doc_id, seq,
+           CASE WHEN is_chal THEN lag(letter_base)
+                  OVER (PARTITION BY doc_id ORDER BY rn)
+                WHEN is_final THEN '' ELSE letter_base END AS letter,
+           vote_number, outcome,
+           is_chal AS is_revote,
+           CASE WHEN is_chal THEN prev_vote END AS original_vote_number,
+           is_final
+    FROM feat
+    ORDER BY doc_id, seq
+    """,
+    tags=("X2", "F6", "W3", "docparse", "udtf"),
+    doc="Steno-protocol parse: synthesized voting-block documents -> "
+    "mapInPandas regex state machine -> structured amendment-vote rows, "
+    "including challenge blocks that inherit the previous letter and link "
+    "the original vote number (steno_parser.py:415-478 semantics).",
+)
+def steno_parse_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_steno_documents(_steno_docs(spark, sf_dir))
+    return parsed.orderBy("doc_id", "seq")

@@ -430,6 +430,93 @@ def prefix_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders WHERE o_orderkey < 500
+    ORDER BY o_orderkey DESC LIMIT 20
+    """,
+    tags=("O3", "keyset", "pagination"),
+    doc="Keyset pagination — the at-scale continuation pattern: the "
+    "`key < last_seen` predicate pushes into the Parquet scan (row-group "
+    "min/max pruning), unlike offset which must skip-scan.",
+)
+def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.pagination import page_keyset
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return page_keyset(orders, "o_orderkey", per_page=20, after=500)
+
+
+@register(
+    "vote_number_resolution",
+    oracle="""
+    WITH votes AS (
+      SELECT o_orderkey AS id_hlasovani, o_custkey AS schuze,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+               AS cislo
+      FROM orders
+    )
+    SELECT schuze, CAST(cislo AS INTEGER) AS cislo, id_hlasovani
+    FROM votes WHERE cislo <= 3
+    ORDER BY schuze, cislo
+    """,
+    tags=("J14", "composite-join"),
+    doc="Vote-number resolution (amendments/identifier.py:139-163): an "
+    "in-session ordinal (schuze, cislo) resolved to the global vote id via "
+    "composite-key join against the per-session numbering.",
+)
+def vote_number_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    votes = orders.select(
+        F.col("o_orderkey").alias("id_hlasovani"),
+        F.col("o_custkey").alias("schuze"),
+        F.row_number().over(w).alias("cislo"),
+    )
+    # "Amendment records" know only (schuze, cislo); resolve to vote ids.
+    records = votes.select("schuze", "cislo").filter(F.col("cislo") <= 3)
+    return (
+        records.join(votes, ["schuze", "cislo"])
+        .select("schuze", "cislo", "id_hlasovani")
+        .orderBy("schuze", "cislo")
+    )
+
+
+@register(
+    "events_props_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n_events,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("F12", "json"),
+    doc="JSON decode at the edge (from_json into typed struct, SURVEY F12): "
+    "parse the props payload once, aggregate on the extracted field.",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        events.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
     "orders_by_month",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
