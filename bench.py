@@ -38,6 +38,12 @@ HEADLINE = [
     "mp_vote_similarity",
     "mp_pca_coords",
     "near_dup_jaccard",
+    "minhash_lsh_exact_recall",
+    "steno_parse_votes",
+    "doc_topics_enriched",
+    "events_tumbling_1h",
+    "media_image_features",
+    "unl_roundtrip_nation",
 ]
 
 

@@ -13,14 +13,17 @@ Parliament open data), re-expressed Spark-first:
 
 Layout:
     session     SparkSession factory tuned for scale (AQE, Arrow, broadcast)
-    schemas     explicit StructTypes (UNL tables have no headers)
+    schemas     per-table column order + lenient types (UNL has no headers)
     catalog     table registry over Parquet directories
-    sources/    UNL (pipe-delimited windows-1250) reader, parquet helpers
-    functions/  scalar column functions (diacritics, dates, vectors, text)
-    operators/  reusable relational operators (voting analytics, dedup, ANN,
-                fuzzy joins, as-of joins, pagination, sessionization)
+    sources/    UNL (pipe-delimited windows-1250) reader; Parquet sinks
+                (overwrite, partitioned, upsert, anti-join resume)
+    functions/  scalar column functions (diacritics, tokens, fingerprints)
+    operators/  reusable operators (voting analytics, dedup, ANN, fuzzy /
+                as-of joins, pagination, sessionization, multimodal,
+                document-parser UDTFs, enrichment, parliamentary dims)
     plans/      the query catalog: named queries + DuckDB oracle SQL
     streaming/  Structured Streaming surface over the events table
+    serving/    TTL cache + query facade (+ optional FastAPI routes)
 """
 
 __version__ = "0.1.0"

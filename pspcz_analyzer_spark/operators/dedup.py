@@ -24,8 +24,21 @@ from pyspark.sql import DataFrame
 
 from pspcz_analyzer_spark.functions.text import fingerprint, normalize_text
 
-# Large Mersenne prime for affine rehashing of xxhash64 outputs.
+# Large Mersenne prime bounding hash values.
 _MERSENNE = (1 << 61) - 1
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input scan has
+    fewer splits than cores. Shingling/hashing is CPU-bound; a small Parquet
+    file arrives as 1-2 splits and would starve every other core. At real
+    scale file splits already saturate the cluster and this is a no-op (the
+    check costs nothing; the repartition only fires on small inputs, where
+    its shuffle is trivially cheap)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -75,10 +88,20 @@ def ngram_jaccard_pairs(
     shingle universe (set sizes counted after the cap), a standard
     approximation for corpus-scale near-dup mining; leave None for the
     exact oracle-checkable semantics.
+
+    Plan notes: shingle arrays are materialized once per row (not re-derived
+    per plan branch — set sizes come from array length, no second explode),
+    and the two self-join sides share one shuffle via exchange reuse.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, n)).alias("shingle")
+    arrays = _spread(df).select(
+        F.col(id_col), _shingles(text_col, n).alias("__sh")
     )
+    # Join/shuffle on the 8-byte shingle hash, not the string — same pair
+    # semantics (xxhash64 collisions are ~2^-64 per candidate pair), far
+    # less shuffle volume.
+    sh = arrays.select(
+        F.col(id_col), F.explode("__sh").alias("__s")
+    ).select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -87,7 +110,11 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    else:
+        # Distinct-shingle count straight from the array: no explode, no
+        # extra shuffle on doc id.
+        sizes = arrays.select(F.col(id_col), F.size("__sh").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -128,7 +155,7 @@ def minhash_signatures(
     Jaccard estimate. Deterministic, so signatures are stable across
     runs/partitions (incremental-dedup safe).
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle")
     )
     mins = sh.groupBy(id_col).agg(
@@ -196,7 +223,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     (+1 if bit k of xxhash64(token) else -1). Near-duplicate docs differ in
     few bits (compare with bit_count(a XOR b) downstream).
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     contribs = toks.groupBy(id_col).agg(
