@@ -51,6 +51,155 @@ def _steno_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _amendment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amendment-PDF-shaped documents: one per nation, one letter header per
+    supplier (capped at 20 so letters stay in A..Z), with designed
+    variations — academic titles to strip (every 5th), a second submitter
+    (every 4th), and (rank-1) % 3 sub-amendment items."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_suppkey", "s_name")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    ranked = supp.select(
+        F.col("s_nationkey").alias("doc_id"), "s_name",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 20)
+    letter = F.expr("char(64 + rn)")
+    name_in_text = F.when(F.col("rn") % 5 == 0, F.concat(F.lit("Ing. "), F.col("s_name"))).otherwise(F.col("s_name"))
+    header = F.when(
+        F.col("rn") % 4 == 0,
+        F.concat(letter, F.lit(". Poslanec "), name_in_text, F.lit(", poslanec Jan Novak")),
+    ).otherwise(F.concat(letter, F.lit(". Poslanec "), name_in_text))
+    n_subs = (F.col("rn") - 1) % 3
+    # NB sequence(1, 0) would generate a DESCENDING [1, 0] — guard zero.
+    subs = F.when(
+        n_subs > 0,
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(1), n_subs),
+                lambda i: F.concat(letter, F.lit("."), i, F.lit(". SD 100")),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    block = F.concat(header, F.lit("\nodůvodnění návrhu\n"), subs)
+    return (
+        ranked.select("doc_id", F.struct("rn", block.alias("blk")).alias("b"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(F.array_sort(F.collect_list("b")), lambda b: b["blk"])
+            ).alias("text")
+        )
+    )
+
+
+@register(
+    "pdf_letters_parse",
+    oracle="""
+    WITH ranked AS (
+      SELECT s_nationkey AS doc_id, s_name,
+             row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn
+      FROM supplier
+    )
+    SELECT doc_id, chr(64 + CAST(rn AS INTEGER)) AS letter,
+           CASE WHEN rn % 4 = 0 THEN [s_name, 'Jan Novak'] ELSE [s_name] END
+             AS submitters,
+           CAST((rn - 1) % 3 AS INTEGER) AS n_subs
+    FROM ranked WHERE rn <= 20
+    ORDER BY doc_id, letter
+    """,
+    tags=("X3", "F8", "docparse", "udtf"),
+    doc="Amendment-PDF text parse (pdf_parser.py:161-259 semantics): letter "
+    "headers with academic-title stripping and multi-submitter splitting, "
+    "plus per-letter sub-amendment counts — the engine-side half of S7 "
+    "(binary PDF -> text is ingestion; see docparse.extract_pdf_text).",
+)
+def pdf_letters_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.docparse import parse_amendment_documents
+
+    parsed = parse_amendment_documents(_amendment_docs(spark, sf_dir))
+    return parsed.orderBy("doc_id", "letter")
+
+
+@register(
+    "steno_crossval_letters",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS doc_id, o_orderkey,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n,
+             lag(o_orderkey) OVER w AS prev_vote
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    )
+    SELECT doc_id, CAST(o_orderkey AS INTEGER) AS vote_number,
+           chr(65 + CAST((rn - 1) % 6 AS INTEGER)) AS letter,
+           (rn % 7 = 0 AND rn % 5 <> 0 AND rn > 1 AND rn <> n) AS filled_from_title
+    FROM seq
+    WHERE NOT (rn % 5 = 0 AND rn > 1 AND rn <> n) AND rn <> n
+    ORDER BY doc_id, vote_number
+    """,
+    tags=("F9", "docparse", "cross-validation"),
+    doc="Title cross-validation (steno_parser.py:562-683): protocol blocks "
+    "that omit the amendment letter (every 7th here) are reconciled against "
+    "the vote-title table ('pozm. návrh X' extracted via regexp) — a "
+    "join-based fill of parser gaps, flagged per row.",
+)
+def steno_crossval_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.docparse import parse_steno_documents
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("doc_id"),
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n"),
+    )
+    is_final = F.col("rn") == F.col("n")
+    is_chal = (F.col("rn") % 5 == 0) & (F.col("rn") > 1) & ~is_final
+    gap = (F.col("rn") % 7 == 0) & ~is_chal & (F.col("rn") > 1) & ~is_final
+    letter = F.expr("char(65 + (rn - 1) % 6)")
+    vote = F.concat(F.lit("Hlasování č. "), F.col("o_orderkey"), F.lit(": přijato."))
+    line = (
+        F.when(is_chal, F.concat(F.lit("Byla vznesena námitka. "), vote))
+        .when(is_final, F.concat(F.lit("Hlasujeme o návrhu jako celku. "), vote))
+        .when(gap, vote)  # protocol omits the letter -> parser yields ""
+        .otherwise(F.concat(F.lit("Pozměňovací návrh "), letter, F.lit(". "), vote))
+    )
+    docs = (
+        seq.select("doc_id", F.struct("rn", line.alias("line")).alias("blk"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n\n", F.transform(F.array_sort(F.collect_list("blk")), lambda b: b["line"])
+            ).alias("text")
+        )
+    )
+    # Vote titles always carry the letter (nazev_dlouhy idiom).
+    titles = seq.select(
+        F.col("o_orderkey").alias("vote_number"),
+        F.concat(F.lit("Návrh zákona, pozm. návrh "), letter).alias("title"),
+    )
+    parsed = parse_steno_documents(docs).filter(~F.col("is_final"))
+    # Reconcile: extract the letter from the title, fill parser gaps.
+    title_letter = F.regexp_extract("title", r"pozm\. návrh ([A-Z]\d?)", 1)
+    out = (
+        parsed.filter(~F.col("is_revote"))
+        .join(F.broadcast(titles), "vote_number")
+        .select(
+            "doc_id",
+            F.col("vote_number").cast("int").alias("vote_number"),
+            F.coalesce(
+                F.when(F.col("letter") != "", F.col("letter")), title_letter
+            ).alias("letter"),
+            (F.col("letter") == "").alias("filled_from_title"),
+        )
+    )
+    return out.orderBy("doc_id", "vote_number")
+
+
 @register(
     "doc_topics_enriched",
     oracle="""

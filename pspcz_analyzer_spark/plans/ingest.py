@@ -113,6 +113,76 @@ def parquet_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_nested_roundtrip",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 6
+    ORDER BY l_orderkey
+    """,
+    tags=("S9", "F12", "json", "nested"),
+    doc="JSON metadata sink/source (tisk histories idiom, "
+    "cache_manager.py:118-243): nested array rows written as JSON lines, "
+    "read back with an explicit schema — arrays survive as native "
+    "ArrayType, never strings.",
+)
+def json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 6)
+    )
+    path = _scratch(sf_dir, "nested_json")
+    nested.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "l_orderkey int, line_numbers array<int>, n_lines long"
+    ).json(path)
+    return back.orderBy("l_orderkey")
+
+
+@register(
+    "law_refs_extracted",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey % 500 + 1 AS INTEGER) AS law_num,
+           CAST(1990 + o_orderkey % 35 AS INTEGER) AS law_year
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("F7", "regex"),
+    doc="History-page regex extraction (law citations 'N/YYYY Sb.', "
+    "history_scraper.py:39-57): synthesize citation sentences, extract the "
+    "two capture groups back with regexp_extract.",
+)
+def law_refs_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    sentences = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("Novela zákona č. "),
+            F.col("o_orderkey") % 500 + 1,
+            F.lit("/"),
+            F.lit(1990) + F.col("o_orderkey") % 35,
+            F.lit(" Sb. byla schválena."),
+        ).alias("sentence"),
+    )
+    ref = r"č\.\s*(\d+)/(\d{4})\s*Sb\."
+    return sentences.select(
+        "o_orderkey",
+        F.regexp_extract("sentence", ref, 1).cast("int").alias("law_num"),
+        F.regexp_extract("sentence", ref, 2).cast("int").alias("law_year"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "parquet_upsert_resume",
     oracle="""
     SELECT batch, count(*) AS n

@@ -57,6 +57,65 @@ class TestParseStenoLike:
         assert parse_steno_like(1, "Jen text bez hlasování.") == []
 
 
+class TestParseAmendmentText:
+    DOC = """A. Poslanec Ing. Jan Novák, poslanec Petr Svoboda
+odůvodnění
+A.1. SD 3327
+text pododstavce
+A.2. SD 3328
+B. Poslankyně Marie Dvořáková
+bez podbodů
+"""
+
+    def test_letters_and_submitters(self):
+        from pspcz_analyzer_spark.operators.docparse import parse_amendment_text
+
+        recs = {r["letter"]: r for r in parse_amendment_text(1, self.DOC)}
+        assert set(recs) == {"A", "B"}
+        assert recs["A"]["submitters"] == ["Jan Novák", "Petr Svoboda"]  # title stripped
+        assert recs["A"]["n_subs"] == 2
+        assert recs["B"]["submitters"] == ["Marie Dvořáková"]
+        assert recs["B"]["n_subs"] == 0
+
+    def test_empty(self):
+        from pspcz_analyzer_spark.operators.docparse import parse_amendment_text
+
+        assert parse_amendment_text(1, "no headers here") == []
+
+
+def test_pdf_extract_gated(spark):
+    """Without PyMuPDF the PDF->text stage must fail loudly, not silently."""
+    import pytest as _pytest
+
+    from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+
+    df = spark.createDataFrame([(1, b"%PDF-fake")], "doc_id long, content binary")
+    out = extract_pdf_text(df)
+    try:
+        import fitz  # noqa: F401
+
+        assert out.count() == 1  # pragma: no cover
+    except ImportError:
+        with _pytest.raises(Exception, match="PyMuPDF"):
+            out.collect()
+
+
+def test_chart_sink_gated():
+    from pspcz_analyzer_spark.serving.charts import render_bar_chart
+
+    rows = [{"party": "A", "pct": 50.0}, {"party": "B", "pct": 75.0}]
+    try:
+        import matplotlib  # noqa: F401
+
+        png = render_bar_chart(rows, "party", "pct")  # pragma: no cover
+        assert png[:4] == b"\x89PNG"  # pragma: no cover
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="matplotlib"):
+            render_bar_chart(rows, "party", "pct")
+
+
 def test_udtf_distributes(spark):
     docs = spark.createDataFrame(
         [(1, DOC), (2, DOC), (3, "")], "doc_id long, text string"
