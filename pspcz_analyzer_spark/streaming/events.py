@@ -105,6 +105,40 @@ def dedupe_stream(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    lifetime event count + value total, emitted once per micro-batch.
+
+    This is the escape hatch for semantics built-in windows can't express
+    (cross-window lifetime state, custom eviction, conditional alerts).
+    State is one tiny row per user key, partitioned by the groupBy — memory
+    scales with distinct keys, never with event volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -83,6 +83,34 @@ class TestQueryService:
         assert svc.compute_calls == 2
 
 
+class TestRateLimiter:
+    def test_burst_then_blocked(self):
+        from pspcz_analyzer_spark.serving.rate_limit import RateLimiter
+
+        clk = FakeClock()
+        rl = RateLimiter(limit=3, per_seconds=60, clock=clk)
+        assert [rl.allow("u1") for _ in range(4)] == [True, True, True, False]
+
+    def test_replenishes_over_time(self):
+        from pspcz_analyzer_spark.serving.rate_limit import RateLimiter
+
+        clk = FakeClock()
+        rl = RateLimiter(limit=60, per_seconds=60, clock=clk)
+        for _ in range(60):
+            assert rl.allow("u1")
+        assert not rl.allow("u1")
+        clk.t = 2.0  # 2 s => 2 tokens back
+        assert rl.allow("u1") and rl.allow("u1") and not rl.allow("u1")
+
+    def test_keys_independent(self):
+        from pspcz_analyzer_spark.serving.rate_limit import RateLimiter
+
+        clk = FakeClock()
+        rl = RateLimiter(limit=1, per_seconds=60, clock=clk)
+        assert rl.allow("a") and not rl.allow("a")
+        assert rl.allow("b")
+
+
 def test_http_app_import_gated(spark):
     from pspcz_analyzer_spark.serving.app import create_app
 

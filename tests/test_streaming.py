@@ -54,6 +54,29 @@ def test_session_parity(spark, stream):
     assert _sorted(got.collect(), *cols) == _sorted(want.collect(), *cols)
 
 
+def test_stateful_user_totals_parity(spark, stream):
+    """applyInPandasWithState lifetime totals == batch groupBy on a
+    fully-drained backlog."""
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark.catalog import load_table
+    from pspcz_analyzer_spark.streaming.events import stateful_user_totals
+
+    got = run_available_now(
+        stateful_user_totals(stream), "t_stateful", output_mode="append"
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    cols = ("user_id", "n_events", "total_value")
+    assert _sorted(got.collect(), *cols) == _sorted(want.collect(), *cols)
+
+
 def test_dedupe_stream(spark, stream):
     got = run_available_now(
         dedupe_stream(stream, keys=["user_id"]), "t_dedupe", output_mode="append"
