@@ -172,31 +172,33 @@ def pca_coords(
     # D: pairwise dots incl. the diagonal, only over shared nonzero votes.
     a = nz.select(F.col("id_poslanec").alias("pa"), F.col("id_hlasovani").alias("k"), F.col("v").alias("va"))
     b = nz.select(F.col("id_poslanec").alias("pb"), F.col("id_hlasovani").alias("k"), F.col("v").alias("vb"))
+    # Arrow transfer + vectorized assembly: the n^2/2 dot rows are the only
+    # non-trivial driver payload (n = #MPs, hundreds-to-thousands).
     dots = (
         a.join(b, "k")
         .filter(F.col("pa") <= F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-        .collect()
+        .toPandas()
     )
-    s_rows = (
+    s_pdf = (
         nz.join(mu, "id_hlasovani")
         .groupBy("id_poslanec")
         .agg(F.sum(F.col("v") * F.col("mu")).alias("s"))
-        .collect()
+        .toPandas()
     )
     m2_row = mu.agg(F.sum(F.col("mu") * F.col("mu")).alias("m2")).collect()[0]
     m2 = float(m2_row["m2"] or 0.0)
 
     s = np.zeros(n)
-    for r in s_rows:
-        s[idx[r["id_poslanec"]]] = r["s"]
+    s[[idx[p] for p in s_pdf["id_poslanec"]]] = s_pdf["s"].to_numpy()
     G = np.full((n, n), m2) - s[:, None] - s[None, :]
-    for r in dots:
-        i, j = idx[r["pa"]], idx[r["pb"]]
-        G[i, j] += r["dot"]
-        if i != j:
-            G[j, i] += r["dot"]
+    ii = dots["pa"].map(idx).to_numpy()
+    jj = dots["pb"].map(idx).to_numpy()
+    dd = dots["dot"].to_numpy()
+    G[ii, jj] += dd
+    off = ii != jj
+    G[jj[off], ii[off]] += dd[off]
 
     evals, evecs = np.linalg.eigh(G)  # ascending
     order = np.argsort(evals)[::-1][:n_components]

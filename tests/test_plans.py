@@ -46,15 +46,31 @@ class TestRegistry:
             con.execute(f"EXPLAIN {sql}")  # binder + planner, no execution
 
 
-@pytest.mark.parametrize(
-    "qname",
-    ["q5_nation_revenue", "loyalty_rebellion_rates", "mp_vote_similarity",
-     "attendance_rates", "events_sessionized"],
-)
-def test_no_nested_loop_joins(spark, qname):
-    plan = _plan(query_fns()[qname](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" not in plan, qname
-    assert "CartesianProduct" not in plan, qname
+# Queries where a nested-loop join is the DOCUMENTED, intentionally bounded
+# plan: exact pairwise baselines over an explicitly capped side (<=200
+# vectors) or a broadcast-small theta join. Everything else must be
+# hash/sort-merge joins only — this is the 100 TB regression gate.
+_NESTED_LOOP_OK = {
+    "embedding_pairs_cross_label",  # exact baseline, vec_id < 200 cap
+    "fuzzy_match_supplier_customer",  # cross join vs broadcast-small dim
+    "prefix_match_parts",  # startswith theta join vs broadcast prefix list
+    "ann_bruteforce_top10",  # 1-row broadcast query vector (crossJoin)
+}
+
+
+def test_no_nested_loop_joins_anywhere(spark):
+    offenders = {}
+    for qname, fn in query_fns().items():
+        if qname in _NESTED_LOOP_OK:
+            continue
+        try:
+            plan = _plan(fn(spark, SF_DIR))
+        except Exception as e:  # pragma: no cover - plan build must not fail
+            offenders[qname] = f"plan build error: {e}"
+            continue
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders[qname] = "nested-loop/cartesian join in plan"
+    assert not offenders, offenders
 
 
 def test_q6_filter_pushdown(spark):
