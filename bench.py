@@ -26,6 +26,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q5_nation_revenue",
     "q3_top_revenue_orders",
+    "q4_priority_with_returns",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q14_promo_share",
     "q18_large_orders",
     "attendance_rates",
     "loyalty_rebellion_rates",
