@@ -93,11 +93,12 @@ def pairwise_topk(
     return top_k(scored, [F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")], k)
 
 
-def _plane(dim: int, plane_idx: int) -> list[float]:
+def _plane(dim: int, plane_idx: int, table_idx: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane from a tiny splitmix-style PRNG
-    (no Date.now/np.random — reproducible across runs and machines)."""
+    (no Date.now/np.random — reproducible across runs and machines). Each
+    (table, plane) pair gets an independent seed."""
     out = []
-    state = (plane_idx + 1) * 0x9E3779B97F4A7C15 & (1 << 64) - 1
+    state = ((table_idx << 20) + plane_idx + 1) * 0x9E3779B97F4A7C15 & (1 << 64) - 1
     for _ in range(dim):
         state = (state ^ (state >> 30)) * 0xBF58476D1CE4E5B9 & (1 << 64) - 1
         state = (state ^ (state >> 27)) * 0x94D049BB133111EB & (1 << 64) - 1
@@ -106,11 +107,24 @@ def _plane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
+def _bucket_expr(vec_col: str, dim: int, num_planes: int, table_idx: int) -> F.Column:
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _plane(dim, i, table_idx)])
+        bit = F.when(
+            _dot(v, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
 def lsh_bucket(
     df: DataFrame,
     dim: int,
     num_planes: int = 16,
     vec_col: str = "embedding",
+    table_idx: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per row: sign bits of <v, plane_i>.
 
@@ -119,43 +133,90 @@ def lsh_bucket(
     plain equi-joins on `lsh_bucket` (shuffle keyed by bucket — the 100 TB
     path for similarity self-join).
     """
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("long")
-    for i in range(num_planes):
-        plane = F.array(*[F.lit(x) for x in _plane(dim, i)])
-        bit = F.when(_dot(v, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + bit
-    return df.withColumn("lsh_bucket", bucket)
+    return df.withColumn("lsh_bucket", _bucket_expr(vec_col, dim, num_planes, table_idx))
+
+
+def _lsh_tags(
+    df: DataFrame,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, table, bucket) tags for every vector x table, computed as ONE
+    NumPy matmul per Arrow batch: V (n x dim) @ planes (dim x T*P) ->
+    sign bits -> bucket ids. The same math as _bucket_expr (asserted equal
+    in tests), but vectorized — interpreted higher-order-function dot
+    products cost ~100x more per element."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [[_plane(dim, i, t) for i in range(num_planes)] for t in range(num_tables)]
+    )  # (T, P, dim)
+    flat = planes.reshape(num_tables * num_planes, dim).T  # (dim, T*P)
+    weights = (1 << np.arange(num_planes)).astype("int64")
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            S = (V @ flat) >= 0  # (n, T*P) sign bits
+            B = (S.reshape(n, num_tables, num_planes) * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), num_tables),
+                    "t": np.tile(np.arange(num_tables, dtype="int32"), n),
+                    "b": B.reshape(-1),
+                }
+            )
+
+    from pspcz_analyzer_spark.operators.dedup import _spread
+
+    src = _spread(df.select(id_col, vec_col))
+    return src.mapInPandas(run, schema=f"{id_col} long, t int, b long")
 
 
 def lsh_bucketed_pairs(
     df: DataFrame,
     dim: int,
-    num_planes: int = 8,
+    num_planes: int = 16,
+    num_tables: int = 8,
     k: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Approximate top-k similar pairs: exact cosine, but only within LSH
-    buckets. Recall grows with fewer planes / multiple tables; cost is
-    sum of bucket^2 instead of n^2."""
-    bucketed = lsh_bucket(df, dim, num_planes, vec_col)
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket"
+    """Approximate top-k similar pairs: exact cosine, only within LSH
+    buckets, OR-amplified across ``num_tables`` independent hash tables.
+
+    AND within a table (num_planes sign bits agree => per-bucket population
+    ~ n / 2^planes, killing the n^2/buckets blowup) x OR across tables
+    (a close pair is a candidate if ANY table collides => recall
+    1 - (1 - p^planes)^tables). Candidates meet via one equi-join on
+    (table, bucket); duplicates across tables collapse before scoring, so
+    each surviving pair is scored once.
+    """
+    tagged = _lsh_tags(df, dim, num_planes, num_tables, id_col, vec_col)
+    a = tagged.select(F.col(id_col).alias("id_a"), "t", "b")
+    b = tagged.select(F.col(id_col).alias("id_b"), "t", "b")
+    cand = (
+        a.join(b, ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket"
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    score = cosine(
+        F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
     )
-    score = cosine(F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>"))
     if round_to is not None:
         score = F.round(score, round_to)
-    pairs = (
-        a.join(b, "lsh_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", score.alias("cosine_sim"))
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b", score.alias("cosine_sim")
     )
     return top_k(pairs, [F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")], k)

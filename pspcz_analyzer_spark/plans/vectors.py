@@ -70,12 +70,15 @@ def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_pairs",
     oracle=None,  # LSH planes are deterministic but not SQL-expressible
     tags=("ann", "lsh", "scale-path"),
-    doc="Approximate similar pairs via random-hyperplane LSH buckets: "
-    "equi-join on bucket id instead of n^2 cross join (rows-only check).",
+    doc="Approximate similar pairs via random-hyperplane LSH: 16 sign bits "
+    "per table (bucket population ~ n/2^16) OR-amplified over 8 "
+    "independent tables — candidate equi-join on (table, bucket), each "
+    "survivor scored once (rows-only check; recall vs brute force is "
+    "asserted in tests/test_similarity.py).",
 )
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_pairs(emb, dim=64, num_planes=8, k=50)
+    return lsh_bucketed_pairs(emb, dim=64, num_planes=16, num_tables=8, k=50)
 
 
 @register(

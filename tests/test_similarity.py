@@ -167,3 +167,56 @@ class TestANN:
         pairs = {(r["id_a"], r["id_b"]) for r in lsh_bucketed_pairs(df, dim=2, k=50).collect()}
         assert (0, 1) in pairs
         assert all(99 not in p for p in pairs)
+
+    def test_lsh_tags_match_column_expr(self, spark):
+        """The vectorized NumPy bucketing must agree bit-for-bit with the
+        column-expression formulation for every table."""
+        from pspcz_analyzer_spark.catalog import load_table
+        from pspcz_analyzer_spark.operators.ann import _bucket_expr, _lsh_tags
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+        tags = {
+            (r["vec_id"], r["t"]): r["b"]
+            for r in _lsh_tags(emb, 64, 16, 4, "vec_id", "embedding").collect()
+        }
+        for t in range(4):
+            expr = {
+                r["vec_id"]: r["b"]
+                for r in emb.select(
+                    "vec_id", _bucket_expr("embedding", 64, 16, t).alias("b")
+                ).collect()
+            }
+            for vid, b in expr.items():
+                assert tags[(vid, t)] == b, (vid, t)
+
+    def test_lsh_recall_on_planted_near_dups(self, spark):
+        """OR-amplification contract: near-duplicate vectors (cosine ~0.99)
+        must survive 16-plane AND x 8-table OR with near-certain recall
+        (per-table p ~ (1 - theta/pi)^16 ~ 0.6, so 1 - 0.4^8 > 0.999),
+        while unrelated random pairs (cosine ~0) almost never collide.
+
+        NB on *uniformly random* corpora the true top pairs sit near cosine
+        0.5 and sign-LSH at these settings correctly rejects them — recall
+        is a property of actual near-duplicates, not of arbitrary top-k.
+        """
+        from pspcz_analyzer_spark.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+        # Plant a perturbed twin of every vector: id + 100000, ~0.1% noise.
+        twin = emb.selectExpr(
+            "vec_id + 100000 AS vec_id",
+            "transform(embedding, (x, i) -> x * CAST(1.0 + 0.001 * ((i % 7) - 3) AS FLOAT)) AS embedding",
+            "label",
+        )
+        corpus = emb.unionByName(twin)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in lsh_bucketed_pairs(
+                corpus, dim=64, num_planes=16, num_tables=8, k=500
+            ).collect()
+        }
+        planted = {(i, i + 100000) for i in (r["vec_id"] for r in emb.collect())}
+        found = planted & set(pairs)
+        recall = len(found) / len(planted)
+        assert recall >= 0.95, f"near-dup recall {recall}"
+        assert all(pairs[p] > 0.99 for p in found)

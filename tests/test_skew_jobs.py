@@ -1,0 +1,100 @@
+"""Salted-join equivalence + period-partitioned lake ingestion tests."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from pspcz_analyzer_spark.jobs import ingest_period_tables, load_lake_table
+from pspcz_analyzer_spark.operators.skew import salted_join
+
+
+class TestSaltedJoin:
+    def _frames(self, spark):
+        # 90% of big-side rows share one hot key.
+        big = spark.createDataFrame(
+            [(1 if i % 10 else i, i) for i in range(1000)], "k long, payload long"
+        )
+        small = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+        return big, small
+
+    def test_same_result_as_plain_join(self, spark):
+        big, small = self._frames(spark)
+        plain = sorted(
+            (r["k"], r["payload"], r["v"]) for r in big.join(small, "k").collect()
+        )
+        salted = sorted(
+            (r["k"], r["payload"], r["v"])
+            for r in salted_join(big, small, ["k"], num_salts=8).collect()
+        )
+        assert salted == plain
+
+    def test_left_join_preserved(self, spark):
+        big = spark.createDataFrame([(1, 10), (99, 20)], "k long, payload long")
+        small = spark.createDataFrame([(1, "x")], "k long, v string")
+        rows = {
+            r["payload"]: r["v"]
+            for r in salted_join(big, small, ["k"], num_salts=4, how="left").collect()
+        }
+        assert rows == {10: "x", 20: None}
+
+    def test_salt_spreads_hot_key(self, spark):
+        big, small = self._frames(spark)
+        salted = big.withColumn(
+            "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(8))
+        )
+        n_salts = (
+            salted.filter(F.col("k") == 1)
+            .select("__salt")
+            .distinct()
+            .count()
+        )
+        assert n_salts == 8  # the hot key really fans out over all salts
+
+
+class TestLakeIngest:
+    def _unl(self, tmp_path, name, lines):
+        p = tmp_path / name
+        p.write_bytes(("\n".join(lines) + "\n").encode("windows-1250"))
+        return str(p)
+
+    def test_two_periods_partitioned(self, spark, tmp_path):
+        lake = str(tmp_path / "lake")
+        f9 = self._unl(tmp_path, "zm9.unl", ["1|", "2|"])
+        f8 = self._unl(tmp_path, "zm8.unl", ["10|", "11|", "12|"])
+        c9 = ingest_period_tables(spark, {"zmatecne": f9}, lake, period=9)
+        c8 = ingest_period_tables(spark, {"zmatecne": f8}, lake, period=8)
+        assert (c9["zmatecne"], c8["zmatecne"]) == (2, 3)
+        assert os.path.isdir(os.path.join(lake, "zmatecne", "period=9"))
+        assert load_lake_table(spark, lake, "zmatecne").count() == 5
+        one = load_lake_table(spark, lake, "zmatecne", period=9)
+        assert one.count() == 2
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "period" in plan
+
+    def test_reingest_replaces_only_that_period(self, spark, tmp_path):
+        lake = str(tmp_path / "lake2")
+        ingest_period_tables(
+            spark, {"zmatecne": self._unl(tmp_path, "a.unl", ["1|"])}, lake, period=1
+        )
+        ingest_period_tables(
+            spark, {"zmatecne": self._unl(tmp_path, "b.unl", ["2|"])}, lake, period=2
+        )
+        # Re-ingest period 1 with different content.
+        ingest_period_tables(
+            spark, {"zmatecne": self._unl(tmp_path, "c.unl", ["7|", "8|"])}, lake, period=1
+        )
+        rows = {
+            (r["period"], r["id_hlasovani"])
+            for r in load_lake_table(spark, lake, "zmatecne").collect()
+        }
+        assert rows == {(1, 7), (1, 8), (2, 2)}
+
+    def test_shared_dim_unpartitioned(self, spark, tmp_path):
+        lake = str(tmp_path / "lake3")
+        osoby = self._unl(tmp_path, "os.unl", ["101||Novák|Jan||||||"])
+        ingest_period_tables(spark, {"osoby": osoby}, lake, period=9)
+        df = load_lake_table(spark, lake, "osoby")
+        assert "period" not in df.columns
+        assert df.count() == 1
