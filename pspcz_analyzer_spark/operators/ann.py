@@ -93,6 +93,53 @@ def pairwise_topk(
     return top_k(scored, [F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")], k)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means cells as the coarse
+    index, query probes only the ``n_probe`` nearest cells.
+
+    The second scale path next to LSH: cluster once (sample-trained at
+    corpus scale via ``train_fraction``; production persists the model and
+    the cell assignment as an indexed table), then a query scans
+    n_probe/n_centroids of the data — cell pruning is a plain ``isin``
+    filter, so it pushes into the storage scan when the assignment is a
+    partition/bucket column. Deterministic: fixed k-means seed, driver-side
+    centroid ranking, id tiebreaks in the final top-k.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"),
+    )
+    train = feat if train_fraction >= 1.0 else feat.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell"
+    ).fit(train)
+    assigned = model.transform(feat)
+    q = np.asarray(query_vec, dtype="float64")
+    qn = np.linalg.norm(q) or 1.0
+    sims = []
+    for ci, c in enumerate(model.clusterCenters()):
+        cn = np.linalg.norm(c) or 1.0
+        sims.append((float(np.dot(q, c) / (qn * cn)), ci))
+    probe = [ci for _, ci in sorted(sims, reverse=True)[:n_probe]]
+    cells = assigned.filter(F.col("__cell").isin(probe)).select(id_col, vec_col)
+    return brute_force_topk(cells, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def _plane(dim: int, plane_idx: int, table_idx: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane from a tiny splitmix-style PRNG
     (no Date.now/np.random — reproducible across runs and machines). Each

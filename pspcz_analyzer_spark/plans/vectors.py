@@ -14,6 +14,7 @@ from pspcz_analyzer_spark.catalog import load_table
 from pspcz_analyzer_spark.operators.ann import (
     brute_force_topk,
     cosine,
+    ivf_topk,
     lsh_bucketed_pairs,
 )
 from pspcz_analyzer_spark.plans import register
@@ -79,6 +80,20 @@ def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(emb, dim=64, num_planes=16, num_tables=8, k=50)
+
+
+@register(
+    "ann_ivf_top10",
+    oracle=None,  # k-means cell boundaries are model-defined; rows-only
+    tags=("ann", "ivf", "scale-path"),
+    doc="IVF approximate top-k: k-means coarse cells, query probes the 4 "
+    "nearest of 16 — scans n_probe/n_centroids of the corpus instead of "
+    "all of it (recall vs brute force asserted in tests).",
+)
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb, [float(x) for x in q], k=10, n_centroids=16, n_probe=4)
 
 
 @register(

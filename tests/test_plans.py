@@ -32,7 +32,7 @@ class TestRegistry:
         qs, os_ = query_fns(), oracle_sqls()
         missing = set(qs) - set(os_)
         # Only genuinely non-SQL-expressible queries may omit oracles.
-        assert missing <= {"ann_lsh_pairs", "mp_pca_coords"}, missing
+        assert missing <= {"ann_lsh_pairs", "ann_ivf_top10", "mp_pca_coords"}, missing
 
     def test_oracles_bind_in_duckdb(self):
         """Every oracle must at least bind/plan on the real tables (the

@@ -128,6 +128,52 @@ class TestPCA:
         assert np.allclose(got, want, atol=1e-4)
 
 
+class TestIVF:
+    def test_query_cell_contains_self_and_twin(self, spark):
+        """The query vector's own row and a perturbed twin must surface in
+        IVF top-k (they land in the probed cell by construction)."""
+        from pspcz_analyzer_spark.catalog import load_table
+        from pspcz_analyzer_spark.operators.ann import ivf_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        base = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        twin = spark.createDataFrame(
+            [(99999, [float(x) * 1.001 for x in base], "t")],
+            "vec_id long, embedding array<float>, label string",
+        )
+        corpus = emb.selectExpr(
+            "vec_id", "CAST(embedding AS array<float>) AS embedding", "label"
+        ).unionByName(twin)
+        rows = ivf_topk(
+            corpus, [float(x) for x in base], k=5, n_centroids=8, n_probe=2
+        ).collect()
+        ids = [r["vec_id"] for r in rows]
+        assert ids[0] in (3, 99999) and {3, 99999} <= set(ids)
+        assert rows[0]["cosine_sim"] >= 0.999999
+
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        """Probing 4 of 8 cells must recover most of the exact top-10."""
+        from pspcz_analyzer_spark.catalog import load_table
+        from pspcz_analyzer_spark.operators.ann import brute_force_topk, ivf_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+        exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+        approx = {r["vec_id"] for r in ivf_topk(emb, q, k=10, n_centroids=8, n_probe=4).collect()}
+        recall = len(set(exact) & approx) / 10
+        assert recall >= 0.5, f"IVF recall {recall}"  # half the cells probed
+
+    def test_deterministic(self, spark):
+        from pspcz_analyzer_spark.catalog import load_table
+        from pspcz_analyzer_spark.operators.ann import ivf_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+        r1 = [(r["vec_id"], r["cosine_sim"]) for r in ivf_topk(emb, q, k=5).collect()]
+        r2 = [(r["vec_id"], r["cosine_sim"]) for r in ivf_topk(emb, q, k=5).collect()]
+        assert r1 == r2
+
+
 class TestANN:
     def test_cosine_known_values(self, spark):
         df = spark.createDataFrame(
