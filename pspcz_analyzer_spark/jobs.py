@@ -60,6 +60,27 @@ def ingest_period_tables(
     return counts
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a fact as a bucketed managed table (Hive-style layout).
+
+    Two facts bucketed on their join key with the same bucket count
+    co-locate: Spark plans their join WITHOUT a shuffle on either side
+    (verified in tests — no Exchange under the SortMergeJoin). At 100 TB
+    this converts the dominant per-query cost of a fact-fact join into a
+    one-time layout decision at ingest.
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def load_lake_table(
     spark: SparkSession, out_dir: str, table: str, period: int | None = None
 ) -> DataFrame:

@@ -53,6 +53,36 @@ class TestSaltedJoin:
         assert n_salts == 8  # the hot key really fans out over all salts
 
 
+class TestBucketedJoin:
+    def test_bucketed_fact_join_has_no_shuffle(self, spark, tmp_path):
+        """Two facts bucketed on the join key must sort-merge join with no
+        Exchange on either side — the one-time-layout-beats-per-query-
+        shuffle contract."""
+        from pspcz_analyzer_spark.jobs import write_bucketed
+
+        orders = spark.range(1000).select(
+            F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_flag")
+        )
+        lines = spark.range(3000).select(
+            (F.col("id") % 1000).alias("l_orderkey"), F.col("id").alias("l_line")
+        )
+        write_bucketed(orders, "t_orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+        write_bucketed(lines, "t_lines_b", "l_orderkey", 8, sort_col="l_orderkey")
+        try:
+            o = spark.table("t_orders_b")
+            l = spark.table("t_lines_b")
+            # hint forces SMJ (these test tables are broadcast-small; real
+            # facts would exceed the threshold naturally).
+            joined = o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+            assert joined.count() == 3000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan  # no shuffle at all
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
 class TestLakeIngest:
     def _unl(self, tmp_path, name, lines):
         p = tmp_path / name
