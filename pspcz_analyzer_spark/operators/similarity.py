@@ -157,7 +157,13 @@ def pca_coords(
     """
     import numpy as np
 
+    from pyspark import StorageLevel
+
     entries = vote_entries(mp_votes, void_votes)
+    # Four independent aggregations consume the entries (ids, dots, s, mu);
+    # persist so the upstream scan+groupBy runs once, spilling to disk if
+    # the matrix outgrows memory (entry count = observed cells, not n x d).
+    entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
     nz = entries.filter(F.col("v") != 0)
 
     ids = [r[0] for r in entries.select("id_poslanec").distinct().orderBy("id_poslanec").collect()]
@@ -189,6 +195,7 @@ def pca_coords(
     )
     m2_row = mu.agg(F.sum(F.col("mu") * F.col("mu")).alias("m2")).collect()[0]
     m2 = float(m2_row["m2"] or 0.0)
+    entries.unpersist()
 
     s = np.zeros(n)
     s[[idx[p] for p in s_pdf["id_poslanec"]]] = s_pdf["s"].to_numpy()
