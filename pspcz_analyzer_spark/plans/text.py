@@ -322,6 +322,56 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_length_quantiles",
+    oracle="""
+    SELECT source,
+           quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    tags=("quantiles", "text-analysis", "new-surface"),
+    doc="Exact per-group length quantiles (corpus length-distribution "
+    "audit): Spark's interpolating percentile == DuckDB quantile_cont "
+    "value-for-value. At 100 TB swap for percentile_approx (same call "
+    "shape, bounded memory) — kept exact here for the oracle gate.",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("q"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_vocab_approx",
+    oracle=None,  # HLL estimates are impl-defined; rows-only
+    tags=("approx", "new-surface"),
+    doc="Approximate distinct vocabulary per language via HyperLogLog++ "
+    "(approx_count_distinct over exploded tokens) — constant-memory "
+    "cardinality at any corpus size; exactness asserted within rsd in "
+    "tests.",
+)
+def doc_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(F.approx_count_distinct("tok", 0.01).alias("approx_vocab"))
+        .orderBy("lang")
+    )
+
+
+@register(
     "docs_by_source_stats",
     oracle="""
     SELECT source, lang, count(*) AS n_docs,

@@ -32,7 +32,38 @@ class TestRegistry:
         qs, os_ = query_fns(), oracle_sqls()
         missing = set(qs) - set(os_)
         # Only genuinely non-SQL-expressible queries may omit oracles.
-        assert missing <= {"ann_lsh_pairs", "ann_ivf_top10", "mp_pca_coords"}, missing
+        assert missing <= {
+            "ann_lsh_pairs",
+            "ann_ivf_top10",
+            "mp_pca_coords",
+            "doc_vocab_approx",  # HLL estimate is impl-defined
+        }, missing
+
+
+def test_hll_vocab_within_rsd(spark):
+    """The approximate vocabulary must sit within ~3x the configured rsd of
+    the exact distinct count (HLL++ accuracy contract)."""
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark.catalog import load_table
+    from pspcz_analyzer_spark.functions.text import normalize_text
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    exact = {
+        r["lang"]: r["n"]
+        for r in toks.groupBy("lang").agg(F.countDistinct("tok").alias("n")).collect()
+    }
+    approx = {
+        r["lang"]: r["a"]
+        for r in toks.groupBy("lang")
+        .agg(F.approx_count_distinct("tok", 0.01).alias("a"))
+        .collect()
+    }
+    for lang, n in exact.items():
+        assert abs(approx[lang] - n) <= max(3, 0.03 * n), (lang, n, approx[lang])
 
     def test_oracles_bind_in_duckdb(self):
         """Every oracle must at least bind/plan on the real tables (the
