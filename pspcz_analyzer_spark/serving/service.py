@@ -83,6 +83,19 @@ class QueryService:
             f"query:{self.sf_dir}:{name}", lambda: fns[name](self.spark, self.sf_dir)
         )
 
+    def sql(self, query: str, max_rows: int = 10_000) -> Rows:
+        """Raw SQL over the registered testdata views (spark.sql) — the
+        escape hatch for users who query with SQL strings rather than the
+        named catalog. Views register lazily once per service; results cap
+        at ``max_rows`` so an unbounded SELECT cannot flood the driver."""
+        from pspcz_analyzer_spark.catalog import register_views
+
+        if not getattr(self, "_views_ready", False):
+            register_views(self.spark, self.sf_dir)
+            self._views_ready = True
+        df = self.spark.sql(query).limit(max_rows)
+        return [r.asDict(recursive=True) for r in df.collect()]
+
     def invalidate(self, prefix: str = "") -> int:
         """Data-refresh hook: drop cached results (optionally by prefix)."""
         if prefix:

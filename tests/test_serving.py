@@ -76,6 +76,23 @@ class TestQueryService:
         with pytest.raises(KeyError):
             svc.query("nope")
 
+    def test_raw_sql_surface(self, svc):
+        rows = svc.sql(
+            "SELECT o_orderstatus, count(*) AS n FROM orders "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        assert rows and {"o_orderstatus", "n"} == set(rows[0])
+        assert sum(r["n"] for r in rows) == svc.sql("SELECT count(*) AS c FROM orders")[0]["c"]
+
+    def test_raw_sql_row_cap(self, svc):
+        rows = svc.sql("SELECT l_orderkey FROM lineitem", max_rows=7)
+        assert len(rows) == 7
+
+    def test_raw_sql_events_readable(self, svc):
+        # events must arrive through the nanos-fixed catalog path.
+        rows = svc.sql("SELECT min(ts) AS t FROM events")
+        assert rows[0]["t"].year == 2024
+
     def test_invalidate_forces_recompute(self, svc):
         svc.attendance(top=2)
         svc.invalidate("attendance:")
