@@ -57,6 +57,39 @@ def doc_search_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_browser_page",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang, source, n_chars,
+             count(*) OVER () AS total_hits
+      FROM documents
+      WHERE {_NORM.format(c="text")} LIKE '%merge%'
+    )
+    SELECT doc_id, lang, source, n_chars, total_hits
+    FROM hits
+    ORDER BY doc_id DESC
+    LIMIT 25 OFFSET 25
+    """,
+    tags=("P6", "O3", "composite", "browser"),
+    doc="The votes-browser composite lifecycle (§3.2): diacritic-folded "
+    "search + total-hit count + offset pagination in one plan "
+    "(votes_service.py:101-177). The count rides as a window over the "
+    "filtered set, so the page and its pagination math come from one scan.",
+)
+def docs_browser_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pspcz_analyzer_spark.operators.pagination import page_offset
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = docs.filter(contains_normalized("text", "merge")).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("total_hits"),
+    )
+    return page_offset(hits, [F.col("doc_id").desc()], page=2, per_page=25)
+
+
+@register(
     "doc_token_stats",
     oracle="""
     SELECT doc_id,
