@@ -28,17 +28,25 @@ from pspcz_analyzer_spark.plans import register
     oracle="""
     SELECT c.c_custkey, c.c_name, c.c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
     ORDER BY c.c_custkey
     """,
     tags=("P4", "anti-join"),
-    doc="Void-vote exclusion idiom (SURVEY P4): left_anti join.",
+    doc="Void-vote exclusion idiom (SURVEY P4): left_anti join. The "
+    "status filter keeps the result non-empty but partial on this data "
+    "(every customer has SOME order), so the anti-join is genuinely "
+    "exercised rather than vacuously matched.",
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    pending = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
@@ -241,17 +249,19 @@ def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 30000
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000
     ORDER BY c_custkey
     """,
     tags=("U3", "set-op"),
-    doc="Set difference on keys (SURVEY U3 set algebra).",
+    doc="Set difference on keys (SURVEY U3 set algebra). Threshold sits "
+    "inside the price distribution so the difference is non-empty and "
+    "partial — the set op is actually exercised.",
 )
 def except_building_without_bigspenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    big = orders.filter(F.col("o_totalprice") > 30000).select(
+    big = orders.filter(F.col("o_totalprice") > 450000).select(
         F.col("o_custkey").alias("c_custkey")
     )
     return building.exceptAll(big).distinct().orderBy("c_custkey")
