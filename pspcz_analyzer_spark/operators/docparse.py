@@ -53,7 +53,13 @@ def parse_documents(
     documents, so partitioning is free (hash on any column)."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from pspcz_analyzer_spark.operators.dedup import _spread
+
+    # Parsing is Python-CPU-bound; don't let AQE-coalesced (or single-file)
+    # inputs starve the executors — same guard as the dedup operators.
+    src = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     field_names = [f.split()[0].strip() for f in schema.split(",")]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
