@@ -53,13 +53,15 @@ def parse_documents(
     documents, so partitioning is free (hash on any column)."""
     import pandas as pd
 
-    from pspcz_analyzer_spark.operators.dedup import _spread
-
-    # Parsing is Python-CPU-bound; don't let AQE-coalesced (or single-file)
-    # inputs starve the executors — same guard as the dedup operators.
-    src = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    )
+    # Parsing is Python-CPU-bound and per-document; repartition so AQE-
+    # coalesced (or single-file) inputs can't starve the executors, and so
+    # skewed document sizes spread. Unconditional on purpose: probing the
+    # input's partition count via .rdd finalizes the AQE plan and EXECUTES
+    # upstream stages a second time (measured 5x slower end-to-end), while
+    # this shuffle moves the text once — noise next to the parse itself.
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     field_names = [f.split()[0].strip() for f in schema.split(",")]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -30,12 +30,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def overwrite_parquet(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_files: int | None = None,
 ) -> None:
+    """Overwrite-mode Parquet write.
+
+    ``max_files`` coalesces the output — the small-files guard: a
+    many-partition plan writing a small result otherwise lands hundreds of
+    tiny files whose per-file open/footer cost dominates later scans.
+    Coalesce (not repartition) avoids an extra shuffle.
+    """
+    if max_files is not None:
+        df = df.coalesce(max_files)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet(spark, path: str, max_files: int = 1) -> int:
+    """Rewrite an existing dataset into at most ``max_files`` files per
+    directory (post-hoc compaction for incrementally-appended outputs).
+    Returns the resulting file count."""
+    import glob
+
+    df = spark.read.parquet(path)
+    stage = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(max_files).write.mode("overwrite").parquet(stage)
+    shutil.rmtree(path)
+    os.rename(stage, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
 
 
 def upsert_parquet(

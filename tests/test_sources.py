@@ -124,6 +124,24 @@ class TestSinks:
         upsert_parquet(spark, b, path, keys=["k"])
         assert spark.read.parquet(path).count() == 1
 
+    def test_max_files_coalesces_output(self, spark, tmp_path):
+        import glob
+
+        path = str(tmp_path / "few")
+        wide = spark.range(1000).repartition(16)
+        overwrite_parquet(wide, path, max_files=2)
+        assert len(glob.glob(f"{path}/*.parquet")) <= 2
+        assert spark.read.parquet(path).count() == 1000
+
+    def test_compact_existing_dataset(self, spark, tmp_path):
+        from pspcz_analyzer_spark.sources.sinks import compact_parquet
+
+        path = str(tmp_path / "many")
+        spark.range(500).repartition(12).write.parquet(path)
+        n = compact_parquet(spark, path, max_files=1)
+        assert n == 1
+        assert spark.read.parquet(path).count() == 500
+
     def test_resume_anti_join(self, spark):
         todo = spark.createDataFrame([(1,), (2,), (3,)], "k long")
         done = spark.createDataFrame([(2,)], "k long")
