@@ -29,8 +29,10 @@ HEADLINE = [
     "q4_priority_with_returns",
     "q7_nation_volume",
     "q10_returned_revenue",
+    "q12_shipmode_priority",
     "q14_promo_share",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
     "attendance_rates",
     "loyalty_rebellion_rates",
     "party_pair_agreement",
