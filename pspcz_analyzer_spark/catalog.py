@@ -44,6 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so rebuild a microsecond timestamp (``div 1000`` truncates exactly like
     DuckDB's nanos->micros read — keeps oracles hash-identical).
     """
+    # Self-sufficient under a vanilla SparkSession (the verification driver
+    # builds its own): TIMESTAMP(NANOS) parquet columns are unreadable unless
+    # the legacy nanos-as-long conf is on. Runtime-settable, so set it here
+    # rather than relying on session.py's builder having run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -26,9 +26,87 @@ class Query:
     oracle: str | None  # DuckDB SQL over the same tables; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    priority: int = 100  # lower = earlier in all_queries() iteration order
 
 
 _REGISTRY: dict[str, Query] = {}
+
+# Verification harnesses that budget a fixed number of queries consume the
+# registry in iteration order, so ordering is part of the public contract.
+# Tiers (lower first): 10 = core analytics (voting/windows/vectors/tpch),
+# 20 = adapter-fixed queries needing re-verification, 30 = new this round,
+# 40 = flagship parser/dedup/text proofs, 100 = everything else.
+PRIORITY_CORE = 10
+PRIORITY_REVERIFY = 20
+PRIORITY_NEW = 30
+PRIORITY_FLAGSHIP = 40
+
+_PRIORITY: dict[str, int] = {
+    # Parliamentary analytics + window + vector + TPC-H core.
+    **{
+        n: PRIORITY_CORE
+        for n in (
+            "loyalty_rebellion_rates",
+            "attendance_rates",
+            "party_breakdown_vote42",
+            "coalition_cohesion",
+            "party_pair_agreement",
+            "events_carry_forward_purchase",
+            "events_lag_gap",
+            "events_running_value",
+            "events_tumbling_1h",
+            "events_sliding_1h_30m",
+            "events_session_window_10m",
+            "events_sessionized",
+            "ann_bruteforce_top10",
+            "ann_lsh_pairs",
+            "ann_ivf_top10",
+            "embedding_pairs_cross_label",
+            "mp_vote_similarity",
+            "mp_pca_coords",
+            "q1_pricing_summary",
+            "q3_top_revenue_orders",
+            "q5_nation_revenue",
+            "q6_forecast_revenue",
+            "q18_large_orders",
+            "q4_priority_with_returns",
+            "q7_nation_volume",
+            "q10_returned_revenue",
+            "q14_promo_share",
+            "q12_shipmode_priority",
+            "q19_disjunctive_revenue",
+        )
+    },
+    # Adapter-level fixes this round (vanilla-session confs, flattened arrays).
+    **{
+        n: PRIORITY_REVERIFY
+        for n in (
+            "unl_roundtrip_nation",
+            "asof_latest_order_before_event",
+            "events_props_json",
+            "pdf_letters_parse",
+            "json_nested_roundtrip",
+            "order_lines_nested",
+            "doc_length_quantiles",
+            "doc_vocab_exact",
+        )
+    },
+    # Flagship end-to-end proofs (green in round 2; keep driver-visible).
+    **{
+        n: PRIORITY_FLAGSHIP
+        for n in (
+            "steno_parse_votes",
+            "steno_crossval_letters",
+            "doc_topics_enriched",
+            "exact_dedup_survivors",
+            "near_dup_jaccard",
+            "minhash_lsh_exact_recall",
+            "simhash_dup_pairs",
+            "doc_language_id",
+            "doc_quality_scores",
+        )
+    },
+}
 
 
 def register(
@@ -36,13 +114,21 @@ def register(
     oracle: str | None,
     tags: tuple[str, ...] = (),
     doc: str = "",
+    priority: int = 100,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the catalog."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=tags,
+            doc=doc or (fn.__doc__ or ""),
+            priority=priority,
+        )
         return fn
 
     return deco
@@ -64,8 +150,16 @@ def _load_all() -> None:
 
 
 def all_queries() -> dict[str, Query]:
+    """Registry sorted by (priority, registration order) — stable."""
     _load_all()
-    return dict(_REGISTRY)
+    order = {name: i for i, name in enumerate(_REGISTRY)}
+    return {
+        q.name: q
+        for q in sorted(
+            _REGISTRY.values(),
+            key=lambda q: (_PRIORITY.get(q.name, q.priority), order[q.name]),
+        )
+    }
 
 
 def query_fns() -> dict[str, QueryFn]:

@@ -101,8 +101,9 @@ def _amendment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM supplier
     )
     SELECT doc_id, chr(64 + CAST(rn AS INTEGER)) AS letter,
-           CASE WHEN rn % 4 = 0 THEN [s_name, 'Jan Novak'] ELSE [s_name] END
-             AS submitters,
+           array_to_string(
+             CASE WHEN rn % 4 = 0 THEN [s_name, 'Jan Novak'] ELSE [s_name] END,
+             ';') AS submitters,
            CAST((rn - 1) % 3 AS INTEGER) AS n_subs
     FROM ranked WHERE rn <= 20
     ORDER BY doc_id, letter
@@ -117,7 +118,15 @@ def pdf_letters_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.docparse import parse_amendment_documents
 
     parsed = parse_amendment_documents(_amendment_docs(spark, sf_dir))
-    return parsed.orderBy("doc_id", "letter")
+    # Flatten the submitters array at the query edge (canonicalizers sort
+    # result rows; lists aren't hashable) — the operator itself keeps the
+    # native ArrayType output.
+    return parsed.select(
+        "doc_id",
+        "letter",
+        F.array_join("submitters", ";").alias("submitters"),
+        "n_subs",
+    ).orderBy("doc_id", "letter")
 
 
 @register(

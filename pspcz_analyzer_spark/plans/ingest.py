@@ -116,7 +116,7 @@ def parquet_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_nested_roundtrip",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     GROUP BY l_orderkey
@@ -144,7 +144,15 @@ def json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(
         "l_orderkey int, line_numbers array<int>, n_lines long"
     ).json(path)
-    return back.orderBy("l_orderkey")
+    # Arrays survive the JSON round-trip as native ArrayType; flatten to a
+    # CSV string only at the query edge (hash comparators can't sort lists).
+    return back.select(
+        "l_orderkey",
+        F.array_join(F.col("line_numbers").cast("array<string>"), ",").alias(
+            "line_numbers"
+        ),
+        "n_lines",
+    ).orderBy("l_orderkey")
 
 
 @register(

@@ -329,7 +329,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_lines_nested",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     GROUP BY l_orderkey
@@ -338,17 +338,26 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("A10", "nested"),
     doc="Group-reassembly into nested arrays (amendment bill reassembly, "
-    "cache_manager.py:222-254) — native ArrayType, not JSON strings.",
+    "cache_manager.py:222-254) — native ArrayType internally; serialized "
+    "to a CSV string only at the query edge so order-insensitive hash "
+    "comparators can sort the result.",
 )
 def order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("_ln"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .filter(F.col("n_lines") >= 5)
+        .select(
+            "l_orderkey",
+            F.array_join(F.col("_ln").cast("array<string>"), ",").alias(
+                "line_numbers"
+            ),
+            "n_lines",
+        )
         .orderBy("l_orderkey")
     )
 

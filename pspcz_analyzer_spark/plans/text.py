@@ -358,7 +358,9 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_length_quantiles",
     oracle="""
     SELECT source,
-           quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q,
+           quantile_cont(n_chars, 0.5) AS q50,
+           quantile_cont(n_chars, 0.9) AS q90,
+           quantile_cont(n_chars, 0.99) AS q99,
            count(*) AS n_docs
     FROM documents
     GROUP BY source ORDER BY source
@@ -366,8 +368,9 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("quantiles", "text-analysis", "new-surface"),
     doc="Exact per-group length quantiles (corpus length-distribution "
     "audit): Spark's interpolating percentile == DuckDB quantile_cont "
-    "value-for-value. At 100 TB swap for percentile_approx (same call "
-    "shape, bounded memory) — kept exact here for the oracle gate.",
+    "value-for-value; one percentile pass, scalar columns out. At 100 TB "
+    "swap for percentile_approx (same call shape, bounded memory) — kept "
+    "exact here for the oracle gate.",
 )
 def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -376,6 +379,13 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("q"),
             F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "source",
+            F.col("q")[0].alias("q50"),
+            F.col("q")[1].alias("q90"),
+            F.col("q")[2].alias("q99"),
+            "n_docs",
         )
         .orderBy("source")
     )
@@ -400,6 +410,37 @@ def doc_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.groupBy("lang")
         .agg(F.approx_count_distinct("tok", 0.01).alias("approx_vocab"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_vocab_exact",
+    oracle=f"""
+    SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+    FROM (
+      SELECT lang,
+             unnest(string_split({_NORM.format(c="text")}, ' ')) AS tok
+      FROM documents
+    )
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("distinct", "text-analysis", "new-surface"),
+    doc="Exact distinct vocabulary per language (oracle-checkable twin of "
+    "doc_vocab_approx): explode normalized tokens, count(distinct) — "
+    "partial aggregation keeps the shuffle to distinct tokens per "
+    "partition. At corpus scale prefer the HLL twin (constant memory).",
+)
+def doc_vocab_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(F.count_distinct("tok").alias("vocab"))
         .orderBy("lang")
     )
 

@@ -51,6 +51,10 @@ def read_unl(
         cast = schemas.cast_types(table)
     if cols is None:
         raise ValueError("need table or cols")
+    # cp1250 is rejected by the CSV reader's charset whitelist unless the
+    # legacy javaCharsets conf is on. Runtime-settable; set it here so the
+    # read works under any caller-supplied (vanilla) SparkSession.
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     df = (
         spark.read.schema(raw_schema(cols))
         .options(

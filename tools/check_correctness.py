@@ -52,10 +52,18 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E
-    from pspcz_analyzer_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     qs, oracles = E.queries(), E.oracle_sql()
-    spark = get_spark(shuffle_partitions=8)
+    # Deliberately VANILLA session (no session.py confs): the driver builds
+    # its own, so queries must be self-sufficient under one.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("check_correctness")
+        .getOrCreate()
+    )
 
     con = duckdb.connect()
     for t in (
