@@ -41,7 +41,12 @@ def _spread(df: DataFrame) -> DataFrame:
     they were about to shuffle anyway, so one more narrow exchange of the
     input is cheap relative to re-running aggregations twice."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    try:
+        # Private API (no public plan accessor in PySpark); if it ever
+        # breaks, fall back to repartitioning — always safe, never silent.
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return df.repartition(target)
     if any(k in plan for k in ("Aggregate", "Join", "Window", "Sort", "Repartition")):
         return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
@@ -60,18 +65,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingles(text_col: str, n: int) -> F.Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = F.split(normalize_text(text_col), " ")
-    if n == 1:
-        return F.array_distinct(toks)
-    # sliding n-grams via transform over index range
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+def _shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, distinct word n-gram shingle array) — one row per doc.
+
+    Formulation note (measured, not guessed): the obvious
+    ``transform(sequence(...), i -> concat_ws(' ', slice(__t, i+1, n)))``
+    is quadratic per document — ``slice`` copies an O(n) sub-array per
+    element — and naive per-element access ``__t[i + k]`` is worse in real
+    plans, because CollapseProject inlines the tokenizing ``split(...)``
+    into the lambda and re-evaluates it PER ELEMENT. Instead, zip the token
+    array with its k-shifted slices (``arrays_zip`` of per-ROW slices, so
+    the tokenizer is referenced a bounded n+1 times per row no matter how
+    the optimizer inlines it) and emit one concat per zipped struct.
+    Short documents (< n tokens) produce one partial shingle, matching the
+    slice semantics and the SQL oracles.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__t")
     )
+    if n == 1:
+        return toks.select(id_col, F.array_distinct("__t").alias("__sh"))
+    shifted = ", ".join(
+        f"slice(__t, {k + 1}, greatest(size(__t) - {k}, 0))" for k in range(n)
+    )
+    zipped = f"slice(arrays_zip({shifted}), 1, greatest(size(__t) - {n - 1}, 1))"
+    fields = ", ".join(f"s['{k}']" for k in range(n))
+    gram = f"array_distinct(transform({zipped}, s -> concat_ws(' ', {fields})))"
+    return toks.select(id_col, F.expr(gram).alias("__sh"))
 
 
 def ngram_jaccard_pairs(
@@ -101,9 +123,7 @@ def ngram_jaccard_pairs(
     per plan branch — set sizes come from array length, no second explode),
     and the two self-join sides share one shuffle via exchange reuse.
     """
-    arrays = _spread(df).select(
-        F.col(id_col), _shingles(text_col, n).alias("__sh")
-    )
+    arrays = _shingle_arrays(_spread(df), id_col, text_col, n)
     # Join/shuffle on the 8-byte shingle hash, not the string — same pair
     # semantics (xxhash64 collisions are ~2^-64 per candidate pair), far
     # less shuffle volume.
@@ -163,8 +183,8 @@ def minhash_signatures(
     Jaccard estimate. Deterministic, so signatures are stable across
     runs/partitions (incremental-dedup safe).
     """
-    sh = _spread(df).select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle")
+    sh = _shingle_arrays(_spread(df), id_col, text_col, shingle_n).select(
+        F.col(id_col), F.explode("__sh").alias("shingle")
     )
     mins = sh.groupBy(id_col).agg(
         *[

@@ -142,3 +142,48 @@ def asof_join(
         *[F.col("__match")[c].alias(f"{prefix}{c}") for c in right_values],
     )
     return out
+
+
+def cascade_join(
+    left: DataFrame,
+    levels: Sequence[DataFrame],
+    left_id: str,
+    value_cols: Sequence[str],
+    level_col: str = "match_level",
+) -> DataFrame:
+    """Priority-cascade match: attach the FIRST level that matched each row.
+
+    Re-expresses the reference's multi-level vote→stage resolution
+    (/root/reference/pspcz_analyzer/services/votes_service.py:45-84): try
+    the most specific key first, fall back level by level, record which
+    level won. Each ``levels[i]`` is a pre-resolved match table
+    ``(left_id, *value_cols)`` with AT MOST one row per left id (dedupe
+    upstream with latest_per_key / groupBy-max).
+
+    Scalable shape: tag each level with its priority, union them (no
+    barrier — the union is a narrow concat of already-shuffled aggregates),
+    take ``min(struct(level, ...))`` per left id — one shuffle on the id —
+    and left-join the winner back. No level ever sees another level's
+    misses, so there is no iterative "filter the unmatched and rejoin"
+    driver loop (which would serialize the levels at scale).
+    """
+    value_cols = list(value_cols)
+    tagged = [
+        lvl.select(
+            F.col(left_id),
+            F.lit(i + 1).cast("int").alias(level_col),
+            *[F.col(c) for c in value_cols],
+        )
+        for i, lvl in enumerate(levels)
+    ]
+    allm = tagged[0]
+    for t in tagged[1:]:
+        allm = allm.unionByName(t)
+    best = allm.groupBy(left_id).agg(
+        F.min(F.struct(level_col, *value_cols)).alias("__m")
+    )
+    return left.join(best, left_id, "left").select(
+        *[F.col(c) for c in left.columns],
+        F.col(f"__m.{level_col}").alias(level_col),
+        *[F.col(f"__m.{c}").alias(c) for c in value_cols],
+    )

@@ -166,14 +166,28 @@ def pca_coords(
     entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
     nz = entries.filter(F.col("v") != 0)
 
-    ids = [r[0] for r in entries.select("id_poslanec").distinct().orderBy("id_poslanec").collect()]
+    # n (MP count) is needed to define mu, but mu's VALUE only scales the
+    # centering terms, so compute the MP list and the s-vector in ONE pass:
+    # aggregate sum(v * mu_unscaled) per MP over ALL entries (left join —
+    # zero cells contribute nothing but keep every MP in the output), then
+    # divide by n on the driver. Three Spark actions total: s+ids, dots, m2.
+    mu_raw = nz.groupBy("id_hlasovani").agg(F.sum("v").alias("mu_raw"))
+    s_pdf = (
+        entries.join(mu_raw, "id_hlasovani", "left")
+        .groupBy("id_poslanec")
+        .agg(
+            F.sum(F.coalesce(F.col("v") * F.col("mu_raw"), F.lit(0.0))).alias(
+                "s_raw"
+            )
+        )
+        .toPandas()
+        .sort_values("id_poslanec")
+    )
+    ids = [int(p) for p in s_pdf["id_poslanec"]]
     n = len(ids)
     if n == 0:
         return mp_votes.sparkSession.createDataFrame([], "id_poslanec long, x double, y double")
     idx = {p: i for i, p in enumerate(ids)}
-
-    # Per-vote column mean over all n MPs (missing cells are zeros).
-    mu = nz.groupBy("id_hlasovani").agg((F.sum("v") / F.lit(n)).alias("mu"))
 
     # D: pairwise dots incl. the diagonal, only over shared nonzero votes.
     a = nz.select(F.col("id_poslanec").alias("pa"), F.col("id_hlasovani").alias("k"), F.col("v").alias("va"))
@@ -187,18 +201,14 @@ def pca_coords(
         .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
         .toPandas()
     )
-    s_pdf = (
-        nz.join(mu, "id_hlasovani")
-        .groupBy("id_poslanec")
-        .agg(F.sum(F.col("v") * F.col("mu")).alias("s"))
-        .toPandas()
+    m2_row = (
+        mu_raw.agg(F.sum(F.col("mu_raw") * F.col("mu_raw")).alias("m2")).collect()[0]
     )
-    m2_row = mu.agg(F.sum(F.col("mu") * F.col("mu")).alias("m2")).collect()[0]
-    m2 = float(m2_row["m2"] or 0.0)
+    m2 = float(m2_row["m2"] or 0.0) / (n * n)
     entries.unpersist()
 
     s = np.zeros(n)
-    s[[idx[p] for p in s_pdf["id_poslanec"]]] = s_pdf["s"].to_numpy()
+    s[[idx[p] for p in s_pdf["id_poslanec"]]] = s_pdf["s_raw"].to_numpy() / n
     G = np.full((n, n), m2) - s[:, None] - s[None, :]
     ii = dots["pa"].map(idx).to_numpy()
     jj = dots["pb"].map(idx).to_numpy()

@@ -248,6 +248,68 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, n=3, threshold=0.3).orderBy("id_a", "id_b")
 
 
+@register(
+    "near_dup_jaccard_capped",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             substr(text, 1, CAST(floor(n_chars / 2) AS INT)) AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             string_split({_NORM.format(c="text")}, ' ') AS toks
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')
+             )) AS shingle
+      FROM norm
+    ),
+    hot AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20
+    ),
+    kept AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.intersection / (sa.set_size + sb.set_size - i.intersection), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.intersection / (sa.set_size + sb.set_size - i.intersection) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup-near", "scale-path", "new-surface"),
+    priority=30,
+    doc="Hot-shingle-capped Jaccard near-dup (document frequency > 20 "
+    "dropped before the self-join): the corpus-scale formulation — join "
+    "fanout is bounded per shingle, so cost tracks true overlap even when "
+    "stopword n-grams dominate. Oracle recomputes the capped semantics "
+    "exactly; on this corpus the surviving pair set matches the exact "
+    "variant's planted dups.",
+)
+def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    halved = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(n_chars / 2) AS INT))").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(halved)
+    return ngram_jaccard_pairs(
+        corpus, n=3, threshold=0.3, max_shingle_df=20
+    ).orderBy("id_a", "id_b")
+
+
 # Planted-exact-duplicate corpus + the fingerprint-equal pair list both the
 # LSH queries must recover. Identical normalized text => identical MinHash
 # signature / SimHash fingerprint, so a correct implementation catches every
