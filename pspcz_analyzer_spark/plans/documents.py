@@ -262,9 +262,10 @@ def doc_topics_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).orderBy("doc_id")
 
 
-@register(
-    "steno_parse_votes",
-    oracle="""
+# Pure-SQL twin of the steno corpus + parser (derives the same records the
+# regex state machine recovers, straight from orders). Shared by the parse
+# gate query and the amendment-merge composite.
+_SQL_STENO_VOTES = """
     WITH seq AS (
       SELECT o_custkey AS doc_id, o_orderkey, o_orderstatus,
              row_number() OVER w AS rn,
@@ -293,6 +294,13 @@ def doc_topics_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN is_chal THEN prev_vote END AS original_vote_number,
            is_final
     FROM feat
+"""
+
+
+@register(
+    "steno_parse_votes",
+    oracle=f"""
+    {_SQL_STENO_VOTES}
     ORDER BY doc_id, seq
     """,
     tags=("X2", "F6", "W3", "docparse", "udtf"),
@@ -305,3 +313,88 @@ def steno_parse_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spark.read.parquet(ensure_steno_corpus(spark, sf_dir))
     parsed = parse_steno_documents(corpus)
     return parsed.orderBy("doc_id", "seq")
+
+
+@register(
+    "amendments_merged",
+    oracle=f"""
+    WITH votes AS ({_SQL_STENO_VOTES}),
+    ranked AS (
+      SELECT s_nationkey AS nation, s_name,
+             row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn
+      FROM supplier
+    ),
+    letters AS (
+      SELECT nation, chr(64 + CAST(rn AS INTEGER)) AS letter,
+             array_to_string(
+               CASE WHEN rn % 4 = 0 THEN [s_name, 'Jan Novak'] ELSE [s_name] END,
+               ';') AS submitters,
+             CAST((rn - 1) % 3 AS INTEGER) AS n_subs
+      FROM ranked WHERE rn <= 20
+    ),
+    v2 AS (
+      SELECT v.doc_id, v.seq,
+             CASE WHEN v.seq % 3 = 0 AND v.letter <> '' THEN v.letter || '1'
+                  ELSE v.letter END AS letter,
+             v.vote_number, v.outcome, c.c_nationkey AS nation
+      FROM votes v JOIN customer c ON c.c_custkey = v.doc_id
+    ),
+    v3 AS (
+      SELECT v2.*, regexp_replace(letter, '[0-9]+$', '') AS base FROM v2
+    )
+    SELECT v3.doc_id, v3.seq, v3.letter, v3.vote_number, v3.outcome,
+           coalesce(e.submitters, b.submitters) AS submitters,
+           coalesce(e.n_subs, b.n_subs) AS n_subs,
+           CASE WHEN e.letter IS NOT NULL THEN 'exact'
+                WHEN b.letter IS NOT NULL THEN 'variant'
+                ELSE 'none' END AS match_kind
+    FROM v3
+    LEFT JOIN letters e ON e.nation = v3.nation AND e.letter = v3.letter
+    LEFT JOIN letters b ON b.nation = v3.nation AND b.letter = v3.base
+    ORDER BY doc_id, seq
+    """,
+    tags=("merge", "docparse", "composite", "new-surface"),
+    priority=30,
+    doc="Amendment-source reconciliation (merger.py:144-251 -> the merged "
+    "table shape of cache_manager.py:14-47): steno-parsed votes joined "
+    "with PDF-parsed letter metadata through the customer->nation bridge, "
+    "letter VARIANTS ('A1') falling back to their base letter, match "
+    "provenance recorded. Every vote row presented to the merge with "
+    "seq%3=0 carries a synthesized variant suffix so both match levels "
+    "are exercised; whole-bill votes (no letter) come out 'none'.",
+)
+def amendments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.amendments import merge_amendment_sources
+    from pspcz_analyzer_spark.operators.docparse import parse_amendment_documents
+
+    votes = parse_steno_documents(
+        spark.read.parquet(ensure_steno_corpus(spark, sf_dir))
+    )
+    presented = F.when(
+        (F.col("seq") % 3 == 0) & (F.col("letter") != ""),
+        F.concat(F.col("letter"), F.lit("1")),
+    ).otherwise(F.col("letter"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    v2 = votes.select(
+        "doc_id", "seq", presented.alias("letter"), "vote_number", "outcome"
+    ).join(F.broadcast(cust), F.col("doc_id") == F.col("c_custkey"))
+    letters = parse_amendment_documents(_amendment_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("nation"),
+        "letter",
+        F.array_join("submitters", ";").alias("submitters"),
+        "n_subs",
+    )
+    merged = merge_amendment_sources(
+        v2,
+        letters,
+        votes_key="c_nationkey",
+        letters_key="nation",
+        letter_col="letter",
+        payload_cols=("submitters", "n_subs"),
+    )
+    return merged.select(
+        "doc_id", "seq", "letter", "vote_number", "outcome",
+        "submitters", "n_subs", "match_kind",
+    ).orderBy("doc_id", "seq")

@@ -435,6 +435,118 @@ def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "asof_cascade",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events),
+    o AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS od,
+             o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+    ),
+    l1 AS (
+      SELECT event_id, o_orderkey FROM (
+        SELECT e.event_id, oo.o_orderkey,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY oo.od DESC, oo.o_orderkey DESC) AS rn
+        FROM ev e JOIN o oo
+          ON oo.user_id = e.user_id AND oo.od <= e.d AND oo.o_totalprice > 400000
+      ) WHERE rn = 1
+    ),
+    l2 AS (
+      SELECT event_id, o_orderkey FROM (
+        SELECT e.event_id, oo.o_orderkey,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY oo.od DESC, oo.o_orderkey DESC) AS rn
+        FROM ev e JOIN o oo
+          ON oo.user_id = e.user_id AND oo.od <= e.d AND oo.o_orderstatus = 'O'
+      ) WHERE rn = 1
+    ),
+    l3 AS (
+      SELECT e.event_id,
+             (SELECT g.k FROM (SELECT od, max(o_orderkey) AS k FROM o GROUP BY od) g
+              WHERE g.od <= e.d ORDER BY g.od DESC LIMIT 1) AS o_orderkey
+      FROM ev e
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN l1.o_orderkey IS NOT NULL THEN 1
+                WHEN l2.o_orderkey IS NOT NULL THEN 2
+                WHEN l3.o_orderkey IS NOT NULL THEN 3 END AS match_level,
+           coalesce(l1.o_orderkey, l2.o_orderkey, l3.o_orderkey) AS matched_orderkey
+    FROM ev e
+    LEFT JOIN l1 USING (event_id)
+    LEFT JOIN l2 USING (event_id)
+    LEFT JOIN l3 ON l3.event_id = e.event_id
+    ORDER BY event_id
+    """,
+    tags=("J12", "asof", "cascade", "new-surface"),
+    priority=30,
+    doc="3-level as-of cascade with priority coalesce (votes_service.py:"
+    "45-84): most-specific match first (high-value orders of the user), "
+    "then the user's open orders, then a global daily fallback — each "
+    "level a keyed as-of join, winners picked by min(level) per row. The "
+    "unkeyed global level is resolved over DISTINCT event dates and "
+    "broadcast back, so no single-key window ever sees the fact table.",
+)
+def asof_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.joins import cascade_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_date("o_orderdate").alias("od"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+
+    def asof_level(right: DataFrame) -> DataFrame:
+        dedup = latest_per_key(
+            right.select("user_id", "od", "o_orderkey"),
+            ["user_id", "od"],
+            [F.col("o_orderkey").desc()],
+        )
+        m = asof_join(
+            ev,
+            dedup,
+            on=["user_id"],
+            left_time="d",
+            right_time="od",
+            right_values=["o_orderkey"],
+            strict=False,
+        )
+        return m.filter(F.col("asof_o_orderkey").isNotNull()).select(
+            "event_id", F.col("asof_o_orderkey").alias("matched_orderkey")
+        )
+
+    l1 = asof_level(orders.filter(F.col("o_totalprice") > 400000))
+    l2 = asof_level(orders.filter(F.col("o_orderstatus") == "O"))
+    # Global fallback: resolve "latest order at-or-before date" over the
+    # (tiny) distinct event dates, then broadcast-join back to the facts.
+    daily = orders.groupBy("od").agg(F.max("o_orderkey").alias("k"))
+    dates = ev.select("d").distinct().withColumn("__g", F.lit(1))
+    resolved = asof_join(
+        dates,
+        daily.withColumn("__g", F.lit(1)).select("__g", "od", "k"),
+        on=["__g"],
+        left_time="d",
+        right_time="od",
+        right_values=["k"],
+        strict=False,
+    ).select("d", F.col("asof_k").alias("k"))
+    l3 = (
+        ev.join(F.broadcast(resolved), "d")
+        .filter(F.col("k").isNotNull())
+        .select("event_id", F.col("k").alias("matched_orderkey"))
+    )
+    out = cascade_join(ev, [l1, l2, l3], "event_id", ["matched_orderkey"])
+    return out.select(
+        "event_id", "user_id", "match_level", "matched_orderkey"
+    ).orderBy("event_id")
+
+
+@register(
     "prefix_match_parts",
     oracle="""
     WITH prefixes AS (
@@ -496,6 +608,60 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     return page_keyset(orders, "o_orderkey", per_page=20, after=500)
+
+
+@register(
+    "laws_listing_page",
+    oracle="""
+    WITH laws AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, c.c_name,
+             count(*) OVER () AS total_hits
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderstatus = 'O'
+        AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND lower(c.c_name) LIKE '%12%'
+    )
+    SELECT o_orderkey, o_orderdate, o_orderpriority, c_name, total_hits
+    FROM laws
+    ORDER BY o_orderdate DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("composite", "browser", "new-surface"),
+    priority=30,
+    doc="Laws-listing composite (law_service.py:160-187): status + topic "
+    "filter + normalized name search + total-hit count + offset page in "
+    "ONE plan — filters push to the scan, the dim join is broadcast, and "
+    "the count rides a window over the (already filtered, small) hit set.",
+)
+def laws_listing_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pspcz_analyzer_spark.functions.text import contains_normalized
+    from pspcz_analyzer_spark.operators.pagination import page_offset
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    hits = (
+        orders.filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(contains_normalized("c_name", "12"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "c_name",
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("total_hits"),
+        )
+    )
+    return page_offset(
+        hits,
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        page=3,
+        per_page=20,
+    )
 
 
 @register(
