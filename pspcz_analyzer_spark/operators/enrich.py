@@ -113,13 +113,27 @@ def enrich_incremental(
     """
     import os
 
+    import shutil
+    import uuid
+
     if os.path.exists(out_path):
         done = spark.read.parquet(out_path)
         todo = resume_anti_join(docs, done, [id_col])
     else:
         todo = docs
     results = infer_topics(todo, id_col=id_col, text_col=text_col)
-    n_new = results.count()
-    if n_new:
-        upsert_parquet(spark, results, out_path, keys=[id_col])
+    # Stage the inference output FIRST, then count/merge from the staged
+    # files: inference runs exactly once per pass. Counting the DataFrame
+    # and then writing it would execute the model twice — double cost with
+    # a real (paid, rate-limited) model, and the written rows could diverge
+    # from the counted ones if the model is non-deterministic.
+    stage = f"{out_path}.__infer_{uuid.uuid4().hex[:8]}"
+    results.write.mode("overwrite").parquet(stage)
+    try:
+        staged = spark.read.parquet(stage)
+        n_new = staged.count()
+        if n_new:
+            upsert_parquet(spark, staged, out_path, keys=[id_col])
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return n_new

@@ -59,9 +59,21 @@ def compact_parquet(spark, path: str, max_files: int = 1) -> int:
     df = spark.read.parquet(path)
     stage = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
     df.coalesce(max_files).write.mode("overwrite").parquet(stage)
-    shutil.rmtree(path)
-    os.rename(stage, path)
+    _swap_in(stage, path)
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _swap_in(stage: str, path: str) -> None:
+    """Replace ``path`` with ``stage`` crash-recoverably: the old snapshot
+    is renamed aside before the stage moves in, so no point of failure
+    loses data — a crash between the renames leaves both copies on disk
+    (the target is briefly absent, never partial). Local-FS semantics; on
+    an object store use a manifest/table format instead."""
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def upsert_parquet(
@@ -74,8 +86,11 @@ def upsert_parquet(
     win; existing rows with unmatched keys survive.
 
     Parquet cannot overwrite a path that feeds the writing plan, so the
-    merged snapshot is staged next to the target and swapped in — readers
-    see either the old or the new complete file set, never a mix.
+    merged snapshot is staged next to the target and swapped in. The swap
+    is crash-RECOVERABLE, not atomic: the old snapshot is renamed aside
+    before the stage moves in (never deleted first), so every failure
+    point leaves a complete copy on disk; readers can race only with a
+    brief path-absent window, never see a mixed file set.
     """
     if os.path.exists(path):
         existing = spark.read.parquet(path)
@@ -85,9 +100,7 @@ def upsert_parquet(
         merged = new
     stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(stage)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(stage, path)
+    _swap_in(stage, path)
 
 
 def resume_anti_join(todo: DataFrame, done: DataFrame, keys: list[str]) -> DataFrame:

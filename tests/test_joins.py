@@ -141,3 +141,78 @@ class TestSessionize:
             for r in session_bounds(sess).collect()
         }
         assert bounds == {(1, 1): 3, (1, 2): 1, (2, 1): 1}
+
+
+class TestCascadeJoin:
+    def test_first_matching_level_wins(self, spark):
+        from pspcz_analyzer_spark.operators.joins import cascade_join
+
+        left = spark.createDataFrame(
+            [(1,), (2,), (3,), (4,)], "id long"
+        )
+        l1 = spark.createDataFrame([(1, 100)], "id long, v long")
+        l2 = spark.createDataFrame([(1, 200), (2, 201)], "id long, v long")
+        l3 = spark.createDataFrame(
+            [(1, 300), (2, 301), (3, 302)], "id long, v long"
+        )
+        out = {
+            r["id"]: (r["match_level"], r["v"])
+            for r in cascade_join(left, [l1, l2, l3], "id", ["v"]).collect()
+        }
+        assert out == {
+            1: (1, 100),  # level 1 beats later levels
+            2: (2, 201),
+            3: (3, 302),
+            4: (None, None),  # no level matched
+        }
+
+    def test_left_columns_pass_through(self, spark):
+        from pspcz_analyzer_spark.operators.joins import cascade_join
+
+        left = spark.createDataFrame([(1, "x")], "id long, tag string")
+        lvl = spark.createDataFrame([(1, 9)], "id long, v long")
+        row = cascade_join(left, [lvl], "id", ["v"]).collect()[0]
+        assert (row["tag"], row["match_level"], row["v"]) == ("x", 1, 9)
+
+
+class TestMergeAmendmentSources:
+    def test_exact_variant_none(self, spark):
+        from pspcz_analyzer_spark.operators.amendments import (
+            merge_amendment_sources,
+        )
+
+        votes = spark.createDataFrame(
+            [(10, 0, "A"), (10, 1, "B1"), (10, 2, ""), (10, 3, "Z")],
+            "doc_id long, seq int, letter string",
+        )
+        letters = spark.createDataFrame(
+            [(10, "A", "Novak", 2), (10, "B", "Svoboda", 0)],
+            "doc_id long, letter string, submitters string, n_subs int",
+        )
+        out = {
+            r["seq"]: (r["match_kind"], r["submitters"], r["n_subs"])
+            for r in merge_amendment_sources(
+                votes, letters, payload_cols=("submitters", "n_subs")
+            ).collect()
+        }
+        assert out[0] == ("exact", "Novak", 2)
+        assert out[1] == ("variant", "Svoboda", 0)  # B1 -> B fallback
+        assert out[2] == ("none", None, None)  # whole-bill vote, no letter
+        assert out[3] == ("none", None, None)  # unknown letter
+
+    def test_exact_preferred_over_variant(self, spark):
+        from pspcz_analyzer_spark.operators.amendments import (
+            merge_amendment_sources,
+        )
+
+        votes = spark.createDataFrame(
+            [(1, 0, "A1")], "doc_id long, seq int, letter string"
+        )
+        letters = spark.createDataFrame(
+            [(1, "A1", "exact-row", 1), (1, "A", "base-row", 0)],
+            "doc_id long, letter string, submitters string, n_subs int",
+        )
+        row = merge_amendment_sources(
+            votes, letters, payload_cols=("submitters", "n_subs")
+        ).collect()[0]
+        assert (row["match_kind"], row["submitters"]) == ("exact", "exact-row")
