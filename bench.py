@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_bruteforce_top10",
     "events_sessionized",
     "asof_latest_order_before_event",
+    "asof_cascade",
+    "amendments_merged",
     "mp_vote_similarity",
     "mp_pca_coords",
     "near_dup_jaccard_capped",

@@ -28,30 +28,9 @@ from pspcz_analyzer_spark.functions.text import fingerprint, normalize_text
 _MERSENNE = (1 << 61) - 1
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input has fewer
-    splits than cores. Shingling/hashing is CPU-bound; a small Parquet file
-    arrives as 1-2 splits and would starve every other core. At real scale
-    file splits already saturate the cluster and this is a no-op.
-
-    The partition-count probe (`df.rdd`) is only safe on scan-shaped
-    inputs: on a plan containing shuffles it finalizes AQE and EXECUTES the
-    upstream stages, which then run AGAIN for the real action (measured 5x
-    end-to-end). For such plans skip the probe and repartition outright —
-    they were about to shuffle anyway, so one more narrow exchange of the
-    input is cheap relative to re-running aggregations twice."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        # Private API (no public plan accessor in PySpark); if it ever
-        # breaks, fall back to repartitioning — always safe, never silent.
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:
-        return df.repartition(target)
-    if any(k in plan for k in ("Aggregate", "Join", "Window", "Sort", "Repartition")):
-        return df.repartition(target)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Shared CPU-stage widening helper (kept under the old private name for
+# existing imports).
+from pspcz_analyzer_spark.operators.partitioning import spread as _spread
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

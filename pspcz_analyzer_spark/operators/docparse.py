@@ -53,15 +53,17 @@ def parse_documents(
     documents, so partitioning is free (hash on any column)."""
     import pandas as pd
 
-    # Parsing is Python-CPU-bound and per-document; repartition so AQE-
-    # coalesced (or single-file) inputs can't starve the executors, and so
-    # skewed document sizes spread. Unconditional on purpose: probing the
-    # input's partition count via .rdd finalizes the AQE plan and EXECUTES
-    # upstream stages a second time (measured 5x slower end-to-end), while
-    # this shuffle moves the text once — noise next to the parse itself.
-    src = df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from pspcz_analyzer_spark.operators.partitioning import spread
+
+    # Parsing is Python-CPU-bound and per-document: widen AQE-coalesced or
+    # single-file inputs so they can't starve the executors, but let a
+    # well-split scan (the 100 TB case — file splits already saturate the
+    # cluster) ride its scan partitioning with NO text shuffle. spread()
+    # probes only scan-shaped plans (probing a shuffled plan would execute
+    # it twice) and repartitions shuffle-containing plans outright.
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     field_names = [f.split()[0].strip() for f in schema.split(",")]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

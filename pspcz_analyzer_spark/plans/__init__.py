@@ -99,7 +99,8 @@ _PRIORITY: dict[str, int] = {
             "steno_crossval_letters",
             "doc_topics_enriched",
             "exact_dedup_survivors",
-            "near_dup_jaccard",
+            # near_dup_jaccard (uncapped exact) sits at default priority:
+            # the capped variant re-verifies the same machinery in-budget.
             "minhash_lsh_exact_recall",
             "simhash_dup_pairs",
             "doc_language_id",

@@ -127,6 +127,47 @@ def embedding_pairs_cross_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 1000
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS cosine_sim
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    tags=("ann", "dedup-embedding", "new-surface"),
+    priority=30,
+    doc="Embedding-cosine near-duplicate pairs above a similarity "
+    "threshold — the semantic-dedup primitive of an LLM data pipeline. "
+    "Exact all-pairs formulation on a bounded id range (the oracle-"
+    "checkable twin); at corpus scale generate candidates with "
+    "lsh_bucketed_pairs (ann_lsh_pairs) and exact-rescore only bucket "
+    "collisions, which this same scoring expression verifies.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import pairwise_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    pairs = pairwise_topk(
+        emb, k=None, id_col="vec_id", vec_col="embedding", round_to=None
+    )
+    return (
+        pairs.filter(F.col("cosine_sim") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "mp_vote_similarity",
     oracle=f"""
     WITH mp_votes AS ({_SQL_MP_VOTES}),

@@ -83,6 +83,8 @@ def test_hll_vocab_within_rsd(spark):
 # hash/sort-merge joins only — this is the 100 TB regression gate.
 _NESTED_LOOP_OK = {
     "embedding_pairs_cross_label",  # exact baseline, vec_id < 200 cap
+    "embedding_near_dup",  # exact oracle twin, vec_id < 1000 cap; scale
+    # path is LSH candidates + exact rescore (ann_lsh_pairs)
     "fuzzy_match_supplier_customer",  # cross join vs broadcast-small dim
     "prefix_match_parts",  # startswith theta join vs broadcast prefix list
     "ann_bruteforce_top10",  # 1-row broadcast query vector (crossJoin)
