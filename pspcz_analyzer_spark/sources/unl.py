@@ -68,6 +68,9 @@ def read_unl(
         .drop(_TRAILING)
     )
     for c, t in (cast or {}).items():
-        # trim + ANSI-off cast == lenient "invalid -> null" semantics.
-        df = df.withColumn(c, F.trim(F.col(c)).cast(t))
+        # trim + TRY_CAST == lenient "invalid -> null" semantics (the
+        # reference's strict=False) under ANY session: a plain cast only
+        # nulls invalid values with ANSI off, and Spark 4 defaults ANSI on,
+        # so a vanilla caller session would throw on dirty 1996-era files.
+        df = df.withColumn(c, F.expr(f"try_cast(trim(`{c}`) AS {t})"))
     return df

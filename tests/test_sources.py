@@ -56,6 +56,20 @@ class TestReadUnl:
         assert rows[0]["a"] is None and rows[0]["b"] == 7  # invalid -> null
         assert rows[1]["a"] == 42 and rows[1]["b"] == 100  # whitespace stripped
 
+    def test_lenient_cast_survives_ansi_mode(self, spark, tmp_path):
+        """Spark 4 defaults ANSI on; a vanilla caller session must still get
+        invalid->null (try_cast), not a runtime error."""
+        path = _write_unl(tmp_path, "t.unl", ["oops|7|x|"])
+        old = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            row = read_unl(
+                spark, path, cols=["a", "b", "c"], cast={"a": "bigint", "b": "int"}
+            ).collect()[0]
+            assert row["a"] is None and row["b"] == 7
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
     def test_empty_file(self, spark, tmp_path):
         p = tmp_path / "empty.unl"
         p.write_bytes(b"")
