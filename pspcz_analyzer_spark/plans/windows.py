@@ -242,3 +242,39 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "events_stream_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "tumbling-window", "new-surface"),
+    priority=30,
+    doc="The ACTUAL Structured Streaming path run through the query "
+    "contract: file-source backlog -> watermarked tumbling aggregation -> "
+    "availableNow into a memory sink, hash-equal to the batch twin's "
+    "oracle. Demonstrates the stream itself (not just the twin) under the "
+    "gate; state is bounded by the watermark horizon at any corpus size.",
+)
+def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.streaming.events import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    # Self-sufficient under a vanilla session (same conf load_table sets).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "events_stream_tumbling_sink"
+    q = (
+        tumbling_counts(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start")
