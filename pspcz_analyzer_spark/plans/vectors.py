@@ -217,6 +217,60 @@ def mp_vote_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mp_similarity_top20",
+    oracle=f"""
+    WITH mp_votes AS ({_SQL_MP_VOTES}),
+    void_votes AS ({_SQL_VOID}),
+    mp_info AS ({_SQL_MP_INFO}),
+    clean AS (
+      SELECT * FROM mp_votes
+      WHERE id_hlasovani NOT IN (SELECT id_hlasovani FROM void_votes)
+    ),
+    enc AS (
+      SELECT id_poslanec, id_hlasovani,
+             max(CASE vysledek WHEN 'A' THEN 1.0 WHEN 'B' THEN -1.0 ELSE 0.0 END) AS v
+      FROM clean GROUP BY id_poslanec, id_hlasovani
+    ),
+    norms AS (SELECT id_poslanec, sqrt(sum(v * v)) AS nrm FROM enc GROUP BY 1),
+    dots AS (
+      SELECT a.id_poslanec AS id_a, b.id_poslanec AS id_b, sum(a.v * b.v) AS dot
+      FROM enc a JOIN enc b
+        ON a.id_hlasovani = b.id_hlasovani AND a.id_poslanec < b.id_poslanec
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.id_a, d.id_b, ia.party AS group_a, ib.party AS group_b,
+             round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dot / (na.nrm * nb.nrm) END, 6) AS cosine_sim
+      FROM dots d
+      JOIN norms na ON na.id_poslanec = d.id_a
+      JOIN norms nb ON nb.id_poslanec = d.id_b
+      JOIN mp_info ia ON ia.id_poslanec = d.id_a
+      JOIN mp_info ib ON ib.id_poslanec = d.id_b
+      WHERE ia.party <> ib.party
+    )
+    SELECT * FROM scored
+    ORDER BY cosine_sim DESC, id_a, id_b
+    LIMIT 20
+    """,
+    tags=("M3", "voting", "similarity", "serving"),
+    doc="The reference's actual similarity endpoint shape: top-20 cross-"
+    "party MP pairs (similarity_service.py:75-108) — same sparse-join "
+    "cosine as mp_vote_similarity with a TakeOrderedAndProject top-k, "
+    "which is what serving returns (the full pair list is the gate twin).",
+)
+def mp_similarity_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.similarity import mp_cosine_pairs
+
+    return mp_cosine_pairs(
+        derive_mp_votes(spark, sf_dir),
+        derive_void_votes(spark, sf_dir),
+        derive_mp_info(spark, sf_dir),
+        k=20,
+    )
+
+
+@register(
     "mp_pca_coords",
     oracle=None,  # SVD basis signs are implementation-defined; rows-only
     tags=("M2", "pca", "voting"),

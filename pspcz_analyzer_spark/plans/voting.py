@@ -214,6 +214,51 @@ def party_breakdown_vote42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vote_detail_rows",
+    oracle=f"""
+    WITH mp_votes AS ({_SQL_MP_VOTES}),
+    mp_info AS ({_SQL_MP_INFO}),
+    one AS (SELECT * FROM mp_votes WHERE id_hlasovani = 42)
+    SELECT v.id_poslanec, m.jmeno, m.party, v.vysledek,
+           CAST(sum(CASE WHEN v.vysledek = 'A' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY m.party) AS BIGINT) AS party_yes,
+           CAST(sum(CASE WHEN v.vysledek = 'B' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY m.party) AS BIGINT) AS party_no,
+           CAST(count(*) OVER (PARTITION BY m.party) AS BIGINT) AS party_total,
+           CAST(count(*) OVER () AS BIGINT) AS vote_total
+    FROM one v JOIN mp_info m USING (id_poslanec)
+    ORDER BY id_poslanec
+    """,
+    tags=("P8", "J1", "A4", "composite", "new-surface"),
+    priority=30,
+    doc="The vote-detail lifecycle (§3.2, votes_service.py:303-319) as ONE "
+    "plan: point-filter the vote fact (pushed to the scan), broadcast-join "
+    "MP dims, and carry the per-party and whole-vote tallies as windows "
+    "over the (one-vote-sized) detail rows — the reference computes three "
+    "separate sub-results and stitches dicts.",
+)
+def vote_detail_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    one = derive_mp_votes(spark, sf_dir).filter(F.col("id_hlasovani") == 42)
+    info = F.broadcast(
+        derive_mp_info(spark, sf_dir).select("id_poslanec", "jmeno", "party")
+    )
+    rows = one.join(info, "id_poslanec")
+    pw = Window.partitionBy("party")
+    return rows.select(
+        "id_poslanec",
+        "jmeno",
+        "party",
+        "vysledek",
+        F.sum(F.when(F.col("vysledek") == "A", 1).otherwise(0)).over(pw).alias("party_yes"),
+        F.sum(F.when(F.col("vysledek") == "B", 1).otherwise(0)).over(pw).alias("party_no"),
+        F.count(F.lit(1)).over(pw).alias("party_total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("vote_total"),
+    ).orderBy("id_poslanec")
+
+
+@register(
     "coalition_cohesion",
     oracle=_SQL_ACTIVE
     + """
