@@ -34,6 +34,30 @@ def create_app(service: QueryService):
     def loyalty(top: int = 30, party: str | None = None):
         return service.loyalty(top=top, party=party)
 
+    @app.get("/api/similarity")
+    def similarity(top: int = 20, cross_party_only: bool = True):
+        return service.similarity(top=top, cross_party_only=cross_party_only)
+
+    @app.get("/votes/{vote_id}")
+    def vote_detail(vote_id: int):
+        return service.vote_detail(vote_id)
+
+    @app.get("/api/laws")
+    def laws(
+        status: str | None = None,
+        priority: str | None = None,
+        search: str | None = None,
+        page: int = 1,
+        per_page: int = 20,
+    ):
+        return service.laws(
+            status=status,
+            priorities=[priority] if priority else None,
+            search=search,
+            page=page,
+            per_page=per_page,
+        )
+
     @app.get("/api/query/{name}")
     def query(name: str):
         try:

@@ -74,6 +74,116 @@ class QueryService:
             ),
         )
 
+    def similarity(self, top: int | None = 20, cross_party_only: bool = True) -> Rows:
+        """Top-k most-similar MP pairs (routes/voting.py:73-91 semantics),
+        sparse-join cosine — the 30 s-budget endpoint in the reference."""
+        from pspcz_analyzer_spark.operators.similarity import mp_cosine_pairs
+
+        key = f"similarity:{self.sf_dir}:{top}:{cross_party_only}"
+        return self._cached(
+            key,
+            lambda: mp_cosine_pairs(
+                derive_mp_votes(self.spark, self.sf_dir),
+                derive_void_votes(self.spark, self.sf_dir),
+                derive_mp_info(self.spark, self.sf_dir),
+                k=top,
+                cross_party_only=cross_party_only,
+            ),
+        )
+
+    def vote_detail(self, vote_id: int) -> Rows:
+        """Per-MP detail rows for one vote with party/vote tallies attached
+        (the §3.2 lifecycle, votes_service.py:303-319) — point filter pushed
+        to the scan, broadcast dims, windows over the one-vote rows."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        def build():
+            one = derive_mp_votes(self.spark, self.sf_dir).filter(
+                F.col("id_hlasovani") == vote_id
+            )
+            info = F.broadcast(
+                derive_mp_info(self.spark, self.sf_dir).select(
+                    "id_poslanec", "jmeno", "party"
+                )
+            )
+            pw = Window.partitionBy("party")
+            return (
+                one.join(info, "id_poslanec")
+                .select(
+                    "id_poslanec",
+                    "jmeno",
+                    "party",
+                    "vysledek",
+                    F.sum(F.when(F.col("vysledek") == "A", 1).otherwise(0))
+                    .over(pw)
+                    .alias("party_yes"),
+                    F.sum(F.when(F.col("vysledek") == "B", 1).otherwise(0))
+                    .over(pw)
+                    .alias("party_no"),
+                    F.count(F.lit(1)).over(pw).alias("party_total"),
+                    F.count(F.lit(1))
+                    .over(Window.partitionBy())
+                    .alias("vote_total"),
+                )
+                .orderBy("id_poslanec")
+            )
+
+        return self._cached(f"vote:{self.sf_dir}:{vote_id}", build)
+
+    def laws(
+        self,
+        status: str | None = None,
+        priorities: list[str] | None = None,
+        search: str | None = None,
+        page: int = 1,
+        per_page: int = 20,
+    ) -> Rows:
+        """Laws-listing composite (law_service.py:160-187): optional status/
+        topic filters + normalized name search + total-hit count + offset
+        page, one plan per call."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from pspcz_analyzer_spark.catalog import load_table
+        from pspcz_analyzer_spark.functions.text import contains_normalized
+        from pspcz_analyzer_spark.operators.pagination import page_offset
+
+        def build():
+            orders = load_table(self.spark, self.sf_dir, "orders")
+            cust = load_table(self.spark, self.sf_dir, "customer").select(
+                "c_custkey", "c_name"
+            )
+            hits = orders
+            if status is not None:
+                hits = hits.filter(F.col("o_orderstatus") == status)
+            if priorities:
+                hits = hits.filter(F.col("o_orderpriority").isin(*priorities))
+            hits = hits.join(
+                F.broadcast(cust), hits.o_custkey == cust.c_custkey
+            )
+            if search:
+                hits = hits.filter(contains_normalized("c_name", search))
+            hits = hits.select(
+                "o_orderkey",
+                "o_orderdate",
+                "o_orderpriority",
+                "c_name",
+                F.count(F.lit(1)).over(Window.partitionBy()).alias("total_hits"),
+            )
+            return page_offset(
+                hits,
+                [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+                page=page,
+                per_page=per_page,
+            )
+
+        key = (
+            f"laws:{self.sf_dir}:{status}:{','.join(priorities or [])}:"
+            f"{search}:{page}:{per_page}"
+        )
+        return self._cached(key, build)
+
     def query(self, name: str) -> Rows:
         """Any registered catalog query by name (the generic endpoint)."""
         fns = query_fns()

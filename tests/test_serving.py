@@ -141,3 +141,47 @@ def test_http_app_import_gated(spark):
     except ImportError:
         with pytest.raises(ImportError, match="fastapi"):
             create_app(svc)
+
+
+class TestServingRoutesRound3:
+    @pytest.fixture()
+    def svc(self, spark):
+        return QueryService(spark, SF_DIR, ttl_seconds=3600)
+
+    def test_similarity_topk(self, svc):
+        rows = svc.similarity(top=5)
+        assert len(rows) == 5
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["group_a"] != r["group_b"] for r in rows)
+
+    def test_vote_detail_tallies_consistent(self, svc):
+        rows = svc.vote_detail(42)
+        assert rows, "vote 42 exists in testdata"
+        total = rows[0]["vote_total"]
+        assert total == len(rows)
+        by_party = {}
+        for r in rows:
+            by_party.setdefault(r["party"], []).append(r)
+        for party, prows in by_party.items():
+            yes = sum(1 for r in prows if r["vysledek"] == "A")
+            assert prows[0]["party_yes"] == yes
+            assert prows[0]["party_total"] == len(prows)
+
+    def test_laws_filters_and_pagination(self, svc):
+        page1 = svc.laws(status="O", priorities=["1-URGENT"], page=1, per_page=10)
+        assert len(page1) <= 10
+        assert all(r["o_orderpriority"] == "1-URGENT" for r in page1)
+        if page1:
+            total = page1[0]["total_hits"]
+            page2 = svc.laws(
+                status="O", priorities=["1-URGENT"], page=2, per_page=10
+            )
+            ids1 = {r["o_orderkey"] for r in page1}
+            ids2 = {r["o_orderkey"] for r in page2}
+            assert not ids1 & ids2  # disjoint pages
+            assert all(r["total_hits"] == total for r in page2)
+
+    def test_laws_search_param(self, svc):
+        rows = svc.laws(search="customer#00000001", per_page=50)
+        assert all("1" in r["c_name"].lower() for r in rows)
