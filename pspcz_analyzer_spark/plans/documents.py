@@ -60,12 +60,26 @@ def ensure_steno_corpus(spark: SparkSession, sf_dir: str) -> str:
     test fixture construction, not the operator under measurement).
     """
     import os
+    import shutil
     import tempfile
+    import uuid
 
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_steno_corpus")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _steno_docs(spark, sf_dir).write.mode("overwrite").parquet(path)
+        # Build-then-rename so concurrent callers (two queries sharing the
+        # corpus in one harness run) can never observe a half-written dir:
+        # the loser of the rename race just discards its stage.
+        stage = f"{path}.__build_{uuid.uuid4().hex[:8]}"
+        _steno_docs(spark, sf_dir).write.mode("overwrite").parquet(stage)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(path, ignore_errors=True)  # stale partial, if any
+            try:
+                os.rename(stage, path)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)  # racer won; theirs is complete
     return path
 
 
