@@ -35,11 +35,14 @@ _REGISTRY: dict[str, Query] = {}
 # registry in iteration order, so ordering is part of the public contract.
 # Tiers (lower first): 10 = core analytics (voting/windows/vectors/tpch),
 # 20 = adapter-fixed queries needing re-verification, 30 = new this round,
-# 40 = flagship parser/dedup/text proofs, 100 = everything else.
+# 35 = the round's new TPC-H completions, 60 = flagship parser/dedup/text
+# proofs (driver-green in round 2, so they yield their budget slots to
+# never-checked queries first), 100 = everything else.
 PRIORITY_CORE = 10
 PRIORITY_REVERIFY = 20
 PRIORITY_NEW = 30
-PRIORITY_FLAGSHIP = 40
+PRIORITY_NEW_TPCH = 35
+PRIORITY_FLAGSHIP = 60
 
 _PRIORITY: dict[str, int] = {
     # Parliamentary analytics + window + vector + TPC-H core.
@@ -89,6 +92,33 @@ _PRIORITY: dict[str, int] = {
             "order_lines_nested",
             "doc_length_quantiles",
             "doc_vocab_exact",
+        )
+    },
+    # Serving-facade composite added late in round 2 — never driver-checked.
+    "mp_similarity_top20": PRIORITY_NEW,
+    # Round 3's TPC-H completions (plans/tpch_full.py). The shapes with the
+    # most novel machinery (outer-join histogram, extreme-per-group
+    # join-back, correlated decorrelation, double-EXISTS) take the remaining
+    # driver budget slots; the rest queue right behind.
+    **{
+        n: PRIORITY_NEW_TPCH
+        for n in (
+            "q13_customer_distribution",
+            "q15_top_supplier",
+            "q2_min_cost_supplier",
+            "q17_small_qty_revenue",
+            "q21_waiting_supplier",
+        )
+    },
+    **{
+        n: PRIORITY_NEW_TPCH + 1
+        for n in (
+            "q22_global_sales",
+            "q16_supplier_count",
+            "q20_part_promotion",
+            "q8_market_share",
+            "q9_product_profit",
+            "q11_important_stock",
         )
     },
     # Flagship end-to-end proofs (green in round 2; keep driver-visible).
@@ -144,6 +174,7 @@ def _load_all() -> None:
         relational,
         text,
         tpch,
+        tpch_full,
         vectors,
         voting,
         windows,

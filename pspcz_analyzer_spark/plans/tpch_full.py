@@ -1,0 +1,628 @@
+"""The remaining TPC-H query shapes (Q2/8/9/11/13/15/16/17/20/21/22).
+
+Together with ``plans/tpch.py`` this completes the full 22-query TPC-H
+surface, adapted to the driver's testdata columns (TESTDATA.md has no
+partsupp table and no phone/address/comment/commitdate columns, so the
+partsupp-dependent queries derive supplier-part relationships from
+``lineitem`` distinct pairs and substitute documented column proxies).
+
+Each shape exists for the operator pattern it proves, mirroring how the
+reference composes the same primitives in its services
+(``/root/reference/pspcz_analyzer/services/law_service.py:160-244`` chains
+filter → join → aggregate → rank the same way Q2/Q15 do):
+
+* Q2/Q15/Q17 — per-group extreme/mean computed once, then joined back
+  (min-cost supplier, max-revenue supplier, below-avg-quantity lines);
+* Q8/Q9 — conditional share / derived-profit aggregates over star joins;
+* Q11 — aggregate filtered by a scalar computed from the same relation;
+* Q13 — zero-preserving outer-join histogram (agg of agg);
+* Q16 — distinct-count with anti-join exclusion list;
+* Q20/Q21 — nested semi/anti-join chains (EXISTS / NOT EXISTS);
+* Q22 — substring-derived key + scalar threshold + anti-join.
+
+Scale notes (100 TB intent): every scalar threshold is a one-row broadcast
+cross-join (no driver collect in the plan); per-group extremes use a single
+hash shuffle on the group key; the lineitem supplier-part pair extraction
+dedups map-side before its shuffle. Dims broadcast throughout; the only
+big-table shuffles are on join/group keys Catalyst already needs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.plans import register
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def _supplier_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (part, supplier) relationships derived from lineitem.
+
+    Stands in for TPC-H's partsupp table (absent from the testdata): a
+    supplier "supplies" a part iff some lineitem ships it. The distinct
+    dedups map-side (partial aggregate) before one shuffle on the pair.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_partkey", "l_suppkey").distinct()
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name
+      FROM part p
+      JOIN pairs pr   ON p.p_partkey = pr.l_partkey
+      JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_size BETWEEN 10 AND 20
+        AND p.p_type = 'PROMO'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey
+    FROM cand
+    QUALIFY s_acctbal = min(s_acctbal) OVER (PARTITION BY p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "window", "topk", "J5", "W1"),
+    doc="TPC-H Q2 shape: cheapest qualifying supplier per part — per-group "
+    "min via window (one shuffle on p_partkey), equality filter back, "
+    "fully-tiebroken top-k.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _supplier_part_pairs(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "PROMO")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cand = (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT
+      CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+            / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join", "agg", "A5"),
+    doc="TPC-H Q8 shape: one nation's market share per year inside a "
+    "region's customer base — conditional-share aggregate over a 7-way "
+    "star join (every dim broadcast; lineitem shuffles once).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    cust_region = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = _revenue()
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(nation_rev) / F.sum(rev), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+    tags=("join", "agg", "A3"),
+    doc="TPC-H Q9 shape: profit per supplier-nation per year for a part-name "
+    "slice; supply cost proxied as 0.5*p_retailprice*quantity (testdata has "
+    "no partsupp.ps_supplycost). LIKE filter prunes part before broadcast.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _revenue() - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH stock AS (
+      SELECT l.l_partkey, sum(l.l_quantity * p.p_retailprice) AS raw_value
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(raw_value, 2) AS stock_value
+    FROM stock
+    WHERE raw_value > (SELECT sum(raw_value) * 0.001 FROM stock)
+    ORDER BY stock_value DESC, l_partkey
+    """,
+    tags=("agg", "scalar-subquery", "A3"),
+    doc="TPC-H Q11 shape: per-part inventory value kept only when above a "
+    "fraction of the total — the threshold is a one-row aggregate joined "
+    "back by broadcast cross-join (no driver-side collect).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    stock = (
+        li.join(F.broadcast(euro_supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("raw_value"))
+    )
+    total = stock.agg((F.sum("raw_value") * F.lit(0.001)).alias("_threshold"))
+    return (
+        stock.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("_threshold"))
+        .select("l_partkey", F.round("raw_value", 2).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "l_partkey")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("outer-join", "agg", "J6", "A6"),
+    doc="TPC-H Q13 shape: order-count histogram preserving zero-order "
+    "customers — LEFT join with the filter inside the join condition "
+    "(a WHERE would silently drop the zeros), then agg-of-agg.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("agg", "scalar-subquery", "W1"),
+    doc="TPC-H Q15 shape: supplier(s) achieving the maximum quarterly "
+    "revenue — revenue rounded to cents BEFORE the max comparison so the "
+    "equality is exact in both engines; max is a broadcast one-row join.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT pr.l_suppkey) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND pr.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("agg", "anti-join", "distinct", "U2", "A8"),
+    doc="TPC-H Q16 shape: distinct supplier count per part attribute with "
+    "an exclusion list (negative-balance suppliers proxy the 'customer "
+    "complaints' list; testdata has no comment column) applied as a "
+    "broadcast anti-join before the distinct-count shuffle.",
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _supplier_part_pairs(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("join", "agg", "correlated", "A5"),
+    doc="TPC-H Q17 shape: lines below 20%% of their part's average "
+    "quantity. The correlated subquery decorrelates to a per-part "
+    "aggregate joined back; quantities are integral doubles so the "
+    "average is bit-exact in both engines (safe < comparison).",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#2"
+    ).select("p_partkey")
+    # Per-part average over ALL lines of that part (correlation is on
+    # partkey only) — but only parts of the brand survive the semi-join,
+    # so compute the average after restricting to those parts.
+    brand_lines = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cap")
+    )
+    return (
+        brand_lines.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    part_total AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM shipped s
+      JOIN part_total t ON s.l_partkey = t.l_partkey
+      JOIN part p       ON s.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%gear%' AND s.qty > 0.25 * t.total_qty
+    )
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s_name
+    """,
+    tags=("semi-join", "agg", "correlated", "U2"),
+    doc="TPC-H Q20 shape: suppliers dominating a part-name slice's 1997 "
+    "shipments (>25%% of the part's total; availqty proxy — no partsupp). "
+    "Nested agg → threshold join → semi-join into the supplier dim. "
+    "Quantities are integral so the 0.25* threshold compares exactly.",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    gear = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.join(F.broadcast(gear), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(F.broadcast(part_total), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("qty") > F.lit(0.25) * F.col("total_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(dominant), "s_suppkey", "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_linestatus = 'O'
+    ),
+    all_pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+    WHERE EXISTS (
+        SELECT 1 FROM all_pairs l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("semi-join", "anti-join", "self-join", "J7", "U2"),
+    doc="TPC-H Q21 shape: the sole 'late' supplier on multi-supplier "
+    "finished orders (open linestatus proxies lateness; testdata has no "
+    "receipt/commit dates). EXISTS/NOT EXISTS become semi/anti self-joins "
+    "on the deduped (order, supplier) pair relation — shuffles on "
+    "l_orderkey only.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linestatus"
+    )
+    late = li.filter(F.col("l_linestatus") == "O").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    finished = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l2 = all_pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    sole_late = (
+        late.join(finished, late.l_orderkey == finished.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_global_sales",
+    oracle="""
+    WITH eligible AS (
+      SELECT substring(c_name, 18, 1) AS cntrycode, c_custkey, c_acctbal
+      FROM customer
+      WHERE substring(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+    ),
+    thresh AS (
+      SELECT avg(c_acctbal) AS cap FROM eligible WHERE c_acctbal > 0
+    )
+    SELECT e.cntrycode, count(*) AS numcust,
+           round(sum(e.c_acctbal), 2) AS totacctbal
+    FROM eligible e, thresh t
+    WHERE e.c_acctbal > t.cap
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = e.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY e.cntrycode
+    ORDER BY e.cntrycode
+    """,
+    tags=("anti-join", "scalar-subquery", "agg", "U2", "F10"),
+    doc="TPC-H Q22 shape: well-funded customers with no RECENT orders "
+    "(every testdata customer has some order, so 'never ordered' would be "
+    "vacuous), grouped by a substring-derived code (last digit of c_name; "
+    "testdata has no phone column). Scalar average broadcasts; the NOT "
+    "EXISTS is an anti-join against recent order keys.",
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.substring("c_name", 18, 1).alias("cntrycode"), "c_custkey", "c_acctbal"
+    ).filter(F.col("cntrycode").isin("1", "3", "5", "7", "9"))
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_cap")
+    )
+    order_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_cap"))
+        .join(order_keys, "c_custkey", "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

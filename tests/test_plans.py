@@ -88,6 +88,8 @@ _NESTED_LOOP_OK = {
     "fuzzy_match_supplier_customer",  # cross join vs broadcast-small dim
     "prefix_match_parts",  # startswith theta join vs broadcast prefix list
     "ann_bruteforce_top10",  # 1-row broadcast query vector (crossJoin)
+    "q11_important_stock",  # 1-row broadcast scalar threshold (> compare)
+    "q22_global_sales",  # 1-row broadcast scalar average (> compare)
 }
 
 
