@@ -23,8 +23,14 @@ filter → join → aggregate → rank the same way Q2/Q15 do):
 Scale notes (100 TB intent): every scalar threshold is a one-row broadcast
 cross-join (no driver collect in the plan); per-group extremes use a single
 hash shuffle on the group key; the lineitem supplier-part pair extraction
-dedups map-side before its shuffle. Dims broadcast throughout; the only
-big-table shuffles are on join/group keys Catalyst already needs.
+dedups map-side before its shuffle. Broadcast-hint policy: only genuinely
+bounded relations (nation 25 rows, region 5 rows, one-row scalars) carry an
+explicit ``F.broadcast`` hint. part/supplier/customer slices and derived
+aggregates GROW with scale factor, so a hard hint would force an OOM-sized
+broadcast build at 100 TB — those joins are left unhinted and AQE promotes
+them to broadcast at runtime whenever the actual size is under threshold
+(verified: at test scale every such join still compiles to
+BroadcastHashJoin; at 100 TB they degrade gracefully to shuffled hash/SMJ).
 """
 
 from __future__ import annotations
@@ -85,8 +91,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cand = (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(supp, pairs.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("p_partkey", "s_name", "s_acctbal", "n_name")
@@ -131,7 +137,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "A5"),
     doc="TPC-H Q8 shape: one nation's market share per year inside a "
     "region's customer base — conditional-share aggregate over a 7-way "
-    "star join (every dim broadcast; lineitem shuffles once).",
+    "star join (AQE broadcasts the small sides; lineitem shuffles once).",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -162,9 +168,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_region), orders.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust_region, orders.o_custkey == F.col("c_custkey"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(nation_rev) / F.sum(rev), 4).alias("mkt_share"))
         .orderBy("o_year")
@@ -202,9 +208,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     profit = _revenue() - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -251,8 +257,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     stock = (
-        li.join(F.broadcast(euro_supp), li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(euro_supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("raw_value"))
     )
@@ -339,7 +345,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -379,8 +385,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey")
     )
     return (
-        pairs.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(bad, "l_suppkey", "left_anti")
+        .join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -413,14 +419,12 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-part average over ALL lines of that part (correlation is on
     # partkey only) — but only parts of the brand survive the semi-join,
     # so compute the average after restricting to those parts.
-    brand_lines = li.join(
-        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
-    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_lines = li.join(brand_parts, li.l_partkey == F.col("p_partkey")).select("l_partkey", "l_quantity", "l_extendedprice")
     avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cap")
     )
     return (
-        brand_lines.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        brand_lines.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
     )
@@ -469,7 +473,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     shipped = (
-        li.join(F.broadcast(gear), li.l_partkey == F.col("p_partkey"))
+        li.join(gear, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -477,7 +481,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("total_qty")
     )
     dominant = (
-        shipped.join(F.broadcast(part_total), F.col("l_partkey") == F.col("_pk"))
+        shipped.join(part_total, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("qty") > F.lit(0.25) * F.col("total_qty"))
         .select(F.col("l_suppkey").alias("s_suppkey"))
         .distinct()
@@ -488,7 +492,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(dominant), "s_suppkey", "left_semi")
+        .join(dominant, "s_suppkey", "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
@@ -563,7 +567,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        sole_late.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("s_name")
