@@ -256,11 +256,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey")
     )
+    from pyspark import StorageLevel
+
     stock = (
         li.join(euro_supp, li.l_suppkey == F.col("s_suppkey"))
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("raw_value"))
+        # Both the threshold branch and the output branch consume this
+        # aggregate; without persist Spark re-runs the whole scan+join+agg
+        # subtree under the scalar-broadcast branch (verified in the
+        # executed plan). Size is bounded by |part|; spills if not. No
+        # unpersist: the query returns lazily, LRU eviction reclaims it.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     total = stock.agg((F.sum("raw_value") * F.lit(0.001)).alias("_threshold"))
     return (
@@ -338,8 +346,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    from pyspark import StorageLevel
+
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        # Shared by the max branch and the output branch (see q11 note).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     top = rev.agg(F.max("total_revenue").alias("_max_rev"))
     return (
@@ -472,10 +485,14 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     gear = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
         "p_partkey"
     )
+    from pyspark import StorageLevel
+
     shipped = (
         li.join(gear, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
+        # Shared by the per-part total and the dominance filter (see q11).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     part_total = shipped.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum("qty").alias("total_qty")
