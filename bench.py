@@ -33,6 +33,10 @@ HEADLINE = [
     "q14_promo_share",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
     "attendance_rates",
     "loyalty_rebellion_rates",
     "party_pair_agreement",
