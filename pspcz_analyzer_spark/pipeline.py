@@ -1,0 +1,146 @@
+"""End-to-end training-corpus preparation: the composition proof.
+
+The individual LLM-data-pipeline operators (exact/near dedup, quality
+scoring, language ID, token accounting — operators/dedup.py,
+operators/textual.py) are each oracle-checked on their own; this module
+chains them into the job a real pretraining-data team runs: raw documents
+in, filtered + deduplicated + sharded Parquet corpus out, with a manifest
+of what each stage dropped.
+
+Reference behavior parity: the reference's enrichment pipeline stages
+documents through parse -> filter -> cache the same way
+(``/root/reference/pspcz_analyzer/services/llm/pipeline.py:31-88``); here
+the stages are corpus hygiene rather than LLM calls.
+
+Scale design (100 TB):
+* ONE pass over the text for all per-doc features (fingerprint, quality,
+  language, token counts are all codegen'd column expressions on the same
+  scan);
+* stage accounting uses ``DataFrame.observe`` — metrics accumulate inside
+  the single write action, so the manifest costs ZERO extra jobs (the
+  naive per-stage ``count()`` would re-execute the pipeline 5x);
+* exact-dedup canonical selection shuffles only (fingerprint, id) pairs,
+  never full rows;
+* the optional near-dup stage is MinHash-LSH (equi-join on band hashes —
+  work proportional to true collisions, no all-pairs anywhere);
+* shard assignment is a hash of the id (uniform regardless of id
+  distribution); the write repartitions by shard so each output partition
+  is produced by one task instead of shards x tasks tiny files.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+from pspcz_analyzer_spark.functions.text import fingerprint
+from pspcz_analyzer_spark.operators.dedup import minhash_lsh_pairs
+from pspcz_analyzer_spark.operators.textual import language_id, quality_score
+
+
+def prepare_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+    near_dup: bool = False,
+    shards: int = 8,
+    shard_by_hash: bool = True,
+) -> dict:
+    """Filter + dedup + shard ``docs`` into a Parquet corpus at ``out_dir``.
+
+    Stage order (and the manifest's drop attribution): exact dedup ->
+    near dedup (optional) -> language filter -> quality filter. A doc
+    dropped by several criteria counts only against the FIRST stage that
+    rejects it, so the manifest columns sum exactly to ``n_input``.
+
+    Returns the manifest: per-stage drop counts, kept doc/token totals,
+    and the output location. ``shard_by_hash=False`` derives the shard
+    from ``id % shards`` instead of a hash — deterministic for oracle
+    comparison; hash sharding is the production default (uniform even
+    when ids cluster).
+    """
+    scored = (
+        quality_score(docs, text_col)
+        .withColumn("pred_lang", language_id(text_col))
+        .withColumn("__fp", fingerprint(text_col))
+    )
+
+    # Exact dedup: canonical = min id per fingerprint. Only (fp, id) pairs
+    # ride the shuffle; the flag joins back on the id.
+    canon_ids = (
+        scored.select("__fp", id_col)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .withColumn("__canon", F.lit(True))
+    )
+    flags = scored.join(canon_ids, id_col, "left")
+
+    if near_dup:
+        # LSH candidates among exact-canonical docs; keep-first rule drops
+        # the higher id of every candidate pair.
+        canon_docs = docs.join(canon_ids.select(id_col), id_col, "left_semi")
+        near_ids = (
+            minhash_lsh_pairs(canon_docs, text_col, id_col)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("__near", F.lit(True))
+        )
+        flags = flags.join(near_ids, id_col, "left")
+    else:
+        flags = flags.withColumn("__near", F.lit(None).cast("boolean"))
+
+    is_canon = F.coalesce(F.col("__canon"), F.lit(False))
+    is_near = F.coalesce(F.col("__near"), F.lit(False))
+    lang_ok = (
+        F.lit(True)
+        if keep_langs is None
+        else F.col("pred_lang").isin(*keep_langs)
+    )
+    quality_ok = F.col("quality_score") >= F.lit(min_quality)
+    keep = is_canon & ~is_near & lang_ok & quality_ok
+
+    obs = Observation()
+    observed = flags.withColumn("__keep", keep).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum((~is_canon).cast("long")).alias("n_exact_dup"),
+        F.sum((is_canon & is_near).cast("long")).alias("n_near_dup"),
+        F.sum((is_canon & ~is_near & ~lang_ok).cast("long")).alias("n_lang_dropped"),
+        F.sum((is_canon & ~is_near & lang_ok & ~quality_ok).cast("long")).alias(
+            "n_quality_dropped"
+        ),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+        F.sum(F.when(keep, F.col("n_bpe_tokens")).otherwise(F.lit(0))).alias(
+            "kept_bpe_tokens"
+        ),
+    )
+
+    shard_src = F.xxhash64(F.col(id_col)) if shard_by_hash else F.col(id_col)
+    final = (
+        observed.filter(F.col("__keep"))
+        .withColumn("shard", F.pmod(shard_src, F.lit(shards)).cast("int"))
+        .drop("__fp", "__canon", "__near", "__keep")
+    )
+    # One producing task per shard (collisions still split correctly by
+    # partitionBy); without this, every upstream task writes a sliver of
+    # every shard -> shards x tasks small files.
+    (
+        final.repartition(shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+    manifest = {k: int(v) for k, v in obs.get.items()}
+    manifest["out_dir"] = out_dir
+    manifest["shards"] = shards
+    return manifest

@@ -96,6 +96,8 @@ _PRIORITY: dict[str, int] = {
     },
     # Serving-facade composite added late in round 2 — never driver-checked.
     "mp_similarity_top20": PRIORITY_NEW,
+    # Round 3's composed corpus pipeline (plans/corpus.py).
+    "training_corpus_prepare": PRIORITY_NEW,
     # Round 3's TPC-H completions (plans/tpch_full.py). The shapes with the
     # most novel machinery (outer-join histogram, extreme-per-group
     # join-back, correlated decorrelation, double-EXISTS) take the remaining
@@ -168,6 +170,7 @@ def register(
 def _load_all() -> None:
     # Import side effects populate the registry.
     from pspcz_analyzer_spark.plans import (  # noqa: F401
+        corpus,
         documents,
         ingest,
         media,

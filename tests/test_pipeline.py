@@ -1,0 +1,123 @@
+"""Corpus-preparation pipeline tests: manifest accounting (drop columns
+partition the input exactly), the near-dup stage, sink round-trip, and
+hash-shard shape. The oracle-paired end-to-end run is the
+``training_corpus_prepare`` gate query; these cover the knobs the gate
+can't (near_dup=True, hash sharding, manifest arithmetic)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pspcz_analyzer_spark.pipeline import prepare_training_corpus
+
+_GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and the birds sing with "
+    "joy in the garden of the old house where the children play"
+)
+_GOOD_CS = (
+    "to je velmi dobra kniha a ja se na ni tesim protoze se mi libi jak "
+    "se pribeh vyviji a na konci se vsechno vyresi"
+)
+_NEAR_EN = (
+    "the quick brown fox jumps over the lazy dog and the birds sing with "
+    "joy in the garden of the old house where the children play today"
+)
+
+
+@pytest.fixture()
+def raw_docs(spark):
+    rows = [
+        (1, _GOOD_EN),
+        (2, _GOOD_EN),          # exact dup of 1 -> dropped at stage 1
+        (3, _GOOD_CS),
+        (4, "zzz qqq xxx"),     # no stopword markers -> 'und' -> lang drop
+        (5, "a !! ?? !!"),      # <5 tokens, short, punct-heavy -> quality
+                                # drop (lang 'cs' via the 'a' marker)
+        (6, _NEAR_EN),          # near-dup of 1 (one word appended)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run(spark, docs, tmp, **kw):
+    out = os.path.join(tmp, "corpus")
+    m = prepare_training_corpus(
+        spark, docs, out, keep_langs=("cs", "de", "en", "es", "fr"), **kw
+    )
+    back = spark.read.parquet(out)
+    return m, back
+
+
+class TestManifest:
+    def test_stage_attribution_partitions_input(self, spark, raw_docs):
+        with tempfile.TemporaryDirectory() as tmp:
+            m, back = _run(spark, raw_docs, tmp)
+            kept_ids = sorted(r.doc_id for r in back.collect())
+        assert m["n_input"] == 6
+        assert m["n_exact_dup"] == 1          # doc 2
+        assert m["n_near_dup"] == 0           # stage off by default
+        assert m["n_lang_dropped"] == 1       # doc 4
+        assert m["n_quality_dropped"] == 1    # doc 5
+        assert m["n_kept"] == 3               # docs 1, 3, 6
+        drops = (
+            m["n_exact_dup"] + m["n_near_dup"]
+            + m["n_lang_dropped"] + m["n_quality_dropped"]
+        )
+        assert drops + m["n_kept"] == m["n_input"]
+        assert kept_ids == [1, 3, 6]
+
+    def test_token_totals_match_kept_rows(self, spark, raw_docs):
+        with tempfile.TemporaryDirectory() as tmp:
+            m, back = _run(spark, raw_docs, tmp)
+            got = back.groupBy().sum("n_tokens", "n_bpe_tokens").first()
+        assert m["kept_tokens"] == got[0]
+        assert m["kept_bpe_tokens"] == got[1]
+
+
+class TestNearDup:
+    def test_near_dup_stage_drops_higher_id(self, spark, raw_docs):
+        with tempfile.TemporaryDirectory() as tmp:
+            m, back = _run(spark, raw_docs, tmp, near_dup=True)
+            kept = sorted(r.doc_id for r in back.collect())
+        # doc 6 is a one-word edit of doc 1 -> LSH candidate -> dropped
+        # (keep-first: the lower id 1 survives).
+        assert m["n_near_dup"] >= 1
+        assert 1 in kept and 6 not in kept
+        assert m["n_kept"] == len(kept)
+
+    def test_manifest_still_partitions_with_near_dup(self, spark, raw_docs):
+        with tempfile.TemporaryDirectory() as tmp:
+            m, _ = _run(spark, raw_docs, tmp, near_dup=True)
+        drops = (
+            m["n_exact_dup"] + m["n_near_dup"]
+            + m["n_lang_dropped"] + m["n_quality_dropped"]
+        )
+        assert drops + m["n_kept"] == m["n_input"]
+
+
+class TestSharding:
+    def test_hash_shards_cover_and_round_trip(self, spark):
+        rows = [(i, f"{_GOOD_EN} variation {i}") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        with tempfile.TemporaryDirectory() as tmp:
+            m, back = _run(spark, docs, tmp, shards=4, min_quality=0.0)
+            shards = dict(
+                (r["shard"], r["n"])
+                for r in back.groupBy("shard").count().withColumnRenamed("count", "n").collect()
+            )
+        assert m["n_kept"] == 200
+        assert set(shards) == {0, 1, 2, 3}  # every shard populated
+        # xxhash64 sharding should be roughly uniform on 200 sequential ids.
+        assert max(shards.values()) <= 4 * min(shards.values())
+
+    def test_mod_sharding_is_id_mod_shards(self, spark):
+        rows = [(i, f"{_GOOD_EN} variation {i}") for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        with tempfile.TemporaryDirectory() as tmp:
+            _, back = _run(
+                spark, docs, tmp, shards=8, min_quality=0.0, shard_by_hash=False
+            )
+            got = {r.doc_id: r.shard for r in back.collect()}
+        assert got == {i: i % 8 for i in range(20)}
