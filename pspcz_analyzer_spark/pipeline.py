@@ -5,12 +5,15 @@ scoring, language ID, token accounting — operators/dedup.py,
 operators/textual.py) are each oracle-checked on their own; this module
 chains them into the job a real pretraining-data team runs: raw documents
 in, filtered + deduplicated + sharded Parquet corpus out, with a manifest
-of what each stage dropped.
+of what each stage dropped — plus the incremental variant that extends an
+existing corpus with only-novel documents.
 
 Reference behavior parity: the reference's enrichment pipeline stages
 documents through parse -> filter -> cache the same way
-(``/root/reference/pspcz_analyzer/services/llm/pipeline.py:31-88``); here
-the stages are corpus hygiene rather than LLM calls.
+(``/root/reference/pspcz_analyzer/services/llm/pipeline.py:31-88``), and
+its resumable enrichment skips already-processed rows by key exactly like
+``extend_training_corpus`` skips already-present fingerprints
+(``services/llm/cache.py:23-61``).
 
 Scale design (100 TB):
 * ONE pass over the text for all per-doc features (fingerprint, quality,
@@ -21,6 +24,9 @@ Scale design (100 TB):
   naive per-stage ``count()`` would re-execute the pipeline 5x);
 * exact-dedup canonical selection shuffles only (fingerprint, id) pairs,
   never full rows;
+* the corpus keeps its ``fingerprint`` column, so incremental extension
+  dedups against a COLUMN-PRUNED scan of the existing corpus (Parquet
+  reads one string column, not the text) — no re-hashing of old data;
 * the optional near-dup stage is MinHash-LSH (equi-join on band hashes —
   work proportional to true collisions, no all-pairs anywhere);
 * shard assignment is a hash of the id (uniform regardless of id
@@ -36,6 +42,63 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pspcz_analyzer_spark.functions.text import fingerprint
 from pspcz_analyzer_spark.operators.dedup import minhash_lsh_pairs
 from pspcz_analyzer_spark.operators.textual import language_id, quality_score
+
+
+def _score_docs(docs: DataFrame, text_col: str) -> DataFrame:
+    """All per-doc features in one scan: quality features + score,
+    predicted language, content fingerprint."""
+    return (
+        quality_score(docs, text_col)
+        .withColumn("pred_lang", language_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
+
+
+def _lang_ok(keep_langs: tuple[str, ...] | None) -> F.Column:
+    if keep_langs is None:
+        return F.lit(True)
+    return F.col("pred_lang").isin(*keep_langs)
+
+
+def _manifest(obs: Observation, flags: DataFrame, metrics: list) -> dict:
+    """Manifest values from the write-time observation, falling back to one
+    direct aggregation when the observed row is unavailable.
+
+    The fallback exists for one edge: a dynamic-partition write whose
+    result is EMPTY (everything dropped / nothing novel) never executes
+    any partition task, so the CollectMetrics row is never registered and
+    ``obs.get`` raises in the JVM. The extra pass only ever runs in that
+    nothing-was-written case.
+    """
+    try:
+        vals = dict(obs.get)
+    except Exception:
+        vals = flags.agg(*metrics).first().asDict()
+    return {k: int(v) for k, v in vals.items()}
+
+
+def _write_sharded(
+    final: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str,
+    shards: int,
+    shard_by_hash: bool,
+    mode: str,
+) -> None:
+    shard_src = F.xxhash64(F.col(id_col)) if shard_by_hash else F.col(id_col)
+    sharded = final.withColumn(
+        "shard", F.pmod(shard_src, F.lit(shards)).cast("int")
+    )
+    # One producing task per shard (collisions still split correctly by
+    # partitionBy); without this, every upstream task writes a sliver of
+    # every shard -> shards x tasks small files.
+    (
+        sharded.repartition(shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
 
 
 def prepare_training_corpus(
@@ -64,17 +127,13 @@ def prepare_training_corpus(
     comparison; hash sharding is the production default (uniform even
     when ids cluster).
     """
-    scored = (
-        quality_score(docs, text_col)
-        .withColumn("pred_lang", language_id(text_col))
-        .withColumn("__fp", fingerprint(text_col))
-    )
+    scored = _score_docs(docs, text_col)
 
     # Exact dedup: canonical = min id per fingerprint. Only (fp, id) pairs
     # ride the shuffle; the flag joins back on the id.
     canon_ids = (
-        scored.select("__fp", id_col)
-        .groupBy("__fp")
+        scored.select("fingerprint", id_col)
+        .groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
         .withColumn("__canon", F.lit(True))
@@ -97,17 +156,11 @@ def prepare_training_corpus(
 
     is_canon = F.coalesce(F.col("__canon"), F.lit(False))
     is_near = F.coalesce(F.col("__near"), F.lit(False))
-    lang_ok = (
-        F.lit(True)
-        if keep_langs is None
-        else F.col("pred_lang").isin(*keep_langs)
-    )
+    lang_ok = _lang_ok(keep_langs)
     quality_ok = F.col("quality_score") >= F.lit(min_quality)
     keep = is_canon & ~is_near & lang_ok & quality_ok
 
-    obs = Observation()
-    observed = flags.withColumn("__keep", keep).observe(
-        obs,
+    metrics = [
         F.count(F.lit(1)).alias("n_input"),
         F.sum((~is_canon).cast("long")).alias("n_exact_dup"),
         F.sum((is_canon & is_near).cast("long")).alias("n_near_dup"),
@@ -115,32 +168,117 @@ def prepare_training_corpus(
         F.sum((is_canon & ~is_near & lang_ok & ~quality_ok).cast("long")).alias(
             "n_quality_dropped"
         ),
-        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.sum(keep.cast("long")).alias("n_kept"),
         F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0))).alias(
             "kept_tokens"
         ),
         F.sum(F.when(keep, F.col("n_bpe_tokens")).otherwise(F.lit(0))).alias(
             "kept_bpe_tokens"
         ),
+    ]
+    obs = Observation()
+    observed = flags.observe(obs, *metrics)
+
+    final = observed.filter(keep).drop("__canon", "__near")
+    _write_sharded(
+        final,
+        out_dir,
+        id_col=id_col,
+        shards=shards,
+        shard_by_hash=shard_by_hash,
+        mode="overwrite",
     )
 
-    shard_src = F.xxhash64(F.col(id_col)) if shard_by_hash else F.col(id_col)
-    final = (
-        observed.filter(F.col("__keep"))
-        .withColumn("shard", F.pmod(shard_src, F.lit(shards)).cast("int"))
-        .drop("__fp", "__canon", "__near", "__keep")
+    manifest = _manifest(obs, flags, metrics)
+    manifest["out_dir"] = out_dir
+    manifest["shards"] = shards
+    return manifest
+
+
+def extend_training_corpus(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+    shards: int = 8,
+    shard_by_hash: bool = True,
+) -> dict:
+    """Append only-novel documents to the corpus ``prepare_training_corpus``
+    wrote (SURVEY T4's resumable-increment shape, applied to the corpus).
+
+    New docs are exact-deduplicated against the EXISTING corpus (its
+    ``fingerprint`` column — a column-pruned Parquet scan, no text re-hash)
+    and against each other, then pass the same language/quality rules and
+    append shard-wise with the same shard function (pass the prepare-time
+    ``shards``/``shard_by_hash``). Idempotent: re-extending with the same
+    batch appends nothing.
+
+    Drop attribution order: already-present -> exact dup within the batch
+    -> language -> quality; columns sum to ``n_input``. Near-dup against
+    history is out of scope for the increment — the production design
+    persists MinHash signatures as a sidecar index next to the corpus and
+    LSH-joins the batch against it, which this API leaves to a follow-up.
+    """
+    existing_fp = (
+        spark.read.parquet(out_dir)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("__present", F.lit(True))
     )
-    # One producing task per shard (collisions still split correctly by
-    # partitionBy); without this, every upstream task writes a sliver of
-    # every shard -> shards x tasks small files.
-    (
-        final.repartition(shards, "shard")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
+    scored = _score_docs(new_docs, text_col)
+    canon_ids = (
+        scored.select("fingerprint", id_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .withColumn("__canon", F.lit(True))
+    )
+    flags = scored.join(existing_fp, "fingerprint", "left").join(
+        canon_ids, id_col, "left"
     )
 
-    manifest = {k: int(v) for k, v in obs.get.items()}
+    present = F.coalesce(F.col("__present"), F.lit(False))
+    is_canon = F.coalesce(F.col("__canon"), F.lit(False))
+    lang_ok = _lang_ok(keep_langs)
+    quality_ok = F.col("quality_score") >= F.lit(min_quality)
+    keep = ~present & is_canon & lang_ok & quality_ok
+
+    metrics = [
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(present.cast("long")).alias("n_already_present"),
+        F.sum((~present & ~is_canon).cast("long")).alias("n_exact_dup"),
+        F.sum((~present & is_canon & ~lang_ok).cast("long")).alias(
+            "n_lang_dropped"
+        ),
+        F.sum((~present & is_canon & lang_ok & ~quality_ok).cast("long")).alias(
+            "n_quality_dropped"
+        ),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+        F.sum(F.when(keep, F.col("n_bpe_tokens")).otherwise(F.lit(0))).alias(
+            "kept_bpe_tokens"
+        ),
+    ]
+    obs = Observation()
+    observed = flags.observe(obs, *metrics)
+
+    final = observed.filter(keep).drop("__present", "__canon")
+    _write_sharded(
+        final,
+        out_dir,
+        id_col=id_col,
+        shards=shards,
+        shard_by_hash=shard_by_hash,
+        mode="append",
+    )
+
+    manifest = _manifest(obs, flags, metrics)
     manifest["out_dir"] = out_dir
     manifest["shards"] = shards
     return manifest

@@ -98,6 +98,8 @@ _PRIORITY: dict[str, int] = {
     "mp_similarity_top20": PRIORITY_NEW,
     # Round 3's composed corpus pipeline (plans/corpus.py).
     "training_corpus_prepare": PRIORITY_NEW,
+    # IVF's oracle anchor (exhaustive probe == brute force, plans/vectors.py).
+    "ann_ivf_exhaustive_top10": PRIORITY_NEW,
     # Round 3's TPC-H completions (plans/tpch_full.py). The shapes with the
     # most novel machinery (outer-join histogram, extreme-per-group
     # join-back, correlated decorrelation, double-EXISTS) take the remaining

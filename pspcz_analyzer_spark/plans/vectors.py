@@ -97,6 +97,37 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_exhaustive_top10",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("ann", "ivf", "oracle-paired"),
+    doc="IVF with n_probe == n_centroids: probing every cell must return "
+    "EXACTLY the brute-force answer, so the full IVF machinery (k-means "
+    "training, cell assignment, centroid ranking, probe filter, exact "
+    "rescore) is verified against the brute-force SQL oracle — the "
+    "correctness anchor for the approximate ann_ivf_top10 next to it.",
+)
+def ann_ivf_exhaustive_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        emb, [float(x) for x in q], k=10, n_centroids=16, n_probe=16
+    )
+
+
+@register(
     "embedding_pairs_cross_label",
     oracle="""
     WITH sub AS (

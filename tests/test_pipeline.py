@@ -121,3 +121,52 @@ class TestSharding:
             )
             got = {r.doc_id: r.shard for r in back.collect()}
         assert got == {i: i % 8 for i in range(20)}
+
+
+class TestExtend:
+    def _prepare(self, spark, tmp):
+        from pspcz_analyzer_spark.pipeline import extend_training_corpus
+
+        base = spark.createDataFrame(
+            [(1, _GOOD_EN), (2, _GOOD_CS)], "doc_id long, text string"
+        )
+        out = os.path.join(tmp, "corpus")
+        prepare_training_corpus(
+            spark, base, out, keep_langs=("cs", "de", "en", "es", "fr")
+        )
+        return out, extend_training_corpus
+
+    def test_extend_appends_only_novel(self, spark):
+        with tempfile.TemporaryDirectory() as tmp:
+            out, extend = self._prepare(spark, tmp)
+            batch = spark.createDataFrame(
+                [
+                    (10, _GOOD_EN),     # fingerprint already in corpus
+                    (11, _NEAR_EN),     # novel (exact dedup only)
+                    (12, _NEAR_EN),     # exact dup of 11 within the batch
+                    (13, "zzz qqq xxx"),  # 'und' -> lang drop
+                ],
+                "doc_id long, text string",
+            )
+            m = extend(spark, batch, out, keep_langs=("cs", "de", "en", "es", "fr"))
+            ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert m["n_input"] == 4
+        assert m["n_already_present"] == 1   # doc 10
+        assert m["n_exact_dup"] == 1         # doc 12
+        assert m["n_lang_dropped"] == 1      # doc 13
+        assert m["n_quality_dropped"] == 0
+        assert m["n_kept"] == 1              # doc 11
+        assert ids == [1, 2, 11]
+
+    def test_extend_is_idempotent(self, spark):
+        with tempfile.TemporaryDirectory() as tmp:
+            out, extend = self._prepare(spark, tmp)
+            batch = spark.createDataFrame(
+                [(11, _NEAR_EN)], "doc_id long, text string"
+            )
+            m1 = extend(spark, batch, out)
+            m2 = extend(spark, batch, out)
+            n_rows = spark.read.parquet(out).count()
+        assert m1["n_kept"] == 1
+        assert m2["n_kept"] == 0 and m2["n_already_present"] == 1
+        assert n_rows == 3  # 2 base + 1 novel, second extend added nothing
