@@ -223,12 +223,22 @@ def extend_training_corpus(
     persists MinHash signatures as a sidecar index next to the corpus and
     LSH-joins the batch against it, which this API leaves to a follow-up.
     """
-    existing_fp = (
-        spark.read.parquet(out_dir)
-        .select("fingerprint")
-        .distinct()
-        .withColumn("__present", F.lit(True))
-    )
+    import os
+
+    if os.path.exists(out_dir):
+        existing_fp = (
+            spark.read.parquet(out_dir)
+            .select("fingerprint")
+            .distinct()
+            .withColumn("__present", F.lit(True))
+        )
+    else:
+        # Cold start: no corpus yet — every batch fingerprint is novel.
+        # (Local-FS existence check; an object-store deployment would ask
+        # the Hadoop FileSystem API instead.)
+        existing_fp = spark.createDataFrame(
+            [], "fingerprint string, __present boolean"
+        )
     scored = _score_docs(new_docs, text_col)
     canon_ids = (
         scored.select("fingerprint", id_col)

@@ -170,3 +170,35 @@ class TestExtend:
         assert m1["n_kept"] == 1
         assert m2["n_kept"] == 0 and m2["n_already_present"] == 1
         assert n_rows == 3  # 2 base + 1 novel, second extend added nothing
+
+
+class TestStreamingIngest:
+    def test_stream_drains_landing_and_checkpoint_survives(self, spark):
+        from pspcz_analyzer_spark.streaming.corpus import stream_extend_corpus
+
+        with tempfile.TemporaryDirectory() as tmp:
+            landing = os.path.join(tmp, "landing")
+            out = os.path.join(tmp, "corpus")
+            ckpt = os.path.join(tmp, "ckpt")
+            os.makedirs(landing)
+            spark.createDataFrame(
+                [(1, _GOOD_EN), (2, _GOOD_CS)], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(landing)
+
+            m1 = stream_extend_corpus(spark, landing, out, ckpt)
+            assert sum(m["n_kept"] for m in m1) == 2  # cold start builds
+
+            # Replaying with the same checkpoint and no new files: no-op.
+            m2 = stream_extend_corpus(spark, landing, out, ckpt)
+            assert sum(m.get("n_kept", 0) for m in m2) == 0
+
+            # A new landing file with one novel + one already-present doc.
+            spark.createDataFrame(
+                [(3, _NEAR_EN), (4, _GOOD_EN)], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(landing)
+            m3 = stream_extend_corpus(spark, landing, out, ckpt)
+            assert sum(m["n_kept"] for m in m3) == 1
+            assert sum(m["n_already_present"] for m in m3) == 1
+
+            ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert ids == [1, 2, 3]
