@@ -1,0 +1,51 @@
+"""Table profiling: per-column completeness / cardinality / range stats.
+
+The reference eyeballs data health ad hoc (row counts logged at ingest,
+``services/data_reader.py:331-376``); a cluster-scale engine wants it as
+one operator: a single aggregation pass over the table produces one row
+per column with null counts, cardinality, and min/max.
+
+Scale design: ALL per-column statistics compute in ONE ``agg`` (one scan,
+partial map-side aggregation). Exact ``countDistinct`` over p columns
+makes Catalyst EXPAND the input p-fold before the shuffle — fine for a
+handful of columns, deliberate; ``approx=True`` (default) swaps in
+HyperLogLog ``approx_count_distinct`` which aggregates all columns with
+NO expand and constant memory — the 100 TB path. The wide one-row result
+then unpivots to long form with ``stack`` (driver-side-free).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = True,
+) -> DataFrame:
+    """One row per column: (col_name, n_rows, n_nulls, n_distinct,
+    min_val, max_val); min/max rendered as strings so mixed column types
+    share one schema."""
+    cols = columns or df.columns
+    distinct_of = F.approx_count_distinct if approx else F.countDistinct
+    exprs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        exprs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct_of(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*exprs)
+    parts = ", ".join(
+        f"'{c}', __rows, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {parts}) as "
+            "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

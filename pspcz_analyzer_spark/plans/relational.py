@@ -793,3 +793,55 @@ def customer_display_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col_name, n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+             (SELECT CAST(min(o_orderkey) AS VARCHAR) FROM orders) AS min_val,
+             (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders) AS max_val
+      FROM n
+      UNION ALL
+      SELECT 'o_orderstatus', n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+             (SELECT count(DISTINCT o_orderstatus) FROM orders),
+             (SELECT CAST(min(o_orderstatus) AS VARCHAR) FROM orders),
+             (SELECT CAST(max(o_orderstatus) AS VARCHAR) FROM orders)
+      FROM n
+      UNION ALL
+      SELECT 'o_orderpriority', n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
+             (SELECT count(DISTINCT o_orderpriority) FROM orders),
+             (SELECT CAST(min(o_orderpriority) AS VARCHAR) FROM orders),
+             (SELECT CAST(max(o_orderpriority) AS VARCHAR) FROM orders)
+      FROM n
+      UNION ALL
+      SELECT 'o_orderdate', n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_orderdate IS NULL),
+             (SELECT count(DISTINCT o_orderdate) FROM orders),
+             (SELECT CAST(min(o_orderdate) AS VARCHAR) FROM orders),
+             (SELECT CAST(max(o_orderdate) AS VARCHAR) FROM orders)
+      FROM n
+    )
+    ORDER BY col_name
+    """,
+    tags=("profiling", "agg", "A7", "A8"),
+    doc="Table profiling in one pass (operators/profile.py): per-column "
+    "null count, exact cardinality (HLL twin is the 100 TB default), and "
+    "stringified min/max, unpivoted to long form with stack().",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    prof = profile_table(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+        approx=False,  # exact cardinality for the oracle twin
+    )
+    return prof.orderBy("col_name")

@@ -65,16 +65,18 @@ def test_hll_vocab_within_rsd(spark):
     for lang, n in exact.items():
         assert abs(approx[lang] - n) <= max(3, 0.03 * n), (lang, n, approx[lang])
 
-    def test_oracles_bind_in_duckdb(self):
-        """Every oracle must at least bind/plan on the real tables (the
-        round-1 failure mode: lateral range() unsupported by DuckDB 1.0)."""
-        con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders lineitem events documents embeddings"
-        ).split():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-        for name, sql in oracle_sqls().items():
-            con.execute(f"EXPLAIN {sql}")  # binder + planner, no execution
+
+def test_oracles_bind_in_duckdb():
+    """Every oracle must at least bind/plan on the real tables (the
+    round-1 failure mode: lateral range() unsupported by DuckDB 1.0).
+    (Was accidentally nested inside another test — never collected.)"""
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for name, sql in oracle_sqls().items():
+        con.execute(f"EXPLAIN {sql}")  # binder + planner, no execution
 
 
 # Queries where a nested-loop join is the DOCUMENTED, intentionally bounded
@@ -135,3 +137,26 @@ def test_entry_contract(spark):
     df = E.entry(spark)
     assert df.count() >= 0
     assert df.columns == ["n_name", "revenue"]
+
+
+def test_profile_table_nulls_and_approx(spark):
+    """Null accounting is exact; the HLL cardinality path (the 100 TB
+    default — no EXPAND in the plan) stays within rsd of exact."""
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None), (5, "a")], "id long, v string"
+    )
+    exact = {r["col_name"]: r.asDict() for r in profile_table(df, approx=False).collect()}
+    assert exact["v"]["n_nulls"] == 2 and exact["v"]["n_distinct"] == 2
+    assert exact["id"]["n_nulls"] == 0 and exact["id"]["n_distinct"] == 5
+    assert exact["id"]["min_val"] == "1" and exact["id"]["max_val"] == "5"
+
+    approx = {r["col_name"]: r.asDict() for r in profile_table(df).collect()}
+    for c in ("id", "v"):
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= 1
+    # The approx plan must NOT expand the input (that is its point).
+    assert "Expand" not in _plan(profile_table(df))
+    assert "Expand" in _plan(profile_table(df, approx=False))
