@@ -39,6 +39,15 @@ def merge_amendment_sources(
     """
     payload = list(payload_cols)
 
+    # Both match levels build a broadcast side from ``letters``; without a
+    # persist the letters plan — typically a Python mapInPandas PDF parse —
+    # executes once PER build. Dimension-sized by contract, so caching it
+    # is cheap; LRU eviction reclaims it (queries return lazily, so there
+    # is no safe unpersist point here).
+    from pyspark import StorageLevel
+
+    letters = letters.persist(StorageLevel.MEMORY_AND_DISK)
+
     def _side(tag: str, key_expr: str) -> DataFrame:
         return F.broadcast(
             letters.select(
