@@ -624,7 +624,7 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_orderdate, o_orderpriority, c_name, total_hits
     FROM laws
     ORDER BY o_orderdate DESC, o_orderkey ASC
-    LIMIT 20 OFFSET 40
+    LIMIT 8 OFFSET 8
     """,
     tags=("composite", "browser", "new-surface"),
     priority=30,
@@ -656,11 +656,13 @@ def laws_listing_page(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy()).alias("total_hits"),
         )
     )
+    # Page 2 of 8: inside the hit count at EVERY test scale (18 hits at
+    # sf0.001), so the page is never vacuously empty.
     return page_offset(
         hits,
         [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
-        page=3,
-        per_page=20,
+        page=2,
+        per_page=8,
     )
 
 

@@ -265,7 +265,7 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_nation_volume",
     oracle="""
-    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+    SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM lineitem l
@@ -274,16 +274,20 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
     JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
-    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    JOIN region cr  ON cn.n_regionkey = cr.r_regionkey
+    JOIN region sr  ON sn.n_regionkey = sr.r_regionkey
+    WHERE ((sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE')
+        OR (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
     """,
     tags=("join", "multi-join", "agg", "bench", "J2"),
-    doc="TPC-H Q7 shape: six-way join, fact shuffles once, every dim "
-    "broadcast, nation filter pushed below the join.",
+    doc="TPC-H Q7 shape: eight-way join, fact shuffles once, bounded dims "
+    "broadcast, disjunctive geography-pair filter evaluated above the "
+    "joins. Region pair instead of the classic nation pair so the volume "
+    "exists at EVERY test scale (a nation pair has no trades at sf0.001).",
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -293,28 +297,43 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(
-            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust_geo = (
+        cust.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))),
             F.col("c_nationkey") == F.col("ck"),
         )
         .join(
-            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            F.broadcast(region.select(F.col("r_regionkey").alias("crr"), F.col("r_name").alias("cust_region"))),
+            F.col("crk") == F.col("crr"),
+        )
+        .select("c_custkey", "cust_region")
+    )
+    supp_geo = (
+        supp.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_regionkey").alias("srk"))),
             F.col("s_nationkey") == F.col("sk"),
         )
+        .join(
+            F.broadcast(region.select(F.col("r_regionkey").alias("srr"), F.col("r_name").alias("supp_region"))),
+            F.col("srk") == F.col("srr"),
+        )
+        .select("s_suppkey", "supp_region")
+    )
+    pair = ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE")) | (
+        (F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_geo, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_geo, li.l_suppkey == F.col("s_suppkey"))
         .filter(pair)
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_region", "cust_region", F.year("l_shipdate").alias("l_year")
         )
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .orderBy("supp_region", "cust_region", "l_year")
     )
 
 

@@ -32,6 +32,13 @@ _SCALE_CONFS: dict[str, str] = {
     "spark.sql.pivotMaxValues": "100000",
     # Respect partition-size targets when scanning big Parquet.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # NOTE on runtime row-level filters: enabling
+    # spark.sql.optimizer.runtime.bloomFilter.enabled +
+    # runtimeFilter.semiJoinReduction slowed PLAN COMPILATION ~10x across
+    # this 99-query catalog on local mode (measured via the plan-shape test
+    # suite), for zero benefit at test scale. On a real 100 TB cluster the
+    # bloom-filter conf is worth enabling per-job for selective fact-fact
+    # joins; it stays off in the session defaults.
     # Timestamps in testdata are naive; keep them stable across engines.
     "spark.sql.session.timeZone": "UTC",
     # ANSI off => lenient casts (invalid -> null), matching the reference's

@@ -116,6 +116,9 @@ def main() -> int:
                 if a != b:
                     print(f"   spark:  {a}\n   oracle: {b}")
                     break
+        elif len(sr) == 0:
+            # Hash-equal but EMPTY: vacuous — the query proves nothing.
+            print(f"FAIL {name}: vacuous (0 rows on both sides) [{dt:.1f}s]")
         else:
             print(f"PASS {name}: {len(sr)} rows [{dt:.1f}s]")
             n_pass += 1
