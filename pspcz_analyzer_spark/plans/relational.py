@@ -847,3 +847,46 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx=False,  # exact cardinality for the oracle twin
     )
     return prof.orderBy("col_name")
+
+
+@register(
+    "salted_join_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("skew", "join", "agg", "scale-path"),
+    doc="Salted fact-dim join (operators/skew.py): the lineitem side gets "
+    "a deterministic 16-way salt and the orders projection replicates "
+    "per salt, spreading any hot orderkey over 16 shuffle partitions. "
+    "Result rows are IDENTICAL to the plain join — the oracle is the "
+    "unsalted SQL — only the physical distribution changes, which is the "
+    "point: correctness of the skew machinery is what the gate proves.",
+)
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    # Salt from the full row (price/discount vary per line), so a hot
+    # orderkey's lines spread across all 16 salts — salting from the join
+    # key itself would keep each key in one partition and change nothing.
+    joined = salted_join(li, orders, on=["l_orderkey"], num_salts=16)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
