@@ -9,7 +9,22 @@ no-op — the parse/hash rides the scan partitioning with no extra shuffle.
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame
+
+
+def _plan_text(df: DataFrame) -> str:
+    """Logical+physical plan text via the public ``explain`` API.
+
+    ``explain`` compiles the plan but runs no action, and (unlike probing
+    ``df.rdd``) never finalizes AQE stages, so it is safe on any plan.
+    """
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    return buf.getvalue()
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -25,9 +40,7 @@ def spread(df: DataFrame) -> DataFrame:
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        # Private API (no public plan accessor in PySpark); if it ever
-        # breaks, fall back to repartitioning — always safe, never silent.
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = _plan_text(df)
     except Exception:
         return df.repartition(target)
     if any(k in plan for k in ("Aggregate", "Join", "Window", "Sort", "Repartition")):
