@@ -1,0 +1,187 @@
+"""Training-corpus preparation operators: split, pack, decontaminate.
+
+Three steps every large-scale LLM training-data pipeline runs after
+filtering/dedup (the `operators/dedup.py` + `operators/textual.py` stages):
+
+  train_val_test_split   deterministic hash bucketing into train/val/test —
+                         stable across runs and cluster layouts, so a doc
+                         never migrates between splits when data is re-read
+  pack_sequences         assign docs to fixed-token-budget packs (sequence
+                         packing for training batches) within shards
+  decontaminate          drop corpus docs sharing any word n-gram with a
+                         benchmark/eval set (the n-gram-overlap
+                         decontamination step made standard by GPT-3/PaLM
+                         data cards)
+
+All three are pure DataFrame plans: no UDFs, one shuffle each (none for the
+split, which is a projection). Scale notes per function.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from pspcz_analyzer_spark.functions.text import token_count
+from pspcz_analyzer_spark.operators.dedup import _shingle_arrays
+
+# Knuth's multiplicative constant (2^32 / phi). The gate uses this portable
+# integer hash so a DuckDB oracle can replicate bucket assignment bit-for-bit;
+# swap `bucket_expr` for xxhash64 when oracle portability isn't needed.
+_KNUTH = 2654435761
+
+
+def bucket_expr(id_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from an integer id.
+
+    Multiplicative hashing mod 2^32 — portable arithmetic (same result in
+    any engine with 64-bit integers), stable across runs/partitionings.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return ((c.cast("long") * F.lit(_KNUTH)) % F.lit(1 << 32)) % F.lit(buckets)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Add `bucket` (0-99) and `split` (train/val/test) columns.
+
+    A projection — no shuffle, no sampling action, no state. Determinism is
+    the point: re-running the pipeline on grown data keeps every existing
+    doc in its split (random_split() would reshuffle docs between splits on
+    every run, leaking eval docs into training).
+    """
+    b = bucket_expr(id_col)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", b.cast("int")).withColumn("split", split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget packs within each shard.
+
+    Contiguous-fill packing: docs are laid end-to-end in `order_col` order
+    within a shard; `pack_id` = which budget-sized block the doc STARTS in,
+    `pack_offset` = its token offset inside that block. A doc longer than
+    the remaining block straddles the boundary (standard
+    concat-then-chunk sequence packing, where document boundaries are
+    attention-masked, not padded).
+
+    One shuffle on `shard_col`; the running sum is a within-shard window.
+    Scale: the window sorts per shard, so shard count bounds parallelism
+    and shard size bounds memory — at 100 TB use O(10^4-10^5) shards
+    (hash of doc id) so each shard is a few GB. Never call with a single
+    shard at scale (single-partition window).
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("__cum", cum_before).select(
+        "*",
+        F.floor(F.col("__cum") / budget).cast("int").alias("pack_id"),
+        (F.col("__cum") % budget).cast("int").alias("pack_offset"),
+    ).drop("__cum")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus docs sharing >= 1 word n-gram with any benchmark doc, with
+    the count of distinct shared shingles.
+
+    Shingle both sides (normalized word n-grams, `_shingle_arrays`), join
+    on the 8-byte xxhash64 of the shingle, count distinct shared shingles
+    per corpus doc. Only docs sharing a shingle ever meet — cost tracks
+    true overlap, not |corpus| x |benchmark|. The benchmark side is tiny
+    relative to the corpus (eval sets are KBs-MBs at any corpus scale), so
+    its shingle set is broadcast: the corpus side never shuffles.
+
+    Returns (id_col, n_shared_shingles), one row per contaminated doc.
+    """
+    c_sh = (
+        _shingle_arrays(corpus.select(id_col, text_col), id_col, text_col, n)
+        .select(id_col, F.explode("__sh").alias("__shingle"))
+        .withColumn("__h", F.xxhash64("__shingle"))
+    )
+    b_sh = (
+        _shingle_arrays(benchmark.select(id_col, text_col), id_col, text_col, n)
+        .select(F.explode("__sh").alias("__shingle"))
+        .select(F.xxhash64("__shingle").alias("__h"))
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "__h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__h").alias("n_shared_shingles"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus rows with every benchmark-overlapping doc removed.
+
+    Anti-join against `contamination_report` ids — full rows never ride a
+    shuffle (only (id, count) pairs do), mirroring `exact_dedup`'s
+    semi-join-back shape.
+    """
+    flagged = contamination_report(corpus, benchmark, text_col, id_col, n).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Top-k vocabulary terms by document frequency (vocabulary/tokenizer
+    prep: the heavy-hitter scan before BPE merges are trained).
+
+    explode(normalized tokens) -> distinct (doc, term) -> one groupBy term
+    counting docs + occurrences -> global top-k (TakeOrderedAndProject, no
+    full sort). Two shuffles (distinct + agg) both keyed on the term, so
+    AQE coalesces them; skewed stopword terms are single-key aggregates
+    (combiner handles them map-side), not join fanout.
+
+    Ties broken (doc_freq desc, total_occurrences desc, term asc) so top-k
+    is deterministic.
+    """
+    from pspcz_analyzer_spark.functions.text import normalize_text
+
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counted = (
+        terms.groupBy("term")
+        .agg(
+            F.count_distinct(id_col).alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_occurrences"),
+        )
+    )
+    return counted.orderBy(
+        F.desc("doc_freq"), F.desc("total_occurrences"), F.asc("term")
+    ).limit(k)

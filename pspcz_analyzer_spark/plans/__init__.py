@@ -98,6 +98,14 @@ _PRIORITY: dict[str, int] = {
     "mp_similarity_top20": PRIORITY_NEW,
     # Round 3's composed corpus pipeline (plans/corpus.py).
     "training_corpus_prepare": PRIORITY_NEW,
+    # Round 3's corpus-prep operators (plans/corpus.py): the two with novel
+    # machinery (shingle-overlap decontamination, windowed sequence packing)
+    # take driver-budget slots; the projection-shaped split and the top-k
+    # vocabulary scan queue just past the cutoff (locally gate-checked).
+    "corpus_decontaminate": PRIORITY_NEW,
+    "corpus_pack_sequences": PRIORITY_NEW,
+    "corpus_train_split": PRIORITY_NEW_TPCH + 1,
+    "doc_top_terms": PRIORITY_NEW_TPCH + 1,
     # IVF's oracle anchor (exhaustive probe == brute force, plans/vectors.py).
     "ann_ivf_exhaustive_top10": PRIORITY_NEW,
     # Round 3's TPC-H completions (plans/tpch_full.py). The shapes with the

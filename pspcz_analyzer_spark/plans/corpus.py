@@ -118,3 +118,162 @@ def training_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "pred_lang", "shard", "n_tokens", "n_bpe_tokens", "quality_score"
     ).orderBy("doc_id")
+
+
+_SPLIT_BUCKET = "((doc_id * 2654435761) % 4294967296) % 100"
+
+
+@register(
+    "corpus_train_split",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SPLIT_BUCKET} AS INTEGER) AS bucket,
+           CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "split", "new-surface"),
+    doc="Deterministic hash-bucket train/val/test assignment (90/5/5): a "
+    "pure projection, stable across runs and data growth — docs never "
+    "migrate between splits (operators/corpusprep.py::train_val_test_split).",
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return train_val_test_split(docs).orderBy("doc_id")
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT *, COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM base
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(floor(cum / 512) AS INTEGER) AS pack_id,
+           CAST(cum % 512 AS INTEGER) AS pack_offset
+    FROM packed
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "packing", "W3-scale", "new-surface"),
+    doc="Sequence packing: lay docs end-to-end within hash shards and "
+    "assign each to its 512-token training block (contiguous-fill packing; "
+    "straddling docs are attention-masked downstream, "
+    "operators/corpusprep.py::pack_sequences).",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark.functions.text import token_count
+    from pspcz_analyzer_spark.operators.corpusprep import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    return pack_sequences(docs, "n_tokens", budget=512, shard_col="shard").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH bench_docs AS (
+      SELECT doc_id + 500000 AS doc_id,
+             substr(text, 1, CAST(floor(n_chars / 3) AS INT)) AS text
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    c_norm AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS toks
+      FROM documents
+    ),
+    b_norm AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS toks
+      FROM bench_docs
+    ),
+    c_sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> array_to_string(toks[i:least(i + 4, len(toks))], ' ')
+             )) AS shingle
+      FROM c_norm
+    ),
+    b_sh AS (
+      SELECT DISTINCT
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> array_to_string(toks[i:least(i + 4, len(toks))], ' ')
+             )) AS shingle
+      FROM b_norm
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM c_sh c JOIN b_sh b USING (shingle)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    tags=("pipeline", "dedup-near", "decontamination", "new-surface"),
+    doc="Benchmark decontamination: corpus docs sharing any normalized "
+    "5-gram with a planted eval set (first thirds of every 97th doc), with "
+    "distinct-shared-shingle counts. Candidate pairs only meet via shared "
+    "shingle hashes; the (small) benchmark side broadcasts "
+    "(operators/corpusprep.py::contamination_report).",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark.operators.corpusprep import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(n_chars / 3) AS INT))").alias("text"),
+    )
+    return contamination_report(
+        docs.select("doc_id", "text"), bench, n=5
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_top_terms",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(string_split({_NORM.format(c="text")}, ' ')) AS term
+      FROM documents
+    ),
+    counted AS (
+      SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_occurrences
+      FROM terms WHERE term <> ''
+      GROUP BY term
+    )
+    SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(total_occurrences AS BIGINT) AS total_occurrences
+    FROM counted
+    ORDER BY doc_freq DESC, total_occurrences DESC, term ASC
+    LIMIT 50
+    """,
+    tags=("pipeline", "vocab", "A7-scale", "new-surface"),
+    doc="Top-50 vocabulary terms by document frequency (tokenizer-prep "
+    "heavy-hitter scan): explode normalized tokens, one term-keyed "
+    "aggregate, global top-k via TakeOrderedAndProject; ties broken "
+    "deterministically (operators/corpusprep.py::top_terms).",
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import top_terms
+
+    return top_terms(load_table(spark, sf_dir, "documents"), k=50)
