@@ -51,6 +51,8 @@ HEADLINE = [
     "mp_pca_coords",
     "near_dup_jaccard_capped",
     "minhash_lsh_exact_recall",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
     "steno_parse_votes",
     "doc_topics_enriched",
     "events_tumbling_1h",

@@ -71,3 +71,30 @@ def fingerprint(col: Column | str) -> Column:
     so it is oracle-checkable.
     """
     return F.md5(normalize_text(col))
+
+
+# PII patterns chosen to be portable between Java regex (Spark) and RE2
+# (DuckDB) so redaction oracles can replicate them verbatim: no lookarounds,
+# no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"(\+[0-9]{3} )?[0-9]{3} [0-9]{3} [0-9]{3}"
+
+
+def count_pii(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_mail = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_tel = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
+    return n_mail, n_tel
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails then phone-shaped numbers with typed placeholders.
+
+    Order matters: the email pattern consumes digits that could otherwise
+    be phone-matched, so emails are removed first (both engines agree).
+    Built-in regexp_replace — JVM-side, global replace, zero UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")

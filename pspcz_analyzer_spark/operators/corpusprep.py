@@ -185,3 +185,87 @@ def top_terms(
     return counted.orderBy(
         F.desc("doc_freq"), F.desc("total_occurrences"), F.asc("term")
     ).limit(k)
+
+
+# A second multiplicative-hash constant (xxHash's PRIME32_2) so sampling
+# buckets are decorrelated from the train/val/test split buckets.
+_KNUTH2 = 2246822519
+
+
+def dup_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document duplicate n-gram fraction (the Gopher-style repetition
+    filter signal: templated/spammy docs repeat phrases).
+
+    One scan, one projection — shingle occurrences and their distinct count
+    both come from a single per-row array (no explode, no shuffle).
+    `dup_ngram_frac` = 1 - distinct/total in [0, 1); short docs (< n
+    tokens) yield one partial shingle and a 0.0 fraction.
+    """
+    sh = _shingle_arrays(df.select(id_col, text_col), id_col, text_col, n, distinct=False)
+    total = F.size("__sh")
+    ndist = F.size(F.array_distinct("__sh"))
+    return sh.select(
+        id_col,
+        total.alias("n_ngrams"),
+        ndist.alias("n_distinct_ngrams"),
+        F.round(F.lit(1.0) - ndist / total, 6).alias("dup_ngram_frac"),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 10,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls below the stratum's percentage (data-mixing reweighting,
+    e.g. upweight rare languages / downweight boilerplate sources).
+
+    A pure projection+filter — no shuffle, no RNG: re-runs keep exactly the
+    same rows (unlike `df.sample`, whose per-partition RNG reshuffles
+    membership whenever partitioning changes), so downstream incremental
+    stages stay idempotent. Buckets are decorrelated from
+    `train_val_test_split`'s by a different hash constant.
+    """
+    c = F.col(id_col).cast("long")
+    bucket = ((c * F.lit(_KNUTH2)) % F.lit(1 << 32)) % F.lit(100)
+    pct = F.lit(default_pct)
+    for val, p in rates.items():
+        pct = F.when(F.col(stratum_col) == val, F.lit(p)).otherwise(pct)
+    return df.withColumn("sample_bucket", bucket.cast("int")).filter(
+        F.col("sample_bucket") < pct
+    )
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    cap: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each group's docs (in `order_col` order) until the group's
+    running token total reaches `cap` — per-source token budgeting, the
+    mixture-weight enforcement step of corpus assembly.
+
+    A doc is kept iff the tokens BEFORE it fit the cap, so every group
+    keeps at least its first doc and group token totals land in
+    [cap, cap + max_doc_tokens). One shuffle on `group_col`; the running
+    sum is a within-group window (same scale contract as
+    `pack_sequences`: group count bounds parallelism).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        df.withColumn("tokens_before", cum_before)
+        .filter(F.col("tokens_before") < cap)
+        .withColumn("tokens_before", F.col("tokens_before").cast("long"))
+    )

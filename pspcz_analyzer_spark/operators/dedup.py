@@ -45,9 +45,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingle_arrays(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
 ) -> DataFrame:
-    """(id, distinct word n-gram shingle array) — one row per doc.
+    """(id, word n-gram shingle array) — one row per doc; de-duplicated
+    per doc by default (``distinct=False`` keeps every occurrence, for
+    repetition statistics).
 
     Formulation note (measured, not guessed): the obvious
     ``transform(sequence(...), i -> concat_ws(' ', slice(__t, i+1, n)))``
@@ -65,13 +67,16 @@ def _shingle_arrays(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("__t")
     )
     if n == 1:
-        return toks.select(id_col, F.array_distinct("__t").alias("__sh"))
+        arr = "array_distinct(__t)" if distinct else "__t"
+        return toks.select(id_col, F.expr(arr).alias("__sh"))
     shifted = ", ".join(
         f"slice(__t, {k + 1}, greatest(size(__t) - {k}, 0))" for k in range(n)
     )
     zipped = f"slice(arrays_zip({shifted}), 1, greatest(size(__t) - {n - 1}, 1))"
     fields = ", ".join(f"s['{k}']" for k in range(n))
-    gram = f"array_distinct(transform({zipped}, s -> concat_ws(' ', {fields})))"
+    gram = f"transform({zipped}, s -> concat_ws(' ', {fields}))"
+    if distinct:
+        gram = f"array_distinct({gram})"
     return toks.select(id_col, F.expr(gram).alias("__sh"))
 
 

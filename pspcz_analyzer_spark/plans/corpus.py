@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pspcz_analyzer_spark.catalog import load_table
@@ -277,3 +278,158 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.corpusprep import top_terms
 
     return top_terms(load_table(spark, sf_dir, "documents"), k=50)
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "(\\+[0-9]{3} )?[0-9]{3} [0-9]{3} [0-9]{3}"
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')
+             ) AS grams
+      FROM norm
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INTEGER) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_ngrams,
+           round(1.0 - len(list_distinct(grams)) / len(grams), 6) AS dup_ngram_frac
+    FROM sh
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "quality", "repetition", "new-surface"),
+    doc="Gopher-style duplicate 3-gram fraction per document (templated/"
+    "spammy text repeats phrases): shingle occurrences and their distinct "
+    "count from ONE per-row array — no explode, no shuffle "
+    "(operators/corpusprep.py::dup_ngram_stats).",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import dup_ngram_stats
+
+    return dup_ngram_stats(load_table(spark, sf_dir, "documents"), n=3).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "corpus_pii_redacted",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' kontakt: clen' || doc_id
+                       || '@psp.cz volejte +420 602 123 456'
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM planted
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "pii", "F-scale", "new-surface"),
+    doc="PII redaction over a corpus with planted contact lines (every 7th "
+    "doc): portable email/phone regexes (no lookarounds, Java+RE2 "
+    "identical), typed placeholders, fingerprint of the redacted text "
+    "proving byte-identical output (functions/text.py::redact_pii).",
+)
+def corpus_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.functions.text import count_pii, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" kontakt: clen"),
+            F.col("doc_id").cast("string"),
+            F.lit("@psp.cz volejte +420 602 123 456"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", planted.alias("t"))
+    n_mail, n_tel = count_pii("t")
+    return staged.select(
+        "doc_id",
+        n_mail.alias("n_emails"),
+        n_tel.alias("n_phones"),
+        F.md5(redact_pii("t")).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_lang_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(((doc_id * 2246822519) % 4294967296) % 100 AS INTEGER)
+               AS sample_bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_bucket
+    FROM b
+    WHERE sample_bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+                          ELSE 10 END
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "sampling", "new-surface"),
+    doc="Deterministic stratified downsampling for data mixing (keep all "
+    "en, half de, 10% of the rest): hash-bucket membership, so re-runs and "
+    "repartitionings keep exactly the same rows — unlike df.sample "
+    "(operators/corpusprep.py::stratified_hash_sample).",
+)
+def corpus_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, "lang", {"en": 100, "de": 50}, default_pct=10
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_source_cap",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM base
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(tokens_before AS BIGINT) AS tokens_before
+    FROM c
+    WHERE tokens_before < 800
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "mixing", "W3-scale", "new-surface"),
+    doc="Per-source token budgeting (mixture-weight enforcement): keep each "
+    "source's docs in doc_id order until 800 tokens are on board; "
+    "within-group running-sum window, one shuffle on source "
+    "(operators/corpusprep.py::cap_tokens_per_group).",
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.functions.text import token_count
+    from pspcz_analyzer_spark.operators.corpusprep import cap_tokens_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return cap_tokens_per_group(docs, "source", "n_tokens", cap=800).orderBy("doc_id")

@@ -157,3 +157,103 @@ class TestTopTerms:
         )
         rows = top_terms(df, k=5).collect()
         assert [(r.term, r.doc_freq) for r in rows] == [("word", 1)]
+
+
+class TestDupNgramStats:
+    def test_hand_fractions(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import dup_ngram_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c a b c a b c"),   # 7 3-grams, 3 distinct
+                (2, "p q r s t u v"),       # 5 3-grams, all distinct
+                (3, "x y"),                 # short doc: 1 partial shingle
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dup_ngram_stats(df, n=3).collect()}
+        assert (out[1].n_ngrams, out[1].n_distinct_ngrams) == (7, 3)
+        assert abs(out[1].dup_ngram_frac - (1 - 3 / 7)) < 1e-6
+        assert (out[2].n_ngrams, out[2].n_distinct_ngrams) == (5, 5)
+        assert out[2].dup_ngram_frac == 0.0
+        assert (out[3].n_ngrams, out[3].dup_ngram_frac) == (1, 0.0)
+
+
+class TestPiiRedaction:
+    def test_redact_and_count(self, spark):
+        from pspcz_analyzer_spark.functions.text import count_pii, redact_pii
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at a.b@c.org or x_1%y@d.co.uk today"),
+                (2, "call +420 601 202 303 or 777 888 999 now"),
+                (3, "no pii here"),
+            ],
+            "doc_id long, text string",
+        )
+        n_mail, n_tel = count_pii("text")
+        rows = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id",
+                n_mail.alias("m"),
+                n_tel.alias("p"),
+                redact_pii("text").alias("r"),
+            ).collect()
+        }
+        assert (rows[1].m, rows[1].p) == (2, 0)
+        assert rows[1].r == "mail me at <EMAIL> or <EMAIL> today"
+        assert (rows[2].m, rows[2].p) == (0, 2)
+        assert rows[2].r == "call <PHONE> or <PHONE> now"
+        assert rows[3].r == "no pii here"
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            _KNUTH2,
+            stratified_hash_sample,
+        )
+        import pyspark.sql.functions as F
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+        )
+        kept = stratified_hash_sample(df, "lang", {"en": 100}, default_pct=10)
+        rows = kept.collect()
+        # Every kept row matches the hand hash rule.
+        for r in rows:
+            bucket = ((r.doc_id * _KNUTH2) % (1 << 32)) % 100
+            assert r.sample_bucket == bucket
+            assert (r.lang == "en") or bucket < 10
+        en = sum(1 for r in rows if r.lang == "en")
+        zh = sum(1 for r in rows if r.lang == "zh")
+        assert en == 500          # keep-all stratum is complete
+        assert 20 <= zh <= 90     # ~10% of 500
+        # Re-run keeps the identical membership.
+        again = {r.doc_id for r in stratified_hash_sample(
+            df, "lang", {"en": 100}, default_pct=10).collect()}
+        assert again == {r.doc_id for r in rows}
+
+
+class TestCapTokensPerGroup:
+    def test_cap_boundaries(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import cap_tokens_per_group
+
+        df = spark.createDataFrame(
+            [
+                (1, "s1", 6), (2, "s1", 6), (3, "s1", 6),  # cum_before 0,6,12
+                (4, "s2", 50),                              # huge first doc
+                (5, "s2", 1),
+            ],
+            "doc_id long, source string, n_tokens int",
+        )
+        kept = {r.doc_id: r for r in
+                cap_tokens_per_group(df, "source", "n_tokens", cap=10).collect()}
+        # s1: docs 1 (before=0) and 2 (before=6) kept; doc 3 (before=12) cut.
+        assert set(kept) == {1, 2, 4}
+        assert kept[2].tokens_before == 6
+        # Every group keeps its first doc even when it alone exceeds the cap.
+        assert kept[4].tokens_before == 0
