@@ -117,14 +117,23 @@ def contamination_report(
 
     Returns (id_col, n_shared_shingles), one row per contaminated doc.
     """
-    c_sh = (
-        _shingle_arrays(corpus.select(id_col, text_col), id_col, text_col, n)
-        .select(id_col, F.explode("__sh").alias("__shingle"))
-        .withColumn("__h", F.xxhash64("__shingle"))
-    )
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull, spread
+
+    # Shingling + explode is CPU-bound per row: widen few-split inputs so
+    # they can't starve the executors (no-op when file splits already
+    # saturate the cluster — the 100 TB case).
+    c_sh = explode_notnull(
+        _shingle_arrays(spread(corpus.select(id_col, text_col)), id_col, text_col, n),
+        "__sh",
+        "__shingle",
+        keep=(id_col,),
+    ).withColumn("__h", F.xxhash64("__shingle"))
     b_sh = (
-        _shingle_arrays(benchmark.select(id_col, text_col), id_col, text_col, n)
-        .select(F.explode("__sh").alias("__shingle"))
+        explode_notnull(
+            _shingle_arrays(benchmark.select(id_col, text_col), id_col, text_col, n),
+            "__sh",
+            "__shingle",
+        )
         .select(F.xxhash64("__shingle").alias("__h"))
         .distinct()
     )
@@ -171,9 +180,10 @@ def top_terms(
     is deterministic.
     """
     from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
 
-    terms = df.select(
-        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    terms = explode_notnull(
+        df, F.split(normalize_text(text_col), " "), "term", keep=(id_col,)
     ).filter(F.col("term") != "")
     counted = (
         terms.groupBy("term")

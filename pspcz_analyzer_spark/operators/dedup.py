@@ -30,7 +30,11 @@ _MERSENNE = (1 << 61) - 1
 
 # Shared CPU-stage widening helper (kept under the old private name for
 # existing imports).
-from pspcz_analyzer_spark.operators.partitioning import spread as _spread
+from pspcz_analyzer_spark.operators.partitioning import (
+    explode_notnull,
+    posexplode_notnull,
+    spread as _spread,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -111,9 +115,9 @@ def ngram_jaccard_pairs(
     # Join/shuffle on the 8-byte shingle hash, not the string — same pair
     # semantics (xxhash64 collisions are ~2^-64 per candidate pair), far
     # less shuffle volume.
-    sh = arrays.select(
-        F.col(id_col), F.explode("__sh").alias("__s")
-    ).select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
+    sh = explode_notnull(arrays, "__sh", "__s", keep=(id_col,)).select(
+        F.col(id_col), F.xxhash64("__s").alias("shingle")
+    )
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -167,8 +171,11 @@ def minhash_signatures(
     Jaccard estimate. Deterministic, so signatures are stable across
     runs/partitions (incremental-dedup safe).
     """
-    sh = _shingle_arrays(_spread(df), id_col, text_col, shingle_n).select(
-        F.col(id_col), F.explode("__sh").alias("shingle")
+    sh = explode_notnull(
+        _shingle_arrays(_spread(df), id_col, text_col, shingle_n),
+        "__sh",
+        "shingle",
+        keep=(id_col,),
     )
     mins = sh.groupBy(id_col).agg(
         *[
@@ -199,25 +206,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[i].cast("string")
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
             )
-        ).alias("band_idx", "band_hash"),
+            for b in range(bands)
+        ]
     )
+    banded = posexplode_notnull(sig, band_arr, "band_idx", "band_hash", keep=(id_col,))
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -235,8 +238,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     (+1 if bit k of xxhash64(token) else -1). Near-duplicate docs differ in
     few bits (compare with bit_count(a XOR b) downstream).
     """
-    toks = _spread(df).select(
-        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    toks = explode_notnull(
+        _spread(df), F.split(normalize_text(text_col), " "), "tok", keep=(id_col,)
     ).withColumn("h", F.xxhash64("tok"))
     contribs = toks.groupBy(id_col).agg(
         *[
@@ -267,17 +270,14 @@ def simhash_pairs(
     sig = simhash(df, text_col, id_col)
     chunk_width = 64 // blocks
     mask = (1 << chunk_width) - 1
-    chunked = sig.select(
-        id_col,
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    (F.shiftrightunsigned(F.col("simhash"), i * chunk_width).bitwiseAND(F.lit(mask)))
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("block_idx", "chunk"),
+    chunk_arr = F.array(
+        *[
+            (F.shiftrightunsigned(F.col("simhash"), i * chunk_width).bitwiseAND(F.lit(mask)))
+            for i in range(blocks)
+        ]
+    )
+    chunked = posexplode_notnull(
+        sig, chunk_arr, "block_idx", "chunk", keep=(id_col, "simhash")
     )
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block_idx", "chunk"

@@ -12,7 +12,8 @@ from __future__ import annotations
 import contextlib
 import io
 
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
 
 
 def _plan_text(df: DataFrame) -> str:
@@ -48,3 +49,45 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def explode_notnull(
+    df: DataFrame, arr: Column | str, alias: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """``df.select(*keep, explode(arr).alias(alias))`` without the
+    inferred-filter trap.
+
+    A non-outer explode invites ``InferFiltersFromGenerate`` to add
+    ``size(arr) > 0 AND isnotnull(arr)`` below the Generate. That filter
+    embeds TWO copies of the (often expensive) array expression, and
+    predicate pushdown drags it below any repartition — so the expression
+    is re-evaluated per row on the RAW input's few splits, serializing the
+    whole stage (measured 13x slower for shingle explodes over a one-file
+    Parquet scan: 14.4 s -> 1.1 s at 50 k docs x n=5).
+
+    ``explode_outer`` infers no such filter; the row it emits for a
+    null/empty array carries a null ``alias``, dropped by a cheap filter on
+    the OUTPUT column — restoring inner-explode semantics.
+
+    Caveat: arrays whose ELEMENTS can be null are not for this helper (an
+    inner explode keeps null elements; the output filter here drops them).
+    Every array in this codebase is built from concat_ws/split/hash
+    expressions, which never produce null elements.
+    """
+    out = df.select(*[F.col(c) for c in keep], F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
+
+
+def posexplode_notnull(
+    df: DataFrame,
+    arr: Column | str,
+    pos_alias: str,
+    alias: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """``posexplode`` twin of :func:`explode_notnull` (same rationale)."""
+    out = df.select(
+        *[F.col(c) for c in keep],
+        F.posexplode_outer(arr).alias(pos_alias, alias),
+    )
+    return out.filter(F.col(alias).isNotNull())

@@ -464,10 +464,11 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    toks = explode_notnull(
+        docs, F.split(normalize_text("text"), " "), "tok", keep=("lang",)
     )
     return (
         toks.groupBy("lang")
@@ -495,10 +496,11 @@ def doc_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_vocab_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    toks = explode_notnull(
+        docs, F.split(normalize_text("text"), " "), "tok", keep=("lang",)
     )
     return (
         toks.groupBy("lang")
