@@ -95,19 +95,57 @@ _NESTED_LOOP_OK = {
 }
 
 
-def test_no_nested_loop_joins_anywhere(spark):
-    offenders = {}
+@pytest.fixture(scope="module")
+def all_plans(spark) -> dict[str, str]:
+    """Executed-plan text for every registered query (compiled once)."""
+    plans = {}
     for qname, fn in query_fns().items():
+        try:
+            plans[qname] = _plan(fn(spark, SF_DIR))
+        except Exception as e:  # pragma: no cover - plan build must not fail
+            plans[qname] = f"PLAN BUILD ERROR: {e}"
+    return plans
+
+
+def test_no_nested_loop_joins_anywhere(all_plans):
+    offenders = {}
+    for qname, plan in all_plans.items():
         if qname in _NESTED_LOOP_OK:
             continue
-        try:
-            plan = _plan(fn(spark, SF_DIR))
-        except Exception as e:  # pragma: no cover - plan build must not fail
-            offenders[qname] = f"plan build error: {e}"
-            continue
-        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+        if plan.startswith("PLAN BUILD ERROR"):
+            offenders[qname] = plan
+        elif "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             offenders[qname] = "nested-loop/cartesian join in plan"
     assert not offenders, offenders
+
+
+# Expression constructors that are catastrophic to re-evaluate inside an
+# inferred Generate filter (see PLANS.md "the explode inferred-filter trap"
+# and partitioning.explode_notnull). A Filter condition applying size() to a
+# CONSTRUCTED array (rather than an attribute) means InferFiltersFromGenerate
+# duplicated the construction — the round-3 13x regression signature.
+_TRAP_SIGNATURES = ("size(array_distinct(", "size(transform(", "size(split(")
+
+
+def test_no_inferred_filter_trap(all_plans):
+    offenders = {}
+    for qname, plan in all_plans.items():
+        # Only FILTER nodes matter: size(<constructor>) in a Project is the
+        # intended single evaluation (e.g. token counts); the same text in a
+        # Filter condition means the constructor runs an extra 2x per row.
+        hits = [
+            s
+            for line in plan.splitlines()
+            if "Filter" in line
+            for s in _TRAP_SIGNATURES
+            if s in line
+        ]
+        if hits:
+            offenders[qname] = sorted(set(hits))
+    assert not offenders, (
+        "explode over a constructed array re-evaluates the constructor in an "
+        f"inferred filter; route it through partitioning.explode_notnull: {offenders}"
+    )
 
 
 def test_q6_filter_pushdown(spark):
