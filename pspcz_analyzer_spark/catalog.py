@@ -39,10 +39,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one Parquet table lazily (scan node only; no action).
 
-    ``events.ts`` is written as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds,
-    so rebuild a microsecond timestamp (``div 1000`` truncates exactly like
-    DuckDB's nanos->micros read — keeps oracles hash-identical).
+    ``events.ts`` is TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+    reads as TIMESTAMP_NTZ — naive values identical to DuckDB's read, so
+    oracles hash-match with no timezone dependence. Earlier testdata
+    generations wrote TIMESTAMP(NANOS); the conf + rebuild below keep those
+    readable (nanos arrive as long, ``div 1000`` truncates to micros exactly
+    like DuckDB's nanos->micros read).
     """
     # Self-sufficient under a vanilla SparkSession (the verification driver
     # builds its own): TIMESTAMP(NANOS) parquet columns are unreadable unless

@@ -38,7 +38,9 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(*order)
     w_acc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(time_col).over(w)
-    gap_us = F.unix_micros(F.col(time_col)) - F.unix_micros(prev)
+    # timestamp_diff (not unix_micros) so the operator accepts both
+    # TIMESTAMP and TIMESTAMP_NTZ event-time columns.
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(time_col))
     is_new = F.when(
         prev.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))

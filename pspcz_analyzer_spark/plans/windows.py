@@ -72,7 +72,7 @@ def events_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(_user_window())
     return events.select(
         "event_id", "user_id", "ts",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+        F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")).alias("gap_us"),
     ).orderBy("event_id")
 
 

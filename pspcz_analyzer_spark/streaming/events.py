@@ -23,23 +23,31 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-# events.parquet read schema: ts arrives as long nanoseconds under
-# spark.sql.legacy.parquet.nanosAsLong (see session.py).
+# events.parquet read schema: ts is written as TIMESTAMP(MICROS,
+# isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ — declare it
+# that way so the streaming schema matches the batch load_table read.
 _EVENTS_RAW = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one-file backlog; in
-    production a landing directory that keeps growing)."""
+    production a landing directory that keeps growing).
+
+    Watermarks demand TIMESTAMP (with zone), so the naive column is cast
+    LTZ; pinning the session zone to UTC makes that cast the identity on
+    the underlying micros value (stream results stay equal to the NTZ
+    batch twins and the DuckDB oracle regardless of machine timezone).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
