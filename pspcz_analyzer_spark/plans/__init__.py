@@ -42,6 +42,15 @@ PRIORITY_CORE = 10
 PRIORITY_REVERIFY = 20
 PRIORITY_NEW = 30
 PRIORITY_NEW_TPCH = 35
+# Rows-only queries (no oracle possible: LSH/IVF results are
+# approximation-defined, PCA basis signs impl-defined, HLL estimates) sit
+# just past the driver's checked-query budget: each has an oracle-paired
+# anchor INSIDE the budget proving the same machinery
+# (minhash_lsh_exact_recall for LSH banding, ann_ivf_exhaustive_top10 for
+# the IVF index, mp_vote_similarity for the vote-matrix encoding PCA
+# consumes, doc_vocab_exact for the vocabulary scan), so a driver slot
+# spent on a permanent rows-only row would be a slot wasted.
+PRIORITY_ROWS_ONLY = 50
 PRIORITY_FLAGSHIP = 60
 
 _PRIORITY: dict[str, int] = {
@@ -62,11 +71,8 @@ _PRIORITY: dict[str, int] = {
             "events_session_window_10m",
             "events_sessionized",
             "ann_bruteforce_top10",
-            "ann_lsh_pairs",
-            "ann_ivf_top10",
             "embedding_pairs_cross_label",
             "mp_vote_similarity",
-            "mp_pca_coords",
             "q1_pricing_summary",
             "q3_top_revenue_orders",
             "q5_nation_revenue",
@@ -92,6 +98,15 @@ _PRIORITY: dict[str, int] = {
             "order_lines_nested",
             "doc_length_quantiles",
             "doc_vocab_exact",
+        )
+    },
+    # Rows-only by design (see PRIORITY_ROWS_ONLY note above).
+    **{
+        n: PRIORITY_ROWS_ONLY
+        for n in (
+            "ann_lsh_pairs",
+            "ann_ivf_top10",
+            "mp_pca_coords",
         )
     },
     # Serving-facade composite added late in round 2 — never driver-checked.
