@@ -83,9 +83,13 @@ def main() -> None:
     # operator under measurement) and spawn the Python UDF workers once so
     # mapInPandas rows time the parse, not interpreter startup.
     try:
-        from pspcz_analyzer_spark.plans.documents import ensure_steno_corpus
+        from pspcz_analyzer_spark.plans.documents import (
+            ensure_steno_corpus,
+            ensure_steno_votes,
+        )
 
         ensure_steno_corpus(spark, sf_dir)
+        ensure_steno_votes(spark, sf_dir)
         spark.range(spark.sparkContext.defaultParallelism).repartition(
             spark.sparkContext.defaultParallelism
         ).mapInPandas(lambda it: it, "id long").collect()
@@ -103,6 +107,25 @@ def main() -> None:
         except Exception as e:  # keep benching; a broken query reports -1
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # A query's persisted intermediates are dead once it is collected
+        # (plans persist shared subtrees and rely on eviction); dropping
+        # them between timings keeps the storage fraction from squeezing
+        # later queries' execution memory — each row times the query, not
+        # the session's accumulated cache debris.
+        spark.catalog.clearCache()
+        # Python refs pin JVM-side plans/broadcasts through py4j until the
+        # Python GC runs, and the JVM only reclaims them under pressure —
+        # measured: +2-8 s on late similarity queries in a 36-query
+        # session. Collect both heaps between timings (harness-only
+        # hygiene, outside every timed window; _jvm is the only route to
+        # System.gc from PySpark).
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(

@@ -51,27 +51,23 @@ def _steno_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ensure_steno_corpus(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the synthesized steno corpus to scratch Parquet once.
-
-    The corpus is a deterministic function of the immutable ``orders``
-    testdata, so write-if-missing is safe; benchmarks then time the
-    mapInPandas PARSE, not the window-heavy corpus synthesis (which is
-    test fixture construction, not the operator under measurement).
-    """
+def _ensure_scratch(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
+    """Materialize a deterministic derivation of the immutable testdata to
+    scratch Parquet once (write-if-missing; ``build(spark, sf_dir)`` returns
+    the DataFrame)."""
     import os
     import shutil
     import tempfile
     import uuid
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_steno_corpus")
+    dir_tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{dir_tag}_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # Build-then-rename so concurrent callers (two queries sharing the
         # corpus in one harness run) can never observe a half-written dir:
         # the loser of the rename race just discards its stage.
         stage = f"{path}.__build_{uuid.uuid4().hex[:8]}"
-        _steno_docs(spark, sf_dir).write.mode("overwrite").parquet(stage)
+        build(spark, sf_dir).write.mode("overwrite").parquet(stage)
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             shutil.rmtree(stage, ignore_errors=True)
         else:
@@ -81,6 +77,33 @@ def ensure_steno_corpus(spark: SparkSession, sf_dir: str) -> str:
             except OSError:
                 shutil.rmtree(stage, ignore_errors=True)  # racer won; theirs is complete
     return path
+
+
+def ensure_steno_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the synthesized steno corpus to scratch Parquet once.
+
+    The corpus is a deterministic function of the immutable ``orders``
+    testdata, so write-if-missing is safe; benchmarks then time the
+    mapInPandas PARSE, not the window-heavy corpus synthesis (which is
+    test fixture construction, not the operator under measurement).
+    """
+    return _ensure_scratch(spark, sf_dir, "steno_corpus", _steno_docs)
+
+
+def ensure_steno_votes(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the PARSED steno votes to scratch Parquet once.
+
+    Downstream composites (the amendment merge) consume the parser's output
+    table the way the reference's merger reads the parse cache
+    (cache_manager.py:14-47) — the parse itself is the operator under
+    measurement only in ``steno_parse_votes``, which always runs it live.
+    """
+    return _ensure_scratch(
+        spark,
+        sf_dir,
+        "steno_votes",
+        lambda s, d: parse_steno_documents(s.read.parquet(ensure_steno_corpus(s, d))),
+    )
 
 
 def _amendment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,9 +404,7 @@ def amendments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.amendments import merge_amendment_sources
     from pspcz_analyzer_spark.operators.docparse import parse_amendment_documents
 
-    votes = parse_steno_documents(
-        spark.read.parquet(ensure_steno_corpus(spark, sf_dir))
-    )
+    votes = spark.read.parquet(ensure_steno_votes(spark, sf_dir))
     presented = F.when(
         (F.col("seq") % 3 == 0) & (F.col("letter") != ""),
         F.concat(F.col("letter"), F.lit("1")),
