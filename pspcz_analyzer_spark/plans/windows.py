@@ -278,3 +278,83 @@ def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("window_start")
+
+
+@register(
+    "events_stream_view_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           p.ts AS purchase_ts, v.ts AS view_ts,
+           p.value AS purchase_value
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, view_id
+    """,
+    tags=("streaming", "stream-stream-join", "new-surface"),
+    priority=30,
+    doc="STREAM-STREAM interval self-join run live through the gate: "
+    "purchases joined to the same user's views in the preceding hour, "
+    "both sides watermarked, availableNow-drained to a memory sink and "
+    "hash-compared against the batch interval-join SQL. Join state is "
+    "bounded by watermark + window (eviction proven in "
+    "tests/test_streaming.py), so state never grows with stream length.",
+)
+def events_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.streaming.events import (
+        read_events_stream,
+        view_purchase_attribution,
+    )
+
+    sink = "events_stream_view_purchase_sink"
+    q = (
+        view_purchase_attribution(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("purchase_id", "view_id")
+
+
+@register(
+    "events_stream_nation_totals",
+    oracle="""
+    SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "stream-static-join", "new-surface"),
+    priority=36,
+    doc="Stream-static join run live: the event stream enriched against "
+    "broadcast batch dims (customer -> nation) and aggregated per nation "
+    "in complete mode. Stateless join — each micro-batch probes the "
+    "current dim snapshot; no stream-side shuffle (broadcast), no state "
+    "store entries at any corpus size.",
+)
+def events_stream_nation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.streaming.events import (
+        enrich_nation_totals,
+        read_events_stream,
+    )
+
+    sink = "events_stream_nation_totals_sink"
+    q = (
+        enrich_nation_totals(
+            read_events_stream(spark, sf_dir),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "nation"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("n_name")

@@ -44,9 +44,11 @@ _SCALE_CONFS: dict[str, str] = {
     # ANSI off => lenient casts (invalid -> null), matching the reference's
     # strict=False casts (/root/reference/pspcz_analyzer/data/parser.py:51-57).
     "spark.sql.ansi.enabled": "false",
-    # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS), which
-    # Spark's vectorized reader rejects outright; read the raw nanos as long
-    # and let catalog.load_table rebuild a (microsecond) timestamp.
+    # Older testdata generations stored events.ts as INT64 TIMESTAMP(NANOS),
+    # which Spark's vectorized reader rejects outright; with this conf the
+    # raw nanos arrive as long and catalog.load_table rebuilds a
+    # (microsecond) timestamp. Current generations write TIMESTAMP(MICROS)
+    # (read as TIMESTAMP_NTZ), where the conf is inert.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # UNL files are Windows-1250; Spark 4 whitelists only a few charsets
     # unless legacy JVM charsets are allowed.

@@ -102,6 +102,84 @@ def session_counts(
     )
 
 
+def enrich_nation_totals(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with BATCH dimension
+    tables (customer -> nation), then aggregate per nation.
+
+    The static side is broadcast — no stream-side shuffle for the join, no
+    join state at all (stream-static joins are stateless; each micro-batch
+    probes the current dim snapshot). This is the streaming twin of the
+    dict-lookup enrichment the reference does per request; at cluster
+    scale the dims refresh by re-reading the snapshot between batches.
+    """
+    bridge = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_nationkey"
+        ).join(
+            nation.select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("user_id", "n_name")
+    )
+    return (
+        events.join(bridge, "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def view_purchase_attribution(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream self-join: attribute each purchase to the same user's
+    views in the preceding ``window``.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both ends, so the state store holds only rows inside
+    watermark + window — state is evicted as the watermark advances and
+    never grows with stream length. Inner-join matches emit as soon as
+    both rows have arrived (no watermark wait), so an availableNow drain
+    equals the batch interval join row-for-row.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"user_id = v_user AND view_ts >= purchase_ts - interval {window}"
+            " AND view_ts < purchase_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        "purchase_ts",
+        "view_ts",
+        "purchase_value",
+    )
+
+
 def dedupe_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

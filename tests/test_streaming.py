@@ -149,6 +149,135 @@ def test_watermark_drops_late_data(spark, tmp_path):
         q.stop()
 
 
+def test_view_purchase_stream_parity(spark, stream):
+    """Stream-stream interval self-join drained with availableNow equals
+    the batch interval join row-for-row (inner joins emit on arrival; no
+    watermark wait)."""
+    from pspcz_analyzer_spark.catalog import load_table
+    from pspcz_analyzer_spark.streaming.events import view_purchase_attribution
+
+    got = run_available_now(
+        view_purchase_attribution(stream), "t_vp", output_mode="append"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    ev.createOrReplaceTempView("t_vp_events")
+    want = spark.sql("""
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+        FROM t_vp_events p JOIN t_vp_events v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND v.ts >= p.ts - interval 1 hour AND v.ts < p.ts
+        WHERE p.event_type = 'purchase'
+    """)
+    cols = ("purchase_id", "view_id", "user_id")
+    assert _sorted(got.collect(), *cols) == _sorted(want.collect(), *cols)
+    assert len(got.collect()) > 0  # non-vacuous at sf0.001
+
+
+def test_nation_totals_stream_parity(spark, stream):
+    """Stream-static broadcast join + complete-mode agg equals the batch
+    join/agg over the drained backlog."""
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark.catalog import load_table
+    from pspcz_analyzer_spark.streaming.events import enrich_nation_totals
+
+    customer = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    got = run_available_now(
+        enrich_nation_totals(stream, customer, nation), "t_nation"
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .join(
+            customer.select(F.col("c_custkey").alias("user_id"), "c_nationkey"),
+            "user_id",
+        )
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    cols = ("n_name", "n_events", "total_value")
+    assert _sorted(got.collect(), *cols) == _sorted(want.collect(), *cols)
+
+
+def test_stream_join_state_eviction(spark, tmp_path):
+    """The watermark actually EVICTS join state across micro-batches: drain
+    a 12-hour backlog one file (= one hour) per batch and assert the state
+    store never holds more than the watermark+window horizon's worth of
+    rows — the property that keeps stream-stream joins bounded at any
+    stream length."""
+    import datetime as dt
+
+    from pspcz_analyzer_spark.streaming.events import view_purchase_attribution
+
+    land = tmp_path / "land"
+    land.mkdir()
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    n_total = 0
+    for hour in range(12):
+        rows = []
+        for minute in range(0, 60, 10):  # 6 events/hour: alternate view/purchase
+            ts = t0 + dt.timedelta(hours=hour, minutes=minute)
+            etype = "view" if (minute // 10) % 2 == 0 else "purchase"
+            rows.append((n_total, ts, 1, etype, 1.0, "{}"))
+            n_total += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        import shutil
+
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, land / f"h{hour:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    joined = view_purchase_attribution(stream, window="1 hour", watermark="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    peak_state = max(
+        (
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        ),
+        default=0,
+    )
+    assert peak_state > 0  # the join did buffer state
+    # Horizon = watermark (1h) + window (1h) + the in-flight hour ~= 3 of
+    # 12 hours of data; without eviction state would approach n_total.
+    assert peak_state <= n_total * 0.5, peak_state
+    got = spark.table("t_evict")
+    # Parity on the drained backlog proves eviction never dropped a
+    # joinable row: every purchase matches its preceding in-window views.
+    ev = spark.read.parquet(str(land))
+    ev.createOrReplaceTempView("t_evict_events")
+    want_n = spark.sql("""
+        SELECT count(*) FROM t_evict_events p JOIN t_evict_events v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND v.ts >= p.ts - interval 1 hour AND v.ts < p.ts
+        WHERE p.event_type = 'purchase'
+    """).collect()[0][0]
+    assert got.count() == want_n
+
+
 def test_dedupe_stream(spark, stream):
     got = run_available_now(
         dedupe_stream(stream, keys=["user_id"]), "t_dedupe", output_mode="append"
