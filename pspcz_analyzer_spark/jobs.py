@@ -81,6 +81,32 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    col: str,
+    num_partitions: int = 16,
+) -> None:
+    """Persist with a range-partitioned, within-file-sorted layout on
+    ``col`` — the lake-layout analog of a clustered index.
+
+    ``repartitionByRange`` gives each output file a DISJOINT ``col``
+    range; ``sortWithinPartitions`` orders rows inside each file so every
+    Parquet row group's min/max stats span a narrow slice. A range
+    predicate on ``col`` then skips whole files and whole row groups via
+    pushed-down stats filtering — at 100 TB, a one-day query over a
+    year-sorted events lake reads ~1/365th of the bytes instead of
+    scanning everything. Write-side cost is one range-exchange (sampled
+    boundaries), paid once at ingest.
+    """
+    (
+        df.repartitionByRange(num_partitions, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def load_lake_table(
     spark: SparkSession, out_dir: str, table: str, period: int | None = None
 ) -> DataFrame:

@@ -83,6 +83,49 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS t_lines_b")
 
 
+class TestRangeSortedLayout:
+    def test_files_cover_disjoint_ranges_and_filter_pushes(self, spark, tmp_path):
+        """Range-partitioned + within-file-sorted layout: every output file
+        owns a disjoint key range (so a range predicate maps to few files,
+        and row-group min/max stats skip the rest), and the predicate is
+        pushed into the Parquet scan."""
+        import pyarrow.parquet as pq
+
+        from pspcz_analyzer_spark.jobs import write_range_sorted
+        from pspcz_analyzer_spark.operators.partitioning import _plan_text
+
+        df = spark.range(10_000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") * 37 % 10_000).alias("k"),
+            (F.col("id") % 50).alias("user_id"),
+        )
+        out = str(tmp_path / "sorted_lake")
+        write_range_sorted(df, out, "k", num_partitions=8)
+
+        files = [
+            os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+        ]
+        assert len(files) >= 4  # layout actually split the range
+        ranges = []
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            ki = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == "k"
+            )
+            stats = [meta.row_group(g).column(ki).statistics for g in range(meta.num_row_groups)]
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo  # disjoint: file N's max <= file N+1's min
+
+        back = spark.read.parquet(out).filter((F.col("k") >= 100) & (F.col("k") < 200))
+        plan = _plan_text(back)
+        assert "PushedFilters" in plan and "GreaterThanOrEqual(k,100)" in plan
+        assert back.count() == 100
+
+
 class TestLakeIngest:
     def _unl(self, tmp_path, name, lines):
         p = tmp_path / name
