@@ -1,0 +1,117 @@
+"""Connected components over a pair list — near-dup clustering glue.
+
+Dedup operators (``operators/dedup.py``) emit PAIRS (exact-fingerprint,
+Jaccard, MinHash-LSH, SimHash); an actual dedup pass needs CLUSTERS —
+transitive groups from which one survivor is kept. The reference never
+needs this (its corpora fit one process and pairs are consumed directly);
+at corpus scale the standard formulation is iterative label propagation
+(hash-to-min): every node starts labeled with its own id and repeatedly
+takes the min label among itself and its neighbors, converging to
+component = min node id reachable.
+
+Scale shape: each iteration is ONE shuffle keyed by node id (edge join +
+min-aggregate); iteration count is the graph diameter. Near-dup graphs
+are near-cliques (diameter 2-3), so the loop converges in a handful of
+rounds — the driver-side loop is over ITERATIONS, never over rows, and
+each round's convergence check is a cheap count on the changed-label
+frame. For adversarially deep graphs (long chains) the alternating
+large-star/small-star variant (Kiveris et al., "Connected Components in
+MapReduce and Beyond") halves effective diameter per round; out of scope
+here because shingle/band/bucket edges never produce deep chains.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pyspark import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node, component = min reachable id.
+
+    ``edges`` is undirected input (each pair listed once, either order).
+    ``nodes`` optionally supplies the full node universe (one ``node_col``
+    column) so isolated nodes come out as singleton components — pass the
+    corpus id list for dedup so unclustered docs keep themselves.
+
+    Deterministic: min() over ids has no tie-breaking ambiguity, so the
+    result is oracle-checkable against a recursive-CTE closure.
+    """
+    und = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = und.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        labels = labels.union(
+            nodes.select(F.col(node_col).cast("long").alias("node"))
+        ).distinct()
+    labels = labels.withColumn("label", F.col("node")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    for _ in range(max_iter):
+        # Min label among each node's neighbors (one shuffle on node id):
+        # edge (a,b) proposes label[a] to b via the rename below.
+        proposals = (
+            und.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(proposals, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # The convergence probe doubles as the materialization action for
+        # the persisted next-round labels — one job per iteration.
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels.unpersist()
+        labels = updated
+        if n_changed == 0:
+            break
+    out = labels.select("node", F.col("label").alias("component"))
+    und.unpersist()
+    return out
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+) -> DataFrame:
+    """Pairs -> (node, component, component_size) — the dedup-facing shape:
+    keep ``node == component`` for a min-id survivor policy, or rank inside
+    the component by any quality score."""
+    from pyspark.sql import Window
+
+    comp = connected_components(
+        pairs, src=id_a, dst=id_b, nodes=nodes, node_col=node_col
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        "node",
+        "component",
+        F.count(F.lit(1)).over(w).cast("long").alias("component_size"),
+    )

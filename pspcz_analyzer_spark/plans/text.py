@@ -310,6 +310,88 @@ def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             substr(text, 1, CAST(floor(n_chars / 2) AS INT)) AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             string_split({_NORM.format(c="text")}, ' ') AS toks
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')
+             )) AS shingle
+      FROM norm
+    ),
+    hot AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20
+    ),
+    kept AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.intersection / (sa.set_size + sb.set_size - i.intersection) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT node, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+             AS component_size
+    FROM comp
+    ORDER BY node
+    """,
+    tags=("dedup-near", "clustering", "iterative", "new-surface"),
+    priority=30,
+    doc="Near-dup PAIRS -> CLUSTERS via iterative hash-to-min connected "
+    "components (operators/graph.py): the transitive-closure step an "
+    "actual dedup pass needs before picking survivors. Each iteration is "
+    "one node-keyed shuffle; near-dup graphs are near-cliques so the loop "
+    "converges in 2-3 rounds. The oracle recomputes components as a "
+    "recursive-CTE closure — min-id labels make the fixpoint "
+    "deterministic and value-comparable.",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import cluster_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    halved = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(n_chars / 2) AS INT))").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(halved)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.3, max_shingle_df=20)
+    return cluster_pairs(
+        pairs.select("id_a", "id_b"),
+        nodes=corpus.select(F.col("doc_id").alias("node")),
+    ).orderBy("node")
+
+
 # Planted-exact-duplicate corpus + the fingerprint-equal pair list both the
 # LSH queries must recover. Identical normalized text => identical MinHash
 # signature / SimHash fingerprint, so a correct implementation catches every
