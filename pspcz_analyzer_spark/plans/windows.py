@@ -321,6 +321,41 @@ def events_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState", "new-surface"),
+    priority=36,
+    doc="CUSTOM stateful streaming operator run live through the gate: "
+    "applyInPandasWithState keeps one (count, total) state row per user "
+    "and emits per micro-batch; an availableNow drain of the whole "
+    "backlog must equal the plain batch groupBy. This is the escape "
+    "hatch for semantics built-in windows can't express; state is one "
+    "tiny row per key, never proportional to event volume.",
+)
+def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.streaming.events import (
+        read_events_stream,
+        stateful_user_totals,
+    )
+
+    sink = "events_stream_user_totals_sink"
+    q = (
+        stateful_user_totals(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id")
+
+
+@register(
     "events_stream_nation_totals",
     oracle="""
     SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS total_value
