@@ -57,9 +57,17 @@ def connected_components(
         labels = labels.union(
             nodes.select(F.col(node_col).cast("long").alias("node"))
         ).distinct()
-    labels = labels.withColumn("label", F.col("node")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # localCheckpoint (not persist): each round's frame references the
+    # previous one TWICE (neighbor join + label join), so lineage doubles
+    # per iteration — plans go exponential and chain-shaped graphs OOM the
+    # driver around 10 rounds. Checkpointing materializes the round AND
+    # truncates the plan to a leaf, keeping every iteration's plan
+    # constant-size. Local (executor-block) checkpoints suffice: the loop
+    # re-runs from scratch on executor loss, which is the right recovery
+    # trade for an iteration whose state is one row per node. (On an
+    # unreliable 1000-executor cluster, swap for reliable checkpoint() to
+    # a DFS dir every K rounds.)
+    labels = labels.withColumn("label", F.col("node")).localCheckpoint()
 
     for _ in range(max_iter):
         # Min label among each node's neighbors (one shuffle on node id):
@@ -80,12 +88,9 @@ def connected_components(
                     "__changed"
                 ),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()  # eager: the round runs exactly once
         )
-        # The convergence probe doubles as the materialization action for
-        # the persisted next-round labels — one job per iteration.
         n_changed = updated.filter(F.col("__changed")).count()
-        labels.unpersist()
         labels = updated
         if n_changed == 0:
             break

@@ -39,6 +39,43 @@ def test_isolated_nodes_are_singletons(spark):
     assert got == {0: (0, 1), 1: (1, 2), 2: (1, 2), 9: (9, 1)}
 
 
+def test_random_graphs_match_union_find(spark):
+    """Seeded random graphs (sparse, dense, with self-loops) vs a
+    pure-Python union-find reference — the iterative propagation must
+    reach the exact same partition regardless of shape."""
+    import random
+
+    for seed, n, m in ((1, 60, 20), (2, 60, 90), (3, 40, 200)):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # self-loops allowed; duplicates allowed
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # Min-id canonical labels (path-compress to the root, root is min
+        # because unions always attach the larger root under the smaller).
+        want = {x: find(x) for x in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, nodes=nodes).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
 def test_cross_order_edges_deterministic(spark):
     # Same graph, edges listed in either direction -> identical labels.
     a = _components(spark, [(3, 1), (2, 3)])
