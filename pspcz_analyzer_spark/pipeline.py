@@ -142,7 +142,12 @@ def prepare_training_corpus(
 
     if near_dup:
         # LSH candidates among exact-canonical docs; keep-first rule drops
-        # the higher id of every candidate pair.
+        # the higher id of every candidate pair. This keeps the LOCAL
+        # minima of the pair graph — deliberately laxer than collapsing
+        # whole transitive clusters (A~B and B~C never forces dropping C
+        # when C is not a near-dup of A). For the aggressive variant, run
+        # operators/graph.py::cluster_pairs on these pairs and keep one
+        # survivor per component.
         canon_docs = docs.join(canon_ids.select(id_col), id_col, "left_semi")
         near_ids = (
             minhash_lsh_pairs(canon_docs, text_col, id_col)
