@@ -150,7 +150,8 @@ def pca_coords(
           m2     = sum_j mu_j^2      — scalar
 
     (mu_j is the per-vote column mean over ALL n MPs, zeros included.)
-    Distributed work is three aggregations over the sparse entries; only
+    Distributed work is two jobs over the sparse entries (the scalar m2
+    rides the s-vector job as an Observation); only
     the n x n Gram (n = #MPs: hundreds-to-thousands) reaches the driver,
     where eigh gives U, S^2 and coords = U[:, :k] * S[:k]. The d x d
     covariance is never materialized, so vote-count growth is free.
@@ -170,8 +171,18 @@ def pca_coords(
     # centering terms, so compute the MP list and the s-vector in ONE pass:
     # aggregate sum(v * mu_unscaled) per MP over ALL entries (left join —
     # zero cells contribute nothing but keep every MP in the output), then
-    # divide by n on the driver. Three Spark actions total: s+ids, dots, m2.
-    mu_raw = nz.groupBy("id_hlasovani").agg(F.sum("v").alias("mu_raw"))
+    # divide by n on the driver. The scalar m2 = sum(mu_raw^2) rides the
+    # SAME job as an Observation on the mu_raw subtree (it would otherwise
+    # recompute the per-vote aggregation in a third action), so the
+    # distributed work is TWO jobs total: s+ids+m2, dots.
+    from pyspark.sql import Observation
+
+    m2_obs = Observation("pca_m2")
+    mu_raw = (
+        nz.groupBy("id_hlasovani")
+        .agg(F.sum("v").alias("mu_raw"))
+        .observe(m2_obs, F.sum(F.col("mu_raw") * F.col("mu_raw")).alias("m2"))
+    )
     s_pdf = (
         entries.join(mu_raw, "id_hlasovani", "left")
         .groupBy("id_poslanec")
@@ -201,10 +212,7 @@ def pca_coords(
         .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
         .toPandas()
     )
-    m2_row = (
-        mu_raw.agg(F.sum(F.col("mu_raw") * F.col("mu_raw")).alias("m2")).collect()[0]
-    )
-    m2 = float(m2_row["m2"] or 0.0) / (n * n)
+    m2 = float(m2_obs.get["m2"] or 0.0) / (n * n)
     entries.unpersist()
 
     s = np.zeros(n)
