@@ -227,6 +227,30 @@ def _lsh_tags(
     return src.mapInPandas(run, schema=f"{id_col} long, t int, b long")
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct LSH candidate pairs (id_a < id_b): one equi-join on
+    (table, bucket), duplicates across tables collapsed before any
+    scoring. Identical vectors share every sign bit, so they collide in
+    EVERY table — exact duplicates are structurally guaranteed
+    candidates, which is what the recall gate query verifies."""
+    tagged = _lsh_tags(df, dim, num_planes, num_tables, id_col, vec_col)
+    a = tagged.select(F.col(id_col).alias("id_a"), "t", "b")
+    b = tagged.select(F.col(id_col).alias("id_b"), "t", "b")
+    return (
+        a.join(b, ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     dim: int,
@@ -247,15 +271,7 @@ def lsh_bucketed_pairs(
     (table, bucket); duplicates across tables collapse before scoring, so
     each surviving pair is scored once.
     """
-    tagged = _lsh_tags(df, dim, num_planes, num_tables, id_col, vec_col)
-    a = tagged.select(F.col(id_col).alias("id_a"), "t", "b")
-    b = tagged.select(F.col(id_col).alias("id_b"), "t", "b")
-    cand = (
-        a.join(b, ["t", "b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(df, dim, num_planes, num_tables, id_col, vec_col)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     score = cosine(

@@ -83,6 +83,50 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_exact_recall",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM corpus a JOIN corpus b
+      ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+    ORDER BY id_a, id_b
+    """,
+    tags=("ann", "lsh", "oracle-paired"),
+    priority=36,
+    doc="Hyperplane-LSH recall anchor (the embedding twin of "
+    "minhash_lsh_exact_recall): over a corpus with planted IDENTICAL "
+    "vectors, every identical pair shares all sign bits and must surface "
+    "as an LSH candidate in every table; candidates verified by exact "
+    "vector equality must equal the full identical-vector pair set the "
+    "oracle computes directly. Proves bucketing is content-determined "
+    "and the banding join loses no exact duplicate — the correctness "
+    "anchor for the approximate ann_lsh_pairs.",
+)
+def ann_lsh_exact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import lsh_candidate_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    cand = lsh_candidate_pairs(corpus, dim=64, num_planes=16, num_tables=8)
+    va = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    vb = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.col("__va") == F.col("__vb"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "ann_ivf_top10",
     oracle=None,  # k-means cell boundaries are model-defined; rows-only
     tags=("ann", "ivf", "scale-path"),
