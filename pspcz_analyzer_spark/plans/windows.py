@@ -281,6 +281,46 @@ def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_hourly_daily",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value,
+           CAST(count(DISTINCT time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+             AS active_hours
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("rollup", "time-hierarchy", "new-surface"),
+    priority=36,
+    doc="Multi-resolution time rollup: the DAY aggregate is derived by "
+    "re-aggregating the HOUR aggregate (sum of sums, count of buckets), "
+    "never rescanning raw events — the materialized-rollup pattern that "
+    "serves coarser resolutions from finer ones at 1/3600th the input. "
+    "The oracle computes the daily numbers straight from raw rows, so "
+    "the re-aggregation algebra (sums compose, counts compose, distinct "
+    "hour count = hour-row count) is value-verified.",
+)
+def events_rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_events", "total_value")
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour_start").alias("day_start"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+            F.count(F.lit(1)).cast("long").alias("active_hours"),
+        )
+        .orderBy("day_start")
+    )
+
+
+@register(
     "events_stream_view_purchase",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
