@@ -26,20 +26,78 @@ from pspcz_analyzer_spark.serving.cache import TTLCache
 Rows = list[dict[str, Any]]
 
 
+class QueryTimeoutError(TimeoutError):
+    """Raised when a query exceeds the service's compute budget — the
+    serving layer maps this to 503, exactly the reference's analysis
+    timeout contract (routes/voting.py:39,64: 15 s else 503)."""
+
+
 class QueryService:
     def __init__(
-        self, spark: SparkSession, sf_dir: str, ttl_seconds: float = 3600.0, clock=None
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        ttl_seconds: float = 3600.0,
+        clock=None,
+        budget_seconds: float | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         kwargs = {"clock": clock} if clock else {}
         self.cache = TTLCache(ttl_seconds, **kwargs)
         self.compute_calls = 0  # observability: cache-miss counter
+        self.budget_seconds = budget_seconds
+
+    def _collect_budgeted(self, df_fn) -> Rows:
+        """Collect under the compute budget via job-group cancellation.
+
+        Spark's native budget mechanism: tag this thread's jobs with a
+        group id, arm a timer that cancels the group (interrupting running
+        tasks), and translate the resulting cancellation error. The
+        session stays healthy — cancellation is per-group, so concurrent
+        and subsequent queries are untouched (proven in test_serving).
+        """
+        if not self.budget_seconds:
+            return [r.asDict(recursive=True) for r in df_fn().collect()]
+        import threading
+        import uuid
+
+        sc = self.spark.sparkContext
+        group = f"svc-budget-{uuid.uuid4().hex[:8]}"
+        done = threading.Event()
+
+        def killer() -> None:
+            if not done.wait(self.budget_seconds):
+                # Re-cancel until the caller returns: cancelJobGroup only
+                # kills ACTIVE jobs, and a plan that blows the budget
+                # during compilation submits its job after the first
+                # cancel. NB cancellation lands at task boundaries and
+                # interruption points — a single monolithic codegen task
+                # dies late; real scale-out queries are many-task, which
+                # is exactly the shape that cancels promptly.
+                while not done.is_set():
+                    sc.cancelJobGroup(group)
+                    done.wait(1.0)
+
+        sc.setJobGroup(group, "budgeted serving query", interruptOnCancel=True)
+        timer = threading.Thread(target=killer, daemon=True)
+        timer.start()
+        try:
+            return [r.asDict(recursive=True) for r in df_fn().collect()]
+        except Exception as e:
+            if "cancel" in str(e).lower():
+                raise QueryTimeoutError(
+                    f"query exceeded {self.budget_seconds}s budget"
+                ) from None
+            raise
+        finally:
+            done.set()
+            sc.setLocalProperty("spark.jobGroup.id", None)
 
     def _cached(self, key: str, df_fn) -> Rows:
         def compute() -> Rows:
             self.compute_calls += 1
-            return [r.asDict(recursive=True) for r in df_fn().collect()]
+            return self._collect_budgeted(df_fn)
 
         return self.cache.get_or_compute(key, compute)
 

@@ -185,3 +185,41 @@ class TestServingRoutesRound3:
     def test_laws_search_param(self, svc):
         rows = svc.laws(search="customer#00000001", per_page=50)
         assert all("1" in r["c_name"].lower() for r in rows)
+
+
+class TestQueryBudget:
+    def test_budget_cancels_runaway_query(self, spark):
+        """A query past the compute budget is cancelled via its job group
+        (the reference's 15 s -> 503 contract) and the session stays
+        healthy for the next query."""
+        import time
+
+        from pspcz_analyzer_spark.serving.service import QueryTimeoutError
+
+        svc = QueryService(spark, SF_DIR, ttl_seconds=3600, budget_seconds=2.0)
+
+        def runaway():
+            # Many-task shape (the realistic scale-out case — cancellation
+            # lands at task boundaries): 64 partitions x 2 s each would be
+            # ~32 s on local[4] if left to finish.
+            def slow(batches):
+                import time as t
+
+                for b in batches:
+                    t.sleep(2)
+                    yield b
+
+            return spark.range(0, 64, 1, 64).mapInPandas(slow, "id long")
+
+        t0 = time.time()
+        with pytest.raises(QueryTimeoutError):
+            svc._cached("runaway", runaway)
+        assert time.time() - t0 < 25  # cancelled, not run to completion
+        # Session unharmed; a normal query still serves (relax the budget —
+        # this asserts session health, not cold-start latency).
+        svc.budget_seconds = 60.0
+        assert len(svc.attendance(top=3)) == 3
+
+    def test_budget_allows_fast_queries(self, spark):
+        svc = QueryService(spark, SF_DIR, ttl_seconds=3600, budget_seconds=30.0)
+        assert len(svc.loyalty(top=3)) == 3
