@@ -91,10 +91,14 @@ def asof_join(
     right_values: Sequence[str],
     strict: bool = True,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the values of the
-    latest right row with the same key and ``right_time`` <= (or < when
-    ``strict``) ``left_time``.
+    """As-of join: for every left row, attach the values of the nearest
+    right row with the same key — ``direction="backward"`` takes the
+    latest right row with ``right_time`` <= (or < when ``strict``)
+    ``left_time``; ``direction="forward"`` takes the earliest right row
+    with ``right_time`` >= (or >) ``left_time``. The forward variant is
+    the same union+window plan scanning time in reverse.
 
     Scalable formulation: tag both sides, union on a common schema, and use
     ``last(..., ignorenulls=True)`` over a (key, time) window. Exactly one
@@ -129,11 +133,13 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
     # Right rows sort before left rows at equal time iff non-strict;
-    # strict (<) puts left first so it cannot see same-instant right rows.
+    # strict puts left first so it cannot see same-instant right rows.
+    # (The tag logic is direction-independent — only the time order flips.)
     order_tag = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), order_tag)
+        .orderBy(t_order, order_tag)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))

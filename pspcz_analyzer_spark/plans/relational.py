@@ -435,6 +435,55 @@ def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "asof_next_order_after_event",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+    )
+    SELECT e.event_id, e.ts, e.user_id,
+           r.o_orderkey AS next_o_orderkey, r.o_orderdate AS next_o_orderdate
+    FROM events e
+    LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+    ORDER BY e.event_id
+    """,
+    tags=("J12", "asof", "forward"),
+    priority=36,
+    doc="FORWARD as-of join (the reverse-direction twin of "
+    "asof_latest_order_before_event): for each event, the user's earliest "
+    "strictly-later order — same one-shuffle union+window plan scanning "
+    "time in reverse; no range cross-product.",
+)
+def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    # Deterministic ties: one right row per (key, timestamp) — for the
+    # forward direction keep MIN orderkey (the oracle's ASC tiebreak).
+    orders_dedup = latest_per_key(
+        orders, ["user_id", "o_orderdate"], [F.col("o_orderkey").asc()]
+    )
+    return asof_join(
+        events,
+        orders_dedup,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+        strict=True,
+        direction="forward",
+        prefix="next_",
+    ).select(
+        "event_id", "ts", "user_id", "next_o_orderkey", "next_o_orderdate"
+    ).orderBy("event_id")
+
+
+@register(
     "asof_cascade",
     oracle="""
     WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events),
