@@ -115,6 +115,37 @@ class TestAsofJoin:
         left, right = self._frames(spark)
         assert asof_join(left, right, ["uid"], "t", "rt", ["val"]).count() == left.count()
 
+    def test_forward_match(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r["ev"]: r["asof_val"]
+            for r in asof_join(
+                left, right, ["uid"], "t", "rt", ["val"],
+                strict=True, direction="forward",
+            ).collect()
+        }
+        # e1@10:00 -> next right 11:00 (200); e2@12:00 -> none after;
+        # e3 (uid 2) -> no right rows for the key.
+        assert out == {"e1": 200, "e2": None, "e3": None}
+
+    def test_forward_strict_excludes_same_instant(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), "e")], "uid long, t timestamp, ev string"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), 7)], "uid long, rt timestamp, val long"
+        )
+        strict = asof_join(
+            left, right, ["uid"], "t", "rt", ["val"],
+            strict=True, direction="forward",
+        ).collect()
+        loose = asof_join(
+            left, right, ["uid"], "t", "rt", ["val"],
+            strict=False, direction="forward",
+        ).collect()
+        assert strict[0]["asof_val"] is None
+        assert loose[0]["asof_val"] == 7
+
 
 class TestSessionize:
     def _events(self, spark):
