@@ -197,9 +197,76 @@ def top_terms(
     ).limit(k)
 
 
+def top_terms_per_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-group top-k vocabulary terms (per-language / per-source heavy
+    hitters — the mixture-aware variant of ``top_terms`` for training
+    tokenizers per domain).
+
+    Same term-keyed aggregation, then a rank window partitioned by the
+    group: the window shuffles the (group, term) AGGREGATE — bounded by
+    vocabulary size per group, never by corpus rows. Deterministic ties
+    as in top_terms.
+    """
+    from pyspark.sql import Window
+
+    from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+
+    terms = explode_notnull(
+        df, F.split(normalize_text(text_col), " "), "term", keep=(id_col, group_col)
+    ).filter(F.col("term") != "")
+    counted = terms.groupBy(group_col, "term").agg(
+        F.count_distinct(id_col).alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_occurrences"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("doc_freq"), F.desc("total_occurrences"), F.asc("term")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # A second multiplicative-hash constant (xxHash's PRIME32_2) so sampling
 # buckets are decorrelated from the train/val/test split buckets.
 _KNUTH2 = 2246822519
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum, deterministically
+    ("give me 10k docs per language" — quota sampling, where the
+    rate-based ``stratified_hash_sample`` only hits its target in
+    expectation).
+
+    Rows rank inside their stratum by a multiplicative id hash (so the
+    sample is id-order-free but replayable), and the first n keep. One
+    shuffle on the stratum; per-stratum data must fit a partition's
+    window — salt-split oversized strata upstream if one dominates.
+    """
+    from pyspark.sql import Window
+
+    order = ((F.col(id_col).cast("long") * F.lit(_KNUTH2)) % F.lit(1 << 32)).alias(
+        "__order"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(F.asc("__order"), F.asc(id_col))
+    return (
+        df.withColumn("__order", order)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .drop("__order")
+    )
 
 
 def dup_ngram_stats(

@@ -20,6 +20,36 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def hot_keys(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Top-k heaviest keys with their share of all rows — the skew probe
+    run before deciding to salt a join/aggregation on ``key_col``
+    (operators/skew.py::salted_join; AQE handles runtime skew, but a
+    standing 'key X is 30% of the fact table' is a layout decision).
+
+    One key-keyed aggregate (map-side combined) persisted so the scalar
+    total doesn't recompute the scan; the total broadcasts back as a
+    one-row join. Ties break by key for a deterministic top-k.
+    """
+    from pyspark import StorageLevel
+
+    counted = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = counted.agg(F.sum("n_rows").alias("__total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc(key_col))
+        .limit(k)
+    )
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,

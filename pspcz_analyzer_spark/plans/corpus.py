@@ -433,3 +433,74 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count("text").alias("n_tokens")
     )
     return cap_tokens_per_group(docs, "source", "n_tokens", cap=800).orderBy("doc_id")
+
+
+@register(
+    "corpus_lang_sample_exact",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2246822519) % 4294967296, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 60
+    ORDER BY lang, sample_rank
+    """,
+    tags=("pipeline", "sampling", "new-surface"),
+    priority=36,
+    doc="EXACT quota sampling: exactly min(60, |lang|) docs per language, "
+    "ranked by a replayable id hash — the deterministic 'N docs per "
+    "stratum' companion to the rate-based corpus_lang_sample "
+    "(operators/corpusprep.py::exact_stratified_sample).",
+)
+def corpus_lang_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import exact_stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return exact_stratified_sample(docs, "lang", 60).orderBy(
+        "lang", "sample_rank"
+    )
+
+
+@register(
+    "doc_top_terms_by_lang",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, lang,
+             unnest(string_split({_NORM.format(c="text")}, ' ')) AS term
+      FROM documents
+    ),
+    counted AS (
+      SELECT lang, term, count(DISTINCT doc_id) AS doc_freq,
+             count(*) AS total_occurrences
+      FROM terms WHERE term <> ''
+      GROUP BY lang, term
+    ),
+    ranked AS (
+      SELECT lang, term, CAST(doc_freq AS BIGINT) AS doc_freq,
+             CAST(total_occurrences AS BIGINT) AS total_occurrences,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY doc_freq DESC, total_occurrences DESC, term ASC)
+             AS BIGINT) AS rank
+      FROM counted
+    )
+    SELECT * FROM ranked WHERE rank <= 10
+    ORDER BY lang, rank
+    """,
+    tags=("pipeline", "vocab", "new-surface"),
+    priority=36,
+    doc="Per-language top-10 vocabulary terms (mixture-aware tokenizer "
+    "prep): term-keyed aggregate, then a rank window over the (lang, "
+    "term) AGGREGATE — window input is bounded by per-group vocabulary, "
+    "never corpus rows (operators/corpusprep.py::top_terms_per_group).",
+)
+def doc_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import top_terms_per_group
+
+    return top_terms_per_group(
+        load_table(spark, sf_dir, "documents"), "lang", k=10
+    ).orderBy("lang", "rank")

@@ -899,6 +899,30 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hot_users",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+    t AS (SELECT sum(n_rows) AS tot FROM c)
+    SELECT c.user_id, c.n_rows, round(c.n_rows / t.tot, 6) AS row_share
+    FROM c, t
+    ORDER BY n_rows DESC, user_id ASC
+    LIMIT 10
+    """,
+    tags=("profiling", "skew", "new-surface"),
+    priority=36,
+    doc="Hot-key probe (operators/profile.py::hot_keys): the top-10 "
+    "heaviest join/agg keys with their share of all rows — the standing "
+    "skew measurement that decides salting (skew.py::salted_join) before "
+    "a 100 TB fact shuffles on the key. One map-side-combined aggregate; "
+    "the scalar total broadcasts back as a one-row join.",
+)
+def events_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.profile import hot_keys
+
+    return hot_keys(load_table(spark, sf_dir, "events"), "user_id", k=10)
+
+
+@register(
     "salted_join_priority_revenue",
     oracle="""
     SELECT o.o_orderpriority,
