@@ -281,6 +281,44 @@ def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trailing_24h",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER tw, 6) AS avg_value_24h,
+           count(*) OVER tw AS n_events_24h
+    FROM events
+    WINDOW tw AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("window", "range-frame", "new-surface"),
+    priority=36,
+    doc="Trailing-24h per-user moving aggregate via a RANGE window frame "
+    "(event-TIME bounds, not row counts — same-timestamp rows share one "
+    "frame, so the result is deterministic without a tiebreak). One "
+    "shuffle on user_id; the frame is evaluated in a single sorted pass "
+    "per key with a sliding two-pointer, never a per-row rescan.",
+)
+def events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # RANGE frames need a numeric order key: seconds since epoch, computed
+    # timezone-free from the naive event time (works for NTZ and LTZ).
+    sec = F.timestamp_diff("SECOND", F.to_timestamp(F.lit("1970-01-01")), F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-24 * 3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("avg_value_24h"),
+        F.count(F.lit(1)).over(w).alias("n_events_24h"),
+    ).orderBy("event_id")
+
+
+@register(
     "events_rollup_hourly_daily",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
