@@ -92,6 +92,7 @@ _NESTED_LOOP_OK = {
     "ann_bruteforce_top10",  # 1-row broadcast query vector (crossJoin)
     "q11_important_stock",  # 1-row broadcast scalar threshold (> compare)
     "q22_global_sales",  # 1-row broadcast scalar average (> compare)
+    "events_hot_users",  # 1-row broadcast scalar total (share divisor)
 }
 
 
