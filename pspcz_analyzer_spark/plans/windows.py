@@ -196,6 +196,63 @@ def events_session_window_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_dynamic_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             ts + CASE WHEN event_type = 'view' THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN max(e) OVER pw IS NULL OR ts >= max(e) OVER pw
+                  THEN 1 ELSE 0 END AS is_new
+      FROM g
+      WINDOW pw AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER ({_W} ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(e) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, seq
+    ORDER BY user_id, session_start
+    """,
+    tags=("session-window", "dynamic-gap", "streaming-twin", "new-surface"),
+    priority=36,
+    doc="DYNAMIC-gap session windows (F.session_window with a per-event "
+    "gap expression: views time out in 10 min, other events in 30): "
+    "sessions are merged [ts, ts+gap) intervals, so the oracle rebuilds "
+    "them with a running max of interval ends — an event starts a new "
+    "session iff it lands at-or-after every previous end (exclusive "
+    "ends, matching the fixed-gap semantics proven in "
+    "events_session_window_10m). Same one-shuffle-on-user plan; the gap "
+    "column costs nothing extra.",
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # Duration STRINGS, not ANSI interval literals: session_window's gap
+    # expression must be CalendarIntervalType (or a parseable string), and
+    # Spark 4's `interval` literals are the ANSI DayTimeIntervalType.
+    gap = F.when(
+        F.col("event_type") == "view", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "events_sessionized",
     oracle=f"""
     WITH flagged AS (
