@@ -358,13 +358,17 @@ def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    # RANGE frames need a numeric order key: seconds since epoch, computed
-    # timezone-free from the naive event time (works for NTZ and LTZ).
-    sec = F.timestamp_diff("SECOND", F.to_timestamp(F.lit("1970-01-01")), F.col("ts"))
+    # RANGE frames need a numeric order key: MICROSECONDS since epoch, computed
+    # timezone-free from the naive event time (works for NTZ and LTZ). Full
+    # precision matters: a second-truncated key would make same-second events
+    # frame peers and shift the 24h boundary off the oracle's INTERVAL frame.
+    usec = F.timestamp_diff(
+        "MICROSECOND", F.to_timestamp(F.lit("1970-01-01")), F.col("ts")
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(sec)
-        .rangeBetween(-24 * 3600, 0)
+        .orderBy(usec)
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
     )
     return events.select(
         "event_id",
