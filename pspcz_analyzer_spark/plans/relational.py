@@ -680,31 +680,29 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Laws-listing composite (law_service.py:160-187): status + topic "
     "filter + normalized name search + total-hit count + offset page in "
     "ONE plan — filters push to the scan, the dim join is broadcast, and "
-    "the count rides a window over the (already filtered, small) hit set.",
+    "the total-hit count is a scalar aggregate broadcast back onto the "
+    "rows. An unpartitioned count window would funnel every hit through "
+    "one task; the scalar count partial-aggregates map-side and the "
+    "one-row broadcast costs nothing, so a popular search term at 100x "
+    "never serializes the plan.",
 )
 def laws_listing_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from pspcz_analyzer_spark.functions.text import contains_normalized
     from pspcz_analyzer_spark.operators.pagination import page_offset
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    hits = (
+    matches = (
         orders.filter(
             (F.col("o_orderstatus") == "O")
             & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
         )
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .filter(contains_normalized("c_name", "12"))
-        .select(
-            "o_orderkey",
-            "o_orderdate",
-            "o_orderpriority",
-            "c_name",
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("total_hits"),
-        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "c_name")
     )
+    total = matches.agg(F.count(F.lit(1)).alias("total_hits"))
+    hits = matches.crossJoin(F.broadcast(total))
     # Page 2 of 8: inside the hit count at EVERY test scale (18 hits at
     # sf0.001), so the page is never vacuously empty.
     return page_offset(

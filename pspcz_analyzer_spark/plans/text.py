@@ -73,19 +73,19 @@ def doc_search_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("P6", "O3", "composite", "browser"),
     doc="The votes-browser composite lifecycle (§3.2): diacritic-folded "
     "search + total-hit count + offset pagination in one plan "
-    "(votes_service.py:101-177). The count rides as a window over the "
-    "filtered set, so the page and its pagination math come from one scan.",
+    "(votes_service.py:101-177). The total-hit count is a scalar "
+    "aggregate broadcast back onto the rows — never an unpartitioned "
+    "window, which would funnel every hit through one task at scale.",
 )
 def docs_browser_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from pspcz_analyzer_spark.operators.pagination import page_offset
 
     docs = load_table(spark, sf_dir, "documents")
-    hits = docs.filter(contains_normalized("text", "merge")).select(
-        "doc_id", "lang", "source", "n_chars",
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("total_hits"),
+    matches = docs.filter(contains_normalized("text", "merge")).select(
+        "doc_id", "lang", "source", "n_chars"
     )
+    total = matches.agg(F.count(F.lit(1)).alias("total_hits"))
+    hits = matches.crossJoin(F.broadcast(total))
     return page_offset(hits, [F.col("doc_id").desc()], page=2, per_page=25)
 
 

@@ -201,7 +201,6 @@ class QueryService:
         topic filters + normalized name search + total-hit count + offset
         page, one plan per call."""
         import pyspark.sql.functions as F
-        from pyspark.sql import Window
 
         from pspcz_analyzer_spark.catalog import load_table
         from pspcz_analyzer_spark.functions.text import contains_normalized
@@ -223,12 +222,12 @@ class QueryService:
             if search:
                 hits = hits.filter(contains_normalized("c_name", search))
             hits = hits.select(
-                "o_orderkey",
-                "o_orderdate",
-                "o_orderpriority",
-                "c_name",
-                F.count(F.lit(1)).over(Window.partitionBy()).alias("total_hits"),
+                "o_orderkey", "o_orderdate", "o_orderpriority", "c_name"
             )
+            # Scalar count + one-row broadcast, not an unpartitioned window:
+            # a popular search term must not funnel every hit through one task.
+            total = hits.agg(F.count(F.lit(1)).alias("total_hits"))
+            hits = hits.crossJoin(F.broadcast(total))
             return page_offset(
                 hits,
                 [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
