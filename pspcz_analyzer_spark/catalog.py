@@ -46,11 +46,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     readable (nanos arrive as long, ``div 1000`` truncates to micros exactly
     like DuckDB's nanos->micros read).
     """
-    # Self-sufficient under a vanilla SparkSession (the verification driver
-    # builds its own): TIMESTAMP(NANOS) parquet columns are unreadable unless
-    # the legacy nanos-as-long conf is on. Runtime-settable, so set it here
-    # rather than relying on session.py's builder having run.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Sessions must carry spark.sql.legacy.parquet.nanosAsLong=true before
+    # this read (TIMESTAMP(NANOS) columns are unreadable otherwise). Both
+    # sanctioned entry points guarantee it: session.get_spark at build time,
+    # plans.query_fns via ensure_runtime_confs for vanilla-session callers.
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

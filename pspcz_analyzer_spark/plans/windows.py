@@ -322,8 +322,6 @@ def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts,
     )
 
-    # Self-sufficient under a vanilla session (same conf load_table sets).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sink = "events_stream_tumbling_sink"
     q = (
         tumbling_counts(read_events_stream(spark, sf_dir))

@@ -17,8 +17,45 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Conf keys that are RUNTIME-settable and required for correct reads even
+# under a session this package did not build (the verification driver and
+# the local gate construct vanilla SparkSessions). They are applied
+# idempotently at the contract boundary — ``plans.query_fns`` wraps every
+# registered query with ``ensure_runtime_confs`` — so operator and plan
+# bodies never mutate session state themselves, and results cannot depend
+# on which query ran first.
+RUNTIME_CONFS: dict[str, str] = {
+    # Timestamps in testdata are naive; pinning UTC makes NTZ<->LTZ casts
+    # identity on the underlying micros (streaming watermark casts included),
+    # so results are machine-timezone-independent.
+    "spark.sql.session.timeZone": "UTC",
+    # Older testdata generations stored events.ts as INT64 TIMESTAMP(NANOS),
+    # which Spark's vectorized reader rejects outright; with this conf the
+    # raw nanos arrive as long and catalog.load_table rebuilds a
+    # (microsecond) timestamp. Current generations write TIMESTAMP(MICROS)
+    # (read as TIMESTAMP_NTZ), where the conf is inert.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # UNL files are Windows-1250; Spark 4 whitelists only a few charsets
+    # unless legacy JVM charsets are allowed.
+    "spark.sql.legacy.javaCharsets": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply ``RUNTIME_CONFS`` to an existing session, idempotently.
+
+    Under a ``get_spark()`` session every key already matches (they are in
+    ``_SCALE_CONFS``) and nothing is written; under a caller-supplied
+    vanilla session this is the one sanctioned mutation point.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
 # Defaults chosen for scale-out correctness; see docstring for rationale.
 _SCALE_CONFS: dict[str, str] = {
+    **RUNTIME_CONFS,
     # Runtime re-planning: coalesce tiny shuffle partitions, split skewed ones.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -39,20 +76,9 @@ _SCALE_CONFS: dict[str, str] = {
     # suite), for zero benefit at test scale. On a real 100 TB cluster the
     # bloom-filter conf is worth enabling per-job for selective fact-fact
     # joins; it stays off in the session defaults.
-    # Timestamps in testdata are naive; keep them stable across engines.
-    "spark.sql.session.timeZone": "UTC",
     # ANSI off => lenient casts (invalid -> null), matching the reference's
     # strict=False casts (/root/reference/pspcz_analyzer/data/parser.py:51-57).
     "spark.sql.ansi.enabled": "false",
-    # Older testdata generations stored events.ts as INT64 TIMESTAMP(NANOS),
-    # which Spark's vectorized reader rejects outright; with this conf the
-    # raw nanos arrive as long and catalog.load_table rebuilds a
-    # (microsecond) timestamp. Current generations write TIMESTAMP(MICROS)
-    # (read as TIMESTAMP_NTZ), where the conf is inert.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # UNL files are Windows-1250; Spark 4 whitelists only a few charsets
-    # unless legacy JVM charsets are allowed.
-    "spark.sql.legacy.javaCharsets": "true",
 }
 
 

@@ -52,9 +52,9 @@ def read_unl(
     if cols is None:
         raise ValueError("need table or cols")
     # cp1250 is rejected by the CSV reader's charset whitelist unless the
-    # legacy javaCharsets conf is on. Runtime-settable; set it here so the
-    # read works under any caller-supplied (vanilla) SparkSession.
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    # legacy javaCharsets conf is on — carried by every sanctioned session
+    # (get_spark at build time; plans.query_fns's ensure_runtime_confs shim
+    # for vanilla-session callers).
     df = (
         spark.read.schema(raw_schema(cols))
         .options(

@@ -37,11 +37,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     production a landing directory that keeps growing).
 
     Watermarks demand TIMESTAMP (with zone), so the naive column is cast
-    LTZ; pinning the session zone to UTC makes that cast the identity on
-    the underlying micros value (stream results stay equal to the NTZ
-    batch twins and the DuckDB oracle regardless of machine timezone).
+    LTZ. The session zone must already be UTC — guaranteed by get_spark()
+    at build time or plans.query_fns's ensure_runtime_confs shim — which
+    makes that cast the identity on the underlying micros value (stream
+    results stay equal to the NTZ batch twins and the DuckDB oracle
+    regardless of machine timezone).
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")

@@ -93,6 +93,8 @@ _NESTED_LOOP_OK = {
     "q11_important_stock",  # 1-row broadcast scalar threshold (> compare)
     "q22_global_sales",  # 1-row broadcast scalar average (> compare)
     "events_hot_users",  # 1-row broadcast scalar total (share divisor)
+    "laws_listing_page",  # 1-row broadcast scalar total-hit count
+    "docs_browser_page",  # 1-row broadcast scalar total-hit count
 }
 
 
