@@ -223,7 +223,7 @@ def _lsh_tags(
 
     from pspcz_analyzer_spark.operators.dedup import _spread
 
-    src = _spread(df.select(id_col, vec_col))
+    src = _spread(df.select(id_col, vec_col), scan_shaped=True)
     return src.mapInPandas(run, schema=f"{id_col} long, t int, b long")
 
 

@@ -123,7 +123,12 @@ def contamination_report(
     # they can't starve the executors (no-op when file splits already
     # saturate the cluster — the 100 TB case).
     c_sh = explode_notnull(
-        _shingle_arrays(spread(corpus.select(id_col, text_col)), id_col, text_col, n),
+        _shingle_arrays(
+            spread(corpus.select(id_col, text_col), scan_shaped=True),
+            id_col,
+            text_col,
+            n,
+        ),
         "__sh",
         "__shingle",
         keep=(id_col,),

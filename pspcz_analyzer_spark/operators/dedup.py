@@ -111,7 +111,7 @@ def ngram_jaccard_pairs(
     per plan branch — set sizes come from array length, no second explode),
     and the two self-join sides share one shuffle via exchange reuse.
     """
-    arrays = _shingle_arrays(_spread(df), id_col, text_col, n)
+    arrays = _shingle_arrays(_spread(df, scan_shaped=True), id_col, text_col, n)
     # Join/shuffle on the 8-byte shingle hash, not the string — same pair
     # semantics (xxhash64 collisions are ~2^-64 per candidate pair), far
     # less shuffle volume.
@@ -172,7 +172,7 @@ def minhash_signatures(
     runs/partitions (incremental-dedup safe).
     """
     sh = explode_notnull(
-        _shingle_arrays(_spread(df), id_col, text_col, shingle_n),
+        _shingle_arrays(_spread(df, scan_shaped=True), id_col, text_col, shingle_n),
         "__sh",
         "shingle",
         keep=(id_col,),
@@ -239,7 +239,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     few bits (compare with bit_count(a XOR b) downstream).
     """
     toks = explode_notnull(
-        _spread(df), F.split(normalize_text(text_col), " "), "tok", keep=(id_col,)
+        _spread(df, scan_shaped=True),
+        F.split(normalize_text(text_col), " "),
+        "tok",
+        keep=(id_col,),
     ).withColumn("h", F.xxhash64("tok"))
     contribs = toks.groupBy(id_col).agg(
         *[

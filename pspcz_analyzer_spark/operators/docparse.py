@@ -58,11 +58,12 @@ def parse_documents(
     # Parsing is Python-CPU-bound and per-document: widen AQE-coalesced or
     # single-file inputs so they can't starve the executors, but let a
     # well-split scan (the 100 TB case — file splits already saturate the
-    # cluster) ride its scan partitioning with NO text shuffle. spread()
-    # probes only scan-shaped plans (probing a shuffled plan would execute
-    # it twice) and repartitions shuffle-containing plans outright.
+    # cluster) ride its scan partitioning with NO text shuffle. The input
+    # contract here is the documents table (scan+projection), so the
+    # partition probe is declared safe.
     src = spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        scan_shaped=True,
     )
     field_names = [f.split()[0].strip() for f in schema.split(",")]
 

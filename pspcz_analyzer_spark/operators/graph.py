@@ -69,6 +69,7 @@ def connected_components(
     # a DFS dir every K rounds.)
     labels = labels.withColumn("label", F.col("node")).localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
         # Min label among each node's neighbors (one shuffle on node id):
         # edge (a,b) proposes label[a] to b via the rename below.
@@ -93,10 +94,20 @@ def connected_components(
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated
         if n_changed == 0:
+            converged = True
             break
-    out = labels.select("node", F.col("label").alias("component"))
     und.unpersist()
-    return out
+    if not converged:
+        # Partial labels LOOK valid downstream (every node has one) but
+        # split true components — never return them silently. Near-dup
+        # graphs converge in 2-3 rounds; hitting this means an unusually
+        # deep (chain-shaped) graph: raise max_iter, or switch to a
+        # large-star/small-star formulation that halves diameter per round.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (labels still propagating); raise max_iter"
+        )
+    return labels.select("node", F.col("label").alias("component"))
 
 
 def cluster_pairs(

@@ -28,23 +28,38 @@ def _plan_text(df: DataFrame) -> str:
     return buf.getvalue()
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, scan_shaped: bool | None = None) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input has fewer
     splits than cores; pass scan-shaped well-split inputs through untouched.
 
-    The partition-count probe (``df.rdd``) is only safe on scan-shaped
-    inputs: on a plan containing shuffles it finalizes AQE and EXECUTES the
-    upstream stages, which then run AGAIN for the real action (measured 5x
-    end-to-end). For such plans skip the probe and repartition outright —
-    they were about to shuffle anyway, so one more narrow exchange of the
-    input is cheap relative to re-running aggregations twice.
+    ``scan_shaped`` is the caller's declaration of the input's plan shape —
+    every CPU-bound stage in this package knows it statically (they consume
+    a projected table scan), so the default path never inspects plan text:
+
+    - ``True``: the plan is scan+projection only. The partition-count probe
+      (``df.rdd``) is safe here and the input keeps its scan partitioning
+      when already wide (the 100 TB case: file splits saturate the cluster
+      and this is a no-op).
+    - ``False``: the plan contains shuffles (aggregate/join/window). Never
+      probe — on such plans ``df.rdd`` finalizes AQE and EXECUTES the
+      upstream stages, which then run AGAIN for the real action (measured
+      5x end-to-end). Repartition outright: the plan was about to shuffle
+      anyway, so one more narrow exchange of the input is cheap relative
+      to re-running aggregations twice.
+    - ``None`` (deprecated fallback for legacy callers): sniff the explain
+      text to guess — version/format-brittle; pass the flag instead.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        plan = _plan_text(df)
-    except Exception:
-        return df.repartition(target)
-    if any(k in plan for k in ("Aggregate", "Join", "Window", "Sort", "Repartition")):
+    if scan_shaped is None:
+        try:
+            plan = _plan_text(df)
+        except Exception:
+            return df.repartition(target)
+        scan_shaped = not any(
+            k in plan
+            for k in ("Aggregate", "Join", "Window", "Sort", "Repartition")
+        )
+    if not scan_shaped:
         return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -26,18 +26,19 @@ def hot_keys(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     (operators/skew.py::salted_join; AQE handles runtime skew, but a
     standing 'key X is 30% of the fact table' is a layout decision).
 
-    One key-keyed aggregate (map-side combined) persisted so the scalar
-    total doesn't recompute the scan; the total broadcasts back as a
-    one-row join. Ties break by key for a deterministic top-k.
+    One key-keyed aggregate (map-side combined); the scalar total comes
+    from a separate count aggregate on the INPUT, which broadcasts back as
+    a one-row join. For the typical probe target (a Parquet scan) that
+    second pass is column-pruned to zero columns — row-group metadata
+    counts, near-free — and it keeps this function persistence-free: an
+    earlier version persisted the counted aggregate to share it between
+    the two branches and leaked cached partitions for the session
+    lifetime. Callers probing an EXPENSIVE derived frame should persist it
+    themselves around the call. Ties break by key for a deterministic
+    top-k.
     """
-    from pyspark import StorageLevel
-
-    counted = (
-        df.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    total = counted.agg(F.sum("n_rows").alias("__total"))
+    counted = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
     return (
         counted.crossJoin(F.broadcast(total))
         .select(

@@ -65,9 +65,11 @@ class QueryService:
         sc = self.spark.sparkContext
         group = f"svc-budget-{uuid.uuid4().hex[:8]}"
         done = threading.Event()
+        fired = threading.Event()  # set IFF the killer actually cancelled
 
         def killer() -> None:
             if not done.wait(self.budget_seconds):
+                fired.set()
                 # Re-cancel until the caller returns: cancelJobGroup only
                 # kills ACTIVE jobs, and a plan that blows the budget
                 # during compilation submits its job after the first
@@ -85,10 +87,14 @@ class QueryService:
         try:
             return [r.asDict(recursive=True) for r in df_fn().collect()]
         except Exception as e:
-            if "cancel" in str(e).lower():
+            # Translate to a 503 timeout ONLY when our killer actually
+            # cancelled the group — an unrelated failure whose message
+            # happens to mention cancellation must surface as itself. Keep
+            # the original as __cause__ either way for diagnosability.
+            if fired.is_set() and "cancel" in str(e).lower():
                 raise QueryTimeoutError(
                     f"query exceeded {self.budget_seconds}s budget"
-                ) from None
+                ) from e
             raise
         finally:
             done.set()

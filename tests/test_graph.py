@@ -81,3 +81,18 @@ def test_cross_order_edges_deterministic(spark):
     a = _components(spark, [(3, 1), (2, 3)])
     b = _components(spark, [(1, 3), (3, 2)])
     assert a == b == {1: 1, 2: 1, 3: 1}
+
+
+def test_nonconvergence_raises_not_partial(spark):
+    """A chain deeper than max_iter must RAISE — partial labels look valid
+    (every node gets one) but silently split true components."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # The same graph with enough rounds converges to one component.
+    got = connected_components(edges, max_iter=25).collect()
+    assert {r["component"] for r in got} == {0}
