@@ -127,17 +127,28 @@ def main() -> None:
         except Exception:
             pass
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # The driver scrapes the output TAIL for the JSON line, so teardown
+    # noise must land BEFORE it: stop Spark first (py4j/executor shutdown
+    # chatter happens here), then print the line as the process's final
+    # act and exit without running interpreter-shutdown hooks, whose py4j
+    # socket teardown has printed stack-trace fragments after the result.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":
