@@ -2,6 +2,9 @@
 
 GET /api/attendance?sort=&top=&party=   (routes/voting.py:49-70)
 GET /api/loyalty?top=&party=            (routes/voting.py:23-45)
+GET /api/amendments?search=&page=       (routes/amendments.py:21-47)
+GET /api/amendment-coalitions           (routes/amendments.py:50-69; also
+                                         aliased as /api/coalitions)
 GET /api/query/{name}                   (generic catalog endpoint)
 
 FastAPI is optional (not present in every runtime); ``create_app`` raises a
@@ -57,6 +60,17 @@ def create_app(service: QueryService):
             page=page,
             per_page=per_page,
         )
+
+    @app.get("/api/amendments")
+    def amendments(search: str = "", page: int = 1, per_page: int = 20):
+        if not (1 <= page <= 1000) or len(search) > 200:
+            raise HTTPException(status_code=422, detail="bad amendments params")
+        return service.amendments(search=search, page=page, per_page=per_page)
+
+    @app.get("/api/amendment-coalitions")
+    @app.get("/api/coalitions")
+    def coalitions():
+        return service.coalitions()
 
     @app.get("/api/query/{name}")
     def query(name: str):

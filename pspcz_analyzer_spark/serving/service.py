@@ -247,6 +247,52 @@ class QueryService:
         )
         return self._cached(key, build)
 
+    def amendments(
+        self, search: str = "", page: int = 1, per_page: int = 20
+    ) -> Rows:
+        """Amendments listing (routes/amendments.py:21-47 param shape:
+        ``?search=&page=``): the merged steno+letter table, optionally
+        filtered by a diacritic-folded submitter search, offset-paged.
+        Each row carries ``total_hits`` from a broadcast scalar count —
+        the same shape as :meth:`laws`, never an unpartitioned window."""
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.functions.text import contains_normalized
+        from pspcz_analyzer_spark.operators.pagination import page_offset
+
+        def build():
+            df = query_fns()["amendments_merged"](self.spark, self.sf_dir)
+            if search:
+                df = df.filter(contains_normalized("submitters", search))
+            total = df.agg(F.count(F.lit(1)).alias("total_hits"))
+            hits = df.crossJoin(F.broadcast(total))
+            return page_offset(
+                hits,
+                [F.col("doc_id").asc(), F.col("seq").asc()],
+                page=page,
+                per_page=per_page,
+            )
+
+        key = f"amendments:{self.sf_dir}:{search}:{page}:{per_page}"
+        return self._cached(key, build)
+
+    def coalitions(self) -> dict[str, Rows]:
+        """Amendment-coalition analysis (routes/amendments.py:50-69 shape:
+        no params beyond the period, which this service pins): per-party
+        cohesion (overall + amendment votes) and cross-party pair
+        agreement, both already-green catalog queries. The two parts cache
+        and budget independently through the standard path."""
+        fns = query_fns()
+        cohesion = self._cached(
+            f"coalitions:cohesion:{self.sf_dir}",
+            lambda: fns["coalition_cohesion"](self.spark, self.sf_dir),
+        )
+        pairs = self._cached(
+            f"coalitions:pairs:{self.sf_dir}",
+            lambda: fns["party_pair_agreement"](self.spark, self.sf_dir),
+        )
+        return {"cohesion": cohesion, "pair_agreement": pairs}
+
     def query(self, name: str) -> Rows:
         """Any registered catalog query by name (the generic endpoint)."""
         fns = query_fns()

@@ -186,6 +186,46 @@ class TestServingRoutesRound3:
         rows = svc.laws(search="customer#00000001", per_page=50)
         assert all("1" in r["c_name"].lower() for r in rows)
 
+    def test_amendments_listing_and_pagination(self, svc):
+        page1 = svc.amendments(page=1, per_page=10)
+        assert len(page1) == 10
+        assert {"doc_id", "seq", "letter", "match_kind", "total_hits"} <= set(
+            page1[0]
+        )
+        total = page1[0]["total_hits"]
+        page2 = svc.amendments(page=2, per_page=10)
+        assert {(r["doc_id"], r["seq"]) for r in page1}.isdisjoint(
+            {(r["doc_id"], r["seq"]) for r in page2}
+        )
+        assert all(r["total_hits"] == total for r in page2)
+        # Cache: same params -> no recompute.
+        before = svc.compute_calls
+        assert svc.amendments(page=1, per_page=10) == page1
+        assert svc.compute_calls == before
+
+    def test_amendments_search_filters_submitters(self, svc):
+        # Letter submitters are supplier names at every test scale; the
+        # search is diacritic-folded and case-insensitive.
+        rows = svc.amendments(search="SUPPLIER#", per_page=100)
+        assert rows, "matched amendments carry supplier submitters"
+        assert all("supplier#" in r["submitters"].lower() for r in rows)
+        unmatched = svc.amendments(search="no-such-submitter", per_page=10)
+        assert unmatched == []
+
+    def test_coalitions_shape_and_cache(self, svc):
+        out = svc.coalitions()
+        assert set(out) == {"cohesion", "pair_agreement"}
+        assert {"party", "cohesion", "amendment_cohesion"} <= set(
+            out["cohesion"][0]
+        )
+        assert {"party", "party_b", "agreement_rate"} <= set(
+            out["pair_agreement"][0]
+        )
+        before = svc.compute_calls
+        again = svc.coalitions()
+        assert again == out
+        assert svc.compute_calls == before  # both parts cache-hit
+
 
 class TestQueryBudget:
     def test_budget_cancels_runaway_query(self, spark):
