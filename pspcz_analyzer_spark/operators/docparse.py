@@ -155,9 +155,9 @@ def parse_amendment_text(doc_id: int, text: str) -> list[dict[str, Any]]:
     (academic titles stripped, multi-submitter headers split) and the count
     of its sub-amendments ("A.1." items) — the pdf_parser.py:161-259 shape.
 
-    The PDF->text step itself is ingestion (binary -> text via PyMuPDF,
-    absent in this runtime — see extract_pdf_text); this parser is the
-    engine-side half and is fully real.
+    The PDF->text step itself is ingestion (binary -> text via PyMuPDF
+    when installed, else the pure-Python fallback — see extract_pdf_text);
+    this parser is the engine-side half and is fully real.
     """
     subs_per_letter: dict[str, int] = {}
     for m in _SUB_ITEM.finditer(text):
@@ -181,25 +181,127 @@ def parse_amendment_documents(docs: DataFrame) -> DataFrame:
     return parse_documents(docs, parse_amendment_text, schema=LETTER_SCHEMA)
 
 
+# -- minimal pure-Python PDF text fallback ---------------------------------
+#
+# PyMuPDF is the preferred S7 codec but absent from some runtimes; this
+# fallback handles the dominant text-PDF shape — uncompressed or
+# FlateDecode content streams with standard text-showing operators
+# (Tj / ' / TJ arrays, literal and hex strings). It does NOT implement
+# font/CID decoding (bytes decode as UTF-8-else-Latin-1 best effort),
+# other filters (DCT, LZW, ...), or encryption (raises). Layout fidelity
+# is line-per-text-block, which is what the downstream regex parsers need
+# (they match headers/markers, not positions).
+
+_PDF_STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_LITERAL = re.compile(rb"\((?:\\.|[^\\()])*\)", re.DOTALL)
+# One alternation so Tj / ' singles and TJ arrays surface in DOCUMENT order.
+_PDF_SHOW = re.compile(
+    rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
+    rb"|\[((?:\((?:\\.|[^\\()])*\)|[^\]\(])*)\]\s*TJ",
+    re.DOTALL,
+)
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(lit: bytes) -> bytes:
+    """Literal-string body (parens stripped) -> raw bytes per PDF rules
+    (named escapes, \\ddd octal, line-continuation backslash)."""
+    out, i, n = bytearray(), 0, len(lit)
+    while i < n:
+        c = lit[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = lit[i + 1 : i + 2]
+        if nxt in _PDF_ESCAPES:
+            out += _PDF_ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():
+            j = i + 1
+            while j < min(i + 4, n) and lit[j : j + 1].isdigit():
+                j += 1
+            out.append(int(lit[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 2 + (lit[i + 1 : i + 3] == b"\r\n")
+        else:
+            out += nxt
+            i += 2
+    return bytes(out)
+
+
+def _pdf_string_bytes(tok: bytes) -> bytes:
+    if tok.startswith(b"("):
+        return _pdf_unescape(tok[1:-1])
+    hx = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hx) % 2:
+        hx += b"0"  # PDF pads an odd final digit with zero
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _pdf_text_fallback(data: bytes) -> str:
+    import zlib
+
+    if b"/Encrypt" in data:
+        raise NotImplementedError(
+            "encrypted PDF: the pure-Python fallback does not decrypt; "
+            "install PyMuPDF or land text via the documents table"
+        )
+    lines: list[str] = []
+    for m in _PDF_STREAM.finditer(data):
+        body = m.group(1)
+        # The stream dict immediately precedes the 'stream' keyword.
+        head = data[max(0, m.start() - 400) : m.start()]
+        if b"/FlateDecode" in head:
+            try:
+                body = zlib.decompress(body.rstrip(b"\r\n"))
+            except zlib.error:
+                continue
+        elif b"/Filter" in head:
+            continue  # unsupported filter (image codecs etc.)
+        if b"Tj" not in body and b"TJ" not in body and b"'" not in body:
+            continue
+        for m in _PDF_SHOW.finditer(body):
+            if m.group(1) is not None:
+                raw = _pdf_string_bytes(m.group(1))
+            else:
+                raw = b"".join(
+                    _pdf_string_bytes(lit.group(0))
+                    for lit in _PDF_LITERAL.finditer(m.group(2))
+                )
+            # Per-chunk decode: one stream can mix producers (UTF-8 text
+            # alongside octal-escaped Latin-1), so a whole-stream decode
+            # would mojibake the clean chunks.
+            try:
+                lines.append(raw.decode("utf-8"))
+            except UnicodeDecodeError:
+                lines.append(raw.decode("latin-1"))
+    return "\n".join(lines)
+
+
 def extract_pdf_text(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """PDF binary -> text (SURVEY S7). PyMuPDF is not in this runtime, so
-    this surfaces the Spark plumbing (binary in, text out via mapInPandas)
-    and raises clearly if the codec is missing."""
-    import pandas as pd
+    """PDF binary -> text (SURVEY S7): binary in, text out via Arrow-batched
+    mapInPandas. Uses PyMuPDF when installed; otherwise the pure-Python
+    Flate/literal-text fallback above (sufficient for the reference's
+    text-born amendment PDFs; see its limits in the fallback docstring)."""
 
     def run(batches):
         try:
             import fitz  # noqa: F401  (PyMuPDF)
-        except ImportError as e:  # pragma: no cover - runtime-dependent
-            raise NotImplementedError(
-                "PDF text extraction needs PyMuPDF, which is not installed "
-                "in this runtime; land text via the documents table instead"
-            ) from e
-        for pdf in batches:  # pragma: no cover - needs PyMuPDF
+        except ImportError:
+            fitz = None
+        for pdf in batches:
             texts = []
             for blob in pdf[content_col]:
-                doc = fitz.open(stream=bytes(blob), filetype="pdf")
-                texts.append("\n".join(page.get_text() for page in doc))
+                if fitz is not None:  # pragma: no cover - needs PyMuPDF
+                    doc = fitz.open(stream=bytes(blob), filetype="pdf")
+                    texts.append("\n".join(page.get_text() for page in doc))
+                else:
+                    texts.append(_pdf_text_fallback(bytes(blob)))
             out = pdf.drop(columns=[content_col])
             out["text"] = texts
             yield out

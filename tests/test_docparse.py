@@ -83,21 +83,103 @@ bez podbodů
         assert parse_amendment_text(1, "no headers here") == []
 
 
-def test_pdf_extract_gated(spark):
-    """Without PyMuPDF the PDF->text stage must fail loudly, not silently."""
-    import pytest as _pytest
+def _mini_pdf(content: bytes, compress: bool = True) -> bytes:
+    """A minimal one-page PDF wrapping ``content`` as its content stream.
+    The fallback extractor never consults the xref, but keep the envelope
+    honest anyway."""
+    import zlib
 
-    from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+    if compress:
+        body = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    else:
+        body, filt = content, b""
+    obj = (
+        b"4 0 obj\n<< %s/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (filt, len(body), body)
+    )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + obj
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
 
-    df = spark.createDataFrame([(1, b"%PDF-fake")], "doc_id long, content binary")
-    out = extract_pdf_text(df)
-    try:
-        import fitz  # noqa: F401
 
-        assert out.count() == 1  # pragma: no cover
-    except ImportError:
-        with _pytest.raises(Exception, match="PyMuPDF"):
-            out.collect()
+class TestPdfFallback:
+    """S7 without PyMuPDF: the pure-Python Flate/text-operator fallback."""
+
+    CONTENT = (
+        b"BT /F1 12 Tf 72 720 Td (A. Poslanec Jan Nov\xc3\xa1k) Tj ET\n"
+        b"BT [(A.1.) -250 ( n\\341vrh)] TJ ET\n"
+        b"BT <412e322e> Tj ET\n"  # hex string: "A.2."
+        b"BT (paren \\(esc\\) and \\\\ back) ' ET\n"
+    )
+
+    def test_flate_and_operators(self, spark):
+        from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+
+        df = spark.createDataFrame(
+            [(7, _mini_pdf(self.CONTENT))], "doc_id long, content binary"
+        )
+        text = extract_pdf_text(df).collect()[0]["text"]
+        assert "A. Poslanec Jan Nov\u00e1k" in text
+        assert "A.1." in text and "\u00e1vrh" in text  # TJ array + octal escape
+        assert "A.2." in text  # hex string
+        assert "paren (esc) and \\ back" in text
+
+    def test_uncompressed_stream(self, spark):
+        from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+
+        df = spark.createDataFrame(
+            [(1, _mini_pdf(b"BT (plain stream) Tj ET", compress=False))],
+            "doc_id long, content binary",
+        )
+        assert "plain stream" in extract_pdf_text(df).collect()[0]["text"]
+
+    def test_no_text_pdf_yields_empty(self, spark):
+        from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+
+        df = spark.createDataFrame(
+            [(1, b"%PDF-fake, no streams")], "doc_id long, content binary"
+        )
+        assert extract_pdf_text(df).collect()[0]["text"] == ""
+
+    def test_encrypted_raises(self, spark):
+        import pytest as _pytest
+
+        from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+
+        df = spark.createDataFrame(
+            [(1, b"%PDF-1.4 /Encrypt 9 0 R")], "doc_id long, content binary"
+        )
+        try:
+            import fitz  # noqa: F401  # pragma: no cover
+        except ImportError:
+            with _pytest.raises(Exception, match="encrypted"):
+                extract_pdf_text(df).collect()
+
+    def test_full_s7_chain_binary_to_letters(self, spark):
+        """binary PDF -> text -> amendment letter parse, end to end."""
+        from pspcz_analyzer_spark.operators.docparse import (
+            extract_pdf_text,
+            parse_amendment_documents,
+        )
+
+        content = (
+            b"BT (A. Poslanec Ing. Jan Novak, poslanec Petr Svoboda) Tj ET\n"
+            b"BT (A.1. prvni) Tj (A.2. druhy) Tj ET\n"
+        )
+        df = spark.createDataFrame(
+            [(3, _mini_pdf(content))], "doc_id long, content binary"
+        )
+        recs = parse_amendment_documents(extract_pdf_text(df)).collect()
+        assert len(recs) == 1
+        assert recs[0]["letter"] == "A"
+        assert recs[0]["submitters"] == ["Jan Novak", "Petr Svoboda"]
+        assert recs[0]["n_subs"] == 2
 
 
 def test_chart_sink_gated():
