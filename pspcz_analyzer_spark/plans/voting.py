@@ -235,7 +235,10 @@ def party_breakdown_vote42(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan: point-filter the vote fact (pushed to the scan), broadcast-join "
     "MP dims, and carry the per-party and whole-vote tallies as windows "
     "over the (one-vote-sized) detail rows — the reference computes three "
-    "separate sub-results and stitches dicts.",
+    "separate sub-results and stitches dicts. The whole-vote total "
+    "partitions by the vote id (constant after the point filter), so no "
+    "global single-partition window exists even if the filter widened to "
+    "many votes.",
 )
 def vote_detail_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -245,7 +248,8 @@ def vote_detail_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         derive_mp_info(spark, sf_dir).select("id_poslanec", "jmeno", "party")
     )
     rows = one.join(info, "id_poslanec")
-    pw = Window.partitionBy("party")
+    pw = Window.partitionBy("id_hlasovani", "party")
+    vw = Window.partitionBy("id_hlasovani")
     return rows.select(
         "id_poslanec",
         "jmeno",
@@ -254,7 +258,7 @@ def vote_detail_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("vysledek") == "A", 1).otherwise(0)).over(pw).alias("party_yes"),
         F.sum(F.when(F.col("vysledek") == "B", 1).otherwise(0)).over(pw).alias("party_no"),
         F.count(F.lit(1)).over(pw).alias("party_total"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("vote_total"),
+        F.count(F.lit(1)).over(vw).alias("vote_total"),
     ).orderBy("id_poslanec")
 
 

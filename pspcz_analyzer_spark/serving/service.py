@@ -171,7 +171,10 @@ class QueryService:
                     "id_poslanec", "jmeno", "party"
                 )
             )
-            pw = Window.partitionBy("party")
+            # Tallies partition by (vote id, party) / vote id — constant
+            # after the point filter, so no global single-partition window.
+            pw = Window.partitionBy("id_hlasovani", "party")
+            vw = Window.partitionBy("id_hlasovani")
             return (
                 one.join(info, "id_poslanec")
                 .select(
@@ -186,9 +189,7 @@ class QueryService:
                     .over(pw)
                     .alias("party_no"),
                     F.count(F.lit(1)).over(pw).alias("party_total"),
-                    F.count(F.lit(1))
-                    .over(Window.partitionBy())
-                    .alias("vote_total"),
+                    F.count(F.lit(1)).over(vw).alias("vote_total"),
                 )
                 .orderBy("id_poslanec")
             )
