@@ -100,6 +100,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # In local mode driver and all executor threads share ONE JVM whose heap
+    # defaults to -Xmx1g — 32 task threads plus broadcast builds through 1 GiB
+    # is constant GC pressure and OOM-kills broadcast-heavy plans at 10x data.
+    # Honored only at JVM launch (getOrCreate on a live session ignores it);
+    # on a real cluster spark-submit owns this and the builder value is inert.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     for k, v in {**_SCALE_CONFS, **(extra_confs or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
