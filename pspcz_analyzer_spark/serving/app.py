@@ -6,6 +6,8 @@ GET /api/amendments?search=&page=       (routes/amendments.py:21-47)
 GET /api/amendment-coalitions           (routes/amendments.py:50-69; also
                                          aliased as /api/coalitions)
 GET /api/query/{name}                   (generic catalog endpoint)
+GET /charts/{loyalty,attendance,similarity}  (routes/charts.py:39-193;
+                                         PNG with matplotlib, SVG without)
 
 FastAPI is optional (not present in every runtime); ``create_app`` raises a
 clear error when it is missing, and everything above the HTTP edge —
@@ -71,6 +73,29 @@ def create_app(service: QueryService):
     @app.get("/api/coalitions")
     def coalitions():
         return service.coalitions()
+
+    @app.get("/charts/loyalty")
+    def loyalty_chart(top: int = 20, party: str | None = None):
+        from fastapi import Response
+
+        body, mime = service.loyalty_chart(top=top, party=party)
+        return Response(content=body, media_type=mime)
+
+    @app.get("/charts/attendance")
+    def attendance_chart(
+        top: int = 20, sort: str = "worst", party: str | None = None
+    ):
+        from fastapi import Response
+
+        body, mime = service.attendance_chart(top=top, sort=sort, party=party)
+        return Response(content=body, media_type=mime)
+
+    @app.get("/charts/similarity")
+    def similarity_chart():
+        from fastapi import Response
+
+        body, mime = service.similarity_chart()
+        return Response(content=body, media_type=mime)
 
     @app.get("/api/query/{name}")
     def query(name: str):

@@ -294,6 +294,83 @@ class QueryService:
         )
         return {"cohesion": cohesion, "pair_agreement": pairs}
 
+    # -- chart endpoints (routes/charts.py:39-193 semantics) --
+
+    def loyalty_chart(
+        self, top: int = 20, party: str | None = None
+    ) -> tuple[bytes, str]:
+        """Loyalty horizontal-bar chart (routes/charts.py:39-75): the cached
+        loyalty rows labeled ``jmeno prijmeni (party)``, rendered
+        driver-side (PNG via matplotlib when installed, SVG otherwise).
+        Rendering never touches the cluster — it consumes the same cached
+        row list the JSON endpoint serves."""
+        from pspcz_analyzer_spark.serving.charts import render_chart
+
+        rows = self.loyalty(top=top, party=party)
+        labeled = [
+            {**r, "mp": f"{r['jmeno']} {r['prijmeni']} ({r['party'] or '?'})"}
+            for r in rows
+        ]
+        return render_chart(
+            labeled,
+            "barh",
+            title="Rebellion rate (%)",
+            max_rows=top,
+            label="mp",
+            value="rebellion_pct",
+        )
+
+    def attendance_chart(
+        self, top: int = 20, sort: str = "worst", party: str | None = None
+    ) -> tuple[bytes, str]:
+        """Attendance horizontal-bar chart (routes/charts.py:78-135)."""
+        from pspcz_analyzer_spark.serving.charts import render_chart
+
+        rows = self.attendance(sort=sort, top=top, party=party)
+        labeled = [
+            {**r, "mp": f"{r['jmeno']} {r['prijmeni']} ({r['party'] or '?'})"}
+            for r in rows
+        ]
+        return render_chart(
+            labeled,
+            "barh",
+            title="Attendance (%)",
+            max_rows=top,
+            label="mp",
+            value="attendance_pct",
+        )
+
+    def similarity_chart(self) -> tuple[bytes, str]:
+        """PCA scatter of MPs colored by party (routes/charts.py:138-190):
+        the 2-D vote-matrix PCA joined with broadcast MP info, cached like
+        every analysis result, scatter-rendered driver-side."""
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.serving.charts import render_chart
+
+        def build():
+            coords = query_fns()["mp_pca_coords"](self.spark, self.sf_dir)
+            info = F.broadcast(
+                derive_mp_info(self.spark, self.sf_dir).select(
+                    "id_poslanec", "jmeno", "prijmeni", "party"
+                )
+            )
+            return coords.join(info, "id_poslanec", "left")
+
+        rows = self._cached(f"pca_chart:{self.sf_dir}", build)
+        labeled = [
+            {**r, "mp": f"{r['jmeno']} {r['prijmeni']}"} for r in rows
+        ]
+        return render_chart(
+            labeled,
+            "scatter",
+            title="MP voting similarity (PCA)",
+            x="x",
+            y="y",
+            group="party",
+            point_label="mp",
+        )
+
     def query(self, name: str) -> Rows:
         """Any registered catalog query by name (the generic endpoint)."""
         fns = query_fns()
