@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under future annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -59,26 +60,61 @@ def fuzzy_best_match(
     right_col: str,
     max_distance: int | None = None,
     right_tiebreak: str | None = None,
+    scorer: str = "levenshtein",
+    min_ratio: float | None = None,
 ) -> DataFrame:
-    """For each left row, the right row whose ``right_col`` has the smallest
-    Levenshtein distance to ``left_col`` (optionally capped).
+    """For each left row, the best-scoring right row under ``scorer``.
 
-    Implementation: broadcast the smaller ``right`` side, score with the
-    built-in ``levenshtein`` (whole-stage codegen, no UDF), pick top-1 per
-    left row via window. At huge right-side cardinality swap this for
-    MinHashLSH blocking first (see operators/dedup.py) — the scoring and
-    top-1 selection below stay the same.
+    * ``scorer="levenshtein"`` (default): smallest edit distance via the
+      built-in ``levenshtein`` — whole-stage codegen, no UDF, the scale
+      path. ``max_distance`` caps it.
+    * ``scorer="ratio"``: exact ``difflib.SequenceMatcher.ratio`` parity
+      with the reference's submitter resolver
+      (/root/reference/pspcz_analyzer/services/amendments/
+      submitter_resolver.py:36-46): highest ratio wins, ``min_ratio``
+      replicates its ``_MATCH_THRESHOLD >= 0.7`` filter. Python's ratio has
+      no JVM twin, so scoring runs in an Arrow-batched pandas UDF — per
+      candidate PAIR after the join, never per row² in Python, and the
+      candidate set is already bounded by the broadcast/blocked right side.
+
+    Implementation: broadcast the smaller ``right`` side, score, pick top-1
+    per left row via window (ties break on score then ``right_tiebreak`` —
+    the reference's first-row-wins tie is iteration-order-dependent and has
+    no distributed equivalent, so the tiebreak here is explicit and
+    deterministic). At huge right-side cardinality put MinHashLSH blocking
+    first (see operators/dedup.py) — scoring and selection stay the same.
     """
-    scored = left.join(F.broadcast(right)).withColumn(
-        "distance", F.levenshtein(F.col(left_col), F.col(right_col))
-    )
-    if max_distance is not None:
-        scored = scored.filter(F.col("distance") <= max_distance)
-    tiebreaks: list[Column] = [F.col("distance").asc()]
-    if right_tiebreak:
-        tiebreaks = [F.col("distance").asc(), F.col(right_tiebreak).asc()]
+    joined = left.join(F.broadcast(right))
+    if scorer == "levenshtein":
+        scored = joined.withColumn(
+            "distance", F.levenshtein(F.col(left_col), F.col(right_col))
+        )
+        if max_distance is not None:
+            scored = scored.filter(F.col("distance") <= max_distance)
+        order = F.col("distance").asc()
+    elif scorer == "ratio":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+            import difflib
+
+            return pd.Series(
+                [
+                    difflib.SequenceMatcher(None, x or "", y or "").ratio()
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        scored = joined.withColumn(
+            "ratio", _ratio(F.col(left_col), F.col(right_col))
+        )
+        if min_ratio is not None:
+            scored = scored.filter(F.col("ratio") >= min_ratio)
+        order = F.col("ratio").desc()
     else:
-        tiebreaks = [F.col("distance").asc(), F.col(right_col).asc()]
+        raise ValueError(f"unknown scorer: {scorer}")
+    tiebreaks: list[Column] = [order, F.col(right_tiebreak or right_col).asc()]
     return latest_per_key(scored, [left_col], tiebreaks)
 
 

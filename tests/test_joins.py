@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
 from pspcz_analyzer_spark.operators.joins import (
     asof_join,
@@ -73,6 +74,48 @@ class TestFuzzyBestMatch:
         assert (
             fuzzy_best_match(left, right, "name", "cand", max_distance=2).count() == 0
         )
+
+    def test_ratio_scorer_matches_difflib_reference(self, spark):
+        """Exact parity with the reference resolver loop
+        (submitter_resolver.py:36-46): inflected Czech names vs a surname
+        list, SequenceMatcher.ratio, >= 0.7 threshold."""
+        import difflib
+
+        inflected = ["Bartosem", "Novakovi", "Svobodou", "Zelenskym"]
+        surnames = ["Bartos", "Novak", "Svoboda", "Fiala", "Pekarova"]
+        left = spark.createDataFrame([(n,) for n in inflected], "name string")
+        right = spark.createDataFrame([(s,) for s in surnames], "cand string")
+        got = {
+            r["name"]: (r["cand"], r["ratio"])
+            for r in fuzzy_best_match(
+                left, right, "name", "cand", scorer="ratio", min_ratio=0.7
+            ).collect()
+        }
+        for n in inflected:
+            best, best_r = None, 0.0
+            for s in surnames:
+                r = difflib.SequenceMatcher(None, n, s).ratio()
+                if r > best_r:
+                    best_r, best = r, s
+            if best_r >= 0.7:
+                assert got[n][0] == best
+                assert got[n][1] == pytest.approx(best_r)
+            else:
+                assert n not in got
+        assert "Zelenskym" not in got  # below threshold -> dropped
+
+    def test_ratio_tiebreak_deterministic(self, spark):
+        left = spark.createDataFrame([("ab",)], "name string")
+        right = spark.createDataFrame([("az",), ("ay",)], "cand string")
+        rows = fuzzy_best_match(
+            left, right, "name", "cand", scorer="ratio"
+        ).collect()
+        assert len(rows) == 1 and rows[0]["cand"] == "ay"  # asc tiebreak
+
+    def test_unknown_scorer_raises(self, spark):
+        df = spark.createDataFrame([("a",)], "name string")
+        with pytest.raises(ValueError, match="unknown scorer"):
+            fuzzy_best_match(df, df, "name", "name", scorer="jaro")
 
 
 class TestAsofJoin:

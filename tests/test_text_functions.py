@@ -97,3 +97,69 @@ def test_fingerprint_normalization_invariant(spark):
     fps = [r["f"] for r in df.select(T.fingerprint("t").alias("f")).collect()]
     assert fps[0] == fps[1]
     assert len(fps[0]) == 32
+
+
+# -- strip_html (SURVEY F14) --------------------------------------------------
+
+HTML_SAMPLES = [
+    "<p>Sněmovní tisk <b>č. 42</b></p>",
+    "<html><head><style>p { color: red }</style><script>if (a < b) alert('x');</script></head>"
+    "<body><h1>Zákon</h1><!-- internal note --><p>o &quot;dani&quot; &amp; poplatcích&nbsp;&ndash;&nbsp;novela</p></body></html>",
+    "no markup at all",
+    "",
+    "<ul><li>první</li><li>druhá</li></ul>",
+    "text with &amp;lt; double-encoded entity",
+    "<a href='http://psp.cz/sqw?o=9&t=42'>odkaz</a> konec",
+    "<div>multi\n  line\n\twhitespace</div>   trailing",
+    "<P CLASS=\"x\">upper-case tags</P>",
+    "<script src='x.js'></script>after empty script",
+]
+
+
+def _stdlib_strip_html(html_text: str) -> str:
+    """Oracle: stdlib html.parser walk collecting text outside script/style,
+    space-separated, entity-decoded, whitespace-collapsed — the selectolax
+    .text(separator=' ', strip=True) + html.unescape behavior the reference
+    relies on (steno_scraper.py:93)."""
+    import re
+    from html.parser import HTMLParser
+
+    class Walk(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.parts: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip:
+                self.skip -= 1
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+    w = Walk()
+    w.feed(html_text)
+    return re.sub(r"\s+", " ", " ".join(w.parts)).strip()
+
+
+@pytest.mark.parametrize("sample", HTML_SAMPLES)
+def test_strip_html_matches_stdlib_parser(spark, sample):
+    got = spark.range(1).select(
+        T.strip_html(F.lit(sample)).alias("x")
+    ).collect()[0]["x"]
+    assert got == _stdlib_strip_html(sample)
+
+
+def test_strip_html_batch_column(spark):
+    """Applies as a plain column over many rows (the scan-speed contract)."""
+    df = spark.createDataFrame(
+        [(i, f"<p>doc {i} &amp; <b>more</b></p>") for i in range(100)],
+        "id long, raw string",
+    )
+    rows = df.select("id", T.strip_html("raw").alias("clean")).collect()
+    assert all(r["clean"] == f"doc {r['id']} & more" for r in rows)
