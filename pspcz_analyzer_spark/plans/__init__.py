@@ -199,6 +199,7 @@ def register(
 def _load_all() -> None:
     # Import side effects populate the registry.
     from pspcz_analyzer_spark.plans import (  # noqa: F401
+        behavior,
         corpus,
         documents,
         ingest,

@@ -1,0 +1,255 @@
+"""User-behavior analytics over events + ranked retrieval over documents.
+
+Three composites a training-data / product-analytics pipeline runs at
+scale, each with a DuckDB oracle:
+
+* events_funnel — ordered conversion funnel (signup -> first view after
+  signup -> first purchase after that view). Every stage is a keyed
+  equi-join + min-aggregate on user_id, so the whole funnel is a handful
+  of shuffles on the SAME key (AQE reuses the exchange); nothing driver-
+  side until the final 3-row summary.
+* events_retention_cohorts — classic cohort retention: users grouped by
+  first-active date, counted per day-offset. Two shuffles (user_id, then
+  the tiny cohort/offset grid).
+* doc_bm25_topk — Okapi BM25 scoring of a fixed query-term set over the
+  corpus. With a small term list the whole thing is ONE scan: per-term
+  term frequencies come from array ops on the token split (no explode of
+  the full token stream), corpus stats (N, avgdl, per-term df) are a
+  scalar aggregate broadcast back, and the final top-k is
+  TakeOrderedAndProject. The classic explode->groupBy formulation
+  shuffles every token in the corpus; this shape shuffles nothing but a
+  one-row stats frame and the k winners, which is what you want when
+  "corpus" means 100 TB.
+
+The funnel/retention shapes have no reference twin (the reference's user
+analytics is parliament-specific); they fill the SURVEY's training-
+pipeline mandate alongside dedup/ANN/corpus-prep.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pspcz_analyzer_spark.catalog import load_table
+from pspcz_analyzer_spark.plans import register
+
+_FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage_num, 'signup' AS stage,
+             n1 AS users, CAST(100 AS DOUBLE) AS pct_of_prev FROM n
+      UNION ALL
+      SELECT 2, 'view', n2, round(n2 * 100.0 / n1, 6) FROM n
+      UNION ALL
+      SELECT 3, 'purchase', n3, round(n3 * 100.0 / n2, 6) FROM n
+    ) ORDER BY stage_num
+    """,
+    tags=("funnel", "behavior", "events"),
+    doc="Ordered conversion funnel: first signup, first view AFTER it, "
+    "first purchase after THAT — strict event ordering per user, not "
+    "mere per-type existence.",
+    priority=18,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(stage: str, prev: DataFrame | None, t_prev: str, t_out: str):
+        staged = events.filter(F.col("event_type") == stage)
+        if prev is not None:
+            staged = staged.join(prev, "user_id").filter(F.col("ts") > F.col(t_prev))
+        return staged.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    s1 = first_after("signup", None, "", "t1")
+    s2 = first_after("view", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+
+    def row(num: int, stage: str, users, pct):
+        return F.struct(
+            F.lit(num).cast("long").alias("stage_num"),
+            F.lit(stage).alias("stage"),
+            users.alias("users"),
+            pct.cast("double").alias("pct_of_prev"),
+        )
+
+    return (
+        counts.select(
+            F.explode(
+                F.array(
+                    row(1, "signup", n1, F.lit(100.0)),
+                    row(2, "view", n2, F.round(n2 * 100.0 / n1, 6)),
+                    row(3, "purchase", n3, F.round(n3 * 100.0 / n2, 6)),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("stage_num")
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(d) AS cohort_date FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_date,
+           datediff('day', c.cohort_date, a.d) AS day_offset,
+           count(*) AS users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("retention", "behavior", "events"),
+    doc="Cohort retention grid: users bucketed by first-active date, "
+    "active-user counts per day offset. Distinct-day activity first so a "
+    "chatty user counts once per day.",
+    priority=18,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 15
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"x -> x = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5)) * tf_{t} * {_BM25_K1 + 1} "
+        f"/ (tf_{t} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for t in _BM25_TERMS
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl,
+           {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base
+    )
+    SELECT doc_id, round({score}, 6) AS bm25
+    FROM base, stats
+    WHERE {any_tf} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_K}
+    """
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("bm25", "retrieval", "text-analysis"),
+    doc="Okapi BM25 top-k for a fixed query-term set: one corpus scan "
+    "(array-op term frequencies, no token explode), scalar stats "
+    "broadcast, TakeOrderedAndProject top-k.",
+    priority=18,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def tf(term: str):
+        # NB: the lambda must take exactly one parameter — F.filter treats a
+        # two-parameter lambda as (value, index).
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("dl"),
+        *[tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    parts = [
+        F.log(
+            1.0
+            + (F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        * F.col(f"tf_{t}")
+        * (_BM25_K1 + 1)
+        / (
+            F.col(f"tf_{t}")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        for t in _BM25_TERMS
+    ]
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    any_tf = sum((F.col(f"tf_{t}") for t in _BM25_TERMS[1:]), F.col(f"tf_{_BM25_TERMS[0]}"))
+    return (
+        scored.filter(any_tf > 0)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
