@@ -16,6 +16,7 @@ from pspcz_analyzer_spark.catalog import load_table
 from pspcz_analyzer_spark.functions.text import (
     bpe_ish_token_count,
     contains_normalized,
+    strip_html,
     token_count,
 )
 from pspcz_analyzer_spark.operators.dedup import (
@@ -618,3 +619,37 @@ def docs_by_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "doc_html_strip_roundtrip",
+    # The oracle states the EXPECTED text independently of the stripper's
+    # implementation: wrapping a document in known markup and stripping it
+    # must give back the whitespace-collapsed document plus the decoded
+    # entity suffix. No DuckDB re-implementation of the regex chain — a
+    # stripper bug cannot cancel out of both sides.
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(text || ' & konec <EOF>', '\s+', ' ', 'g'))
+             AS clean
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("F14", "html", "text-analysis"),
+    doc="HTML-to-text round-trip (SURVEY F14, scraper text extraction "
+    "steno_scraper.py:93): wrap each document in tags + comment + script "
+    "block + encoded entities, strip with the built-in regexp chain, "
+    "expect the original text back with entities decoded.",
+    priority=18,
+)
+def doc_html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<div class="doc">'),
+        F.col("text"),
+        F.lit("</div><!-- interní poznámka --><script>if (a < b) x();</script>"
+              " &amp; konec &lt;EOF&gt;"),
+    )
+    return docs.select(
+        "doc_id", strip_html(wrapped).alias("clean")
+    ).orderBy("doc_id")
