@@ -58,6 +58,9 @@ HEADLINE = [
     "events_tumbling_1h",
     "media_image_features",
     "unl_roundtrip_nation",
+    "doc_bm25_topk",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 

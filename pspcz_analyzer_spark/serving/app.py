@@ -17,19 +17,57 @@ it (tests/test_serving.py).
 
 from __future__ import annotations
 
-from pspcz_analyzer_spark.serving.service import QueryService
+from pspcz_analyzer_spark.serving.service import QueryService, QueryTimeoutError
+
+# Endpoint-class rate limits (requests/minute) — the reference's slowapi
+# decorators (routes/voting.py:24 60/min analysis, routes/charts.py 30/min,
+# browse endpoints 120/min; BASELINE.md envelope).
+RATE_LIMITS = {"analysis": 60, "browse": 120, "charts": 30}
+_BROWSE_PREFIXES = ("/api/laws", "/api/amendments", "/api/query", "/votes")
+
+
+def classify_endpoint(path: str) -> str:
+    """Map a request path to its rate-limit class."""
+    if path.startswith("/charts"):
+        return "charts"
+    if path.startswith(_BROWSE_PREFIXES):
+        return "browse"
+    return "analysis"
 
 
 def create_app(service: QueryService):
     try:
-        from fastapi import FastAPI, HTTPException
+        from fastapi import FastAPI, HTTPException, Request
+        from fastapi.responses import JSONResponse
     except ImportError as e:  # pragma: no cover - depends on runtime extras
         raise ImportError(
             "fastapi is not installed; QueryService is usable directly, or "
             "install fastapi to serve HTTP"
         ) from e
 
+    from pspcz_analyzer_spark.serving.rate_limit import RateLimiter
+
     app = FastAPI(title="pspcz_analyzer_spark")
+    limiters = {
+        cls: RateLimiter(limit, per_seconds=60.0)
+        for cls, limit in RATE_LIMITS.items()
+    }
+
+    @app.middleware("http")
+    async def rate_limit(request: Request, call_next):
+        cls = classify_endpoint(request.url.path)
+        client = request.client.host if request.client else "anon"
+        if not limiters[cls].allow(f"{cls}:{client}"):
+            return JSONResponse(
+                status_code=429, content={"detail": f"rate limit: {cls}"}
+            )
+        return await call_next(request)
+
+    @app.exception_handler(QueryTimeoutError)
+    async def timeout_503(request: Request, exc: QueryTimeoutError):
+        # The reference's analysis-timeout contract: budget blown -> 503
+        # (routes/voting.py:39,64), session stays healthy for the next call.
+        return JSONResponse(status_code=503, content={"detail": str(exc)})
 
     @app.get("/api/attendance")
     def attendance(sort: str = "worst", top: int = 30, party: str | None = None):

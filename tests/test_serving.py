@@ -143,6 +143,20 @@ def test_http_app_import_gated(spark):
             create_app(svc)
 
 
+def test_endpoint_rate_limit_classes():
+    """Route-class mapping feeding the HTTP middleware (reference slowapi
+    envelope: 60/min analysis, 120/min browse, 30/min charts)."""
+    from pspcz_analyzer_spark.serving.app import RATE_LIMITS, classify_endpoint
+
+    assert RATE_LIMITS == {"analysis": 60, "browse": 120, "charts": 30}
+    assert classify_endpoint("/charts/loyalty") == "charts"
+    assert classify_endpoint("/api/laws") == "browse"
+    assert classify_endpoint("/api/query/q5_nation_revenue") == "browse"
+    assert classify_endpoint("/votes/42") == "browse"
+    assert classify_endpoint("/api/loyalty") == "analysis"
+    assert classify_endpoint("/api/amendment-coalitions") == "analysis"
+
+
 class TestServingRoutesRound3:
     @pytest.fixture()
     def svc(self, spark):
