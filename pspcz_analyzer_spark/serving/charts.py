@@ -95,7 +95,10 @@ def render_barh_svg(
     rows = list(rows)[:max_rows]
     bar_h, gap, top, left, right = 22, 6, 48, 300, 30
     height = top + len(rows) * (bar_h + gap) + 46
-    vals = [float(r[value] or 0) for r in rows]
+    # Bars render rightward from 0; negative metrics clamp to zero-width
+    # (the loyalty/attendance metrics are percentages, but a generic caller
+    # must not be able to emit a negative-width rect, which is invalid SVG).
+    vals = [max(0.0, float(r[value] or 0)) for r in rows]
     vmax = max([v for v in vals] + [0.0])
     ticks = _nice_ticks(0.0, vmax if vmax > 0 else 1.0)
     span = ticks[-1] if ticks[-1] > 0 else 1.0

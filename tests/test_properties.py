@@ -112,3 +112,122 @@ class TestPaginationProperties:
         flat = [x for p in pages for x in p]
         assert flat == list(range(1, n_rows + 1))
         assert all(len(p) <= per_page for p in pages)
+
+
+class TestStripHtmlProperty:
+    """strip_html vs a stdlib html.parser oracle over GENERATED markup —
+    one Spark job over a seeded random corpus (per-example jobs would take
+    minutes), driver-side oracle per row."""
+
+    @staticmethod
+    def _gen_fragment(rng) -> str:
+        # Well-formed domain: no raw "<" inside text (real markup escapes
+        # it; parsers legitimately disagree on pathological bare "<").
+        words = ["zákon", "tisk", "č.", "42", "data", "x>y", "a&b", "ať"]
+        entities = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+                    "&ndash;", "&amp;lt;"]
+        tags = ["p", "div", "b", "span", "h1", "li"]
+        parts = []
+        for _ in range(rng.randint(1, 12)):
+            kind = rng.random()
+            if kind < 0.35:
+                parts.append(rng.choice(words))
+            elif kind < 0.5:
+                parts.append(rng.choice(entities))
+            elif kind < 0.7:
+                t = rng.choice(tags)
+                inner = " ".join(
+                    rng.choice(words) for _ in range(rng.randint(0, 3))
+                )
+                attr = ' class="x"' if rng.random() < 0.3 else ""
+                parts.append(f"<{t}{attr}>{inner}</{t}>")
+            elif kind < 0.8:
+                parts.append(f"<!-- {rng.choice(words)} -->")
+            elif kind < 0.9:
+                parts.append(f"<script>if (a < {rng.randint(0, 9)}) x();</script>")
+            else:
+                parts.append(f"<style>p {{ margin: {rng.randint(0, 9)}px }}</style>")
+            parts.append(rng.choice([" ", "  ", "\n", "\t ", " "]))
+        return "".join(parts)
+
+    def test_matches_stdlib_parser_on_generated_markup(self, spark):
+        import random
+
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.functions.text import strip_html
+        from tests.test_text_functions import _stdlib_strip_html
+
+        rng = random.Random(20260814)
+        frags = [self._gen_fragment(rng) for _ in range(150)]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(frags)], "i long, raw string"
+        )
+        rows = df.select("i", strip_html("raw").alias("clean")).collect()
+        for r in sorted(rows, key=lambda r: r["i"]):
+            assert r["clean"] == _stdlib_strip_html(frags[r["i"]]), frags[r["i"]]
+
+
+class TestAsofJoinProperty:
+    """asof_join vs a per-row brute force over generated keyed time series —
+    both directions, both strictness modes, with cross-side timestamp ties
+    (right sides are unique per (key, time), the documented contract)."""
+
+    @staticmethod
+    def _brute(left, right, strict, direction):
+        out = {}
+        for lk, lt, lid in left:
+            cands = []
+            for rk, rt, rv in right:
+                if rk != lk:
+                    continue
+                if direction == "backward":
+                    ok = rt < lt if strict else rt <= lt
+                else:
+                    ok = rt > lt if strict else rt >= lt
+                if ok:
+                    cands.append((rt, rv))
+            if cands:
+                best = max(cands) if direction == "backward" else min(cands)
+                out[lid] = best[1]
+            else:
+                out[lid] = None
+        return out
+
+    def test_matches_brute_force(self, spark):
+        import datetime as dt
+        import random
+
+        from pspcz_analyzer_spark.operators.joins import asof_join
+
+        rng = random.Random(42)
+        base = dt.datetime(2024, 1, 1)
+
+        def ts(h):
+            return base + dt.timedelta(hours=h)
+
+        for trial in range(4):
+            left = [
+                (rng.randint(1, 3), ts(rng.randint(0, 10)), i)
+                for i in range(20)
+            ]
+            right_keys = set()
+            right = []
+            for v in range(30):
+                k, h = rng.randint(1, 3), rng.randint(0, 10)
+                if (k, h) not in right_keys:  # unique (key, time) contract
+                    right_keys.add((k, h))
+                    right.append((k, ts(h), v))
+            ldf = spark.createDataFrame(left, "k long, t timestamp, lid long")
+            rdf = spark.createDataFrame(right, "k long, rt timestamp, rv long")
+            for strict in (True, False):
+                for direction in ("backward", "forward"):
+                    got = {
+                        r["lid"]: r["asof_rv"]
+                        for r in asof_join(
+                            ldf, rdf, ["k"], "t", "rt", ["rv"],
+                            strict=strict, direction=direction,
+                        ).collect()
+                    }
+                    want = self._brute(left, right, strict, direction)
+                    assert got == want, (trial, strict, direction)
