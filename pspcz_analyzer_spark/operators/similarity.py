@@ -245,3 +245,153 @@ def pca_coords(
         for i, p in enumerate(ids)
     ]
     return spark.createDataFrame(data, "id_poslanec long, x double, y double")
+
+
+def _apply_gram(nz: DataFrame, mu: DataFrame, ids: list[int], V, spark):
+    """One application Z = G V of the centered Gram G = Xc Xc^T, without
+    materializing G. V is a driver-side n x m ndarray (m = k + oversample,
+    single digits); the distributed work is two sparse-entry joins:
+
+        w = Xc^T V = X^T V - mu (1^T V)      (per-vote rows, m columns)
+        Z = Xc w   = X w  - 1 (mu^T w)       (per-MP rows, m columns)
+
+    The m columns ride along as posexploded (dim, value) rows — m is a
+    small constant, so the entry stream grows m-fold, never n-fold, and
+    nothing of size n x n exists anywhere.
+    """
+    import numpy as np
+
+    n, m = V.shape
+    colsum = V.sum(axis=0)  # 1^T V, m scalars
+    vdf = spark.createDataFrame(
+        [(int(p), [float(x) for x in V[i]]) for i, p in enumerate(ids)],
+        "id_poslanec long, vals array<double>",
+    )
+    # X^T V: sum x_pj * V_pd per (vote j, dim d).
+    xtv = (
+        nz.join(vdf, "id_poslanec")
+        .select("id_hlasovani", "v", F.posexplode("vals").alias("d", "val"))
+        .groupBy("id_hlasovani", "d")
+        .agg(F.sum(F.col("v") * F.col("val")).alias("xtv"))
+    )
+    colsum_df = F.array(*[F.lit(float(c)) for c in colsum])
+    w = xtv.join(mu, "id_hlasovani").select(
+        "id_hlasovani",
+        "d",
+        (F.col("xtv") - F.col("mu") * F.element_at(colsum_df, F.col("d") + 1)).alias("w"),
+    )
+    from pyspark import StorageLevel
+
+    w = w.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # mu^T w: m scalars, one tiny aggregation.
+        muw_rows = (
+            w.join(mu, "id_hlasovani")
+            .groupBy("d")
+            .agg(F.sum(F.col("mu") * F.col("w")).alias("muw"))
+            .collect()
+        )
+        muw = np.zeros(m)
+        for r in muw_rows:
+            muw[r["d"]] = r["muw"]
+        # X w: sum x_pj * w_jd per (MP, dim).
+        xw = (
+            nz.join(w, "id_hlasovani")
+            .groupBy("id_poslanec", "d")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("xw"))
+            .toPandas()
+        )
+    finally:
+        w.unpersist()
+    idx = {p: i for i, p in enumerate(ids)}
+    Z = np.tile(-muw, (n, 1))  # all-zero X rows still carry the centering term
+    if len(xw):
+        Z[xw["id_poslanec"].map(idx).to_numpy(), xw["d"].to_numpy()] += xw[
+            "xw"
+        ].to_numpy()
+    return Z
+
+
+def pca_coords_distributed(
+    mp_votes: DataFrame,
+    void_votes: DataFrame | None = None,
+    n_components: int = 2,
+    oversample: int = 6,
+    power_iters: int = 2,
+    seed: int = 20260814,
+) -> DataFrame:
+    """2-D PCA coordinates per MP with O(n*k) driver memory — the scale
+    path for when the sample axis outgrows the n x n Gram that
+    :func:`pca_coords` eigendecomposes on the driver (its documented
+    bound: 10k MPs = 0.8 GB, 100k = 80 GB).
+
+    Randomized subspace iteration (Halko/Martinsson/Tropp, SIAM Rev. 2011)
+    on the centered Gram operator: draw a seeded n x (k+oversample)
+    Gaussian block, alternate Z = G V applications (two sparse-entry
+    joins each, see :func:`_apply_gram`) with driver-side QR, then
+    Rayleigh-Ritz on the (k+p) x (k+p) projected matrix. The driver only
+    ever holds n x (k+p) panels; the n x n Gram never exists. Accuracy
+    for the top components is governed by the spectral decay that makes
+    vote matrices PCA-able in the first place; power_iters=2 recovers the
+    exact top-2 coordinates to ~1e-6 on the test fixtures
+    (tests/test_similarity.py::TestPCADistributed). On a spectrum with NO
+    decay (the driver's synthetic random votes: top eigenvalues within ~2%
+    of each other) the individual components are non-identifiable for ANY
+    method — exact eigh included — and the two paths return different
+    rotations of the same near-degenerate subspace; real parliaments have
+    the party-bloc gap that makes PC1/PC2 meaningful.
+
+    Output contract matches :func:`pca_coords`: (id_poslanec, x, y),
+    deterministic component signs (largest-|coord| positive), 6-decimal
+    rounding.
+    """
+    import numpy as np
+
+    from pyspark import StorageLevel
+
+    spark = mp_votes.sparkSession
+    entries = vote_entries(mp_votes, void_votes)
+    nz = entries.filter(F.col("v") != 0).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        ids = [
+            int(r["id_poslanec"])
+            for r in entries.select("id_poslanec").distinct().orderBy("id_poslanec").collect()
+        ]
+        n = len(ids)
+        if n == 0:
+            return spark.createDataFrame([], "id_poslanec long, x double, y double")
+        mu = (
+            nz.groupBy("id_hlasovani")
+            .agg((F.sum("v") / F.lit(float(n))).alias("mu"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            m = min(n_components + oversample, n)
+            rng = np.random.default_rng(seed)
+            Q, _ = np.linalg.qr(rng.standard_normal((n, m)))
+            for _ in range(power_iters):
+                Q, _ = np.linalg.qr(_apply_gram(nz, mu, ids, Q, spark))
+            Z = _apply_gram(nz, mu, ids, Q, spark)
+            T = Q.T @ Z
+            T = (T + T.T) / 2.0  # symmetrize numerical noise
+            evals, W = np.linalg.eigh(T)  # ascending
+            order = np.argsort(evals)[::-1][:n_components]
+            comps = []
+            for col in order:
+                lam = max(float(evals[col]), 0.0)
+                u = Q @ W[:, col]
+                pivot = int(np.argmax(np.abs(u)))
+                if u[pivot] < 0:
+                    u = -u
+                comps.append(u * np.sqrt(lam))
+            while len(comps) < n_components:
+                comps.append(np.zeros(n))
+        finally:
+            mu.unpersist()
+    finally:
+        nz.unpersist()
+    data = [
+        (int(p), float(round(comps[0][i], 6)), float(round(comps[1][i], 6)))
+        for i, p in enumerate(ids)
+    ]
+    return spark.createDataFrame(data, "id_poslanec long, x double, y double")

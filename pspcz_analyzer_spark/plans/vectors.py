@@ -358,3 +358,22 @@ def mp_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_coords(
         derive_mp_votes(spark, sf_dir), derive_void_votes(spark, sf_dir)
     ).orderBy("id_poslanec")
+
+
+@register(
+    "mp_pca_coords_distributed",
+    oracle=None,  # same rows-only rationale as mp_pca_coords (basis signs)
+    tags=("M2", "pca", "voting", "scale"),
+    doc="O(n*k)-driver PCA twin of mp_pca_coords: randomized subspace "
+    "iteration applying the centered Gram via sparse-entry joins — the "
+    "path for when the sample axis outgrows the driver-side n x n Gram. "
+    "Exact-parity + NumPy-parity tests in test_similarity.py (parity "
+    "requires an eigengap; on the driver's gapless synthetic votes the "
+    "component basis is non-identifiable for any method).",
+)
+def mp_pca_coords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.similarity import pca_coords_distributed
+
+    return pca_coords_distributed(
+        derive_mp_votes(spark, sf_dir), derive_void_votes(spark, sf_dir)
+    ).orderBy("id_poslanec")

@@ -266,3 +266,96 @@ class TestANN:
         recall = len(found) / len(planted)
         assert recall >= 0.95, f"near-dup recall {recall}"
         assert all(pairs[p] > 0.99 for p in found)
+
+
+class TestPCADistributed:
+    """pca_coords_distributed: the O(n*k)-driver scale path must reproduce
+    the exact Gram-eigh coordinates (same contract, same sign convention)."""
+
+    def test_matches_exact_operator_on_fixture(self, spark, mp_votes, void_votes):
+        from pspcz_analyzer_spark.operators.similarity import pca_coords_distributed
+
+        exact = {r["id_poslanec"]: (r["x"], r["y"]) for r in pca_coords(mp_votes, void_votes).collect()}
+        dist = {
+            r["id_poslanec"]: (r["x"], r["y"])
+            for r in pca_coords_distributed(mp_votes, void_votes).collect()
+        }
+        assert set(dist) == set(exact)
+        for p in exact:
+            # n=6 <= k+oversample: the subspace spans everything -> exact
+            # up to the shared sign convention and 6-decimal rounding.
+            assert abs(dist[p][0]) == pytest.approx(abs(exact[p][0]), abs=1e-4)
+            assert abs(dist[p][1]) == pytest.approx(abs(exact[p][1]), abs=1e-4)
+
+    def test_matches_numpy_when_subspace_smaller_than_n(self, spark, void_votes):
+        """40 MPs x 60 votes with planted 2-block structure + noise: the
+        randomized m=8 subspace must still recover the exact top-2
+        coordinates (spectral decay is what makes vote matrices PCA-able)."""
+        import random
+
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.similarity import (
+            pca_coords_distributed,
+            vote_entries,
+        )
+
+        rng = random.Random(7)
+        rows = []
+        for p in range(1, 41):
+            # TWO planted factors with distinct strengths (30 vs 20 votes)
+            # so lambda1 > lambda2 >> noise tail: a gapless PC2 would be
+            # genuinely non-identifiable for ANY method, randomized or not.
+            bloc = 1 if p <= 20 else -1  # factor 1: left/right split
+            wing = 1 if p % 2 == 0 else -1  # factor 2: cross-cutting split
+            for vid in range(1, 61):
+                sign = bloc if vid <= 30 else (wing if vid <= 50 else 0)
+                if rng.random() < 0.03:  # sparse defection noise
+                    sign = -sign
+                res = {1: "A", -1: "B", 0: "C"}[sign]
+                rows.append((p, vid, res))
+        mp_votes = spark.createDataFrame(
+            rows, "id_poslanec long, id_hlasovani long, vysledek string"
+        )
+
+        entries = vote_entries(mp_votes, void_votes).collect()
+        ids = sorted({r["id_poslanec"] for r in entries})
+        votes = sorted({r["id_hlasovani"] for r in entries})
+        X = np.zeros((len(ids), len(votes)))
+        for r in entries:
+            X[ids.index(r["id_poslanec"]), votes.index(r["id_hlasovani"])] = r["v"]
+        Xc = X - X.mean(axis=0)
+        U, S, _ = np.linalg.svd(Xc, full_matrices=False)
+        want = np.abs(U[:, :2] * S[:2])
+
+        got_rows = {
+            r["id_poslanec"]: (r["x"], r["y"])
+            for r in pca_coords_distributed(
+                mp_votes, void_votes, power_iters=3
+            ).collect()
+        }
+        got = np.abs(np.array([got_rows[p] for p in ids]))
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-3)
+
+    def test_all_zero_rows_keep_centering_term(self, spark, void_votes):
+        """An MP who only ever abstains (all-zero X row) is NOT at the
+        origin after centering — the distributed path must carry the
+        -mu^T w term for rows absent from the sparse entries."""
+        from pspcz_analyzer_spark.operators.similarity import pca_coords_distributed
+
+        rows = []
+        for vid in range(1, 6):
+            rows += [(1, vid, "A"), (2, vid, "A"), (3, vid, "C")]
+        mp_votes = spark.createDataFrame(
+            rows, "id_poslanec long, id_hlasovani long, vysledek string"
+        )
+        exact = {r["id_poslanec"]: r["x"] for r in pca_coords(mp_votes, void_votes).collect()}
+        dist = {
+            r["id_poslanec"]: r["x"]
+            for r in pca_coords_distributed(mp_votes, void_votes).collect()
+        }
+        assert set(dist) == {1, 2, 3}
+        for p in exact:
+            assert abs(dist[p]) == pytest.approx(abs(exact[p]), abs=1e-4)
+        assert abs(dist[3]) > 0.1  # the abstainer sits away from the origin
