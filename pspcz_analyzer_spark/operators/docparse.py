@@ -193,7 +193,13 @@ def parse_amendment_documents(docs: DataFrame) -> DataFrame:
 # (they match headers/markers, not positions).
 
 _PDF_STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
-_PDF_LITERAL = re.compile(rb"\((?:\\.|[^\\()])*\)", re.DOTALL)
+# Direct /Length only — "/Length 8 0 R" is an indirect reference whose value
+# lives in another object; the lookahead rejects it so we fall back to the
+# regex span rather than slicing with an object NUMBER as the byte count.
+_PDF_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# Literal (...) or hex <...> string token — both appear in Tj AND inside
+# TJ arrays (hex is the normal output of CID-keyed producers).
+_PDF_STRING = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", re.DOTALL)
 # One alternation so Tj / ' singles and TJ arrays surface in DOCUMENT order.
 _PDF_SHOW = re.compile(
     rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
@@ -256,9 +262,18 @@ def _pdf_text_fallback(data: bytes) -> str:
         body = m.group(1)
         # The stream dict immediately precedes the 'stream' keyword.
         head = data[max(0, m.start() - 400) : m.start()]
+        # A direct /Length gives the EXACT payload size — the regex span
+        # ends at the first 'endstream', which truncates any compressed
+        # payload that happens to contain those bytes.
+        lm = _PDF_LENGTH.search(head)
+        if lm:
+            body = data[m.start(1) : m.start(1) + int(lm.group(1))]
         if b"/FlateDecode" in head:
             try:
-                body = zlib.decompress(body.rstrip(b"\r\n"))
+                # decompressobj tolerates trailing bytes (the EOL before
+                # 'endstream'), so the payload is never rstrip-mangled —
+                # a deflate stream may legitimately END in 0x0A/0x0D.
+                body = zlib.decompressobj().decompress(body)
             except zlib.error:
                 continue
         elif b"/Filter" in head:
@@ -270,8 +285,8 @@ def _pdf_text_fallback(data: bytes) -> str:
                 raw = _pdf_string_bytes(m.group(1))
             else:
                 raw = b"".join(
-                    _pdf_string_bytes(lit.group(0))
-                    for lit in _PDF_LITERAL.finditer(m.group(2))
+                    _pdf_string_bytes(tok.group(0))
+                    for tok in _PDF_STRING.finditer(m.group(2))
                 )
             # Per-chunk decode: one stream can mix producers (UTF-8 text
             # alongside octal-escaped Latin-1), so a whole-stream decode

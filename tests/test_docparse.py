@@ -210,3 +210,52 @@ def test_udtf_distributes(spark):
         (r["doc_id"], r["vote_number"], r["letter"]) for r in rows
     )
     assert got[0] == (1, 101, "A")
+
+
+class TestPdfFallbackHardening:
+    """Round-4 hardening: payload byte-exactness via /Length, deflate
+    streams with awkward trailing bytes, hex strings inside TJ arrays."""
+
+    def test_hex_string_inside_tj_array(self, spark):
+        from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+
+        content = b"BT [(A) -250 <412e332e> -250 (B)] TJ ET"
+        df = spark.createDataFrame(
+            [(1, _mini_pdf(content))], "doc_id long, content binary"
+        )
+        text = extract_pdf_text(df).collect()[0]["text"]
+        assert "AA.3.B" in text  # hex chunk must not vanish from the array
+
+    def test_embedded_endstream_inside_stream_payload(self, spark):
+        """/Length slicing must survive the bytes 'endstream' occurring
+        INSIDE the payload (the regex span alone would truncate there)."""
+        from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+
+        content = b"BT (before endstream after) Tj (tail survives) Tj ET"
+        df = spark.createDataFrame(
+            [(1, _mini_pdf(content, compress=False))],
+            "doc_id long, content binary",
+        )
+        text = extract_pdf_text(df).collect()[0]["text"]
+        assert "before endstream after" in text
+        assert "tail survives" in text
+
+    def test_deflate_payload_ending_in_newline_byte(self, spark):
+        """A compressed payload legitimately ending in 0x0A must decompress
+        (the old rstrip of the regex span would eat the real final byte)."""
+        import zlib
+
+        from pspcz_analyzer_spark.operators.docparse import extract_pdf_text
+
+        content = None
+        for i in range(20000):  # find a payload whose zlib stream ends in \n
+            cand = b"BT (needle %d) Tj ET" % i
+            if zlib.compress(cand)[-1:] in (b"\n", b"\r"):
+                content = cand
+                break
+        assert content is not None, "no candidate compressed to a \\n tail"
+        df = spark.createDataFrame(
+            [(1, _mini_pdf(content))], "doc_id long, content binary"
+        )
+        text = extract_pdf_text(df).collect()[0]["text"]
+        assert b"needle" in text.encode() and content.split(b"(")[1].split(b")")[0].decode() in text
