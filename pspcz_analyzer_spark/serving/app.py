@@ -48,6 +48,17 @@ def create_app(service: QueryService):
     from pspcz_analyzer_spark.serving.rate_limit import RateLimiter
 
     app = FastAPI(title="pspcz_analyzer_spark")
+
+    def clamp(name: str, value: int, lo: int, hi: int) -> int:
+        # The reference bounds every listing/chart size server-side
+        # (Query(ge=, le=) at routes/charts.py:44); an unbounded top or
+        # per_page would collect an arbitrarily large result driver-side.
+        if not (lo <= value <= hi):
+            raise HTTPException(
+                status_code=422, detail=f"{name} must be in [{lo}, {hi}]"
+            )
+        return value
+
     limiters = {
         cls: RateLimiter(limit, per_seconds=60.0)
         for cls, limit in RATE_LIMITS.items()
@@ -71,15 +82,17 @@ def create_app(service: QueryService):
 
     @app.get("/api/attendance")
     def attendance(sort: str = "worst", top: int = 30, party: str | None = None):
-        return service.attendance(sort=sort, top=top, party=party)
+        return service.attendance(sort=sort, top=clamp("top", top, 1, 500), party=party)
 
     @app.get("/api/loyalty")
     def loyalty(top: int = 30, party: str | None = None):
-        return service.loyalty(top=top, party=party)
+        return service.loyalty(top=clamp("top", top, 1, 500), party=party)
 
     @app.get("/api/similarity")
     def similarity(top: int = 20, cross_party_only: bool = True):
-        return service.similarity(top=top, cross_party_only=cross_party_only)
+        return service.similarity(
+            top=clamp("top", top, 1, 500), cross_party_only=cross_party_only
+        )
 
     @app.get("/votes/{vote_id}")
     def vote_detail(vote_id: int):
@@ -93,6 +106,8 @@ def create_app(service: QueryService):
         page: int = 1,
         per_page: int = 20,
     ):
+        clamp("page", page, 1, 100000)
+        clamp("per_page", per_page, 1, 200)
         return service.laws(
             status=status,
             priorities=[priority] if priority else None,
@@ -105,6 +120,7 @@ def create_app(service: QueryService):
     def amendments(search: str = "", page: int = 1, per_page: int = 20):
         if not (1 <= page <= 1000) or len(search) > 200:
             raise HTTPException(status_code=422, detail="bad amendments params")
+        clamp("per_page", per_page, 1, 200)
         return service.amendments(search=search, page=page, per_page=per_page)
 
     @app.get("/api/amendment-coalitions")
@@ -116,7 +132,7 @@ def create_app(service: QueryService):
     def loyalty_chart(top: int = 20, party: str | None = None):
         from fastapi import Response
 
-        body, mime = service.loyalty_chart(top=top, party=party)
+        body, mime = service.loyalty_chart(top=clamp("top", top, 1, 200), party=party)
         return Response(content=body, media_type=mime)
 
     @app.get("/charts/attendance")
@@ -125,7 +141,9 @@ def create_app(service: QueryService):
     ):
         from fastapi import Response
 
-        body, mime = service.attendance_chart(top=top, sort=sort, party=party)
+        body, mime = service.attendance_chart(
+            top=clamp("top", top, 1, 200), sort=sort, party=party
+        )
         return Response(content=body, media_type=mime)
 
     @app.get("/charts/similarity")

@@ -123,12 +123,13 @@ def render_barh_svg(
             f'<text x="{x:.1f}" y="{height - 28}" text-anchor="middle" '
             f'fill="{_FG}">{t:g}</text>'
         )
-    vspan = (max(vals) - min(vals)) or 1.0 if vals else 1.0
+    vmin = min(vals) if vals else 0.0
+    vspan = (max(vals) - vmin) or 1.0 if vals else 1.0
     for i, r in enumerate(rows):
         y = top + i * (bar_h + gap)
         v = vals[i]
         w = plot_w * (v / span)
-        color = _coolwarm((v - min(vals)) / vspan if vals else 0.0)
+        color = _coolwarm((v - vmin) / vspan)
         out.append(
             f'<text x="{left - 8}" y="{y + bar_h * 0.72:.1f}" '
             f'text-anchor="end" fill="{_FG}">{_esc(r[label])}</text>'

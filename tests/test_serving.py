@@ -277,3 +277,24 @@ class TestQueryBudget:
     def test_budget_allows_fast_queries(self, spark):
         svc = QueryService(spark, SF_DIR, ttl_seconds=3600, budget_seconds=30.0)
         assert len(svc.loyalty(top=3)) == 3
+
+
+def test_rate_limiter_evicts_refilled_buckets():
+    """State stays bounded under unbounded distinct clients, and eviction
+    never changes an allow() outcome (a fully-refilled bucket behaves
+    exactly like an absent key)."""
+    from pspcz_analyzer_spark.serving.rate_limit import RateLimiter
+
+    clk = FakeClock()
+    rl = RateLimiter(limit=2, per_seconds=2.0, clock=clk, max_keys=10)
+    for i in range(10):  # fill the table with drained buckets
+        assert rl.allow(f"c{i}")
+    clk.t = 100.0  # every bucket fully refills
+    assert rl.allow("fresh")  # crossing max_keys triggers the sweep
+    assert len(rl._state) <= 2  # old refilled buckets gone
+    # A partially-drained bucket must survive the sweep.
+    assert rl.allow("busy") and rl.allow("busy")
+    assert not rl.allow("busy")  # drained at t=100
+    for i in range(20):
+        rl.allow(f"d{i}")
+    assert not rl.allow("busy")  # still drained after more inserts
