@@ -47,9 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     like DuckDB's nanos->micros read).
     """
     # Sessions must carry spark.sql.legacy.parquet.nanosAsLong=true before
-    # this read (TIMESTAMP(NANOS) columns are unreadable otherwise). Both
-    # sanctioned entry points guarantee it: session.get_spark at build time,
-    # plans.query_fns via ensure_runtime_confs for vanilla-session callers.
+    # this read (TIMESTAMP(NANOS) columns are unreadable otherwise).
+    # get_spark() sessions and plans.query_fns callers already satisfy it;
+    # the idempotent shim below (get-before-set, constant values, no
+    # order-dependence) keeps DIRECT calls under a caller-supplied vanilla
+    # session working too (e.g. jobs.ingest_period_tables).
+    from pspcz_analyzer_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

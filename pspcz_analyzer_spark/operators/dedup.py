@@ -91,6 +91,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    scan_shaped: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets.
 
@@ -107,11 +108,17 @@ def ngram_jaccard_pairs(
     approximation for corpus-scale near-dup mining; leave None for the
     exact oracle-checkable semantics.
 
+    ``scan_shaped`` declares the INPUT's plan shape for the parallelism
+    guard (see operators/partitioning.spread): leave True for a projected
+    table scan (the normal corpus case); pass False when feeding the
+    output of a join/aggregate, where the partition probe would double-
+    execute the upstream stages.
+
     Plan notes: shingle arrays are materialized once per row (not re-derived
     per plan branch — set sizes come from array length, no second explode),
     and the two self-join sides share one shuffle via exchange reuse.
     """
-    arrays = _shingle_arrays(_spread(df, scan_shaped=True), id_col, text_col, n)
+    arrays = _shingle_arrays(_spread(df, scan_shaped=scan_shaped), id_col, text_col, n)
     # Join/shuffle on the 8-byte shingle hash, not the string — same pair
     # semantics (xxhash64 collisions are ~2^-64 per candidate pair), far
     # less shuffle volume.
@@ -161,6 +168,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    scan_shaped: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature as array<bigint>.
 
@@ -172,7 +180,7 @@ def minhash_signatures(
     runs/partitions (incremental-dedup safe).
     """
     sh = explode_notnull(
-        _shingle_arrays(_spread(df, scan_shaped=True), id_col, text_col, shingle_n),
+        _shingle_arrays(_spread(df, scan_shaped=scan_shaped), id_col, text_col, shingle_n),
         "__sh",
         "shingle",
         keep=(id_col,),
@@ -195,6 +203,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    scan_shaped: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -205,7 +214,9 @@ def minhash_lsh_pairs(
     the candidate set (or estimated Jaccard from signature agreement).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, scan_shaped=scan_shaped
+    )
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -231,7 +242,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    scan_shaped: bool = True,
+) -> DataFrame:
     """64-bit SimHash per document over unigram tokens.
 
     Bit k of the fingerprint is the sign of sum over tokens of
@@ -239,7 +256,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     few bits (compare with bit_count(a XOR b) downstream).
     """
     toks = explode_notnull(
-        _spread(df, scan_shaped=True),
+        _spread(df, scan_shaped=scan_shaped),
         F.split(normalize_text(text_col), " "),
         "tok",
         keep=(id_col,),

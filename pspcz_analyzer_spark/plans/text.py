@@ -644,9 +644,19 @@ def docs_by_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Escape the payload the way a real HTML producer would (& first, then
+    # <): the round-trip then restores the ORIGINAL text for ANY document
+    # content — without this, a regenerated corpus containing a literal
+    # "<...>" span or "&amp;" would strip/decode it and diverge from the
+    # oracle, which states the expected text directly.
+    escaped = F.replace(
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("<"),
+        F.lit("&lt;"),
+    )
     wrapped = F.concat(
         F.lit('<div class="doc">'),
-        F.col("text"),
+        escaped,
         F.lit("</div><!-- interní poznámka --><script>if (a < b) x();</script>"
               " &amp; konec &lt;EOF&gt;"),
     )

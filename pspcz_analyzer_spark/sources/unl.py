@@ -46,6 +46,9 @@ def read_unl(
     Pass ``table`` to pull columns+types from the schema registry, or
     explicit ``cols`` (+ optional ``cast`` of column -> spark type).
     """
+    from pspcz_analyzer_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # cp1250 needs legacy javaCharsets (idempotent)
     if table is not None:
         cols = schemas.columns(table)
         cast = schemas.cast_types(table)

@@ -43,6 +43,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     results stay equal to the NTZ batch twins and the DuckDB oracle
     regardless of machine timezone).
     """
+    from pspcz_analyzer_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # UTC zone makes the NTZ->LTZ cast identity
     raw = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")

@@ -36,6 +36,7 @@ class TestRegistry:
             "ann_lsh_pairs",
             "ann_ivf_top10",
             "mp_pca_coords",
+            "mp_pca_coords_distributed",  # same basis-sign rationale
             "doc_vocab_approx",  # HLL estimate is impl-defined
         }, missing
 
@@ -95,6 +96,8 @@ _NESTED_LOOP_OK = {
     "events_hot_users",  # 1-row broadcast scalar total (share divisor)
     "laws_listing_page",  # 1-row broadcast scalar total-hit count
     "docs_browser_page",  # 1-row broadcast scalar total-hit count
+    "doc_bm25_topk",  # 1-row broadcast corpus stats (N, avgdl, df)
+    "events_funnel",  # 1-row broadcast stage counts (3-row summary)
 }
 
 

@@ -163,3 +163,29 @@ def test_strip_html_batch_column(spark):
     )
     rows = df.select("id", T.strip_html("raw").alias("clean")).collect()
     assert all(r["clean"] == f"doc {r['id']} & more" for r in rows)
+
+
+def test_strip_html_roundtrip_survives_markup_in_text(spark):
+    """The doc_html_strip_roundtrip construction must restore the ORIGINAL
+    text even when the document itself contains markup-looking content —
+    the escape step makes the oracle data-independent."""
+    adversarial = [
+        "plain words",
+        "contains <span>tags</span> inline",
+        "already-encoded &amp; and &lt;EOF&gt; entities",
+        "lone & ampersand and a < b comparison",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(adversarial)], "i long, text string")
+    escaped = F.replace(
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("<"),
+        F.lit("&lt;"),
+    )
+    wrapped = F.concat(F.lit('<div class="doc">'), escaped, F.lit("</div> &amp; konec"))
+    rows = df.select("i", T.strip_html(wrapped).alias("clean")).collect()
+    import re as _re
+
+    for r in rows:
+        want = (_re.sub(r"\s+", " ", adversarial[r["i"]]).strip() + " & konec").strip()
+        assert r["clean"] == want, adversarial[r["i"]]
