@@ -61,6 +61,34 @@ def truncate_with_headings(text: str, max_chars: int = 4000) -> str:
     return head + "\n[…]\n" + "\n".join(headings)
 
 
+def scrub_injection_col(col) -> "F.Column":
+    """Column-expression twin of :func:`scrub_injection` (F16) — the same
+    regex as a codegen'd regexp_replace, so the scrub runs at scan speed
+    and is DuckDB-oracle-checkable (Java and RE2 agree on this pattern:
+    ASCII \w/\s, no lookarounds). Parity with the Python form is asserted
+    in test_enrich.py."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "(?i)" + _INJECTION.pattern, "[redacted]")
+
+
+def truncate_with_headings_col(col, max_chars: int = 4000) -> "F.Column":
+    """Column-expression twin of :func:`truncate_with_headings` (F15):
+    substring head + multiline heading harvest from the tail, all
+    built-ins. Character-based slicing in Spark, DuckDB, and Python alike,
+    so the three implementations agree byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    head = F.substring(c, 1, max_chars)
+    tail = F.substring(c, max_chars + 1, 2_000_000_000)
+    headings = F.regexp_extract_all(tail, F.lit("(?m)" + _HEADING.pattern), 1)
+    return (
+        F.when(F.length(c) <= max_chars, c)
+        .when(F.size(headings) == 0, head)
+        .otherwise(
+            F.concat(head, F.lit("\n[…]\n"), F.array_join(headings, "\n"))
+        )
+    )
+
+
 def _fake_llm_classify(text: str) -> tuple[str, str]:
     # DETERMINISTIC STUB for the model call; production swaps in an HTTP
     # client here (same signature: text -> (topic, summary)).
