@@ -116,3 +116,112 @@ def load_lake_table(
     if period is not None and "period" in df.columns:
         df = df.filter(F.col("period") == period)
     return df
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> "tuple[DataFrame, str]":
+    """Attach a Z-order (Morton) key over ``cols`` as column ``__z``.
+
+    Each column is min/max-scaled to a ``bits``-bit integer rank (one tiny
+    stats job at write time), then the ranks' bits are interleaved with a
+    shift/or expression chain — pure built-ins, fully codegen'd, no UDF.
+    Rows close in Z-value are close in EVERY listed dimension, which is
+    what makes the multi-column layout below prune on any of them.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    n = len(cols)
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo = float(stats[f"lo_{c}"] or 0)
+        hi = float(stats[f"hi_{c}"] or 0)
+        span = (hi - lo) or 1.0
+        rank = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top),
+            ),
+        ).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(rank, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return df.withColumn("__z", z), "__z"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_partitions: int = 16,
+) -> None:
+    """Persist with a Z-ordered layout over MULTIPLE columns — the
+    multi-dimensional extension of :func:`write_range_sorted`.
+
+    A single-column sort gives disjoint ranges on ONE key; every file
+    still spans the FULL range of the others, so predicates on them skip
+    nothing. Interleaving the columns' bits makes each output file a
+    narrow bounding BOX in every listed dimension: its Parquet min/max
+    stats on each column cover a fraction of that column's domain, and a
+    point/box predicate on ANY of the columns skips files and row groups
+    via the same pushed stats filtering. This is the layout trade behind
+    Delta/Iceberg OPTIMIZE ZORDER — here as one range-exchange on the
+    Morton key, paid once at ingest. Writers choose ``cols`` as the 2-4
+    most-filtered dimensions; more than ~4 dilutes every dimension's
+    selectivity (the bits budget splits n ways).
+    """
+    keyed, zcol = zorder_value(df, cols, bits)
+    (
+        keyed.repartitionByRange(num_partitions, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def merge_incremental_agg(
+    spark: SparkSession,
+    summary_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Incrementally maintain a per-key additive summary (sum_* + cnt)
+    under new data — the 100 TB pattern where re-aggregating the full
+    history per batch is the bottleneck.
+
+    The stored state is MERGEABLE (sums and counts; derive averages at
+    read time): partial-aggregate the delta, union with the existing
+    summary rows, re-aggregate — the plan scans ONLY the delta and the
+    (key-cardinality-sized) summary, never the history. The refreshed
+    snapshot stages next to the target and swaps in crash-recoverably
+    (sources/sinks.py::_swap_in), so a failed batch never leaves a
+    half-merged summary and the merge is idempotent per delta batch
+    applied exactly once (streaming/corpus.py shows the foreachBatch +
+    checkpoint wrapper that guarantees that).
+    """
+    from pspcz_analyzer_spark.sources.sinks import _swap_in
+
+    partial = delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    if os.path.exists(summary_path):
+        existing = spark.read.parquet(summary_path)
+        partial = existing.unionByName(partial)
+    merged = partial.groupBy(*keys).agg(
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("cnt").alias("cnt"),
+    )
+    import uuid as _uuid
+
+    stage = f"{summary_path}.__stage_{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(stage)
+    _swap_in(stage, summary_path)

@@ -171,3 +171,103 @@ class TestLakeIngest:
         df = load_lake_table(spark, lake, "osoby")
         assert "period" not in df.columns
         assert df.count() == 1
+
+
+class TestZOrderedLayout:
+    def test_files_are_bounding_boxes_in_both_dims(self, spark, tmp_path):
+        """Z-ordered files must each cover a narrow box in EVERY listed
+        dimension — unlike a single-column sort, whose files span the full
+        range of the other column — so predicates on either column prune."""
+        import pyarrow.parquet as pq
+
+        from pspcz_analyzer_spark.jobs import write_zordered
+
+        df = spark.range(20_000).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") * 37 % 1000).alias("x"),
+            (F.col("id") * 91 % 1000).alias("y"),
+        )
+        out = str(tmp_path / "z_lake")
+        write_zordered(df, out, ["x", "y"], bits=10, num_partitions=8)
+
+        def col_range(meta, name):
+            ci = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == name
+            )
+            stats = [
+                meta.row_group(g).column(ci).statistics
+                for g in range(meta.num_row_groups)
+            ]
+            return min(s.min for s in stats), max(s.max for s in stats)
+
+        files = [
+            os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+        ]
+        assert len(files) >= 4
+        narrow_x = narrow_y = 0
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            xlo, xhi = col_range(meta, "x")
+            ylo, yhi = col_range(meta, "y")
+            narrow_x += (xhi - xlo) <= 600  # < 60% of the 0..999 domain
+            narrow_y += (yhi - ylo) <= 600
+        # Most files are narrow in BOTH dimensions (range-boundary files
+        # may straddle a quadrant seam); a 1-D sort would make every file
+        # full-width in one of them.
+        assert narrow_x >= len(files) - 2, f"x extents too wide ({narrow_x}/{len(files)})"
+        assert narrow_y >= len(files) - 2, f"y extents too wide ({narrow_y}/{len(files)})"
+
+        # A box predicate on either column still returns exact results.
+        back = spark.read.parquet(out)
+        assert (
+            back.filter((F.col("x") >= 100) & (F.col("x") < 150)).count()
+            == df.filter((F.col("x") >= 100) & (F.col("x") < 150)).count()
+        )
+        assert (
+            back.filter((F.col("y") >= 800) & (F.col("y") < 850)).count()
+            == df.filter((F.col("y") >= 800) & (F.col("y") < 850)).count()
+        )
+
+
+class TestIncrementalAgg:
+    def test_matches_full_recompute_and_scans_only_delta(self, spark, tmp_path):
+        from pspcz_analyzer_spark.jobs import merge_incremental_agg
+        from pspcz_analyzer_spark.operators.partitioning import _plan_text
+
+        summary = str(tmp_path / "summary")
+        batch1 = spark.range(1000).select(
+            (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+        batch2 = spark.range(1000, 1800).select(
+            (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+        merge_incremental_agg(spark, summary, batch1, ["k"], ["v"])
+        merge_incremental_agg(spark, summary, batch2, ["k"], ["v"])
+
+        got = {
+            r["k"]: (r["sum_v"], r["cnt"])
+            for r in spark.read.parquet(summary).collect()
+        }
+        want = {
+            r["k"]: (r["sum_v"], r["cnt"])
+            for r in batch1.unionByName(batch2)
+            .groupBy("k")
+            .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][1] == want[k][1]
+            assert abs(got[k][0] - want[k][0]) < 1e-6
+
+    def test_first_batch_bootstraps_missing_summary(self, spark, tmp_path):
+        from pspcz_analyzer_spark.jobs import merge_incremental_agg
+
+        summary = str(tmp_path / "fresh")
+        delta = spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 5.0)], "k long, v double")
+        merge_incremental_agg(spark, summary, delta, ["k"], ["v"])
+        rows = {r["k"]: r for r in spark.read.parquet(summary).collect()}
+        assert rows[1]["sum_v"] == 5.0 and rows[1]["cnt"] == 2
+        assert rows[2]["sum_v"] == 5.0 and rows[2]["cnt"] == 1
