@@ -225,3 +225,39 @@ def parquet_upsert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("batch")
     )
+
+
+@register(
+    "parquet_zorder_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE user_id >= 2 AND user_id < 8 AND value >= 50 AND value < 150
+    ORDER BY event_id
+    """,
+    tags=("S10", "zorder", "sink", "scale"),
+    doc="Z-ordered lake layout (jobs.py::write_zordered): events written "
+    "with a (user_id, value) Morton key, read back through a box "
+    "predicate on BOTH dimensions — results must equal the raw-table "
+    "oracle while the layout lets Parquet stats skip non-overlapping "
+    "files (box-narrowness asserted in test_skew_jobs.py).",
+    priority=18,
+)
+def parquet_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.jobs import write_zordered
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = _scratch(sf_dir, "events_zorder")
+    write_zordered(events, path, ["user_id", "value"], bits=10, num_partitions=8)
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("user_id") >= 2)
+            & (F.col("user_id") < 8)
+            & (F.col("value") >= 50)
+            & (F.col("value") < 150)
+        )
+        .orderBy("event_id")
+    )
