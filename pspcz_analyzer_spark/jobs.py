@@ -15,6 +15,7 @@ from extracted UNL files on disk.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -225,3 +226,78 @@ def merge_incremental_agg(
     stage = f"{summary_path}.__stage_{_uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(stage)
     _swap_in(stage, summary_path)
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: "list",
+) -> "tuple[int, int]":
+    """Targeted key deletion (the right-to-be-forgotten job): rewrite ONLY
+    the files that can contain the keys, leave the rest untouched.
+
+    At 100 TB a delete that rewrites the whole table is a non-starter; on
+    a :func:`write_range_sorted` / :func:`write_zordered` layout the
+    victim keys cluster into a handful of files, and every Parquet footer
+    already carries per-column min/max. Footer stats are read driver-side
+    (pyarrow, metadata-only — no data IO), files whose [min, max] range
+    misses every key are skipped outright, and the affected files are
+    re-read with an isin anti-filter and swapped for their rewrites.
+
+    Crash semantics: rewrites stage under a temp name and replace the
+    victims only after the stage write commits; a crash between the two
+    steps leaves the original files in place (delete not yet applied) or
+    some victims already gone (re-run deletes the rest — the operation is
+    idempotent because the filter is).
+
+    Returns (files_rewritten, rows_deleted).
+    """
+    import glob as _glob
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    key_set = set(keys)
+
+    def may_contain(f: str) -> bool:
+        meta = pq.ParquetFile(f).metadata
+        ci = next(
+            (
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == key_col
+            ),
+            None,
+        )
+        if ci is None:
+            return True  # column missing from stats -> cannot prune
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(ci).statistics
+            if st is None or st.min is None:
+                return True
+            if any(st.min <= k <= st.max for k in key_set):
+                return True
+        return False
+
+    affected = [f for f in files if may_contain(f)]
+    if not affected:
+        return 0, 0
+    src = spark.read.parquet(*affected)
+    kept = src.filter(~F.col(key_col).isin(*key_set))
+    stage = f"{path}.__delete_{_uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(stage)
+    staged = [
+        f for f in _glob.glob(os.path.join(stage, "*.parquet"))
+    ]
+    # Row accounting from footers alone — no extra Spark actions.
+    rows_before = sum(pq.ParquetFile(f).metadata.num_rows for f in affected)
+    rows_after = sum(pq.ParquetFile(f).metadata.num_rows for f in staged)
+    deleted = rows_before - rows_after
+    for f in affected:
+        os.remove(f)
+    for i, f in enumerate(staged):
+        os.rename(f, os.path.join(path, f"del_{_uuid.uuid4().hex[:8]}_{i}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    return len(affected), deleted

@@ -271,3 +271,68 @@ class TestIncrementalAgg:
         rows = {r["k"]: r for r in spark.read.parquet(summary).collect()}
         assert rows[1]["sum_v"] == 5.0 and rows[1]["cnt"] == 2
         assert rows[2]["sum_v"] == 5.0 and rows[2]["cnt"] == 1
+
+
+class TestDeleteKeys:
+    def test_rewrites_only_files_containing_keys(self, spark, tmp_path):
+        """On a range-sorted layout the victim keys live in few files;
+        delete_keys must leave every other file byte-identical (same
+        name), remove exactly the victim rows, and skip cleanly when no
+        file can contain the keys."""
+        from pspcz_analyzer_spark.jobs import delete_keys, write_range_sorted
+
+        df = spark.range(10_000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 500).alias("user_id")
+        )
+        out = str(tmp_path / "lake")
+        # Sort by user_id so each file owns a narrow user range.
+        write_range_sorted(df, out, "user_id", num_partitions=8)
+        before = {
+            f: os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        }
+
+        n_files, n_rows = delete_keys(spark, out, "user_id", [7, 8])
+        assert n_rows == 40  # 2 keys x 20 rows each
+        assert 1 <= n_files <= 2  # victims cluster in 1-2 sorted files
+        after = {
+            f: os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        }
+        untouched = set(before) & set(after)
+        assert len(untouched) >= len(before) - 2  # most files never rewritten
+        assert all(before[f] == after[f] for f in untouched)
+
+        back = spark.read.parquet(out)
+        assert back.count() == 10_000 - 40
+        assert back.filter(F.col("user_id").isin(7, 8)).count() == 0
+        # Untouched keys fully intact.
+        assert back.filter(F.col("user_id") == 6).count() == 20
+
+    def test_no_op_when_keys_out_of_range(self, spark, tmp_path):
+        from pspcz_analyzer_spark.jobs import delete_keys, write_range_sorted
+
+        df = spark.range(1000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 50).alias("user_id")
+        )
+        out = str(tmp_path / "lake2")
+        write_range_sorted(df, out, "user_id", num_partitions=4)
+        assert delete_keys(spark, out, "user_id", [999_999]) == (0, 0)
+        assert spark.read.parquet(out).count() == 1000
+
+    def test_idempotent_rerun(self, spark, tmp_path):
+        from pspcz_analyzer_spark.jobs import delete_keys, write_range_sorted
+
+        df = spark.range(1000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 50).alias("user_id")
+        )
+        out = str(tmp_path / "lake3")
+        write_range_sorted(df, out, "user_id", num_partitions=4)
+        delete_keys(spark, out, "user_id", [3])
+        files_after_first = sorted(os.listdir(out))
+        _, deleted_again = delete_keys(spark, out, "user_id", [3])
+        assert deleted_again == 0
+        assert spark.read.parquet(out).filter(F.col("user_id") == 3).count() == 0
+        assert sorted(os.listdir(out)) != [] and files_after_first
