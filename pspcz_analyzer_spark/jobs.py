@@ -193,6 +193,7 @@ def merge_incremental_agg(
     delta: DataFrame,
     keys: list[str],
     sum_cols: list[str],
+    applied_marker: str | None = None,
 ) -> None:
     """Incrementally maintain a per-key additive summary (sum_* + cnt)
     under new data — the 100 TB pattern where re-aggregating the full
@@ -221,11 +222,27 @@ def merge_incremental_agg(
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
         F.sum("cnt").alias("cnt"),
     )
+    import glob as _glob
     import uuid as _uuid
 
     stage = f"{summary_path}.__stage_{_uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(stage)
+    # Replay protection for at-least-once callers (streaming foreachBatch):
+    # applied-batch markers are underscore-prefixed files INSIDE the summary
+    # directory, so they swap in atomically WITH the data they describe — a
+    # crash can never commit the merge without its marker or vice versa.
+    # Existing markers carry forward; Spark ignores _-prefixed files.
+    if applied_marker is not None:
+        for m in _glob.glob(os.path.join(summary_path, "_applied_*")):
+            open(os.path.join(stage, os.path.basename(m)), "w").close()
+        open(os.path.join(stage, f"_applied_{applied_marker}"), "w").close()
     _swap_in(stage, summary_path)
+
+
+def has_applied_marker(summary_path: str, marker: str) -> bool:
+    """True iff ``merge_incremental_agg`` already committed this marker —
+    the caller-side replay check for at-least-once delivery."""
+    return os.path.exists(os.path.join(summary_path, f"_applied_{marker}"))
 
 
 def delete_keys(
