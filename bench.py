@@ -99,17 +99,33 @@ def main() -> None:
     except Exception:
         pass
 
+    # Best-of-N timing (timeit practice): this box's host-level drift moves
+    # SAME-CODE totals by +/-40-50% between runs (measured, SCALING.md
+    # "Measurement noise"); the minimum of two back-to-back runs measures
+    # the ENGINE rather than whichever run caught a host stall. Plans are
+    # rebuilt per run (caches cleared below), so run 2 re-executes the full
+    # query, not a cached result.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Resume-stateful queries time their FIRST pass only: a second pass
+    # would measure the (intentionally cheap) resume path, not the work.
+    single_run = {"doc_topics_enriched"}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        try:
-            qs[name](spark, sf_dir).collect()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # keep benching; a broken query reports -1
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        best = None
+        for _ in range(1 if name in single_run else max(1, runs)):
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).collect()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            except Exception as e:  # keep benching; a broken query reports -1
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                best = -1.0
+                break
+            spark.catalog.clearCache()
+        timings[name] = best
         # A query's persisted intermediates are dead once it is collected
         # (plans persist shared subtrees and rely on eviction); dropping
         # them between timings keeps the storage fraction from squeezing
