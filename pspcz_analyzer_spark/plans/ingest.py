@@ -261,3 +261,48 @@ def parquet_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "incremental_agg_roundtrip",
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 6) AS sum_value,
+           count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("incremental", "sink", "scale"),
+    doc="Incremental aggregate maintenance (jobs.py::merge_incremental_agg): "
+    "events applied as two delta batches against a persisted per-user "
+    "summary; the read-back state must equal a single-pass aggregate over "
+    "the full table. The incremental plan scans only each delta plus the "
+    "summary - never the history - which is the property that matters at "
+    "100 TB.",
+    priority=18,
+)
+def incremental_agg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark.jobs import merge_incremental_agg
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    mid = events.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    path = _scratch(sf_dir, "events_incr_summary")
+    _shutil.rmtree(path, ignore_errors=True)  # deterministic re-runs
+    merge_incremental_agg(
+        spark, path, events.filter(F.col("event_id") <= mid), ["user_id"], ["value"]
+    )
+    merge_incremental_agg(
+        spark, path, events.filter(F.col("event_id") > mid), ["user_id"], ["value"]
+    )
+    return (
+        spark.read.parquet(path)
+        .select(
+            "user_id",
+            F.round(F.col("sum_value"), 6).alias("sum_value"),
+            F.col("cnt"),
+        )
+        .orderBy("user_id")
+    )
