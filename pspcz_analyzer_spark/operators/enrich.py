@@ -62,7 +62,7 @@ def truncate_with_headings(text: str, max_chars: int = 4000) -> str:
 
 
 def scrub_injection_col(col) -> "F.Column":
-    """Column-expression twin of :func:`scrub_injection` (F16) — the same
+    r"""Column-expression twin of :func:`scrub_injection` (F16) — the same
     regex as a codegen'd regexp_replace, so the scrub runs at scan speed
     and is DuckDB-oracle-checkable (Java and RE2 agree on this pattern:
     ASCII \w/\s, no lookarounds). Parity with the Python form is asserted

@@ -51,6 +51,29 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     for k, v in RUNTIME_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
+    _quiet_noisy_loggers(spark)
+
+
+def _quiet_noisy_loggers(spark: SparkSession) -> None:
+    """Raise the level of known-noisy JVM loggers to ERROR.
+
+    Every batch read through a glob path makes FileStreamSink probe the
+    literal glob string for a streaming-metadata directory and WARN-log the
+    resulting FileNotFoundException WITH a full stack trace — pure noise
+    that pollutes the stderr tail the verification driver scrapes for its
+    one-line JSON artifacts. Log levels are process-global cosmetics, not
+    query semantics, so this is safe at the contract boundary; best-effort
+    because the log4j2 bridge is not part of Spark's public Python API.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink", level
+        )
+    except Exception:  # noqa: BLE001 — cosmetic; never fail a read over logging
+        pass
 
 
 # Defaults chosen for scale-out correctness; see docstring for rationale.
