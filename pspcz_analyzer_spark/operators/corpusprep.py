@@ -351,3 +351,120 @@ def cap_tokens_per_group(
         .filter(F.col("tokens_before") < cap)
         .withColumn("tokens_before", F.col("tokens_before").cast("long"))
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 25,
+    line_splitter: Column | None = None,
+    join_sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-frequency boilerplate removal: drop every line that
+    occurs in >= `min_docs` DISTINCT documents (nav bars, cookie banners,
+    footers — the lines that repeat across a crawl), then reassemble each
+    document from its surviving lines in original order.
+
+    Returns one row per input doc: `id_col`, `n_lines`, `n_kept`,
+    `clean_text` (empty string when every line was boilerplate — the doc
+    row survives for downstream length filters to judge).
+
+    Plan shape (three stages, two shuffles):
+      1. line doc-frequency — explode lines, group by an 8-byte
+         `xxhash64(line)` so the shuffle carries hashes, not strings;
+         partial (map-side) aggregation collapses within-partition repeats
+         before the exchange.
+      2. boilerplate set — `df >= min_docs` survivors. By the Zipf head
+         argument this set is tiny relative to the corpus (only the most
+         common lines cross a corpus-frequency threshold), so it BROADCASTS
+         and marking lines costs no shuffle.
+      3. reassembly — one `groupBy(id)` shuffle; per-doc order restored via
+         `array_sort` on (pos, line) structs, no window needed.
+    At 100 TB: stage 1 is the only wide exchange over the full corpus and
+    it is hash-narrow; if the boilerplate set ever outgrew broadcast
+    (pathological threshold), the marker join degrades to a shuffled
+    left join without a semantics change. 64-bit line-hash collisions
+    (~n^2/2^65) would merge two lines' counts; acceptable for a frequency
+    filter (and the unit tests pin exact parity on real linefuls).
+
+    Reference behavior: the corpus-cleaning stage the reference applies
+    before enrichment (services/llm/corpus.py strips repeated headers per
+    source); generalized here to the cross-document frequency rule of
+    C4 (Raffel et al. 2020, §2.2 "three-sentence" / repeated-line rules).
+    """
+    if line_splitter is None:
+        line_splitter = F.split(F.col(text_col), "\n")
+    # _outer keeps zero-line docs (empty/one-word text) as a null-line row,
+    # so they come back with n_lines=0 and clean_text='' instead of vanishing.
+    lines = df.select(
+        F.col(id_col), F.posexplode_outer(line_splitter).alias("pos", "line")
+    ).withColumn("lh", F.xxhash64("line"))
+    boiler = (
+        lines.filter(F.col("line").isNotNull())
+        .groupBy("lh")
+        .agg(F.count_distinct(id_col).alias("line_doc_freq"))
+        .filter(F.col("line_doc_freq") >= min_docs)
+        .select("lh")
+    )
+    marked = lines.join(F.broadcast(boiler.withColumn("__boiler", F.lit(1))), "lh", "left")
+    keep = F.col("__boiler").isNull() & F.col("line").isNotNull()
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("line").alias("n_lines"),
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("pos", "line")))
+            ).alias("__kept"),
+        )
+        .select(
+            id_col,
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.col("n_kept").cast("int").alias("n_kept"),
+            F.concat_ws(join_sep, F.transform("__kept", lambda s: s["line"])).alias(
+                "clean_text"
+            ),
+        )
+    )
+    return rebuilt
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shards: int = 64,
+) -> DataFrame:
+    """Deterministic pseudorandom training order: every doc gets a
+    `shuffle_key` (multiplicative hash of its id, salted by `seed`), a
+    `shard` (range-partition of the key space), and a `pos` within the
+    shard — so reading shard 0..N-1 each in `pos` order replays one fixed
+    global permutation of the corpus.
+
+    Why not `df.orderBy(rand(seed))`: Spark's rand() is seeded PER
+    PARTITION, so the "same seed" produces a different order whenever the
+    partition layout changes (AQE, data growth, cluster size) — training
+    runs become unreproducible. A pure id-hash key depends on nothing but
+    the row, so the order is stable across re-reads, re-partitions, and
+    incremental appends (new docs interleave into the existing permutation
+    instead of reshuffling it; epoch N+1 uses a different `seed`).
+
+    `shard = floor(key * shards / 2^32)` is a RANGE split of the key
+    space, so shard-major concatenation IS the global key sort — no global
+    orderBy (single range-partitioned total sort) is ever materialized.
+    One shuffle (the per-shard window); `shards` bounds both parallelism
+    and per-task sort memory — at 100 TB use O(10^4-10^5) shards.
+    Knuth-hash key (not xxhash64) keeps the permutation portable to any
+    engine with 64-bit integer arithmetic, same contract as `bucket_expr`.
+    """
+    key = ((F.col(id_col).cast("long") * F.lit(_KNUTH) + F.lit(seed)) % F.lit(1 << 32))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn(
+            "shard",
+            F.floor(F.col("shuffle_key") * shards / F.lit(1 << 32)).cast("int"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+    )

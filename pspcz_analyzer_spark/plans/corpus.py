@@ -504,3 +504,88 @@ def doc_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms_per_group(
         load_table(spark, sf_dir, "documents"), "lang", k=10
     ).orderBy("lang", "rank")
+
+
+_CHUNK = r"regexp_extract_all(text, '\S+ \S+')"
+
+
+@register(
+    "corpus_remove_boilerplate",
+    oracle=f"""
+    WITH exploded AS (
+      SELECT doc_id,
+             unnest({_CHUNK}) AS line,
+             generate_subscripts({_CHUNK}, 1) AS pos
+      FROM documents
+    ),
+    freq AS (
+      SELECT line FROM exploded GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 25
+    ),
+    agg AS (
+      SELECT l.doc_id,
+             count(*) AS n_lines,
+             count(*) FILTER (WHERE f.line IS NULL) AS n_kept,
+             COALESCE(string_agg(l.line, ' ' ORDER BY l.pos)
+                      FILTER (WHERE f.line IS NULL), '') AS clean_text
+      FROM exploded l LEFT JOIN freq f ON l.line = f.line
+      GROUP BY l.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_lines, 0) AS INTEGER) AS n_lines,
+           CAST(COALESCE(a.n_kept, 0) AS INTEGER) AS n_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("pipeline", "boilerplate", "dedup-near", "new-surface"),
+    priority=18,
+    doc="C4-style boilerplate removal: drop every line occurring in >= 25 "
+    "distinct docs (corpus-frequency rule), reassemble survivors in "
+    "original order. Lines here are non-overlapping 2-word chunks (the "
+    "synthetic corpus has no newlines); production passes the real "
+    "newline splitter (operators/corpusprep.py::remove_boilerplate_lines).",
+)
+def corpus_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_boilerplate_lines(
+        docs,
+        min_docs=25,
+        line_splitter=F.expr(r"regexp_extract_all(text, '\\S+ \\S+', 0)"),
+        join_sep=" ",
+    ).orderBy("doc_id")
+
+
+_SHUF_KEY = "(doc_id * 2654435761 + 17) % 4294967296"
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, {_SHUF_KEY} AS shuffle_key,
+             CAST(floor(({_SHUF_KEY}) * 8 / 4294967296) AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id)
+                AS INTEGER) AS pos
+    FROM keyed
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "shuffle", "new-surface"),
+    priority=18,
+    doc="Deterministic training-order shuffle: salted multiplicative-hash "
+    "key, range-partitioned shard, in-shard position — shard-major read "
+    "order replays one fixed pseudorandom permutation, stable under "
+    "re-partitioning and incremental appends "
+    "(operators/corpusprep.py::shuffle_order).",
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_order(docs, seed=17, shards=8).orderBy("doc_id")

@@ -257,3 +257,118 @@ class TestCapTokensPerGroup:
         assert kept[2].tokens_before == 6
         # Every group keeps its first doc even when it alone exceeds the cap.
         assert kept[4].tokens_before == 0
+
+
+class TestRemoveBoilerplateLines:
+    def _docs(self, spark):
+        # "FOOTER" appears in 3 docs, "unique-N" lines in one each.
+        rows = [
+            (1, "alpha one\nFOOTER\nbravo two"),
+            (2, "FOOTER\ncharlie three"),
+            (3, "delta four\nFOOTER"),
+            (4, "echo five\nfoxtrot six"),
+            (5, ""),  # zero-line doc: split('') -> [''] -> one empty line
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_frequent_lines_dropped_order_preserved(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import remove_boilerplate_lines
+
+        out = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(self._docs(spark), min_docs=3).collect()
+        }
+        assert out[1].clean_text == "alpha one\nbravo two"
+        assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+        assert out[2].clean_text == "charlie three"
+        assert out[3].clean_text == "delta four"
+        assert out[4].clean_text == "echo five\nfoxtrot six"
+        assert (out[4].n_lines, out[4].n_kept) == (2, 2)
+        assert len(out) == 5  # every input doc survives
+
+    def test_all_boilerplate_doc_returns_empty_text(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import remove_boilerplate_lines
+
+        df = spark.createDataFrame(
+            [(i, "SAME LINE") for i in range(5)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+        assert all(r.clean_text == "" and r.n_kept == 0 and r.n_lines == 1
+                   for r in out.values())
+
+    def test_threshold_counts_distinct_docs_not_occurrences(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import remove_boilerplate_lines
+
+        # "REPEAT" occurs 3 times but only in ONE doc -> below min_docs=2.
+        df = spark.createDataFrame(
+            [(1, "REPEAT\nREPEAT\nREPEAT"), (2, "other line")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+        assert out[1].n_kept == 3
+
+    def test_zero_line_doc_survives(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import remove_boilerplate_lines
+
+        # A splitter that can yield an empty array (regexp on short text).
+        df = spark.createDataFrame(
+            [(1, "word"), (2, "two words here")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                df,
+                min_docs=99,
+                line_splitter=F.expr(r"regexp_extract_all(text, '\\S+ \\S+', 0)"),
+                join_sep=" ",
+            ).collect()
+        }
+        assert (out[1].n_lines, out[1].n_kept, out[1].clean_text) == (0, 0, "")
+        assert out[2].clean_text == "two words"
+
+
+class TestShuffleOrder:
+    def test_permutation_and_hand_hash(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import shuffle_order
+
+        df = spark.range(200).withColumnRenamed("id", "doc_id")
+        rows = shuffle_order(df, seed=17, shards=8).collect()
+        assert len(rows) == 200
+        for r in rows:
+            key = (r.doc_id * _KNUTH + 17) % (1 << 32)
+            assert r.shuffle_key == key
+            assert r.shard == key * 8 // (1 << 32)
+        # pos is 1..n within each shard, no gaps/dupes.
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        for members in by_shard.values():
+            assert sorted(m.pos for m in members) == list(range(1, len(members) + 1))
+
+    def test_shard_major_order_is_global_key_sort(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import shuffle_order
+
+        df = spark.range(300).withColumnRenamed("id", "doc_id")
+        rows = shuffle_order(df, seed=3, shards=4).collect()
+        concat = [r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos))]
+        want = [r.doc_id for r in sorted(rows, key=lambda r: (r.shuffle_key, r.doc_id))]
+        assert concat == want
+        assert concat != sorted(concat)  # actually permuted, not identity
+
+    def test_stable_under_append_and_seed_sensitive(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import shuffle_order
+
+        small = shuffle_order(
+            spark.range(100).withColumnRenamed("id", "doc_id"), seed=9
+        ).collect()
+        big = shuffle_order(
+            spark.range(250).withColumnRenamed("id", "doc_id"), seed=9
+        ).collect()
+        keys_small = {r.doc_id: (r.shuffle_key, r.shard) for r in small}
+        keys_big = {r.doc_id: (r.shuffle_key, r.shard) for r in big}
+        # Appending docs never moves an existing doc's key or shard.
+        assert all(keys_big[d] == v for d, v in keys_small.items())
+        other = shuffle_order(
+            spark.range(100).withColumnRenamed("id", "doc_id"), seed=10
+        ).collect()
+        assert [r.shuffle_key for r in other] != [r.shuffle_key for r in small]
