@@ -61,6 +61,8 @@ HEADLINE = [
     "doc_bm25_topk",
     "events_funnel",
     "events_retention_cohorts",
+    "corpus_remove_boilerplate",
+    "corpus_shuffle_order",
 ]
 
 
