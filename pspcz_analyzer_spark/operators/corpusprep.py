@@ -468,3 +468,54 @@ def shuffle_order(
         )
         .withColumn("pos", F.row_number().over(w).cast("int"))
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    total_budget: int,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling: downsample each group (source /
+    language) toward target share ``n_g^alpha / sum(n^alpha)`` of a
+    `total_budget`-doc corpus — the multinomial temperature reweighting of
+    multilingual pretraining (alpha=1 keeps natural proportions, alpha->0
+    approaches uniform across groups; XLM-R uses 0.3).
+
+    Where ``stratified_hash_sample`` takes caller-supplied per-group rates,
+    this SELF-TUNES them from the observed counts: per-group keep rate
+    ``min(1, target_share * budget / n_g)``, rounded to 6 dp (the rounding
+    is part of the contract — it makes the rate reproducible across
+    engines' libm pow). Rows then keep/drop by the same deterministic
+    id-hash bucket as the other samplers, so membership is replayable and
+    append-stable for a fixed rate table.
+
+    Plan shape: one tiny group-count aggregate (group cardinality rows) +
+    a 1-row total, broadcast back onto the corpus — the corpus itself
+    NEVER shuffles; the filter is a codegen'd projection. At 100 TB this
+    is a metadata-sized side computation plus a scan.
+
+    Returns the kept rows with `keep_rate` attached (rare groups may keep
+    everything; dominant groups are cut toward their temperature share).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    weighted = counts.withColumn("__w", F.pow("__n", F.lit(float(alpha))))
+    total_w = weighted.agg(F.sum("__w").alias("__tw"))
+    rates = weighted.crossJoin(F.broadcast(total_w)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("__w") / F.col("__tw") * F.lit(float(total_budget)) / F.col("__n"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    frac = ((F.col(id_col).cast("long") * F.lit(_KNUTH2)) % F.lit(1 << 32)) / F.lit(
+        float(1 << 32)
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(frac < F.col("keep_rate"))
+    )

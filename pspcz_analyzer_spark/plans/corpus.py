@@ -589,3 +589,41 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return shuffle_order(docs, seed=17, shards=8).orderBy("doc_id")
+
+
+_MIX_FRAC = "((doc_id * 2246822519) % 4294967296) / 4294967296.0"
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(power(n_docs, 0.5)) AS tw FROM counts),
+    rates AS (
+      SELECT lang,
+             round(least(1.0, power(n_docs, 0.5) / tw * 300 / n_docs), 6)
+               AS keep_rate
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang, r.keep_rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {_MIX_FRAC} < r.keep_rate
+    ORDER BY d.doc_id
+    """,
+    tags=("pipeline", "sampling", "mixing", "new-surface"),
+    priority=18,
+    doc="Temperature-based data mixing (alpha=0.5, 300-doc budget): "
+    "per-language keep rates self-tuned from observed counts toward "
+    "n^alpha shares, applied via the deterministic id-hash bucket — "
+    "the corpus never shuffles "
+    "(operators/corpusprep.py::temperature_mixture).",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mixture(
+        docs, "lang", total_budget=300, alpha=0.5
+    ).select("doc_id", "lang", "keep_rate").orderBy("doc_id")

@@ -372,3 +372,50 @@ class TestShuffleOrder:
             spark.range(100).withColumnRenamed("id", "doc_id"), seed=10
         ).collect()
         assert [r.shuffle_key for r in other] != [r.shuffle_key for r in small]
+
+
+class TestTemperatureMixture:
+    def test_alpha_one_keeps_natural_proportions(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import temperature_mixture
+
+        # alpha=1 => target share n_g/N => keep_rate = budget/N for EVERY
+        # group (uniform rate = natural proportions preserved).
+        df = spark.createDataFrame(
+            [(i, "big" if i < 800 else "small") for i in range(1000)],
+            "doc_id long, g string",
+        )
+        out = temperature_mixture(df, "g", total_budget=500, alpha=1.0)
+        rates = {r.g: r.keep_rate for r in out.select("g", "keep_rate").distinct().collect()}
+        assert rates["big"] == rates["small"] == 0.5
+
+    def test_low_alpha_upweights_rare_groups(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import temperature_mixture
+
+        df = spark.createDataFrame(
+            [(i, "big" if i < 900 else "small") for i in range(1000)],
+            "doc_id long, g string",
+        )
+        out = temperature_mixture(df, "g", total_budget=400, alpha=0.3)
+        rates = {r.g: r.keep_rate for r in out.select("g", "keep_rate").distinct().collect()}
+        # hand-compute: w_big=900^.3, w_small=100^.3
+        wb, ws = 900**0.3, 100**0.3
+        assert rates["big"] == round(min(1.0, wb / (wb + ws) * 400 / 900), 6)
+        assert rates["small"] == round(min(1.0, ws / (wb + ws) * 400 / 100), 6)
+        assert rates["small"] > rates["big"]
+
+    def test_rare_group_capped_at_one_and_deterministic(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import temperature_mixture
+
+        df = spark.createDataFrame(
+            [(i, "big" if i < 995 else "tiny") for i in range(1000)],
+            "doc_id long, g string",
+        )
+        out1 = sorted(r.doc_id for r in temperature_mixture(df, "g", 800, 0.1).collect())
+        out2 = sorted(r.doc_id for r in temperature_mixture(df, "g", 800, 0.1).collect())
+        assert out1 == out2  # replayable membership
+        rates = {
+            r.g: r.keep_rate
+            for r in temperature_mixture(df, "g", 800, 0.1)
+            .select("g", "keep_rate").distinct().collect()
+        }
+        assert rates["tiny"] == 1.0  # capped: can't keep more than exists
