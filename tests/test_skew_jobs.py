@@ -206,18 +206,23 @@ class TestZOrderedLayout:
             os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
         ]
         assert len(files) >= 4
-        narrow_x = narrow_y = 0
+        x_fracs, y_fracs = [], []
         for f in files:
             meta = pq.ParquetFile(f).metadata
             xlo, xhi = col_range(meta, "x")
             ylo, yhi = col_range(meta, "y")
-            narrow_x += (xhi - xlo) <= 600  # < 60% of the 0..999 domain
-            narrow_y += (yhi - ylo) <= 600
-        # Most files are narrow in BOTH dimensions (range-boundary files
-        # may straddle a quadrant seam); a 1-D sort would make every file
-        # full-width in one of them.
-        assert narrow_x >= len(files) - 2, f"x extents too wide ({narrow_x}/{len(files)})"
-        assert narrow_y >= len(files) - 2, f"y extents too wide ({narrow_y}/{len(files)})"
+            x_fracs.append((xhi - xlo) / 1000)
+            y_fracs.append((yhi - ylo) / 1000)
+        # Files are narrow boxes in BOTH dimensions ON AVERAGE. The mean is
+        # the robust statistic here: repartitionByRange samples its
+        # boundaries with a nondeterministic seed, so WHICH files straddle
+        # a Z-curve quadrant seam (and go wide) varies run to run — a
+        # per-file count assertion flakes. A 1-D sort puts the mean extent
+        # of the unsorted dimension at ~1.0; Z-order keeps both well under.
+        mean_x = sum(x_fracs) / len(x_fracs)
+        mean_y = sum(y_fracs) / len(y_fracs)
+        assert mean_x <= 0.6, f"x extents too wide (mean {mean_x:.2f}: {x_fracs})"
+        assert mean_y <= 0.6, f"y extents too wide (mean {mean_y:.2f}: {y_fracs})"
 
         # A box predicate on either column still returns exact results.
         back = spark.read.parquet(out)
