@@ -318,3 +318,103 @@ def delete_keys(
         os.rename(f, os.path.join(path, f"del_{_uuid.uuid4().hex[:8]}_{i}.parquet"))
     shutil.rmtree(stage, ignore_errors=True)
     return len(affected), deleted
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_col: "str | None" = None,
+) -> "tuple[int, int]":
+    """Small-file compaction (the OPTIMIZE job of a parquet lake): merge
+    files below half the target size into ~`target_bytes` outputs, leaving
+    right-sized files untouched.
+
+    Streaming sinks, incremental upserts, and per-batch appends all leak
+    small files; at 100 TB the resulting per-file open/footer overhead
+    dominates scan time and executor scheduling. Compaction here costs IO
+    proportional to the SMALL-file bytes only — large files are never
+    read — and the planning pass is driver-side file-size listing
+    (metadata, no data IO).
+
+    `sort_col` preserves a :func:`write_range_sorted` layout: small files
+    are binned in min-stat order of that column, so each merged output
+    covers a contiguous key range and the layout's file-skipping survives
+    compaction (bins of adjacent ranges merge into one wider but still
+    disjoint range). Without it, files bin in name order.
+
+    Crash semantics, like :func:`delete_keys`: merged outputs stage under
+    a temp dir and victims are removed only after the stage commits; a
+    crash leaves either the originals (no-op, re-run) or fewer small
+    files (re-run compacts the rest). Idempotent: a second run finds
+    nothing below threshold. Single-directory scope — partitioned lakes
+    run it per partition directory (embarrassingly parallel across an
+    orchestrator's workers).
+
+    Returns (files_merged, files_written).
+    """
+    import glob as _glob
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    sizes = {f: os.path.getsize(f) for f in files}
+    small = [f for f in files if sizes[f] < target_bytes // 2]
+    if len(small) < 2:
+        return 0, 0
+
+    if sort_col is not None:
+
+        def min_stat(f: str):
+            meta = pq.ParquetFile(f).metadata
+            ci = next(
+                (
+                    i
+                    for i in range(meta.num_columns)
+                    if meta.row_group(0).column(i).path_in_schema == sort_col
+                ),
+                None,
+            )
+            if ci is None:
+                return None
+            mins = [
+                meta.row_group(g).column(ci).statistics.min
+                for g in range(meta.num_row_groups)
+                if meta.row_group(g).column(ci).statistics is not None
+            ]
+            return min(mins) if mins else None
+
+        small.sort(key=lambda f: (min_stat(f) is None, min_stat(f)))
+
+    # Greedy contiguous binning to ~target_bytes per output.
+    bins: "list[list[str]]" = [[]]
+    acc = 0
+    for f in small:
+        if bins[-1] and acc + sizes[f] > target_bytes:
+            bins.append([])
+            acc = 0
+        bins[-1].append(f)
+        acc += sizes[f]
+    bins = [b for b in bins if len(b) >= 2]  # singleton bins gain nothing
+    if not bins:
+        return 0, 0
+
+    stage = f"{path}.__compact_{_uuid.uuid4().hex[:8]}"
+    os.makedirs(stage)
+    written = 0
+    merged: "list[str]" = []
+    for i, b in enumerate(bins):
+        out = spark.read.parquet(*b)
+        if sort_col is not None:
+            out = out.sortWithinPartitions(sort_col)
+        out.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, str(i)))
+        merged.extend(b)
+        written += 1
+    staged = sorted(_glob.glob(os.path.join(stage, "*", "*.parquet")))
+    for f in merged:
+        os.remove(f)
+    for i, f in enumerate(staged):
+        os.rename(f, os.path.join(path, f"compact_{_uuid.uuid4().hex[:8]}_{i}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    return len(merged), written

@@ -306,3 +306,43 @@ def incremental_agg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "parquet_compact_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           sum(c_custkey) AS key_sum
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("S10", "compaction", "sink", "scale"),
+    doc="Small-file compaction (jobs.py::compact_small_files): the customer "
+    "table written as 16 deliberately-small files, OPTIMIZE-merged into "
+    "~target-size outputs (stage-and-swap, large files untouched), read "
+    "back and aggregated — must equal the raw-table oracle, proving the "
+    "merge is lossless.",
+    priority=18,
+)
+def parquet_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark.jobs import compact_small_files
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    path = _scratch(sf_dir, "cust_compact")
+    if os.path.exists(path):
+        _shutil.rmtree(path)
+    cust.repartition(16).write.mode("overwrite").parquet(path)
+    compact_small_files(spark, path, target_bytes=512 * 1024 * 1024)
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )

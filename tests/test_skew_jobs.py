@@ -341,3 +341,76 @@ class TestDeleteKeys:
         assert deleted_again == 0
         assert spark.read.parquet(out).filter(F.col("user_id") == 3).count() == 0
         assert sorted(os.listdir(out)) != [] and files_after_first
+
+
+class TestCompaction:
+    def test_merges_small_preserves_data_and_big_files(self, spark, tmp_path):
+        from pspcz_analyzer_spark.jobs import compact_small_files
+
+        path = str(tmp_path / "lake")
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("v")
+        )
+        df.repartition(16).write.mode("overwrite").parquet(path)
+        import glob
+        files_before = set(glob.glob(path + "/*.parquet"))
+        # One deliberately big file that must survive untouched.
+        big = str(tmp_path / "big")
+        spark.range(500_000).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ) \
+            .coalesce(1).write.mode("overwrite").parquet(big)
+        import os as _os, shutil as _shutil
+        big_src = glob.glob(big + "/*.parquet")[0]
+        big_dst = _os.path.join(path, "big_000.parquet")
+        _shutil.copy(big_src, big_dst)
+        target = _os.path.getsize(big_dst)  # small files are all below half
+
+        merged, written = compact_small_files(spark, path, target_bytes=target)
+        assert merged >= 2 and written >= 1 and written < merged
+        assert _os.path.exists(big_dst)  # untouched, not rewritten
+        back = spark.read.parquet(path)
+        assert back.filter(F.col("v") >= 0).count() == 10_000
+        assert back.count() == 510_000
+        got = sorted(r.k for r in back.filter(F.col("v") >= 0).collect())
+        assert got == list(range(10_000))
+        # Idempotent: nothing left below threshold worth merging.
+        files_now = len(glob.glob(path + "/*.parquet"))
+        merged2, _ = compact_small_files(spark, path, target_bytes=target)
+        assert len(glob.glob(path + "/*.parquet")) == files_now
+        assert files_now < len(files_before) + 1
+
+    def test_sort_col_keeps_ranges_disjoint(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from pspcz_analyzer_spark.jobs import compact_small_files, write_range_sorted
+
+        path = str(tmp_path / "sorted_lake")
+        df = spark.range(40_000).select(F.col("id").alias("k"))
+        write_range_sorted(df, path, "k", num_partitions=12)
+
+        def ranges(p):
+            out = []
+            for f in sorted(glob.glob(p + "/*.parquet")):
+                meta = pq.ParquetFile(f).metadata
+                ci = next(
+                    i for i in range(meta.num_columns)
+                    if meta.row_group(0).column(i).path_in_schema == "k"
+                )
+                stats = [meta.row_group(g).column(ci).statistics
+                         for g in range(meta.num_row_groups)]
+                out.append((min(s.min for s in stats), max(s.max for s in stats)))
+            return sorted(out)
+
+        assert all(a[1] < b[0] for a, b in zip(ranges(path), ranges(path)[1:]))
+        merged, written = compact_small_files(
+            spark, path, target_bytes=10**9, sort_col="k"
+        )
+        assert merged == 12 and written == 1
+        rs = ranges(path)
+        # Merged outputs still cover disjoint contiguous ranges.
+        assert all(a[1] < b[0] for a, b in zip(rs, rs[1:]))
+        back = spark.read.parquet(path)
+        assert back.count() == 40_000
