@@ -231,3 +231,89 @@ class TestAsofJoinProperty:
                     }
                     want = self._brute(left, right, strict, direction)
                     assert got == want, (trial, strict, direction)
+
+
+class TestBoilerplateRemovalProperties:
+    """remove_boilerplate_lines vs a per-row brute force over generated
+    multi-line corpora — any doc set, any threshold: same survivors, same
+    counts, same reassembled text."""
+
+    @staticmethod
+    def _brute(docs, min_docs):
+        from collections import defaultdict
+
+        df_count = defaultdict(set)
+        for doc_id, text in docs:
+            for line in text.split("\n"):
+                df_count[line].add(doc_id)
+        boiler = {l for l, ids in df_count.items() if len(ids) >= min_docs}
+        out = {}
+        for doc_id, text in docs:
+            lines = text.split("\n")
+            kept = [l for l in lines if l not in boiler]
+            out[doc_id] = (len(lines), len(kept), "\n".join(kept))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            remove_boilerplate_lines,
+        )
+
+        rng = random.Random(7)
+        vocab = ["lorem", "ipsum", "NAV BAR", "© footer", "x y", "", "dup dup"]
+        for trial in range(4):
+            docs = [
+                (
+                    i,
+                    "\n".join(
+                        rng.choice(vocab)
+                        for _ in range(rng.randint(1, 6))
+                    ),
+                )
+                for i in range(rng.randint(2, 12))
+            ]
+            min_docs = rng.randint(2, 4)
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+                for r in remove_boilerplate_lines(df, min_docs=min_docs).collect()
+            }
+            assert got == self._brute(docs, min_docs), (trial, min_docs, docs)
+
+
+class TestShuffleOrderProperties:
+    """shuffle_order is a bijection onto (shard, pos) whose shard-major
+    order equals the key sort, for any id set / seed / shard count."""
+
+    def test_bijection_and_order(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            _KNUTH,
+            shuffle_order,
+        )
+
+        rng = random.Random(11)
+        for trial in range(4):
+            ids = rng.sample(range(1_000_000), rng.randint(5, 200))
+            seed = rng.randint(0, 2**31)
+            shards = rng.choice([1, 2, 7, 16])
+            df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            rows = shuffle_order(df, seed=seed, shards=shards).collect()
+            assert len(rows) == len(ids)
+            coords = {(r.shard, r.pos) for r in rows}
+            assert len(coords) == len(ids)  # bijection: no coordinate reused
+            for r in rows:
+                key = (r.doc_id * _KNUTH + seed) % (1 << 32)
+                assert r.shuffle_key == key
+                assert 0 <= r.shard < shards
+            shard_major = [
+                r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos))
+            ]
+            key_sort = [
+                r.doc_id
+                for r in sorted(rows, key=lambda r: (r.shuffle_key, r.doc_id))
+            ]
+            assert shard_major == key_sort, (trial, seed, shards)
