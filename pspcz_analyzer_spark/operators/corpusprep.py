@@ -519,3 +519,39 @@ def temperature_mixture(
         df.join(F.broadcast(rates), group_col)
         .filter(frac < F.col("keep_rate"))
     )
+
+
+def calibrate_keep_threshold(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    exact: bool = True,
+) -> DataFrame:
+    """Self-tuning quality cutoff: keep the top `keep_frac` of rows by
+    `score_col`, with the threshold COMPUTED from the observed score
+    distribution (the knob-free form of a quality filter — "keep the best
+    30%" survives scorer recalibration and corpus drift, where a
+    hard-coded `score >= 0.5` silently changes its keep rate).
+
+    The threshold is the (1 - keep_frac) percentile, rounded to 6 dp (the
+    rounding makes the boundary comparison reproducible across engines'
+    float interpolation), broadcast back onto the corpus as a scalar.
+    Rows with score exactly at the threshold are kept (>=), so the
+    realized fraction is >= keep_frac under score ties.
+
+    Cost: one full-scan percentile reduce + one filtered scan. `exact`
+    uses `percentile` (true rank interpolation — a distributed sort-free
+    aggregate, but state grows with distinct score count); at 100 TB with
+    high-cardinality scores set `exact=False` for `approx_percentile`
+    (KLL-sketch, constant memory, documented rank error 1e-4).
+
+    Returns the kept rows with `threshold` attached.
+    """
+    q = F.lit(1.0 - keep_frac)
+    agg = (
+        F.percentile(score_col, q) if exact else F.approx_percentile(score_col, q, 10_000)
+    )
+    thr = df.agg(F.round(agg, 6).alias("threshold"))
+    return df.crossJoin(F.broadcast(thr)).filter(
+        F.col(score_col) >= F.col("threshold")
+    )

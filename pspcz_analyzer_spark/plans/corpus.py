@@ -627,3 +627,48 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(
         docs, "lang", total_budget=300, alpha=0.5
     ).select("doc_id", "lang", "keep_rate").orderBy("doc_id")
+
+
+@register(
+    "corpus_quality_calibrated",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             len(list_distinct(string_split({_NORM.format(c="text")}, ' ')))
+               AS n_distinct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(n_distinct / greatest(n_tokens, 1), 6) AS distinct_ratio
+      FROM feat
+    ),
+    thr AS (
+      SELECT round(quantile_cont(distinct_ratio, 0.6), 6) AS threshold
+      FROM scored
+    )
+    SELECT s.doc_id, s.distinct_ratio, t.threshold
+    FROM scored s, thr t
+    WHERE s.distinct_ratio >= t.threshold
+    ORDER BY s.doc_id
+    """,
+    tags=("pipeline", "quality", "sampling", "new-surface"),
+    priority=18,
+    doc="Self-tuning quality filter: keep the top 40% of docs by lexical "
+    "diversity (distinct-token ratio), threshold computed as the 60th "
+    "percentile of the observed distribution rather than hard-coded — "
+    "knob-free filtering that survives scorer recalibration and corpus "
+    "drift; the scalar threshold broadcasts back onto the corpus "
+    "(operators/corpusprep.py::calibrate_keep_threshold).",
+)
+def corpus_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import calibrate_keep_threshold
+    from pspcz_analyzer_spark.operators.textual import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "distinct_ratio")
+    return calibrate_keep_threshold(scored, "distinct_ratio", keep_frac=0.4).orderBy(
+        "doc_id"
+    )

@@ -419,3 +419,41 @@ class TestTemperatureMixture:
             .select("g", "keep_rate").distinct().collect()
         }
         assert rates["tiny"] == 1.0  # capped: can't keep more than exists
+
+
+class TestCalibrateKeepThreshold:
+    def test_continuous_scores_keep_exact_fraction(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import calibrate_keep_threshold
+
+        df = spark.createDataFrame(
+            [(i, i / 1000.0) for i in range(1000)], "doc_id long, s double"
+        )
+        kept = calibrate_keep_threshold(df, "s", keep_frac=0.3).collect()
+        # 70th percentile of 0..0.999 -> keeps the top ~300.
+        assert 299 <= len(kept) <= 301
+        assert min(r.s for r in kept) >= 0.69
+        assert all(r.threshold == kept[0].threshold for r in kept)
+
+    def test_ties_at_threshold_are_kept(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import calibrate_keep_threshold
+
+        # 80% of rows share the max score: asking for top 10% keeps all ties.
+        df = spark.createDataFrame(
+            [(i, 1.0 if i < 800 else 0.0) for i in range(1000)],
+            "doc_id long, s double",
+        )
+        kept = calibrate_keep_threshold(df, "s", keep_frac=0.1).collect()
+        assert len(kept) == 800
+        assert all(r.s == 1.0 for r in kept)
+
+    def test_approx_mode_close_to_exact(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import calibrate_keep_threshold
+
+        df = spark.createDataFrame(
+            [(i, (i * 7919 % 10007) / 10007.0) for i in range(5000)],
+            "doc_id long, s double",
+        )
+        n_exact = calibrate_keep_threshold(df, "s", 0.25, exact=True).count()
+        n_approx = calibrate_keep_threshold(df, "s", 0.25, exact=False).count()
+        assert abs(n_exact - 1250) <= 2
+        assert abs(n_approx - n_exact) <= 50  # sketch rank error is bounded
