@@ -235,13 +235,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, round(raw_value, 2) AS stock_value
     FROM stock
-    WHERE raw_value > (SELECT sum(raw_value) * 0.001 FROM stock)
+    WHERE raw_value > (SELECT avg(raw_value) * 1.5 FROM stock)
     ORDER BY stock_value DESC, l_partkey
     """,
     tags=("agg", "scalar-subquery", "A3"),
     doc="TPC-H Q11 shape: per-part inventory value kept only when above a "
-    "fraction of the total — the threshold is a one-row aggregate joined "
-    "back by broadcast cross-join (no driver-side collect).",
+    "multiple of the MEAN part value — the threshold is a one-row "
+    "aggregate joined back by broadcast cross-join (no driver-side "
+    "collect). Q11's sum-fraction threshold is deliberately replaced: a "
+    "fixed fraction of the TOTAL goes vacuous as part count grows (TPC-H "
+    "itself scales the fraction by 1/SF), while a mean multiple keeps a "
+    "stable selectivity at every scale.",
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -270,7 +274,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unpersist: the query returns lazily, LRU eviction reclaims it.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    total = stock.agg((F.sum("raw_value") * F.lit(0.001)).alias("_threshold"))
+    total = stock.agg((F.avg("raw_value") * F.lit(1.5)).alias("_threshold"))
     return (
         stock.crossJoin(F.broadcast(total))
         .filter(F.col("raw_value") > F.col("_threshold"))
