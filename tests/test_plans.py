@@ -204,3 +204,28 @@ def test_profile_table_nulls_and_approx(spark):
     # The approx plan must NOT expand the input (that is its point).
     assert "Expand" not in _plan(profile_table(df))
     assert "Expand" in _plan(profile_table(df, approx=False))
+
+
+def test_no_unpartitioned_windows(all_plans):
+    """No query may run a window over Window.partitionBy() (or orderBy-only):
+    a global window funnels the ENTIRE input through one task — the
+    single-task count bug class (fixed in laws_listing_page by a broadcast
+    scalar; this net keeps it from coming back anywhere).
+
+    Detector: in `windowspecdefinition(<prefix> specifiedwindowframe...)`,
+    partition columns appear in the prefix as bare attributes while order
+    columns carry ASC/DESC — a prefix that is empty or all-sort means no
+    partitioning."""
+    import re
+
+    offenders = {}
+    for qname, plan in all_plans.items():
+        if plan.startswith("PLAN BUILD ERROR"):
+            continue  # reported by test_no_nested_loop_joins_anywhere
+        for m in re.finditer(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan):
+            prefix = [p.strip() for p in m.group(1).split(",") if p.strip()]
+            if not any(" ASC" not in p and " DESC" not in p for p in prefix):
+                offenders.setdefault(qname, m.group(1)[:80])
+    assert not offenders, (
+        f"global (unpartitioned) window in plan — single-task funnel: {offenders}"
+    )
