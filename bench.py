@@ -63,6 +63,8 @@ HEADLINE = [
     "events_retention_cohorts",
     "corpus_remove_boilerplate",
     "corpus_shuffle_order",
+    "corpus_temperature_mix",
+    "corpus_quality_calibrated",
 ]
 
 

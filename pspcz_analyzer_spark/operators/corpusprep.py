@@ -545,6 +545,13 @@ def calibrate_keep_threshold(
     high-cardinality scores set `exact=False` for `approx_percentile`
     (KLL-sketch, constant memory, documented rank error 1e-4).
 
+    Call with `score_col` as a STORED column (a table attribute), not a
+    live expression: Catalyst pushes the threshold filter below the
+    projection, so an expression-backed score is RE-EVALUATED inside the
+    filter (2x its per-row cost). Scores produced by earlier pipeline
+    stages should be materialized (the `pipeline.py` staging pattern)
+    before calibrating on them.
+
     Returns the kept rows with `threshold` attached.
     """
     q = F.lit(1.0 - keep_frac)

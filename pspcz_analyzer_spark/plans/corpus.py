@@ -631,44 +631,32 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_quality_calibrated",
-    oracle=f"""
-    WITH feat AS (
-      SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-             len(list_distinct(string_split({_NORM.format(c="text")}, ' ')))
-               AS n_distinct
+    oracle="""
+    WITH thr AS (
+      SELECT round(quantile_cont(n_chars, 0.6), 6) AS threshold
       FROM documents
-    ),
-    scored AS (
-      SELECT doc_id,
-             round(n_distinct / greatest(n_tokens, 1), 6) AS distinct_ratio
-      FROM feat
-    ),
-    thr AS (
-      SELECT round(quantile_cont(distinct_ratio, 0.6), 6) AS threshold
-      FROM scored
     )
-    SELECT s.doc_id, s.distinct_ratio, t.threshold
-    FROM scored s, thr t
-    WHERE s.distinct_ratio >= t.threshold
-    ORDER BY s.doc_id
+    SELECT d.doc_id, d.n_chars, t.threshold
+    FROM documents d, thr t
+    WHERE d.n_chars >= t.threshold
+    ORDER BY d.doc_id
     """,
     tags=("pipeline", "quality", "sampling", "new-surface"),
     priority=18,
-    doc="Self-tuning quality filter: keep the top 40% of docs by lexical "
-    "diversity (distinct-token ratio), threshold computed as the 60th "
-    "percentile of the observed distribution rather than hard-coded — "
-    "knob-free filtering that survives scorer recalibration and corpus "
-    "drift; the scalar threshold broadcasts back onto the corpus "
+    doc="Self-tuning quality filter: keep the top 40% of docs by length, "
+    "threshold computed as the 60th percentile of the observed "
+    "distribution rather than hard-coded — knob-free filtering that "
+    "survives corpus drift; the scalar threshold broadcasts back onto "
+    "the corpus. Calibrates on a STORED column (n_chars): filtering on a "
+    "computed score would re-evaluate its expression inside the "
+    "pushed-down filter, so expression-backed scores materialize first "
+    "(the pipeline.py staging pattern) "
     "(operators/corpusprep.py::calibrate_keep_threshold).",
 )
 def corpus_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.corpusprep import calibrate_keep_threshold
-    from pspcz_analyzer_spark.operators.textual import quality_score
 
-    docs = load_table(spark, sf_dir, "documents")
-    scored = quality_score(docs).select("doc_id", "distinct_ratio")
-    return calibrate_keep_threshold(scored, "distinct_ratio", keep_frac=0.4).orderBy(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return calibrate_keep_threshold(docs, "n_chars", keep_frac=0.4).orderBy(
         "doc_id"
     )

@@ -98,6 +98,8 @@ _NESTED_LOOP_OK = {
     "docs_browser_page",  # 1-row broadcast scalar total-hit count
     "doc_bm25_topk",  # 1-row broadcast corpus stats (N, avgdl, df)
     "events_funnel",  # 1-row broadcast stage counts (3-row summary)
+    "corpus_temperature_mix",  # 1-row broadcast weight total (rate table)
+    "corpus_quality_calibrated",  # 1-row broadcast percentile threshold
 }
 
 
