@@ -196,6 +196,38 @@ def minhash_signatures(
     )
 
 
+def bands_from_signatures(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band table from a signature frame.
+
+    A pure projection+explode over the signatures — bands are DERIVED from
+    the signature, never stored: a persisted signature sidecar (see
+    pipeline.build_minhash_index) regenerates its band table at join time
+    for 16 xxhash64 calls per row, which is free next to the scan IO and
+    keeps the index one table.
+    """
+    rows_per_band = num_hashes // bands
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return posexplode_notnull(sig, band_arr, "band_idx", "band_hash", keep=(id_col,))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -213,25 +245,10 @@ def minhash_lsh_pairs(
     collisions. Verify candidates downstream with ngram_jaccard_pairs on
     the candidate set (or estimated Jaccard from signature agreement).
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, scan_shaped=scan_shaped
     )
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("signature")[i].cast("string")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = posexplode_notnull(sig, band_arr, "band_idx", "band_hash", keep=(id_col,))
+    banded = bands_from_signatures(sig, id_col, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (

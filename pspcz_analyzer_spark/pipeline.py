@@ -36,6 +36,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
 
@@ -200,6 +202,111 @@ def prepare_training_corpus(
     return manifest
 
 
+def build_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> int:
+    """Persist the MinHash-signature sidecar index for a corpus: one row
+    per doc, ``(id, signature array<bigint>)``.
+
+    The index is what lets incremental ingestion near-dup-check a batch
+    against ALL history without rescanning history's text: signatures are
+    deterministic (stable hash seeds), so an index built once stays valid
+    forever and extends append-only. Band hashes are NOT stored — they
+    re-derive from the signature at join time
+    (operators/dedup.py::bands_from_signatures), keeping the sidecar a
+    single narrow table (~0.5 KB/doc at 64 hashes: ~50 GB per 100M docs,
+    a footnote next to a 100 TB corpus).
+
+    Returns the number of signatures written.
+    """
+    from pspcz_analyzer_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        docs.select(id_col, text_col), text_col, id_col, num_hashes, shingle_n
+    )
+    sig.write.mode(mode).parquet(index_dir)
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(index_dir, f)).metadata.num_rows
+        for f in os.listdir(index_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def _near_history_ids(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    threshold: float,
+) -> "tuple[DataFrame, DataFrame]":
+    """Batch doc ids that near-duplicate ANY indexed historical doc, plus
+    the batch signature frame (reused for the index append).
+
+    Candidate generation is an equi-join on (band_idx, band_hash) with the
+    SMALL batch side broadcast — history's index is scanned (columns: id,
+    signature) but never shuffled. Candidates then verify by estimated
+    Jaccard = fraction of agreeing signature positions >= `threshold`,
+    which kills LSH false positives without touching any text.
+    """
+    from pspcz_analyzer_spark.operators.dedup import (
+        bands_from_signatures,
+        minhash_signatures,
+    )
+
+    batch_sig = minhash_signatures(
+        batch_docs.select(id_col, text_col), text_col, id_col, num_hashes, shingle_n
+    )
+    hist_sig = spark.read.parquet(index_dir)
+    batch_bands = bands_from_signatures(batch_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__bid"), "band_idx", "band_hash"
+    )
+    hist_bands = bands_from_signatures(hist_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__hid"), "band_idx", "band_hash"
+    )
+    cands = (
+        hist_bands.join(F.broadcast(batch_bands), ["band_idx", "band_hash"])
+        .select("__bid", "__hid")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__bsig", "__hsig", lambda a, b: a == b), lambda x: x
+        )
+    ) / F.lit(num_hashes)
+    near = (
+        cands.join(
+            F.broadcast(batch_sig.select(F.col(id_col).alias("__bid"),
+                                         F.col("signature").alias("__bsig"))),
+            "__bid",
+        )
+        .join(
+            hist_sig.select(F.col(id_col).alias("__hid"),
+                            F.col("signature").alias("__hsig")),
+            "__hid",
+        )
+        .filter(agree >= F.lit(threshold))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+        .withColumn("__near_hist", F.lit(True))
+    )
+    return near, batch_sig
+
+
 def extend_training_corpus(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -211,6 +318,11 @@ def extend_training_corpus(
     keep_langs: tuple[str, ...] | None = None,
     shards: int = 8,
     shard_by_hash: bool = True,
+    near_dup_index: str | None = None,
+    near_dup_threshold: float = 0.5,
+    num_hashes: int = 64,
+    lsh_bands: int = 16,
+    shingle_n: int = 3,
 ) -> dict:
     """Append only-novel documents to the corpus ``prepare_training_corpus``
     wrote (SURVEY T4's resumable-increment shape, applied to the corpus).
@@ -222,14 +334,19 @@ def extend_training_corpus(
     ``shards``/``shard_by_hash``). Idempotent: re-extending with the same
     batch appends nothing.
 
-    Drop attribution order: already-present -> exact dup within the batch
-    -> language -> quality; columns sum to ``n_input``. Near-dup against
-    history is out of scope for the increment — the production design
-    persists MinHash signatures as a sidecar index next to the corpus and
-    LSH-joins the batch against it, which this API leaves to a follow-up.
-    """
-    import os
+    With ``near_dup_index`` set (a :func:`build_minhash_index` sidecar),
+    batch docs are ALSO checked against all historical signatures:
+    LSH-band candidates (batch side broadcast — history never shuffles)
+    verified by signature-agreement Jaccard >= ``near_dup_threshold``.
+    Surviving docs' signatures append to the index (id-anti-joined, so
+    crash/replay cannot double-insert), keeping it current for the next
+    batch. Cold start bootstraps: a missing index means nothing to check,
+    and the first batch seeds it.
 
+    Drop attribution order: already-present -> exact dup within the batch
+    -> near-dup vs history -> language -> quality; columns sum to
+    ``n_input``.
+    """
     if os.path.exists(out_dir):
         existing_fp = (
             spark.read.parquet(out_dir)
@@ -256,22 +373,43 @@ def extend_training_corpus(
         canon_ids, id_col, "left"
     )
 
+    batch_sig = None
+    if near_dup_index is not None and os.path.exists(near_dup_index):
+        near_ids, batch_sig = _near_history_ids(
+            spark,
+            new_docs,
+            near_dup_index,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=lsh_bands,
+            shingle_n=shingle_n,
+            threshold=near_dup_threshold,
+        )
+        flags = flags.join(F.broadcast(near_ids), id_col, "left")
+    else:
+        flags = flags.withColumn("__near_hist", F.lit(None).cast("boolean"))
+
     present = F.coalesce(F.col("__present"), F.lit(False))
     is_canon = F.coalesce(F.col("__canon"), F.lit(False))
+    near_hist = F.coalesce(F.col("__near_hist"), F.lit(False))
     lang_ok = _lang_ok(keep_langs)
     quality_ok = F.col("quality_score") >= F.lit(min_quality)
-    keep = ~present & is_canon & lang_ok & quality_ok
+    keep = ~present & is_canon & ~near_hist & lang_ok & quality_ok
 
     metrics = [
         F.count(F.lit(1)).alias("n_input"),
         F.sum(present.cast("long")).alias("n_already_present"),
         F.sum((~present & ~is_canon).cast("long")).alias("n_exact_dup"),
-        F.sum((~present & is_canon & ~lang_ok).cast("long")).alias(
+        F.sum((~present & is_canon & near_hist).cast("long")).alias(
+            "n_near_dup_history"
+        ),
+        F.sum((~present & is_canon & ~near_hist & ~lang_ok).cast("long")).alias(
             "n_lang_dropped"
         ),
-        F.sum((~present & is_canon & lang_ok & ~quality_ok).cast("long")).alias(
-            "n_quality_dropped"
-        ),
+        F.sum(
+            (~present & is_canon & ~near_hist & lang_ok & ~quality_ok).cast("long")
+        ).alias("n_quality_dropped"),
         F.sum(keep.cast("long")).alias("n_kept"),
         F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0))).alias(
             "kept_tokens"
@@ -283,7 +421,7 @@ def extend_training_corpus(
     obs = Observation()
     observed = flags.observe(obs, *metrics)
 
-    final = observed.filter(keep).drop("__present", "__canon")
+    final = observed.filter(keep).drop("__present", "__canon", "__near_hist")
     _write_sharded(
         final,
         out_dir,
@@ -294,6 +432,33 @@ def extend_training_corpus(
     )
 
     manifest = _manifest(obs, flags, metrics)
+
+    if near_dup_index is not None and manifest.get("n_kept", 0) > 0:
+        # Keep the sidecar current: append the kept docs' signatures,
+        # anti-joined by id against what the index already holds so a
+        # crash between corpus write and index write (or a replayed
+        # batch) can never double-insert. Kept ids re-derive from the
+        # corpus read-back (tiny column-pruned scan of the appended
+        # shards), not from a second pass over the batch plan.
+        from pspcz_analyzer_spark.operators.dedup import minhash_signatures
+
+        if batch_sig is None:  # index did not exist yet: first batch seeds it
+            batch_sig = minhash_signatures(
+                new_docs.select(id_col, text_col),
+                text_col,
+                id_col,
+                num_hashes,
+                shingle_n,
+            )
+        kept_ids = (
+            spark.read.parquet(out_dir).select(id_col).distinct()
+        )
+        novel_sig = batch_sig.join(kept_ids, id_col, "left_semi")
+        if os.path.exists(near_dup_index):
+            indexed = spark.read.parquet(near_dup_index).select(id_col)
+            novel_sig = novel_sig.join(indexed, id_col, "left_anti")
+        novel_sig.write.mode("append").parquet(near_dup_index)
+
     manifest["out_dir"] = out_dir
     manifest["shards"] = shards
     return manifest

@@ -660,3 +660,82 @@ def corpus_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibrate_keep_threshold(docs, "n_chars", keep_frac=0.4).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "corpus_extend_near_dup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM.format(c="text")} AS ntext
+      FROM documents WHERE doc_id % 7 != 0
+    ),
+    corpus AS (  -- prepare(): one canonical doc per fingerprint
+      SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(ntext)
+    )
+    -- The +700000 near-dup batch rows (corpus texts with a token
+    -- appended) are all dropped by the signature check (agreement ~0.97
+    -- vs threshold 0.2); the +800000 novel rows (unique synthetic
+    -- tokens, zero shingle overlap with anything) are all kept.
+    SELECT doc_id FROM corpus
+    UNION ALL
+    SELECT doc_id + 800000 AS doc_id
+    FROM documents WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "dedup-near", "incremental", "sink", "new-surface"),
+    priority=18,
+    doc="Incremental near-dedup against ALL history via the MinHash "
+    "sidecar index (pipeline.build_minhash_index + extend_training_corpus "
+    "near_dup_index): a batch of history-near-dups (corpus docs with one "
+    "token appended - signature agreement ~0.97, certainly >= the 0.2 "
+    "threshold) and certainly-novel docs (unique synthetic tokens, zero "
+    "shingle overlap) extends the corpus; only the novel docs land. "
+    "History is scanned once (id+signature columns), never shuffled - "
+    "the batch side broadcasts.",
+)
+def corpus_extend_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark.pipeline import (
+        build_minhash_index,
+        extend_training_corpus,
+        prepare_training_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = _scratch(sf_dir, "neardup_corpus")
+    idx = _scratch(sf_dir, "neardup_idx")
+    for p in (out, idx):
+        if os.path.exists(p):
+            _shutil.rmtree(p)
+
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    prepare_training_corpus(
+        spark, base, out, min_quality=0.0, keep_langs=None,
+        near_dup=False, shards=4, shard_by_hash=False,
+    )
+    corpus = spark.read.parquet(out)
+    build_minhash_index(spark, corpus, idx)
+
+    near = corpus.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    # Unique per-doc tokens: no shingle can overlap history or another
+    # novel doc, so "kept" is certain regardless of testdata generation.
+    c = F.col("doc_id").cast("string")
+    novel = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("nv"), c), F.concat(F.lit("vx"), c),
+            F.concat(F.lit("zq"), c), F.concat(F.lit("wy"), c),
+            F.concat(F.lit("kj"), c),
+        ).alias("text"),
+    )
+    extend_training_corpus(
+        spark, near.unionByName(novel), out,
+        min_quality=0.0, keep_langs=None, shards=4, shard_by_hash=False,
+        near_dup_index=idx, near_dup_threshold=0.2,
+    )
+    return spark.read.parquet(out).select("doc_id").orderBy("doc_id")

@@ -34,6 +34,7 @@ def stream_extend_corpus(
     min_quality: float = 0.5,
     keep_langs: tuple[str, ...] | None = None,
     shards: int = 8,
+    near_dup_index: str | None = None,
 ) -> list[dict]:
     """Drain all unprocessed landing files into the corpus; one
     ``extend_training_corpus`` call per micro-batch.
@@ -42,6 +43,12 @@ def stream_extend_corpus(
     production deployment starts the same query with a continuous trigger
     and ships manifests to its metrics sink instead. Returns one manifest
     per non-empty micro-batch, tagged with ``batch_id``.
+
+    ``near_dup_index`` routes every batch through the MinHash sidecar
+    (pipeline.build_minhash_index): docs near-duplicating ANY earlier
+    batch or the base corpus are dropped, and survivors' signatures keep
+    the index current — streaming near-dedup with per-batch cost
+    proportional to the batch, never to history.
     """
     manifests: list[dict] = []
 
@@ -53,6 +60,7 @@ def stream_extend_corpus(
             min_quality=min_quality,
             keep_langs=keep_langs,
             shards=shards,
+            near_dup_index=near_dup_index,
         )
         m["batch_id"] = int(batch_id)
         manifests.append(m)

@@ -202,3 +202,112 @@ class TestStreamingIngest:
 
             ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
         assert ids == [1, 2, 3]
+
+
+class TestNearDupIndex:
+    """MinHash sidecar index: batch near-dups vs HISTORY drop; index stays
+    current across extends; crash/replay cannot double-insert."""
+
+    def _seed(self, spark, tmp):
+        from pspcz_analyzer_spark.pipeline import (
+            build_minhash_index,
+            extend_training_corpus,
+        )
+
+        base = spark.createDataFrame(
+            [(1, _GOOD_EN), (2, _GOOD_CS)], "doc_id long, text string"
+        )
+        out = os.path.join(tmp, "corpus")
+        idx = os.path.join(tmp, "corpus_minhash_idx")
+        prepare_training_corpus(
+            spark, base, out, keep_langs=("cs", "de", "en", "es", "fr")
+        )
+        n = build_minhash_index(spark, spark.read.parquet(out), idx)
+        assert n == 2
+        return out, idx, extend_training_corpus
+
+    def test_near_dup_vs_history_dropped_and_attributed(self, spark):
+        with tempfile.TemporaryDirectory() as tmp:
+            out, idx, extend = self._seed(spark, tmp)
+            batch = spark.createDataFrame(
+                [
+                    (11, _NEAR_EN),   # near-dup of corpus doc 1 -> dropped
+                    (12, _GOOD_CS + " a jeste neco navic uplne jineho tady"),
+                                      # near-dup of corpus doc 2 -> dropped
+                    (13, "completely different text about machine learning "
+                         "with the transformers and the attention that the "
+                         "model needs for the long context"),  # novel
+                ],
+                "doc_id long, text string",
+            )
+            m = extend(
+                spark, batch, out,
+                keep_langs=("cs", "de", "en", "es", "fr"),
+                near_dup_index=idx,
+            )
+            ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert m["n_near_dup_history"] == 2
+        assert m["n_kept"] == 1
+        assert ids == [1, 2, 13]
+
+    def test_index_extends_so_later_batches_see_earlier_ones(self, spark):
+        with tempfile.TemporaryDirectory() as tmp:
+            out, idx, extend = self._seed(spark, tmp)
+            novel = (
+                "completely different text about machine learning with the "
+                "transformers and the attention that the model needs"
+            )
+            b1 = spark.createDataFrame([(21, novel)], "doc_id long, text string")
+            m1 = extend(spark, b1, out, near_dup_index=idx)
+            assert m1["n_kept"] == 1
+            # Batch 2 near-duplicates BATCH 1 (not the base corpus).
+            b2 = spark.createDataFrame(
+                [(22, novel + " today")], "doc_id long, text string"
+            )
+            m2 = extend(spark, b2, out, near_dup_index=idx)
+            assert m2["n_near_dup_history"] == 1 and m2["n_kept"] == 0
+            # Index holds exactly the corpus ids, once each.
+            idx_ids = sorted(
+                r.doc_id for r in spark.read.parquet(idx).collect()
+            )
+            assert idx_ids == [1, 2, 21]
+
+    def test_replay_does_not_double_insert_index(self, spark):
+        with tempfile.TemporaryDirectory() as tmp:
+            out, idx, extend = self._seed(spark, tmp)
+            b = spark.createDataFrame(
+                [(31, "totally novel text with the words that the quality "
+                      "filter is happy about in the long run")],
+                "doc_id long, text string",
+            )
+            extend(spark, b, out, near_dup_index=idx)
+            extend(spark, b, out, near_dup_index=idx)  # replay
+            sig_rows = spark.read.parquet(idx).groupBy("doc_id").count().collect()
+        assert all(r["count"] == 1 for r in sig_rows)
+        assert sorted(r.doc_id for r in sig_rows) == [1, 2, 31]
+
+    def test_streaming_batches_near_dedup_across_batches(self, spark):
+        from pspcz_analyzer_spark.streaming.corpus import stream_extend_corpus
+
+        with tempfile.TemporaryDirectory() as tmp:
+            landing = os.path.join(tmp, "landing")
+            out = os.path.join(tmp, "corpus")
+            idx = os.path.join(tmp, "idx")
+            ckpt = os.path.join(tmp, "ckpt")
+            os.makedirs(landing)
+            spark.createDataFrame(
+                [(1, _GOOD_EN)], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(landing)
+            m1 = stream_extend_corpus(
+                spark, landing, out, ckpt, near_dup_index=idx
+            )
+            assert sum(m["n_kept"] for m in m1) == 1
+            # Second landing file: a near-dup of batch 1's doc.
+            spark.createDataFrame(
+                [(2, _NEAR_EN)], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(landing)
+            m2 = stream_extend_corpus(
+                spark, landing, out, ckpt, near_dup_index=idx
+            )
+            assert sum(m.get("n_near_dup_history", 0) for m in m2) == 1
+            assert sum(m.get("n_kept", 0) for m in m2) == 0
