@@ -9,7 +9,7 @@ candidate generation joins on buckets instead of crossing n x n.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from pspcz_analyzer_spark.operators.pagination import top_k
 
@@ -283,3 +283,142 @@ def lsh_bucketed_pairs(
         "id_a", "id_b", score.alias("cosine_sim")
     )
     return top_k(pairs, [F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")], k)
+
+
+def build_ivf_index(
+    spark,
+    df: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: the build-once half of :func:`ivf_topk`'s
+    "production persists the model" contract.
+
+    Layout under ``index_dir``:
+      ``centroids/``  (cell int, centroid array<double>) — n_centroids rows
+      ``vectors/``    the corpus PARTITIONED BY its cell assignment
+
+    Cell-partitioning is the point: a query's n_probe ``isin`` filter
+    becomes a PARTITION filter, so the scan physically reads only
+    n_probe/n_centroids of the files (directory-level pruning — verified
+    by plan in tests) instead of filtering rows after reading everything.
+    Train on a sample at corpus scale (`train_fraction`); k-means cost is
+    O(sample * n_centroids * iters), assignment is one scan.
+    """
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"),
+    )
+    train = feat if train_fraction >= 1.0 else feat.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell"
+    ).fit(train)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    (
+        model.transform(feat)
+        .select(id_col, vec_col, F.col("__cell").cast("int").alias("cell"))
+        # one producing task per cell partition => no small-file fanout
+        .repartition(n_centroids, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+
+
+def extend_ivf_index(
+    spark,
+    new_vecs: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted IVF index WITHOUT retraining:
+    assign each to its nearest stored centroid (tiny broadcast cross of
+    n_centroids rows, argmin by cosine) and append into that cell's
+    partition. Centroids drift as data grows — rebuild on a schedule; the
+    standard IVF trade (FAISS add() does the same).
+
+    Assignment is EUCLIDEAN argmin — the metric k-means trained with —
+    not cosine: for near-collinear centroids (clusters differing in
+    magnitude) cosine would pick the wrong cell and split a cluster
+    across partitions.
+    """
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        new_vecs.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    ranked.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: rank the stored centroids driver-side
+    (n_centroids rows — metadata scale), then scan ONLY the n_probe
+    nearest cell partitions and exact-rescore.
+
+    The cell predicate is `isin` over a partition column, so Parquet
+    directory pruning applies before any IO; with n_probe=n_centroids the
+    result is EXACTLY brute force (the oracle anchor).
+    """
+    import os
+
+    import numpy as np
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    q = np.asarray(query_vec, dtype="float64")
+    qn = np.linalg.norm(q) or 1.0
+    sims = []
+    for r in cents:
+        c = np.asarray(r["centroid"], dtype="float64")
+        cn = np.linalg.norm(c) or 1.0
+        sims.append((float(np.dot(q, c) / (qn * cn)), r["cell"]))
+    probe = [cell for _, cell in sorted(sims, reverse=True)[:n_probe]]
+    vecs = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell").isin(probe))
+        .select(id_col, vec_col)
+    )
+    return brute_force_topk(vecs, query_vec, k=k, id_col=id_col, vec_col=vec_col)

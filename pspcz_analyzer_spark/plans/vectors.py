@@ -377,3 +377,47 @@ def mp_pca_coords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_coords_distributed(
         derive_mp_votes(spark, sf_dir), derive_void_votes(spark, sf_dir)
     ).orderBy("id_poslanec")
+
+
+@register(
+    "ann_ivf_index_roundtrip",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("ann", "ivf", "sink", "oracle-paired", "new-surface"),
+    priority=18,
+    doc="PERSISTED IVF index round-trip: build the cell-partitioned index "
+    "(operators/ann.py::build_ivf_index), query it back with "
+    "n_probe == n_centroids — exhaustive probing over the stored layout "
+    "must return exactly the brute-force answer, anchoring the "
+    "build/extend/query persistence path the same way "
+    "ann_ivf_exhaustive_top10 anchors the in-memory one. Partition "
+    "pruning at n_probe < n_centroids is plan-asserted in "
+    "test_similarity.py::TestIVFIndex.",
+)
+def ann_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from pspcz_analyzer_spark.operators.ann import build_ivf_index, ivf_index_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_ivf_idx")
+    if os.path.exists(idx):
+        _shutil.rmtree(idx)
+    build_ivf_index(spark, emb, idx, n_centroids=16)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_index_topk(spark, idx, [float(x) for x in q], k=10, n_probe=16)

@@ -359,3 +359,77 @@ class TestPCADistributed:
         for p in exact:
             assert abs(dist[p]) == pytest.approx(abs(exact[p]), abs=1e-4)
         assert abs(dist[3]) > 0.1  # the abstainer sits away from the origin
+
+
+class TestIVFIndex:
+    """Persisted IVF index: build/query parity with brute force, partition
+    pruning at the storage layer, and retrain-free extension."""
+
+    def _build(self, spark, tmp_path, n=200, dim=8, cells=4):
+        import random
+
+        from pspcz_analyzer_spark.operators.ann import build_ivf_index
+
+        rng = random.Random(5)
+        rows = [
+            (i, [rng.gauss(i % cells, 0.3) for _ in range(dim)]) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(spark, df, idx, n_centroids=cells)
+        return df, idx
+
+    def test_exhaustive_probe_equals_brute_force(self, spark, tmp_path):
+        from pspcz_analyzer_spark.operators.ann import (
+            brute_force_topk,
+            ivf_index_topk,
+        )
+
+        df, idx = self._build(spark, tmp_path)
+        q = df.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+        got = [
+            (r.vec_id, r.cosine_sim)
+            for r in ivf_index_topk(spark, idx, [float(x) for x in q], k=10, n_probe=4).collect()
+        ]
+        want = [
+            (r.vec_id, r.cosine_sim)
+            for r in brute_force_topk(df, [float(x) for x in q], k=10).collect()
+        ]
+        assert got == want
+
+    def test_query_scan_is_partition_pruned(self, spark, tmp_path):
+        from pspcz_analyzer_spark.operators.ann import ivf_index_topk
+
+        df, idx = self._build(spark, tmp_path)
+        q = df.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+        out = ivf_index_topk(spark, idx, [float(x) for x in q], k=5, n_probe=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # The cell isin() lands as a PartitionFilter on the scan — files in
+        # other cell directories are never opened.
+        assert "PartitionFilters" in plan and "cell" in plan
+        assert out.count() == 5
+
+    def test_extend_assigns_without_retrain_and_is_queryable(self, spark, tmp_path):
+        import os
+
+        from pspcz_analyzer_spark.operators.ann import (
+            extend_ivf_index,
+            ivf_index_topk,
+        )
+
+        df, idx = self._build(spark, tmp_path)
+        # A new vector identical to vec 3: must land in 3's cell and come
+        # back as the top hit for its own query.
+        base = df.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        new = spark.createDataFrame(
+            [(999, [float(x) for x in base])], "vec_id long, embedding array<float>"
+        )
+        extend_ivf_index(spark, new, idx)
+        vecs = spark.read.parquet(os.path.join(idx, "vectors"))
+        cell_of = {
+            r.vec_id: r.cell
+            for r in vecs.filter(F.col("vec_id").isin(3, 999)).collect()
+        }
+        assert cell_of[999] == cell_of[3]
+        top = ivf_index_topk(spark, idx, [float(x) for x in base], k=2, n_probe=4).collect()
+        assert {r.vec_id for r in top} == {3, 999}
