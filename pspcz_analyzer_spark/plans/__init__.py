@@ -40,6 +40,8 @@ _REGISTRY: dict[str, Query] = {}
 #        any query whose plan changed this round and must re-attest;
 #   15 = never driver-attested in ANY round (oracle exists, only local gate
 #        runs have checked them);
+#   18 = NEW THIS ROUND (set via register(priority=18) at the definition,
+#        not in this map) — brand-new operators attest before stale ones;
 #   20 = r02-green but not re-checked since (testdata regenerated twice and
 #        code evolved — r02 rows are stale attestation);
 #   52 = rows-only by design (no oracle possible: LSH/IVF results are
