@@ -562,3 +562,78 @@ def calibrate_keep_threshold(
     return df.crossJoin(F.broadcast(thr)).filter(
         F.col(score_col) >= F.col("threshold")
     )
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus word-frequency table (word, n): the distributed half of
+    tokenizer training. One term-keyed shuffle with map-side combine;
+    output is vocabulary-sized, not corpus-sized."""
+    from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+
+    terms = explode_notnull(
+        df.select(text_col), F.split(normalize_text(text_col), " "), "word"
+    ).filter(F.col("word") != "")
+    out = terms.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return out.filter(F.col("n") >= min_count) if min_count > 1 else out
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_count: int = 1,
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus (tokenizer training,
+    Sennrich et al. 2016): the `n_merges` highest-count adjacent symbol
+    pairs, merged greedily in order.
+
+    The 100 TB shape is the standard BPE formulation: the CORPUS-scale
+    work is exactly one word-count aggregate (:func:`word_counts` —
+    vocabulary out, corpus in); the merge loop then runs over that
+    vocabulary-sized (word -> count) table on the driver, which is how
+    every production BPE trainer works (the loop's working set is the
+    vocabulary, not the corpus — growing data 100x grows counts, not the
+    table). Deterministic: ties break (count desc, pair lexicographic).
+
+    Returns (merge_rank, left, right, pair_count) — rank 0 first. The
+    end-of-word marker convention is `</w>` appended to each word's last
+    symbol, so merges distinguish word-final units.
+    """
+    vocab_rows = word_counts(df, text_col, min_count).collect()
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in vocab_rows:
+        syms = tuple(list(r["word"][:-1]) + [r["word"][-1] + "</w>"])
+        vocab[syms] = vocab.get(syms, 0) + int(r["n"])
+
+    merges = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((rank, left, right, cnt))
+        merged_sym = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

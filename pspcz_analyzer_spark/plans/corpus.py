@@ -739,3 +739,22 @@ def corpus_extend_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_index=idx, near_dup_threshold=0.2,
     )
     return spark.read.parquet(out).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "doc_bpe_merges",
+    oracle=None,  # iterative greedy merges are not SQL-expressible; the
+    # merge algebra is pinned by hand-case + determinism tests
+    # (test_corpusprep.py::TestBpeMerges)
+    tags=("pipeline", "tokenizer", "rows-only", "new-surface"),
+    priority=52,
+    doc="BPE merge-table training over the corpus (Sennrich-style): the "
+    "corpus-scale work is ONE word-count aggregate; the greedy merge loop "
+    "runs over the vocabulary-sized count table, as in every production "
+    "BPE trainer (operators/corpusprep.py::bpe_merges).",
+)
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=40).orderBy("merge_rank")

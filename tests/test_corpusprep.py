@@ -457,3 +457,44 @@ class TestCalibrateKeepThreshold:
         n_approx = calibrate_keep_threshold(df, "s", 0.25, exact=False).count()
         assert abs(n_exact - 1250) <= 2
         assert abs(n_approx - n_exact) <= 50  # sketch rank error is bounded
+
+
+class TestBpeMerges:
+    def _df(self, spark, words):
+        # One doc per word occurrence, so word_counts sees exact counts.
+        rows = [(i, w) for i, w in enumerate(words)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_case_merge_sequence_and_early_stop(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import bpe_merges
+
+        df = self._df(spark, ["aa"] * 3 + ["ab"] * 2)
+        rows = bpe_merges(df, n_merges=5).orderBy("merge_rank").collect()
+        got = [(r.merge_rank, r.left, r.right, r.pair_count) for r in rows]
+        # (a, a</w>) x3 first; then (a, b</w>) x2; then nothing mergeable.
+        assert got == [(0, "a", "a</w>", 3), (1, "a", "b</w>", 2)]
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import bpe_merges
+
+        df = self._df(spark, ["xy"] * 2 + ["xz"] * 2)
+        first = bpe_merges(df, n_merges=1).collect()[0]
+        assert (first.left, first.right) == ("x", "y</w>")
+
+    def test_merged_symbols_chain(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import bpe_merges
+
+        df = self._df(spark, ["abc"] * 4)
+        rows = bpe_merges(df, n_merges=3).orderBy("merge_rank").collect()
+        got = [(r.left, r.right) for r in rows]
+        # (a,b) ties (b,c</w>) at 4 -> lexicographic; then the merged unit
+        # chains with the word-final symbol.
+        assert got == [("a", "b"), ("ab", "c</w>")]
+
+    def test_deterministic_on_real_docs(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import bpe_merges
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = [tuple(r) for r in bpe_merges(docs, n_merges=20).orderBy("merge_rank").collect()]
+        b = [tuple(r) for r in bpe_merges(docs, n_merges=20).orderBy("merge_rank").collect()]
+        assert a == b and len(a) == 20
