@@ -637,3 +637,69 @@ def bpe_merges(
     return df.sparkSession.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a trained BPE merge table and count the
+    resulting units per doc — the apply half of :func:`bpe_merges`
+    (trained-tokenizer token accounting, vs the regex estimate of
+    `bpe_ish_token_count`).
+
+    Normalization and word-splitting stay JVM-side (codegen'd
+    `normalize_text` + split BEFORE the Python boundary); the Arrow batch
+    carries only word arrays. Inside the UDF the greedy rank-order merge
+    runs once per DISTINCT word per batch (memoized — natural corpora
+    repeat words heavily), so per-batch cost tracks batch vocabulary,
+    not token count. The merge table itself is vocab-sized and ships in
+    the closure.
+
+    Returns (id_col, n_words, n_bpe_units).
+    """
+    from pspcz_analyzer_spark.functions.text import normalize_text
+
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+
+    def n_units(word: str, _memo: dict = {}) -> int:
+        got = _memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word[:-1]) + [word[-1] + "</w>"]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                rk = ranks.get(pair)
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        _memo[word] = len(syms)
+        return len(syms)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counts = [
+                (sum(n_units(w) for w in words if w), sum(1 for w in words if w))
+                for words in pdf["__words"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": [c[1] for c in counts],
+                    "n_bpe_units": [c[0] for c in counts],
+                }
+            )
+
+    src = df.select(
+        id_col, F.split(normalize_text(text_col), " ").alias("__words")
+    )
+    return src.mapInPandas(
+        encode, schema=f"{id_col} long, n_words int, n_bpe_units int"
+    )

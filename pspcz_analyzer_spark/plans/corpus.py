@@ -758,3 +758,29 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merges(docs, n_merges=40).orderBy("merge_rank")
+
+
+@register(
+    "doc_bpe_encoded",
+    oracle=None,  # trained-tokenizer segmentation is not SQL-expressible;
+    # greedy rank-order semantics pinned in test_corpusprep.py::TestBpeEncode
+    tags=("pipeline", "tokenizer", "rows-only", "new-surface"),
+    priority=52,
+    doc="Train-then-encode: 40 BPE merges learned from the corpus, then "
+    "every doc encoded with them (JVM-side normalization/split, "
+    "Arrow-batched greedy merges memoized per distinct word) — trained "
+    "token accounting next to the regex estimate "
+    "(operators/corpusprep.py::bpe_encode_counts).",
+)
+def doc_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import (
+        bpe_encode_counts,
+        bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = [
+        (r.left, r.right)
+        for r in bpe_merges(docs, n_merges=40).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode_counts(docs, table).orderBy("doc_id")

@@ -498,3 +498,59 @@ class TestBpeMerges:
         a = [tuple(r) for r in bpe_merges(docs, n_merges=20).orderBy("merge_rank").collect()]
         b = [tuple(r) for r in bpe_merges(docs, n_merges=20).orderBy("merge_rank").collect()]
         assert a == b and len(a) == 20
+
+
+class TestBpeEncode:
+    def test_counts_shrink_with_more_merges(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            bpe_encode_counts,
+            bpe_merges,
+        )
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(["aa"] * 3 + ["ab"] * 2)],
+            "doc_id long, text string",
+        )
+        table = [
+            (r.left, r.right)
+            for r in bpe_merges(df, n_merges=5).orderBy("merge_rank").collect()
+        ]
+        # Full table: every word is one unit.
+        full = {r.doc_id: r for r in bpe_encode_counts(df, table).collect()}
+        assert all(r.n_bpe_units == 1 and r.n_words == 1 for r in full.values())
+        # Only the first merge ((a,a</w>)): "aa" -> 1 unit, "ab" -> 2.
+        part = {r.doc_id: r for r in bpe_encode_counts(df, table[:1]).collect()}
+        assert [part[i].n_bpe_units for i in range(5)] == [1, 1, 1, 2, 2]
+        # No merges: units == symbols (2 per 2-char word).
+        none = {r.doc_id: r for r in bpe_encode_counts(df, []).collect()}
+        assert all(r.n_bpe_units == 2 for r in none.values())
+
+    def test_greedy_respects_rank_order(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import bpe_encode_counts
+
+        # Word "abc": merges [(b,c</w>), (a,b)] — rank 0 wins at overlap:
+        # (b,c</w>) applies first -> [a, bc</w>], then (a,b) cannot apply
+        # -> 2 units. Rank order reversed would give [ab, c</w>] -> 2 too,
+        # but with [(a,b),(ab,c</w>)] the chain collapses to 1.
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        r1 = bpe_encode_counts(df, [("b", "c</w>"), ("a", "b")]).collect()[0]
+        assert r1.n_bpe_units == 2
+        r2 = bpe_encode_counts(df, [("a", "b"), ("ab", "c</w>")]).collect()[0]
+        assert r2.n_bpe_units == 1
+
+    def test_train_then_encode_real_docs(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            bpe_encode_counts,
+            bpe_merges,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        table = [
+            (r.left, r.right)
+            for r in bpe_merges(docs, n_merges=30).orderBy("merge_rank").collect()
+        ]
+        out = bpe_encode_counts(docs, table)
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        # Units always in [n_words, n_chars+n_words] and merges help.
+        assert all(r.n_bpe_units >= r.n_words for r in rows if r.n_words)
