@@ -38,6 +38,8 @@ class TestRegistry:
             "mp_pca_coords",
             "mp_pca_coords_distributed",  # same basis-sign rationale
             "doc_vocab_approx",  # HLL estimate is impl-defined
+            "doc_bpe_merges",  # iterative greedy merges: not SQL
+            "doc_bpe_encoded",  # trained-tokenizer segmentation: not SQL
         }, missing
 
 
