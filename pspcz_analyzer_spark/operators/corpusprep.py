@@ -703,3 +703,45 @@ def bpe_encode_counts(
     return src.mapInPandas(
         encode, schema=f"{id_col} long, n_words int, n_bpe_units int"
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows (context
+    chunking for retrieval/training: `window` tokens per chunk, advancing
+    `stride` tokens, so consecutive chunks overlap by window - stride).
+
+    Pure codegen'd projection + one Generate — no UDF, no shuffle: chunk
+    starts come from `sequence(0, n-1, stride)` and each chunk is an
+    `array_join(slice(tokens, ...))` over the per-row token array. Cost
+    is the scan plus output size (rows x ~window/stride duplication
+    factor); embarrassingly parallel over file splits at any scale.
+
+    Returns (id_col, chunk_id, start_tok, n_chunk_tokens, chunk_text);
+    every token lands in at least one chunk, the last chunk may be short.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    n = F.size(tokens)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.slice(tokens, s + 1, window).alias("toks"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.col("c.start_tok").alias("start_tok"),
+        F.size("c.toks").alias("n_chunk_tokens"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    )

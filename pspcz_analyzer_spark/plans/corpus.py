@@ -784,3 +784,40 @@ def doc_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_merges(docs, n_merges=40).orderBy("merge_rank").collect()
     ]
     return bpe_encode_counts(docs, table).orderBy("doc_id")
+
+
+@register(
+    "corpus_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - 1, 0) + 1, 16)) AS start_tok,
+             generate_subscripts(range(0, greatest(len(t) - 1, 0) + 1, 16), 1) - 1
+               AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(start_tok AS INTEGER) AS start_tok,
+           CAST(len(t[start_tok + 1 : start_tok + 24]) AS INTEGER)
+             AS n_chunk_tokens,
+           array_to_string(t[start_tok + 1 : start_tok + 24], ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("pipeline", "chunking", "new-surface"),
+    priority=18,
+    doc="Overlapping token-window chunking (24-token windows, stride 16, "
+    "8-token overlap): retrieval/training context splitting as a pure "
+    "codegen'd projection + one Generate — no UDF, no shuffle "
+    "(operators/corpusprep.py::chunk_token_windows).",
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import chunk_token_windows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_token_windows(docs, window=24, stride=16).orderBy(
+        "doc_id", "chunk_id"
+    )

@@ -554,3 +554,43 @@ class TestBpeEncode:
         assert len(rows) == docs.count()
         # Units always in [n_words, n_chars+n_words] and merges help.
         assert all(r.n_bpe_units >= r.n_words for r in rows if r.n_words)
+
+
+class TestChunkTokenWindows:
+    def test_hand_case_overlap_and_tail(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import chunk_token_windows
+
+        df = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6")], "doc_id long, text string"
+        )
+        rows = chunk_token_windows(df, window=4, stride=3).orderBy("chunk_id").collect()
+        got = [(r.chunk_id, r.start_tok, r.chunk_text) for r in rows]
+        assert got == [
+            (0, 0, "t0 t1 t2 t3"),
+            (1, 3, "t3 t4 t5 t6"),
+            (2, 6, "t6"),  # short tail chunk
+        ]
+        # Consecutive chunks overlap by window - stride tokens.
+        assert rows[0].chunk_text.split()[3] == rows[1].chunk_text.split()[0]
+
+    def test_every_token_covered_and_reconstructible(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import chunk_token_windows
+
+        text = " ".join(f"w{i}" for i in range(50))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_token_windows(df, window=8, stride=5).collect()
+        seen = set()
+        for r in rows:
+            toks = r.chunk_text.split()
+            assert len(toks) == r.n_chunk_tokens
+            for j, t in enumerate(toks):
+                assert t == f"w{r.start_tok + j}"  # offsets are exact
+                seen.add(r.start_tok + j)
+        assert seen == set(range(50))  # full coverage, no gaps
+
+    def test_single_token_doc_yields_one_chunk(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import chunk_token_windows
+
+        df = spark.createDataFrame([(1, "only")], "doc_id long, text string")
+        rows = chunk_token_windows(df, window=4, stride=3).collect()
+        assert len(rows) == 1 and rows[0].chunk_text == "only"
