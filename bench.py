@@ -65,6 +65,7 @@ HEADLINE = [
     "corpus_shuffle_order",
     "corpus_temperature_mix",
     "corpus_quality_calibrated",
+    "corpus_chunk_windows",
 ]
 
 
