@@ -422,3 +422,27 @@ def ivf_index_topk(
         .select(id_col, vec_col)
     )
     return brute_force_topk(vecs, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop corpus rows whose embedding is cosine-close to ANY eval/benchmark
+    vector — semantic decontamination, the embedding twin of the n-gram
+    `corpusprep.decontaminate` (catches paraphrases that share no 5-gram).
+
+    Eval sets are tiny at any corpus scale, so the eval side BROADCASTS
+    and the corpus is scanned once with a codegen'd per-pair cosine — an
+    exact-baseline theta anti-join costing |corpus| x |eval| dot products
+    with no shuffle. At eval sets beyond broadcast size, block first with
+    `lsh_bucket` and rescore candidates (the documented LSH scale path).
+    """
+    ev = evalset.select(F.col(vec_col).alias("__ev"))
+    close = cosine(
+        F.col(vec_col).cast("array<double>"), F.col("__ev").cast("array<double>")
+    ) >= F.lit(threshold)
+    return corpus.join(F.broadcast(ev), on=close, how="left_anti")

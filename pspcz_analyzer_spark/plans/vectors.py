@@ -421,3 +421,43 @@ def ann_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(spark, emb, idx, n_centroids=16)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ivf_index_topk(spark, idx, [float(x) for x in q], k=10, n_probe=16)
+
+
+@register(
+    "corpus_embedding_decontaminate",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 2000
+    ),
+    ev AS (SELECT e FROM sub WHERE vec_id % 101 = 0)
+    SELECT s.vec_id, s.label
+    FROM sub s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ev
+      WHERE list_dot_product(s.e, ev.e)
+            / (sqrt(list_dot_product(s.e, s.e))
+               * sqrt(list_dot_product(ev.e, ev.e))) >= 0.95
+    )
+    ORDER BY s.vec_id
+    """,
+    tags=("pipeline", "decontamination", "ann", "new-surface"),
+    priority=18,
+    doc="Embedding-space benchmark decontamination: drop corpus vectors "
+    "cosine >= 0.95 to ANY planted eval vector (every 101st id) — the "
+    "semantic twin of the n-gram decontamination, catching paraphrases "
+    "that share no shingle. Eval side broadcasts; the corpus scans once "
+    "with codegen'd dot products; LSH blocking is the documented path "
+    "beyond broadcast-size eval sets "
+    "(operators/ann.py::embedding_decontaminate).",
+)
+def corpus_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import embedding_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    ev = emb.filter(F.col("vec_id") % 101 == 0)
+    return (
+        embedding_decontaminate(emb, ev, threshold=0.95)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

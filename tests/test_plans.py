@@ -102,6 +102,8 @@ _NESTED_LOOP_OK = {
     "events_funnel",  # 1-row broadcast stage counts (3-row summary)
     "corpus_temperature_mix",  # 1-row broadcast weight total (rate table)
     "corpus_quality_calibrated",  # 1-row broadcast percentile threshold
+    "corpus_embedding_decontaminate",  # broadcast-eval theta anti-join
+    # (exact baseline; LSH blocking is the beyond-broadcast path)
 }
 
 

@@ -433,3 +433,36 @@ class TestIVFIndex:
         assert cell_of[999] == cell_of[3]
         top = ivf_index_topk(spark, idx, [float(x) for x in base], k=2, n_probe=4).collect()
         assert {r.vec_id for r in top} == {3, 999}
+
+
+class TestEmbeddingDecontaminate:
+    def test_drops_close_keeps_far_and_self(self, spark):
+        from pspcz_analyzer_spark.operators.ann import embedding_decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),       # identical to eval -> dropped
+                (2, [0.99, 0.14]),     # cosine ~0.990 -> dropped at 0.95
+                (3, [0.0, 1.0]),       # orthogonal -> kept
+                (4, [-1.0, 0.0]),      # opposite -> kept
+                (5, [0.5, 0.866]),     # cosine 0.5 -> kept
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        ev = spark.createDataFrame(
+            [(100, [2.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        kept = sorted(
+            r.vec_id
+            for r in embedding_decontaminate(corpus, ev, threshold=0.95).collect()
+        )
+        assert kept == [3, 4, 5]
+
+    def test_empty_eval_keeps_everything(self, spark):
+        from pspcz_analyzer_spark.operators.ann import embedding_decontaminate
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        ev = corpus.filter("vec_id < 0")
+        assert embedding_decontaminate(corpus, ev).count() == 2
