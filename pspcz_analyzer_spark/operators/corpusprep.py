@@ -388,10 +388,9 @@ def remove_boilerplate_lines(
     (~n^2/2^65) would merge two lines' counts; acceptable for a frequency
     filter (and the unit tests pin exact parity on real linefuls).
 
-    Reference behavior: the corpus-cleaning stage the reference applies
-    before enrichment (services/llm/corpus.py strips repeated headers per
-    source); generalized here to the cross-document frequency rule of
-    C4 (Raffel et al. 2020, §2.2 "three-sentence" / repeated-line rules).
+    Beyond-reference surface (an LLM-pipeline extra, not a port): the
+    rule is the cross-document line-frequency filter of C4 (Raffel et
+    al. 2020, §2.2 repeated-line / boilerplate rules).
     """
     if line_splitter is None:
         line_splitter = F.split(F.col(text_col), "\n")
