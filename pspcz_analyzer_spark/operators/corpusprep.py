@@ -744,3 +744,55 @@ def chunk_token_windows(
         F.size("c.toks").alias("n_chunk_tokens"),
         F.array_join("c.toks", " ").alias("chunk_text"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-probability under a unigram LM
+    trained on the corpus itself — the language-model quality filter
+    (CCNet-style perplexity bucketing, here with the simplest LM that
+    needs no external model): outlier/spam docs use improbable words and
+    score HIGH; fluent in-distribution docs score LOW.
+
+    Add-k smoothing over the corpus vocabulary:
+      p(w) = (c(w) + k) / (T + k * (V + 1)),  unseen w -> k / (T + k(V+1))
+
+    Plan: one word-count aggregate (vocabulary out), a one-row (T, V)
+    scalar broadcast, then the doc-word explode LEFT-joins the count
+    table — word-keyed, map-side combined; after min-count pruning the
+    vocabulary usually broadcasts, and AQE picks that automatically.
+    One shuffle on doc id for the final mean. Zero-word docs drop (no
+    tokens to score).
+
+    Returns (id_col, n_words, avg_neg_logp) rounded to 6 dp.
+    """
+    from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+
+    wc = word_counts(df.select(text_col), text_col)
+    stats = wc.agg(
+        F.sum("n").alias("__t"), F.count(F.lit(1)).alias("__v")
+    )
+    doc_words = explode_notnull(
+        df.select(id_col, text_col),
+        F.split(normalize_text(text_col), " "),
+        "word",
+        keep=(id_col,),
+    ).filter(F.col("word") != "")
+    k = F.lit(float(smoothing))
+    p = (F.coalesce(F.col("n"), F.lit(0)) + k) / (
+        F.col("__t") + k * (F.col("__v") + 1)
+    )
+    return (
+        doc_words.join(wc, "word", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logp"),
+        )
+    )

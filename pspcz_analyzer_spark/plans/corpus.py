@@ -821,3 +821,35 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_token_windows(docs, window=24, stride=16).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_NORM.format(c="text")}, ' ')) AS w
+      FROM documents
+    ),
+    dw AS (SELECT doc_id, w FROM words WHERE w != ''),
+    wc AS (SELECT w AS word, count(*) AS n FROM dw GROUP BY w),
+    tot AS (SELECT sum(n) AS t, count(*) AS v FROM wc)
+    SELECT dw.doc_id,
+           CAST(count(*) AS INTEGER) AS n_words,
+           round(avg(-ln((COALESCE(wc.n, 0) + 0.5)
+                         / (tot.t + 0.5 * (tot.v + 1)))), 6) AS avg_neg_logp
+    FROM dw LEFT JOIN wc ON dw.w = wc.word, tot
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """,
+    tags=("pipeline", "quality", "lm", "new-surface"),
+    priority=18,
+    doc="Unigram-LM perplexity quality scores (CCNet-style bucketing "
+    "signal, self-trained — no external model): one vocab aggregate, a "
+    "one-row (T, V) broadcast, a word-keyed left join, one doc-keyed "
+    "mean (operators/corpusprep.py::unigram_logprob_scores).",
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob_scores(docs).orderBy("doc_id")

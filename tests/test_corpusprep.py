@@ -594,3 +594,46 @@ class TestChunkTokenWindows:
         df = spark.createDataFrame([(1, "only")], "doc_id long, text string")
         rows = chunk_token_windows(df, window=4, stride=3).collect()
         assert len(rows) == 1 and rows[0].chunk_text == "only"
+
+
+class TestUnigramLogprob:
+    def test_hand_probabilities(self, spark):
+        import math
+
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            unigram_logprob_scores,
+        )
+
+        # Corpus: "a a b" and "a c". Counts: a=3, b=1, c=1; T=5, V=3.
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+        denom = 5 + 0.5 * 4
+        pa, pb, pc = (3 + 0.5) / denom, (1 + 0.5) / denom, (1 + 0.5) / denom
+        want1 = -(2 * math.log(pa) + math.log(pb)) / 3
+        want2 = -(math.log(pa) + math.log(pc)) / 2
+        assert out[1].n_words == 3 and abs(out[1].avg_neg_logp - want1) < 1e-6
+        assert out[2].n_words == 2 and abs(out[2].avg_neg_logp - want2) < 1e-6
+
+    def test_outlier_docs_score_higher(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            unigram_logprob_scores,
+        )
+
+        common = [(i, "the cat sat on the mat") for i in range(20)]
+        rare = [(100, "zyx wvu tsr qpo nml kji")]
+        df = spark.createDataFrame(common + rare, "doc_id long, text string")
+        out = {r.doc_id: r.avg_neg_logp for r in unigram_logprob_scores(df).collect()}
+        assert out[100] > out[0]  # improbable words -> higher neg-logp
+
+    def test_zero_word_docs_drop(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            unigram_logprob_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "")], "doc_id long, text string"
+        )
+        out = unigram_logprob_scores(df).collect()
+        assert [r.doc_id for r in out] == [1]
