@@ -104,6 +104,7 @@ _NESTED_LOOP_OK = {
     "corpus_quality_calibrated",  # 1-row broadcast percentile threshold
     "corpus_embedding_decontaminate",  # broadcast-eval theta anti-join
     # (exact baseline; LSH blocking is the beyond-broadcast path)
+    "doc_lm_perplexity",  # 1-row broadcast corpus stats (T, V)
 }
 
 
