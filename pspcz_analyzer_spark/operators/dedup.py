@@ -1,6 +1,6 @@
 """Deduplication operators for large text corpora.
 
-Four tiers, cheapest to most robust, all expressed as DataFrame plans:
+Five tiers, cheapest to most robust, all expressed as DataFrame plans:
 
   exact_dedup          hash-groupBy on a content fingerprint (one shuffle)
   ngram_jaccard_pairs  token/shingle Jaccard via explode + self-join on the
@@ -11,6 +11,10 @@ Four tiers, cheapest to most robust, all expressed as DataFrame plans:
                        (pair cost ~ duplicates, not n^2)
   simhash              64-bit SimHash fingerprint per doc; near-dups share
                        fingerprints at small Hamming distance
+  semantic_dedup       SemDeDup: k-means cells over an embedding column,
+                       near-dups pruned within cells — catches paraphrases
+                       no surface-form tier sees; O(n) with cell count
+                       grown alongside the corpus
 
 Determinism: every hash is Spark's xxhash64/crc32 with fixed seeds — stable
 across runs and partitionings, so signatures are reproducible (required for
@@ -330,4 +334,92 @@ def simhash_pairs(
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    cluster_col: str | None = None,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster only, so pairwise cost is
+    sum(|cluster|^2) instead of n^2 — grow ``n_clusters`` with the corpus
+    (constant expected cluster size) and total work is O(n), which is the
+    paper's point and the 100 TB path. The fifth dedup tier: catches
+    paraphrase-level duplicates that shingle/MinHash/SimHash (surface-form
+    tiers) cannot see, at the price of needing an embedding column.
+
+    A document is REMOVED when a same-cluster neighbour with a smaller id
+    has cosine >= threshold (deterministic min-id survivor — a greedy
+    simplification of the paper's keep-farthest-from-centroid rule that
+    makes the result content-determined and, given a deterministic
+    clustering, oracle-checkable). Returns one row per removed document:
+    (id_col, cluster, dup_of = smallest qualifying neighbour id,
+    max_sim = highest qualifying cosine, rounded to 6).
+
+    Plan shape: one assignment pass, then a single equi-join keyed on the
+    cluster id — one shuffle of (id, vector, cluster) tuples, hash/merge
+    join, the id inequality and cosine threshold evaluated inside it; no
+    cross-cluster pair ever materialises. The per-cluster pair blow-up is
+    the quantity ``n_clusters`` controls; a skewed (mega-)cluster is the
+    same hazard as a hot join key and the same ``hot_keys`` probe applies.
+
+    With ``cluster_col`` given, that column IS the partitioning
+    (deterministic; the oracle-paired anchor). Otherwise k-means fits
+    ``n_clusters`` cells exactly like the IVF index build
+    (``operators/ann.py::build_ivf_index``) — model-defined boundaries,
+    hence rows-only attestation for that variant.
+    """
+    from pspcz_analyzer_spark.operators.ann import cosine
+
+    if cluster_col is None and n_clusters <= 1:
+        # Degenerate single cell == exact global dedup (no model to fit;
+        # Spark ML's KMeans requires k >= 2 anyway). Only for small-n
+        # baselines — this is the n^2 path.
+        assigned = df.select(id_col, vec_col, F.lit(0).alias("cluster"))
+    elif cluster_col is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.select(
+            id_col,
+            vec_col,
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"),
+        )
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="__fv", predictionCol="__cell"
+        ).fit(feat)
+        assigned = model.transform(feat).select(
+            id_col, vec_col, F.col("__cell").cast("int").alias("cluster")
+        )
+    else:
+        assigned = df.select(
+            id_col, vec_col, F.col(cluster_col).cast("int").alias("cluster")
+        )
+
+    x = assigned.select(
+        F.col(id_col).alias("__xid"), F.col(vec_col).alias("__xv"), "cluster"
+    )
+    y = assigned.select(
+        F.col(id_col).alias("__yid"), F.col(vec_col).alias("__yv"), "cluster"
+    )
+    sim = cosine(
+        F.col("__xv").cast("array<double>"), F.col("__yv").cast("array<double>")
+    )
+    return (
+        x.join(y, "cluster")
+        .filter(F.col("__yid") < F.col("__xid"))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= F.lit(threshold))
+        .groupBy(F.col("__xid").alias(id_col), "cluster")
+        .agg(
+            F.min("__yid").alias("dup_of"),
+            F.round(F.max("__sim"), 6).alias("max_sim"),
+        )
     )

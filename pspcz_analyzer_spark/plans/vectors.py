@@ -461,3 +461,57 @@ def corpus_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "semantic_dedup_by_label",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id, a.label AS cluster, MIN(b.vec_id) AS dup_of,
+           round(MAX(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e)))), 6) AS max_sim
+    FROM sub a JOIN sub b
+      ON a.label = b.label AND b.vec_id < a.vec_id
+     AND list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    GROUP BY a.vec_id, a.label
+    ORDER BY a.vec_id
+    """,
+    tags=("pipeline", "dedup-embedding", "semdedup", "new-surface"),
+    priority=18,
+    doc="SemDeDup (cluster-then-prune semantic dedup, arXiv:2303.09540) "
+    "with the deterministic `label` column as the clustering — the "
+    "oracle-paired anchor proving the within-cluster min-id pruning rule "
+    "exactly: removed docs, their surviving dup_of partner, and the max "
+    "qualifying cosine all hash-match a brute-force SQL twin. The "
+    "k-means production path (semantic_dedup_kmeans) reuses this exact "
+    "pruning machinery with model-defined cells.",
+)
+def semantic_dedup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, cluster_col="label", threshold=0.3).orderBy("vec_id")
+
+
+@register(
+    "semantic_dedup_kmeans",
+    oracle=None,  # k-means cell boundaries are model-defined; rows-only.
+    # Anchored by semantic_dedup_by_label (same pruning machinery,
+    # deterministic clustering) + soundness/recall tests in test_dedup.py.
+    tags=("pipeline", "dedup-embedding", "semdedup", "scale-path"),
+    priority=52,
+    doc="SemDeDup production path: 16 k-means cells (seeded, same builder "
+    "as the IVF index), near-duplicates pruned within cells only — "
+    "sum(|cell|^2) pair cost, one cluster-keyed shuffle; grow the cell "
+    "count with the corpus for O(n) total work at 100 TB.",
+)
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=16, threshold=0.3).orderBy("vec_id")

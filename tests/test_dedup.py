@@ -118,3 +118,86 @@ class TestSimHash:
         }
         assert pairs[(1, 2)] == 0
         assert pairs.get((1, 4), 99) <= 10  # near-dup within radius
+
+
+class TestSemanticDedup:
+    """SemDeDup: cluster-then-prune. The by-label variant is oracle-paired
+    in the gate; here the k-means path proves soundness (every removal is
+    a real near-dup) and the degenerate single-cluster case recovers the
+    exact global removal set."""
+
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        # Three tight blobs + planted near-identical pairs inside each.
+        centers = rng.normal(size=(3, 8)) * 5
+        rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(6):
+                rows.append((vid, (c + rng.normal(size=8) * 0.05).tolist()))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return df, rows
+
+    @staticmethod
+    def _exact_removed(rows, threshold):
+        import numpy as np
+
+        ids = [r[0] for r in rows]
+        mat = np.array([r[1] for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        removed = {}
+        for i, xid in enumerate(ids):
+            dups = [
+                ids[j]
+                for j in range(len(ids))
+                if ids[j] < xid and sims[i, j] >= threshold
+            ]
+            if dups:
+                removed[xid] = min(dups)
+        return removed
+
+    def test_single_cluster_matches_brute_force(self, vectors):
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+        df, rows = vectors
+        got = {
+            r["vec_id"]: r["dup_of"]
+            for r in semantic_dedup(df, threshold=0.9, n_clusters=1).collect()
+        }
+        assert got == self._exact_removed(rows, 0.9)
+
+    def test_kmeans_path_sound_and_deterministic(self, vectors):
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+        df, rows = vectors
+        vec = {r[0]: np.array(r[1]) for r in rows}
+        out1 = semantic_dedup(df, threshold=0.9, n_clusters=3).collect()
+        out2 = semantic_dedup(df, threshold=0.9, n_clusters=3).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        assert out1, "blobs contain near-dups; removal set must be non-empty"
+        for r in out1:
+            assert r["dup_of"] < r["vec_id"]
+            a, b = vec[r["vec_id"]], vec[r["dup_of"]]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos >= 0.9 - 1e-9
+            assert abs(r["max_sim"] - cos) < 1e-3 or r["max_sim"] >= cos - 1e-9
+
+    def test_kmeans_recall_on_tight_blobs(self, vectors):
+        """With clusters at least as fine as the blobs, every exact
+        removal inside a blob is recovered (cells can only split blobs,
+        and these blobs are tight enough that k=3 keeps each whole)."""
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+        df, rows = vectors
+        got = {
+            r["vec_id"]: r["dup_of"]
+            for r in semantic_dedup(df, threshold=0.9, n_clusters=3).collect()
+        }
+        assert got == self._exact_removed(rows, 0.9)
