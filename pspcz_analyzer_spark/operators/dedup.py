@@ -423,3 +423,153 @@ def semantic_dedup(
             F.round(F.max("__sim"), 6).alias("max_sim"),
         )
     )
+
+
+def _window_hashes(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(id, start, whash) for every ``window``-token sliding window of the
+    normalized text (stride 1, 1-based start). Docs shorter than the window
+    emit nothing. One row per token position — the shuffled payload is a
+    (long, int, long) triple regardless of window width, so cost tracks
+    token count, never token count x window."""
+    toks = F.split(normalize_text(text_col), " ")
+    proj = _spread(
+        df.select(F.col(id_col), toks.alias("__t")), scan_shaped=True
+    )
+    # Same zipped-slices formulation as _shingle_arrays (see its docstring:
+    # per-element `slice` inside the lambda is quadratic per doc, and
+    # CollapseProject re-inlines the tokenizer per element) — except the
+    # final slice length floors at 0, so sub-window docs emit NO window
+    # rather than one partial shingle.
+    shifted = ", ".join(
+        f"slice(__t, {k + 1}, greatest(size(__t) - {k}, 0))"
+        for k in range(window)
+    )
+    zipped = (
+        f"slice(arrays_zip({shifted}), 1, greatest(size(__t) - {window - 1}, 0))"
+    )
+    fields = ", ".join(f"s['{k}']" for k in range(window))
+    win_expr = f"transform({zipped}, s -> xxhash64(concat_ws(' ', {fields})))"
+    wins = proj.select(F.col(id_col), F.expr(win_expr).alias("__wins"))
+    return posexplode_notnull(
+        wins, "__wins", "__pos0", "whash", keep=(id_col,)
+    ).select(id_col, (F.col("__pos0") + 1).alias("start"), "whash")
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span statistics — the ExactSubstr signal
+    of Lee et al. 2022 (arXiv:2107.06499: verbatim token runs repeated
+    across training documents), re-expressed as DataFrame plans instead of
+    a suffix array: every ``window``-token sliding window is hashed
+    (xxhash64, deterministic), a window is a duplicate when it occurs in
+    at least ``min_docs`` DISTINCT documents, and each long verbatim
+    overlap shows up as a run of consecutive duplicated windows. Internal
+    (within-doc) repetition is deliberately excluded — that is
+    ``corpusprep.dup_ngram_stats``'s job.
+
+    Returns one row per document with >= 1 window: (id, n_windows,
+    n_dup_windows, dup_frac).
+
+    Scale shape: the window stream is one row per token position (fixed
+    12-byte payload); finding duplicated hashes is ONE hash-keyed shuffle
+    with partial aggregation, and the flag-back is a hash equi-join of the
+    window stream against the (typically tiny) duplicated-hash set. The
+    window stream feeds two consumers (the dup-hash aggregate and the
+    probe side) — at corpus scale persist or checkpoint it once instead of
+    recomputing the scan, exactly like the letters side of the amendments
+    merge (plans/documents.py).
+    """
+    wins = _window_hashes(df, text_col, id_col, window)
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("whash")
+    )
+    per_doc = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_per_doc = (
+        wins.join(dup_hashes, "whash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_dup"))
+    )
+    return (
+        per_doc.join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("__n_dup"), F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.coalesce(F.col("__n_dup"), F.lit(0).cast("long"))
+                / F.col("n_windows"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Drop every token covered by a cross-document duplicated window —
+    the removal half of ExactSubstr dedup (Lee et al. 2022): boilerplate
+    headers, license blocks, and syndicated passages vanish from every
+    copy while each document's unique prose survives.
+
+    Returns (id, text_clean, n_tokens_removed). Docs shorter than the
+    window pass through unchanged.
+
+    Plan: duplicated window STARTS per doc come from the same hash-keyed
+    machinery as :func:`duplicate_span_stats`, collected per doc into an
+    array (bounded by windows-per-doc, not corpus size); the covered-token
+    mask is a codegen'd higher-order ``filter`` with the element index —
+    token j survives unless some start s covers it (s <= j < s+window).
+    Per-doc cost is tokens x dup-spans, zero Python.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    wins = _window_hashes(df, text_col, id_col, window)
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("whash")
+    )
+    starts = (
+        wins.join(dup_hashes, "whash")
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("__starts"))
+    )
+    joined = base.join(starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("__t"),
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")).alias(
+            "__starts"
+        ),
+    )
+    # Token index j (0-based) is covered iff some 1-based start s satisfies
+    # s <= j+1 <= s+window-1.
+    kept = F.filter(
+        "__t",
+        lambda x, j: ~F.exists(
+            "__starts",
+            lambda s: (s <= j + 1) & (j + 1 <= s + F.lit(window) - 1),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -853,3 +853,49 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_logprob_scores(docs).orderBy("doc_id")
+
+
+@register(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+9], ' ')
+                     for i in range(1, greatest(len(t) - 8, 1))]) AS w
+      FROM toks WHERE len(t) >= 10
+    ),
+    dup AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+    dupper AS (
+      SELECT doc_id, count(*) AS n_dup_windows
+      FROM wins JOIN dup USING (w) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_windows,
+           COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+           round(COALESCE(d.n_dup_windows, 0) / p.n_windows, 6) AS dup_frac
+    FROM per p LEFT JOIN dupper d USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    tags=("pipeline", "dedup-spans", "new-surface"),
+    priority=18,
+    doc="Cross-document duplicated-span statistics — the ExactSubstr "
+    "signal of Lee et al. 2022 (arXiv:2107.06499) as DataFrame plans "
+    "instead of a suffix array: every 10-token sliding window hashed "
+    "(xxhash64; the oracle compares the window STRINGS, proving the "
+    "hash path loses nothing), duplicated = present in >= 2 distinct "
+    "docs. One hash-keyed shuffle + one equi-join against the small "
+    "duplicated-hash set; removal twin remove_duplicate_spans is "
+    "brute-force-tested in test_dedup.py "
+    "(operators/dedup.py::duplicate_span_stats).",
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_span_stats(docs, window=10, min_docs=2).orderBy("doc_id")

@@ -201,3 +201,67 @@ class TestSemanticDedup:
             for r in semantic_dedup(df, threshold=0.9, n_clusters=3).collect()
         }
         assert got == self._exact_removed(rows, 0.9)
+
+
+class TestDuplicateSpans:
+    """ExactSubstr-style cross-doc duplicated windows: stats are
+    oracle-paired in the gate (doc_duplicate_spans); here the removal twin
+    is checked against a brute-force Python recompute."""
+
+    @pytest.fixture(scope="class")
+    def span_corpus(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        rows = [
+            (1, f"one unique opening here {shared} and a private tail one"),
+            (2, f"two other prefix words {shared} closing differently two"),
+            (3, "three entirely distinct tokens nothing shared at all "
+                "three more filler words to pass the window length three"),
+            (4, "short doc"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _brute(rows, window, min_docs):
+        from collections import defaultdict
+
+        toks = {i: t.lower().split() for i, t in rows}
+        occ = defaultdict(set)
+        for i, t in toks.items():
+            for s in range(len(t) - window + 1):
+                occ[" ".join(t[s : s + window])].add(i)
+        dup = {w for w, docs in occ.items() if len(docs) >= min_docs}
+        out = {}
+        for i, t in toks.items():
+            covered = set()
+            for s in range(len(t) - window + 1):
+                if " ".join(t[s : s + window]) in dup:
+                    covered.update(range(s, s + window))
+            kept = [tok for j, tok in enumerate(t) if j not in covered]
+            out[i] = (" ".join(kept), len(t) - len(kept))
+        return out
+
+    def test_removal_matches_brute_force(self, span_corpus):
+        from pspcz_analyzer_spark.operators.dedup import remove_duplicate_spans
+
+        rows = [(r["doc_id"], r["text"]) for r in span_corpus.collect()]
+        expect = self._brute(rows, window=4, min_docs=2)
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+            for r in remove_duplicate_spans(span_corpus, window=4).collect()
+        }
+        assert got == expect
+        # The shared run must actually vanish from both carriers.
+        assert "gamma" not in got[1][0] and "gamma" not in got[2][0]
+        assert got[3] == (rows[2][1].lower(), 0)  # untouched unique doc
+        assert got[4][1] == 0  # sub-window doc passes through
+
+    def test_stats_flag_only_cross_doc(self, span_corpus):
+        from pspcz_analyzer_spark.operators.dedup import duplicate_span_stats
+
+        stats = {
+            r["doc_id"]: r["n_dup_windows"]
+            for r in duplicate_span_stats(span_corpus, window=4).collect()
+        }
+        assert stats[1] > 0 and stats[2] > 0
+        assert stats[3] == 0
+        assert 4 not in stats  # shorter than the window: no window rows
