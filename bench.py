@@ -66,6 +66,9 @@ HEADLINE = [
     "corpus_temperature_mix",
     "corpus_quality_calibrated",
     "corpus_chunk_windows",
+    "doc_lm_perplexity",
+    "semantic_dedup_kmeans",
+    "doc_duplicate_spans",
 ]
 
 

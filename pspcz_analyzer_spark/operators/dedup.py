@@ -345,6 +345,7 @@ def semantic_dedup(
     cluster_col: str | None = None,
     n_clusters: int = 16,
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -392,9 +393,17 @@ def semantic_dedup(
             vec_col,
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"),
         )
+        # Fit on a sample at corpus scale (same knob as the IVF build:
+        # k-means cost is O(sample * k * iters), removed from the scan
+        # path); assignment below is still one full pass.
+        train = (
+            feat
+            if train_fraction >= 1.0
+            else feat.sample(train_fraction, seed=seed)
+        )
         model = KMeans(
             k=n_clusters, seed=seed, featuresCol="__fv", predictionCol="__cell"
-        ).fit(feat)
+        ).fit(train)
         assigned = model.transform(feat).select(
             id_col, vec_col, F.col("__cell").cast("int").alias("cluster")
         )
