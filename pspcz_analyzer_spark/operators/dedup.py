@@ -582,3 +582,83 @@ def remove_duplicate_spans(
         F.concat_ws(" ", kept).alias("text_clean"),
         (F.size("__t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def semantic_dedup_extend(
+    spark,
+    new_vecs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.35,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup: survivors of a NEW batch against ALL indexed
+    history — the embedding twin of the MinHash sidecar
+    (``pipeline.py::extend_near_dup``): history lives as the persisted
+    cell-partitioned IVF layout (``operators/ann.py::build_ivf_index``),
+    so each ingestion batch compares against |cell| history vectors per
+    probe instead of the whole archive, and the archive is never
+    re-shuffled.
+
+    Each new vector is assigned its ``n_probe`` nearest stored centroids
+    (euclidean argmin over a broadcast of n_centroids rows — the metric
+    k-means trained with, see ``extend_ivf_index``), then compared
+    against history in those cells only via a cell equi-join; a new
+    vector with ANY history cosine >= threshold is dropped. With
+    ``n_probe = n_centroids`` the comparison is exhaustive and the
+    result is EXACTLY the brute-force anti-join (the oracle anchor,
+    same anchoring move as ``ann_ivf_exhaustive_top10``); ``n_probe=1``
+    is the production path — boundary-straddling near-dups can escape a
+    single probe, the standard IVF recall trade.
+
+    Returns surviving ``new_vecs`` rows (full width). Append survivors
+    to the index with ``extend_ivf_index`` to complete the ingestion
+    step; batch-internal duplicates are :func:`semantic_dedup`'s job
+    before or after this call.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from pspcz_analyzer_spark.operators.ann import cosine
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probed = (
+        new_vecs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("__rk") <= n_probe)
+        .select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"), "cell")
+    )
+    hist = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+        F.col(vec_col).alias("__hv"), "cell"
+    )
+    dup_ids = (
+        probed.join(hist, "cell")
+        .filter(
+            cosine(
+                F.col("__nv").cast("array<double>"),
+                F.col("__hv").cast("array<double>"),
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    return new_vecs.join(dup_ids, id_col, "left_anti")

@@ -515,3 +515,61 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, n_clusters=16, threshold=0.3).orderBy("vec_id")
+
+
+@register(
+    "corpus_extend_semantic",
+    oracle="""
+    WITH hist AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 400
+    ),
+    batch AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 400
+    )
+    SELECT b.vec_id, b.label
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM hist h
+      WHERE list_dot_product(b.e, h.e)
+            / (sqrt(list_dot_product(b.e, b.e))
+               * sqrt(list_dot_product(h.e, h.e))) >= 0.35
+    )
+    ORDER BY b.vec_id
+    """,
+    tags=("pipeline", "dedup-embedding", "semdedup", "incremental", "new-surface"),
+    priority=18,
+    doc="Incremental SemDeDup ingestion: history persisted as the "
+    "cell-partitioned IVF layout, a new batch assigned to cells and "
+    "compared against same-cell history only "
+    "(operators/dedup.py::semantic_dedup_extend) — the embedding twin "
+    "of the MinHash sidecar (corpus_extend_near_dup). Probed "
+    "exhaustively here (n_probe = n_centroids), so the survivors must "
+    "equal the brute-force anti-join the oracle computes — anchoring "
+    "the index round-trip + cell comparison machinery; the n_probe=1 "
+    "production path's recall is asserted in test_dedup.py.",
+)
+def corpus_extend_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from pspcz_analyzer_spark.operators.ann import build_ivf_index
+    from pspcz_analyzer_spark.operators.dedup import semantic_dedup_extend
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_semext_idx")
+    if os.path.exists(idx):
+        _shutil.rmtree(idx)
+    build_ivf_index(spark, hist, idx, n_centroids=8)
+    return (
+        semantic_dedup_extend(
+            spark, batch, idx, threshold=0.35, n_probe=8
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

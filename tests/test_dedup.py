@@ -265,3 +265,85 @@ class TestDuplicateSpans:
         assert stats[1] > 0 and stats[2] > 0
         assert stats[3] == 0
         assert 4 not in stats  # shorter than the window: no window rows
+
+
+class TestSemanticDedupExtend:
+    """Incremental SemDeDup vs a stored IVF index: exhaustive probing is
+    oracle-anchored in the gate (corpus_extend_semantic); here the
+    n_probe=1 production path must still catch near-dups that sit firmly
+    inside a cell (tight blobs: each batch copy lands in its history
+    twin's cell)."""
+
+    def test_single_probe_catches_in_cell_dups(self, spark, tmp_path):
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.ann import build_ivf_index
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup_extend
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(3, 8)) * 10
+        hist_rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(8):
+                hist_rows.append((vid, (c + rng.normal(size=8) * 0.05).tolist()))
+                vid += 1
+        hist = spark.createDataFrame(
+            hist_rows, "vec_id long, embedding array<double>"
+        )
+        idx = str(tmp_path / "semext_idx")
+        build_ivf_index(spark, hist, idx, n_centroids=3)
+
+        # Batch: near-copies of history vectors 0/8/16 (one per blob) plus
+        # three novel far-away vectors.
+        copies = [
+            (1000 + i, (np.array(hist_rows[i * 8][1]) + 0.01).tolist())
+            for i in range(3)
+        ]
+        novel = [
+            (2000 + i, (rng.normal(size=8) * 10 + 100 * (i + 1)).tolist())
+            for i in range(3)
+        ]
+        batch = spark.createDataFrame(
+            copies + novel, "vec_id long, embedding array<double>"
+        )
+        kept = {
+            r["vec_id"]
+            for r in semantic_dedup_extend(
+                spark, batch, idx, threshold=0.9, n_probe=1
+            ).collect()
+        }
+        assert kept == {2000, 2001, 2002}
+
+    def test_exhaustive_equals_single_probe_here(self, spark, tmp_path):
+        """With well-separated blobs the single-probe result already equals
+        the exhaustive one (no boundary straddlers in this fixture)."""
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.ann import build_ivf_index
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup_extend
+
+        rng = np.random.default_rng(13)
+        hist = spark.createDataFrame(
+            [(i, (rng.normal(size=8) + (i % 2) * 50).tolist()) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        )
+        idx = str(tmp_path / "semext_idx2")
+        build_ivf_index(spark, hist, idx, n_centroids=2)
+        batch = spark.createDataFrame(
+            [(100 + i, (rng.normal(size=8) + (i % 2) * 50).tolist()) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        )
+        one = {
+            r["vec_id"]
+            for r in semantic_dedup_extend(
+                spark, batch, idx, threshold=0.95, n_probe=1
+            ).collect()
+        }
+        full = {
+            r["vec_id"]
+            for r in semantic_dedup_extend(
+                spark, batch, idx, threshold=0.95, n_probe=2
+            ).collect()
+        }
+        assert one == full
