@@ -8,7 +8,9 @@ transforms (lazy plans in, lazy plans out — no collect inside operators):
     voting       the reference's analysis semantics (void anti-join, party
                  majority, loyalty, attendance, breakdowns)
     similarity   sparse cosine pairs, Gram-trick PCA (M1-M3)
-    dedup        exact, n-gram Jaccard, MinHash-LSH, SimHash near-dup
+    dedup        exact, n-gram Jaccard, MinHash-LSH, SimHash, SemDeDup
+                 (batch + incremental-vs-index), duplicated-span
+                 detection/removal
     ann          embedding similarity search (brute-force + LSH-bucketed)
     textual      language-ID, quality scoring, token counts, fingerprints
     multimodal   binary columns: sniffing, mapInPandas decode/frame stages
