@@ -899,3 +899,55 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return duplicate_span_stats(docs, window=10, min_docs=2).orderBy("doc_id")
+
+
+@register(
+    "doc_duplicate_spans_removed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest([{{'i': i, 'w': array_to_string(t[i:i+9], ' ')}}
+                     for i in range(1, greatest(len(t) - 8, 1))],
+                    recursive := true)
+      FROM toks WHERE len(t) >= 10
+    ),
+    dup AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+    ),
+    starts AS (
+      SELECT doc_id, list(i) AS ss FROM wins JOIN dup USING (w)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(array_to_string(
+             [t.t[j] for j in range(1, len(t.t) + 1)
+              if len(list_filter(COALESCE(s.ss, []),
+                                 x -> x <= j AND j <= x + 9)) = 0],
+             ' '), '') AS text_clean,
+           CAST(len(t.t)
+                - len([t.t[j] for j in range(1, len(t.t) + 1)
+                       if len(list_filter(COALESCE(s.ss, []),
+                                          x -> x <= j AND j <= x + 9)) = 0])
+                AS BIGINT) AS n_tokens_removed
+    FROM toks t LEFT JOIN starts s USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("pipeline", "dedup-spans", "new-surface"),
+    priority=18,
+    doc="The removal half of ExactSubstr dedup, oracle-paired end to end: "
+    "every token covered by a cross-document duplicated 10-token window "
+    "is dropped and the CLEANED TEXT itself is hash-compared against an "
+    "independent SQL reconstruction (per-token coverage masks in both "
+    "engines) — stronger than the stats check, because it pins the exact "
+    "window starts, not just their counts "
+    "(operators/dedup.py::remove_duplicate_spans).",
+)
+def doc_duplicate_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, window=10, min_docs=2).orderBy("doc_id")
