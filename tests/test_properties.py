@@ -317,3 +317,63 @@ class TestShuffleOrderProperties:
                 for r in sorted(rows, key=lambda r: (r.shuffle_key, r.doc_id))
             ]
             assert shard_major == key_sort, (trial, seed, shards)
+
+
+class TestDuplicateSpanProperties:
+    """duplicate_span_stats / remove_duplicate_spans vs brute force over
+    generated corpora: any docs, any window — same dup counts, same
+    cleaned text. A tiny vocabulary makes window collisions frequent, so
+    the dup machinery is exercised hard, not vacuously."""
+
+    @staticmethod
+    def _brute(docs, window, min_docs):
+        from collections import defaultdict
+
+        toks = {i: t.split() for i, t in docs}
+        occ = defaultdict(set)
+        for i, t in toks.items():
+            for s in range(len(t) - window + 1):
+                occ[" ".join(t[s : s + window])].add(i)
+        dup = {w for w, ids in occ.items() if len(ids) >= min_docs}
+        stats, removed = {}, {}
+        for i, t in toks.items():
+            n_wins = max(len(t) - window + 1, 0)
+            covered = set()
+            n_dup = 0
+            for s in range(n_wins):
+                if " ".join(t[s : s + window]) in dup:
+                    n_dup += 1
+                    covered.update(range(s, s + window))
+            if n_wins:
+                stats[i] = (n_wins, n_dup)
+            kept = [tok for j, tok in enumerate(t) if j not in covered]
+            removed[i] = (" ".join(kept), len(t) - len(kept))
+        return stats, removed
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.dedup import (
+            duplicate_span_stats,
+            remove_duplicate_spans,
+        )
+
+        rng = random.Random(99)
+        vocab = [f"w{k}" for k in range(12)]
+        for trial, window in [(0, 3), (1, 5), (2, 4)]:
+            docs = [
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+                for i in range(15)
+            ]
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            want_stats, want_removed = self._brute(docs, window, 2)
+            got_stats = {
+                r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+                for r in duplicate_span_stats(df, window=window).collect()
+            }
+            assert got_stats == want_stats, (trial, window)
+            got_removed = {
+                r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+                for r in remove_duplicate_spans(df, window=window).collect()
+            }
+            assert got_removed == want_removed, (trial, window)
