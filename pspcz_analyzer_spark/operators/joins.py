@@ -229,3 +229,55 @@ def cascade_join(
         F.col(f"__m.{level_col}").alias(level_col),
         *[F.col(f"__m.{c}").alias(c) for c in value_cols],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval range join via domain bucketing — the custom
+    operator Spark lacks natively: a raw ``p BETWEEN lo AND hi`` join has
+    no equi-key, so Catalyst plans BroadcastNestedLoopJoin (only viable
+    while one side fits a broadcast) or a cartesian product.
+
+    Scale path: grid the (numeric) domain into ``bucket_width`` cells.
+    Each interval explodes to the cells it touches
+    (``floor(lo/B) .. floor(hi/B)`` — at most ``len/B + 2`` rows), each
+    point maps to exactly ONE cell, and the join becomes a hash equi-join
+    on the cell id with the exact BETWEEN predicate evaluated inside it.
+    Because a point lives in a single cell, every qualifying (point,
+    interval) pair meets exactly once — no dedup pass. Pick
+    ``bucket_width`` near the typical interval length: explode factor
+    stays ~2 while cells stay selective (the same trade every interval
+    index — e.g. PostGIS grids — makes).
+
+    Inputs are numeric (caller converts timestamps, e.g. epoch seconds
+    via ``timestamp_diff``); requires ``lo <= hi``. Returns all columns
+    of both inputs for qualifying pairs; one shuffle per side, keyed by
+    the cell id.
+    """
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+
+    pt = points.withColumn(
+        "__cell", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__cells",
+        F.sequence(
+            F.floor(F.col(lo_col) / bucket_width).cast("long"),
+            F.floor(F.col(hi_col) / bucket_width).cast("long"),
+        ),
+    )
+    iv = explode_notnull(iv, "__cells", "__cell", keep=tuple(intervals.columns))
+    return (
+        pt.join(iv, "__cell")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__cell")
+    )

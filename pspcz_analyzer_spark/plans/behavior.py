@@ -253,3 +253,48 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_K)
     )
+
+
+@register(
+    "events_range_join_windows",
+    oracle="""
+    WITH w AS (
+      SELECT ts AS lo, ts + INTERVAL 6 HOUR AS hi
+      FROM events WHERE event_type = 'purchase' AND value >= 200
+    )
+    SELECT e.event_id, count(*) AS n_windows
+    FROM events e JOIN w ON e.ts BETWEEN w.lo AND w.hi
+    GROUP BY e.event_id
+    ORDER BY e.event_id
+    """,
+    tags=("events", "range-join", "new-surface"),
+    priority=18,
+    doc="Keyless point-in-interval RANGE JOIN (events inside 6-hour "
+    "windows opened by big purchases) via domain bucketing "
+    "(operators/joins.py::range_join): a raw BETWEEN join has no "
+    "equi-key and Catalyst would plan BroadcastNestedLoopJoin; gridding "
+    "event time into interval-width cells turns it into a hash "
+    "equi-join on the cell id (intervals explode to <= 2 cells, points "
+    "to exactly 1 — each qualifying pair meets once, no dedup). The "
+    "oracle computes the same pairs with a plain BETWEEN over "
+    "timestamps, proving the microsecond-domain bucketing loses "
+    "nothing.",
+)
+def events_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    usec = F.timestamp_diff(
+        "MICROSECOND", F.to_timestamp(F.lit("1970-01-01")), F.col("ts")
+    )
+    six_h = 6 * 3600 * 1_000_000
+    pts = events.select("event_id", usec.alias("p_us"))
+    wins = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 200)
+    ).select(usec.alias("lo_us"), (usec + six_h).alias("hi_us"))
+    pairs = range_join(pts, wins, "p_us", "lo_us", "hi_us", bucket_width=six_h)
+    return (
+        pairs.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .orderBy("event_id")
+    )

@@ -290,3 +290,49 @@ class TestMergeAmendmentSources:
             votes, letters, payload_cols=("submitters", "n_subs")
         ).collect()[0]
         assert (row["match_kind"], row["submitters"]) == ("exact", "exact-row")
+
+
+class TestRangeJoin:
+    """Bucketized point-in-interval join vs brute force: any points, any
+    intervals, any bucket width (narrower AND wider than the intervals) —
+    identical pair sets, each pair exactly once."""
+
+    def test_matches_brute_force_across_bucket_widths(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.joins import range_join
+
+        rng = random.Random(5)
+        points = [(i, rng.randint(0, 1000)) for i in range(60)]
+        intervals = []
+        for w in range(25):
+            lo = rng.randint(0, 950)
+            intervals.append((w, lo, lo + rng.randint(0, 120)))
+        want = {
+            (pid, wid)
+            for pid, p in points
+            for wid, lo, hi in intervals
+            if lo <= p <= hi
+        }
+        pdf = spark.createDataFrame(points, "pid long, p long")
+        idf = spark.createDataFrame(intervals, "wid long, lo long, hi long")
+        for bucket in (7, 64, 500, 5000):
+            rows = range_join(pdf, idf, "p", "lo", "hi", bucket).collect()
+            got = [(r["pid"], r["wid"]) for r in rows]
+            assert len(got) == len(set(got)), f"duplicate pairs at B={bucket}"
+            assert set(got) == want, f"pair set mismatch at B={bucket}"
+
+    def test_zero_length_and_boundary_intervals(self, spark):
+        from pspcz_analyzer_spark.operators.joins import range_join
+
+        pdf = spark.createDataFrame(
+            [(1, 10), (2, 11), (3, 20)], "pid long, p long"
+        )
+        idf = spark.createDataFrame(
+            [(1, 10, 10), (2, 11, 20)], "wid long, lo long, hi long"
+        )
+        got = {
+            (r["pid"], r["wid"])
+            for r in range_join(pdf, idf, "p", "lo", "hi", 8).collect()
+        }
+        assert got == {(1, 1), (2, 2), (3, 2)}
