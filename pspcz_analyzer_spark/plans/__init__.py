@@ -88,14 +88,11 @@ _PRIORITY: dict[str, int] = {
             "q21_waiting_supplier",
             "q22_global_sales",
             "corpus_train_split",
-            "corpus_lang_sample",
             "corpus_lang_sample_exact",
             "corpus_pii_redacted",
             "corpus_source_cap",
-            "doc_top_terms",
             "doc_top_terms_by_lang",
             "doc_repetition_stats",
-            "asof_next_order_after_event",
             "events_hot_users",
             "events_session_dynamic_gap",
             "events_trailing_24h",
@@ -105,6 +102,18 @@ _PRIORITY: dict[str, int] = {
             "ann_lsh_exact_recall",
             "profile_orders_columns",
             "salted_join_priority_revenue",
+        )
+    },
+    # Variant twins whose shared machinery is attested by a tier-15
+    # sibling (corpus_lang_sample_exact, doc_top_terms_by_lang,
+    # asof_latest_order_before_event r03-green): next in line behind the
+    # 50-slot budget, making room for this round's new operators.
+    **{
+        n: 19
+        for n in (
+            "corpus_lang_sample",
+            "doc_top_terms",
+            "asof_next_order_after_event",
         )
     },
     # r02-green but stale (checked two testdata generations ago). The 20
