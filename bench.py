@@ -69,6 +69,7 @@ HEADLINE = [
     "doc_lm_perplexity",
     "semantic_dedup_kmeans",
     "doc_duplicate_spans",
+    "events_range_join_windows",
 ]
 
 
