@@ -14,7 +14,15 @@ Five tiers, cheapest to most robust, all expressed as DataFrame plans:
   semantic_dedup       SemDeDup: k-means cells over an embedding column,
                        near-dups pruned within cells — catches paraphrases
                        no surface-form tier sees; O(n) with cell count
-                       grown alongside the corpus
+                       grown alongside the corpus (semantic_dedup_extend:
+                       the incremental variant against a stored
+                       cell-partitioned index)
+
+Plus the SPAN granularity (ExactSubstr, Lee et al. 2022): document-level
+tiers drop whole documents; duplicate_span_stats / remove_duplicate_spans
+find and excise verbatim token runs repeated ACROSS documents (license
+blocks, boilerplate headers, syndicated passages) while each document's
+unique prose survives.
 
 Determinism: every hash is Spark's xxhash64/crc32 with fixed seeds — stable
 across runs and partitionings, so signatures are reproducible (required for
