@@ -796,3 +796,48 @@ def unigram_logprob_scores(
             F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logp"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sampling WITHOUT replacement:
+    key_i = u_i^(1/w_i) with u_i uniform in [0,1); the k largest keys are
+    a weighted random sample without replacement (Inf. Process. Lett.
+    97(5), 2006) — the principled way to draw "k docs, probability
+    proportional to quality/length" for corpus curation, where the naive
+    rate-based Bernoulli (``stratified_hash_sample``) cannot hit an exact
+    k and rejection sampling needs global coordination.
+
+    u_i derives from md5(salt || id) — no RNG state: deterministic,
+    partition-count-independent, reproducible across engines (the DuckDB
+    oracle recomputes it bit-for-bit from the same hex), and idempotent
+    for reruns — the draw is a pure function of (salt, id, weight), so
+    re-sampling a grown corpus keeps previous picks stable except where
+    new heavy keys displace the boundary. Non-positive weights are
+    floored to 1e-12 (priority ~ 0: effectively never sampled).
+
+    Plan: one scan computing the key per row, then global top-k as
+    TakeOrderedAndProject (per-partition heaps of k, driver merge of
+    k x partitions) — the corpus itself never shuffles. Returns the
+    sampled rows plus their ``__priority`` key.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    keyed = df.withColumn("__priority", F.pow(u, F.lit(1.0) / w))
+    return keyed.orderBy(F.desc("__priority"), F.asc(id_col)).limit(k)

@@ -951,3 +951,38 @@ def doc_duplicate_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_duplicate_spans(docs, window=10, min_docs=2).orderBy("doc_id")
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow((('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT) / 4294967296.0,
+                 1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-12)) AS pri
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(pri, 6) AS priority
+    FROM keyed ORDER BY pri DESC, doc_id LIMIT 50
+    """,
+    tags=("pipeline", "sampling", "new-surface"),
+    priority=18,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-ES): 50 docs with probability proportional to length — "
+    "priorities u^(1/w) from a salted md5 uniform, global top-k as "
+    "TakeOrderedAndProject; deterministic and partition-independent, so "
+    "the DuckDB oracle reproduces the exact draw bit-for-bit "
+    "(operators/corpusprep.py::weighted_sample). Complements the "
+    "rate-based stratified/temperature samplers with an exact-k, "
+    "exact-weights draw.",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", k=50).select(
+        "doc_id",
+        "n_chars",
+        F.round("__priority", 6).alias("priority"),
+    )

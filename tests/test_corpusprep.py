@@ -5,6 +5,7 @@ benchmark decontamination, and top-terms."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from pspcz_analyzer_spark.operators.corpusprep import (
     _KNUTH,
@@ -637,3 +638,51 @@ class TestUnigramLogprob:
         )
         out = unigram_logprob_scores(df).collect()
         assert [r.doc_id for r in out] == [1]
+
+
+class TestWeightedSample:
+    """A-ES weighted sampling: deterministic, exact-k, and actually
+    weight-proportional (checked by inclusion frequency across salts —
+    each salt is an independent draw)."""
+
+    @pytest.fixture(scope="class")
+    def weighted(self, spark):
+        rows = [(i, 1.0) for i in range(40)] + [(100, 1000.0), (101, 0.0)]
+        return spark.createDataFrame(rows, "doc_id long, w double")
+
+    def test_deterministic_exact_k(self, weighted):
+        from pspcz_analyzer_spark.operators.corpusprep import weighted_sample
+
+        a = sorted(r["doc_id"] for r in weighted_sample(weighted, "w", 10).collect())
+        b = sorted(r["doc_id"] for r in weighted_sample(weighted, "w", 10).collect())
+        assert a == b and len(a) == 10
+
+    def test_huge_weight_always_in_zero_weight_never(self, weighted):
+        from pspcz_analyzer_spark.operators.corpusprep import weighted_sample
+
+        for salt in ("s1", "s2", "s3", "s4"):
+            ids = {
+                r["doc_id"]
+                for r in weighted_sample(weighted, "w", 10, salt=salt).collect()
+            }
+            assert 100 in ids, salt  # w=1000 vs w=1: pri ~ u^(0.001) ~ 1
+            assert 101 not in ids, salt  # w=0 floors to pri ~ 0
+
+    def test_inclusion_tracks_weight(self, spark):
+        """doc with w=8 must be sampled clearly more often than w=1 peers
+        over many independent salted draws (k=5 of 20)."""
+        from pspcz_analyzer_spark.operators.corpusprep import weighted_sample
+
+        rows = [(i, 8.0 if i == 0 else 1.0) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, w double").cache()
+        hits_heavy = hits_light = 0
+        for t in range(30):
+            ids = {
+                r["doc_id"]
+                for r in weighted_sample(df, "w", 5, salt=f"t{t}").collect()
+            }
+            hits_heavy += 0 in ids
+            hits_light += 1 in ids
+        df.unpersist()
+        # E[heavy] >> E[light]: w=8 of total 27 across 5 slots vs w=1.
+        assert hits_heavy >= hits_light + 8, (hits_heavy, hits_light)
