@@ -281,3 +281,68 @@ def range_join(
         )
         .drop("__cell")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table: one
+    row per changed key with ``change_type`` in insert/delete/update and
+    the null-safe list of changed columns — what a lake without a
+    transactional format (this repo's Parquet world, the reference's
+    re-downloaded UNL dumps) uses to find what a refresh actually
+    changed, feed incremental maintenance (``jobs.py`` incremental
+    aggregates), or audit an upsert.
+
+    Plan: ONE full-outer sort-merge join keyed on ``keys`` (both sides
+    shuffle once on the same key — at 100 TB co-locate via bucketed
+    layouts, ``jobs.write_bucketed``, and neither side shuffles at all);
+    change classification and the changed-column list are codegen'd
+    null-safe comparisons, no second pass. Unchanged keys are dropped
+    before anything leaves the join, so output tracks churn, not table
+    size.
+    """
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    differs = [
+        ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}")) for c in compare_cols
+    ]
+    any_diff = differs[0]
+    for d in differs[1:]:
+        any_diff = any_diff | d
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(any_diff, F.lit("update"))
+    )
+    changed = F.when(
+        change == "update",
+        F.concat_ws(
+            ",", *[F.when(d, F.lit(c)) for c, d in zip(compare_cols, differs)]
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            changed.alias("changed_cols"),
+            *[F.col(f"__old_{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"__new_{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -114,6 +114,10 @@ _PRIORITY: dict[str, int] = {
             "corpus_lang_sample",
             "doc_top_terms",
             "asof_next_order_after_event",
+            # Subsumed by doc_duplicate_spans_removed (same window/dup-set
+            # machinery, and the removed-text check additionally pins the
+            # exact window starts).
+            "doc_duplicate_spans",
         )
     },
     # r02-green but stale (checked two testdata generations ago). The 20

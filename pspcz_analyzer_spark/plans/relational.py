@@ -961,3 +961,70 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 13 <> 0
+    ),
+    n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 17 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+                ELSE concat_ws(',',
+                  CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                       THEN 'o_totalprice' END,
+                  CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                       THEN 'o_orderstatus' END)
+           END AS changed_cols,
+           o.o_totalprice AS old_o_totalprice,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    ORDER BY o_orderkey
+    """,
+    tags=("relational", "cdc", "new-surface"),
+    priority=18,
+    doc="Snapshot diff / change-data-capture "
+    "(operators/joins.py::snapshot_diff): two simulated versions of "
+    "orders (every 13th key inserted, every 17th deleted, every 7th "
+    "repriced) classified into insert/delete/update with the null-safe "
+    "changed-column list, via ONE full-outer join keyed on the order "
+    "key — the refresh-audit primitive for a Parquet lake without a "
+    "transactional format, and the change feed the incremental-"
+    "aggregate maintenance consumes.",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.joins import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderkey") % 13 != 0)
+    new = orders.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")

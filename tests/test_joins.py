@@ -336,3 +336,54 @@ class TestRangeJoin:
             for r in range_join(pdf, idf, "p", "lo", "hi", 8).collect()
         }
         assert got == {(1, 1), (2, 2), (3, 2)}
+
+
+class TestSnapshotDiff:
+    """CDC classification incl. the null-safe cases: NULL->value and
+    value->NULL are updates, NULL->NULL is unchanged, and unchanged keys
+    never appear."""
+
+    def test_classification_and_null_safety(self, spark):
+        from pspcz_analyzer_spark.operators.joins import snapshot_diff
+
+        old = spark.createDataFrame(
+            [
+                (1, 10.0, "A"),   # unchanged
+                (2, 20.0, "B"),   # price update
+                (3, None, "C"),   # NULL -> value update
+                (4, 40.0, None),  # value stays, NULL status stays: unchanged
+                (5, 50.0, "E"),   # deleted in new
+                (7, None, None),  # both NULL -> both NULL: unchanged
+            ],
+            "k long, price double, status string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, 10.0, "A"),
+                (2, 25.0, "B"),
+                (3, 30.0, "C"),
+                (4, 40.0, None),
+                (6, 60.0, "F"),   # inserted
+                (7, None, None),
+            ],
+            "k long, price double, status string",
+        )
+        rows = {
+            r["k"]: (r["change_type"], r["changed_cols"])
+            for r in snapshot_diff(old, new, ["k"], ["price", "status"]).collect()
+        }
+        assert rows == {
+            2: ("update", "price"),
+            3: ("update", "price"),
+            5: ("delete", ""),
+            6: ("insert", ""),
+        }
+
+    def test_multi_column_change_list(self, spark):
+        from pspcz_analyzer_spark.operators.joins import snapshot_diff
+
+        old = spark.createDataFrame([(1, 1.0, "x")], "k long, a double, b string")
+        new = spark.createDataFrame([(1, 2.0, "y")], "k long, a double, b string")
+        [r] = snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+        assert r["change_type"] == "update" and r["changed_cols"] == "a,b"
+        assert r["old_a"] == 1.0 and r["new_b"] == "y"
