@@ -245,6 +245,55 @@ def has_applied_marker(summary_path: str, marker: str) -> bool:
     return os.path.exists(os.path.join(summary_path, f"_applied_{marker}"))
 
 
+def _pre_commit_crash_gate() -> None:
+    """Test-only fault injection: when PSPCZ_TEST_CRASH_BEFORE_COMMIT is
+    set, die as hard as a SIGKILL (os._exit skips every cleanup handler)
+    at the instant between stage-build and the _swap_in commit. The
+    crash-safety tests run the lake ops in a subprocess with this set and
+    assert the table still serves the ORIGINAL complete file set."""
+    if os.environ.get("PSPCZ_TEST_CRASH_BEFORE_COMMIT"):
+        os._exit(137)
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hard-link (free, same filesystem) with a copy fallback for
+    filesystems that refuse links."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def _commit_rewrite(
+    path: str,
+    keep_files: "list[str]",
+    staged_files: "list[str]",
+    prefix: str,
+) -> None:
+    """Commit a partial-rewrite of a Parquet directory with NO destructive
+    step outside one atomic rename: build the COMPLETE post-op directory
+    in a sibling stage (hard-links for the untouched files — zero IO —
+    plus renames of the freshly-written replacement files), then swap it
+    in via sinks._swap_in. Every crash point leaves a full consistent
+    snapshot on disk: before the swap the original dir is untouched;
+    during the swap both complete copies exist; after it only the new one
+    does. This is the local-FS analog of a Delta/Iceberg commit (new
+    manifest referencing old + new files, published in one pointer flip).
+    """
+    import uuid as _uuid
+
+    from pspcz_analyzer_spark.sources.sinks import _swap_in
+
+    stage = f"{path}.__commit_{_uuid.uuid4().hex[:8]}"
+    os.makedirs(stage)
+    for f in keep_files:
+        _link_or_copy(f, os.path.join(stage, os.path.basename(f)))
+    for i, f in enumerate(staged_files):
+        os.rename(f, os.path.join(stage, f"{prefix}_{_uuid.uuid4().hex[:8]}_{i}.parquet"))
+    _pre_commit_crash_gate()
+    _swap_in(stage, path)
+
+
 def delete_keys(
     spark: SparkSession,
     path: str,
@@ -262,11 +311,13 @@ def delete_keys(
     misses every key are skipped outright, and the affected files are
     re-read with an isin anti-filter and swapped for their rewrites.
 
-    Crash semantics: rewrites stage under a temp name and replace the
-    victims only after the stage write commits; a crash between the two
-    steps leaves the original files in place (delete not yet applied) or
-    some victims already gone (re-run deletes the rest — the operation is
-    idempotent because the filter is).
+    Crash semantics (:func:`_commit_rewrite`): the complete post-delete
+    directory is assembled in a sibling stage (untouched files hard-linked
+    in — no data IO — and the rewrites moved in), then published with one
+    crash-recoverable swap. No original file is removed before the swap,
+    so every failure point serves either the full pre-delete or the full
+    post-delete file set — never a partial table. Idempotent: a re-run's
+    filter finds nothing left to delete.
 
     Returns (files_rewritten, rows_deleted).
     """
@@ -303,20 +354,16 @@ def delete_keys(
         return 0, 0
     src = spark.read.parquet(*affected)
     kept = src.filter(~F.col(key_col).isin(*key_set))
-    stage = f"{path}.__delete_{_uuid.uuid4().hex[:8]}"
-    kept.write.mode("overwrite").parquet(stage)
-    staged = [
-        f for f in _glob.glob(os.path.join(stage, "*.parquet"))
-    ]
+    rewrite = f"{path}.__delete_{_uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(rewrite)
+    staged = sorted(_glob.glob(os.path.join(rewrite, "*.parquet")))
     # Row accounting from footers alone — no extra Spark actions.
     rows_before = sum(pq.ParquetFile(f).metadata.num_rows for f in affected)
     rows_after = sum(pq.ParquetFile(f).metadata.num_rows for f in staged)
     deleted = rows_before - rows_after
-    for f in affected:
-        os.remove(f)
-    for i, f in enumerate(staged):
-        os.rename(f, os.path.join(path, f"del_{_uuid.uuid4().hex[:8]}_{i}.parquet"))
-    shutil.rmtree(stage, ignore_errors=True)
+    untouched = [f for f in files if f not in set(affected)]
+    _commit_rewrite(path, untouched, staged, "del")
+    shutil.rmtree(rewrite, ignore_errors=True)
     return len(affected), deleted
 
 
@@ -343,13 +390,15 @@ def compact_small_files(
     compaction (bins of adjacent ranges merge into one wider but still
     disjoint range). Without it, files bin in name order.
 
-    Crash semantics, like :func:`delete_keys`: merged outputs stage under
-    a temp dir and victims are removed only after the stage commits; a
-    crash leaves either the originals (no-op, re-run) or fewer small
-    files (re-run compacts the rest). Idempotent: a second run finds
-    nothing below threshold. Single-directory scope — partitioned lakes
-    run it per partition directory (embarrassingly parallel across an
-    orchestrator's workers).
+    Crash semantics, like :func:`delete_keys` (:func:`_commit_rewrite`):
+    the complete post-compaction directory is staged (untouched files
+    hard-linked, merged outputs moved in) and published with one
+    crash-recoverable swap — no victim is removed before the commit, so
+    every failure point serves either the full original or the full
+    compacted file set. Idempotent: a second run finds nothing below
+    threshold. Single-directory scope — partitioned lakes run it per
+    partition directory (embarrassingly parallel across an orchestrator's
+    workers).
 
     Returns (files_merged, files_written).
     """
@@ -400,21 +449,19 @@ def compact_small_files(
     if not bins:
         return 0, 0
 
-    stage = f"{path}.__compact_{_uuid.uuid4().hex[:8]}"
-    os.makedirs(stage)
+    rewrite = f"{path}.__compact_{_uuid.uuid4().hex[:8]}"
+    os.makedirs(rewrite)
     written = 0
     merged: "list[str]" = []
     for i, b in enumerate(bins):
         out = spark.read.parquet(*b)
         if sort_col is not None:
             out = out.sortWithinPartitions(sort_col)
-        out.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, str(i)))
+        out.coalesce(1).write.mode("overwrite").parquet(os.path.join(rewrite, str(i)))
         merged.extend(b)
         written += 1
-    staged = sorted(_glob.glob(os.path.join(stage, "*", "*.parquet")))
-    for f in merged:
-        os.remove(f)
-    for i, f in enumerate(staged):
-        os.rename(f, os.path.join(path, f"compact_{_uuid.uuid4().hex[:8]}_{i}.parquet"))
-    shutil.rmtree(stage, ignore_errors=True)
+    staged = sorted(_glob.glob(os.path.join(rewrite, "*", "*.parquet")))
+    untouched = [f for f in files if f not in set(merged)]
+    _commit_rewrite(path, untouched, staged, "compact")
+    shutil.rmtree(rewrite, ignore_errors=True)
     return len(merged), written

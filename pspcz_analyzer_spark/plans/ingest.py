@@ -313,7 +313,7 @@ def incremental_agg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n,
-           sum(c_custkey) AS key_sum
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
