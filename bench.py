@@ -119,19 +119,26 @@ def main() -> None:
     # would measure the (intentionally cheap) resume path, not the work.
     single_run = {"doc_topics_enriched"}
     timings: dict[str, float] = {}
+    # First-run timings reported alongside best-of-N so cross-round deltas
+    # can compare matching methodology (r03 and earlier were single-run).
+    run1: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         best = None
-        for _ in range(1 if name in single_run else max(1, runs)):
+        for i in range(1 if name in single_run else max(1, runs)):
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).collect()
                 dt = round(time.time() - t0, 3)
                 best = dt if best is None else min(best, dt)
+                if i == 0:
+                    run1[name] = dt
             except Exception as e:  # keep benching; a broken query reports -1
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 best = -1.0
+                if i == 0:
+                    run1[name] = -1.0
                 break
             spark.catalog.clearCache()
         timings[name] = best
@@ -155,12 +162,15 @@ def main() -> None:
         except Exception:
             pass
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    total_run1 = round(sum(v for v in run1.values() if v >= 0), 3)
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "run1": run1,
+            "run1_total": total_run1,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -638,6 +638,12 @@ def bpe_merges(
     )
 
 
+# Hard bound on the per-worker distinct-word memo in bpe_encode_counts
+# (module-level so tests can shrink it and prove the overflow path is
+# output-transparent).
+BPE_MEMO_CAP = 1 << 20
+
+
 def bpe_encode_counts(
     df: DataFrame,
     merges: "list[tuple[str, str]]",
@@ -663,10 +669,21 @@ def bpe_encode_counts(
 
     ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
 
+    # The memo is scoped to THIS closure (rebuilt per bpe_encode_counts
+    # call, so merge tables never cross-contaminate) but lives for the
+    # Python-worker lifetime on reused workers — capped so a long-lived
+    # executor encoding many batches cannot leak unboundedly. Natural-
+    # language vocabularies fit far under the cap (Zipf: ~10^6 distinct
+    # words covers web-scale corpora); on overflow the whole memo drops
+    # and rebuilds, trading a rare recompute burst for a hard bound.
+    memo_cap = BPE_MEMO_CAP
+
     def n_units(word: str, _memo: dict = {}) -> int:
         got = _memo.get(word)
         if got is not None:
             return got
+        if len(_memo) >= memo_cap:
+            _memo.clear()
         syms = list(word[:-1]) + [word[-1] + "</w>"]
         while len(syms) > 1:
             best_rank, best_i = None, None
@@ -814,12 +831,17 @@ def weighted_sample(
     k and rejection sampling needs global coordination.
 
     u_i derives from md5(salt || id) — no RNG state: deterministic,
-    partition-count-independent, reproducible across engines (the DuckDB
-    oracle recomputes it bit-for-bit from the same hex), and idempotent
-    for reruns — the draw is a pure function of (salt, id, weight), so
-    re-sampling a grown corpus keeps previous picks stable except where
-    new heavy keys displace the boundary. Non-positive weights are
-    floored to 1e-12 (priority ~ 0: effectively never sampled).
+    partition-count-independent, and engine-agreeing in practice (the
+    DuckDB oracle recomputes the same 32-bit u from the same hex; the
+    subsequent pow() is IEEE double math where a ULP difference between
+    runtimes could in principle flip a near-boundary top-k cutoff — the
+    gate comparison rounds the priority to 6 decimals and ties break on
+    id, which absorbs everything observed in testing but is not a
+    bit-exactness guarantee). Idempotent for reruns — the draw is a pure
+    function of (salt, id, weight), so re-sampling a grown corpus keeps
+    previous picks stable except where new heavy keys displace the
+    boundary. Non-positive weights are floored to 1e-12 (priority ~ 0:
+    effectively never sampled).
 
     Plan: one scan computing the key per row, then global top-k as
     TakeOrderedAndProject (per-partition heaps of k, driver merge of

@@ -449,7 +449,17 @@ def _window_hashes(
     normalized text (stride 1, 1-based start). Docs shorter than the window
     emit nothing. One row per token position — the shuffled payload is a
     (long, int, long) triple regardless of window width, so cost tracks
-    token count, never token count x window."""
+    token count, never token count x window.
+
+    Window identity is the 64-bit xxhash of the window string, with no
+    string-confirmation pass — unlike the suffix-array ExactSubstr method
+    this approximates, DISTINCT windows can collide and be falsely flagged
+    as duplicates. Expected false positives ~ n_windows^2 / 2^65 (birthday
+    bound): negligible below ~10^8 distinct windows (<0.1 expected
+    collisions), and at a 10^12-window corpus ~10^4 token positions out of
+    10^12 would be spuriously excised — an acceptable loss rate for
+    training-data cleaning; callers needing exactness should re-join the
+    flagged (id, start) pairs back to the window strings and compare."""
     toks = F.split(normalize_text(text_col), " ")
     proj = _spread(
         df.select(F.col(id_col), toks.alias("__t")), scan_shaped=True
@@ -498,12 +508,20 @@ def duplicate_span_stats(
     12-byte payload); finding duplicated hashes is ONE hash-keyed shuffle
     with partial aggregation, and the flag-back is a hash equi-join of the
     window stream against the (typically tiny) duplicated-hash set. The
-    window stream feeds two consumers (the dup-hash aggregate and the
-    probe side) — at corpus scale persist or checkpoint it once instead of
-    recomputing the scan, exactly like the letters side of the amendments
-    merge (plans/documents.py).
+    window stream feeds three consumers (the dup-hash aggregate, the
+    per-doc window count, and the probe side), so it is persisted
+    MEMORY_AND_DISK — the tokenizing corpus scan runs ONCE and the
+    consumers read the cached (id, start, whash) triples; spill-safe
+    because the payload is fixed-width. Same no-unpersist-point trade-off
+    as the letters side of the amendments merge
+    (operators/amendments.py:43-49): results return lazily, LRU eviction
+    reclaims the cache.
     """
-    wins = _window_hashes(df, text_col, id_col, window)
+    from pyspark import StorageLevel
+
+    wins = _window_hashes(df, text_col, id_col, window).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dup_hashes = (
         wins.groupBy("whash")
         .agg(F.countDistinct(id_col).alias("__n_docs"))
@@ -553,11 +571,20 @@ def remove_duplicate_spans(
     array (bounded by windows-per-doc, not corpus size); the covered-token
     mask is a codegen'd higher-order ``filter`` with the element index —
     token j survives unless some start s covers it (s <= j < s+window).
-    Per-doc cost is tokens x dup-spans, zero Python.
+    Per-doc cost is tokens x dup-spans, zero Python. The window stream is
+    persisted (MEMORY_AND_DISK) so its tokenizing corpus scan runs once
+    for the dup-hash aggregate and the start-collection probe; the final
+    reassembly scan over ``df`` itself is separate and unavoidable (it
+    needs the full token arrays, which the 12-byte window stream
+    deliberately does not carry).
     """
+    from pyspark import StorageLevel
+
     toks = F.split(normalize_text(text_col), " ")
     base = df.select(F.col(id_col), toks.alias("__t"))
-    wins = _window_hashes(df, text_col, id_col, window)
+    wins = _window_hashes(df, text_col, id_col, window).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dup_hashes = (
         wins.groupBy("whash")
         .agg(F.countDistinct(id_col).alias("__n_docs"))

@@ -238,6 +238,7 @@ def range_join(
     lo_col: str,
     hi_col: str,
     bucket_width: int,
+    max_cells: int = 4096,
 ) -> DataFrame:
     """Point-in-interval range join via domain bucketing — the custom
     operator Spark lacks natively: a raw ``p BETWEEN lo AND hi`` join has
@@ -256,21 +257,42 @@ def range_join(
     index — e.g. PostGIS grids — makes).
 
     Inputs are numeric (caller converts timestamps, e.g. epoch seconds
-    via ``timestamp_diff``); requires ``lo <= hi``. Returns all columns
-    of both inputs for qualifying pairs; one shuffle per side, keyed by
-    the cell id.
+    via ``timestamp_diff``). Degenerate intervals (``lo > hi``, or a null
+    bound) match nothing under BETWEEN, so they are dropped before the
+    explode — a raw ``F.sequence(lo_cell, hi_cell)`` would instead emit a
+    DESCENDING cell list for them and wrongly join. ``max_cells`` is the
+    explode-factor contract made executable: an interval spanning more
+    than that many cells (an outlier row, or a ``bucket_width`` chosen
+    far below the real interval lengths) fails the job with a clear
+    message instead of silently materializing a huge per-row array.
+    Returns all columns of both inputs for qualifying pairs; one shuffle
+    per side, keyed by the cell id.
     """
     from pspcz_analyzer_spark.operators.partitioning import explode_notnull
 
     pt = points.withColumn(
         "__cell", F.floor(F.col(point_col) / bucket_width).cast("long")
     )
-    iv = intervals.withColumn(
+    lo_cell = F.floor(F.col(lo_col) / bucket_width).cast("long")
+    hi_cell = F.floor(F.col(hi_col) / bucket_width).cast("long")
+    iv = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
         "__cells",
-        F.sequence(
-            F.floor(F.col(lo_col) / bucket_width).cast("long"),
-            F.floor(F.col(hi_col) / bucket_width).cast("long"),
-        ),
+        F.when(
+            hi_cell - lo_cell >= max_cells,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "range_join: interval spans more than "
+                        f"{max_cells} cells (bucket_width={bucket_width} "
+                        "is far below this interval's length; raise "
+                        "bucket_width or max_cells): lo="
+                    ),
+                    F.col(lo_col).cast("string"),
+                    F.lit(" hi="),
+                    F.col(hi_col).cast("string"),
+                )
+            ).cast("array<long>"),
+        ).otherwise(F.sequence(lo_cell, hi_cell)),
     )
     iv = explode_notnull(iv, "__cells", "__cell", keep=tuple(intervals.columns))
     return (
@@ -307,6 +329,11 @@ def snapshot_diff(
     """
     keys = list(keys)
     compare_cols = list(compare_cols)
+    if not compare_cols:
+        raise ValueError(
+            "compare_cols must be non-empty; for a key-presence-only diff "
+            "pass any column and ignore changed_cols, or use an anti-join"
+        )
     o = old.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"__old_{c}") for c in compare_cols],

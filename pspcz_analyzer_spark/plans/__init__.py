@@ -33,96 +33,73 @@ _REGISTRY: dict[str, Query] = {}
 
 # Verification harnesses that budget a fixed number of queries consume the
 # registry in iteration order, so ordering is part of the public contract.
-# Round-4 rotation: the driver re-attests 50 queries per round against
+# Round-5 rotation: the driver re-attests 50 queries per round against
 # freshly regenerated testdata, so the budget goes to the queries with the
 # WEAKEST current attestation. Tiers (lower first):
-#   10 = sentinels — regression canaries (kept from the r03-green core) plus
-#        any query whose plan changed this round and must re-attest;
-#   15 = never driver-attested in ANY round (oracle exists, only local gate
-#        runs have checked them);
+#   10 = sentinels — the r04 red row (parquet_compact_roundtrip, oracle
+#        typing fixed this round), every query whose PLAN changed this
+#        round (span-dedup persist, range_join degenerate-interval guard),
+#        and two untouched canaries;
+#   15 = never driver-attested in ANY round (oracle exists, only local
+#        gate runs have checked them) — the last three of the catalog;
 #   18 = NEW THIS ROUND (set via register(priority=18) at the definition,
 #        not in this map) — brand-new operators attest before stale ones;
-#   20 = r02-green but not re-checked since (testdata regenerated twice and
-#        code evolved — r02 rows are stale attestation);
+#   20 = r02-green but not re-checked since (testdata regenerated and code
+#        evolved — r02 rows are stale attestation);
+#   25 = r02-green queue promoted into the budget this round (the former
+#        tier 55; with the r03/r04 cohorts yielding their slots the whole
+#        queue now fits);
 #   52 = rows-only by design (no oracle possible: LSH/IVF results are
 #        approximation-defined, PCA basis signs impl-defined, HLL
-#        estimates); each has an oracle-paired anchor at tier <= 20
+#        estimates); each has an oracle-paired anchor at a lower tier
 #        (minhash_lsh_exact_recall / ann_lsh_exact_recall for LSH banding,
 #        ann_ivf_exhaustive_top10 for the IVF index, mp_vote_similarity for
 #        the vote-matrix encoding PCA consumes, doc_vocab_exact for the
 #        vocabulary scan), so a driver slot on them would be wasted;
-#   55 = r02-green queue — next in line if the budget ever grows;
-#   60 = r03-green (current-round driver attestation; yield their slots).
+#   60 = r03-green, 62 = r04-green (most recent attestation yields first).
 PRIORITY_SENTINEL = 10
 PRIORITY_NEVER_ATTESTED = 15
 PRIORITY_R02_STALE = 20
+PRIORITY_R02_QUEUE = 25
 PRIORITY_ROWS_ONLY = 52
-PRIORITY_R02_QUEUE = 55
 PRIORITY_ATTESTED_R03 = 60
+PRIORITY_ATTESTED_R04 = 62
 
 _PRIORITY: dict[str, int] = {
-    # Sentinels: two untouched canaries + the two pagination composites whose
-    # total-hit count was reworked this round (window -> broadcast scalar).
+    # Sentinels: the fixed r04 red row, the plan-changed queries, and two
+    # untouched canaries.
     **{
         n: PRIORITY_SENTINEL
         for n in (
+            # r04's ONLY red row: rows/schema matched, the value hash
+            # tripped on DuckDB HUGEINT vs Spark BIGINT for sum(int); the
+            # oracle now casts. Must re-attest green.
+            "parquet_compact_roundtrip",
+            # Span-dedup window stream now persisted (one corpus scan);
+            # same results, changed plan => re-attest both consumers.
+            "doc_duplicate_spans",
+            "doc_duplicate_spans_removed",
+            # range_join gained the degenerate-interval filter and the
+            # max_cells guard => plan changed.
+            "events_range_join_windows",
+            # Untouched canaries.
             "q5_nation_revenue",
             "loyalty_rebellion_rates",
-            "laws_listing_page",
         )
     },
-    # Never attested by the driver in any round (r02 errs, budget cutoffs,
-    # round-3 additions past slot 50). Includes the round-3 TPC-H tail, the
-    # corpus-prep tail, the streaming twins, and the trailing-24h window
-    # whose frame precision was fixed this round.
+    # The last never-driver-attested oracle-bearing queries (variant twins
+    # whose shared machinery is r03/r04-green via a sibling, promoted now
+    # that the budget has room): a green row here completes the catalog —
+    # every oracle-bearing query attested in some round.
     **{
         n: PRIORITY_NEVER_ATTESTED
-        for n in (
-            "q8_market_share",
-            "q9_product_profit",
-            "q11_important_stock",
-            "q15_top_supplier",
-            "q16_supplier_count",
-            "q17_small_qty_revenue",
-            "q20_part_promotion",
-            "q21_waiting_supplier",
-            "q22_global_sales",
-            "corpus_train_split",
-            "corpus_lang_sample_exact",
-            "corpus_pii_redacted",
-            "corpus_source_cap",
-            "doc_top_terms_by_lang",
-            "doc_repetition_stats",
-            "events_hot_users",
-            "events_session_dynamic_gap",
-            "events_trailing_24h",
-            "events_rollup_hourly_daily",
-            "events_stream_user_totals",
-            "events_stream_nation_totals",
-            "ann_lsh_exact_recall",
-            "profile_orders_columns",
-            "salted_join_priority_revenue",
-        )
-    },
-    # Variant twins whose shared machinery is attested by a tier-15
-    # sibling (corpus_lang_sample_exact, doc_top_terms_by_lang,
-    # asof_latest_order_before_event r03-green): next in line behind the
-    # 50-slot budget, making room for this round's new operators.
-    **{
-        n: 19
         for n in (
             "corpus_lang_sample",
             "doc_top_terms",
             "asof_next_order_after_event",
-            # Subsumed by doc_duplicate_spans_removed (same window/dup-set
-            # machinery, and the removed-text check additionally pins the
-            # exact window starts).
-            "doc_duplicate_spans",
         )
     },
-    # r02-green but stale (checked two testdata generations ago). The 20
-    # with the most operator-family coverage take the remaining budget
-    # slots; the rest queue at PRIORITY_R02_QUEUE.
+    # r02-green but stale (checked two testdata generations ago).
     **{
         n: PRIORITY_R02_STALE
         for n in (
@@ -148,17 +125,7 @@ _PRIORITY: dict[str, int] = {
             "docs_by_source_stats",
         )
     },
-    # Rows-only by design (see tier note above).
-    **{
-        n: PRIORITY_ROWS_ONLY
-        for n in (
-            "ann_lsh_pairs",
-            "ann_ivf_top10",
-            "mp_pca_coords",
-            "doc_vocab_approx",
-        )
-    },
-    # r02-green queue: next in line behind the budget.
+    # r02-green queue, promoted into the budget this round.
     **{
         n: PRIORITY_R02_QUEUE
         for n in (
@@ -181,6 +148,81 @@ _PRIORITY: dict[str, int] = {
             "except_building_without_bigspenders",
             "rollup_priority_status",
             "cube_status_priority",
+        )
+    },
+    # Rows-only by design (see tier note above).
+    **{
+        n: PRIORITY_ROWS_ONLY
+        for n in (
+            "ann_lsh_pairs",
+            "ann_ivf_top10",
+            "mp_pca_coords",
+            "doc_vocab_approx",
+        )
+    },
+    # r03-green cohort: attested one round ago, yield to staler rows.
+    **{
+        n: PRIORITY_ATTESTED_R03
+        for n in (
+            "unl_roundtrip_nation",
+            "json_nested_roundtrip",
+            "pdf_letters_parse",
+            "order_lines_nested",
+            "asof_latest_order_before_event",
+            "asof_cascade",
+        )
+    },
+    # r04-green cohort (CORRECTNESS_r04.json): freshest attestation, last
+    # in line. Overrides the inline register(priority=18) of the round-4
+    # additions so they stop consuming budget.
+    **{
+        n: PRIORITY_ATTESTED_R04
+        for n in (
+            "laws_listing_page",
+            "corpus_train_split",
+            "doc_repetition_stats",
+            "corpus_pii_redacted",
+            "corpus_source_cap",
+            "corpus_lang_sample_exact",
+            "doc_top_terms_by_lang",
+            "profile_orders_columns",
+            "events_hot_users",
+            "salted_join_priority_revenue",
+            "q8_market_share",
+            "q9_product_profit",
+            "q11_important_stock",
+            "q15_top_supplier",
+            "q16_supplier_count",
+            "q17_small_qty_revenue",
+            "q20_part_promotion",
+            "q21_waiting_supplier",
+            "q22_global_sales",
+            "ann_lsh_exact_recall",
+            "events_session_dynamic_gap",
+            "events_trailing_24h",
+            "events_rollup_hourly_daily",
+            "events_stream_user_totals",
+            "events_stream_nation_totals",
+            "events_funnel",
+            "events_retention_cohorts",
+            "doc_bm25_topk",
+            "doc_html_strip_roundtrip",
+            "corpus_remove_boilerplate",
+            "corpus_shuffle_order",
+            "corpus_temperature_mix",
+            "corpus_quality_calibrated",
+            "corpus_extend_near_dup",
+            "corpus_chunk_windows",
+            "doc_lm_perplexity",
+            "corpus_weighted_sample",
+            "doc_prompt_prep",
+            "parquet_zorder_roundtrip",
+            "incremental_agg_roundtrip",
+            "orders_snapshot_diff",
+            "ann_ivf_index_roundtrip",
+            "corpus_embedding_decontaminate",
+            "semantic_dedup_by_label",
+            "corpus_extend_semantic",
         )
     },
 }

@@ -16,19 +16,20 @@ and is unit-tested for uniformity).
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pspcz_analyzer_spark.catalog import load_table
 from pspcz_analyzer_spark.plans import register
+from pspcz_analyzer_spark.scratch import scratch_path
 from pspcz_analyzer_spark.plans.text import _NORM
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_{name}")
+    # Per-process salt: concurrent gate/bench sessions must not race on
+    # these delete-and-rewrite sink dirs (see pspcz_analyzer_spark.scratch).
+    return scratch_path(sf_dir, name)
 
 
 _LANGS = ("cs", "de", "en", "es", "fr")  # everything but 'und'

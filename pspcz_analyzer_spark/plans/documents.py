@@ -290,8 +290,9 @@ def doc_topics_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.enrich import enrich_incremental
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_enrich")
+    from pspcz_analyzer_spark.scratch import scratch_path
+
+    path = scratch_path(sf_dir, "enrich")
     if os.path.exists(path):
         shutil.rmtree(path)
     enrich_incremental(spark, docs.filter(F.col("doc_id") % 2 == 0), path)

@@ -11,20 +11,21 @@ Scratch files live under the system temp dir at stable per-sf paths
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pspcz_analyzer_spark.catalog import load_table
 from pspcz_analyzer_spark.plans import register
+from pspcz_analyzer_spark.scratch import scratch_path
 from pspcz_analyzer_spark.sources.sinks import overwrite_parquet, upsert_parquet
 from pspcz_analyzer_spark.sources.unl import read_unl
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_{name}")
+    # Per-process salt: concurrent gate/bench sessions must not race on
+    # these delete-and-rewrite sink dirs (see pspcz_analyzer_spark.scratch).
+    return scratch_path(sf_dir, name)
 
 
 @register(
@@ -345,4 +346,48 @@ def parquet_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").alias("key_sum"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "parquet_delete_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id NOT IN (7, 8)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S10", "delete", "sink", "scale"),
+    doc="Targeted key deletion (jobs.py::delete_keys): events written "
+    "range-sorted on user_id so the victim keys cluster into few files, "
+    "users 7 and 8 deleted via footer-stats file pruning + isin "
+    "anti-filter, the table read back and aggregated — must equal the "
+    "raw-table oracle minus exactly those users, proving the partial "
+    "rewrite loses nothing else. The commit is the staged-directory "
+    "swap of jobs._commit_rewrite (crash-safe, test_skew_jobs.py).",
+    priority=18,
+)
+def parquet_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark.jobs import delete_keys, write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_delete")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    delete_keys(spark, path, "user_id", [7, 8])
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
     )

@@ -409,13 +409,13 @@ def mp_pca_coords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil as _shutil
-    import tempfile
 
     from pspcz_analyzer_spark.operators.ann import build_ivf_index, ivf_index_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_ivf_idx")
+    from pspcz_analyzer_spark.scratch import scratch_path
+
+    idx = scratch_path(sf_dir, "ivf_idx")
     if os.path.exists(idx):
         _shutil.rmtree(idx)
     build_ivf_index(spark, emb, idx, n_centroids=16)
@@ -553,7 +553,6 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_extend_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil as _shutil
-    import tempfile
 
     from pspcz_analyzer_spark.operators.ann import build_ivf_index
     from pspcz_analyzer_spark.operators.dedup import semantic_dedup_extend
@@ -561,8 +560,9 @@ def corpus_extend_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     hist = emb.filter(F.col("vec_id") < 400)
     batch = emb.filter(F.col("vec_id") >= 400)
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx = os.path.join(tempfile.gettempdir(), f"pspcz_spark_{tag}_semext_idx")
+    from pspcz_analyzer_spark.scratch import scratch_path
+
+    idx = scratch_path(sf_dir, "semext_idx")
     if os.path.exists(idx):
         _shutil.rmtree(idx)
     build_ivf_index(spark, hist, idx, n_centroids=8)

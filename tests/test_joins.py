@@ -337,6 +337,43 @@ class TestRangeJoin:
         }
         assert got == {(1, 1), (2, 2), (3, 2)}
 
+    def test_degenerate_intervals_match_nothing(self, spark):
+        """lo > hi or a null bound matches nothing under BETWEEN; the
+        bucketizer must drop them instead of exploding a descending
+        F.sequence into wrong joins (ADVICE r04)."""
+        from pspcz_analyzer_spark.operators.joins import range_join
+
+        pdf = spark.createDataFrame([(1, 10), (2, 50)], "pid long, p long")
+        idf = spark.createDataFrame(
+            [(1, 60, 5), (2, None, 70), (3, 40, None), (4, 0, 100)],
+            "wid long, lo long, hi long",
+        )
+        got = {
+            (r["pid"], r["wid"])
+            for r in range_join(pdf, idf, "p", "lo", "hi", 8).collect()
+        }
+        assert got == {(1, 4), (2, 4)}
+
+    def test_outlier_interval_fails_loud_not_huge(self, spark):
+        """An interval spanning more than max_cells buckets must fail the
+        job with a clear message, not silently materialize a huge per-row
+        array (the explode-factor contract made executable)."""
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from pspcz_analyzer_spark.operators.joins import range_join
+
+        pdf = spark.createDataFrame([(1, 10)], "pid long, p long")
+        idf = spark.createDataFrame([(1, 0, 10_000_000)], "wid long, lo long, hi long")
+        with pytest.raises(Exception, match="range_join|USER_RAISED"):
+            range_join(pdf, idf, "p", "lo", "hi", 8, max_cells=1000).collect()
+        # Same interval passes with an adequate bucket width.
+        assert (
+            range_join(pdf, idf, "p", "lo", "hi", 1_000_000, max_cells=1000).count()
+            == 1
+        )
+
+
 
 class TestSnapshotDiff:
     """CDC classification incl. the null-safe cases: NULL->value and
@@ -387,3 +424,12 @@ class TestSnapshotDiff:
         [r] = snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
         assert r["change_type"] == "update" and r["changed_cols"] == "a,b"
         assert r["old_a"] == 1.0 and r["new_b"] == "y"
+
+    def test_empty_compare_cols_rejected(self, spark):
+        import pytest
+
+        from pspcz_analyzer_spark.operators.joins import snapshot_diff
+
+        old = spark.createDataFrame([(1, 1.0)], "k long, a double")
+        with pytest.raises(ValueError, match="compare_cols"):
+            snapshot_diff(old, old, ["k"], [])

@@ -162,3 +162,56 @@ class TestSinks:
         assert sorted(
             r["k"] for r in resume_anti_join(todo, done, ["k"]).collect()
         ) == [1, 3]
+
+
+class TestScratchIsolation:
+    """Two concurrent sessions running the same sink round-trip query must
+    not race on scratch dirs (VERDICT r04 'What's wrong' #4): scratch
+    paths are salted per process (pspcz_analyzer_spark.scratch)."""
+
+    def test_scratch_path_salts_per_process(self):
+        import os
+
+        from pspcz_analyzer_spark.scratch import scratch_path
+
+        p = scratch_path("/root/testdata/sf0.01", "x")
+        assert str(os.getpid()) in p
+        os.environ["PSPCZ_SCRATCH_SALT"] = "driverfixed"
+        try:
+            assert "driverfixed" in scratch_path("/root/testdata/sf0.01", "x")
+        finally:
+            del os.environ["PSPCZ_SCRATCH_SALT"]
+
+    def test_two_concurrent_gate_subprocesses_do_not_interfere(self):
+        """The real thing: the same delete-and-rewrite sink query runs in
+        two subprocesses simultaneously; with a shared fixed path one
+        would read the other's half-written snapshot. Both must pass."""
+        import os
+        import subprocess
+        import sys
+
+        script = (
+            "import __spark_entry__ as E\n"
+            "from pspcz_analyzer_spark.session import get_spark\n"
+            "s = get_spark(app_name='iso', master='local[2]', shuffle_partitions=2)\n"
+            "q = E.queries()['parquet_overwrite_roundtrip']\n"
+            "for _ in range(3):\n"
+            "    rows = q(s, '/root/testdata/sf0.001').collect()\n"
+            "    assert len(rows) == 5 and all(r.r_name != 'STALE' for r in rows)\n"
+            "print('ISO_OK')\n"
+        )
+        env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": "2g"}
+        env.pop("PSPCZ_SCRATCH_SALT", None)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                cwd="/root/repo",
+            )
+            for _ in range(2)
+        ]
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0 and b"ISO_OK" in out, err.decode()[-2000:]
