@@ -354,6 +354,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     seed: int = 42,
     train_fraction: float = 1.0,
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -364,13 +365,25 @@ def semantic_dedup(
     paraphrase-level duplicates that shingle/MinHash/SimHash (surface-form
     tiers) cannot see, at the price of needing an embedding column.
 
-    A document is REMOVED when a same-cluster neighbour with a smaller id
-    has cosine >= threshold (deterministic min-id survivor — a greedy
-    simplification of the paper's keep-farthest-from-centroid rule that
-    makes the result content-determined and, given a deterministic
-    clustering, oracle-checkable). Returns one row per removed document:
-    (id_col, cluster, dup_of = smallest qualifying neighbour id,
-    max_sim = highest qualifying cosine, rounded to 6).
+    Survivor rule, per ``keep``:
+
+    * ``"min_id"`` (default): a document is REMOVED when a same-cluster
+      neighbour with a smaller id has cosine >= threshold — a greedy,
+      content-determined simplification that is trivially oracle-checkable.
+      Returns (id_col, cluster, dup_of = smallest qualifying neighbour id,
+      max_sim = highest qualifying cosine, rounded to 6).
+    * ``"farthest"``: the paper's own rule — within each duplicate
+      relation keep the document FARTHEST from its cluster centroid (the
+      duplicate set's least-prototypical, most-diversity-preserving
+      member). A document is removed when some qualifying neighbour
+      strictly dominates it: lower centroid-cosine, ties broken by
+      smaller id — deterministic given the clustering, so the
+      label-clustered variant stays oracle-checkable (centroid cosines
+      are rounded to 6 decimals on both engines before comparing, so
+      sub-1e-6 differences resolve by id on both sides). Adds a
+      ``centroid_sim`` column; ``dup_of`` is the smallest dominating
+      neighbour id. Costs one extra (tiny) aggregate: per-cluster
+      centroids — n_clusters rows, broadcast back.
 
     Plan shape: one assignment pass, then a single equi-join keyed on the
     cluster id — one shuffle of (id, vector, cluster) tuples, hash/merge
@@ -420,26 +433,75 @@ def semantic_dedup(
             id_col, vec_col, F.col(cluster_col).cast("int").alias("cluster")
         )
 
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
+
+    if keep == "farthest":
+        # Per-cluster centroid: element-wise mean — one map-side-combined
+        # aggregate producing n_clusters rows, broadcast back. Dimension
+        # probed from one row (bounded driver payload).
+        probe = df.select(vec_col).first()
+        dim = len(probe[0]) if probe and probe[0] is not None else 0
+        cent = assigned.groupBy("cluster").agg(
+            F.array(
+                *[
+                    F.avg(F.col(vec_col).getItem(i).cast("double"))
+                    for i in range(dim)
+                ]
+            ).alias("__centroid")
+        )
+        assigned = assigned.join(F.broadcast(cent), "cluster").withColumn(
+            "__csim",
+            F.round(
+                cosine(
+                    F.col(vec_col).cast("array<double>"), F.col("__centroid")
+                ),
+                6,
+            ),
+        )
+
     x = assigned.select(
-        F.col(id_col).alias("__xid"), F.col(vec_col).alias("__xv"), "cluster"
+        F.col(id_col).alias("__xid"),
+        F.col(vec_col).alias("__xv"),
+        "cluster",
+        *([F.col("__csim").alias("__xcsim")] if keep == "farthest" else []),
     )
     y = assigned.select(
-        F.col(id_col).alias("__yid"), F.col(vec_col).alias("__yv"), "cluster"
+        F.col(id_col).alias("__yid"),
+        F.col(vec_col).alias("__yv"),
+        "cluster",
+        *([F.col("__csim").alias("__ycsim")] if keep == "farthest" else []),
     )
     sim = cosine(
         F.col("__xv").cast("array<double>"), F.col("__yv").cast("array<double>")
     )
-    return (
-        x.join(y, "cluster")
-        .filter(F.col("__yid") < F.col("__xid"))
+    pairs = x.join(y, "cluster").filter(F.col("__yid") != F.col("__xid"))
+    if keep == "min_id":
+        dominates = F.col("__yid") < F.col("__xid")
+    else:
+        dominates = (F.col("__ycsim") < F.col("__xcsim")) | (
+            (F.col("__ycsim") == F.col("__xcsim"))
+            & (F.col("__yid") < F.col("__xid"))
+        )
+    grouped = (
+        pairs.filter(dominates)
         .withColumn("__sim", sim)
         .filter(F.col("__sim") >= F.lit(threshold))
-        .groupBy(F.col("__xid").alias(id_col), "cluster")
+        .groupBy(
+            F.col("__xid").alias(id_col),
+            "cluster",
+            *(["__xcsim"] if keep == "farthest" else []),
+        )
         .agg(
             F.min("__yid").alias("dup_of"),
             F.round(F.max("__sim"), 6).alias("max_sim"),
         )
     )
+    if keep == "farthest":
+        grouped = grouped.withColumnRenamed("__xcsim", "centroid_sim").select(
+            id_col, "cluster", "dup_of", "max_sim", "centroid_sim"
+        )
+    return grouped
 
 
 def _window_hashes(

@@ -499,6 +499,62 @@ def semantic_dedup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_farthest",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    elem AS (
+      SELECT label, dim, avg(e[dim]) AS m
+      FROM sub, unnest(generate_series(1, len(e))) AS t(dim)
+      GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY dim) AS c FROM elem GROUP BY label
+    ),
+    scored AS (
+      SELECT s.vec_id, s.label, s.e,
+             round(list_dot_product(s.e, c.c)
+               / (sqrt(list_dot_product(s.e, s.e))
+                  * sqrt(list_dot_product(c.c, c.c))), 6) AS csim
+      FROM sub s JOIN cent c USING (label)
+    )
+    SELECT a.vec_id, a.label AS cluster,
+           MIN(b.vec_id) AS dup_of,
+           round(MAX(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e)))), 6) AS max_sim,
+           a.csim AS centroid_sim
+    FROM scored a JOIN scored b
+      ON a.label = b.label AND b.vec_id != a.vec_id
+     AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+     AND list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    GROUP BY a.vec_id, a.label, a.csim
+    ORDER BY a.vec_id
+    """,
+    tags=("pipeline", "dedup-embedding", "semdedup", "new-surface"),
+    priority=18,
+    doc="SemDeDup with the PAPER'S survivor rule (arXiv:2303.09540 §2: "
+    "within each duplicate relation keep the document farthest from its "
+    "cluster centroid — the least-prototypical, diversity-preserving "
+    "member), deterministic via 6-decimal-rounded centroid cosines with "
+    "id tie-breaks. The min-id greedy twin (semantic_dedup_by_label) "
+    "shares all pair machinery; this adds one n_clusters-row centroid "
+    "aggregate, broadcast back (operators/dedup.py::semantic_dedup, "
+    "keep='farthest').",
+)
+def semantic_dedup_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, cluster_col="label", threshold=0.3, keep="farthest"
+    ).orderBy("vec_id")
+
+
+@register(
     "semantic_dedup_kmeans",
     oracle=None,  # k-means cell boundaries are model-defined; rows-only.
     # Anchored by semantic_dedup_by_label (same pruning machinery,

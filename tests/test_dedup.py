@@ -202,6 +202,73 @@ class TestSemanticDedup:
         }
         assert got == self._exact_removed(rows, 0.9)
 
+    def test_farthest_rule_matches_brute_force(self, spark, vectors):
+        """keep='farthest' (the paper's rule): x is removed iff some
+        qualifying neighbour has strictly lower rounded centroid-cosine
+        (ties by id). Brute-force NumPy twin over a deterministic label
+        clustering."""
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+        df, rows = vectors
+        labeled = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+        got = {
+            r["vec_id"]: (r["dup_of"], r["centroid_sim"])
+            for r in semantic_dedup(
+                labeled, cluster_col="label", threshold=0.9, keep="farthest"
+            ).collect()
+        }
+
+        ids = [r[0] for r in rows]
+        mat = np.array([r[1] for r in rows])
+        labels = {vid: vid % 3 for vid in ids}
+        cents = {
+            g: mat[[i for i, v in enumerate(ids) if labels[v] == g]].mean(axis=0)
+            for g in (0, 1, 2)
+        }
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        csim = {
+            vid: round(cos(mat[i], cents[labels[vid]]), 6)
+            for i, vid in enumerate(ids)
+        }
+        want = {}
+        for i, xid in enumerate(ids):
+            doms = [
+                ids[j]
+                for j in range(len(ids))
+                if ids[j] != xid
+                and labels[ids[j]] == labels[xid]
+                and cos(mat[i], mat[j]) >= 0.9
+                and (
+                    csim[ids[j]] < csim[xid]
+                    or (csim[ids[j]] == csim[xid] and ids[j] < xid)
+                )
+            ]
+            if doms:
+                want[xid] = (min(doms), csim[xid])
+        assert set(got) == set(want)
+        for vid in want:
+            assert got[vid][0] == want[vid][0]
+            assert abs(got[vid][1] - want[vid][1]) < 1e-6
+        # The rule keeps the farthest member: within every cluster, the
+        # minimum-centroid-sim doc is never removed.
+        for g in (0, 1, 2):
+            grp = [v for v in ids if labels[v] == g]
+            keeper = min(grp, key=lambda v: (csim[v], v))
+            assert keeper not in got
+
+    def test_bad_keep_rejected(self, vectors):
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+        df, _ = vectors
+        with pytest.raises(ValueError, match="keep"):
+            semantic_dedup(df, keep="centroid")
+
 
 class TestDuplicateSpans:
     """ExactSubstr-style cross-doc duplicated windows: stats are
