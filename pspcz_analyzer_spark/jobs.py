@@ -294,6 +294,33 @@ def _commit_rewrite(
     _swap_in(stage, path)
 
 
+def _file_may_contain(f: str, key_col: str, key_set: set) -> bool:
+    """Driver-side footer-stats pruning: False only when every row group's
+    [min, max] range on ``key_col`` provably misses every key (metadata
+    read, no data IO). Shared by the swap-committed and manifest-committed
+    delete paths."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(f).metadata
+    ci = next(
+        (
+            i
+            for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == key_col
+        ),
+        None,
+    )
+    if ci is None:
+        return True  # column missing from stats -> cannot prune
+    for g in range(meta.num_row_groups):
+        st = meta.row_group(g).column(ci).statistics
+        if st is None or st.min is None:
+            return True
+        if any(st.min <= k <= st.max for k in key_set):
+            return True
+    return False
+
+
 def delete_keys(
     spark: SparkSession,
     path: str,
@@ -328,28 +355,7 @@ def delete_keys(
 
     files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     key_set = set(keys)
-
-    def may_contain(f: str) -> bool:
-        meta = pq.ParquetFile(f).metadata
-        ci = next(
-            (
-                i
-                for i in range(meta.num_columns)
-                if meta.row_group(0).column(i).path_in_schema == key_col
-            ),
-            None,
-        )
-        if ci is None:
-            return True  # column missing from stats -> cannot prune
-        for g in range(meta.num_row_groups):
-            st = meta.row_group(g).column(ci).statistics
-            if st is None or st.min is None:
-                return True
-            if any(st.min <= k <= st.max for k in key_set):
-                return True
-        return False
-
-    affected = [f for f in files if may_contain(f)]
+    affected = [f for f in files if _file_may_contain(f, key_col, key_set)]
     if not affected:
         return 0, 0
     src = spark.read.parquet(*affected)

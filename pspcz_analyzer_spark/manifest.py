@@ -1,0 +1,259 @@
+"""Manifest-committed table layout — the object-store-safe commit path.
+
+The plain lake ops (``jobs.delete_keys`` / ``compact_small_files``) commit
+by swapping a staged DIRECTORY into place — correct on a POSIX filesystem
+(one atomic rename) but meaningless on an object store, where "rename" is
+copy+delete per object and a directory is a prefix. What production table
+formats (Delta, Iceberg) do instead, and what this module implements in
+minimal form, is: make every pre-commit step ADDITIVE (new uniquely-named
+data files, invisible to readers), and make the commit a single
+CREATE-EXCLUSIVE of the next numbered manifest file. Readers resolve the
+table as "highest manifest version's file list"; old data files stay
+behind for time travel until vacuumed.
+
+Layout::
+
+    <table>/part-*.parquet            data files (never mutated)
+    <table>/_manifest/00000001.json   {"version": 1, "files": [...]}
+    <table>/_manifest/00000002.json   ...
+
+Commit protocol: write the new manifest under a temp name, then
+``os.link``/create-exclusive it at ``_manifest/<next>.json``. If two
+writers race, exactly one create succeeds; the loser gets
+:class:`CommitConflict` and must re-plan against the new version
+(optimistic concurrency, Delta's protocol). On HDFS create-with-overwrite
+=false gives the same guarantee; on S3 the equivalent is a conditional
+PUT (If-None-Match), noted per-op. Spark ignores ``_``-prefixed
+directories, so plain ``spark.read.parquet(<table>)`` still works — it
+just sees ALL files (every version's); manifest-aware readers use
+:func:`load_manifest_table`.
+
+Crash semantics by construction: every failure before the create-exclusive
+leaves the previous version fully intact and serves it; after it, the new
+version is complete (its data files were written before the manifest
+referencing them). There is no window where a reader can observe a
+partial file set — the property the directory-swap path achieves with
+POSIX rename, achieved here with object-store-compatible primitives.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifest"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first; re-plan and retry."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, MANIFEST_DIR)
+
+
+def _versions(path: str) -> list[int]:
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json"):
+            try:
+                out.append(int(f[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_version(path: str) -> int:
+    """Latest committed manifest version (0 = no manifest)."""
+    vs = _versions(path)
+    return vs[-1] if vs else 0
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    """The manifest dict {version, files} for ``version`` (default latest)."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no manifest at {path}; run manifest_init")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    with open(os.path.join(_manifest_dir(path), f"{v:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _commit(path: str, files: list[str], expected_version: int) -> int:
+    """Commit ``files`` as version ``expected_version + 1`` via
+    create-exclusive; raises :class:`CommitConflict` if someone else got
+    there first. Returns the committed version."""
+    new_v = expected_version + 1
+    d = _manifest_dir(path)
+    os.makedirs(d, exist_ok=True)
+    body = json.dumps(
+        {"version": new_v, "files": sorted(files)}, indent=0
+    ).encode()
+    tmp = os.path.join(d, f".tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "wb") as fh:
+        fh.write(body)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = os.path.join(d, f"{new_v:08d}.json")
+    try:
+        # link(2) fails with EEXIST if the target exists — the atomic
+        # create-exclusive this protocol needs (O_EXCL open would also do;
+        # link keeps the fsync'd bytes). On S3: conditional PUT.
+        os.link(tmp, target)
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"version {new_v} already committed at {path}; re-plan"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    return new_v
+
+
+def manifest_init(path: str) -> int:
+    """Adopt an existing plain Parquet directory: version 1 = its current
+    file list. No-op (returns the current version) if already initialized."""
+    if _versions(path):
+        return current_version(path)
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    return _commit(path, files, 0)
+
+
+def load_manifest_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF ``version`` (default latest) — the file list
+    pinned at plan time, so a concurrent commit cannot shift the snapshot
+    mid-query (and old versions stay readable until vacuumed: time
+    travel)."""
+    m = read_manifest(path, version)
+    if not m["files"]:
+        return spark.createDataFrame([], spark.read.parquet(path).schema)
+    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+
+
+def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
+    """Write a DataFrame as new uniquely-named data files INSIDE the table
+    directory (additive — invisible to manifest readers until a commit
+    references them). Returns the new basenames."""
+    import glob as _glob
+    import shutil as _shutil
+
+    stage = os.path.join(path, f".stage_{uuid.uuid4().hex[:8]}")
+    spark_df.write.mode("overwrite").parquet(stage)
+    out = []
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(stage, "*.parquet")))):
+        name = f"{prefix}-{uuid.uuid4().hex[:12]}-{i}.parquet"
+        os.rename(f, os.path.join(path, name))
+        out.append(name)
+    _shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: "list",
+) -> "tuple[int, int]":
+    """Manifest-committed targeted deletion — ``jobs.delete_keys`` with the
+    object-store commit: victims found by footer min/max stats over the
+    CURRENT manifest's files, survivors rewritten as new data files, and
+    the whole change published as one new manifest version. Pre-commit
+    crash: previous version intact (new files are unreferenced garbage for
+    vacuum). Returns (files_rewritten, rows_deleted)."""
+    import pyarrow.parquet as pq
+
+    from pspcz_analyzer_spark.jobs import _file_may_contain
+
+    m = read_manifest(path)
+    files = [os.path.join(path, f) for f in m["files"]]
+    key_set = set(keys)
+    affected = [f for f in files if _file_may_contain(f, key_col, key_set)]
+    if not affected:
+        return 0, 0
+    kept = spark.read.parquet(*affected).filter(~F.col(key_col).isin(*key_set))
+    new_names = _stage_rewrites(kept, path, "del")
+    rows_before = sum(pq.ParquetFile(f).metadata.num_rows for f in affected)
+    rows_after = sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in new_names
+    )
+    victims = {os.path.basename(f) for f in affected}
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    _commit(path, new_files, m["version"])
+    return len(affected), rows_before - rows_after
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> "tuple[int, int]":
+    """Manifest-committed OPTIMIZE: merge the current version's files below
+    half ``target_bytes`` into ~target-size outputs, publish as one new
+    version. Cost tracks small-file bytes; large files are never read.
+    Returns (files_merged, files_written)."""
+    m = read_manifest(path)
+    sizes = {
+        f: os.path.getsize(os.path.join(path, f)) for f in m["files"]
+    }
+    small = [f for f in m["files"] if sizes[f] < target_bytes // 2]
+    if len(small) < 2:
+        return 0, 0
+    bins: "list[list[str]]" = [[]]
+    acc = 0
+    for f in small:
+        if bins[-1] and acc + sizes[f] > target_bytes:
+            bins.append([])
+            acc = 0
+        bins[-1].append(f)
+        acc += sizes[f]
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return 0, 0
+    new_names: list[str] = []
+    merged: list[str] = []
+    for b in bins:
+        out = spark.read.parquet(*[os.path.join(path, f) for f in b]).coalesce(1)
+        new_names += _stage_rewrites(out, path, "compact")
+        merged += b
+    victims = set(merged)
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    _commit(path, new_files, m["version"])
+    return len(merged), len(new_names)
+
+
+def vacuum(path: str, retain_versions: int = 1) -> int:
+    """Garbage-collect data files referenced by NO retained manifest
+    version, and drop the pruned manifests. ``retain_versions`` >= 1 keeps
+    that many latest versions readable (time travel window); readers of
+    vacuumed versions lose them — the documented Delta/Iceberg trade.
+    Idempotent. Returns the number of data files removed."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    vs = _versions(path)
+    if not vs:
+        return 0
+    keep_vs = vs[-retain_versions:]
+    referenced: set[str] = set()
+    for v in keep_vs:
+        referenced.update(read_manifest(path, v)["files"])
+    removed = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and f not in referenced:
+            os.unlink(os.path.join(path, f))
+            removed += 1
+    for v in vs[:-retain_versions]:
+        os.unlink(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
+    return removed

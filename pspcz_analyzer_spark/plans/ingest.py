@@ -391,3 +391,51 @@ def parquet_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "manifest_delete_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id NOT IN (3, 4)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S10", "S12", "delete", "manifest", "sink", "scale"),
+    doc="Manifest-committed targeted deletion (manifest.py::delete_keys): "
+    "the object-store-safe commit path — survivors written as ADDITIVE "
+    "uniquely-named data files, the change published as one "
+    "create-exclusive manifest version (no rename-a-directory POSIX "
+    "assumption, Delta's optimistic protocol in minimal form). The "
+    "manifest snapshot read back must equal the raw-table oracle minus "
+    "exactly the victim users; version 1 stays time-travel-readable "
+    "(asserted in test_manifest.py along with crash/conflict/vacuum "
+    "semantics).",
+    priority=18,
+)
+def manifest_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_manifest")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path)
+    M.delete_keys(spark, path, "user_id", [3, 4])
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,116 @@
+"""Manifest-committed table layout (pspcz_analyzer_spark.manifest): the
+object-store-safe commit path — additive data files, create-exclusive
+version commit, optimistic concurrency, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from pspcz_analyzer_spark import manifest as M
+from pspcz_analyzer_spark.jobs import write_range_sorted
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(4_000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+    )
+    path = str(tmp_path / "mtab")
+    write_range_sorted(df, path, "user_id", num_partitions=6)
+    M.manifest_init(path)
+    return path
+
+
+class TestManifestBasics:
+    def test_init_adopts_existing_files_and_is_idempotent(self, spark, table):
+        assert M.current_version(table) == 1
+        assert M.manifest_init(table) == 1  # no-op second init
+        m = M.read_manifest(table)
+        assert len(m["files"]) == 6
+        assert M.load_manifest_table(spark, table).count() == 4_000
+
+    def test_plain_spark_read_still_works(self, spark, table):
+        # _manifest/ is underscore-prefixed: invisible to a vanilla scan.
+        assert spark.read.parquet(table).count() == 4_000
+
+
+class TestManifestDelete:
+    def test_delete_commits_new_version_and_preserves_old(self, spark, table):
+        nf, deleted = M.delete_keys(spark, table, "user_id", [7, 8])
+        assert deleted == 80 and nf >= 1
+        assert M.current_version(table) == 2
+        now = M.load_manifest_table(spark, table)
+        assert now.count() == 3_920
+        assert now.filter(F.col("user_id").isin(7, 8)).count() == 0
+        # Time travel: version 1 still serves the pre-delete snapshot.
+        before = M.load_manifest_table(spark, table, version=1)
+        assert before.count() == 4_000
+
+    def test_crash_before_commit_leaves_version_intact(
+        self, spark, table, monkeypatch
+    ):
+        """Everything before the create-exclusive is additive; a crash
+        there must leave the current version's file list and rows exactly
+        as they were (new files are unreferenced garbage for vacuum)."""
+        files_before = sorted(M.read_manifest(table)["files"])
+
+        def boom(path, files, expected_version):
+            raise RuntimeError("injected crash at commit")
+
+        monkeypatch.setattr(M, "_commit", boom)
+        with pytest.raises(RuntimeError):
+            M.delete_keys(spark, table, "user_id", [7])
+        monkeypatch.undo()
+        assert M.current_version(table) == 1
+        assert sorted(M.read_manifest(table)["files"]) == files_before
+        assert M.load_manifest_table(spark, table).count() == 4_000
+        # Recovery: re-run commits fully; vacuum sweeps the orphans.
+        _, deleted = M.delete_keys(spark, table, "user_id", [7])
+        assert deleted == 40
+        removed = M.vacuum(table, retain_versions=1)
+        assert removed >= 1  # the orphaned crash-run rewrites went away
+        assert M.load_manifest_table(spark, table).count() == 3_960
+
+    def test_concurrent_commit_conflict(self, spark, table):
+        """Two writers planning against the same version: exactly one
+        create-exclusive wins, the loser gets CommitConflict."""
+        m = M.read_manifest(table)
+        M._commit(table, m["files"], m["version"])  # writer A wins v2
+        with pytest.raises(M.CommitConflict):
+            M._commit(table, m["files"], m["version"])  # writer B loses
+
+
+class TestManifestCompact:
+    def test_compact_merges_and_row_counts_survive(self, spark, tmp_path):
+        df = spark.range(8_000).select(F.col("id").alias("k"))
+        path = str(tmp_path / "mcomp")
+        df.repartition(8).write.parquet(path)
+        M.manifest_init(path)
+        merged, written = M.compact_small_files(spark, path, target_bytes=10**9)
+        assert merged == 8 and written == 1
+        assert M.current_version(path) == 2
+        assert M.load_manifest_table(spark, path).count() == 8_000
+        # Idempotent: nothing left below threshold.
+        assert M.compact_small_files(spark, path, target_bytes=10**9) == (0, 0)
+
+    def test_vacuum_respects_retention(self, spark, tmp_path):
+        df = spark.range(1_000).select(F.col("id").alias("k"))
+        path = str(tmp_path / "mvac")
+        df.repartition(4).write.parquet(path)
+        M.manifest_init(path)
+        M.compact_small_files(spark, path, target_bytes=10**9)
+        # retain 2 versions: both readable, nothing to remove (v1 files
+        # still referenced by the retained v1 manifest).
+        assert M.vacuum(path, retain_versions=2) == 0
+        assert M.load_manifest_table(spark, path, version=1).count() == 1_000
+        # retain 1: v1's small files go, v1 manifest pruned.
+        removed = M.vacuum(path, retain_versions=1)
+        assert removed == 4
+        with pytest.raises(FileNotFoundError):
+            M.read_manifest(path, version=1)
+        assert M.load_manifest_table(spark, path).count() == 1_000
+        with pytest.raises(ValueError):
+            M.vacuum(path, retain_versions=0)
