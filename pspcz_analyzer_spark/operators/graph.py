@@ -131,3 +131,80 @@ def cluster_pairs(
         "component",
         F.count(F.lit(1)).over(w).cast("long").alias("component_size"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) over a directed edge
+    list — the influence/centrality measure for citation graphs (which
+    laws cite which), reference networks, and buyer-supplier graphs.
+
+    Semantics: ranks start uniform at 1/N over the node universe
+    (distinct src + dst); each iteration every node distributes its rank
+    equally over its out-edges, DANGLING nodes (no out-edges) spread
+    their mass uniformly over all nodes, and
+    ``rank' = (1-d)/N + d * (inflow + dangling_mass/N)``. Total mass
+    stays 1 every round (asserted in tests). Fixed ``n_iter`` (not a
+    convergence test) keeps the result a pure function of the graph, so
+    the DuckDB oracle can replay the exact same 10 unrolled iterations.
+
+    Scale shape (same contract as :func:`connected_components`): each
+    iteration is ONE shuffle — edges join ranks on src, contributions
+    group by dst; out-degrees are computed once and live in the edge
+    frame; the dangling mass is a scalar aggregate collected per round
+    (driver payload = one double). Per-round frames are eagerly
+    localCheckpoint'd so plan size stays constant across iterations.
+    Returns (node, rank) with rank UNROUNDED — callers round once at
+    their output edge (double rounding, e.g. 8-then-6 decimals, flips
+    boundary values vs a single round and breaks oracle comparisons).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).distinct()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    # Edges with the source's out-degree attached — computed once, reused
+    # every round (one persisted frame; the join below keys on src).
+    ed = e.join(deg, "a").persist(StorageLevel.MEMORY_AND_DISK)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        inflow = (
+            ed.join(ranks.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    ed.unpersist()
+    return ranks.select("node", "rank")

@@ -1028,3 +1028,87 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     ).orderBy("o_orderkey")
+
+
+def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as plain SQL: the recursive-CTE
+    route is closed (aggregates are not allowed in a recursive term), so
+    the 10 iterations are generated as 10 MATERIALIZED CTE pairs
+    (dangling-mass scalar + rank relation). MATERIALIZED is load-bearing:
+    each iteration references its predecessor twice, so default inlining
+    would expand the base scans 2^10 times."""
+    parts = [
+        """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (
+      SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT COALESCE(sum(r.rank), 0) AS m
+      FROM r{p} r LEFT JOIN deg ON r.node = deg.src
+      WHERE deg.src IS NULL
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT n.node,
+             (1 - {damping})/(SELECT n FROM nn)
+             + {damping} * (COALESCE(c.inflow, 0)
+                            + (SELECT m FROM d{i})/(SELECT n FROM nn)) AS rank
+      FROM nodes n
+      LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.d) AS inflow
+                 FROM edges e
+                 JOIN r{p} r ON e.src = r.node
+                 JOIN deg ON e.src = deg.src
+                 GROUP BY e.dst) c ON n.node = c.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, round(rank, 6) AS rank
+    FROM r{n_iter}
+    ORDER BY round(rank, 6) DESC, node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_suppliers",
+    oracle=_pagerank_oracle_sql(),
+    tags=("graph", "iterative", "pagerank", "new-surface"),
+    priority=18,
+    doc="Fixed-iteration PageRank (operators/graph.py::pagerank) over the "
+    "buyer->supplier graph (distinct customer->supplier edges through "
+    "orders+lineitem; supplier ids offset by 1e6): influence/centrality "
+    "for citation and reference networks, the second classic iterative "
+    "graph op beside connected components. 10 iterations, damping 0.85, "
+    "dangling mass redistributed uniformly — one edge-join shuffle per "
+    "iteration, per-round frames localCheckpoint'd so plan size stays "
+    "constant. Oracle: the SAME 10 iterations unrolled as MATERIALIZED "
+    "CTEs; Spark and DuckDB agree to 6 decimals on all ~1600 nodes.",
+)
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return (
+        pagerank(edges, n_iter=10, damping=0.85)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+    )

@@ -96,3 +96,55 @@ def test_nonconvergence_raises_not_partial(spark):
     # The same graph with enough rounds converges to one component.
     got = connected_components(edges, max_iter=25).collect()
     assert {r["component"] for r in got} == {0}
+
+
+class TestPageRank:
+    """Fixed-iteration PageRank vs a NumPy power-iteration twin, including
+    dangling-mass redistribution and mass conservation."""
+
+    @staticmethod
+    def _numpy_pagerank(edges, damping=0.85, n_iter=10):
+        import numpy as np
+
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        out = {}
+        for a, b in set(edges):
+            out.setdefault(a, []).append(b)
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            nxt = np.full(n, (1.0 - damping) / n)
+            dangling = sum(r[idx[v]] for v in nodes if v not in out)
+            nxt += damping * dangling / n
+            for a, targets in out.items():
+                share = r[idx[a]] / len(targets)
+                for b in targets:
+                    nxt[idx[b]] += damping * share
+            r = nxt
+        return {v: r[idx[v]] for v in nodes}
+
+    def test_matches_numpy_with_dangling_nodes(self, spark):
+        from pspcz_analyzer_spark.operators.graph import pagerank
+
+        # C->A makes a cycle; D is dangling (in-edges only).
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (0, 3), (4, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+        want = self._numpy_pagerank(edges)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-7, v
+        # Mass conservation: ranks sum to 1.
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+        # The cycle hub (node 0) outranks the pure sink (node 3).
+        assert got[0] > got[3]
+
+    def test_duplicate_edges_collapse(self, spark):
+        from pspcz_analyzer_spark.operators.graph import pagerank
+
+        df1 = spark.createDataFrame([(0, 1), (0, 1), (1, 0)], "src long, dst long")
+        df2 = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+        r1 = {r["node"]: r["rank"] for r in pagerank(df1, n_iter=5).collect()}
+        r2 = {r["node"]: r["rank"] for r in pagerank(df2, n_iter=5).collect()}
+        assert r1 == r2
