@@ -520,8 +520,9 @@ def _window_hashes(
     bound): negligible below ~10^8 distinct windows (<0.1 expected
     collisions), and at a 10^12-window corpus ~10^4 token positions out of
     10^12 would be spuriously excised — an acceptable loss rate for
-    training-data cleaning; callers needing exactness should re-join the
-    flagged (id, start) pairs back to the window strings and compare."""
+    training-data cleaning; callers needing exactness pass ``verify=True``
+    to the span ops, which adds the string-confirmation pass
+    (:func:`_dup_window_rows`)."""
     toks = F.split(normalize_text(text_col), " ")
     proj = _spread(
         df.select(F.col(id_col), toks.alias("__t")), scan_shaped=True
@@ -546,12 +547,58 @@ def _window_hashes(
     ).select(id_col, (F.col("__pos0") + 1).alias("start"), "whash")
 
 
+def _dup_window_rows(
+    df: DataFrame,
+    wins: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    min_docs: int,
+    verify: bool,
+) -> DataFrame:
+    """The (id, start, whash) rows belonging to cross-document duplicated
+    windows. Without ``verify``, duplicate = hash seen in >= min_docs
+    distinct docs (64-bit xxhash identity — the documented ~n^2/2^65
+    false-positive bound). With ``verify``, flagged rows are joined back
+    to their actual window STRINGS and a hash survives only where some
+    single string occurs in >= min_docs distinct docs — exact, at the
+    cost of one extra join against the corpus whose expansion is bounded
+    by the flagged rows (tiny unless the corpus is mostly duplicated)."""
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("whash")
+    )
+    flagged = wins.join(dup_hashes, "whash")
+    if not verify:
+        return flagged
+    toks = F.split(normalize_text(text_col), " ")
+    docs = df.select(F.col(id_col), toks.alias("__t"))
+    with_str = flagged.join(docs, id_col).select(
+        id_col,
+        "start",
+        "whash",
+        F.array_join(F.slice("__t", F.col("start"), window), " ").alias("__w"),
+    )
+    verified = (
+        with_str.groupBy("whash", "__w")
+        .agg(F.countDistinct(id_col).alias("__n"))
+        .filter(F.col("__n") >= min_docs)
+        .select("whash", "__w")
+    )
+    return with_str.join(verified, ["whash", "__w"]).select(
+        id_col, "start", "whash"
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 10,
     min_docs: int = 2,
+    verify: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-span statistics — the ExactSubstr signal
     of Lee et al. 2022 (arXiv:2107.06499: verbatim token runs repeated
@@ -578,21 +625,19 @@ def duplicate_span_stats(
     as the letters side of the amendments merge
     (operators/amendments.py:43-49): results return lazily, LRU eviction
     reclaims the cache.
+
+    ``verify=True`` adds the exact string-confirmation pass
+    (:func:`_dup_window_rows`) for callers that cannot accept the 64-bit
+    hash-collision bound.
     """
     from pyspark import StorageLevel
 
     wins = _window_hashes(df, text_col, id_col, window).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dup_hashes = (
-        wins.groupBy("whash")
-        .agg(F.countDistinct(id_col).alias("__n_docs"))
-        .filter(F.col("__n_docs") >= min_docs)
-        .select("whash")
-    )
     per_doc = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
     dup_per_doc = (
-        wins.join(dup_hashes, "whash")
+        _dup_window_rows(df, wins, text_col, id_col, window, min_docs, verify)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__n_dup"))
     )
@@ -619,6 +664,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     window: int = 10,
     min_docs: int = 2,
+    verify: bool = False,
 ) -> DataFrame:
     """Drop every token covered by a cross-document duplicated window —
     the removal half of ExactSubstr dedup (Lee et al. 2022): boilerplate
@@ -639,6 +685,10 @@ def remove_duplicate_spans(
     reassembly scan over ``df`` itself is separate and unavoidable (it
     needs the full token arrays, which the 12-byte window stream
     deliberately does not carry).
+
+    ``verify=True`` adds the exact string-confirmation pass
+    (:func:`_dup_window_rows`) for callers that cannot accept the 64-bit
+    hash-collision bound.
     """
     from pyspark import StorageLevel
 
@@ -647,14 +697,8 @@ def remove_duplicate_spans(
     wins = _window_hashes(df, text_col, id_col, window).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dup_hashes = (
-        wins.groupBy("whash")
-        .agg(F.countDistinct(id_col).alias("__n_docs"))
-        .filter(F.col("__n_docs") >= min_docs)
-        .select("whash")
-    )
     starts = (
-        wins.join(dup_hashes, "whash")
+        _dup_window_rows(df, wins, text_col, id_col, window, min_docs, verify)
         .groupBy(id_col)
         .agg(F.collect_list("start").alias("__starts"))
     )

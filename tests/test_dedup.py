@@ -333,6 +333,36 @@ class TestDuplicateSpans:
         assert stats[3] == 0
         assert 4 not in stats  # shorter than the window: no window rows
 
+    def test_verify_mode_matches_hash_mode_and_brute_force(self, span_corpus):
+        """verify=True adds the exact string-confirmation join; with no
+        hash collisions (the only case constructible — 2^64 identities)
+        it must be output-identical to hash mode and the brute force, for
+        both the stats and the removal op."""
+        from pspcz_analyzer_spark.operators.dedup import (
+            duplicate_span_stats,
+            remove_duplicate_spans,
+        )
+
+        rows = [(r["doc_id"], r["text"]) for r in span_corpus.collect()]
+        expect = self._brute(rows, window=4, min_docs=2)
+        got_v = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+            for r in remove_duplicate_spans(
+                span_corpus, window=4, verify=True
+            ).collect()
+        }
+        assert got_v == expect
+        plain = sorted(
+            map(tuple, duplicate_span_stats(span_corpus, window=4).collect())
+        )
+        verified = sorted(
+            map(
+                tuple,
+                duplicate_span_stats(span_corpus, window=4, verify=True).collect(),
+            )
+        )
+        assert plain == verified
+
 
 class TestSemanticDedupExtend:
     """Incremental SemDeDup vs a stored IVF index: exhaustive probing is
