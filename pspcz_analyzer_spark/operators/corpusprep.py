@@ -863,3 +863,101 @@ def weighted_sample(
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
     keyed = df.withColumn("__priority", F.pow(u, F.lit(1.0) / w))
     return keyed.orderBy(F.desc("__priority"), F.asc(id_col)).limit(k)
+
+
+def dsir_logratio_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance scores (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): rank raw-corpus documents by how
+    target-domain-like they are, using hashed n-gram features — the
+    standard cheap alternative to a trained domain classifier for
+    assembling a pretraining mixture that matches a small high-quality
+    target set.
+
+    Features are unigrams + bigrams of the normalized text, hashed into
+    ``n_buckets`` buckets (md5-prefix mod — deterministic and
+    engine-reproducible, same idiom as ``weighted_sample``). Bucket
+    unigram models p_target / p_source get Laplace ``smoothing``; a
+    document's score is  sum_b c_b(doc) * (ln p_t(b) - ln p_s(b)) —
+    its log importance weight under the hashed-n-gram class of the
+    paper. Select by thresholding the score or by importance
+    RESAMPLING: ``weighted_sample`` over ``exp(score / n_feats)``-style
+    weights (normalize by length first or long docs dominate).
+
+    Plan shape: one explode of the corpus into (id, bucket) pairs —
+    2 rows per token, 8-byte payload; both distributions are
+    ``n_buckets``-row aggregates (map-side combined) BROADCAST back onto
+    the per-doc bucket counts, so the corpus shuffles once on (id,
+    bucket) and nothing joins corpus-sized against corpus-sized. The
+    target set is benchmark-sized by assumption. Returns (id_col,
+    n_feats, dsir_score) with the score rounded to 6.
+    """
+    from pspcz_analyzer_spark.functions.text import normalize_text
+
+    def feats(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = F.split(normalize_text(text_col), " ")
+        n = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        grams = F.concat(toks, bigrams)
+        out = df.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.explode(grams).alias("__g"),
+        ).filter(F.length("__g") > 0)
+        return out.withColumn(
+            "__b",
+            F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("long")
+            % n_buckets,
+        )
+
+    def bucket_logprobs(df: DataFrame, name: str) -> DataFrame:
+        counts = feats(df, keep_id=False).groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        spark = df.sparkSession
+        full = (
+            spark.range(n_buckets)
+            .select(F.col("id").alias("__b"))
+            .join(counts, "__b", "left")
+            .select("__b", F.coalesce("__c", F.lit(0)).alias("__c"))
+        )
+        # total recomputed from the joined frame keeps this one plan (no
+        # scalar collect); n_buckets rows, window over all is fine.
+        from pyspark.sql import Window
+
+        tot = F.sum("__c").over(Window.partitionBy())
+        return full.select(
+            "__b",
+            F.log(
+                (F.col("__c") + F.lit(smoothing))
+                / (tot + F.lit(smoothing * n_buckets))
+            ).alias(name),
+        )
+
+    logs = F.broadcast(
+        bucket_logprobs(target, "__lp_t").join(
+            bucket_logprobs(corpus, "__lp_s"), "__b"
+        )
+    )
+    doc_buckets = feats(corpus, keep_id=True).groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        doc_buckets.join(logs, "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_feats"),
+            F.round(
+                F.sum(F.col("__c") * (F.col("__lp_t") - F.col("__lp_s"))), 6
+            ).alias("dsir_score"),
+        )
+    )

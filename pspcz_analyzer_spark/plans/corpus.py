@@ -987,3 +987,73 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round("__priority", 6).alias("priority"),
     )
+
+
+_DSIR_NORM = _NORM.format(c="text")
+
+_DSIR_FEATS = """
+  SELECT {id_sel} (('0x' || substr(md5(f), 1, 8))::BIGINT % 1024) AS b
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+      string_split(nt, ' '),
+      list_transform(range(1, len(string_split(nt, ' '))),
+        i -> string_split(nt, ' ')[i] || ' ' || string_split(nt, ' ')[i + 1])
+    )) AS f
+    FROM {src}
+  )
+  WHERE length(f) > 0
+"""
+
+
+@register(
+    "corpus_dsir_scores",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, {_DSIR_NORM} AS nt FROM documents WHERE doc_id % 10 != 0
+    ),
+    tgt AS (
+      SELECT doc_id, {_DSIR_NORM} AS nt FROM documents WHERE doc_id % 10 = 0
+    ),
+    cf AS ({_DSIR_FEATS.format(id_sel="doc_id,", src="corpus")}),
+    tf AS ({_DSIR_FEATS.format(id_sel="", src="tgt")}),
+    sb AS (SELECT b, count(*) AS c FROM cf GROUP BY b),
+    tb AS (SELECT b, count(*) AS c FROM tf GROUP BY b),
+    stot AS (SELECT count(*) AS t FROM cf),
+    ttot AS (SELECT count(*) AS t FROM tf),
+    buckets AS (SELECT unnest(range(0, 1024)) AS b),
+    logs AS (
+      SELECT buckets.b,
+             ln((COALESCE(tb.c, 0) + 1.0)
+                / ((SELECT t FROM ttot) + 1024.0)) AS lp_t,
+             ln((COALESCE(sb.c, 0) + 1.0)
+                / ((SELECT t FROM stot) + 1024.0)) AS lp_s
+      FROM buckets
+      LEFT JOIN tb ON buckets.b = tb.b
+      LEFT JOIN sb ON buckets.b = sb.b
+    ),
+    db AS (SELECT doc_id, b, count(*) AS c FROM cf GROUP BY doc_id, b)
+    SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_feats,
+           round(sum(db.c * (logs.lp_t - logs.lp_s)), 6) AS dsir_score
+    FROM db JOIN logs ON db.b = logs.b
+    GROUP BY db.doc_id
+    ORDER BY db.doc_id
+    """,
+    tags=("pipeline", "selection", "dsir", "new-surface"),
+    priority=18,
+    doc="DSIR importance scores (Data Selection via Importance "
+    "Resampling, Xie et al. 2023, arXiv:2302.03169 — "
+    "operators/corpusprep.py::dsir_logratio_scores): every 10th doc "
+    "plays the high-quality target set, the rest the raw corpus; each "
+    "corpus doc scored by sum c_b * (ln p_target(b) - ln p_source(b)) "
+    "over 1024 hashed unigram+bigram buckets with Laplace smoothing. "
+    "One corpus explode, two 1024-row distribution aggregates broadcast "
+    "back — the corpus never joins corpus-sized state. Compose with "
+    "corpus_weighted_sample for the paper's importance-resampling draw.",
+)
+def corpus_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import dsir_logratio_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return dsir_logratio_scores(corpus, target, n_buckets=1024).orderBy("doc_id")

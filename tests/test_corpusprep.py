@@ -702,3 +702,69 @@ class TestWeightedSample:
         df.unpersist()
         # E[heavy] >> E[light]: w=8 of total 27 across 5 slots vs w=1.
         assert hits_heavy >= hits_light + 8, (hits_heavy, hits_light)
+
+
+class TestDsir:
+    """DSIR hashed-n-gram importance scores vs a Python brute force with
+    the same md5 bucketing and Laplace smoothing."""
+
+    def test_matches_brute_force(self, spark):
+        import hashlib
+        import math
+
+        from pspcz_analyzer_spark.operators.corpusprep import dsir_logratio_scores
+
+        corpus_rows = [
+            (1, "the cat sat on the mat"),
+            (2, "stock market prices rose sharply today"),
+            (3, "the dog sat on the log"),
+            (4, "quarterly earnings beat market expectations"),
+        ]
+        target_rows = [
+            (100, "market prices and earnings reports"),
+            (101, "the stock market rose again"),
+        ]
+        K, alpha = 64, 1.0
+
+        def grams(text):
+            t = text.lower().split()
+            return [g for g in t + [f"{a} {b}" for a, b in zip(t, t[1:])] if g]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % K
+
+        def dist(rows):
+            counts = {}
+            tot = 0
+            for _, text in rows:
+                for g in grams(text):
+                    counts[bucket(g)] = counts.get(bucket(g), 0) + 1
+                    tot += 1
+            return {
+                b: math.log((counts.get(b, 0) + alpha) / (tot + alpha * K))
+                for b in range(K)
+            }
+
+        lp_t, lp_s = dist(target_rows), dist(corpus_rows)
+        want = {}
+        for did, text in corpus_rows:
+            gs = grams(text)
+            want[did] = (
+                len(gs),
+                round(sum(lp_t[bucket(g)] - lp_s[bucket(g)] for g in gs), 6),
+            )
+
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        target = spark.createDataFrame(target_rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_feats"], r["dsir_score"])
+            for r in dsir_logratio_scores(
+                corpus, target, n_buckets=K, smoothing=alpha
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for did in want:
+            assert got[did][0] == want[did][0], did
+            assert abs(got[did][1] - want[did][1]) < 1e-6, did
+        # Target-like docs must outscore off-domain ones.
+        assert got[2][1] > got[1][1] and got[4][1] > got[3][1]
