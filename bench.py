@@ -70,6 +70,12 @@ HEADLINE = [
     "semantic_dedup_kmeans",
     "doc_duplicate_spans",
     "events_range_join_windows",
+    # Round-5 additions.
+    "semantic_dedup_farthest",
+    "pagerank_suppliers",
+    "corpus_dsir_scores",
+    "parquet_delete_roundtrip",
+    "manifest_delete_roundtrip",
 ]
 
 

@@ -972,9 +972,11 @@ def doc_duplicate_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Weighted sampling without replacement (Efraimidis-Spirakis "
     "A-ES): 50 docs with probability proportional to length — "
     "priorities u^(1/w) from a salted md5 uniform, global top-k as "
-    "TakeOrderedAndProject; deterministic and partition-independent, so "
-    "the DuckDB oracle reproduces the exact draw bit-for-bit "
-    "(operators/corpusprep.py::weighted_sample). Complements the "
+    "TakeOrderedAndProject; deterministic and partition-independent, and "
+    "the DuckDB oracle recomputes the same draw from the same md5 hex "
+    "(engine-agreeing in practice; see the operator docstring for the "
+    "pow() ULP caveat) (operators/corpusprep.py::weighted_sample). "
+    "Complements the "
     "rate-based stratified/temperature samplers with an exact-k, "
     "exact-weights draw.",
 )
