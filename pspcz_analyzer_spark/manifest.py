@@ -160,6 +160,17 @@ def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
     return out
 
 
+def append(df: DataFrame, path: str) -> int:
+    """Manifest-committed append: write the batch as new data files and
+    publish one new version referencing old + new. The object-store-safe
+    ingestion op — a crashed append leaves unreferenced files for
+    :func:`vacuum`, never a partially-visible batch. Returns the
+    committed version."""
+    m = read_manifest(path)
+    new_names = _stage_rewrites(df, path, "append")
+    return _commit(path, m["files"] + new_names, m["version"])
+
+
 def delete_keys(
     spark: SparkSession,
     path: str,

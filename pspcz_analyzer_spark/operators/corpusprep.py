@@ -930,16 +930,15 @@ def dsir_logratio_scores(
             .join(counts, "__b", "left")
             .select("__b", F.coalesce("__c", F.lit(0)).alias("__c"))
         )
-        # total recomputed from the joined frame keeps this one plan (no
-        # scalar collect); n_buckets rows, window over all is fine.
-        from pyspark.sql import Window
-
-        tot = F.sum("__c").over(Window.partitionBy())
-        return full.select(
+        # Total as a broadcast one-row aggregate (the repo's standing
+        # scalar pattern) — not a partition-less window, which the plan
+        # net rejects as a single-task funnel even when bounded.
+        tot = full.agg(F.sum("__c").alias("__t"))
+        return full.crossJoin(F.broadcast(tot)).select(
             "__b",
             F.log(
                 (F.col("__c") + F.lit(smoothing))
-                / (tot + F.lit(smoothing * n_buckets))
+                / (F.col("__t") + F.lit(smoothing * n_buckets))
             ).alias(name),
         )
 

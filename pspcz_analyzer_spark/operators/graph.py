@@ -156,9 +156,10 @@ def pagerank(
     Scale shape (same contract as :func:`connected_components`): each
     iteration is ONE shuffle — edges join ranks on src, contributions
     group by dst; out-degrees are computed once and live in the edge
-    frame; the dangling mass is a scalar aggregate collected per round
-    (driver payload = one double). Per-round frames are eagerly
-    localCheckpoint'd so plan size stays constant across iterations.
+    frame; the dangling mass is a one-row aggregate broadcast-crossed
+    into the same job (never collected — each round is exactly one
+    action, the eager localCheckpoint). Per-round checkpoints keep plan
+    size constant across iterations.
     Returns (node, rank) with rank UNROUNDED — callers round once at
     their output edge (double rounding, e.g. 8-then-6 decimals, flips
     boundary values vs a single round and breaks oracle comparisons).
@@ -183,10 +184,9 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(n_iter):
-        dangling = (
+        dangling = F.broadcast(
             ranks.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         inflow = (
             ed.join(ranks.withColumnRenamed("node", "a"), "a")
@@ -195,12 +195,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(inflow, "node", "left")
+            .crossJoin(dangling)
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce("__in", F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()

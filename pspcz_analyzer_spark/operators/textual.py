@@ -105,3 +105,71 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """md5-of-normalized-text content fingerprint column."""
     return df.withColumn("fingerprint", fingerprint(text_col))
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1 — the filter set reused by MassiveText /
+    RefinedWeb / Dolma): named per-rule booleans plus the conjunction
+    ``keep_gopher``, so pipelines can both filter and AUDIT which rule
+    fired (the flags are the data card).
+
+    Rules (document dropped when the flag is False):
+
+    * ``ok_word_count``       50 <= words <= 100,000
+    * ``ok_mean_word_len``    3 <= mean word length <= 10
+    * ``ok_symbol_ratio``     (# + ...) per word <= 0.1
+    * ``ok_bullet_lines``     < 90% of lines start with a bullet
+    * ``ok_ellipsis_lines``   < 30% of lines end with an ellipsis
+    * ``ok_alpha_words``      >= 80% of words contain a letter
+    * ``ok_stopwords``        >= 2 distinct English stopword hits
+      (the, be/is, to, of, and, that, have, with)
+
+    All pure codegen'd column expressions over ONE scan — no UDF, no
+    shuffle; embarrassingly parallel over file splits at any scale.
+    """
+    c = F.col(text_col)
+    toks = F.split(normalize_text(c), " ")
+    words = F.filter(toks, lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    nz = F.greatest(n_words, F.lit(1))
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_wl = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / nz
+    # Occurrence counts (split-based), not character counts — one '...'
+    # is ONE symbol hit.
+    n_symbols = (
+        F.size(F.split(c, "#")) - 1 + F.size(F.split(c, r"\.\.\.")) - 1
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([-*•])"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stopwords = F.array(
+        *[F.lit(s) for s in ("the", "be", "is", "to", "of", "and", "that", "have", "with")]
+    )
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stopwords))
+
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "ok_symbol_ratio": (n_symbols / nz) <= 0.1,
+        "ok_bullet_lines": (bullet_lines / n_lines) < 0.9,
+        "ok_ellipsis_lines": (ellipsis_lines / n_lines) < 0.3,
+        "ok_alpha_words": (alpha_words / nz) >= 0.8,
+        "ok_stopwords": stop_hits >= 2,
+    }
+    out = df.select(
+        "*",
+        n_words.alias("gopher_n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else (keep & F.col(k))
+    return out.withColumn("keep_gopher", keep)

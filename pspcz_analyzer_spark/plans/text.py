@@ -663,3 +663,83 @@ def doc_html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", strip_html(wrapped).alias("clean")
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_gopher_flags",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split({_NORM.format(c="text")}, ' '),
+                         w -> length(w) > 0) AS words,
+             list_filter(string_split(text, chr(10)),
+                         ln -> length(trim(ln)) > 0) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             greatest(len(words), 1) AS nz,
+             greatest(len(lines), 1) AS n_lines,
+             list_sum(list_transform(words, w -> length(w)))::DOUBLE
+               / greatest(len(words), 1) AS mean_wl,
+             (len(string_split(text, '#')) - 1)
+               + (len(string_split(text, '...')) - 1) AS n_symbols,
+             len(list_filter(lines,
+                 ln -> regexp_matches(trim(ln), '^([-*•])'))) AS bullet_lines,
+             len(list_filter(lines,
+                 ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))) AS ell_lines,
+             len(list_filter(words,
+                 w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+             len(list_intersect(list_distinct(words),
+                 ['the','be','is','to','of','and','that','have','with']))
+               AS stop_hits
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS gopher_n_words,
+           (n_words >= 50 AND n_words <= 100000)      AS ok_word_count,
+           (mean_wl >= 3 AND mean_wl <= 10)           AS ok_mean_word_len,
+           (n_symbols::DOUBLE / nz <= 0.1)            AS ok_symbol_ratio,
+           (bullet_lines::DOUBLE / n_lines < 0.9)     AS ok_bullet_lines,
+           (ell_lines::DOUBLE / n_lines < 0.3)        AS ok_ellipsis_lines,
+           (alpha_words::DOUBLE / nz >= 0.8)          AS ok_alpha_words,
+           (stop_hits >= 2)                           AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_wl >= 3 AND mean_wl <= 10)
+            AND (n_symbols::DOUBLE / nz <= 0.1)
+            AND (bullet_lines::DOUBLE / n_lines < 0.9)
+            AND (ell_lines::DOUBLE / n_lines < 0.3)
+            AND (alpha_words::DOUBLE / nz >= 0.8)
+            AND (stop_hits >= 2))                     AS keep_gopher
+    FROM m
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "quality", "gopher", "new-surface"),
+    priority=18,
+    doc="The Gopher document-quality rule set (Rae et al. 2021, "
+    "arXiv:2112.11446 Table A1; reused by MassiveText/RefinedWeb/Dolma) "
+    "as named per-rule flags + the keep conjunction "
+    "(operators/textual.py::gopher_quality_flags): word-count bounds, "
+    "mean word length, #/ellipsis symbol ratio, bullet/ellipsis line "
+    "fractions, alphabetic-word fraction, stopword presence — the "
+    "audit-ready data-card columns, all codegen'd over ONE scan, no "
+    "shuffle.",
+)
+def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.textual import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_quality_flags(docs)
+    return out.select(
+        "doc_id",
+        F.col("gopher_n_words").cast("int").alias("gopher_n_words"),
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_bullet_lines",
+        "ok_ellipsis_lines",
+        "ok_alpha_words",
+        "ok_stopwords",
+        "keep_gopher",
+    ).orderBy("doc_id")

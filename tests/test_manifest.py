@@ -36,6 +36,16 @@ class TestManifestBasics:
         # _manifest/ is underscore-prefixed: invisible to a vanilla scan.
         assert spark.read.parquet(table).count() == 4_000
 
+    def test_append_commits_batch_atomically(self, spark, table):
+        batch = spark.range(4_000, 4_500).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        v = M.append(batch, table)
+        assert v == 2
+        assert M.load_manifest_table(spark, table).count() == 4_500
+        # Version 1 still serves the pre-append snapshot.
+        assert M.load_manifest_table(spark, table, version=1).count() == 4_000
+
 
 class TestManifestDelete:
     def test_delete_commits_new_version_and_preserves_old(self, spark, table):

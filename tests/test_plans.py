@@ -108,6 +108,8 @@ _NESTED_LOOP_OK = {
     "corpus_embedding_decontaminate",  # broadcast-eval theta anti-join
     # (exact baseline; LSH blocking is the beyond-broadcast path)
     "doc_lm_perplexity",  # 1-row broadcast corpus stats (T, V)
+    "corpus_dsir_scores",  # two 1-row broadcast feature totals (the
+    # 1024-row log tables themselves join hash-equi on bucket)
     "corpus_extend_semantic",  # n_centroids-row broadcast cross for cell
     # assignment (same shape as extend_ivf_index); the history comparison
     # itself is a cell equi-join

@@ -189,3 +189,44 @@ def test_strip_html_roundtrip_survives_markup_in_text(spark):
     for r in rows:
         want = (_re.sub(r"\s+", " ", adversarial[r["i"]]).strip() + " & konec").strip()
         assert r["clean"] == want, adversarial[r["i"]]
+
+
+class TestGopherFlags:
+    """Gopher rule set (Rae et al. 2021): each rule triggered by a planted
+    document, the clean document passes all."""
+
+    def test_planted_rule_violations(self, spark):
+        from pspcz_analyzer_spark.operators.textual import gopher_quality_flags
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and that is a "
+            "fine thing to have done with grace " * 4
+        )
+        rows = [
+            (1, good),                                      # clean
+            (2, "short text"),                              # word count
+            (3, "a b c d e " * 20 + "the of and to"),       # mean word len
+            (4, good + "# " * 30),                          # symbol ratio
+            (5, "\n".join(["- bullet the of and that"] * 10)),  # bullets
+            (6, "\n".join(["so it goes on and on the of..."] * 10)),  # ellipsis
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+        assert out[1]["keep_gopher"] is True
+        assert out[2]["ok_word_count"] is False
+        assert out[3]["ok_mean_word_len"] is False
+        assert out[4]["ok_symbol_ratio"] is False
+        assert out[5]["ok_bullet_lines"] is False
+        assert out[6]["ok_ellipsis_lines"] is False
+        for d in (2, 3, 4, 5, 6):
+            assert out[d]["keep_gopher"] is False
+        # Flag columns are audit columns: all named rules present.
+        assert {c for c in out[1].asDict() if c.startswith("ok_")} == {
+            "ok_word_count",
+            "ok_mean_word_len",
+            "ok_symbol_ratio",
+            "ok_bullet_lines",
+            "ok_ellipsis_lines",
+            "ok_alpha_words",
+            "ok_stopwords",
+        }
