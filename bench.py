@@ -76,6 +76,7 @@ HEADLINE = [
     "corpus_dsir_scores",
     "parquet_delete_roundtrip",
     "manifest_delete_roundtrip",
+    "doc_gopher_flags",
 ]
 
 

@@ -302,6 +302,8 @@ def _file_may_contain(f: str, key_col: str, key_set: set) -> bool:
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(f).metadata
+    if meta.num_row_groups == 0:
+        return False  # zero rows: cannot contain any key
     ci = next(
         (
             i

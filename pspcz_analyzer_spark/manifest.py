@@ -149,10 +149,14 @@ def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
     import glob as _glob
     import shutil as _shutil
 
+    import pyarrow.parquet as pq
+
     stage = os.path.join(path, f".stage_{uuid.uuid4().hex[:8]}")
     spark_df.write.mode("overwrite").parquet(stage)
     out = []
     for i, f in enumerate(sorted(_glob.glob(os.path.join(stage, "*.parquet")))):
+        if pq.ParquetFile(f).metadata.num_rows == 0:
+            continue  # empty part: referencing it just bloats the manifest
         name = f"{prefix}-{uuid.uuid4().hex[:12]}-{i}.parquet"
         os.rename(f, os.path.join(path, name))
         out.append(name)
@@ -204,6 +208,46 @@ def delete_keys(
     new_files = [f for f in m["files"] if f not in victims] + new_names
     _commit(path, new_files, m["version"])
     return len(affected), rows_before - rows_after
+
+
+def upsert(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+) -> int:
+    """Manifest-committed MERGE by key: batch rows win, existing rows with
+    unmatched keys survive — ONE new version publishes both the
+    key-purged rewrites of affected files and the batch itself (unlike
+    delete-then-append, a reader can never observe the intermediate
+    deleted state). Victim files found by footer stats on the batch's
+    key set; unaffected files carry over untouched. Returns the
+    committed version.
+
+    The batch's key set is collected driver-side for the footer prune
+    and the isin filter — suited to dimension-sized/batch-sized upserts
+    (the incremental-ingestion case); for corpus-sized merges use an
+    anti-join rewrite per partition instead.
+    """
+    m = read_manifest(path)
+    keys = [r[0] for r in batch.select(key_col).distinct().collect()]
+    files = [os.path.join(path, f) for f in m["files"]]
+    new_names: list[str] = []
+    victims: set[str] = set()
+    if keys:
+        from pspcz_analyzer_spark.jobs import _file_may_contain
+
+        key_set = set(keys)
+        affected = [f for f in files if _file_may_contain(f, key_col, key_set)]
+        if affected:
+            kept = spark.read.parquet(*affected).filter(
+                ~F.col(key_col).isin(*key_set)
+            )
+            new_names += _stage_rewrites(kept, path, "upsert")
+            victims = {os.path.basename(f) for f in affected}
+    new_names += _stage_rewrites(batch, path, "upsert")
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    return _commit(path, new_files, m["version"])
 
 
 def compact_small_files(

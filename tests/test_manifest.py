@@ -84,6 +84,25 @@ class TestManifestDelete:
         assert removed >= 1  # the orphaned crash-run rewrites went away
         assert M.load_manifest_table(spark, table).count() == 3_960
 
+    def test_upsert_single_version_merge(self, spark, table):
+        """Batch rows win, unmatched existing rows survive, and the whole
+        merge is ONE committed version (no observable delete-then-append
+        intermediate)."""
+        batch = spark.createDataFrame(
+            [(9_991, 7), (9_992, 7), (9_993, 999)], "event_id long, user_id long"
+        )
+        v = M.upsert(spark, batch, table, "event_id")
+        assert v == 2  # exactly one version past init
+        now = M.load_manifest_table(spark, table)
+        assert now.count() == 4_003  # 3 new keys, none overlapped
+        # Overwriting upsert: replace an existing key's row.
+        batch2 = spark.createDataFrame([(100, 555)], "event_id long, user_id long")
+        assert M.upsert(spark, batch2, table, "event_id") == 3
+        now = M.load_manifest_table(spark, table)
+        assert now.count() == 4_003
+        [r] = now.filter(F.col("event_id") == 100).collect()
+        assert r["user_id"] == 555
+
     def test_concurrent_commit_conflict(self, spark, table):
         """Two writers planning against the same version: exactly one
         create-exclusive wins, the loser gets CommitConflict."""
