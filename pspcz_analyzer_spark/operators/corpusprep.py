@@ -960,3 +960,185 @@ def dsir_logratio_scores(
             ).alias("dsir_score"),
         )
     )
+
+
+def unigram_lm_pieces(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 500,
+    max_piece_len: int = 8,
+    n_iter: int = 4,
+    prune_fraction: float = 0.25,
+    min_count: int = 1,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    arXiv:1804.10959) — the second production tokenizer family beside
+    :func:`bpe_merges`: pieces are scored by a unigram language model and
+    a word's tokenization is its max-probability segmentation, which
+    (unlike BPE's greedy merges) gives principled probabilities and
+    subword regularization.
+
+    Same 100 TB shape as BPE training: the CORPUS-scale work is exactly
+    one word-count aggregate (:func:`word_counts`); seeding, EM, and
+    pruning then run over that vocabulary-sized (word -> count) table on
+    the driver — the loop's working set is the vocabulary, never the
+    corpus. This is the Viterbi-EM variant (hard assignments; the
+    forward-backward posterior variant differs by soft counts only),
+    documented so the tests can pin exact outputs.
+
+    Steps: seed = the most frequent substrings up to ``max_piece_len``
+    (all single characters always kept — coverage guarantee); each EM
+    round Viterbi-segments every distinct word under current piece
+    log-probs, re-estimates probs from the hard counts, then prunes the
+    lowest-count multi-char pieces (``prune_fraction`` per round, to
+    ``vocab_size`` at the end). Deterministic: all ties break
+    lexicographically, Viterbi prefers the longer piece on equal score.
+
+    Returns (piece, count, logprob), logprob rounded to 8, ordered by
+    (count desc, piece).
+    """
+    import math
+
+    words = {
+        r["word"]: int(r["n"])
+        for r in word_counts(df, text_col, min_count).collect()
+    }
+
+    # Seed: substring counts weighted by word frequency.
+    seed: dict[str, int] = {}
+    for w, n in words.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                p = w[i:j]
+                seed[p] = seed.get(p, 0) + n
+    chars = {p for p in seed if len(p) == 1}
+    multi = sorted(
+        (p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p)
+    )[: max(vocab_size * 4, 0)]
+    vocab = {p: seed[p] for p in chars} | {p: seed[p] for p in multi}
+
+    def logprobs(counts: dict[str, int]) -> dict[str, float]:
+        tot = sum(counts.values()) or 1
+        return {p: math.log(c / tot) if c > 0 else -1e9 for p, c in counts.items()}
+
+    def viterbi(w: str, lp: dict[str, float]) -> list[str]:
+        # best[i] = (score, pieces) for w[:i]; prefer longer last piece,
+        # then lexicographically smaller, on ties.
+        best: list = [None] * (len(w) + 1)
+        best[0] = (0.0, [])
+        for i in range(1, len(w) + 1):
+            cand = None
+            for j in range(max(0, i - max_piece_len), i):
+                if best[j] is None:
+                    continue
+                p = w[j:i]
+                s = lp.get(p)
+                if s is None:
+                    continue
+                score = best[j][0] + s
+                key = (score, len(p), [-ord(c) for c in p])
+                if cand is None or key > cand[0]:
+                    cand = (key, best[j][1] + [p])
+            if cand is not None:
+                best[i] = (cand[0][0], cand[1])
+        assert best[len(w)] is not None, f"uncovered word {w!r}"
+        return best[len(w)][1]
+
+    for it in range(n_iter):
+        lp = logprobs(vocab)
+        counts: dict[str, int] = {p: 0 for p in vocab}
+        for w, n in sorted(words.items()):
+            for p in viterbi(w, lp):
+                counts[p] += n
+        # Keep all single chars (coverage); prune cold multi-char pieces.
+        multi_alive = sorted(
+            (p for p in counts if len(p) > 1),
+            key=lambda p: (-counts[p], p),
+        )
+        n_multi_target = max(vocab_size - len(chars), 0)
+        if it < n_iter - 1:
+            keep_n = max(n_multi_target, int(len(multi_alive) * (1 - prune_fraction)))
+        else:
+            keep_n = n_multi_target
+        kept = multi_alive[:keep_n]
+        vocab = {p: max(counts[p], 1) for p in chars} | {
+            p: counts[p] for p in kept if counts[p] > 0
+        }
+
+    lp = logprobs(vocab)
+    rows = sorted(
+        ((p, vocab[p], round(lp[p], 8)) for p in vocab),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return df.sparkSession.createDataFrame(
+        rows, "piece string, count long, logprob double"
+    )
+
+
+def unigram_encode_counts(
+    df: DataFrame,
+    pieces: "list[tuple[str, float]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a trained unigram-LM piece table and count
+    the resulting units per doc — the apply half of
+    :func:`unigram_lm_pieces` (mirrors :func:`bpe_encode_counts`:
+    JVM-side normalize/split, Arrow-batched Viterbi memoized per distinct
+    word, memo capped by ``BPE_MEMO_CAP``).
+
+    ``pieces`` is [(piece, logprob)]; single-character coverage is the
+    trainer's guarantee — unknown characters count 1 unit each (the
+    <unk> convention). Returns (id_col, n_words, n_unigram_units).
+    """
+    from pspcz_analyzer_spark.functions.text import normalize_text
+
+    lp = {p: float(s) for p, s in pieces}
+    max_len = max((len(p) for p in lp), default=1)
+    memo_cap = BPE_MEMO_CAP
+
+    def n_units(word: str, _memo: dict = {}) -> int:
+        got = _memo.get(word)
+        if got is not None:
+            return got
+        if len(_memo) >= memo_cap:
+            _memo.clear()
+        UNK = -1e6  # per-char unknown penalty: worse than any real piece
+        best: "list" = [None] * (len(word) + 1)
+        best[0] = (0.0, 0)
+        for i in range(1, len(word) + 1):
+            cand = None
+            for j in range(max(0, i - max_len), i):
+                if best[j] is None:
+                    continue
+                s = lp.get(word[j:i], UNK if i - j == 1 else None)
+                if s is None:
+                    continue
+                score = best[j][0] + s
+                if cand is None or score > cand[0]:
+                    cand = (score, best[j][1] + 1)
+            best[i] = cand
+        n = best[len(word)][1]
+        _memo[word] = n
+        return n
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counts = [
+                (sum(n_units(w) for w in ws if w), sum(1 for w in ws if w))
+                for ws in pdf["__words"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": [c[1] for c in counts],
+                    "n_unigram_units": [c[0] for c in counts],
+                }
+            )
+
+    src = df.select(id_col, F.split(normalize_text(text_col), " ").alias("__words"))
+    return src.mapInPandas(
+        encode, schema=f"{id_col} long, n_words int, n_unigram_units int"
+    )

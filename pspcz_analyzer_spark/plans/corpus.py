@@ -1059,3 +1059,50 @@ def corpus_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     target = docs.filter(F.col("doc_id") % 10 == 0)
     return dsir_logratio_scores(corpus, target, n_buckets=1024).orderBy("doc_id")
+
+
+@register(
+    "doc_unigram_pieces",
+    oracle=None,  # iterative Viterbi-EM is not SQL-expressible; the
+    # segmentation algebra is pinned by hand-case + determinism +
+    # coverage tests (test_corpusprep.py::TestUnigramLM)
+    tags=("pipeline", "tokenizer", "rows-only", "new-surface"),
+    priority=52,
+    doc="Unigram-LM tokenizer training (SentencePiece family, Kudo 2018 "
+    "arXiv:1804.10959, Viterbi-EM variant): the corpus-scale work is ONE "
+    "word-count aggregate; seeding, EM segmentation, and pruning run over "
+    "the vocabulary-sized table, with single-character coverage guaranteed "
+    "(operators/corpusprep.py::unigram_lm_pieces). Complements the BPE "
+    "pair (doc_bpe_merges/doc_bpe_encoded) with the second production "
+    "tokenizer family.",
+)
+def doc_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import unigram_lm_pieces
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_pieces(docs, vocab_size=120)
+
+
+@register(
+    "doc_unigram_encoded",
+    oracle=None,  # encoder inherits the trainer's rows-only status; unit
+    # anchors: max-probability segmentation + <unk> convention pinned in
+    # TestUnigramLM
+    tags=("pipeline", "tokenizer", "rows-only", "new-surface"),
+    priority=52,
+    doc="Per-doc unit counts under the trained unigram-LM pieces: "
+    "JVM-side normalize/split, Arrow-batched Viterbi memoized per "
+    "distinct word (operators/corpusprep.py::unigram_encode_counts).",
+)
+def doc_unigram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import (
+        unigram_encode_counts,
+        unigram_lm_pieces,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = [
+        (r["piece"], r["logprob"])
+        for r in unigram_lm_pieces(docs, vocab_size=120).collect()
+    ]
+    return unigram_encode_counts(docs, table).orderBy("doc_id")

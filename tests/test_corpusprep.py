@@ -768,3 +768,79 @@ class TestDsir:
             assert abs(got[did][1] - want[did][1]) < 1e-6, did
         # Target-like docs must outscore off-domain ones.
         assert got[2][1] > got[1][1] and got[4][1] > got[3][1]
+
+
+class TestUnigramLM:
+    """SentencePiece-style unigram-LM trainer (Viterbi-EM variant) and its
+    encoder: repeated-substring discovery, single-char coverage,
+    determinism, and a hand-checkable Viterbi segmentation."""
+
+    def test_learns_repeated_substring_and_covers_chars(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import unigram_lm_pieces
+
+        df = spark.createDataFrame(
+            [(i, "abab ababab abab xyz") for i in range(5)],
+            "doc_id long, text string",
+        )
+        rows = unigram_lm_pieces(df, vocab_size=8, max_piece_len=4).collect()
+        pieces = {r["piece"]: r["count"] for r in rows}
+        # The dominant repeated unit (or its square) is in the vocab and
+        # hot; every corpus character survives for coverage.
+        assert "abab" in pieces or "ab" in pieces
+        for ch in "abxyz":
+            assert ch in pieces, ch
+        assert len(pieces) <= 8
+        # logprobs normalized: all negative, hot pieces less negative.
+        lps = {r["piece"]: r["logprob"] for r in rows}
+        assert all(v < 0 for v in lps.values())
+        top = max(pieces, key=lambda p: pieces[p])
+        assert lps[top] == max(lps.values())
+
+    def test_deterministic(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import unigram_lm_pieces
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = [tuple(r) for r in unigram_lm_pieces(docs, vocab_size=50).collect()]
+        b = [tuple(r) for r in unigram_lm_pieces(docs, vocab_size=50).collect()]
+        assert a == b
+        # Size respects vocab_size up to the mandatory single-char floor.
+        n_chars = sum(1 for p, _, _ in a if len(p) == 1)
+        assert len(a) <= max(50, n_chars)
+
+    def test_encode_picks_max_probability_segmentation(self, spark):
+        import math
+
+        from pspcz_analyzer_spark.operators.corpusprep import unigram_encode_counts
+
+        df = spark.createDataFrame([(1, "abab"), (2, "abc")], "doc_id long, text string")
+        pieces = [("ab", math.log(0.5)), ("a", math.log(0.2)), ("b", math.log(0.2)), ("c", math.log(0.1))]
+        out = {r["doc_id"]: r["n_unigram_units"] for r in
+               unigram_encode_counts(df, pieces).collect()}
+        # "abab" -> [ab, ab] (2 units beats 4 singles); "abc" -> [ab, c].
+        assert out[1] == 2 and out[2] == 2
+
+    def test_unknown_chars_count_one_unit_each(self, spark):
+        import math
+
+        from pspcz_analyzer_spark.operators.corpusprep import unigram_encode_counts
+
+        df = spark.createDataFrame([(1, "aqqa")], "doc_id long, text string")
+        pieces = [("a", math.log(0.9))]  # 'q' unseen -> <unk> per char
+        [r] = unigram_encode_counts(df, pieces).collect()
+        assert r["n_unigram_units"] == 4
+
+    def test_train_then_encode_real_docs(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            unigram_encode_counts,
+            unigram_lm_pieces,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        table = [
+            (r["piece"], r["logprob"])
+            for r in unigram_lm_pieces(docs, vocab_size=100).collect()
+        ]
+        rows = unigram_encode_counts(docs, table).collect()
+        assert len(rows) == docs.count()
+        # Units bounded by [n_words, n_chars]; a trained vocab compresses.
+        assert all(r["n_unigram_units"] >= r["n_words"] for r in rows if r["n_words"])
