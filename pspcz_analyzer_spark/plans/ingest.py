@@ -439,3 +439,69 @@ def manifest_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "manifest_cdc_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, round(value, 4) AS value FROM events
+    )
+    SELECT event_id,
+           'update' AS change_type,
+           'value' AS changed_cols,
+           value AS old_value,
+           round(value + 1, 4) AS new_value
+    FROM base WHERE event_id % 97 = 0
+    UNION ALL
+    SELECT event_id + 10000000 AS event_id,
+           'insert', '', NULL, round(value, 4)
+    FROM base WHERE event_id % 1013 = 0
+    ORDER BY event_id
+    """,
+    tags=("S12", "manifest", "cdc", "time-travel", "composite", "scale"),
+    doc="Time travel + CDC composed: events adopted as manifest version 1, "
+    "a batch upserted (every 97th key repriced, every 1013th key inserted "
+    "under a shifted id) committing version 2, and the two VERSION-PINNED "
+    "snapshots diffed with the full-outer snapshot_diff operator — the "
+    "audit a lake without a transactional format cannot express, here "
+    "from manifest.load_manifest_table(version=...) + "
+    "operators/joins.py::snapshot_diff. Proves upsert's single-version "
+    "merge semantics and that version 1 stays byte-stable under later "
+    "commits.",
+    priority=18,
+)
+def manifest_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+    from pspcz_analyzer_spark.operators.joins import snapshot_diff
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 4).alias("value")
+    )
+    path = _scratch(sf_dir, "events_cdc")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "event_id", num_partitions=8)
+    M.manifest_init(path)
+    updates = events.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", F.round(F.col("value") + 1, 4).alias("value")
+    )
+    inserts = events.filter(F.col("event_id") % 1013 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), "value"
+    )
+    M.upsert(spark, updates.unionByName(inserts), path, "event_id")
+    old = M.load_manifest_table(spark, path, version=1)
+    new = M.load_manifest_table(spark, path, version=2)
+    return (
+        snapshot_diff(old, new, ["event_id"], ["value"])
+        .select(
+            "event_id",
+            "change_type",
+            "changed_cols",
+            F.round("old_value", 4).alias("old_value"),
+            F.round("new_value", 4).alias("new_value"),
+        )
+        .orderBy("event_id")
+    )
