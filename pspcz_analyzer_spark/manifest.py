@@ -88,15 +88,24 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
-def _commit(path: str, files: list[str], expected_version: int) -> int:
+def _commit(
+    path: str,
+    files: list[str],
+    expected_version: int,
+    txns: dict | None = None,
+) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
-    there first. Returns the committed version."""
+    there first. ``txns`` carries the idempotent-writer watermarks
+    (app_id -> last applied batch id — Delta's ``txn`` action in minimal
+    form); callers pass the previous manifest's dict updated with their
+    own entry. Returns the committed version."""
     new_v = expected_version + 1
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     body = json.dumps(
-        {"version": new_v, "files": sorted(files)}, indent=0
+        {"version": new_v, "files": sorted(files), "txns": txns or {}},
+        indent=0,
     ).encode()
     tmp = os.path.join(d, f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "wb") as fh:
@@ -164,15 +173,32 @@ def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
     return out
 
 
-def append(df: DataFrame, path: str) -> int:
+def append(
+    df: DataFrame,
+    path: str,
+    txn: "tuple[str, int] | None" = None,
+) -> int:
     """Manifest-committed append: write the batch as new data files and
     publish one new version referencing old + new. The object-store-safe
     ingestion op — a crashed append leaves unreferenced files for
-    :func:`vacuum`, never a partially-visible batch. Returns the
-    committed version."""
+    :func:`vacuum`, never a partially-visible batch.
+
+    ``txn = (app_id, batch_id)`` makes the append IDEMPOTENT for
+    at-least-once callers (streaming foreachBatch): each manifest carries
+    per-app watermarks, and a batch at or below the committed watermark
+    is skipped — a replay after a crash between sink write and checkpoint
+    advance cannot double-append (Delta's txn protocol in minimal form;
+    the watermark commits atomically WITH the files it describes).
+    Returns the committed (or current, when skipped) version."""
     m = read_manifest(path)
+    txns = dict(m.get("txns") or {})
+    if txn is not None:
+        app_id, batch_id = txn
+        if txns.get(app_id, -1) >= batch_id:
+            return m["version"]  # replay: already applied
+        txns[app_id] = batch_id
     new_names = _stage_rewrites(df, path, "append")
-    return _commit(path, m["files"] + new_names, m["version"])
+    return _commit(path, m["files"] + new_names, m["version"], txns=txns)
 
 
 def delete_keys(
@@ -206,7 +232,7 @@ def delete_keys(
     )
     victims = {os.path.basename(f) for f in affected}
     new_files = [f for f in m["files"] if f not in victims] + new_names
-    _commit(path, new_files, m["version"])
+    _commit(path, new_files, m["version"], txns=m.get("txns") or {})
     return len(affected), rows_before - rows_after
 
 
@@ -247,7 +273,7 @@ def upsert(
             victims = {os.path.basename(f) for f in affected}
     new_names += _stage_rewrites(batch, path, "upsert")
     new_files = [f for f in m["files"] if f not in victims] + new_names
-    return _commit(path, new_files, m["version"])
+    return _commit(path, new_files, m["version"], txns=m.get("txns") or {})
 
 
 def compact_small_files(
@@ -285,7 +311,7 @@ def compact_small_files(
         merged += b
     victims = set(merged)
     new_files = [f for f in m["files"] if f not in victims] + new_names
-    _commit(path, new_files, m["version"])
+    _commit(path, new_files, m["version"], txns=m.get("txns") or {})
     return len(merged), len(new_names)
 
 

@@ -67,7 +67,7 @@ class TestManifestDelete:
         as they were (new files are unreferenced garbage for vacuum)."""
         files_before = sorted(M.read_manifest(table)["files"])
 
-        def boom(path, files, expected_version):
+        def boom(*args, **kwargs):
             raise RuntimeError("injected crash at commit")
 
         monkeypatch.setattr(M, "_commit", boom)
@@ -143,3 +143,72 @@ class TestManifestCompact:
         assert M.load_manifest_table(spark, path).count() == 1_000
         with pytest.raises(ValueError):
             M.vacuum(path, retain_versions=0)
+
+
+class TestTxnIdempotence:
+    """The Delta-style txn protocol: per-app batch watermarks commit with
+    the files, so at-least-once callers converge to exactly-once."""
+
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        df = spark.range(100).select(F.col("id").alias("k"))
+        path = str(tmp_path / "txn_tab")
+        df.write.parquet(path)
+        M.manifest_init(path)
+        batch = spark.range(100, 150).select(F.col("id").alias("k"))
+        v1 = M.append(batch, path, txn=("app", 0))
+        assert v1 == 2
+        # Replay of batch 0: no new version, no duplicate rows.
+        assert M.append(batch, path, txn=("app", 0)) == 2
+        assert M.load_manifest_table(spark, path).count() == 150
+        # Next batch advances; another app has its own watermark.
+        assert M.append(batch, path, txn=("app", 1)) == 3
+        assert M.append(batch, path, txn=("other", 0)) == 4
+        assert M.load_manifest_table(spark, path).count() == 250
+
+    def test_watermark_survives_maintenance_ops(self, spark, tmp_path):
+        df = spark.range(1_000).select(F.col("id").alias("k"))
+        path = str(tmp_path / "txn_maint")
+        df.repartition(4).write.parquet(path)
+        M.manifest_init(path)
+        batch = spark.range(1_000, 1_100).select(F.col("id").alias("k"))
+        M.append(batch, path, txn=("app", 7))
+        M.compact_small_files(spark, path, target_bytes=10**9)
+        M.delete_keys(spark, path, "k", [5])
+        # The compact/delete commits must carry the watermark forward:
+        # replaying batch 7 after maintenance is still a no-op.
+        v = M.current_version(path)
+        assert M.append(batch, path, txn=("app", 7)) == v
+        assert M.load_manifest_table(spark, path).count() == 1_099
+
+    def test_streaming_sink_exactly_once(self, spark, tmp_path):
+        """availableNow drain lands every batch once; a second run over
+        the same checkpoint appends nothing; a FRESH checkpoint (replay
+        of already-committed batch ids) is absorbed by the txn watermark."""
+        from pspcz_analyzer_spark.streaming.lake import stream_append_manifest
+
+        landing = str(tmp_path / "landing")
+        table = str(tmp_path / "stream_tab")
+        ck1 = str(tmp_path / "ck1")
+        spark.range(0).select(F.col("id").alias("k")).write.parquet(table)
+        M.manifest_init(table)
+        spark.range(200).select(F.col("id").alias("k")).write.parquet(landing)
+
+        res = stream_append_manifest(
+            spark, landing, table, ck1, schema="k long", app_id="ingest"
+        )
+        assert len(res) >= 1
+        assert M.load_manifest_table(spark, table).count() == 200
+        # Same checkpoint: nothing new to process.
+        res2 = stream_append_manifest(
+            spark, landing, table, ck1, schema="k long", app_id="ingest"
+        )
+        assert M.load_manifest_table(spark, table).count() == 200
+        # Fresh checkpoint = full replay with the SAME batch ids: the
+        # watermark rejects every one (version unchanged, no duplicates).
+        ck2 = str(tmp_path / "ck2")
+        v = M.current_version(table)
+        stream_append_manifest(
+            spark, landing, table, ck2, schema="k long", app_id="ingest"
+        )
+        assert M.current_version(table) == v
+        assert M.load_manifest_table(spark, table).count() == 200
