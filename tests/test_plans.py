@@ -40,6 +40,8 @@ class TestRegistry:
             "doc_vocab_approx",  # HLL estimate is impl-defined
             "doc_bpe_merges",  # iterative greedy merges: not SQL
             "doc_bpe_encoded",  # trained-tokenizer segmentation: not SQL
+            "doc_unigram_pieces",  # iterative Viterbi-EM: not SQL
+            "doc_unigram_encoded",  # trained-tokenizer segmentation: not SQL
             "semantic_dedup_kmeans",  # model-defined cells; anchored by
             # semantic_dedup_by_label (same pruning rule, deterministic
             # clustering)
