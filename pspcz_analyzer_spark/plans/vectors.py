@@ -629,3 +629,51 @@ def corpus_extend_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embedding_matryoshka_prefix",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS pre
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, pre,
+             sqrt(list_sum(list_transform(pre, x -> x * x))) AS nrm
+      FROM p
+    )
+    SELECT vec_id,
+           CAST(len(pre) AS INTEGER) AS n_dims,
+           round(nrm, 6) AS prefix_norm,
+           round(CASE WHEN nrm = 0 THEN list_sum(pre)
+                      ELSE list_sum(list_transform(pre, x -> x / nrm))
+                 END, 6) AS renormed_sum
+    FROM n
+    ORDER BY vec_id
+    """,
+    tags=("pipeline", "embedding", "matryoshka", "new-surface"),
+    priority=18,
+    doc="Matryoshka embedding truncation (MRL, arXiv:2205.13147 — "
+    "operators/ann.py::matryoshka_truncate): keep the first 8 dims and "
+    "L2-renormalize, THE storage/FLOPs knob for ANN at scale (bucket on "
+    "the prefix, rerank on the full vector). Pure codegen'd slice + "
+    "aggregate norm, no UDF/shuffle; the oracle pins slice bounds, the "
+    "zero-vector guard, and renormalization to 6 decimals.",
+)
+def embedding_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import matryoshka_truncate
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pre = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    nrm = F.sqrt(F.aggregate(pre, F.lit(0.0), lambda a, x: a + x * x))
+    out = matryoshka_truncate(emb, dim=8, out_col="prefix")
+    return out.select(
+        "vec_id",
+        F.size("prefix").alias("n_dims"),
+        F.round(nrm, 6).alias("prefix_norm"),
+        F.round(
+            F.aggregate("prefix", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("renormed_sum"),
+    ).orderBy("vec_id")

@@ -466,3 +466,38 @@ class TestEmbeddingDecontaminate:
         )
         ev = corpus.filter("vec_id < 0")
         assert embedding_decontaminate(corpus, ev).count() == 2
+
+
+class TestMatryoshka:
+    def test_truncate_and_renormalize(self, spark):
+        import math
+
+        from pspcz_analyzer_spark.operators.ann import matryoshka_truncate
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0, 100.0, -7.0]), (2, [0.0, 0.0, 9.0, 9.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["vec_id"]: r["embedding"]
+            for r in matryoshka_truncate(df, dim=2).collect()
+        }
+        # (3,4) -> unit vector (0.6, 0.8); zero prefix stays zero.
+        assert out[1] == pytest.approx([0.6, 0.8])
+        assert out[2] == [0.0, 0.0]
+        # Renormalized prefixes preserve prefix-cosine exactly.
+        a = [3.0, 4.0]
+        got = out[1]
+        cos = sum(x * y for x, y in zip(a, got)) / (
+            math.hypot(*a) * math.hypot(*got)
+        )
+        assert cos == pytest.approx(1.0)
+
+    def test_no_renorm_is_plain_slice(self, spark):
+        from pspcz_analyzer_spark.operators.ann import matryoshka_truncate
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0, 5.0])], "vec_id long, embedding array<double>"
+        )
+        [r] = matryoshka_truncate(df, dim=2, renormalize=False).collect()
+        assert r["embedding"] == [3.0, 4.0]
