@@ -77,6 +77,8 @@ HEADLINE = [
     "parquet_delete_roundtrip",
     "manifest_delete_roundtrip",
     "doc_gopher_flags",
+    "manifest_cdc_roundtrip",
+    "embedding_matryoshka_prefix",
 ]
 
 
