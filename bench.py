@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_gopher_flags",
     "manifest_cdc_roundtrip",
     "embedding_matryoshka_prefix",
+    "bloom_prune_orders_building",
 ]
 
 

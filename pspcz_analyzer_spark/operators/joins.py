@@ -373,3 +373,103 @@ def snapshot_diff(
             *[F.col(f"__new_{c}").alias(f"new_{c}") for c in compare_cols],
         )
     )
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> Column:
+    """The k bit positions a key sets/probes: position_i =
+    md5(key ":" i) taken as a 60-bit integer mod ``m_bits``. Pure
+    codegen'd column expression (conv/substring/md5) — the probe runs
+    inside the fact table's scan stage, no UDF, no shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", col.cast("string"), i.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits,
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Semi-join with a Bloom-filter runtime prefilter — the explicit form
+    of the runtime-filter technique engines inject for selective joins
+    (Spark's InjectRuntimeFilter, Bloom 1970): when the dimension side is
+    too big to broadcast as rows, its KEY SET still compresses into a
+    ``m_bits``-bit bitmap (8 KiB at the 2^16 default) that broadcasts for
+    free, and the fact side drops non-matching rows INSIDE its scan stage
+    — before the shuffle — instead of carrying them to the join.
+
+    Exactness by construction: a Bloom filter has no false negatives, so
+    every true member survives the prefilter; the confirming left-semi
+    equi-join on the survivors removes the false positives (rate
+    ~(1-e^{-kn/m})^k, ~2 % at the defaults for n=10k keys). The result
+    therefore EQUALS the plain semi-join for any (m_bits, k) — the knobs
+    trade prefilter selectivity, never correctness (property-tested
+    against the exact semi-join in test_joins.py).
+
+    Plan shape: one pass over dim's keys builds per-word OR aggregates
+    (m_bits/64 rows — e.g. 1024 — collected driver-side, the same bounded
+    payload as any broadcast scalar), shipped as a one-row array<long>
+    crossJoin(broadcast(...)); the probe is a codegen'd forall over k
+    md5-derived positions with element_at + bitwiseAND. At 100 TB: the
+    fact table's shuffle volume scales with the SURVIVORS, not the table
+    — the whole point; dim shuffles once on the distinct bit positions
+    (bounded by m_bits, not dim's size).
+    """
+    dim_key = dim_key or fact_key
+    spark = fact.sparkSession
+    words = (
+        dim.select(
+            F.explode(_bloom_positions(F.col(dim_key), m_bits, k)).alias("p")
+        )
+        .distinct()
+        .groupBy((F.col("p") / 64).cast("int").alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    bm = spark.createDataFrame([(arr,)], "__bm array<bigint>")
+    # Positions materialize as an attribute BEFORE the crossJoin: a forall
+    # over a CONSTRUCTED array in the post-join filter trips Catalyst's
+    # pushdown into binding fact attributes on the bitmap side
+    # (ATTRIBUTE_NOT_FOUND) — the same constructed-array-in-filter hazard
+    # PLANS.md documents for Generate.
+    probe = F.forall(
+        F.col("__pos"),
+        lambda p: (
+            F.element_at(F.col("__bm"), (p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+        )
+        != 0,
+    )
+    pruned = (
+        fact.withColumn("__pos", _bloom_positions(F.col(fact_key), m_bits, k))
+        .crossJoin(F.broadcast(bm))
+        .filter(probe)
+        .drop("__bm", "__pos")
+    )
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return pruned.join(keys, fact_key, "left_semi")

@@ -964,6 +964,53 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_prune_orders_building",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("semi-join", "bloom", "runtime-filter", "scale-path"),
+    priority=18,
+    doc="Semi-join through a Bloom-filter runtime prefilter "
+    "(operators/joins.py::bloom_semi_join): the dimension's key set "
+    "compresses to an 8 KiB bitmap that broadcasts into the fact scan, "
+    "so non-matching orders drop BEFORE the shuffle; the confirming "
+    "left-semi equi-join removes the bloom's false positives, making "
+    "the result exactly the plain semi-join — which is the oracle. The "
+    "explicit form of Spark's InjectRuntimeFilter, for when the dim's "
+    "ROWS don't fit a broadcast but its key bitmap trivially does.",
+)
+def bloom_prune_orders_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.joins import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500))
+        .select("c_custkey")
+    )
+    return (
+        bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "orders_snapshot_diff",
     oracle="""
     WITH o AS (

@@ -433,3 +433,117 @@ class TestSnapshotDiff:
         old = spark.createDataFrame([(1, 1.0)], "k long, a double")
         with pytest.raises(ValueError, match="compare_cols"):
             snapshot_diff(old, old, ["k"], [])
+
+
+class TestBloomSemiJoin:
+    """bloom_semi_join equals the exact semi-join for any (m_bits, k) and
+    actually prunes at the prefilter stage."""
+
+    def _data(self, spark):
+        import random
+
+        rng = random.Random(7)
+        fact = spark.createDataFrame(
+            [(i, rng.randint(0, 499), rng.random()) for i in range(2000)],
+            "row_id long, key long, v double",
+        )
+        dim = spark.createDataFrame(
+            [(k,) for k in rng.sample(range(500), 40)], "dkey long"
+        )
+        return fact, dim
+
+    def test_equals_exact_semi_join(self, spark):
+        from pspcz_analyzer_spark.operators.joins import bloom_semi_join
+
+        fact, dim = self._data(spark)
+        exact = sorted(
+            r["row_id"]
+            for r in fact.join(
+                dim.select(F.col("dkey").alias("key")), "key", "left_semi"
+            ).collect()
+        )
+        for m_bits, k in [(1 << 10, 3), (1 << 13, 5), (64, 2)]:
+            got = sorted(
+                r["row_id"]
+                for r in bloom_semi_join(
+                    fact, dim, "key", "dkey", m_bits=m_bits, k=k
+                ).collect()
+            )
+            assert got == exact, (m_bits, k)
+
+    def test_tiny_bitmap_still_exact(self, spark):
+        # m_bits=64 saturates (everything passes the prefilter); the
+        # confirm join alone must still produce the exact answer.
+        from pspcz_analyzer_spark.operators.joins import bloom_semi_join
+
+        fact, dim = self._data(spark)
+        n_exact = fact.join(
+            dim.select(F.col("dkey").alias("key")), "key", "left_semi"
+        ).count()
+        assert bloom_semi_join(fact, dim, "key", "dkey", m_bits=64, k=2).count() == n_exact
+
+    def test_prefilter_has_no_false_negatives_and_prunes(self, spark):
+        from pspcz_analyzer_spark.operators.joins import (
+            _bloom_positions,
+            bloom_semi_join,
+        )
+
+        fact, dim = self._data(spark)
+        m_bits, k = 1 << 13, 5
+        # Rebuild the bitmap exactly as the operator does, then measure the
+        # PREFILTER's survivor set (no confirm join).
+        words = (
+            dim.select(F.explode(_bloom_positions(F.col("dkey"), m_bits, k)).alias("p"))
+            .distinct()
+            .groupBy((F.col("p") / 64).cast("int").alias("w"))
+            .agg(
+                F.bit_or(
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+                    )
+                ).alias("bits")
+            )
+            .collect()
+        )
+        arr = [0] * (m_bits // 64)
+        for r in words:
+            arr[r["w"]] = r["bits"]
+        bm = spark.createDataFrame([(arr,)], "__bm array<bigint>")
+        survivors = (
+            fact.withColumn("__pos", _bloom_positions(F.col("key"), m_bits, k))
+            .crossJoin(F.broadcast(bm))
+            .filter(
+                F.forall(
+                    F.col("__pos"),
+                    lambda p: (
+                        F.element_at(F.col("__bm"), (p / 64).cast("int") + 1).bitwiseAND(
+                            F.call_function(
+                                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                            )
+                        )
+                    )
+                    != 0,
+                )
+            )
+            .select("row_id")
+        )
+        exact_ids = {
+            r["row_id"]
+            for r in fact.join(
+                dim.select(F.col("dkey").alias("key")), "key", "left_semi"
+            ).collect()
+        }
+        surv_ids = {r["row_id"] for r in survivors.collect()}
+        assert exact_ids <= surv_ids  # no false negatives, ever
+        # 40/500 keys are members (~8% of rows); at m=8192,k=5 the false-
+        # positive rate is well under 1%, so the prefilter must reject the
+        # bulk of the non-members.
+        assert len(surv_ids) < fact.count() * 0.2
+
+    def test_empty_dim(self, spark):
+        from pspcz_analyzer_spark.operators.joins import bloom_semi_join
+
+        fact, dim = self._data(spark)
+        assert (
+            bloom_semi_join(fact, dim.filter(F.lit(False)), "key", "dkey").count() == 0
+        )
