@@ -80,6 +80,7 @@ HEADLINE = [
     "manifest_cdc_roundtrip",
     "embedding_matryoshka_prefix",
     "bloom_prune_orders_building",
+    "manifest_schema_evolution",
 ]
 
 

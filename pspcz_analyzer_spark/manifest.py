@@ -93,6 +93,7 @@ def _commit(
     files: list[str],
     expected_version: int,
     txns: dict | None = None,
+    schema: list | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -103,10 +104,10 @@ def _commit(
     new_v = expected_version + 1
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
-    body = json.dumps(
-        {"version": new_v, "files": sorted(files), "txns": txns or {}},
-        indent=0,
-    ).encode()
+    doc = {"version": new_v, "files": sorted(files), "txns": txns or {}}
+    if schema is not None:
+        doc["schema"] = schema
+    body = json.dumps(doc, indent=0).encode()
     tmp = os.path.join(d, f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "wb") as fh:
         fh.write(body)
@@ -135,7 +136,65 @@ def manifest_init(path: str) -> int:
     files = sorted(
         f for f in os.listdir(path) if f.endswith(".parquet")
     )
-    return _commit(path, files, 0)
+    return _commit(path, files, 0, schema=_table_schema_list(path, files))
+
+
+def _df_schema_list(df: DataFrame) -> list:
+    """[[name, ddl-type], ...] in column order — the manifest's schema
+    encoding. simpleString keeps it engine-readable and diffable."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _table_schema_list(path: str, files: list[str]) -> list:
+    """Schema of an adopted plain-Parquet table, from one file's footer
+    (Spark wrote all parts with one schema)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if not files:
+        return []
+    arrow = pq.ParquetFile(os.path.join(path, files[0])).schema_arrow
+    return [
+        [f.name, f.dataType.simpleString()]
+        for f in from_arrow_schema(arrow).fields
+    ]
+
+
+class SchemaMismatch(ValueError):
+    """Batch schema conflicts with the table schema (Delta's write-time
+    schema enforcement): raised for a new column without merge_schema, or
+    a type change on an existing column (never allowed — no widening)."""
+
+
+def _check_schema(
+    table_schema: list, df: DataFrame, merge_schema: bool
+) -> list:
+    """Enforce-or-evolve: returns the (possibly extended) table schema.
+
+    * shared column with a different type -> SchemaMismatch, always;
+    * batch column absent from the table -> SchemaMismatch unless
+      ``merge_schema``, which appends it (readers fill old rows with
+      null — Delta's additive evolution);
+    * table column absent from the batch -> fine; the reader null-fills
+      (the batch wrote a subset of nullable columns).
+    """
+    types = {n: t for n, t in table_schema}
+    out = [list(x) for x in table_schema]
+    for name, dtype in _df_schema_list(df):
+        if name in types:
+            if types[name] != dtype:
+                raise SchemaMismatch(
+                    f"column {name!r}: table has {types[name]}, batch has "
+                    f"{dtype}; type changes are not supported"
+                )
+        elif merge_schema:
+            out.append([name, dtype])
+        else:
+            raise SchemaMismatch(
+                f"batch adds column {name!r} not in the table schema; pass "
+                "merge_schema=True to evolve (append-only, no type changes)"
+            )
+    return out
 
 
 def load_manifest_table(
@@ -146,9 +205,30 @@ def load_manifest_table(
     mid-query (and old versions stay readable until vacuumed: time
     travel)."""
     m = read_manifest(path, version)
+    schema = m.get("schema")
     if not m["files"]:
+        if schema:
+            ddl = ", ".join(f"{n} {t}" for n, t in schema)
+            return spark.createDataFrame([], ddl)
         return spark.createDataFrame([], spark.read.parquet(path).schema)
-    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in m["files"]]
+    )
+    if not schema:
+        return df  # pre-evolution manifest: files share one schema
+    # Project to THIS version's schema: columns only later versions know
+    # are invisible here even if mergeSchema surfaced them from shared
+    # files (there are none today — data files are never rewritten across
+    # schema changes — but the projection is the contract); columns added
+    # metadata-only (add_column) or by a later evolved append null-fill
+    # for files written before them.
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+            for n, t in schema
+        ]
+    )
 
 
 def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
@@ -177,6 +257,7 @@ def append(
     df: DataFrame,
     path: str,
     txn: "tuple[str, int] | None" = None,
+    merge_schema: bool = False,
 ) -> int:
     """Manifest-committed append: write the batch as new data files and
     publish one new version referencing old + new. The object-store-safe
@@ -191,6 +272,9 @@ def append(
     the watermark commits atomically WITH the files it describes).
     Returns the committed (or current, when skipped) version."""
     m = read_manifest(path)
+    schema = _check_schema(
+        m.get("schema") or _df_schema_list(df), df, merge_schema
+    )
     txns = dict(m.get("txns") or {})
     if txn is not None:
         app_id, batch_id = txn
@@ -198,7 +282,31 @@ def append(
             return m["version"]  # replay: already applied
         txns[app_id] = batch_id
     new_names = _stage_rewrites(df, path, "append")
-    return _commit(path, m["files"] + new_names, m["version"], txns=txns)
+    return _commit(
+        path, m["files"] + new_names, m["version"], txns=txns, schema=schema
+    )
+
+
+def add_column(path: str, name: str, dtype: str) -> int:
+    """Metadata-only ALTER TABLE ADD COLUMN: commits a new version with
+    the same file list and an extended schema — zero data IO, the Delta/
+    Iceberg DDL fast path. Readers of the new version see the column as
+    null for every existing row; readers of pinned old versions never see
+    it (schema is versioned with the manifest). ``dtype`` is a Spark DDL
+    type string (``int``, ``string``, ``array<double>`` ...)."""
+    m = read_manifest(path)
+    schema = m.get("schema")
+    if not schema:
+        raise ValueError(
+            f"{path} has no manifest schema (pre-evolution manifest); "
+            "re-init or append once to adopt one"
+        )
+    if any(n == name for n, _ in schema):
+        raise SchemaMismatch(f"column {name!r} already exists")
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
+    )
 
 
 def delete_keys(
@@ -232,7 +340,10 @@ def delete_keys(
     )
     victims = {os.path.basename(f) for f in affected}
     new_files = [f for f in m["files"] if f not in victims] + new_names
-    _commit(path, new_files, m["version"], txns=m.get("txns") or {})
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+    )
     return len(affected), rows_before - rows_after
 
 
@@ -256,6 +367,9 @@ def upsert(
     anti-join rewrite per partition instead.
     """
     m = read_manifest(path)
+    schema = _check_schema(
+        m.get("schema") or _df_schema_list(batch), batch, merge_schema=False
+    )
     keys = [r[0] for r in batch.select(key_col).distinct().collect()]
     files = [os.path.join(path, f) for f in m["files"]]
     new_names: list[str] = []
@@ -273,7 +387,10 @@ def upsert(
             victims = {os.path.basename(f) for f in affected}
     new_names += _stage_rewrites(batch, path, "upsert")
     new_files = [f for f in m["files"] if f not in victims] + new_names
-    return _commit(path, new_files, m["version"], txns=m.get("txns") or {})
+    return _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=schema,
+    )
 
 
 def compact_small_files(
@@ -311,7 +428,10 @@ def compact_small_files(
         merged += b
     victims = set(merged)
     new_files = [f for f in m["files"] if f not in victims] + new_names
-    _commit(path, new_files, m["version"], txns=m.get("txns") or {})
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+    )
     return len(merged), len(new_names)
 
 

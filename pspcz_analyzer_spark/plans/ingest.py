@@ -442,6 +442,62 @@ def manifest_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_schema_evolution",
+    oracle="""
+    WITH legacy AS (SELECT 'legacy' AS src, value FROM events),
+    b2 AS (SELECT 'b2' AS src, value FROM events WHERE event_id % 11 = 0)
+    SELECT src,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           CAST(0 AS BIGINT) AS n_flag
+    FROM (SELECT * FROM legacy UNION ALL SELECT * FROM b2)
+    GROUP BY src
+    ORDER BY src
+    """,
+    tags=("S12", "manifest", "schema-evolution", "ddl", "sink"),
+    doc="Schema evolution on a manifest table (manifest.py): events "
+    "adopted as version 1 (schema recorded in the manifest), a batch "
+    "carrying a NEW src column appended with merge_schema=True (Delta's "
+    "additive evolution — enforcement raises without the flag, asserted "
+    "in test_manifest.py), then a metadata-only add_column('flag','int') "
+    "commits a version with ZERO data IO. The latest snapshot must "
+    "null-fill src for pre-evolution rows and flag everywhere — the "
+    "oracle rebuilds that union from the raw table; version 1 read back "
+    "still shows the original two columns (versioned schema = time "
+    "travel for DDL).",
+    priority=18,
+)
+def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    path = _scratch(sf_dir, "events_schema_evo")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "event_id", num_partitions=8)
+    M.manifest_init(path)
+    b2 = events.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "value",
+        F.lit("b2").alias("src"),
+    )
+    M.append(b2, path, merge_schema=True)
+    M.add_column(path, "flag", "int")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy(F.coalesce("src", F.lit("legacy")).alias("src"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count("flag").alias("n_flag"),
+        )
+        .orderBy("src")
+    )
+
+
+@register(
     "manifest_cdc_roundtrip",
     oracle="""
     WITH base AS (

@@ -212,3 +212,92 @@ class TestTxnIdempotence:
         )
         assert M.current_version(table) == v
         assert M.load_manifest_table(spark, table).count() == 200
+
+
+class TestSchemaEvolution:
+    """Write-time enforcement, additive evolution, metadata-only DDL, and
+    versioned schemas under time travel."""
+
+    def _extra(self, spark):
+        return spark.range(5).select(
+            (F.col("id") + 90_000).alias("event_id"),
+            (F.col("id") % 3).alias("user_id"),
+            F.lit("b2").alias("src"),
+        )
+
+    def test_append_enforces_schema_by_default(self, spark, table):
+        with pytest.raises(M.SchemaMismatch, match="adds column 'src'"):
+            M.append(self._extra(spark), table)
+        assert M.current_version(table) == 1  # nothing committed
+
+    def test_type_change_always_rejected(self, spark, table):
+        bad = spark.range(3).select(
+            F.col("id").alias("event_id"), F.lit("x").alias("user_id")
+        )
+        with pytest.raises(M.SchemaMismatch, match="table has bigint"):
+            M.append(bad, table, merge_schema=True)
+
+    def test_merge_schema_appends_column_and_null_fills(self, spark, table):
+        M.append(self._extra(spark), table, merge_schema=True)
+        t = M.load_manifest_table(spark, table)
+        assert t.columns == ["event_id", "user_id", "src"]
+        assert t.filter(F.col("src").isNull()).count() == 4_000
+        assert t.filter(F.col("src") == "b2").count() == 5
+
+    def test_subset_append_null_fills_missing_column(self, spark, table):
+        M.append(self._extra(spark), table, merge_schema=True)
+        subset = spark.range(2).select(
+            (F.col("id") + 95_000).alias("event_id"),
+            (F.col("id") % 3).alias("user_id"),
+        )
+        M.append(subset, table)  # src missing: allowed, reads as null
+        t = M.load_manifest_table(spark, table)
+        assert t.filter(F.col("event_id") >= 95_000).count() == 2
+        assert (
+            t.filter((F.col("event_id") >= 95_000) & F.col("src").isNull()).count()
+            == 2
+        )
+
+    def test_add_column_is_metadata_only(self, spark, table):
+        files_before = set(M.read_manifest(table)["files"])
+        v = M.add_column(table, "flag", "int")
+        m = M.read_manifest(table)
+        assert m["version"] == v
+        assert set(m["files"]) == files_before  # zero data IO
+        t = M.load_manifest_table(spark, table)
+        assert t.schema["flag"].dataType.simpleString() == "int"
+        assert t.filter(F.col("flag").isNull()).count() == t.count()
+        with pytest.raises(M.SchemaMismatch, match="already exists"):
+            M.add_column(table, "flag", "int")
+
+    def test_schema_is_versioned_with_time_travel(self, spark, table):
+        M.append(self._extra(spark), table, merge_schema=True)
+        M.add_column(table, "flag", "int")
+        assert M.load_manifest_table(spark, table, version=1).columns == [
+            "event_id",
+            "user_id",
+        ]
+        assert M.load_manifest_table(spark, table, version=2).columns == [
+            "event_id",
+            "user_id",
+            "src",
+        ]
+        assert M.load_manifest_table(spark, table).columns == [
+            "event_id",
+            "user_id",
+            "src",
+            "flag",
+        ]
+
+    def test_maintenance_ops_preserve_schema(self, spark, table):
+        M.append(self._extra(spark), table, merge_schema=True)
+        M.delete_keys(spark, table, "user_id", [1])
+        assert [n for n, _ in M.read_manifest(table)["schema"]] == [
+            "event_id",
+            "user_id",
+            "src",
+        ]
+        M.compact_small_files(spark, table, target_bytes=1 << 20)
+        t = M.load_manifest_table(spark, table)
+        assert t.columns == ["event_id", "user_id", "src"]
+        assert t.filter(F.col("user_id") == 1).count() == 0
