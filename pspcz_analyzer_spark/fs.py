@@ -1,0 +1,185 @@
+"""Filesystem shim for the manifest-committed lake ops.
+
+The manifest protocol (``manifest.py``) needs a small, explicit set of
+primitives — list a directory, read/delete/rename a file, publish a blob
+create-exclusively, read a Parquet footer — and NOTHING else. Routing
+them through this shim removes the remaining POSIX assumption from the
+100 TB story: :class:`LocalFS` is the os-module implementation the tests
+and the local driver run on; :class:`ArrowFS` adapts any
+``pyarrow.fs.FileSystem`` (S3, HDFS, GCS — all resolvable from a URI via
+the public ``FileSystem.from_uri``), so the same manifest code plans
+against object stores.
+
+What each primitive needs from the store, and who provides it:
+
+===================  =========================================================
+primitive            requirement
+===================  =========================================================
+listdir/size/exists  plain metadata reads — every store
+remove/rename        only ever applied to files INVISIBLE to readers (staged
+                     data files pre-commit, vacuum garbage), so S3's
+                     copy+delete "rename" and its non-atomicity are FINE —
+                     the protocol never depends on them for correctness
+create_exclusive     the ONE correctness-critical primitive: the manifest
+                     version publish. POSIX link(2)/O_EXCL (LocalFS), HDFS
+                     create(overwrite=false), S3 conditional PUT
+                     (If-None-Match: *). ArrowFS emulates with a
+                     check-then-write and documents the TOCTOU window —
+                     pyarrow exposes no conditional write; a production S3
+                     deployment must swap in a conditional-PUT client for
+                     THIS one call (everything else carries over).
+parquet_file         footer metadata for stats pruning/row accounting —
+                     pyarrow reads through any of its filesystems
+===================  =========================================================
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+class LocalFS:
+    """os-module implementation: plain paths, atomic create-exclusive via
+    link(2) of an fsync'd temp file."""
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def remove(self, path: str) -> None:
+        os.unlink(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        """Atomic publish: the file appears fully-written or not at all,
+        and a concurrent publisher of the same name loses with
+        FileExistsError. fsync-then-link keeps both properties."""
+        tmp = os.path.join(
+            os.path.dirname(path), f".tmp_{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+    def parquet_file(self, path: str):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path)
+
+
+class ArrowFS:
+    """Adapter over a ``pyarrow.fs.FileSystem`` — S3/HDFS/GCS/local from
+    one URI. Paths passed in are store-relative (scheme stripped by
+    :func:`get_fs`)."""
+
+    def __init__(self, fs) -> None:
+        self._fs = fs
+
+    def _info(self, path: str):
+        from pyarrow.fs import FileSelector  # noqa: F401  (doc pointer)
+
+        return self._fs.get_file_info(path)
+
+    def listdir(self, path: str) -> list[str]:
+        from pyarrow.fs import FileSelector
+
+        return [
+            os.path.basename(i.path)
+            for i in self._fs.get_file_info(FileSelector(path))
+        ]
+
+    def exists(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._info(path).type != FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._info(path).type == FileType.Directory
+
+    def size(self, path: str) -> int:
+        return self._info(path).size
+
+    def remove(self, path: str) -> None:
+        self._fs.delete_file(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        # Object stores implement this as copy+delete; only ever used on
+        # files no committed manifest references (see module doc).
+        self._fs.move(src, dst)
+
+    def makedirs(self, path: str) -> None:
+        self._fs.create_dir(path, recursive=True)
+
+    def rmtree(self, path: str) -> None:
+        from pyarrow.fs import FileType
+
+        if self._info(path).type != FileType.NotFound:
+            self._fs.delete_dir(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with self._fs.open_input_file(path) as fh:
+            return fh.read()
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        """Check-then-write: pyarrow exposes no conditional put, so two
+        RACING commits of the same version have a TOCTOU window here —
+        a lost manifest, not a corrupted one (versions are content-
+        complete). A production S3 deployment must replace this one
+        method with a conditional PUT (If-None-Match: *); HDFS gets
+        exclusivity from create(overwrite=false) natively."""
+        from pyarrow.fs import FileType
+
+        if self._fs.get_file_info(path).type != FileType.NotFound:
+            raise FileExistsError(path)
+        with self._fs.open_output_stream(path) as fh:
+            fh.write(data)
+
+    def parquet_file(self, path: str):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path, filesystem=self._fs)
+
+
+def get_fs(path: str) -> "tuple[LocalFS | ArrowFS, str]":
+    """Resolve (filesystem, store-relative path) for ``path``. Scheme-less
+    and ``file://`` paths get :class:`LocalFS`; any other URI resolves
+    through ``pyarrow.fs.FileSystem.from_uri`` (s3://, hdfs://, gs://,
+    ...)."""
+    if "://" not in path:
+        return LocalFS(), path
+    scheme, _, rest = path.partition("://")
+    if scheme == "file":
+        return LocalFS(), "/" + rest.lstrip("/")
+    from pyarrow.fs import FileSystem
+
+    fs, rel = FileSystem.from_uri(path)
+    return ArrowFS(fs), rel

@@ -294,14 +294,17 @@ def _commit_rewrite(
     _swap_in(stage, path)
 
 
-def _file_may_contain(f: str, key_col: str, key_set: set) -> bool:
+def _file_may_contain(
+    f: str, key_col: str, key_set: set, open_parquet=None
+) -> bool:
     """Driver-side footer-stats pruning: False only when every row group's
     [min, max] range on ``key_col`` provably misses every key (metadata
     read, no data IO). Shared by the swap-committed and manifest-committed
-    delete paths."""
+    delete paths; ``open_parquet`` (default local pyarrow) lets the
+    manifest path read footers through its fs shim on object stores."""
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(f).metadata
+    meta = (open_parquet or pq.ParquetFile)(f).metadata
     if meta.num_row_groups == 0:
         return False  # zero rows: cannot contain any key
     ci = next(

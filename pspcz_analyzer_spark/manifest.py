@@ -45,6 +45,8 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from pspcz_analyzer_spark.fs import get_fs
+
 MANIFEST_DIR = "_manifest"
 
 
@@ -57,11 +59,12 @@ def _manifest_dir(path: str) -> str:
 
 
 def _versions(path: str) -> list[int]:
+    fs, path = get_fs(path)
     d = _manifest_dir(path)
-    if not os.path.isdir(d):
+    if not fs.isdir(d):
         return []
     out = []
-    for f in os.listdir(d):
+    for f in fs.listdir(d):
         if f.endswith(".json"):
             try:
                 out.append(int(f[:-5]))
@@ -84,8 +87,10 @@ def read_manifest(path: str, version: int | None = None) -> dict:
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
-    with open(os.path.join(_manifest_dir(path), f"{v:08d}.json")) as fh:
-        return json.load(fh)
+    fs, path = get_fs(path)
+    return json.loads(
+        fs.read_bytes(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
+    )
 
 
 def _commit(
@@ -102,29 +107,24 @@ def _commit(
     form); callers pass the previous manifest's dict updated with their
     own entry. Returns the committed version."""
     new_v = expected_version + 1
+    fs, path = get_fs(path)
     d = _manifest_dir(path)
-    os.makedirs(d, exist_ok=True)
+    fs.makedirs(d)
     doc = {"version": new_v, "files": sorted(files), "txns": txns or {}}
     if schema is not None:
         doc["schema"] = schema
     body = json.dumps(doc, indent=0).encode()
-    tmp = os.path.join(d, f".tmp_{uuid.uuid4().hex[:8]}")
-    with open(tmp, "wb") as fh:
-        fh.write(body)
-        fh.flush()
-        os.fsync(fh.fileno())
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
-        # link(2) fails with EEXIST if the target exists — the atomic
-        # create-exclusive this protocol needs (O_EXCL open would also do;
-        # link keeps the fsync'd bytes). On S3: conditional PUT.
-        os.link(tmp, target)
+        # The one correctness-critical store primitive: atomic publish of
+        # a fully-written blob that LOSES if the name exists. LocalFS:
+        # fsync'd temp + link(2). HDFS: create(overwrite=false). S3:
+        # conditional PUT — see fs.py for the per-store contract.
+        fs.create_exclusive(target, body)
     except FileExistsError as e:
         raise CommitConflict(
             f"version {new_v} already committed at {path}; re-plan"
         ) from e
-    finally:
-        os.unlink(tmp)
     return new_v
 
 
@@ -133,9 +133,8 @@ def manifest_init(path: str) -> int:
     file list. No-op (returns the current version) if already initialized."""
     if _versions(path):
         return current_version(path)
-    files = sorted(
-        f for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    fs, rel = get_fs(path)
+    files = sorted(f for f in fs.listdir(rel) if f.endswith(".parquet"))
     return _commit(path, files, 0, schema=_table_schema_list(path, files))
 
 
@@ -148,12 +147,12 @@ def _df_schema_list(df: DataFrame) -> list:
 def _table_schema_list(path: str, files: list[str]) -> list:
     """Schema of an adopted plain-Parquet table, from one file's footer
     (Spark wrote all parts with one schema)."""
-    import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
     if not files:
         return []
-    arrow = pq.ParquetFile(os.path.join(path, files[0])).schema_arrow
+    fs, rel = get_fs(path)
+    arrow = fs.parquet_file(os.path.join(rel, files[0])).schema_arrow
     return [
         [f.name, f.dataType.simpleString()]
         for f in from_arrow_schema(arrow).fields
@@ -235,21 +234,25 @@ def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
     """Write a DataFrame as new uniquely-named data files INSIDE the table
     directory (additive — invisible to manifest readers until a commit
     references them). Returns the new basenames."""
-    import glob as _glob
-    import shutil as _shutil
-
-    import pyarrow.parquet as pq
-
-    stage = os.path.join(path, f".stage_{uuid.uuid4().hex[:8]}")
-    spark_df.write.mode("overwrite").parquet(stage)
+    fs, rel = get_fs(path)
+    stage_name = f".stage_{uuid.uuid4().hex[:8]}"
+    # Spark writes through its own Hadoop connectors (any scheme); the
+    # post-write surgery goes through the fs shim. Renames here touch only
+    # files no manifest references yet, so object-store copy+delete
+    # semantics are fine (see fs.py).
+    spark_df.write.mode("overwrite").parquet(os.path.join(path, stage_name))
+    stage_rel = os.path.join(rel, stage_name)
     out = []
-    for i, f in enumerate(sorted(_glob.glob(os.path.join(stage, "*.parquet")))):
-        if pq.ParquetFile(f).metadata.num_rows == 0:
+    for i, base in enumerate(sorted(fs.listdir(stage_rel))):
+        if not base.endswith(".parquet"):
+            continue
+        f = os.path.join(stage_rel, base)
+        if fs.parquet_file(f).metadata.num_rows == 0:
             continue  # empty part: referencing it just bloats the manifest
         name = f"{prefix}-{uuid.uuid4().hex[:12]}-{i}.parquet"
-        os.rename(f, os.path.join(path, name))
+        fs.rename(f, os.path.join(rel, name))
         out.append(name)
-    _shutil.rmtree(stage, ignore_errors=True)
+    fs.rmtree(stage_rel)
     return out
 
 
@@ -321,24 +324,32 @@ def delete_keys(
     the whole change published as one new manifest version. Pre-commit
     crash: previous version intact (new files are unreferenced garbage for
     vacuum). Returns (files_rewritten, rows_deleted)."""
-    import pyarrow.parquet as pq
-
     from pspcz_analyzer_spark.jobs import _file_may_contain
 
+    fs, rel = get_fs(path)
     m = read_manifest(path)
-    files = [os.path.join(path, f) for f in m["files"]]
     key_set = set(keys)
-    affected = [f for f in files if _file_may_contain(f, key_col, key_set)]
+    affected = [
+        f
+        for f in m["files"]
+        if _file_may_contain(
+            os.path.join(rel, f), key_col, key_set, open_parquet=fs.parquet_file
+        )
+    ]
     if not affected:
         return 0, 0
-    kept = spark.read.parquet(*affected).filter(~F.col(key_col).isin(*key_set))
+    kept = spark.read.parquet(
+        *[os.path.join(path, f) for f in affected]
+    ).filter(~F.col(key_col).isin(*key_set))
     new_names = _stage_rewrites(kept, path, "del")
-    rows_before = sum(pq.ParquetFile(f).metadata.num_rows for f in affected)
+    rows_before = sum(
+        fs.parquet_file(os.path.join(rel, f)).metadata.num_rows for f in affected
+    )
     rows_after = sum(
-        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
         for f in new_names
     )
-    victims = {os.path.basename(f) for f in affected}
+    victims = set(affected)
     new_files = [f for f in m["files"] if f not in victims] + new_names
     _commit(
         path, new_files, m["version"],
@@ -371,20 +382,29 @@ def upsert(
         m.get("schema") or _df_schema_list(batch), batch, merge_schema=False
     )
     keys = [r[0] for r in batch.select(key_col).distinct().collect()]
-    files = [os.path.join(path, f) for f in m["files"]]
     new_names: list[str] = []
     victims: set[str] = set()
     if keys:
         from pspcz_analyzer_spark.jobs import _file_may_contain
 
+        fs, rel = get_fs(path)
         key_set = set(keys)
-        affected = [f for f in files if _file_may_contain(f, key_col, key_set)]
-        if affected:
-            kept = spark.read.parquet(*affected).filter(
-                ~F.col(key_col).isin(*key_set)
+        affected = [
+            f
+            for f in m["files"]
+            if _file_may_contain(
+                os.path.join(rel, f),
+                key_col,
+                key_set,
+                open_parquet=fs.parquet_file,
             )
+        ]
+        if affected:
+            kept = spark.read.parquet(
+                *[os.path.join(path, f) for f in affected]
+            ).filter(~F.col(key_col).isin(*key_set))
             new_names += _stage_rewrites(kept, path, "upsert")
-            victims = {os.path.basename(f) for f in affected}
+            victims = set(affected)
     new_names += _stage_rewrites(batch, path, "upsert")
     new_files = [f for f in m["files"] if f not in victims] + new_names
     return _commit(
@@ -402,10 +422,9 @@ def compact_small_files(
     half ``target_bytes`` into ~target-size outputs, publish as one new
     version. Cost tracks small-file bytes; large files are never read.
     Returns (files_merged, files_written)."""
+    fs, rel = get_fs(path)
     m = read_manifest(path)
-    sizes = {
-        f: os.path.getsize(os.path.join(path, f)) for f in m["files"]
-    }
+    sizes = {f: fs.size(os.path.join(rel, f)) for f in m["files"]}
     small = [f for f in m["files"] if sizes[f] < target_bytes // 2]
     if len(small) < 2:
         return 0, 0
@@ -450,11 +469,12 @@ def vacuum(path: str, retain_versions: int = 1) -> int:
     referenced: set[str] = set()
     for v in keep_vs:
         referenced.update(read_manifest(path, v)["files"])
+    fs, rel = get_fs(path)
     removed = 0
-    for f in os.listdir(path):
+    for f in fs.listdir(rel):
         if f.endswith(".parquet") and f not in referenced:
-            os.unlink(os.path.join(path, f))
+            fs.remove(os.path.join(rel, f))
             removed += 1
     for v in vs[:-retain_versions]:
-        os.unlink(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
+        fs.remove(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
     return removed
