@@ -81,6 +81,7 @@ HEADLINE = [
     "embedding_matryoshka_prefix",
     "bloom_prune_orders_building",
     "manifest_schema_evolution",
+    "manifest_stats_prune",
 ]
 
 

@@ -99,6 +99,8 @@ def _commit(
     expected_version: int,
     txns: dict | None = None,
     schema: list | None = None,
+    stats: dict | None = None,
+    stat_cols: "list | None" = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -113,6 +115,10 @@ def _commit(
     doc = {"version": new_v, "files": sorted(files), "txns": txns or {}}
     if schema is not None:
         doc["schema"] = schema
+    if stats is not None:
+        doc["stats"] = {f: stats[f] for f in sorted(stats)}
+    if stat_cols is not None:
+        doc["stat_cols"] = list(stat_cols)
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
@@ -128,14 +134,26 @@ def _commit(
     return new_v
 
 
-def manifest_init(path: str) -> int:
+def manifest_init(path: str, stat_cols: "list | None" = None) -> int:
     """Adopt an existing plain Parquet directory: version 1 = its current
-    file list. No-op (returns the current version) if already initialized."""
+    file list. No-op (returns the current version) if already initialized.
+
+    ``stat_cols`` turns on manifest-level file statistics: per-file
+    [min, max] for those columns are computed from the footers ONCE here
+    (and per-commit for new files) and stored in the manifest, so
+    :func:`scan_manifest_table` plans file-skipping scans from metadata
+    alone — at 100 TB the difference between planning from one small JSON
+    and opening a million footers."""
     if _versions(path):
         return current_version(path)
     fs, rel = get_fs(path)
     files = sorted(f for f in fs.listdir(rel) if f.endswith(".parquet"))
-    return _commit(path, files, 0, schema=_table_schema_list(path, files))
+    stats = _file_stats(fs, rel, files, stat_cols) if stat_cols else None
+    return _commit(
+        path, files, 0,
+        schema=_table_schema_list(path, files),
+        stats=stats, stat_cols=stat_cols,
+    )
 
 
 def _df_schema_list(df: DataFrame) -> list:
@@ -230,6 +248,131 @@ def load_manifest_table(
     )
 
 
+def _json_stat(v):
+    """Footer min/max -> JSON-storable value, or None when the type has no
+    total order JSON can carry faithfully (binary, timestamps...). A None
+    min/max simply disables pruning for that (file, column) — never
+    correctness."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return None
+
+
+def _file_stats(fs, rel: str, names: list, stat_cols: list) -> dict:
+    """Per-file [min, max] for ``stat_cols``, read from the freshly
+    written footers — computed ONCE at commit time so scans never touch
+    data-file metadata again (the Iceberg/Delta move: stats live in the
+    table metadata, planning is metadata-only)."""
+    out: dict = {}
+    for name in names:
+        meta = fs.parquet_file(os.path.join(rel, name)).metadata
+        if meta.num_row_groups == 0:
+            out[name] = {c: None for c in stat_cols}
+            continue
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        fstats: dict = {}
+        for c in stat_cols:
+            ci = idx.get(c)
+            lo = hi = None
+            ok = ci is not None
+            if ok:
+                for g in range(meta.num_row_groups):
+                    st = meta.row_group(g).column(ci).statistics
+                    if st is None or st.min is None:
+                        ok = False
+                        break
+                    gmin, gmax = _json_stat(st.min), _json_stat(st.max)
+                    if gmin is None or gmax is None:
+                        ok = False
+                        break
+                    lo = gmin if lo is None else min(lo, gmin)
+                    hi = gmax if hi is None else max(hi, gmax)
+            fstats[c] = [lo, hi] if ok else None
+        out[name] = fstats
+    return out
+
+
+def _updated_stats(m: dict, fs, rel: str, new_names: list, victims=()):
+    """(stats, stat_cols) for the next commit: previous stats minus the
+    victim files, plus freshly computed stats for the new files. (None,
+    None) when the table doesn't track stats."""
+    stat_cols = m.get("stat_cols")
+    if not stat_cols:
+        return None, None
+    stats = {
+        f: s for f, s in (m.get("stats") or {}).items() if f not in set(victims)
+    }
+    stats.update(_file_stats(fs, rel, new_names, stat_cols))
+    return stats, stat_cols
+
+
+def prune_files(
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> "tuple[list[str], int]":
+    """(files that may contain rows with ``lo <= col <= hi``, total files)
+    for the given version — decided ENTIRELY from the manifest's stored
+    stats (zero file opens, zero data IO: Iceberg/Delta's metadata-only
+    planning). A file with no stored stats for ``col`` is conservatively
+    kept; skipping is only ever an optimization, never a filter."""
+    m = read_manifest(path, version)
+    stats = m.get("stats") or {}
+    kept = []
+    for f in m["files"]:
+        s = (stats.get(f) or {}).get(col)
+        if s is None or s[0] is None:
+            kept.append(f)  # unknown -> cannot prune
+        elif not (hi < s[0] or lo > s[1]):
+            kept.append(f)
+    return kept, len(m["files"])
+
+
+def scan_manifest_table(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan with manifest-stats file skipping: only files whose
+    stored [min, max] on ``col`` overlaps [lo, hi] enter the plan, and
+    the exact BETWEEN predicate is still applied (stats skip whole
+    files; Parquet row-group pushdown and the filter handle the rest).
+    Equivalent to ``load_manifest_table(...).filter(between)`` by
+    construction — the oracle for the catalog query."""
+    files, _total = prune_files(path, col, lo, hi, version)
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return load_manifest_table(spark, path, version).filter(pred).limit(0)
+    m = read_manifest(path, version)
+    schema = m.get("schema")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    if schema:
+        have = set(df.columns)
+        df = df.select(
+            *[
+                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in schema
+            ]
+        )
+    return df.filter(pred)
+
+
 def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
     """Write a DataFrame as new uniquely-named data files INSIDE the table
     directory (additive — invisible to manifest readers until a commit
@@ -285,8 +428,10 @@ def append(
             return m["version"]  # replay: already applied
         txns[app_id] = batch_id
     new_names = _stage_rewrites(df, path, "append")
+    stats, stat_cols = _updated_stats(m, *get_fs(path), new_names)
     return _commit(
-        path, m["files"] + new_names, m["version"], txns=txns, schema=schema
+        path, m["files"] + new_names, m["version"], txns=txns, schema=schema,
+        stats=stats, stat_cols=stat_cols,
     )
 
 
@@ -309,6 +454,7 @@ def add_column(path: str, name: str, dtype: str) -> int:
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
     )
 
 
@@ -351,9 +497,11 @@ def delete_keys(
     )
     victims = set(affected)
     new_files = [f for f in m["files"] if f not in victims] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
     _commit(
         path, new_files, m["version"],
         txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
     )
     return len(affected), rows_before - rows_after
 
@@ -407,9 +555,11 @@ def upsert(
             victims = set(affected)
     new_names += _stage_rewrites(batch, path, "upsert")
     new_files = [f for f in m["files"] if f not in victims] + new_names
+    stats, stat_cols = _updated_stats(m, *get_fs(path), new_names, victims)
     return _commit(
         path, new_files, m["version"],
         txns=m.get("txns") or {}, schema=schema,
+        stats=stats, stat_cols=stat_cols,
     )
 
 
@@ -447,9 +597,11 @@ def compact_small_files(
         merged += b
     victims = set(merged)
     new_files = [f for f in m["files"] if f not in victims] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
     _commit(
         path, new_files, m["version"],
         txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
     )
     return len(merged), len(new_names)
 

@@ -442,6 +442,54 @@ def manifest_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_stats_prune",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 20
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S10", "manifest", "stats", "file-skipping", "scale"),
+    doc="Manifest-level file statistics + metadata-only scan planning "
+    "(manifest.py::manifest_init(stat_cols=...), scan_manifest_table): "
+    "per-file [min,max] computed ONCE at commit time from the freshly "
+    "written footers and stored IN the manifest, so a range scan picks "
+    "its file subset from one small JSON — zero footer opens at plan "
+    "time, the Iceberg/Delta planning model (at 100 TB: planning cost "
+    "tracks the manifest, not a million file opens). The exact BETWEEN "
+    "still applies on the survivors, so the result equals the unpruned "
+    "scan — the oracle; test_manifest.py asserts files were actually "
+    "skipped and that delete/compact/append refresh the stored stats.",
+    priority=18,
+)
+def manifest_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_stats_prune")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path, stat_cols=["user_id"])
+    return (
+        M.scan_manifest_table(spark, path, "user_id", 10, 20)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "manifest_schema_evolution",
     oracle="""
     WITH legacy AS (SELECT 'legacy' AS src, value FROM events),

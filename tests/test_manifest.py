@@ -301,3 +301,61 @@ class TestSchemaEvolution:
         t = M.load_manifest_table(spark, table)
         assert t.columns == ["event_id", "user_id", "src"]
         assert t.filter(F.col("user_id") == 1).count() == 0
+
+
+class TestManifestStats:
+    """Manifest-stored file stats: metadata-only scan pruning that stays
+    exact, with stats refreshed by every commit."""
+
+    @pytest.fixture()
+    def stats_table(self, spark, tmp_path):
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        path = str(tmp_path / "stab")
+        write_range_sorted(df, path, "k", num_partitions=10)
+        M.manifest_init(path, stat_cols=["k"])
+        return path
+
+    def test_prune_skips_files_and_scan_is_exact(self, spark, stats_table):
+        kept, total = M.prune_files(stats_table, "k", 2000, 2999)
+        assert total == 10 and 1 <= len(kept) < total  # real skipping
+        got = M.scan_manifest_table(spark, stats_table, "k", 2000, 2999)
+        assert got.count() == 1000
+        assert got.agg(F.min("k"), F.max("k")).collect()[0] == (2000, 2999)
+
+    def test_untracked_column_never_prunes(self, spark, stats_table):
+        kept, total = M.prune_files(stats_table, "g", 3, 3)
+        assert len(kept) == total  # no stats -> conservative keep
+        assert (
+            M.scan_manifest_table(spark, stats_table, "g", 3, 3).count()
+            == 10_000 // 7 + 1
+        )
+
+    def test_stats_refresh_across_commits(self, spark, stats_table):
+        M.delete_keys(spark, stats_table, "k", [2500])
+        assert M.scan_manifest_table(spark, stats_table, "k", 2000, 2999).count() == 999
+        b2 = spark.range(90_000, 90_100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        M.append(b2, stats_table)
+        m = M.read_manifest(stats_table)
+        assert set(m["stats"]) == set(m["files"])  # every live file covered
+        kept, total = M.prune_files(stats_table, "k", 90_000, 99_999)
+        assert len(kept) < total
+        assert (
+            M.scan_manifest_table(spark, stats_table, "k", 90_000, 99_999).count()
+            == 100
+        )
+        # old version's stats stay pinned with it (time travel)
+        kept_v1, _ = M.prune_files(stats_table, "k", 90_000, 99_999, version=1)
+        assert kept_v1 == []
+
+    def test_empty_prune_returns_empty_frame(self, spark, stats_table):
+        got = M.scan_manifest_table(spark, stats_table, "k", 10**9, 2 * 10**9)
+        assert got.count() == 0
+        assert got.columns == ["k", "g", "v"]
