@@ -82,6 +82,7 @@ HEADLINE = [
     "bloom_prune_orders_building",
     "manifest_schema_evolution",
     "manifest_stats_prune",
+    "corpus_unimax_sample",
 ]
 
 

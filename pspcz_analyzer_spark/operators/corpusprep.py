@@ -1142,3 +1142,86 @@ def unigram_encode_counts(
     return src.mapInPandas(
         encode, schema=f"{id_col} long, n_words int, n_unigram_units int"
     )
+
+
+def unimax_quotas(counts: "list[tuple[str, int]]", budget: int) -> "dict[str, int]":
+    """Waterfilled per-group quotas: every group gets an equal share of
+    ``budget``, a group smaller than its share contributes everything, and
+    its unused share redistributes uniformly among the rest — UniMax's
+    language-budget allocation (Chung et al. 2023, arXiv:2304.09151)
+    specialized to subset selection (epoch cap = 1: a sample cannot repeat
+    rows; the >1-epoch form is a weighting, not a sampling, concern).
+
+    Exact integer arithmetic: groups sorted by (count, name); the capped
+    prefix is where ``count * remaining_groups <= remaining_budget``
+    (monotone, so a prefix); the leftover splits floor-evenly among the
+    uncapped with the remainder going to the first ``leftover % u`` of
+    them in the same order — deterministic, Σ quotas = min(budget, total).
+    Driver-side over the GROUP LIST (bounded by #languages), never rows.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    ordered = sorted(counts, key=lambda t: (t[1], t[0]))
+    k = len(ordered)
+    quotas: dict[str, int] = {}
+    rem = budget
+    uncapped: list[str] = []
+    for i, (g, c) in enumerate(ordered):
+        r = k - i
+        # Once one group can't take its full count, no LARGER group may
+        # either (the waterline is below both) — capping stops for good.
+        # Without the prefix cut a later group could grab its full count
+        # out of budget the waterline owes earlier groups.
+        if uncapped or c * r > rem:
+            uncapped.append(g)
+        else:
+            quotas[g] = c
+            rem -= c
+    u = len(uncapped)
+    if u:
+        base, extra = divmod(rem, u)
+        for j, g in enumerate(uncapped):
+            quotas[g] = base + (1 if j < extra else 0)
+    return quotas
+
+
+def unimax_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax-budgeted corpus subset: :func:`unimax_quotas` decides how
+    many rows each group contributes, and the rows themselves are picked
+    by the same replayable multiplicative-hash rank
+    :func:`exact_stratified_sample` uses — so the draw is deterministic,
+    engine-reproducible, and append-stable per group.
+
+    Head-heavy mixtures (one dominant language) are exactly what this
+    tames: temperature mixing still over-samples the head, UniMax gives
+    every language its full uniform share first. Plan: one group-count
+    aggregate (collected — bounded by #groups), quotas broadcast back as
+    a tiny join, ONE row shuffle on the group for the rank window.
+    """
+    from pyspark.sql import Window
+
+    counts = [
+        (r[0], r[1])
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    quotas = unimax_quotas(counts, budget)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(g, q) for g, q in quotas.items()], f"{group_col} string, __quota long"
+    )
+    order = ((F.col(id_col).cast("long") * F.lit(_KNUTH2)) % F.lit(1 << 32)).alias(
+        "__order"
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc("__order"), F.asc(id_col))
+    return (
+        df.withColumn("__order", order)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(qdf), group_col)
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .drop("__order", "__quota")
+    )

@@ -437,6 +437,74 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_unimax_sample",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    ord AS (
+      SELECT lang, cnt,
+             row_number() OVER (ORDER BY cnt, lang) AS i,
+             coalesce(sum(cnt) OVER (
+               ORDER BY cnt, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS bef,
+             count(*) OVER () AS k
+      FROM c
+    ),
+    flags AS (
+      SELECT lang, cnt, i,
+             CASE WHEN cnt * (k - i + 1) <= (400 - bef) THEN 1 ELSE 0 END
+               AS capped
+      FROM ord
+    ),
+    pool AS (
+      SELECT sum(CASE WHEN capped = 1 THEN cnt ELSE 0 END) AS capsum,
+             count(*) - sum(capped) AS u
+      FROM flags
+    ),
+    quotas AS (
+      SELECT f.lang,
+             CASE WHEN f.capped = 1 THEN f.cnt
+                  ELSE (400 - p.capsum) // p.u
+                       + CASE WHEN row_number() OVER (
+                                PARTITION BY f.capped ORDER BY f.cnt, f.lang
+                              ) <= (400 - p.capsum) % p.u THEN 1 ELSE 0 END
+             END AS quota
+      FROM flags f, pool p
+    )
+    SELECT d.doc_id, d.lang, CAST(d.rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2246822519) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    ) d
+    JOIN quotas q ON d.lang = q.lang
+    WHERE d.rn <= q.quota
+    ORDER BY d.lang, sample_rank
+    """,
+    tags=("pipeline", "sampling", "mixing", "new-surface"),
+    priority=18,
+    doc="UniMax language-budgeted sampling (arXiv:2304.09151): a 400-doc "
+    "budget waterfilled across languages — each language gets its full "
+    "uniform share, smaller languages contribute everything and their "
+    "unused share redistributes (exact integer arithmetic, deterministic "
+    "remainder) — then the per-language draw is the replayable hash rank. "
+    "The oracle re-derives the ENTIRE waterfill in SQL (window-function "
+    "prefix sums; the capped test is provably prefix-monotone), so the "
+    "gate pins quotas AND membership. Tames head-heavy mixtures where "
+    "temperature sampling still over-samples the head "
+    "(operators/corpusprep.py::unimax_quotas/unimax_sample).",
+)
+def corpus_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import unimax_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return unimax_sample(docs, "lang", 400).orderBy("lang", "sample_rank")
+
+
+@register(
     "corpus_lang_sample_exact",
     oracle="""
     SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank

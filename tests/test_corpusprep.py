@@ -844,3 +844,67 @@ class TestUnigramLM:
         assert len(rows) == docs.count()
         # Units bounded by [n_words, n_chars]; a trained vocab compresses.
         assert all(r["n_unigram_units"] >= r["n_words"] for r in rows if r["n_words"])
+
+
+class TestUniMax:
+    """unimax_quotas waterfill invariants + the sampled subset."""
+
+    def test_known_answer(self):
+        from pspcz_analyzer_spark.operators.corpusprep import unimax_quotas
+
+        # Hand-derived: uniform share 80; fr/de/es/zh below-> capped,
+        # en takes the leftover.
+        q = unimax_quotas(
+            [("fr", 64), ("de", 70), ("es", 73), ("zh", 75), ("en", 218)], 400
+        )
+        assert q == {"fr": 64, "de": 70, "es": 73, "zh": 75, "en": 118}
+
+    def test_invariants_random(self):
+        import random
+
+        from pspcz_analyzer_spark.operators.corpusprep import unimax_quotas
+
+        rng = random.Random(11)
+        for _ in range(200):
+            k = rng.randint(1, 8)
+            counts = [(f"g{i}", rng.randint(0, 500)) for i in range(k)]
+            budget = rng.randint(0, 1200)
+            q = unimax_quotas(counts, budget)
+            total = sum(c for _, c in counts)
+            assert sum(q.values()) == min(budget, total)
+            by = dict(counts)
+            assert all(0 <= q[g] <= by[g] for g in q)
+            # Fairness: an uncapped group's quota is >= any other group's
+            # quota - 1 (uniform up to the integer remainder).
+            uncapped = [g for g in q if q[g] < by[g]]
+            if uncapped:
+                lo = min(q[g] for g in uncapped)
+                assert all(q[g] <= lo + 1 for g in q if g not in uncapped) or all(
+                    by[g] <= lo + 1 for g in q if g not in uncapped
+                )
+
+    def test_budget_exceeds_total_keeps_everything(self):
+        from pspcz_analyzer_spark.operators.corpusprep import unimax_quotas
+
+        q = unimax_quotas([("a", 5), ("b", 9)], 1000)
+        assert q == {"a": 5, "b": 9}
+
+    def test_sample_matches_quotas_and_is_deterministic(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            unimax_quotas,
+            unimax_sample,
+        )
+
+        rows = [(i, ["x", "y", "z"][i % 3] if i % 7 else "w") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        counts = [(r[0], r[1]) for r in df.groupBy("lang").count().collect()]
+        quotas = unimax_quotas(counts, 120)
+        got = unimax_sample(df, "lang", 120)
+        sizes = {
+            r["lang"]: r["n"]
+            for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sizes == {g: q for g, q in quotas.items() if q > 0}
+        ids1 = sorted(r["doc_id"] for r in got.collect())
+        ids2 = sorted(r["doc_id"] for r in unimax_sample(df, "lang", 120).collect())
+        assert ids1 == ids2  # replayable draw
