@@ -421,12 +421,16 @@ def bloom_semi_join(
 
     Plan shape: one pass over dim's keys builds per-word OR aggregates
     (m_bits/64 rows — e.g. 1024 — collected driver-side, the same bounded
-    payload as any broadcast scalar), shipped as a one-row array<long>
-    crossJoin(broadcast(...)); the probe is a codegen'd forall over k
-    md5-derived positions with element_at + bitwiseAND. At 100 TB: the
-    fact table's shuffle volume scales with the SURVIVORS, not the table
-    — the whole point; dim shuffles once on the distinct bit positions
-    (bounded by m_bits, not dim's size).
+    payload as any broadcast scalar), embedded as an array<bigint>
+    LITERAL in the probe — exactly how Spark's own injected runtime
+    filters ship their bloom bitmaps. The literal (not a crossJoin'd
+    one-row frame, which Catalyst reorders ABOVE the confirm join,
+    running the probe after the shuffle it exists to shrink) makes the
+    probe a plain Filter that pushdown keeps in the fact's scan stage —
+    below whatever join the confirm becomes. At 100 TB: the fact table's
+    shuffle volume scales with the SURVIVORS, not the table — the whole
+    point; dim shuffles once on the distinct bit positions (bounded by
+    m_bits, not dim's size).
     """
     dim_key = dim_key or fact_key
     spark = fact.sparkSession
@@ -448,16 +452,11 @@ def bloom_semi_join(
     arr = [0] * (m_bits // 64)
     for r in words:
         arr[r["w"]] = r["bits"]
-    bm = spark.createDataFrame([(arr,)], "__bm array<bigint>")
-    # Positions materialize as an attribute BEFORE the crossJoin: a forall
-    # over a CONSTRUCTED array in the post-join filter trips Catalyst's
-    # pushdown into binding fact attributes on the bitmap side
-    # (ATTRIBUTE_NOT_FOUND) — the same constructed-array-in-filter hazard
-    # PLANS.md documents for Generate.
+    bitmap = F.lit(arr)  # ONE Literal node (8 KiB), not 1024 children
     probe = F.forall(
-        F.col("__pos"),
+        _bloom_positions(F.col(fact_key), m_bits, k),
         lambda p: (
-            F.element_at(F.col("__bm"), (p / 64).cast("int") + 1).bitwiseAND(
+            F.element_at(bitmap, (p / 64).cast("int") + 1).bitwiseAND(
                 F.call_function(
                     "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
                 )
@@ -465,11 +464,5 @@ def bloom_semi_join(
         )
         != 0,
     )
-    pruned = (
-        fact.withColumn("__pos", _bloom_positions(F.col(fact_key), m_bits, k))
-        .crossJoin(F.broadcast(bm))
-        .filter(probe)
-        .drop("__bm", "__pos")
-    )
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
-    return pruned.join(keys, fact_key, "left_semi")
+    return fact.filter(probe).join(keys, fact_key, "left_semi")

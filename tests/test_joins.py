@@ -508,25 +508,20 @@ class TestBloomSemiJoin:
         arr = [0] * (m_bits // 64)
         for r in words:
             arr[r["w"]] = r["bits"]
-        bm = spark.createDataFrame([(arr,)], "__bm array<bigint>")
-        survivors = (
-            fact.withColumn("__pos", _bloom_positions(F.col("key"), m_bits, k))
-            .crossJoin(F.broadcast(bm))
-            .filter(
-                F.forall(
-                    F.col("__pos"),
-                    lambda p: (
-                        F.element_at(F.col("__bm"), (p / 64).cast("int") + 1).bitwiseAND(
-                            F.call_function(
-                                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
-                            )
+        bitmap = F.lit(arr)
+        survivors = fact.filter(
+            F.forall(
+                _bloom_positions(F.col("key"), m_bits, k),
+                lambda p: (
+                    F.element_at(bitmap, (p / 64).cast("int") + 1).bitwiseAND(
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
                         )
                     )
-                    != 0,
                 )
+                != 0,
             )
-            .select("row_id")
-        )
+        ).select("row_id")
         exact_ids = {
             r["row_id"]
             for r in fact.join(
