@@ -83,6 +83,7 @@ HEADLINE = [
     "manifest_schema_evolution",
     "manifest_stats_prune",
     "corpus_unimax_sample",
+    "doc_nb_lang_classify",
 ]
 
 

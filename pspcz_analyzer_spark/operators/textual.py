@@ -173,3 +173,118 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     for k in flags:
         keep = F.col(k) if keep is None else (keep & F.col(k))
     return out.withColumn("keep_gopher", keep)
+
+
+def nb_train_classify(
+    train: DataFrame,
+    predict: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier over hashed unigram
+    features — the learned counterpart to the stopword-marker
+    :func:`language_id`, and the shape of the supervised quality/domain
+    classifiers real pretraining pipelines run at corpus scale (the
+    fastText-style linear filter in LLaMA/CCNet-descended stacks): train
+    on a labeled slice, score every document with a closed-form model —
+    no SGD, one aggregate per distribution.
+
+    Features: non-empty unigrams of the normalized text, hashed into
+    ``n_buckets`` via the engine-reproducible md5-prefix idiom
+    (``dsir_logratio_scores`` shares it, so the DuckDB oracle replays
+    training AND inference exactly). Model:
+    ``lp(label, b) = ln((c_lb + s) / (tot_l + s * n_buckets))`` with
+    Laplace ``smoothing`` s, plus document-count log-priors. Prediction:
+    argmax_l [prior_l + sum_b c_b(doc) * lp(label, b)], scores rounded to
+    6 before the argmax (label-name tiebreak) so the comparison is
+    engine-stable.
+
+    Plan shape: training is ONE (label, bucket) aggregate densified by a
+    labels x buckets grid (labels collected — bounded by class count);
+    the model (|L| x ``n_buckets`` rows) broadcasts. Inference: one
+    explode + (id, bucket) count shuffle, broadcast model join, one
+    (id, label) sum shuffle, one id-partitioned rank window — corpus
+    never joins corpus, cost tracks tokens + |L| x docs. Returns
+    (id_col, pred_label, nb_score).
+    """
+    from pyspark.sql import Window
+
+    spark = train.sparkSession
+
+    def feats(df: DataFrame, *keep: str) -> DataFrame:
+        toks = F.split(normalize_text(text_col), " ")
+        out = df.select(*[F.col(c) for c in keep], F.explode(toks).alias("__g"))
+        return out.filter(F.length("__g") > 0).withColumn(
+            "__b",
+            F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("long")
+            % n_buckets,
+        )
+
+    labels = sorted(
+        r[0] for r in train.select(label_col).distinct().collect() if r[0] is not None
+    )
+    if not labels:
+        raise ValueError(f"no labels in {label_col!r}")
+    labels_df = spark.createDataFrame([(l,) for l in labels], f"{label_col} string")
+    grid = labels_df.crossJoin(
+        spark.range(n_buckets).select(F.col("id").alias("__b"))
+    )
+    counts = (
+        feats(train, label_col)
+        .groupBy(label_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    dense = grid.join(counts, [label_col, "__b"], "left").select(
+        label_col, "__b", F.coalesce("__c", F.lit(0)).alias("__c")
+    )
+    totals = dense.groupBy(label_col).agg(F.sum("__c").alias("__t"))
+    model = dense.join(F.broadcast(totals), label_col).select(
+        label_col,
+        "__b",
+        F.log(
+            (F.col("__c") + F.lit(smoothing))
+            / (F.col("__t") + F.lit(smoothing * n_buckets))
+        ).alias("__lp"),
+    )
+    n_docs = train.count()
+    prior_rows = [
+        (l, c)
+        for l, c in (
+            (r[0], r[1])
+            for r in train.groupBy(label_col).agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        )
+        if l is not None
+    ]
+    priors = spark.createDataFrame(
+        [(l, float(__import__("math").log(c / n_docs))) for l, c in prior_rows],
+        f"{label_col} string, __prior double",
+    )
+    doc_buckets = (
+        feats(predict, id_col)
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(model), "__b")
+        .groupBy(id_col, label_col)
+        .agg(F.sum(F.col("__c") * F.col("__lp")).alias("__s"))
+        .join(F.broadcast(priors), label_col)
+        .select(
+            id_col,
+            label_col,
+            F.round(F.col("__s") + F.col("__prior"), 6).alias("nb_score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("nb_score"), F.asc(label_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col(label_col).alias("pred_label"), "nb_score")
+    )

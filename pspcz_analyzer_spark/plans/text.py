@@ -500,6 +500,86 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_nb_lang_classify",
+    oracle=f"""
+    WITH train AS (
+      SELECT lang, {_NORM.format(c="text")} AS ntext
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    test AS (
+      SELECT doc_id, {_NORM.format(c="text")} AS ntext
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    tgb AS (
+      SELECT lang, ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+      FROM (SELECT lang, unnest(string_split(ntext, ' ')) AS g FROM train)
+      WHERE g <> ''
+    ),
+    grid AS (
+      SELECT l.lang, r.b
+      FROM (SELECT DISTINCT lang FROM train) l
+      CROSS JOIN (SELECT unnest(range(512)) AS b) r
+    ),
+    counts AS (SELECT lang, b, count(*) AS c FROM tgb GROUP BY 1, 2),
+    dense AS (
+      SELECT g.lang, g.b, coalesce(c.c, 0) AS c
+      FROM grid g LEFT JOIN counts c ON g.lang = c.lang AND g.b = c.b
+    ),
+    tots AS (SELECT lang, sum(c) AS t FROM dense GROUP BY 1),
+    model AS (
+      SELECT d.lang, d.b, ln((d.c + 1.0) / (t.t + 512.0)) AS lp
+      FROM dense d JOIN tots t ON d.lang = t.lang
+    ),
+    priors AS (
+      SELECT lang,
+             ln(count(*)::DOUBLE / (SELECT count(*) FROM train)) AS prior
+      FROM train GROUP BY lang
+    ),
+    db AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b,
+             count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(ntext, ' ')) AS g FROM test)
+      WHERE g <> ''
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT db.doc_id, m.lang,
+             round(sum(db.c * m.lp) + p.prior, 6) AS nb_score
+      FROM db
+      JOIN model m ON db.b = m.b
+      JOIN priors p ON m.lang = p.lang
+      GROUP BY db.doc_id, m.lang, p.prior
+    )
+    SELECT doc_id, lang AS pred_label, nb_score
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY nb_score DESC, lang
+    ) = 1
+    ORDER BY doc_id
+    """,
+    tags=("lang-id", "classifier", "pipeline", "new-surface"),
+    priority=18,
+    doc="Supervised Naive Bayes language classifier over hashed unigrams "
+    "(operators/textual.py::nb_train_classify): trained on the even-id "
+    "half (labels = lang), scoring the odd-id half — the fastText-style "
+    "closed-form linear filter real pretraining stacks run for "
+    "language/quality/domain gating, with NO iterative fitting (one "
+    "aggregate per distribution, |L| x 512-row model broadcast). The "
+    "oracle replays training AND inference in SQL (shared md5-bucket "
+    "idiom); scores round to 6 before the argmax so the comparison is "
+    "engine-stable. Accuracy vs the true lang label is pinned in "
+    "test_textual.py, not here — the gate checks the MATH.",
+)
+def doc_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.textual import nb_train_classify
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return nb_train_classify(train, test, "lang").orderBy("doc_id")
+
+
+@register(
     "doc_length_quantiles",
     oracle="""
     SELECT source,

@@ -230,3 +230,89 @@ class TestGopherFlags:
             "ok_alpha_words",
             "ok_stopwords",
         }
+
+
+class TestNaiveBayes:
+    """nb_train_classify: brute-force parity on a toy corpus, accuracy on
+    separable data, prior behavior on empty-feature docs."""
+
+    def _toy(self, spark):
+        rows = [
+            (0, "a", "red red blue"),
+            (2, "a", "red red red green"),
+            (4, "b", "blue blue green"),
+            (6, "b", "blue green green"),
+            (8, "a", "red green"),
+        ]
+        test = [
+            (1, "red red"),
+            (3, "blue blue blue"),
+            (5, "green red"),
+        ]
+        return (
+            spark.createDataFrame(rows, "doc_id long, lab string, text string"),
+            spark.createDataFrame(test, "doc_id long, text string"),
+        )
+
+    def _brute(self, train_rows, test_rows, n_buckets=512, s=1.0):
+        import hashlib
+        import math
+        from collections import Counter, defaultdict
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+        by_label = defaultdict(Counter)
+        ndocs = Counter()
+        for _, lab, text in train_rows:
+            ndocs[lab] += 1
+            for g in text.split():
+                by_label[lab][bucket(g)] += 1
+        total = sum(ndocs.values())
+        out = {}
+        for did, text in test_rows:
+            cb = Counter(bucket(g) for g in text.split())
+            best = None
+            for lab in sorted(by_label):
+                t = sum(by_label[lab].values())
+                sc = sum(
+                    c * math.log((by_label[lab][b] + s) / (t + s * n_buckets))
+                    for b, c in cb.items()
+                )
+                sc = round(sc + math.log(ndocs[lab] / total), 6)
+                if best is None or sc > best[1]:
+                    best = (lab, sc)
+            out[did] = best
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from pspcz_analyzer_spark.operators.textual import nb_train_classify
+
+        train, test = self._toy(spark)
+        got = {
+            r["doc_id"]: (r["pred_label"], r["nb_score"])
+            for r in nb_train_classify(train, test, "lab").collect()
+        }
+        want = self._brute(
+            [(r["doc_id"], r["lab"], r["text"]) for r in train.collect()],
+            [(r["doc_id"], r["text"]) for r in test.collect()],
+        )
+        assert set(got) == set(want)
+        for did in want:
+            assert got[did][0] == want[did][0]
+            assert abs(got[did][1] - want[did][1]) < 1e-6
+
+    def test_separable_labels_recovered(self, spark):
+        from pspcz_analyzer_spark.operators.textual import nb_train_classify
+
+        train, test = self._toy(spark)
+        got = {r["doc_id"]: r["pred_label"] for r in nb_train_classify(train, test, "lab").collect()}
+        assert got[1] == "a"  # red-dominated
+        assert got[3] == "b"  # blue-dominated
+
+    def test_empty_text_doc_is_absent(self, spark):
+        from pspcz_analyzer_spark.operators.textual import nb_train_classify
+
+        train, _ = self._toy(spark)
+        test = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
+        assert nb_train_classify(train, test, "lab").count() == 0
