@@ -1,0 +1,96 @@
+"""Ranked-retrieval evaluation: recall@k, MRR, nDCG@k.
+
+The measurement half of the retrieval surface (BM25 in
+``plans/behavior.py``, ANN in ``operators/ann.py``): given a ranked
+result list per query and graded relevance judgments, compute the
+standard offline metrics — the harness a retrieval pipeline runs after
+every index/ranker change (TREC-style evaluation; nDCG per
+Järvelin & Kekäläinen 2002).
+
+All metrics are per-query rows (macro-average downstream with one tiny
+aggregate); everything is built-in column expressions over two keyed
+shuffles — judgment sets and result lists are top-k/benchmark-sized per
+query, so cost tracks queries x k, never the corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    query_col: str = "q_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query recall@k, MRR, and nDCG@k.
+
+    ``results``: one row per (query, doc) with a 1-based ``rank_col``
+    (ties already broken by the ranker — ranks must be unique per query).
+    ``truth``: graded judgments, ``grade_col`` > 0 meaning relevant;
+    (query, doc) pairs absent from ``truth`` count as grade 0.
+
+    * recall@k  = |top-k results with grade > 0| / |relevant judgments|
+    * MRR       = 1 / rank of the first relevant result (0 when none)
+    * nDCG@k    = DCG@k / IDCG@k with gain (2^grade - 1) / log2(rank+1);
+                  IDCG ranks the judgment grades descending
+                  (doc-id tiebreak, so both engines agree exactly).
+
+    Queries with judgments but NO result rows still appear (zero
+    metrics) — silently dropping them would inflate every macro average.
+    Plan: results left-join judgments on (query, doc) — both sides
+    top-k/benchmark-sized — one per-query aggregate each side, one
+    per-query window for IDCG. Metrics round to 6 (engine-stable log2).
+    """
+    q, d, r, g = query_col, doc_col, rank_col, grade_col
+    graded = results.join(truth, [q, d], "left").select(
+        q, d, r, F.coalesce(F.col(g), F.lit(0)).alias(g)
+    )
+    gain = (F.pow(F.lit(2.0), F.col(g)) - 1) / F.log2(F.col(r) + 1)
+    per_q = graded.groupBy(q).agg(
+        F.sum(
+            F.when((F.col(r) <= k) & (F.col(g) > 0), 1).otherwise(0)
+        ).alias("__hits"),
+        F.max(
+            F.when(F.col(g) > 0, 1.0 / F.col(r)).otherwise(0.0)
+        ).alias("mrr"),
+        F.sum(F.when(F.col(r) <= k, gain).otherwise(F.lit(0.0))).alias("__dcg"),
+    )
+    w = Window.partitionBy(q).orderBy(F.desc(g), F.asc(d))
+    ideal = (
+        truth.filter(F.col(g) > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .groupBy(q)
+        .agg(
+            F.count(F.lit(1)).alias("n_relevant"),
+            F.sum(
+                F.when(
+                    F.col("__rn") <= k,
+                    (F.pow(F.lit(2.0), F.col(g)) - 1) / F.log2(F.col("__rn") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias("__idcg"),
+        )
+    )
+    return (
+        ideal.join(per_q, q, "left")
+        .select(
+            q,
+            "n_relevant",
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("n_relevant"), 6
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(F.col("mrr"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(
+                F.when(
+                    F.col("__idcg") > 0,
+                    F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+    )
