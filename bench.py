@@ -84,6 +84,7 @@ HEADLINE = [
     "manifest_stats_prune",
     "corpus_unimax_sample",
     "doc_nb_lang_classify",
+    "doc_retrieval_eval",
 ]
 
 

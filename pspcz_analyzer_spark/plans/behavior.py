@@ -298,3 +298,132 @@ def events_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_windows"))
         .orderBy("event_id")
     )
+
+
+_EVAL_QUERIES = (("q1", ("spark", "vector")), ("q2", ("merge", "scan")))
+
+
+def _retrieval_eval_oracle() -> str:
+    arms = []
+    for qid, terms in _EVAL_QUERIES:
+        occ = " + ".join(
+            f"len(list_filter(t, x -> x = '{t}'))" for t in terms
+        )
+        grade = " + ".join(
+            f"(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END)"
+            for t in terms
+        )
+        arms.append(
+            f"SELECT '{qid}' AS q_id, doc_id, {occ} AS occ, {grade} AS grade "
+            "FROM toks"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    scored AS ({union}),
+    results AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY occ DESC, doc_id
+             ) AS rank
+      FROM scored WHERE occ > 0
+      QUALIFY rank <= 10
+    ),
+    truth AS (SELECT q_id, doc_id, grade FROM scored WHERE grade > 0),
+    joined AS (
+      SELECT r.q_id, r.rank, coalesce(t.grade, 0) AS grade
+      FROM results r
+      LEFT JOIN truth t ON r.q_id = t.q_id AND r.doc_id = t.doc_id
+    ),
+    perq AS (
+      SELECT q_id,
+             sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits,
+             max(CASE WHEN grade > 0 THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+             sum((pow(2, grade) - 1) / log2(rank + 1)) AS dcg
+      FROM joined GROUP BY q_id
+    ),
+    ideal AS (
+      SELECT q_id, count(*) AS n_relevant,
+             sum(CASE WHEN rn <= 10
+                      THEN (pow(2, grade) - 1) / log2(rn + 1)
+                      ELSE 0.0 END) AS idcg
+      FROM (
+        SELECT q_id, grade,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY grade DESC, doc_id
+               ) AS rn
+        FROM truth
+      ) GROUP BY q_id
+    )
+    SELECT i.q_id,
+           CAST(i.n_relevant AS BIGINT) AS n_relevant,
+           round(coalesce(p.hits, 0) / i.n_relevant, 6) AS recall_at_k,
+           round(coalesce(p.mrr, 0.0), 6) AS mrr,
+           round(CASE WHEN i.idcg > 0
+                      THEN coalesce(p.dcg, 0.0) / i.idcg ELSE 0.0 END, 6)
+             AS ndcg_at_k
+    FROM ideal i LEFT JOIN perq p ON i.q_id = p.q_id
+    ORDER BY i.q_id
+    """
+
+
+@register(
+    "doc_retrieval_eval",
+    oracle=_retrieval_eval_oracle(),
+    tags=("retrieval", "eval", "metrics", "new-surface"),
+    priority=18,
+    doc="Offline retrieval evaluation (operators/ranking.py::"
+    "ranking_metrics): recall@10, MRR, nDCG@10 per query for a "
+    "deterministic term-occurrence ranker against term-presence graded "
+    "judgments — the measurement harness the BM25/ANN surface needs "
+    "after every ranker change. The oracle replays ranking, judgments, "
+    "and ALL THREE metrics in SQL (shared log2/pow arithmetic, round-6). "
+    "Judgment sets are per-query bounded; cost tracks queries x k, "
+    "never the corpus.",
+)
+def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pspcz_analyzer_spark.operators.ranking import ranking_metrics
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    def tf(term: str):
+        # One-parameter lambda only: F.filter treats a two-parameter
+        # lambda as (value, index) — see doc_bm25_topk's note.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    arms = []
+    for qid, terms in _EVAL_QUERIES:
+        occ = None
+        grade = None
+        for t in terms:
+            o = tf(t)
+            g = F.when(F.array_contains(toks, t), 1).otherwise(0)
+            occ = o if occ is None else occ + o
+            grade = g if grade is None else grade + g
+        arms.append(
+            docs.select(
+                F.lit(qid).alias("q_id"),
+                "doc_id",
+                occ.alias("occ"),
+                grade.alias("grade"),
+            )
+        )
+    scored = arms[0]
+    for a in arms[1:]:
+        scored = scored.unionByName(a)
+    w = Window.partitionBy("q_id").orderBy(F.desc("occ"), F.asc("doc_id"))
+    results = (
+        scored.filter(F.col("occ") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "doc_id", "rank")
+    )
+    truth = scored.filter(F.col("grade") > 0).select("q_id", "doc_id", "grade")
+    return ranking_metrics(results, truth, k=10).orderBy("q_id")
