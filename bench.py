@@ -85,6 +85,7 @@ HEADLINE = [
     "corpus_unimax_sample",
     "doc_nb_lang_classify",
     "doc_retrieval_eval",
+    "embedding_hard_negatives",
 ]
 
 

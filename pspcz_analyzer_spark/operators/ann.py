@@ -475,3 +475,64 @@ def matryoshka_truncate(
             F.transform(c, lambda x: x / nrm)
         )
     return df.withColumn(out_col or vec_col, c)
+
+
+def hard_negative_mine(
+    emb: DataFrame,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining: for every anchor, its best
+    positive (most-similar SAME-label vector) and its ``k_neg`` hardest
+    negatives (most-similar OTHER-label vectors) — the standard data-prep
+    step for training embedding models with InfoNCE/triplet losses, where
+    in-batch random negatives are too easy and the hard ones near the
+    decision boundary carry the gradient signal.
+
+    Output: one row per (anchor, mined pair) — ``role`` 'positive'
+    (rank 1) or 'negative' (rank 1..k_neg), with the exact cosine
+    rounded to 6; deterministic ties by pair id. Anchors lacking a
+    same-label partner simply have no positive row.
+
+    Exact all-pairs formulation — the oracle-checkable twin, same
+    contract as ``embedding_near_dup``: cap the id range for the gate;
+    at corpus scale generate candidates with ``lsh_bucketed_pairs`` (or
+    the IVF index) per anchor and rescore with this same cosine — the
+    windows here apply unchanged to the candidate set. One shuffle per
+    window key (the anchor id).
+    """
+    from pyspark.sql import Window
+
+    a = emb.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).cast("array<double>").alias("__va"),
+        F.col(label_col).alias("__la"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("pair_id"),
+        F.col(vec_col).cast("array<double>").alias("__vb"),
+        F.col(label_col).alias("__lb"),
+    )
+    pairs = a.join(b, F.col("anchor_id") != F.col("pair_id")).withColumn(
+        "__sim", cosine(F.col("__va"), F.col("__vb"))
+    )
+    same = F.col("__la") == F.col("__lb")
+    w_pos = Window.partitionBy("anchor_id", same.cast("int")).orderBy(
+        F.desc("__sim"), F.asc("pair_id")
+    )
+    ranked = pairs.withColumn("rank", F.row_number().over(w_pos))
+    keep = (same & (F.col("rank") == 1)) | (~same & (F.col("rank") <= k_neg))
+    return (
+        ranked.filter(keep)
+        .select(
+            "anchor_id",
+            F.when(same, F.lit("positive")).otherwise(F.lit("negative")).alias(
+                "role"
+            ),
+            F.col("rank").cast("long").alias("rank"),
+            "pair_id",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+    )

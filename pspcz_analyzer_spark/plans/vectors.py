@@ -677,3 +677,52 @@ def embedding_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("prefix", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("renormed_sum"),
     ).orderBy("vec_id")
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 150
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS pair_id,
+             (a.label = b.label) AS same,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS sim
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT anchor_id, pair_id, same, sim,
+             row_number() OVER (
+               PARTITION BY anchor_id, same ORDER BY sim DESC, pair_id
+             ) AS rank
+      FROM pairs
+    )
+    SELECT anchor_id,
+           CASE WHEN same THEN 'positive' ELSE 'negative' END AS role,
+           CAST(rank AS BIGINT) AS rank,
+           pair_id,
+           round(sim, 6) AS cosine_sim
+    FROM ranked
+    WHERE (same AND rank = 1) OR (NOT same AND rank <= 2)
+    ORDER BY anchor_id, role, rank
+    """,
+    tags=("ann", "contrastive", "training-pairs", "new-surface"),
+    priority=18,
+    doc="Contrastive training-pair mining (operators/ann.py::"
+    "hard_negative_mine): per anchor, the best same-label positive and "
+    "the 2 hardest cross-label negatives by exact cosine — the data-prep "
+    "step for InfoNCE/triplet embedding training where boundary-adjacent "
+    "negatives carry the gradient. Exact all-pairs on a bounded id range "
+    "(the oracle twin, same contract as embedding_near_dup); at corpus "
+    "scale the same windows rescore LSH/IVF candidate sets. Ranks "
+    "compare UNROUNDED sims in both engines; output rounds to 6.",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import hard_negative_mine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return hard_negative_mine(emb, k_neg=2).orderBy("anchor_id", "role", "rank")

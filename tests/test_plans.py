@@ -95,6 +95,8 @@ _NESTED_LOOP_OK = {
     "embedding_pairs_cross_label",  # exact baseline, vec_id < 200 cap
     "embedding_near_dup",  # exact oracle twin, vec_id < 1000 cap; scale
     # path is LSH candidates + exact rescore (ann_lsh_pairs)
+    "embedding_hard_negatives",  # exact all-pairs oracle twin, vec_id < 150
+    # cap; scale path rescoring LSH/IVF candidates (same windows)
     "fuzzy_match_supplier_customer",  # cross join vs broadcast-small dim
     "prefix_match_parts",  # startswith theta join vs broadcast prefix list
     "ann_bruteforce_top10",  # 1-row broadcast query vector (crossJoin)

@@ -501,3 +501,64 @@ class TestMatryoshka:
         )
         [r] = matryoshka_truncate(df, dim=2, renormalize=False).collect()
         assert r["embedding"] == [3.0, 4.0]
+
+
+class TestHardNegativeMine:
+    """hard_negative_mine vs a NumPy brute force on random vectors."""
+
+    def test_matches_numpy_brute_force(self, spark):
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.ann import hard_negative_mine
+
+        rng = np.random.default_rng(3)
+        n, d, k_neg = 40, 8, 3
+        vecs = rng.normal(size=(n, d))
+        labels = rng.integers(0, 4, size=n)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        got = {}
+        for r in hard_negative_mine(emb, k_neg=k_neg).collect():
+            got.setdefault(r["anchor_id"], {}).setdefault(r["role"], []).append(
+                (r["rank"], r["pair_id"], r["cosine_sim"])
+            )
+        norms = np.linalg.norm(vecs, axis=1)
+        sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        for a in range(n):
+            same = [
+                (-sims[a, b], b) for b in range(n) if b != a and labels[b] == labels[a]
+            ]
+            diff = [
+                (-sims[a, b], b) for b in range(n) if b != a and labels[b] != labels[a]
+            ]
+            if same:
+                pos = sorted(same)[0]
+                assert got[a]["positive"] == [
+                    (1, pos[1], round(-pos[0], 6))
+                ]
+            else:
+                assert "positive" not in got.get(a, {})
+            want_negs = [
+                (r + 1, b, round(-s, 6))
+                for r, (s, b) in enumerate(sorted(diff)[:k_neg])
+            ]
+            assert sorted(got[a]["negative"]) == want_negs
+
+    def test_anchor_without_same_label_partner_has_no_positive(self, spark):
+        from pspcz_analyzer_spark.operators.ann import hard_negative_mine
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),  # lone label-0 vector
+                (1, [0.0, 1.0], 1),
+                (2, [0.5, 0.5], 1),
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        rows = hard_negative_mine(emb, k_neg=5).collect()
+        roles0 = {r["role"] for r in rows if r["anchor_id"] == 0}
+        assert roles0 == {"negative"}
+        roles1 = {r["role"] for r in rows if r["anchor_id"] == 1}
+        assert roles1 == {"positive", "negative"}
