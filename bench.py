@@ -86,6 +86,7 @@ HEADLINE = [
     "doc_nb_lang_classify",
     "doc_retrieval_eval",
     "embedding_hard_negatives",
+    "manifest_zorder_optimize",
 ]
 
 

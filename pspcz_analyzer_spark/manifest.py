@@ -606,6 +606,45 @@ def compact_small_files(
     return len(merged), len(new_names)
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: "list[str]",
+    bits: int = 12,
+    num_partitions: int = 16,
+) -> int:
+    """Delta/Iceberg ``OPTIMIZE ... ZORDER BY`` for manifest tables:
+    rewrite the CURRENT snapshot into a Z-ordered layout (each new file a
+    narrow bounding box in every listed dimension — ``jobs.zorder_value``)
+    and publish the whole re-layout as ONE manifest version. Readers
+    never see a half-clustered table; the previous version stays
+    time-travel-readable until vacuumed; manifest stats (when tracked)
+    are recomputed from the new footers in the same commit, so
+    :func:`scan_manifest_table` pruning gets the full benefit of the new
+    layout on EVERY listed dimension immediately. Returns the committed
+    version."""
+    from pspcz_analyzer_spark.jobs import zorder_value
+
+    m = read_manifest(path)
+    if not m["files"]:
+        return m["version"]
+    keyed, zcol = zorder_value(load_manifest_table(spark, path), cols, bits)
+    out = (
+        keyed.repartitionByRange(num_partitions, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+    )
+    new_names = _stage_rewrites(out, path, "zorder")
+    stats, stat_cols = _updated_stats(
+        m, *get_fs(path), new_names, victims=set(m["files"])
+    )
+    return _commit(
+        path, new_names, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
+    )
+
+
 def vacuum(path: str, retain_versions: int = 1) -> int:
     """Garbage-collect data files referenced by NO retained manifest
     version, and drop the pruned manifests. ``retain_versions`` >= 1 keeps

@@ -442,6 +442,55 @@ def manifest_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_zorder_optimize",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 10 AND 40
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S10", "manifest", "zorder", "optimize", "scale"),
+    doc="OPTIMIZE ZORDER on a manifest table (manifest.py::"
+    "optimize_zorder): the user_id-sorted events snapshot rewritten into "
+    "a (user_id, value) Z-ordered layout and committed as ONE version — "
+    "readers never see a half-clustered table, version 1 stays "
+    "time-travel-readable, and the manifest stats recompute in the same "
+    "commit so metadata-only pruning works on BOTH dimensions "
+    "immediately. The box-predicate result must equal the raw-table "
+    "oracle; test_manifest.py asserts the value-dimension prune actually "
+    "improves after the re-layout (it skips nothing before).",
+    priority=18,
+)
+def manifest_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_zorder_opt")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path, stat_cols=["user_id", "value"])
+    M.optimize_zorder(spark, path, ["user_id", "value"], num_partitions=8)
+    return (
+        M.scan_manifest_table(spark, path, "user_id", 3, 9)
+        .filter(F.col("value").between(10, 40))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "manifest_stats_prune",
     oracle="""
     SELECT event_type,

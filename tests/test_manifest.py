@@ -359,3 +359,36 @@ class TestManifestStats:
         got = M.scan_manifest_table(spark, stats_table, "k", 10**9, 2 * 10**9)
         assert got.count() == 0
         assert got.columns == ["k", "g", "v"]
+
+
+class TestOptimizeZorder:
+    def test_zorder_improves_secondary_dimension_prune(self, spark, tmp_path):
+        df = spark.range(20_000).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 7919) % 1000).alias("v"),  # uncorrelated with k
+        )
+        path = str(tmp_path / "ztab")
+        write_range_sorted(df, path, "k", num_partitions=10)
+        M.manifest_init(path, stat_cols=["k", "v"])
+        # k-sorted layout: every file spans v's full range -> no v-skipping.
+        kept_before, total_before = M.prune_files(path, "v", 100, 199)
+        assert len(kept_before) == total_before
+        v = M.optimize_zorder(spark, path, ["k", "v"], num_partitions=10)
+        assert v == 2
+        kept_after, total_after = M.prune_files(path, "v", 100, 199)
+        assert len(kept_after) < total_after  # the re-layout bought skipping
+        # One-version commit, exact results, time travel intact.
+        got = M.scan_manifest_table(spark, path, "v", 100, 199)
+        assert got.count() == 2_000
+        assert M.load_manifest_table(spark, path, version=1).count() == 20_000
+        # Stats recomputed in the same commit cover every live file.
+        m = M.read_manifest(path)
+        assert set(m["stats"]) == set(m["files"])
+
+    def test_zorder_on_empty_manifest_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "zempty")
+        spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v")).write.parquet(path)
+        M.manifest_init(path)
+        M.delete_keys(spark, path, "k", [0, 1, 2, 3, 4])
+        ver = M.current_version(path)
+        assert M.optimize_zorder(spark, path, ["k"]) >= ver  # no crash
