@@ -87,6 +87,7 @@ HEADLINE = [
     "doc_retrieval_eval",
     "embedding_hard_negatives",
     "manifest_zorder_optimize",
+    "corpus_weighted_sample_per_lang",
 ]
 
 

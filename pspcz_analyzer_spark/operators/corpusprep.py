@@ -1225,3 +1225,54 @@ def unimax_sample(
         .filter(F.col("sample_rank") <= F.col("__quota"))
         .drop("__order", "__quota")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Per-group Efraimidis-Spirakis A-ES draw: exactly
+    min(k, |group|) rows per group, probability proportional to weight
+    WITHIN the group — the per-language/per-source companion to the
+    global :func:`weighted_sample`, completing the sampling family
+    (exact-k uniform per group = ``exact_stratified_sample``; budgeted
+    uniform across groups = ``unimax_sample``). "10k docs per language,
+    preferring high quality" is this operator.
+
+    The priority key u^(1/w) is THE SAME pure function of (salt, id,
+    weight) as the global draw — so a row sampled here and by
+    ``weighted_sample`` agrees on its key, the draw replays across runs
+    and engines, and appends only displace boundary rows within their
+    own group. Plan: one scan for the key, ONE shuffle on the group for
+    the rank window (the global variant's TakeOrderedAndProject can't
+    cap per group). Returns sampled rows + ``sample_rank`` (1 = highest
+    priority in its group).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    keyed = df.withColumn("__priority", F.pow(u, F.lit(1.0) / w))
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("__priority"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("sample_rank") <= k_per_group)
+        .drop("__priority")
+    )

@@ -1059,6 +1059,48 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_weighted_sample_per_lang",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             pow((('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT) / 4294967296.0,
+                 1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-12)) AS pri
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY pri DESC, doc_id
+             ) AS rn
+      FROM keyed
+    )
+    WHERE rn <= 25
+    ORDER BY lang, sample_rank
+    """,
+    tags=("pipeline", "sampling", "new-surface"),
+    priority=18,
+    doc="Per-group weighted sampling without replacement: exactly 25 docs "
+    "PER LANGUAGE, probability proportional to length within the group — "
+    "the same Efraimidis-Spirakis priority as corpus_weighted_sample "
+    "(identical key function, so the two draws agree row-for-row) capped "
+    "by a per-group rank window instead of a global top-k. Completes the "
+    "sampling family: exact-k uniform per group "
+    "(corpus_lang_sample_exact), budgeted uniform across groups "
+    "(corpus_unimax_sample), weighted global (corpus_weighted_sample), "
+    "weighted per group (this) "
+    "(operators/corpusprep.py::weighted_sample_per_group).",
+)
+def corpus_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_per_group(docs, "lang", "n_chars", 25).orderBy(
+        "lang", "sample_rank"
+    )
+
+
 _DSIR_NORM = _NORM.format(c="text")
 
 _DSIR_FEATS = """

@@ -908,3 +908,52 @@ class TestUniMax:
         ids1 = sorted(r["doc_id"] for r in got.collect())
         ids2 = sorted(r["doc_id"] for r in unimax_sample(df, "lang", 120).collect())
         assert ids1 == ids2  # replayable draw
+
+
+class TestWeightedSamplePerGroup:
+    def test_exact_k_and_weight_bias(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            weighted_sample,
+            weighted_sample_per_group,
+        )
+
+        rng = random.Random(9)
+        rows = [
+            (i, ["x", "y"][i % 2], 1000.0 if i < 40 else 1.0) for i in range(400)
+        ]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+        got = weighted_sample_per_group(df, "g", "w", 30)
+        sizes = {
+            r["g"]: r["n"]
+            for r in got.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sizes == {"x": 30, "y": 30}
+        # Heavy rows (ids < 40, weight 1000x) dominate both groups' draws.
+        heavy = got.filter(F.col("doc_id") < 40).count()
+        assert heavy >= 30
+        # Same key function as the global draw: the global top-k is a
+        # subset of the union of generous per-group draws.
+        global_ids = {
+            r["doc_id"] for r in weighted_sample(df, "w", 20).collect()
+        }
+        per_group_ids = {
+            r["doc_id"]
+            for r in weighted_sample_per_group(df, "g", "w", 200).collect()
+        }
+        assert global_ids <= per_group_ids
+
+    def test_small_group_keeps_all(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            weighted_sample_per_group,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", 1.0), (3, "b", 2.0)],
+            "doc_id long, g string, w double",
+        )
+        got = weighted_sample_per_group(df, "g", "w", 10)
+        assert got.count() == 3
+        assert got.filter(F.col("sample_rank") > 2).count() == 0
