@@ -88,6 +88,7 @@ HEADLINE = [
     "embedding_hard_negatives",
     "manifest_zorder_optimize",
     "corpus_weighted_sample_per_lang",
+    "events_stream_dedup",
 ]
 
 

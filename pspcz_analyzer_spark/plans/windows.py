@@ -530,3 +530,48 @@ def events_stream_nation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("n_name")
+
+
+@register(
+    "events_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup", "watermark", "new-surface"),
+    priority=18,
+    doc="Streaming exact dedup run live through the gate "
+    "(streaming/events.py::dedupe_stream -> "
+    "dropDuplicatesWithinWatermark): an availableNow drain of the event "
+    "backlog dedup'd on (user_id, event_type) must equal batch DISTINCT. "
+    "The gate projects ONLY the key columns (which surviving "
+    "representative row wins is batch-order-dependent; the key set is "
+    "not), and the watermark is set beyond the data's whole time range "
+    "so the within-watermark contract guarantees GLOBAL dedup "
+    "independent of micro-batch splits. At production scale the "
+    "watermark is the state bound: keys older than the horizon age out "
+    "of state — the streaming analog of exact_dedup's fingerprint "
+    "shuffle.",
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.streaming.events import (
+        dedupe_stream,
+        read_events_stream,
+    )
+
+    sink = "events_stream_dedup_sink"
+    deduped = dedupe_stream(
+        read_events_stream(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        watermark="3650 days",
+    ).select("user_id", "event_type")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "event_type")
