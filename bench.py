@@ -89,6 +89,7 @@ HEADLINE = [
     "manifest_zorder_optimize",
     "corpus_weighted_sample_per_lang",
     "events_stream_dedup",
+    "bucketed_join_revenue",
 ]
 
 

@@ -1011,6 +1011,68 @@ def bloom_prune_orders_building(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "layout", "scale-path", "sink"),
+    priority=18,
+    doc="Shuffle-free fact-fact join via bucketed layout "
+    "(jobs.py::write_bucketed): orders and lineitem persisted as "
+    "Hive-bucketed tables on the join key with matching bucket counts, "
+    "then joined THROUGH the tables — Spark plans the SortMergeJoin with "
+    "NO Exchange on either side (asserted in test_skew_jobs.py), "
+    "converting the dominant per-query cost of a 100 TB fact-fact join "
+    "into a one-time ingest layout decision. Results equal the plain "
+    "join — the oracle; only the physical plan changes. Table names are "
+    "process-salted so concurrent gate/bench sessions don't collide in "
+    "the shared warehouse.",
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pspcz_analyzer_spark.jobs import write_bucketed
+
+    salt = _os.environ.get("PSPCZ_SCRATCH_SALT") or str(_os.getpid())
+    t_orders, t_lines = f"t_orders_bj_{salt}", f"t_lines_bj_{salt}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        t_orders,
+        "o_orderkey",
+        num_buckets=16,
+        sort_col="o_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_extendedprice",
+            "l_discount",
+        ),
+        t_lines,
+        "o_orderkey",
+        num_buckets=16,
+        sort_col="o_orderkey",
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        spark.table(t_lines)
+        .join(spark.table(t_orders), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "orders_snapshot_diff",
     oracle="""
     WITH o AS (
