@@ -229,8 +229,10 @@ def nb_train_classify(
     if not labels:
         raise ValueError(f"no labels in {label_col!r}")
     labels_df = spark.createDataFrame([(l,) for l in labels], f"{label_col} string")
-    grid = labels_df.crossJoin(
-        spark.range(n_buckets).select(F.col("id").alias("__b"))
+    # Dense labels x buckets spine via one Generate — no cross join.
+    grid = labels_df.select(
+        label_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("__b"),
     )
     counts = (
         feats(train, label_col)
