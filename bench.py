@@ -90,6 +90,7 @@ HEADLINE = [
     "corpus_weighted_sample_per_lang",
     "events_stream_dedup",
     "bucketed_join_revenue",
+    "events_cms_user_counts",
 ]
 
 

@@ -80,3 +80,94 @@ def profile_table(
             "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 1024, salt: str = "cms"
+) -> DataFrame:
+    """Count-min sketch of ``key_col``'s frequency distribution (Cormode &
+    Muthukrishnan 2005): ``d`` hash rows x ``w`` buckets, each cell the
+    count of rows hashing there. The fixed-size (d x w) summary answers
+    "how often does key X occur" with one-sided error (estimate >= truth,
+    overshoot bounded by collisions ~ n/w per row, min over d rows) —
+    the standing frequency monitor for a 100 TB stream/ingest where an
+    exact per-key count table is itself corpus-sized state.
+
+    Mergeability is the point at scale: sketches of two corpus shards (or
+    two ingestion days) SUM cell-wise into the sketch of their union —
+    compose with an incremental pipeline by storing one tiny sketch per
+    batch. Hashes are the engine-reproducible md5 idiom, so a DuckDB
+    oracle replays the build bit-for-bit. ONE explode (d rows per input
+    row) + one (row, bucket) aggregate, map-side combined; output is
+    exactly d*w cells or fewer (empty cells omitted — they mean 0).
+    """
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("__i"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    return (
+        df.select(key_col)
+        .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(d - 1))))
+        .withColumn("__b", b)
+        .groupBy(F.col("__i").alias("row_idx"), F.col("__b").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Frequency estimates for ``keys`` from a :func:`count_min_sketch`
+    built with the SAME (d, w, salt): per key, min over the d cells its
+    hashes land in (missing cell = 0). The sketch (<= d*w rows) is
+    broadcast — estimating any number of keys never shuffles them.
+    Returns (key_col, est_count) with the CMS guarantee
+    est_count >= true count."""
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("__i"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    probes = (
+        keys.select(key_col)
+        .distinct()
+        .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(d - 1))))
+        .withColumn("__b", b)
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("__i") == F.col("row_idx")) & (F.col("__b") == F.col("bucket")),
+            "left",
+        )
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -921,6 +921,61 @@ def events_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cms_user_counts",
+    oracle="""
+    WITH expl AS (
+      SELECT e.user_id, i.i,
+             ('0x' || substr(md5('cms:' || CAST(i.i AS VARCHAR) || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 8)
+             )::BIGINT % 1024 AS b
+      FROM events e
+      CROSS JOIN (SELECT unnest(range(4)) AS i) i
+    ),
+    sketch AS (
+      SELECT i, b, count(*) AS cnt FROM expl GROUP BY i, b
+    ),
+    probes AS (SELECT DISTINCT user_id, i, b FROM expl),
+    est AS (
+      SELECT p.user_id, min(coalesce(s.cnt, 0)) AS est_count
+      FROM probes p LEFT JOIN sketch s ON p.i = s.i AND p.b = s.b
+      GROUP BY p.user_id
+    ),
+    exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(est.est_count AS BIGINT) AS est_count,
+           CAST(e.exact_count AS BIGINT) AS exact_count
+    FROM exact e JOIN est ON e.user_id = est.user_id
+    ORDER BY e.user_id
+    """,
+    tags=("profiling", "sketch", "scale-path", "new-surface"),
+    priority=18,
+    doc="Count-min sketch frequency estimation (operators/profile.py::"
+    "count_min_sketch/cms_estimate): a fixed 4 x 1024-cell summary of the "
+    "event stream's key frequencies, estimates read back per key as the "
+    "min over its 4 cells next to the exact counts (CMS one-sided "
+    "guarantee est >= exact, asserted per row in tests). Sketches of "
+    "shards SUM cell-wise into the union's sketch — the mergeable shape "
+    "that makes per-batch frequency monitoring O(d*w) state at 100 TB. "
+    "Hashes are the md5 idiom, so the oracle replays build AND probe.",
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.profile import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = count_min_sketch(events, "user_id")
+    est = cms_estimate(sketch, events, "user_id")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "est_count", "exact_count")
+        .orderBy("user_id")
+    )
+
+
+@register(
     "salted_join_priority_revenue",
     oracle="""
     SELECT o.o_orderpriority,

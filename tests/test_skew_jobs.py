@@ -524,3 +524,58 @@ class TestLakeOpCrashSafety:
         assert spark.read.parquet(out).count() == 4_000
         _, deleted = delete_keys(spark, out, "user_id", [7])
         assert deleted == 40
+
+
+class TestCountMinSketch:
+    def test_one_sided_guarantee_and_exactness_without_collisions(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        # 30 keys with known multiplicities i+1.
+        rows = [(k,) for k in range(30) for _ in range(k + 1)]
+        df = spark.createDataFrame(rows, "key long")
+        sketch = count_min_sketch(df, "key", d=4, w=512)
+        est = {
+            r["key"]: r["est_count"]
+            for r in cms_estimate(sketch, df, "key", d=4, w=512).collect()
+        }
+        for k in range(30):
+            assert est[k] >= k + 1  # CMS never undercounts
+        # 30 keys x 4 hashes in 512 buckets: the min over 4 rows is almost
+        # surely collision-free — require exactness for most keys.
+        exact_hits = sum(1 for k in range(30) if est[k] == k + 1)
+        assert exact_hits >= 25
+
+    def test_sketches_merge_by_cell_sum(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        a = spark.createDataFrame([(k % 7,) for k in range(100)], "key long")
+        b = spark.createDataFrame([(k % 5,) for k in range(60)], "key long")
+        merged_sketch = (
+            count_min_sketch(a, "key")
+            .unionByName(count_min_sketch(b, "key"))
+            .groupBy("row_idx", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        direct_sketch = count_min_sketch(a.unionByName(b), "key")
+        m = {
+            (r["row_idx"], r["bucket"]): r["cnt"] for r in merged_sketch.collect()
+        }
+        d = {
+            (r["row_idx"], r["bucket"]): r["cnt"] for r in direct_sketch.collect()
+        }
+        assert m == d  # cell-wise sum == sketch of the union, exactly
+        est = {
+            r["key"]: r["est_count"]
+            for r in cms_estimate(merged_sketch, a.unionByName(b), "key").collect()
+        }
+        assert est[0] >= 100 // 7 + 1 + 60 // 5
