@@ -54,6 +54,10 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first; re-plan and retry."""
 
 
+class ConstraintViolation(ValueError):
+    """Rows violate a table CHECK constraint; nothing was committed."""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, MANIFEST_DIR)
 
@@ -101,6 +105,7 @@ def _commit(
     schema: list | None = None,
     stats: dict | None = None,
     stat_cols: "list | None" = None,
+    constraints: dict | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -119,6 +124,8 @@ def _commit(
         doc["stats"] = {f: stats[f] for f in sorted(stats)}
     if stat_cols is not None:
         doc["stat_cols"] = list(stat_cols)
+    if constraints is not None:
+        doc["constraints"] = dict(constraints)
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
@@ -421,6 +428,7 @@ def append(
     schema = _check_schema(
         m.get("schema") or _df_schema_list(df), df, merge_schema
     )
+    _check_constraints(m, df)
     txns = dict(m.get("txns") or {})
     if txn is not None:
         app_id, batch_id = txn
@@ -432,6 +440,7 @@ def append(
     return _commit(
         path, m["files"] + new_names, m["version"], txns=txns, schema=schema,
         stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
     )
 
 
@@ -455,7 +464,67 @@ def add_column(path: str, name: str, dtype: str) -> int:
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
     )
+
+
+def set_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT CHECK (Delta's write-time data-quality
+    gate): ``expr`` is a SQL boolean over the table's columns; EXISTING
+    rows are validated first (one scan — a constraint that current data
+    already violates is rejected, Delta's rule), then a metadata-only
+    version commits it. Every subsequent :func:`append`/:func:`upsert`
+    batch is validated before anything is staged; violations raise
+    :class:`ConstraintViolation` with the offending row count and nothing
+    commits."""
+    m = read_manifest(path)
+    cons = dict(m.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    existing = load_manifest_table(spark, path)
+    bad = existing.filter(~F.expr(expr).eqNullSafe(F.lit(True))).count()
+    if bad:
+        raise ConstraintViolation(
+            f"cannot add constraint {name!r}: {bad} existing rows violate "
+            f"({expr})"
+        )
+    cons[name] = expr
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=cons,
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """Metadata-only DROP CONSTRAINT; raises KeyError when absent."""
+    m = read_manifest(path)
+    cons = dict(m.get("constraints") or {})
+    del cons[name]
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=cons,
+    )
+
+
+def _check_constraints(m: dict, batch: DataFrame) -> None:
+    """Validate a write batch against the table's CHECK constraints —
+    BEFORE anything is staged, so a violating batch leaves zero
+    artifacts. One filter+count per constraint (they could be OR-combined
+    into one pass; kept separate so the error names the failing rule).
+    NULL results count as violations (Delta's CHECK semantics: the
+    constraint must be TRUE)."""
+    for name, expr in (m.get("constraints") or {}).items():
+        bad = batch.filter(~F.expr(expr).eqNullSafe(F.lit(True))).count()
+        if bad:
+            raise ConstraintViolation(
+                f"batch violates constraint {name!r} ({expr}): {bad} rows"
+            )
 
 
 def delete_keys(
@@ -502,6 +571,7 @@ def delete_keys(
         path, new_files, m["version"],
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
     )
     return len(affected), rows_before - rows_after
 
@@ -529,6 +599,7 @@ def upsert(
     schema = _check_schema(
         m.get("schema") or _df_schema_list(batch), batch, merge_schema=False
     )
+    _check_constraints(m, batch)
     keys = [r[0] for r in batch.select(key_col).distinct().collect()]
     new_names: list[str] = []
     victims: set[str] = set()
@@ -560,6 +631,7 @@ def upsert(
         path, new_files, m["version"],
         txns=m.get("txns") or {}, schema=schema,
         stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
     )
 
 
@@ -602,6 +674,7 @@ def compact_small_files(
         path, new_files, m["version"],
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
     )
     return len(merged), len(new_names)
 
@@ -642,6 +715,7 @@ def optimize_zorder(
         path, new_names, m["version"],
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
     )
 
 

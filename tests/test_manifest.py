@@ -392,3 +392,70 @@ class TestOptimizeZorder:
         M.delete_keys(spark, path, "k", [0, 1, 2, 3, 4])
         ver = M.current_version(path)
         assert M.optimize_zorder(spark, path, ["k"]) >= ver  # no crash
+
+
+class TestCheckConstraints:
+    """Delta-style CHECK constraints: existing-data validation at ADD,
+    batch rejection pre-stage, metadata-only lifecycle, NULL = violation."""
+
+    def test_add_validates_existing_and_append_enforces(self, spark, table):
+        M.set_constraint(spark, table, "uid_range", "user_id BETWEEN 0 AND 99")
+        with pytest.raises(M.ConstraintViolation, match="uid_range.*2 rows"):
+            M.append(
+                spark.createDataFrame(
+                    [(90_001, 500), (90_002, -1), (90_003, 7)],
+                    "event_id long, user_id long",
+                ),
+                table,
+            )
+        # Nothing committed, no stranded data files referenced.
+        v = M.current_version(table)
+        assert M.load_manifest_table(spark, table).count() == 4_000
+        good = spark.createDataFrame([(90_004, 7)], "event_id long, user_id long")
+        assert M.append(good, table) == v + 1
+
+    def test_add_rejected_when_existing_rows_violate(self, spark, table):
+        with pytest.raises(M.ConstraintViolation, match="existing rows violate"):
+            M.set_constraint(spark, table, "tiny", "user_id < 50")
+        assert "constraints" not in (M.read_manifest(table).get("constraints") or {})
+
+    def test_null_result_counts_as_violation(self, spark, table):
+        M.set_constraint(spark, table, "uid_notnull_pos", "user_id >= 0")
+        bad = spark.createDataFrame(
+            [(1, None)], "event_id long, user_id long"
+        )
+        with pytest.raises(M.ConstraintViolation, match="uid_notnull_pos"):
+            M.append(bad, table)
+
+    def test_constraints_survive_maintenance_and_drop_is_metadata(
+        self, spark, table
+    ):
+        M.set_constraint(spark, table, "uid_range", "user_id BETWEEN 0 AND 99")
+        M.delete_keys(spark, table, "user_id", [5])
+        M.compact_small_files(spark, table, target_bytes=1 << 20)
+        assert "uid_range" in M.read_manifest(table)["constraints"]
+        with pytest.raises(M.ConstraintViolation):
+            M.append(
+                spark.createDataFrame([(1, 500)], "event_id long, user_id long"),
+                table,
+            )
+        files = set(M.read_manifest(table)["files"])
+        M.drop_constraint(table, "uid_range")
+        m = M.read_manifest(table)
+        assert m["constraints"] == {} and set(m["files"]) == files
+        M.append(
+            spark.createDataFrame([(1, 500)], "event_id long, user_id long"),
+            table,
+        )  # now allowed
+        with pytest.raises(KeyError):
+            M.drop_constraint(table, "uid_range")
+
+    def test_upsert_enforces_too(self, spark, table):
+        M.set_constraint(spark, table, "uid_range", "user_id BETWEEN 0 AND 99")
+        with pytest.raises(M.ConstraintViolation):
+            M.upsert(
+                spark,
+                spark.createDataFrame([(7, 500)], "event_id long, user_id long"),
+                table,
+                "event_id",
+            )
