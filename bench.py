@@ -91,6 +91,7 @@ HEADLINE = [
     "events_stream_dedup",
     "bucketed_join_revenue",
     "events_cms_user_counts",
+    "events_value_histogram",
 ]
 
 

@@ -171,3 +171,55 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def histogram(
+    df: DataFrame, col: str, bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ONE pass for the
+    (min, max) range (broadcast back as a one-row aggregate — the repo's
+    standing scalar pattern), one map-side-combined bin count, densified
+    on a bin spine so empty bins report 0 (a histogram with silent holes
+    misreads as a different distribution). The profiling primitive behind
+    quality-score/length/perplexity distribution dashboards at corpus
+    scale — two scans, no UDF, no window.
+
+    Bin ``i`` covers [min + i*w, min + (i+1)*w) with w = (max-min)/bins;
+    the max value itself lands in the last bin (standard clamp). A
+    constant column degenerates to all rows in bin 0. Returns
+    (bin, bin_lo, bin_hi, n) with edges rounded to 6.
+    """
+    rng = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+    spark = df.sparkSession
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    w = (F.col("__hi") - F.col("__lo")) / bins
+    binned = (
+        df.select(F.col(col).cast("double").alias("__x"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("__x") - F.col("__lo")) / w).cast("int"),
+                    F.lit(bins - 1),
+                )
+            )
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(binned, "bin", "left")
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * w, 6).alias("bin_lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * w, 6).alias("bin_hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("bin")
+    )

@@ -921,6 +921,47 @@ def events_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_histogram",
+    oracle="""
+    WITH rng AS (
+      SELECT min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    ),
+    binned AS (
+      SELECT CASE WHEN r.hi = r.lo THEN 0
+                  ELSE least(
+                    CAST(floor((CAST(e.value AS DOUBLE) - r.lo)
+                               / ((r.hi - r.lo) / 20)) AS INTEGER), 19)
+             END AS bin
+      FROM events e, rng r
+    ),
+    counts AS (SELECT bin, count(*) AS n FROM binned GROUP BY bin)
+    SELECT s.bin,
+           round(r.lo + s.bin * ((r.hi - r.lo) / 20), 6) AS bin_lo,
+           round(r.lo + (s.bin + 1) * ((r.hi - r.lo) / 20), 6) AS bin_hi,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM (SELECT unnest(range(20))::INTEGER AS bin) s
+    LEFT JOIN counts c ON s.bin = c.bin
+    CROSS JOIN rng r
+    ORDER BY s.bin
+    """,
+    tags=("profiling", "histogram", "new-surface"),
+    priority=18,
+    doc="Equi-width histogram of event values (operators/profile.py::"
+    "histogram): one scalar range pass broadcast back, one "
+    "map-side-combined bin count, densified on a 20-bin spine so empty "
+    "bins report 0 — the distribution-dashboard primitive for "
+    "quality-score/length/perplexity monitoring. Both engines compute "
+    "identical IEEE bin arithmetic from the same range scalars — the "
+    "oracle replays it bin for bin.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.profile import histogram
+
+    return histogram(load_table(spark, sf_dir, "events"), "value", bins=20)
+
+
+@register(
     "events_cms_user_counts",
     oracle="""
     WITH expl AS (

@@ -579,3 +579,32 @@ class TestCountMinSketch:
             for r in cms_estimate(merged_sketch, a.unionByName(b), "key").collect()
         }
         assert est[0] >= 100 // 7 + 1 + 60 // 5
+
+
+class TestHistogram:
+    def test_counts_and_edges(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import histogram
+
+        # Uniform integers 0..99, 10 bins of width 9.9.
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        rows = histogram(df, "v", bins=10).collect()
+        assert [r["bin"] for r in rows] == list(range(10))
+        assert sum(r["n"] for r in rows) == 100
+        assert rows[0]["bin_lo"] == 0.0 and rows[-1]["bin_hi"] == 99.0
+        # Max value clamps into the last bin.
+        assert rows[-1]["n"] >= 1
+
+    def test_empty_bins_reported_and_constant_column(self, spark):
+        from pspcz_analyzer_spark.operators.profile import histogram
+
+        skewed = spark.createDataFrame(
+            [(0.0,)] * 5 + [(100.0,)] * 5, "v double"
+        )
+        rows = histogram(skewed, "v", bins=4).collect()
+        assert len(rows) == 4
+        assert [r["n"] for r in rows] == [5, 0, 0, 5]
+        const = spark.createDataFrame([(7.0,)] * 3, "v double")
+        crows = histogram(const, "v", bins=4).collect()
+        assert [r["n"] for r in crows] == [3, 0, 0, 0]
