@@ -106,6 +106,7 @@ def _commit(
     stats: dict | None = None,
     stat_cols: "list | None" = None,
     constraints: dict | None = None,
+    rows: dict | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -126,6 +127,8 @@ def _commit(
         doc["stat_cols"] = list(stat_cols)
     if constraints is not None:
         doc["constraints"] = dict(constraints)
+    if rows is not None:
+        doc["rows"] = {f: rows[f] for f in sorted(rows)}
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
@@ -160,6 +163,7 @@ def manifest_init(path: str, stat_cols: "list | None" = None) -> int:
         path, files, 0,
         schema=_table_schema_list(path, files),
         stats=stats, stat_cols=stat_cols,
+        rows=_updated_rows({}, fs, rel, files),
     )
 
 
@@ -380,6 +384,55 @@ def scan_manifest_table(
     return df.filter(pred)
 
 
+def _updated_rows(m: dict, fs, rel: str, new_names: list, victims=()):
+    """Per-file row counts for the next commit: previous counts minus
+    victims, plus footer counts for the new files — the bookkeeping
+    behind :func:`history` (Delta's DESCRIBE HISTORY in minimal form).
+    Footers of new files are already open for stats; a row count is one
+    more metadata field, zero data IO."""
+    rows = {
+        f: n for f, n in (m.get("rows") or {}).items() if f not in set(victims)
+    }
+    for name in new_names:
+        if name not in rows:
+            rows[name] = fs.parquet_file(os.path.join(rel, name)).metadata.num_rows
+    return rows
+
+
+def history(path: str) -> "list[dict]":
+    """Per-version accounting from the manifests alone (metadata-only):
+    version, file count, total rows, and net rows/files added and removed
+    vs the previous retained version. Versions written before row
+    tracking report ``n_rows=None``. The audit surface a lake table needs
+    ("what did that ingest actually do?") without replaying any data."""
+    out = []
+    prev_files: dict = {}
+    for v in _versions(path):
+        m = read_manifest(path, v)
+        rows = m.get("rows")
+        cur = {f: (rows or {}).get(f) for f in m["files"]}
+        added = [f for f in cur if f not in prev_files]
+        removed = [f for f in prev_files if f not in cur]
+        def _tot(d, names):
+            vals = [d[f] for f in names]
+            return None if any(x is None for x in vals) else sum(vals)
+        out.append(
+            {
+                "version": v,
+                "n_files": len(cur),
+                "n_rows": _tot(cur, list(cur)) if rows is not None else None,
+                "files_added": len(added),
+                "files_removed": len(removed),
+                "rows_added": _tot(cur, added) if rows is not None else None,
+                "rows_removed": (
+                    _tot(prev_files, removed) if prev_files and rows is not None else 0
+                ),
+            }
+        )
+        prev_files = cur
+    return out
+
+
 def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
     """Write a DataFrame as new uniquely-named data files INSIDE the table
     directory (additive — invisible to manifest readers until a commit
@@ -436,11 +489,13 @@ def append(
             return m["version"]  # replay: already applied
         txns[app_id] = batch_id
     new_names = _stage_rewrites(df, path, "append")
-    stats, stat_cols = _updated_stats(m, *get_fs(path), new_names)
+    fs, rel = get_fs(path)
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names)
     return _commit(
         path, m["files"] + new_names, m["version"], txns=txns, schema=schema,
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        rows=_updated_rows(m, fs, rel, new_names),
     )
 
 
@@ -465,6 +520,7 @@ def add_column(path: str, name: str, dtype: str) -> int:
         txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
         constraints=m.get("constraints"),
+        rows=m.get("rows"),
     )
 
 
@@ -496,6 +552,7 @@ def set_constraint(
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
         constraints=cons,
+        rows=m.get("rows"),
     )
 
 
@@ -509,6 +566,7 @@ def drop_constraint(path: str, name: str) -> int:
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
         constraints=cons,
+        rows=m.get("rows"),
     )
 
 
@@ -572,6 +630,7 @@ def delete_keys(
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        rows=_updated_rows(m, fs, rel, new_names, victims),
     )
     return len(affected), rows_before - rows_after
 
@@ -626,12 +685,14 @@ def upsert(
             victims = set(affected)
     new_names += _stage_rewrites(batch, path, "upsert")
     new_files = [f for f in m["files"] if f not in victims] + new_names
-    stats, stat_cols = _updated_stats(m, *get_fs(path), new_names, victims)
+    fs2, rel2 = get_fs(path)
+    stats, stat_cols = _updated_stats(m, fs2, rel2, new_names, victims)
     return _commit(
         path, new_files, m["version"],
         txns=m.get("txns") or {}, schema=schema,
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        rows=_updated_rows(m, fs2, rel2, new_names, victims),
     )
 
 
@@ -675,6 +736,7 @@ def compact_small_files(
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        rows=_updated_rows(m, fs, rel, new_names, victims),
     )
     return len(merged), len(new_names)
 
@@ -708,14 +770,16 @@ def optimize_zorder(
         .drop(zcol)
     )
     new_names = _stage_rewrites(out, path, "zorder")
+    fs, rel = get_fs(path)
     stats, stat_cols = _updated_stats(
-        m, *get_fs(path), new_names, victims=set(m["files"])
+        m, fs, rel, new_names, victims=set(m["files"])
     )
     return _commit(
         path, new_names, m["version"],
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        rows=_updated_rows(m, fs, rel, new_names, victims=set(m["files"])),
     )
 
 

@@ -45,12 +45,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pspcz_analyzer_spark.session import ensure_runtime_confs
 
+    import os
+
     ensure_runtime_confs(spark)  # UTC zone makes the NTZ->LTZ cast identity
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    table = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table):
+        # Directory layout (Spark-written part files): stream the dir.
+        # pathGlobFilter matches LEAF file names, so the single-file
+        # filter below would silently match nothing here.
+        raw = spark.readStream.schema(_EVENTS_RAW).parquet(table)
+    else:
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
