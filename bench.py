@@ -92,6 +92,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "events_cms_user_counts",
     "events_value_histogram",
+    "manifest_history_accounting",
 ]
 
 

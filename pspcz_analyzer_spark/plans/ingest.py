@@ -442,6 +442,57 @@ def manifest_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_history_accounting",
+    oracle="""
+    WITH b2 AS (
+      SELECT event_id + 10000000 AS event_id, user_id FROM events
+      WHERE event_id % 1013 = 0
+    ),
+    allr AS (
+      SELECT event_id, user_id FROM events
+      UNION ALL SELECT event_id, user_id FROM b2
+    )
+    SELECT CAST(1 AS INTEGER) AS version,
+           (SELECT count(*) FROM events) AS n_rows
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM allr)
+    UNION ALL
+    SELECT 3, (SELECT count(*) FROM allr WHERE user_id NOT IN (3, 4))
+    ORDER BY version
+    """,
+    tags=("S12", "manifest", "history", "audit"),
+    doc="DESCRIBE HISTORY in minimal form (manifest.py::history): per-file "
+    "row counts recorded at every commit (footers are already open for "
+    "stats — zero extra IO), so per-version accounting — what did that "
+    "append/delete actually do? — reads from the manifests alone. The "
+    "gate pins total rows across an init -> append -> targeted-delete "
+    "lifecycle against arithmetic the oracle derives from the raw table; "
+    "net added/removed per version is asserted in test_manifest.py.",
+    priority=18,
+)
+def manifest_history_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = _scratch(sf_dir, "events_history")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path)
+    b2 = events.filter(F.col("event_id") % 1013 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), "user_id"
+    )
+    M.append(b2, path)
+    M.delete_keys(spark, path, "user_id", [3, 4])
+    hist = M.history(path)
+    return spark.createDataFrame(
+        [(h["version"], h["n_rows"]) for h in hist], "version int, n_rows long"
+    ).orderBy("version")
+
+
+@register(
     "manifest_zorder_optimize",
     oracle="""
     SELECT event_type,

@@ -459,3 +459,32 @@ class TestCheckConstraints:
                 table,
                 "event_id",
             )
+
+
+class TestHistory:
+    def test_per_version_accounting(self, spark, table):
+        b2 = spark.range(90_000, 90_050).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        M.append(b2, table)
+        M.delete_keys(spark, table, "user_id", [1])
+        h = M.history(table)
+        assert [x["version"] for x in h] == [1, 2, 3]
+        assert h[0]["n_rows"] == 4_000
+        assert h[1]["n_rows"] == 4_050
+        assert h[1]["rows_added"] == 50 and h[1]["files_removed"] == 0
+        deleted = 40 + 1  # user_id==1: 40 base rows + 1 appended (90001)
+        assert h[2]["n_rows"] == 4_050 - deleted
+        # Net change from the delete version's add/remove accounting.
+        assert h[2]["rows_removed"] - h[2]["rows_added"] == deleted
+        # Metadata-only commits change nothing in the accounting.
+        M.add_column(table, "flag", "int")
+        h2 = M.history(table)
+        assert h2[-1]["n_rows"] == h[2]["n_rows"]
+        assert h2[-1]["rows_added"] == 0 and h2[-1]["rows_removed"] == 0
+
+    def test_compact_preserves_total(self, spark, table):
+        M.compact_small_files(spark, table, target_bytes=1 << 20)
+        h = M.history(table)
+        assert h[-1]["n_rows"] == h[0]["n_rows"]
+        assert h[-1]["n_files"] < h[0]["n_files"]
