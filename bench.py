@@ -93,6 +93,7 @@ HEADLINE = [
     "events_cms_user_counts",
     "events_value_histogram",
     "manifest_history_accounting",
+    "events_transition_matrix",
 ]
 
 

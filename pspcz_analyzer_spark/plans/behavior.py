@@ -427,3 +427,63 @@ def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = scored.filter(F.col("grade") > 0).select("q_id", "doc_id", "grade")
     return ranking_metrics(results, truth, k=10).orderBy("q_id")
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tots AS (
+      SELECT event_type, sum(n) AS t FROM pairs GROUP BY event_type
+    )
+    SELECT p.event_type, p.next_type,
+           CAST(p.n AS BIGINT) AS n,
+           round(p.n / t.t, 6) AS p_next
+    FROM pairs p JOIN tots t ON p.event_type = t.event_type
+    ORDER BY p.event_type, p.next_type
+    """,
+    tags=("behavior", "sequence", "markov", "new-surface"),
+    priority=18,
+    doc="First-order event-transition matrix (Markov counts): per-user "
+    "event streams ordered by (ts, event_id), each consecutive pair "
+    "counted and normalized into P(next | current) — the "
+    "sequence-mining primitive behind next-action prediction features "
+    "and funnel-drop diagnostics. One user-keyed shuffle for the lead "
+    "window, one pair aggregate (map-side combined), per-state totals "
+    "broadcast back; cost tracks events, state is |types|^2.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tots = pairs.groupBy("event_type").agg(F.sum("n").alias("__t"))
+    return (
+        pairs.join(F.broadcast(tots), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("p_next"),
+        )
+        .orderBy("event_type", "next_type")
+    )
