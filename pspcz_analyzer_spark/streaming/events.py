@@ -252,3 +252,72 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def tws_available() -> bool:
+    """Whether ``transformWithStateInPandas`` can run here: its state
+    protocol speaks protobuf between the Python worker and the state
+    store, so a usable ``google.protobuf`` is a hard runtime requirement
+    (this container ships a broken install — the worker crashes with
+    ``ImportError: cannot import name 'descriptor'``)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, total) via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state API, the successor to
+    ``applyInPandasWithState`` (:func:`stateful_user_totals` is the same
+    semantics on the older API; both stay implemented because existing
+    jobs migrate gradually). State is ONE ValueState tuple per user —
+    typed, TTL-capable, queryable via the state store — and the
+    processor emits the updated running totals for every user seen in
+    the batch. Arrow-batched; state never grows with event volume.
+
+    Requires the RocksDB state store provider AND a working protobuf
+    (:func:`tws_available`); raises ImportError with the actionable gap
+    otherwise — the same honest runtime-absence gate as the encrypted-PDF
+    and matplotlib paths."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs a working google.protobuf "
+            "(state-protocol codec); install protobuf or use "
+            "stateful_user_totals (applyInPandasWithState) which has "
+            "identical semantics"
+        )
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "cnt bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get()
+            cnt, tot = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                cnt += len(pdf)
+                tot += float(pdf["value"].sum())
+            self._state.update((cnt, tot))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [cnt], "total_value": [tot]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

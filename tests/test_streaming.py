@@ -415,3 +415,53 @@ class TestStreamIncrementalAgg:
         assert stream_incremental_agg(
             spark, landing, schema, summary, ckpt, ["k"], ["v"]
         ) == 0
+
+
+def test_tws_twin_matches_batch_or_gates_honestly(spark, tmp_path):
+    """transformWithStateInPandas twin (Spark 4 arbitrary-state API): when
+    the runtime supports it (working protobuf), the availableNow drain
+    must equal the batch groupBy; otherwise the operator raises the
+    documented actionable ImportError (runtime-absence gate, like the
+    encrypted-PDF path)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from pspcz_analyzer_spark.streaming.events import (
+        read_events_stream,
+        tws_available,
+        tws_user_totals,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf_dir)
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            tws_user_totals(stream)
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        tws_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in spark.table("t_tws_totals").collect()
+    }
+    from pspcz_analyzer_spark.catalog import load_table
+
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert got == want
