@@ -94,6 +94,7 @@ HEADLINE = [
     "events_value_histogram",
     "manifest_history_accounting",
     "events_transition_matrix",
+    "corpus_quality_calibrated_by_lang",
 ]
 
 

@@ -1276,3 +1276,34 @@ def weighted_sample_per_group(
         .filter(F.col("sample_rank") <= k_per_group)
         .drop("__priority")
     )
+
+
+def keep_top_frac_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_frac: float,
+    id_col: str = "doc_id",
+    rank_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-group percentile-calibrated filter: keep the top ``keep_frac``
+    of each group by score — the group-aware companion to the GLOBAL
+    :func:`calibrate_keep_threshold`. The practical difference matters
+    for multilingual corpora: one global threshold on a quality signal
+    whose distribution differs by language silently strangles the
+    low-resource languages; per-language percentiles keep the same
+    FRACTION everywhere (the FineWeb-style per-language calibration).
+
+    Ranking uses ``percent_rank`` over a TOTAL order (score, then id) so
+    ties rank identically in any engine — rank rounds to 6 before the
+    cut, making keep decisions engine-exact. One shuffle on the group.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.asc(score_col), F.asc(id_col))
+    return (
+        df.withColumn(rank_col, F.round(F.percent_rank().over(w), 6))
+        .filter(F.col(rank_col) >= F.round(F.lit(1.0 - keep_frac), 6))
+    )

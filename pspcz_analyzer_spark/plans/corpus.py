@@ -1216,3 +1216,36 @@ def doc_unigram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in unigram_lm_pieces(docs, vocab_size=120).collect()
     ]
     return unigram_encode_counts(docs, table).orderBy("doc_id")
+
+
+@register(
+    "corpus_quality_calibrated_by_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars, pct_rank FROM (
+      SELECT doc_id, lang, n_chars,
+             round(percent_rank() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+             ), 6) AS pct_rank
+      FROM documents
+    )
+    WHERE pct_rank >= 0.6
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "quality", "calibration", "new-surface"),
+    priority=18,
+    doc="PER-LANGUAGE percentile-calibrated quality filter "
+    "(operators/corpusprep.py::keep_top_frac_per_group): keep the top "
+    "40% of each language by length — where the global calibration "
+    "(corpus_quality_calibrated) applies one threshold and silently "
+    "strangles languages whose signal distribution sits lower, the "
+    "per-group percentile keeps the same FRACTION everywhere (FineWeb's "
+    "per-language thresholds). percent_rank over a total (score, id) "
+    "order, rounded to 6 before the cut — keep decisions engine-exact.",
+)
+def corpus_quality_calibrated_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import keep_top_frac_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return keep_top_frac_per_group(docs, "lang", "n_chars", keep_frac=0.4).orderBy(
+        "doc_id"
+    )

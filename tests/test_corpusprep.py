@@ -957,3 +957,47 @@ class TestWeightedSamplePerGroup:
         got = weighted_sample_per_group(df, "g", "w", 10)
         assert got.count() == 3
         assert got.filter(F.col("sample_rank") > 2).count() == 0
+
+
+class TestKeepTopFracPerGroup:
+    def test_keeps_fraction_in_every_group(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import keep_top_frac_per_group
+
+        rows = [(i, "a" if i < 100 else "b", float(i)) for i in range(150)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+        got = keep_top_frac_per_group(df, "g", "s", keep_frac=0.3)
+        sizes = {
+            r["g"]: r["n"]
+            for r in got.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # percent_rank = (i-1)/(n-1); >= 0.7 keeps i-1 >= ceil(0.7*(n-1)):
+        # group a (n=100): i-1 in 70..99 -> 30; group b (n=50): 35..49 -> 15.
+        assert sizes["a"] == 30 and sizes["b"] == 15
+        # The kept rows ARE the top scorers of each group.
+        a_ids = sorted(r["doc_id"] for r in got.filter(F.col("g") == "a").collect())
+        assert a_ids == list(range(70, 100))
+
+    def test_global_threshold_strangles_low_group_per_group_does_not(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import keep_top_frac_per_group
+
+        # Language 'lo' scores all below language 'hi': a global 40% cut
+        # would keep ZERO 'lo' docs; the per-group cut keeps 40% of each.
+        rows = [(i, "lo", float(i)) for i in range(50)] + [
+            (100 + i, "hi", 1000.0 + i) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+        got = keep_top_frac_per_group(df, "g", "s", keep_frac=0.4)
+        sizes = {
+            r["g"]: r["n"]
+            for r in got.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sizes["lo"] >= 19 and sizes["hi"] >= 19
+
+    def test_bad_frac_rejected(self, spark):
+        import pytest
+
+        from pspcz_analyzer_spark.operators.corpusprep import keep_top_frac_per_group
+
+        df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, g string, s double")
+        with pytest.raises(ValueError):
+            keep_top_frac_per_group(df, "g", "s", keep_frac=0.0)
