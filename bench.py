@@ -95,6 +95,8 @@ HEADLINE = [
     "manifest_history_accounting",
     "events_transition_matrix",
     "corpus_quality_calibrated_by_lang",
+    "events_top_user_paths",
+    "lineitem_numeric_correlations",
 ]
 
 

@@ -487,3 +487,63 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+@register(
+    "events_top_user_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    tags=("behavior", "sequence", "path-analysis", "new-surface"),
+    priority=18,
+    doc="Top onboarding paths: each user's FIRST THREE events (ordered by "
+    "ts, event_id) joined into a path string, counted across users — the "
+    "path-analysis primitive behind 'how do users actually start'. One "
+    "user-keyed shuffle for the rank window, ordered array_agg per user "
+    "(no cross-partition ordering assumptions — the order lives IN the "
+    "aggregate), tiny path-counts aggregate, TakeOrderedAndProject "
+    "top-20.",
+)
+def events_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        events.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    from pspcz_analyzer_spark.operators.pagination import top_k
+
+    return top_k(counted, [F.desc("n_users"), F.asc("path")], 20)

@@ -921,6 +921,72 @@ def events_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_numeric_correlations",
+    oracle="""
+    SELECT 'quantity~extendedprice' AS pair,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS pearson_r,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS covariance
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount~tax',
+           round(corr(l_discount, l_tax), 6) + 0.0,
+           round(covar_samp(l_discount, l_tax), 4) + 0.0
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity~discount',
+           round(corr(l_quantity, l_discount), 6) + 0.0,
+           round(covar_samp(l_quantity, l_discount), 4) + 0.0
+    FROM lineitem
+    ORDER BY pair
+    """,
+    tags=("profiling", "statistics", "new-surface"),
+    priority=18,
+    doc="Pairwise Pearson correlation + sample covariance across the "
+    "fact's numeric columns — the drift/sanity statistic a standing "
+    "profile job tracks next to per-column stats "
+    "(operators/profile.py::profile_table). ALL pairs compute in ONE "
+    "aggregate pass over one scan (corr/covar are algebraic aggregates "
+    "with map-side partials); verified exact against DuckDB's "
+    "corr/covar_samp at round-6.",
+)
+def lineitem_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("quantity~extendedprice", "l_quantity", "l_extendedprice"),
+        ("discount~tax", "l_discount", "l_tax"),
+        ("quantity~discount", "l_quantity", "l_discount"),
+    ]
+    # + 0.0 normalizes IEEE negative zero: a tiny negative covariance
+    # rounds to -0.0 in one engine and 0.0 in the other, and the gate's
+    # value hash distinguishes them (the oracle adds the same).
+    agg = li.agg(
+        *[
+            (F.round(F.corr(a, b), 6) + F.lit(0.0)).alias(f"r_{i}")
+            for i, (_, a, b) in enumerate(pairs)
+        ],
+        *[
+            (F.round(F.covar_samp(a, b), 4) + F.lit(0.0)).alias(f"c_{i}")
+            for i, (_, a, b) in enumerate(pairs)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pair"),
+                F.col(f"r_{i}").alias("pearson_r"),
+                F.col(f"c_{i}").alias("covariance"),
+            )
+            for i, (name, _, _) in enumerate(pairs)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("row"))
+        .select("row.*")
+        .orderBy("pair")
+    )
+
+
+@register(
     "events_value_histogram",
     oracle="""
     WITH rng AS (
