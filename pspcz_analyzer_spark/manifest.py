@@ -783,6 +783,35 @@ def optimize_zorder(
     )
 
 
+def restore(path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION — time-travel rollback, Delta-style: the
+    target version's file list (and its schema/stats/row accounting)
+    commits as a NEW version, so the rollback is itself versioned,
+    auditable in :func:`history`, and concurrency-safe (a racing writer
+    conflicts at the version file like any commit). Data files are never
+    touched — restore is metadata-only and instant at any table size —
+    but it can only reach versions whose files still exist: raises
+    FileNotFoundError naming the missing files if :func:`vacuum` already
+    collected them (the documented retention trade)."""
+    m = read_manifest(path)  # current: carries the txn watermarks forward
+    target = read_manifest(path, version)
+    fs, rel = get_fs(path)
+    missing = [f for f in target["files"] if not fs.exists(os.path.join(rel, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to version {version}: "
+            f"{len(missing)} data files were vacuumed ({missing[:3]}...)"
+        )
+    return _commit(
+        path, target["files"], m["version"],
+        txns=m.get("txns") or {},
+        schema=target.get("schema"),
+        stats=target.get("stats"), stat_cols=target.get("stat_cols"),
+        constraints=m.get("constraints"),
+        rows=target.get("rows"),
+    )
+
+
 def vacuum(path: str, retain_versions: int = 1) -> int:
     """Garbage-collect data files referenced by NO retained manifest
     version, and drop the pruned manifests. ``retain_versions`` >= 1 keeps
