@@ -97,6 +97,7 @@ HEADLINE = [
     "corpus_quality_calibrated_by_lang",
     "events_top_user_paths",
     "lineitem_numeric_correlations",
+    "manifest_restore_roundtrip",
 ]
 
 

@@ -442,6 +442,51 @@ def manifest_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_restore_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S12", "manifest", "restore", "time-travel", "sink"),
+    doc="Versioned RESTORE (manifest.py::restore): events adopted, two "
+    "users deleted (version 2), then the table RESTORED to version 1 — "
+    "a metadata-only rollback that commits as version 3. The latest "
+    "snapshot must equal the ORIGINAL table (the oracle), proving the "
+    "rollback reinstated the pre-delete file list exactly; watermark/ "
+    "history/vacuum interplay asserted in test_manifest.py::TestRestore.",
+    priority=18,
+)
+def manifest_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_restore")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path)
+    M.delete_keys(spark, path, "user_id", [3, 4])
+    M.restore(path, 1)
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "manifest_history_accounting",
     oracle="""
     WITH b2 AS (
