@@ -279,7 +279,14 @@ def _file_stats(fs, rel: str, names: list, stat_cols: list) -> dict:
     """Per-file [min, max] for ``stat_cols``, read from the freshly
     written footers — computed ONCE at commit time so scans never touch
     data-file metadata again (the Iceberg/Delta move: stats live in the
-    table metadata, planning is metadata-only)."""
+    table metadata, planning is metadata-only).
+
+    String columns are safe to prune on: Parquet writers may TRUNCATE
+    long string stats, but per the format contract a truncated min is a
+    prefix (<= the true min) and a truncated max is incremented past the
+    true max — both directions stay conservative for the overlap test in
+    :func:`prune_files`, so truncation can only keep an extra file,
+    never skip a matching one."""
     out: dict = {}
     for name in names:
         meta = fs.parquet_file(os.path.join(rel, name)).metadata

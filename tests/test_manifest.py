@@ -525,3 +525,21 @@ class TestRestore:
         # still-present manifest.
         with pytest.raises(FileNotFoundError, match="not in|vacuumed"):
             M.restore(table, 1)
+
+
+def test_string_column_stats_prune(spark, tmp_path):
+    """String-typed manifest stats prune correctly (and conservatively)."""
+    df = spark.range(4_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("cat_"), (F.col("id") % 4).cast("string")).alias("c"),
+    )
+    path = str(tmp_path / "stab")
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    write_range_sorted(df.withColumn("s", F.col("c")), path, "c", num_partitions=4)
+    M.manifest_init(path, stat_cols=["c"])
+    kept, total = M.prune_files(path, "c", "cat_1", "cat_1")
+    assert 1 <= len(kept) < total
+    got = M.scan_manifest_table(spark, path, "c", "cat_1", "cat_1")
+    assert got.count() == 1_000
+    assert got.select("c").distinct().collect()[0][0] == "cat_1"
