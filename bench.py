@@ -98,6 +98,7 @@ HEADLINE = [
     "events_top_user_paths",
     "lineitem_numeric_correlations",
     "manifest_restore_roundtrip",
+    "events_value_equidepth",
 ]
 
 

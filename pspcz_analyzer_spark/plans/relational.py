@@ -1028,6 +1028,59 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+              quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+              quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+              quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+              quantile_cont(value, 0.9)] AS bs
+      FROM events
+    ),
+    assigned AS (
+      SELECT 1
+             + (CASE WHEN e.value > b.bs[1] THEN 1 ELSE 0 END)
+             + (CASE WHEN e.value > b.bs[2] THEN 1 ELSE 0 END)
+             + (CASE WHEN e.value > b.bs[3] THEN 1 ELSE 0 END)
+             + (CASE WHEN e.value > b.bs[4] THEN 1 ELSE 0 END)
+             + (CASE WHEN e.value > b.bs[5] THEN 1 ELSE 0 END)
+             + (CASE WHEN e.value > b.bs[6] THEN 1 ELSE 0 END)
+             + (CASE WHEN e.value > b.bs[7] THEN 1 ELSE 0 END)
+             + (CASE WHEN e.value > b.bs[8] THEN 1 ELSE 0 END)
+             + (CASE WHEN e.value > b.bs[9] THEN 1 ELSE 0 END) AS bucket,
+             e.value
+      FROM events e, b
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM assigned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("profiling", "histogram", "statistics", "new-surface"),
+    priority=18,
+    doc="Equi-DEPTH histogram of event values (operators/profile.py::"
+    "equidepth_histogram): decile buckets from ONE exact percentile "
+    "aggregate broadcast back — no global sort/ntile (a partition-less "
+    "window is a single-task funnel at any scale); the equal-frequency "
+    "twin of events_value_histogram for skewed columns, where equi-width "
+    "bins collapse. Boundary deciles verified identical across engines "
+    "(quantile_cont == Spark percentile at round-6); strict-> ties to "
+    "the lower bucket in both.",
+)
+def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.profile import equidepth_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return equidepth_histogram(ev, "value", buckets=10).select(
+        F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi"
+    )
+
+
+@register(
     "events_cms_user_counts",
     oracle="""
     WITH expl AS (

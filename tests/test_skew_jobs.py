@@ -608,3 +608,36 @@ class TestHistogram:
         const = spark.createDataFrame([(7.0,)] * 3, "v double")
         crows = histogram(const, "v", bins=4).collect()
         assert [r["n"] for r in crows] == [3, 0, 0, 0]
+
+
+class TestEquidepthHistogram:
+    def test_equal_frequencies_on_distinct_values(self, spark):
+        from pspcz_analyzer_spark.operators.profile import equidepth_histogram
+
+        df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+        rows = equidepth_histogram(df, "v", buckets=10).collect()
+        assert [r["bucket"] for r in rows] == list(range(1, 11))
+        assert sum(r["n"] for r in rows) == 1000
+        # Distinct uniform values: every decile holds ~100 rows.
+        assert all(90 <= r["n"] <= 110 for r in rows)
+        # Buckets tile the domain in order without overlap.
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi"] < b["lo"] or abs(a["hi"] - b["lo"]) < 1e-9
+
+    def test_skew_handled_where_equiwidth_collapses(self, spark):
+        from pspcz_analyzer_spark.operators.profile import (
+            equidepth_histogram,
+            histogram,
+        )
+
+        # Long tail: 900 rows near 0, 100 spread to 10_000.
+        rows = [(float(i % 10),) for i in range(900)] + [
+            (float(100 * i),) for i in range(1, 101)
+        ]
+        df = spark.createDataFrame(rows, "v double")
+        ew = histogram(df, "v", bins=10).collect()
+        assert ew[0]["n"] >= 900  # equi-width: one bin swallows the mass
+        ed = equidepth_histogram(df, "v", buckets=10).collect()
+        nonempty = [r for r in ed if r["n"] > 0]
+        # Equi-depth spreads the mass: no bucket dominates like that.
+        assert max(r["n"] for r in nonempty) < 500
