@@ -23,11 +23,15 @@ remove/rename        only ever applied to files INVISIBLE to readers (staged
 create_exclusive     the ONE correctness-critical primitive: the manifest
                      version publish. POSIX link(2)/O_EXCL (LocalFS), HDFS
                      create(overwrite=false), S3 conditional PUT
-                     (If-None-Match: *). ArrowFS emulates with a
-                     check-then-write and documents the TOCTOU window —
-                     pyarrow exposes no conditional write; a production S3
-                     deployment must swap in a conditional-PUT client for
-                     THIS one call (everything else carries over).
+                     (If-None-Match: *). ArrowFS emulates with
+                     check-then-write-then-VERIFY (re-read + byte compare,
+                     raising on mismatch — fail-closed, a lost race is
+                     reported, never silent); pyarrow exposes no
+                     conditional write, so a production S3 deployment must
+                     swap in a conditional-PUT client for THIS one call
+                     (everything else carries over).
+mtime                last-modified epoch seconds — vacuum's retention
+                     input; None disables collection of that file (safe)
 parquet_file         footer metadata for stats pruning/row accounting —
                      pyarrow reads through any of its filesystems
 ===================  =========================================================
@@ -55,6 +59,12 @@ class LocalFS:
 
     def size(self, path: str) -> int:
         return os.path.getsize(path)
+
+    def mtime(self, path: str) -> "float | None":
+        """Last-modified time (epoch seconds) — vacuum's retention input.
+        None when the store doesn't expose one (the caller must then treat
+        the file as too-young-to-collect: fail safe)."""
+        return os.path.getmtime(path)
 
     def remove(self, path: str) -> None:
         os.unlink(path)
@@ -128,6 +138,10 @@ class ArrowFS:
     def size(self, path: str) -> int:
         return self._info(path).size
 
+    def mtime(self, path: str) -> "float | None":
+        mt = self._info(path).mtime
+        return None if mt is None else mt.timestamp()
+
     def remove(self, path: str) -> None:
         self._fs.delete_file(path)
 
@@ -150,18 +164,36 @@ class ArrowFS:
             return fh.read()
 
     def create_exclusive(self, path: str, data: bytes) -> None:
-        """Check-then-write: pyarrow exposes no conditional put, so two
-        RACING commits of the same version have a TOCTOU window here —
-        a lost manifest, not a corrupted one (versions are content-
-        complete). A production S3 deployment must replace this one
-        method with a conditional PUT (If-None-Match: *); HDFS gets
-        exclusivity from create(overwrite=false) natively."""
+        """Best-effort exclusivity, FAIL-CLOSED: pyarrow exposes no
+        conditional put, so the check-then-write has a TOCTOU window on
+        object stores. Instead of silently emulating, we verify AFTER the
+        write — re-read the blob and compare bytes; a mismatch means a
+        racer overwrote (or was overwritten by) us and the commit is
+        reported LOST (FileExistsError -> CommitConflict upstream), never
+        silently dropped. The residual hazard is two racers writing and
+        BOTH reading their own bytes back before the store settles —
+        last-writer-wins with both verifying clean is still possible on
+        eventually-consistent stores, so a production S3 deployment must
+        replace this one method with a conditional PUT (If-None-Match: *);
+        HDFS gets exclusivity from create(overwrite=false) natively."""
         from pyarrow.fs import FileType
 
         if self._fs.get_file_info(path).type != FileType.NotFound:
             raise FileExistsError(path)
         with self._fs.open_output_stream(path) as fh:
             fh.write(data)
+        try:
+            back = self.read_bytes(path)
+        except Exception as e:
+            raise FileExistsError(
+                f"{path}: verify-after-write readback failed ({e}); "
+                "treat the commit as lost and re-plan"
+            ) from e
+        if back != data:
+            raise FileExistsError(
+                f"{path}: verify-after-write mismatch — a concurrent "
+                "committer won the race; re-plan against the new version"
+            )
 
     def parquet_file(self, path: str):
         import pyarrow.parquet as pq

@@ -284,10 +284,31 @@ def _commit_rewrite(
 
     from pspcz_analyzer_spark.sources.sinks import _swap_in
 
+    entries = os.listdir(path)
+    if "_manifest" in entries:
+        # The swap would rebuild the directory UNDER the manifest's feet:
+        # its committed versions reference data files this op just
+        # replaced. Manifest tables must use the manifest-committed twins
+        # (manifest.delete_keys / compact_small_files / optimize_zorder).
+        raise ValueError(
+            f"{path} is a manifest table; swap-committed rewrites would "
+            "orphan its committed versions — use the manifest.* ops"
+        )
     stage = f"{path}.__commit_{_uuid.uuid4().hex[:8]}"
     os.makedirs(stage)
     for f in keep_files:
         _link_or_copy(f, os.path.join(stage, os.path.basename(f)))
+    # Sidecars (_SUCCESS, _applied_* markers, any non-parquet payload)
+    # must survive the swap — the pre-stage directory rebuild replaces
+    # the WHOLE dir, so anything not explicitly carried over is dropped.
+    for e in entries:
+        if e.endswith(".parquet"):
+            continue  # data files: kept via keep_files, victims replaced
+        src, dst = os.path.join(path, e), os.path.join(stage, e)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, copy_function=_link_or_copy)
+        else:
+            _link_or_copy(src, dst)
     for i, f in enumerate(staged_files):
         os.rename(f, os.path.join(stage, f"{prefix}_{_uuid.uuid4().hex[:8]}_{i}.parquet"))
     _pre_commit_crash_gate()

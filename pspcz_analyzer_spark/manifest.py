@@ -239,17 +239,31 @@ def load_manifest_table(
             ddl = ", ".join(f"{n} {t}" for n, t in schema)
             return spark.createDataFrame([], ddl)
         return spark.createDataFrame([], spark.read.parquet(path).schema)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in m["files"]]
-    )
-    if not schema:
-        return df  # pre-evolution manifest: files share one schema
     # Project to THIS version's schema: columns only later versions know
     # are invisible here even if mergeSchema surfaced them from shared
     # files (there are none today — data files are never rewritten across
     # schema changes — but the projection is the contract); columns added
     # metadata-only (add_column) or by a later evolved append null-fill
     # for files written before them.
+    return _read_files(spark, path, m, m["files"])
+
+
+def _read_files(
+    spark: SparkSession, path: str, m: dict, files: "list[str]"
+) -> DataFrame:
+    """Read a SUBSET of a manifest table's data files the way
+    :func:`load_manifest_table` reads the whole table: mergeSchema union
+    plus projection/null-fill to the manifest's recorded schema. Every
+    rewrite path (delete/upsert/compact) MUST read through this — after a
+    merge_schema append the subset has heterogeneous schemas, and a plain
+    ``spark.read.parquet`` would infer from one file and silently drop the
+    evolved columns from the rewritten survivors (permanent nulls)."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    schema = m.get("schema")
+    if not schema:
+        return df
     have = set(df.columns)
     return df.select(
         *[
@@ -376,19 +390,7 @@ def scan_manifest_table(
     if not files:
         return load_manifest_table(spark, path, version).filter(pred).limit(0)
     m = read_manifest(path, version)
-    schema = m.get("schema")
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in files]
-    )
-    if schema:
-        have = set(df.columns)
-        df = df.select(
-            *[
-                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
-                for n, t in schema
-            ]
-        )
-    return df.filter(pred)
+    return _read_files(spark, path, m, files).filter(pred)
 
 
 def _updated_rows(m: dict, fs, rel: str, new_names: list, victims=()):
@@ -440,6 +442,39 @@ def history(path: str) -> "list[dict]":
     return out
 
 
+def read_version_delta(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: "int | None" = None,
+) -> DataFrame:
+    """Rows APPENDED between two manifest versions, planned from metadata
+    alone: the file lists of the two manifests are set-differenced and
+    ONLY the added files enter the scan — the incremental-consumer fast
+    path (Delta's CDF for append-only flows). At 100 TB an hourly reader
+    scans the hour's files, never the table.
+
+    Files present in ``from_version`` and absent in ``to_version`` are
+    ignored here: a rewrite (delete/upsert victim, compaction) re-adds
+    surviving rows under new names, which THIS reader would misreport as
+    fresh appends — so rewritten-in files whose rows aren't all new are
+    the caller's signal to fall back to the full
+    ``operators/joins.py::snapshot_diff`` composite (see
+    ``manifest_cdc_roundtrip``). For append-only tables (the streaming
+    sink's contract) the result is exactly the appended rows."""
+    m_from = read_manifest(path, from_version)
+    m_to = read_manifest(path, to_version)
+    old = set(m_from["files"])
+    added = [f for f in m_to["files"] if f not in old]
+    if not added:
+        schema = m_to.get("schema")
+        if schema:
+            ddl = ", ".join(f"{n} {t}" for n, t in schema)
+            return spark.createDataFrame([], ddl)
+        return load_manifest_table(spark, path, to_version).limit(0)
+    return _read_files(spark, path, m_to, added)
+
+
 def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
     """Write a DataFrame as new uniquely-named data files INSIDE the table
     directory (additive — invisible to manifest readers until a commit
@@ -471,6 +506,7 @@ def append(
     path: str,
     txn: "tuple[str, int] | None" = None,
     merge_schema: bool = False,
+    max_commit_retries: int = 0,
 ) -> int:
     """Manifest-committed append: write the batch as new data files and
     publish one new version referencing old + new. The object-store-safe
@@ -483,27 +519,59 @@ def append(
     is skipped — a replay after a crash between sink write and checkpoint
     advance cannot double-append (Delta's txn protocol in minimal form;
     the watermark commits atomically WITH the files it describes).
-    Returns the committed (or current, when skipped) version."""
+    Returns the committed (or current, when skipped) version.
+
+    ``max_commit_retries`` absorbs :class:`CommitConflict` internally:
+    the batch is STAGED ONCE, and each retry re-reads the manifest and
+    re-publishes metadata referencing the SAME staged files — no Spark
+    re-execution, no duplicate data files under contention (the property
+    streaming/lake.py needs). Constraints are re-validated on retry only
+    if the constraint set changed between versions; a replay detected on
+    retry (another worker committed our txn watermark) removes the staged
+    files and returns the current version. Default 0 preserves the raw
+    optimistic protocol: conflicts raise for the caller to re-plan."""
     m = read_manifest(path)
-    schema = _check_schema(
-        m.get("schema") or _df_schema_list(df), df, merge_schema
-    )
+    # Validate BEFORE staging so a rejected batch leaves zero artifacts.
+    _check_schema(m.get("schema") or _df_schema_list(df), df, merge_schema)
     _check_constraints(m, df)
-    txns = dict(m.get("txns") or {})
-    if txn is not None:
-        app_id, batch_id = txn
-        if txns.get(app_id, -1) >= batch_id:
-            return m["version"]  # replay: already applied
-        txns[app_id] = batch_id
+    if txn is not None and (m.get("txns") or {}).get(txn[0], -1) >= txn[1]:
+        return m["version"]  # replay: already applied
     new_names = _stage_rewrites(df, path, "append")
     fs, rel = get_fs(path)
-    stats, stat_cols = _updated_stats(m, fs, rel, new_names)
-    return _commit(
-        path, m["files"] + new_names, m["version"], txns=txns, schema=schema,
-        stats=stats, stat_cols=stat_cols,
-        constraints=m.get("constraints"),
-        rows=_updated_rows(m, fs, rel, new_names),
-    )
+    for attempt in range(max_commit_retries + 1):
+        schema = _check_schema(
+            m.get("schema") or _df_schema_list(df), df, merge_schema
+        )
+        txns = dict(m.get("txns") or {})
+        if txn is not None:
+            app_id, batch_id = txn
+            if txns.get(app_id, -1) >= batch_id:
+                # Replay surfaced by the conflicting commit: our staged
+                # files are unreferenced; drop them now rather than
+                # leaving vacuum garbage.
+                for n in new_names:
+                    try:
+                        fs.remove(os.path.join(rel, n))
+                    except Exception:
+                        pass
+                return m["version"]
+            txns[app_id] = batch_id
+        stats, stat_cols = _updated_stats(m, fs, rel, new_names)
+        try:
+            return _commit(
+                path, m["files"] + new_names, m["version"], txns=txns,
+                schema=schema, stats=stats, stat_cols=stat_cols,
+                constraints=m.get("constraints"),
+                rows=_updated_rows(m, fs, rel, new_names),
+            )
+        except CommitConflict:
+            if attempt == max_commit_retries:
+                raise
+            m2 = read_manifest(path)
+            if (m2.get("constraints") or {}) != (m.get("constraints") or {}):
+                _check_constraints(m2, df)  # rules changed underfoot
+            m = m2
+    raise AssertionError("unreachable")
 
 
 def add_column(path: str, name: str, dtype: str) -> int:
@@ -592,6 +660,50 @@ def _check_constraints(m: dict, batch: DataFrame) -> None:
             )
 
 
+def _candidate_files(m: dict, fs, rel: str, key_col: str, key_set: set):
+    """Files of the current manifest that MAY contain any of the keys.
+
+    When the manifest tracks stats for ``key_col`` the answer comes
+    entirely from the stored per-file [min, max] — zero footer opens, the
+    metadata-only planning the layer exists for (at a million files: one
+    JSON read instead of a million footer opens). Files with no stored
+    stats for the column are conservatively kept. Falls back to
+    driver-side footer reads (``jobs._file_may_contain``) only for
+    untracked columns."""
+    if key_col in (m.get("stat_cols") or []):
+        stats = m.get("stats") or {}
+        out = []
+        for f in m["files"]:
+            s = (stats.get(f) or {}).get(key_col)
+            if s is None or s[0] is None:
+                out.append(f)  # unknown stats -> cannot prune
+            elif any(s[0] <= k <= s[1] for k in key_set):
+                out.append(f)
+        return out
+    from pspcz_analyzer_spark.jobs import _file_may_contain
+
+    return [
+        f
+        for f in m["files"]
+        if _file_may_contain(
+            os.path.join(rel, f), key_col, key_set, open_parquet=fs.parquet_file
+        )
+    ]
+
+
+def _file_rows(m: dict, fs, rel: str, names: "list[str]") -> int:
+    """Total rows across ``names``, preferring the manifest's stored
+    per-file counts (metadata-only) over footer opens."""
+    known = m.get("rows") or {}
+    total = 0
+    for f in names:
+        n = known.get(f)
+        if n is None:
+            n = fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
+        total += n
+    return total
+
+
 def delete_keys(
     spark: SparkSession,
     path: str,
@@ -599,32 +711,23 @@ def delete_keys(
     keys: "list",
 ) -> "tuple[int, int]":
     """Manifest-committed targeted deletion — ``jobs.delete_keys`` with the
-    object-store commit: victims found by footer min/max stats over the
-    CURRENT manifest's files, survivors rewritten as new data files, and
-    the whole change published as one new manifest version. Pre-commit
-    crash: previous version intact (new files are unreferenced garbage for
+    object-store commit: victims found from the manifest's stored stats
+    when ``key_col`` is tracked (zero footer opens; footer min/max reads
+    otherwise), survivors rewritten as new data files, and the whole
+    change published as one new manifest version. Pre-commit crash:
+    previous version intact (new files are unreferenced garbage for
     vacuum). Returns (files_rewritten, rows_deleted)."""
-    from pspcz_analyzer_spark.jobs import _file_may_contain
-
     fs, rel = get_fs(path)
     m = read_manifest(path)
     key_set = set(keys)
-    affected = [
-        f
-        for f in m["files"]
-        if _file_may_contain(
-            os.path.join(rel, f), key_col, key_set, open_parquet=fs.parquet_file
-        )
-    ]
+    affected = _candidate_files(m, fs, rel, key_col, key_set)
     if not affected:
         return 0, 0
-    kept = spark.read.parquet(
-        *[os.path.join(path, f) for f in affected]
-    ).filter(~F.col(key_col).isin(*key_set))
-    new_names = _stage_rewrites(kept, path, "del")
-    rows_before = sum(
-        fs.parquet_file(os.path.join(rel, f)).metadata.num_rows for f in affected
+    kept = _read_files(spark, path, m, affected).filter(
+        ~F.col(key_col).isin(*key_set)
     )
+    new_names = _stage_rewrites(kept, path, "del")
+    rows_before = _file_rows(m, fs, rel, affected)
     rows_after = sum(
         fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
         for f in new_names
@@ -670,24 +773,13 @@ def upsert(
     new_names: list[str] = []
     victims: set[str] = set()
     if keys:
-        from pspcz_analyzer_spark.jobs import _file_may_contain
-
         fs, rel = get_fs(path)
         key_set = set(keys)
-        affected = [
-            f
-            for f in m["files"]
-            if _file_may_contain(
-                os.path.join(rel, f),
-                key_col,
-                key_set,
-                open_parquet=fs.parquet_file,
-            )
-        ]
+        affected = _candidate_files(m, fs, rel, key_col, key_set)
         if affected:
-            kept = spark.read.parquet(
-                *[os.path.join(path, f) for f in affected]
-            ).filter(~F.col(key_col).isin(*key_set))
+            kept = _read_files(spark, path, m, affected).filter(
+                ~F.col(key_col).isin(*key_set)
+            )
             new_names += _stage_rewrites(kept, path, "upsert")
             victims = set(affected)
     new_names += _stage_rewrites(batch, path, "upsert")
@@ -711,6 +803,12 @@ def compact_small_files(
     """Manifest-committed OPTIMIZE: merge the current version's files below
     half ``target_bytes`` into ~target-size outputs, publish as one new
     version. Cost tracks small-file bytes; large files are never read.
+
+    When the table tracks stats, small files are binned in min-stat order
+    of ``stat_cols[0]`` (not uuid-random name order), so each merged
+    output covers a contiguous key range and the stats pruning the same
+    manifest maintains survives compaction — the ``jobs.py`` twin's
+    ``sort_col`` rule, driven here by the manifest's own metadata.
     Returns (files_merged, files_written)."""
     fs, rel = get_fs(path)
     m = read_manifest(path)
@@ -718,6 +816,17 @@ def compact_small_files(
     small = [f for f in m["files"] if sizes[f] < target_bytes // 2]
     if len(small) < 2:
         return 0, 0
+    stat_cols = m.get("stat_cols") or []
+    if stat_cols:
+        stats = m.get("stats") or {}
+
+        def _min_stat(f: str):
+            s = (stats.get(f) or {}).get(stat_cols[0])
+            # Files with unknown stats sort last, grouped together, so
+            # they can't widen a range-pure bin's bounding box.
+            return (s is None or s[0] is None, s[0] if s else None, f)
+
+        small.sort(key=_min_stat)
     bins: "list[list[str]]" = [[]]
     acc = 0
     for f in small:
@@ -732,7 +841,7 @@ def compact_small_files(
     new_names: list[str] = []
     merged: list[str] = []
     for b in bins:
-        out = spark.read.parquet(*[os.path.join(path, f) for f in b]).coalesce(1)
+        out = _read_files(spark, path, m, b).coalesce(1)
         new_names += _stage_rewrites(out, path, "compact")
         merged += b
     victims = set(merged)
@@ -819,12 +928,28 @@ def restore(path: str, version: int) -> int:
     )
 
 
-def vacuum(path: str, retain_versions: int = 1) -> int:
+def vacuum(
+    path: str,
+    retain_versions: int = 1,
+    min_age_seconds: float = 3600.0,
+) -> int:
     """Garbage-collect data files referenced by NO retained manifest
     version, and drop the pruned manifests. ``retain_versions`` >= 1 keeps
     that many latest versions readable (time travel window); readers of
     vacuumed versions lose them — the documented Delta/Iceberg trade.
-    Idempotent. Returns the number of data files removed."""
+    Idempotent. Returns the number of data files removed.
+
+    ``min_age_seconds`` is the concurrent-writer guard (Delta's retention
+    threshold, default 7 days there, 1 h here): an in-flight
+    append/upsert/delete renames its staged data files into the table dir
+    BEFORE its commit, so an unreferenced file may be a writer that
+    hasn't published yet, not garbage. Files (and orphaned ``.stage_*``
+    crash debris) younger than the threshold — or whose mtime the store
+    can't report — are left alone; a later vacuum collects them once
+    they're provably abandoned. Pass ``0`` only when no writer can be
+    concurrent (tests, single-writer maintenance windows)."""
+    import time as _time
+
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     vs = _versions(path)
@@ -835,11 +960,29 @@ def vacuum(path: str, retain_versions: int = 1) -> int:
     for v in keep_vs:
         referenced.update(read_manifest(path, v)["files"])
     fs, rel = get_fs(path)
+    now = _time.time()
+
+    def _old_enough(p: str) -> bool:
+        if min_age_seconds <= 0:
+            return True
+        try:
+            mt = fs.mtime(p)
+        except Exception:
+            mt = None
+        return mt is not None and now - mt >= min_age_seconds
+
     removed = 0
     for f in fs.listdir(rel):
+        full = os.path.join(rel, f)
         if f.endswith(".parquet") and f not in referenced:
-            fs.remove(os.path.join(rel, f))
-            removed += 1
+            if _old_enough(full):
+                fs.remove(full)
+                removed += 1
+        elif f.startswith(".stage_") and fs.isdir(full):
+            # Crash debris from a writer that died mid-stage; same age
+            # rule — a LIVE writer's stage dir is younger than the window.
+            if _old_enough(full):
+                fs.rmtree(full)
     for v in vs[:-retain_versions]:
         fs.remove(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
     return removed

@@ -12,9 +12,13 @@ without content-based idempotence (the fingerprint argument
 Scale notes: the stream itself is stateless (file-source listing log +
 the manifest are the only state); each batch's cost is one additive
 parquet write plus one create-exclusive manifest commit, independent of
-table history. Concurrent maintenance (compact/delete/vacuum) interleaves
-safely: commits serialize on the version counter, and a losing writer
-re-plans against the new version (CommitConflict).
+table history. Concurrent maintenance interleaves safely: compact/delete
+commits serialize on the version counter and a losing writer re-plans
+against the new version (CommitConflict); vacuum is safe against
+in-flight writers only through its ``min_age_seconds`` retention guard
+(staged-but-uncommitted files younger than the window are never
+collected) — run it with the default window, not 0, when writers may be
+live.
 """
 
 from __future__ import annotations
@@ -38,21 +42,22 @@ def stream_append_manifest(
     bounded ``availableNow`` run; one idempotent ``manifest.append`` per
     micro-batch. Returns [(batch_id, committed_version)] for this run.
 
-    A ``CommitConflict`` (another writer took the version) re-reads the
-    manifest and retries the commit — the batch's data files are already
-    staged additively, so the retry is metadata-only.
+    A ``CommitConflict`` (another writer took the version) is absorbed
+    inside ``manifest.append(max_commit_retries=...)``: the batch's data
+    files are staged ONCE and each retry re-publishes metadata against
+    the re-read manifest — no Spark re-execution, no duplicate staged
+    files under contention.
     """
     results: "list[tuple[int, int]]" = []
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for attempt in range(max_commit_retries):
-            try:
-                v = M.append(batch_df, table_dir, txn=(app_id, int(batch_id)))
-                results.append((int(batch_id), v))
-                return
-            except M.CommitConflict:
-                if attempt == max_commit_retries - 1:
-                    raise
+        v = M.append(
+            batch_df,
+            table_dir,
+            txn=(app_id, int(batch_id)),
+            max_commit_retries=max_commit_retries,
+        )
+        results.append((int(batch_id), v))
 
     q = (
         spark.readStream.schema(schema)

@@ -98,7 +98,31 @@ def test_manifest_lifecycle_through_arrow_fs(spark, tmp_path, monkeypatch):
     merged, written = M.compact_small_files(spark, path, target_bytes=1 << 20)
     assert merged >= 2 and written >= 1
     assert M.load_manifest_table(spark, path).count() == n3
-    removed = M.vacuum(path, retain_versions=1)
+    removed = M.vacuum(path, retain_versions=1, min_age_seconds=0)
     assert removed > 0
     assert M.load_manifest_table(spark, path).count() == n3
     assert files_v2 > 0  # silence unused warnings
+
+
+def test_arrowfs_create_exclusive_fails_closed(tmp_path, monkeypatch):
+    """ADVICE r05: the ArrowFS publish emulation must verify-after-write —
+    a racer's bytes in place of ours raises (commit reported LOST, which
+    manifest._commit maps to CommitConflict), never a silent success."""
+    from pyarrow.fs import LocalFileSystem
+
+    from pspcz_analyzer_spark.fs import ArrowFS
+
+    afs = ArrowFS(LocalFileSystem())
+    target = str(tmp_path / "00000002.json")
+    afs.create_exclusive(target, b'{"version": 2}')  # clean publish verifies
+    assert afs.read_bytes(target) == b'{"version": 2}'
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):  # pre-check still applies
+        afs.create_exclusive(target, b"x")
+
+    lost = str(tmp_path / "00000003.json")
+    monkeypatch.setattr(ArrowFS, "read_bytes", lambda self, p: b"racer won")
+    with _pytest.raises(FileExistsError, match="verify-after-write"):
+        afs.create_exclusive(lost, b'{"version": 3}')

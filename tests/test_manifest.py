@@ -80,7 +80,7 @@ class TestManifestDelete:
         # Recovery: re-run commits fully; vacuum sweeps the orphans.
         _, deleted = M.delete_keys(spark, table, "user_id", [7])
         assert deleted == 40
-        removed = M.vacuum(table, retain_versions=1)
+        removed = M.vacuum(table, retain_versions=1, min_age_seconds=0)
         assert removed >= 1  # the orphaned crash-run rewrites went away
         assert M.load_manifest_table(spark, table).count() == 3_960
 
@@ -133,10 +133,10 @@ class TestManifestCompact:
         M.compact_small_files(spark, path, target_bytes=10**9)
         # retain 2 versions: both readable, nothing to remove (v1 files
         # still referenced by the retained v1 manifest).
-        assert M.vacuum(path, retain_versions=2) == 0
+        assert M.vacuum(path, retain_versions=2, min_age_seconds=0) == 0
         assert M.load_manifest_table(spark, path, version=1).count() == 1_000
         # retain 1: v1's small files go, v1 manifest pruned.
-        removed = M.vacuum(path, retain_versions=1)
+        removed = M.vacuum(path, retain_versions=1, min_age_seconds=0)
         assert removed == 4
         with pytest.raises(FileNotFoundError):
             M.read_manifest(path, version=1)
@@ -518,7 +518,7 @@ class TestRestore:
 
     def test_restore_to_vacuumed_version_refuses(self, spark, table):
         M.delete_keys(spark, table, "user_id", [1])
-        M.vacuum(table, retain_versions=1)
+        M.vacuum(table, retain_versions=1, min_age_seconds=0)
         # Vacuum prunes the old manifest with its files, so the refusal
         # surfaces at the manifest lookup; the restore-specific "vacuumed"
         # message covers the defensive case of missing data files under a
@@ -543,3 +543,302 @@ def test_string_column_stats_prune(spark, tmp_path):
     got = M.scan_manifest_table(spark, path, "c", "cat_1", "cat_1")
     assert got.count() == 1_000
     assert got.select("c").distinct().collect()[0][0] == "cat_1"
+
+
+class TestVacuumWriterSafety:
+    """The Delta-style retention guard: vacuum must never collect an
+    in-flight writer's staged-but-uncommitted data files (they're renamed
+    into the table dir BEFORE the commit), nor a live writer's .stage_*
+    scratch — only provably abandoned files older than min_age_seconds."""
+
+    def test_vacuum_spares_inflight_staged_files(self, spark, table):
+        m = M.read_manifest(table)
+        batch = spark.range(9_000, 9_100).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        # Interleave: the writer stages (what append does pre-commit)...
+        new_names = M._stage_rewrites(batch, table, "append")
+        # ...and a concurrent vacuum runs with the default age window.
+        removed = M.vacuum(table, retain_versions=1)
+        assert removed == 0
+        for n in new_names:
+            assert os.path.exists(os.path.join(table, n))
+        # The writer then publishes cleanly and the table serves old+new.
+        M._commit(table, m["files"] + new_names, m["version"])
+        assert M.load_manifest_table(spark, table).count() == 4_100
+
+    def test_vacuum_collects_files_past_the_age_window(self, table):
+        orphan = os.path.join(table, "orphan-000.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"not referenced")
+        old = os.path.getmtime(orphan) - 7_200
+        os.utime(orphan, (old, old))
+        assert M.vacuum(table, retain_versions=1, min_age_seconds=3600) == 1
+        assert not os.path.exists(orphan)
+
+    def test_vacuum_sweeps_stale_stage_dirs_only(self, table):
+        stale = os.path.join(table, ".stage_deadbeef")
+        os.makedirs(stale)
+        with open(os.path.join(stale, "part-0.parquet"), "wb") as fh:
+            fh.write(b"crash debris")
+        old = os.path.getmtime(stale) - 7_200
+        os.utime(stale, (old, old))
+        live = os.path.join(table, ".stage_12345678")
+        os.makedirs(live)
+        M.vacuum(table, retain_versions=1, min_age_seconds=3600)
+        assert not os.path.exists(stale)  # abandoned: collected
+        assert os.path.exists(live)  # in-flight: spared
+
+
+class TestMetadataOnlyVictims:
+    def test_delete_opens_no_original_footers_when_stats_tracked(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """With stats + row counts tracked in the manifest, victim finding
+        and row accounting for the ORIGINAL files are metadata-only: the
+        only pyarrow footer opens are the freshly staged rewrites (their
+        stats/rows enter the next manifest)."""
+        df = spark.range(4_000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        path = str(tmp_path / "mstats_del")
+        write_range_sorted(df, path, "user_id", num_partitions=6)
+        M.manifest_init(path, stat_cols=["user_id"])
+        originals = set(M.read_manifest(path)["files"])
+
+        from pspcz_analyzer_spark import fs as FS
+
+        opened: list[str] = []
+        real = FS.LocalFS.parquet_file
+
+        def spy(self, p):
+            opened.append(os.path.basename(p))
+            return real(self, p)
+
+        monkeypatch.setattr(FS.LocalFS, "parquet_file", spy)
+        nf, deleted = M.delete_keys(spark, path, "user_id", [7, 8])
+        assert deleted == 80 and nf >= 1
+        assert not (set(opened) & originals), (
+            "footer opened on pre-existing files despite tracked stats"
+        )
+        assert M.load_manifest_table(spark, path).count() == 3_920
+
+    def test_upsert_uses_manifest_stats_for_victims(
+        self, spark, tmp_path, monkeypatch
+    ):
+        df = spark.range(2_000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 50).alias("user_id")
+        )
+        path = str(tmp_path / "mstats_up")
+        write_range_sorted(df, path, "event_id", num_partitions=4)
+        M.manifest_init(path, stat_cols=["event_id"])
+        originals = set(M.read_manifest(path)["files"])
+
+        from pspcz_analyzer_spark import fs as FS
+
+        opened: list[str] = []
+        real = FS.LocalFS.parquet_file
+
+        def spy(self, p):
+            opened.append(os.path.basename(p))
+            return real(self, p)
+
+        monkeypatch.setattr(FS.LocalFS, "parquet_file", spy)
+        batch = spark.createDataFrame(
+            [(10, 999), (2_500, 999)], "event_id long, user_id long"
+        )
+        M.upsert(spark, batch, path, "event_id")
+        assert not (set(opened) & originals)
+        now = M.load_manifest_table(spark, path)
+        assert now.count() == 2_001
+        assert now.filter(F.col("user_id") == 999).count() == 2
+
+
+class TestStatAwareCompaction:
+    def test_compaction_preserves_range_pruning(self, spark, tmp_path):
+        """Small files binned by stored min-stat (not uuid name order):
+        merged outputs cover contiguous disjoint key ranges, so the
+        manifest's own stats pruning survives compaction."""
+        import shutil as _shutil
+        import uuid as _uuid
+
+        path = str(tmp_path / "mcomp_stats")
+        os.makedirs(path)
+        # 8 range-disjoint files under RANDOM names (so name order is
+        # unrelated to key order — the regression the binning rule fixes).
+        for i in range(8):
+            part = spark.range(i * 100, (i + 1) * 100).select(F.col("id").alias("k"))
+            tmp = str(tmp_path / f"one_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(
+                os.path.join(tmp, src),
+                os.path.join(path, f"{_uuid.uuid4().hex}.parquet"),
+            )
+            _shutil.rmtree(tmp)
+        M.manifest_init(path, stat_cols=["k"])
+        kept_pre, total_pre = M.prune_files(path, "k", 250, 349)
+        skip_pre = 1 - len(kept_pre) / total_pre
+        sizes = [
+            os.path.getsize(os.path.join(path, f))
+            for f in M.read_manifest(path)["files"]
+        ]
+        # Bins of ~2 files each -> 4 outputs.
+        merged, written = M.compact_small_files(
+            spark, path, target_bytes=int(max(sizes) * 2.2)
+        )
+        assert merged == 8 and written == 4
+        kept_post, total_post = M.prune_files(path, "k", 250, 349)
+        skip_post = 1 - len(kept_post) / total_post
+        assert skip_post >= skip_pre - 1e-9
+        # A narrow query inside ONE original file's range hits exactly
+        # one merged output (ranges stayed disjoint).
+        kept_narrow, _ = M.prune_files(path, "k", 110, 120)
+        assert len(kept_narrow) == 1
+        assert M.load_manifest_table(spark, path).count() == 800
+
+
+class TestSchemaPreservingRewrites:
+    """ADVICE r05 (high): rewrites of an affected set with heterogeneous
+    schemas (post merge_schema evolution) must read mergeSchema + project
+    to the manifest schema — a plain read infers from one file and
+    silently nulls the evolved columns."""
+
+    def _evolved_table(self, spark, tmp_path, name):
+        base = spark.range(100).select(
+            F.col("id").alias("event_id"), (F.col("id") % 10).alias("user_id")
+        )
+        path = str(tmp_path / name)
+        base.coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        evolved = spark.createDataFrame(
+            [(1_000, 5, "ev0"), (1_001, 6, "ev1")],
+            "event_id long, user_id long, src string",
+        )
+        M.append(evolved, path, merge_schema=True)
+        return path
+
+    def test_delete_preserves_evolved_column(self, spark, tmp_path):
+        path = self._evolved_table(spark, tmp_path, "evo_del")
+        # Victims include BOTH the pre-evolution file and the evolved one.
+        M.delete_keys(spark, path, "user_id", [5])
+        now = M.load_manifest_table(spark, path)
+        assert now.count() == 100 + 2 - 10 - 1
+        [r] = now.filter(F.col("event_id") == 1_001).collect()
+        assert r["src"] == "ev1", "evolved column nulled by the rewrite"
+
+    def test_upsert_preserves_evolved_column(self, spark, tmp_path):
+        path = self._evolved_table(spark, tmp_path, "evo_up")
+        batch = spark.createDataFrame(
+            [(1_001, 60, "ev1b")], "event_id long, user_id long, src string"
+        )
+        M.upsert(spark, batch, path, "event_id")
+        now = M.load_manifest_table(spark, path)
+        assert now.count() == 102
+        got = {r["event_id"]: r["src"] for r in now.filter(F.col("src").isNotNull()).collect()}
+        assert got == {1_000: "ev0", 1_001: "ev1b"}
+
+    def test_compact_preserves_evolved_column(self, spark, tmp_path):
+        path = self._evolved_table(spark, tmp_path, "evo_comp")
+        merged, written = M.compact_small_files(spark, path, target_bytes=10**9)
+        assert merged >= 2 and written == 1
+        now = M.load_manifest_table(spark, path)
+        assert now.count() == 102
+        assert now.filter(F.col("src").isNotNull()).count() == 2
+
+
+class TestAppendCommitRetry:
+    """append(max_commit_retries=N): the batch stages ONCE; a conflict
+    retries only the metadata publish against the re-read manifest."""
+
+    def _race(self, monkeypatch, table, extra_txns=None):
+        """Make a racer commit a competing version right after our append
+        stages its files (the conflict window)."""
+        real_stage = M._stage_rewrites
+        staged: dict = {}
+
+        def stage_and_race(df, path, prefix):
+            names = real_stage(df, path, prefix)
+            staged["names"] = list(names)
+            staged.setdefault("calls", 0)
+            staged["calls"] += 1
+            mm = M.read_manifest(path)
+            txns = dict(mm.get("txns") or {})
+            txns.update(extra_txns or {})
+            M._commit(path, mm["files"], mm["version"], txns=txns,
+                      schema=mm.get("schema"), rows=mm.get("rows"))
+            return names
+
+        monkeypatch.setattr(M, "_stage_rewrites", stage_and_race)
+        return staged
+
+    def test_retry_reuses_staged_files(self, spark, table, monkeypatch):
+        staged = self._race(monkeypatch, table)
+        batch = spark.range(4_000, 4_200).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        v = M.append(batch, table, max_commit_retries=2)
+        assert v == 3  # init=1, racer=2, ours=3
+        assert staged["calls"] == 1, "retry re-staged the batch"
+        m = M.read_manifest(table)
+        for n in staged["names"]:
+            assert n in m["files"]
+        assert M.load_manifest_table(spark, table).count() == 4_200
+        # No orphans: every parquet in the dir is referenced.
+        on_disk = {f for f in os.listdir(table) if f.endswith(".parquet")}
+        assert on_disk == set(m["files"])
+
+    def test_no_retries_still_raises(self, spark, table, monkeypatch):
+        self._race(monkeypatch, table)
+        batch = spark.range(4_000, 4_010).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        with pytest.raises(M.CommitConflict):
+            M.append(batch, table)
+
+    def test_replay_detected_on_retry_cleans_staged(self, spark, table, monkeypatch):
+        """If the racing commit carries OUR txn watermark (another worker
+        applied the same batch), the retry detects the replay, drops the
+        staged files, and returns the racer's version."""
+        staged = self._race(monkeypatch, table, extra_txns={"app": 7})
+        batch = spark.range(4_000, 4_010).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        v = M.append(batch, table, txn=("app", 7), max_commit_retries=2)
+        assert v == 2  # the racer's version; nothing new committed
+        for n in staged["names"]:
+            assert not os.path.exists(os.path.join(table, n))
+        assert M.load_manifest_table(spark, table).count() == 4_000
+
+
+class TestReadVersionDelta:
+    def test_plans_only_added_files(self, spark, table):
+        batch = spark.range(10_000, 10_500).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        M.append(batch, table)
+        delta = M.read_version_delta(spark, table, 1, 2)
+        assert delta.count() == 500
+        assert delta.filter(F.col("event_id") >= 10_000).count() == 500
+        m1 = set(M.read_manifest(table, 1)["files"])
+        added = [f for f in M.read_manifest(table, 2)["files"] if f not in m1]
+        scanned = sorted(os.path.basename(f) for f in delta.inputFiles())
+        assert scanned == sorted(added), "delta scan read non-delta files"
+
+    def test_empty_delta_and_latest_default(self, spark, table):
+        assert M.read_version_delta(spark, table, 1, 1).count() == 0
+        batch = spark.range(10_000, 10_100).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        M.append(batch, table)
+        assert M.read_version_delta(spark, table, 1).count() == 100
+
+    def test_delta_projects_to_target_schema(self, spark, table):
+        evolved = spark.createDataFrame(
+            [(20_000, 1, "s")], "event_id long, user_id long, src string"
+        )
+        M.append(evolved, table, merge_schema=True)
+        delta = M.read_version_delta(spark, table, 1, 2)
+        assert delta.columns == ["event_id", "user_id", "src"]
+        [r] = delta.collect()
+        assert r["src"] == "s"

@@ -641,3 +641,49 @@ class TestEquidepthHistogram:
         nonempty = [r for r in ed if r["n"] > 0]
         # Equi-depth spreads the mass: no bucket dominates like that.
         assert max(r["n"] for r in nonempty) < 500
+
+
+class TestCommitRewriteSidecars:
+    """ADVICE r05 (low): the staged-directory swap must carry over
+    non-parquet content (_SUCCESS, applied-batch markers) and refuse to
+    run underneath a _manifest — the swap would orphan its versions."""
+
+    def test_sidecars_survive_delete(self, spark, tmp_path):
+        from pspcz_analyzer_spark.jobs import delete_keys, write_range_sorted
+
+        df = spark.range(1_000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 50).alias("user_id")
+        )
+        out = str(tmp_path / "lake_side")
+        write_range_sorted(df, out, "user_id", num_partitions=4)
+        marker = os.path.join(out, "_applied_batch_0007")
+        with open(marker, "w") as fh:
+            fh.write("batch 7")
+        sub = os.path.join(out, "_meta_extra")
+        os.makedirs(sub)
+        with open(os.path.join(sub, "note.txt"), "w") as fh:
+            fh.write("keep me")
+
+        n_files, n_rows = delete_keys(spark, out, "user_id", [7])
+        assert n_rows == 20 and n_files >= 1
+        assert open(marker).read() == "batch 7"
+        assert open(os.path.join(sub, "note.txt")).read() == "keep me"
+        assert spark.read.parquet(out).count() == 980
+
+    def test_refuses_manifest_tables(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pspcz_analyzer_spark import manifest as M
+        from pspcz_analyzer_spark.jobs import delete_keys, write_range_sorted
+
+        df = spark.range(1_000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 50).alias("user_id")
+        )
+        out = str(tmp_path / "lake_mani")
+        write_range_sorted(df, out, "user_id", num_partitions=4)
+        M.manifest_init(out)
+        with _pytest.raises(ValueError, match="manifest"):
+            delete_keys(spark, out, "user_id", [7])
+        # The manifest-committed twin is the supported path.
+        nf, rows = M.delete_keys(spark, out, "user_id", [7])
+        assert rows == 20
