@@ -37,9 +37,73 @@ _MAGIC: list[tuple[str, str]] = [
 ]
 
 IMAGE_FEATURES_SCHEMA = (
-    "media_id long, mime string, n_bytes long, width int, height int, n_channels int"
+    "media_id long, mime string, n_bytes long, width int, height int, "
+    "n_channels int, decoded boolean"
 )
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
+
+# PNG color type -> sample channels (PNG spec, 11.2.2).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(b: bytes) -> "tuple[int, int, int] | None":
+    """(width, height, n_channels) from container HEADER bytes alone —
+    PNG IHDR, GIF logical-screen descriptor, JPEG SOF marker scan. Pure
+    byte parsing, no codec library (the same playbook as the pure-Python
+    PDF fallback, operators/docparse.py): dimensions live in the first
+    few header bytes of each format, defined by the public specs (PNG
+    11.2.2, GIF89a §18, JPEG/JFIF SOF segment). Returns None for
+    unrecognized or malformed containers — callers fall back to the
+    deterministic fake and flag ``decoded=False``."""
+    import struct
+
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR must be the first chunk; its length field is always 13,
+        # so bytes 8..16 are fixed — a non-PNG payload behind the magic
+        # (e.g. UTF-8 text, which cannot contain 0x00) can't match.
+        if b[8:16] == b"\x00\x00\x00\rIHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            depth, color = b[24], b[25]
+            ch = _PNG_CHANNELS.get(color)
+            if 0 < w and 0 < h and ch and depth in (1, 2, 4, 8, 16):
+                return w, h, ch
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return (w, h, 3) if w > 0 and h > 0 else None
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # Walk the marker stream to the first frame header; APPn/EXIF
+        # segments are skipped by their declared length, so a SOF deep in
+        # the file is still found without decoding anything. UTF-8 text
+        # behind a bare FFD8FF magic can't contain the 0xFF a marker
+        # needs, so it falls out of the loop -> None.
+        i = 2
+        while i + 2 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if i + 4 > len(b):
+                return None
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if seglen < 2:
+                return None
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame
+            # dimensions: precision(1), height(2), width(2), ncomp(1).
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                ncomp = b[i + 9]
+                return (w, h, ncomp) if w > 0 and h > 0 else None
+            i += 2 + seglen
+        return None
+    return None
 
 
 def sniff_mime(content: Column | str) -> Column:
@@ -60,8 +124,10 @@ def binary_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def _fake_image_dims(n_bytes: int) -> tuple[int, int, int]:
-    # DETERMINISTIC FAKE decode: dimensions derived from payload length.
-    # Production: PIL.Image.open(io.BytesIO(b)).size etc.
+    # DETERMINISTIC FAKE decode for payloads header parsing can't read
+    # (truncated/opaque containers, and PIXEL decode in general — no
+    # codec libs in this container): dimensions derived from payload
+    # length. Production: PIL.Image.open(io.BytesIO(b)).size etc.
     return (n_bytes % 640 + 1, (n_bytes * 7) % 480 + 1, 3)
 
 
@@ -71,24 +137,37 @@ def extract_image_features(
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
     One output row per input row; bytes stay inside the executor batch.
+    Dimensions come from REAL header parsing (:func:`parse_image_header`
+    — PNG/GIF/JPEG, no codec needed) when the payload carries a valid
+    header, flagged ``decoded=true``; otherwise the deterministic fake,
+    flagged ``decoded=false``.
     """
     import pandas as pd
 
     mime = sniff_mime(content_col).alias("mime")
     src = df.select(F.col(id_col).alias("media_id"), mime, F.col(content_col).alias("content"))
 
+    def _feat(blob) -> tuple[int, int, int, int, bool]:
+        b = bytes(blob)
+        hdr = parse_image_header(b)
+        if hdr is None:
+            w, h, c = _fake_image_dims(len(b))
+            return (len(b), w, h, c, False)
+        w, h, c = hdr
+        return (len(b), w, h, c, True)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_bytes = pdf["content"].map(len)
-            dims = n_bytes.map(_fake_image_dims)
+            feats = pdf["content"].map(_feat)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
-                    "n_channels": dims.map(lambda d: d[2]).astype("int32"),
+                    "n_bytes": feats.map(lambda t: t[0]).astype("int64"),
+                    "width": feats.map(lambda t: t[1]).astype("int32"),
+                    "height": feats.map(lambda t: t[2]).astype("int32"),
+                    "n_channels": feats.map(lambda t: t[3]).astype("int32"),
+                    "decoded": feats.map(lambda t: t[4]).astype("bool"),
                 }
             )
 

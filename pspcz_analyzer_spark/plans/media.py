@@ -73,14 +73,22 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, mime, n_bytes,
            CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
            CAST((n_bytes * 7) % 480 + 1 AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS n_channels
+           CAST(3 AS INTEGER) AS n_channels,
+           CAST(FALSE AS BOOLEAN) AS decoded
     FROM ({_SQL_MEDIA})
     ORDER BY media_id
     """,
     tags=("multimodal", "pandas-udf"),
-    doc="Arrow-batched mapInPandas decode/feature stage (deterministic fake "
-    "decoder — swap for PIL in production; the batch plumbing is real and "
-    "this oracle proves rows/values survive the Python boundary).",
+    doc="Arrow-batched mapInPandas decode/feature stage. Dimensions come "
+    "from REAL header parsing (operators/multimodal.py::parse_image_header "
+    "— PNG IHDR, GIF screen descriptor, JPEG SOF scan; pure header bytes, "
+    "no codec) when a valid header is present, else the deterministic "
+    "fake, flagged by the decoded column. The synthetic payloads are "
+    "magic-prefix + UTF-8 text — headerless by construction (UTF-8 can't "
+    "carry the required 0x00/0xFF bytes), so every row takes the fake "
+    "path here and decoded=false is itself oracle-checked; real-header "
+    "parsing is pinned by hand-built PNG/GIF/JPEG bytes in "
+    "tests/test_media.py.",
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(_media(spark, sf_dir)).orderBy("media_id")

@@ -50,9 +50,80 @@ def test_image_features_row_preserving(spark):
     rows = {r["media_id"]: r for r in out.collect()}
     assert set(rows) == {1, 2, 3, 4, 5}
     for mid, r in rows.items():
+        # Magic-prefix + text payloads carry no real header: fake path.
+        assert r["decoded"] is False
         assert r["width"] == r["n_bytes"] % 640 + 1
         assert r["height"] == (r["n_bytes"] * 7) % 480 + 1
         assert r["n_channels"] == 3
+
+
+def _png(w=64, h=48, color=6, depth=8):
+    import struct
+
+    return (
+        bytes.fromhex("89504E470D0A1A0A")
+        + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", w, h)
+        + bytes([depth, color, 0, 0, 0])
+        + b"\xaa" * 8  # crc + whatever follows; the parser never reads it
+    )
+
+
+def _gif(w=320, h=200):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00trailing"
+
+
+def _jpeg(w=640, h=480, ncomp=3, sof=0xC0):
+    import struct
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof_seg = (
+        bytes([0xFF, sof])
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([ncomp])
+        + b"\x01\x22\x00" * ncomp
+    )
+    return b"\xff\xd8" + app0 + sof_seg + b"restofscan"
+
+
+def test_parse_image_header_real_headers():
+    from pspcz_analyzer_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png(64, 48, color=6)) == (64, 48, 4)
+    assert parse_image_header(_png(1, 1, color=0)) == (1, 1, 1)
+    assert parse_image_header(_png(10, 10, color=2)) == (10, 10, 3)
+    assert parse_image_header(_gif(320, 200)) == (320, 200, 3)
+    assert parse_image_header(_jpeg(640, 480)) == (640, 480, 3)
+    # Progressive JPEG (SOF2) and grayscale single-component.
+    assert parse_image_header(_jpeg(12, 34, sof=0xC2)) == (12, 34, 3)
+    assert parse_image_header(_jpeg(12, 34, ncomp=1)) == (12, 34, 1)
+
+
+def test_parse_image_header_rejects_malformed():
+    from pspcz_analyzer_spark.operators.multimodal import parse_image_header
+
+    # Magic + text (the synthetic-media shape): never a false positive.
+    assert parse_image_header(bytes.fromhex("89504E470D0A1A0A") + b"text") is None
+    assert parse_image_header(b"\xff\xd8\xff" + "text čšž".encode()) is None
+    assert parse_image_header(b"GIF89a") is None  # truncated descriptor
+    assert parse_image_header(_png(0, 5)) is None  # zero dimension
+    assert parse_image_header(b"RIFFwav-payload") is None
+    assert parse_image_header(b"") is None
+
+
+def test_image_features_decode_real_headers(spark):
+    rows = [(1, _png(64, 48)), (2, _gif(320, 200)), (3, _jpeg(640, 480)), (4, b"opaque")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (64, 48, 4)
+    assert (got[2]["width"], got[2]["height"]) == (320, 200)
+    assert (got[3]["width"], got[3]["height"], got[3]["n_channels"]) == (640, 480, 3)
+    assert all(got[i]["decoded"] for i in (1, 2, 3))
+    assert got[4]["decoded"] is False  # unrecognized container -> fake dims
 
 
 def test_frame_expansion_counts(spark):
