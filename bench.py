@@ -99,6 +99,12 @@ HEADLINE = [
     "lineitem_numeric_correlations",
     "manifest_restore_roundtrip",
     "events_value_equidepth",
+    # Round-6 additions. The scan pair shares one pre-built table (warmed
+    # below): unpruned first, pruned second — the delta is what the
+    # manifest's metadata-only file skipping buys on an identical query.
+    "manifest_scan_unpruned",
+    "manifest_scan_pruned",
+    "manifest_cdf_appends",
 ]
 
 
@@ -131,6 +137,9 @@ def main() -> None:
 
         ensure_steno_corpus(spark, sf_dir)
         ensure_steno_votes(spark, sf_dir)
+        from pspcz_analyzer_spark.plans.ingest import _ensure_scan_table
+
+        _ensure_scan_table(spark, sf_dir)
         spark.range(spark.sparkContext.defaultParallelism).repartition(
             spark.sparkContext.defaultParallelism
         ).mapInPandas(lambda it: it, "id long").collect()

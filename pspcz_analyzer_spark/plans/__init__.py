@@ -33,22 +33,22 @@ _REGISTRY: dict[str, Query] = {}
 
 # Verification harnesses that budget a fixed number of queries consume the
 # registry in iteration order, so ordering is part of the public contract.
-# Round-5 rotation: the driver re-attests 50 queries per round against
+# Round-6 rotation: the driver re-attests 50 queries per round against
 # freshly regenerated testdata, so the budget goes to the queries with the
-# WEAKEST current attestation. Tiers (lower first):
-#   10 = sentinels — the r04 red row (parquet_compact_roundtrip, oracle
-#        typing fixed this round), every query whose PLAN changed this
-#        round (span-dedup persist, range_join degenerate-interval guard),
-#        and two untouched canaries;
-#   15 = never driver-attested in ANY round (oracle exists, only local
-#        gate runs have checked them) — the last three of the catalog;
+# WEAKEST current attestation. Every oracle-bearing query has been
+# driver-attested green in some round (catalog complete since r05); from
+# here the rotation is purely staleness-driven. Tiers (lower first):
+#   10 = sentinels — every query whose PLAN changed this round (the
+#        manifest rewrite paths now read mergeSchema+projected, append
+#        stages-once-with-retry, jobs._commit_rewrite preserves sidecars,
+#        media features gained the decoded column) plus two untouched
+#        canaries;
 #   18 = NEW THIS ROUND (set via register(priority=18) at the definition,
 #        not in this map) — brand-new operators attest before stale ones;
-#   20 = r02-green but not re-checked since (testdata regenerated and code
-#        evolved — r02 rows are stale attestation);
-#   25 = r02-green queue promoted into the budget this round (the former
-#        tier 55; with the r03/r04 cohorts yielding their slots the whole
-#        queue now fits);
+#   20 = r02-green and never re-attested since (two testdata generations
+#        ago) — the stalest cohort in the catalog;
+#   22 = r03-green cohort + the head of the r04 queue, filling the budget
+#        to exactly 50;
 #   52 = rows-only by design (no oracle possible: LSH/IVF results are
 #        approximation-defined, PCA basis signs impl-defined, HLL
 #        estimates); each has an oracle-paired anchor at a lower tier
@@ -56,78 +56,45 @@ _REGISTRY: dict[str, Query] = {}
 #        ann_ivf_exhaustive_top10 for the IVF index, mp_vote_similarity for
 #        the vote-matrix encoding PCA consumes, doc_vocab_exact for the
 #        vocabulary scan), so a driver slot on them would be wasted;
-#   60 = r03-green, 62 = r04-green (most recent attestation yields first).
+#   62 = r04-green, 64 = r05-green (most recent attestation yields last).
 PRIORITY_SENTINEL = 10
-PRIORITY_NEVER_ATTESTED = 15
-PRIORITY_R02_STALE = 20
-PRIORITY_R02_QUEUE = 25
+PRIORITY_NEW = 18
+PRIORITY_STALE_R02 = 20
+PRIORITY_STALE_R03 = 22
 PRIORITY_ROWS_ONLY = 52
-PRIORITY_ATTESTED_R03 = 60
 PRIORITY_ATTESTED_R04 = 62
+PRIORITY_ATTESTED_R05 = 64
 
 _PRIORITY: dict[str, int] = {
-    # Sentinels: the fixed r04 red row, the plan-changed queries, and two
-    # untouched canaries.
+    # Sentinels: plan-changed this round, plus two untouched canaries.
     **{
         n: PRIORITY_SENTINEL
         for n in (
-            # r04's ONLY red row: rows/schema matched, the value hash
-            # tripped on DuckDB HUGEINT vs Spark BIGINT for sum(int); the
-            # oracle now casts. Must re-attest green.
-            "parquet_compact_roundtrip",
-            # Span-dedup window stream now persisted (one corpus scan);
-            # same results, changed plan => re-attest both consumers.
-            "doc_duplicate_spans",
-            "doc_duplicate_spans_removed",
-            # range_join gained the degenerate-interval filter and the
-            # max_cells guard => plan changed.
-            "events_range_join_windows",
-            # Untouched canaries.
-            "q5_nation_revenue",
-            "loyalty_rebellion_rates",
-        )
-    },
-    # The last never-driver-attested oracle-bearing queries (variant twins
-    # whose shared machinery is r03/r04-green via a sibling, promoted now
-    # that the budget has room): a green row here completes the catalog —
-    # every oracle-bearing query attested in some round.
-    **{
-        n: PRIORITY_NEVER_ATTESTED
-        for n in (
-            "corpus_lang_sample",
-            "doc_top_terms",
-            "asof_next_order_after_event",
-        )
-    },
-    # r02-green but stale (checked two testdata generations ago).
-    **{
-        n: PRIORITY_R02_STALE
-        for n in (
-            "fuzzy_match_supplier_customer",
-            "top3_orders_per_customer",
-            "latest_order_per_customer",
-            "doc_search_normalized",
-            "docs_browser_page",
-            "doc_token_stats",
-            "doc_fingerprints",
-            "law_refs_extracted",
-            "parquet_overwrite_roundtrip",
-            "parquet_partitioned_prune",
-            "parquet_upsert_resume",
-            "media_binary_stats",
+            # manifest.delete_keys/upsert/compact now read affected files
+            # mergeSchema + projected (ADVICE r05 high), find victims from
+            # stored stats, and append stages-once-with-retry.
+            "manifest_delete_roundtrip",
+            "manifest_cdc_roundtrip",
+            "manifest_schema_evolution",
+            "manifest_history_accounting",
+            # load/scan_manifest_table route through the shared
+            # _read_files projection.
+            "manifest_restore_roundtrip",
+            "manifest_stats_prune",
+            "manifest_zorder_optimize",
+            # extract_image_features: real header parsing + decoded col.
             "media_image_features",
-            "media_frame_sample",
-            "vote_number_resolution",
-            "orders_keyset_page",
-            "prefix_match_parts",
-            "customer_display_names",
-            "orders_by_month",
-            "docs_by_source_stats",
+            # jobs._commit_rewrite now carries sidecars over the swap.
+            "parquet_delete_roundtrip",
+            "parquet_compact_roundtrip",
+            # Untouched canaries.
+            "q1_pricing_summary",
+            "attendance_rates",
         )
     },
-    # r02-green queue, promoted into the budget this round.
+    # r02-green and never re-attested: the stalest attestation standing.
     **{
-        n: PRIORITY_R02_QUEUE
+        n: PRIORITY_STALE_R02
         for n in (
             "doc_quality_scores",
             "exact_dedup_survivors",
@@ -148,6 +115,28 @@ _PRIORITY: dict[str, int] = {
             "except_building_without_bigspenders",
             "rollup_priority_status",
             "cube_status_priority",
+            "fuzzy_match_supplier_customer",
+            "top3_orders_per_customer",
+            "vote_number_resolution",
+            "orders_keyset_page",
+            "prefix_match_parts",
+            "customer_display_names",
+            "orders_by_month",
+        )
+    },
+    # r03-green cohort + the stalest r04 rows, topping the budget at 50.
+    **{
+        n: PRIORITY_STALE_R03
+        for n in (
+            "unl_roundtrip_nation",
+            "json_nested_roundtrip",
+            "pdf_letters_parse",
+            "order_lines_nested",
+            "asof_latest_order_before_event",
+            "asof_cascade",
+            "laws_listing_page",
+            "corpus_train_split",
+            "doc_repetition_stats",
         )
     },
     # Rows-only by design (see tier note above).
@@ -160,27 +149,12 @@ _PRIORITY: dict[str, int] = {
             "doc_vocab_approx",
         )
     },
-    # r03-green cohort: attested one round ago, yield to staler rows.
-    **{
-        n: PRIORITY_ATTESTED_R03
-        for n in (
-            "unl_roundtrip_nation",
-            "json_nested_roundtrip",
-            "pdf_letters_parse",
-            "order_lines_nested",
-            "asof_latest_order_before_event",
-            "asof_cascade",
-        )
-    },
-    # r04-green cohort (CORRECTNESS_r04.json): freshest attestation, last
-    # in line. Overrides the inline register(priority=18) of the round-4
+    # r04-green cohort (CORRECTNESS_r04.json), minus the rows promoted to
+    # tier 22 above. Overrides inline register(priority=18) of round-4
     # additions so they stop consuming budget.
     **{
         n: PRIORITY_ATTESTED_R04
         for n in (
-            "laws_listing_page",
-            "corpus_train_split",
-            "doc_repetition_stats",
             "corpus_pii_redacted",
             "corpus_source_cap",
             "corpus_lang_sample_exact",
@@ -223,6 +197,53 @@ _PRIORITY: dict[str, int] = {
             "corpus_embedding_decontaminate",
             "semantic_dedup_by_label",
             "corpus_extend_semantic",
+        )
+    },
+    # r05-green cohort (CORRECTNESS_r05.json), minus the plan-changed rows
+    # promoted to sentinels: freshest attestation, last in line.
+    **{
+        n: PRIORITY_ATTESTED_R05
+        for n in (
+            "events_range_join_windows",
+            "doc_duplicate_spans",
+            "doc_duplicate_spans_removed",
+            "q5_nation_revenue",
+            "loyalty_rebellion_rates",
+            "doc_top_terms",
+            "corpus_lang_sample",
+            "asof_next_order_after_event",
+            "doc_retrieval_eval",
+            "events_transition_matrix",
+            "events_top_user_paths",
+            "doc_nb_lang_classify",
+            "doc_gopher_flags",
+            "corpus_unimax_sample",
+            "corpus_weighted_sample_per_lang",
+            "corpus_dsir_scores",
+            "corpus_quality_calibrated_by_lang",
+            "lineitem_numeric_correlations",
+            "events_value_histogram",
+            "events_value_equidepth",
+            "events_cms_user_counts",
+            "bloom_prune_orders_building",
+            "bucketed_join_revenue",
+            "pagerank_suppliers",
+            "semantic_dedup_farthest",
+            "embedding_matryoshka_prefix",
+            "embedding_hard_negatives",
+            "events_stream_dedup",
+            "doc_search_normalized",
+            "docs_browser_page",
+            "doc_token_stats",
+            "doc_fingerprints",
+            "docs_by_source_stats",
+            "parquet_overwrite_roundtrip",
+            "parquet_partitioned_prune",
+            "law_refs_extracted",
+            "parquet_upsert_resume",
+            "media_binary_stats",
+            "media_frame_sample",
+            "latest_order_per_customer",
         )
     },
 }

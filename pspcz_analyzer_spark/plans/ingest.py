@@ -754,3 +754,140 @@ def manifest_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "manifest_cdf_appends",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, user_id, round(value, 4) AS value FROM events
+    ),
+    b2 AS (
+      SELECT event_id + 10000000 AS event_id, user_id, round(value, 4) AS value
+      FROM events WHERE event_id % 1013 = 0
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM b2)
+    SELECT event_id, user_id, value FROM v2
+    EXCEPT
+    SELECT event_id, user_id, value FROM v1
+    ORDER BY event_id
+    """,
+    tags=("S12", "manifest", "cdc", "incremental", "scale"),
+    doc="Incremental CDF read between manifest versions (manifest.py::"
+    "read_version_delta): the appended rows between v1 and v2 planned "
+    "from METADATA alone — the two manifests' file lists are "
+    "set-differenced and only the added files enter the scan (asserted "
+    "via inputFiles in test_manifest.py::TestReadVersionDelta). At "
+    "100 TB an hourly consumer scans the hour's files, never the table. "
+    "The oracle is the literal EXCEPT of the two pinned snapshots; "
+    "rewrite-bearing histories route through snapshot_diff "
+    "(manifest_cdc_roundtrip) instead.",
+    priority=18,
+)
+def manifest_cdf_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+    path = _scratch(sf_dir, "events_cdf_appends")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "event_id", num_partitions=8)
+    M.manifest_init(path)
+    b2 = events.filter(F.col("event_id") % 1013 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), "user_id", "value"
+    )
+    M.append(b2, path)
+    return M.read_version_delta(spark, path, 1, 2).orderBy("event_id")
+
+
+_SCAN_BENCH_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 16
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+def _ensure_scan_table(spark: SparkSession, sf_dir: str) -> str:
+    """Range-sorted manifest-adopted events table shared by the
+    pruned/unpruned scan pair — built once per process (resumable-sink
+    pattern, like ensure_steno_corpus) so the BENCH timing of each twin
+    measures the read path, not table construction."""
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    path = _scratch(sf_dir, "events_scan_bench")
+    if not os.path.isdir(os.path.join(path, "_manifest")):
+        _shutil.rmtree(path, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_range_sorted(events, path, "user_id", num_partitions=32)
+        M.manifest_init(path, stat_cols=["user_id"])
+    return path
+
+
+@register(
+    "manifest_scan_unpruned",
+    oracle=_SCAN_BENCH_ORACLE,
+    tags=("S10", "manifest", "stats", "bench", "scale"),
+    doc="Negative control for the manifest read-path bench pair: the SAME "
+    "narrow range predicate evaluated by load_manifest_table().filter() — "
+    "every one of the 32 range-sorted files enters the plan and the "
+    "filter does the work row-wise. Identical results to "
+    "manifest_scan_pruned by construction; the bench delta between the "
+    "twins is the wall-clock the manifest's metadata-only file skipping "
+    "buys (SCALING.md records the skipped-file counts).",
+    priority=18,
+)
+def manifest_scan_unpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark import manifest as M
+
+    path = _ensure_scan_table(spark, sf_dir)
+    return (
+        M.load_manifest_table(spark, path)
+        .filter(F.col("user_id").between(10, 16))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "manifest_scan_pruned",
+    oracle=_SCAN_BENCH_ORACLE,
+    tags=("S10", "manifest", "stats", "file-skipping", "bench", "scale"),
+    doc="Stats-pruned half of the manifest read-path bench pair "
+    "(manifest.py::scan_manifest_table): the file subset for the narrow "
+    "user_id range is chosen from the manifest's stored per-file "
+    "[min,max] — one JSON read, zero footer opens — before Spark ever "
+    "plans the scan; on the 32-file range-sorted layout ~30 of 32 files "
+    "never enter the plan. Same oracle as manifest_scan_unpruned: "
+    "pruning is an optimization, never a filter.",
+    priority=18,
+)
+def manifest_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark import manifest as M
+
+    path = _ensure_scan_table(spark, sf_dir)
+    return (
+        M.scan_manifest_table(spark, path, "user_id", 10, 16)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
