@@ -355,6 +355,7 @@ def semantic_dedup(
     seed: int = 42,
     train_fraction: float = 1.0,
     keep: str = "min_id",
+    salt_cells: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -391,6 +392,17 @@ def semantic_dedup(
     cross-cluster pair ever materialises. The per-cluster pair blow-up is
     the quantity ``n_clusters`` controls; a skewed (mega-)cluster is the
     same hazard as a hot join key and the same ``hot_keys`` probe applies.
+
+    ``salt_cells`` is the mega-cluster escape hatch: the probe side gets a
+    deterministic id-hash salt in [0, salt_cells) and the build side is
+    replicated once per salt, so the join key becomes (cluster, salt) and
+    one hot cell's pair generation spreads across ``salt_cells`` tasks
+    instead of serializing in one straggler (the self-join form of
+    ``operators/skew.py::salted_join``; every pair still meets exactly
+    once, so results are bit-identical — asserted in test_dedup.py).
+    Total pair work is unchanged — that is ``n_clusters``'s job — salting
+    only fixes the parallelism. Measured on a deliberately 80 %-hot
+    clustering in SCALING.md.
 
     With ``cluster_col`` given, that column IS the partitioning
     (deterministic; the oracle-paired anchor). Otherwise k-means fits
@@ -475,7 +487,20 @@ def semantic_dedup(
     sim = cosine(
         F.col("__xv").cast("array<double>"), F.col("__yv").cast("array<double>")
     )
-    pairs = x.join(y, "cluster").filter(F.col("__yid") != F.col("__xid"))
+    if salt_cells and salt_cells > 1:
+        x = x.withColumn(
+            "__salt", F.pmod(F.xxhash64("__xid"), F.lit(salt_cells))
+        )
+        y = y.withColumn(
+            "__salt",
+            F.explode(
+                F.array(*[F.lit(i).cast("long") for i in range(salt_cells)])
+            ),
+        )
+        pairs = x.join(y, ["cluster", "__salt"]).drop("__salt")
+    else:
+        pairs = x.join(y, "cluster")
+    pairs = pairs.filter(F.col("__yid") != F.col("__xid"))
     if keep == "min_id":
         dominates = F.col("__yid") < F.col("__xid")
     else:

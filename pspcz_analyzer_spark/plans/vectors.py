@@ -726,3 +726,41 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     return hard_negative_mine(emb, k_neg=2).orderBy("anchor_id", "role", "rank")
+
+
+@register(
+    "semantic_dedup_salted",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id, a.label AS cluster, MIN(b.vec_id) AS dup_of,
+           round(MAX(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e)))), 6) AS max_sim
+    FROM sub a JOIN sub b
+      ON a.label = b.label AND b.vec_id < a.vec_id
+     AND list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    GROUP BY a.vec_id, a.label
+    ORDER BY a.vec_id
+    """,
+    tags=("pipeline", "dedup-embedding", "semdedup", "skew", "new-surface"),
+    priority=18,
+    doc="SemDeDup's mega-cluster skew escape (operators/dedup.py::"
+    "semantic_dedup(salt_cells=8)): the within-cell self-join keyed on "
+    "(cluster, salt) — probe side id-hash-salted, build side replicated "
+    "8x — so one hot cell's pair generation spreads over 8 tasks instead "
+    "of serializing in a straggler. Same oracle as semantic_dedup_by_label "
+    "BY DESIGN: every pair still meets exactly once, salting changes the "
+    "physical distribution and nothing else. The 80%-hot-cell recovery "
+    "is measured in SCALING.md.",
+)
+def semantic_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, cluster_col="label", threshold=0.3, salt_cells=8
+    ).orderBy("vec_id")

@@ -444,3 +444,57 @@ class TestSemanticDedupExtend:
             ).collect()
         }
         assert one == full
+
+
+class TestSemanticDedupSalted:
+    def test_salted_join_results_identical_on_skewed_cells(self, spark):
+        """salt_cells spreads a mega-cluster's self-join across tasks but
+        must not change a single output row: every (x, y) pair still
+        meets exactly once under the (cluster, salt) key."""
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+        rng = np.random.default_rng(11)
+        rows = []
+        # Deliberate skew: 80% of vectors in one cell, the rest spread.
+        for vid in range(120):
+            cell = 0 if vid < 96 else 1 + vid % 3
+            base = np.zeros(6)
+            base[cell % 6] = 5.0
+            rows.append(
+                (vid, cell, (base + rng.normal(size=6) * 0.4).tolist())
+            )
+        df = spark.createDataFrame(
+            rows, "vec_id long, cell int, embedding array<double>"
+        )
+        plain = semantic_dedup(
+            df, cluster_col="cell", threshold=0.8
+        ).orderBy("vec_id")
+        salted = semantic_dedup(
+            df, cluster_col="cell", threshold=0.8, salt_cells=8
+        ).orderBy("vec_id")
+        assert plain.columns == salted.columns
+        assert plain.collect() == salted.collect()
+        assert plain.count() > 0  # the skewed cell actually produced dups
+
+    def test_salted_farthest_rule_identical(self, spark):
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+        rng = np.random.default_rng(13)
+        rows = [
+            (vid, 0, (np.ones(4) + rng.normal(size=4) * 0.1).tolist())
+            for vid in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, cell int, embedding array<double>"
+        )
+        a = semantic_dedup(
+            df, cluster_col="cell", threshold=0.9, keep="farthest"
+        ).orderBy("vec_id")
+        b = semantic_dedup(
+            df, cluster_col="cell", threshold=0.9, keep="farthest", salt_cells=4
+        ).orderBy("vec_id")
+        assert a.collect() == b.collect()
