@@ -105,6 +105,8 @@ HEADLINE = [
     "manifest_scan_unpruned",
     "manifest_scan_pruned",
     "manifest_cdf_appends",
+    "semantic_dedup_salted",
+    "ann_ivfpq_top10",
 ]
 
 

@@ -536,3 +536,272 @@ def hard_negative_mine(
             F.round("__sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lloyd(X, k: int, iters: int = 20, seed: int = 0):
+    """Deterministic driver-side Lloyd k-means for PQ codebooks (the
+    sample is capped, so this clusters kilobytes). Seeded random-point
+    init; empty clusters re-seeded from the farthest points; if fewer
+    distinct points than k, the codebook repeats points (harmless: codes
+    just never map there)."""
+    import numpy as np
+
+    if len(X) == 0:
+        return np.zeros((k, 1))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
+    C = X[idx].copy()
+    while len(C) < k:
+        C = np.vstack([C, X[rng.integers(0, len(X))]])
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+            else:
+                C[c] = X[d2.min(axis=1).argmax()]
+    return C
+
+
+def build_ivfpq_index(
+    spark,
+    df: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int | None = None,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF-PQ index (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): coarse IVF cells + per-subspace
+    residual codebooks + per-vector code words — the standard
+    billion-vector memory knob. Candidate scoring reads ``m_sub`` small
+    ints per vector (here 8 bytes) instead of the full float vector
+    (64 dims x 8 = 512 bytes): a 64x scan-cost reduction at query time,
+    with survivors exact-rescored from the stored full vectors.
+
+    Layout under ``index_dir``:
+      ``centroids/``  (cell, centroid)             — n_centroids rows
+      ``codebooks/``  (m, code, cb array<double>)  — m_sub*k_codes rows
+      ``codes/``      (id, cell, codes array<int>) partitioned by cell
+      ``vectors/``    (id, vec) partitioned by cell — exact-rerank source
+
+    ``prefix_dim`` composes with :func:`matryoshka_truncate`: the coarse
+    quantizer, residuals, and codebooks operate on the MRL prefix
+    (quartering index build cost and code error for prefix-trained
+    embeddings) while ``vectors/`` keeps the FULL vector so the rerank
+    stays exact — the coarse-quantize-on-prefix / rescore-on-full
+    pattern from the Matryoshka paper (arXiv:2205.13147 §4.3).
+
+    Plan shape: one KMeans coarse fit (sampled), one residual pass
+    (broadcast centroid join, codegen'd zip_with), per-subspace code
+    assignment as ONE posexplode + broadcast-codebook join + min-struct
+    aggregate (no per-subspace scans), everything partitioned by cell on
+    write. Encoding never shuffles the corpus by more than (id, m) rows.
+    """
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    work_vec = (
+        F.slice(F.col(vec_col).cast("array<double>"), 1, prefix_dim)
+        if prefix_dim
+        else F.col(vec_col).cast("array<double>")
+    )
+    feat = df.select(
+        F.col(id_col), F.col(vec_col), work_vec.alias("__wv")
+    ).withColumn("__fv", array_to_vector(F.col("__wv")))
+    train = feat if train_fraction >= 1.0 else feat.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell"
+    ).fit(train)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+
+    assigned = (
+        model.transform(feat)
+        .select(
+            id_col, vec_col, "__wv", F.col("__cell").cast("int").alias("cell")
+        )
+        .join(F.broadcast(centroids), "cell")
+        .withColumn(
+            "__res", F.zip_with("__wv", "centroid", lambda a, b: a - b)
+        )
+        .drop("centroid")
+    )
+    # The assignment pass feeds three consumers (vectors write, codebook
+    # sample, code encode) — persist so the k-means transform + residual
+    # join run once, not three times.
+    assigned.persist()
+    # Full vectors, cell-partitioned: the exact-rerank source (and the
+    # plain-IVF fallback reader).
+    (
+        assigned.select(id_col, vec_col, "cell")
+        .repartition(n_centroids, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+
+    dim = len(assigned.select("__res").first()[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub_d = dim // m_sub
+    slices = F.array(
+        *[F.slice("__res", m * sub_d + 1, sub_d) for m in range(m_sub)]
+    )
+    # (id, cell, m, sub-residual): one pass, m_sub rows per vector.
+    sub = assigned.select(
+        id_col, "cell", F.posexplode(slices).alias("m", "__sub")
+    )
+    # Per-subspace codebooks: FAISS-style sample-trained — a bounded
+    # hash-sampled collect (<= ~sample_cap vectors regardless of corpus
+    # size) fitted driver-side with a deterministic Lloyd loop. Fitting
+    # m_sub separate Spark ML jobs here would pay m_sub job overheads to
+    # cluster kilobytes; the sample IS the standard practice (FAISS
+    # trains PQ on a capped sample too) and the resulting codebook is
+    # broadcast metadata either way. Residual/code ASSIGNMENT below is
+    # still one full distributed pass.
+    sample_cap = 4096
+    n = assigned.count()
+    stride = max(1, n // sample_cap)
+    samp = sub if stride == 1 else sub.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+    )
+    rows = samp.select(id_col, "m", "__sub").collect()
+    rows.sort(key=lambda r: (r["m"], r[0]))  # collect order -> deterministic
+    import numpy as np
+
+    cb_rows = []
+    for m in range(m_sub):
+        X = np.array([r["__sub"] for r in rows if r["m"] == m], dtype="float64")
+        for c, cc in enumerate(_lloyd(X, k_codes, seed=seed + m)):
+            cb_rows.append((m, c, [float(x) for x in cc]))
+    codebooks = spark.createDataFrame(
+        cb_rows, "m int, code int, cb array<double>"
+    )
+    codebooks.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks")
+    )
+    # Encode: nearest code per (vector, subspace) — broadcast the
+    # m_sub*k_codes codebook, argmin via a min-struct aggregate, then
+    # reassemble the code word ordered by subspace. One shuffle keyed
+    # on (id, cell).
+    codes = (
+        sub.join(F.broadcast(codebooks), "m")
+        .withColumn("__d2", _sqdist(F.col("__sub"), F.col("cb")))
+        .groupBy(id_col, "cell", "m")
+        .agg(F.min(F.struct("__d2", "code")).alias("__best"))
+        .groupBy(id_col, "cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", F.col("__best.code").alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("codes")
+        )
+    )
+    (
+        codes.repartition(n_centroids, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    assigned.unpersist()
+
+
+def ivfpq_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int | None = None,
+) -> DataFrame:
+    """Query an IVF-PQ index: rank centroids driver-side, build the ADC
+    distance table for the probed cells (n_probe * m_sub * k_codes
+    entries — metadata scale, broadcast), score candidates by summing
+    m_sub table lookups over their stored codes, keep the best
+    ``rerank``, and exact-rescore those from the stored FULL vectors.
+
+    The scan over ``codes/`` is partition-pruned to the probed cells and
+    reads only (id, codes) — bytes per candidate = m_sub codes, not the
+    vector; the asymmetric-distance join is a broadcast equi-join on
+    (cell, m, code) followed by a sum aggregate, all codegen'd. With
+    ``n_probe = n_centroids`` and ``rerank >= corpus`` the result is
+    EXACTLY brute force (the oracle anchor, like ann_ivf_exhaustive)."""
+    import os
+
+    import numpy as np
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cbs = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
+    q_full = np.asarray(query_vec, dtype="float64")
+    q = q_full[:prefix_dim] if prefix_dim else q_full
+    qn = np.linalg.norm(q) or 1.0
+    ranked = sorted(
+        (
+            (
+                float(
+                    np.dot(q, np.asarray(r["centroid"])) /
+                    (qn * (np.linalg.norm(r["centroid"]) or 1.0))
+                ),
+                r["cell"],
+            )
+            for r in cents
+        ),
+        reverse=True,
+    )
+    probe = [cell for _, cell in ranked[:n_probe]]
+    cent_by_cell = {r["cell"]: np.asarray(r["centroid"]) for r in cents}
+    m_sub = 1 + max(r["m"] for r in cbs)
+    sub_d = len(q) // m_sub
+    # ADC table: ||q_residual_slice - codebook_entry||^2 per (cell, m, code).
+    table = []
+    for cell in probe:
+        rq = q - cent_by_cell[cell]
+        for r in cbs:
+            s = rq[r["m"] * sub_d : (r["m"] + 1) * sub_d]
+            d2 = float(np.sum((s - np.asarray(r["cb"])) ** 2))
+            table.append((cell, r["m"], r["code"], d2))
+    adc = spark.createDataFrame(table, "cell int, m int, code int, d2 double")
+    cand = (
+        spark.read.parquet(os.path.join(index_dir, "codes"))
+        .filter(F.col("cell").isin(probe))
+        .select(id_col, "cell", F.posexplode("codes").alias("m", "code"))
+        .join(F.broadcast(adc), ["cell", "m", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("d2").alias("__adc"))
+    )
+    shortlist = top_k(cand, [F.asc("__adc"), F.asc(id_col)], rerank).select(id_col)
+    vecs = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell").isin(probe))
+        .join(F.broadcast(shortlist), id_col)
+        .select(id_col, vec_col)
+    )
+    return brute_force_topk(
+        vecs, [float(x) for x in query_vec], k=k, id_col=id_col, vec_col=vec_col
+    )

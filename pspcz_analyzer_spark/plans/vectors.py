@@ -764,3 +764,72 @@ def semantic_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, cluster_col="label", threshold=0.3, salt_cells=8
     ).orderBy("vec_id")
+
+
+@register(
+    "ann_ivfpq_exhaustive_top10",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("ann", "ivfpq", "oracle-paired", "new-surface"),
+    priority=18,
+    doc="IVF-PQ (Jegou et al. 2011) with n_probe == n_centroids and "
+    "rerank covering the corpus: the full pipeline — coarse k-means, "
+    "residual product-quantization codebooks, 8-byte code words, "
+    "ADC broadcast-join scoring, exact rescore from stored vectors — "
+    "must recover EXACTLY the brute-force answer, anchoring the "
+    "approximate ann_ivfpq_top10 next to it (operators/ann.py::"
+    "build_ivfpq_index, ivfpq_topk).",
+)
+def ann_ivfpq_exhaustive_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import build_ivfpq_index, ivfpq_topk
+    from pspcz_analyzer_spark.scratch import scratch_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = scratch_path(sf_dir, "ivfpq_idx")
+    build_ivfpq_index(spark, emb, idx, n_centroids=8, m_sub=8, k_codes=16)
+    return ivfpq_topk(
+        spark, idx, [float(x) for x in q], k=10, n_probe=8, rerank=1_000_000
+    )
+
+
+@register(
+    "ann_ivfpq_top10",
+    oracle=None,  # approximation-defined (probe subset + ADC shortlist);
+    # exactness anchored by ann_ivfpq_exhaustive_top10 above.
+    tags=("ann", "ivfpq", "rows-only", "new-surface"),
+    priority=18,
+    doc="Production IVF-PQ query: coarse quantizer and PQ codebooks on "
+    "the 32-dim Matryoshka prefix (arXiv:2205.13147 composition — "
+    "quarter the residual/codebook cost), candidates scored from 8-byte "
+    "codes via the broadcast ADC table over 4 probed cells, top-50 "
+    "shortlist exact-rescored from the stored FULL 64-dim vectors. "
+    "Bytes touched per candidate: 8 vs 512 — the billion-vector memory "
+    "knob. Rows-only by design; the exhaustive twin is the oracle anchor.",
+)
+def ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import build_ivfpq_index, ivfpq_topk
+    from pspcz_analyzer_spark.scratch import scratch_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = scratch_path(sf_dir, "ivfpq_idx_mrl")
+    build_ivfpq_index(
+        spark, emb, idx, n_centroids=8, m_sub=8, k_codes=16, prefix_dim=32
+    )
+    return ivfpq_topk(
+        spark, idx, [float(x) for x in q], k=10, n_probe=4, rerank=50,
+        prefix_dim=32,
+    )

@@ -562,3 +562,105 @@ class TestHardNegativeMine:
         assert roles0 == {"negative"}
         roles1 = {r["role"] for r in rows if r["anchor_id"] == 1}
         assert roles1 == {"positive", "negative"}
+
+
+class TestIVFPQ:
+    """IVF-PQ: residual product quantization + ADC shortlist + exact
+    rerank. Exhaustive probe/rerank must recover brute force exactly;
+    the approximate path gets a recall bound on blobby data; codes are
+    the compact artifact (m_sub ints per vector)."""
+
+    def _build(self, spark, tmp_path, n=240, dim=16, cells=4, **kw):
+        import random
+
+        from pspcz_analyzer_spark.operators.ann import build_ivfpq_index
+
+        rng = random.Random(9)
+        rows = [
+            (i, [rng.gauss(i % cells, 0.3) for _ in range(dim)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = str(tmp_path / "ivfpq")
+        build_ivfpq_index(
+            spark, df, idx, n_centroids=cells, m_sub=4, k_codes=8, **kw
+        )
+        return df, idx
+
+    def test_exhaustive_equals_brute_force(self, spark, tmp_path):
+        from pspcz_analyzer_spark.operators.ann import brute_force_topk, ivfpq_topk
+
+        df, idx = self._build(spark, tmp_path)
+        q = df.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+        got = [
+            (r.vec_id, r.cosine_sim)
+            for r in ivfpq_topk(
+                spark, idx, [float(x) for x in q], k=10, n_probe=4, rerank=10**6
+            ).collect()
+        ]
+        want = [
+            (r.vec_id, r.cosine_sim)
+            for r in brute_force_topk(df, [float(x) for x in q], k=10).collect()
+        ]
+        assert got == want
+
+    def test_approximate_recall_on_blobs(self, spark, tmp_path):
+        from pspcz_analyzer_spark.operators.ann import brute_force_topk, ivfpq_topk
+
+        df, idx = self._build(spark, tmp_path)
+        q = df.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+        approx = {
+            r.vec_id
+            for r in ivfpq_topk(
+                spark, idx, [float(x) for x in q], k=10, n_probe=2, rerank=40
+            ).collect()
+        }
+        exact = {
+            r.vec_id
+            for r in brute_force_topk(df, [float(x) for x in q], k=10).collect()
+        }
+        assert len(approx & exact) >= 7  # blobby data: high recall expected
+
+    def test_codes_are_compact_and_deterministic(self, spark, tmp_path):
+        import os as _os
+
+        df, idx = self._build(spark, tmp_path)
+        codes = spark.read.parquet(_os.path.join(idx, "codes"))
+        rows = codes.orderBy("vec_id").collect()
+        assert len(rows) == 240
+        assert all(len(r["codes"]) == 4 for r in rows)
+        assert all(0 <= c < 8 for r in rows for c in r["codes"])
+        # Deterministic rebuild: same data -> same codes.
+        df2, idx2 = self._build(spark, tmp_path / "again")
+        rows2 = spark.read.parquet(_os.path.join(idx2, "codes")).orderBy("vec_id").collect()
+        assert [r["codes"] for r in rows] == [r["codes"] for r in rows2]
+
+    def test_prefix_dim_composes_with_matryoshka(self, spark, tmp_path):
+        from pspcz_analyzer_spark.operators.ann import brute_force_topk, ivfpq_topk
+
+        df, idx = self._build(spark, tmp_path, prefix_dim=8)
+        q = df.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+        # Exhaustive rerank on FULL vectors is exact even when the coarse
+        # quantizer and codebooks only ever saw the 8-dim prefix.
+        got = [
+            (r.vec_id, r.cosine_sim)
+            for r in ivfpq_topk(
+                spark, idx, [float(x) for x in q], k=10, n_probe=4,
+                rerank=10**6, prefix_dim=8,
+            ).collect()
+        ]
+        want = [
+            (r.vec_id, r.cosine_sim)
+            for r in brute_force_topk(df, [float(x) for x in q], k=10).collect()
+        ]
+        assert got == want
+
+    def test_lloyd_handles_tiny_and_empty(self):
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.ann import _lloyd
+
+        X = np.array([[0.0, 0.0], [10.0, 10.0]])
+        C = _lloyd(X, 4, seed=1)
+        assert C.shape == (4, 2)
+        assert _lloyd(np.zeros((0, 2)), 4).shape[0] == 4
