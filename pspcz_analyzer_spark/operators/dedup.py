@@ -488,9 +488,22 @@ def semantic_dedup(
         F.col("__xv").cast("array<double>"), F.col("__yv").cast("array<double>")
     )
     if salt_cells and salt_cells > 1:
+        # The explicit repartition is the point, not just the join key:
+        # when the replicated build side broadcasts (the common case —
+        # it's cluster-sized), the probe side keeps its SCAN partitioning
+        # and a hot cell's pairs would still all be generated by whatever
+        # single task holds that cell's rows. Hashing the probe out on
+        # (cluster, salt) forces the distribution the salt exists for;
+        # the EXPLICIT partition count matters too — pair generation is
+        # compute-heavy but byte-light, so AQE's size-based coalescing
+        # would merge a column-only repartition straight back into one
+        # partition (measured: zero recovery without the number).
+        target = max(
+            salt_cells, df.sparkSession.sparkContext.defaultParallelism
+        )
         x = x.withColumn(
             "__salt", F.pmod(F.xxhash64("__xid"), F.lit(salt_cells))
-        )
+        ).repartition(target, F.col("cluster"), F.col("__salt"))
         y = y.withColumn(
             "__salt",
             F.explode(
