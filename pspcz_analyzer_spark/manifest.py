@@ -750,25 +750,38 @@ def upsert(
     batch: DataFrame,
     path: str,
     key_col: str,
+    txn: "tuple[str, int] | None" = None,
 ) -> int:
     """Manifest-committed MERGE by key: batch rows win, existing rows with
     unmatched keys survive — ONE new version publishes both the
     key-purged rewrites of affected files and the batch itself (unlike
     delete-then-append, a reader can never observe the intermediate
-    deleted state). Victim files found by footer stats on the batch's
-    key set; unaffected files carry over untouched. Returns the
-    committed version.
+    deleted state). Victim files found from the manifest's stored stats
+    when the key column is tracked (footer stats otherwise); unaffected
+    files carry over untouched. Returns the committed version.
 
-    The batch's key set is collected driver-side for the footer prune
+    The batch's key set is collected driver-side for the stats prune
     and the isin filter — suited to dimension-sized/batch-sized upserts
     (the incremental-ingestion case); for corpus-sized merges use an
     anti-join rewrite per partition instead.
-    """
+
+    ``txn = (app_id, batch_id)`` gives the same exactly-once watermark
+    semantics as :func:`append` — a replayed batch is skipped. Unlike
+    append there is NO staged-once conflict retry: an upsert's victim
+    set depends on the manifest it planned against, so a conflict
+    requires a full re-plan (the caller re-invokes; the txn watermark
+    makes that retry safe)."""
     m = read_manifest(path)
     schema = _check_schema(
         m.get("schema") or _df_schema_list(batch), batch, merge_schema=False
     )
     _check_constraints(m, batch)
+    txns = dict(m.get("txns") or {})
+    if txn is not None:
+        app_id, batch_id = txn
+        if txns.get(app_id, -1) >= batch_id:
+            return m["version"]  # replay: already applied
+        txns[app_id] = batch_id
     keys = [r[0] for r in batch.select(key_col).distinct().collect()]
     new_names: list[str] = []
     victims: set[str] = set()
@@ -788,11 +801,151 @@ def upsert(
     stats, stat_cols = _updated_stats(m, fs2, rel2, new_names, victims)
     return _commit(
         path, new_files, m["version"],
-        txns=m.get("txns") or {}, schema=schema,
+        txns=txns, schema=schema,
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
         rows=_updated_rows(m, fs2, rel2, new_names, victims),
     )
+
+
+SCD2_VALID_FROM = "valid_from"
+SCD2_VALID_TO = "valid_to"
+SCD2_CURRENT = "is_current"
+
+
+def scd2_init(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+    effective_col: str,
+) -> int:
+    """Create an SCD Type-2 dimension table from an initial snapshot:
+    every row becomes current (``valid_from`` = its effective date,
+    ``valid_to`` null, ``is_current`` true) and the result is committed
+    as manifest version 1. ``effective_col`` must be castable to date."""
+    dim = batch.select(
+        "*",
+        F.col(effective_col).cast("date").alias(SCD2_VALID_FROM),
+        F.lit(None).cast("date").alias(SCD2_VALID_TO),
+        F.lit(True).alias(SCD2_CURRENT),
+    ).drop(effective_col)
+    dim.write.mode("overwrite").parquet(path)
+    return manifest_init(path, stat_cols=[key_col])
+
+
+def scd2_merge(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+    attr_cols: "list[str]",
+    effective_col: str,
+) -> "tuple[int, int]":
+    """SCD Type-2 MERGE into a manifest dimension table (Kimball's
+    slowly-changing-dimension pattern; Delta's ``MERGE ... WHEN MATCHED``
+    SCD2 recipe): for each batch row whose attributes DIFFER from the
+    key's current row — or whose key is new — the current row is closed
+    (``valid_to`` = the batch row's effective date, ``is_current`` false)
+    and a new current row inserted; rows re-stating the current
+    attributes are no-ops. History rows are never touched. The close and
+    the insert publish as ONE manifest version (a reader can never see a
+    key with zero or two current rows).
+
+    One batch row per key (raise otherwise — apply multi-change batches
+    in effective order, one merge per wave). Batch keys are collected
+    driver-side like :func:`upsert` (dimension-sized batches — the SCD2
+    use case by definition); victim files are found metadata-only when
+    ``key_col`` stats are tracked (:func:`scd2_init` tracks them).
+
+    Returns (changed_keys, new_keys)."""
+    m = read_manifest(path)
+    dup = (
+        batch.groupBy(key_col).count().filter(F.col("count") > 1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"{dup} keys appear more than once in the batch; apply waves "
+            "in effective order, one scd2_merge per wave"
+        )
+    cur = load_manifest_table(spark, path).filter(F.col(SCD2_CURRENT))
+    b = batch.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"__b_{c}") for c in attr_cols],
+        F.col(effective_col).cast("date").alias("__eff"),
+    )
+    diff = F.lit(False)
+    for c in attr_cols:
+        diff = diff | ~F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    changed = (
+        cur.join(F.broadcast(b), key_col)
+        .filter(diff)
+        .select(key_col, "__eff", *[f"__b_{c}" for c in attr_cols])
+    )
+    new_keys = b.join(cur, key_col, "left_anti").select(
+        key_col, "__eff", *[f"__b_{c}" for c in attr_cols]
+    )
+    to_insert = changed.unionByName(new_keys)
+    to_insert.persist()
+    changed_key_set = {
+        r[0] for r in to_insert.select(key_col).collect()
+    }
+    n_new = new_keys.count()
+    if not changed_key_set:
+        to_insert.unpersist()
+        return 0, 0
+    fs, rel = get_fs(path)
+    affected = _candidate_files(m, fs, rel, key_col, changed_key_set)
+    schema_cols = [n for n, _ in (m.get("schema") or [])] or cur.columns
+    # Rewrite affected files: close the changed keys' current rows in
+    # place, pass everything else through untouched.
+    eff_by_key = to_insert.select(
+        key_col, F.col("__eff").alias("__close_at")
+    )
+    new_names: "list[str]" = []
+    victims: "set[str]" = set()
+    if affected:
+        old = _read_files(spark, path, m, affected)
+        closing = F.col(SCD2_CURRENT) & F.col("__close_at").isNotNull()
+        rewritten = (
+            old.join(F.broadcast(eff_by_key), key_col, "left")
+            .select(
+                *[
+                    c
+                    for c in schema_cols
+                    if c not in (SCD2_VALID_TO, SCD2_CURRENT)
+                ],
+                F.when(closing, F.col("__close_at"))
+                .otherwise(F.col(SCD2_VALID_TO))
+                .alias(SCD2_VALID_TO),
+                F.when(closing, F.lit(False))
+                .otherwise(F.col(SCD2_CURRENT))
+                .alias(SCD2_CURRENT),
+            )
+            .select(*schema_cols)
+        )
+        new_names += _stage_rewrites(rewritten, path, "scd2close")
+        victims = set(affected)
+    inserts = to_insert.select(
+        F.col(key_col),
+        *[F.col(f"__b_{c}").alias(c) for c in attr_cols],
+        F.col("__eff").alias(SCD2_VALID_FROM),
+        F.lit(None).cast("date").alias(SCD2_VALID_TO),
+        F.lit(True).alias(SCD2_CURRENT),
+    ).select(*schema_cols)
+    new_names += _stage_rewrites(inserts, path, "scd2ins")
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    fs2, rel2 = get_fs(path)
+    stats, stat_cols = _updated_stats(m, fs2, rel2, new_names, victims)
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        rows=_updated_rows(m, fs2, rel2, new_names, victims),
+    )
+    to_insert.unpersist()
+    return len(changed_key_set) - n_new, n_new
 
 
 def compact_small_files(

@@ -891,3 +891,75 @@ def manifest_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "manifest_scd2_customer",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+    hist AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN DATE '1996-06-15' END AS valid_to,
+             (c_custkey % 7 <> 0) AS is_current
+      FROM base
+      UNION ALL
+      SELECT c_custkey, 'WAVE1',
+             DATE '1996-06-15',
+             CASE WHEN c_custkey % 21 = 0 THEN DATE '1997-03-01' END,
+             (c_custkey % 21 <> 0)
+      FROM base WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'WAVE2', DATE '1997-03-01', NULL, TRUE
+      FROM base WHERE c_custkey % 21 = 0
+    )
+    SELECT c_custkey, segment, valid_from, valid_to, is_current
+    FROM hist ORDER BY c_custkey, valid_from
+    """,
+    tags=("S12", "manifest", "scd2", "merge", "dimension", "new-surface"),
+    doc="SCD Type-2 MERGE on a manifest dimension (manifest.py::scd2_init"
+    "/scd2_merge — Kimball's slowly-changing-dimension pattern, Delta's "
+    "MERGE WHEN MATCHED recipe): customers initialized as current rows, "
+    "then two change waves — wave 1 re-segments every 7th key (and "
+    "RE-STATES every 11th key's existing segment, which must be a "
+    "no-op), wave 2 re-segments every 21st. Each wave closes the "
+    "changed keys' current rows (valid_to = effective date) and inserts "
+    "the new current rows in ONE manifest version; history rows are "
+    "never touched and victim files are found from manifest stats "
+    "(metadata-only). The oracle rebuilds the full validity-interval "
+    "history from the raw table.",
+    priority=18,
+)
+def manifest_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    path = _scratch(sf_dir, "scd2_customer")
+    _shutil.rmtree(path, ignore_errors=True)
+    M.scd2_init(
+        spark,
+        cust.withColumn("eff", F.lit("1995-01-01").cast("date")),
+        path,
+        "c_custkey",
+        "eff",
+    )
+    k = F.col("c_custkey")
+    wave1 = cust.filter((k % 7 == 0) | (k % 11 == 0)).select(
+        "c_custkey",
+        F.when(k % 7 == 0, F.lit("WAVE1")).otherwise(F.col("segment")).alias(
+            "segment"
+        ),
+        F.lit("1996-06-15").cast("date").alias("eff"),
+    )
+    M.scd2_merge(spark, wave1, path, "c_custkey", ["segment"], "eff")
+    wave2 = cust.filter(k % 21 == 0).select(
+        "c_custkey",
+        F.lit("WAVE2").alias("segment"),
+        F.lit("1997-03-01").cast("date").alias("eff"),
+    )
+    M.scd2_merge(spark, wave2, path, "c_custkey", ["segment"], "eff")
+    return M.load_manifest_table(spark, path).orderBy("c_custkey", "valid_from")

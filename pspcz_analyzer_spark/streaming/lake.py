@@ -69,3 +69,58 @@ def stream_append_manifest(
     )
     q.awaitTermination()
     return results
+
+
+def stream_upsert_manifest(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    key_col: str,
+    app_id: str = "stream_upsert",
+    max_commit_retries: int = 5,
+) -> "list[tuple[int, int]]":
+    """Streaming CDC ingestion: drain landing files into the manifest
+    table as exactly-once UPSERTS — each micro-batch's rows win over
+    existing rows with the same key, one committed version per batch.
+    The txn watermark makes at-least-once replays no-ops exactly as in
+    :func:`stream_append_manifest`.
+
+    Unlike the append sink, a ``CommitConflict`` here re-invokes the
+    WHOLE upsert (victim files depend on the manifest version planned
+    against, so a metadata-only retry would be wrong); the txn watermark
+    keeps the retry safe, at the cost of restaging the batch — the
+    documented write amplification under contention. Batches must arrive
+    in change order (the file source's listing order); keys within one
+    batch should be unique, last-writer-wins is NOT resolved inside a
+    batch.
+
+    Returns [(batch_id, committed_version)] for this run.
+    """
+    results: "list[tuple[int, int]]" = []
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for attempt in range(max_commit_retries):
+            try:
+                v = M.upsert(
+                    batch_df.sparkSession, batch_df, table_dir, key_col,
+                    txn=(app_id, int(batch_id)),
+                )
+                results.append((int(batch_id), v))
+                return
+            except M.CommitConflict:
+                if attempt == max_commit_retries - 1:
+                    raise
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return results

@@ -842,3 +842,145 @@ class TestReadVersionDelta:
         assert delta.columns == ["event_id", "user_id", "src"]
         [r] = delta.collect()
         assert r["src"] == "s"
+
+
+class TestScd2Merge:
+    """SCD Type-2 MERGE: close-and-insert in one version, restatements
+    are no-ops, history rows immutable, one current row per key always."""
+
+    def _dim(self, spark, tmp_path):
+        batch = spark.createDataFrame(
+            [(1, "A", "2020-01-01"), (2, "B", "2020-01-01"), (3, "A", "2020-01-01")],
+            "k long, seg string, eff string",
+        ).withColumn("eff", F.col("eff").cast("date"))
+        path = str(tmp_path / "scd2")
+        M.scd2_init(spark, batch, path, "k", "eff")
+        return path
+
+    def test_change_closes_and_inserts_one_version(self, spark, tmp_path):
+        path = self._dim(spark, tmp_path)
+        w = spark.createDataFrame(
+            [(1, "Z", "2021-06-01")], "k long, seg string, eff string"
+        ).withColumn("eff", F.col("eff").cast("date"))
+        changed, new = M.scd2_merge(spark, w, path, "k", ["seg"], "eff")
+        assert (changed, new) == (1, 0)
+        assert M.current_version(path) == 2  # ONE version for close+insert
+        t = M.load_manifest_table(spark, path)
+        rows = {(r["k"], r["seg"]): r for r in t.collect()}
+        closed = rows[(1, "A")]
+        assert str(closed["valid_to"]) == "2021-06-01" and not closed["is_current"]
+        cur = rows[(1, "Z")]
+        assert str(cur["valid_from"]) == "2021-06-01" and cur["is_current"]
+        assert cur["valid_to"] is None
+        # Exactly one current row per key, always.
+        per_key = (
+            t.filter(F.col("is_current")).groupBy("k").count().collect()
+        )
+        assert all(r["count"] == 1 for r in per_key) and len(per_key) == 3
+
+    def test_restatement_is_noop(self, spark, tmp_path):
+        path = self._dim(spark, tmp_path)
+        w = spark.createDataFrame(
+            [(2, "B", "2021-06-01")], "k long, seg string, eff string"
+        ).withColumn("eff", F.col("eff").cast("date"))
+        assert M.scd2_merge(spark, w, path, "k", ["seg"], "eff") == (0, 0)
+        assert M.current_version(path) == 1  # nothing committed
+        assert M.load_manifest_table(spark, path).count() == 3
+
+    def test_new_key_inserts_current(self, spark, tmp_path):
+        path = self._dim(spark, tmp_path)
+        w = spark.createDataFrame(
+            [(9, "Q", "2021-06-01")], "k long, seg string, eff string"
+        ).withColumn("eff", F.col("eff").cast("date"))
+        assert M.scd2_merge(spark, w, path, "k", ["seg"], "eff") == (0, 1)
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 4
+        [r] = t.filter(F.col("k") == 9).collect()
+        assert r["is_current"] and r["valid_to"] is None
+
+    def test_multi_row_per_key_batch_rejected(self, spark, tmp_path):
+        path = self._dim(spark, tmp_path)
+        w = spark.createDataFrame(
+            [(1, "X", "2021-01-01"), (1, "Y", "2021-02-01")],
+            "k long, seg string, eff string",
+        ).withColumn("eff", F.col("eff").cast("date"))
+        with pytest.raises(ValueError, match="more than once"):
+            M.scd2_merge(spark, w, path, "k", ["seg"], "eff")
+        assert M.current_version(path) == 1
+
+    def test_history_rows_survive_later_waves(self, spark, tmp_path):
+        path = self._dim(spark, tmp_path)
+        for i, (seg, eff) in enumerate([("Z", "2021-01-01"), ("W", "2022-01-01")]):
+            w = spark.createDataFrame(
+                [(1, seg, eff)], "k long, seg string, eff string"
+            ).withColumn("eff", F.col("eff").cast("date"))
+            M.scd2_merge(spark, w, path, "k", ["seg"], "eff")
+        t = M.load_manifest_table(spark, path).filter(F.col("k") == 1)
+        hist = sorted(
+            (str(r["valid_from"]), str(r["valid_to"]), r["seg"], r["is_current"])
+            for r in t.collect()
+        )
+        assert hist == [
+            ("2020-01-01", "2021-01-01", "A", False),
+            ("2021-01-01", "2022-01-01", "Z", False),
+            ("2022-01-01", "None", "W", True),
+        ]
+        # Time travel still serves the pre-merge snapshot.
+        v1 = M.load_manifest_table(spark, path, version=1)
+        assert v1.filter(F.col("is_current")).count() == 3
+
+
+class TestStreamUpsert:
+    def test_streaming_upsert_exactly_once_last_writer_wins(self, spark, tmp_path):
+        """CDC-shaped drain: the batch's keys replace existing rows, one
+        committed version per batch; a fresh-checkpoint replay of the
+        same batch ids is absorbed by the txn watermark."""
+        from pspcz_analyzer_spark.streaming.lake import stream_upsert_manifest
+
+        landing = str(tmp_path / "cdc_landing")
+        table = str(tmp_path / "cdc_tab")
+        ck1 = str(tmp_path / "cdc_ck1")
+        spark.createDataFrame(
+            [(i, 0) for i in range(100)], "k long, v long"
+        ).write.parquet(table)
+        M.manifest_init(table)
+        # One landing file: keys 50..149 arrive with v=1 (50 updates,
+        # 50 inserts).
+        spark.createDataFrame(
+            [(i, 1) for i in range(50, 150)], "k long, v long"
+        ).coalesce(1).write.parquet(landing)
+
+        res = stream_upsert_manifest(
+            spark, landing, table, ck1, schema="k long, v long",
+            key_col="k", app_id="cdc",
+        )
+        assert len(res) >= 1
+        t = M.load_manifest_table(spark, table)
+        assert t.count() == 150
+        assert t.filter(F.col("v") == 1).count() == 100
+        assert t.filter((F.col("k") < 50) & (F.col("v") == 0)).count() == 50
+        # Fresh checkpoint = replay of the same batch ids: watermark
+        # rejects, version and rows unchanged.
+        v = M.current_version(table)
+        ck2 = str(tmp_path / "cdc_ck2")
+        stream_upsert_manifest(
+            spark, landing, table, ck2, schema="k long, v long",
+            key_col="k", app_id="cdc",
+        )
+        assert M.current_version(table) == v
+        assert M.load_manifest_table(spark, table).count() == 150
+
+    def test_upsert_txn_replay_skips_before_staging(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        path = str(tmp_path / "up_txn")
+        df.write.parquet(path)
+        M.manifest_init(path)
+        batch = spark.createDataFrame([(2, "B2")], "k long, s string")
+        v = M.upsert(spark, batch, path, "k", txn=("u", 3))
+        assert v == 2
+        files_after = sorted(M.read_manifest(path)["files"])
+        # Replay: same (app, batch) -> version unchanged, no new files.
+        assert M.upsert(spark, batch, path, "k", txn=("u", 3)) == 2
+        assert sorted(M.read_manifest(path)["files"]) == files_after
+        [r] = M.load_manifest_table(spark, path).filter(F.col("k") == 2).collect()
+        assert r["s"] == "B2"

@@ -45,6 +45,9 @@ class TestRegistry:
             "semantic_dedup_kmeans",  # model-defined cells; anchored by
             # semantic_dedup_by_label (same pruning rule, deterministic
             # clustering)
+            "ann_ivfpq_top10",  # probe/shortlist approximation; anchored
+            # by ann_ivfpq_exhaustive_top10 (probe-all + rerank-all ==
+            # brute force, oracle-paired)
         }, missing
 
 
