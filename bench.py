@@ -107,6 +107,7 @@ HEADLINE = [
     "manifest_cdf_appends",
     "semantic_dedup_salted",
     "ann_ivfpq_top10",
+    "manifest_scd2_customer",
 ]
 
 
