@@ -107,18 +107,43 @@ def _commit(
     stat_cols: "list | None" = None,
     constraints: dict | None = None,
     rows: dict | None = None,
+    deletes: "list | None" = None,
+    seq: dict | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
     there first. ``txns`` carries the idempotent-writer watermarks
     (app_id -> last applied batch id — Delta's ``txn`` action in minimal
     form); callers pass the previous manifest's dict updated with their
-    own entry. Returns the committed version."""
+    own entry. Returns the committed version.
+
+    ``seq`` is the per-file sequence map (version at which each data
+    file was ADDED — Iceberg's sequence numbers in minimal form): by
+    default it carries forward from the previous manifest, with files it
+    doesn't know stamped ``new_v``. Equality-delete entries (``deletes``)
+    apply only to data files with a LOWER sequence, so a later
+    append/upsert re-inserting a deleted key is not suppressed and a
+    rewrite (which applies pending deletes while reading) cannot
+    resurrect rows. ``restore`` passes the target's map through verbatim
+    so time-travel semantics stay exact."""
     new_v = expected_version + 1
+    if seq is None:
+        prev_seq: dict = {}
+        if expected_version >= 1:
+            try:
+                prev_seq = read_manifest(path, expected_version).get("seq") or {}
+            except FileNotFoundError:
+                prev_seq = {}
+        seq = {f: prev_seq.get(f, new_v) for f in files}
     fs, path = get_fs(path)
     d = _manifest_dir(path)
     fs.makedirs(d)
-    doc = {"version": new_v, "files": sorted(files), "txns": txns or {}}
+    doc = {
+        "version": new_v,
+        "files": sorted(files),
+        "txns": txns or {},
+        "seq": {f: seq[f] for f in sorted(seq)},
+    }
     if schema is not None:
         doc["schema"] = schema
     if stats is not None:
@@ -129,6 +154,8 @@ def _commit(
         doc["constraints"] = dict(constraints)
     if rows is not None:
         doc["rows"] = {f: rows[f] for f in sorted(rows)}
+    if deletes:
+        doc["deletes"] = [dict(d) for d in deletes]
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
@@ -245,7 +272,7 @@ def load_manifest_table(
     # schema changes — but the projection is the contract); columns added
     # metadata-only (add_column) or by a later evolved append null-fill
     # for files written before them.
-    return _read_files(spark, path, m, m["files"])
+    return _with_deletes(spark, path, m, m["files"])
 
 
 def _read_files(
@@ -271,6 +298,43 @@ def _read_files(
             for n, t in schema
         ]
     )
+
+
+def _with_deletes(
+    spark: SparkSession, path: str, m: dict, files: "list[str]"
+) -> DataFrame:
+    """Read ``files`` with the manifest's pending equality-delete entries
+    applied (merge-on-read — Iceberg v2 equality deletes in minimal
+    form). Each delete entry applies only to data files whose sequence
+    is LOWER than the entry's (the file predates the delete); files are
+    grouped by their applicable entry set, each group anti-joined against
+    the union of that set's key files (small, broadcast), groups unioned
+    back. With no pending deletes this IS :func:`_read_files`."""
+    dels = m.get("deletes") or []
+    if not dels or not files:
+        return _read_files(spark, path, m, files)
+    seq = m.get("seq") or {}
+    groups: "dict[tuple, list[str]]" = {}
+    for f in files:
+        fseq = seq.get(f, 0)
+        key = tuple(i for i, d in enumerate(dels) if d["seq"] > fseq)
+        groups.setdefault(key, []).append(f)
+    parts = []
+    for applicable, grp in groups.items():
+        df = _read_files(spark, path, m, grp)
+        bycol: "dict[str, list[str]]" = {}
+        for i in applicable:
+            bycol.setdefault(dels[i]["key_col"], []).append(dels[i]["file"])
+        for col, dfiles in bycol.items():
+            keys_df = spark.read.parquet(
+                *[os.path.join(path, x) for x in dfiles]
+            ).select(col).distinct()
+            df = df.join(F.broadcast(keys_df), col, "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _json_stat(v):
@@ -390,7 +454,7 @@ def scan_manifest_table(
     if not files:
         return load_manifest_table(spark, path, version).filter(pred).limit(0)
     m = read_manifest(path, version)
-    return _read_files(spark, path, m, files).filter(pred)
+    return _with_deletes(spark, path, m, files).filter(pred)
 
 
 def _updated_rows(m: dict, fs, rel: str, new_names: list, victims=()):
@@ -562,6 +626,7 @@ def append(
                 path, m["files"] + new_names, m["version"], txns=txns,
                 schema=schema, stats=stats, stat_cols=stat_cols,
                 constraints=m.get("constraints"),
+                deletes=m.get("deletes"),
                 rows=_updated_rows(m, fs, rel, new_names),
             )
         except CommitConflict:
@@ -595,6 +660,7 @@ def add_column(path: str, name: str, dtype: str) -> int:
         txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
         constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
         rows=m.get("rows"),
     )
 
@@ -627,6 +693,7 @@ def set_constraint(
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
         constraints=cons,
+        deletes=m.get("deletes"),
         rows=m.get("rows"),
     )
 
@@ -641,6 +708,7 @@ def drop_constraint(path: str, name: str) -> int:
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
         constraints=cons,
+        deletes=m.get("deletes"),
         rows=m.get("rows"),
     )
 
@@ -723,7 +791,7 @@ def delete_keys(
     affected = _candidate_files(m, fs, rel, key_col, key_set)
     if not affected:
         return 0, 0
-    kept = _read_files(spark, path, m, affected).filter(
+    kept = _with_deletes(spark, path, m, affected).filter(
         ~F.col(key_col).isin(*key_set)
     )
     new_names = _stage_rewrites(kept, path, "del")
@@ -740,9 +808,116 @@ def delete_keys(
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
     )
     return len(affected), rows_before - rows_after
+
+
+def delete_keys_mor(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: "list",
+) -> int:
+    """Merge-on-read targeted deletion — Iceberg v2 equality deletes in
+    minimal form (the same trade as Delta's deletion vectors): instead of
+    rewriting every file that may contain the keys (:func:`delete_keys`,
+    copy-on-write), ONE small key file is written and the manifest
+    records an equality-delete entry; readers anti-join it (broadcast —
+    delete batches are key lists, tiny next to the table). Delete cost is
+    O(keys) at ANY table size — the right-to-be-forgotten op you can run
+    hourly on 100 TB — while read cost grows by one broadcast anti-join
+    per pending entry until :func:`materialize_deletes` (or OPTIMIZE
+    ZORDER) folds them into a rewrite.
+
+    Sequence semantics (Iceberg's): the entry applies only to data files
+    ADDED BEFORE it, so a later append/upsert may legitimately re-insert
+    a deleted key. Returns the committed version."""
+    if not keys:
+        return current_version(path)
+    m = read_manifest(path)
+    new_v = m["version"] + 1
+    keys_df = spark.createDataFrame(
+        [(k,) for k in keys],
+        load_manifest_table(spark, path).select(key_col).schema,
+    ).distinct()
+    [name] = _stage_rewrites(keys_df.coalesce(1), path, "eqdel")
+    entry = {"file": name, "key_col": key_col, "seq": new_v}
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=(m.get("deletes") or []) + [entry],
+        rows=m.get("rows"),
+    )
+
+
+def materialize_deletes(spark: SparkSession, path: str) -> "tuple[int, int]":
+    """Fold pending equality-delete entries into the data files (the
+    compaction half of merge-on-read): every data file an entry can
+    apply to is rewritten through :func:`_with_deletes` (which applies
+    exactly the entries whose sequence exceeds the file's), the entries
+    are dropped, and the whole change commits as one version. The key
+    files become unreferenced garbage for vacuum. Victim finding is
+    metadata-only when the manifest tracks stats for a delete's key
+    column: files whose stored [min, max] provably miss every key in the
+    entry are carried over untouched. Returns (files_rewritten,
+    entries_materialized)."""
+    m = read_manifest(path)
+    dels = m.get("deletes") or []
+    if not dels:
+        return 0, 0
+    fs, rel = get_fs(path)
+    seq = m.get("seq") or {}
+    covered = [
+        f
+        for f in m["files"]
+        if any(d["seq"] > seq.get(f, 0) for d in dels)
+    ]
+    # Stats prune per entry: a covered file is a victim only if SOME
+    # applicable entry's key set may intersect it.
+    victims: "list[str]" = []
+    key_cache: dict = {}
+    for f in covered:
+        fseq = seq.get(f, 0)
+        hit = False
+        for d in dels:
+            if d["seq"] <= fseq:
+                continue
+            col = d["key_col"]
+            if col in (m.get("stat_cols") or []):
+                s = ((m.get("stats") or {}).get(f) or {}).get(col)
+                if s is not None and s[0] is not None:
+                    if d["file"] not in key_cache:
+                        key_cache[d["file"]] = [
+                            r[0]
+                            for r in spark.read.parquet(
+                                os.path.join(path, d["file"])
+                            ).collect()
+                        ]
+                    if not any(s[0] <= k <= s[1] for k in key_cache[d["file"]]):
+                        continue  # provably disjoint: entry can't touch f
+            hit = True
+            break
+        if hit:
+            victims.append(f)
+    new_names: "list[str]" = []
+    if victims:
+        rewritten = _with_deletes(spark, path, m, victims)
+        new_names = _stage_rewrites(rewritten, path, "matdel")
+    new_files = [f for f in m["files"] if f not in set(victims)] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names, set(victims))
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        deletes=None,
+        rows=_updated_rows(m, fs, rel, new_names, set(victims)),
+    )
+    return len(victims), len(dels)
 
 
 def upsert(
@@ -790,7 +965,7 @@ def upsert(
         key_set = set(keys)
         affected = _candidate_files(m, fs, rel, key_col, key_set)
         if affected:
-            kept = _read_files(spark, path, m, affected).filter(
+            kept = _with_deletes(spark, path, m, affected).filter(
                 ~F.col(key_col).isin(*key_set)
             )
             new_names += _stage_rewrites(kept, path, "upsert")
@@ -804,6 +979,7 @@ def upsert(
         txns=txns, schema=schema,
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
         rows=_updated_rows(m, fs2, rel2, new_names, victims),
     )
 
@@ -905,7 +1081,7 @@ def scd2_merge(
     new_names: "list[str]" = []
     victims: "set[str]" = set()
     if affected:
-        old = _read_files(spark, path, m, affected)
+        old = _with_deletes(spark, path, m, affected)
         closing = F.col(SCD2_CURRENT) & F.col("__close_at").isNotNull()
         rewritten = (
             old.join(F.broadcast(eff_by_key), key_col, "left")
@@ -942,6 +1118,7 @@ def scd2_merge(
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
         rows=_updated_rows(m, fs2, rel2, new_names, victims),
     )
     to_insert.unpersist()
@@ -994,7 +1171,7 @@ def compact_small_files(
     new_names: list[str] = []
     merged: list[str] = []
     for b in bins:
-        out = _read_files(spark, path, m, b).coalesce(1)
+        out = _with_deletes(spark, path, m, b).coalesce(1)
         new_names += _stage_rewrites(out, path, "compact")
         merged += b
     victims = set(merged)
@@ -1005,6 +1182,7 @@ def compact_small_files(
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
     )
     return len(merged), len(new_names)
@@ -1048,6 +1226,9 @@ def optimize_zorder(
         txns=m.get("txns") or {}, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
+        # The whole snapshot was read (deletes applied) and rewritten:
+        # this commit IS a full materialization, entries drop here.
+        deletes=None,
         rows=_updated_rows(m, fs, rel, new_names, victims=set(m["files"])),
     )
 
@@ -1065,7 +1246,10 @@ def restore(path: str, version: int) -> int:
     m = read_manifest(path)  # current: carries the txn watermarks forward
     target = read_manifest(path, version)
     fs, rel = get_fs(path)
-    missing = [f for f in target["files"] if not fs.exists(os.path.join(rel, f))]
+    needed = list(target["files"]) + [
+        d["file"] for d in (target.get("deletes") or [])
+    ]
+    missing = [f for f in needed if not fs.exists(os.path.join(rel, f))]
     if missing:
         raise FileNotFoundError(
             f"cannot restore {path} to version {version}: "
@@ -1077,6 +1261,10 @@ def restore(path: str, version: int) -> int:
         schema=target.get("schema"),
         stats=target.get("stats"), stat_cols=target.get("stat_cols"),
         constraints=m.get("constraints"),
+        # The target's delete entries AND its sequence map pass through
+        # verbatim — merge-on-read semantics must time-travel exactly.
+        deletes=target.get("deletes"),
+        seq=target.get("seq"),
         rows=target.get("rows"),
     )
 
@@ -1111,7 +1299,10 @@ def vacuum(
     keep_vs = vs[-retain_versions:]
     referenced: set[str] = set()
     for v in keep_vs:
-        referenced.update(read_manifest(path, v)["files"])
+        mv = read_manifest(path, v)
+        referenced.update(mv["files"])
+        # Equality-delete key files are part of the version's read view.
+        referenced.update(d["file"] for d in (mv.get("deletes") or []))
     fs, rel = get_fs(path)
     now = _time.time()
 

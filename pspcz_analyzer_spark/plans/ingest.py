@@ -963,3 +963,100 @@ def manifest_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     M.scd2_merge(spark, wave2, path, "c_custkey", ["segment"], "eff")
     return M.load_manifest_table(spark, path).orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "manifest_mor_delete_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id NOT IN (3, 4)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S12", "manifest", "mor", "delete", "scale", "new-surface"),
+    doc="Merge-on-read equality deletes (manifest.py::delete_keys_mor — "
+    "Iceberg v2 equality-delete files, the same trade as Delta deletion "
+    "vectors): the delete writes ONE small key file and a manifest "
+    "entry — zero data-file rewrites, O(keys) at any table size — and "
+    "readers apply it as a broadcast anti-join scoped by Iceberg-style "
+    "sequence numbers (files added AFTER the delete are not covered, so "
+    "re-inserts work). Result must equal the copy-on-write twin "
+    "manifest_delete_roundtrip's oracle exactly; sequence semantics, "
+    "materialization, vacuum retention, and no-resurrection-under-"
+    "compaction are pinned in test_manifest.py::TestMergeOnReadDeletes.",
+    priority=18,
+)
+def manifest_mor_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_mor")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path, stat_cols=["user_id"])
+    M.delete_keys_mor(spark, path, "user_id", [3, 4])
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "manifest_mor_materialized",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id NOT IN (3, 4)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S12", "manifest", "mor", "optimize", "scale", "new-surface"),
+    doc="Materialization half of merge-on-read (manifest.py::"
+    "materialize_deletes): pending equality-delete entries folded into "
+    "rewrites of exactly the files they can touch (stats-pruned victims "
+    "— on the user_id-sorted layout only the files whose [min,max] "
+    "covers the deleted users are rewritten), entries dropped, one "
+    "committed version. The post-materialize snapshot must STILL equal "
+    "the same oracle — materialization is a physical re-layout, never a "
+    "semantic change.",
+    priority=18,
+)
+def manifest_mor_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_mor_mat")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path, stat_cols=["user_id"])
+    M.delete_keys_mor(spark, path, "user_id", [3, 4])
+    M.materialize_deletes(spark, path)
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -984,3 +984,111 @@ class TestStreamUpsert:
         assert sorted(M.read_manifest(path)["files"]) == files_after
         [r] = M.load_manifest_table(spark, path).filter(F.col("k") == 2).collect()
         assert r["s"] == "B2"
+
+
+class TestMergeOnReadDeletes:
+    """Equality-delete files (Iceberg v2 merge-on-read): O(keys) deletes,
+    reader-side anti-join, sequence-scoped applicability, materialize."""
+
+    def test_mor_delete_filters_reads_without_rewrites(self, spark, table):
+        files_before = sorted(M.read_manifest(table)["files"])
+        v = M.delete_keys_mor(spark, table, "user_id", [7, 8])
+        assert v == 2
+        m = M.read_manifest(table)
+        assert sorted(m["files"]) == files_before  # ZERO data rewrites
+        assert len(m["deletes"]) == 1
+        t = M.load_manifest_table(spark, table)
+        assert t.count() == 3_920
+        assert t.filter(F.col("user_id").isin(7, 8)).count() == 0
+        # Time travel: version 1 still serves everything.
+        assert M.load_manifest_table(spark, table, version=1).count() == 4_000
+
+    def test_later_append_reinserts_deleted_key(self, spark, table):
+        M.delete_keys_mor(spark, table, "user_id", [7])
+        fresh = spark.createDataFrame(
+            [(99_001, 7)], "event_id long, user_id long"
+        )
+        M.append(fresh, table)
+        t = M.load_manifest_table(spark, table)
+        # The old user-7 rows stay deleted; the NEW row (higher sequence
+        # than the delete) lives — Iceberg's sequence rule.
+        assert t.filter(F.col("user_id") == 7).count() == 1
+        assert t.count() == 4_000 - 40 + 1
+
+    def test_multiple_entries_accumulate(self, spark, table):
+        M.delete_keys_mor(spark, table, "user_id", [7])
+        M.delete_keys_mor(spark, table, "event_id", [3_000, 3_001])
+        t = M.load_manifest_table(spark, table)
+        assert t.filter(F.col("user_id") == 7).count() == 0
+        assert t.filter(F.col("event_id").isin(3_000, 3_001)).count() == 0
+        assert t.count() == 4_000 - 40 - 2
+        assert len(M.read_manifest(table)["deletes"]) == 2
+
+    def test_materialize_folds_and_drops_entries(self, spark, table):
+        M.delete_keys_mor(spark, table, "user_id", [7, 8])
+        nf, ne = M.materialize_deletes(spark, table)
+        assert ne == 1 and nf >= 1
+        m = M.read_manifest(table)
+        assert "deletes" not in m or not m["deletes"]
+        t = M.load_manifest_table(spark, table)
+        assert t.count() == 3_920
+        assert t.filter(F.col("user_id").isin(7, 8)).count() == 0
+        # Idempotent; and the key file is vacuum garbage now.
+        assert M.materialize_deletes(spark, table) == (0, 0)
+        removed = M.vacuum(table, retain_versions=1, min_age_seconds=0)
+        assert removed >= 1
+
+    def test_materialize_prunes_by_stats(self, spark, tmp_path, monkeypatch):
+        """With tracked stats, files provably missing every delete key
+        carry over untouched (no footer opens on them either)."""
+        df = spark.range(4_000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 100).alias("user_id")
+        )
+        path = str(tmp_path / "mor_stats")
+        write_range_sorted(df, path, "event_id", num_partitions=8)
+        M.manifest_init(path, stat_cols=["event_id"])
+        files_before = sorted(M.read_manifest(path)["files"])
+        M.delete_keys_mor(spark, path, "event_id", [10, 11])
+        nf, ne = M.materialize_deletes(spark, path)
+        assert ne == 1 and nf == 1  # keys cluster in ONE range-sorted file
+        m = M.read_manifest(path)
+        untouched = set(files_before) & set(m["files"])
+        assert len(untouched) == 7
+        assert M.load_manifest_table(spark, path).count() == 3_998
+
+    def test_vacuum_retains_referenced_delete_files(self, spark, table):
+        M.delete_keys_mor(spark, table, "user_id", [7])
+        [entry] = M.read_manifest(table)["deletes"]
+        removed = M.vacuum(table, retain_versions=1, min_age_seconds=0)
+        assert os.path.exists(os.path.join(table, entry["file"]))
+        t = M.load_manifest_table(spark, table)
+        assert t.filter(F.col("user_id") == 7).count() == 0
+
+    def test_restore_preserves_mor_semantics(self, spark, table):
+        M.delete_keys_mor(spark, table, "user_id", [7])  # v2
+        M.append(
+            spark.createDataFrame([(99_001, 7)], "event_id long, user_id long"),
+            table,
+        )  # v3
+        M.restore(table, 2)  # back to: delete pending, no re-insert
+        t = M.load_manifest_table(spark, table)
+        assert t.count() == 3_960
+        assert t.filter(F.col("user_id") == 7).count() == 0
+
+    def test_rewrite_ops_do_not_resurrect(self, spark, tmp_path):
+        """Compaction rewrites victims with pending deletes APPLIED and
+        stamps them a new sequence — the entries stop covering them, and
+        the deleted rows must not come back."""
+        df = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") % 40).alias("g")
+        )
+        path = str(tmp_path / "mor_compact")
+        df.repartition(8).write.parquet(path)
+        M.manifest_init(path)
+        M.delete_keys_mor(spark, path, "g", [5])
+        assert M.load_manifest_table(spark, path).count() == 1_950
+        merged, written = M.compact_small_files(spark, path, target_bytes=10**9)
+        assert merged == 8 and written == 1
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 1_950
+        assert t.filter(F.col("g") == 5).count() == 0
