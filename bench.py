@@ -108,6 +108,8 @@ HEADLINE = [
     "semantic_dedup_salted",
     "ann_ivfpq_top10",
     "manifest_scd2_customer",
+    "manifest_mor_delete_roundtrip",
+    "manifest_mor_materialized",
 ]
 
 
