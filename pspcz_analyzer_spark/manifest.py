@@ -435,6 +435,56 @@ def prune_files(
     return kept, len(m["files"])
 
 
+def prune_files_multi(
+    path: str,
+    predicates: "dict[str, tuple]",
+    version: int | None = None,
+) -> "tuple[list[str], int]":
+    """:func:`prune_files` for a conjunction: keep a file only if its
+    stored [min, max] overlaps EVERY ``col: (lo, hi)`` predicate — the
+    box query a Z-ordered layout exists for (each Z-ordered file is a
+    narrow bounding box in every listed dimension, so a small box prunes
+    on all of them at once). Unknown stats on ANY column keep the file
+    (conservative per-column, like the single-column path)."""
+    m = read_manifest(path, version)
+    stats = m.get("stats") or {}
+    kept = []
+    for f in m["files"]:
+        keep = True
+        for col, (lo, hi) in predicates.items():
+            s = (stats.get(f) or {}).get(col)
+            if s is None or s[0] is None:
+                continue  # unknown -> cannot prune on this column
+            if hi < s[0] or lo > s[1]:
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept, len(m["files"])
+
+
+def scan_manifest_table_box(
+    spark: SparkSession,
+    path: str,
+    predicates: "dict[str, tuple]",
+    version: int | None = None,
+) -> DataFrame:
+    """Box scan with multi-dimension manifest-stats file skipping: only
+    files whose stored [min, max] overlaps EVERY predicate enter the
+    plan, and the exact BETWEEN conjunction still applies. Equivalent to
+    ``load_manifest_table(...).filter(AND of betweens)`` by construction
+    — on an ``optimize_zorder``-ed layout every listed dimension prunes
+    simultaneously."""
+    files, _total = prune_files_multi(path, predicates, version)
+    pred = F.lit(True)
+    for col, (lo, hi) in predicates.items():
+        pred = pred & F.col(col).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return load_manifest_table(spark, path, version).filter(pred).limit(0)
+    m = read_manifest(path, version)
+    return _with_deletes(spark, path, m, files).filter(pred)
+
+
 def scan_manifest_table(
     spark: SparkSession,
     path: str,

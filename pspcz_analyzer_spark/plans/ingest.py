@@ -1060,3 +1060,53 @@ def manifest_mor_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "manifest_scan_box_zorder",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 10 AND 40
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S10", "manifest", "zorder", "stats", "box", "new-surface"),
+    doc="Multi-dimension metadata pruning (manifest.py::"
+    "scan_manifest_table_box): after OPTIMIZE ZORDER on (user_id, "
+    "value), a small box predicate prunes files on BOTH dimensions at "
+    "once from the manifest's stored [min,max] — the query shape "
+    "Z-ordering exists for, planned from one JSON with zero footer "
+    "opens. Same result as the single-dim scan + row filter "
+    "(manifest_zorder_optimize's oracle, reused verbatim); "
+    "test_manifest.py asserts the box prune skips at least as many "
+    "files as either single dimension alone.",
+    priority=18,
+)
+def manifest_scan_box_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_box_zorder")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path, stat_cols=["user_id", "value"])
+    M.optimize_zorder(spark, path, ["user_id", "value"], num_partitions=8)
+    return (
+        M.scan_manifest_table_box(
+            spark, path, {"user_id": (3, 9), "value": (10, 40)}
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1092,3 +1092,31 @@ class TestMergeOnReadDeletes:
         t = M.load_manifest_table(spark, path)
         assert t.count() == 1_950
         assert t.filter(F.col("g") == 5).count() == 0
+
+
+def test_box_prune_beats_single_dimensions(spark, tmp_path):
+    """On a Z-ordered layout the 2-dim box prune keeps at most as many
+    files as either single-dimension prune, and the scan result equals
+    the unpruned filter."""
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("a"),
+        ((F.col("id") * 7) % 100).alias("b"),
+    )
+    path = str(tmp_path / "boxtab")
+    df.repartition(8).write.parquet(path)
+    M.manifest_init(path, stat_cols=["a", "b"])
+    M.optimize_zorder(spark, path, ["a", "b"], num_partitions=16)
+    box = {"a": (10, 25), "b": (10, 25)}
+    kept_box, total = M.prune_files_multi(path, box)
+    kept_a, _ = M.prune_files(path, "a", 10, 25)
+    kept_b, _ = M.prune_files(path, "b", 10, 25)
+    assert len(kept_box) <= min(len(kept_a), len(kept_b))
+    assert len(kept_box) < total  # actually skipped something
+    got = M.scan_manifest_table_box(spark, path, box)
+    want = (
+        M.load_manifest_table(spark, path)
+        .filter(F.col("a").between(10, 25) & F.col("b").between(10, 25))
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("k")).collect()[0][0] == want.agg(F.sum("k")).collect()[0][0]
