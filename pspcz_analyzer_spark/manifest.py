@@ -527,7 +527,13 @@ def history(path: str) -> "list[dict]":
     version, file count, total rows, and net rows/files added and removed
     vs the previous retained version. Versions written before row
     tracking report ``n_rows=None``. The audit surface a lake table needs
-    ("what did that ingest actually do?") without replaying any data."""
+    ("what did that ingest actually do?") without replaying any data.
+
+    ``n_rows`` counts PHYSICAL rows in the version's data files; pending
+    merge-on-read delete entries (:func:`delete_keys_mor`) are not
+    subtracted — the logical count catches up when
+    :func:`materialize_deletes` folds them in (Iceberg reports the same
+    way: equality deletes are separate accounting until compaction)."""
     out = []
     prev_files: dict = {}
     for v in _versions(path):
@@ -1281,6 +1287,52 @@ def optimize_zorder(
         deletes=None,
         rows=_updated_rows(m, fs, rel, new_names, victims=set(m["files"])),
     )
+
+
+def maintain(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    max_small_files: int = 16,
+    max_delete_entries: int = 4,
+    retain_versions: int = 3,
+    vacuum_min_age_seconds: float = 3600.0,
+) -> dict:
+    """Policy-driven table maintenance in one call (the auto-OPTIMIZE /
+    auto-VACUUM loop a production lake runs on a schedule): materialize
+    pending equality deletes once they pile past ``max_delete_entries``,
+    compact once more than ``max_small_files`` files sit below half
+    ``target_bytes``, then vacuum behind ``retain_versions`` with the
+    concurrent-writer age guard. Each step is the ordinary committed op
+    — a crash between steps leaves a normal, consistent table, and a
+    concurrent writer just wins/loses individual version commits.
+    Returns a dict of what ran: {materialized, compacted, vacuumed}.
+
+    Thresholds are deliberately DECISIONS-from-metadata: the small-file
+    census is a listing + size pass, the delete census reads the
+    manifest — deciding "nothing to do" costs no data IO at any table
+    size."""
+    out = {"materialized": 0, "compacted": 0, "vacuumed": 0}
+    m = read_manifest(path)
+    if len(m.get("deletes") or []) > max_delete_entries:
+        nf, ne = materialize_deletes(spark, path)
+        out["materialized"] = ne
+        m = read_manifest(path)
+    fs, rel = get_fs(path)
+    small = [
+        f
+        for f in m["files"]
+        if fs.size(os.path.join(rel, f)) < target_bytes // 2
+    ]
+    if len(small) > max_small_files:
+        merged, _written = compact_small_files(spark, path, target_bytes)
+        out["compacted"] = merged
+    out["vacuumed"] = vacuum(
+        path,
+        retain_versions=retain_versions,
+        min_age_seconds=vacuum_min_age_seconds,
+    )
+    return out
 
 
 def restore(path: str, version: int) -> int:

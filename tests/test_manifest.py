@@ -1120,3 +1120,38 @@ def test_box_prune_beats_single_dimensions(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.agg(F.sum("k")).collect()[0][0] == want.agg(F.sum("k")).collect()[0][0]
+
+
+def test_maintain_runs_policy_steps(spark, tmp_path):
+    """maintain() = materialize-if-piled + compact-if-fragmented +
+    vacuum-behind-retention, each the ordinary committed op."""
+    df = spark.range(4_000).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("g")
+    )
+    path = str(tmp_path / "maint")
+    df.repartition(20).write.parquet(path)
+    M.manifest_init(path)
+    for g in range(3):  # entries under the threshold: stay merge-on-read
+        M.delete_keys_mor(spark, path, "g", [g])
+    out = M.maintain(
+        spark, path, max_small_files=4, max_delete_entries=4,
+        retain_versions=1, vacuum_min_age_seconds=0,
+    )
+    # Compaction ran (20 fragments), deletes stayed pending (3 <= 4),
+    # and the merge applied them at read so nothing resurrects.
+    assert out["materialized"] == 0 and out["compacted"] == 20
+    assert out["vacuumed"] >= 1
+    assert len(M.read_manifest(path).get("deletes") or []) == 3
+    t = M.load_manifest_table(spark, path)
+    assert t.count() == 4_000 - 3 * 80
+    assert t.filter(F.col("g") < 3).count() == 0
+    # Tighter delete budget: the second pass materializes. The compacted
+    # file already has the deletes applied (its sequence postdates the
+    # entries), so zero rewrites are needed — entries just drop.
+    out2 = M.maintain(
+        spark, path, max_small_files=4, max_delete_entries=2,
+        retain_versions=1, vacuum_min_age_seconds=0,
+    )
+    assert out2["materialized"] == 3 and out2["compacted"] == 0
+    assert not M.read_manifest(path).get("deletes")
+    assert M.load_manifest_table(spark, path).count() == 4_000 - 240
