@@ -110,6 +110,9 @@ HEADLINE = [
     "manifest_scd2_customer",
     "manifest_mor_delete_roundtrip",
     "manifest_mor_materialized",
+    "eval_contamination_stats",
+    "corpus_decontaminate_substr",
+    "manifest_scan_box_zorder",
 ]
 
 

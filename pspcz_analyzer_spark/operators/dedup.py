@@ -841,3 +841,84 @@ def semantic_dedup_extend(
         .distinct()
     )
     return new_vecs.join(dup_ids, id_col, "left_anti")
+
+
+def contamination_stats(
+    train: DataFrame,
+    evalset: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set contamination against a training corpus — the exact
+    n-gram-overlap decontamination check of GPT-3 (Brown et al. 2020,
+    appendix C) and PaLM: for every eval document, the fraction of its
+    ``window``-token sliding windows that appear ANYWHERE in the train
+    corpus. A high fraction means the benchmark leaked into training
+    data; downstream either drops the eval doc from reporting or routes
+    the matching train docs to :func:`decontaminate_exact_substr`.
+
+    Plan shape (the 100 TB asymmetry is the point): eval sets are tiny,
+    so their distinct window hashes BROADCAST; the train corpus is
+    scanned ONCE, its windows probed against the broadcast map-side, and
+    only the matching hashes (bounded by the eval window count) survive
+    into the distinct + the final stats join. The corpus never shuffles
+    by window — cost is one scan plus eval-sized aggregates. Window
+    identity is the same xxhash64 as :func:`_window_hashes` (collision
+    bound documented there); eval docs shorter than the window emit no
+    row. Returns (eval_id, n_windows, n_contaminated, contaminated_frac
+    rounded to 6)."""
+    tw = _window_hashes(train, text_col, id_col, window).select("whash")
+    ew = _window_hashes(evalset, text_col, eval_id_col, window).select(
+        eval_id_col, "whash"
+    )
+    found = (
+        tw.join(F.broadcast(ew.select("whash").distinct()), "whash")
+        .select("whash")
+        .distinct()
+    )
+    per = ew.groupBy(eval_id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    hits = (
+        ew.join(found, "whash")
+        .groupBy(eval_id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        per.join(hits, eval_id_col, "left")
+        .select(
+            eval_id_col,
+            "n_windows",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+def decontaminate_exact_substr(
+    train: DataFrame,
+    evalset: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop train documents sharing ANY ``window``-token span with the
+    eval set — the removal half of exact-substring decontamination
+    (the train-side twin of :func:`contamination_stats`; the n-gram
+    Jaccard `corpusprep.decontaminate` catches fuzzier overlap, this
+    catches verbatim spans regardless of the rest of the document).
+
+    Same asymmetric plan: eval window hashes broadcast, train scanned
+    once, contaminated ids are the (small) semi-join survivors, removed
+    with one anti-join. Returns the surviving train rows unchanged."""
+    ev = evalset.select(F.lit(0).alias("__eid"), F.col(text_col))
+    ew = _window_hashes(ev, text_col, "__eid", window).select("whash")
+    tw = _window_hashes(train, text_col, id_col, window)
+    bad = (
+        tw.join(F.broadcast(ew.distinct()), "whash")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")

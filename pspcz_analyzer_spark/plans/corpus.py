@@ -1249,3 +1249,124 @@ def corpus_quality_calibrated_by_lang(spark: SparkSession, sf_dir: str) -> DataF
     return keep_top_frac_per_group(docs, "lang", "n_chars", keep_frac=0.4).orderBy(
         "doc_id"
     )
+
+
+_SQL_EVALSET = f"""
+    toks AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS t
+      FROM documents
+    ),
+    ev AS (
+      SELECT doc_id AS eval_id, array_to_string(t[5:24], ' ') AS etext
+      FROM toks WHERE doc_id % 53 = 0
+      UNION ALL
+      SELECT doc_id, array_to_string(list_reverse(t), ' ')
+      FROM toks WHERE doc_id % 53 = 1
+    ),
+    etoks AS (SELECT eval_id, string_split(etext, ' ') AS t FROM ev),
+    ewins AS (
+      SELECT eval_id,
+             unnest([array_to_string(t[i:i+9], ' ')
+                     for i in range(1, greatest(len(t) - 8, 1))]) AS w
+      FROM etoks WHERE len(t) >= 10
+    ),
+    twins AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+9], ' ')
+                     for i in range(1, greatest(len(t) - 8, 1))]) AS w
+      FROM toks WHERE len(t) >= 10
+    )
+"""
+
+
+def _evalset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic eval set with KNOWN contamination structure: every 53rd
+    doc contributes a 20-token verbatim excerpt (contaminated by
+    construction) and every 53rd+1 doc its tokens REVERSED (clean —
+    whatever the mechanical ground truth says, the oracle recomputes it
+    the same way)."""
+    from pspcz_analyzer_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalize_text("text"), " ")
+    excerpt = docs.filter(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(toks, 5, 20), " ").alias("text"),
+    )
+    clean = docs.filter(F.col("doc_id") % 53 == 1).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    return excerpt.unionByName(clean)
+
+
+@register(
+    "eval_contamination_stats",
+    oracle=f"""
+    WITH {_SQL_EVALSET},
+    per AS (SELECT eval_id, count(*) AS n_windows FROM ewins GROUP BY eval_id),
+    hit AS (
+      SELECT eval_id, count(*) AS n_contaminated
+      FROM ewins WHERE w IN (SELECT w FROM twins)
+      GROUP BY eval_id
+    )
+    SELECT p.eval_id, p.n_windows,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           round(COALESCE(h.n_contaminated, 0) / p.n_windows, 6)
+             AS contaminated_frac
+    FROM per p LEFT JOIN hit h USING (eval_id)
+    ORDER BY p.eval_id
+    """,
+    tags=("pipeline", "decontamination", "exact-substr", "new-surface"),
+    priority=18,
+    doc="Eval-set contamination audit — GPT-3's exact n-gram overlap "
+    "check (Brown et al. 2020 app. C): per eval doc, the fraction of "
+    "its 10-token sliding windows found verbatim anywhere in the "
+    "training corpus. Planted excerpts must read fully contaminated and "
+    "reversed-token controls clean; the oracle recomputes the window "
+    "overlap over STRINGS (proving the hash path loses nothing). Plan: "
+    "eval window hashes broadcast, train scanned once, survivors "
+    "eval-sized (operators/dedup.py::contamination_stats).",
+)
+def eval_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import contamination_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = _evalset(spark, sf_dir)
+    return contamination_stats(docs, ev, window=10).orderBy("eval_id")
+
+
+@register(
+    "corpus_decontaminate_substr",
+    oracle=f"""
+    WITH {_SQL_EVALSET},
+    bad AS (
+      SELECT DISTINCT t.doc_id
+      FROM twins t WHERE t.w IN (SELECT w FROM ewins)
+    )
+    SELECT d.doc_id
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY d.doc_id
+    """,
+    tags=("pipeline", "decontamination", "exact-substr", "new-surface"),
+    priority=18,
+    doc="Train-side exact-substring decontamination (operators/dedup.py::"
+    "decontaminate_exact_substr): drop every training doc sharing ANY "
+    "10-token span with the eval set — the removal the GPT-3/PaLM "
+    "pipelines apply after the audit; the fuzzier n-gram Jaccard "
+    "decontaminate (corpus_decontaminate) and the embedding twin "
+    "(corpus_embedding_decontaminate) complete the three-tier "
+    "decontamination story. Sub-window train docs survive by "
+    "construction (no spans to match).",
+)
+def corpus_decontaminate_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import decontaminate_exact_substr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = _evalset(spark, sf_dir)
+    return (
+        decontaminate_exact_substr(docs, ev, window=10)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -498,3 +498,68 @@ class TestSemanticDedupSalted:
             df, cluster_col="cell", threshold=0.9, keep="farthest", salt_cells=4
         ).orderBy("vec_id")
         assert a.collect() == b.collect()
+
+
+class TestContamination:
+    """Exact-substring eval contamination (GPT-3 app. C shape): planted
+    excerpts read contaminated, disjoint text reads clean, and the train
+    side drops exactly the span-sharing docs."""
+
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        train_rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+            (2, "one two three four five six seven eight nine ten eleven twelve"),
+            (3, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+            (4, "short doc"),  # sub-window: can never be flagged
+        ]
+        eval_rows = [
+            # Verbatim 10-token span of train doc 1 -> fully contaminated.
+            (100, "beta gamma delta epsilon zeta eta theta iota kappa lam"),
+            # Disjoint vocabulary -> clean.
+            (101, "red orange yellow green blue indigo violet cyan magenta white"),
+            # First 5 tokens overlap doc 2 but no FULL 10-token window does.
+            (102, "one two three four five xx yy zz ww vv"),
+        ]
+        train = spark.createDataFrame(train_rows, "doc_id long, text string")
+        ev = spark.createDataFrame(eval_rows, "eval_id long, text string")
+        return train, ev
+
+    def test_stats_flag_planted_overlap_only(self, corpora):
+        from pspcz_analyzer_spark.operators.dedup import contamination_stats
+
+        train, ev = corpora
+        got = {
+            r["eval_id"]: (r["n_windows"], r["n_contaminated"], r["contaminated_frac"])
+            for r in contamination_stats(train, ev, window=10).collect()
+        }
+        assert got[100] == (1, 1, 1.0)
+        assert got[101] == (1, 0, 0.0)
+        assert got[102] == (1, 0, 0.0)
+
+    def test_decontaminate_drops_span_sharing_train_docs(self, corpora):
+        from pspcz_analyzer_spark.operators.dedup import (
+            decontaminate_exact_substr,
+        )
+
+        train, ev = corpora
+        kept = {
+            r["doc_id"]
+            for r in decontaminate_exact_substr(train, ev, window=10).collect()
+        }
+        # Doc 1 shares the planted span; 2 and 3 share no full window;
+        # 4 is sub-window and survives by construction.
+        assert kept == {2, 3, 4}
+
+    def test_window_slides_across_positions(self, spark):
+        from pspcz_analyzer_spark.operators.dedup import contamination_stats
+
+        train = spark.createDataFrame(
+            [(1, "p q r s t u v w x y z aa bb cc")], "doc_id long, text string"
+        )
+        # Eval span starts mid-document: window alignment must not matter.
+        ev = spark.createDataFrame(
+            [(9, "s t u v w x y z aa bb")], "eval_id long, text string"
+        )
+        [r] = contamination_stats(train, ev, window=10).collect()
+        assert (r["n_contaminated"], r["contaminated_frac"]) == (1, 1.0)
