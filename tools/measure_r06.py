@@ -87,15 +87,68 @@ def measure_salted(spark, sf_dir: str) -> None:
     balanced.unpersist()
 
 
+def measure_mor(spark, sf_dir: str, tag: str, n_files: int) -> None:
+    """Copy-on-write vs merge-on-read delete on the same table layout:
+    delete wall-clock, post-delete read, and materialization."""
+    import shutil
+    import tempfile
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def fresh(name, sort_col):
+        path = os.path.join(tempfile.gettempdir(), f"mor_bench_{tag}_{name}")
+        shutil.rmtree(path, ignore_errors=True)
+        write_range_sorted(events, path, sort_col, num_partitions=n_files)
+        M.manifest_init(path, stat_cols=[sort_col])
+        return path
+
+    for case, sort_col in (("clustered", "user_id"), ("scattered", "event_id")):
+        # clustered: victims share one range-sorted file (CoW's best case);
+        # scattered: the delete key is NOT the layout key, every file may
+        # contain victims — CoW rewrites the whole table, MOR stays O(keys).
+        p_cow = fresh("cow", sort_col)
+        t0 = time.time()
+        nfc, _ = M.delete_keys(spark, p_cow, "user_id", [7, 8])
+        t_cow = round(time.time() - t0, 2)
+        p_mor = fresh("mor", sort_col)
+        t0 = time.time()
+        M.delete_keys_mor(spark, p_mor, "user_id", [7, 8])
+        t_mor = round(time.time() - t0, 2)
+        r_cow = best2(lambda: M.load_manifest_table(spark, p_cow).count())
+        r_mor = best2(lambda: M.load_manifest_table(spark, p_mor).count())
+        t0 = time.time()
+        nf, ne = M.materialize_deletes(spark, p_mor)
+        t_mat = round(time.time() - t0, 2)
+        print(
+            f"[mor {tag} {case} files={n_files}] delete_cow={t_cow}s "
+            f"(rewrote {nfc}) delete_mor={t_mor}s read_cow={r_cow}s "
+            f"read_mor={r_mor}s materialize={t_mat}s (rewrote {nf})"
+        )
+        for p in (p_cow, p_mor):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     s10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pspcz_scale10"
     spark = get_spark(app_name="measure_r06")
     ensure_runtime_confs(spark)
-    measure_scan(spark, sf_dir, "1x")
-    if os.path.isdir(s10):
-        measure_scan(spark, s10, "10x")
-    measure_salted(spark, sf_dir)
+    which = sys.argv[3] if len(sys.argv) > 3 else "all"
+    if which in ("all", "scan"):
+        measure_scan(spark, sf_dir, "1x")
+        if os.path.isdir(s10):
+            measure_scan(spark, s10, "10x")
+    if which in ("all", "salted"):
+        measure_salted(spark, sf_dir)
+    if which in ("all", "mor"):
+        measure_mor(spark, sf_dir, "1x", 16)
+        if os.path.isdir(s10):
+            measure_mor(spark, s10, "10x", 160)
     spark.stop()
 
 
