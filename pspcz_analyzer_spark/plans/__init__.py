@@ -139,12 +139,15 @@ _PRIORITY: dict[str, int] = {
             "doc_repetition_stats",
         )
     },
-    # Rows-only by design (see tier note above).
+    # Rows-only by design (see tier note above). ann_ivfpq_top10 joins
+    # them: probe/shortlist approximation, anchored by the oracle-paired
+    # ann_ivfpq_exhaustive_top10 — a driver slot on it would be wasted.
     **{
         n: PRIORITY_ROWS_ONLY
         for n in (
             "ann_lsh_pairs",
             "ann_ivf_top10",
+            "ann_ivfpq_top10",
             "mp_pca_coords",
             "doc_vocab_approx",
         )
