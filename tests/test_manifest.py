@@ -1155,3 +1155,70 @@ def test_maintain_runs_policy_steps(spark, tmp_path):
     assert out2["materialized"] == 3 and out2["compacted"] == 0
     assert not M.read_manifest(path).get("deletes")
     assert M.load_manifest_table(spark, path).count() == 4_000 - 240
+
+
+class TestRandomizedLifecycle:
+    """Model-based check: a random interleaving of append / MOR-delete /
+    upsert / materialize / compact / vacuum must always read back equal
+    to a driver-side dict model — the whole-layer invariant (visibility
+    == model) under op orderings no single scenario test covers."""
+
+    @pytest.mark.parametrize("seed", [11, 23])
+    def test_random_op_interleaving_matches_model(self, spark, tmp_path, seed):
+        import random
+
+        rng = random.Random(seed)
+        path = str(tmp_path / f"life_{seed}")
+        init = {k: k * 10 for k in range(40)}
+        spark.createDataFrame(
+            list(init.items()), "k long, v long"
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        model = dict(init)
+        next_key = 1000
+
+        def check(step):
+            got = {
+                r["k"]: r["v"]
+                for r in M.load_manifest_table(spark, path).collect()
+            }
+            assert got == model, f"divergence after step {step} (seed {seed})"
+
+        for step in range(12):
+            op = rng.choice(["append", "mor_delete", "upsert", "materialize",
+                             "compact", "vacuum"])
+            if op == "append":
+                rows = [(next_key + i, (next_key + i) * 10) for i in range(3)]
+                # Occasionally resurrect a previously deleted key.
+                dead = [k for k in range(40) if k not in model]
+                if dead and rng.random() < 0.5:
+                    k = rng.choice(dead)
+                    rows.append((k, k * 7))
+                next_key += 3
+                M.append(
+                    spark.createDataFrame(rows, "k long, v long"), path
+                )
+                model.update(dict(rows))
+            elif op == "mor_delete":
+                victims = rng.sample(sorted(model), min(4, len(model)))
+                M.delete_keys_mor(spark, path, "k", victims)
+                for k in victims:
+                    model.pop(k, None)
+            elif op == "upsert":
+                keys = rng.sample(sorted(model), min(2, len(model)))
+                rows = [(k, k * 100 + step) for k in keys] + [
+                    (next_key, next_key * 100 + step)
+                ]
+                next_key += 1
+                M.upsert(
+                    spark, spark.createDataFrame(rows, "k long, v long"),
+                    path, "k",
+                )
+                model.update(dict(rows))
+            elif op == "materialize":
+                M.materialize_deletes(spark, path)
+            elif op == "compact":
+                M.compact_small_files(spark, path, target_bytes=1 << 30)
+            elif op == "vacuum":
+                M.vacuum(path, retain_versions=1, min_age_seconds=0)
+            check(f"{step}:{op}")
