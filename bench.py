@@ -113,6 +113,7 @@ HEADLINE = [
     "eval_contamination_stats",
     "corpus_decontaminate_substr",
     "manifest_scan_box_zorder",
+    "triangle_suppliers",
 ]
 
 

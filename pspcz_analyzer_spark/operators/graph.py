@@ -212,3 +212,91 @@ def pagerank(
     nodes.unpersist()
     ed.unpersist()
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    degree_ordered: bool = True,
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the
+    clustering-coefficient / community-density primitive, as two
+    equi-joins.
+
+    Edges are canonicalized (min, max, deduplicated, self-loops
+    dropped). Each edge is then DIRECTED low→high and triangles are
+    found as wedges from the lowest endpoint closed by a third edge:
+    join wedges (u→v, u→w) on u, check (v, w) against the directed edge
+    set. Every triangle is produced exactly once, then exploded back to
+    its three corners for the per-node counts.
+
+    ``degree_ordered`` picks the ordering that makes this scale: with
+    plain id ordering a hub node of degree d fans out d^2/2 wedges — the
+    "curse of the last reducer" (Suri & Vassilvitskii 2011, WWW) — while
+    ordering by (degree, id) bounds every node's out-degree by O(sqrt(m))
+    on any graph, so wedge fanout is balanced no matter how skewed the
+    degree distribution. Results are IDENTICAL either way (asserted in
+    test_graph.py); id ordering exists for the SQL oracle, which can't
+    cheaply rank by degree. Plan: one degree aggregate (skipped for id
+    ordering), one wedge self-join, one closing equi-join — no state,
+    no iteration."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if degree_ordered:
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        d = (
+            e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("__d", "__da"), "a")
+            .join(deg.withColumnRenamed("n", "b").withColumnRenamed("__d", "__db"), "b")
+            .select(
+                F.when(
+                    (F.col("__da") < F.col("__db"))
+                    | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                )
+                .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+                .alias("__e"),
+                "__da", "__db", "a", "b",
+            )
+            .select(
+                F.col("__e.u").alias("u"),
+                F.col("__e.v").alias("v"),
+                F.when(F.col("__e.u") == F.col("a"), F.col("__da"))
+                .otherwise(F.col("__db")).alias("__ru"),
+                F.when(F.col("__e.v") == F.col("b"), F.col("__db"))
+                .otherwise(F.col("__da")).alias("__rv"),
+            )
+        )
+        rank_lt = (F.col("x.__rv") < F.col("y.__rv")) | (
+            (F.col("x.__rv") == F.col("y.__rv")) & (F.col("x.v") < F.col("y.v"))
+        )
+    else:
+        d = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        rank_lt = F.col("x.v") < F.col("y.v")
+    wedges = (
+        d.alias("x")
+        .join(d.alias("y"), F.col("x.u") == F.col("y.u"))
+        .filter(rank_lt)
+        .select(
+            F.col("x.u").alias("n1"),
+            F.col("x.v").alias("n2"),
+            F.col("y.v").alias("n3"),
+        )
+    )
+    closing = d.select(F.col("u").alias("n2"), F.col("v").alias("n3")).unionByName(
+        d.select(F.col("v").alias("n2"), F.col("u").alias("n3"))
+    )
+    tris = wedges.join(closing, ["n2", "n3"])
+    return (
+        tris.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

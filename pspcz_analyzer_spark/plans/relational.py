@@ -1436,3 +1436,49 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
     )
+
+
+@register(
+    "triangle_suppliers",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (
+      SELECT n1 AS node FROM tri
+      UNION ALL SELECT n2 FROM tri
+      UNION ALL SELECT n3 FROM tri
+    )
+    GROUP BY node
+    ORDER BY node
+    """,
+    tags=("graph", "triangles", "new-surface", "scale"),
+    priority=18,
+    doc="Per-node triangle counts over the supplier co-occurrence graph "
+    "(suppliers sharing an order) — the clustering-coefficient "
+    "primitive as two equi-joins, DEGREE-ORDERED so a hub's wedge "
+    "fanout is bounded by O(sqrt(m)) instead of d^2 (Suri & "
+    "Vassilvitskii 2011's last-reducer fix; operators/graph.py::"
+    "triangle_count). The oracle runs the id-ordered triple join — "
+    "identical counts by construction, asserted for both orderings "
+    "against brute force in test_graph.py.",
+)
+def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
+    edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    return triangle_count(edges, degree_ordered=True).orderBy("node")

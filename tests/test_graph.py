@@ -148,3 +148,60 @@ class TestPageRank:
         r1 = {r["node"]: r["rank"] for r in pagerank(df1, n_iter=5).collect()}
         r2 = {r["node"]: r["rank"] for r in pagerank(df2, n_iter=5).collect()}
         assert r1 == r2
+
+
+class TestTriangleCount:
+    def _brute(self, edges):
+        import itertools
+
+        adj = {}
+        for s, t in edges:
+            if s == t:
+                continue
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        counts = {n: 0 for n in adj}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for n in (a, b, c):
+                    counts[n] += 1
+        return {n: c for n, c in counts.items() if c}
+
+    def test_matches_brute_force_both_orderings(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.graph import triangle_count
+
+        rng = random.Random(3)
+        edges = list({
+            (rng.randrange(30), rng.randrange(30)) for _ in range(150)
+        })
+        df = spark.createDataFrame(edges, "src long, dst long")
+        want = self._brute(edges)
+        for ordered in (True, False):
+            got = {
+                r["node"]: r["n_triangles"]
+                for r in triangle_count(df, degree_ordered=ordered).collect()
+            }
+            assert got == want, f"degree_ordered={ordered}"
+
+    def test_hub_graph_and_duplicates(self, spark):
+        from pspcz_analyzer_spark.operators.graph import triangle_count
+
+        # Star + one rim edge = exactly one triangle; duplicate and
+        # reversed edges must not double-count; self-loops ignored.
+        edges = [(0, i) for i in range(1, 8)] + [(1, 2), (2, 1), (0, 1), (5, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_count(df).collect()
+        }
+        assert got == {0: 1, 1: 1, 2: 1}
+
+    def test_triangle_free_graph_is_empty(self, spark):
+        from pspcz_analyzer_spark.operators.graph import triangle_count
+
+        # Bipartite graphs have no triangles.
+        edges = [(i, 100 + j) for i in range(5) for j in range(5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert triangle_count(df).count() == 0
