@@ -1482,3 +1482,76 @@ def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst"
     )
     return triangle_count(edges, degree_ordered=True).orderBy("node")
+
+
+def _bfs_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled multi-source BFS as MATERIALIZED CTEs (default inlining
+    would re-expand each round's predecessor and go exponential — same
+    hazard as the PageRank oracle above)."""
+    parts = [
+        """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    r0 AS MATERIALIZED (
+      SELECT DISTINCT c_custkey AS node, CAST(0 AS BIGINT) AS hops
+      FROM customer WHERE c_nationkey = 0
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    r{i} AS MATERIALIZED (
+      SELECT node, min(hops) AS hops FROM (
+        SELECT node, hops FROM r{p}
+        UNION ALL
+        SELECT e.b AS node, r.hops + 1 AS hops
+        FROM und e JOIN r{p} r ON e.a = r.node
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, hops FROM r{n_iter} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "supplier_hops_bfs",
+    oracle=_bfs_oracle_sql(4),
+    tags=("graph", "iterative", "bfs", "new-surface"),
+    priority=18,
+    doc="Multi-source BFS hop distances (operators/graph.py::shortest_"
+    "hops) over the undirected customer<->supplier bipartite graph "
+    "(distinct trade edges through orders+lineitem; supplier ids offset "
+    "by 1e6), seeded at nation-0 customers, horizon 4 — supply-chain "
+    "proximity: every party within 4 trade hops of the seed market, "
+    "with its true BFS distance. Bounded-horizon relaxation is the "
+    "CONTRACT (result = pure function of graph+seeds+k), so the DuckDB "
+    "oracle replays the same 4 unrolled rounds as MATERIALIZED CTEs. "
+    "One frontier-join shuffle per round, state = reached ball only, "
+    "per-round localCheckpoint — the 4th classic iterative graph op "
+    "beside connected components, PageRank, and triangles.",
+)
+def supplier_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import shortest_hops
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return shortest_hops(edges, seeds, n_iter=4).orderBy("node")

@@ -205,3 +205,77 @@ class TestTriangleCount:
         edges = [(i, 100 + j) for i in range(5) for j in range(5)]
         df = spark.createDataFrame(edges, "src long, dst long")
         assert triangle_count(df).count() == 0
+
+
+class TestShortestHops:
+    @staticmethod
+    def _brute(edges, seeds, k, directed=False):
+        from collections import deque
+
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            if not directed:
+                adj.setdefault(b, set()).add(a)
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if dist[u] >= k:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    def test_matches_bfs_on_random_graphs(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.graph import shortest_hops
+
+        rng = random.Random(20260814)
+        for trial in range(4):
+            n = rng.randint(8, 40)
+            edges = list({
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n, 3 * n))
+            })
+            seeds = rng.sample(range(n), rng.randint(1, 3))
+            k = rng.randint(1, 4)
+            e = spark.createDataFrame(edges, "src long, dst long")
+            s = spark.createDataFrame([(x,) for x in seeds], "node long")
+            got = {
+                r["node"]: r["hops"]
+                for r in shortest_hops(e, s, n_iter=k).collect()
+            }
+            assert got == self._brute(edges, seeds, k), (
+                f"trial={trial} n={n} seeds={seeds} k={k}"
+            )
+
+    def test_directed_chain_horizon(self, spark):
+        from pspcz_analyzer_spark.operators.graph import shortest_hops
+
+        # 0 -> 1 -> 2 -> 3; directed BFS from 0 with horizon 2 must not
+        # reach 3, and must not walk edges backwards from the seed.
+        e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+        s = spark.createDataFrame([(0,)], "node long")
+        got = {
+            r["node"]: r["hops"]
+            for r in shortest_hops(e, s, n_iter=2, directed=True).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_isolated_seed_and_duplicate_edges(self, spark):
+        from pspcz_analyzer_spark.operators.graph import shortest_hops
+
+        # Seed 99 has no edges: stays at hop 0. Duplicate/reversed edges
+        # collapse; a node reachable two ways keeps the min distance.
+        e = spark.createDataFrame(
+            [(0, 1), (1, 0), (0, 1), (1, 2), (0, 2)], "src long, dst long"
+        )
+        s = spark.createDataFrame([(0,), (99,)], "node long")
+        got = {
+            r["node"]: r["hops"] for r in shortest_hops(e, s, n_iter=3).collect()
+        }
+        assert got == {0: 0, 99: 0, 1: 1, 2: 1}
