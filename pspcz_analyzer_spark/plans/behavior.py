@@ -547,3 +547,64 @@ def events_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.pagination import top_k
 
     return top_k(counted, [F.desc("n_users"), F.asc("path")], 20)
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH scored AS (
+      SELECT event_id, user_id,
+             count(value) OVER w AS n_prev,
+             (value - avg(value) OVER w) / (stddev_samp(value) OVER w) AS z
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_id, user_id,
+           round(z, 6) + 0.0 AS z,
+           CASE WHEN abs(round(z, 6)) > 2.5 THEN TRUE ELSE FALSE END
+             AS is_anomaly
+    FROM scored
+    WHERE n_prev >= 10 AND z IS NOT NULL
+    ORDER BY event_id
+    """,
+    tags=("anomaly", "behavior", "events", "window", "new-surface"),
+    priority=18,
+    doc="Rolling z-score anomaly detection: each event scored against the "
+    "mean/stddev of its user's previous 20 events (warm-up of 10 "
+    "required), flagged at |z| > 2.5 — the telemetry outlier / data-"
+    "quality tripwire. ONE shuffle on user_id serves both window "
+    "aggregates (same partition+order+frame); no self-join, no global "
+    "sort — at 100 TB the cost is the events shuffle, same as any "
+    "sessionization. The flag tests the ROUNDED z on both sides so the "
+    "threshold cannot flip on engine float noise; -0.0 normalized via "
+    "+ 0.0 (see plans/__init__ parity notes).",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    scored = events.select(
+        "event_id",
+        "user_id",
+        F.count("value").over(w).alias("n_prev"),
+        z.alias("z_raw"),
+    )
+    return (
+        scored.filter((F.col("n_prev") >= 10) & F.col("z_raw").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            (F.round("z_raw", 6) + F.lit(0.0)).alias("z"),
+            (F.abs(F.round("z_raw", 6)) > 2.5).alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )
