@@ -290,3 +290,99 @@ def nb_train_classify(
         .filter(F.col("__rn") == 1)
         .select(id_col, F.col(label_col).alias("pred_label"), "nb_score")
     )
+
+
+def term_pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 3,
+    min_df: int = 3,
+    max_df_frac: float = 0.4,
+    per_doc_cap: int = 40,
+    min_pair_df: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k term pairs by pointwise mutual information over document
+    co-occurrence — the collocation / topic-phrase miner (Church & Hanks
+    1990): ``pmi(a, b) = ln(P(a,b) / (P(a) P(b)))`` with probabilities
+    estimated as document frequencies.
+
+    The naive formulation self-joins the full (doc, term) explode — a
+    doc with t distinct terms fans out t^2/2 pairs, and stopwords make
+    the join key distribution pathological. Two caps keep the fanout
+    bounded and the result deterministic:
+
+    * a DF BAND: terms in fewer than ``min_df`` docs (noise) or more
+      than ``max_df_frac`` of the corpus (stopwords = the hot keys) are
+      dropped BEFORE pairing;
+    * a PER-DOC CAP: each doc keeps its ``per_doc_cap`` rarest surviving
+      terms (rank by global df asc, term asc — rarest = most
+      informative), so pair fanout is <= cap^2/2 per doc regardless of
+      document length.
+
+    All counts (c_a, c_b, c_ab, and N = corpus size) are computed over
+    the SAME capped term set, so the PMI estimate is self-consistent —
+    the caps define the sample space rather than biasing it. One
+    doc-keyed self-equi-join + one (a, b)-keyed aggregate; at 100 TB
+    both shuffles carry the capped explode (rows <= docs x cap), never
+    raw tokens. Returns (term_a, term_b, n_a, n_b, n_ab, pmi) with pmi
+    ROUNDED to 6 (ranking uses the rounded value so top-k membership
+    can't flip on float noise), ordered pmi desc / term_a / term_b.
+    """
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+    from pyspark.sql import Window
+
+    n_docs = df.select(id_col).distinct().count()
+    terms = (
+        explode_notnull(
+            df, F.split(normalize_text(text_col), " "), "term", keep=(id_col,)
+        )
+        .filter(F.length("term") >= min_term_len)
+        .distinct()
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    banded = dfreq.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_docs))
+    )
+    capped = (
+        terms.join(banded, "term")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("__rk") <= per_doc_cap)
+        .select(id_col, "term")
+    )
+    cnt = capped.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        capped.alias("x")
+        .join(capped.alias("y"), id_col)
+        .filter(F.col("x.term") < F.col("y.term"))
+        .groupBy(
+            F.col("x.term").alias("term_a"), F.col("y.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_df)
+    )
+    scored = (
+        pairs.join(cnt.withColumnRenamed("term", "term_a").withColumnRenamed("n", "n_a"), "term_a")
+        .join(cnt.withColumnRenamed("term", "term_b").withColumnRenamed("n", "n_b"), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.lit(float(n_docs))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(k)

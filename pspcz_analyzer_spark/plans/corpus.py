@@ -1370,3 +1370,64 @@ def corpus_decontaminate_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_term_pmi",
+    oracle=f"""
+    WITH terms AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split({_NORM.format(c="text")}, ' ')) AS term
+        FROM documents
+      ) WHERE length(term) >= 3
+    ),
+    nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    dfq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+    banded AS (
+      SELECT term, df FROM dfq, nn
+      WHERE df >= 3 AND df <= CAST(floor(0.9 * n_docs) AS BIGINT)
+    ),
+    capped AS (
+      SELECT doc_id, term FROM (
+        SELECT t.doc_id, t.term,
+               row_number() OVER (
+                 PARTITION BY t.doc_id ORDER BY b.df ASC, t.term ASC
+               ) AS rk
+        FROM terms t JOIN banded b USING (term)
+      ) WHERE rk <= 40
+    ),
+    cnt AS (SELECT term, count(*) AS n FROM capped GROUP BY term),
+    pairs AS (
+      SELECT x.term AS term_a, y.term AS term_b, count(*) AS n_ab
+      FROM capped x JOIN capped y ON x.doc_id = y.doc_id AND x.term < y.term
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT term_a, term_b, ca.n AS n_a, cb.n AS n_b, n_ab,
+           round(ln(n_ab * (SELECT n_docs FROM nn) * 1.0 / (ca.n * cb.n)), 6)
+             AS pmi
+    FROM pairs
+    JOIN cnt ca ON ca.term = term_a
+    JOIN cnt cb ON cb.term = term_b
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 50
+    """,
+    tags=("pipeline", "pmi", "collocation", "text-analysis", "new-surface"),
+    priority=18,
+    doc="Top-50 term pairs by document-cooccurrence PMI (Church & Hanks "
+    "1990 collocations; operators/textual.py::term_pmi_pairs): DF-banded "
+    "(stopwords out = no hot join keys, hapaxes out = no noise) and "
+    "per-doc capped at the 40 rarest terms, so pair fanout is bounded by "
+    "docs x cap^2/2 regardless of document length. All counts computed "
+    "over the same capped set — the caps define the sample space. "
+    "Ranking uses the rounded PMI so top-k membership is float-stable. "
+    "The synthetic corpus draws from a ~30-term vocabulary where every "
+    "term sits near df 0.75N, so the query widens the stopword ceiling "
+    "to 0.9 (the operator default 0.4 fits natural Zipfian text).",
+)
+def doc_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.textual import term_pmi_pairs
+
+    return term_pmi_pairs(
+        load_table(spark, sf_dir, "documents"), max_df_frac=0.9
+    )

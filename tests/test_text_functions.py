@@ -316,3 +316,65 @@ class TestNaiveBayes:
         train, _ = self._toy(spark)
         test = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
         assert nb_train_classify(train, test, "lab").count() == 0
+
+
+class TestTermPMI:
+    def test_matches_brute_force(self, spark):
+        import math
+        from itertools import combinations
+
+        from pspcz_analyzer_spark.operators.textual import term_pmi_pairs
+
+        docs = [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma"),
+            (3, "alpha beta epsilon"),
+            (4, "gamma delta epsilon"),
+            (5, "alpha delta"),
+            (6, "beta gamma delta"),
+            (7, "alpha beta delta"),
+            (8, "epsilon zeta alpha"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = term_pmi_pairs(
+            df, min_df=1, max_df_frac=1.0, per_doc_cap=10, min_pair_df=1, k=100
+        ).collect()
+
+        sets = {d: set(t.split()) for d, t in docs}
+        n = len(docs)
+        vocab = sorted({w for s in sets.values() for w in s})
+        cnt = {w: sum(w in s for s in sets.values()) for w in vocab}
+        want = {}
+        for a, b in combinations(vocab, 2):
+            nab = sum(a in s and b in s for s in sets.values())
+            if nab:
+                want[(a, b)] = (
+                    cnt[a], cnt[b], nab,
+                    round(math.log(nab * n / (cnt[a] * cnt[b])), 6),
+                )
+        assert {
+            (r["term_a"], r["term_b"]): (r["n_a"], r["n_b"], r["n_ab"], r["pmi"])
+            for r in got
+        } == want
+
+    def test_caps_bound_fanout_deterministically(self, spark):
+        from pspcz_analyzer_spark.operators.textual import term_pmi_pairs
+
+        # One long doc with 6 terms; per_doc_cap=3 keeps the 3 rarest
+        # (lowest df, ties by term asc) -> only pairs among those survive.
+        docs = [
+            (1, "aaa bbb ccc ddd eee fff"),
+            (2, "aaa bbb ccc"),
+            (3, "aaa bbb"),
+            (4, "aaa"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = term_pmi_pairs(
+            df, min_df=1, max_df_frac=1.0, per_doc_cap=3, min_pair_df=1, k=100
+        ).collect()
+        # doc 1 keeps {ddd, eee, fff} (df 1 each); doc 2 keeps {ccc, bbb,
+        # aaa}? -> df asc, term asc: ccc(2) bbb(3) aaa(4). So doc2 keeps all 3.
+        pairs = {(r["term_a"], r["term_b"]) for r in got}
+        assert ("aaa", "bbb") in pairs and ("ddd", "eee") in pairs
+        # No pair may cross the capped-out boundary of doc 1.
+        assert ("aaa", "fff") not in pairs and ("ccc", "ddd") not in pairs
