@@ -94,3 +94,54 @@ def ranking_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 3,
+    min_df: int = 2,
+    postings_cap: int = 20,
+) -> DataFrame:
+    """Capped inverted-index postings: (term, df, postings) with the
+    first ``postings_cap`` doc ids per term in ascending order — the
+    classic MapReduce construction (term -> sorted posting list) that
+    feeds candidate generation for BM25/boolean retrieval.
+
+    Scale shape: the naive ``collect_list then slice`` holds EVERY doc
+    id of a term in one aggregation buffer before truncating — a
+    stopword's postings are corpus-sized, so the hot groups OOM exactly
+    when the index is most needed. Instead a row_number window
+    (partitioned by term, ordered by doc id) keeps only the cap's worth
+    of rows BEFORE the list aggregate, so per-group state is bounded at
+    ``postings_cap`` no matter how hot the term; ``df`` comes from a
+    plain count on the same term key (AQE reuses the exchange — the
+    window, the count, and the final join all shuffle on ``term``).
+    First-k-by-id is a deterministic truncation POLICY, stated in the
+    schema rather than hidden: real deployments swap the order-by for a
+    quality/recency score and keep the same bounded shape.
+    """
+    from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+
+    terms = (
+        explode_notnull(
+            df, F.split(normalize_text(text_col), " "), "term", keep=(id_col,)
+        )
+        .filter(F.length("term") >= min_term_len)
+        .distinct()
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    ranked = terms.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("term").orderBy(F.asc(id_col))),
+    )
+    postings = (
+        ranked.filter(F.col("__rn") <= postings_cap)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    )
+    return dfreq.join(postings, "term").select("term", "df", "postings")

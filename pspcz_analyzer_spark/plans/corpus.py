@@ -1431,3 +1431,45 @@ def doc_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_pmi_pairs(
         load_table(spark, sf_dir, "documents"), max_df_frac=0.9
     )
+
+
+@register(
+    "doc_inverted_postings",
+    oracle=f"""
+    WITH terms AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split({_NORM.format(c="text")}, ' ')) AS term
+        FROM documents
+      ) WHERE length(term) >= 3
+    ),
+    dfq AS (
+      SELECT term, count(*) AS df FROM terms GROUP BY term HAVING count(*) >= 2
+    ),
+    ranked AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM terms
+    ),
+    post AS (
+      SELECT term, list(doc_id ORDER BY doc_id) AS postings
+      FROM ranked WHERE rn <= 20 GROUP BY term
+    )
+    SELECT d.term, d.df, p.postings
+    FROM dfq d JOIN post p USING (term)
+    ORDER BY d.term
+    """,
+    tags=("pipeline", "retrieval", "inverted-index", "new-surface"),
+    priority=18,
+    doc="Inverted-index postings construction (operators/ranking.py::"
+    "inverted_index): term -> (df, first-20 doc ids ascending), the "
+    "classic MapReduce retrieval-index build. Per-term aggregation state "
+    "is BOUNDED: a row_number window truncates each posting list to the "
+    "cap before the list aggregate, so stopword-hot terms cannot blow a "
+    "group buffer; df rides the same term-keyed exchange. Nested "
+    "array<bigint> result hash-compared against DuckDB's ordered list().",
+)
+def doc_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ranking import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents")).orderBy("term")

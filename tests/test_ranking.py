@@ -114,3 +114,43 @@ class TestRankingMetrics:
                 got[q]["ndcg_at_k"],
             )
             assert all(abs(a - b) < 1e-9 for a, b in zip(have, want)), (q, have, want)
+
+
+class TestInvertedIndex:
+    def test_matches_brute_force_and_caps(self, spark):
+        from pspcz_analyzer_spark.operators.ranking import inverted_index
+
+        docs = [
+            (10, "the cat sat"),
+            (11, "the cat ran"),
+            (12, "the dog sat sat"),
+            (13, "dog"),
+            (14, "cat cat cat"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["term"]: (r["df"], r["postings"])
+            for r in inverted_index(df, min_df=2, postings_cap=2).collect()
+        }
+        # Duplicate occurrences inside a doc count once; postings are the
+        # FIRST cap ids ascending; 'ran' (df 1) is dropped by min_df.
+        assert got == {
+            "the": (3, [10, 11]),
+            "cat": (3, [10, 11]),
+            "sat": (2, [10, 12]),
+            "dog": (2, [12, 13]),
+        }
+
+    def test_bounded_state_matches_uncapped_prefix(self, spark):
+        from pspcz_analyzer_spark.operators.ranking import inverted_index
+
+        # A term present in every doc: postings must be exactly the first
+        # `cap` ids, and df still the full count.
+        docs = [(i, "omnipresent filler") for i in range(50)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["term"]: (r["df"], r["postings"])
+            for r in inverted_index(df, postings_cap=5).collect()
+        }
+        assert got["omnipresent"] == (50, [0, 1, 2, 3, 4])
+        assert got["filler"] == (50, [0, 1, 2, 3, 4])
