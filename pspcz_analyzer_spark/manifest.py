@@ -1432,3 +1432,76 @@ def vacuum(
     for v in vs[:-retain_versions]:
         fs.remove(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
     return removed
+
+
+MV_TXN_APP = "mv_refresh"
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    key_col: str,
+    value_col: str,
+    to_version: "int | None" = None,
+) -> int:
+    """Incremental materialized-view maintenance: keep a per-key
+    (sum_value, cnt) aggregate table in sync with an APPEND-ONLY base
+    manifest table, reading only the delta since the last refresh.
+
+    The refreshed-through base version is recorded as the MV's txn
+    watermark (app ``mv_refresh``), so the protocol is exactly-once and
+    crash-safe with no side state: a re-run of the same refresh is
+    skipped by :func:`upsert`'s replay check, a refresh after a crash
+    resumes from the last COMMITTED watermark, and the watermark commits
+    atomically with the merged rows it describes. Each refresh plans
+    :func:`read_version_delta` — the appended files only, from metadata —
+    aggregates them, and merges into the MV by adding onto the affected
+    keys' stored partials (classic self-maintainable-view algebra: SUM
+    and COUNT merge by addition; extend with per-key min/max the same
+    way). At 100 TB the refresh cost tracks the DELTA plus the affected
+    MV keys — never the base table, never the full MV.
+
+    Base-table rewrites (delete/upsert/compaction) are NOT representable
+    as append deltas; callers owning such tables rebuild the MV or route
+    changes through ``snapshot_diff`` (see :func:`read_version_delta`'s
+    contract). Returns the MV's committed version.
+    """
+    if to_version is None:
+        to_version = current_version(base_path)
+    fs, rel = get_fs(mv_path)
+    if not fs.exists(rel):
+        fs.makedirs(rel)
+    if not _versions(mv_path):
+        manifest_init(mv_path)
+    m = read_manifest(mv_path)
+    last = (m.get("txns") or {}).get(MV_TXN_APP)
+    if last is not None and last >= to_version:
+        return m["version"]  # already refreshed through to_version
+    if last is None:
+        delta = load_manifest_table(spark, base_path, version=to_version)
+    else:
+        delta = read_version_delta(spark, base_path, last, to_version)
+    dagg = delta.groupBy(key_col).agg(
+        F.sum(value_col).alias("sum_value"),
+        F.count(value_col).alias("cnt"),
+    )
+    if last is not None:
+        mv = load_manifest_table(spark, mv_path).select(
+            key_col,
+            F.col("sum_value").alias("__old_sum"),
+            F.col("cnt").alias("__old_cnt"),
+        )
+        dagg = (
+            dagg.join(mv, key_col, "left")
+            .select(
+                key_col,
+                (
+                    F.col("sum_value") + F.coalesce("__old_sum", F.lit(0.0))
+                ).alias("sum_value"),
+                (F.col("cnt") + F.coalesce("__old_cnt", F.lit(0))).alias("cnt"),
+            )
+        )
+    return upsert(
+        spark, dagg, mv_path, key_col, txn=(MV_TXN_APP, to_version)
+    )

@@ -1110,3 +1110,64 @@ def manifest_scan_box_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "manifest_mv_refresh",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, user_id, round(value, 4) AS value FROM events
+    ),
+    b2 AS (
+      SELECT event_id + 10000000 AS event_id, user_id, round(value, 4) AS value
+      FROM events WHERE event_id % 1013 = 0
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM b2)
+    SELECT user_id,
+           round(sum(value), 6) AS sum_value,
+           count(value) AS cnt
+    FROM v2
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("manifest", "incremental", "mv", "cdc", "scale", "new-surface"),
+    priority=18,
+    doc="Incremental materialized-view maintenance (manifest.py::"
+    "refresh_aggregate): a per-user (sum, count) MV refreshed from the "
+    "base table's CDF delta — first refresh seeds from v1, the second "
+    "merges ONLY the appended batch (read_version_delta plans the added "
+    "files from metadata), and a third refresh at the same watermark is "
+    "a replay no-op (txn skip). The refreshed-through version rides the "
+    "MV's txn watermark, committing atomically with the merged rows — "
+    "exactly-once with zero side state. Oracle: one-shot aggregate over "
+    "base + batch; the incremental result must be indistinguishable.",
+)
+def manifest_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+    base = _scratch(sf_dir, "events_mv_base")
+    mv = _scratch(sf_dir, "events_mv_agg")
+    _shutil.rmtree(base, ignore_errors=True)
+    _shutil.rmtree(mv, ignore_errors=True)
+    write_range_sorted(events, base, "event_id", num_partitions=8)
+    M.manifest_init(base)
+    M.refresh_aggregate(spark, base, mv, "user_id", "value")
+    b2 = events.filter(F.col("event_id") % 1013 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), "user_id", "value"
+    )
+    M.append(b2, base)
+    v_after = M.refresh_aggregate(spark, base, mv, "user_id", "value")
+    # Replay at the same watermark: must be a metadata no-op.
+    v_noop = M.refresh_aggregate(spark, base, mv, "user_id", "value")
+    assert v_noop == v_after, (v_noop, v_after)
+    return (
+        M.load_manifest_table(spark, mv)
+        .select("user_id", F.round("sum_value", 6).alias("sum_value"), "cnt")
+        .orderBy("user_id")
+    )

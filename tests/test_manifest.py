@@ -1222,3 +1222,97 @@ class TestRandomizedLifecycle:
             elif op == "vacuum":
                 M.vacuum(path, retain_versions=1, min_age_seconds=0)
             check(f"{step}:{op}")
+
+
+class TestRefreshAggregate:
+    @staticmethod
+    def _mk_base(spark, tmp_path, n=1000):
+        df = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            (F.col("id") * 1.5).alias("value"),
+        )
+        path = str(tmp_path / "mv_base")
+        write_range_sorted(df, path, "event_id", num_partitions=4)
+        M.manifest_init(path)
+        return path
+
+    @staticmethod
+    def _mv_rows(spark, mv):
+        return {
+            r["user_id"]: (round(r["sum_value"], 6), r["cnt"])
+            for r in M.load_manifest_table(spark, mv).collect()
+        }
+
+    @staticmethod
+    def _expect(spark, base):
+        full = (
+            M.load_manifest_table(spark, base)
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("s"), F.count("value").alias("c"))
+            .collect()
+        )
+        return {r["user_id"]: (round(r["s"], 6), r["c"]) for r in full}
+
+    def test_incremental_equals_one_shot(self, spark, tmp_path):
+        base = self._mk_base(spark, tmp_path)
+        mv = str(tmp_path / "mv_agg")
+        M.refresh_aggregate(spark, base, mv, "user_id", "value")
+        assert self._mv_rows(spark, mv) == self._expect(spark, base)
+        # Append a batch that hits SOME keys plus one brand-new key.
+        b2 = spark.createDataFrame(
+            [(10_001, 0, 5.0), (10_002, 3, 7.5), (10_003, 99, 1.0)],
+            "event_id long, user_id long, value double",
+        )
+        M.append(b2, base)
+        M.refresh_aggregate(spark, base, mv, "user_id", "value")
+        got = self._mv_rows(spark, mv)
+        assert got == self._expect(spark, base)
+        assert got[99] == (1.0, 1)  # new key inserted, not lost in merge
+
+    def test_replay_and_crash_resume_watermark(self, spark, tmp_path):
+        base = self._mk_base(spark, tmp_path, n=200)
+        mv = str(tmp_path / "mv_agg")
+        v1 = M.refresh_aggregate(spark, base, mv, "user_id", "value")
+        # Replay at the same base version: metadata no-op, same MV version.
+        assert M.refresh_aggregate(spark, base, mv, "user_id", "value") == v1
+        # Two appends before the next refresh: the delta spans BOTH —
+        # a refresh that crashed between them resumes from the committed
+        # watermark and still converges to the one-shot answer.
+        M.append(
+            spark.createDataFrame([(20_001, 1, 2.0)], "event_id long, user_id long, value double"),
+            base,
+        )
+        M.append(
+            spark.createDataFrame([(20_002, 1, 3.0)], "event_id long, user_id long, value double"),
+            base,
+        )
+        v2 = M.refresh_aggregate(spark, base, mv, "user_id", "value")
+        assert v2 > v1
+        assert self._mv_rows(spark, mv) == self._expect(spark, base)
+        # Watermark recorded = base's current version.
+        m = M.read_manifest(mv)
+        assert (m.get("txns") or {})[M.MV_TXN_APP] == M.current_version(base)
+
+    def test_partial_refresh_to_pinned_version(self, spark, tmp_path):
+        base = self._mk_base(spark, tmp_path, n=100)
+        mv = str(tmp_path / "mv_agg")
+        v_base1 = M.current_version(base)
+        M.append(
+            spark.createDataFrame([(30_001, 2, 4.0)], "event_id long, user_id long, value double"),
+            base,
+        )
+        # Refresh pinned to the OLD version must not see the new batch.
+        M.refresh_aggregate(spark, base, mv, "user_id", "value", to_version=v_base1)
+        full_v1 = (
+            M.load_manifest_table(spark, base, version=v_base1)
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("s"), F.count("value").alias("c"))
+            .collect()
+        )
+        assert self._mv_rows(spark, mv) == {
+            r["user_id"]: (round(r["s"], 6), r["c"]) for r in full_v1
+        }
+        # Catch up to latest afterwards.
+        M.refresh_aggregate(spark, base, mv, "user_id", "value")
+        assert self._mv_rows(spark, mv) == self._expect(spark, base)
