@@ -174,6 +174,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = None,
+    scan_shaped: bool = True,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: ``c(A->B) = |A ∩ B| / |A|``
+    (Broder 1997's directional resemblance twin), keeping pairs where
+    either direction reaches ``threshold``.
+
+    The case Jaccard structurally misses: a document quoted, excerpted,
+    or extended inside a longer one. A half-length prefix of a doc has
+    Jaccard ~0.5 against its source no matter how verbatim the copy —
+    resemblance penalizes the size GAP — while its containment in the
+    source is ~1.0. Near-superset mining (press-release laundering,
+    boilerplate-wrapped reposts, train/eval contamination where the eval
+    snippet hides inside a long page) filters on containment, not
+    resemblance.
+
+    Same candidate machinery and scale shape as
+    :func:`ngram_jaccard_pairs` (docs only meet via shared shingle
+    hashes; ``max_shingle_df`` caps stopword-shingle fanout; set sizes
+    from the capped universe when capped): one explode self-join + one
+    pair aggregate. The threshold is applied to the RAW max-direction
+    ratio so any SQL oracle computing the same division agrees on pair
+    membership; both directions are returned rounded.
+    """
+    arrays = _shingle_arrays(_spread(df, scan_shaped=scan_shaped), id_col, text_col, n)
+    sh = explode_notnull(arrays, "__sh", "__s", keep=(id_col,)).select(
+        F.col(id_col), F.xxhash64("__s").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    else:
+        sizes = arrays.select(F.col(id_col), F.size("__sh").alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    ca = F.col("intersection") / F.col("size_a")
+    cb = F.col("intersection") / F.col("size_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            "size_a",
+            "size_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

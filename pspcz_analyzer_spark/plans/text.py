@@ -823,3 +823,68 @@ def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_stopwords",
         "keep_gopher",
     ).orderBy("doc_id")
+
+
+@register(
+    "near_dup_containment",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             substr(text, 1, CAST(floor(n_chars / 2) AS INT)) AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             string_split({_NORM.format(c="text")}, ' ') AS toks
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')
+             )) AS shingle
+      FROM norm
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.intersection,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           round(i.intersection / sa.set_size, 6) AS containment_a,
+           round(i.intersection / sb.set_size, 6) AS containment_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE greatest(i.intersection / sa.set_size,
+                   i.intersection / sb.set_size) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup-near", "containment", "new-surface"),
+    priority=18,
+    doc="Exact n-gram containment pairs (operators/dedup.py::"
+    "ngram_containment_pairs) over the same planted-prefix corpus as "
+    "near_dup_jaccard: the half-length copies score ~1.0 containment in "
+    "their sources while their Jaccard sits near 0.5 — the near-SUPERSET "
+    "detector (quotes, excerpts, boilerplate-wrapped reposts, eval "
+    "snippets hiding inside long pages) that resemblance misses by "
+    "construction. Same shingle-hash candidate machinery: pairs only "
+    "meet via shared shingles, threshold applied to the raw ratio.",
+)
+def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    halved = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(n_chars / 2) AS INT))").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(halved)
+    return ngram_containment_pairs(corpus, n=3, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )

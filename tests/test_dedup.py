@@ -563,3 +563,62 @@ class TestContamination:
         )
         [r] = contamination_stats(train, ev, window=10).collect()
         assert (r["n_contaminated"], r["contaminated_frac"]) == (1, 1.0)
+
+
+class TestContainmentPairs:
+    def test_prefix_is_contained_but_not_jaccard_similar(self, spark):
+        from pspcz_analyzer_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        words = " ".join(f"w{i}" for i in range(40))
+        half = " ".join(f"w{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, words), (2, half), (3, "totally different text here")],
+            "doc_id long, text string",
+        )
+        got = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+        assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+        r = got[0]
+        # All 18 shingles of the prefix appear in the full doc.
+        assert r["containment_b"] == 1.0 and r["containment_a"] < 0.5
+        # Jaccard at the same bar misses it: resemblance penalizes size gap.
+        assert ngram_jaccard_pairs(df, n=3, threshold=0.9).count() == 0
+
+    def test_matches_brute_force_sets(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.dedup import ngram_containment_pairs
+        from pspcz_analyzer_spark.functions.text import normalize_text  # noqa: F401
+
+        rng = random.Random(7)
+        vocab = [f"t{i}" for i in range(12)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25))))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        def shingles(t):
+            toks = t.split()
+            if len(toks) <= 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        sets = {d: shingles(t) for d, t in docs}
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] & sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    ca, cb = inter / len(sets[a]), inter / len(sets[b])
+                    if max(ca, cb) >= 0.5:
+                        want[(a, b)] = (inter, round(ca, 6), round(cb, 6))
+        got = {
+            (r["id_a"], r["id_b"]): (
+                r["intersection"], r["containment_a"], r["containment_b"]
+            )
+            for r in ngram_containment_pairs(df, n=3, threshold=0.5).collect()
+        }
+        assert got == want
