@@ -542,3 +542,50 @@ class TestBloomSemiJoin:
         assert (
             bloom_semi_join(fact, dim.filter(F.lit(False)), "key", "dkey").count() == 0
         )
+
+
+class TestSortedNeighborhood:
+    def test_matches_global_window_brute_force(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.pairs import sorted_neighborhood_pairs
+
+        rng = random.Random(99)
+        # Skewed first letters (many 'a's) + ties on the key: the bucketed
+        # rank must still equal the global (key, id) rank.
+        keys = [
+            rng.choice("aaab") + "".join(rng.choice("xyz") for _ in range(3))
+            for _ in range(60)
+        ]
+        rows = [(i, k) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "rid long, name string")
+        w = 4
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_pairs(
+                df, key_col="name", id_col="rid", window=w
+            ).collect()
+        }
+        order = sorted(rows, key=lambda t: (t[1], t[0]))
+        want = {
+            (order[i][0], order[j][0])
+            for i in range(len(order))
+            for j in range(i + 1, min(i + w + 1, len(order)))
+        }
+        assert got == want
+
+    def test_pairs_cross_bucket_boundaries(self, spark):
+        from pspcz_analyzer_spark.operators.pairs import sorted_neighborhood_pairs
+
+        # 'az' and 'ba' are adjacent in the global order but land in
+        # different first-char buckets — the rank-block join must still
+        # emit the pair.
+        rows = [(1, "ax"), (2, "az"), (3, "ba"), (4, "bz")]
+        df = spark.createDataFrame(rows, "rid long, name string")
+        got = {
+            (r["id_a"], r["id_b"], r["rank_a"], r["rank_b"])
+            for r in sorted_neighborhood_pairs(
+                df, key_col="name", id_col="rid", window=1
+            ).collect()
+        }
+        assert got == {(1, 2, 1, 2), (2, 3, 2, 3), (3, 4, 3, 4)}
