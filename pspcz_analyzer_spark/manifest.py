@@ -1505,3 +1505,35 @@ def refresh_aggregate(
     return upsert(
         spark, dagg, mv_path, key_col, txn=(MV_TXN_APP, to_version)
     )
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Resolve ``TIMESTAMP AS OF``: the highest version whose commit file
+    was published at or before ``ts`` (epoch seconds), by the manifest
+    blob's mtime — Delta's timestamp resolution in minimal form (commit
+    time = commit-file modification time; Delta additionally smooths
+    non-monotonic clocks, which a single-writer minimal layer doesn't
+    need). Metadata-only: one listdir + one stat per retained version.
+    Raises ``ValueError`` if ``ts`` predates the first retained commit
+    (the snapshot it names is not reconstructable — vacuum may have
+    dropped its files), mirroring Delta's behavior."""
+    fs, rel = get_fs(path)
+    best = None
+    for v in _versions(path):
+        mt = fs.mtime(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
+        if mt is not None and mt <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no committed version at or before ts={ts} in {path} "
+            "(predates the first retained commit)"
+        )
+    return best
+
+
+def load_manifest_table_asof(
+    spark: SparkSession, path: str, ts: float
+) -> DataFrame:
+    """Time-travel read by wall clock: ``load_manifest_table`` pinned at
+    :func:`version_at_timestamp`'s resolution."""
+    return load_manifest_table(spark, path, version_at_timestamp(path, ts))

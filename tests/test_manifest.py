@@ -1316,3 +1316,27 @@ class TestRefreshAggregate:
         # Catch up to latest afterwards.
         M.refresh_aggregate(spark, base, mv, "user_id", "value")
         assert self._mv_rows(spark, mv) == self._expect(spark, base)
+
+
+class TestTimestampTravel:
+    def test_resolves_commit_boundaries(self, spark, tmp_path):
+        import os as _os
+
+        base = str(tmp_path / "ts_tab")
+        df1 = spark.range(10).select(F.col("id").alias("k"))
+        write_range_sorted(df1, base, "k", num_partitions=2)
+        M.manifest_init(base)
+        M.append(spark.range(10, 20).select(F.col("id").alias("k")), base)
+        M.append(spark.range(20, 25).select(F.col("id").alias("k")), base)
+        # Pin deterministic commit times: v1=1000, v2=2000, v3=3000.
+        mdir = _os.path.join(base, "_manifest")
+        for v, t in ((1, 1000), (2, 2000), (3, 3000)):
+            _os.utime(_os.path.join(mdir, f"{v:08d}.json"), (t, t))
+        assert M.version_at_timestamp(base, 1000) == 1
+        assert M.version_at_timestamp(base, 1999.9) == 1
+        assert M.version_at_timestamp(base, 2000) == 2
+        assert M.version_at_timestamp(base, 10_000) == 3
+        assert M.load_manifest_table_asof(spark, base, 2500).count() == 20
+        assert M.load_manifest_table_asof(spark, base, 9999).count() == 25
+        with pytest.raises(ValueError):
+            M.version_at_timestamp(base, 999)
