@@ -805,3 +805,60 @@ def ivfpq_topk(
     return brute_force_topk(
         vecs, [float(x) for x in query_vec], k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH: for every vector, its top-``k`` cosine
+    neighbors as directed edges (src, dst, cosine_sim, rank) — the
+    substrate for graph-based ANN serving, SemDeDup-style diagnostics,
+    label propagation over embeddings, and kNN-classifier features.
+
+    Exact mode (``block_col=None``) scores all ordered pairs — the
+    oracle-checkable twin, O(n^2), for bounded slices. At corpus scale
+    pass a blocking column (an IVF cell from ``build_ivf_index`` or an
+    LSH bucket from ``lsh_bucket``): pairing becomes an EQUI-join on the
+    block and each node ranks only in-block neighbors — the standard
+    cluster-then-knn approximation whose recall the exact twin measures
+    (same contract as ann_ivf_exhaustive_top10 anchoring ann_ivf_top10).
+
+    Ranking uses the ROUNDED similarity with an id tiebreak, so edge
+    membership is stable under engine float noise (see plans/__init__
+    parity notes). Per-node state is one window partition — never a
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    cols = [id_col, vec_col] + ([block_col] if block_col else [])
+    a = df.select(*[F.col(c).alias(f"{c}_a") for c in cols])
+    b = df.select(*[F.col(c).alias(f"{c}_b") for c in cols])
+    if block_col:
+        pairs = a.join(
+            b, F.col(f"{block_col}_a") == F.col(f"{block_col}_b")
+        ).filter(F.col(f"{id_col}_a") != F.col(f"{id_col}_b"))
+    else:
+        pairs = a.join(b, F.col(f"{id_col}_a") != F.col(f"{id_col}_b"))
+    score = F.round(
+        cosine(
+            F.col(f"{vec_col}_a").cast("array<double>"),
+            F.col(f"{vec_col}_b").cast("array<double>"),
+        ),
+        round_to,
+    )
+    scored = pairs.select(
+        F.col(f"{id_col}_a").alias("src"),
+        F.col(f"{id_col}_b").alias("dst"),
+        score.alias("cosine_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine_sim", "rank")
+    )

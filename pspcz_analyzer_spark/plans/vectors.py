@@ -833,3 +833,49 @@ def ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, [float(x) for x in q], k=10, n_probe=4, rerank=50,
         prefix_dim=32,
     )
+
+
+@register(
+    "embedding_knn_graph",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 200
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))),
+               6) AS cosine_sim
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY src ORDER BY cosine_sim DESC, dst
+             ) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT src, dst, cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY src, rank
+    """,
+    tags=("ann", "knn-graph", "new-surface"),
+    priority=18,
+    doc="Exact 5-NN graph over a bounded embedding slice (operators/"
+    "ann.py::knn_graph): every vector's top-5 cosine neighbors as "
+    "directed (src, dst, sim, rank) edges — the substrate for "
+    "graph-based ANN, SemDeDup diagnostics, and embedding label "
+    "propagation. Ranking on the ROUNDED similarity + id tiebreak keeps "
+    "edge membership float-stable across engines. This exact twin "
+    "anchors the blocked variant (block_col = IVF cell / LSH bucket), "
+    "which swaps the O(n^2) theta-join for an equi-join on the block — "
+    "the cluster-then-knn scale path.",
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return knn_graph(emb, k=5).orderBy("src", "rank")

@@ -100,6 +100,8 @@ _NESTED_LOOP_OK = {
     # path is LSH candidates + exact rescore (ann_lsh_pairs)
     "embedding_hard_negatives",  # exact all-pairs oracle twin, vec_id < 150
     # cap; scale path rescoring LSH/IVF candidates (same windows)
+    "embedding_knn_graph",  # exact k-NN twin, vec_id < 200 cap; scale path
+    # is knn_graph(block_col=IVF cell/LSH bucket) = equi-join on the block
     "fuzzy_match_supplier_customer",  # cross join vs broadcast-small dim
     "prefix_match_parts",  # startswith theta join vs broadcast prefix list
     "ann_bruteforce_top10",  # 1-row broadcast query vector (crossJoin)

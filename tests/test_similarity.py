@@ -664,3 +664,79 @@ class TestIVFPQ:
         C = _lloyd(X, 4, seed=1)
         assert C.shape == (4, 2)
         assert _lloyd(np.zeros((0, 2)), 4).shape[0] == 4
+
+
+class TestKnnGraph:
+    @staticmethod
+    def _vecs(spark, n=12, dim=6, seed=3):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3)
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, cell int"
+        )
+
+    @staticmethod
+    def _brute(rows, k):
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return round(
+                d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))),
+                6,
+            )
+
+        want = {}
+        for i, vi, _ in rows:
+            nb = sorted(
+                ((cos(vi, vj), j) for j, vj, _ in rows if j != i),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            want[i] = [(j, c, r + 1) for r, (c, j) in enumerate(nb)]
+        return want
+
+    def test_exact_matches_brute_force(self, spark):
+        from pspcz_analyzer_spark.operators.ann import knn_graph
+
+        rows, df = self._vecs(spark)
+        got = {}
+        for r in knn_graph(df, k=3).collect():
+            got.setdefault(r["src"], []).append(
+                (r["dst"], r["cosine_sim"], r["rank"])
+            )
+        for s in got:
+            got[s].sort(key=lambda t: t[2])
+        # float32 storage can nudge the 7th decimal; neighbor ORDER is the
+        # contract checked here (sims verified by the query's SQL oracle).
+        want = self._brute(rows, 3)
+        assert set(got) == set(want)
+        for s in got:
+            assert [d for d, _, _ in got[s]] == [d for d, _, _ in want[s]], s
+
+    def test_blocked_restricts_to_cells(self, spark):
+        from pspcz_analyzer_spark.operators.ann import knn_graph
+
+        rows, df = self._vecs(spark)
+        got = knn_graph(df, k=5, block_col="cell").collect()
+        cell_of = {i: c for i, _, c in rows}
+        assert got, "blocked knn graph returned no edges"
+        for r in got:
+            assert cell_of[r["src"]] == cell_of[r["dst"]]
+        # Within a block the ranking still matches brute force over the block.
+        blocks = {}
+        for i, v, c in rows:
+            blocks.setdefault(c, []).append((i, v, c))
+        for c, members in blocks.items():
+            want = self._brute(members, 5)
+            got_c = {}
+            for r in got:
+                if cell_of[r["src"]] == c:
+                    got_c.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+            for s, lst in got_c.items():
+                lst.sort()
+                assert [d for _, d in lst] == [d for d, _, _ in want[s]][: len(lst)]
