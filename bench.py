@@ -114,6 +114,14 @@ HEADLINE = [
     "corpus_decontaminate_substr",
     "manifest_scan_box_zorder",
     "triangle_suppliers",
+    "supplier_hops_bfs",
+    "events_anomaly_zscore",
+    "doc_term_pmi",
+    "doc_inverted_postings",
+    "manifest_mv_refresh",
+    "near_dup_containment",
+    "er_sorted_neighborhood",
+    "embedding_knn_graph",
 ]
 
 

@@ -116,6 +116,11 @@ def sorted_neighborhood_pairs(
     )
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
+    # Persisted: the ranked frame feeds both sides of the rank-block join;
+    # without it the bucket window executes twice (repo convention:
+    # persist shared subtrees).
     ranked = (
         base.join(off, "__bkt")
         .withColumn(
@@ -126,6 +131,7 @@ def sorted_neighborhood_pairs(
             ),
         )
         .select(id_col, key_col, "__rank")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     blk = F.floor(F.col("__rank") / F.lit(window))
     left = ranked.select(

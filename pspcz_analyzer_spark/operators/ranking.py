@@ -125,12 +125,18 @@ def inverted_index(
     from pspcz_analyzer_spark.functions.text import normalize_text
     from pspcz_analyzer_spark.operators.partitioning import explode_notnull
 
+    from pyspark import StorageLevel
+
+    # Persisted: the distinct (doc, term) explode feeds both the df count
+    # and the postings window; without it the tokenize+distinct subtree
+    # executes twice (repo convention: persist shared subtrees).
     terms = (
         explode_notnull(
             df, F.split(normalize_text(text_col), " "), "term", keep=(id_col,)
         )
         .filter(F.length("term") >= min_term_len)
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") >= min_df

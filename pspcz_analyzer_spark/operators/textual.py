@@ -345,6 +345,12 @@ def term_pmi_pairs(
     banded = dfreq.filter(
         (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_docs))
     )
+    # Persisted: the capped explode feeds BOTH sides of the pair self-join
+    # and the per-term counts — without it the tokenize+window subtree
+    # compiles (and can execute) three times (repo convention: plans
+    # persist shared subtrees and rely on eviction).
+    from pyspark import StorageLevel
+
     capped = (
         terms.join(banded, "term")
         .withColumn(
@@ -355,6 +361,7 @@ def term_pmi_pairs(
         )
         .filter(F.col("__rk") <= per_doc_cap)
         .select(id_col, "term")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cnt = capped.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
