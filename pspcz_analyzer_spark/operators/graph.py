@@ -214,6 +214,87 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; the random walk with
+    restart behind graph-based recommendation and "importance relative to
+    THIS seed set" queries): identical iteration to :func:`pagerank`, but
+    the teleport — the ``(1-d)`` restart AND the dangling-mass
+    redistribution — lands on the SEED distribution (uniform over
+    ``sources``) instead of uniformly on all nodes. Nodes unreachable
+    from the seeds converge to exactly 0, which is the point: rank
+    measures proximity-weighted influence relative to the seeds.
+
+    Same contract and scale shape as :func:`pagerank`: fixed ``n_iter``
+    (pure function of graph + seeds, so a SQL oracle replays the same
+    unrolled rounds), one edge-join shuffle + one dst aggregate per
+    round, the seed vector a persisted (node, p) frame joined once per
+    round on the same node key, dangling mass a broadcast scalar,
+    per-round localCheckpoint. Returns (node, rank) UNROUNDED.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).distinct()
+    seeds = sources.select(
+        F.col(source_col).cast("long").alias("node")
+    ).distinct()
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .union(seeds.select("node"))
+        .distinct()
+    )
+    # Teleport vector p(node): 1/|S| on seeds, 0 elsewhere — joined (not
+    # broadcast-scalar like the uniform case) because it is a per-node
+    # quantity; one persisted frame reused every round on the node key.
+    pvec = (
+        nodes.join(seeds.withColumn("__p", F.lit(1.0 / n_seeds)), "node", "left")
+        .select("node", F.coalesce("__p", F.lit(0.0)).alias("__p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pvec.count()  # materialize before the loop
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    ed = e.join(deg, "a").persist(StorageLevel.MEMORY_AND_DISK)
+
+    ranks = pvec.select("node", F.col("__p").alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        dangling = F.broadcast(
+            ranks.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        inflow = (
+            ed.join(ranks.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        ranks = (
+            pvec.join(inflow, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("__dm"))
+                    * F.col("__p")
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    pvec.unpersist()
+    ed.unpersist()
+    return ranks.select("node", "rank")
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

@@ -1608,3 +1608,104 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_b",
         F.levenshtein("key_a", "key_b").alias("edit_distance"),
     ).orderBy("rank_a", "rank_b")
+
+
+def _ppr_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled personalized PageRank as MATERIALIZED CTEs (same inlining
+    hazard as the global-PageRank oracle above)."""
+    parts = [
+        f"""
+    WITH edges0 AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM edges0
+      UNION
+      SELECT dst AS src, src AS dst FROM edges0
+    ),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 0
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges
+      UNION SELECT dst FROM edges
+      UNION SELECT node FROM seeds
+    ),
+    ns AS (SELECT count(*) AS k FROM seeds),
+    p AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN s.node IS NULL THEN 0.0
+                  ELSE 1.0 / (SELECT k FROM ns) END AS p
+      FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (SELECT node, p AS rank FROM p)"""
+    ]
+    for i in range(1, n_iter + 1):
+        pr = i - 1
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT COALESCE(sum(r.rank), 0) AS m
+      FROM r{pr} r LEFT JOIN deg ON r.node = deg.src
+      WHERE deg.src IS NULL
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT pp.node,
+             ((1 - {damping}) + {damping} * (SELECT m FROM d{i})) * pp.p
+             + {damping} * COALESCE(c.inflow, 0) AS rank
+      FROM p pp
+      LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.d) AS inflow
+                 FROM edges e
+                 JOIN r{pr} r ON e.src = r.node
+                 JOIN deg ON e.src = deg.src
+                 GROUP BY e.dst) c ON pp.node = c.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, round(rank, 6) AS rank
+    FROM r{n_iter}
+    ORDER BY round(rank, 6) DESC, node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ppr_nation0_market",
+    oracle=_ppr_oracle_sql(),
+    tags=("graph", "iterative", "pagerank", "personalized", "new-surface"),
+    priority=18,
+    doc="Personalized PageRank (operators/graph.py::personalized_pagerank; "
+    "random walk with restart, the graph-recommendation primitive) over "
+    "the undirected customer<->supplier trade graph, teleporting to "
+    "nation-0 customers: proximity-weighted influence relative to THAT "
+    "market — parties unreachable from the seeds score exactly 0, which "
+    "is the semantic difference from global PageRank. Same per-round "
+    "shape as pagerank_suppliers (one edge-join shuffle + dst aggregate, "
+    "broadcast dangling scalar, localCheckpoint); the teleport vector is "
+    "a persisted per-node frame joined on the same key. Oracle: the "
+    "same 10 rounds unrolled as MATERIALIZED CTEs, 6-decimal agreement.",
+)
+def ppr_nation0_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import personalized_pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    fwd = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return (
+        personalized_pagerank(edges, seeds, n_iter=10, damping=0.85)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+    )

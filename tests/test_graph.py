@@ -279,3 +279,63 @@ class TestShortestHops:
             r["node"]: r["hops"] for r in shortest_hops(e, s, n_iter=3).collect()
         }
         assert got == {0: 0, 99: 0, 1: 1, 2: 1}
+
+
+class TestPersonalizedPageRank:
+    @staticmethod
+    def _numpy_ppr(edges, seeds, d=0.85, it=10):
+        import numpy as np
+
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges} | set(seeds))
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        p = np.zeros(n)
+        for s in seeds:
+            p[idx[s]] = 1.0 / len(seeds)
+        out = {}
+        for a, b in set(edges):
+            out.setdefault(a, set()).add(b)
+        r = p.copy()
+        for _ in range(it):
+            nxt = np.zeros(n)
+            dm = 0.0
+            for a in nodes:
+                if a in out:
+                    share = r[idx[a]] / len(out[a])
+                    for b in out[a]:
+                        nxt[idx[b]] += share
+                else:
+                    dm += r[idx[a]]
+            r = ((1 - d) + d * dm) * p + d * nxt
+        return {nodes[i]: r[i] for i in range(n)}
+
+    def test_matches_numpy_and_zero_off_seed_component(self, spark):
+        from pspcz_analyzer_spark.operators.graph import personalized_pagerank
+
+        # Two components; seeds only in the first. Node 99 is an isolated
+        # dangling seed: its mass restarts onto the seed set every round.
+        edges = [(1, 2), (2, 3), (3, 1), (2, 1), (10, 11), (11, 10)]
+        seeds = [1, 99]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        got = {
+            r["node"]: r["rank"]
+            for r in personalized_pagerank(e, s, n_iter=10).collect()
+        }
+        want = self._numpy_ppr(edges, seeds)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, k
+        # Off-seed component gets exactly zero; mass conserved at 1.
+        assert got[10] == 0.0 and got[11] == 0.0
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_empty_seeds_raise(self, spark):
+        import pytest as _pytest
+
+        from pspcz_analyzer_spark.operators.graph import personalized_pagerank
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        s = spark.createDataFrame([], "node long")
+        with _pytest.raises(ValueError):
+            personalized_pagerank(e, s)
