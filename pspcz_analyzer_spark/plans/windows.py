@@ -575,3 +575,66 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "event_type")
+
+
+@register(
+    "events_stream_mv_refresh",
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 6) AS sum_value,
+           count(value) AS cnt
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "manifest", "mv", "incremental", "new-surface"),
+    priority=18,
+    doc="Streaming materialized view run live through the gate "
+    "(streaming/lake.py::stream_materialized_aggregate): the event "
+    "backlog split into two landing waves, drained by two availableNow "
+    "runs — each micro-batch is an exactly-once manifest append (txn "
+    "watermark) followed by a CDF-delta MV refresh (manifest.py::"
+    "refresh_aggregate, its own watermark) — and the final MV must equal "
+    "a one-shot aggregate over everything. End-to-end crash anatomy and "
+    "replay no-ops are pinned in test_manifest.py::"
+    "TestStreamMaterializedAggregate; per-batch cost is batch write + "
+    "commit + delta-sized refresh, never a base or MV rescan.",
+)
+def events_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.plans.ingest import _scratch
+    from pspcz_analyzer_spark.streaming.lake import (
+        stream_materialized_aggregate,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+    landing = _scratch(sf_dir, "events_smv_landing")
+    base = _scratch(sf_dir, "events_smv_base")
+    mv = _scratch(sf_dir, "events_smv_mv")
+    ck = _scratch(sf_dir, "events_smv_ck")
+    for p in (landing, base, mv, ck):
+        _shutil.rmtree(p, ignore_errors=True)
+    mid = events.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    import os as _os
+
+    _os.makedirs(base)
+    M.manifest_init(base)  # empty base: the stream carries everything
+    kwargs = dict(schema="event_id long, user_id long, value double",
+                  key_col="user_id", value_col="value")
+    events.filter(F.col("event_id") <= mid).coalesce(2).write.mode(
+        "append"
+    ).parquet(landing)
+    stream_materialized_aggregate(spark, landing, base, mv, ck, **kwargs)
+    events.filter(F.col("event_id") > mid).coalesce(2).write.mode(
+        "append"
+    ).parquet(landing)
+    stream_materialized_aggregate(spark, landing, base, mv, ck, **kwargs)
+    return (
+        M.load_manifest_table(spark, mv)
+        .select("user_id", F.round("sum_value", 6).alias("sum_value"), "cnt")
+        .orderBy("user_id")
+    )

@@ -124,3 +124,61 @@ def stream_upsert_manifest(
     )
     q.awaitTermination()
     return results
+
+
+def stream_materialized_aggregate(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    mv_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    key_col: str,
+    value_col: str,
+    app_id: str = "stream_append",
+    max_commit_retries: int = 5,
+) -> "list[tuple[int, int, int]]":
+    """Streaming MATERIALIZED VIEW: drain landing files into the base
+    manifest table (exactly-once appends, as :func:`stream_append_
+    manifest`) and after each committed batch advance the per-key
+    (sum, count) aggregate table via :func:`manifest.refresh_aggregate`
+    — a continuously-maintained rollup with end-to-end exactly-once and
+    ZERO side state beyond the two tables themselves.
+
+    Crash anatomy (each arrow is a separately-durable step): landing ->
+    [txn append] base -> [MV txn watermark] mv. A replayed micro-batch
+    no-ops at the base (append watermark); a crash between base commit
+    and MV refresh is healed by the NEXT refresh reading the CDF delta
+    from the MV's own refreshed-through watermark — the two watermarks
+    never disagree for long, and neither can double-count. Per-batch
+    cost: batch write + commit + delta-sized refresh; the base table's
+    history and the MV's unaffected keys are never rescanned.
+
+    Returns [(batch_id, base_version, mv_version)] for this run.
+    """
+    results: "list[tuple[int, int, int]]" = []
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        v = M.append(
+            batch_df,
+            table_dir,
+            txn=(app_id, int(batch_id)),
+            max_commit_retries=max_commit_retries,
+        )
+        mv_v = M.refresh_aggregate(
+            batch_df.sparkSession, table_dir, mv_dir, key_col, value_col,
+            to_version=v,
+        )
+        results.append((int(batch_id), v, mv_v))
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return results

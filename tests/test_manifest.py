@@ -1340,3 +1340,74 @@ class TestTimestampTravel:
         assert M.load_manifest_table_asof(spark, base, 9999).count() == 25
         with pytest.raises(ValueError):
             M.version_at_timestamp(base, 999)
+
+
+class TestStreamMaterializedAggregate:
+    @staticmethod
+    def _expect(spark, base):
+        rows = (
+            M.load_manifest_table(spark, base)
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("v").alias("c"))
+            .collect()
+        )
+        return {r["k"]: (round(r["s"], 6), r["c"]) for r in rows}
+
+    @staticmethod
+    def _mv(spark, mv):
+        return {
+            r["k"]: (round(r["sum_value"], 6), r["cnt"])
+            for r in M.load_manifest_table(spark, mv).collect()
+        }
+
+    def test_end_to_end_exactly_once(self, spark, tmp_path):
+        from pspcz_analyzer_spark.streaming.lake import (
+            stream_materialized_aggregate,
+        )
+
+        landing = str(tmp_path / "mvs_landing")
+        base = str(tmp_path / "mvs_base")
+        mv = str(tmp_path / "mvs_mv")
+        ck1 = str(tmp_path / "mvs_ck1")
+        spark.createDataFrame(
+            [(i % 5, float(i)) for i in range(40)], "k long, v double"
+        ).write.parquet(base)
+        M.manifest_init(base)
+        spark.createDataFrame(
+            [(1, 100.0), (7, 3.0)], "k long, v double"
+        ).coalesce(1).write.parquet(landing)
+
+        res = stream_materialized_aggregate(
+            spark, landing, base, mv, ck1, schema="k long, v double",
+            key_col="k", value_col="v",
+        )
+        assert res and res[0][2] >= 1
+        assert self._mv(spark, mv) == self._expect(spark, base)
+
+        # Crash between base commit and refresh: simulate with a direct
+        # base append that nobody refreshed...
+        M.append(
+            spark.createDataFrame([(7, 4.0)], "k long, v double"), base
+        )
+        # ...then the next drained batch heals the gap (delta spans both).
+        # mode("append") adds part files INTO the landing dir — the file
+        # source lists leaf files, not nested directories.
+        spark.createDataFrame(
+            [(2, 9.0)], "k long, v double"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        stream_materialized_aggregate(
+            spark, landing, base, mv, ck1, schema="k long, v double",
+            key_col="k", value_col="v",
+        )
+        assert self._mv(spark, mv) == self._expect(spark, base)
+
+        # Fresh checkpoint = full replay: base watermark rejects the
+        # batches, MV watermark rejects the refresh — nothing changes.
+        vb, vm = M.current_version(base), M.current_version(mv)
+        ck2 = str(tmp_path / "mvs_ck2")
+        stream_materialized_aggregate(
+            spark, landing, base, mv, ck2, schema="k long, v double",
+            key_col="k", value_col="v",
+        )
+        assert (M.current_version(base), M.current_version(mv)) == (vb, vm)
+        assert self._mv(spark, mv) == self._expect(spark, base)
