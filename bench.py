@@ -122,6 +122,8 @@ HEADLINE = [
     "near_dup_containment",
     "er_sorted_neighborhood",
     "embedding_knn_graph",
+    "ppr_nation0_market",
+    "events_stream_mv_refresh",
 ]
 
 
