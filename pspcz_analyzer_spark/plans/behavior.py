@@ -608,3 +608,48 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_decayed_value",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS tmax FROM events)
+    SELECT user_id,
+           round(sum(value * exp(-(datediff('microseconds', ts, tmax))
+                                 / 604800e6)), 6) AS decayed_value,
+           count(*) AS n_events
+    FROM events, mx
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("behavior", "feature-engineering", "decay", "new-surface"),
+    priority=18,
+    doc="Exponentially time-decayed per-user value (half-life machinery "
+    "for recency-weighted engagement / churn features; tau = 7 days "
+    "anchored at the corpus max timestamp): one scalar-max broadcast + "
+    "one user-keyed aggregate with map-side partials — the scan-shaped "
+    "feature pass, no window, no self-join. The decay is computed "
+    "inside the sum (a pure codegen expression), so the whole feature "
+    "is one shuffle at any event volume.",
+)
+def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mx = F.broadcast(events.agg(F.max("ts").alias("tmax")))
+    return (
+        events.crossJoin(mx)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(
+                        -F.expr("timestampdiff(MICROSECOND, ts, tmax)")
+                        / 604800e6
+                    )
+                ),
+                6,
+            ).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -115,6 +115,7 @@ _NESTED_LOOP_OK = {
     "corpus_temperature_mix",  # 1-row broadcast weight total (rate table)
     "corpus_quality_calibrated",  # 1-row broadcast percentile threshold
     "events_value_histogram",  # 1-row broadcast (min,max) range scalar
+    "events_decayed_value",  # 1-row broadcast max-timestamp anchor
     "events_value_equidepth",  # 1-row broadcast decile-boundary array
     "corpus_embedding_decontaminate",  # broadcast-eval theta anti-join
     # (exact baseline; LSH blocking is the beyond-broadcast path)
