@@ -445,3 +445,72 @@ def shortest_hops(
         )
     e.unpersist()
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007), fixed rounds, deterministic ties — the lightweight community
+    finder beside :func:`connected_components` (which merges everything
+    reachable) and :func:`triangle_count` (which scores density).
+
+    Each node starts labeled with its own id; every round ALL nodes
+    simultaneously adopt the most frequent label among their neighbors
+    (ties -> smallest label; isolated nodes keep their label). The
+    asynchronous variant's update order is irreproducible by design;
+    this synchronous fixed-``n_iter`` formulation is a pure function of
+    the graph — the property that makes a SQL oracle possible — at the
+    cost of the known oscillation mode on bipartite structures, which
+    the fixed horizon simply freezes (document the round count with the
+    result downstream).
+
+    Scale shape: per round, one edge-to-labels equi-join, one
+    (node, label) count aggregate, and one node-keyed row_number window
+    — all keyed on node ids, no global state, localCheckpoint per round.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    for _ in range(n_iter):
+        counts = (
+            und.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        winner = (
+            counts.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("node").orderBy(
+                        F.desc("__cnt"), F.asc("label")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select("node", F.coalesce("__new", "label").alias("label"))
+            .localCheckpoint()
+        )
+    und.unpersist()
+    return labels

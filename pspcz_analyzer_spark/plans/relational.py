@@ -1709,3 +1709,80 @@ def ppr_nation0_market(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
     )
+
+
+def _lpa_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled synchronous label propagation as MATERIALIZED CTEs."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    und AS MATERIALIZED (
+      SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+    ),
+    r0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, a AS label FROM und
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    c{i} AS MATERIALIZED (
+      SELECT e.b AS node, r.label, count(*) AS cnt
+      FROM und e JOIN r{p} r ON e.a = r.node
+      GROUP BY 1, 2
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, label
+               ) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT r.node, COALESCE(p.label, r.label) AS label
+      FROM r{p} r LEFT JOIN p{i} p ON r.node = p.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, label FROM r{n_iter} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "lpa_supplier_communities",
+    oracle=_lpa_oracle_sql(4),
+    tags=("graph", "iterative", "community", "new-surface"),
+    priority=18,
+    doc="Synchronous label-propagation communities (Raghavan et al. 2007; "
+    "operators/graph.py::label_propagation) over the supplier "
+    "co-occurrence graph (suppliers sharing an order), 4 fixed rounds, "
+    "ties to the smallest label — the lightweight community finder "
+    "beside connected components (which merges everything reachable): "
+    "labels concentrate on locally-frequent ids instead of the global "
+    "min. The synchronous fixed-round variant is a pure function of the "
+    "graph (async update order is irreproducible by design), so the "
+    "DuckDB oracle replays the identical 4 unrolled rounds. Per round: "
+    "one edge-labels equi-join, one (node, label) aggregate, one "
+    "node-keyed window — all node-keyed, localCheckpoint'd.",
+)
+def lpa_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return label_propagation(edges, n_iter=4).orderBy("node")

@@ -339,3 +339,66 @@ class TestPersonalizedPageRank:
         s = spark.createDataFrame([], "node long")
         with _pytest.raises(ValueError):
             personalized_pagerank(e, s)
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _brute(edges, it):
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        labels = {n: n for n in adj}
+        for _ in range(it):
+            nxt = {}
+            for n in labels:
+                cnt = {}
+                for m in adj[n]:
+                    cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+                nxt[n] = (
+                    min(cnt, key=lambda l: (-cnt[l], l)) if cnt else labels[n]
+                )
+            labels = nxt
+        return labels
+
+    def test_matches_brute_force_on_random_graphs(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.graph import label_propagation
+
+        rng = random.Random(41)
+        for trial in range(3):
+            n = rng.randint(6, 25)
+            edges = list({
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(rng.randint(n, 3 * n))
+            })
+            edges = [e for e in edges if e[0] != e[1]]
+            it = rng.randint(1, 4)
+            df = spark.createDataFrame(edges, "src long, dst long")
+            got = {
+                r["node"]: r["label"]
+                for r in label_propagation(df, n_iter=it).collect()
+            }
+            assert got == self._brute(edges, it), f"trial={trial} it={it}"
+
+    def test_two_cliques_with_bridge_find_two_communities(self, spark):
+        from itertools import combinations
+
+        from pspcz_analyzer_spark.operators.graph import label_propagation
+
+        edges = (
+            list(combinations(range(5), 2))
+            + list(combinations(range(10, 15), 2))
+            + [(4, 10)]
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, n_iter=4).collect()
+        }
+        # Each clique converges to one label; the bridge doesn't merge them.
+        left = {got[i] for i in range(5)}
+        right = {got[i] for i in range(10, 15)}
+        assert len(left) == 1 and len(right) == 1 and left != right
