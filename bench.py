@@ -124,6 +124,8 @@ HEADLINE = [
     "embedding_knn_graph",
     "ppr_nation0_market",
     "events_stream_mv_refresh",
+    "lpa_supplier_communities",
+    "events_decayed_value",
 ]
 
 
