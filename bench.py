@@ -126,6 +126,7 @@ HEADLINE = [
     "events_stream_mv_refresh",
     "lpa_supplier_communities",
     "events_decayed_value",
+    "orders_scd2_asof_segment",
 ]
 
 

@@ -1171,3 +1171,95 @@ def manifest_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.round("sum_value", 6).alias("sum_value"), "cnt")
         .orderBy("user_id")
     )
+
+
+@register(
+    "orders_scd2_asof_segment",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+    hist AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN DATE '1996-06-15' END AS valid_to
+      FROM base
+      UNION ALL
+      SELECT c_custkey, 'WAVE1',
+             DATE '1996-06-15',
+             CASE WHEN c_custkey % 21 = 0 THEN DATE '1997-03-01' END
+      FROM base WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'WAVE2', DATE '1997-03-01', NULL
+      FROM base WHERE c_custkey % 21 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, h.segment
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND h.valid_from <= o.o_orderdate
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    ORDER BY o.o_orderkey
+    """,
+    tags=("manifest", "scd2", "temporal-join", "dimension", "new-surface"),
+    priority=18,
+    doc="Dimension-as-of-event-time enrichment (the Kimball point-in-time "
+    "join): every order joined to the SCD2 customer dimension row VALID "
+    "AT o_orderdate — the composite that makes SCD2 history useful, "
+    "'which segment was this customer in when they ordered', not 'which "
+    "are they in now'. One fact-dim equi-join on the key plus the "
+    "validity-interval predicate; dimension rows per key are bounded by "
+    "change count, so the join stays broadcast-able and the fact "
+    "shuffles at most once at any scale. Reuses the scd2_init/scd2_merge "
+    "three-wave table (manifest_scd2_customer); the oracle rebuilds the "
+    "same history and replays the interval join.",
+)
+def orders_scd2_asof_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    path = _scratch(sf_dir, "scd2_asof_customer")
+    _shutil.rmtree(path, ignore_errors=True)
+    M.scd2_init(
+        spark,
+        cust.withColumn("eff", F.lit("1995-01-01").cast("date")),
+        path,
+        "c_custkey",
+        "eff",
+    )
+    k = F.col("c_custkey")
+    wave1 = cust.filter((k % 7 == 0) | (k % 11 == 0)).select(
+        "c_custkey",
+        F.when(k % 7 == 0, F.lit("WAVE1")).otherwise(F.col("segment")).alias(
+            "segment"
+        ),
+        F.lit("1996-06-15").cast("date").alias("eff"),
+    )
+    M.scd2_merge(spark, wave1, path, "c_custkey", ["segment"], "eff")
+    wave2 = cust.filter(k % 21 == 0).select(
+        "c_custkey",
+        F.lit("WAVE2").alias("segment"),
+        F.lit("1997-03-01").cast("date").alias("eff"),
+    )
+    M.scd2_merge(spark, wave2, path, "c_custkey", ["segment"], "eff")
+    dim = M.load_manifest_table(spark, path).select(
+        "c_custkey", "segment", "valid_from", "valid_to"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return (
+        orders.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("valid_from") <= F.col("o_orderdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "segment")
+        .orderBy("o_orderkey")
+    )
