@@ -1442,9 +1442,11 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle_suppliers",
     oracle="""
     WITH e AS (
-      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      SELECT a.l_suppkey AS a, b.l_suppkey AS b
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 3
     ),
     tri AS (
       SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
@@ -1463,8 +1465,13 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("graph", "triangles", "new-surface", "scale"),
     priority=18,
-    doc="Per-node triangle counts over the supplier co-occurrence graph "
-    "(suppliers sharing an order) — the clustering-coefficient "
+    doc="Per-node triangle counts over the STRONG-TIE supplier "
+    "co-occurrence graph (pairs sharing >= 3 distinct orders — raw "
+    "co-occurrence over a season of orders saturates toward a complete "
+    "graph, where triangle count is Theta(n^3) OUTPUT no matter the "
+    "algorithm; thresholding is the standard projection-graph sparsifier "
+    "and the measured difference between 31 s and 3 s at sf0.1) — the "
+    "clustering-coefficient "
     "primitive as two equi-joins, DEGREE-ORDERED so a hub's wedge "
     "fanout is bounded by O(sqrt(m)) instead of d^2 (Suri & "
     "Vassilvitskii 2011's last-reducer fix; operators/graph.py::"
@@ -1478,8 +1485,13 @@ def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
     b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
-    edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst")).select(
-        "src", "dst"
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count_distinct("l_orderkey").alias("__w"))
+        .filter(F.col("__w") >= 3)
+        .select("src", "dst")
     )
     return triangle_count(edges, degree_ordered=True).orderBy("node")
 
