@@ -127,6 +127,7 @@ HEADLINE = [
     "lpa_supplier_communities",
     "events_decayed_value",
     "orders_scd2_asof_segment",
+    "manifest_bloom_point_lookup",
 ]
 
 

@@ -109,6 +109,7 @@ def _commit(
     rows: dict | None = None,
     deletes: "list | None" = None,
     seq: dict | None = None,
+    blooms: dict | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -127,14 +128,23 @@ def _commit(
     resurrect rows. ``restore`` passes the target's map through verbatim
     so time-travel semantics stay exact."""
     new_v = expected_version + 1
+    prev_doc: dict = {}
+    if expected_version >= 1 and (seq is None or blooms is None):
+        try:
+            prev_doc = read_manifest(path, expected_version)
+        except FileNotFoundError:
+            prev_doc = {}
     if seq is None:
-        prev_seq: dict = {}
-        if expected_version >= 1:
-            try:
-                prev_seq = read_manifest(path, expected_version).get("seq") or {}
-            except FileNotFoundError:
-                prev_seq = {}
+        prev_seq = prev_doc.get("seq") or {}
         seq = {f: prev_seq.get(f, new_v) for f in files}
+    if blooms is None:
+        # Carry per-file bloom filters forward for surviving files (same
+        # rule as seq): data files are immutable, so a bloom computed at
+        # version v stays valid until the file leaves the table. Files
+        # new in this commit simply have no entry yet — readers treat
+        # bloom-less files conservatively, and ensure_blooms backfills.
+        prev_bl = prev_doc.get("blooms") or {}
+        blooms = {f: prev_bl[f] for f in files if f in prev_bl}
     fs, path = get_fs(path)
     d = _manifest_dir(path)
     fs.makedirs(d)
@@ -156,6 +166,8 @@ def _commit(
         doc["rows"] = {f: rows[f] for f in sorted(rows)}
     if deletes:
         doc["deletes"] = [dict(d) for d in deletes]
+    if blooms:
+        doc["blooms"] = {f: blooms[f] for f in sorted(blooms)}
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
@@ -1537,3 +1549,159 @@ def load_manifest_table_asof(
     """Time-travel read by wall clock: ``load_manifest_table`` pinned at
     :func:`version_at_timestamp`'s resolution."""
     return load_manifest_table(spark, path, version_at_timestamp(path, ts))
+
+
+def _bloom_positions(value_str: str, bits: int, k: int) -> "list[int]":
+    """The k bit positions for one key — Python twin of the Spark
+    expression in :func:`ensure_blooms` (both are md5 over "seed:value",
+    first 8 hex chars as an integer, mod bits — the engine-reproducible
+    hashing idiom used throughout the repo)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{value_str}".encode()).hexdigest()[:8], 16) % bits
+        for i in range(k)
+    ]
+
+
+def ensure_blooms(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    bits: int = 16384,
+    k: int = 6,
+) -> int:
+    """Backfill per-file BLOOM FILTERS on ``col`` for every data file the
+    current manifest lacks one for, and commit them as metadata — the
+    point-lookup complement to min/max stats (Parquet/Iceberg/Delta all
+    grow one): range stats prune range scans on the LAYOUT key, but a
+    point lookup on any other column overlaps every file's [min, max].
+    A per-file bloom answers "can this file contain key X?" from the
+    manifest alone — no footer opens, no data IO at plan time.
+
+    Cost model: one column scan of the MISSING files only (files are
+    immutable, so a bloom is computed once per file, ever; `_commit`
+    carries it until the file leaves the table). Per-file state is
+    bounded by the bitset (``bits`` / 8 bytes, default 2 KiB) because the
+    distributed build collect_set's bit POSITIONS per file, never keys.
+    False positives only (tune ``bits``/``k`` to the expected distinct
+    keys per file); false negatives impossible — same conservative
+    contract as stats pruning, skipping is an optimization, not a
+    filter. Keys are canonicalized as strings; intended for int/string
+    key columns (float keys have no stable cross-engine rendering).
+
+    Returns the committed version (or the current one if nothing was
+    missing). Probe with :func:`prune_files_bloom`.
+    """
+    import base64
+
+    m = read_manifest(path)
+    blooms = dict(m.get("blooms") or {})
+    missing = [
+        f for f in m["files"]
+        if (blooms.get(f) or {}).get(col) is None
+    ]
+    if not missing:
+        return m["version"]
+    df = (
+        spark.read.parquet(*[os.path.join(path, f) for f in missing])
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
+            F.col(col).cast("string").alias("__v"),
+        )
+        .where(F.col("__v").isNotNull())
+        .distinct()
+    )
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    pos = F.explode(
+        F.transform(
+            seeds,
+            lambda i: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", i.cast("string"), F.col("__v"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(bits),
+            ),
+        )
+    ).alias("__pos")
+    per_file = (
+        df.select("__f", pos)
+        .groupBy("__f")
+        .agg(F.collect_set("__pos").alias("__bits"))
+        .collect()
+    )
+    got = {}
+    for r in per_file:
+        bs = bytearray(bits // 8)
+        for p in r["__bits"]:
+            p = int(p)
+            bs[p >> 3] |= 1 << (p & 7)
+        got[r["__f"]] = base64.b64encode(bytes(bs)).decode()
+    for f in missing:
+        entry = dict(blooms.get(f) or {})
+        # A file whose column is entirely NULL gets an all-zero bloom —
+        # correct: no key can be in it.
+        bs64 = got.get(f, base64.b64encode(bytes(bits // 8)).decode())
+        entry[col] = {"bits": bits, "k": k, "b64": bs64}
+        blooms[f] = entry
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns"), schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"), deletes=m.get("deletes"),
+        rows=m.get("rows"), seq=m.get("seq"), blooms=blooms,
+    )
+
+
+def prune_files_bloom(
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> "tuple[list[str], int]":
+    """(files that may contain ``col == value``, total files) from the
+    manifest's stored blooms alone — zero file opens. Files without a
+    bloom for ``col`` are conservatively kept (same contract as
+    :func:`prune_files`); intersect with it when range stats are also
+    tracked."""
+    import base64
+
+    m = read_manifest(path, version)
+    blooms = m.get("blooms") or {}
+    kept = []
+    for f in m["files"]:
+        bl = (blooms.get(f) or {}).get(col)
+        if bl is None:
+            kept.append(f)
+            continue
+        bs = base64.b64decode(bl["b64"])
+        if all(
+            bs[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(str(value), bl["bits"], bl["k"])
+        ):
+            kept.append(f)
+    return kept, len(m["files"])
+
+
+def scan_manifest_table_point(
+    spark: SparkSession, path: str, col: str, value
+) -> DataFrame:
+    """Point lookup planned from bloom metadata: read only the files
+    whose bloom admits ``value`` (falling back to all files when blooms
+    aren't built), then apply the exact filter — correctness never
+    depends on the bloom, only the scan size does."""
+    m = read_manifest(path)
+    kept, _total = prune_files_bloom(path, col, value)
+    if not kept:
+        return load_manifest_table(spark, path).filter(
+            F.col(col) == F.lit(value)
+        ).limit(0)
+    return _with_deletes(spark, path, m, kept).filter(
+        F.col(col) == F.lit(value)
+    )

@@ -1263,3 +1263,48 @@ def orders_scd2_asof_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_orderdate", "segment")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "manifest_bloom_point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events WHERE event_id = 777
+    """,
+    tags=("manifest", "bloom", "point-lookup", "scale", "new-surface"),
+    priority=18,
+    doc="Bloom-pruned point lookup on a NON-layout key (manifest.py::"
+    "ensure_blooms + scan_manifest_table_point): the table is "
+    "range-sorted by user_id, so every file's [min, max] on event_id "
+    "overlaps the probe and stats pruning keeps ALL files — the case "
+    "min/max structurally cannot help. Per-file bloom filters (md5 "
+    "positions, 16 KiB bitset, k=6; computed once per immutable file, "
+    "carried by every later commit) answer 'can this file contain key "
+    "777?' from the manifest alone; the scan then reads ~1 of 16 files. "
+    "False positives only — skipping is an optimization, the exact "
+    "filter stays — so the oracle is the plain point SELECT. The query "
+    "asserts the prune actually skipped files (and that stats pruning "
+    "alone could not).",
+)
+def manifest_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+    path = _scratch(sf_dir, "events_bloom_point")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=16)
+    M.manifest_init(path, stat_cols=["user_id", "event_id"])
+    M.ensure_blooms(spark, path, "event_id", bits=131072, k=6)
+    kept, total = M.prune_files_bloom(path, "event_id", 777)
+    kept_stats, _ = M.prune_files(path, "event_id", 777, 777)
+    # The demo's point: blooms skip, range stats on a scattered key can't.
+    assert len(kept_stats) == total, "event_id is scattered; stats keep all"
+    assert len(kept) <= max(2, total // 4), (len(kept), total)
+    return M.scan_manifest_table_point(spark, path, "event_id", 777).orderBy(
+        "event_id"
+    )

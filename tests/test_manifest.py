@@ -1411,3 +1411,83 @@ class TestStreamMaterializedAggregate:
         )
         assert (M.current_version(base), M.current_version(mv)) == (vb, vm)
         assert self._mv(spark, mv) == self._expect(spark, base)
+
+
+class TestBloomPruning:
+    @staticmethod
+    def _mk(spark, tmp_path, n=4000, files=8):
+        # Layout key = user bucket; bloom key = id, SCATTERED across the
+        # layout so [min, max] stats cannot prune a point lookup on it.
+        df = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 97).alias("user_id"),
+        )
+        path = str(tmp_path / "bloom_tab")
+        write_range_sorted(df, path, "user_id", num_partitions=files)
+        M.manifest_init(path, stat_cols=["user_id"])
+        return path
+
+    def test_no_false_negatives_and_real_pruning(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path)
+        v0 = M.current_version(path)
+        v1 = M.ensure_blooms(spark, path, "event_id", bits=32768, k=6)
+        assert v1 == v0 + 1
+        # Idempotent: nothing missing -> no new commit.
+        assert M.ensure_blooms(spark, path, "event_id") == v1
+        truth = {}
+        rows = (
+            spark.read.parquet(path)
+            .select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f"),
+                "event_id",
+            )
+            .collect()
+        )
+        for r in rows:
+            truth.setdefault(r["event_id"], set()).add(r["f"])
+        total_kept = 0
+        for eid in range(0, 4000, 131):
+            kept, total = M.prune_files_bloom(path, "event_id", eid)
+            assert truth[eid] <= set(kept), f"false negative for {eid}"
+            total_kept += len(kept)
+        # Real skipping: on average nearly all non-owning files pruned.
+        assert total_kept <= 2 * (4000 // 131 + 1)
+        # A key that never existed prunes to (almost always) zero files.
+        kept, _ = M.prune_files_bloom(path, "event_id", 10_000_001)
+        assert len(kept) <= 1
+
+    def test_point_scan_matches_filter_and_survives_append(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path)
+        M.ensure_blooms(spark, path, "event_id", bits=32768, k=6)
+        got = M.scan_manifest_table_point(spark, path, "event_id", 1234).collect()
+        assert [(r["event_id"], r["user_id"]) for r in got] == [(1234, 1234 % 97)]
+        # Append WITHOUT re-blooming: the new file has no bloom -> it is
+        # conservatively kept, and the point scan still finds new rows.
+        M.append(
+            spark.createDataFrame([(9_999_999, 7)], "event_id long, user_id long"),
+            path,
+        )
+        kept, total = M.prune_files_bloom(path, "event_id", 9_999_999)
+        assert len(kept) >= 1
+        got = M.scan_manifest_table_point(
+            spark, path, "event_id", 9_999_999
+        ).collect()
+        assert [(r["event_id"], r["user_id"]) for r in got] == [(9_999_999, 7)]
+        # Old files' blooms carried through the append commit.
+        assert M.scan_manifest_table_point(
+            spark, path, "event_id", 1234
+        ).count() == 1
+        # Backfill the new file; the fresh key now prunes to ~its file.
+        M.ensure_blooms(spark, path, "event_id", bits=32768, k=6)
+        kept, total = M.prune_files_bloom(path, "event_id", 9_999_999)
+        assert len(kept) <= 2 and total >= 9
+
+    def test_all_null_column_gets_zero_bloom(self, spark, tmp_path):
+        path = str(tmp_path / "bloom_null")
+        spark.createDataFrame(
+            [(1, None), (2, None)], "k long, s string"
+        ).coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        M.ensure_blooms(spark, path, "s", bits=1024, k=4)
+        kept, total = M.prune_files_bloom(path, "s", "anything")
+        assert kept == [] and total == 1
