@@ -109,3 +109,37 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(_media(spark, sf_dir), max_frames=5)
     return frames.select("media_id", "frame_idx").orderBy("media_id", "frame_idx")
+
+
+@register(
+    "media_audio_features",
+    oracle=f"""
+    SELECT media_id, mime, n_bytes,
+           CAST(n_bytes % 2 + 1 AS INTEGER) AS n_channels,
+           CAST(CASE n_bytes % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 WHEN 2 THEN 22050 ELSE 44100 END
+                AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           (n_bytes * 13) % 5000 AS duration_ms,
+           FALSE AS decoded
+    FROM ({_SQL_MEDIA})
+    WHERE mime = 'audio/riff'
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "audio", "new-surface"),
+    priority=18,
+    doc="Audio metadata extraction (operators/multimodal.py::"
+    "extract_audio_features): Arrow-batched mapInPandas with REAL "
+    "RIFF/WAVE fmt-chunk parsing (parse_wav_header — channels, rate, "
+    "bit width, duration from header bytes alone, no audio library; "
+    "unit-tested on struct-built WAV headers incl. chunk padding and "
+    "truncation) and the deterministic fake for unreadable payloads. "
+    "The synthetic RIFF payloads carry no WAVE tag, so this catalog row "
+    "pins the fake path + plumbing (decoded=false throughout), exactly "
+    "as media_image_features does for images.",
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.multimodal import extract_audio_features
+
+    feats = extract_audio_features(_media(spark, sf_dir))
+    return feats.filter(F.col("mime") == "audio/riff").orderBy("media_id")

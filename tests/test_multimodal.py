@@ -143,3 +143,63 @@ def test_frame_bytes_are_slices(spark):
     out = sample_frames(_media(spark), max_frames=5)
     r = out.filter((F.col("media_id") == 4) & (F.col("frame_idx") == 0)).collect()[0]
     assert bytes(r["frame_bytes"]) == b"plain text bytes"[:16]
+
+
+class TestWavHeader:
+    @staticmethod
+    def _wav(ch=2, rate=44100, width=16, data=b"\x00" * 1000, extra_chunk=b""):
+        import struct
+
+        byte_rate = rate * ch * width // 8
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, byte_rate, ch * width // 8, width)
+        chunks = extra_chunk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_parses_real_headers(self):
+        from pspcz_analyzer_spark.operators.multimodal import parse_wav_header
+
+        b = self._wav(ch=1, rate=8000, width=8, data=b"\x00" * 16000)
+        assert parse_wav_header(b) == (1, 8000, 8, 2000)  # 16000 B / 8 kB/s
+        # Stereo 16-bit 44.1k, one second.
+        b = self._wav(ch=2, rate=44100, width=16, data=b"\x00" * (44100 * 4))
+        assert parse_wav_header(b) == (2, 44100, 16, 1000)
+
+    def test_skips_leading_chunks_and_pads_odd_sizes(self):
+        import struct
+
+        from pspcz_analyzer_spark.operators.multimodal import parse_wav_header
+
+        # An odd-length LIST chunk before fmt: the word-alignment pad must
+        # be honored or the walker desyncs.
+        junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        b = self._wav(ch=2, rate=22050, width=16, data=b"\x00" * 8820,
+                      extra_chunk=junk)
+        assert parse_wav_header(b) == (2, 22050, 16, 100)
+
+    def test_rejects_malformed(self):
+        from pspcz_analyzer_spark.operators.multimodal import parse_wav_header
+
+        assert parse_wav_header(b"RIFF\x00\x00\x00\x00DATA") is None
+        assert parse_wav_header(b"RIFF" + b"junk that is not wave") is None
+        assert parse_wav_header(self._wav()[:20]) is None  # truncated fmt
+        assert parse_wav_header(b"") is None
+
+    def test_spark_stage_decodes_real_and_fakes_rest(self, spark):
+        from pspcz_analyzer_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        real = self._wav(ch=1, rate=16000, width=16, data=b"\x00" * 32000)
+        df = spark.createDataFrame(
+            [(1, bytearray(real)), (2, bytearray(b"RIFF not a wave"))],
+            "media_id long, content binary",
+        )
+        got = {
+            r["media_id"]: (
+                r["n_channels"], r["sample_rate"], r["duration_ms"], r["decoded"]
+            )
+            for r in extract_audio_features(df).collect()
+        }
+        assert got[1] == (1, 16000, 1000, True)
+        assert got[2][3] is False
