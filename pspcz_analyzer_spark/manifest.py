@@ -1568,7 +1568,7 @@ def ensure_blooms(
     spark: SparkSession,
     path: str,
     col: str,
-    bits: int = 16384,
+    bits: "int | str" = "auto",
     k: int = 6,
 ) -> int:
     """Backfill per-file BLOOM FILTERS on ``col`` for every data file the
@@ -1582,13 +1582,23 @@ def ensure_blooms(
     Cost model: one column scan of the MISSING files only (files are
     immutable, so a bloom is computed once per file, ever; `_commit`
     carries it until the file leaves the table). Per-file state is
-    bounded by the bitset (``bits`` / 8 bytes, default 2 KiB) because the
-    distributed build collect_set's bit POSITIONS per file, never keys.
-    False positives only (tune ``bits``/``k`` to the expected distinct
-    keys per file); false negatives impossible — same conservative
-    contract as stats pruning, skipping is an optimization, not a
-    filter. Keys are canonicalized as strings; intended for int/string
-    key columns (float keys have no stable cross-engine rendering).
+    bounded by the bitset because the distributed build collect_set's
+    bit POSITIONS per file, never keys.
+
+    ``bits="auto"`` (default) sizes EACH file's bitset from its own
+    distinct-key count — the Parquet bloom design (NDV-driven sizing) —
+    at load factor k*NDV/bits <= 0.48, i.e. FP ~0.3% at k=6, rounded up
+    to a power of two with a 1 KiB floor. Fixed-width blooms saturate
+    exactly when files get big (measured: 131072 bits at 62k NDV/file =
+    FP 0.7 — worse than useless); auto-sizing keeps the FP rate flat at
+    ~6 bits/KEY, so the metadata grows with the data like every other
+    per-file stat. Pass an int to pin the width instead. False positives
+    only; false negatives impossible — same conservative contract as
+    stats pruning, skipping is an optimization, not a filter. Keys are
+    canonicalized as strings; intended for int/string key columns (float
+    keys have no stable cross-engine rendering). At 100 TB the manifest
+    JSON should hive blooms off to a sidecar per file set (Iceberg's
+    puffin) — the probe contract stays identical.
 
     Returns the committed version (or the current one if nothing was
     missing). Probe with :func:`prune_files_bloom`.
@@ -1611,6 +1621,21 @@ def ensure_blooms(
         )
         .where(F.col("__v").isNotNull())
         .distinct()
+        .persist()
+    )
+    if bits == "auto":
+        ndv = {r["__f"]: r["n"] for r in df.groupBy("__f").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        file_bits = {
+            f: max(1024, 1 << (int(k * ndv.get(f, 0) / 0.48) - 1).bit_length())
+            for f in missing
+        }
+    else:
+        file_bits = {f: int(bits) for f in missing}
+    bmap = F.broadcast(
+        spark.createDataFrame(
+            [(f, b) for f, b in file_bits.items()], "__f string, __bits_n long"
+        )
     )
     seeds = F.array(*[F.lit(i) for i in range(k)])
     pos = F.explode(
@@ -1626,29 +1651,33 @@ def ensure_blooms(
                     16,
                     10,
                 ).cast("long"),
-                F.lit(bits),
+                F.col("__bits_n"),
             ),
         )
     ).alias("__pos")
     per_file = (
-        df.select("__f", pos)
+        df.join(bmap, "__f")
+        .select("__f", pos)
         .groupBy("__f")
         .agg(F.collect_set("__pos").alias("__bits"))
         .collect()
     )
+    df.unpersist()
     got = {}
     for r in per_file:
-        bs = bytearray(bits // 8)
+        nb = file_bits[r["__f"]]
+        bs = bytearray(nb // 8)
         for p in r["__bits"]:
             p = int(p)
             bs[p >> 3] |= 1 << (p & 7)
         got[r["__f"]] = base64.b64encode(bytes(bs)).decode()
     for f in missing:
         entry = dict(blooms.get(f) or {})
+        nb = file_bits[f]
         # A file whose column is entirely NULL gets an all-zero bloom —
         # correct: no key can be in it.
-        bs64 = got.get(f, base64.b64encode(bytes(bits // 8)).decode())
-        entry[col] = {"bits": bits, "k": k, "b64": bs64}
+        bs64 = got.get(f, base64.b64encode(bytes(nb // 8)).decode())
+        entry[col] = {"bits": nb, "k": k, "b64": bs64}
         blooms[f] = entry
     return _commit(
         path, m["files"], m["version"],

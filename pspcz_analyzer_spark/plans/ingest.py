@@ -1278,8 +1278,10 @@ def orders_scd2_asof_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range-sorted by user_id, so every file's [min, max] on event_id "
     "overlaps the probe and stats pruning keeps ALL files — the case "
     "min/max structurally cannot help. Per-file bloom filters (md5 "
-    "positions, 16 KiB bitset, k=6; computed once per immutable file, "
-    "carried by every later commit) answer 'can this file contain key "
+    "positions, k=6, bitset AUTO-SIZED from each file's distinct-key "
+    "count at ~0.3% FP — Parquet's NDV-driven sizing; computed once per "
+    "immutable file, carried by every later commit) answer 'can this "
+    "file contain key "
     "777?' from the manifest alone; the scan then reads ~1 of 16 files. "
     "False positives only — skipping is an optimization, the exact "
     "filter stays — so the oracle is the plain point SELECT. The query "
@@ -1299,11 +1301,14 @@ def manifest_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.rmtree(path, ignore_errors=True)
     write_range_sorted(events, path, "user_id", num_partitions=16)
     M.manifest_init(path, stat_cols=["user_id", "event_id"])
-    M.ensure_blooms(spark, path, "event_id", bits=131072, k=6)
+    M.ensure_blooms(spark, path, "event_id")  # bits auto-sized per file NDV
     kept, total = M.prune_files_bloom(path, "event_id", 777)
     kept_stats, _ = M.prune_files(path, "event_id", 777, 777)
-    # The demo's point: blooms skip, range stats on a scattered key can't.
-    assert len(kept_stats) == total, "event_id is scattered; stats keep all"
+    # The demo's point: the bloom prunes strictly harder than range stats
+    # on a scattered key (at plain sf dirs stats keep ALL 16 files; the
+    # 10x replica's strided ids give stats partial traction, so the
+    # invariant is the strict win, not stats' total blindness).
+    assert len(kept) < len(kept_stats), (len(kept), len(kept_stats), total)
     assert len(kept) <= max(2, total // 4), (len(kept), total)
     return M.scan_manifest_table_point(spark, path, "event_id", 777).orderBy(
         "event_id"

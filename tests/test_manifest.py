@@ -1491,3 +1491,31 @@ class TestBloomPruning:
         M.ensure_blooms(spark, path, "s", bits=1024, k=4)
         kept, total = M.prune_files_bloom(path, "s", "anything")
         assert kept == [] and total == 1
+
+
+class TestBloomAutoSizing:
+    def test_auto_bits_track_file_ndv(self, spark, tmp_path):
+        path = str(tmp_path / "bloom_auto")
+        # Two files with wildly different NDV in one table.
+        big = spark.range(50_000).select(F.col("id").alias("k"))
+        small = spark.range(60_000, 60_010).select(F.col("id").alias("k"))
+        big.coalesce(1).write.parquet(path)
+        small.coalesce(1).write.mode("append").parquet(path)
+        M.manifest_init(path)
+        M.ensure_blooms(spark, path, "k")
+        m = M.read_manifest(path)
+        sizes = sorted(
+            bl["k"]["bits"] for bl in m["blooms"].values()
+        )
+        assert sizes[0] == 1024  # floor for the 10-key file
+        assert sizes[1] >= 6 * 50_000 / 0.48  # load kept <= 0.48
+        # FP spot-check on the big file: absent keys almost always prune.
+        misses = sum(
+            len(M.prune_files_bloom(path, "k", key)[0]) == 0
+            for key in range(1_000_000, 1_000_200)
+        )
+        assert misses >= 190, misses
+        # Present keys never prune away (subset sweep).
+        for key in range(0, 50_000, 7919):
+            kept, _ = M.prune_files_bloom(path, "k", key)
+            assert kept, key
