@@ -815,6 +815,77 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-probability under a BIGRAM LM
+    trained on the corpus itself — the context-aware upgrade of
+    ``unigram_logprob_scores`` and the shape of the CCNet/KenLM
+    perplexity filter (Wenzek et al. 2020, arXiv:1911.00359): a doc of
+    common words in improbable ORDER (shuffled text, keyword stuffing,
+    boilerplate collage) scores high where the unigram model is blind.
+
+    Add-k smoothing conditioned on the left context:
+
+      p(w2 | w1) = (c(w1 w2) + k) / (c(w1 .) + k * (V + 1))
+
+    with V the corpus unigram vocabulary and c(w1 .) the number of
+    bigram occurrences starting with w1.
+
+    Plan: bigram pairs are built INSIDE the token array (zip_with of the
+    two shifted slices — pure codegen, no window/shuffle, no UDF); one
+    pair-keyed aggregate trains the model (map-side combined, output is
+    bigram-vocabulary-sized, not corpus-sized); the context totals are a
+    second tiny aggregate OF the model; scoring left-joins the doc pairs
+    to both (AQE broadcasts them once min-count pruning keeps them
+    small) and one doc-keyed aggregate emits the mean. Docs with < 2
+    tokens have no bigram and drop, exactly like the unigram op drops
+    zero-word docs.
+
+    Returns (id_col, n_bigrams, avg_neg_logp) rounded to 6 dp.
+    """
+    from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+
+    toks = df.select(
+        id_col, F.split(normalize_text(text_col), " ").alias("__t")
+    ).filter(F.size("__t") >= 2)
+    pairs = explode_notnull(
+        toks,
+        F.zip_with(
+            F.slice(F.col("__t"), 1, F.size("__t") - 1),
+            F.slice(F.col("__t"), 2, F.size("__t") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        "__bg",
+        keep=(id_col,),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    contexts = model.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = word_counts(df.select(text_col), text_col).agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+
+    k = F.lit(float(smoothing))
+    p = (F.coalesce(F.col("n12"), F.lit(0)) + k) / (
+        F.coalesce(F.col("n1"), F.lit(0)) + k * (F.col("__v") + 1)
+    )
+    return (
+        pairs.join(model, ["w1", "w2"], "left")
+        .join(contexts, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logp"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -139,6 +139,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 10,
+    node_type: str = "long",
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) over a directed edge
     list — the influence/centrality measure for citation graphs (which
@@ -165,7 +166,8 @@ def pagerank(
     boundary values vs a single round and breaks oracle comparisons).
     """
     e = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        F.col(src).cast(node_type).alias("a"),
+        F.col(dst).cast(node_type).alias("b"),
     ).distinct()
     nodes = (
         e.select(F.col("a").alias("node"))

@@ -393,3 +393,93 @@ def term_pmi_pairs(
         )
     )
     return scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(k)
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 3,
+    min_df: int = 2,
+    max_df_frac: float = 1.0,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    k: int = 30,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    PageRank over the word co-occurrence graph — the unsupervised
+    keyword/keyphrase miner that needs no model, labels, or IDF corpus,
+    standard in training-data curation for topic tagging and
+    domain-mix profiling.
+
+    Graph construction (the part the oracle must replay exactly):
+    adjacent-token pairs (window w=2 over the normalized token stream,
+    built inside the token array with zip_with — no shuffle) where BOTH
+    endpoints survive a document-frequency band: df >= ``min_df`` drops
+    noise/typos, df <= ``max_df_frac`` * n_docs drops stopword hubs —
+    the same two knobs ``term_pmi_pairs`` uses, because the failure mode
+    is the same (stopwords are the hot keys of any word graph). Edges
+    are undirected (each surviving pair contributes both directions,
+    deduplicated inside :func:`~pspcz_analyzer_spark.operators.graph.
+    pagerank`), unweighted — the original paper's keyword setting.
+
+    Scale shape: the tokenize/pair explode is corpus-sized but feeds
+    ONE distinct on (w1, w2) — the graph itself is vocabulary-squared
+    bounded, tiny at any corpus scale, so the 10 PageRank iterations run
+    over a vocabulary-sized frame regardless of corpus bytes. The df
+    table is vocabulary-sized and broadcasts into the pair filter.
+
+    Returns the top-``k`` (term, rank) by rounded rank (6 dp), ties
+    broken on term — deterministic, so top-k membership is stable
+    across engines and partitionings.
+    """
+    from pspcz_analyzer_spark.functions.text import normalize_text
+    from pspcz_analyzer_spark.operators.graph import pagerank
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        id_col, F.split(normalize_text(text_col), " ").alias("__t")
+    )
+    terms = (
+        explode_notnull(toks, F.col("__t"), "term", keep=(id_col,))
+        .filter(F.length("term") >= min_term_len)
+        .distinct()
+    )
+    band = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= int(max_df_frac * n_docs))
+        )
+        .select("term")
+    )
+    adj = (
+        explode_notnull(
+            toks.filter(F.size("__t") >= 2),
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            "__bg",
+        )
+        .select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+        .join(F.broadcast(band).withColumnRenamed("term", "w1"), "w1")
+        .join(F.broadcast(band).withColumnRenamed("term", "w2"), "w2")
+    )
+    edges = adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).union(
+        adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    ranks = pagerank(
+        edges, damping=damping, n_iter=n_iter, node_type="string"
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("term"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "term")
+        .limit(k)
+    )

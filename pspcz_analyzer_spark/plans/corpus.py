@@ -925,6 +925,122 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+      FROM (
+        SELECT doc_id,
+               unnest([{{'w1': t[i], 'w2': t[i + 1]}}
+                       for i in range(1, len(t))]) AS p
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    model AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(n12) AS n1 FROM model GROUP BY w1),
+    voc AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks) WHERE w != ''
+    )
+    SELECT pairs.doc_id,
+           CAST(count(*) AS INTEGER) AS n_bigrams,
+           round(avg(-ln((model.n12 + 0.5)
+                         / (ctx.n1 + 0.5 * (voc.v + 1)))), 6) AS avg_neg_logp
+    FROM pairs
+    JOIN model USING (w1, w2)
+    JOIN ctx USING (w1), voc
+    GROUP BY pairs.doc_id
+    ORDER BY pairs.doc_id
+    """,
+    tags=("pipeline", "quality", "lm", "new-surface"),
+    priority=18,
+    doc="Bigram-LM perplexity (context-aware CCNet/KenLM-style filter, "
+    "self-trained): bigrams built inside the token array (zip_with of "
+    "shifted slices — zero shuffle, zero UDF), one pair-keyed training "
+    "aggregate, scoring joins + one doc-keyed mean "
+    "(operators/corpusprep.py::bigram_logprob_scores).",
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.corpusprep import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob_scores(docs).orderBy("doc_id")
+
+
+def _textrank_oracle_sql() -> str:
+    from pspcz_analyzer_spark.plans.relational import _pagerank_oracle_sql
+
+    edges = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS t
+      FROM documents
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    band AS MATERIALIZED (
+      SELECT term FROM (
+        SELECT term, count(*) AS df FROM (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(t) AS term FROM toks
+          ) WHERE length(term) >= 3
+        ) GROUP BY term
+      ), nd WHERE df >= 30 AND df <= floor(0.79 * nd.n)
+    ),
+    surv AS (
+      SELECT w1, w2 FROM (
+        SELECT p['w1'] AS w1, p['w2'] AS w2
+        FROM (
+          SELECT unnest([{{'w1': t[i], 'w2': t[i + 1]}}
+                         for i in range(1, len(t))]) AS p
+          FROM toks WHERE len(t) >= 2
+        )
+      ) adj
+      JOIN band b1 ON adj.w1 = b1.term
+      JOIN band b2 ON adj.w2 = b2.term
+      WHERE w1 != w2
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT w1 AS src, w2 AS dst FROM surv
+        UNION ALL
+        SELECT w2, w1 FROM surv
+      )
+    )"""
+    final = """
+    SELECT node AS term, round(rank, 6) AS rank
+    FROM r{last}
+    ORDER BY round(rank, 6) DESC, node
+    LIMIT 20"""
+    return _pagerank_oracle_sql(edges_sql=edges, final_sql=final)
+
+
+@register(
+    "doc_textrank_keywords",
+    oracle=_textrank_oracle_sql(),
+    tags=("pipeline", "graph", "keywords", "new-surface"),
+    priority=18,
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank "
+    "over the adjacent-word co-occurrence graph, df-banded to drop "
+    "noise terms and stopword hubs (operators/textual.py::"
+    "textrank_keywords). The corpus-sized pair explode collapses to a "
+    "vocabulary-squared-bounded DISTINCT, so the 10 iterations run over "
+    "a tiny graph at any corpus scale. Oracle: the same graph "
+    "construction + the same 10 unrolled MATERIALIZED-CTE PageRank "
+    "iterations the suppliers query pinned, on string nodes.",
+)
+def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.textual import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textrank_keywords(
+        docs, min_term_len=3, min_df=30, max_df_frac=0.79, k=20
+    )
+
+
+@register(
     "doc_duplicate_spans",
     oracle=f"""
     WITH toks AS (

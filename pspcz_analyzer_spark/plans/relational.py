@@ -1354,19 +1354,40 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+_PAGERANK_EDGES_SUPPLIERS = """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )"""
+
+_PAGERANK_FINAL_ALL_NODES = """
+    SELECT node, round(rank, 6) AS rank
+    FROM r{last}
+    ORDER BY round(rank, 6) DESC, node"""
+
+
+def _pagerank_oracle_sql(
+    n_iter: int = 10,
+    damping: float = 0.85,
+    edges_sql: str = _PAGERANK_EDGES_SUPPLIERS,
+    final_sql: str = _PAGERANK_FINAL_ALL_NODES,
+) -> str:
     """Unrolled fixed-iteration PageRank as plain SQL: the recursive-CTE
     route is closed (aggregates are not allowed in a recursive term), so
     the 10 iterations are generated as 10 MATERIALIZED CTE pairs
     (dangling-mass scalar + rank relation). MATERIALIZED is load-bearing:
     each iteration references its predecessor twice, so default inlining
-    would expand the base scans 2^10 times."""
+    would expand the base scans 2^10 times.
+
+    ``edges_sql`` opens the WITH clause and must define a CTE named
+    ``edges(src, dst)`` (any node type — the iteration template only
+    joins/groups on the columns); ``final_sql`` closes the statement and
+    may reference ``r{last}``, the final rank relation. This lets other
+    graphs (the TextRank word graph, citation graphs) reuse the exact
+    iteration template the suppliers query pinned against Spark."""
     parts = [
-        """
-    WITH edges AS MATERIALIZED (
-      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ),
+        edges_sql
+        + """,
     nodes AS MATERIALIZED (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ),
@@ -1398,12 +1419,7 @@ def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
                  GROUP BY e.dst) c ON n.node = c.node
     )"""
         )
-    parts.append(
-        f"""
-    SELECT node, round(rank, 6) AS rank
-    FROM r{n_iter}
-    ORDER BY round(rank, 6) DESC, node"""
-    )
+    parts.append(final_sql.format(last=n_iter))
     return "".join(parts)
 
 

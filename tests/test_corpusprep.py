@@ -656,6 +656,56 @@ class TestUnigramLogprob:
         assert [r.doc_id for r in out] == [1]
 
 
+class TestBigramLogprob:
+    def test_hand_probabilities(self, spark):
+        import math
+
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            bigram_logprob_scores,
+        )
+
+        # Corpus: "a b a" and "a b". Bigrams: (a,b)x2, (b,a)x1.
+        # Contexts: a->2, b->1. Unigram vocab V=2 (a, b).
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a b")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+        p_ab = (2 + 0.5) / (2 + 0.5 * 3)
+        p_ba = (1 + 0.5) / (1 + 0.5 * 3)
+        want1 = -(math.log(p_ab) + math.log(p_ba)) / 2
+        want2 = -math.log(p_ab)
+        assert out[1].n_bigrams == 2 and abs(out[1].avg_neg_logp - want1) < 1e-6
+        assert out[2].n_bigrams == 1 and abs(out[2].avg_neg_logp - want2) < 1e-6
+
+    def test_word_order_matters(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            bigram_logprob_scores,
+            unigram_logprob_scores,
+        )
+
+        # Same words, shuffled order: the unigram model cannot tell the
+        # docs apart; the bigram model penalizes the improbable order.
+        common = [(i, "the cat sat on the mat") for i in range(20)]
+        shuffled = [(100, "mat the on sat cat the")]
+        df = spark.createDataFrame(common + shuffled, "doc_id long, text string")
+        uni = {r.doc_id: r.avg_neg_logp for r in unigram_logprob_scores(df).collect()}
+        bi = {r.doc_id: r.avg_neg_logp for r in bigram_logprob_scores(df).collect()}
+        assert abs(uni[100] - uni[0]) < 1e-9  # unigram is blind
+        assert bi[100] > bi[0]  # bigram sees the broken order
+
+    def test_short_docs_drop(self, spark):
+        from pspcz_analyzer_spark.operators.corpusprep import (
+            bigram_logprob_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "solo"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = bigram_logprob_scores(df).collect()
+        assert [r.doc_id for r in out] == [1]
+
+
 class TestWeightedSample:
     """A-ES weighted sampling: deterministic, exact-k, and actually
     weight-proportional (checked by inclusion frequency across salts —

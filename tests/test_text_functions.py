@@ -378,3 +378,48 @@ class TestTermPMI:
         assert ("aaa", "bbb") in pairs and ("ddd", "eee") in pairs
         # No pair may cross the capped-out boundary of doc 1.
         assert ("aaa", "fff") not in pairs and ("ccc", "ddd") not in pairs
+
+
+class TestTextRank:
+    def test_hub_word_ranks_highest_and_band_drops_stopword(self, spark):
+        from pspcz_analyzer_spark.operators.textual import textrank_keywords
+
+        # "the" appears in every doc (df 4/4) -> dropped by max_df_frac
+        # 0.9; "core" is the structural hub of the remaining graph.
+        docs = [
+            (1, "the core spark engine"),
+            (2, "the core query planner"),
+            (3, "the core shuffle service"),
+            (4, "the lonely footnote"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = textrank_keywords(df, min_df=1, max_df_frac=0.9, k=50).collect()
+        terms = [r.term for r in got]
+        assert "the" not in terms
+        assert terms[0] == "core"  # highest-degree node wins
+        # Rank mass over the whole graph sums to ~1 (PageRank invariant;
+        # k=50 > vocabulary so nothing is cut).
+        assert abs(sum(r.rank for r in got) - 1.0) < 1e-4
+
+    def test_min_df_drops_singletons(self, spark):
+        from pspcz_analyzer_spark.operators.textual import textrank_keywords
+
+        docs = [
+            (1, "shared words here"),
+            (2, "shared words there"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = textrank_keywords(df, min_df=2, max_df_frac=1.0, k=50).collect()
+        terms = {r.term for r in got}
+        # df: shared=2, words=2, here/there=1 -> singletons dropped; the
+        # surviving graph is shared<->words.
+        assert terms == {"shared", "words"}
+
+    def test_deterministic_top_k(self, spark):
+        from pspcz_analyzer_spark.operators.textual import textrank_keywords
+
+        docs = [(i, "alpha beta gamma delta epsilon") for i in range(6)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        a = [tuple(r) for r in textrank_keywords(df, min_df=1, k=3).collect()]
+        b = [tuple(r) for r in textrank_keywords(df, min_df=1, k=3).collect()]
+        assert a == b and len(a) == 3
