@@ -653,3 +653,57 @@ def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_value_trend_ols",
+    oracle="""
+    WITH mn AS (SELECT min(ts) AS tmin FROM events),
+    x AS (
+      SELECT event_type,
+             datediff('microseconds', tmin, ts) / 86400e6 AS xd,
+             value
+      FROM events, mn
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(regr_slope(value, xd), 6) AS slope_per_day,
+           round(regr_intercept(value, xd), 6) AS intercept,
+           round(regr_r2(value, xd), 6) AS r2
+    FROM x
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("behavior", "regression", "profile", "new-surface"),
+    priority=18,
+    doc="Per-event-type OLS trend of value over time (drift/seasonality "
+    "probe for metric monitoring): slope and intercept from the "
+    "closed-form population moments (covar_pop / var_pop), r-squared "
+    "as corr^2 — all built-in JVM aggregates with map-side partials, "
+    "ONE type-keyed shuffle total, no window and no iteration. The "
+    "regression aggregate family (regr_slope / regr_intercept / "
+    "regr_r2 in the SQL standard) distributes exactly like avg: "
+    "each partial carries five running sums. x is days since the "
+    "corpus min timestamp (microsecond-exact), broadcast as a scalar.",
+)
+def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mn = F.broadcast(events.agg(F.min("ts").alias("tmin")))
+    xd = (
+        F.expr("timestampdiff(MICROSECOND, tmin, ts)").cast("double")
+        / F.lit(86400e6)
+    ).alias("xd")
+    x = events.crossJoin(mn).select("event_type", xd, "value")
+    slope = F.covar_pop("value", "xd") / F.var_pop("xd")
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(slope, 6).alias("slope_per_day"),
+            F.round(F.avg("value") - slope * F.avg("xd"), 6).alias(
+                "intercept"
+            ),
+            F.round(F.pow(F.corr("value", "xd"), 2), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )

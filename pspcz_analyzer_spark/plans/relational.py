@@ -1512,6 +1512,76 @@ def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, degree_ordered=True).orderBy("node")
 
 
+def _kcore_oracle_sql(k: int = 47, n_rounds: int = 8) -> str:
+    """Unrolled synchronous k-core peeling as MATERIALIZED CTEs: round i
+    recomputes degrees over edges whose BOTH endpoints survived round
+    i-1, then drops nodes under k. The k-core is a unique fixpoint, so
+    any round count >= the actual peel depth yields it; the engine
+    raises if the graph is still peeling past the same bound, keeping
+    the two sides comparable by construction."""
+    parts = [
+        """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT u.a AS node, count(*) AS d
+      FROM und u
+      JOIN a{p} x ON u.a = x.node
+      JOIN a{p} y ON u.b = y.node
+      GROUP BY u.a
+    ),
+    a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k})"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(d AS BIGINT) AS core_degree
+    FROM d{n_rounds} WHERE d >= {k}
+    ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "kcore_trade_graph",
+    oracle=_kcore_oracle_sql(k=47, n_rounds=8),
+    tags=("graph", "iterative", "kcore", "new-surface"),
+    priority=18,
+    doc="k-core decomposition (Seidman 1983; operators/graph.py::k_core) "
+    "of the bipartite buyer<->supplier trade graph at k=47: the maximal "
+    "subgraph where every member trades with >= 47 counterparties — "
+    "the density filter that precedes community detection and "
+    "dense-cluster mining. Synchronous peeling, one degree shuffle per "
+    "round over a MONOTONICALLY shrinking live-edge set; the k-core is "
+    "a unique confluent fixpoint, so the oracle replays the same "
+    "peeling as 8 unrolled MATERIALIZED-CTE rounds (>= the actual peel "
+    "depth; the engine raises past the same bound instead of returning "
+    "a non-core silently).",
+)
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import k_core
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return k_core(edges, k=47, max_rounds=8).orderBy("node")
+
+
 def _bfs_oracle_sql(n_iter: int = 4) -> str:
     """Unrolled multi-source BFS as MATERIALIZED CTEs (default inlining
     would re-expand each round's predecessor and go exponential — same

@@ -402,3 +402,80 @@ class TestLabelPropagation:
         left = {got[i] for i in range(5)}
         right = {got[i] for i in range(10, 15)}
         assert len(left) == 1 and len(right) == 1 and left != right
+
+
+class TestKCore:
+    def _brute_core(self, edges, k):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = set(adj)
+        while True:
+            drop = {
+                n for n in alive if sum(1 for m in adj[n] if m in alive) < k
+            }
+            if not drop:
+                break
+            alive -= drop
+        return {
+            n: sum(1 for m in adj[n] if m in alive) for n in alive
+        }
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        import random
+
+        from pspcz_analyzer_spark.operators.graph import k_core
+
+        rng = random.Random(7)
+        edges = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(40), rng.randrange(40)) for _ in range(180)
+                )
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for k in (2, 3, 5):
+            got = {
+                r["node"]: r["core_degree"]
+                for r in k_core(df, k=k, max_rounds=25).collect()
+            }
+            assert got == self._brute_core(edges, k)
+
+    def test_cascading_peel_multi_round(self, spark):
+        from itertools import combinations
+
+        from pspcz_analyzer_spark.operators.graph import k_core
+
+        # A 4-clique with a pendant chain 3-10-11-12: peeling at k=2
+        # removes the chain one node per round (12, then 11, then 10) —
+        # a genuine multi-round cascade — and keeps the clique intact.
+        edges = list(combinations(range(4), 2)) + [(3, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["core_degree"]
+            for r in k_core(df, k=2, max_rounds=8).collect()
+        }
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_empty_core_and_round_exhaustion(self, spark):
+        import pytest
+
+        from pspcz_analyzer_spark.operators.graph import k_core
+
+        # A path of 6 nodes has no 2-core: it peels from both ends in
+        # ceil(6/2) = 3 synchronous rounds to empty.
+        path = [(i, i + 1) for i in range(5)]
+        df = spark.createDataFrame(path, "src long, dst long")
+        assert k_core(df, k=2, max_rounds=8).count() == 0
+        # A long chain still peeling past max_rounds raises rather than
+        # silently returning a supergraph of the core.
+        long_path = [(i, i + 1) for i in range(30)]
+        df2 = spark.createDataFrame(long_path, "src long, dst long")
+        with pytest.raises(RuntimeError, match="did not stabilize"):
+            k_core(df2, k=2, max_rounds=3)
