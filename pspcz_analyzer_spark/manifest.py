@@ -110,6 +110,9 @@ def _commit(
     deletes: "list | None" = None,
     seq: dict | None = None,
     blooms: dict | None = None,
+    partitions: dict | None = None,
+    specs: "list | None" = None,
+    current_spec: int | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -129,7 +132,7 @@ def _commit(
     so time-travel semantics stay exact."""
     new_v = expected_version + 1
     prev_doc: dict = {}
-    if expected_version >= 1 and (seq is None or blooms is None):
+    if expected_version >= 1:
         try:
             prev_doc = read_manifest(path, expected_version)
         except FileNotFoundError:
@@ -145,6 +148,22 @@ def _commit(
         # bloom-less files conservatively, and ensure_blooms backfills.
         prev_bl = prev_doc.get("blooms") or {}
         blooms = {f: prev_bl[f] for f in files if f in prev_bl}
+    # Partition metadata (Iceberg's partition specs in minimal form):
+    # specs / current_spec carry forward verbatim unless the caller is
+    # evolving them; per-file partition VALUES follow the immutable-file
+    # rule (carried for survivors, merged with the caller's entries for
+    # new files). A file with no entry — pre-evolution data, or a rewrite
+    # output mixing partitions — is simply conservative at prune time.
+    if specs is None:
+        specs = prev_doc.get("specs")
+    if current_spec is None:
+        current_spec = prev_doc.get("current_spec")
+    prev_parts = prev_doc.get("partitions") or {}
+    merged_parts = {f: prev_parts[f] for f in files if f in prev_parts}
+    if partitions:
+        merged_parts.update(
+            {f: p for f, p in partitions.items() if f in set(files)}
+        )
     fs, path = get_fs(path)
     d = _manifest_dir(path)
     fs.makedirs(d)
@@ -168,6 +187,13 @@ def _commit(
         doc["deletes"] = [dict(d) for d in deletes]
     if blooms:
         doc["blooms"] = {f: blooms[f] for f in sorted(blooms)}
+    if specs is not None:
+        doc["specs"] = [list(s) for s in specs]
+        doc["current_spec"] = current_spec
+    if merged_parts:
+        doc["partitions"] = {
+            f: merged_parts[f] for f in sorted(merged_parts)
+        }
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
@@ -668,7 +694,16 @@ def append(
     _check_constraints(m, df)
     if txn is not None and (m.get("txns") or {}).get(txn[0], -1) >= txn[1]:
         return m["version"]  # replay: already applied
-    new_names = _stage_rewrites(df, path, "append")
+    spec_cols = current_partition_spec(path)
+    spec_cols = [c for c in spec_cols if c in df.columns]
+    if spec_cols:
+        # The table has a partition spec: lay the batch out one partition
+        # per file set and record each file's values in the manifest
+        # (partition evolution — older files simply have no entries).
+        new_names, new_parts = _stage_partitioned(df, path, "append", spec_cols)
+    else:
+        new_names = _stage_rewrites(df, path, "append")
+        new_parts = None
     fs, rel = get_fs(path)
     for attempt in range(max_commit_retries + 1):
         schema = _check_schema(
@@ -696,6 +731,7 @@ def append(
                 constraints=m.get("constraints"),
                 deletes=m.get("deletes"),
                 rows=_updated_rows(m, fs, rel, new_names),
+                partitions=new_parts,
             )
         except CommitConflict:
             if attempt == max_commit_retries:
@@ -705,6 +741,157 @@ def append(
                 _check_constraints(m2, df)  # rules changed underfoot
             m = m2
     raise AssertionError("unreachable")
+
+
+def set_partition_spec(path: str, cols: "list[str]") -> int:
+    """Evolve the table's partition spec (Iceberg partition evolution in
+    minimal form): a METADATA-ONLY commit that appends ``cols`` to the
+    spec history and makes it current. Existing data files are NEVER
+    rewritten — they simply have no partition values recorded, so
+    partition pruning keeps them conservatively (and manifest stats can
+    still skip them); every subsequent :func:`append` lays its files out
+    one-partition-per-file and records each file's partition values in
+    the manifest. Pass ``[]`` to evolve back to unpartitioned.
+
+    This is the evolution story object-store tables need: changing the
+    layout of 100 TB by rewriting is a week of IO; changing it for data
+    written from now on is one JSON commit.
+    """
+    m = read_manifest(path)
+    schema_cols = {n for n, _ in (m.get("schema") or [])}
+    unknown = [c for c in cols if schema_cols and c not in schema_cols]
+    if unknown:
+        raise ValueError(
+            f"partition columns {unknown} not in table schema at {path}"
+        )
+    specs = [list(s) for s in (m.get("specs") or [])]
+    if list(cols) in specs:
+        spec_id = specs.index(list(cols))
+    else:
+        specs.append(list(cols))
+        spec_id = len(specs) - 1
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"), deletes=m.get("deletes"),
+        seq=m.get("seq"), rows=m.get("rows"),
+        specs=specs, current_spec=spec_id,
+    )
+
+
+def current_partition_spec(path: str, version: int | None = None) -> "list[str]":
+    """The partition columns appends currently lay out by ([] if the
+    table is unpartitioned or predates partition specs)."""
+    m = read_manifest(path, version)
+    specs = m.get("specs") or []
+    cur = m.get("current_spec")
+    return list(specs[cur]) if cur is not None and cur < len(specs) else []
+
+
+def _stage_partitioned(
+    spark_df: DataFrame, path: str, prefix: str, cols: "list[str]"
+) -> "tuple[list[str], dict]":
+    """:func:`_stage_rewrites` honoring a partition spec: ONE write job
+    partitionBy's STRING COPIES of the partition columns (so the data
+    files keep the original columns — each output file is self-contained
+    and footer/manifest stats on the partition columns still work), then
+    the staged hive-layout leaves are renamed flat into the table dir
+    with their partition values parsed from the directory tokens.
+    Returns (new basenames, {basename: {col: token}}).
+
+    Tokens are Spark's hive-encoding of ``cast(col as string)`` (nulls
+    become ``__HIVE_DEFAULT_PARTITION__``) — equality pruning compares
+    the same encoding, so a mismatch genuinely proves absence."""
+    from urllib.parse import unquote
+
+    fs, rel = get_fs(path)
+    stage_name = f".stage_{uuid.uuid4().hex[:8]}"
+    pcols = [f"__p{i}" for i in range(len(cols))]
+    staged = spark_df
+    for c, pc in zip(cols, pcols):
+        staged = staged.withColumn(pc, F.col(c).cast("string"))
+    # One shuffle co-locating each partition value in one task before the
+    # hive-layout write (Delta's optimized write): one file per partition
+    # value instead of one per (task x value) — the small-file hazard of
+    # naive partitionBy at 1000 executors.
+    staged = staged.repartition(*[F.col(pc) for pc in pcols])
+    staged.write.mode("overwrite").partitionBy(*pcols).parquet(
+        os.path.join(path, stage_name)
+    )
+    stage_rel = os.path.join(rel, stage_name)
+    out, parts = [], {}
+    stack = [(stage_rel, {})]
+    i = 0
+    while stack:
+        d, vals = stack.pop()
+        for base in sorted(fs.listdir(d)):
+            p = os.path.join(d, base)
+            if "=" in base and not base.endswith(".parquet"):
+                pc, _, tok = base.partition("=")
+                if pc in pcols:
+                    col = cols[pcols.index(pc)]
+                    stack.append((p, {**vals, col: unquote(tok)}))
+                continue
+            if not base.endswith(".parquet"):
+                continue
+            if fs.parquet_file(p).metadata.num_rows == 0:
+                continue
+            name = f"{prefix}-{uuid.uuid4().hex[:12]}-{i}.parquet"
+            i += 1
+            fs.rename(p, os.path.join(rel, name))
+            out.append(name)
+            parts[name] = dict(vals)
+    fs.rmtree(stage_rel)
+    return out, parts
+
+
+def prune_files_partition(
+    path: str,
+    eq: "dict[str, object]",
+    version: int | None = None,
+) -> "tuple[list[str], int]":
+    """(files that may contain rows where every ``col = value`` holds,
+    total files) — decided from the manifest's recorded partition values
+    alone. A file with no recorded value for a column (pre-evolution
+    data, rewrite outputs) is conservatively kept; a file whose recorded
+    token differs from ``str(value)`` PROVABLY contains no matching row
+    (every row in it has that partition value) and is skipped. Composes
+    with :func:`prune_files` stats for the leftovers."""
+    m = read_manifest(path, version)
+    parts = m.get("partitions") or {}
+    kept = []
+    for f in m["files"]:
+        p = parts.get(f) or {}
+        ok = True
+        for col, val in eq.items():
+            if col in p and p[col] != str(val):
+                ok = False
+                break
+        if ok:
+            kept.append(f)
+    return kept, len(m["files"])
+
+
+def scan_manifest_table_partition(
+    spark: SparkSession,
+    path: str,
+    eq: "dict[str, object]",
+    version: int | None = None,
+) -> DataFrame:
+    """Equality scan with partition pruning: only files whose recorded
+    partition values can match enter the plan; the exact predicate still
+    applies (pre-evolution files carry no values and scan fully).
+    Equivalent to ``load_manifest_table(...).filter(AND of equalities)``
+    by construction."""
+    files, _total = prune_files_partition(path, eq, version)
+    pred = F.lit(True)
+    for col, val in eq.items():
+        pred = pred & (F.col(col) == F.lit(val))
+    if not files:
+        return load_manifest_table(spark, path, version).filter(pred).limit(0)
+    m = read_manifest(path, version)
+    return _with_deletes(spark, path, m, files).filter(pred)
 
 
 def add_column(path: str, name: str, dtype: str) -> int:
@@ -1380,6 +1567,12 @@ def restore(path: str, version: int) -> int:
         deletes=target.get("deletes"),
         seq=target.get("seq"),
         rows=target.get("rows"),
+        # Partition metadata restores with the files it describes (the
+        # current version may have dropped entries for files the target
+        # still references); spec history restores to the target's view.
+        partitions=target.get("partitions"),
+        specs=target.get("specs"),
+        current_spec=target.get("current_spec"),
     )
 
 

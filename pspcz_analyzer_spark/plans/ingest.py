@@ -691,6 +691,71 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_partition_evolution",
+    oracle="""
+    SELECT user_id % 7 AS user_bucket,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id % 7
+    ORDER BY user_bucket
+    """,
+    tags=("S10", "manifest", "partition-evolution", "scale"),
+    doc="Iceberg-style partition evolution (manifest.py::"
+    "set_partition_spec / _stage_partitioned / prune_files_partition): "
+    "the table starts UNPARTITIONED (2/3 of events adopted as plain "
+    "files), one metadata-only commit makes event_type the current "
+    "spec, and the next append lays its batch out one-file-per-type "
+    "with the values recorded in the manifest — no rewrite of existing "
+    "data, the only affordable layout change at 100 TB. The equality "
+    "scan then provably skips every post-evolution file of the other "
+    "types while keeping pre-evolution files conservatively (asserted "
+    "in-query), and still equals the plain filtered scan — the oracle.",
+    priority=18,
+)
+def manifest_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    b1 = events.filter(F.col("event_id") % 3 != 0)
+    b2 = events.filter(F.col("event_id") % 3 == 0)
+    path = _scratch(sf_dir, "events_part_evo")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(b1, path, "event_id", num_partitions=6)
+    M.manifest_init(path)
+    M.set_partition_spec(path, ["event_type"])
+    M.append(b2, path)
+    m = M.read_manifest(path)
+    parts = m.get("partitions") or {}
+    kept, total = M.prune_files_partition(path, {"event_type": "purchase"})
+    # Every post-evolution file of another type is skipped; every
+    # pre-evolution file (no recorded values) is conservatively kept.
+    assert all(
+        f in kept for f in m["files"] if f not in parts
+    ), "pre-evolution files must be kept"
+    assert all(
+        (parts[f]["event_type"] == "purchase") == (f in kept)
+        for f in parts
+    ), "partition pruning must keep exactly the matching files"
+    assert len(kept) < total, "evolution must enable some skipping"
+    return (
+        M.scan_manifest_table_partition(spark, path, {"event_type": "purchase"})
+        .groupBy((F.col("user_id") % 7).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@register(
     "manifest_cdc_roundtrip",
     oracle="""
     WITH base AS (

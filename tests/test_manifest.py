@@ -1519,3 +1519,109 @@ class TestBloomAutoSizing:
         for key in range(0, 50_000, 7919):
             kept, _ = M.prune_files_bloom(path, "k", key)
             assert kept, key
+
+
+class TestPartitionEvolution:
+    @staticmethod
+    def _mk(spark, tmp_path):
+        df = spark.range(60).select(
+            F.col("id"),
+            F.when(F.col("id") % 3 == 0, "red")
+            .when(F.col("id") % 3 == 1, "green")
+            .otherwise("blue")
+            .alias("color"),
+        )
+        path = str(tmp_path / "ptab")
+        write_range_sorted(df.filter(F.col("id") < 30), path, "id", 2)
+        M.manifest_init(path, stat_cols=["id"])
+        return path, df
+
+    def test_spec_validates_against_schema(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="not in table schema"):
+            M.set_partition_spec(path, ["no_such_col"])
+
+    def test_append_records_values_and_prunes_exactly(self, spark, tmp_path):
+        path, df = self._mk(spark, tmp_path)
+        assert M.current_partition_spec(path) == []
+        M.set_partition_spec(path, ["color"])
+        assert M.current_partition_spec(path) == ["color"]
+        M.append(df.filter(F.col("id") >= 30), path)
+        m = M.read_manifest(path)
+        parts = m.get("partitions") or {}
+        # Each appended file carries exactly one color; all three appear.
+        assert {p["color"] for p in parts.values()} == {"red", "green", "blue"}
+        kept, total = M.prune_files_partition(path, {"color": "red"})
+        pre = [f for f in m["files"] if f not in parts]
+        assert set(pre) <= set(kept)  # conservative for pre-evolution
+        for f, p in parts.items():
+            assert (f in kept) == (p["color"] == "red")
+        # Scan equals the unpruned filtered read.
+        got = sorted(
+            r.id
+            for r in M.scan_manifest_table_partition(
+                spark, path, {"color": "red"}
+            ).collect()
+        )
+        want = sorted(
+            r.id
+            for r in M.load_manifest_table(spark, path)
+            .filter(F.col("color") == "red")
+            .collect()
+        )
+        assert got == want and len(got) == 20
+
+    def test_null_partition_values_never_match_equality(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        M.set_partition_spec(path, ["color"])
+        nulls = spark.range(100, 104).select(
+            "id", F.lit(None).cast("string").alias("color")
+        )
+        M.append(nulls, path)
+        m = M.read_manifest(path)
+        parts = m.get("partitions") or {}
+        null_files = [
+            f for f, p in parts.items()
+            if p["color"] == "__HIVE_DEFAULT_PARTITION__"
+        ]
+        assert null_files  # the null batch landed with the hive token
+        kept, _ = M.prune_files_partition(path, {"color": "red"})
+        assert not set(null_files) & set(kept)  # null rows can't equal 'red'
+
+    def test_partition_metadata_survives_delete_and_restore(
+        self, spark, tmp_path
+    ):
+        path, df = self._mk(spark, tmp_path)
+        M.set_partition_spec(path, ["color"])
+        M.append(df.filter(F.col("id") >= 30), path)
+        v_part = M.current_version(path)
+        parts_before = M.read_manifest(path).get("partitions") or {}
+        M.delete_keys(spark, path, "id", [5, 7])  # rewrites pre-evo files only
+        m = M.read_manifest(path)
+        surviving = {
+            f: p
+            for f, p in (m.get("partitions") or {}).items()
+            if f in set(m["files"])
+        }
+        assert surviving == {
+            f: p for f, p in parts_before.items() if f in set(m["files"])
+        }
+        assert M.current_partition_spec(path) == ["color"]
+        M.restore(path, v_part)
+        m2 = M.read_manifest(path)
+        assert (m2.get("partitions") or {}) == parts_before
+        assert M.current_partition_spec(path) == ["color"]
+
+    def test_evolve_back_to_unpartitioned(self, spark, tmp_path):
+        path, df = self._mk(spark, tmp_path)
+        M.set_partition_spec(path, ["color"])
+        M.append(df.filter((F.col("id") >= 30) & (F.col("id") < 40)), path)
+        M.set_partition_spec(path, [])
+        assert M.current_partition_spec(path) == []
+        M.append(df.filter(F.col("id") >= 40), path)
+        m = M.read_manifest(path)
+        parts = m.get("partitions") or {}
+        # The partitioned-era files keep their values; the new batch has
+        # none. Full reads see every row regardless of layout era.
+        assert parts and all("color" in p for p in parts.values())
+        assert M.load_manifest_table(spark, path).count() == 60
