@@ -128,6 +128,12 @@ HEADLINE = [
     "events_decayed_value",
     "orders_scd2_asof_segment",
     "manifest_bloom_point_lookup",
+    # Round-6 third wave.
+    "doc_bigram_perplexity",
+    "doc_textrank_keywords",
+    "kcore_trade_graph",
+    "events_value_trend_ols",
+    "manifest_partition_evolution",
 ]
 
 

@@ -695,7 +695,9 @@ def append(
     if txn is not None and (m.get("txns") or {}).get(txn[0], -1) >= txn[1]:
         return m["version"]  # replay: already applied
     spec_cols = current_partition_spec(path)
-    spec_cols = [c for c in spec_cols if c in df.columns]
+    spec_cols = [
+        c for c in spec_cols if _parse_transform(c)[2] in df.columns
+    ]
     if spec_cols:
         # The table has a partition spec: lay the batch out one partition
         # per file set and record each file's values in the manifest
@@ -743,6 +745,80 @@ def append(
     raise AssertionError("unreachable")
 
 
+def _parse_transform(entry: str) -> "tuple[str, int | None, str]":
+    """Parse a partition-spec entry into (kind, param, source_col).
+
+    Supported (Iceberg's transform catalog in minimal form):
+      ``col``                identity — partition by cast(col as string)
+      ``bucket(N, col)``     Knuth multiplicative hash mod N (portable
+                             integer arithmetic, replayable in any engine
+                             — the same hash the split/bucketing ops use)
+      ``truncate(W, col)``   integers: col - (col % W); width-W ranges
+      ``day(col)``           yyyy-MM-dd of a timestamp/date column
+    """
+    import re
+
+    m = re.fullmatch(r"\s*(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*", entry)
+    if m:
+        return m.group(1), int(m.group(2)), m.group(3)
+    m = re.fullmatch(r"\s*day\(\s*(\w+)\s*\)\s*", entry)
+    if m:
+        return "day", None, m.group(1)
+    m = re.fullmatch(r"\s*(\w+)\s*", entry)
+    if m:
+        return "identity", None, m.group(1)
+    raise ValueError(f"unsupported partition transform: {entry!r}")
+
+
+_KNUTH = 2654435761  # 2^32/phi — the repo's portable multiplicative hash
+
+
+def _transform_expr(entry: str):
+    """The Spark column computing ``entry``'s partition token."""
+    kind, param, col = _parse_transform(entry)
+    c = F.col(col)
+    if kind == "identity":
+        return c.cast("string")
+    if kind == "bucket":
+        return (
+            F.pmod(
+                F.pmod(c.cast("long") * F.lit(_KNUTH), F.lit(1 << 32)),
+                F.lit(param),
+            )
+        ).cast("string")
+    if kind == "truncate":
+        return (c.cast("long") - F.pmod(c.cast("long"), F.lit(param))).cast(
+            "string"
+        )
+    if kind == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    raise AssertionError(kind)
+
+
+def _transform_value(entry: str, value) -> str:
+    """The token a row with source-column ``value`` lands in — the
+    Python twin of :func:`_transform_expr`, evaluated at PLAN time so an
+    equality predicate on the SOURCE column prunes through the transform
+    (Iceberg's hidden partitioning: the query never mentions the
+    transform). Must match the Spark expression token-for-token."""
+    import datetime as _dt
+
+    kind, param, _col = _parse_transform(entry)
+    if kind == "identity":
+        return str(value)
+    if kind == "bucket":
+        return str(((int(value) * _KNUTH) % (1 << 32)) % param)
+    if kind == "truncate":
+        v = int(value)
+        return str(v - (v % param))  # Python % matches pmod for param > 0
+    if kind == "day":
+        if isinstance(value, (_dt.datetime, _dt.date)):
+            d = value.date() if isinstance(value, _dt.datetime) else value
+            return d.isoformat()
+        return str(value)[:10]
+    raise AssertionError(kind)
+
+
 def set_partition_spec(path: str, cols: "list[str]") -> int:
     """Evolve the table's partition spec (Iceberg partition evolution in
     minimal form): a METADATA-ONLY commit that appends ``cols`` to the
@@ -753,13 +829,24 @@ def set_partition_spec(path: str, cols: "list[str]") -> int:
     one-partition-per-file and records each file's partition values in
     the manifest. Pass ``[]`` to evolve back to unpartitioned.
 
+    Entries may be TRANSFORMS — ``"bucket(16, user_id)"``,
+    ``"truncate(100, event_id)"``, ``"day(ts)"`` — Iceberg's hidden
+    partitioning: queries keep filtering on the raw column and
+    :func:`prune_files_partition` maps predicate values through the same
+    transform at plan time, so high-cardinality keys get bounded file
+    counts without the query ever naming the transform.
+
     This is the evolution story object-store tables need: changing the
     layout of 100 TB by rewriting is a week of IO; changing it for data
     written from now on is one JSON commit.
     """
     m = read_manifest(path)
     schema_cols = {n for n, _ in (m.get("schema") or [])}
-    unknown = [c for c in cols if schema_cols and c not in schema_cols]
+    parsed = [_parse_transform(c) for c in cols]  # validates syntax
+    unknown = [
+        e for e, (_k, _p, src) in zip(cols, parsed)
+        if schema_cols and src not in schema_cols
+    ]
     if unknown:
         raise ValueError(
             f"partition columns {unknown} not in table schema at {path}"
@@ -810,7 +897,7 @@ def _stage_partitioned(
     pcols = [f"__p{i}" for i in range(len(cols))]
     staged = spark_df
     for c, pc in zip(cols, pcols):
-        staged = staged.withColumn(pc, F.col(c).cast("string"))
+        staged = staged.withColumn(pc, _transform_expr(c))
     # One shuffle co-locating each partition value in one task before the
     # hive-layout write (Delta's optimized write): one file per partition
     # value instead of one per (task x value) — the small-file hazard of
@@ -853,19 +940,23 @@ def prune_files_partition(
 ) -> "tuple[list[str], int]":
     """(files that may contain rows where every ``col = value`` holds,
     total files) — decided from the manifest's recorded partition values
-    alone. A file with no recorded value for a column (pre-evolution
-    data, rewrite outputs) is conservatively kept; a file whose recorded
-    token differs from ``str(value)`` PROVABLY contains no matching row
-    (every row in it has that partition value) and is skipped. Composes
-    with :func:`prune_files` stats for the leftovers."""
+    alone. ``eq`` is keyed by SOURCE columns: a file partitioned by a
+    TRANSFORM of the column (bucket/truncate/day — Iceberg's hidden
+    partitioning) still prunes, because the same transform maps the
+    predicate value to its only possible token at plan time. A file with
+    no recorded value involving the column (pre-evolution data, rewrite
+    outputs) is conservatively kept; a token mismatch PROVABLY excludes
+    every row in the file. Composes with :func:`prune_files` stats for
+    the leftovers."""
     m = read_manifest(path, version)
     parts = m.get("partitions") or {}
     kept = []
     for f in m["files"]:
         p = parts.get(f) or {}
         ok = True
-        for col, val in eq.items():
-            if col in p and p[col] != str(val):
+        for entry, token in p.items():
+            src = _parse_transform(entry)[2]
+            if src in eq and token != _transform_value(entry, eq[src]):
                 ok = False
                 break
         if ok:

@@ -1625,3 +1625,76 @@ class TestPartitionEvolution:
         # none. Full reads see every row regardless of layout era.
         assert parts and all("color" in p for p in parts.values())
         assert M.load_manifest_table(spark, path).count() == 60
+
+
+class TestHiddenPartitioning:
+    def test_bucket_transform_prunes_point_lookups(self, spark, tmp_path):
+        df = spark.range(400).select(F.col("id").alias("user_id"))
+        path = str(tmp_path / "hbuck")
+        write_range_sorted(df.filter(F.col("user_id") < 200), path, "user_id", 2)
+        M.manifest_init(path)
+        M.set_partition_spec(path, ["bucket(8, user_id)"])
+        M.append(df.filter(F.col("user_id") >= 200), path)
+        m = M.read_manifest(path)
+        parts = m.get("partitions") or {}
+        # 8 buckets -> 8 appended files, keyed by the transform entry.
+        assert len(parts) == 8
+        assert all(set(p) == {"bucket(8, user_id)"} for p in parts.values())
+        # A point lookup on the RAW column prunes to 1-of-8 new files
+        # (hidden partitioning: the query never names the transform).
+        kept, total = M.prune_files_partition(path, {"user_id": 333})
+        new_kept = [f for f in kept if f in parts]
+        assert len(new_kept) == 1
+        tok = ((333 * 2654435761) % (1 << 32)) % 8
+        assert parts[new_kept[0]]["bucket(8, user_id)"] == str(tok)
+        got = sorted(
+            r.user_id
+            for r in M.scan_manifest_table_partition(
+                spark, path, {"user_id": 333}
+            ).collect()
+        )
+        assert got == [333]
+
+    def test_truncate_and_day_transforms(self, spark, tmp_path):
+        import datetime
+
+        df = spark.sql(
+            """SELECT id AS event_id,
+                      timestamp'2024-03-01 00:00:00'
+                        + make_interval(0,0,0,0,0,0, id*2000) AS ts
+               FROM range(200)"""
+        )
+        path = str(tmp_path / "hday")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path)
+        M.set_partition_spec(path, ["truncate(100, event_id)", "day(ts)"])
+        M.append(df, path)
+        m = M.read_manifest(path)
+        parts = m.get("partitions") or {}
+        toks = {
+            (p["truncate(100, event_id)"], p["day(ts)"]) for p in parts.values()
+        }
+        assert all(t[0] in ("0", "100") for t in toks)
+        # Conjunctive hidden pruning on both raw columns; the predicate
+        # timestamp is recomputed from the generator formula.
+        ts137 = datetime.datetime(2024, 3, 1) + datetime.timedelta(
+            seconds=137 * 2000
+        )
+        kept, _ = M.prune_files_partition(path, {"event_id": 137, "ts": ts137})
+        # Exactly one PARTITIONED file survives; the adopted (empty,
+        # pre-evolution) part has no entries and is kept conservatively.
+        assert len([f for f in kept if f in parts]) == 1
+        rows = M.scan_manifest_table_partition(
+            spark, path, {"event_id": 137, "ts": ts137}
+        ).collect()
+        assert [r.event_id for r in rows] == [137]
+
+    def test_bad_transform_rejected(self, spark, tmp_path):
+        df = spark.range(4).select(F.col("id").alias("user_id"))
+        path = str(tmp_path / "hbad")
+        df.write.parquet(path)
+        M.manifest_init(path)
+        with pytest.raises(ValueError, match="unsupported partition transform"):
+            M.set_partition_spec(path, ["bucket(user_id)"])
+        with pytest.raises(ValueError, match="not in table schema"):
+            M.set_partition_spec(path, ["bucket(8, ghost)"])
