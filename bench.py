@@ -134,6 +134,7 @@ HEADLINE = [
     "kcore_trade_graph",
     "events_value_trend_ols",
     "manifest_partition_evolution",
+    "hits_trade_graph",
 ]
 
 

@@ -586,3 +586,87 @@ def k_core(
         f"k_core did not stabilize in {max_rounds} rounds (graph is "
         "still peeling); raise max_rounds"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hub and authority scores
+    over a directed edge list — the complement of PageRank for BIPARTITE
+    influence structure (buyers that concentrate trade vs suppliers that
+    attract it; pages that link well vs pages worth linking to).
+
+    Each iteration: authority = normalized inflow of hub mass
+    (``a[j] = sum h[i] over edges i->j``), then hub = normalized inflow
+    of authority mass back (``h[i] = sum a[j] over edges i->j``); L1
+    normalization each half-step (sum = 1 — same ranking as Kleinberg's
+    L2, but exactly replayable as one scalar-divide in SQL, no sqrt
+    conditioning). Scores start uniform at 1. Fixed ``n_iter`` keeps the
+    result a pure function of the graph, so the DuckDB oracle replays
+    the same unrolled rounds — the contract every iterative op here
+    follows.
+
+    Scale shape: per iteration exactly TWO node-keyed shuffles (the
+    authority aggregate and the hub aggregate); each norm is a one-row
+    aggregate broadcast-crossed into the same job; per-round
+    localCheckpoint keeps plans constant-size. Nodes with no in-edges
+    have authority 0; no out-edges, hub 0.
+
+    Returns (node, hub, authority), unrounded (callers round once at
+    the output edge).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Scores live ONLY on nodes that can hold mass (hub: has out-edges,
+    # authority: has in-edges) — absent nodes are exactly 0 and
+    # contribute nothing to the next aggregate, so the node-universe
+    # fill happens ONCE at the output instead of per half-step. Each
+    # half-step checkpoints the RAW aggregate (one edge-join job) and
+    # derives the normalized frame lazily from it — the norm is then a
+    # node-sized aggregate, and the edge join runs exactly once per
+    # half-step (2 edge joins/iteration, the formulation's minimum).
+    h = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "h", F.lit(1.0)
+    ).localCheckpoint()
+    a = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("h").alias("__v"))
+            .localCheckpoint()
+        )
+        a = a_raw.crossJoin(
+            F.broadcast(a_raw.agg(F.sum("__v").alias("__n")))
+        ).select("node", (F.col("__v") / F.col("__n")).alias("auth"))
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.sum("auth").alias("__v"))
+            .localCheckpoint()
+        )
+        h = h_raw.crossJoin(
+            F.broadcast(h_raw.agg(F.sum("__v").alias("__n")))
+        ).select("node", (F.col("__v") / F.col("__n")).alias("h"))
+    out = (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("authority"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

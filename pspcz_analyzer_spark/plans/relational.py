@@ -1512,6 +1512,91 @@ def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, degree_ordered=True).orderBy("node")
 
 
+def _hits_oracle_sql(n_iter: int = 10) -> str:
+    """Unrolled fixed-iteration HITS as MATERIALIZED CTEs: each round is
+    an authority relation + norm scalar, then a hub relation + norm
+    scalar — the same replay contract as the PageRank/BFS/k-core
+    oracles (L1 normalization makes each half-step one scalar divide,
+    exactly replayable without sqrt conditioning)."""
+    parts = [
+        """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    ar{i} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h.v) AS v
+      FROM edges e JOIN h{p} h ON e.src = h.node GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT n.node,
+             COALESCE(r.v, 0) / (SELECT sum(v) FROM ar{i}) AS v
+      FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS node, sum(a.v) AS v
+      FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT n.node,
+             COALESCE(r.v, 0) / (SELECT sum(v) FROM hr{i}) AS v
+      FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT h.node, round(h.v, 6) AS hub, round(a.v, 6) AS authority
+    FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node
+    ORDER BY h.node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "hits_trade_graph",
+    oracle=_hits_oracle_sql(n_iter=5),
+    tags=("graph", "iterative", "hits", "new-surface"),
+    priority=18,
+    doc="Fixed-iteration HITS (Kleinberg 1999; operators/graph.py::hits) "
+    "over the bipartite buyer->supplier trade graph: hub scores rank "
+    "buyers that concentrate trade, authority scores rank suppliers "
+    "that attract it — the centrality complement of pagerank_suppliers "
+    "on the SAME edges, so the two queries share scan shape. 5 "
+    "iterations (each is TWO edge shuffles — twice pagerank's per-round "
+    "cost — and hub/authority rankings stabilize well before 5 on this "
+    "graph), L1-normalized each half-step with one-row norm broadcasts. "
+    "Oracle: the same rounds unrolled as MATERIALIZED CTEs, 6-decimal "
+    "agreement.",
+)
+def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import hits
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return (
+        hits(edges, n_iter=5)
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy("node")
+    )
+
+
 def _kcore_oracle_sql(k: int = 47, n_rounds: int = 8) -> str:
     """Unrolled synchronous k-core peeling as MATERIALIZED CTEs: round i
     recomputes degrees over edges whose BOTH endpoints survived round

@@ -479,3 +479,49 @@ class TestKCore:
         df2 = spark.createDataFrame(long_path, "src long, dst long")
         with pytest.raises(RuntimeError, match="did not stabilize"):
             k_core(df2, k=2, max_rounds=3)
+
+
+class TestHits:
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.graph import hits
+
+        edges = [(0, 10), (0, 11), (1, 10), (2, 11), (2, 12), (3, 12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["hub"], r["authority"])
+            for r in hits(df, n_iter=10).collect()
+        }
+        nodes = sorted({n for e in edges for n in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for s, d in edges:
+            A[idx[s], idx[d]] = 1.0
+        h = np.ones(len(nodes))
+        for _ in range(10):
+            a = A.T @ h
+            a /= a.sum()
+            h = A @ a
+            h /= h.sum()
+        for n in nodes:
+            assert abs(got[n][0] - h[idx[n]]) < 1e-9
+            assert abs(got[n][1] - a[idx[n]]) < 1e-9
+
+    def test_bipartite_roles(self, spark):
+        from pspcz_analyzer_spark.operators.graph import hits
+
+        # Pure bipartite: sources have authority 0, sinks have hub 0;
+        # the doubly-linked sink is the stronger authority.
+        edges = [(0, 10), (1, 10), (2, 11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["hub"], r["authority"])
+            for r in hits(df, n_iter=5).collect()
+        }
+        assert all(got[n][1] == 0.0 for n in (0, 1, 2))
+        assert all(got[n][0] == 0.0 for n in (10, 11))
+        assert got[10][1] > got[11][1]
+        # Each L1-normalized vector sums to 1.
+        assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+        assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
