@@ -135,6 +135,10 @@ HEADLINE = [
     "events_value_trend_ols",
     "manifest_partition_evolution",
     "hits_trade_graph",
+    "orders_price_position",
+    "corpus_ppl_buckets",
+    "corpus_ngram_diversity",
+    "events_robust_outliers",
 ]
 
 

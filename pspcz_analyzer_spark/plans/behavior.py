@@ -707,3 +707,73 @@ def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 6) AS median_value,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN round(0.6745 * d.adev / m.mad, 6) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    tags=("behavior", "robust-stats", "profile", "new-surface"),
+    priority=18,
+    doc="Robust outlier detection per event type via median/MAD "
+    "(Iglewicz-Hoaglin modified z-score, |0.6745*(x-med)/MAD| > 3.5): "
+    "the heavy-tail-safe complement of events_anomaly_zscore — mean/"
+    "stddev are themselves dragged by the outliers they're meant to "
+    "find. Two type-keyed aggregates (exact interpolated percentile, "
+    "Spark's percentile == DuckDB's quantile_cont) + one flagging "
+    "pass; the flag tests the ROUNDED score so the threshold can't "
+    "flip on engine float noise. Per-group state is one number per "
+    "aggregate — no window, no sort of the fact table.",
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("median_value"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.round(
+                        F.lit(0.6745) * F.col("adev") / F.col("mad"), 6
+                    )
+                    > 3.5,
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

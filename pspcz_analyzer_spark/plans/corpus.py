@@ -1589,3 +1589,112 @@ def doc_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.ranking import inverted_index
 
     return inverted_index(load_table(spark, sf_dir, "documents")).orderBy("term")
+
+
+@register(
+    "corpus_ppl_buckets",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_NORM.format(c="text")}, ' ')) AS w
+      FROM documents
+    ),
+    dw AS (SELECT doc_id, w FROM words WHERE w != ''),
+    wc AS (SELECT w AS word, count(*) AS n FROM dw GROUP BY w),
+    tot AS (SELECT sum(n) AS t, count(*) AS v FROM wc),
+    scores AS (
+      SELECT dw.doc_id,
+             round(avg(-ln((COALESCE(wc.n, 0) + 0.5)
+                           / (tot.t + 0.5 * (tot.v + 1)))), 6) AS avg_neg_logp
+      FROM dw LEFT JOIN wc ON dw.w = wc.word, tot
+      GROUP BY dw.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.avg_neg_logp,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_neg_logp, s.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scores s JOIN documents d USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+    tags=("pipeline", "quality", "lm", "ccnet", "new-surface"),
+    priority=18,
+    doc="CCNet's head/middle/tail perplexity bucketing (Wenzek et al. "
+    "2020), per language: the self-trained unigram LM scores each doc, "
+    "then per-lang tertiles assign the bucket — the mixture knob CCNet "
+    "pipelines feed downstream (train on head+middle, drop tail). One "
+    "lang-partitioned ntile window over the doc-sized score frame; ties "
+    "break on (score, doc_id) so bucket membership is deterministic "
+    "across engines and partitionings.",
+)
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pspcz_analyzer_spark.operators.corpusprep import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(docs.select("doc_id", "text"))
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_neg_logp",
+            F.when(F.ntile(3).over(w) == 1, "head")
+            .when(F.ntile(3).over(w) == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_ngram_diversity",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')
+             )) AS g
+      FROM norm
+    )
+    SELECT d.source,
+           count(*) AS n_ngrams,
+           count(DISTINCT g) AS n_distinct_ngrams,
+           round(count(DISTINCT g) / count(*), 6) AS ttr
+    FROM sh JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    tags=("pipeline", "quality", "diversity", "new-surface"),
+    priority=18,
+    doc="Corpus-level n-gram diversity per source (trigram type-token "
+    "ratio): the cross-document complement of doc_repetition_stats — a "
+    "source whose TTR collapses is templated/duplicated content even "
+    "when each individual doc looks clean, the standard diversity "
+    "monitor for synthetic-data and scraped-source intake. One shingle "
+    "explode + one source-keyed distinct aggregate.",
+)
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.dedup import _shingle_arrays
+    from pspcz_analyzer_spark.operators.partitioning import explode_notnull
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_arrays(docs, "doc_id", "text", 3, distinct=False)
+    grams = explode_notnull(sh, F.col("__sh"), "g", keep=("doc_id",))
+    return (
+        grams.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count_distinct("g").alias("n_distinct_ngrams"),
+            F.round(F.count_distinct("g") / F.count(F.lit(1)), 6).alias("ttr"),
+        )
+        .orderBy("source")
+    )

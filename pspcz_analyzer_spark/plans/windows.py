@@ -638,3 +638,43 @@ def events_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.round("sum_value", 6).alias("sum_value"), "cnt")
         .orderBy("user_id")
     )
+
+
+@register(
+    "orders_price_position",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("W2", "window", "analytics", "new-surface"),
+    priority=18,
+    doc="Distribution-position analytics (percent_rank / cume_dist / "
+    "ntile) of every order's price within its priority class — the "
+    "SQL-standard window-analytics family the engine had not yet "
+    "exposed as a query. One priority-keyed window shuffle serves all "
+    "three functions; the (price, orderkey) total order makes ntile's "
+    "tie placement deterministic, so the buckets hash-match across "
+    "engines.",
+)
+def orders_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
