@@ -139,6 +139,7 @@ HEADLINE = [
     "corpus_ppl_buckets",
     "corpus_ngram_diversity",
     "events_robust_outliers",
+    "manifest_rename_roundtrip",
 ]
 
 

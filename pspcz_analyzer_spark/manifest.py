@@ -113,6 +113,7 @@ def _commit(
     partitions: dict | None = None,
     specs: "list | None" = None,
     current_spec: int | None = None,
+    colmap: dict | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -158,6 +159,11 @@ def _commit(
         specs = prev_doc.get("specs")
     if current_spec is None:
         current_spec = prev_doc.get("current_spec")
+    if colmap is None:
+        # Logical -> physical column mapping (Delta column mapping in
+        # minimal form): carried verbatim — renames are metadata, the
+        # physical name in every data file is immutable.
+        colmap = prev_doc.get("colmap")
     prev_parts = prev_doc.get("partitions") or {}
     merged_parts = {f: prev_parts[f] for f in files if f in prev_parts}
     if partitions:
@@ -190,6 +196,8 @@ def _commit(
     if specs is not None:
         doc["specs"] = [list(s) for s in specs]
         doc["current_spec"] = current_spec
+    if colmap:
+        doc["colmap"] = {k: colmap[k] for k in sorted(colmap)}
     if merged_parts:
         doc["partitions"] = {
             f: merged_parts[f] for f in sorted(merged_parts)
@@ -330,12 +338,34 @@ def _read_files(
     if not schema:
         return df
     have = set(df.columns)
+    colmap = m.get("colmap") or {}
     return df.select(
         *[
-            F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+            (
+                F.col(colmap.get(n, n)).alias(n)
+                if colmap.get(n, n) in have
+                else F.lit(None).cast(t).alias(n)
+            )
             for n, t in schema
         ]
     )
+
+
+def _physical_col(m: dict, col: str) -> str:
+    """The physical (data-file) name of a logical column — identity when
+    the table has no column mapping or the column was never renamed.
+    Footer stats, manifest stats, and bloom/key files are ALL keyed by
+    physical names, so every metadata lookup routes through here."""
+    return (m.get("colmap") or {}).get(col, col)
+
+
+def _logical_col(m: dict, phys: str) -> str:
+    """The current logical name of a physical column (inverse of
+    :func:`_physical_col`)."""
+    for logical, p in (m.get("colmap") or {}).items():
+        if p == phys:
+            return logical
+    return phys
 
 
 def _with_deletes(
@@ -364,10 +394,16 @@ def _with_deletes(
         for i in applicable:
             bycol.setdefault(dels[i]["key_col"], []).append(dels[i]["file"])
         for col, dfiles in bycol.items():
-            keys_df = spark.read.parquet(
-                *[os.path.join(path, x) for x in dfiles]
-            ).select(col).distinct()
-            df = df.join(F.broadcast(keys_df), col, "left_anti")
+            # Entries store the PHYSICAL key column (what the key files
+            # carry); the anti-join runs on its CURRENT logical name, so
+            # pending deletes survive a later rename.
+            logical = _logical_col(m, col)
+            keys_df = (
+                spark.read.parquet(*[os.path.join(path, x) for x in dfiles])
+                .select(F.col(col).alias(logical))
+                .distinct()
+            )
+            df = df.join(F.broadcast(keys_df), logical, "left_anti")
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
@@ -463,9 +499,10 @@ def prune_files(
     kept; skipping is only ever an optimization, never a filter."""
     m = read_manifest(path, version)
     stats = m.get("stats") or {}
+    pcol = _physical_col(m, col)
     kept = []
     for f in m["files"]:
-        s = (stats.get(f) or {}).get(col)
+        s = (stats.get(f) or {}).get(pcol)
         if s is None or s[0] is None:
             kept.append(f)  # unknown -> cannot prune
         elif not (hi < s[0] or lo > s[1]):
@@ -490,7 +527,7 @@ def prune_files_multi(
     for f in m["files"]:
         keep = True
         for col, (lo, hi) in predicates.items():
-            s = (stats.get(f) or {}).get(col)
+            s = (stats.get(f) or {}).get(_physical_col(m, col))
             if s is None or s[0] is None:
                 continue  # unknown -> cannot prune on this column
             if hi < s[0] or lo > s[1]:
@@ -633,10 +670,29 @@ def read_version_delta(
     return _read_files(spark, path, m_to, added)
 
 
+def _to_physical(df: DataFrame, colmap: dict | None) -> DataFrame:
+    """Rename logical columns to their physical names for staging: data
+    files ALWAYS carry physical names (immutable across renames), so a
+    rewrite after a rename writes the same column the old files have and
+    the read path maps back once."""
+    if not colmap:
+        return df
+    return df.select(
+        *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+    )
+
+
 def _stage_rewrites(spark_df: DataFrame, path: str, prefix: str) -> list[str]:
     """Write a DataFrame as new uniquely-named data files INSIDE the table
     directory (additive — invisible to manifest readers until a commit
-    references them). Returns the new basenames."""
+    references them). Returns the new basenames.
+
+    Columns are staged under their PHYSICAL names (column mapping): the
+    current manifest's colmap applies to any input column it knows."""
+    try:
+        spark_df = _to_physical(spark_df, read_manifest(path).get("colmap"))
+    except FileNotFoundError:
+        pass  # pre-manifest staging (adoption paths)
     fs, rel = get_fs(path)
     stage_name = f".stage_{uuid.uuid4().hex[:8]}"
     # Spark writes through its own Hadoop connectors (any scheme); the
@@ -898,6 +954,18 @@ def _stage_partitioned(
     staged = spark_df
     for c, pc in zip(cols, pcols):
         staged = staged.withColumn(pc, _transform_expr(c))
+    # Transforms are computed on LOGICAL names above; the data columns
+    # stage under their physical names (column mapping), like
+    # _stage_rewrites. Renamed partition-source columns are rejected at
+    # rename time, so the transform entries stay valid.
+    try:
+        cm = read_manifest(path).get("colmap") or {}
+    except FileNotFoundError:
+        cm = {}
+    if cm:
+        staged = staged.select(
+            *[F.col(c).alias(cm.get(c, c)) for c in staged.columns]
+        )
     # One shuffle co-locating each partition value in one task before the
     # hive-layout write (Delta's optimized write): one file per partition
     # value instead of one per (task x value) — the small-file hazard of
@@ -1011,6 +1079,66 @@ def add_column(path: str, name: str, dtype: str) -> int:
     )
 
 
+def rename_column(path: str, old: str, new: str) -> int:
+    """Metadata-only ALTER TABLE RENAME COLUMN — Delta's column mapping
+    in minimal form: data files are NEVER rewritten; the manifest's
+    ``colmap`` records each logical column's immutable PHYSICAL name
+    (the name baked into every existing footer), reads alias physical ->
+    logical, and every write path stages under physical names so files
+    written before and after the rename stay byte-compatible. Pruning
+    (stats, blooms, victim finding) translates through the map, and
+    pending merge-on-read delete entries keep applying (they store the
+    physical key column and anti-join on its current logical name).
+
+    Renames are versioned like all DDL here: pinned old versions read
+    the old name (time travel for renames). Raises if the column anchors
+    a CHECK constraint or a partition-spec transform — those record the
+    LOGICAL name in expressions this layer does not rewrite; drop the
+    constraint / evolve the spec first (Delta blocks the same cases).
+    """
+    import re as _re
+
+    m = read_manifest(path)
+    schema = m.get("schema")
+    if not schema:
+        raise ValueError(
+            f"{path} has no manifest schema (pre-evolution manifest); "
+            "re-init or append once to adopt one"
+        )
+    names = [n for n, _ in schema]
+    if old not in names:
+        raise SchemaMismatch(f"column {old!r} does not exist")
+    if new in names:
+        raise SchemaMismatch(f"column {new!r} already exists")
+    for cname, cexpr in (m.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(old)}\b", cexpr):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r} ({cexpr}); drop it first"
+            )
+    for spec in m.get("specs") or []:
+        for entry in spec:
+            if _parse_transform(entry)[2] == old:
+                raise ValueError(
+                    f"column {old!r} anchors partition-spec entry "
+                    f"{entry!r}; evolve the spec first"
+                )
+    colmap = dict(m.get("colmap") or {})
+    phys = colmap.pop(old, old)
+    if phys != new:
+        colmap[new] = phys
+    new_schema = [[new if n == old else n, t] for n, t in schema]
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=new_schema,
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=m.get("rows"),
+        colmap=colmap,
+    )
+
+
 def set_constraint(
     spark: SparkSession, path: str, name: str, expr: str
 ) -> int:
@@ -1084,11 +1212,12 @@ def _candidate_files(m: dict, fs, rel: str, key_col: str, key_set: set):
     stats for the column are conservatively kept. Falls back to
     driver-side footer reads (``jobs._file_may_contain``) only for
     untracked columns."""
-    if key_col in (m.get("stat_cols") or []):
+    pcol = _physical_col(m, key_col)
+    if pcol in (m.get("stat_cols") or []):
         stats = m.get("stats") or {}
         out = []
         for f in m["files"]:
-            s = (stats.get(f) or {}).get(key_col)
+            s = (stats.get(f) or {}).get(pcol)
             if s is None or s[0] is None:
                 out.append(f)  # unknown stats -> cannot prune
             elif any(s[0] <= k <= s[1] for k in key_set):
@@ -1100,7 +1229,7 @@ def _candidate_files(m: dict, fs, rel: str, key_col: str, key_set: set):
         f
         for f in m["files"]
         if _file_may_contain(
-            os.path.join(rel, f), key_col, key_set, open_parquet=fs.parquet_file
+            os.path.join(rel, f), pcol, key_set, open_parquet=fs.parquet_file
         )
     ]
 
@@ -1189,7 +1318,7 @@ def delete_keys_mor(
         load_manifest_table(spark, path).select(key_col).schema,
     ).distinct()
     [name] = _stage_rewrites(keys_df.coalesce(1), path, "eqdel")
-    entry = {"file": name, "key_col": key_col, "seq": new_v}
+    entry = {"file": name, "key_col": _physical_col(m, key_col), "seq": new_v}
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=m.get("schema"),
@@ -1890,6 +2019,7 @@ def ensure_blooms(
     import base64
 
     m = read_manifest(path)
+    col = _physical_col(m, col)  # blooms key data-file (physical) names
     blooms = dict(m.get("blooms") or {})
     missing = [
         f for f in m["files"]
@@ -1987,9 +2117,10 @@ def prune_files_bloom(
 
     m = read_manifest(path, version)
     blooms = m.get("blooms") or {}
+    pcol = _physical_col(m, col)
     kept = []
     for f in m["files"]:
-        bl = (blooms.get(f) or {}).get(col)
+        bl = (blooms.get(f) or {}).get(pcol)
         if bl is None:
             kept.append(f)
             continue

@@ -691,6 +691,74 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_rename_roundtrip",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id + 10000000, event_type, value * 2
+      FROM events WHERE event_id % 13 = 0
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_amount
+    FROM unioned
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S12", "manifest", "column-mapping", "ddl"),
+    doc="Metadata-only column rename (manifest.py::rename_column — "
+    "Delta column mapping in minimal form): events adopted with a "
+    "'value' column, renamed to 'amount' with ZERO data IO (colmap "
+    "records the immutable physical name; in-query assert pins the "
+    "unchanged file list), then a post-rename batch appends under the "
+    "NEW logical name — staged physically, so old and new files stay "
+    "byte-compatible — and the aggregate reads both eras through one "
+    "mapping. The pinned pre-rename version still shows 'value' "
+    "(versioned DDL = time travel for renames, also asserted).",
+    priority=18,
+)
+def manifest_rename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_rename")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "event_id", num_partitions=6)
+    M.manifest_init(path, stat_cols=["event_id"])
+    files_before = set(M.read_manifest(path)["files"])
+    v_renamed = M.rename_column(path, "value", "amount")
+    assert set(M.read_manifest(path)["files"]) == files_before, (
+        "rename must be metadata-only"
+    )
+    assert M.load_manifest_table(spark, path, v_renamed - 1).columns == [
+        "event_id",
+        "event_type",
+        "value",
+    ], "pinned pre-rename version must read the old name"
+    b2 = events.filter(F.col("event_id") % 13 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "event_type",
+        (F.col("value") * 2).alias("amount"),
+    )
+    M.append(b2, path)
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("amount"), 4).alias("sum_amount"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "manifest_partition_evolution",
     oracle="""
     SELECT user_id % 7 AS user_bucket,

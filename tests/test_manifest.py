@@ -1698,3 +1698,104 @@ class TestHiddenPartitioning:
             M.set_partition_spec(path, ["bucket(user_id)"])
         with pytest.raises(ValueError, match="not in table schema"):
             M.set_partition_spec(path, ["bucket(8, ghost)"])
+
+
+class TestRenameColumn:
+    @staticmethod
+    def _mk(spark, tmp_path):
+        df = spark.range(40).selectExpr(
+            "id AS user_id", "CAST(id * 2 AS DOUBLE) AS amount"
+        )
+        path = str(tmp_path / "rtab")
+        write_range_sorted(df, path, "user_id", 4)
+        M.manifest_init(path, stat_cols=["user_id"])
+        return path, df
+
+    def test_rename_is_metadata_only_and_versioned(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        files_before = set(M.read_manifest(path)["files"])
+        v = M.rename_column(path, "amount", "total")
+        m = M.read_manifest(path)
+        assert set(m["files"]) == files_before  # zero data IO
+        assert m["colmap"] == {"total": "amount"}
+        got = M.load_manifest_table(spark, path)
+        assert got.columns == ["user_id", "total"]
+        assert got.agg(F.sum("total")).first()[0] == sum(i * 2 for i in range(40))
+        # Time travel: the pinned pre-rename version reads the old name.
+        assert M.load_manifest_table(spark, path, v - 1).columns == [
+            "user_id",
+            "amount",
+        ]
+
+    def test_writes_after_rename_stage_physical(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        M.rename_column(path, "amount", "total")
+        M.append(
+            spark.range(40, 50).selectExpr(
+                "id AS user_id", "CAST(id * 2 AS DOUBLE) AS total"
+            ),
+            path,
+        )
+        m = M.read_manifest(path)
+        new_file = [f for f in m["files"] if f.startswith("append-")][0]
+        import pyarrow.parquet as pq
+        import os as _os
+
+        phys = pq.ParquetFile(_os.path.join(path, new_file)).schema_arrow.names
+        assert "amount" in phys and "total" not in phys  # physical name
+        got = M.load_manifest_table(spark, path)
+        assert got.count() == 50
+        assert got.filter(F.col("user_id") == 45).first()["total"] == 90.0
+        # Delete rewrite after rename keeps the evolved read intact.
+        M.delete_keys(spark, path, "user_id", [45])
+        got = M.load_manifest_table(spark, path)
+        assert got.count() == 49 and got.columns == ["user_id", "total"]
+
+    def test_stats_and_bloom_pruning_translate(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        M.ensure_blooms(spark, path, "user_id")
+        M.rename_column(path, "user_id", "uid")
+        kept, total = M.prune_files(path, "uid", 11, 13)
+        assert 0 < len(kept) < total  # range stats prune through the map
+        keptb, _ = M.prune_files_bloom(path, "uid", 11)
+        assert set(keptb) <= set(M.read_manifest(path)["files"])
+        got = sorted(
+            r.uid
+            for r in M.scan_manifest_table(spark, path, "uid", 11, 13).collect()
+        )
+        assert got == [11, 12, 13]
+
+    def test_mor_delete_survives_rename(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        M.delete_keys_mor(spark, path, "user_id", [7, 9])
+        M.rename_column(path, "user_id", "uid")
+        rows = {r.uid for r in M.load_manifest_table(spark, path).collect()}
+        assert 7 not in rows and 9 not in rows and len(rows) == 38
+        n_files, n_entries = M.materialize_deletes(spark, path)
+        assert n_entries == 1
+        assert M.load_manifest_table(spark, path).count() == 38
+
+    def test_guards(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        with pytest.raises(M.SchemaMismatch, match="does not exist"):
+            M.rename_column(path, "ghost", "x")
+        with pytest.raises(M.SchemaMismatch, match="already exists"):
+            M.rename_column(path, "amount", "user_id")
+        M.set_constraint(spark, path, "pos", "amount >= 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            M.rename_column(path, "amount", "total")
+        M.drop_constraint(path, "pos")
+        M.set_partition_spec(path, ["bucket(4, user_id)"])
+        with pytest.raises(ValueError, match="partition-spec"):
+            M.rename_column(path, "user_id", "uid")
+
+    def test_rename_back_drops_mapping(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        M.rename_column(path, "amount", "total")
+        M.rename_column(path, "total", "amount")
+        m = M.read_manifest(path)
+        assert not m.get("colmap")  # physical == logical again
+        assert M.load_manifest_table(spark, path).columns == [
+            "user_id",
+            "amount",
+        ]
