@@ -140,6 +140,7 @@ HEADLINE = [
     "corpus_ngram_diversity",
     "events_robust_outliers",
     "manifest_rename_roundtrip",
+    "events_stream_view_purchase_outer",
 ]
 
 

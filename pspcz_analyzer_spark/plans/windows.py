@@ -678,3 +678,111 @@ def orders_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "events_stream_view_purchase_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           p.ts AS purchase_ts, v.ts AS view_ts,
+           p.value AS purchase_value
+    FROM events p LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, view_id
+    """,
+    tags=("streaming", "stream-stream-join", "outer", "new-surface"),
+    priority=18,
+    doc="LEFT-OUTER stream-stream interval join run live through the "
+    "gate: the inner attribution join plus a null row for every "
+    "purchase the watermark PROVES got no view — the unattributed-"
+    "conversion feed, and the semantically hard half of stream-stream "
+    "joins (outer rows may only emit once no matching row can still "
+    "arrive). The drain stages events into a landing dir with one "
+    "far-future sentinel per side (batched separately via "
+    "maxFilesPerTrigger) so the final watermark passes ALL real data "
+    "and every withheld null row flushes; sentinels filter out of the "
+    "sink. Equals the batch LEFT JOIN row-for-row — the oracle.",
+)
+def events_stream_view_purchase_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark.scratch import scratch_path
+    from pspcz_analyzer_spark.session import ensure_runtime_confs
+    from pspcz_analyzer_spark.streaming.events import (
+        _EVENTS_RAW,
+        view_purchase_attribution,
+    )
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    landing = scratch_path(sf_dir, "events_outer_landing")
+    _shutil.rmtree(landing, ignore_errors=True)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    events.select(*cols).coalesce(4).write.parquet(
+        _os.path.join(landing, "batch1")
+    )
+    # One sentinel per join side per flush batch, 100/101 h past the
+    # corpus max. Spark computes batch N's watermark from batch N-1's
+    # data, so advancing it past ALL real purchases takes TWO sentinel
+    # triggers: batch2 carries the far-future rows (its own watermark is
+    # still the data's), batch3 then runs WITH the advanced watermark
+    # and flushes every withheld outer row before the drain stops.
+    for i, extra in enumerate(("100", "101"), start=2):
+        sentinel = (
+            events.agg(F.max("ts").alias("mx"))
+            .selectExpr(
+                f"stack(2, {-2 * i}L, 'view', {-2 * i - 1}L, 'purchase')"
+                " AS (event_id, event_type)",
+                f"mx + INTERVAL {extra} HOURS AS ts",
+            )
+            .select(
+                "event_id",
+                "ts",
+                F.lit(-1).cast("long").alias("user_id"),
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+        sentinel.select(*cols).coalesce(1).write.parquet(
+            _os.path.join(landing, f"batch{i}")
+        )
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(landing, "*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sink = "events_stream_view_purchase_outer_sink"
+    # NB the sentinel filter must NOT live inside the streaming query:
+    # Catalyst pushes a user_id predicate below the purchase-side
+    # EventTimeWatermark node, the sentinel then never reaches the
+    # watermark computation, and the withheld outer rows never flush
+    # (observed: 7 tail purchases missing). Filtering the SINK is batch.
+    q = (
+        view_purchase_attribution(stream, how="left_outer")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            "purchase_value",
+        )
+        .orderBy("purchase_id", "view_id")
+    )

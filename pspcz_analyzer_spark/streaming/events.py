@@ -146,7 +146,10 @@ def enrich_nation_totals(
 
 
 def view_purchase_attribution(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream self-join: attribute each purchase to the same user's
     views in the preceding ``window``.
@@ -157,6 +160,14 @@ def view_purchase_attribution(
     never grows with stream length. Inner-join matches emit as soon as
     both rows have arrived (no watermark wait), so an availableNow drain
     equals the batch interval join row-for-row.
+
+    ``how="left_outer"`` adds the UNATTRIBUTED purchases (null view
+    columns) — the conversion-funnel complement. Outer rows can only
+    emit once the watermark proves no matching view can still arrive,
+    so a purchase's null row is withheld until event time passes
+    ``purchase_ts + watermark``; a drain that must flush every outer row
+    advances the watermark past the data (the catalog query feeds one
+    far-future sentinel per side and filters it from the sink).
     """
     views = (
         events.filter(F.col("event_type") == "view")
@@ -183,6 +194,7 @@ def view_purchase_attribution(
             f"user_id = v_user AND view_ts >= purchase_ts - interval {window}"
             " AND view_ts < purchase_ts"
         ),
+        how,
     ).select(
         "purchase_id",
         "view_id",

@@ -465,3 +465,67 @@ def test_tws_twin_matches_batch_or_gates_honestly(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_outer_join_flushes_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched purchases emit null view
+    rows once the watermark passes them — including the TAIL of the
+    data, which needs sentinel batches (watermark for batch N comes
+    from batch N-1) and needs the sentinel filter to stay OUT of the
+    streaming query (a pushed-down predicate lands below the
+    EventTimeWatermark node and starves the watermark)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark.streaming.events import (
+        _EVENTS_RAW,
+        view_purchase_attribution,
+    )
+
+    landing = str(tmp_path / "outer_landing")
+    import datetime as dt
+
+    def _t(s_):
+        return dt.datetime.fromisoformat(s_)
+
+    rows = [
+        # user 1: view then purchase 30 min later -> attributed
+        (1, _t("2024-01-01 10:00:00"), 1, "view", 0.0, None),
+        (2, _t("2024-01-01 10:30:00"), 1, "purchase", 5.0, None),
+        # user 2: purchase with no view -> must emit a null row
+        (3, _t("2024-01-01 10:45:00"), 2, "purchase", 7.0, None),
+    ]
+    df = spark.createDataFrame(rows, _EVENTS_RAW)
+    df.coalesce(1).write.parquet(os.path.join(landing, "b1"))
+    for i, hours in ((2, 100), (3, 101)):
+        ts = _t("2024-01-01 10:00:00") + dt.timedelta(hours=hours)
+        spark.createDataFrame(
+            [
+                (-2 * i, ts, -1, "view", 0.0, None),
+                (-2 * i - 1, ts, -1, "purchase", 0.0, None),
+            ],
+            _EVENTS_RAW,
+        ).coalesce(1).write.parquet(os.path.join(landing, f"b{i}"))
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(landing, "*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        view_purchase_attribution(stream, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("outer_flush_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.table("outer_flush_sink")
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    }
+    assert got == {(2, 1), (3, None)}
