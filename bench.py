@@ -141,6 +141,7 @@ HEADLINE = [
     "events_robust_outliers",
     "manifest_rename_roundtrip",
     "events_stream_view_purchase_outer",
+    "manifest_day_partition_scan",
 ]
 
 

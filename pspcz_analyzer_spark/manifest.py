@@ -1032,6 +1032,81 @@ def prune_files_partition(
     return kept, len(m["files"])
 
 
+def prune_files_partition_range(
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> "tuple[list[str], int]":
+    """(files that may contain rows with ``lo <= col <= hi``, total) from
+    recorded partition values — the RANGE complement of
+    :func:`prune_files_partition`, which is what a ``day(ts)``- or
+    ``truncate(W, k)``-partitioned table exists to answer (time-series
+    scans are BETWEEN, not equality). Order-preserving transforms map
+    the predicate endpoints to token bounds: identity and ``day`` tokens
+    compare lexicographically (ISO dates sort correctly), ``truncate``
+    tokens compare numerically; ``bucket`` destroys order, so bucket
+    entries never range-prune (conservative keep — same contract as
+    every pruning path here: skipping is an optimization, not a
+    filter)."""
+    m = read_manifest(path, version)
+    parts = m.get("partitions") or {}
+    kept = []
+    lo_s, hi_s = str(lo), str(hi)
+    for f in m["files"]:
+        ok = True
+        for entry, token in (parts.get(f) or {}).items():
+            kind, param, src = _parse_transform(entry)
+            if src != col or kind == "bucket":
+                continue
+            if token == "__HIVE_DEFAULT_PARTITION__":
+                ok = False  # all-null partition: BETWEEN is never true
+                break
+            if kind == "truncate":
+                t = int(token)
+                if t + param <= int(lo) or t > int(hi):
+                    ok = False
+                    break
+            else:
+                # identity / day: compare tokens numerically when all
+                # three parse as ints ("9" < "10" must hold for integer
+                # identity partitions), else lexicographically (ISO day
+                # tokens and plain strings both sort correctly).
+                tlo = _transform_value(entry, lo)
+                thi = _transform_value(entry, hi)
+                try:
+                    below = int(token) < int(tlo) or int(token) > int(thi)
+                except ValueError:
+                    below = token < tlo or token > thi
+                if below:
+                    ok = False
+                    break
+        if ok:
+            kept.append(f)
+    return kept, len(m["files"])
+
+
+def scan_manifest_table_partition_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan with partition-transform pruning: only files whose
+    recorded day/truncate/identity token can overlap [lo, hi] enter the
+    plan; the exact BETWEEN still applies. Equivalent to
+    ``load_manifest_table(...).filter(between)`` by construction."""
+    files, _total = prune_files_partition_range(path, col, lo, hi, version)
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return load_manifest_table(spark, path, version).filter(pred).limit(0)
+    m = read_manifest(path, version)
+    return _with_deletes(spark, path, m, files).filter(pred)
+
+
 def scan_manifest_table_partition(
     spark: SparkSession,
     path: str,

@@ -691,6 +691,68 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_day_partition_scan",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE ts BETWEEN timestamp'2024-01-10 06:00:00'
+                 AND timestamp'2024-01-12 18:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S10", "manifest", "hidden-partitioning", "range", "scale"),
+    doc="day(ts) hidden partitioning + RANGE pruning (manifest.py::"
+    "set_partition_spec('day(ts)') / prune_files_partition_range): the "
+    "time-series bread-and-butter — events appended one-file-per-day "
+    "under the transform, a BETWEEN on the RAW timestamp prunes to "
+    "exactly the covered days from manifest metadata (in-query assert; "
+    "the query never names the transform), and the exact predicate "
+    "still applies, so the result equals the plain filtered scan — the "
+    "oracle.",
+    priority=18,
+)
+def manifest_day_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    # The parquet footer of the adopted empty file reads back as LTZ
+    # timestamp; cast the batch to match (identity on micros under the
+    # session's UTC zone) so schema enforcement sees one type.
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    path = _scratch(sf_dir, "events_day_part")
+    _shutil.rmtree(path, ignore_errors=True)
+    events.limit(0).write.parquet(path)
+    M.manifest_init(path)
+    M.set_partition_spec(path, ["day(ts)"])
+    M.append(events, path)
+    lo = _dt.datetime(2024, 1, 10, 6, 0, 0)
+    hi = _dt.datetime(2024, 1, 12, 18, 0, 0)
+    m = M.read_manifest(path)
+    parts = m.get("partitions") or {}
+    kept, _total = M.prune_files_partition_range(path, "ts", lo, hi)
+    kept_days = {parts[f]["day(ts)"] for f in kept if f in parts}
+    assert kept_days == {"2024-01-10", "2024-01-11", "2024-01-12"}, kept_days
+    return (
+        M.scan_manifest_table_partition_range(spark, path, "ts", lo, hi)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "manifest_rename_roundtrip",
     oracle="""
     WITH unioned AS (

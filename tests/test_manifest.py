@@ -1799,3 +1799,89 @@ class TestRenameColumn:
             "user_id",
             "amount",
         ]
+
+
+class TestPartitionRangePruning:
+    def test_day_partitioned_time_range(self, spark, tmp_path):
+        import datetime
+
+        df = spark.sql(
+            """SELECT id AS event_id,
+                      timestamp'2024-03-01 00:00:00'
+                        + make_interval(0,0,0,0,0,0, id*2000) AS ts
+               FROM range(400)"""
+        )
+        path = str(tmp_path / "prange")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path)
+        M.set_partition_spec(path, ["day(ts)"])
+        M.append(df, path)
+        parts = M.read_manifest(path).get("partitions") or {}
+        days = {p["day(ts)"] for p in parts.values()}
+        assert len(days) >= 3  # ~9 days of data, one file per day
+        lo = datetime.datetime(2024, 3, 2, 6, 0, 0)
+        hi = datetime.datetime(2024, 3, 3, 18, 0, 0)
+        kept, total = M.prune_files_partition_range(path, "ts", lo, hi)
+        kept_days = {
+            parts[f]["day(ts)"] for f in kept if f in parts
+        }
+        assert kept_days == {"2024-03-02", "2024-03-03"}
+        got = sorted(
+            r.event_id
+            for r in M.scan_manifest_table_partition_range(
+                spark, path, "ts", lo, hi
+            ).collect()
+        )
+        want = sorted(
+            r.event_id
+            for r in M.load_manifest_table(spark, path)
+            .filter(F.col("ts").between(lo, hi))
+            .collect()
+        )
+        assert got == want and got
+
+    def test_truncate_and_identity_ranges_numeric(self, spark, tmp_path):
+        df = spark.range(300).selectExpr("id AS k")
+        path = str(tmp_path / "trange")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path)
+        M.set_partition_spec(path, ["truncate(100, k)"])
+        M.append(df, path)
+        parts = M.read_manifest(path).get("partitions") or {}
+        kept, _ = M.prune_files_partition_range(path, "k", 150, 210)
+        toks = {parts[f]["truncate(100, k)"] for f in kept if f in parts}
+        assert toks == {"100", "200"}
+        got = sorted(
+            r.k
+            for r in M.scan_manifest_table_partition_range(
+                spark, path, "k", 150, 210
+            ).collect()
+        )
+        assert got == list(range(150, 211))
+        # Identity tokens must compare numerically: files for 9 and 10
+        # both survive a [9, 10] range (lexicographic "9" > "10").
+        path2 = str(tmp_path / "irange")
+        small = spark.range(12).selectExpr("id AS k")
+        small.limit(0).write.parquet(path2)
+        M.manifest_init(path2)
+        M.set_partition_spec(path2, ["k"])
+        M.append(small, path2)
+        got2 = sorted(
+            r.k
+            for r in M.scan_manifest_table_partition_range(
+                spark, path2, "k", 9, 10
+            ).collect()
+        )
+        assert got2 == [9, 10]
+
+    def test_bucket_entries_never_range_prune(self, spark, tmp_path):
+        df = spark.range(100).selectExpr("id AS k")
+        path = str(tmp_path / "brange")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path)
+        M.set_partition_spec(path, ["bucket(4, k)"])
+        M.append(df, path)
+        parts = M.read_manifest(path).get("partitions") or {}
+        kept, total = M.prune_files_partition_range(path, "k", 10, 20)
+        # Hash destroys order: every bucketed file is conservatively kept.
+        assert set(f for f in kept if f in parts) == set(parts)
