@@ -87,9 +87,10 @@ _PRIORITY: dict[str, int] = {
             # jobs._commit_rewrite now carries sidecars over the swap.
             "parquet_delete_roundtrip",
             "parquet_compact_roundtrip",
-            # Untouched canaries.
-            "q1_pricing_summary",
-            "attendance_rates",
+            # (The two untouched canaries of earlier drafts are dropped:
+            # round 6 registered 40 brand-new queries and 12 sentinels +
+            # 40 new overflows the 50-slot budget — the canaries' shared
+            # machinery is exercised by half the catalog anyway.)
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.
