@@ -1689,6 +1689,13 @@ def compact_small_files(
     output covers a contiguous key range and the stats pruning the same
     manifest maintains survives compaction — the ``jobs.py`` twin's
     ``sort_col`` rule, driven here by the manifest's own metadata.
+
+    On a PARTITIONED table, files only ever merge WITHIN one recorded
+    partition-value tuple and each output inherits the tuple — so
+    compaction never mixes partitions into a file partition pruning
+    would then have to keep conservatively (the Iceberg/Delta OPTIMIZE
+    rule: compaction is per-partition). Files with no recorded values
+    (pre-evolution data) form their own group.
     Returns (files_merged, files_written)."""
     fs, rel = get_fs(path)
     m = read_manifest(path)
@@ -1696,34 +1703,49 @@ def compact_small_files(
     small = [f for f in m["files"] if sizes[f] < target_bytes // 2]
     if len(small) < 2:
         return 0, 0
-    stat_cols = m.get("stat_cols") or []
-    if stat_cols:
-        stats = m.get("stats") or {}
-
-        def _min_stat(f: str):
-            s = (stats.get(f) or {}).get(stat_cols[0])
-            # Files with unknown stats sort last, grouped together, so
-            # they can't widen a range-pure bin's bounding box.
-            return (s is None or s[0] is None, s[0] if s else None, f)
-
-        small.sort(key=_min_stat)
-    bins: "list[list[str]]" = [[]]
-    acc = 0
+    parts_meta = m.get("partitions") or {}
+    groups: "dict[tuple, list[str]]" = {}
     for f in small:
-        if bins[-1] and acc + sizes[f] > target_bytes:
-            bins.append([])
-            acc = 0
-        bins[-1].append(f)
-        acc += sizes[f]
-    bins = [b for b in bins if len(b) >= 2]
-    if not bins:
-        return 0, 0
+        groups.setdefault(
+            tuple(sorted((parts_meta.get(f) or {}).items())), []
+        ).append(f)
+    stat_cols = m.get("stat_cols") or []
+    stats_meta = m.get("stats") or {}
+
+    def _min_stat(f: str):
+        s = (stats_meta.get(f) or {}).get(stat_cols[0]) if stat_cols else None
+        # Files with unknown stats sort last, grouped together, so
+        # they can't widen a range-pure bin's bounding box.
+        return (s is None or s[0] is None, s[0] if s else None, f)
+
     new_names: list[str] = []
     merged: list[str] = []
-    for b in bins:
-        out = _with_deletes(spark, path, m, b).coalesce(1)
-        new_names += _stage_rewrites(out, path, "compact")
-        merged += b
+    new_parts: dict = {}
+    for pkey, gfiles in sorted(groups.items()):
+        if len(gfiles) < 2:
+            continue
+        if stat_cols:
+            gfiles.sort(key=_min_stat)
+        bins: "list[list[str]]" = [[]]
+        acc = 0
+        for f in gfiles:
+            if bins[-1] and acc + sizes[f] > target_bytes:
+                bins.append([])
+                acc = 0
+            bins[-1].append(f)
+            acc += sizes[f]
+        for b in bins:
+            if len(b) < 2:
+                continue
+            out = _with_deletes(spark, path, m, b).coalesce(1)
+            staged = _stage_rewrites(out, path, "compact")
+            new_names += staged
+            merged += b
+            if pkey:
+                for n in staged:
+                    new_parts[n] = dict(pkey)
+    if not merged:
+        return 0, 0
     victims = set(merged)
     new_files = [f for f in m["files"] if f not in victims] + new_names
     stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
@@ -1734,6 +1756,7 @@ def compact_small_files(
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
+        partitions=new_parts,
     )
     return len(merged), len(new_names)
 

@@ -1885,3 +1885,67 @@ class TestPartitionRangePruning:
         kept, total = M.prune_files_partition_range(path, "k", 10, 20)
         # Hash destroys order: every bucketed file is conservatively kept.
         assert set(f for f in kept if f in parts) == set(parts)
+
+
+class TestPartitionAwareCompaction:
+    def test_compaction_stays_within_partitions(self, spark, tmp_path):
+        df = spark.range(120).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("par"),
+        )
+        path = str(tmp_path / "pcomp")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path)
+        M.set_partition_spec(path, ["par"])
+        # Four small appends -> 8 partitioned files (2 values x 4 waves).
+        for lo in range(0, 120, 30):
+            M.append(
+                df.filter((F.col("id") >= lo) & (F.col("id") < lo + 30)), path
+            )
+        m0 = M.read_manifest(path)
+        parts0 = m0.get("partitions") or {}
+        assert len(parts0) == 8
+        n_merged, n_written = M.compact_small_files(spark, path)
+        assert n_merged == 8 and n_written == 2  # one output per value
+        m1 = M.read_manifest(path)
+        parts1 = m1.get("partitions") or {}
+        outs = [f for f in m1["files"] if f.startswith("compact-")]
+        # Every compaction output inherits its group's partition value...
+        assert {parts1[f]["par"] for f in outs} == {"even", "odd"}
+        # ...so partition pruning is as sharp as before compaction.
+        kept, _ = M.prune_files_partition(path, {"par": "even"})
+        assert [f for f in kept if f in parts1] == [
+            f for f in outs if parts1[f]["par"] == "even"
+        ]
+        got = sorted(
+            r.id
+            for r in M.scan_manifest_table_partition(
+                spark, path, {"par": "even"}
+            ).collect()
+        )
+        assert got == list(range(0, 120, 2))
+
+    def test_mixed_era_files_group_separately(self, spark, tmp_path):
+        df = spark.range(60).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("par"),
+        )
+        path = str(tmp_path / "pcomp2")
+        # Two pre-evolution appends (no partition entries)...
+        df.filter(F.col("id") < 15).write.parquet(path)
+        M.manifest_init(path)
+        M.append(df.filter((F.col("id") >= 15) & (F.col("id") < 30)), path)
+        # ...then evolve and append twice more per value.
+        M.set_partition_spec(path, ["par"])
+        M.append(df.filter((F.col("id") >= 30) & (F.col("id") < 45)), path)
+        M.append(df.filter(F.col("id") >= 45), path)
+        n_merged, n_written = M.compact_small_files(spark, path)
+        m = M.read_manifest(path)
+        parts = m.get("partitions") or {}
+        outs = [f for f in m["files"] if f.startswith("compact-")]
+        # Partitioned outputs carry values; the pre-evolution group's
+        # output carries none (it may mix values) — never a wrong value.
+        for f in outs:
+            if f in parts:
+                assert set(parts[f]) == {"par"}
+        assert M.load_manifest_table(spark, path).count() == 60
