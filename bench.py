@@ -142,6 +142,7 @@ HEADLINE = [
     "manifest_rename_roundtrip",
     "events_stream_view_purchase_outer",
     "manifest_day_partition_scan",
+    "manifest_files_accounting",
 ]
 
 

@@ -597,6 +597,69 @@ def _updated_rows(m: dict, fs, rel: str, new_names: list, victims=()):
     return rows
 
 
+def files_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table's FILE-LEVEL metadata as a queryable DataFrame —
+    Iceberg's ``db.table.files`` metadata table in minimal form: one row
+    per data file with its sequence number, row count, byte size,
+    recorded partition values, per-column [min, max] stats (JSON), and
+    whether a bloom filter is stored. Built entirely from the manifest +
+    one fs.size stat per file — no data IO, bounded by file count (this
+    is planning metadata, not data), so ops queries like "which
+    partitions are small-file-heavy" or "what fraction of files carry
+    stats on col X" are ordinary DataFrame aggregations."""
+    import json as _json
+
+    m = read_manifest(path, version)
+    fs, rel = get_fs(path)
+    stats = m.get("stats") or {}
+    rows_meta = m.get("rows") or {}
+    seq = m.get("seq") or {}
+    parts = m.get("partitions") or {}
+    blooms = m.get("blooms") or {}
+    recs = []
+    for f in m["files"]:
+        recs.append(
+            (
+                f,
+                int(seq.get(f, 0)),
+                int(rows_meta[f]) if f in rows_meta else None,
+                int(fs.size(os.path.join(rel, f))),
+                parts.get(f) or {},
+                _json.dumps(stats.get(f)) if f in stats else None,
+                sorted(blooms.get(f) or {}),
+            )
+        )
+    return spark.createDataFrame(
+        recs,
+        "file string, seq int, n_rows long, size_bytes long, "
+        "partitions map<string,string>, stats_json string, "
+        "bloom_cols array<string>",
+    )
+
+
+def history_table(spark: SparkSession, path: str) -> DataFrame:
+    """:func:`history` as a DataFrame (DESCRIBE HISTORY, queryable)."""
+    recs = [
+        (
+            int(h["version"]),
+            int(h["n_files"]),
+            h.get("n_rows"),
+            h.get("rows_added"),
+            h.get("rows_removed"),
+            int(h.get("files_added") or 0),
+            int(h.get("files_removed") or 0),
+        )
+        for h in history(path)
+    ]
+    return spark.createDataFrame(
+        recs,
+        "version int, n_files int, n_rows long, rows_added long, "
+        "rows_removed long, files_added int, files_removed int",
+    )
+
+
 def history(path: str) -> "list[dict]":
     """Per-version accounting from the manifests alone (metadata-only):
     version, file count, total rows, and net rows/files added and removed

@@ -691,6 +691,57 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_files_accounting",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows_total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("manifest", "metadata-tables", "ops"),
+    doc="Iceberg-style metadata tables (manifest.py::files_table / "
+    "history_table — db.table.files / DESCRIBE HISTORY as queryable "
+    "DataFrames, built from the manifest + one size stat per file, "
+    "zero data IO): events appended under an event_type partition "
+    "spec, then per-partition row totals computed ONLY from file-level "
+    "METADATA — which must equal counting the actual rows (the "
+    "oracle), proving the manifest's row accounting. In-query asserts "
+    "pin history_table's latest row count to the same total.",
+    priority=18,
+)
+def manifest_files_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_files_meta")
+    _shutil.rmtree(path, ignore_errors=True)
+    events.limit(0).write.parquet(path)
+    M.manifest_init(path)
+    M.set_partition_spec(path, ["event_type"])
+    M.append(events, path)
+    ft = M.files_table(spark, path).filter(
+        F.map_contains_key("partitions", "event_type")
+    )
+    total_meta = (
+        M.history_table(spark, path)
+        .orderBy(F.desc("version"))
+        .first()["n_rows"]
+    )
+    total_real = events.count()
+    assert total_meta == total_real, (total_meta, total_real)
+    return (
+        ft.groupBy(F.col("partitions")["event_type"].alias("event_type"))
+        .agg(F.sum("n_rows").alias("n_rows_total"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "manifest_day_partition_scan",
     oracle="""
     SELECT event_type,

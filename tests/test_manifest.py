@@ -1949,3 +1949,43 @@ class TestPartitionAwareCompaction:
             if f in parts:
                 assert set(parts[f]) == {"par"}
         assert M.load_manifest_table(spark, path).count() == 60
+
+
+class TestMetadataTables:
+    def test_files_table_reflects_manifest(self, spark, tmp_path):
+        df = spark.range(50).select(
+            F.col("id"), F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("g")
+        )
+        path = str(tmp_path / "meta_tab")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path, stat_cols=["id"])
+        M.set_partition_spec(path, ["g"])
+        M.append(df, path)
+        M.ensure_blooms(spark, path, "id")
+        ft = {r.file: r for r in M.files_table(spark, path).collect()}
+        m = M.read_manifest(path)
+        assert set(ft) == set(m["files"])
+        appended = [f for f in ft if f.startswith("append-")]
+        assert appended and all(
+            ft[f].partitions.get("g") in ("x", "y") for f in appended
+        )
+        assert sum(ft[f].n_rows for f in appended) == 50
+        assert all("id" in ft[f].bloom_cols for f in appended)
+        assert all(ft[f].size_bytes > 0 for f in appended)
+        import json
+
+        s = json.loads(ft[appended[0]].stats_json)
+        assert "id" in s and s["id"][0] is not None
+
+    def test_history_table_matches_history(self, spark, tmp_path):
+        df = spark.range(30).select("id")
+        path = str(tmp_path / "meta_hist")
+        df.write.parquet(path)
+        M.manifest_init(path)
+        M.append(spark.range(30, 40).select("id"), path)
+        M.delete_keys(spark, path, "id", [5])
+        ht = {r.version: r for r in M.history_table(spark, path).collect()}
+        for h in M.history(path):
+            r = ht[h["version"]]
+            assert r.n_files == h["n_files"] and r.n_rows == h["n_rows"]
+        assert ht[max(ht)].n_rows == 39
