@@ -1869,6 +1869,43 @@ def optimize_zorder(
     )
 
 
+def clustering_depth(
+    path: str, col: str, version: int | None = None
+) -> int:
+    """The layout's maximum OVERLAP DEPTH on ``col``: how many files'
+    stored [min, max] ranges cover the worst single point — Iceberg's
+    clustering metric, and the number that tells you whether range
+    pruning still works. Depth 1 = disjoint ranges (a point query plans
+    one file); depth == n_files = every file overlaps everything
+    (pruning is dead, re-cluster). Computed by a boundary sweep over the
+    manifest stats — pure metadata, no data IO. Files with no stats on
+    ``col`` count toward every point (they are never prunable), so the
+    metric stays honest about unknown files."""
+    m = read_manifest(path, version)
+    stats = m.get("stats") or {}
+    rows_meta = m.get("rows") or {}
+    pcol = _physical_col(m, col)
+    events = []
+    unknown = 0
+    for f in m["files"]:
+        if rows_meta.get(f) == 0:
+            continue  # known-empty file: overlaps nothing
+        s = (stats.get(f) or {}).get(pcol)
+        if s is None or s[0] is None:
+            unknown += 1
+            continue
+        events.append((s[0], 0))   # open before close at the same key
+        events.append((s[1], 1))
+    depth = best = 0
+    for _, kind in sorted(events, key=lambda e: (e[0], e[1])):
+        if kind == 0:
+            depth += 1
+            best = max(best, depth)
+        else:
+            depth -= 1
+    return best + unknown
+
+
 def maintain(
     spark: SparkSession,
     path: str,
@@ -1877,6 +1914,8 @@ def maintain(
     max_delete_entries: int = 4,
     retain_versions: int = 3,
     vacuum_min_age_seconds: float = 3600.0,
+    recluster_col: str | None = None,
+    max_depth: int = 8,
 ) -> dict:
     """Policy-driven table maintenance in one call (the auto-OPTIMIZE /
     auto-VACUUM loop a production lake runs on a schedule): materialize
@@ -1891,8 +1930,13 @@ def maintain(
     Thresholds are deliberately DECISIONS-from-metadata: the small-file
     census is a listing + size pass, the delete census reads the
     manifest — deciding "nothing to do" costs no data IO at any table
-    size."""
-    out = {"materialized": 0, "compacted": 0, "vacuumed": 0}
+    size. ``recluster_col`` adds the fourth policy: when
+    :func:`clustering_depth` on that column exceeds ``max_depth`` (file
+    ranges have drifted so overlapped that range pruning stopped
+    working — the inevitable fate of an append-only range layout), run
+    :func:`optimize_zorder` on it; the decision itself is one sweep
+    over the manifest stats."""
+    out = {"materialized": 0, "compacted": 0, "vacuumed": 0, "reclustered": 0}
     m = read_manifest(path)
     if len(m.get("deletes") or []) > max_delete_entries:
         nf, ne = materialize_deletes(spark, path)
@@ -1907,6 +1951,11 @@ def maintain(
     if len(small) > max_small_files:
         merged, _written = compact_small_files(spark, path, target_bytes)
         out["compacted"] = merged
+    if recluster_col is not None:
+        depth = clustering_depth(path, recluster_col)
+        if depth > max_depth:
+            optimize_zorder(spark, path, [recluster_col])
+            out["reclustered"] = depth
     out["vacuumed"] = vacuum(
         path,
         retain_versions=retain_versions,

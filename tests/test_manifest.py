@@ -1989,3 +1989,42 @@ class TestMetadataTables:
             r = ht[h["version"]]
             assert r.n_files == h["n_files"] and r.n_rows == h["n_rows"]
         assert ht[max(ht)].n_rows == 39
+
+
+class TestClusteringDepth:
+    def test_depth_metric_and_recluster_policy(self, spark, tmp_path):
+        path = str(tmp_path / "depth_tab")
+        # Four appends covering the SAME id range -> every point is
+        # overlapped by all four files: depth == 4, pruning is dead.
+        spark.range(0, 100).select("id").limit(0).write.parquet(path)
+        M.manifest_init(path, stat_cols=["id"])
+        for _ in range(4):
+            M.append(spark.range(0, 100).select("id").coalesce(1), path)
+        assert M.clustering_depth(path, "id") >= 4
+        # Disjoint appends -> depth 1.
+        path2 = str(tmp_path / "depth_tab2")
+        spark.range(0, 10).select("id").limit(0).write.parquet(path2)
+        M.manifest_init(path2, stat_cols=["id"])
+        for lo in range(0, 400, 100):
+            M.append(spark.range(lo, lo + 100).select("id").coalesce(1), path2)
+        assert M.clustering_depth(path2, "id") == 1
+        # maintain() reclusters the overlapped table and depth collapses;
+        # the disjoint one is left alone.
+        out = M.maintain(
+            spark, path, recluster_col="id", max_depth=2, max_small_files=1000
+        )
+        assert out["reclustered"] >= 4
+        assert M.clustering_depth(path, "id") <= 2
+        assert M.load_manifest_table(spark, path).count() == 400
+        out2 = M.maintain(
+            spark, path2, recluster_col="id", max_depth=2, max_small_files=1000
+        )
+        assert out2["reclustered"] == 0
+
+    def test_unknown_stats_count_toward_depth(self, spark, tmp_path):
+        path = str(tmp_path / "depth_unknown")
+        spark.range(0, 10).select("id").write.parquet(path)
+        M.manifest_init(path)  # no stat_cols tracked
+        # Every file is unknown on id -> depth = file count, honest.
+        n = len(M.read_manifest(path)["files"])
+        assert M.clustering_depth(path, "id") == n
