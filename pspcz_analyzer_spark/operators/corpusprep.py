@@ -850,9 +850,13 @@ def bigram_logprob_scores(
     from pspcz_analyzer_spark.functions.text import normalize_text
     from pspcz_analyzer_spark.operators.partitioning import explode_notnull
 
+    # NB no size(__t) pre-filter: CollapseProject would inline the
+    # tokenizer into the Filter condition and re-run it per row (the
+    # explode inferred-filter trap, PLANS.md); a short doc's pair array
+    # is simply empty and explode_notnull drops it for free.
     toks = df.select(
         id_col, F.split(normalize_text(text_col), " ").alias("__t")
-    ).filter(F.size("__t") >= 2)
+    )
     pairs = explode_notnull(
         toks,
         F.zip_with(

@@ -457,7 +457,7 @@ def textrank_keywords(
     )
     adj = (
         explode_notnull(
-            toks.filter(F.size("__t") >= 2),
+            toks,
             F.zip_with(
                 F.slice(F.col("__t"), 1, F.size("__t") - 1),
                 F.slice(F.col("__t"), 2, F.size("__t") - 1),

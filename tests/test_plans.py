@@ -125,6 +125,13 @@ _NESTED_LOOP_OK = {
     "corpus_extend_semantic",  # n_centroids-row broadcast cross for cell
     # assignment (same shape as extend_ivf_index); the history comparison
     # itself is a cell equi-join
+    "doc_bigram_perplexity",  # 1-row broadcast vocab size (V) — the
+    # model/context tables themselves join hash-equi on (w1, w2)/w1
+    "corpus_ppl_buckets",  # inherits the unigram 1-row (T, V) broadcast
+    "events_value_trend_ols",  # 1-row broadcast min-timestamp anchor
+    # (same shape as events_decayed_value's max anchor)
+    "hits_trade_graph",  # 1-row broadcast L1 norm per half-step; the
+    # edge joins themselves are node-keyed hash joins
 }
 
 
