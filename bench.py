@@ -143,6 +143,7 @@ HEADLINE = [
     "events_stream_view_purchase_outer",
     "manifest_day_partition_scan",
     "manifest_files_accounting",
+    "orc_roundtrip_supplier",
 ]
 
 

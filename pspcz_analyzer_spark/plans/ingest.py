@@ -1559,3 +1559,36 @@ def manifest_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.scan_manifest_table_point(spark, path, "event_id", 777).orderBy(
         "event_id"
     )
+
+
+@register(
+    "orc_roundtrip_supplier",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal
+    FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("S3", "S4", "orc", "format", "sink"),
+    priority=18,
+    doc="ORC round-trip with zstd compression: supplier written as ORC "
+    "(Spark's second columnar format — schema evolution, predicate "
+    "pushdown, and column pruning all work the same as Parquet) and "
+    "read back losslessly; the oracle reads the ORIGINAL table, so any "
+    "format loss fails the hash. Broadens the engine's on-disk format "
+    "surface beyond Parquet/UNL/JSON.",
+)
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch(sf_dir, "supplier_orc")
+    sup.write.mode("overwrite").option("compression", "zstd").orc(path)
+    return (
+        spark.read.orc(path)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -1,0 +1,52 @@
+"""Round-6 fourth-wave scaling: newest queries at sf0.1 vs the 10x
+replica, best-of-two on a warm session. Appends to a side file.
+
+Usage: python tools/measure_r06d.py [sf_dir] [scale10_dir] [out_file]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "orders_price_position",
+    "corpus_ppl_buckets",
+    "corpus_ngram_diversity",
+    "events_robust_outliers",
+    "manifest_rename_roundtrip",
+    "events_stream_view_purchase_outer",
+    "manifest_day_partition_scan",
+    "manifest_files_accounting",
+    "orc_roundtrip_supplier",
+]
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    s10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pspcz_scale10"
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/r06d_measure.txt"
+    from pspcz_analyzer_spark.plans import query_fns
+    from pspcz_analyzer_spark.session import get_spark
+
+    fns = query_fns()
+    spark = get_spark()
+    with open(out, "a") as fh:
+        for tag, d in (("1x", sf), ("10x", s10)):
+            for name in QUERIES:
+                vals = []
+                for _ in range(2):
+                    t0 = time.time()
+                    n = fns[name](spark, d).count()
+                    vals.append(round(time.time() - t0, 2))
+                    spark.catalog.clearCache()
+                fh.write(f"{name} {tag} best={min(vals)} rows={n}\n")
+                fh.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
