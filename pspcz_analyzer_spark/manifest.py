@@ -114,6 +114,7 @@ def _commit(
     specs: "list | None" = None,
     current_spec: int | None = None,
     colmap: dict | None = None,
+    generated: dict | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -164,6 +165,8 @@ def _commit(
         # minimal form): carried verbatim — renames are metadata, the
         # physical name in every data file is immutable.
         colmap = prev_doc.get("colmap")
+    if generated is None:
+        generated = prev_doc.get("generated")
     prev_parts = prev_doc.get("partitions") or {}
     merged_parts = {f: prev_parts[f] for f in files if f in prev_parts}
     if partitions:
@@ -198,6 +201,8 @@ def _commit(
         doc["current_spec"] = current_spec
     if colmap:
         doc["colmap"] = {k: colmap[k] for k in sorted(colmap)}
+    if generated:
+        doc["generated"] = {k: generated[k] for k in sorted(generated)}
     if merged_parts:
         doc["partitions"] = {
             f: merged_parts[f] for f in sorted(merged_parts)
@@ -808,7 +813,10 @@ def append(
     files and returns the current version. Default 0 preserves the raw
     optimistic protocol: conflicts raise for the caller to re-plan."""
     m = read_manifest(path)
-    # Validate BEFORE staging so a rejected batch leaves zero artifacts.
+    # Generated columns compute/validate first (the batch may legally
+    # omit them), then validate BEFORE staging so a rejected batch
+    # leaves zero artifacts.
+    df = _apply_generated(m, df)
     _check_schema(m.get("schema") or _df_schema_list(df), df, merge_schema)
     _check_constraints(m, df)
     if txn is not None and (m.get("txns") or {}).get(txn[0], -1) >= txn[1]:
@@ -1217,6 +1225,82 @@ def add_column(path: str, name: str, dtype: str) -> int:
     )
 
 
+def add_generated_column(
+    spark: SparkSession, path: str, name: str, dtype: str, expr: str
+) -> int:
+    """ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (expr) — Delta's
+    generated columns in minimal form: the SQL expression is stored in
+    the manifest, and every subsequent :func:`append`
+
+    * COMPUTES the column when the batch omits it (writers never need to
+      know the derivation — the day/bucket partition helper columns that
+      motivate the feature), or
+    * VALIDATES it when the batch supplies it (a mismatching value is a
+      :class:`ConstraintViolation`, not silent drift).
+
+    Existing rows are untouched (metadata-only DDL like
+    :func:`add_column`); readers null-fill them, and pinned old versions
+    never see the column. The expression must be deterministic and
+    reference only existing columns (checked against an empty frame at
+    DDL time, so a typo fails HERE, not at the next append)."""
+    m = read_manifest(path)
+    schema = m.get("schema")
+    if not schema:
+        raise ValueError(
+            f"{path} has no manifest schema (pre-evolution manifest); "
+            "re-init or append once to adopt one"
+        )
+    if any(n == name for n, _ in schema):
+        raise SchemaMismatch(f"column {name!r} already exists")
+    # Validate the expression compiles against the table schema now, and
+    # canonicalize the declared dtype through Spark's own parser (the
+    # caller may say "long", the engine says "bigint" — the stored
+    # schema entry must match what an appended batch will carry).
+    ddl = ", ".join(f"{n} {t}" for n, t in schema)
+    try:
+        compiled = spark.createDataFrame([], ddl).select(
+            F.expr(expr).cast(dtype).alias(name)
+        )
+        dtype = compiled.schema.fields[0].dataType.simpleString()
+    except Exception as e:
+        raise ValueError(
+            f"generated-column expression {expr!r} does not compile "
+            f"against the table schema: {e}"
+        ) from e
+    generated = dict(m.get("generated") or {})
+    generated[name] = expr
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=m.get("rows"),
+        generated=generated,
+    )
+
+
+def _apply_generated(m: dict, df: DataFrame) -> DataFrame:
+    """Compute missing generated columns / validate supplied ones for an
+    append batch (called before schema enforcement)."""
+    gen = m.get("generated") or {}
+    types = {n: t for n, t in (m.get("schema") or [])}
+    for name, expr in gen.items():
+        target = F.expr(expr).cast(types.get(name, "string"))
+        if name not in df.columns:
+            df = df.withColumn(name, target)
+        else:
+            bad = df.filter(
+                ~F.col(name).eqNullSafe(target)
+            ).limit(1).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"generated column {name!r} supplied with values that "
+                    f"differ from GENERATED ALWAYS AS ({expr})"
+                )
+    return df
+
+
 def rename_column(path: str, old: str, new: str) -> int:
     """Metadata-only ALTER TABLE RENAME COLUMN — Delta's column mapping
     in minimal form: data files are NEVER rewritten; the manifest's
@@ -1261,6 +1345,12 @@ def rename_column(path: str, old: str, new: str) -> int:
                     f"column {old!r} anchors partition-spec entry "
                     f"{entry!r}; evolve the spec first"
                 )
+    for gname, gexpr in (m.get("generated") or {}).items():
+        if gname == old or _re.search(rf"\b{_re.escape(old)}\b", gexpr):
+            raise ValueError(
+                f"column {old!r} is part of generated column {gname!r} "
+                f"(GENERATED ALWAYS AS ({gexpr})); drop/re-declare it first"
+            )
     colmap = dict(m.get("colmap") or {})
     phys = colmap.pop(old, old)
     if phys != new:
@@ -2003,6 +2093,12 @@ def restore(path: str, version: int) -> int:
         partitions=target.get("partitions"),
         specs=target.get("specs"),
         current_spec=target.get("current_spec"),
+        # Explicit {} (not None): restoring to a version that predates a
+        # generated column must NOT carry the expression map forward —
+        # the restored schema lacks the column, and a carried entry
+        # would make the next append compute a column the schema
+        # rejects. Schema and generated map restore as one unit.
+        generated=target.get("generated") or {},
     )
 
 

@@ -2028,3 +2028,86 @@ class TestClusteringDepth:
         # Every file is unknown on id -> depth = file count, honest.
         n = len(M.read_manifest(path)["files"])
         assert M.clustering_depth(path, "id") == n
+
+
+class TestGeneratedColumns:
+    def test_computed_when_omitted_validated_when_supplied(
+        self, spark, tmp_path
+    ):
+        df = spark.range(20).selectExpr("id", "CAST(id * 3 AS DOUBLE) AS v")
+        path = str(tmp_path / "gen_tab")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path)
+        M.add_generated_column(spark, path, "v_bucket", "long", "CAST(v / 10 AS LONG)")
+        # Batch omits the column -> computed.
+        M.append(df, path)
+        got = M.load_manifest_table(spark, path)
+        assert got.columns == ["id", "v", "v_bucket"]
+        assert got.filter(F.col("id") == 7).first()["v_bucket"] == 2
+        # Batch supplies a CORRECT value -> accepted.
+        ok = spark.range(20, 25).selectExpr(
+            "id", "CAST(id * 3 AS DOUBLE) AS v", "CAST(id * 3 / 10 AS LONG) AS v_bucket"
+        )
+        M.append(ok, path)
+        # Batch supplies a WRONG value -> rejected before staging.
+        bad = spark.range(30, 35).selectExpr(
+            "id", "CAST(id * 3 AS DOUBLE) AS v", "CAST(0 AS LONG) AS v_bucket"
+        )
+        files_before = set(M.read_manifest(path)["files"])
+        with pytest.raises(M.ConstraintViolation, match="generated column"):
+            M.append(bad, path)
+        assert set(M.read_manifest(path)["files"]) == files_before
+        assert M.load_manifest_table(spark, path).count() == 25
+
+    def test_ddl_validates_expression_and_time_travel(self, spark, tmp_path):
+        df = spark.range(5).selectExpr("id")
+        path = str(tmp_path / "gen_ddl")
+        df.write.parquet(path)
+        M.manifest_init(path)
+        with pytest.raises(ValueError, match="does not compile"):
+            M.add_generated_column(spark, path, "x", "long", "no_such_col + 1")
+        v0 = M.current_version(path)
+        M.add_generated_column(spark, path, "id2", "long", "id * 2")
+        # Pre-DDL rows null-fill; pinned old version never sees the column.
+        assert M.load_manifest_table(spark, path).columns == ["id", "id2"]
+        assert M.load_manifest_table(spark, path, v0).columns == ["id"]
+        # Rename of the source or the generated column is blocked.
+        with pytest.raises(ValueError, match="generated column"):
+            M.rename_column(path, "id", "pk")
+        with pytest.raises(ValueError, match="generated column"):
+            M.rename_column(path, "id2", "dbl")
+
+    def test_generated_column_drives_partition_spec(self, spark, tmp_path):
+        import datetime
+
+        df = spark.sql(
+            """SELECT id AS event_id,
+                      timestamp'2024-06-01 00:00:00'
+                        + make_interval(0,0,0,0,0,0, id*2000) AS ts
+               FROM range(200)"""
+        )
+        path = str(tmp_path / "gen_part")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path)
+        M.add_generated_column(
+            spark, path, "event_day", "string", "date_format(ts, 'yyyy-MM-dd')"
+        )
+        M.set_partition_spec(path, ["event_day"])
+        M.append(df, path)  # writer never mentions event_day
+        m = M.read_manifest(path)
+        parts = m.get("partitions") or {}
+        days = {p["event_day"] for p in parts.values()}
+        assert len(days) >= 3 and all(d.startswith("2024-06") for d in days)
+        got = sorted(
+            r.event_id
+            for r in M.scan_manifest_table_partition(
+                spark, path, {"event_day": "2024-06-02"}
+            ).collect()
+        )
+        want = sorted(
+            r.event_id
+            for r in M.load_manifest_table(spark, path)
+            .filter(F.col("event_day") == "2024-06-02")
+            .collect()
+        )
+        assert got == want and got
