@@ -144,6 +144,7 @@ HEADLINE = [
     "manifest_day_partition_scan",
     "manifest_files_accounting",
     "orc_roundtrip_supplier",
+    "manifest_generated_partition",
 ]
 
 

@@ -691,6 +691,65 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_generated_partition",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("manifest", "generated-columns", "hidden-partitioning", "ddl"),
+    doc="Generated column driving a partition spec (manifest.py::"
+    "add_generated_column + set_partition_spec): event_day is declared "
+    "GENERATED ALWAYS AS date_format(ts,...) and made the partition "
+    "key; the append never mentions it — the engine computes it, lays "
+    "files out one-per-day, and records the values. The equality scan "
+    "on the derived column prunes to one day (asserted in-query) and "
+    "equals filtering the RAW timestamp by that day — the oracle. This "
+    "is Delta's canonical generated-column use case end-to-end.",
+    priority=18,
+)
+def manifest_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    path = _scratch(sf_dir, "events_gen_part")
+    _shutil.rmtree(path, ignore_errors=True)
+    events.limit(0).write.parquet(path)
+    M.manifest_init(path)
+    M.add_generated_column(
+        spark, path, "event_day", "string", "date_format(ts, 'yyyy-MM-dd')"
+    )
+    M.set_partition_spec(path, ["event_day"])
+    M.append(events, path)  # writer never mentions event_day
+    parts = M.read_manifest(path).get("partitions") or {}
+    kept, _total = M.prune_files_partition(path, {"event_day": "2024-01-15"})
+    kept_days = {parts[f]["event_day"] for f in kept if f in parts}
+    assert kept_days == {"2024-01-15"}, kept_days
+    return (
+        M.scan_manifest_table_partition(
+            spark, path, {"event_day": "2024-01-15"}
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "manifest_files_accounting",
     oracle="""
     SELECT event_type,
