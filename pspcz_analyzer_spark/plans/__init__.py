@@ -76,12 +76,12 @@ _PRIORITY: dict[str, int] = {
             "manifest_delete_roundtrip",
             "manifest_cdc_roundtrip",
             "manifest_schema_evolution",
-            "manifest_history_accounting",
             # load/scan_manifest_table route through the shared
-            # _read_files projection.
-            "manifest_restore_roundtrip",
+            # _read_files projection. (history/restore/zorder sentinels
+            # of the earlier draft are demoted below: round 6's new
+            # manifest queries exercise the same changed paths and the
+            # budget is full at 50.)
             "manifest_stats_prune",
-            "manifest_zorder_optimize",
             # extract_image_features: real header parsing + decoded col.
             "media_image_features",
             # jobs._commit_rewrite now carries sidecars over the swap.
@@ -208,6 +208,9 @@ _PRIORITY: dict[str, int] = {
     **{
         n: PRIORITY_ATTESTED_R05
         for n in (
+            "manifest_history_accounting",
+            "manifest_restore_roundtrip",
+            "manifest_zorder_optimize",
             "events_range_join_windows",
             "doc_duplicate_spans",
             "doc_duplicate_spans_removed",
