@@ -145,6 +145,7 @@ HEADLINE = [
     "manifest_files_accounting",
     "orc_roundtrip_supplier",
     "manifest_generated_partition",
+    "events_manifest_cdf_stream",
 ]
 
 

@@ -86,7 +86,6 @@ _PRIORITY: dict[str, int] = {
             "media_image_features",
             # jobs._commit_rewrite now carries sidecars over the swap.
             "parquet_delete_roundtrip",
-            "parquet_compact_roundtrip",
             # (The two untouched canaries of earlier drafts are dropped:
             # round 6 registered 40 brand-new queries and 12 sentinels +
             # 40 new overflows the 50-slot budget — the canaries' shared
@@ -211,6 +210,7 @@ _PRIORITY: dict[str, int] = {
             "manifest_history_accounting",
             "manifest_restore_roundtrip",
             "manifest_zorder_optimize",
+            "parquet_compact_roundtrip",
             "events_range_join_windows",
             "doc_duplicate_spans",
             "doc_duplicate_spans_removed",

@@ -786,3 +786,66 @@ def events_stream_view_purchase_outer(
         )
         .orderBy("purchase_id", "view_id")
     )
+
+
+@register(
+    "events_manifest_cdf_stream",
+    oracle="""
+    SELECT CASE WHEN event_id % 3 != 0 THEN 1 ELSE 2 END AS commit_version,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("streaming", "manifest", "cdf-source", "new-surface"),
+    priority=18,
+    doc="Streaming CHANGE FEED from a manifest table run live through "
+    "the gate (streaming/cdf_source.py — Delta's readChangeFeed via "
+    "Spark 4's Python DataSource API): the per-file sequence numbers "
+    "ARE the feed, offsets are table versions held in the engine's own "
+    "checkpoint (exactly-once restarts proven in test_streaming.py), "
+    "and each added file is one executor-side Arrow-batch partition. "
+    "Two commit waves drain through the source; per-_commit_version "
+    "totals must equal deriving each row's wave from the raw table — "
+    "the oracle.",
+)
+def events_manifest_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.scratch import scratch_path
+    from pspcz_analyzer_spark.streaming.cdf_source import register_cdf_source
+
+    register_cdf_source(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = scratch_path(sf_dir, "events_cdf_src")
+    _shutil.rmtree(path, ignore_errors=True)
+    # Wave 1 = version 1 (adoption), wave 2 = version 2 (append).
+    events.filter(F.col("event_id") % 3 != 0).write.parquet(path)
+    M.manifest_init(path)
+    M.append(events.filter(F.col("event_id") % 3 == 0), path)
+    sink = f"cdf_live_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("tablePath", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(F.col("_commit_version").cast("long").alias("commit_version"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("commit_version")
+    )

@@ -1,0 +1,141 @@
+"""Streaming change-data-feed SOURCE for manifest tables — Delta's
+``spark.readStream.format("delta").option("readChangeFeed", ...)`` in
+minimal form, built on Spark 4's Python DataSource API (SPARK-44076).
+
+The manifest's per-file SEQUENCE numbers (the version each data file was
+added at) are a ready-made change feed for append-only tables: an offset
+is just a table version, a micro-batch is "files with seq in
+(start, end]", and each file becomes one input partition read
+EXECUTOR-side as Arrow batches. No listener, no polling state, no side
+checkpoint — the streaming engine's own offset log holds the version
+watermark, so restarts resume exactly-once from the committed version.
+
+Contract: APPEND-ONLY change feed (the same contract as
+``manifest.read_version_delta``): delete/upsert/compaction REWRITES
+surface their output files as adds — run the feed on ingest tables, or
+route through ``snapshot_diff`` for rewrite-aware deltas.
+
+Usage::
+
+    from pspcz_analyzer_spark.streaming.cdf_source import register_cdf_source
+    register_cdf_source(spark)
+    stream = (spark.readStream.format("manifest_cdf")
+              .option("tablePath", path)
+              .option("startVersion", "0")   # 0 = current snapshot first
+              .load())
+
+Every output row carries ``_commit_version`` — the version whose commit
+added it (Delta's ``_commit_version`` CDF column).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _FileSlice(InputPartition):
+    """One added data file: absolute path, its commit version, and the
+    (logical name, ddl type, physical name) triples to reassemble the
+    declared schema from the file's physical columns."""
+
+    def __init__(self, abs_path: str, version: int, cols: list):
+        self.abs_path = abs_path
+        self.version = version
+        self.cols = cols
+
+
+class ManifestCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, start_version: int):
+        self._path = table_path
+        self._start = start_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        from pspcz_analyzer_spark.manifest import current_version
+
+        return {"version": current_version(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        from pspcz_analyzer_spark.manifest import read_manifest
+
+        sv, ev = int(start["version"]), int(end["version"])
+        if ev <= sv:
+            return []
+
+        m = read_manifest(self._path, ev)
+        seq = m.get("seq") or {}
+        colmap = m.get("colmap") or {}
+        cols = [
+            (n, t, colmap.get(n, n)) for n, t in (m.get("schema") or [])
+        ]
+        return [
+            _FileSlice(
+                os.path.join(self._path, f), int(seq.get(f, 0)), cols
+            )
+            for f in m["files"]
+            if sv < int(seq.get(f, 0)) <= ev
+        ]
+
+    def read(self, partition: _FileSlice):
+        # Executor-side: one parquet file -> Arrow batches projected to
+        # the declared logical schema (physical->logical mapping and
+        # null-fill for pre-evolution files happen here, mirroring
+        # manifest._read_files) + the constant _commit_version column.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        n = tbl.num_rows
+        arrays, names = [], []
+        for logical, _ddl, physical in partition.cols:
+            if physical in tbl.column_names:
+                arrays.append(tbl[physical])
+            else:
+                arrays.append(pa.nulls(n))
+            names.append(logical)
+        arrays.append(pa.array([partition.version] * n, type=pa.int64()))
+        names.append("_commit_version")
+        out = pa.table(arrays, names=names)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ManifestCDFDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_cdf"
+
+    def schema(self) -> str:
+        from pspcz_analyzer_spark.manifest import read_manifest
+
+        path = self.options.get("tablePath")
+        if not path:
+            raise ValueError("manifest_cdf requires option 'tablePath'")
+        schema = read_manifest(path).get("schema") or []
+        if not schema:
+            raise ValueError(
+                f"{path} has no manifest schema; init or append first"
+            )
+        ddl = ", ".join(f"{n} {t}" for n, t in schema)
+        return f"{ddl}, _commit_version bigint"
+
+    def streamReader(self, schema) -> ManifestCDFStreamReader:
+        path = self.options["tablePath"]
+        start = int(self.options.get("startversion", 0))
+        return ManifestCDFStreamReader(path, start)
+
+
+def register_cdf_source(spark: SparkSession) -> None:
+    """Idempstent registration of the ``manifest_cdf`` format."""
+    spark.dataSource.register(ManifestCDFDataSource)

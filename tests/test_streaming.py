@@ -529,3 +529,83 @@ def test_outer_join_flushes_unmatched_after_watermark(spark, tmp_path):
         .collect()
     }
     assert got == {(2, 1), (3, None)}
+
+
+class TestManifestCDFSource:
+    def test_drain_resume_and_noop(self, spark, tmp_path):
+        import shutil
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+
+        register_cdf_source(spark)
+        p = str(tmp_path / "cdf_tbl")
+        out = str(tmp_path / "cdf_out")
+        ck = str(tmp_path / "cdf_ck")
+        spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(p)
+        M.manifest_init(p)
+
+        def drain():
+            q = (
+                spark.readStream.format("manifest_cdf")
+                .option("tablePath", p)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        df = spark.read.parquet(out)
+        assert df.count() == 10
+        assert set(df.columns) == {"id", "v", "_commit_version"}
+        assert {r[0] for r in df.select("_commit_version").distinct().collect()} == {1}
+        # Resume from the engine's own checkpoint: only the delta streams.
+        M.append(spark.range(10, 25).selectExpr("id", "id * 2 AS v"), p)
+        drain()
+        df = spark.read.parquet(out)
+        assert df.count() == 25 and df.select("id").distinct().count() == 25
+        assert {
+            r[0] for r in df.select("_commit_version").distinct().collect()
+        } == {1, 2}
+        # No new versions -> no-op drain, no duplicates (exactly-once).
+        drain()
+        assert spark.read.parquet(out).count() == 25
+
+    def test_schema_evolution_null_fills_old_files(self, spark, tmp_path):
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+        import pyspark.sql.functions as F
+
+        register_cdf_source(spark)
+        p = str(tmp_path / "cdf_evo")
+        spark.range(5).selectExpr("id").write.parquet(p)
+        M.manifest_init(p)
+        M.append(
+            spark.range(5, 8).selectExpr("id", "'x' AS tag"),
+            p,
+            merge_schema=True,
+        )
+        sink = "cdf_evo_sink"
+        q = (
+            spark.readStream.format("manifest_cdf")
+            .option("tablePath", p)
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.table(sink)
+        assert df.count() == 8
+        assert df.filter(F.col("tag").isNull()).count() == 5  # pre-evolution
+        assert df.filter(F.col("tag") == "x").count() == 3
