@@ -830,7 +830,7 @@ def events_manifest_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     M.append(events.filter(F.col("event_id") % 3 == 0), path)
     sink = f"cdf_live_sink_{_uuid.uuid4().hex[:8]}"
     q = (
-        spark.readStream.format("manifest_cdf")
+        spark.readStream.format("manifest")
         .option("tablePath", path)
         .load()
         .writeStream.format("memory")

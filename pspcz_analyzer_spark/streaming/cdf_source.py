@@ -19,10 +19,18 @@ Usage::
 
     from pspcz_analyzer_spark.streaming.cdf_source import register_cdf_source
     register_cdf_source(spark)
-    stream = (spark.readStream.format("manifest_cdf")
+    stream = (spark.readStream.format("manifest")
               .option("tablePath", path)
               .option("startVersion", "0")   # 0 = current snapshot first
               .load())
+
+and the EXACTLY-ONCE sink direction (Delta's transactional streaming
+write) through the same format::
+
+    (df.writeStream.format("manifest")
+       .option("tablePath", path)
+       .option("txnAppId", "my_pipeline")    # idempotence scope
+       .option("checkpointLocation", ck).start())
 
 Every output row carries ``_commit_version`` — the version whose commit
 added it (Delta's ``_commit_version`` CDF column).
@@ -35,8 +43,10 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -114,14 +124,14 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
 class ManifestCDFDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
-        return "manifest_cdf"
+        return "manifest"
 
     def schema(self) -> str:
         from pspcz_analyzer_spark.manifest import read_manifest
 
         path = self.options.get("tablePath")
         if not path:
-            raise ValueError("manifest_cdf requires option 'tablePath'")
+            raise ValueError("manifest source/sink requires option 'tablePath'")
         schema = read_manifest(path).get("schema") or []
         if not schema:
             raise ValueError(
@@ -135,7 +145,108 @@ class ManifestCDFDataSource(DataSource):
         start = int(self.options.get("startversion", 0))
         return ManifestCDFStreamReader(path, start)
 
+    def streamWriter(self, schema, overwrite: bool) -> "ManifestStreamWriter":
+        if overwrite:
+            raise ValueError("manifest sink is append-only (outputMode append)")
+        path = self.options.get("tablepath") or self.options.get("tablePath")
+        if not path:
+            raise ValueError("manifest sink requires option 'tablePath'")
+        app = self.options.get("txnappid", "manifest_sink")
+        return ManifestStreamWriter(path, app)
+
+
+class _SinkMsg(WriterCommitMessage):
+    def __init__(self, names: list):
+        self.names = names
+
+
+class ManifestStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming SINK: each task writes its Arrow batches
+    as ONE additive parquet file directly into the table directory
+    (invisible to readers until the commit — the manifest's staging
+    convention), under PHYSICAL column names; the driver-side commit
+    publishes one manifest version referencing old + new files with the
+    txn watermark (txnAppId, batchId), so a replayed micro-batch after
+    a crash is a metadata no-op and its re-written files are removed
+    instead of double-appended — Delta's transactional sink protocol on
+    the Python DataSource API instead of foreachBatch."""
+
+    def __init__(self, table_path: str, app_id: str):
+        from pspcz_analyzer_spark.manifest import read_manifest
+
+        self._path = table_path
+        self._app = app_id
+        m = read_manifest(table_path)
+        self._schema = m.get("schema") or []
+        self._colmap = m.get("colmap") or {}
+
+    # -- executor side -----------------------------------------------
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _SinkMsg([])
+        tbl = pa.Table.from_batches(batches)
+        tbl = tbl.rename_columns(
+            [self._colmap.get(c, c) for c in tbl.column_names]
+        )
+        name = f"dsink-{_uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(tbl, os.path.join(self._path, name))
+        return _SinkMsg([name])
+
+    # -- driver side -------------------------------------------------
+    def _cleanup(self, names):
+        for n in names:
+            try:
+                os.remove(os.path.join(self._path, n))
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        from pspcz_analyzer_spark import manifest as M
+
+        names = sorted(
+            n for msg in messages if msg is not None for n in msg.names
+        )
+        m = M.read_manifest(self._path)
+        while True:
+            if (m.get("txns") or {}).get(self._app, -1) >= batchId:
+                # Replay: the batch is already durable in some version;
+                # this attempt's files are unreferenced duplicates.
+                self._cleanup(names)
+                return
+            from pspcz_analyzer_spark.fs import get_fs
+
+            fs, rel = get_fs(self._path)
+            txns = dict(m.get("txns") or {})
+            txns[self._app] = batchId
+            stats, stat_cols = M._updated_stats(m, fs, rel, names)
+            try:
+                M._commit(
+                    self._path, m["files"] + names, m["version"],
+                    txns=txns, schema=m.get("schema"),
+                    stats=stats, stat_cols=stat_cols,
+                    constraints=m.get("constraints"),
+                    deletes=m.get("deletes"),
+                    rows=M._updated_rows(m, fs, rel, names),
+                )
+                return
+            except M.CommitConflict:
+                # Same contract as append(max_commit_retries): files are
+                # staged once; only the metadata publish retries against
+                # the re-read manifest.
+                m = M.read_manifest(self._path)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(
+            [n for msg in messages if msg is not None for n in msg.names]
+        )
+
 
 def register_cdf_source(spark: SparkSession) -> None:
-    """Idempstent registration of the ``manifest_cdf`` format."""
+    """Idempotent registration of the ``manifest`` source/sink format."""
     spark.dataSource.register(ManifestCDFDataSource)

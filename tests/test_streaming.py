@@ -549,7 +549,7 @@ class TestManifestCDFSource:
 
         def drain():
             q = (
-                spark.readStream.format("manifest_cdf")
+                spark.readStream.format("manifest")
                 .option("tablePath", p)
                 .load()
                 .writeStream.format("parquet")
@@ -595,7 +595,7 @@ class TestManifestCDFSource:
         )
         sink = "cdf_evo_sink"
         q = (
-            spark.readStream.format("manifest_cdf")
+            spark.readStream.format("manifest")
             .option("tablePath", p)
             .load()
             .writeStream.format("memory")
@@ -609,3 +609,104 @@ class TestManifestCDFSource:
         assert df.count() == 8
         assert df.filter(F.col("tag").isNull()).count() == 5  # pre-evolution
         assert df.filter(F.col("tag") == "x").count() == 3
+
+
+class TestManifestStreamSink:
+    def test_exactly_once_appends_and_replay_absorption(self, spark, tmp_path):
+        import os
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+
+        register_cdf_source(spark)
+        tbl = str(tmp_path / "sink_tbl")
+        landing = str(tmp_path / "sink_landing")
+        ck = str(tmp_path / "sink_ck")
+        spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS v").write.parquet(tbl)
+        M.manifest_init(tbl)
+        spark.range(10).selectExpr(
+            "id", "CAST(id * 1.5 AS DOUBLE) AS v"
+        ).coalesce(2).write.parquet(os.path.join(landing, "b1"))
+
+        def drain(checkpoint):
+            q = (
+                spark.readStream.schema("id long, v double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(landing, "*"))
+                .writeStream.format("manifest")
+                .option("tablePath", tbl)
+                .option("txnAppId", "t1")
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain(ck)
+        assert M.load_manifest_table(spark, tbl).count() == 10
+        assert (M.read_manifest(tbl).get("txns") or {}).get("t1") is not None
+        # Second wave appends only the delta.
+        spark.range(10, 30).selectExpr(
+            "id", "CAST(id * 1.5 AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(os.path.join(landing, "b2"))
+        drain(ck)
+        got = M.load_manifest_table(spark, tbl)
+        assert got.count() == 30 and got.select("id").distinct().count() == 30
+        # Full replay from a FRESH checkpoint: the txn watermark absorbs
+        # every replayed batch; no duplicate rows, no orphan files.
+        import shutil
+
+        shutil.rmtree(ck)
+        files_before = set(M.read_manifest(tbl)["files"])
+        drain(str(tmp_path / "sink_ck2"))
+        assert M.load_manifest_table(spark, tbl).count() == 30
+        assert set(M.read_manifest(tbl)["files"]) == files_before
+        leftovers = [
+            f for f in os.listdir(tbl)
+            if f.startswith("dsink-") and f not in files_before
+        ]
+        assert not leftovers  # replay duplicates were cleaned up
+        # Row accounting flowed through the sink commits.
+        assert sum((M.read_manifest(tbl).get("rows") or {}).values()) == 30
+
+    def test_sink_stages_physical_names_after_rename(self, spark, tmp_path):
+        import os
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+        import pyarrow.parquet as pq
+        import pyspark.sql.functions as F
+
+        register_cdf_source(spark)
+        tbl = str(tmp_path / "sinkr_tbl")
+        landing = str(tmp_path / "sinkr_landing")
+        spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS amount").write.parquet(tbl)
+        M.manifest_init(tbl)
+        M.rename_column(tbl, "amount", "total")
+        # The stream carries the NEW logical name...
+        spark.range(5, 9).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS total"
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        q = (
+            spark.readStream.schema("id long, total double")
+            .parquet(os.path.join(landing, "*"))
+            .writeStream.format("manifest")
+            .option("tablePath", tbl)
+            .option("checkpointLocation", str(tmp_path / "sinkr_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        m = M.read_manifest(tbl)
+        sink_file = [f for f in m["files"] if f.startswith("dsink-")][0]
+        phys = pq.ParquetFile(os.path.join(tbl, sink_file)).schema_arrow.names
+        assert "amount" in phys and "total" not in phys  # physical on disk
+        got = M.load_manifest_table(spark, tbl)
+        assert got.columns == ["id", "total"] and got.count() == 9
+        assert got.filter(F.col("id") == 7).first()["total"] == 7.0
