@@ -43,6 +43,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
@@ -96,29 +97,64 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _FileSlice):
-        # Executor-side: one parquet file -> Arrow batches projected to
-        # the declared logical schema (physical->logical mapping and
-        # null-fill for pre-evolution files happen here, mirroring
-        # manifest._read_files) + the constant _commit_version column.
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(partition.abs_path)
-        n = tbl.num_rows
-        arrays, names = [], []
-        for logical, _ddl, physical in partition.cols:
-            if physical in tbl.column_names:
-                arrays.append(tbl[physical])
-            else:
-                arrays.append(pa.nulls(n))
-            names.append(logical)
-        arrays.append(pa.array([partition.version] * n, type=pa.int64()))
-        names.append("_commit_version")
-        out = pa.table(arrays, names=names)
-        yield from out.to_batches(max_chunksize=1 << 16)
+        yield from _read_file_slice(partition)
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def _read_file_slice(partition: _FileSlice):
+    """Executor-side: one parquet file -> Arrow batches projected to the
+    declared logical schema (physical->logical mapping and null-fill for
+    pre-evolution files happen here, mirroring manifest._read_files) +
+    the constant _commit_version column. Shared by the streaming and
+    batch read paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(partition.abs_path)
+    n = tbl.num_rows
+    arrays, names = [], []
+    for logical, _ddl, physical in partition.cols:
+        if physical in tbl.column_names:
+            arrays.append(tbl[physical])
+        else:
+            arrays.append(pa.nulls(n))
+        names.append(logical)
+    arrays.append(pa.array([partition.version] * n, type=pa.int64()))
+    names.append("_commit_version")
+    out = pa.table(arrays, names=names)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class ManifestBatchReader(DataSourceReader):
+    """Batch read of a manifest table through the same format —
+    ``spark.read.format("manifest").option("tablePath", p)`` — with
+    ``versionAsOf`` time travel. The snapshot (file list + schema +
+    colmap, pinned at reader construction like load_manifest_table) maps
+    to one Arrow partition per data file; rows carry _commit_version
+    from the seq map. NB: pending merge-on-read delete entries are NOT
+    applied on this path (it is the raw-adds view, same contract as the
+    change feed); use load_manifest_table for delete-aware reads."""
+
+    def __init__(self, table_path: str, version: "int | None"):
+        from pspcz_analyzer_spark.manifest import read_manifest
+
+        self._path = table_path
+        m = read_manifest(table_path, version)
+        seq = m.get("seq") or {}
+        colmap = m.get("colmap") or {}
+        cols = [(n, t, colmap.get(n, n)) for n, t in (m.get("schema") or [])]
+        self._slices = [
+            _FileSlice(os.path.join(table_path, f), int(seq.get(f, 0)), cols)
+            for f in m["files"]
+        ]
+
+    def partitions(self):
+        return self._slices
+
+    def read(self, partition: _FileSlice):
+        yield from _read_file_slice(partition)
 
 
 class ManifestCDFDataSource(DataSource):
@@ -129,10 +165,13 @@ class ManifestCDFDataSource(DataSource):
     def schema(self) -> str:
         from pspcz_analyzer_spark.manifest import read_manifest
 
-        path = self.options.get("tablePath")
+        path = self.options.get("tablepath") or self.options.get("tablePath")
         if not path:
             raise ValueError("manifest source/sink requires option 'tablePath'")
-        schema = read_manifest(path).get("schema") or []
+        v = self.options.get("versionasof")
+        schema = read_manifest(
+            path, int(v) if v is not None else None
+        ).get("schema") or []
         if not schema:
             raise ValueError(
                 f"{path} has no manifest schema; init or append first"
@@ -144,6 +183,13 @@ class ManifestCDFDataSource(DataSource):
         path = self.options["tablePath"]
         start = int(self.options.get("startversion", 0))
         return ManifestCDFStreamReader(path, start)
+
+    def reader(self, schema) -> ManifestBatchReader:
+        path = self.options.get("tablepath") or self.options.get("tablePath")
+        if not path:
+            raise ValueError("manifest source requires option 'tablePath'")
+        v = self.options.get("versionasof")
+        return ManifestBatchReader(path, int(v) if v is not None else None)
 
     def streamWriter(self, schema, overwrite: bool) -> "ManifestStreamWriter":
         if overwrite:

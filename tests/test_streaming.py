@@ -710,3 +710,36 @@ class TestManifestStreamSink:
         got = M.load_manifest_table(spark, tbl)
         assert got.columns == ["id", "total"] and got.count() == 9
         assert got.filter(F.col("id") == 7).first()["total"] == 7.0
+
+
+class TestManifestBatchReader:
+    def test_batch_read_and_version_as_of(self, spark, tmp_path):
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+        import pyspark.sql.functions as F
+
+        register_cdf_source(spark)
+        p = str(tmp_path / "batch_tbl")
+        spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS amount").write.parquet(p)
+        M.manifest_init(p)
+        v1 = M.current_version(p)
+        M.rename_column(p, "amount", "total")
+        M.append(spark.range(10, 15).selectExpr("id", "CAST(id AS DOUBLE) AS total"), p)
+        # Current snapshot: new logical name, both eras, _commit_version.
+        cur = (
+            spark.read.format("manifest").option("tablePath", p).load()
+        )
+        assert set(cur.columns) == {"id", "total", "_commit_version"}
+        assert cur.count() == 15
+        assert cur.filter(F.col("_commit_version") > v1).count() == 5
+        # Time travel reads the OLD schema and the old snapshot.
+        old = (
+            spark.read.format("manifest")
+            .option("tablePath", p)
+            .option("versionAsOf", str(v1))
+            .load()
+        )
+        assert set(old.columns) == {"id", "amount", "_commit_version"}
+        assert old.count() == 10
