@@ -2102,6 +2102,79 @@ def restore(path: str, version: int) -> int:
     )
 
 
+def _tags_dir(path: str) -> str:
+    return os.path.join(_manifest_dir(path), "tags")
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Tag a table version with a stable name — Iceberg's tags (named
+    snapshot refs) in minimal form: one tiny JSON under
+    ``_manifest/tags/``, create-exclusive so two writers can't claim the
+    same name. Tagged versions are PINNED: :func:`vacuum` keeps their
+    manifests and every file they reference regardless of
+    ``retain_versions`` — the audit/rollback anchor ("the snapshot we
+    trained run X on") that plain retention can't give you. Resolve with
+    ``load_manifest_table(spark, path, version=resolve_tag(...))`` or
+    any version-taking reader. Returns the tagged version."""
+    import json as _json
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        raise ValueError(f"bad tag name: {name!r}")
+    v = current_version(path) if version is None else int(version)
+    if v not in _versions(path):
+        raise ValueError(f"version {v} does not exist at {path}")
+    fs, rel = get_fs(path)
+    d = _tags_dir(rel)
+    fs.makedirs(d)
+    try:
+        fs.create_exclusive(
+            os.path.join(d, f"{name}.json"),
+            _json.dumps({"name": name, "version": v}).encode(),
+        )
+    except FileExistsError as e:
+        raise ValueError(f"tag {name!r} already exists at {path}") from e
+    return v
+
+
+def resolve_tag(path: str, name: str) -> int:
+    """The version a tag points at (ValueError if absent)."""
+    import json as _json
+
+    fs, rel = get_fs(path)
+    p = os.path.join(_tags_dir(rel), f"{name}.json")
+    if not fs.exists(p):
+        raise ValueError(f"no tag {name!r} at {path}")
+    return int(_json.loads(fs.read_bytes(p))["version"])
+
+
+def delete_tag(path: str, name: str) -> None:
+    """Drop a tag; its version re-enters the normal retention clock."""
+    fs, rel = get_fs(path)
+    p = os.path.join(_tags_dir(rel), f"{name}.json")
+    if not fs.exists(p):
+        raise ValueError(f"no tag {name!r} at {path}")
+    fs.remove(p)
+
+
+def list_tags(path: str) -> "dict[str, int]":
+    """{tag name: version}, empty if none."""
+    import json as _json
+
+    fs, rel = get_fs(path)
+    d = _tags_dir(rel)
+    out = {}
+    try:
+        names = fs.listdir(d)
+    except Exception:
+        return out
+    for f in names:
+        if f.endswith(".json"):
+            doc = _json.loads(fs.read_bytes(os.path.join(d, f)))
+            out[doc["name"]] = int(doc["version"])
+    return out
+
+
 def vacuum(
     path: str,
     retain_versions: int = 1,
@@ -2129,7 +2202,11 @@ def vacuum(
     vs = _versions(path)
     if not vs:
         return 0
-    keep_vs = vs[-retain_versions:]
+    # Tagged versions are pinned outside the retention window: their
+    # manifests stay readable and their files stay on disk until the
+    # tag is dropped (Iceberg's ref-based expiry rule).
+    tagged = set(list_tags(path).values())
+    keep_vs = sorted(set(vs[-retain_versions:]) | (tagged & set(vs)))
     referenced: set[str] = set()
     for v in keep_vs:
         mv = read_manifest(path, v)
@@ -2161,6 +2238,8 @@ def vacuum(
             if _old_enough(full):
                 fs.rmtree(full)
     for v in vs[:-retain_versions]:
+        if v in tagged:
+            continue
         fs.remove(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
     return removed
 

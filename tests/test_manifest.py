@@ -2111,3 +2111,48 @@ class TestGeneratedColumns:
             .collect()
         )
         assert got == want and got
+
+
+class TestTags:
+    def test_tag_pins_version_through_vacuum(self, spark, tmp_path):
+        path = str(tmp_path / "tag_tab")
+        spark.range(10).select("id").write.parquet(path)
+        M.manifest_init(path)
+        v1 = M.current_version(path)
+        M.create_tag(path, "train-run-7")
+        assert M.resolve_tag(path, "train-run-7") == v1
+        # Three rewriting commits push v1 far outside retain_versions=1.
+        M.delete_keys(spark, path, "id", [1])
+        M.delete_keys(spark, path, "id", [2])
+        M.append(spark.range(10, 12).select("id"), path)
+        M.vacuum(path, retain_versions=1, min_age_seconds=0)
+        # The tagged snapshot is still fully readable...
+        pinned = M.load_manifest_table(spark, path, v1)
+        assert pinned.count() == 10
+        # ...while untagged intermediate versions were pruned.
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            M.read_manifest(path, v1 + 1)
+        # Dropping the tag re-enters the retention clock: the next
+        # vacuum collects the old snapshot's files.
+        M.delete_tag(path, "train-run-7")
+        M.vacuum(path, retain_versions=1, min_age_seconds=0)
+        with _pytest.raises(FileNotFoundError):
+            M.read_manifest(path, v1)
+        assert M.load_manifest_table(spark, path).count() == 10  # 10-2+2
+
+    def test_tag_name_rules_and_uniqueness(self, spark, tmp_path):
+        path = str(tmp_path / "tag_rules")
+        spark.range(3).select("id").write.parquet(path)
+        M.manifest_init(path)
+        M.create_tag(path, "v1.0")
+        with pytest.raises(ValueError, match="already exists"):
+            M.create_tag(path, "v1.0")
+        with pytest.raises(ValueError, match="bad tag name"):
+            M.create_tag(path, "has space")
+        with pytest.raises(ValueError, match="does not exist"):
+            M.create_tag(path, "future", version=99)
+        with pytest.raises(ValueError, match="no tag"):
+            M.resolve_tag(path, "ghost")
+        assert M.list_tags(path) == {"v1.0": 1}
