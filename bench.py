@@ -146,6 +146,7 @@ HEADLINE = [
     "orc_roundtrip_supplier",
     "manifest_generated_partition",
     "events_manifest_cdf_stream",
+    "manifest_dml_roundtrip",
 ]
 
 

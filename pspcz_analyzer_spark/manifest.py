@@ -1517,6 +1517,129 @@ def delete_keys(
     return len(affected), rows_before - rows_after
 
 
+def _predicate_victims(
+    spark: SparkSession, m: dict, path: str, predicate: str
+) -> "list[str]":
+    """Files that CONTAIN at least one row matching ``predicate`` — found
+    with ONE filtered scan carrying input_file_name() (Spark prunes the
+    scan itself via pushdown/stats where it can), so only genuinely
+    affected files are rewritten. The scan reads through
+    :func:`_with_deletes` so merge-on-read state can't resurrect rows."""
+    hit = (
+        _with_deletes(spark, path, m, m["files"])
+        .filter(F.expr(predicate))
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+        )
+        .distinct()
+        .collect()
+    )
+    names = {r["__f"] for r in hit}
+    return [f for f in m["files"] if f in names]
+
+
+def delete_where(
+    spark: SparkSession, path: str, predicate: str
+) -> "tuple[int, int]":
+    """``DELETE FROM table WHERE predicate`` — the general-predicate DML
+    statement completing the triad with :func:`delete_keys` (key lists) /
+    :func:`delete_keys_mor` (merge-on-read) and :func:`upsert` /
+    :func:`scd2_merge` (MERGE): one scan finds the files that actually
+    contain matching rows, ONLY those rewrite (survivor rows keep their
+    files byte-identical), and the change publishes as one version.
+    Returns (files_rewritten, rows_deleted)."""
+    fs, rel = get_fs(path)
+    m = read_manifest(path)
+    affected = _predicate_victims(spark, m, path, predicate)
+    if not affected:
+        return 0, 0
+    kept = _with_deletes(spark, path, m, affected).filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    )
+    new_names = _stage_rewrites(kept, path, "delw")
+    rows_before = _file_rows(m, fs, rel, affected)
+    rows_after = sum(
+        fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
+        for f in new_names
+    )
+    victims = set(affected)
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=_updated_rows(m, fs, rel, new_names, victims),
+    )
+    return len(affected), rows_before - rows_after
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: "dict[str, str]",
+) -> "tuple[int, int]":
+    """``UPDATE table SET col = expr, ... WHERE predicate`` — files with
+    matching rows rewrite with the assignments applied under a CASE WHEN
+    (non-matching rows in the same file pass through bit-unchanged);
+    untouched files never rewrite. Assignments are validated against the
+    schema (unknown column or type change raises before any IO) and the
+    rewritten batch re-checks CHECK constraints and generated columns —
+    an UPDATE cannot silently break the table's own invariants.
+    Returns (files_rewritten, rows_updated)."""
+    fs, rel = get_fs(path)
+    m = read_manifest(path)
+    types = {n: t for n, t in (m.get("schema") or [])}
+    for col in set_exprs:
+        if types and col not in types:
+            raise SchemaMismatch(f"UPDATE SET on unknown column {col!r}")
+    gen = m.get("generated") or {}
+    affected = _predicate_victims(spark, m, path, predicate)
+    if not affected:
+        return 0, 0
+    src = _with_deletes(spark, path, m, affected)
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    n_updated = src.filter(pred).count()
+    out = src
+    for col, expr in set_exprs.items():
+        target = F.expr(expr)
+        if col in types:
+            target = target.cast(types[col])
+        out = out.withColumn(col, F.when(pred, target).otherwise(F.col(col)))
+    # The rewrite must satisfy the table's own invariants.
+    _check_constraints(m, out)
+    for gname, gexpr in gen.items():
+        if gname in out.columns:
+            bad = out.filter(
+                ~F.col(gname).eqNullSafe(
+                    F.expr(gexpr).cast(types.get(gname, "string"))
+                )
+            ).limit(1).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"UPDATE breaks generated column {gname!r} "
+                    f"(GENERATED ALWAYS AS ({gexpr})); update its sources "
+                    "and let the expression recompute, or set both "
+                    "consistently"
+                )
+    new_names = _stage_rewrites(out, path, "updw")
+    victims = set(affected)
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=_updated_rows(m, fs, rel, new_names, victims),
+    )
+    return len(affected), n_updated
+
+
 def delete_keys_mor(
     spark: SparkSession,
     path: str,

@@ -77,11 +77,11 @@ _PRIORITY: dict[str, int] = {
             "manifest_cdc_roundtrip",
             "manifest_schema_evolution",
             # load/scan_manifest_table route through the shared
-            # _read_files projection. (history/restore/zorder sentinels
-            # of the earlier draft are demoted below: round 6's new
-            # manifest queries exercise the same changed paths and the
+            # _read_files projection. (history/restore/zorder/stats
+            # sentinels of the earlier draft are demoted below: round
+            # 6's NEW queries exercise the same changed paths —
+            # manifest_scan_pruned IS the stats-pruned scan — and the
             # budget is full at 50.)
-            "manifest_stats_prune",
             # extract_image_features: real header parsing + decoded col.
             "media_image_features",
             # jobs._commit_rewrite now carries sidecars over the swap.
@@ -211,6 +211,7 @@ _PRIORITY: dict[str, int] = {
             "manifest_restore_roundtrip",
             "manifest_zorder_optimize",
             "parquet_compact_roundtrip",
+            "manifest_stats_prune",
             "events_range_join_windows",
             "doc_duplicate_spans",
             "doc_duplicate_spans_removed",

@@ -1651,3 +1651,69 @@ def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "manifest_dml_roundtrip",
+    oracle="""
+    WITH after_delete AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    ),
+    after_update AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM after_delete
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM after_update
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "dml", "delete-where", "update-where"),
+    priority=18,
+    doc="General-predicate DML on a manifest table (manifest.py::"
+    "delete_where / update_where — the DELETE/UPDATE statements "
+    "completing the MERGE the layer already has): one scan finds the "
+    "files actually containing matching rows, only those rewrite "
+    "(survivors byte-identical), each statement is one committed "
+    "version. DELETE drops cheap finished orders, UPDATE reprices "
+    "pending ones under a CASE WHEN; the final aggregate must equal "
+    "replaying both statements in SQL — the oracle.",
+)
+def manifest_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_dml")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    M.delete_where(
+        spark, path, "o_orderstatus = 'F' AND o_totalprice < 50000"
+    )
+    M.update_where(
+        spark,
+        path,
+        "o_orderstatus = 'P'",
+        {"o_totalprice": "round(o_totalprice * 1.1, 2)"},
+    )
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

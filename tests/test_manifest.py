@@ -2156,3 +2156,77 @@ class TestTags:
         with pytest.raises(ValueError, match="no tag"):
             M.resolve_tag(path, "ghost")
         assert M.list_tags(path) == {"v1.0": 1}
+
+
+class TestDeleteUpdateWhere:
+    @staticmethod
+    def _mk(spark, tmp_path, name):
+        df = spark.range(100).selectExpr(
+            "id", "CAST(id % 7 AS DOUBLE) AS score",
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp",
+        )
+        path = str(tmp_path / name)
+        write_range_sorted(df, path, "id", 4)
+        M.manifest_init(path, stat_cols=["id"])
+        return path
+
+    def test_delete_where_rewrites_only_matching_files(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "dw")
+        before = M.read_manifest(path)["files"]
+        # Predicate hits only ids 10-19 -> one of four range files.
+        nf, nrows = M.delete_where(
+            spark, path, "id BETWEEN 10 AND 19 AND grp = 'a'"
+        )
+        assert nf == 1 and nrows == 5
+        m = M.read_manifest(path)
+        assert len(set(before) & set(m["files"])) == 3  # 3 untouched
+        got = M.load_manifest_table(spark, path)
+        assert got.count() == 95
+        assert got.filter("id BETWEEN 10 AND 19 AND grp = 'a'").count() == 0
+        # No-match predicate is a no-op (no commit).
+        v = M.current_version(path)
+        assert M.delete_where(spark, path, "id > 1000") == (0, 0)
+        assert M.current_version(path) == v
+        # Null-valued predicates don't delete (NULL -> not matched).
+        M.add_column(path, "flag", "int")
+        assert M.delete_where(spark, path, "flag = 1") == (0, 0)
+
+    def test_update_where_applies_case_and_checks_invariants(
+        self, spark, tmp_path
+    ):
+        path = self._mk(spark, tmp_path, "uw")
+        nf, nrows = M.update_where(
+            spark, path, "grp = 'b' AND id < 25",
+            {"score": "score + 100"},
+        )
+        assert nrows == 12  # odd ids below 25
+        got = M.load_manifest_table(spark, path)
+        assert got.filter("grp = 'b' AND id < 25 AND score < 100").count() == 0
+        assert got.filter("grp = 'a' AND score >= 100").count() == 0
+        assert got.count() == 100
+        with pytest.raises(M.SchemaMismatch, match="unknown column"):
+            M.update_where(spark, path, "id = 1", {"ghost": "1"})
+        # An UPDATE that would violate a CHECK constraint is rejected
+        # with no commit.
+        M.set_constraint(spark, path, "score_cap", "score < 1000")
+        v = M.current_version(path)
+        with pytest.raises(M.ConstraintViolation):
+            M.update_where(spark, path, "id = 3", {"score": "5000"})
+        assert M.current_version(path) == v
+
+    def test_update_cannot_break_generated_column(self, spark, tmp_path):
+        df = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        path = str(tmp_path / "uw_gen")
+        df.limit(0).write.parquet(path)
+        M.manifest_init(path)
+        M.add_generated_column(spark, path, "v2", "double", "v * 2")
+        M.append(df, path)
+        with pytest.raises(M.ConstraintViolation, match="generated column"):
+            M.update_where(spark, path, "id = 1", {"v": "99"})
+        # Updating source AND derived consistently is allowed.
+        nf, nrows = M.update_where(
+            spark, path, "id = 1", {"v": "99", "v2": "198"}
+        )
+        assert nrows == 1
+        r = M.load_manifest_table(spark, path).filter("id = 1").first()
+        assert r["v"] == 99.0 and r["v2"] == 198.0
