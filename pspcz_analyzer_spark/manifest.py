@@ -327,7 +327,11 @@ def load_manifest_table(
 
 
 def _read_files(
-    spark: SparkSession, path: str, m: dict, files: "list[str]"
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: "list[str]",
+    with_meta: bool = False,
 ) -> DataFrame:
     """Read a SUBSET of a manifest table's data files the way
     :func:`load_manifest_table` reads the whole table: mergeSchema union
@@ -335,25 +339,39 @@ def _read_files(
     rewrite path (delete/upsert/compact) MUST read through this — after a
     merge_schema append the subset has heterogeneous schemas, and a plain
     ``spark.read.parquet`` would infer from one file and silently drop the
-    evolved columns from the rewritten survivors (permanent nulls)."""
+    evolved columns from the rewritten survivors (permanent nulls).
+
+    ``with_meta`` appends ``__file`` (basename) and ``__row`` (position
+    in file, from the parquet reader's ``_metadata.row_index``) — the
+    coordinates positional deletes are defined over."""
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )
     schema = m.get("schema")
     if not schema:
-        return df
+        if not with_meta:
+            return df
+        return df.select(
+            "*",
+            F.col("_metadata.file_name").alias("__file"),
+            F.col("_metadata.row_index").alias("__row"),
+        )
     have = set(df.columns)
     colmap = m.get("colmap") or {}
-    return df.select(
-        *[
-            (
-                F.col(colmap.get(n, n)).alias(n)
-                if colmap.get(n, n) in have
-                else F.lit(None).cast(t).alias(n)
-            )
-            for n, t in schema
+    cols = [
+        (
+            F.col(colmap.get(n, n)).alias(n)
+            if colmap.get(n, n) in have
+            else F.lit(None).cast(t).alias(n)
+        )
+        for n, t in schema
+    ]
+    if with_meta:
+        cols += [
+            F.col("_metadata.file_name").alias("__file"),
+            F.col("_metadata.row_index").alias("__row"),
         ]
-    )
+    return df.select(*cols)
 
 
 def _physical_col(m: dict, col: str) -> str:
@@ -383,9 +401,18 @@ def _with_deletes(
     grouped by their applicable entry set, each group anti-joined against
     the union of that set's key files (small, broadcast), groups unioned
     back. With no pending deletes this IS :func:`_read_files`."""
-    dels = m.get("deletes") or []
-    if not dels or not files:
+    dels = [
+        d for d in (m.get("deletes") or []) if d.get("kind") != "pos"
+    ]
+    pos = [d for d in (m.get("deletes") or []) if d.get("kind") == "pos"]
+    if not (dels or pos) or not files:
         return _read_files(spark, path, m, files)
+    # Positional entries (deletion vectors): DV files hold (__file,
+    # __row) coordinates; one broadcast anti-join on the parquet
+    # reader's _metadata coordinates filters them out inside each
+    # group read below. DV rows naming files outside the subset are
+    # inert (anti-join misses), and file names are uuid-unique so a
+    # stale row can never hit a later file.
     seq = m.get("seq") or {}
     groups: "dict[tuple, list[str]]" = {}
     for f in files:
@@ -394,7 +421,18 @@ def _with_deletes(
         groups.setdefault(key, []).append(f)
     parts = []
     for applicable, grp in groups.items():
-        df = _read_files(spark, path, m, grp)
+        df = _read_files(spark, path, m, grp, with_meta=bool(pos))
+        if pos:
+            dv = (
+                spark.read.parquet(
+                    *[os.path.join(path, d["file"]) for d in pos]
+                )
+                .select("__file", "__row")
+                .distinct()
+            )
+            df = df.join(
+                F.broadcast(dv), ["__file", "__row"], "left_anti"
+            ).drop("__file", "__row")
         bycol: "dict[str, list[str]]" = {}
         for i in applicable:
             bycol.setdefault(dels[i]["key_col"], []).append(dels[i]["file"])
@@ -1521,20 +1559,21 @@ def _predicate_victims(
     spark: SparkSession, m: dict, path: str, predicate: str
 ) -> "list[str]":
     """Files that CONTAIN at least one row matching ``predicate`` — found
-    with ONE filtered scan carrying input_file_name() (Spark prunes the
-    scan itself via pushdown/stats where it can), so only genuinely
-    affected files are rewritten. The scan reads through
-    :func:`_with_deletes` so merge-on-read state can't resurrect rows."""
+    with ONE filtered scan carrying the parquet reader's
+    ``_metadata.file_name`` (input_file_name() rejects plans with more
+    than one source, which the merge-on-read DV anti-join introduces).
+    The scan is the RAW subset read: a file whose only matches were
+    already deleted merge-on-read still lands in the victim set —
+    conservative, and rewriting it through :func:`_with_deletes` simply
+    materializes those deletes."""
     hit = (
-        _with_deletes(spark, path, m, m["files"])
+        _read_files(spark, path, m, m["files"], with_meta=True)
         .filter(F.expr(predicate))
-        .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
-        )
+        .select("__file")
         .distinct()
         .collect()
     )
-    names = {r["__f"] for r in hit}
+    names = {r["__file"] for r in hit}
     return [f for f in m["files"] if f in names]
 
 
@@ -1574,6 +1613,50 @@ def delete_where(
         rows=_updated_rows(m, fs, rel, new_names, victims),
     )
     return len(affected), rows_before - rows_after
+
+
+def delete_where_pos(
+    spark: SparkSession, path: str, predicate: str
+) -> "tuple[int, int]":
+    """Merge-on-read ``DELETE WHERE`` via POSITIONAL deletes — Delta's
+    deletion vectors / Iceberg v2 position deletes in minimal form: one
+    scan records the (file, row_index) coordinates of matching rows into
+    a single small DV file, the manifest gains one ``kind="pos"`` delete
+    entry, and NO data file is rewritten — delete cost is proportional
+    to the MATCHES, not to the files containing them (the row-level
+    complement of :func:`delete_keys_mor`, which needs a key column;
+    this one takes any predicate). Readers anti-join the DV on the
+    parquet reader's ``_metadata`` coordinates (broadcast — DVs are
+    match-sized); every rewrite path reads through the same view, so
+    OPTIMIZE/materialize folds the positions in and they can never
+    resurrect. Returns (dv_files_written, rows_deleted)."""
+    m = read_manifest(path)
+    new_v = m["version"] + 1
+    matches = (
+        _with_deletes(spark, path, m, m["files"])
+        .filter(F.expr(predicate))
+        .count()
+    )
+    if not matches:
+        return 0, 0
+    # Recompute coordinates on the raw subset read (the deletes view
+    # drops __file/__row): the DV must index the PHYSICAL rows.
+    coords = (
+        _read_files(spark, path, m, m["files"], with_meta=True)
+        .filter(F.expr(predicate))
+        .select("__file", "__row")
+    )
+    [name] = _stage_rewrites(coords.coalesce(1), path, "posdel")
+    entry = {"file": name, "kind": "pos", "seq": new_v}
+    _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=(m.get("deletes") or []) + [entry],
+        rows=m.get("rows"),
+    )
+    return 1, matches
 
 
 def update_where(
@@ -1702,15 +1785,29 @@ def materialize_deletes(spark: SparkSession, path: str) -> "tuple[int, int]":
         for f in m["files"]
         if any(d["seq"] > seq.get(f, 0) for d in dels)
     ]
+    # Positional entries name their victim files explicitly inside the
+    # DV — read the (small, match-sized) coordinate files driver-side.
+    pos_victims: set = set()
+    for d in dels:
+        if d.get("kind") == "pos":
+            pos_victims.update(
+                r[0]
+                for r in spark.read.parquet(os.path.join(path, d["file"]))
+                .select("__file")
+                .distinct()
+                .collect()
+            )
     # Stats prune per entry: a covered file is a victim only if SOME
     # applicable entry's key set may intersect it.
     victims: "list[str]" = []
     key_cache: dict = {}
     for f in covered:
         fseq = seq.get(f, 0)
-        hit = False
+        hit = f in pos_victims
         for d in dels:
-            if d["seq"] <= fseq:
+            if hit:
+                break
+            if d.get("kind") == "pos" or d["seq"] <= fseq:
                 continue
             col = d["key_col"]
             if col in (m.get("stat_cols") or []):

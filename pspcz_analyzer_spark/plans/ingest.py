@@ -1717,3 +1717,68 @@ def manifest_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_delete_pos_roundtrip",
+    oracle="""
+    WITH alive AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000)
+        AND NOT (o_orderkey % 100 = 7)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM alive
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "dml", "deletion-vectors", "merge-on-read"),
+    priority=18,
+    doc="POSITIONAL merge-on-read DELETE (manifest.py::delete_where_pos "
+    "— Delta deletion vectors / Iceberg v2 position deletes in minimal "
+    "form): two stacked DELETE WHERE statements write only (file, "
+    "row_index) coordinate files; ZERO data files rewrite (asserted), "
+    "readers anti-join the broadcast DV on the parquet reader's "
+    "_metadata coordinates, and materialize_deletes folds both vectors "
+    "into a rewrite whose aggregate must still match. The oracle "
+    "replays both predicates in SQL over the original table. At 100 TB "
+    "this is the delete path whose cost tracks MATCHES, not the size "
+    "of the files containing them.",
+)
+def manifest_delete_pos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_posdel")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    files0 = set(M.read_manifest(path)["files"])
+    M.delete_where_pos(
+        spark, path, "o_orderstatus = 'O' AND o_totalprice > 200000"
+    )
+    M.delete_where_pos(spark, path, "o_orderkey % 100 = 7")
+    if set(M.read_manifest(path)["files"]) != files0:
+        raise AssertionError("positional delete must not rewrite data files")
+    # Fold the vectors in; the aggregate over the rewritten table must
+    # be identical to the merge-on-read view the oracle replays.
+    M.materialize_deletes(spark, path)
+    if M.read_manifest(path).get("deletes"):
+        raise AssertionError("materialize must clear positional entries")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -2230,3 +2230,59 @@ class TestDeleteUpdateWhere:
         assert nrows == 1
         r = M.load_manifest_table(spark, path).filter("id = 1").first()
         assert r["v"] == 99.0 and r["v2"] == 198.0
+
+
+class TestPositionalDeletes:
+    @staticmethod
+    def _mk(spark, tmp_path, name="dv"):
+        df = spark.range(100).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS score")
+        path = str(tmp_path / name)
+        write_range_sorted(df, path, "id", 4)
+        M.manifest_init(path, stat_cols=["id"])
+        return path
+
+    def test_no_rewrite_stacking_and_materialize(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path)
+        files0 = set(M.read_manifest(path)["files"])
+        ndv, nrows = M.delete_where_pos(spark, path, "id % 10 = 3")
+        assert (ndv, nrows) == (1, 10)
+        assert set(M.read_manifest(path)["files"]) == files0  # zero rewrite
+        got = M.load_manifest_table(spark, path)
+        assert got.count() == 90 and got.filter("id % 10 = 3").count() == 0
+        # A second DV stacks; an already-deleted row never double-counts.
+        assert M.delete_where_pos(spark, path, "id IN (3, 50)") == (1, 1)
+        assert M.load_manifest_table(spark, path).count() == 89
+        # No-match predicate: no commit.
+        v = M.current_version(path)
+        assert M.delete_where_pos(spark, path, "id > 900") == (0, 0)
+        assert M.current_version(path) == v
+        # Materialization folds the positions and drops the entries.
+        nf, ne = M.materialize_deletes(spark, path)
+        assert ne == 2 and M.load_manifest_table(spark, path).count() == 89
+        assert not M.read_manifest(path).get("deletes")
+
+    def test_composes_with_equality_mor_and_rewrites(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "dv2")
+        M.delete_keys_mor(spark, path, "id", [7, 8])
+        M.delete_where_pos(spark, path, "id = 9")
+        got = M.load_manifest_table(spark, path)
+        assert got.count() == 97
+        assert got.filter("id IN (7, 8, 9)").count() == 0
+        # A copy-on-write DML on top reads through BOTH delete kinds, so
+        # the rewrite can't resurrect anything.
+        M.delete_where(spark, path, "id BETWEEN 0 AND 24")
+        got = M.load_manifest_table(spark, path)
+        assert got.count() == 75 and got.agg(F.min("id")).first()[0] == 25
+        # Vacuum keeps live DV files (they are part of the read view).
+        M.vacuum(path, retain_versions=1, min_age_seconds=0)
+        assert M.load_manifest_table(spark, path).count() == 75
+
+    def test_restore_times_travel_over_dv(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "dv3")
+        v0 = M.current_version(path)
+        M.delete_where_pos(spark, path, "id < 10")
+        v1 = M.current_version(path)
+        assert M.load_manifest_table(spark, path, v0).count() == 100
+        assert M.load_manifest_table(spark, path, v1).count() == 90
+        M.restore(path, v0)
+        assert M.load_manifest_table(spark, path).count() == 100
