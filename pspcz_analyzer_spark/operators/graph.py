@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame
 
 from pyspark import StorageLevel
 
+# Node count up to which the per-round rank vector ((long, double) ≈ 16
+# bytes/node → ≤ ~64 MB) is broadcast into the edge join instead of
+# shuffled — see pagerank()/personalized_pagerank().
+RANKS_BROADCAST_MAX = 4_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -165,10 +170,18 @@ def pagerank(
     their output edge (double rounding, e.g. 8-then-6 decimals, flips
     boundary values vs a single round and breaks oracle comparisons).
     """
-    e = edges.select(
-        F.col(src).cast(node_type).alias("a"),
-        F.col(dst).cast(node_type).alias("b"),
-    ).distinct()
+    # e feeds nodes (2 branches), deg, and ed — persist ONCE or the
+    # caller's (possibly expensive) upstream join replays ~5 times
+    # before the first iteration even starts (measured 10s of a 14s
+    # query on the sf0.1 trade graph).
+    e = (
+        edges.select(
+            F.col(src).cast(node_type).alias("a"),
+            F.col(dst).cast(node_type).alias("b"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -183,36 +196,59 @@ def pagerank(
     # every round (one persisted frame; the join below keys on src).
     ed = e.join(deg, "a").persist(StorageLevel.MEMORY_AND_DISK)
 
+    # Dangling nodes are a STRUCTURAL property — if every node has an
+    # out-edge (true for any undirected/symmetrized graph), the dangling
+    # mass is exactly 0 every round, and the per-round anti-join +
+    # one-row aggregate + broadcast is 10 dead subplans. One upfront
+    # count decides; the oracle's dangling term is identically 0 in that
+    # case, so results are bit-equal.
+    has_dangling = (
+        nodes.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+    # The rank vector is (node, double) — 16 bytes/node. When it fits
+    # the broadcast budget, ship it into the edge join instead of
+    # shuffling the (much larger) edge frame's partner side each round:
+    # the per-round plan becomes broadcast-join + ONE aggregate shuffle.
+    # Above the threshold the hint is omitted and the join falls back to
+    # the shuffle formulation — same plan shape Delta of pregel-style
+    # engines at billion-node scale.
+    bcast_ranks = n <= RANKS_BROADCAST_MAX
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(n_iter):
-        dangling = F.broadcast(
-            ranks.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-        )
+        side = ranks.withColumnRenamed("node", "a")
         inflow = (
-            ed.join(ranks.withColumnRenamed("node", "a"), "a")
+            ed.join(F.broadcast(side) if bcast_ranks else side, "a")
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
         )
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .crossJoin(dangling)
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("__in", F.lit(0.0))
-                        + F.col("__dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
+        nxt = nodes.join(inflow, "node", "left")
+        if has_dangling:
+            dangling = F.broadcast(
+                ranks.join(
+                    deg.withColumnRenamed("a", "node"), "node", "left_anti"
+                ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
-            .localCheckpoint()
-        )
+            nxt = nxt.crossJoin(dangling)
+        else:
+            nxt = nxt.withColumn("__dm", F.lit(0.0))
+        ranks = nxt.select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (
+                    F.coalesce("__in", F.lit(0.0))
+                    + F.col("__dm") / F.lit(float(n))
+                )
+            ).alias("rank"),
+        ).localCheckpoint()
     nodes.unpersist()
     ed.unpersist()
+    e.unpersist()
     return ranks.select("node", "rank")
 
 
@@ -241,9 +277,16 @@ def personalized_pagerank(
     round on the same node key, dangling mass a broadcast scalar,
     per-round localCheckpoint. Returns (node, rank) UNROUNDED.
     """
-    e = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).distinct()
+    # Same persist-once rationale as :func:`pagerank` — e feeds nodes,
+    # deg, ed, and the dangling probe.
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     seeds = sources.select(
         F.col(source_col).cast("long").alias("node")
     ).distinct()
@@ -264,36 +307,49 @@ def personalized_pagerank(
         .select("node", F.coalesce("__p", F.lit(0.0)).alias("__p"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pvec.count()  # materialize before the loop
+    n_nodes = pvec.count()  # materialize before the loop
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
     ed = e.join(deg, "a").persist(StorageLevel.MEMORY_AND_DISK)
 
+    # Same structural dangling test as :func:`pagerank` — symmetrized
+    # graphs have none, and skipping it drops n_iter dead anti-join +
+    # broadcast subplans (the oracle's dangling term is identically 0).
+    has_dangling = (
+        nodes.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+    bcast_ranks = n_nodes <= RANKS_BROADCAST_MAX
     ranks = pvec.select("node", F.col("__p").alias("rank")).localCheckpoint()
     for _ in range(n_iter):
-        dangling = F.broadcast(
-            ranks.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-        )
+        side = ranks.withColumnRenamed("node", "a")
         inflow = (
-            ed.join(ranks.withColumnRenamed("node", "a"), "a")
+            ed.join(F.broadcast(side) if bcast_ranks else side, "a")
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
         )
-        ranks = (
-            pvec.join(inflow, "node", "left")
-            .crossJoin(dangling)
-            .select(
-                "node",
-                (
-                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("__dm"))
-                    * F.col("__p")
-                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
-                ).alias("rank"),
+        nxt = pvec.join(inflow, "node", "left")
+        if has_dangling:
+            dangling = F.broadcast(
+                ranks.join(
+                    deg.withColumnRenamed("a", "node"), "node", "left_anti"
+                ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
-            .localCheckpoint()
-        )
+            nxt = nxt.crossJoin(dangling)
+        else:
+            nxt = nxt.withColumn("__dm", F.lit(0.0))
+        ranks = nxt.select(
+            "node",
+            (
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("__dm"))
+                * F.col("__p")
+                + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+            ).alias("rank"),
+        ).localCheckpoint()
     pvec.unpersist()
     ed.unpersist()
+    e.unpersist()
     return ranks.select("node", "rank")
 
 
@@ -325,10 +381,16 @@ def triangle_count(
     ordering), one wedge self-join, one closing equi-join — no state,
     no iteration."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    # e feeds the degree aggregate and both sides of the ranking join;
+    # d feeds the wedge self-join (twice) and the closing set (twice).
+    # Without cutting lineage here the caller's upstream (often an
+    # expensive co-occurrence self-join) replays up to ~12 times; the
+    # persist + eager localCheckpoint below pin each to ONE computation.
     e = (
         edges.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if degree_ordered:
         deg = (
@@ -364,6 +426,8 @@ def triangle_count(
     else:
         d = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         rank_lt = F.col("x.v") < F.col("y.v")
+    d = d.localCheckpoint()
+    e.unpersist()
     wedges = (
         d.alias("x")
         .join(d.alias("y"), F.col("x.u") == F.col("y.u"))
