@@ -392,7 +392,11 @@ def _logical_col(m: dict, phys: str) -> str:
 
 
 def _with_deletes(
-    spark: SparkSession, path: str, m: dict, files: "list[str]"
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: "list[str]",
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Read ``files`` with the manifest's pending equality-delete entries
     applied (merge-on-read — Iceberg v2 equality deletes in minimal
@@ -400,13 +404,17 @@ def _with_deletes(
     is LOWER than the entry's (the file predates the delete); files are
     grouped by their applicable entry set, each group anti-joined against
     the union of that set's key files (small, broadcast), groups unioned
-    back. With no pending deletes this IS :func:`_read_files`."""
+    back. With no pending deletes this IS :func:`_read_files`.
+
+    ``keep_meta`` retains the ``__file``/``__row`` physical coordinates
+    of each ALIVE row in the output — what merge-on-read UPDATE needs to
+    invalidate exactly the rows it rewrites (:func:`update_where_pos`)."""
     dels = [
         d for d in (m.get("deletes") or []) if d.get("kind") != "pos"
     ]
     pos = [d for d in (m.get("deletes") or []) if d.get("kind") == "pos"]
     if not (dels or pos) or not files:
-        return _read_files(spark, path, m, files)
+        return _read_files(spark, path, m, files, with_meta=keep_meta)
     # Positional entries (deletion vectors): DV files hold (__file,
     # __row) coordinates; one broadcast anti-join on the parquet
     # reader's _metadata coordinates filters them out inside each
@@ -421,7 +429,9 @@ def _with_deletes(
         groups.setdefault(key, []).append(f)
     parts = []
     for applicable, grp in groups.items():
-        df = _read_files(spark, path, m, grp, with_meta=bool(pos))
+        df = _read_files(
+            spark, path, m, grp, with_meta=bool(pos) or keep_meta
+        )
         if pos:
             dv = (
                 spark.read.parquet(
@@ -430,9 +440,9 @@ def _with_deletes(
                 .select("__file", "__row")
                 .distinct()
             )
-            df = df.join(
-                F.broadcast(dv), ["__file", "__row"], "left_anti"
-            ).drop("__file", "__row")
+            df = df.join(F.broadcast(dv), ["__file", "__row"], "left_anti")
+            if not keep_meta:
+                df = df.drop("__file", "__row")
         bycol: "dict[str, list[str]]" = {}
         for i in applicable:
             bycol.setdefault(dels[i]["key_col"], []).append(dels[i]["file"])
@@ -1657,6 +1667,79 @@ def delete_where_pos(
         rows=m.get("rows"),
     )
     return 1, matches
+
+
+def update_where_pos(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: "dict[str, str]",
+) -> "tuple[int, int]":
+    """Merge-on-read ``UPDATE ... SET ... WHERE`` — the row-level UPDATE
+    Delta performs with deletion vectors: the matched ALIVE rows'
+    physical coordinates go into one positional-delete file (their old
+    copies become invisible) and their updated copies append as new
+    data files stamped with the new sequence. NOTHING rewrites — update
+    cost tracks MATCHES, while :func:`update_where` (copy-on-write)
+    rewrites every file containing a match. Same validation contract as
+    update_where: unknown-column/type-change raises before IO, CHECK
+    constraints and generated columns re-verify on the updated batch.
+    Returns (dv_files_written, rows_updated)."""
+    fs, rel = get_fs(path)
+    m = read_manifest(path)
+    new_v = m["version"] + 1
+    types = {n: t for n, t in (m.get("schema") or [])}
+    for col in set_exprs:
+        if types and col not in types:
+            raise SchemaMismatch(f"UPDATE SET on unknown column {col!r}")
+    # Coordinates must come from the ALIVE view (keep_meta) — computing
+    # them on the raw read would resurrect rows already deleted
+    # merge-on-read as freshly-updated appends. One eager checkpoint:
+    # the matched set is both the DV payload and the update source.
+    matched = (
+        _with_deletes(spark, path, m, m["files"], keep_meta=True)
+        .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+        .localCheckpoint()
+    )
+    n_updated = matched.count()
+    if not n_updated:
+        return 0, 0
+    updated = matched.drop("__file", "__row")
+    for col, expr in set_exprs.items():
+        target = F.expr(expr)
+        if col in types:
+            target = target.cast(types[col])
+        updated = updated.withColumn(col, target)
+    _check_constraints(m, updated)
+    gen = m.get("generated") or {}
+    for gname, gexpr in gen.items():
+        if gname in updated.columns:
+            bad = updated.filter(
+                ~F.col(gname).eqNullSafe(
+                    F.expr(gexpr).cast(types.get(gname, "string"))
+                )
+            ).limit(1).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"UPDATE breaks generated column {gname!r} "
+                    f"(GENERATED ALWAYS AS ({gexpr}))"
+                )
+    [dv_name] = _stage_rewrites(
+        matched.select("__file", "__row").coalesce(1), path, "posdel"
+    )
+    new_names = _stage_rewrites(updated, path, "updmor")
+    entry = {"file": dv_name, "kind": "pos", "seq": new_v}
+    new_files = m["files"] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names)
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        deletes=(m.get("deletes") or []) + [entry],
+        rows=_updated_rows(m, fs, rel, new_names),
+    )
+    return 1, n_updated
 
 
 def update_where(

@@ -1727,26 +1727,35 @@ def manifest_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 200000)
         AND NOT (o_orderkey % 100 = 7)
+    ),
+    updated AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM alive
     )
     SELECT o_orderstatus,
            count(*) AS n,
            round(sum(o_totalprice), 2) AS total
-    FROM alive
+    FROM updated
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
     tags=("manifest", "dml", "deletion-vectors", "merge-on-read"),
     priority=18,
-    doc="POSITIONAL merge-on-read DELETE (manifest.py::delete_where_pos "
-    "— Delta deletion vectors / Iceberg v2 position deletes in minimal "
-    "form): two stacked DELETE WHERE statements write only (file, "
-    "row_index) coordinate files; ZERO data files rewrite (asserted), "
-    "readers anti-join the broadcast DV on the parquet reader's "
-    "_metadata coordinates, and materialize_deletes folds both vectors "
+    doc="POSITIONAL merge-on-read DML (manifest.py::delete_where_pos / "
+    "update_where_pos — Delta deletion vectors / Iceberg v2 position "
+    "deletes in minimal form): two stacked DELETE WHERE statements "
+    "write only (file, row_index) coordinate files, then an UPDATE "
+    "SET WHERE invalidates its matches through a third DV and appends "
+    "the updated copies — ZERO original data files rewrite (asserted); "
+    "readers anti-join the broadcast DVs on the parquet reader's "
+    "_metadata coordinates, and materialize_deletes folds all vectors "
     "into a rewrite whose aggregate must still match. The oracle "
-    "replays both predicates in SQL over the original table. At 100 TB "
-    "this is the delete path whose cost tracks MATCHES, not the size "
-    "of the files containing them.",
+    "replays all three statements in SQL over the original table. At "
+    "100 TB this is the DML path whose cost tracks MATCHES, not the "
+    "size of the files containing them.",
 )
 def manifest_delete_pos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
@@ -1768,6 +1777,14 @@ def manifest_delete_pos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     M.delete_where_pos(spark, path, "o_orderkey % 100 = 7")
     if set(M.read_manifest(path)["files"]) != files0:
         raise AssertionError("positional delete must not rewrite data files")
+    M.update_where_pos(
+        spark,
+        path,
+        "o_orderstatus = 'P'",
+        {"o_totalprice": "round(o_totalprice * 1.1, 2)"},
+    )
+    if not files0 <= set(M.read_manifest(path)["files"]):
+        raise AssertionError("MoR update must not rewrite original files")
     # Fold the vectors in; the aggregate over the rewritten table must
     # be identical to the merge-on-read view the oracle replays.
     M.materialize_deletes(spark, path)

@@ -2286,3 +2286,30 @@ class TestPositionalDeletes:
         assert M.load_manifest_table(spark, path, v1).count() == 90
         M.restore(path, v0)
         assert M.load_manifest_table(spark, path).count() == 100
+
+    def test_update_where_pos_mor(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "dvu")
+        files0 = set(M.read_manifest(path)["files"])
+        M.delete_where_pos(spark, path, "id < 10")
+        ndv, nup = M.update_where_pos(
+            spark, path, "id % 10 = 5", {"score": "score + 100"}
+        )
+        assert (ndv, nup) == (1, 9)  # id=5 already deleted MoR
+        # Old data files all survive untouched; only appends were added.
+        assert files0 <= set(M.read_manifest(path)["files"])
+        got = M.load_manifest_table(spark, path)
+        assert got.count() == 90
+        assert got.filter("score >= 100").count() == 9
+        assert got.filter("id = 5").count() == 0  # not resurrected
+        assert got.filter("id = 15").count() == 1  # old copy invisible
+        # Materialize folds DV + appends into a clean table.
+        M.materialize_deletes(spark, path)
+        got = M.load_manifest_table(spark, path)
+        assert got.count() == 90 and got.filter("score >= 100").count() == 9
+        assert not M.read_manifest(path).get("deletes")
+
+    def test_update_where_pos_validates(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "dvv")
+        with pytest.raises(M.SchemaMismatch):
+            M.update_where_pos(spark, path, "id = 1", {"nope": "1"})
+        assert M.update_where_pos(spark, path, "id > 900", {"score": "0"}) == (0, 0)
