@@ -1990,6 +1990,147 @@ def upsert(
     )
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_col: str,
+    when_matched_update: "dict[str, str] | None" = None,
+    matched_condition: "str | None" = None,
+    when_matched_delete: "str | None" = None,
+    when_not_matched_insert: bool = True,
+) -> "dict[str, int]":
+    """General ``MERGE INTO`` (the Delta/Iceberg MERGE statement in
+    minimal form), superseding the fixed-shape :func:`upsert`:
+
+    - ``WHEN MATCHED AND <when_matched_delete> THEN DELETE`` (checked
+      first, Delta's clause-order rule),
+    - ``WHEN MATCHED [AND <matched_condition>] THEN UPDATE SET``
+      ``when_matched_update`` (col -> SQL expr over ``t.*``/``s.*``),
+    - ``WHEN NOT MATCHED THEN INSERT *`` (``when_not_matched_insert``).
+
+    Conditions/exprs are SQL strings over the aliases ``t`` (target)
+    and ``s`` (source). A source with duplicate keys raises (the
+    standard MERGE ambiguity error — the result would depend on join
+    order). Source keys are collected driver-side for the stats prune,
+    so files without matches never rewrite — same dimension-sized-batch
+    contract as :func:`upsert`; survivors + inserts publish as ONE new
+    version (no observable intermediate state). CHECK constraints and
+    schema enforcement run on the outgoing batch. Returns counts:
+    ``{"updated": u, "deleted": d, "inserted": i, "files_rewritten": f}``.
+    """
+    m = read_manifest(path)
+    types = {n: t for n, t in (m.get("schema") or [])}
+    for col in when_matched_update or {}:
+        if types and col not in types:
+            raise SchemaMismatch(f"MERGE UPDATE SET on unknown column {col!r}")
+    dup = (
+        source.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has multiple rows per key — the result would "
+            "depend on join order; deduplicate the source first"
+        )
+    if when_not_matched_insert:
+        _check_schema(
+            m.get("schema") or _df_schema_list(source),
+            source,
+            merge_schema=False,
+        )
+    keys = [r[0] for r in source.select(key_col).distinct().collect()]
+    fs, rel = get_fs(path)
+    affected = (
+        _candidate_files(m, fs, rel, key_col, set(keys)) if keys else []
+    )
+    out_cols = [n for n, _ in (m.get("schema") or [])] or [
+        c for c in source.columns
+    ]
+    src = source.localCheckpoint()
+    n_updated = n_deleted = 0
+    survivors = None
+    if affected:
+        t = _with_deletes(spark, path, m, affected).alias("t")
+        j = t.join(
+            F.broadcast(src.alias("s")),
+            F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
+            "left",
+        )
+        matched = F.col(f"s.{key_col}").isNotNull()
+        del_cond = (
+            matched & F.coalesce(F.expr(when_matched_delete), F.lit(False))
+            if when_matched_delete
+            else F.lit(False)
+        )
+        upd_cond = matched & ~del_cond
+        if when_matched_update is None:
+            upd_cond = F.lit(False)
+        elif matched_condition:
+            upd_cond = upd_cond & F.coalesce(
+                F.expr(matched_condition), F.lit(False)
+            )
+        counts = j.agg(
+            F.sum(del_cond.cast("long")).alias("d"),
+            F.sum(upd_cond.cast("long")).alias("u"),
+        ).first()
+        n_deleted = int(counts["d"] or 0)
+        n_updated = int(counts["u"] or 0)
+        upd = when_matched_update or {}
+        proj = []
+        for c in out_cols:
+            base = F.col(f"t.{c}")
+            if c in upd:
+                target = F.expr(upd[c])
+                if c in types:
+                    target = target.cast(types[c])
+                base = F.when(upd_cond, target).otherwise(base)
+            proj.append(base.alias(c))
+        survivors = j.filter(~del_cond).select(*proj)
+    if when_not_matched_insert:
+        existing = (
+            _with_deletes(spark, path, m, affected).select(key_col)
+            if affected
+            else None
+        )
+        inserts = src.select(*out_cols)
+        if existing is not None:
+            inserts = inserts.join(existing, key_col, "left_anti")
+        n_inserted = inserts.count()
+        batch = (
+            survivors.unionByName(inserts)
+            if survivors is not None
+            else inserts
+        )
+    else:
+        n_inserted = 0
+        batch = survivors
+    victims = set(affected)
+    new_names: "list[str]" = []
+    if batch is not None:
+        _check_constraints(m, batch)
+        new_names = _stage_rewrites(batch, path, "merge")
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=_updated_rows(m, fs, rel, new_names, victims),
+    )
+    return {
+        "updated": n_updated,
+        "deleted": n_deleted,
+        "inserted": n_inserted,
+        "files_rewritten": len(victims),
+    }
+
+
 SCD2_VALID_FROM = "valid_from"
 SCD2_VALID_TO = "valid_to"
 SCD2_CURRENT = "is_current"

@@ -1799,3 +1799,86 @@ def manifest_delete_pos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_merge_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             'X' AS o_orderstatus,
+             round(o_totalprice * 0.5, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    merged AS (
+      SELECT t.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                       AND NOT (t.o_totalprice < 50000)
+                  THEN s.o_orderstatus ELSE t.o_orderstatus
+             END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                       AND NOT (t.o_totalprice < 50000)
+                  THEN s.o_totalprice ELSE t.o_totalprice
+             END AS o_totalprice
+      FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_totalprice < 50000)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "dml", "merge-into"),
+    priority=18,
+    doc="General MERGE INTO (manifest.py::merge_into — the Delta/Iceberg "
+    "MERGE statement superseding the fixed-shape upsert): WHEN MATCHED "
+    "AND t.o_totalprice < 50000 THEN DELETE, WHEN MATCHED THEN UPDATE "
+    "SET status/price from the source, WHEN NOT MATCHED THEN INSERT "
+    "(vacuous here — every source key exists, asserted via the returned "
+    "counts). Source keys prune the victim set from stored stats, so "
+    "files without matches never rewrite; survivors + inserts publish "
+    "as ONE version. The oracle replays the clause cascade as a LEFT "
+    "JOIN + CASE in SQL.",
+)
+def manifest_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_merge")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    src = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 0.5, 2).alias("o_totalprice"),
+    )
+    res = M.merge_into(
+        spark,
+        path,
+        src,
+        "o_orderkey",
+        when_matched_update={
+            "o_orderstatus": "s.o_orderstatus",
+            "o_totalprice": "s.o_totalprice",
+        },
+        when_matched_delete="t.o_totalprice < 50000",
+    )
+    if res["inserted"] != 0:
+        raise AssertionError("every source key exists — no inserts expected")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

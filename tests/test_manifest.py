@@ -2313,3 +2313,78 @@ class TestPositionalDeletes:
         with pytest.raises(M.SchemaMismatch):
             M.update_where_pos(spark, path, "id = 1", {"nope": "1"})
         assert M.update_where_pos(spark, path, "id > 900", {"score": "0"}) == (0, 0)
+
+
+class TestMergeInto:
+    @staticmethod
+    def _mk(spark, tmp_path, name):
+        df = spark.range(100).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS score")
+        path = str(tmp_path / name)
+        write_range_sorted(df, path, "id", 4)
+        M.manifest_init(path, stat_cols=["id"])
+        return path
+
+    def test_three_clause_merge(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "mrg")
+        src = spark.range(90, 110).selectExpr(
+            "id", "CAST(1000 + id AS DOUBLE) AS score"
+        )
+        res = M.merge_into(
+            spark, path, src, "id",
+            when_matched_update={"score": "s.score"},
+            matched_condition="t.id % 2 = 0",
+            when_matched_delete="t.id >= 95 AND t.id < 98",
+        )
+        assert res == {
+            "updated": 4, "deleted": 3, "inserted": 10,
+            "files_rewritten": 1,  # stats prune: only the 75-99 file
+        }
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 107
+        assert t.filter("score >= 1000").count() == 14
+        assert t.filter("id IN (95, 96, 97)").count() == 0
+        assert t.filter("id = 91").first()["score"] == 0.0  # odd: untouched
+
+    def test_duplicate_source_raises(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "mrgdup")
+        src = spark.range(2).selectExpr("id", "CAST(0 AS DOUBLE) AS score")
+        with pytest.raises(ValueError, match="multiple rows per key"):
+            M.merge_into(spark, path, src.unionAll(src), "id")
+
+    def test_insert_only_and_no_insert(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "mrgio")
+        src = spark.range(200, 205).selectExpr(
+            "id", "CAST(5 AS DOUBLE) AS score"
+        )
+        res = M.merge_into(spark, path, src, "id")
+        assert res["inserted"] == 5 and res["files_rewritten"] == 0
+        assert M.load_manifest_table(spark, path).count() == 105
+        # update-only merge: unmatched source rows are ignored
+        src2 = spark.range(203, 208).selectExpr(
+            "id", "CAST(9 AS DOUBLE) AS score"
+        )
+        res2 = M.merge_into(
+            spark, path, src2, "id",
+            when_matched_update={"score": "s.score"},
+            when_not_matched_insert=False,
+        )
+        assert res2["updated"] == 2 and res2["inserted"] == 0
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 105
+        assert t.filter("score = 9").count() == 2
+
+    def test_merge_respects_mor_deletes(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "mrgmor")
+        M.delete_where_pos(spark, path, "id = 50")
+        src = spark.range(50, 51).selectExpr(
+            "id", "CAST(777 AS DOUBLE) AS score"
+        )
+        res = M.merge_into(
+            spark, path, src, "id",
+            when_matched_update={"score": "s.score"},
+        )
+        # the MoR-deleted row is NOT matched — the key re-inserts
+        assert res["updated"] == 0 and res["inserted"] == 1
+        t = M.load_manifest_table(spark, path)
+        assert t.filter("id = 50").count() == 1
+        assert t.filter("id = 50").first()["score"] == 777.0
