@@ -147,6 +147,8 @@ HEADLINE = [
     "manifest_generated_partition",
     "events_manifest_cdf_stream",
     "manifest_dml_roundtrip",
+    "manifest_delete_pos_roundtrip",
+    "manifest_merge_roundtrip",
 ]
 
 

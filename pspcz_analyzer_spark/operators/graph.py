@@ -426,7 +426,15 @@ def triangle_count(
     else:
         d = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         rank_lt = F.col("x.v") < F.col("y.v")
-    d = d.localCheckpoint()
+    # Pin d with persist + eager materialize, NOT localCheckpoint: a
+    # checkpointed frame becomes a stats-less LogicalRDD leaf, and the
+    # planner then refuses to broadcast it into the wedge/closing joins
+    # (measured 35.6 s -> 366 s at the 10x replica when d was
+    # checkpointed). InMemoryRelation keeps accurate size stats once
+    # materialized, so the joins keep their broadcast/AQE choices while
+    # the upstream co-occurrence build still computes exactly once.
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    d.count()
     e.unpersist()
     wedges = (
         d.alias("x")
@@ -442,11 +450,17 @@ def triangle_count(
         d.select(F.col("v").alias("n2"), F.col("u").alias("n3"))
     )
     tris = wedges.join(closing, ["n2", "n3"])
-    return (
+    out = (
         tris.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+        # Materialize the (tiny: one row per node) result so d's cache
+        # can be dropped before returning — same end-of-operator
+        # contract as pagerank()'s checkpointed ranks.
+        .localCheckpoint()
     )
+    d.unpersist()
+    return out
 
 
 def shortest_hops(
