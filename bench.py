@@ -149,6 +149,7 @@ HEADLINE = [
     "manifest_dml_roundtrip",
     "manifest_delete_pos_roundtrip",
     "manifest_merge_roundtrip",
+    "events_hll_distinct_users",
 ]
 
 

@@ -267,3 +267,70 @@ def equidepth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def hll_sketches(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """One Apache DataSketches HLL sketch per key group: (key_cols...,
+    hll_sketch BINARY) — the STORABLE form of a distinct count.
+
+    This is the mergeable-distinct primitive for corpus-scale profiling:
+    a sketch is ``2^lg_k`` registers (lg_k=14 -> 16 KiB, ~0.8 % relative
+    standard error) that aggregates map-side with constant memory, and
+    sketches of two table shards / ingestion days UNION into the sketch
+    of their union (register-wise max — associative, commutative, no
+    rescan). Persist one row per (group, day) and "distinct users ever"
+    stays a query over day-count rows, never a rescan of 100 TB of
+    history; late data appends one more sketch row. Exact
+    ``count_distinct`` by contrast shuffles every distinct value and
+    cannot be incrementally maintained without keeping the value set.
+
+    The binary column round-trips through parquet; merge stored sketches
+    with :func:`hll_estimate_from`.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def hll_estimate_from(
+    sketches: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """(key_cols..., n_distinct_est) from stored sketch rows — one
+    ``hll_union_agg`` per key group over however many slices were stored.
+
+    Estimate caveat, measured on this Spark build: the union path targets
+    the HLL_8 register representation while a direct sketch estimates from
+    HLL_4, so a merged estimate can differ from the direct estimate of the
+    same stream by a fraction of the error bound (e.g. 9118 vs 9106 on a
+    ~9.2k-cardinality probe). Both stay inside the lg_k error envelope of
+    the truth; treat them as the SAME number at sketch precision, not as
+    bit-equal (asserted with tolerances in test_profile.py).
+    """
+    return sketches.groupBy(*key_cols).agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg(sketch_col)), 0)
+        .cast("long")
+        .alias("n_distinct_est")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Per-group distinct estimate in one pass: (key_cols...,
+    n_distinct_est). Composition of :func:`hll_sketches` +
+    estimate; use those two directly when the sketches should be stored."""
+    return df.groupBy(*key_cols).agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg(value_col, F.lit(lg_k))), 0)
+        .cast("long")
+        .alias("n_distinct_est")
+    )

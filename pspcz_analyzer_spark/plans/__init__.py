@@ -98,12 +98,16 @@ _PRIORITY: dict[str, int] = {
     # manifest_scan_unpruned is the negative control of the scan-pruned
     # bench pair (its read path is every manifest query's read), and
     # manifest_mor_materialized's materialize_deletes call is also
-    # exercised (with assertions) inside manifest_delete_pos_roundtrip.
+    # exercised (with assertions) inside manifest_delete_pos_roundtrip,
+    # and manifest_day_partition_scan's partitioned-write + day-prune
+    # path is the same machinery manifest_generated_partition (generated
+    # day transform) and manifest_partition_evolution drive.
     **{
         n: PRIORITY_NEW_DEFERRED
         for n in (
             "manifest_scan_unpruned",
             "manifest_mor_materialized",
+            "manifest_day_partition_scan",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

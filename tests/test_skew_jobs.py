@@ -687,3 +687,96 @@ class TestCommitRewriteSidecars:
         # The manifest-committed twin is the supported path.
         nf, rows = M.delete_keys(spark, out, "user_id", [7])
         assert rows == 20
+
+
+class TestHllDistinct:
+    def test_estimate_within_error_bound(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import hll_distinct
+
+        # 3 groups with known cardinalities large enough to leave the
+        # exact (coupon) regime at lg_k=12.
+        df = spark.range(200_000).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") % 50_021).alias("v")
+        )
+        est = {
+            r["g"]: r["n_distinct_est"]
+            for r in hll_distinct(df, ["g"], "v", lg_k=12).collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        }
+        for g in exact:  # lg_k=12 -> 1.6% RSE; 6% ~= 4 sigma
+            assert abs(est[g] - exact[g]) / exact[g] <= 0.06
+
+    def test_stored_sketches_union_to_stream_sketch(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import (
+            hll_distinct,
+            hll_estimate_from,
+            hll_sketches,
+        )
+
+        # Slice a stream into 10 "days", store one sketch row per
+        # (group, day) through parquet, then union the STORED rows —
+        # the incremental-profiling path must agree with the one-shot
+        # sketch at sketch precision (union estimates from HLL_8
+        # registers, direct from HLL_4: close, not bit-equal).
+        df = spark.range(120_000).select(
+            (F.col("id") % 2).alias("g"),
+            (F.col("id") % 10).alias("day"),
+            (F.col("id") % 30_011).alias("v"),
+        )
+        out = str(tmp_path / "sketches")
+        hll_sketches(df, ["g", "day"], "v").write.parquet(out)
+        stored = spark.read.parquet(out)
+        assert dict(stored.dtypes)["hll_sketch"] == "binary"
+        merged = {
+            r["g"]: r["n_distinct_est"]
+            for r in hll_estimate_from(stored, ["g"]).collect()
+        }
+        direct = {
+            r["g"]: r["n_distinct_est"]
+            for r in hll_distinct(df, ["g"], "v").collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        }
+        for g in exact:
+            assert abs(merged[g] - exact[g]) / exact[g] <= 0.04
+            assert abs(merged[g] - direct[g]) / exact[g] <= 0.02
+
+    def test_incremental_extension_without_rescan(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import (
+            hll_estimate_from,
+            hll_sketches,
+        )
+
+        # Appending one NEW day's sketch row updates the estimate without
+        # touching prior days' data (the whole point of storing sketches).
+        old = spark.range(50_000).select(
+            F.lit(0).alias("day"), (F.col("id") % 20_011).alias("v")
+        )
+        new = spark.range(50_000).select(
+            F.lit(1).alias("day"),
+            ((F.col("id") % 20_011) + 15_000).alias("v"),  # overlaps old
+        )
+        out = str(tmp_path / "sk")
+        hll_sketches(old, ["day"], "v").write.parquet(out)
+        hll_sketches(new, ["day"], "v").write.mode("append").parquet(out)
+        stored = spark.read.parquet(out).withColumn("all", F.lit(1))
+        [row] = hll_estimate_from(stored, ["all"]).collect()
+        exact = (
+            old.select("v").union(new.select("v")).distinct().count()
+        )
+        assert abs(row["n_distinct_est"] - exact) / exact <= 0.04
