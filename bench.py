@@ -150,6 +150,7 @@ HEADLINE = [
     "manifest_delete_pos_roundtrip",
     "manifest_merge_roundtrip",
     "events_hll_distinct_users",
+    "manifest_clone_roundtrip",
 ]
 
 

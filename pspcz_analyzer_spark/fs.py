@@ -103,6 +103,11 @@ class LocalFS:
 
         return pq.ParquetFile(path)
 
+    def copy(self, src: str, dst: str) -> None:
+        """Byte copy (deep clone's primitive) — never used on a path
+        readers can already see, so non-atomicity is fine."""
+        shutil.copyfile(src, dst)
+
 
 class ArrowFS:
     """Adapter over a ``pyarrow.fs.FileSystem`` — S3/HDFS/GCS/local from
@@ -199,6 +204,16 @@ class ArrowFS:
         import pyarrow.parquet as pq
 
         return pq.ParquetFile(path, filesystem=self._fs)
+
+    def copy(self, src: str, dst: str) -> None:
+        with self._fs.open_input_stream(src) as r, self._fs.open_output_stream(
+            dst
+        ) as w:
+            while True:
+                chunk = r.read(8 << 20)
+                if not chunk:
+                    break
+                w.write(chunk)
 
 
 def get_fs(path: str) -> "tuple[LocalFS | ArrowFS, str]":

@@ -1584,7 +1584,10 @@ def _predicate_victims(
         .collect()
     )
     names = {r["__file"] for r in hit}
-    return [f for f in m["files"] if f in names]
+    # Match by BASENAME: ``_metadata.file_name`` is always a basename,
+    # while shallow-cloned manifests carry absolute references
+    # (:func:`clone_table`). Basenames are uuid-unique within a table.
+    return [f for f in m["files"] if os.path.basename(f) in names]
 
 
 def delete_where(
@@ -1886,7 +1889,9 @@ def materialize_deletes(spark: SparkSession, path: str) -> "tuple[int, int]":
     key_cache: dict = {}
     for f in covered:
         fseq = seq.get(f, 0)
-        hit = f in pos_victims
+        # DV coordinates store basenames (``_metadata.file_name``);
+        # shallow-cloned manifests reference files absolutely.
+        hit = os.path.basename(f) in pos_victims
         for d in dels:
             if hit:
                 break
@@ -2543,6 +2548,102 @@ def restore(path: str, version: int) -> int:
         # would make the next append compute a column the schema
         # rejects. Schema and generated map restore as one unit.
         generated=target.get("generated") or {},
+    )
+
+
+def clone_table(
+    path: str,
+    dst: str,
+    version: int | None = None,
+    shallow: bool = True,
+) -> int:
+    """CLONE a manifest table (Delta's CREATE TABLE ... CLONE): ``dst``
+    becomes an independent table whose version 1 is the source's state
+    AS OF ``version`` (default latest). Shallow clones are METADATA-ONLY
+    — zero bytes of data move, at 100 TB a clone is one small JSON — the
+    primitive behind dev/test branches and "pin the corpus my training
+    run reads, then keep curating the live table". Writes to either side
+    never affect the other: the clone's DML rewrites stage into the
+    clone's own directory, and dropped source-file references are only
+    ever physically deleted by :func:`vacuum`, which collects strictly
+    within its own table directory.
+
+    Shallow-clone lifetime rule (Delta's documented caveat, identical
+    here): VACUUMING THE SOURCE can delete files a shallow clone still
+    references — the source's vacuum cannot see foreign manifests. Pin
+    the cloned version with :func:`create_tag` on the source, or use
+    ``shallow=False`` (deep clone: every referenced data + delete file
+    byte-copies into ``dst``, self-contained at copy cost).
+
+    Sequence numbers: carried entries remap to ``s - max(s)`` (order
+    preserved, all <= 0) so the clone's OWN commits — whose files stamp
+    ``seq = version >= 2`` — can never be suppressed by carried
+    merge-on-read delete entries; carried deletes keep applying to
+    exactly the carried files they outrank. Writer watermarks (``txns``)
+    do NOT carry: the clone is a new table, and a streaming writer
+    feeding it must replay from its own ledger.
+
+    Shallow clones require plain (scheme-less) paths for both ends:
+    references are stored absolute and resolved by the reader's
+    ``os.path.join``, which URI schemes would corrupt. Deep clones work
+    on any :func:`get_fs`-resolvable pair sharing one filesystem.
+    """
+    m = read_manifest(path, version)
+    if _versions(dst):
+        raise ValueError(f"{dst} is already a manifest table")
+    fs_s, rel_s = get_fs(path)
+    fs_d, rel_d = get_fs(dst)
+    if shallow and ("://" in path or "://" in dst):
+        raise ValueError(
+            "shallow clone requires scheme-less paths (absolute "
+            "references resolve via os.path.join); use shallow=False"
+        )
+    dels = m.get("deletes") or []
+    needed = list(m["files"]) + [d["file"] for d in dels]
+    missing = [f for f in needed if not fs_s.exists(os.path.join(rel_s, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot clone {path}@{m['version']}: {len(missing)} files "
+            f"already vacuumed ({missing[:3]}...)"
+        )
+    fs_d.makedirs(rel_d)
+    if shallow:
+        ref = {
+            f: (f if os.path.isabs(f) else os.path.join(rel_s, f))
+            for f in needed
+        }
+    else:
+        ref = {}
+        for f in needed:
+            base = os.path.basename(f)
+            fs_d.copy(os.path.join(rel_s, f), os.path.join(rel_d, base))
+            ref[f] = base
+
+    def _rekey(d: "dict | None") -> "dict | None":
+        return {ref[k]: v for k, v in d.items() if k in ref} if d else d
+
+    seq = m.get("seq") or {}
+    shift = max(list(seq.values()) + [d["seq"] for d in dels], default=0)
+    return _commit(
+        dst,
+        [ref[f] for f in m["files"]],
+        0,
+        schema=m.get("schema"),
+        stats=_rekey(m.get("stats")),
+        stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        rows=_rekey(m.get("rows")),
+        deletes=[
+            dict(d, file=ref[d["file"]], seq=d["seq"] - shift) for d in dels
+        ]
+        or None,
+        seq={ref[f]: seq.get(f, 0) - shift for f in m["files"]},
+        blooms=_rekey(m.get("blooms")),
+        partitions=_rekey(m.get("partitions")),
+        specs=m.get("specs"),
+        current_spec=m.get("current_spec"),
+        colmap=m.get("colmap"),
+        generated=m.get("generated") or {},
     )
 
 

@@ -102,12 +102,16 @@ _PRIORITY: dict[str, int] = {
     # and manifest_day_partition_scan's partitioned-write + day-prune
     # path is the same machinery manifest_generated_partition (generated
     # day transform) and manifest_partition_evolution drive.
+    # eval_contamination_stats (the audit half) rides the same exact-
+    # substring span machinery its removal twin corpus_decontaminate_substr
+    # keeps attested.
     **{
         n: PRIORITY_NEW_DEFERRED
         for n in (
             "manifest_scan_unpruned",
             "manifest_mor_materialized",
             "manifest_day_partition_scan",
+            "eval_contamination_stats",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -1882,3 +1882,89 @@ def manifest_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_clone_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE NOT (o_totalprice > 300000)
+    ),
+    cl_deleted AS (
+      SELECT * FROM src
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    ),
+    cl AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN round(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM cl_deleted
+    )
+    SELECT side, o_orderstatus, n, total FROM (
+      SELECT 'clone' AS side, o_orderstatus,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM cl GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'source' AS side, o_orderstatus,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM src GROUP BY o_orderstatus
+    )
+    ORDER BY side, o_orderstatus
+    """,
+    tags=("manifest", "clone", "branch", "zero-copy"),
+    priority=18,
+    doc="Zero-copy table branching (manifest.py::clone_table — Delta's "
+    "CREATE TABLE CLONE): the source takes a positional (DV) delete, "
+    "then a SHALLOW clone pins that state as a new table in one small "
+    "JSON — no data bytes move, asserted in-query by the clone dir "
+    "holding zero parquet files right after cloning. The clone then "
+    "takes its own DELETE WHERE + UPDATE WHERE (victims resolve through "
+    "the absolute carried references by basename) while the SOURCE "
+    "aggregate must stay exactly at its pre-clone state — both sides "
+    "replayed in SQL by the oracle. The dev/test-branch primitive at "
+    "100 TB: branching a petabyte corpus costs one metadata commit.",
+)
+def manifest_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = _scratch(sf_dir, "orders_clone_src")
+    cl = _scratch(sf_dir, "orders_clone_branch")
+    for p in (src, cl):
+        _shutil.rmtree(p, ignore_errors=True)
+    orders.repartition(6).write.parquet(src)
+    M.manifest_init(src, stat_cols=["o_orderkey"])
+    M.delete_where_pos(spark, src, "o_totalprice > 300000")
+    M.clone_table(src, cl, shallow=True)
+    if [f for f in _os.listdir(cl) if f.endswith(".parquet")]:
+        raise AssertionError("shallow clone moved data bytes")
+    M.delete_where(spark, cl, "o_orderstatus = 'F' AND o_totalprice < 50000")
+    M.update_where(
+        spark, cl, "o_orderstatus = 'P'",
+        {"o_totalprice": "round(o_totalprice * 2, 2)"},
+    )
+
+    def _agg(path: str, side: str) -> DataFrame:
+        return (
+            M.load_manifest_table(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .select(F.lit(side).alias("side"), "o_orderstatus", "n", "total")
+        )
+
+    return (
+        _agg(cl, "clone")
+        .unionByName(_agg(src, "source"))
+        .orderBy("side", "o_orderstatus")
+    )

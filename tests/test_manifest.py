@@ -2388,3 +2388,129 @@ class TestMergeInto:
         t = M.load_manifest_table(spark, path)
         assert t.filter("id = 50").count() == 1
         assert t.filter("id = 50").first()["score"] == 777.0
+
+
+class TestCloneTable:
+    def _src(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark import manifest as M
+
+        src = str(tmp_path / "src")
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(2).write.parquet(src)
+        M.manifest_init(src, stat_cols=["k"])
+        M.append(
+            spark.range(100, 150).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            src,
+        )
+        M.delete_keys_mor(spark, src, "k", [5, 7])  # equality MoR entry
+        M.delete_where_pos(spark, src, "k = 11")  # positional DV entry
+        return src
+
+    def test_shallow_clone_reads_equal_and_zero_copy(self, spark, tmp_path):
+        import os
+
+        from pspcz_analyzer_spark import manifest as M
+
+        src = self._src(spark, tmp_path)
+        dst = str(tmp_path / "shallow")
+        v = M.clone_table(src, dst, shallow=True)
+        assert v == 1
+        a = sorted(r.k for r in M.load_manifest_table(spark, src).collect())
+        b = sorted(r.k for r in M.load_manifest_table(spark, dst).collect())
+        assert a == b and 5 not in b and 11 not in b
+        # zero-copy: no data files in the clone dir, only metadata.
+        assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+
+    def test_deep_clone_self_contained(self, spark, tmp_path):
+        import shutil
+
+        from pspcz_analyzer_spark import manifest as M
+
+        src = self._src(spark, tmp_path)
+        dst = str(tmp_path / "deep")
+        M.clone_table(src, dst, shallow=False)
+        before = sorted(
+            r.k for r in M.load_manifest_table(spark, dst).collect()
+        )
+        shutil.rmtree(src)  # deep clone must survive source deletion
+        after = sorted(r.k for r in M.load_manifest_table(spark, dst).collect())
+        assert before == after and 5 not in after
+
+    def test_writes_are_independent_both_directions(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        src = self._src(spark, tmp_path)
+        dst = str(tmp_path / "branch")
+        M.clone_table(src, dst)
+        base = sorted(r.k for r in M.load_manifest_table(spark, src).collect())
+        # Clone-side DML: predicate victims must resolve through the
+        # ABSOLUTE references (basename matching) and only drop refs,
+        # never touch source bytes.
+        nf, nd = M.delete_where(spark, dst, "k >= 140")
+        assert nf > 0 and nd == 10
+        assert M.load_manifest_table(spark, dst).count() == len(base) - 10
+        assert (
+            sorted(r.k for r in M.load_manifest_table(spark, src).collect())
+            == base
+        )
+        # Source-side append: invisible to the clone.
+        M.append(spark.createDataFrame([(900, 1)], "k long, v long"), src)
+        assert 900 not in {
+            r.k for r in M.load_manifest_table(spark, dst).collect()
+        }
+
+    def test_carried_mor_deletes_dont_suppress_clone_appends(
+        self, spark, tmp_path
+    ):
+        from pspcz_analyzer_spark import manifest as M
+
+        src = self._src(spark, tmp_path)
+        dst = str(tmp_path / "reinsert")
+        M.clone_table(src, dst)
+        # Key 7 was deleted merge-on-read in the SOURCE history; the
+        # carried entry (seq remapped <= 0) must not suppress a NEW row
+        # (clone file seq >= 2).
+        M.append(spark.createDataFrame([(7, 777)], "k long, v long"), dst)
+        rows = {
+            r.k: r.v for r in M.load_manifest_table(spark, dst).collect()
+        }
+        assert rows.get(7) == 777
+        # ...while the carried entry still applies to carried files:
+        assert 5 not in rows
+
+    def test_clone_vacuum_never_reaches_source(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        src = self._src(spark, tmp_path)
+        dst = str(tmp_path / "vac")
+        M.clone_table(src, dst)
+        M.delete_where(spark, dst, "k < 50")  # drops refs to source files
+        M.vacuum(dst, min_age_seconds=0)
+        # Source still reads completely after the clone vacuumed.
+        assert M.load_manifest_table(spark, src).count() == 147
+
+    def test_clone_of_vacuumed_version_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pspcz_analyzer_spark import manifest as M
+
+        src = self._src(spark, tmp_path)
+        dst = str(tmp_path / "gone")
+        M.delete_where(spark, src, "k < 100")  # rewrites low files
+        M.vacuum(src, min_age_seconds=0)
+        with _pytest.raises(FileNotFoundError):
+            M.clone_table(src, dst, version=2)  # pre-rewrite version
+
+    def test_clone_onto_existing_table_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pspcz_analyzer_spark import manifest as M
+
+        src = self._src(spark, tmp_path)
+        with _pytest.raises(ValueError):
+            M.clone_table(src, src)
