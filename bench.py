@@ -151,6 +151,7 @@ HEADLINE = [
     "manifest_merge_roundtrip",
     "events_hll_distinct_users",
     "manifest_clone_roundtrip",
+    "doc_hybrid_rrf_topk",
 ]
 
 

@@ -151,3 +151,70 @@ def inverted_index(
         .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
     )
     return dfreq.join(postings, "term").select("term", "df", "postings")
+
+
+def rank_topk(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+) -> DataFrame:
+    """(id, score, rank 1..k) for the top ``k`` of a scored frame,
+    deterministic under ties (score DESC, id ASC) — WITHOUT a global
+    window: the top-k itself is a ``TakeOrderedAndProject`` (per-partition
+    heads merged on the driver, never a single-task sort), and ranks are
+    then assigned on the K-ROW result by a self-join count (rank = 1 +
+    number of strictly-better rows), which is k^2 over a broadcast-sized
+    frame. A ``row_number()`` over an unpartitioned window would funnel
+    the whole input through one task — the plan shape the test suite
+    bans (test_plans.py::test_no_unpartitioned_windows)."""
+    top = scored.select(
+        F.col(id_col).alias("__id"), F.col(score_col).alias("__s")
+    ).orderBy(F.desc("__s"), F.asc("__id")).limit(k)
+    better = (
+        (F.col("b.__s") > F.col("a.__s"))
+        | ((F.col("b.__s") == F.col("a.__s")) & (F.col("b.__id") < F.col("a.__id")))
+    )
+    return (
+        top.alias("a")
+        .join(top.alias("b"), better, "left")
+        .groupBy(F.col("a.__id").alias(id_col), F.col("a.__s").alias(score_col))
+        .agg((F.count(F.col("b.__id")) + 1).cast("long").alias("rank"))
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    k: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009, SIGIR)
+    of two ranked lists: ``score(d) = sum_i 1 / (k + rank_i(d))`` over
+    the lists containing ``d``. The standard zero-tuning way to combine
+    a LEXICAL ranking (BM25) with a SEMANTIC one (embedding cosine) —
+    hybrid retrieval for RAG corpora — robust because it consumes only
+    RANKS, so the two scoring scales never need calibration.
+
+    Inputs are (id, rank) frames (1-based, from :func:`rank_topk`);
+    cost is the two candidate lists' sizes, never the corpus. Output:
+    (id, rrf_score, rank_a, rank_b) top ``topn``, ranks NULL where a
+    list didn't surface the id."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+            "rank_a",
+            "rank_b",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topn)
+    )

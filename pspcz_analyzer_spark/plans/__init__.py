@@ -112,6 +112,9 @@ _PRIORITY: dict[str, int] = {
             "manifest_mor_materialized",
             "manifest_day_partition_scan",
             "eval_contamination_stats",
+            # plain keyed-window ranking, kept attested by the r05-green
+            # top3_orders_per_customer.
+            "orders_price_position",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -207,6 +207,17 @@ def _bm25_oracle() -> str:
 )
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25 rounded to 6) for every document matching any of
+    ``_BM25_TERMS`` — the scoring shared by :func:`doc_bm25_topk` and the
+    hybrid-RRF query."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
 
     def tf(term: str):
@@ -247,11 +258,132 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         total = total + p
     any_tf = sum((F.col(f"tf_{t}") for t in _BM25_TERMS[1:]), F.col(f"tf_{_BM25_TERMS[0]}"))
-    return (
-        scored.filter(any_tf > 0)
-        .select("doc_id", F.round(total, 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(_BM25_K)
+    return scored.filter(any_tf > 0).select(
+        "doc_id", F.round(total, 6).alias("bm25")
+    )
+
+
+_RRF_K = 60
+_RRF_TOPN = 10
+_RRF_LIST = 20
+
+
+def _rrf_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"x -> x = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5)) * tf_{t} * {_BM25_K1 + 1} "
+        f"/ (tf_{t} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for t in _BM25_TERMS
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl,
+           {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base
+    ),
+    bm AS (
+      SELECT doc_id, round({score}, 6) AS bm25
+      FROM base, stats
+      WHERE {any_tf} > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT {_RRF_LIST}
+    ),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+      FROM bm
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    cs AS (
+      SELECT e.vec_id AS doc_id,
+             round(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+      FROM embeddings e, q
+      ORDER BY c DESC, doc_id
+      LIMIT {_RRF_LIST}
+    ),
+    csr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank_cos
+      FROM cs
+    )
+    SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_K} + bmr.rank_bm25), 0)
+                 + coalesce(1.0 / ({_RRF_K} + csr.rank_cos), 0), 6)
+             AS rrf_score,
+           bmr.rank_bm25, csr.rank_cos
+    FROM bmr FULL JOIN csr ON bmr.doc_id = csr.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_TOPN}
+    """
+
+
+@register(
+    "doc_hybrid_rrf_topk",
+    oracle=_rrf_oracle(),
+    tags=("retrieval", "rrf", "hybrid", "rag", "new-surface"),
+    priority=18,
+    doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke & "
+    "Buettcher 2009): the BM25 lexical top-20 (one corpus scan, shared "
+    "scoring with doc_bm25_topk) fuses with the embedding-cosine "
+    "semantic top-20 (one broadcast-query scan) by rank only — "
+    "score(d) = sum 1/(60+rank_i) — the zero-calibration combiner RAG "
+    "stacks use when lexical and vector scores live on different "
+    "scales. Ranks assigned on the 20-row candidate lists by self-join "
+    "count (operators/ranking.py::rank_topk) so NO global window ever "
+    "touches corpus-sized data; fusion cost is the candidate lists, "
+    "never the corpus. The synthetic doc_id<->vec_id alignment stands "
+    "in for a real text+embedding corpus; the machinery (and the "
+    "oracle, which replays BOTH rankings and the fusion in SQL) is "
+    "id-space-agnostic.",
+)
+def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.ann import cosine
+    from pspcz_analyzer_spark.operators.ranking import rank_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm_rank = rank_topk(_bm25_scored(docs), "doc_id", "bm25", _RRF_LIST)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__query")
+    )
+    cos_scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("__query").cast("array<double>"),
+            ),
+            6,
+        ).alias("c"),
+    )
+    cos_rank = rank_topk(cos_scored, "doc_id", "c", _RRF_LIST)
+    return rrf_fuse(
+        bm_rank, cos_rank, "doc_id", k=_RRF_K, topn=_RRF_TOPN
+    ).select(
+        "doc_id",
+        "rrf_score",
+        F.col("rank_a").alias("rank_bm25"),
+        F.col("rank_b").alias("rank_cos"),
     )
 
 

@@ -154,3 +154,37 @@ class TestInvertedIndex:
         }
         assert got["omnipresent"] == (50, [0, 1, 2, 3, 4])
         assert got["filler"] == (50, [0, 1, 2, 3, 4])
+
+
+class TestRrfFusion:
+    def test_rank_topk_deterministic_with_ties(self, spark):
+        from pspcz_analyzer_spark.operators.ranking import rank_topk
+
+        df = spark.createDataFrame(
+            [(1, 0.9), (2, 0.9), (3, 0.8), (4, 0.7), (5, 0.6)],
+            "id long, s double",
+        )
+        got = {
+            r["id"]: r["rank"] for r in rank_topk(df, "id", "s", 4).collect()
+        }
+        # Ties break by id ascending; only top-4 kept.
+        assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+    def test_rrf_matches_hand_computation(self, spark):
+        from pspcz_analyzer_spark.operators.ranking import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(12, 1), (10, 2), (13, 3)], "id long, rank long"
+        )
+        rows = {r["id"]: r for r in rrf_fuse(a, b, "id", k=60).collect()}
+        # 12: 1/63 + 1/61; 10: 1/61 + 1/62; 11: 1/62; 13: 1/63.
+        assert rows[12]["rrf_score"] == round(1 / 63 + 1 / 61, 6)
+        assert rows[10]["rrf_score"] == round(1 / 61 + 1 / 62, 6)
+        assert rows[11]["rank_b"] is None and rows[13]["rank_a"] is None
+        ordered = sorted(rows.values(), key=lambda r: -r["rrf_score"])
+        # 1/61 + 1/62 > 1/63 + 1/61: the doc ranked high in BOTH lists
+        # beats the one with a single first place.
+        assert [r["id"] for r in ordered[:2]] == [10, 12]
