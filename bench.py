@@ -152,6 +152,7 @@ HEADLINE = [
     "events_hll_distinct_users",
     "manifest_clone_roundtrip",
     "doc_hybrid_rrf_topk",
+    "media_video_mp4_features",
 ]
 
 

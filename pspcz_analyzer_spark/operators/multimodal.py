@@ -298,3 +298,108 @@ def extract_audio_features(
             )
 
     return src.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "media_id long, mime string, n_bytes long, duration_ms long, "
+    "timescale int, n_tracks int, decoded boolean"
+)
+
+
+def parse_mp4_header(b: bytes) -> "tuple[int, int, int] | None":
+    """(duration_ms, timescale, n_tracks) from ISO-BMFF (MP4) HEADER
+    bytes alone — the video sibling of :func:`parse_image_header` /
+    :func:`parse_wav_header`, same playbook: walk the top-level box
+    stream (big-endian u32 size + fourcc, ISO/IEC 14496-12 §4.2) to
+    ``moov``, read ``mvhd``'s timescale/duration (version 0: u32s after
+    creation/modification; version 1: u64 duration), count ``trak``
+    children. Pure struct parsing, no codec; a malformed or truncated
+    box stream simply stops the walk, and anything without a complete
+    moov/mvhd returns None — callers fall back to the deterministic
+    fake with ``decoded=False``. (size==1 64-bit extended boxes and
+    size==0 to-EOF boxes are treated as end-of-walk: headers this
+    function targets never need them.)"""
+    import struct
+
+    n = len(b)
+    i = 0
+    ts = dur = None
+    n_trak = 0
+    found_moov = False
+    while i + 8 <= n:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        if size < 8 or i + size > n:
+            break
+        if typ == b"moov":
+            found_moov = True
+            j, end = i + 8, i + size
+            while j + 8 <= end:
+                (s2,) = struct.unpack(">I", b[j : j + 4])
+                t2 = b[j + 4 : j + 8]
+                if s2 < 8 or j + s2 > end:
+                    break
+                if t2 == b"mvhd":
+                    ver = b[j + 8]
+                    if ver == 1 and s2 >= 8 + 4 + 8 + 8 + 4 + 8:
+                        # fullbox(4) + creation(8) + modification(8).
+                        (ts,) = struct.unpack(">I", b[j + 28 : j + 32])
+                        (dur,) = struct.unpack(">Q", b[j + 32 : j + 40])
+                    elif ver == 0 and s2 >= 8 + 4 + 4 + 4 + 4 + 4:
+                        # fullbox(4) + creation(4) + modification(4).
+                        ts, dur = struct.unpack(">II", b[j + 20 : j + 28])
+                elif t2 == b"trak":
+                    n_trak += 1
+                j += s2
+        i += size
+    if not found_moov or not ts:
+        return None
+    return int(dur * 1000 // ts), ts, n_trak
+
+
+def _fake_video_meta(n_bytes: int) -> "tuple[int, int, int]":
+    # DETERMINISTIC FAKE for payloads without a parsable moov — same
+    # honesty contract as _fake_image_dims (production: ffprobe).
+    return ((n_bytes * 31) % 90000, 600, n_bytes % 3 + 1)
+
+
+def extract_video_features(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Video metadata via Arrow-batched mapInPandas — REAL ISO-BMFF box
+    walking (:func:`parse_mp4_header`, ``decoded=true``) with the
+    deterministic fake for unreadable payloads. Same shape as the image
+    and audio stages: one row out per row in, bytes never leave the
+    executor batch, no codec library in the hot path."""
+    import pandas as pd
+
+    mime = sniff_mime(content_col).alias("mime")
+    src = df.select(
+        F.col(id_col).alias("media_id"), mime, F.col(content_col).alias("content")
+    )
+
+    def _feat(blob) -> "tuple[int, int, int, int, bool]":
+        b = bytes(blob)
+        hdr = parse_mp4_header(b)
+        if hdr is None:
+            dur, ts, trk = _fake_video_meta(len(b))
+            return (len(b), dur, ts, trk, False)
+        dur, ts, trk = hdr
+        return (len(b), dur, ts, trk, True)
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            feats = pdf["content"].map(_feat)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": feats.map(lambda t: t[0]).astype("int64"),
+                    "duration_ms": feats.map(lambda t: t[1]).astype("int64"),
+                    "timescale": feats.map(lambda t: t[2]).astype("int32"),
+                    "n_tracks": feats.map(lambda t: t[3]).astype("int32"),
+                    "decoded": feats.map(lambda t: t[4]).astype("bool"),
+                }
+            )
+
+    return src.mapInPandas(batches, schema=VIDEO_FEATURES_SCHEMA)

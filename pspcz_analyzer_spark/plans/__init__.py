@@ -115,6 +115,10 @@ _PRIORITY: dict[str, int] = {
             # plain keyed-window ranking, kept attested by the r05-green
             # top3_orders_per_customer.
             "orders_price_position",
+            # pins the FAKE path of the same mapInPandas plumbing the new
+            # media_video_mp4_features attests with REAL parsed headers;
+            # the RIFF parser itself is unit-tested on struct-built WAVs.
+            "media_audio_features",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -143,3 +143,83 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = extract_audio_features(_media(spark, sf_dir))
     return feats.filter(F.col("mime") == "audio/riff").orderBy("media_id")
+
+
+# Real ISO-BMFF header constants for the video stage: a 24-byte ftyp
+# (matching the sniffer's video/mp4 magic) and the mvhd prefix through
+# its timescale field (size 108, version 0, timescale 1000); duration
+# and the trak stubs vary per row and are spliced in column-side.
+_MP4_FTYP = bytes.fromhex(
+    "0000001866747970" + "69736f6d" + "00000200" + "69736f6d" + "69736f32"
+)
+_MP4_MVHD_PRE = bytes.fromhex(
+    "0000006c6d766864" + "00000000" + "00000000" + "00000000" + "000003e8"
+)
+_MP4_TRAK3 = bytes.fromhex("000000087472616b") * 3
+
+
+def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-skinned as VALID minimal MP4s: ftyp + moov(mvhd +
+    doc_id%3+1 trak stubs) + the text as trailing bytes — so the REAL
+    box walker (not the fake) is what the oracle checks, with duration
+    and track count deterministic functions of doc_id that SQL
+    replicates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    n_tracks = (F.col("doc_id") % 3 + 1).cast("int")
+    duration = (F.col("doc_id") * 37) % 590000 + 10000
+    return (
+        docs.withColumn("__trak3", F.lit(_MP4_TRAK3))
+        .withColumn("__nt", n_tracks)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.lit(_MP4_FTYP),
+                be32(F.lit(116) + 8 * F.col("__nt")),  # moov size
+                F.lit(b"moov"),
+                F.lit(_MP4_MVHD_PRE),
+                be32(duration),
+                F.lit(bytes(80)),  # mvhd tail (rate/volume/matrix zeros)
+                F.expr("substring(__trak3, 1, 8 * __nt)"),
+                F.encode("text", "utf-8").cast("binary"),
+            ).alias("content"),
+        )
+    )
+
+
+@register(
+    "media_video_mp4_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'video/mp4' AS mime,
+           140 + 8 * (doc_id % 3 + 1) + octet_length(encode(text))
+             AS n_bytes,
+           (doc_id * 37) % 590000 + 10000 AS duration_ms,
+           CAST(1000 AS INTEGER) AS timescale,
+           CAST(doc_id % 3 + 1 AS INTEGER) AS n_tracks,
+           TRUE AS decoded
+    FROM documents
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "video", "mp4", "new-surface"),
+    priority=18,
+    doc="Video metadata extraction (operators/multimodal.py::"
+    "extract_video_features): Arrow-batched mapInPandas with REAL "
+    "ISO-BMFF box walking (parse_mp4_header — moov/mvhd timescale + "
+    "duration, trak count, big-endian per ISO/IEC 14496-12; v0 AND v1 "
+    "mvhd unit-tested on struct-built boxes). Unlike the image/audio "
+    "rows (which pin the fake path), the payloads here are VALID "
+    "minimal MP4s built column-side with doc_id-derived duration and "
+    "track count, so the oracle hash-checks the real parser end-to-end "
+    "(decoded=true on every row).",
+)
+def media_video_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.multimodal import (
+        extract_video_features,
+    )
+
+    feats = extract_video_features(_video_media(spark, sf_dir))
+    return feats.orderBy("media_id")

@@ -203,3 +203,61 @@ class TestWavHeader:
         }
         assert got[1] == (1, 16000, 1000, True)
         assert got[2][3] is False
+
+
+class TestMp4Header:
+    def _ftyp(self):
+        import struct
+
+        return (
+            struct.pack(">I", 24)
+            + b"ftypisom"
+            + struct.pack(">I", 0x200)
+            + b"isomiso2"
+        )
+
+    def test_v0_mvhd_and_trak_count(self):
+        import struct
+
+        from pspcz_analyzer_spark.operators.multimodal import parse_mp4_header
+
+        mvhd = (
+            struct.pack(">I", 108)
+            + b"mvhd"
+            + bytes(4)  # version 0 + flags
+            + bytes(8)  # creation + modification
+            + struct.pack(">II", 1000, 45123)
+            + bytes(80)
+        )
+        traks = (struct.pack(">I", 8) + b"trak") * 2
+        moov = struct.pack(">I", 8 + len(mvhd) + len(traks)) + b"moov" + mvhd + traks
+        blob = self._ftyp() + moov + b"trailing garbage is not a box"
+        assert parse_mp4_header(blob) == (45123, 1000, 2)
+
+    def test_v1_mvhd_64bit_duration(self):
+        import struct
+
+        from pspcz_analyzer_spark.operators.multimodal import parse_mp4_header
+
+        mvhd = (
+            struct.pack(">I", 120)
+            + b"mvhd"
+            + b"\x01"
+            + bytes(3)
+            + bytes(16)  # creation + modification as u64s
+            + struct.pack(">IQ", 90000, 90000 * 7)
+            + bytes(120 - 40)
+        )
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        assert parse_mp4_header(self._ftyp() + moov) == (7000, 90000, 0)
+
+    def test_malformed_and_truncated_return_none(self):
+        from pspcz_analyzer_spark.operators.multimodal import parse_mp4_header
+
+        assert parse_mp4_header(b"not a video at all") is None
+        assert parse_mp4_header(b"") is None
+        # moov claimed but stream ends before it completes.
+        import struct
+
+        moov = struct.pack(">I", 4096) + b"moov" + bytes(16)
+        assert parse_mp4_header(self._ftyp() + moov) is None
