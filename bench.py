@@ -153,6 +153,7 @@ HEADLINE = [
     "manifest_clone_roundtrip",
     "doc_hybrid_rrf_topk",
     "media_video_mp4_features",
+    "link_prediction_suppliers",
 ]
 
 

@@ -119,6 +119,10 @@ _PRIORITY: dict[str, int] = {
             # media_video_mp4_features attests with REAL parsed headers;
             # the RIFF parser itself is unit-tested on struct-built WAVs.
             "media_audio_features",
+            # wedge self-join + pair aggregate over the same strong-tie
+            # graph triangle_suppliers keeps attested; gate-verified
+            # locally this round, rotates into the driver budget next.
+            "link_prediction_suppliers",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

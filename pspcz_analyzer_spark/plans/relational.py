@@ -1522,6 +1522,81 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "link_prediction_suppliers",
+    oracle="""
+    WITH e AS (
+      SELECT a, b FROM (
+        SELECT a.l_suppkey AS a, b.l_suppkey AS b,
+               count(DISTINCT a.l_orderkey) AS w
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+      )
+      ORDER BY w DESC, a, b
+      LIMIT 500
+    ),
+    sym AS (
+      SELECT a AS w, b AS n FROM e
+      UNION ALL
+      SELECT b AS w, a AS n FROM e
+    ),
+    deg AS (SELECT w, count(*) AS d FROM sym GROUP BY w),
+    pairs AS (
+      SELECT x.n AS n1, y.n AS n2,
+             count(*) AS common_neighbors,
+             round(sum(1.0 / ln(dx.d)), 6) AS aa_score
+      FROM sym x
+      JOIN sym y ON x.w = y.w AND x.n < y.n
+      JOIN deg dx ON dx.w = x.w
+      GROUP BY 1, 2
+    )
+    SELECT n1, n2, common_neighbors, aa_score
+    FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.n1 AND e.b = p.n2)
+    ORDER BY aa_score DESC, n1, n2
+    LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "new-surface", "scale"),
+    priority=18,
+    doc="Adamic-Adar link prediction (operators/graph.py::"
+    "adamic_adar_pairs, Adamic & Adar 2003): top-20 NON-adjacent "
+    "supplier pairs most likely to co-occur, scored by "
+    "sum 1/ln(deg(w)) over common neighbors on the strong-tie "
+    "co-occurrence graph (same >= 3-shared-orders projection as "
+    "triangle_suppliers). One wedge self-join + pair aggregate + "
+    "anti-join against the edge set + TakeOrderedAndProject, over the "
+    "top-500 strongest ties (a FIXED-SIZE graph at any sf: an absolute "
+    "weight threshold leaves sf0.01's near-complete co-occurrence graph "
+    "with zero non-adjacent pairs to predict) -- the unsupervised "
+    "baseline every embedding link predictor is judged against; "
+    "max_degree hub capping is the at-scale knob (exact semantics kept "
+    "here for the oracle).",
+)
+def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import adamic_adar_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count_distinct("l_orderkey").alias("__w"))
+        # Top-500 strongest ties, NOT an absolute weight threshold: the
+        # sf0.01 co-occurrence graph is COMPLETE at any small threshold
+        # (min pair weight 10), leaving zero non-adjacent pairs to
+        # predict. A fixed-size strongest-tie graph keeps the LP
+        # candidate structure (and the wedge cost) scale-invariant
+        # while the extraction stays one TakeOrderedAndProject.
+        .orderBy(F.desc("__w"), F.asc("src"), F.asc("dst"))
+        .limit(500)
+        .select("src", "dst")
+    )
+    return adamic_adar_pairs(edges, k=20)
+
+
+@register(
     "triangle_suppliers",
     oracle="""
     WITH e AS (

@@ -525,3 +525,61 @@ class TestHits:
         # Each L1-normalized vector sums to 1.
         assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
         assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+
+
+class TestAdamicAdar:
+    def test_matches_brute_force(self, spark):
+        import math
+        from itertools import combinations
+
+        from pspcz_analyzer_spark.operators.graph import adamic_adar_pairs
+
+        edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (1, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r.n1, r.n2): (r.common_neighbors, r.aa_score)
+            for r in adamic_adar_pairs(df, k=100).collect()
+        }
+        nbrs: dict = {}
+        for u, v in edges:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        want = {}
+        for u, v in combinations(sorted(nbrs), 2):
+            if v in nbrs[u]:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if common:
+                want[(u, v)] = (
+                    len(common),
+                    round(sum(1 / math.log(len(nbrs[w])) for w in common), 6),
+                )
+        assert got == want
+
+    def test_existing_edges_never_predicted_and_k_respected(self, spark):
+        from pspcz_analyzer_spark.operators.graph import adamic_adar_pairs
+
+        # Star graph: hub 0 adjacent to all; every leaf pair is
+        # non-adjacent with exactly one common neighbor (the hub).
+        edges = [(0, i) for i in range(1, 8)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = adamic_adar_pairs(df, k=5).collect()
+        assert len(rows) == 5
+        assert all(r.n1 != 0 and r.n2 != 0 for r in rows)
+        assert all(r.common_neighbors == 1 for r in rows)
+
+    def test_max_degree_excludes_hub_neighbors(self, spark):
+        from pspcz_analyzer_spark.operators.graph import adamic_adar_pairs
+
+        # Hub 0 connects 1..5; additionally 1-9-2 path. With the hub
+        # capped out (deg 5 > 3) the leaf pairs (i,j) in 1..5 lose their
+        # only common neighbor and disappear; what remains is (1,2)
+        # through w=9 (deg 2) and (0,9) through w=1 and w=2 (deg 3 each,
+        # inside the cap).
+        edges = [(0, i) for i in range(1, 6)] + [(1, 9), (2, 9)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = {
+            (r.n1, r.n2): r.common_neighbors
+            for r in adamic_adar_pairs(df, k=100, max_degree=3).collect()
+        }
+        assert rows == {(1, 2): 1, (0, 9): 2}

@@ -16,6 +16,8 @@ QUERIES = [
     "events_hll_distinct_users",
     "manifest_clone_roundtrip",
     "triangle_suppliers",
+    "doc_hybrid_rrf_topk",
+    "media_video_mp4_features",
 ]
 
 
