@@ -154,6 +154,7 @@ HEADLINE = [
     "doc_hybrid_rrf_topk",
     "media_video_mp4_features",
     "link_prediction_suppliers",
+    "manifest_null_prune",
 ]
 
 

@@ -506,20 +506,40 @@ def _file_stats(fs, rel: str, names: list, stat_cols: list) -> dict:
         for c in stat_cols:
             ci = idx.get(c)
             lo = hi = None
+            nulls = 0
             ok = ci is not None
-            if ok:
+            ok_null = ci is not None
+            if ci is not None:
                 for g in range(meta.num_row_groups):
                     st = meta.row_group(g).column(ci).statistics
-                    if st is None or st.min is None:
-                        ok = False
+                    if st is None:
+                        ok = ok_null = False
                         break
+                    # Null counts are independent of min/max validity:
+                    # an ALL-NULL column chunk has no min/max but a
+                    # perfectly good null_count — exactly the file the
+                    # IS NOT NULL pruning wants to skip.
+                    if st.null_count is None:
+                        ok_null = False
+                    else:
+                        nulls += st.null_count
+                    if not ok or st.min is None:
+                        ok = False
+                        continue
                     gmin, gmax = _json_stat(st.min), _json_stat(st.max)
                     if gmin is None or gmax is None:
                         ok = False
-                        break
+                        continue
                     lo = gmin if lo is None else min(lo, gmin)
                     hi = gmax if hi is None else max(hi, gmax)
-            fstats[c] = [lo, hi] if ok else None
+            if not ok:
+                lo = hi = None
+            # Entry: [min, max, null_count] — consumers read by index,
+            # so pre-round-6 two-element entries stay readable (their
+            # missing null slot reads as untracked via len checks).
+            fstats[c] = (
+                None if not (ok or ok_null) else [lo, hi, nulls if ok_null else None]
+            )
         out[name] = fstats
     return out
 
@@ -629,6 +649,60 @@ def scan_manifest_table(
     construction — the oracle for the catalog query."""
     files, _total = prune_files(path, col, lo, hi, version)
     pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return load_manifest_table(spark, path, version).filter(pred).limit(0)
+    m = read_manifest(path, version)
+    return _with_deletes(spark, path, m, files).filter(pred)
+
+
+def prune_files_null(
+    path: str,
+    col: str,
+    want_null: bool,
+    version: int | None = None,
+) -> "tuple[list[str], int]":
+    """(files that may contain matching rows, total files) for an
+    ``IS NULL`` (``want_null=True``) or ``IS NOT NULL`` predicate on
+    ``col`` — metadata-only, from the per-file null counts the stats
+    layer records at commit time (Delta's ``nullCount`` in minimal
+    form): a file with ZERO nulls can't satisfy IS NULL, and a file
+    whose null count equals its row count (all-null — the case with no
+    min/max at all, which range stats are blind to) can't satisfy
+    IS NOT NULL. Files without a tracked null count (pre-round-6
+    commits, untracked columns) are conservatively kept."""
+    m = read_manifest(path, version)
+    pcol = _physical_col(m, col)
+    stats = m.get("stats") or {}
+    rows = m.get("rows") or {}
+    kept = []
+    for f in m["files"]:
+        s = (stats.get(f) or {}).get(pcol)
+        nulls = s[2] if s is not None and len(s) > 2 else None
+        if nulls is None:
+            kept.append(f)
+            continue
+        if want_null and nulls == 0:
+            continue
+        nrows = rows.get(f)
+        if not want_null and nrows is not None and nulls == nrows:
+            continue
+        kept.append(f)
+    return kept, len(m["files"])
+
+
+def scan_manifest_table_null(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    want_null: bool,
+    version: int | None = None,
+) -> DataFrame:
+    """Null-predicate scan with file skipping from stored null counts;
+    the exact predicate still applies (stats skip whole files). Equals
+    ``load_manifest_table(...).filter(col IS [NOT] NULL)`` by
+    construction."""
+    files, _total = prune_files_null(path, col, want_null, version)
+    pred = F.col(col).isNull() if want_null else F.col(col).isNotNull()
     if not files:
         return load_manifest_table(spark, path, version).filter(pred).limit(0)
     m = read_manifest(path, version)

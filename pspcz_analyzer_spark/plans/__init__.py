@@ -123,6 +123,9 @@ _PRIORITY: dict[str, int] = {
             # graph triangle_suppliers keeps attested; gate-verified
             # locally this round, rotates into the driver budget next.
             "link_prediction_suppliers",
+            # files_table reads the same manifest dict every attested
+            # lifecycle row proves; gate-verified locally, rotates next.
+            "manifest_files_accounting",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

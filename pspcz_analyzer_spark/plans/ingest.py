@@ -1968,3 +1968,61 @@ def manifest_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(src, "source"))
         .orderBy("side", "o_orderstatus")
     )
+
+
+@register(
+    "manifest_null_prune",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS pending_total
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "stats", "null-pruning", "new-surface"),
+    priority=18,
+    doc="Null-count file skipping (manifest.py::prune_files_null / "
+    "scan_manifest_table_null — Delta's nullCount in minimal form): a "
+    "sparse column (pending-order price, NULL unless status P) written "
+    "range-clustered by status leaves most files ALL-NULL — files range "
+    "stats are blind to (no min/max at all, conservatively kept) but "
+    "null counts skip exactly. The IS NOT NULL scan must plan fewer "
+    "files than the table holds (asserted in-query) and still aggregate "
+    "to the same answer as the plain filter — the oracle. At 100 TB "
+    "sparse enrichment columns (model scores backfilled per cohort, "
+    "opt-in fields) are the norm, and IS NOT NULL is their access path.",
+)
+def manifest_null_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "P", F.col("o_totalprice")
+        ).alias("pending_price"),
+    )
+    path = _scratch(sf_dir, "orders_null_prune")
+    _shutil.rmtree(path, ignore_errors=True)
+    orders.repartitionByRange(8, "o_orderstatus", "o_orderkey").write.parquet(
+        path
+    )
+    M.manifest_init(path, stat_cols=["pending_price"])
+    kept, total = M.prune_files_null(path, "pending_price", want_null=False)
+    if not kept or len(kept) >= total:
+        raise AssertionError(
+            f"null-count pruning had no effect: kept {len(kept)}/{total}"
+        )
+    return (
+        M.scan_manifest_table_null(spark, path, "pending_price", False)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("pending_price"), 2).alias("pending_total"),
+        )
+        .orderBy("o_orderstatus")
+    )

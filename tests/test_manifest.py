@@ -2514,3 +2514,79 @@ class TestCloneTable:
         src = self._src(spark, tmp_path)
         with _pytest.raises(ValueError):
             M.clone_table(src, src)
+
+
+class TestNullCountStats:
+    def _table(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k long, v long"
+        ).coalesce(1).write.parquet(p)
+        M.manifest_init(p, stat_cols=["v"])
+        M.append(
+            spark.createDataFrame([(3, 30), (4, None)], "k long, v long")
+            .coalesce(1),
+            p,
+        )
+        M.append(
+            spark.createDataFrame([(5, None), (6, None)], "k long, v long")
+            .coalesce(1),
+            p,
+        )
+        return p
+
+    def test_is_null_skips_null_free_files(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        p = self._table(spark, tmp_path)
+        kept, total = M.prune_files_null(p, "v", want_null=True)
+        assert total == 3 and len(kept) == 2  # the no-null file skipped
+        rows = sorted(
+            r.k for r in M.scan_manifest_table_null(spark, p, "v", True).collect()
+        )
+        assert rows == [4, 5, 6]
+
+    def test_is_not_null_skips_all_null_files(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        p = self._table(spark, tmp_path)
+        kept, total = M.prune_files_null(p, "v", want_null=False)
+        assert total == 3 and len(kept) == 2  # the all-null file skipped
+        rows = sorted(
+            r.k
+            for r in M.scan_manifest_table_null(spark, p, "v", False).collect()
+        )
+        assert rows == [1, 2, 3]
+
+    def test_all_null_file_still_conservative_for_range(self, spark, tmp_path):
+        # The all-null file has no min/max: range pruning must KEEP it
+        # (blind but safe) while null pruning skips it exactly.
+        from pspcz_analyzer_spark import manifest as M
+
+        p = self._table(spark, tmp_path)
+        kept, total = M.prune_files(p, "v", 25, 35)
+        assert total == 3 and len(kept) == 2
+
+    def test_two_element_legacy_entries_read_as_untracked(
+        self, spark, tmp_path
+    ):
+        import json, os
+
+        from pspcz_analyzer_spark import manifest as M
+
+        p = self._table(spark, tmp_path)
+        # Rewrite the manifest's stats to pre-round-6 [min, max] pairs.
+        v = M.current_version(p)
+        mpath = os.path.join(p, "_manifest", f"{v:08d}.json")
+        doc = json.loads(open(mpath).read())
+        doc["stats"] = {
+            f: {c: (s[:2] if s else None) for c, s in cols.items()}
+            for f, cols in doc["stats"].items()
+        }
+        open(mpath, "w").write(json.dumps(doc))
+        kept, total = M.prune_files_null(p, "v", want_null=True)
+        assert len(kept) == total == 3  # untracked -> conservative
+        kept, _ = M.prune_files(p, "v", 25, 35)
+        assert len(kept) == 2  # range pruning unaffected
