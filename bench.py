@@ -155,6 +155,7 @@ HEADLINE = [
     "media_video_mp4_features",
     "link_prediction_suppliers",
     "manifest_null_prune",
+    "orders_table_fingerprint",
 ]
 
 

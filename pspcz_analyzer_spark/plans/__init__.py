@@ -126,6 +126,10 @@ _PRIORITY: dict[str, int] = {
             # files_table reads the same manifest dict every attested
             # lifecycle row proves; gate-verified locally, rotates next.
             "manifest_files_accounting",
+            # exact-percentile + flag pass — the same percentile
+            # aggregate machinery events_value_equidepth holds attested
+            # (r05 green); gate-verified locally, rotates next.
+            "events_robust_outliers",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

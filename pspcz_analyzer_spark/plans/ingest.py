@@ -2026,3 +2026,40 @@ def manifest_null_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "orders_table_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null' || chr(0))
+               || chr(31) ||
+               coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null' || chr(0))
+               || chr(31) ||
+               coalesce(o_orderstatus, chr(0) || 'null' || chr(0))
+             ), 1, 8))::BIGINT AS v
+      FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           CAST(coalesce(sum(v), 0) AS BIGINT) AS checksum
+    FROM h
+    """,
+    tags=("validation", "fingerprint", "new-surface"),
+    priority=18,
+    doc="Order-independent table fingerprint (operators/validate.py::"
+    "fingerprint_table): one scan, map-side-combined SUM of per-row md5 "
+    "prefixes over name-sorted columns -> a constant-size (n_rows, "
+    "checksum) pair invariant to row order and file layout. The "
+    "migration/clone/compaction validation primitive: petabyte tables "
+    "compare by exchanging ONE row, and the DuckDB oracle replaying the "
+    "identical formula IS the cross-engine use case. Clone/restore "
+    "equality asserted with it in test_manifest.py.",
+)
+def orders_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.validate import fingerprint_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    return fingerprint_table(orders)

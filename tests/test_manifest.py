@@ -2590,3 +2590,64 @@ class TestNullCountStats:
         assert len(kept) == total == 3  # untracked -> conservative
         kept, _ = M.prune_files(p, "v", 25, 35)
         assert len(kept) == 2  # range pruning unaffected
+
+
+class TestFingerprint:
+    def test_invariant_to_order_layout_and_projection_order(self, spark):
+        from pspcz_analyzer_spark.operators.validate import fingerprint_table
+
+        rows = [(i, f"s{i % 7}", float(i) / 3) for i in range(500)]
+        a = spark.createDataFrame(rows, "k long, s string, v double")
+        b = (
+            spark.createDataFrame(list(reversed(rows)), "k long, s string, v double")
+            .repartition(13)
+            .select("v", "k", "s")  # different column order
+        )
+        fa = fingerprint_table(a).collect()[0]
+        fb = fingerprint_table(b).collect()[0]
+        assert (fa["n_rows"], fa["checksum"]) == (fb["n_rows"], fb["checksum"])
+
+    def test_detects_single_row_and_null_vs_empty(self, spark):
+        from pspcz_analyzer_spark.operators.validate import (
+            fingerprint_table,
+            tables_equal,
+        )
+
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+        b = spark.createDataFrame([(1, "x"), (2, "z")], "k long, s string")
+        assert not tables_equal(a, b)
+        n = spark.createDataFrame([(1, None)], "k long, s string")
+        e = spark.createDataFrame([(1, "")], "k long, s string")
+        assert (
+            fingerprint_table(n).collect()[0]["checksum"]
+            != fingerprint_table(e).collect()[0]["checksum"]
+        )
+
+    def test_clone_and_restore_preserve_fingerprint(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark import manifest as M
+        from pspcz_analyzer_spark.operators.validate import tables_equal
+
+        src = str(tmp_path / "src")
+        spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).coalesce(2).write.parquet(src)
+        M.manifest_init(src, stat_cols=["k"])
+        pinned = M.current_version(src)
+        dst = str(tmp_path / "cl")
+        M.clone_table(src, dst)
+        assert tables_equal(
+            M.load_manifest_table(spark, src),
+            M.load_manifest_table(spark, dst),
+        )
+        M.delete_where(spark, src, "k < 100")
+        assert not tables_equal(
+            M.load_manifest_table(spark, src),
+            M.load_manifest_table(spark, dst),
+        )
+        M.restore(src, pinned)
+        assert tables_equal(
+            M.load_manifest_table(spark, src),
+            M.load_manifest_table(spark, dst),
+        )
