@@ -50,6 +50,13 @@ from pspcz_analyzer_spark.fs import get_fs
 MANIFEST_DIR = "_manifest"
 
 
+# Highest manifest reader version this build understands. 1 = plain
+# file lists + additive metadata; 2 = merge-on-read delete entries
+# (equality + positional), column mapping, generated columns — features
+# a version-1 reader would silently MISREAD, not merely miss.
+SUPPORTED_READER_VERSION = 2
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first; re-plan and retry."""
 
@@ -92,9 +99,22 @@ def read_manifest(path: str, version: int | None = None) -> dict:
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
     fs, path = get_fs(path)
-    return json.loads(
+    doc = json.loads(
         fs.read_bytes(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
     )
+    # Protocol gate (Delta-style): refuse versions written by a future
+    # format rather than silently misreading them (e.g. ignoring a
+    # delete feature we don't know = resurrecting rows). Manifests
+    # without a protocol key predate the field and read as version 1.
+    reader = (doc.get("protocol") or {}).get("reader", 1)
+    if reader > SUPPORTED_READER_VERSION:
+        raise RuntimeError(
+            f"{path}@{v} requires manifest reader version {reader}; this "
+            f"build supports <= {SUPPORTED_READER_VERSION} — upgrade "
+            "before reading (a silent partial read would be WRONG, not "
+            "just incomplete)"
+        )
+    return doc
 
 
 def _commit(
@@ -207,6 +227,17 @@ def _commit(
         doc["partitions"] = {
             f: merged_parts[f] for f in sorted(merged_parts)
         }
+    # Protocol versioning (Delta's reader-version gate, minimal form):
+    # features a naive reader would SILENTLY misread — not just miss —
+    # bump the required reader. Merge-on-read delete entries are the
+    # canonical case: a reader that ignores `deletes` resurrects rows
+    # and calls it a successful scan; column mapping misnames columns;
+    # generated columns accept writes that violate the invariant. Purely
+    # additive metadata (stats, blooms, tags, row counts) stays at 1.
+    reader = 1
+    if doc.get("deletes") or colmap or generated:
+        reader = 2
+    doc["protocol"] = {"reader": reader}
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:

@@ -2651,3 +2651,53 @@ class TestFingerprint:
             M.load_manifest_table(spark, src),
             M.load_manifest_table(spark, dst),
         )
+
+
+class TestProtocolVersioning:
+    def test_reader_version_tracks_features(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame([(1, 10)], "k long, v long").coalesce(
+            1
+        ).write.parquet(p)
+        M.manifest_init(p)
+        assert M.read_manifest(p)["protocol"]["reader"] == 1
+        M.delete_keys_mor(spark, p, "k", [99])  # no-op match, adds entry
+        assert M.read_manifest(p)["protocol"]["reader"] == 2
+        # Folding the deletes drops the requirement back to 1.
+        M.materialize_deletes(spark, p)
+        assert M.read_manifest(p)["protocol"]["reader"] == 1
+
+    def test_future_reader_version_refused(self, spark, tmp_path):
+        import json, os
+
+        import pytest as _pytest
+
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame([(1,)], "k long").coalesce(1).write.parquet(p)
+        M.manifest_init(p)
+        mpath = os.path.join(p, "_manifest", "00000001.json")
+        doc = json.loads(open(mpath).read())
+        doc["protocol"] = {"reader": 99}
+        open(mpath, "w").write(json.dumps(doc))
+        with _pytest.raises(RuntimeError, match="reader version 99"):
+            M.load_manifest_table(spark, p)
+
+    def test_pre_protocol_manifests_read_as_version_1(self, spark, tmp_path):
+        import json, os
+
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame([(1,), (2,)], "k long").coalesce(
+            1
+        ).write.parquet(p)
+        M.manifest_init(p)
+        mpath = os.path.join(p, "_manifest", "00000001.json")
+        doc = json.loads(open(mpath).read())
+        del doc["protocol"]
+        open(mpath, "w").write(json.dumps(doc))
+        assert M.load_manifest_table(spark, p).count() == 2
