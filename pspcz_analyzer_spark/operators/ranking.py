@@ -160,26 +160,34 @@ def rank_topk(
     k: int,
 ) -> DataFrame:
     """(id, score, rank 1..k) for the top ``k`` of a scored frame,
-    deterministic under ties (score DESC, id ASC) — WITHOUT a global
-    window: the top-k itself is a ``TakeOrderedAndProject`` (per-partition
-    heads merged on the driver, never a single-task sort), and ranks are
-    then assigned on the K-ROW result by a self-join count (rank = 1 +
-    number of strictly-better rows), which is k^2 over a broadcast-sized
-    frame. A ``row_number()`` over an unpartitioned window would funnel
-    the whole input through one task — the plan shape the test suite
-    bans (test_plans.py::test_no_unpartitioned_windows)."""
+    deterministic under ties (score DESC, id ASC) — with NEITHER a
+    global window (single-task funnel over the INPUT, banned by
+    test_plans.py::test_no_unpartitioned_windows) NOR a theta self-join
+    (BroadcastNestedLoopJoin, banned by the nested-loop net): the top-k
+    itself is a ``TakeOrderedAndProject`` (per-partition heads merged,
+    never a full sort), and ranks are then positions in ONE k-element
+    collected array — ``sort_array`` over ``struct(-score, id)`` makes
+    ascending order mean (score DESC, id ASC), and ``posexplode`` hands
+    back rank = position + 1. The only single-task work is over k rows,
+    which a top-k is by definition."""
     top = scored.select(
         F.col(id_col).alias("__id"), F.col(score_col).alias("__s")
     ).orderBy(F.desc("__s"), F.asc("__id")).limit(k)
-    better = (
-        (F.col("b.__s") > F.col("a.__s"))
-        | ((F.col("b.__s") == F.col("a.__s")) & (F.col("b.__id") < F.col("a.__id")))
+    arr = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("__s")).alias("negs"),
+                    F.col("__id").alias("i"),
+                    F.col("__s").alias("s"),
+                )
+            )
+        ).alias("__arr")
     )
-    return (
-        top.alias("a")
-        .join(top.alias("b"), better, "left")
-        .groupBy(F.col("a.__id").alias(id_col), F.col("a.__s").alias(score_col))
-        .agg((F.count(F.col("b.__id")) + 1).cast("long").alias("rank"))
+    return arr.select(F.posexplode("__arr").alias("__pos", "__st")).select(
+        F.col("__st.i").alias(id_col),
+        F.col("__st.s").alias(score_col),
+        (F.col("__pos") + 1).cast("long").alias("rank"),
     )
 
 

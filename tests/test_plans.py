@@ -132,6 +132,10 @@ _NESTED_LOOP_OK = {
     # (same shape as events_decayed_value's max anchor)
     "hits_trade_graph",  # 1-row broadcast L1 norm per half-step; the
     # edge joins themselves are node-keyed hash joins
+    "doc_hybrid_rrf_topk",  # inherits doc_bm25_topk's 1-row broadcast
+    # corpus stats + ann_bruteforce's 1-row broadcast query vector; the
+    # rank/fusion path itself is join-free (sort_array + posexplode
+    # over the k-row candidate lists)
 }
 
 
