@@ -156,6 +156,7 @@ HEADLINE = [
     "link_prediction_suppliers",
     "manifest_null_prune",
     "orders_table_fingerprint",
+    "manifest_hilbert_optimize",
 ]
 
 

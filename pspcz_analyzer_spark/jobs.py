@@ -497,3 +497,83 @@ def compact_small_files(
     _commit_rewrite(path, untouched, staged, "compact")
     shutil.rmtree(rewrite, ignore_errors=True)
     return len(merged), written
+
+
+def hilbert_value(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> "tuple[DataFrame, str]":
+    """Attach a 2-D Hilbert-curve key over ``cols`` as column ``__h`` —
+    the drop-in alternative to :func:`zorder_value` with strictly better
+    locality: consecutive Hilbert cells are always grid-ADJACENT (the
+    curve never jumps), while the Morton curve teleports across the
+    domain at every power-of-two boundary, widening some files' bounding
+    boxes. Databricks' liquid clustering made the same Z->Hilbert move
+    for exactly this reason.
+
+    Same rank scaling as Z-order (min/max to ``bits``-bit ints, one tiny
+    stats job), then the classic xy->d transform (Hamilton's algorithm,
+    the Wikipedia iterative form) unrolled over ``bits`` levels as pure
+    column expressions — conditional reflect + swap per level, fully
+    codegen'd, no UDF. 2 columns only: the rot/reflect state machine is
+    dimension-specific, and 2 is the overwhelmingly common layout case
+    (id x time, lat x lon); 3+ dims fall back to :func:`zorder_value`.
+    """
+    if len(cols) != 2:
+        raise ValueError("hilbert_value is 2-D; use zorder_value for 3+ cols")
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def rank(c: str):
+        lo = float(stats[f"lo_{c}"] or 0)
+        hi = float(stats[f"hi_{c}"] or 0)
+        span = (hi - lo) or 1.0
+        return (
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top
+                    ),
+                ),
+            )
+            .cast("long")
+        )
+
+    # One SELECT per level, so each level's expressions reference the
+    # previous level's ATTRIBUTES. Substituting the recurrence inline
+    # (the naive fold) makes the column AST grow ~4x per level — 4^12
+    # nodes at bits=12, which OOMs the driver during column
+    # normalization before Catalyst ever sees it.
+    base = [c for c in df.columns]
+    cur = df.select(
+        "*",
+        rank(cols[0]).alias("__hx"),
+        rank(cols[1]).alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"),
+    )
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = F.when(
+            F.col("__hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        ry = F.when(
+            F.col("__hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        d2 = F.col("__hd") + F.lit(s) * F.lit(s) * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        ).cast("long")
+        flip = (ry == F.lit(0)) & (rx == F.lit(1))
+        x1 = F.when(flip, F.lit(s - 1) - F.col("__hx")).otherwise(F.col("__hx"))
+        y1 = F.when(flip, F.lit(s - 1) - F.col("__hy")).otherwise(F.col("__hy"))
+        cur = cur.select(
+            *base,
+            F.when(ry == F.lit(0), y1).otherwise(x1).alias("__hx"),
+            F.when(ry == F.lit(0), x1).otherwise(y1).alias("__hy"),
+            d2.alias("__hd"),
+        )
+        s >>= 1
+    return cur.select(*base, F.col("__hd").alias("__h")), "__h"

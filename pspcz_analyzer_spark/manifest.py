@@ -2487,10 +2487,42 @@ def optimize_zorder(
     version."""
     from pspcz_analyzer_spark.jobs import zorder_value
 
+    return _optimize_layout(spark, path, zorder_value, cols, bits, num_partitions)
+
+
+def optimize_hilbert(
+    spark: SparkSession,
+    path: str,
+    cols: "list[str]",
+    bits: int = 12,
+    num_partitions: int = 16,
+) -> int:
+    """:func:`optimize_zorder` with a HILBERT key (``jobs.hilbert_value``,
+    2 columns): consecutive curve cells are always grid-adjacent, so
+    output files get tighter bounding boxes than the Morton curve's
+    teleporting layout gives — the Z->Hilbert move liquid clustering
+    made. Same one-version commit contract as Z-order."""
+    from pspcz_analyzer_spark.jobs import hilbert_value
+
+    return _optimize_layout(
+        spark, path, hilbert_value, cols, bits, num_partitions
+    )
+
+
+def _optimize_layout(
+    spark: SparkSession,
+    path: str,
+    key_fn,
+    cols: "list[str]",
+    bits: int,
+    num_partitions: int,
+) -> int:
+    """Shared OPTIMIZE body: attach a space-filling-curve key, range-
+    exchange + sort on it, publish the re-layout as one version."""
     m = read_manifest(path)
     if not m["files"]:
         return m["version"]
-    keyed, zcol = zorder_value(load_manifest_table(spark, path), cols, bits)
+    keyed, zcol = key_fn(load_manifest_table(spark, path), cols, bits)
     out = (
         keyed.repartitionByRange(num_partitions, F.col(zcol))
         .sortWithinPartitions(zcol)

@@ -130,6 +130,10 @@ _PRIORITY: dict[str, int] = {
             # aggregate machinery events_value_equidepth holds attested
             # (r05 green); gate-verified locally, rotates next.
             "events_robust_outliers",
+            # multi-dim box pruning + curve re-layout + box scan: the
+            # same machinery manifest_hilbert_optimize attests this
+            # round over the better curve; gate-verified locally.
+            "manifest_scan_box_zorder",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -2063,3 +2063,53 @@ def orders_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderstatus"
     )
     return fingerprint_table(orders)
+
+
+@register(
+    "manifest_hilbert_optimize",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 10 AND 40
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S10", "manifest", "hilbert", "optimize", "scale", "new-surface"),
+    priority=18,
+    doc="OPTIMIZE with a HILBERT key (manifest.py::optimize_hilbert, "
+    "jobs.py::hilbert_value — Hamilton's xy->d transform unrolled as "
+    "codegen'd column expressions, verified cell-for-cell against a "
+    "reference implementation and for the curve's defining adjacency "
+    "property in test_skew_jobs.py): the same (user_id, value) "
+    "re-layout as manifest_zorder_optimize but along a curve that never "
+    "teleports, so file bounding boxes come out tighter — the Z->Hilbert "
+    "move behind liquid clustering, measured against Z-order in "
+    "test_manifest.py (box-scan file skipping at least as good). The "
+    "box-predicate result must equal the raw-table oracle.",
+)
+def manifest_hilbert_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "events_hilbert_opt")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(events, path, "user_id", num_partitions=8)
+    M.manifest_init(path, stat_cols=["user_id", "value"])
+    M.optimize_hilbert(spark, path, ["user_id", "value"], num_partitions=8)
+    return (
+        M.scan_manifest_table(spark, path, "user_id", 3, 9)
+        .filter(F.col("value").between(10, 40))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

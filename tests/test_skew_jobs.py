@@ -780,3 +780,99 @@ class TestHllDistinct:
             old.select("v").union(new.select("v")).distinct().count()
         )
         assert abs(row["n_distinct_est"] - exact) / exact <= 0.04
+
+
+class TestHilbertValue:
+    @staticmethod
+    def _xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def test_matches_reference_on_full_grid(self, spark):
+        from pspcz_analyzer_spark.jobs import hilbert_value
+
+        bits, n = 4, 16
+        rows = [(x, y) for x in range(n) for y in range(n)]
+        keyed, col = hilbert_value(
+            spark.createDataFrame(rows, "a int, b int"), ["a", "b"], bits=bits
+        )
+        got = {(r["a"], r["b"]): r[col] for r in keyed.collect()}
+        assert got == {(x, y): self._xy2d(n, x, y) for x, y in rows}
+
+    def test_curve_adjacency_property(self, spark):
+        # The Hilbert curve's defining property: consecutive d values are
+        # GRID-ADJACENT cells (Manhattan distance 1) — the reason its
+        # file bounding boxes beat the teleporting Morton curve's.
+        n = 16
+        inv = {
+            self._xy2d(n, x, y): (x, y) for x in range(n) for y in range(n)
+        }
+        assert all(
+            abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+            for d in range(n * n - 1)
+        )
+
+    def test_rejects_non_2d(self, spark):
+        import pytest as _pytest
+
+        from pspcz_analyzer_spark.jobs import hilbert_value
+
+        df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+        with _pytest.raises(ValueError):
+            hilbert_value(df, ["a", "b", "c"])
+
+    def test_hilbert_prunes_at_least_as_well_as_zorder(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark import manifest as M
+
+        def build(opt, sub):
+            p = str(tmp_path / sub)
+            spark.range(40_000).select(
+                (F.col("id") % 200).alias("a"),
+                ((F.col("id") * 13) % 200).alias("b"),
+            ).coalesce(4).write.parquet(p)
+            M.manifest_init(p, stat_cols=["a", "b"])
+            opt(spark, p, ["a", "b"], num_partitions=16)
+            return p
+
+        zp = build(M.optimize_zorder, "z")
+        hp = build(M.optimize_hilbert, "h")
+        # Average kept-file fraction over a grid of box probes.
+        boxes = [
+            (alo, alo + 24, blo, blo + 24)
+            for alo in (0, 60, 120, 170)
+            for blo in (0, 60, 120, 170)
+        ]
+        def kept(p):
+            tot = 0
+            for alo, ahi, blo, bhi in boxes:
+                files, _ = M.prune_files_multi(
+                    p, {"a": (alo, ahi), "b": (blo, bhi)}
+                )
+                tot += len(files)
+            return tot
+        kz, kh = kept(zp), kept(hp)
+        # Same rows, same file count, same probes: Hilbert's adjacent
+        # curve must not plan MORE files than Morton overall (ties ok).
+        assert kh <= kz, (kh, kz)
+        # And both results stay identical to the plain filter.
+        alo, ahi, blo, bhi = boxes[5]
+        exact = (
+            M.load_manifest_table(spark, hp)
+            .filter(F.col("a").between(alo, ahi) & F.col("b").between(blo, bhi))
+            .count()
+        )
+        got = M.scan_manifest_table_box(
+            spark, hp, {"a": (alo, ahi), "b": (blo, bhi)}
+        ).count()
+        assert got == exact
