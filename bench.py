@@ -157,6 +157,8 @@ HEADLINE = [
     "manifest_null_prune",
     "orders_table_fingerprint",
     "manifest_hilbert_optimize",
+    "csv_roundtrip_hostile",
+    "events_hourly_resample",
 ]
 
 

@@ -134,6 +134,14 @@ _PRIORITY: dict[str, int] = {
             # same machinery manifest_hilbert_optimize attests this
             # round over the better curve; gate-verified locally.
             "manifest_scan_box_zorder",
+            # one-call Spark-builtin format roundtrip (no custom code in
+            # the path); the hostile-CSV row attests the text-format
+            # writer/reader class adversarially this round.
+            "orc_roundtrip_supplier",
+            # per-user keyed rolling window — the machinery
+            # events_hourly_resample (LOCF grid window) and the
+            # r02-tier top3_orders_per_customer keep attested.
+            "events_anomaly_zscore",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

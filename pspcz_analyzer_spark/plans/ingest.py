@@ -2113,3 +2113,52 @@ def manifest_hilbert_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "csv_roundtrip_hostile",
+    oracle="""
+    SELECT c_custkey,
+           c_name || ',"quoted" field' || chr(10) || c_mktsegment AS payload,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("S3", "S4", "csv", "format", "sink", "new-surface"),
+    priority=18,
+    doc="Hostile CSV round-trip: every row's payload carries an embedded "
+    "comma, a double-quoted token, AND a literal newline — the three "
+    "things that break naive CSV handling — written with Spark's "
+    "quoting writer and read back with an explicit schema + multiLine "
+    "(embedded newlines make rows span physical lines, so the default "
+    "line-splitting reader would shred them). The oracle recomputes the "
+    "payload from the ORIGINAL table, so any quoting/escaping loss "
+    "fails the hash. Completes the format surface next to UNL "
+    "(headerless pipe), JSON, ORC, and Parquet. NOTE the scale trade "
+    "multiLine implies: files stop being line-splittable, so each "
+    "becomes one task — fine for modest sidecar feeds, wrong for bulk "
+    "data (keep newlines out of bulk CSV, or use Parquet).",
+)
+def csv_roundtrip_hostile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = customer.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(',"quoted" field\n'),
+            F.col("c_mktsegment"),
+        ).alias("payload"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    path = _scratch(sf_dir, "customer_csv_hostile")
+    _shutil.rmtree(path, ignore_errors=True)
+    out.write.option("header", True).csv(path)
+    return (
+        spark.read.schema("c_custkey long, payload string, acctbal double")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+        .orderBy("c_custkey")
+    )

@@ -849,3 +849,93 @@ def events_manifest_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version")
     )
+
+
+@register(
+    "events_hourly_resample",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events WHERE user_id < 60 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ),
+    obs AS (
+      SELECT user_id, hour, v FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hour, round(value, 4) AS v,
+               row_number() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE user_id < 60
+      ) WHERE rn = 1
+    )
+    SELECT g.user_id, g.hour,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS UNBOUNDED PRECEDING
+           ) AS value_locf
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.hour = o.hour
+    ORDER BY g.user_id, g.hour
+    """,
+    tags=("window", "resample", "time-series", "new-surface"),
+    priority=18,
+    doc="Hourly resampling to a regular time grid with LOCF "
+    "(last-observation-carried-forward): per user, an hourly spine from "
+    "first to last event (sequence + explode — no driver loop, no "
+    "cross join), the last observation within each hour picked "
+    "deterministically by max(struct(ts, event_id, value)), and gaps "
+    "filled by last(ignorenulls) over the user-keyed grid window. THE "
+    "time-series regularization primitive (sensor feeds, metrics, "
+    "price series) before any windowed model sees the data. One shuffle "
+    "on user_id end to end (span agg, grid, obs agg, join, and window "
+    "all share the key); grid size = users x their active span, "
+    "independent of event density.",
+)
+def events_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 60)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    obs = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.round("value", 4).alias("v"),
+                )
+            )["v"].alias("v")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        )
+        .orderBy("user_id", "hour")
+    )
