@@ -159,6 +159,7 @@ HEADLINE = [
     "manifest_hilbert_optimize",
     "csv_roundtrip_hostile",
     "events_hourly_resample",
+    "pagerank_weighted_suppliers",
 ]
 
 

@@ -145,10 +145,17 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     node_type: str = "long",
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) over a directed edge
     list — the influence/centrality measure for citation graphs (which
     laws cite which), reference networks, and buyer-supplier graphs.
+
+    ``weight_col`` switches to WEIGHTED PageRank: each node distributes
+    its rank proportionally to edge weight instead of uniformly
+    (out-"degree" becomes the out-weight sum; duplicate (src, dst) pairs
+    sum their weights). The unweighted path is byte-identical to before
+    the parameter existed, so every pinned oracle stays valid.
 
     Semantics: ranks start uniform at 1/N over the node universe
     (distinct src + dst); each iteration every node distributes its rank
@@ -174,14 +181,22 @@ def pagerank(
     # caller's (possibly expensive) upstream join replays ~5 times
     # before the first iteration even starts (measured 10s of a 14s
     # query on the sf0.1 trade graph).
-    e = (
-        edges.select(
+    if weight_col is None:
+        e = edges.select(
             F.col(src).cast(node_type).alias("a"),
             F.col(dst).cast(node_type).alias("b"),
+        ).distinct()
+    else:
+        e = (
+            edges.select(
+                F.col(src).cast(node_type).alias("a"),
+                F.col(dst).cast(node_type).alias("b"),
+                F.col(weight_col).cast("double").alias("__w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("__w").alias("__w"))
         )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -191,7 +206,11 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = e.groupBy("a").agg(
+        (
+            F.count(F.lit(1)) if weight_col is None else F.sum("__w")
+        ).alias("__deg")
+    )
     # Edges with the source's out-degree attached — computed once, reused
     # every round (one persisted frame; the join below keys on src).
     ed = e.join(deg, "a").persist(StorageLevel.MEMORY_AND_DISK)
@@ -220,10 +239,15 @@ def pagerank(
     base = (1.0 - damping) / n
     for _ in range(n_iter):
         side = ranks.withColumnRenamed("node", "a")
+        contrib = (
+            F.col("rank") / F.col("__deg")
+            if weight_col is None
+            else F.col("rank") * F.col("__w") / F.col("__deg")
+        )
         inflow = (
             ed.join(F.broadcast(side) if bcast_ranks else side, "a")
             .groupBy(F.col("b").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+            .agg(F.sum(contrib).alias("__in"))
         )
         nxt = nodes.join(inflow, "node", "left")
         if has_dangling:

@@ -142,6 +142,9 @@ _PRIORITY: dict[str, int] = {
             # events_hourly_resample (LOCF grid window) and the
             # r02-tier top3_orders_per_customer keep attested.
             "events_anomaly_zscore",
+            # one-scan conditional aggregate (exp-decay weights) — the
+            # agg class half the catalog attests; gate-verified locally.
+            "events_decayed_value",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -1438,6 +1438,7 @@ def _pagerank_oracle_sql(
     damping: float = 0.85,
     edges_sql: str = _PAGERANK_EDGES_SUPPLIERS,
     final_sql: str = _PAGERANK_FINAL_ALL_NODES,
+    weighted: bool = False,
 ) -> str:
     """Unrolled fixed-iteration PageRank as plain SQL: the recursive-CTE
     route is closed (aggregates are not allowed in a recursive term), so
@@ -1452,14 +1453,19 @@ def _pagerank_oracle_sql(
     may reference ``r{last}``, the final rank relation. This lets other
     graphs (the TextRank word graph, citation graphs) reuse the exact
     iteration template the suppliers query pinned against Spark."""
+    # Weighted variant (``edges`` must then also carry ``w``): out-degree
+    # becomes the out-weight sum and contributions scale by edge weight —
+    # the template's only two weight-sensitive spots.
+    deg_expr = "sum(w)" if weighted else "count(*)"
+    contrib = "r.rank * e.w / deg.d" if weighted else "r.rank / deg.d"
     parts = [
         edges_sql
-        + """,
+        + f""",
     nodes AS MATERIALIZED (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ),
     nn AS (SELECT count(*) AS n FROM nodes),
-    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, {deg_expr} AS d FROM edges GROUP BY src),
     r0 AS MATERIALIZED (
       SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes
     )"""
@@ -1479,7 +1485,7 @@ def _pagerank_oracle_sql(
              + {damping} * (COALESCE(c.inflow, 0)
                             + (SELECT m FROM d{i})/(SELECT n FROM nn)) AS rank
       FROM nodes n
-      LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.d) AS inflow
+      LEFT JOIN (SELECT e.dst AS node, sum({contrib}) AS inflow
                  FROM edges e
                  JOIN r{p} r ON e.src = r.node
                  JOIN deg ON e.src = deg.src
@@ -1488,6 +1494,54 @@ def _pagerank_oracle_sql(
         )
     parts.append(final_sql.format(last=n_iter))
     return "".join(parts)
+
+
+_PAGERANK_EDGES_WEIGHTED = """
+    WITH edges AS MATERIALIZED (
+      SELECT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "pagerank_weighted_suppliers",
+    oracle=_pagerank_oracle_sql(
+        edges_sql=_PAGERANK_EDGES_WEIGHTED, weighted=True
+    ),
+    tags=("graph", "iterative", "pagerank", "weighted", "new-surface"),
+    priority=18,
+    doc="WEIGHTED PageRank (operators/graph.py::pagerank(weight_col=...)) "
+    "over the buyer->supplier graph with edge weight = lineitem count: "
+    "rank distributes proportionally to trade volume instead of "
+    "uniformly over partners — the form citation/trade/traffic graphs "
+    "actually need (a supplier shipping 100 lines to a buyer should "
+    "not count the same as one shipping 1). Same per-iteration plan as "
+    "the unweighted op (the weight rides the persisted edge frame); "
+    "the unweighted path is byte-identical to before the parameter "
+    "existed, so the pinned pagerank_suppliers oracle stays untouched. "
+    "Oracle: the same 10 unrolled MATERIALIZED-CTE iterations with "
+    "sum(w) out-degrees and weight-scaled contributions.",
+)
+def pagerank_weighted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return (
+        pagerank(edges, n_iter=10, damping=0.85, weight_col="w")
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+    )
 
 
 @register(

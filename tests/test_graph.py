@@ -583,3 +583,43 @@ class TestAdamicAdar:
             for r in adamic_adar_pairs(df, k=100, max_degree=3).collect()
         }
         assert rows == {(1, 2): 1, (0, 9): 2}
+
+
+class TestWeightedPagerank:
+    def test_mass_conserved_and_weights_shift_rank(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.graph import pagerank
+
+        # 1 -> 2 (weight 9), 1 -> 3 (weight 1); 2 and 3 both -> 1.
+        edges = spark.createDataFrame(
+            [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double",
+        )
+        r = {
+            row.node: row.rank
+            for row in pagerank(edges, n_iter=10, weight_col="w").collect()
+        }
+        assert abs(sum(r.values()) - 1.0) < 1e-9  # mass conserved
+        assert r[2] > r[3]  # the heavy edge carries more rank
+        # Unweighted on the same topology treats 2 and 3 identically.
+        u = {
+            row.node: row.rank
+            for row in pagerank(edges, n_iter=10).collect()
+        }
+        assert abs(u[2] - u[3]) < 1e-12
+
+    def test_duplicate_edges_sum_their_weights(self, spark):
+        from pspcz_analyzer_spark.operators.graph import pagerank
+
+        a = spark.createDataFrame(
+            [(1, 2, 2.0), (1, 2, 3.0), (1, 3, 5.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double",
+        )
+        b = spark.createDataFrame(
+            [(1, 2, 5.0), (1, 3, 5.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double",
+        )
+        ra = {r.node: round(r.rank, 12) for r in pagerank(a, weight_col="w").collect()}
+        rb = {r.node: round(r.rank, 12) for r in pagerank(b, weight_col="w").collect()}
+        assert ra == rb
