@@ -160,6 +160,7 @@ HEADLINE = [
     "csv_roundtrip_hostile",
     "events_hourly_resample",
     "pagerank_weighted_suppliers",
+    "clone_divergence_buckets",
 ]
 
 

@@ -50,3 +50,72 @@ def tables_equal(a: DataFrame, b: DataFrame, cols: "list[str] | None" = None) ->
     fa = fingerprint_table(a, cols).collect()[0]
     fb = fingerprint_table(b, cols).collect()[0]
     return (fa["n_rows"], fa["checksum"]) == (fb["n_rows"], fb["checksum"])
+
+
+def fingerprint_buckets(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 256,
+    cols: "list[str] | None" = None,
+) -> DataFrame:
+    """(bucket, n_rows, checksum): the table's fingerprint split over
+    ``n_buckets`` hash buckets of ``key_col`` — the Merkle-ish layer over
+    :func:`fingerprint_table` that makes reconciliation CHEAP: two
+    replicas compare by exchanging ``n_buckets`` rows, and only the
+    buckets whose (count, checksum) disagree need a row-level rescan —
+    anti-entropy repair for petabyte tables at the cost of one scan plus
+    a bucket-count exchange. Bucketing uses the engine-reproducible md5
+    idiom (not Spark's hash()), so a DuckDB replica computes identical
+    bucket ids and the comparison is meaningful across engines."""
+    cols = sorted(df.columns) if cols is None else list(cols)
+    canon = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
+        for c in cols
+    ]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *canon)), 1, 8), 16, 10
+    ).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_buckets
+    )
+    return (
+        df.select(bucket.alias("bucket"), h.alias("__h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__h").cast("long").alias("checksum"),
+        )
+    )
+
+
+def diff_buckets(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    n_buckets: int = 256,
+    cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Buckets where two tables DISAGREE: (bucket, n_rows_a, n_rows_b,
+    match) for every bucket present on either side, match=false where
+    count or checksum differs — the planning step of reconciliation (the
+    repair step rescans only rows hashing into the false buckets). Empty
+    buckets on one side read as 0 rows, so added/removed key ranges
+    surface as count mismatches, not silent absence."""
+    fa = fingerprint_buckets(a, key_col, n_buckets, cols).withColumnRenamed(
+        "n_rows", "n_rows_a"
+    ).withColumnRenamed("checksum", "cs_a")
+    fb = fingerprint_buckets(b, key_col, n_buckets, cols).withColumnRenamed(
+        "n_rows", "n_rows_b"
+    ).withColumnRenamed("checksum", "cs_b")
+    same = (
+        F.coalesce("n_rows_a", F.lit(0)) == F.coalesce("n_rows_b", F.lit(0))
+    ) & (F.coalesce("cs_a", F.lit(0)) == F.coalesce("cs_b", F.lit(0)))
+    return fa.join(fb, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_rows_a", F.lit(0)).cast("long").alias("n_rows_a"),
+        F.coalesce("n_rows_b", F.lit(0)).cast("long").alias("n_rows_b"),
+        same.alias("match"),
+    )

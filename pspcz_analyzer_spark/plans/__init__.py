@@ -145,6 +145,9 @@ _PRIORITY: dict[str, int] = {
             # one-scan conditional aggregate (exp-decay weights) — the
             # agg class half the catalog attests; gate-verified locally.
             "events_decayed_value",
+            # token explode + per-term grouping — the machinery
+            # doc_term_pmi (in budget) drives with a harder aggregate.
+            "doc_inverted_postings",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -2162,3 +2162,78 @@ def csv_roundtrip_hostile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "clone_divergence_buckets",
+    oracle="""
+    WITH rows_a AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+    ),
+    rows_b AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+    ),
+    fa AS (
+      SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS bucket,
+             count(*) AS n_rows_a,
+             sum(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || chr(31) || o_orderstatus
+             ), 1, 8))::BIGINT) AS cs_a
+      FROM rows_a GROUP BY 1
+    ),
+    fb AS (
+      SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS bucket,
+             count(*) AS n_rows_b,
+             sum(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || chr(31) || o_orderstatus
+             ), 1, 8))::BIGINT) AS cs_b
+      FROM rows_b GROUP BY 1
+    )
+    SELECT coalesce(fa.bucket, fb.bucket) AS bucket,
+           CAST(coalesce(n_rows_a, 0) AS BIGINT) AS n_rows_a,
+           CAST(coalesce(n_rows_b, 0) AS BIGINT) AS n_rows_b,
+           coalesce(n_rows_a, 0) = coalesce(n_rows_b, 0)
+             AND coalesce(cs_a, 0) = coalesce(cs_b, 0) AS match
+    FROM fa FULL JOIN fb ON fa.bucket = fb.bucket
+    ORDER BY bucket
+    """,
+    tags=("validation", "reconciliation", "fingerprint", "new-surface"),
+    priority=18,
+    doc="Merkle-style table reconciliation (operators/validate.py::"
+    "fingerprint_buckets/diff_buckets): a manifest table is shallow-"
+    "cloned, the clone takes a DELETE, and the two sides are compared "
+    "by exchanging 64 (bucket, count, checksum) rows — the anti-entropy "
+    "pattern that localizes WHERE two petabyte replicas diverge for one "
+    "scan each plus a bucket-count exchange, so the repair rescan "
+    "touches only the false buckets. Bucket ids and row hashes use the "
+    "engine-reproducible md5 idiom, and the oracle replays BOTH sides' "
+    "bucket fingerprints and the full-outer comparison in SQL — the "
+    "cross-engine agreement IS the feature.",
+)
+def clone_divergence_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.operators.validate import diff_buckets
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    src = _scratch(sf_dir, "orders_recon_src")
+    cl = _scratch(sf_dir, "orders_recon_clone")
+    for p in (src, cl):
+        _shutil.rmtree(p, ignore_errors=True)
+    orders.repartition(4).write.parquet(src)
+    M.manifest_init(src, stat_cols=["o_orderkey"])
+    M.clone_table(src, cl, shallow=True)
+    M.delete_where(spark, cl, "o_orderstatus = 'F' AND o_orderkey % 10 = 3")
+    return diff_buckets(
+        M.load_manifest_table(spark, src),
+        M.load_manifest_table(spark, cl),
+        key_col="o_orderkey",
+        n_buckets=64,
+        cols=["o_orderkey", "o_orderstatus"],
+    ).orderBy("bucket")

@@ -2701,3 +2701,52 @@ class TestProtocolVersioning:
         del doc["protocol"]
         open(mpath, "w").write(json.dumps(doc))
         assert M.load_manifest_table(spark, p).count() == 2
+
+
+class TestDiffBuckets:
+    def test_identical_tables_all_match(self, spark):
+        from pspcz_analyzer_spark.operators.validate import diff_buckets
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 5}") for i in range(400)], "k long, s string"
+        )
+        out = diff_buckets(df, df, "k", n_buckets=32).collect()
+        assert all(r["match"] for r in out)
+        assert sum(r["n_rows_a"] for r in out) == 400
+
+    def test_localizes_divergence_to_the_right_buckets(self, spark):
+        import hashlib
+
+        from pspcz_analyzer_spark.operators.validate import diff_buckets
+
+        rows = [(i, f"s{i % 5}") for i in range(400)]
+        a = spark.createDataFrame(rows, "k long, s string")
+        removed = [7, 123]
+        mutated = 200  # value change, same key/count
+        b_rows = [
+            (k, "MUTATED" if k == mutated else s)
+            for k, s in rows
+            if k not in removed
+        ]
+        b = spark.createDataFrame(b_rows, "k long, s string")
+        out = {r["bucket"]: r for r in diff_buckets(a, b, "k", 32).collect()}
+
+        def bucket_of(k):
+            return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 32
+
+        expect_bad = {bucket_of(k) for k in removed + [mutated]}
+        bad = {bkt for bkt, r in out.items() if not r["match"]}
+        assert bad == expect_bad
+        # Count mismatches only where rows were REMOVED; the mutation
+        # bucket diverges by checksum with equal counts.
+        mut_b = bucket_of(mutated)
+        if mut_b not in {bucket_of(k) for k in removed}:
+            assert out[mut_b]["n_rows_a"] == out[mut_b]["n_rows_b"]
+
+    def test_empty_side_surfaces_as_count_mismatch(self, spark):
+        from pspcz_analyzer_spark.operators.validate import diff_buckets
+
+        a = spark.createDataFrame([(1, "x")], "k long, s string")
+        b = spark.createDataFrame([], "k long, s string")
+        [r] = diff_buckets(a, b, "k", 8).collect()
+        assert not r["match"] and r["n_rows_b"] == 0 and r["n_rows_a"] == 1
