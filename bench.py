@@ -161,6 +161,7 @@ HEADLINE = [
     "events_hourly_resample",
     "pagerank_weighted_suppliers",
     "clone_divergence_buckets",
+    "orders_expectations",
 ]
 
 

@@ -119,3 +119,47 @@ def diff_buckets(
         F.coalesce("n_rows_b", F.lit(0)).cast("long").alias("n_rows_b"),
         same.alias("match"),
     )
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: "dict[str, tuple]",
+) -> DataFrame:
+    """Declarative data-quality gate (the great-expectations pattern in
+    one operator): ``rules`` maps a rule name to ``(row_predicate,
+    min_pass_fraction)``; ALL rules evaluate in ONE scan (a single
+    aggregate with per-rule conditional sums, map-side combined), and
+    the result is one row per rule — (rule, n_rows, n_pass,
+    pass_fraction, threshold, passed) — the shape a pipeline asserts on
+    before promoting a batch. NULL predicate results count as FAILURES
+    (a rule that can't evaluate a row hasn't passed it). Row-wise rules
+    only by design; set-level checks (uniqueness, cardinality drift)
+    belong to profile_table/hll_distinct, which aggregate differently.
+    """
+    names = sorted(rules)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, name in enumerate(names):
+        pred, _ = rules[name]
+        aggs.append(
+            F.sum(F.coalesce(pred.cast("int"), F.lit(0))).alias(f"__p{i}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', __p{i}, CAST({float(rules[n][1])} AS DOUBLE)"
+        for i, n in enumerate(names)
+    )
+    long = wide.selectExpr(
+        "__n",
+        f"stack({len(names)}, {stack_args}) AS (rule, __pass, threshold)",
+    )
+    frac = F.when(F.col("__n") == 0, F.lit(1.0)).otherwise(
+        F.col("__pass") / F.col("__n")
+    )
+    return long.select(
+        "rule",
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__pass").cast("long").alias("n_pass"),
+        F.round(frac, 6).alias("pass_fraction"),
+        "threshold",
+        (frac >= F.col("threshold")).alias("passed"),
+    ).orderBy("rule")

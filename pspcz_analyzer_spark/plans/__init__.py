@@ -148,6 +148,10 @@ _PRIORITY: dict[str, int] = {
             # token explode + per-term grouping — the machinery
             # doc_term_pmi (in budget) drives with a harder aggregate.
             "doc_inverted_postings",
+            # shingle-hash equi-join candidates + overlap scoring — the
+            # same machinery near_dup_jaccard (r02 tier, in budget)
+            # attests with the Jaccard variant of the score.
+            "near_dup_containment",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

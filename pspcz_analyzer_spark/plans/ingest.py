@@ -2237,3 +2237,69 @@ def clone_divergence_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=64,
         cols=["o_orderkey", "o_orderstatus"],
     ).orderBy("bucket")
+
+
+@register(
+    "orders_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS p_price,
+             sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END)
+               AS p_status,
+             sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+               AS p_date,
+             sum(CASE WHEN o_orderpriority LIKE '_-%' THEN 1 ELSE 0 END)
+               AS p_prio,
+             sum(CASE WHEN o_totalprice >= 1000 THEN 1 ELSE 0 END)
+               AS p_rich
+      FROM orders
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(p AS BIGINT) AS n_pass,
+           round(p * 1.0 / n, 6) AS pass_fraction,
+           CAST(t AS DOUBLE) AS threshold,
+           p * 1.0 / n >= t AS passed
+    FROM (
+      SELECT 'date_not_null' AS rule, n, p_date AS p, 1.0 AS t FROM agg
+      UNION ALL
+      SELECT 'price_above_1000', n, p_rich, 0.9 FROM agg
+      UNION ALL
+      SELECT 'priority_format', n, p_prio, 1.0 FROM agg
+      UNION ALL
+      SELECT 'price_positive', n, p_price, 1.0 FROM agg
+      UNION ALL
+      SELECT 'status_in_domain', n, p_status, 1.0 FROM agg
+    )
+    ORDER BY rule
+    """,
+    tags=("validation", "expectations", "quality-gate", "new-surface"),
+    priority=18,
+    doc="Declarative data-quality gate (operators/validate.py::"
+    "check_expectations — the great-expectations pattern as ONE "
+    "operator): four rules over orders (positive price, status domain, "
+    "date present, priority format, price >= 1000 at 90%) ALL in one scan — "
+    "a single aggregate with per-rule conditional sums, map-side "
+    "combined — then unpivoted to the (rule, pass_fraction, passed) "
+    "shape a pipeline asserts on before promoting a batch. NULL "
+    "predicate results count as failures. The oracle replays every "
+    "rule's sum and threshold comparison in SQL.",
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.validate import check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        {
+            "price_positive": (F.col("o_totalprice") > 0, 1.0),
+            "status_in_domain": (
+                F.col("o_orderstatus").isin("F", "O", "P"),
+                1.0,
+            ),
+            "date_not_null": (F.col("o_orderdate").isNotNull(), 1.0),
+            "priority_format": (
+                F.col("o_orderpriority").like("_-%"), 1.0
+            ),
+            "price_above_1000": (F.col("o_totalprice") >= 1000, 0.9),
+        },
+    )

@@ -2750,3 +2750,53 @@ class TestDiffBuckets:
         b = spark.createDataFrame([], "k long, s string")
         [r] = diff_buckets(a, b, "k", 8).collect()
         assert not r["match"] and r["n_rows_b"] == 0 and r["n_rows_a"] == 1
+
+
+class TestCheckExpectations:
+    def test_one_row_per_rule_with_thresholds(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.validate import check_expectations
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c"), (-4, "d")], "k long, s string"
+        )
+        out = {
+            r["rule"]: r
+            for r in check_expectations(
+                df,
+                {
+                    "k_positive": (F.col("k") > 0, 1.0),
+                    "s_not_null": (F.col("s").isNotNull(), 0.7),
+                },
+            ).collect()
+        }
+        kp = out["k_positive"]
+        assert (kp["n_rows"], kp["n_pass"], kp["passed"]) == (4, 3, False)
+        sn = out["s_not_null"]
+        assert (sn["n_pass"], sn["pass_fraction"], sn["passed"]) == (
+            3,
+            0.75,
+            True,
+        )
+
+    def test_null_predicate_counts_as_failure(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.validate import check_expectations
+
+        # length(NULL) is NULL — must count against the rule, not pass it.
+        df = spark.createDataFrame([("x",), (None,)], "s string")
+        [r] = check_expectations(
+            df, {"len_ok": (F.length("s") >= 1, 1.0)}
+        ).collect()
+        assert (r["n_pass"], r["passed"]) == (1, False)
+
+    def test_empty_table_passes_vacuously(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.validate import check_expectations
+
+        df = spark.createDataFrame([], "k long")
+        [r] = check_expectations(df, {"pos": (F.col("k") > 0, 1.0)}).collect()
+        assert r["n_rows"] == 0 and r["passed"]
