@@ -162,6 +162,7 @@ HEADLINE = [
     "pagerank_weighted_suppliers",
     "clone_divergence_buckets",
     "orders_expectations",
+    "customer_rfm_segments",
 ]
 
 

@@ -334,3 +334,38 @@ def hll_distinct(
         .cast("long")
         .alias("n_distinct_est")
     )
+
+
+def quantile_scores(
+    df: DataFrame, cols: "list[str]", buckets: int = 5
+) -> DataFrame:
+    """Per-row 1..``buckets`` quantile score for EACH of ``cols`` —
+    the segmentation primitive behind RFM and any score-into-quintiles
+    analysis. Same scale shape as :func:`equidepth_histogram` (whose
+    boundary parity with DuckDB's quantile_cont is already pinned):
+    ONE exact percentile aggregate computes every column's boundaries
+    together, broadcasts back as a one-row frame, and each score is a
+    codegen'd sum of strict comparisons — no ntile, no global window,
+    no per-column pass. Ties at a boundary go to the LOWER bucket
+    (strict >). Swap percentile for percentile_approx/KLL at 100 TB —
+    the plan shape is unchanged."""
+    fracs = [i / buckets for i in range(1, buckets)]
+    bnd = df.agg(
+        *[
+            F.percentile(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(f) for f in fracs]),
+            ).alias(f"__b_{c}")
+            for c in cols
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bnd))
+    for c in cols:
+        score = F.lit(1)
+        for i in range(len(fracs)):
+            score = score + F.when(
+                F.col(c).cast("double") > F.element_at(F.col(f"__b_{c}"), i + 1),
+                1,
+            ).otherwise(0)
+        out = out.withColumn(f"{c}_score", score.cast("int"))
+    return out.drop(*[f"__b_{c}" for c in cols])

@@ -152,6 +152,9 @@ _PRIORITY: dict[str, int] = {
             # same machinery near_dup_jaccard (r02 tier, in budget)
             # attests with the Jaccard variant of the score.
             "near_dup_containment",
+            # trigram explode + per-source distinct — the explode/
+            # distinct machinery doc_term_pmi (in budget) drives harder.
+            "corpus_ngram_diversity",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

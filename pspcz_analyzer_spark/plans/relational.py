@@ -1506,6 +1506,46 @@ _PAGERANK_EDGES_WEIGHTED = """
 
 
 @register(
+    "customer_rfm_segments",
+    oracle="\n    WITH base AS (\n      SELECT o_custkey,\n             CAST(date_diff('day', DATE '1990-01-01', max(o_orderdate))\n                  AS DOUBLE) AS rec,\n             CAST(count(*) AS DOUBLE) AS freq,\n             sum(o_totalprice) AS mon\n      FROM orders GROUP BY 1\n    ),\n    b AS (\n      SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS br,\n             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS bf,\n             quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS bm\n      FROM base\n    )\n    SELECT o_custkey AS c_custkey,\n           CAST(1 + (CASE WHEN rec > br[1] THEN 1 ELSE 0 END) + (CASE WHEN rec > br[2] THEN 1 ELSE 0 END) + (CASE WHEN rec > br[3] THEN 1 ELSE 0 END) + (CASE WHEN rec > br[4] THEN 1 ELSE 0 END) AS INTEGER) AS r_score,\n           CAST(1 + (CASE WHEN freq > bf[1] THEN 1 ELSE 0 END) + (CASE WHEN freq > bf[2] THEN 1 ELSE 0 END) + (CASE WHEN freq > bf[3] THEN 1 ELSE 0 END) + (CASE WHEN freq > bf[4] THEN 1 ELSE 0 END) AS INTEGER) AS f_score,\n           CAST(1 + (CASE WHEN mon > bm[1] THEN 1 ELSE 0 END) + (CASE WHEN mon > bm[2] THEN 1 ELSE 0 END) + (CASE WHEN mon > bm[3] THEN 1 ELSE 0 END) + (CASE WHEN mon > bm[4] THEN 1 ELSE 0 END) AS INTEGER) AS m_score,\n           CAST(1 + (CASE WHEN rec > br[1] THEN 1 ELSE 0 END) + (CASE WHEN rec > br[2] THEN 1 ELSE 0 END) + (CASE WHEN rec > br[3] THEN 1 ELSE 0 END) + (CASE WHEN rec > br[4] THEN 1 ELSE 0 END) AS INTEGER) || '-' || CAST(1 + (CASE WHEN freq > bf[1] THEN 1 ELSE 0 END) + (CASE WHEN freq > bf[2] THEN 1 ELSE 0 END) + (CASE WHEN freq > bf[3] THEN 1 ELSE 0 END) + (CASE WHEN freq > bf[4] THEN 1 ELSE 0 END) AS INTEGER)\n             || '-' || CAST(1 + (CASE WHEN mon > bm[1] THEN 1 ELSE 0 END) + (CASE WHEN mon > bm[2] THEN 1 ELSE 0 END) + (CASE WHEN mon > bm[3] THEN 1 ELSE 0 END) + (CASE WHEN mon > bm[4] THEN 1 ELSE 0 END) AS INTEGER) AS segment\n    FROM base, b\n    ORDER BY c_custkey\n    ",
+    tags=("segmentation", "rfm", "analytics", "new-surface"),
+    priority=18,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quintile scores, the classic marketing-analytics composite) via "
+    "operators/profile.py::quantile_scores: one customer aggregate, "
+    "then ALL THREE metrics' quintile boundaries from ONE exact "
+    "percentile aggregate broadcast back, each score a codegen'd "
+    "comparison sum -- no ntile, no global window, no per-metric pass "
+    "(the partition-less-window ban holds; the 1-row boundary "
+    "broadcast is the allowlisted nested-loop shape). Boundary "
+    "parity with quantile_cont is pinned by events_value_equidepth; "
+    "ties go to the lower bucket in both engines. The oracle replays "
+    "the aggregate, the boundaries, and all 12 comparisons.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.profile import quantile_scores
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("double")
+        .alias("rec"),
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum("o_totalprice").alias("mon"),
+    )
+    scored = quantile_scores(base, ["rec", "freq", "mon"], buckets=5)
+    return scored.select(
+        "c_custkey",
+        F.col("rec_score").alias("r_score"),
+        F.col("freq_score").alias("f_score"),
+        F.col("mon_score").alias("m_score"),
+        F.concat_ws(
+            "-", F.col("rec_score"), F.col("freq_score"), F.col("mon_score")
+        ).alias("segment"),
+    ).orderBy("c_custkey")
+
+
+@register(
     "pagerank_weighted_suppliers",
     oracle=_pagerank_oracle_sql(
         edges_sql=_PAGERANK_EDGES_WEIGHTED, weighted=True

@@ -132,6 +132,8 @@ _NESTED_LOOP_OK = {
     # (same shape as events_decayed_value's max anchor)
     "hits_trade_graph",  # 1-row broadcast L1 norm per half-step; the
     # edge joins themselves are node-keyed hash joins
+    "customer_rfm_segments",  # 1-row broadcast quintile boundaries
+    # (same shape as events_value_equidepth, already listed)
     "doc_hybrid_rrf_topk",  # inherits doc_bm25_topk's 1-row broadcast
     # corpus stats + ann_bruteforce's 1-row broadcast query vector; the
     # rank/fusion path itself is join-free (sort_array + posexplode

@@ -876,3 +876,42 @@ class TestHilbertValue:
             spark, hp, {"a": (alo, ahi), "b": (blo, bhi)}
         ).count()
         assert got == exact
+
+
+class TestQuantileScores:
+    def test_scores_match_manual_quintiles(self, spark):
+        from pspcz_analyzer_spark.operators.profile import quantile_scores
+
+        # 100 rows, v = 1..100: quintile boundaries interpolate near
+        # 20.8/40.6/60.4/80.2; strict > puts 1-20 in bucket 1, etc.
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], "k long, v double"
+        )
+        got = {
+            r["k"]: r["v_score"]
+            for r in quantile_scores(df, ["v"], buckets=5).collect()
+        }
+        assert got[1] == 1 and got[20] == 1
+        assert got[21] == 2 and got[40] == 2
+        assert got[61] == 4 and got[81] == 5 and got[100] == 5
+
+    def test_multi_column_single_boundary_pass(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import quantile_scores
+
+        df = spark.range(50).select(
+            F.col("id").cast("double").alias("a"),
+            (49 - F.col("id")).cast("double").alias("b"),
+        )
+        out = quantile_scores(df, ["a", "b"], buckets=5)
+        rows = {r["a"]: (r["a_score"], r["b_score"]) for r in out.collect()}
+        # a ascending, b descending: scores mirror each other.
+        assert rows[0.0] == (1, 5) and rows[49.0] == (5, 1)
+
+    def test_constant_column_all_lowest_bucket(self, spark):
+        from pspcz_analyzer_spark.operators.profile import quantile_scores
+
+        df = spark.createDataFrame([(i, 7.0) for i in range(20)], "k long, v double")
+        out = quantile_scores(df, ["v"], buckets=5).collect()
+        assert {r["v_score"] for r in out} == {1}  # ties -> lower bucket
