@@ -163,6 +163,7 @@ HEADLINE = [
     "clone_divergence_buckets",
     "orders_expectations",
     "customer_rfm_segments",
+    "events_value_psi",
 ]
 
 

@@ -369,3 +369,78 @@ def quantile_scores(
             ).otherwise(0)
         out = out.withColumn(f"{c}_score", score.cast("int"))
     return out.drop(*[f"__b_{c}" for c in cols])
+
+
+def population_stability(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — THE drift monitor run between a model's training
+    distribution and what production currently feeds it (rule of thumb:
+    <0.1 stable, 0.1-0.25 drifting, >0.25 retrain). Equi-width buckets
+    over the COMBINED min/max (one scalar aggregate per side, broadcast)
+    so both periods bin identically; per-bucket shares are floored at
+    ``eps`` (the standard guard — an empty bucket would send ln to
+    infinity); contribution = (p - q) * ln(p / q), always >= 0 per
+    bucket. Returns one row per bucket (bucket, share_a, share_b,
+    psi_term) — sum psi_term for the scalar; keeping the terms shows
+    WHERE the distribution moved. Two scans + two bucket aggregates,
+    everything else broadcast; the same mergeable shape as
+    :func:`histogram`, so per-day sketch rows compose upstream."""
+    lo_a, hi_a = "__lo_a", "__hi_a"
+    span = (
+        df_a.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        )
+        .unionByName(
+            df_b.agg(
+                F.min(F.col(col).cast("double")).alias("lo"),
+                F.max(F.col(col).cast("double")).alias("hi"),
+            )
+        )
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        width = (F.col("hi") - F.col("lo")) / buckets
+        b = F.least(
+            F.lit(buckets),
+            F.greatest(
+                F.lit(1),
+                (F.floor((x - F.col("lo")) / width) + 1).cast("int"),
+            ),
+        )
+        counted = (
+            df.crossJoin(F.broadcast(span))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        total = df.agg(F.count(F.lit(1)).alias("__t"))
+        return counted.crossJoin(F.broadcast(total)).select(
+            "bucket", (F.col("__n") / F.col("__t")).alias(name)
+        )
+
+    grid = span.select(
+        F.explode(F.sequence(F.lit(1), F.lit(buckets))).alias("bucket")
+    )
+    a, b = shares(df_a, "__sa"), shares(df_b, "__sb")
+    p = F.greatest(F.coalesce("__sa", F.lit(0.0)), F.lit(eps))
+    q = F.greatest(F.coalesce("__sb", F.lit(0.0)), F.lit(eps))
+    return (
+        grid.join(a, "bucket", "left")
+        .join(b, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(p, 6).alias("share_a"),
+            F.round(q, 6).alias("share_b"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -155,6 +155,10 @@ _PRIORITY: dict[str, int] = {
             # trigram explode + per-source distinct — the explode/
             # distinct machinery doc_term_pmi (in budget) drives harder.
             "corpus_ngram_diversity",
+            # unigram scoring (r04-attested doc_lm_perplexity) + the
+            # quantile-bucket class customer_rfm_segments/equidepth
+            # attest; gate-verified locally, rotates next round.
+            "corpus_ppl_buckets",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -909,3 +909,70 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_value_psi",
+    oracle="""
+    WITH a AS (SELECT value FROM events WHERE event_type = 'view'),
+    b AS (SELECT value FROM events WHERE event_type = 'purchase'),
+    span AS (
+      SELECT min(lo) AS lo, max(hi) AS hi FROM (
+        SELECT min(value) AS lo, max(value) AS hi FROM a
+        UNION ALL
+        SELECT min(value), max(value) FROM b
+      )
+    ),
+    sa AS (
+      SELECT bucket, count(*) * 1.0 / (SELECT count(*) FROM a) AS s
+      FROM (
+        SELECT least(10, greatest(1,
+          CAST(floor((value - span.lo) / ((span.hi - span.lo) / 10))
+               AS INTEGER) + 1)) AS bucket
+        FROM a, span
+      ) GROUP BY bucket
+    ),
+    sb AS (
+      SELECT bucket, count(*) * 1.0 / (SELECT count(*) FROM b) AS s
+      FROM (
+        SELECT least(10, greatest(1,
+          CAST(floor((value - span.lo) / ((span.hi - span.lo) / 10))
+               AS INTEGER) + 1)) AS bucket
+        FROM b, span
+      ) GROUP BY bucket
+    )
+    SELECT g.bucket,
+           round(greatest(coalesce(sa.s, 0), 1e-6), 6) AS share_a,
+           round(greatest(coalesce(sb.s, 0), 1e-6), 6) AS share_b,
+           round((greatest(coalesce(sa.s, 0), 1e-6)
+                  - greatest(coalesce(sb.s, 0), 1e-6))
+                 * ln(greatest(coalesce(sa.s, 0), 1e-6)
+                      / greatest(coalesce(sb.s, 0), 1e-6)), 6) AS psi_term
+    FROM (SELECT unnest(generate_series(1, 10)) AS bucket) g
+    LEFT JOIN sa ON g.bucket = sa.bucket
+    LEFT JOIN sb ON g.bucket = sb.bucket
+    ORDER BY g.bucket
+    """,
+    tags=("drift", "psi", "monitoring", "new-surface"),
+    priority=18,
+    doc="Population Stability Index drift detection (operators/"
+    "profile.py::population_stability): the standard train-vs-serve "
+    "distribution monitor (<0.1 stable, >0.25 retrain), here between "
+    "view-event and purchase-event value distributions. Equi-width "
+    "buckets over the COMBINED range (scalar broadcast) so both sides "
+    "bin identically; per-bucket shares floored at 1e-6 (the empty-"
+    "bucket ln guard); per-bucket terms kept so the output shows WHERE "
+    "the distribution moved, not just that it did. Two scans + two "
+    "bucket aggregates; everything else is 1-row broadcasts. The "
+    "oracle replays binning, flooring, and every ln term.",
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.profile import population_stability
+
+    ev = load_table(spark, sf_dir, "events")
+    return population_stability(
+        ev.filter(F.col("event_type") == "view").select("value"),
+        ev.filter(F.col("event_type") == "purchase").select("value"),
+        "value",
+        buckets=10,
+    )

@@ -915,3 +915,45 @@ class TestQuantileScores:
         df = spark.createDataFrame([(i, 7.0) for i in range(20)], "k long, v double")
         out = quantile_scores(df, ["v"], buckets=5).collect()
         assert {r["v_score"] for r in out} == {1}  # ties -> lower bucket
+
+
+class TestPopulationStability:
+    def test_identical_distributions_zero_psi(self, spark):
+        from pspcz_analyzer_spark.operators.profile import population_stability
+
+        df = spark.createDataFrame(
+            [(float(i % 50),) for i in range(1000)], "v double"
+        )
+        out = population_stability(df, df, "v", buckets=10).collect()
+        assert len(out) == 10
+        assert sum(r["psi_term"] for r in out) == 0.0
+
+    def test_shifted_distribution_flags_drift(self, spark):
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import population_stability
+
+        a = spark.range(1000).select((F.col("id") % 50).cast("double").alias("v"))
+        b = spark.range(1000).select(
+            ((F.col("id") % 50) + 40).cast("double").alias("v")
+        )
+        out = population_stability(a, b, "v", buckets=10).collect()
+        psi = sum(r["psi_term"] for r in out)
+        assert psi > 0.25  # hard shift -> "retrain" territory
+        # Terms are individually non-negative.
+        assert all(r["psi_term"] >= 0 for r in out)
+
+    def test_empty_buckets_use_eps_not_infinity(self, spark):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.operators.profile import population_stability
+
+        a = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+        b = spark.range(100).select(
+            (F.col("id") % 10 + 90).cast("double").alias("v")
+        )  # disjoint ranges -> each side empty in the other's buckets
+        out = population_stability(a, b, "v", buckets=10).collect()
+        assert all(math.isfinite(r["psi_term"]) for r in out)
+        assert all(r["share_a"] >= 1e-6 and r["share_b"] >= 1e-6 for r in out)
