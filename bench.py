@@ -164,6 +164,7 @@ HEADLINE = [
     "orders_expectations",
     "customer_rfm_segments",
     "events_value_psi",
+    "clustering_coeff_suppliers",
 ]
 
 

@@ -839,3 +839,51 @@ def adamic_adar_pairs(
     )
     e.unpersist()
     return out
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    degree_ordered: bool = True,
+) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    ``C(n) = 2 * triangles(n) / (deg(n) * (deg(n) - 1))`` — how close a
+    node's neighborhood is to a clique, the community-structure probe
+    beside :func:`triangle_count` (which it composes: one triangle pass
+    + one degree aggregate + a left join, so nodes in no triangle get
+    coefficient 0 rather than dropping out). Nodes of degree < 2 are
+    excluded (the coefficient is undefined there, and emitting 0 would
+    silently conflate "isolated" with "star center"). Degree counts
+    deduplicate edges and ignore self-loops exactly as the triangle
+    pass does — the two sides MUST see the same graph or the ratio is
+    nonsense."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tris = triangle_count(e, src="a", dst="b", degree_ordered=degree_ordered)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tris, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("coefficient"),
+        )
+    )

@@ -159,6 +159,9 @@ _PRIORITY: dict[str, int] = {
             # quantile-bucket class customer_rfm_segments/equidepth
             # attest; gate-verified locally, rotates next round.
             "corpus_ppl_buckets",
+            # composes the attested triangle pass with one degree
+            # aggregate; the ratio is brute-force parity-tested.
+            "clustering_coeff_suppliers",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -1616,6 +1616,72 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustering_coeff_suppliers",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 3
+    ),
+    tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcount AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT n1 AS node FROM tri
+        UNION ALL SELECT n2 FROM tri
+        UNION ALL SELECT n3 FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS coefficient
+    FROM deg d LEFT JOIN tcount t ON d.node = t.node
+    WHERE d.degree >= 2
+    ORDER BY d.node
+    """,
+    tags=("graph", "clustering-coefficient", "new-surface", "scale"),
+    priority=18,
+    doc="Local clustering coefficient (Watts & Strogatz 1998; operators/"
+    "graph.py::clustering_coefficient) over the strong-tie supplier "
+    "graph: 2*triangles / (deg*(deg-1)) per node — how close each "
+    "supplier's partner neighborhood is to a clique, the community-"
+    "structure probe the triangle counts exist to feed. Composes the "
+    "degree-ordered triangle pass (wedge economics unchanged) with one "
+    "degree aggregate and a left join so triangle-free nodes score 0; "
+    "degree-<2 nodes are EXCLUDED (undefined, and 0 would conflate "
+    "isolated with star-center). Oracle replays the triple join, both "
+    "aggregates, and the ratio.",
+)
+def clustering_coeff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pspcz_analyzer_spark.operators.graph import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count_distinct("l_orderkey").alias("__w"))
+        .filter(F.col("__w") >= 3)
+        .select("src", "dst")
+    )
+    return clustering_coefficient(edges).orderBy("node")
+
+
+@register(
     "link_prediction_suppliers",
     oracle="""
     WITH e AS (

@@ -623,3 +623,52 @@ class TestWeightedPagerank:
         ra = {r.node: round(r.rank, 12) for r in pagerank(a, weight_col="w").collect()}
         rb = {r.node: round(r.rank, 12) for r in pagerank(b, weight_col="w").collect()}
         assert ra == rb
+
+
+class TestClusteringCoefficient:
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import random
+
+        from pspcz_analyzer_spark.operators.graph import clustering_coefficient
+
+        rng = random.Random(11)
+        edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["coefficient"])
+            for r in clustering_coefficient(df).collect()
+        }
+        adj: dict = {}
+        for s, t in edges:
+            if s == t:
+                continue
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        for n, nbrs in adj.items():
+            d = len(nbrs)
+            if d < 2:
+                assert n not in got
+                continue
+            tri = sum(
+                1
+                for u, v in itertools.combinations(sorted(nbrs), 2)
+                if v in adj[u]
+            )
+            assert got[n] == (d, tri, round(2.0 * tri / (d * (d - 1)), 6)), n
+
+    def test_clique_is_one_star_is_zero(self, spark):
+        from pspcz_analyzer_spark.operators.graph import clustering_coefficient
+
+        import itertools
+
+        clique = list(itertools.combinations(range(4), 2))
+        star = [(10, i) for i in range(11, 16)]
+        df = spark.createDataFrame(clique + star, "src long, dst long")
+        got = {
+            r["node"]: r["coefficient"]
+            for r in clustering_coefficient(df).collect()
+        }
+        assert all(got[n] == 1.0 for n in range(4))
+        assert got[10] == 0.0  # star center: degree 5, zero triangles
+        assert all(n not in got for n in range(11, 16))  # leaves: degree 1
