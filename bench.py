@@ -165,6 +165,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "events_value_psi",
     "clustering_coeff_suppliers",
+    "frequent_part_pairs",
 ]
 
 

@@ -162,6 +162,10 @@ _PRIORITY: dict[str, int] = {
             # composes the attested triangle pass with one degree
             # aggregate; the ratio is brute-force parity-tested.
             "clustering_coeff_suppliers",
+            # basket-keyed self-join pair counting — the co-occurrence
+            # machinery triangle_suppliers/link-prediction attest this
+            # round; gate-verified locally, rotates next.
+            "frequent_part_pairs",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

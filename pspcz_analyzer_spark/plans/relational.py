@@ -1616,6 +1616,72 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_part_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             count(*) AS n_baskets
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_baskets,
+           round(n_baskets * 1.0 / n.n_orders, 6) AS support
+    FROM pairs, n
+    ORDER BY n_baskets DESC, item_a, item_b
+    LIMIT 25
+    """,
+    tags=("market-basket", "itemsets", "analytics", "new-surface"),
+    priority=18,
+    doc="Frequent-itemset mining, pair level (Agrawal & Srikant 1994's "
+    "Apriori level 2): top co-purchased part pairs by basket support "
+    "over order baskets. One DISTINCT projection to baskets, one "
+    "self-equi-join on the basket key (per-basket fanout is "
+    "items-per-order choose 2 — bounded by the basket size, NOT the "
+    "catalog), a min-support HAVING that prunes the long tail before "
+    "the top-k, and the support denominator as a 1-row broadcast. At "
+    "100 TB this is the standard formulation: basket-keyed equi-join, "
+    "map-side-combined pair counts, min-support cutting the candidate "
+    "set the way Apriori's downward-closure does.",
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("item_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("item_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 2)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            F.round(F.col("n_baskets") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b"))
+        .limit(25)
+    )
+
+
+@register(
     "clustering_coeff_suppliers",
     oracle="""
     WITH e AS (
