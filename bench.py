@@ -166,6 +166,7 @@ HEADLINE = [
     "events_value_psi",
     "clustering_coeff_suppliers",
     "frequent_part_pairs",
+    "part_association_rules",
 ]
 
 

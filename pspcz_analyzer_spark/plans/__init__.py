@@ -166,6 +166,9 @@ _PRIORITY: dict[str, int] = {
             # machinery triangle_suppliers/link-prediction attest this
             # round; gate-verified locally, rotates next.
             "frequent_part_pairs",
+            # the rule phase on the same pair counts (two hash joins +
+            # a ratio); gate-verified locally, rotates next.
+            "part_association_rules",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -1616,6 +1616,123 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (
+      SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             count(*) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    rules AS (
+      SELECT item_a AS antecedent, item_b AS consequent, n_pair,
+             ia.n_item AS n_ante, ib.n_item AS n_cons
+      FROM pairs
+      JOIN item ia ON ia.l_partkey = pairs.item_a
+      JOIN item ib ON ib.l_partkey = pairs.item_b
+      UNION ALL
+      SELECT item_b, item_a, n_pair, ib.n_item, ia.n_item
+      FROM pairs
+      JOIN item ia ON ia.l_partkey = pairs.item_a
+      JOIN item ib ON ib.l_partkey = pairs.item_b
+    )
+    SELECT antecedent, consequent,
+           CAST(n_pair AS BIGINT) AS n_baskets,
+           round(n_pair * 1.0 / n_ante, 6) AS confidence,
+           round((n_pair * 1.0 / n_ante) / (n_cons * 1.0 / n.n_orders), 6)
+             AS lift
+    FROM rules, n
+    WHERE n_pair * 1.0 / n_ante >= 0.05
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 25
+    """,
+    tags=("market-basket", "association-rules", "analytics", "new-surface"),
+    priority=18,
+    doc="Association rules from the frequent pairs (Apriori's rule "
+    "phase): each surviving pair emits BOTH directed rules A=>B and "
+    "B=>A with confidence = support(AB)/support(A) and lift = "
+    "confidence/support(B) — lift > 1 meaning the antecedent genuinely "
+    "raises the consequent's odds rather than both being popular "
+    "(min-confidence 0.05: TPC-H baskets are sparse — ~30 baskets per "
+    "part — so absolute confidences sit low while lift separates). "
+    "Item supports join hash-equi onto the pair counts (item table is "
+    "catalog-sized, broadcastable); min-confidence prunes before the "
+    "deterministic top-25 by lift. One more aggregate + two joins on "
+    "top of frequent_part_pairs' machinery.",
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("item_a"))
+    b = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+        .join(
+            item.select(
+                F.col("l_partkey").alias("item_a"),
+                F.col("n_item").alias("n_a"),
+            ),
+            "item_a",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("item_b"),
+                F.col("n_item").alias("n_b"),
+            ),
+            "item_b",
+        )
+    )
+    fwd = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_pair",
+        F.col("n_a").alias("n_ante"),
+        F.col("n_b").alias("n_cons"),
+    )
+    rev = pairs.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_pair",
+        F.col("n_b").alias("n_ante"),
+        F.col("n_a").alias("n_cons"),
+    )
+    conf = F.col("n_pair") / F.col("n_ante")
+    return (
+        fwd.unionByName(rev)
+        .crossJoin(F.broadcast(n))
+        .filter(conf >= 0.05)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_pair").alias("n_baskets"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("n_cons") / F.col("n_orders")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(25)
+    )
+
+
+@register(
     "frequent_part_pairs",
     oracle="""
     WITH baskets AS (

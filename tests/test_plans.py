@@ -137,6 +137,7 @@ _NESTED_LOOP_OK = {
     "events_value_psi",  # 1-row broadcast combined-range span + per-side
     # totals (the equi-width binning scalars)
     "frequent_part_pairs",  # 1-row broadcast basket-count denominator
+    "part_association_rules",  # same 1-row basket-count denominator
     "doc_hybrid_rrf_topk",  # inherits doc_bm25_topk's 1-row broadcast
     # corpus stats + ann_bruteforce's 1-row broadcast query vector; the
     # rank/fusion path itself is join-free (sort_array + posexplode
