@@ -3216,3 +3216,59 @@ def scan_manifest_table_point(
     return _with_deletes(spark, path, m, kept).filter(
         F.col(col) == F.lit(value)
     )
+
+
+def restore_tag(path: str, name: str) -> int:
+    """RESTORE TABLE TO a NAMED snapshot: :func:`resolve_tag` +
+    :func:`restore` — "roll back to the state training run X consumed"
+    as one call. The tag's pin (vacuum keeps its files) is what makes
+    this reliable long after the version left the retention window."""
+    return restore(path, resolve_tag(path, name))
+
+
+def schema_diff(path: str, from_version: int, to_version: int) -> dict:
+    """Metadata-only schema drift between two versions:
+    ``{added, removed, renamed, retyped}`` — added/removed as
+    ``[name, type]`` pairs, renamed as ``old -> new`` (recovered from
+    the column-mapping delta, so a rename is NOT misreported as a
+    remove+add), retyped as ``name: [old_type, new_type]``. Reads two
+    manifest JSONs and nothing else — the audit primitive a pipeline
+    runs before consuming a table whose producer may have evolved it.
+    """
+    a = read_manifest(path, from_version)
+    b = read_manifest(path, to_version)
+    sa = {n: t for n, t in (a.get("schema") or [])}
+    sb = {n: t for n, t in (b.get("schema") or [])}
+    ca = a.get("colmap") or {}
+    cb = b.get("colmap") or {}
+    # A rename keeps the PHYSICAL name: logical names whose physical
+    # identity matches across versions are renames, not add+remove.
+    phys_a = {ca.get(n, n): n for n in sa}
+    phys_b = {cb.get(n, n): n for n in sb}
+    renamed = {
+        phys_a[p]: phys_b[p]
+        for p in set(phys_a) & set(phys_b)
+        if phys_a[p] != phys_b[p]
+    }
+    renamed_old = set(renamed)
+    renamed_new = set(renamed.values())
+    added = sorted(
+        [n, sb[n]] for n in sb if n not in sa and n not in renamed_new
+    )
+    removed = sorted(
+        [n, sa[n]] for n in sa if n not in sb and n not in renamed_old
+    )
+    retyped = {
+        n: [sa[n], sb[n]]
+        for n in set(sa) & set(sb)
+        if sa[n] != sb[n]
+    }
+    for old, new in renamed.items():
+        if sa.get(old) != sb.get(new):
+            retyped[new] = [sa.get(old), sb.get(new)]
+    return {
+        "added": added,
+        "removed": removed,
+        "renamed": dict(sorted(renamed.items())),
+        "retyped": dict(sorted(retyped.items())),
+    }

@@ -2800,3 +2800,45 @@ class TestCheckExpectations:
         df = spark.createDataFrame([], "k long")
         [r] = check_expectations(df, {"pos": (F.col("k") > 0, 1.0)}).collect()
         assert r["n_rows"] == 0 and r["passed"]
+
+
+class TestRestoreTagAndSchemaDiff:
+    def test_restore_tag_by_name(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame([(1,), (2,)], "k long").coalesce(1).write.parquet(p)
+        M.manifest_init(p)
+        M.create_tag(p, "golden")
+        M.append(spark.createDataFrame([(3,)], "k long"), p)
+        assert M.load_manifest_table(spark, p).count() == 3
+        M.restore_tag(p, "golden")
+        assert sorted(r.k for r in M.load_manifest_table(spark, p).collect()) == [1, 2]
+
+    def test_schema_diff_distinguishes_rename_from_add_remove(
+        self, spark, tmp_path
+    ):
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "x", 2.0)], "k long, s string, v double"
+        ).coalesce(1).write.parquet(p)
+        M.manifest_init(p)
+        v1 = M.current_version(p)
+        M.rename_column(p, "s", "label")
+        M.add_column(p, "extra", "int")
+        v2 = M.current_version(p)
+        d = M.schema_diff(p, v1, v2)
+        assert d["renamed"] == {"s": "label"}
+        assert d["added"] == [["extra", "int"]]
+        assert d["removed"] == [] and d["retyped"] == {}
+
+    def test_schema_diff_same_version_empty(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame([(1,)], "k long").coalesce(1).write.parquet(p)
+        M.manifest_init(p)
+        d = M.schema_diff(p, 1, 1)
+        assert d == {"added": [], "removed": [], "renamed": {}, "retyped": {}}
