@@ -167,6 +167,7 @@ HEADLINE = [
     "clustering_coeff_suppliers",
     "frequent_part_pairs",
     "part_association_rules",
+    "events_weekly_seasonality",
 ]
 
 

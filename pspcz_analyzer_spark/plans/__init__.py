@@ -169,6 +169,9 @@ _PRIORITY: dict[str, int] = {
             # the rule phase on the same pair counts (two hash joins +
             # a ratio); gate-verified locally, rotates next.
             "part_association_rules",
+            # one map-side-combined aggregate — the most-attested plan
+            # class in the catalog; gate-verified locally, rotates next.
+            "events_weekly_seasonality",
         )
     },
     # r02-green and never re-attested: the stalest attestation standing.

@@ -976,3 +976,39 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         buckets=10,
     )
+
+
+@register(
+    "events_weekly_seasonality",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("seasonality", "behavior", "events", "new-surface"),
+    priority=18,
+    doc="Weekly seasonality profile: the (weekday x hour) activity grid "
+    "— counts and mean value per cell — the first chart every "
+    "traffic/load analysis draws and the input to seasonal baselining "
+    "(anomaly scores against the cell mean rather than a global one). "
+    "ONE map-side-combined aggregate to a fixed <=168-row output at any "
+    "volume. Weekday convention pinned cross-engine: Spark weekday() "
+    "(Mon=0) == DuckDB isodow-1.",
+)
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.weekday("ts").alias("weekday"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("weekday", "hour")
+    )
