@@ -1664,7 +1664,7 @@ def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     after_update AS (
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderstatus = 'P'
-                  THEN round(o_totalprice * 1.1, 2)
+                  THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
                   ELSE o_totalprice END AS o_totalprice
       FROM after_delete
     )
@@ -1706,7 +1706,7 @@ def manifest_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         path,
         "o_orderstatus = 'P'",
-        {"o_totalprice": "round(o_totalprice * 1.1, 2)"},
+        {"o_totalprice": "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)"},
     )
     return (
         M.load_manifest_table(spark, path)
@@ -1731,7 +1731,7 @@ def manifest_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated AS (
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderstatus = 'P'
-                  THEN round(o_totalprice * 1.1, 2)
+                  THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
                   ELSE o_totalprice END AS o_totalprice
       FROM alive
     )
@@ -1781,7 +1781,7 @@ def manifest_delete_pos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark,
         path,
         "o_orderstatus = 'P'",
-        {"o_totalprice": "round(o_totalprice * 1.1, 2)"},
+        {"o_totalprice": "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)"},
     )
     if not files0 <= set(M.read_manifest(path)["files"]):
         raise AssertionError("MoR update must not rewrite original files")
@@ -1807,7 +1807,7 @@ def manifest_delete_pos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH src AS (
       SELECT o_orderkey,
              'X' AS o_orderstatus,
-             round(o_totalprice * 0.5, 2) AS o_totalprice
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.5, 2) AS DOUBLE) AS o_totalprice
       FROM orders WHERE o_orderkey % 10 = 3
     ),
     merged AS (
@@ -1858,7 +1858,10 @@ def manifest_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = orders.filter(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey",
         F.lit("X").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 0.5, 2).alias("o_totalprice"),
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.5, 2)"
+            " AS DOUBLE)"
+        ).alias("o_totalprice"),
     )
     res = M.merge_into(
         spark,

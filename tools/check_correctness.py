@@ -3,8 +3,18 @@
 Runs every ``__spark_entry__.queries()`` entry at a given sf_dir and
 compares it with its ``oracle_sql()`` twin on DuckDB: row count, sorted
 column names, and an order-insensitive value comparison (rows sorted by all
-columns; floats compared to 9 significant digits; timestamps compared at
-microseconds). Prints one status line per query plus a summary.
+columns; floats compared to 15 significant digits — effectively exact for
+values the repo convention rounds to 2 decimals, and close enough to the
+driver's exact value hash that a half-cent engine divergence FAILS here
+too; timestamps compared at microseconds). Queries whose oracle is
+genuinely approximation-defined may opt into a looser tolerance via
+``APPROX_SIG_DIGITS`` below — each entry must say why. Prints one status
+line per query plus a summary.
+
+Round-6 lesson: the old 9-sig-digit normalization masked a ±0.03 drift on
+a 1.4e9 SUM (Spark vs DuckDB half-cent rounding on DOUBLE), so the local
+gate said green while the driver's exact hash said red. Never loosen the
+default below 15.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -22,27 +32,33 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _norm_cell(v):
+# Per-query float tolerance opt-outs (sig digits). ONLY for oracles that
+# are genuinely approximation-defined; each entry must carry a reason.
+# Default for everything else is 15 sig digits (near-exact for doubles).
+APPROX_SIG_DIGITS: dict[str, int] = {}
+
+
+def _norm_cell(v, sig=15):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(f"{v:.9g}")
+        return float(f"{v:.{sig}g}")
     # datetime/date -> isoformat (micros); Decimal -> float
     t = type(v).__name__
     if t in ("datetime", "date", "Timestamp"):
         return v.isoformat()
     if t == "Decimal":
-        return float(f"{float(v):.9g}")
+        return float(f"{float(v):.{sig}g}")
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        return tuple(_norm_cell(x, sig) for x in v)
     return v
 
 
-def _norm_rows(cols, rows):
+def _norm_rows(cols, rows, sig=15):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
+    out = [tuple(_norm_cell(r[i], sig) for i in idx) for r in rows]
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return [cols[i] for i in idx], out
 
@@ -102,8 +118,9 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
-        sc, sr = _norm_rows(scols, srows)
-        dc, dr = _norm_rows(dcols, drows)
+        sig = APPROX_SIG_DIGITS.get(name, 15)
+        sc, sr = _norm_rows(scols, srows, sig)
+        dc, dr = _norm_rows(dcols, drows, sig)
         dt = time.time() - t0
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
