@@ -1615,6 +1615,95 @@ def _candidate_files(m: dict, fs, rel: str, key_col: str, key_set: set):
     ]
 
 
+# Sources whose DISTINCT key count is at or below this limit take the
+# driver-side fast path (collect keys -> stats prune -> Catalyst isin /
+# broadcast): zero shuffles, right for the dimension-sized upserts the
+# layer was built for. ABOVE it, nothing source-sized ever reaches the
+# driver — victim files come from a range join of the distinct keys
+# against a broadcast, metadata-sized per-file [min,max] stats frame, and
+# the purge/merge joins run as ordinary shuffle joins sized by AQE. At
+# 100 TB a CDC backfill with 10^9 keys is a shuffle join, not a
+# driver OOM + giant-isin AST.
+DML_COLLECT_KEY_LIMIT = 100_000
+
+
+def _plan_source_keys(
+    spark: SparkSession,
+    m: dict,
+    fs,
+    rel: str,
+    source: DataFrame,
+    key_col: str,
+    limit: "int | None" = None,
+):
+    """Victim planning for key-addressed DML (upsert / MERGE / SCD2).
+
+    Returns ``(keys_df, key_set, affected)`` where ``keys_df`` is the
+    persisted DISTINCT source-key DataFrame (caller unpersists),
+    ``key_set`` is the collected Python set on the small-source fast
+    path and ``None`` on the large-source path, and ``affected`` is the
+    list of current-manifest files that may contain any source key.
+
+    Large-source pruning is metadata×distributed: the per-file [min,max]
+    stats (manifest-sized — one row per FILE) broadcast against the
+    distinct keys as a range join; only distinct FILE NAMES are ever
+    collected, so the driver materialization is bounded by the file
+    count regardless of source size. Files without usable stats for the
+    key column are conservatively kept (same rule as
+    :func:`_candidate_files`)."""
+    lim = DML_COLLECT_KEY_LIMIT if limit is None else limit
+    keys_df = source.select(key_col).distinct().persist()
+    n = keys_df.count()
+    if n == 0:
+        return keys_df, set(), []
+    if n <= lim:
+        key_set = {r[0] for r in keys_df.collect()}
+        return keys_df, key_set, _candidate_files(m, fs, rel, key_col, key_set)
+
+    pcol = _physical_col(m, key_col)
+    stats = m.get("stats") or {}
+    if pcol not in (m.get("stat_cols") or []):
+        # No tracked stats: footer probing per file against a
+        # non-collectable key set is not possible — keep every file.
+        return keys_df, None, list(m["files"])
+    ranged, affected = [], []
+    for f in m["files"]:
+        s = (stats.get(f) or {}).get(pcol)
+        if s is None or s[0] is None:
+            affected.append(f)  # unknown stats -> cannot prune
+        else:
+            ranged.append((f, s[0], s[1]))
+    if ranged:
+        fstats = F.broadcast(
+            spark.createDataFrame(ranged, ["__file", "__lo", "__hi"])
+        )
+        hit = (
+            keys_df.join(
+                fstats,
+                (F.col(key_col) >= F.col("__lo"))
+                & (F.col(key_col) <= F.col("__hi")),
+            )
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        affected += [r[0] for r in hit]
+    order = {f: i for i, f in enumerate(m["files"])}
+    affected.sort(key=order.get)
+    return keys_df, None, affected
+
+
+def _purge_keys(kept: DataFrame, keys_df: DataFrame, key_col: str, key_set):
+    """Drop rows whose key is in the source: Catalyst ``isin`` literal
+    filter on the fast path (prunable, no shuffle), ``LEFT ANTI`` join on
+    the large path (AQE sizes it; nothing driver-side)."""
+    if key_set is not None:
+        if not key_set:
+            return kept
+        return kept.filter(~F.col(key_col).isin(*key_set))
+    return kept.join(keys_df, key_col, "left_anti")
+
+
 def _file_rows(m: dict, fs, rel: str, names: "list[str]") -> int:
     """Total rows across ``names``, preferring the manifest's stored
     per-file counts (metadata-only) over footer opens."""
@@ -2051,10 +2140,13 @@ def upsert(
     when the key column is tracked (footer stats otherwise); unaffected
     files carry over untouched. Returns the committed version.
 
-    The batch's key set is collected driver-side for the stats prune
-    and the isin filter — suited to dimension-sized/batch-sized upserts
-    (the incremental-ingestion case); for corpus-sized merges use an
-    anti-join rewrite per partition instead.
+    Victim planning is size-adaptive (:func:`_plan_source_keys`): up to
+    ``DML_COLLECT_KEY_LIMIT`` distinct keys the batch's key set is
+    collected driver-side for the stats prune and a Catalyst ``isin``
+    filter (the dimension-sized incremental-ingestion case, zero
+    shuffles); above it nothing source-sized reaches the driver —
+    victims come from a stats range join and the purge is a LEFT ANTI
+    shuffle join, so a corpus-sized CDC backfill cannot OOM the driver.
 
     ``txn = (app_id, batch_id)`` gives the same exactly-once watermark
     semantics as :func:`append` — a replayed batch is skipped. Unlike
@@ -2073,19 +2165,19 @@ def upsert(
         if txns.get(app_id, -1) >= batch_id:
             return m["version"]  # replay: already applied
         txns[app_id] = batch_id
-    keys = [r[0] for r in batch.select(key_col).distinct().collect()]
+    fs, rel = get_fs(path)
+    keys_df, key_set, affected = _plan_source_keys(
+        spark, m, fs, rel, batch, key_col
+    )
     new_names: list[str] = []
     victims: set[str] = set()
-    if keys:
-        fs, rel = get_fs(path)
-        key_set = set(keys)
-        affected = _candidate_files(m, fs, rel, key_col, key_set)
-        if affected:
-            kept = _with_deletes(spark, path, m, affected).filter(
-                ~F.col(key_col).isin(*key_set)
-            )
-            new_names += _stage_rewrites(kept, path, "upsert")
-            victims = set(affected)
+    if affected:
+        kept = _purge_keys(
+            _with_deletes(spark, path, m, affected), keys_df, key_col, key_set
+        )
+        new_names += _stage_rewrites(kept, path, "upsert")
+        victims = set(affected)
+    keys_df.unpersist()
     new_names += _stage_rewrites(batch, path, "upsert")
     new_files = [f for f in m["files"] if f not in victims] + new_names
     fs2, rel2 = get_fs(path)
@@ -2122,11 +2214,16 @@ def merge_into(
     Conditions/exprs are SQL strings over the aliases ``t`` (target)
     and ``s`` (source). A source with duplicate keys raises (the
     standard MERGE ambiguity error — the result would depend on join
-    order). Source keys are collected driver-side for the stats prune,
-    so files without matches never rewrite — same dimension-sized-batch
-    contract as :func:`upsert`; survivors + inserts publish as ONE new
-    version (no observable intermediate state). CHECK constraints and
-    schema enforcement run on the outgoing batch. Returns counts:
+    order). Victim planning is size-adaptive (:func:`_plan_source_keys`):
+    dimension-sized sources prune from collected keys and broadcast into
+    the clause join; above ``DML_COLLECT_KEY_LIMIT`` distinct keys the
+    prune is a stats range join and the clause join a shuffle join —
+    files without matches never rewrite either way, and a corpus-sized
+    CDC source never materializes on the driver. Survivors + inserts
+    publish as ONE new version (no observable intermediate state); a
+    MERGE in which every clause is vacuously empty commits nothing.
+    CHECK constraints and schema enforcement run on the outgoing batch.
+    Returns counts:
     ``{"updated": u, "deleted": d, "inserted": i, "files_rewritten": f}``.
     """
     m = read_manifest(path)
@@ -2152,21 +2249,36 @@ def merge_into(
             source,
             merge_schema=False,
         )
-    keys = [r[0] for r in source.select(key_col).distinct().collect()]
     fs, rel = get_fs(path)
-    affected = (
-        _candidate_files(m, fs, rel, key_col, set(keys)) if keys else []
+    keys_df, key_set, affected = _plan_source_keys(
+        spark, m, fs, rel, source, key_col
     )
+    if not affected and not when_not_matched_insert:
+        # No candidate file holds a source key and inserts are off: every
+        # clause is vacuously empty. Committing here would publish an
+        # identical file list — version churn that only shifts the vacuum
+        # retention window.
+        keys_df.unpersist()
+        return {
+            "updated": 0, "deleted": 0, "inserted": 0, "files_rewritten": 0
+        }
     out_cols = [n for n, _ in (m.get("schema") or [])] or [
         c for c in source.columns
     ]
     src = source.localCheckpoint()
+    # Dimension-sized sources broadcast (map-side join, no target
+    # shuffle); above DML_COLLECT_KEY_LIMIT keys the join ships to AQE
+    # as an ordinary shuffle join — a 100 TB CDC batch must never be a
+    # broadcast.
+    src_side = (lambda d: F.broadcast(d)) if key_set is not None else (
+        lambda d: d
+    )
     n_updated = n_deleted = 0
     survivors = None
     if affected:
         t = _with_deletes(spark, path, m, affected).alias("t")
         j = t.join(
-            F.broadcast(src.alias("s")),
+            src_side(src.alias("s")),
             F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
             "left",
         )
@@ -2218,6 +2330,14 @@ def merge_into(
     else:
         n_inserted = 0
         batch = survivors
+    if n_updated == 0 and n_deleted == 0 and n_inserted == 0:
+        # Candidate files held no row matching any clause (stats are an
+        # over-approximation): survivors would rewrite byte-identical
+        # content. Commit nothing instead of churning a version.
+        keys_df.unpersist()
+        return {
+            "updated": 0, "deleted": 0, "inserted": 0, "files_rewritten": 0
+        }
     victims = set(affected)
     new_names: "list[str]" = []
     if batch is not None:
@@ -2233,6 +2353,7 @@ def merge_into(
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
     )
+    keys_df.unpersist()
     return {
         "updated": n_updated,
         "deleted": n_deleted,
@@ -2286,10 +2407,13 @@ def scd2_merge(
     key with zero or two current rows).
 
     One batch row per key (raise otherwise — apply multi-change batches
-    in effective order, one merge per wave). Batch keys are collected
-    driver-side like :func:`upsert` (dimension-sized batches — the SCD2
-    use case by definition); victim files are found metadata-only when
-    ``key_col`` stats are tracked (:func:`scd2_init` tracks them).
+    in effective order, one merge per wave). Victim planning is
+    size-adaptive like :func:`upsert` (:func:`_plan_source_keys`):
+    dimension-sized batches collect keys and broadcast into the compare
+    joins, batches above ``DML_COLLECT_KEY_LIMIT`` keys prune via the
+    stats range join and shuffle-join instead — metadata-only either
+    way when ``key_col`` stats are tracked (:func:`scd2_init` tracks
+    them), and nothing batch-sized on the driver on the large path.
 
     Returns (changed_keys, new_keys)."""
     m = read_manifest(path)
@@ -2306,12 +2430,16 @@ def scd2_merge(
         F.col(key_col),
         *[F.col(c).alias(f"__b_{c}") for c in attr_cols],
         F.col(effective_col).cast("date").alias("__eff"),
-    )
+    ).persist()
+    # One row per key post-dup-check, so count == distinct keys; batches
+    # above DML_COLLECT_KEY_LIMIT join by shuffle, not broadcast.
+    small_batch = b.count() <= DML_COLLECT_KEY_LIMIT
+    bcast = (lambda d: F.broadcast(d)) if small_batch else (lambda d: d)
     diff = F.lit(False)
     for c in attr_cols:
         diff = diff | ~F.col(c).eqNullSafe(F.col(f"__b_{c}"))
     changed = (
-        cur.join(F.broadcast(b), key_col)
+        cur.join(bcast(b), key_col)
         .filter(diff)
         .select(key_col, "__eff", *[f"__b_{c}" for c in attr_cols])
     )
@@ -2320,15 +2448,17 @@ def scd2_merge(
     )
     to_insert = changed.unionByName(new_keys)
     to_insert.persist()
-    changed_key_set = {
-        r[0] for r in to_insert.select(key_col).collect()
-    }
-    n_new = new_keys.count()
-    if not changed_key_set:
-        to_insert.unpersist()
-        return 0, 0
     fs, rel = get_fs(path)
-    affected = _candidate_files(m, fs, rel, key_col, changed_key_set)
+    keys_df, _key_set, affected = _plan_source_keys(
+        spark, m, fs, rel, to_insert, key_col
+    )
+    n_changed_total = keys_df.count()
+    n_new = new_keys.count()
+    if n_changed_total == 0:
+        keys_df.unpersist()
+        to_insert.unpersist()
+        b.unpersist()
+        return 0, 0
     schema_cols = [n for n, _ in (m.get("schema") or [])] or cur.columns
     # Rewrite affected files: close the changed keys' current rows in
     # place, pass everything else through untouched.
@@ -2341,7 +2471,7 @@ def scd2_merge(
         old = _with_deletes(spark, path, m, affected)
         closing = F.col(SCD2_CURRENT) & F.col("__close_at").isNotNull()
         rewritten = (
-            old.join(F.broadcast(eff_by_key), key_col, "left")
+            old.join(bcast(eff_by_key), key_col, "left")
             .select(
                 *[
                     c
@@ -2378,8 +2508,10 @@ def scd2_merge(
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs2, rel2, new_names, victims),
     )
+    keys_df.unpersist()
     to_insert.unpersist()
-    return len(changed_key_set) - n_new, n_new
+    b.unpersist()
+    return n_changed_total - n_new, n_new
 
 
 def compact_small_files(

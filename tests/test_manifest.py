@@ -2842,3 +2842,180 @@ class TestRestoreTagAndSchemaDiff:
         M.manifest_init(p)
         d = M.schema_diff(p, 1, 1)
         assert d == {"added": [], "removed": [], "renamed": {}, "retyped": {}}
+
+
+class TestDistributedDmlPlanning:
+    """Above DML_COLLECT_KEY_LIMIT distinct source keys, upsert / MERGE /
+    SCD2 must never materialize anything source-sized on the driver:
+    victims come from a range join of the distinct keys against the
+    broadcast per-file [min,max] stats frame, and the purge/clause joins
+    run as ordinary (AQE-sized) joins instead of isin / broadcast.
+    Verified by forcing the limit to a tiny value and spying every
+    driver collect — the largest allowed result is bounded by the FILE
+    count, not the key count."""
+
+    def _mk(self, spark, tmp_path, name, n=2_000, files=8):
+        df = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 50).alias("user_id"),
+        )
+        path = str(tmp_path / name)
+        write_range_sorted(df, path, "event_id", num_partitions=files)
+        M.manifest_init(path, stat_cols=["event_id"])
+        return path
+
+    def _spy_collects(self, monkeypatch):
+        # PySpark 4: pyspark.sql.DataFrame is the abstract parent; the
+        # concrete classic DataFrame overrides collect — patch that one.
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        sizes: list[int] = []
+        real = _DF.collect
+
+        def spy(df):
+            rows = real(df)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(_DF, "collect", spy)
+        return sizes
+
+    def test_upsert_large_source_never_collects_keys(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = self._mk(spark, tmp_path, "bigup")
+        monkeypatch.setattr(M, "DML_COLLECT_KEY_LIMIT", 8)
+        sizes = self._spy_collects(monkeypatch)
+        # 300 distinct keys >> limit of 8: large path must engage.
+        batch = spark.range(300).select(
+            (F.col("id") * 4).alias("event_id"),
+            F.lit(777).cast("long").alias("user_id"),
+        )
+        M.upsert(spark, batch, path, "event_id")
+        n_files = len(M.read_manifest(path)["files"])
+        assert sizes, "expected at least the victim-file collect"
+        assert max(sizes) <= max(n_files, 8 + 1), (
+            f"a driver collect returned {max(sizes)} rows — source-sized "
+            "materialization on the large path"
+        )
+        now = M.load_manifest_table(spark, path)
+        assert now.count() == 2_000  # every batch key existed
+        assert now.filter(F.col("user_id") == 777).count() == 300
+
+    def test_upsert_large_source_still_prunes_by_stats(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = self._mk(spark, tmp_path, "bigprune")
+        before = M.read_manifest(path)["files"]
+        monkeypatch.setattr(M, "DML_COLLECT_KEY_LIMIT", 4)
+        # 50 keys, all inside the FIRST file's range-sorted key span.
+        batch = spark.range(50).select(
+            F.col("id").alias("event_id"), F.lit(888).cast("long").alias("user_id")
+        )
+        M.upsert(spark, batch, path, "event_id")
+        after = set(M.read_manifest(path)["files"])
+        survivors = [f for f in before if f in after]
+        assert len(survivors) >= len(before) - 2, (
+            "stats range join failed to prune untouched files"
+        )
+        now = M.load_manifest_table(spark, path)
+        assert now.filter(F.col("user_id") == 888).count() == 50
+        assert now.count() == 2_000
+
+    def test_merge_into_large_source_matches_small_path(
+        self, spark, tmp_path, monkeypatch
+    ):
+        src = spark.range(400).select(
+            (F.col("id") * 5).alias("event_id"),
+            F.lit(555).cast("long").alias("user_id"),
+        )
+        results = {}
+        for label, lim in (("small", 10**6), ("large", 8)):
+            path = self._mk(spark, tmp_path, f"mrg_{label}")
+            monkeypatch.setattr(M, "DML_COLLECT_KEY_LIMIT", lim)
+            res = M.merge_into(
+                spark, path, src, "event_id",
+                when_matched_update={"user_id": "s.user_id"},
+                when_matched_delete="t.event_id % 10 = 0",
+            )
+            rows = sorted(
+                tuple(r)
+                for r in M.load_manifest_table(spark, path).collect()
+            )
+            results[label] = (res, rows)
+        assert results["small"] == results["large"]
+        res, _ = results["large"]
+        assert res["deleted"] == 200 and res["updated"] == 200
+
+    def test_merge_into_noop_commits_nothing(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "mrgnoop")
+        v0 = M.current_version(path)
+        # Source keys all beyond the table's range; inserts disabled:
+        # every clause vacuous -> no version churn.
+        src = spark.range(5).select(
+            (F.col("id") + 1_000_000).alias("event_id"),
+            F.lit(1).cast("long").alias("user_id"),
+        )
+        res = M.merge_into(
+            spark, path, src, "event_id",
+            when_matched_update={"user_id": "s.user_id"},
+            when_not_matched_insert=False,
+        )
+        assert res == {
+            "updated": 0, "deleted": 0, "inserted": 0, "files_rewritten": 0
+        }
+        assert M.current_version(path) == v0
+
+    def test_merge_into_all_clauses_empty_commits_nothing(
+        self, spark, tmp_path
+    ):
+        """Candidate files exist (stats over-approximate) but no row
+        matches and nothing inserts -> still no new version."""
+        path = self._mk(spark, tmp_path, "mrgvac")
+        v0 = M.current_version(path)
+        # Keys inside file ranges but on odd offsets that DON'T exist:
+        # event_ids are 0..1999 (all exist!), so pick existing keys but a
+        # matched_condition that never fires and inserts that can't occur.
+        src = spark.range(5).select(
+            F.col("id").alias("event_id"), F.lit(9).cast("long").alias("user_id")
+        )
+        res = M.merge_into(
+            spark, path, src, "event_id",
+            when_matched_update={"user_id": "s.user_id"},
+            matched_condition="t.event_id < 0",
+        )
+        assert res["updated"] == 0 and res["files_rewritten"] == 0
+        assert M.current_version(path) == v0
+
+    def test_scd2_large_batch_matches_small_path(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import datetime as dt
+
+        day1 = dt.date(2024, 1, 1)
+        day2 = dt.date(2024, 6, 1)
+        init_rows = [(k, f"addr{k}", day1) for k in range(300)]
+        batch_rows = (
+            [(k, f"moved{k}", day2) for k in range(0, 300, 3)]  # changed
+            + [(k, f"new{k}", day2) for k in range(300, 320)]   # new keys
+        )
+        snaps = {}
+        for label, lim in (("small", 10**6), ("large", 8)):
+            path = str(tmp_path / f"scd2_{label}")
+            init = spark.createDataFrame(
+                init_rows, "cust long, addr string, eff date"
+            ).repartition(4)
+            M.scd2_init(spark, init, path, "cust", "eff")
+            monkeypatch.setattr(M, "DML_COLLECT_KEY_LIMIT", lim)
+            batch = spark.createDataFrame(
+                batch_rows, "cust long, addr string, eff date"
+            )
+            changed, new = M.scd2_merge(
+                spark, batch, path, "cust", ["addr"], "eff"
+            )
+            assert (changed, new) == (100, 20)
+            snaps[label] = sorted(
+                tuple(r)
+                for r in M.load_manifest_table(spark, path).collect()
+            )
+        assert snaps["small"] == snaps["large"]
