@@ -1799,11 +1799,16 @@ def delete_where(
     affected = _predicate_victims(spark, m, path, predicate)
     if not affected:
         return 0, 0
-    kept = _with_deletes(spark, path, m, affected).filter(
-        ~F.coalesce(F.expr(predicate), F.lit(False))
-    )
+    alive = _with_deletes(spark, path, m, affected)
+    kept = alive.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
     new_names = _stage_rewrites(kept, path, "delw")
-    rows_before = _file_rows(m, fs, rel, affected)
+    # rows_deleted must count only rows ALIVE under pending merge-on-read
+    # delete entries — raw footer counts would also bill rows that were
+    # already dead. Footer counts (metadata-only) are exact when there
+    # are no pending entries.
+    rows_before = (
+        alive.count() if m.get("deletes") else _file_rows(m, fs, rel, affected)
+    )
     rows_after = sum(
         fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
         for f in new_names
@@ -2817,6 +2822,11 @@ def restore(path: str, version: int) -> int:
         # would make the next append compute a column the schema
         # rejects. Schema and generated map restore as one unit.
         generated=target.get("generated") or {},
+        # Same unit rule for the column mapping: None would inherit the
+        # CURRENT version's colmap onto the restored schema, so a
+        # restore past a rename would route the old logical name at the
+        # wrong physical column (misread, not just a miss).
+        colmap=target.get("colmap") or {},
     )
 
 

@@ -206,6 +206,21 @@ class _SinkMsg(WriterCommitMessage):
         self.names = names
 
 
+def _duck_type(spark_type: str) -> str:
+    """Spark SQL type name -> DuckDB type name for generated-column
+    casts (the handful the engine's schemas actually use)."""
+    t = spark_type.lower()
+    return {
+        "string": "VARCHAR",
+        "binary": "BLOB",
+        "long": "BIGINT",
+        "int": "INTEGER",
+        "short": "SMALLINT",
+        "byte": "TINYINT",
+        "float": "REAL",
+    }.get(t, t)
+
+
 class ManifestStreamWriter(DataSourceStreamArrowWriter):
     """Exactly-once streaming SINK: each task writes its Arrow batches
     as ONE additive parquet file directly into the table directory
@@ -225,8 +240,71 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         m = read_manifest(table_path)
         self._schema = m.get("schema") or []
         self._colmap = m.get("colmap") or {}
+        self._constraints = m.get("constraints") or {}
+        self._generated = m.get("generated") or {}
+        self._types = {n: t for n, t in self._schema}
 
     # -- executor side -----------------------------------------------
+    def _validate_batch(self, tbl):
+        """Enforce the table's invariants on one task's Arrow batches —
+        the same gate :func:`manifest.append` runs (CHECK constraints,
+        generated-column fill/validate, no unknown columns), evaluated
+        HERE on the Arrow data via DuckDB so a stream can never commit
+        rows the batch writer would have rejected. Declared-but-absent
+        table columns stay legal (the reader null-fills, `_check_schema`'s
+        subset rule); violations raise, failing the micro-batch before
+        any file lands. Returns the (possibly generated-extended) table."""
+        known = {n for n, _ in self._schema}
+        if known:
+            extra = [c for c in tbl.column_names if c not in known]
+            if extra:
+                raise ValueError(
+                    f"stream batch has columns {extra} not in the table "
+                    "schema — the manifest sink does not evolve schema"
+                )
+        if not (self._constraints or self._generated):
+            return tbl
+        try:
+            import duckdb
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "table declares CHECK constraints / generated columns; "
+                "the manifest stream sink validates them per-batch with "
+                "duckdb, which is not importable on this executor"
+            ) from exc
+        con = duckdb.connect()
+        con.register("__batch", tbl)
+        for name, expr in self._constraints.items():
+            # NULL counts as a violation (Delta CHECK: must be TRUE).
+            bad = con.execute(
+                f"SELECT count(*) FROM __batch WHERE ({expr}) IS DISTINCT FROM TRUE"
+            ).fetchone()[0]
+            if bad:
+                raise ValueError(
+                    f"stream batch violates constraint {name!r} "
+                    f"({expr}): {bad} rows"
+                )
+        for name, expr in self._generated.items():
+            dtype = _duck_type(self._types.get(name, "string"))
+            if name not in tbl.column_names:
+                tbl = con.execute(
+                    f'SELECT *, CAST(({expr}) AS {dtype}) AS "{name}" '
+                    "FROM __batch"
+                ).fetch_arrow_table()
+                con.unregister("__batch")
+                con.register("__batch", tbl)
+            else:
+                bad = con.execute(
+                    f'SELECT count(*) FROM __batch WHERE "{name}" IS '
+                    f"DISTINCT FROM CAST(({expr}) AS {dtype})"
+                ).fetchone()[0]
+                if bad:
+                    raise ValueError(
+                        f"stream batch supplies generated column {name!r}"
+                        f" with values differing from ({expr}): {bad} rows"
+                    )
+        return tbl
+
     def write(self, iterator):
         import uuid as _uuid
 
@@ -236,7 +314,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         batches = [b for b in iterator if b.num_rows]
         if not batches:
             return _SinkMsg([])
-        tbl = pa.Table.from_batches(batches)
+        tbl = self._validate_batch(pa.Table.from_batches(batches))
         tbl = tbl.rename_columns(
             [self._colmap.get(c, c) for c in tbl.column_names]
         )

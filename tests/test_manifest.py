@@ -3019,3 +3019,76 @@ class TestDistributedDmlPlanning:
                 for r in M.load_manifest_table(spark, path).collect()
             )
         assert snaps["small"] == snaps["large"]
+
+
+class TestRestoreAfterRename:
+    """restore() must roll the COLUMN MAPPING back with the schema — a
+    stale current-version colmap carried onto a restored pre-rename
+    schema would route the old logical name at a nonexistent (or wrong)
+    physical column: a misread, not just a missing feature."""
+
+    def _mk(self, spark, tmp_path):
+        path = str(tmp_path / "ren")
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k long, a long"
+        ).coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        return path
+
+    def test_restore_past_rename_drops_stale_colmap(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path)
+        v1 = M.current_version(path)
+        M.rename_column(path, "a", "b")
+        assert M.read_manifest(path).get("colmap") == {"b": "a"}
+        M.restore(path, v1)
+        m = M.read_manifest(path)
+        assert not m.get("colmap"), (
+            "current colmap leaked onto the restored pre-rename schema"
+        )
+        t = M.load_manifest_table(spark, path)
+        assert t.columns == ["k", "a"]
+        assert sorted(r["a"] for r in t.collect()) == [10, 20]
+
+    def test_add_column_after_restore_does_not_alias_old_data(
+        self, spark, tmp_path
+    ):
+        path = self._mk(spark, tmp_path)
+        v1 = M.current_version(path)
+        M.rename_column(path, "a", "b")
+        M.restore(path, v1)
+        # Re-adding 'b' post-restore creates a FRESH column; with the
+        # stale {b: a} mapping it would silently read column a's data.
+        M.add_column(path, "b", "long")
+        t = M.load_manifest_table(spark, path)
+        assert set(t.columns) == {"k", "a", "b"}
+        assert [r["b"] for r in t.collect()] == [None, None]
+
+    def test_restore_to_post_rename_version_keeps_colmap(
+        self, spark, tmp_path
+    ):
+        path = self._mk(spark, tmp_path)
+        M.rename_column(path, "a", "b")
+        v2 = M.current_version(path)
+        M.rename_column(path, "b", "c")
+        M.restore(path, v2)
+        m = M.read_manifest(path)
+        assert m.get("colmap") == {"b": "a"}
+        t = M.load_manifest_table(spark, path)
+        assert t.columns == ["k", "b"]
+        assert sorted(r["b"] for r in t.collect()) == [10, 20]
+
+
+def test_delete_where_counts_only_alive_rows(spark, tmp_path):
+    """rows_deleted must not bill rows already dead under pending
+    merge-on-read delete entries (they were never alive to delete)."""
+    path = str(tmp_path / "delw_alive")
+    spark.range(100).select(F.col("id").alias("k")).coalesce(
+        2
+    ).write.parquet(path)
+    M.manifest_init(path)
+    M.delete_where_pos(spark, path, "k < 10")  # 10 rows dead, MoR only
+    nf, deleted = M.delete_where(spark, path, "k < 20")
+    assert deleted == 10, (
+        f"billed {deleted} deletions but only 10 matching rows were alive"
+    )
+    assert M.load_manifest_table(spark, path).count() == 80

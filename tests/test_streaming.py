@@ -4,6 +4,9 @@ This is the correctness chain: DuckDB oracle -> batch twin -> stream."""
 
 from __future__ import annotations
 
+import os
+
+import pyspark.sql.functions as F
 import pytest
 
 from pspcz_analyzer_spark.plans import query_fns
@@ -743,3 +746,130 @@ class TestManifestBatchReader:
         )
         assert set(old.columns) == {"id", "amount", "_commit_version"}
         assert old.count() == 10
+
+
+class TestManifestStreamSinkValidation:
+    """The stream sink must enforce the same invariants as batch append:
+    CHECK constraints reject violating micro-batches BEFORE any file
+    lands, and generated columns are computed (or validated) per task on
+    the Arrow batches — a stream can never commit rows append() would
+    have refused."""
+
+    def _sink(self, spark, tmp_path, name, schema_expr, init_df):
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+
+        register_cdf_source(spark)
+        tbl = str(tmp_path / f"{name}_tbl")
+        init_df.write.parquet(tbl)
+        M.manifest_init(tbl)
+        return M, tbl
+
+    def _drain(self, spark, landing, tbl, ck, schema):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(landing, "*"))
+            .writeStream.format("manifest")
+            .option("tablePath", tbl)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_constraint_violation_fails_batch_and_commits_nothing(
+        self, spark, tmp_path
+    ):
+        M, tbl = self._sink(
+            spark, tmp_path, "csink", "id long, v double",
+            spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        )
+        M.set_constraint(spark, tbl, "v_nonneg", "v >= 0")
+        landing = str(tmp_path / "c_landing")
+        spark.range(5).selectExpr(
+            "id", "CAST(id - 3 AS DOUBLE) AS v"  # two negatives
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        v0 = M.current_version(tbl)
+        with pytest.raises(Exception, match="v_nonneg"):
+            self._drain(
+                spark, landing, tbl,
+                str(tmp_path / "c_ck"), "id long, v double",
+            )
+        assert M.current_version(tbl) == v0
+        assert M.load_manifest_table(spark, tbl).count() == 0
+        staged = [
+            f for f in os.listdir(tbl) if f.startswith("dsink-")
+        ]
+        assert not staged, "violating batch left staged files behind"
+
+    def test_constraint_pass_commits(self, spark, tmp_path):
+        M, tbl = self._sink(
+            spark, tmp_path, "oksink", "id long, v double",
+            spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        )
+        M.set_constraint(spark, tbl, "v_nonneg", "v >= 0")
+        landing = str(tmp_path / "ok_landing")
+        spark.range(5).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        self._drain(
+            spark, landing, tbl, str(tmp_path / "ok_ck"), "id long, v double"
+        )
+        assert M.load_manifest_table(spark, tbl).count() == 5
+
+    def test_generated_column_computed_per_batch(self, spark, tmp_path):
+        M, tbl = self._sink(
+            spark, tmp_path, "gsink", "id long, v double",
+            spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        )
+        M.add_generated_column(spark, tbl, "v2", "double", "v * 2")
+        landing = str(tmp_path / "g_landing")
+        # Stream omits the generated column — the sink must compute it.
+        spark.range(3, 6).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        self._drain(
+            spark, landing, tbl, str(tmp_path / "g_ck"), "id long, v double"
+        )
+        t = M.load_manifest_table(spark, tbl)
+        assert t.count() == 6
+        got = {
+            r["id"]: r["v2"] for r in t.filter(F.col("id") >= 3).collect()
+        }
+        assert got == {3: 6.0, 4: 8.0, 5: 10.0}
+
+    def test_generated_column_supplied_wrong_rejected(self, spark, tmp_path):
+        M, tbl = self._sink(
+            spark, tmp_path, "gbad", "id long, v double",
+            spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        )
+        M.add_generated_column(spark, tbl, "v2", "double", "v * 2")
+        landing = str(tmp_path / "gbad_landing")
+        spark.range(3).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "CAST(99 AS DOUBLE) AS v2"
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        v0 = M.current_version(tbl)
+        with pytest.raises(Exception, match="v2"):
+            self._drain(
+                spark, landing, tbl, str(tmp_path / "gbad_ck"),
+                "id long, v double, v2 double",
+            )
+        assert M.current_version(tbl) == v0
+
+    def test_unknown_column_rejected(self, spark, tmp_path):
+        M, tbl = self._sink(
+            spark, tmp_path, "usink", "id long, v double",
+            spark.range(1).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        )
+        landing = str(tmp_path / "u_landing")
+        spark.range(3).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "id AS rogue"
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        with pytest.raises(Exception, match="rogue"):
+            self._drain(
+                spark, landing, tbl, str(tmp_path / "u_ck"),
+                "id long, v double, rogue long",
+            )
