@@ -171,17 +171,34 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+# Round-6 lesson: 141 queries in ONE long-lived session regressed the
+# 61-query r5 cohort ~28% UNIFORMLY (pure metadata ops included) with
+# "allocation exceeds 95% of heap" MemoryManager warnings — accumulated
+# session state, not plan changes. Two defenses: (1) cap the status-store
+# state that grows per query (AppStatusListener retains 1000 executions /
+# 100k task infos by default — tens of MB of old-gen debris by query 100),
+# and (2) recycle the SparkSession every RECYCLE queries so listener/block
+# state restarts from zero while the JVM (and its JIT) stays warm.
+_BENCH_CONFS = {
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.sql.ui.retainedExecutions": "5",
+    "spark.ui.retainedJobs": "50",
+    "spark.ui.retainedStages": "50",
+    "spark.ui.retainedTasks": "500",
+    "spark.appStatusStore.diskStoreDir.maxUsage": "0",
+}
 
-    import __spark_entry__ as E
+
+def _fresh_session(sf_dir: str):
+    """Build a bench session and run the untimed warmup: touch every
+    table (scan/JIT), materialize parse fixtures, and spawn the Python
+    UDF workers once so mapInPandas rows time the parse, not
+    interpreter startup."""
+    import __spark_entry__  # noqa: F401 — keeps registry import order
     from pspcz_analyzer_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
-    qs = E.queries()
-
-    # Warmup: touch every table once so scans/JIT don't bill the first query.
+    spark = get_spark(app_name="bench", extra_confs=_BENCH_CONFS)
     from pspcz_analyzer_spark.catalog import TESTDATA_TABLES, load_table
 
     for t in TESTDATA_TABLES:
@@ -189,9 +206,6 @@ def main() -> None:
             load_table(spark, sf_dir, t).limit(1).collect()
         except Exception:
             pass
-    # Materialize the steno test corpus (fixture construction, not the
-    # operator under measurement) and spawn the Python UDF workers once so
-    # mapInPandas rows time the parse, not interpreter startup.
     try:
         from pspcz_analyzer_spark.plans.documents import (
             ensure_steno_corpus,
@@ -208,6 +222,26 @@ def main() -> None:
         ).mapInPandas(lambda it: it, "id long").collect()
     except Exception:
         pass
+    return spark
+
+
+def _heap_mb(spark) -> float:
+    """Used JVM heap in MiB (post-GC reading — callers GC first)."""
+    try:
+        rt = spark.sparkContext._jvm.Runtime.getRuntime()
+        return round((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024), 1)
+    except Exception:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as E
+
+    spark = _fresh_session(sf_dir)
+    qs = E.queries()
 
     # Best-of-N timing (timeit practice): this box's host-level drift moves
     # SAME-CODE totals by +/-40-50% between runs (measured, SCALING.md
@@ -216,6 +250,9 @@ def main() -> None:
     # rebuilt per run (caches cleared below), so run 2 re-executes the full
     # query, not a cached result.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Session recycle cadence (queries per session). ~1-2 s rebuild cost
+    # each, bounded accumulated listener/block state in between.
+    recycle = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "35"))
     # Resume-stateful queries time their FIRST pass only: a second pass
     # would measure the (intentionally cheap) resume path, not the work.
     single_run = {"doc_topics_enriched"}
@@ -223,9 +260,23 @@ def main() -> None:
     # First-run timings reported alongside best-of-N so cross-round deltas
     # can compare matching methodology (r03 and earlier were single-run).
     run1: dict[str, float] = {}
+    # Post-query used-heap trace: the r6 diagnosis tool. A healthy run
+    # stays flat; a climb across unrelated queries = session pressure.
+    heap_trace: dict[str, float] = {}
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    n_timed = 0
     for name in HEADLINE:
-        if name not in qs:
+        if name not in qs or (only and name not in only):
             continue
+        if recycle > 0 and n_timed and n_timed % recycle == 0:
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = _fresh_session(sf_dir)
+        n_timed += 1
         best = None
         for i in range(1 if name in single_run else max(1, runs)):
             t0 = time.time()
@@ -262,6 +313,7 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+        heap_trace[name] = _heap_mb(spark)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     total_run1 = round(sum(v for v in run1.values() if v >= 0), 3)
     # The driver scrapes a ~2 KB stdout TAIL for the JSON line; at 76+
@@ -279,6 +331,8 @@ def main() -> None:
         "queries": timings,
         "run1": run1,
         "run1_total": total_run1,
+        "heap_mb": heap_trace,
+        "recycle_every": recycle,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     try:
