@@ -33,222 +33,221 @@ _REGISTRY: dict[str, Query] = {}
 
 # Verification harnesses that budget a fixed number of queries consume the
 # registry in iteration order, so ordering is part of the public contract.
-# Round-6 rotation: the driver re-attests 50 queries per round against
+# Round-7 rotation: the driver re-attests 50 queries per round against
 # freshly regenerated testdata, so the budget goes to the queries with the
-# WEAKEST current attestation. Every oracle-bearing query has been
-# driver-attested green in some round (catalog complete since r05); from
-# here the rotation is purely staleness-driven. Tiers (lower first):
-#   10 = sentinels — every query whose PLAN changed this round (the
-#        manifest rewrite paths now read mergeSchema+projected, append
-#        stages-once-with-retry, jobs._commit_rewrite preserves sidecars,
-#        media features gained the decoded column) plus two untouched
-#        canaries;
-#   18 = NEW THIS ROUND (set via register(priority=18) at the definition,
-#        not in this map) — brand-new operators attest before stale ones;
-#   20 = r02-green and never re-attested since (two testdata generations
-#        ago) — the stalest cohort in the catalog;
-#   22 = r03-green cohort + the head of the r04 queue, filling the budget
-#        to exactly 50;
+# WEAKEST current attestation. Ledger note (corrects the stale r6 claim):
+# 210 of the 234 oracle-bearing queries have a green driver attestation in
+# some round; the 24 that do NOT (21 r6-new never yet rotated + the 3
+# r6-red manifest-DML rows fixed this round) all sit inside this round's
+# 50-slot budget. Tiers (lower first):
+#   10 = sentinels — every query whose PLAN changed this round: the three
+#        r6-red DML rows (decimal-safe arithmetic; delete_where alive-row
+#        accounting), the upsert/MERGE/SCD2 rows (size-adaptive victim
+#        planning replaced driver-side key collection), and the
+#        restore/rename pair (restore now rolls the column mapping back
+#        with the schema);
+#   18 = never driver-attested (the 21 r6-new queries) — a query is not
+#        "done" until the driver has hashed it against its oracle;
+#   20 = r02-green and never re-attested since — the stalest cohort; its
+#        head fills the budget to exactly 50 (21 of 26 rotate, the tail
+#        queues for r8);
+#   22 = r03-green cohort — next-stalest, first in line next round;
 #   52 = rows-only by design (no oracle possible: LSH/IVF results are
 #        approximation-defined, PCA basis signs impl-defined, HLL
-#        estimates); each has an oracle-paired anchor at a lower tier
-#        (minhash_lsh_exact_recall / ann_lsh_exact_recall for LSH banding,
-#        ann_ivf_exhaustive_top10 for the IVF index, mp_vote_similarity for
-#        the vote-matrix encoding PCA consumes, doc_vocab_exact for the
-#        vocabulary scan), so a driver slot on them would be wasted;
-#   62 = r04-green, 64 = r05-green (most recent attestation yields last).
+#        estimates); each has an oracle-paired anchor at a lower tier, so
+#        a driver slot on them would be wasted;
+#   60/62/64 = r04/r05/r06-green — freshest attestations yield last.
 PRIORITY_SENTINEL = 10
 PRIORITY_NEW = 18
-PRIORITY_NEW_DEFERRED = 19
 PRIORITY_STALE_R02 = 20
 PRIORITY_STALE_R03 = 22
 PRIORITY_ROWS_ONLY = 52
-PRIORITY_ATTESTED_R04 = 62
-PRIORITY_ATTESTED_R05 = 64
+PRIORITY_ATTESTED_R04 = 60
+PRIORITY_ATTESTED_R05 = 62
+PRIORITY_ATTESTED_R06 = 64
 
 _PRIORITY: dict[str, int] = {
-    # Sentinels: plan-changed this round, plus two untouched canaries.
+    # Sentinels: plan changed this round (see tier note).
     **{
         n: PRIORITY_SENTINEL
         for n in (
-            # manifest.delete_keys/upsert/compact now read affected files
-            # mergeSchema + projected (ADVICE r05 high), find victims from
-            # stored stats, and append stages-once-with-retry.
-            "manifest_delete_roundtrip",
+            "manifest_dml_roundtrip",
+            "manifest_delete_pos_roundtrip",
+            "manifest_merge_roundtrip",
             "manifest_cdc_roundtrip",
-            "manifest_schema_evolution",
-            # load/scan_manifest_table route through the shared
-            # _read_files projection. (history/restore/zorder/stats
-            # sentinels of the earlier draft are demoted below: round
-            # 6's NEW queries exercise the same changed paths —
-            # manifest_scan_pruned IS the stats-pruned scan — and the
-            # budget is full at 50.)
-            # extract_image_features: real header parsing + decoded col.
-            "media_image_features",
-            # jobs._commit_rewrite now carries sidecars over the swap.
-            "parquet_delete_roundtrip",
-            # (The two untouched canaries of earlier drafts are dropped:
-            # round 6 registered 40 brand-new queries and 12 sentinels +
-            # 40 new overflows the 50-slot budget — the canaries' shared
-            # machinery is exercised by half the catalog anyway.)
+            "manifest_scd2_customer",
+            "orders_scd2_asof_segment",
+            "manifest_restore_roundtrip",
+            "manifest_rename_roundtrip",
         )
     },
-    # Round-6 additions whose changed machinery is redundantly attested
-    # by a sibling NEW row, deferred to keep the 50-slot budget exact:
-    # manifest_scan_unpruned is the negative control of the scan-pruned
-    # bench pair (its read path is every manifest query's read), and
-    # manifest_mor_materialized's materialize_deletes call is also
-    # exercised (with assertions) inside manifest_delete_pos_roundtrip,
-    # and manifest_day_partition_scan's partitioned-write + day-prune
-    # path is the same machinery manifest_generated_partition (generated
-    # day transform) and manifest_partition_evolution drive.
-    # eval_contamination_stats (the audit half) rides the same exact-
-    # substring span machinery its removal twin corpus_decontaminate_substr
-    # keeps attested.
+    # Never driver-attested: every r6-new oracle query rotates in now.
     **{
-        n: PRIORITY_NEW_DEFERRED
+        n: PRIORITY_NEW
         for n in (
-            "manifest_scan_unpruned",
-            "manifest_mor_materialized",
-            "manifest_day_partition_scan",
-            "eval_contamination_stats",
-            # plain keyed-window ranking, kept attested by the r05-green
-            # top3_orders_per_customer.
-            "orders_price_position",
-            # pins the FAKE path of the same mapInPandas plumbing the new
-            # media_video_mp4_features attests with REAL parsed headers;
-            # the RIFF parser itself is unit-tested on struct-built WAVs.
-            "media_audio_features",
-            # wedge self-join + pair aggregate over the same strong-tie
-            # graph triangle_suppliers keeps attested; gate-verified
-            # locally this round, rotates into the driver budget next.
-            "link_prediction_suppliers",
-            # files_table reads the same manifest dict every attested
-            # lifecycle row proves; gate-verified locally, rotates next.
-            "manifest_files_accounting",
-            # exact-percentile + flag pass — the same percentile
-            # aggregate machinery events_value_equidepth holds attested
-            # (r05 green); gate-verified locally, rotates next.
-            "events_robust_outliers",
-            # multi-dim box pruning + curve re-layout + box scan: the
-            # same machinery manifest_hilbert_optimize attests this
-            # round over the better curve; gate-verified locally.
-            "manifest_scan_box_zorder",
-            # one-call Spark-builtin format roundtrip (no custom code in
-            # the path); the hostile-CSV row attests the text-format
-            # writer/reader class adversarially this round.
-            "orc_roundtrip_supplier",
-            # per-user keyed rolling window — the machinery
-            # events_hourly_resample (LOCF grid window) and the
-            # r02-tier top3_orders_per_customer keep attested.
-            "events_anomaly_zscore",
-            # one-scan conditional aggregate (exp-decay weights) — the
-            # agg class half the catalog attests; gate-verified locally.
-            "events_decayed_value",
-            # token explode + per-term grouping — the machinery
-            # doc_term_pmi (in budget) drives with a harder aggregate.
-            "doc_inverted_postings",
-            # shingle-hash equi-join candidates + overlap scoring — the
-            # same machinery near_dup_jaccard (r02 tier, in budget)
-            # attests with the Jaccard variant of the score.
-            "near_dup_containment",
-            # trigram explode + per-source distinct — the explode/
-            # distinct machinery doc_term_pmi (in budget) drives harder.
-            "corpus_ngram_diversity",
-            # unigram scoring (r04-attested doc_lm_perplexity) + the
-            # quantile-bucket class customer_rfm_segments/equidepth
-            # attest; gate-verified locally, rotates next round.
-            "corpus_ppl_buckets",
-            # composes the attested triangle pass with one degree
-            # aggregate; the ratio is brute-force parity-tested.
             "clustering_coeff_suppliers",
-            # basket-keyed self-join pair counting — the co-occurrence
-            # machinery triangle_suppliers/link-prediction attest this
-            # round; gate-verified locally, rotates next.
-            "frequent_part_pairs",
-            # the rule phase on the same pair counts (two hash joins +
-            # a ratio); gate-verified locally, rotates next.
-            "part_association_rules",
-            # one map-side-combined aggregate — the most-attested plan
-            # class in the catalog; gate-verified locally, rotates next.
+            "corpus_ngram_diversity",
+            "corpus_ppl_buckets",
+            "doc_inverted_postings",
+            "eval_contamination_stats",
+            "events_anomaly_zscore",
+            "events_decayed_value",
+            "events_robust_outliers",
             "events_weekly_seasonality",
+            "frequent_part_pairs",
+            "link_prediction_suppliers",
+            "manifest_day_partition_scan",
+            "manifest_files_accounting",
+            "manifest_mor_materialized",
+            "manifest_scan_box_zorder",
+            "manifest_scan_unpruned",
+            "media_audio_features",
+            "near_dup_containment",
+            "orc_roundtrip_supplier",
+            "orders_price_position",
+            "part_association_rules",
         )
     },
-    # r02-green and never re-attested: the stalest attestation standing.
+    # r02-green, never re-attested: stalest standing attestation.
     **{
         n: PRIORITY_STALE_R02
         for n in (
-            "doc_quality_scores",
-            "exact_dedup_survivors",
-            "minhash_lsh_exact_recall",
-            "simhash_dup_pairs",
-            "doc_language_id",
-            "steno_crossval_letters",
-            "doc_topics_enriched",
-            "steno_parse_votes",
-            "near_dup_jaccard",
             "anti_join_customers_without_orders",
-            "semi_join_customers_with_1997_orders",
-            "orders_page3",
+            "cube_status_priority",
+            "customer_display_names",
+            "distinct_status_priority",
+            "doc_language_id",
+            "doc_quality_scores",
+            "doc_topics_enriched",
+            "exact_dedup_survivors",
+            "except_building_without_bigspenders",
+            "fuzzy_match_supplier_customer",
+            "minhash_lsh_exact_recall",
             "nation_pairs_same_region",
+            "near_dup_jaccard",
+            "orders_by_month",
+            "orders_keyset_page",
+            "orders_page3",
             "pivot_status_by_priority",
             "point_lookup_order",
-            "distinct_status_priority",
-            "except_building_without_bigspenders",
+            "prefix_match_parts",
             "rollup_priority_status",
-            "cube_status_priority",
-            "fuzzy_match_supplier_customer",
+            "semi_join_customers_with_1997_orders",
+            "simhash_dup_pairs",
+            "steno_crossval_letters",
+            "steno_parse_votes",
             "top3_orders_per_customer",
             "vote_number_resolution",
-            "orders_keyset_page",
-            "prefix_match_parts",
-            "customer_display_names",
-            "orders_by_month",
         )
     },
-    # r03-green cohort + the stalest r04 rows, topping the budget at 50.
+    # r03-green cohort.
     **{
         n: PRIORITY_STALE_R03
         for n in (
-            "unl_roundtrip_nation",
-            "json_nested_roundtrip",
-            "pdf_letters_parse",
-            "order_lines_nested",
-            "asof_latest_order_before_event",
+            "amendments_merged",
+            "ann_bruteforce_top10",
+            "ann_ivf_exhaustive_top10",
             "asof_cascade",
-            "laws_listing_page",
-            "corpus_train_split",
-            "doc_repetition_stats",
+            "asof_latest_order_before_event",
+            "attendance_rates",
+            "coalition_cohesion",
+            "corpus_decontaminate",
+            "corpus_pack_sequences",
+            "doc_length_quantiles",
+            "doc_vocab_exact",
+            "embedding_near_dup",
+            "embedding_pairs_cross_label",
+            "events_carry_forward_purchase",
+            "events_lag_gap",
+            "events_props_json",
+            "events_running_value",
+            "events_session_window_10m",
+            "events_sessionized",
+            "events_sliding_1h_30m",
+            "events_stream_tumbling_1h",
+            "events_stream_view_purchase",
+            "events_tumbling_1h",
+            "json_nested_roundtrip",
+            "mp_similarity_top20",
+            "mp_vote_similarity",
+            "near_dup_clusters",
+            "near_dup_jaccard_capped",
+            "order_lines_nested",
+            "party_breakdown_vote42",
+            "party_pair_agreement",
+            "pdf_letters_parse",
+            "q10_returned_revenue",
+            "q12_shipmode_priority",
+            "q13_customer_distribution",
+            "q14_promo_share",
+            "q18_large_orders",
+            "q19_disjunctive_revenue",
+            "q1_pricing_summary",
+            "q2_min_cost_supplier",
+            "q3_top_revenue_orders",
+            "q4_priority_with_returns",
+            "q6_forecast_revenue",
+            "q7_nation_volume",
+            "training_corpus_prepare",
+            "unl_roundtrip_nation",
+            "vote_detail_rows",
         )
     },
-    # Rows-only by design (see tier note above). ann_ivfpq_top10 joins
-    # them: probe/shortlist approximation, anchored by the oracle-paired
-    # ann_ivfpq_exhaustive_top10 — a driver slot on it would be wasted.
+    # Rows-only by design (see tier note above).
     **{
         n: PRIORITY_ROWS_ONLY
         for n in (
-            "ann_lsh_pairs",
             "ann_ivf_top10",
             "ann_ivfpq_top10",
-            "mp_pca_coords",
+            "ann_lsh_pairs",
+            "doc_bpe_encoded",
+            "doc_bpe_merges",
+            "doc_unigram_encoded",
+            "doc_unigram_pieces",
             "doc_vocab_approx",
+            "mp_pca_coords",
+            "mp_pca_coords_distributed",
+            "semantic_dedup_kmeans",
         )
     },
-    # r04-green cohort (CORRECTNESS_r04.json), minus the rows promoted to
-    # tier 22 above. Overrides inline register(priority=18) of round-4
-    # additions so they stop consuming budget.
+    # r04-green cohort (CORRECTNESS_r04.json).
     **{
         n: PRIORITY_ATTESTED_R04
         for n in (
-            "corpus_pii_redacted",
-            "corpus_source_cap",
+            "ann_ivf_index_roundtrip",
+            "ann_lsh_exact_recall",
+            "corpus_chunk_windows",
+            "corpus_embedding_decontaminate",
+            "corpus_extend_near_dup",
+            "corpus_extend_semantic",
             "corpus_lang_sample_exact",
+            "corpus_pii_redacted",
+            "corpus_quality_calibrated",
+            "corpus_remove_boilerplate",
+            "corpus_shuffle_order",
+            "corpus_source_cap",
+            "corpus_temperature_mix",
+            "corpus_train_split",
+            "corpus_weighted_sample",
+            "doc_bm25_topk",
+            "doc_html_strip_roundtrip",
+            "doc_lm_perplexity",
+            "doc_prompt_prep",
+            "doc_repetition_stats",
             "doc_top_terms_by_lang",
-            "profile_orders_columns",
+            "events_funnel",
             "events_hot_users",
-            "salted_join_priority_revenue",
-            "q8_market_share",
-            "q9_product_profit",
+            "events_retention_cohorts",
+            "events_rollup_hourly_daily",
+            "events_session_dynamic_gap",
+            "events_stream_nation_totals",
+            "events_stream_user_totals",
+            "events_trailing_24h",
+            "incremental_agg_roundtrip",
+            "laws_listing_page",
+            "orders_snapshot_diff",
+            "parquet_zorder_roundtrip",
+            "profile_orders_columns",
             "q11_important_stock",
             "q15_top_supplier",
             "q16_supplier_count",
@@ -256,84 +255,109 @@ _PRIORITY: dict[str, int] = {
             "q20_part_promotion",
             "q21_waiting_supplier",
             "q22_global_sales",
-            "ann_lsh_exact_recall",
-            "events_session_dynamic_gap",
-            "events_trailing_24h",
-            "events_rollup_hourly_daily",
-            "events_stream_user_totals",
-            "events_stream_nation_totals",
-            "events_funnel",
-            "events_retention_cohorts",
-            "doc_bm25_topk",
-            "doc_html_strip_roundtrip",
-            "corpus_remove_boilerplate",
-            "corpus_shuffle_order",
-            "corpus_temperature_mix",
-            "corpus_quality_calibrated",
-            "corpus_extend_near_dup",
-            "corpus_chunk_windows",
-            "doc_lm_perplexity",
-            "corpus_weighted_sample",
-            "doc_prompt_prep",
-            "parquet_zorder_roundtrip",
-            "incremental_agg_roundtrip",
-            "orders_snapshot_diff",
-            "ann_ivf_index_roundtrip",
-            "corpus_embedding_decontaminate",
+            "q8_market_share",
+            "q9_product_profit",
+            "salted_join_priority_revenue",
             "semantic_dedup_by_label",
-            "corpus_extend_semantic",
         )
     },
-    # r05-green cohort (CORRECTNESS_r05.json), minus the plan-changed rows
-    # promoted to sentinels: freshest attestation, last in line.
+    # r05-green cohort (CORRECTNESS_r05.json).
     **{
         n: PRIORITY_ATTESTED_R05
         for n in (
-            "manifest_history_accounting",
-            "manifest_restore_roundtrip",
-            "manifest_zorder_optimize",
-            "parquet_compact_roundtrip",
-            "manifest_stats_prune",
-            "events_range_join_windows",
-            "doc_duplicate_spans",
-            "doc_duplicate_spans_removed",
-            "q5_nation_revenue",
-            "loyalty_rebellion_rates",
-            "doc_top_terms",
-            "corpus_lang_sample",
             "asof_next_order_after_event",
-            "doc_retrieval_eval",
-            "events_transition_matrix",
-            "events_top_user_paths",
-            "doc_nb_lang_classify",
-            "doc_gopher_flags",
-            "corpus_unimax_sample",
-            "corpus_weighted_sample_per_lang",
-            "corpus_dsir_scores",
-            "corpus_quality_calibrated_by_lang",
-            "lineitem_numeric_correlations",
-            "events_value_histogram",
-            "events_value_equidepth",
-            "events_cms_user_counts",
             "bloom_prune_orders_building",
             "bucketed_join_revenue",
-            "pagerank_suppliers",
-            "semantic_dedup_farthest",
-            "embedding_matryoshka_prefix",
-            "embedding_hard_negatives",
-            "events_stream_dedup",
-            "doc_search_normalized",
-            "docs_browser_page",
-            "doc_token_stats",
+            "corpus_dsir_scores",
+            "corpus_lang_sample",
+            "corpus_quality_calibrated_by_lang",
+            "corpus_unimax_sample",
+            "corpus_weighted_sample_per_lang",
+            "doc_duplicate_spans",
+            "doc_duplicate_spans_removed",
             "doc_fingerprints",
+            "doc_gopher_flags",
+            "doc_nb_lang_classify",
+            "doc_retrieval_eval",
+            "doc_search_normalized",
+            "doc_token_stats",
+            "doc_top_terms",
+            "docs_browser_page",
             "docs_by_source_stats",
-            "parquet_overwrite_roundtrip",
-            "parquet_partitioned_prune",
+            "embedding_hard_negatives",
+            "embedding_matryoshka_prefix",
+            "events_cms_user_counts",
+            "events_range_join_windows",
+            "events_stream_dedup",
+            "events_top_user_paths",
+            "events_transition_matrix",
+            "events_value_equidepth",
+            "events_value_histogram",
+            "latest_order_per_customer",
             "law_refs_extracted",
-            "parquet_upsert_resume",
+            "lineitem_numeric_correlations",
+            "loyalty_rebellion_rates",
+            "manifest_history_accounting",
+            "manifest_stats_prune",
+            "manifest_zorder_optimize",
             "media_binary_stats",
             "media_frame_sample",
-            "latest_order_per_customer",
+            "pagerank_suppliers",
+            "parquet_compact_roundtrip",
+            "parquet_overwrite_roundtrip",
+            "parquet_partitioned_prune",
+            "parquet_upsert_resume",
+            "q5_nation_revenue",
+            "semantic_dedup_farthest",
+        )
+    },
+    # r06-green cohort (CORRECTNESS_r06.json): freshest, last in line.
+    **{
+        n: PRIORITY_ATTESTED_R06
+        for n in (
+            "ann_ivfpq_exhaustive_top10",
+            "clone_divergence_buckets",
+            "corpus_decontaminate_substr",
+            "csv_roundtrip_hostile",
+            "customer_rfm_segments",
+            "doc_bigram_perplexity",
+            "doc_hybrid_rrf_topk",
+            "doc_term_pmi",
+            "doc_textrank_keywords",
+            "embedding_knn_graph",
+            "er_sorted_neighborhood",
+            "events_hll_distinct_users",
+            "events_hourly_resample",
+            "events_manifest_cdf_stream",
+            "events_stream_mv_refresh",
+            "events_stream_view_purchase_outer",
+            "events_value_psi",
+            "events_value_trend_ols",
+            "hits_trade_graph",
+            "kcore_trade_graph",
+            "lpa_supplier_communities",
+            "manifest_bloom_point_lookup",
+            "manifest_cdf_appends",
+            "manifest_clone_roundtrip",
+            "manifest_delete_roundtrip",
+            "manifest_generated_partition",
+            "manifest_hilbert_optimize",
+            "manifest_mor_delete_roundtrip",
+            "manifest_mv_refresh",
+            "manifest_null_prune",
+            "manifest_partition_evolution",
+            "manifest_scan_pruned",
+            "manifest_schema_evolution",
+            "media_image_features",
+            "media_video_mp4_features",
+            "orders_expectations",
+            "orders_table_fingerprint",
+            "pagerank_weighted_suppliers",
+            "parquet_delete_roundtrip",
+            "ppr_nation0_market",
+            "semantic_dedup_salted",
+            "supplier_hops_bfs",
+            "triangle_suppliers",
         )
     },
 }
