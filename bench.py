@@ -266,54 +266,62 @@ def main() -> None:
     only = {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
+    names = [n for n in HEADLINE if n in qs and (not only or n in only)]
+    # INTERLEAVED passes (suite twice, best per query across passes), not
+    # back-to-back per-query runs: this box's host-level stalls come in
+    # multi-minute WINDOWS (r7 measured: a contiguous 15-query span 2-4x
+    # slow in BOTH back-to-back runs while best-of-two across passes put
+    # the same cohort at 1.02x its r5 total). Back-to-back attempts share
+    # any such window; attempts a full pass apart do not. Inputs stay OS-
+    # page-cached across a pass at bench scale, so pass 2 is still warm.
     n_timed = 0
-    for name in HEADLINE:
-        if name not in qs or (only and name not in only):
-            continue
-        if recycle > 0 and n_timed and n_timed % recycle == 0:
-            try:
-                spark.stop()
-            except Exception:
-                pass
-            spark = _fresh_session(sf_dir)
-        n_timed += 1
-        best = None
-        for i in range(1 if name in single_run else max(1, runs)):
+    for pass_i in range(max(1, runs)):
+        for name in names:
+            if pass_i > 0 and (name in single_run or timings.get(name) == -1.0):
+                # Resume-stateful queries time their first pass only;
+                # broken queries stay broken.
+                continue
+            if recycle > 0 and n_timed and n_timed % recycle == 0:
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = _fresh_session(sf_dir)
+            n_timed += 1
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).collect()
                 dt = round(time.time() - t0, 3)
-                best = dt if best is None else min(best, dt)
-                if i == 0:
-                    run1[name] = dt
-            except Exception as e:  # keep benching; a broken query reports -1
+            except Exception as e:  # keep benching; broken reports -1
                 print(f"bench error in {name}: {e}", file=sys.stderr)
-                best = -1.0
-                if i == 0:
-                    run1[name] = -1.0
-                break
+                dt = -1.0
+            if pass_i == 0:
+                run1[name] = dt
+            prev = timings.get(name)
+            timings[name] = (
+                dt
+                if dt < 0 or prev is None or prev < 0
+                else min(prev, dt)
+            )
+            # A query's persisted intermediates are dead once collected
+            # (plans persist shared subtrees and rely on eviction);
+            # dropping them between timings keeps the storage fraction
+            # from squeezing later queries' execution memory.
             spark.catalog.clearCache()
-        timings[name] = best
-        # A query's persisted intermediates are dead once it is collected
-        # (plans persist shared subtrees and rely on eviction); dropping
-        # them between timings keeps the storage fraction from squeezing
-        # later queries' execution memory — each row times the query, not
-        # the session's accumulated cache debris.
-        spark.catalog.clearCache()
-        # Python refs pin JVM-side plans/broadcasts through py4j until the
-        # Python GC runs, and the JVM only reclaims them under pressure —
-        # measured: +2-8 s on late similarity queries in a 36-query
-        # session. Collect both heaps between timings (harness-only
-        # hygiene, outside every timed window; _jvm is the only route to
-        # System.gc from PySpark).
-        import gc
+            # Python refs pin JVM-side plans/broadcasts through py4j until
+            # the Python GC runs, and the JVM only reclaims them under
+            # pressure — measured: +2-8 s on late similarity queries in a
+            # 36-query session. Collect both heaps between timings
+            # (harness-only hygiene, outside every timed window).
+            import gc
 
-        gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
-        heap_trace[name] = _heap_mb(spark)
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            heap_trace[name] = _heap_mb(spark)
+    timings = {n: timings[n] for n in names if n in timings}
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     total_run1 = round(sum(v for v in run1.values() if v >= 0), 3)
     # The driver scrapes a ~2 KB stdout TAIL for the JSON line; at 76+

@@ -1,5 +1,10 @@
 """HTTP route factory mirroring the reference's API surface.
 
+GET /api/votes?search=&outcome=&topic=&page=&per_page=
+                                        (votes_service.py:160-230 list_votes
+                                         via routes/pages.py:38-78)
+GET /health                             (routes/health.py:16-21, widened
+                                         with freshness/manifest inventory)
 GET /api/attendance?sort=&top=&party=   (routes/voting.py:49-70)
 GET /api/loyalty?top=&party=            (routes/voting.py:23-45)
 GET /api/amendments?search=&page=       (routes/amendments.py:21-47)
@@ -23,7 +28,14 @@ from pspcz_analyzer_spark.serving.service import QueryService, QueryTimeoutError
 # decorators (routes/voting.py:24 60/min analysis, routes/charts.py 30/min,
 # browse endpoints 120/min; BASELINE.md envelope).
 RATE_LIMITS = {"analysis": 60, "browse": 120, "charts": 30}
-_BROWSE_PREFIXES = ("/api/laws", "/api/amendments", "/api/query", "/votes")
+_BROWSE_PREFIXES = (
+    "/api/laws",
+    "/api/amendments",
+    "/api/query",
+    "/api/votes",
+    "/votes",
+    "/health",  # reference health.py: 120/minute — the browse class
+)
 
 
 def classify_endpoint(path: str) -> str:
@@ -94,9 +106,36 @@ def create_app(service: QueryService):
             top=clamp("top", top, 1, 500), cross_party_only=cross_party_only
         )
 
+    @app.get("/api/votes")
+    def votes(
+        search: str = "",
+        outcome: str = "",
+        topic: str = "",
+        page: int = 1,
+        per_page: int = 30,
+    ):
+        # The reference's most-used page (votes_service.py:160-230 via
+        # routes/pages.py): search + outcome + topic filters, paged.
+        if len(search) > 200 or len(topic) > 100:
+            raise HTTPException(status_code=422, detail="bad votes params")
+        clamp("page", page, 1, 100000)
+        clamp("per_page", per_page, 1, 200)
+        return service.votes(
+            search=search,
+            outcome=outcome,
+            topic=topic,
+            page=page,
+            per_page=per_page,
+        )
+
     @app.get("/votes/{vote_id}")
     def vote_detail(vote_id: int):
         return service.vote_detail(vote_id)
+
+    @app.get("/health")
+    def health():
+        # First thing an operator curls (reference routes/health.py).
+        return service.health()
 
     @app.get("/api/laws")
     def laws(

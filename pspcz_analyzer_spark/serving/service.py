@@ -371,6 +371,194 @@ class QueryService:
             point_label="mp",
         )
 
+    def votes(
+        self,
+        search: str = "",
+        outcome: str = "",
+        topic: str = "",
+        page: int = 1,
+        per_page: int = 30,
+    ) -> dict:
+        """Votes browser — the reference's most-used page
+        (votes_service.py:160-230 ``list_votes`` + routes/pages.py:38-78):
+        one row per non-void vote with per-code tallies and a derived
+        outcome, filtered by diacritic-insensitive title search (P6),
+        outcome code, and a topic SEMI-JOIN (J8 — votes whose order
+        touches a part whose type mentions the topic), sorted newest
+        first and offset-paged with a total-hit count. Returns the
+        reference's page dict: rows/total/page/per_page/total_pages.
+
+        Plan shape at scale: tallies are ONE map-side-combined aggregate
+        over mp_votes; the void exclusion is an anti-join against the
+        (small) void list; the topic filter is a semi-join whose part
+        side is filtered before the join; the hit count is a scalar
+        aggregate broadcast back, never an unpartitioned window."""
+        import pyspark.sql.functions as F
+
+        from pspcz_analyzer_spark.catalog import load_table
+        from pspcz_analyzer_spark.functions.text import contains_normalized
+        from pspcz_analyzer_spark.operators.pagination import page_offset
+        from pspcz_analyzer_spark.plans.voting import (
+            derive_mp_votes,
+            derive_void_votes,
+        )
+
+        def build():
+            mp = derive_mp_votes(self.spark, self.sf_dir)
+            tallies = mp.groupBy("id_hlasovani").agg(
+                F.sum(F.when(F.col("vysledek") == "A", 1).otherwise(0)).alias("pro"),
+                F.sum(F.when(F.col("vysledek") == "B", 1).otherwise(0)).alias("proti"),
+                F.sum(F.when(F.col("vysledek") == "C", 1).otherwise(0)).alias("zdrzel"),
+                F.sum(F.when(F.col("vysledek") == "F", 1).otherwise(0)).alias("nehlasoval"),
+                F.count(F.lit(1)).alias("prihlaseno"),
+            )
+            cust = F.broadcast(
+                load_table(self.spark, self.sf_dir, "customer").select(
+                    "c_custkey", "c_name"
+                )
+            )
+            raw = load_table(self.spark, self.sf_dir, "orders")
+            orders = raw.join(
+                cust, raw.o_custkey == cust.c_custkey
+            ).select(
+                F.col("o_orderkey").alias("id_hlasovani"),
+                F.col("o_orderdate").cast("string").alias("datum"),
+                F.coalesce(F.col("c_name"), F.lit("")).alias("nazev_dlouhy"),
+                F.col("o_orderpriority").alias("nazev_kratky"),
+            )
+            if search and search.strip():
+                # Pushed to the orders scan BEFORE the tally join.
+                orders = orders.filter(
+                    contains_normalized("nazev_dlouhy", search.strip())
+                    | contains_normalized("nazev_kratky", search.strip())
+                )
+            void = derive_void_votes(self.spark, self.sf_dir)
+            votes = (
+                orders.join(void, "id_hlasovani", "left_anti")
+                .join(tallies, "id_hlasovani")
+                .withColumn(
+                    "vysledek",
+                    F.when(F.col("pro") > F.col("proti"), "A").otherwise("R"),
+                )
+            )
+            if outcome:
+                votes = votes.filter(F.col("vysledek") == outcome)
+            if topic:
+                li = load_table(self.spark, self.sf_dir, "lineitem").select(
+                    F.col("l_orderkey").alias("id_hlasovani"), "l_partkey"
+                )
+                part = (
+                    load_table(self.spark, self.sf_dir, "part")
+                    .filter(contains_normalized("p_type", topic))
+                    .select("p_partkey")
+                )
+                topical = (
+                    li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+                    .select("id_hlasovani")
+                    .distinct()
+                )
+                votes = votes.join(topical, "id_hlasovani", "left_semi")
+            total = votes.agg(F.count(F.lit(1)).alias("total_hits"))
+            votes = votes.crossJoin(F.broadcast(total))
+            return page_offset(
+                votes,
+                [F.col("id_hlasovani").desc()],
+                page=page,
+                per_page=per_page,
+            )
+
+        key = (
+            f"votes:{self.sf_dir}:{search}:{outcome}:{topic}:{page}:{per_page}"
+        )
+        rows = self._cached(key, build)
+        total = rows[0]["total_hits"] if rows else 0
+        for r in rows:
+            r.pop("total_hits", None)
+        total_pages = max(1, (total + per_page - 1) // per_page)
+        return {
+            "rows": rows,
+            "total": total,
+            "page": page,
+            "per_page": per_page,
+            "total_pages": total_pages,
+        }
+
+    def health(self) -> dict:
+        """Operator's first curl (reference routes/health.py:16-21, widened
+        per its data-freshness intent): session liveness, per-table
+        inventory with modification times (freshness), manifest versions
+        for any manifest-committed tables under the data dir, and the
+        serving cache's hit economics. Metadata-only — no Spark job runs,
+        so the endpoint answers even while the cluster is saturated."""
+        import os as _os
+        import time as _time
+
+        from pspcz_analyzer_spark.catalog import TESTDATA_TABLES
+
+        sc = self.spark.sparkContext
+        try:
+            alive = not sc._jsc.sc().isStopped()
+            app_id = sc.applicationId
+        except Exception:
+            alive, app_id = False, None
+        tables = {}
+        newest = 0.0
+        for t in TESTDATA_TABLES:
+            p = _os.path.join(self.sf_dir, f"{t}.parquet")
+            if _os.path.exists(p):
+                st = _os.stat(p)
+                tables[t] = {
+                    "bytes": st.st_size,
+                    "modified_at": _time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime(st.st_mtime)
+                    ),
+                }
+                newest = max(newest, st.st_mtime)
+            else:
+                tables[t] = None
+        manifests = {}
+        try:
+            import tempfile as _tempfile
+
+            from pspcz_analyzer_spark import manifest as M
+
+            tag = self.sf_dir.strip("/").replace("/", "_")
+            tmp = _tempfile.gettempdir()
+            candidates = [
+                (name, _os.path.join(self.sf_dir, name))
+                for name in (
+                    sorted(_os.listdir(self.sf_dir))
+                    if _os.path.isdir(self.sf_dir)
+                    else []
+                )
+            ] + [
+                (name, _os.path.join(tmp, name))
+                for name in sorted(_os.listdir(tmp))
+                if name.startswith("pspcz_spark_") and tag in name
+            ]
+            for name, p in candidates:
+                if _os.path.isdir(_os.path.join(p, M.MANIFEST_DIR)):
+                    try:
+                        manifests[name] = M.current_version(p)
+                    except Exception:
+                        manifests[name] = None
+        except Exception:
+            pass
+        return {
+            "status": "ok" if alive else "degraded",
+            "spark": {"alive": alive, "app_id": app_id},
+            "sf_dir": self.sf_dir,
+            "tables": tables,
+            "data_age_seconds": (
+                round(_time.time() - newest, 1) if newest else None
+            ),
+            "manifest_versions": manifests,
+            "cache": {
+                "entries": len(getattr(self.cache, "_store", {})),
+                "compute_calls": self.compute_calls,
+            },
+        }
+
     def query(self, name: str) -> Rows:
         """Any registered catalog query by name (the generic endpoint)."""
         fns = query_fns()

@@ -298,3 +298,118 @@ def test_rate_limiter_evicts_refilled_buckets():
     for i in range(20):
         rl.allow(f"d{i}")
     assert not rl.allow("busy")  # still drained after more inserts
+
+
+class TestVotesBrowser:
+    """The reference's most-used page (votes_service.py:160-230): votes
+    listing with void exclusion, diacritic-insensitive search, outcome
+    and topic filters, newest-first offset pagination, page dict shape."""
+
+    @pytest.fixture()
+    def svc(self, spark):
+        return QueryService(spark, SF_DIR, ttl_seconds=3600)
+
+    def test_page_shape_and_ordering(self, svc):
+        out = svc.votes(page=1, per_page=10)
+        assert set(out) == {"rows", "total", "page", "per_page", "total_pages"}
+        assert len(out["rows"]) == 10 and out["total"] > 10
+        ids = [r["id_hlasovani"] for r in out["rows"]]
+        assert ids == sorted(ids, reverse=True)  # newest (highest id) first
+        row = out["rows"][0]
+        for k in ("datum", "nazev_dlouhy", "vysledek", "pro", "proti",
+                  "zdrzel", "nehlasoval", "prihlaseno"):
+            assert k in row
+        assert "total_hits" not in row
+        # page 2 continues strictly below page 1's keys
+        out2 = svc.votes(page=2, per_page=10)
+        assert max(r["id_hlasovani"] for r in out2["rows"]) < min(ids)
+
+    def test_void_votes_excluded(self, svc, spark):
+        from pspcz_analyzer_spark.plans.voting import derive_void_votes
+
+        voids = {
+            r[0] for r in derive_void_votes(spark, SF_DIR).collect()
+        }
+        out = svc.votes(page=1, per_page=200)
+        assert not ({r["id_hlasovani"] for r in out["rows"]} & voids)
+
+    def test_outcome_filter(self, svc):
+        out = svc.votes(outcome="A", page=1, per_page=50)
+        assert out["rows"] and all(
+            r["vysledek"] == "A" and r["pro"] > r["proti"]
+            for r in out["rows"]
+        )
+
+    def test_search_is_diacritic_insensitive(self, svc):
+        # o_comment text is ASCII; a diacritic-laden query must still hit
+        # the folded form (P6 semantics): "régulár" -> "regular".
+        plain = svc.votes(search="urgent", per_page=5)
+        folded = svc.votes(search="úrgent", per_page=5)
+        assert plain["total"] > 0
+        assert folded["total"] == plain["total"]
+
+    def test_topic_semi_join_filters(self, svc):
+        allv = svc.votes(per_page=1)["total"]
+        topical = svc.votes(topic="PROMO", per_page=1)
+        assert 0 < topical["total"] < allv
+        none = svc.votes(topic="NOSUCHTYPEWORD", per_page=1)
+        assert none["total"] == 0 and none["rows"] == []
+
+    def test_cache_key_covers_params(self, svc):
+        svc.votes(search="a", page=1)
+        n = svc.compute_calls
+        svc.votes(search="a", page=1)  # hit
+        assert svc.compute_calls == n
+        svc.votes(search="b", page=1)  # different param -> miss
+        assert svc.compute_calls == n + 1
+
+
+class TestHealthEndpoint:
+    @pytest.fixture()
+    def svc(self, spark):
+        return QueryService(spark, SF_DIR, ttl_seconds=3600)
+
+    def test_health_shape_and_liveness(self, svc):
+        h = svc.health()
+        assert h["status"] == "ok"
+        assert h["spark"]["alive"] is True and h["spark"]["app_id"]
+        assert h["sf_dir"] == SF_DIR
+        # Every testdata table inventoried with freshness metadata.
+        from pspcz_analyzer_spark.catalog import TESTDATA_TABLES
+
+        assert set(h["tables"]) == set(TESTDATA_TABLES)
+        assert all(
+            v is None or ("bytes" in v and "modified_at" in v)
+            for v in h["tables"].values()
+        )
+        assert h["tables"]["orders"]["bytes"] > 0
+        assert h["data_age_seconds"] is not None
+        assert "cache" in h and "compute_calls" in h["cache"]
+
+    def test_health_reports_manifest_versions(self, svc, spark, tmp_path):
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.scratch import scratch_path
+
+        p = scratch_path(SF_DIR, "health_probe_tbl")
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+        spark.range(5).write.parquet(p)
+        M.manifest_init(p)
+        h = svc.health()
+        import os
+
+        name = os.path.basename(p)
+        assert h["manifest_versions"].get(name) == 1
+        shutil.rmtree(p, ignore_errors=True)
+
+    def test_health_is_metadata_only(self, svc, spark, monkeypatch):
+        # No Spark job may run: the endpoint must answer under load.
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        def boom(self_df):
+            raise AssertionError("health() ran a Spark job")
+
+        monkeypatch.setattr(_DF, "collect", boom)
+        h = svc.health()
+        assert h["status"] == "ok"
