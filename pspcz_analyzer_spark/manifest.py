@@ -2201,11 +2201,13 @@ def merge_into(
     spark: SparkSession,
     path: str,
     source: DataFrame,
-    key_col: str,
+    key_col: "str | list[str]",
     when_matched_update: "dict[str, str] | None" = None,
     matched_condition: "str | None" = None,
     when_matched_delete: "str | None" = None,
     when_not_matched_insert: bool = True,
+    when_not_matched_by_source_update: "dict[str, str] | None" = None,
+    when_not_matched_by_source_delete: "str | bool | None" = None,
 ) -> "dict[str, int]":
     """General ``MERGE INTO`` (the Delta/Iceberg MERGE statement in
     minimal form), superseding the fixed-shape :func:`upsert`:
@@ -2214,7 +2216,18 @@ def merge_into(
       first, Delta's clause-order rule),
     - ``WHEN MATCHED [AND <matched_condition>] THEN UPDATE SET``
       ``when_matched_update`` (col -> SQL expr over ``t.*``/``s.*``),
-    - ``WHEN NOT MATCHED THEN INSERT *`` (``when_not_matched_insert``).
+    - ``WHEN NOT MATCHED THEN INSERT *`` (``when_not_matched_insert``),
+    - ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE / UPDATE
+      SET`` (Delta 2.4 semantics): target rows with no source match
+      — delete when ``when_not_matched_by_source_delete`` (``True`` or
+      a condition over ``t.*``) holds, else update with
+      ``when_not_matched_by_source_update`` exprs (``t.*`` only; there
+      is no matched source row to reference).
+
+    ``key_col`` may be one column or a composite list — the join, the
+    ambiguity check, and the insert anti-join all use the full key; the
+    stats victim prune uses the leading key column (the range-sorted /
+    clustered one by layout convention).
 
     Conditions/exprs are SQL strings over the aliases ``t`` (target)
     and ``s`` (source). A source with duplicate keys raises (the
@@ -2224,20 +2237,31 @@ def merge_into(
     the clause join; above ``DML_COLLECT_KEY_LIMIT`` distinct keys the
     prune is a stats range join and the clause join a shuffle join —
     files without matches never rewrite either way, and a corpus-sized
-    CDC source never materializes on the driver. Survivors + inserts
-    publish as ONE new version (no observable intermediate state); a
-    MERGE in which every clause is vacuously empty commits nothing.
-    CHECK constraints and schema enforcement run on the outgoing batch.
-    Returns counts:
-    ``{"updated": u, "deleted": d, "inserted": i, "files_rewritten": f}``.
+    CDC source never materializes on the driver. BY SOURCE clauses
+    defeat the prune BY DEFINITION (any file may hold unmatched rows),
+    so every file becomes a victim — same full-scan cost as Delta's.
+    Survivors + inserts publish as ONE new version (no observable
+    intermediate state); a MERGE in which every clause is vacuously
+    empty commits nothing. CHECK constraints and schema enforcement run
+    on the outgoing batch. Returns counts: ``{"updated": u, "deleted":
+    d, "inserted": i, "files_rewritten": f, "nms_updated": nu,
+    "nms_deleted": nd}`` (nms = the BY SOURCE clauses' rows).
     """
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    has_nms = bool(
+        when_not_matched_by_source_update
+        or when_not_matched_by_source_delete
+    )
     m = read_manifest(path)
     types = {n: t for n, t in (m.get("schema") or [])}
-    for col in when_matched_update or {}:
+    for col in {
+        **(when_matched_update or {}),
+        **(when_not_matched_by_source_update or {}),
+    }:
         if types and col not in types:
             raise SchemaMismatch(f"MERGE UPDATE SET on unknown column {col!r}")
     dup = (
-        source.groupBy(key_col)
+        source.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
         .limit(1)
@@ -2256,8 +2280,11 @@ def merge_into(
         )
     fs, rel = get_fs(path)
     keys_df, key_set, affected = _plan_source_keys(
-        spark, m, fs, rel, source, key_col
+        spark, m, fs, rel, source, key_cols[0]
     )
+    if has_nms:
+        # Unmatched target rows can live anywhere: every file is a victim.
+        affected = list(m["files"])
     if not affected and not when_not_matched_insert:
         # No candidate file holds a source key and inserts are off: every
         # clause is vacuously empty. Committing here would publish an
@@ -2265,12 +2292,13 @@ def merge_into(
         # retention window.
         keys_df.unpersist()
         return {
-            "updated": 0, "deleted": 0, "inserted": 0, "files_rewritten": 0
+            "updated": 0, "deleted": 0, "inserted": 0,
+            "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
         }
     out_cols = [n for n, _ in (m.get("schema") or [])] or [
         c for c in source.columns
     ]
-    src = source.localCheckpoint()
+    src = source.localCheckpoint().withColumn("__s_match", F.lit(True))
     # Dimension-sized sources broadcast (map-side join, no target
     # shuffle); above DML_COLLECT_KEY_LIMIT keys the join ships to AQE
     # as an ordinary shuffle join — a 100 TB CDC batch must never be a
@@ -2278,16 +2306,17 @@ def merge_into(
     src_side = (lambda d: F.broadcast(d)) if key_set is not None else (
         lambda d: d
     )
-    n_updated = n_deleted = 0
+    n_updated = n_deleted = n_nms_upd = n_nms_del = 0
     survivors = None
     if affected:
         t = _with_deletes(spark, path, m, affected).alias("t")
-        j = t.join(
-            src_side(src.alias("s")),
-            F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
-            "left",
-        )
-        matched = F.col(f"s.{key_col}").isNotNull()
+        on = F.lit(True)
+        for k in key_cols:
+            on = on & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        j = t.join(src_side(src.alias("s")), on, "left")
+        # Null-safe matched marker: a NULL key value in the target must
+        # read as unmatched, never poison the clause conditions.
+        matched = F.col("s.__s_match").isNotNull()
         del_cond = (
             matched & F.coalesce(F.expr(when_matched_delete), F.lit(False))
             if when_matched_delete
@@ -2300,13 +2329,33 @@ def merge_into(
             upd_cond = upd_cond & F.coalesce(
                 F.expr(matched_condition), F.lit(False)
             )
+        nms_del_cond = F.lit(False)
+        if when_not_matched_by_source_delete:
+            cond = (
+                F.lit(True)
+                if when_not_matched_by_source_delete is True
+                else F.coalesce(
+                    F.expr(when_not_matched_by_source_delete), F.lit(False)
+                )
+            )
+            nms_del_cond = ~matched & cond
+        nms_upd_cond = (
+            ~matched & ~nms_del_cond
+            if when_not_matched_by_source_update
+            else F.lit(False)
+        )
         counts = j.agg(
             F.sum(del_cond.cast("long")).alias("d"),
             F.sum(upd_cond.cast("long")).alias("u"),
+            F.sum(nms_del_cond.cast("long")).alias("nd"),
+            F.sum(nms_upd_cond.cast("long")).alias("nu"),
         ).first()
         n_deleted = int(counts["d"] or 0)
         n_updated = int(counts["u"] or 0)
+        n_nms_del = int(counts["nd"] or 0)
+        n_nms_upd = int(counts["nu"] or 0)
         upd = when_matched_update or {}
+        nms_upd = when_not_matched_by_source_update or {}
         proj = []
         for c in out_cols:
             base = F.col(f"t.{c}")
@@ -2315,17 +2364,22 @@ def merge_into(
                 if c in types:
                     target = target.cast(types[c])
                 base = F.when(upd_cond, target).otherwise(base)
+            if c in nms_upd:
+                target = F.expr(nms_upd[c])
+                if c in types:
+                    target = target.cast(types[c])
+                base = F.when(nms_upd_cond, target).otherwise(base)
             proj.append(base.alias(c))
-        survivors = j.filter(~del_cond).select(*proj)
+        survivors = j.filter(~del_cond & ~nms_del_cond).select(*proj)
     if when_not_matched_insert:
         existing = (
-            _with_deletes(spark, path, m, affected).select(key_col)
+            _with_deletes(spark, path, m, affected).select(*key_cols)
             if affected
             else None
         )
         inserts = src.select(*out_cols)
         if existing is not None:
-            inserts = inserts.join(existing, key_col, "left_anti")
+            inserts = inserts.join(existing, key_cols, "left_anti")
         n_inserted = inserts.count()
         batch = (
             survivors.unionByName(inserts)
@@ -2335,13 +2389,17 @@ def merge_into(
     else:
         n_inserted = 0
         batch = survivors
-    if n_updated == 0 and n_deleted == 0 and n_inserted == 0:
+    if (
+        n_updated == 0 and n_deleted == 0 and n_inserted == 0
+        and n_nms_upd == 0 and n_nms_del == 0
+    ):
         # Candidate files held no row matching any clause (stats are an
         # over-approximation): survivors would rewrite byte-identical
         # content. Commit nothing instead of churning a version.
         keys_df.unpersist()
         return {
-            "updated": 0, "deleted": 0, "inserted": 0, "files_rewritten": 0
+            "updated": 0, "deleted": 0, "inserted": 0,
+            "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
         }
     victims = set(affected)
     new_names: "list[str]" = []
@@ -2364,6 +2422,8 @@ def merge_into(
         "deleted": n_deleted,
         "inserted": n_inserted,
         "files_rewritten": len(victims),
+        "nms_updated": n_nms_upd,
+        "nms_deleted": n_nms_del,
     }
 
 

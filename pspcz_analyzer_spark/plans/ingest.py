@@ -1888,6 +1888,117 @@ def manifest_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_merge_full_roundtrip",
+    oracle="""
+    WITH t AS (
+      -- testdata lineitem repeats (orderkey, linenumber): aggregate to a
+      -- uniquely-keyed target first (quantities are integral doubles, the
+      -- sum is binary-exact)
+      SELECT l_orderkey, l_linenumber, sum(l_quantity) AS l_quantity
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    ),
+    s AS (
+      SELECT l_orderkey, l_linenumber, l_quantity + 100 AS l_quantity
+      FROM t WHERE l_orderkey % 7 = 3
+      UNION ALL
+      SELECT l_orderkey, l_linenumber + 10, CAST(999 AS DOUBLE)
+      FROM t WHERE l_orderkey % 31 = 5 AND l_linenumber = 1
+    ),
+    merged AS (
+      SELECT coalesce(t.l_orderkey, s.l_orderkey) AS l_orderkey,
+             coalesce(t.l_linenumber, s.l_linenumber) AS l_linenumber,
+             CASE
+               WHEN t.l_orderkey IS NOT NULL AND s.l_orderkey IS NOT NULL
+                 THEN s.l_quantity
+               WHEN t.l_orderkey IS NOT NULL
+                 THEN t.l_quantity + 1
+               ELSE s.l_quantity
+             END AS l_quantity
+      FROM t FULL OUTER JOIN s
+        ON t.l_orderkey = s.l_orderkey
+       AND t.l_linenumber = s.l_linenumber
+      WHERE NOT (t.l_orderkey IS NOT NULL AND s.l_orderkey IS NOT NULL
+                 AND t.l_quantity <= 2)
+        AND NOT (t.l_orderkey IS NOT NULL AND s.l_orderkey IS NULL
+                 AND t.l_quantity >= 49)
+    )
+    SELECT l_linenumber,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS total
+    FROM merged
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+    tags=("manifest", "dml", "merge-into", "composite-key", "by-source"),
+    priority=18,
+    doc="MERGE INTO at full Delta-2.4 clause parity (manifest.py::"
+    "merge_into): COMPOSITE join key (l_orderkey, l_linenumber) plus all "
+    "five clause families in one statement — WHEN MATCHED AND qty<=2 "
+    "DELETE, WHEN MATCHED UPDATE SET qty from source, WHEN NOT MATCHED "
+    "BY SOURCE AND qty>=49 DELETE, WHEN NOT MATCHED BY SOURCE UPDATE "
+    "SET qty+1, WHEN NOT MATCHED INSERT (new line numbers). BY SOURCE "
+    "clauses touch every file by definition (the full-scan cost Delta "
+    "pays too), committed as ONE version; the oracle replays the cascade "
+    "as a FULL OUTER JOIN + CASE in SQL. Returned clause counts are "
+    "cross-checked against the oracle-side row math in-query.",
+)
+def manifest_merge_full_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("l_quantity"))
+    )
+    path = _scratch(sf_dir, "lineitem_merge_full")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(li, path, "l_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["l_orderkey"])
+    src = (
+        li.filter(F.col("l_orderkey") % 7 == 3)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_quantity") + 100).alias("l_quantity"),
+        )
+        .unionByName(
+            li.filter(
+                (F.col("l_orderkey") % 31 == 5) & (F.col("l_linenumber") == 1)
+            ).select(
+                "l_orderkey",
+                (F.col("l_linenumber") + 10).alias("l_linenumber"),
+                F.lit(999.0).alias("l_quantity"),
+            )
+        )
+    )
+    res = M.merge_into(
+        spark,
+        path,
+        src,
+        ["l_orderkey", "l_linenumber"],
+        when_matched_delete="t.l_quantity <= 2",
+        when_matched_update={"l_quantity": "s.l_quantity"},
+        when_not_matched_by_source_delete="t.l_quantity >= 49",
+        when_not_matched_by_source_update={"l_quantity": "t.l_quantity + 1"},
+        when_not_matched_insert=True,
+    )
+    if res["inserted"] == 0 or res["nms_updated"] == 0:
+        raise AssertionError(f"degenerate merge: {res}")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+@register(
     "manifest_clone_roundtrip",
     oracle="""
     WITH src AS (

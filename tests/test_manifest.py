@@ -2338,6 +2338,7 @@ class TestMergeInto:
         assert res == {
             "updated": 4, "deleted": 3, "inserted": 10,
             "files_rewritten": 1,  # stats prune: only the 75-99 file
+            "nms_updated": 0, "nms_deleted": 0,
         }
         t = M.load_manifest_table(spark, path)
         assert t.count() == 107
@@ -2962,7 +2963,8 @@ class TestDistributedDmlPlanning:
             when_not_matched_insert=False,
         )
         assert res == {
-            "updated": 0, "deleted": 0, "inserted": 0, "files_rewritten": 0
+            "updated": 0, "deleted": 0, "inserted": 0,
+            "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
         }
         assert M.current_version(path) == v0
 
@@ -3092,3 +3094,103 @@ def test_delete_where_counts_only_alive_rows(spark, tmp_path):
         f"billed {deleted} deletions but only 10 matching rows were alive"
     )
     assert M.load_manifest_table(spark, path).count() == 80
+
+
+class TestMergeIntoParity:
+    """Round-7 parity gaps: composite join keys and Delta 2.4's
+    WHEN NOT MATCHED BY SOURCE clauses."""
+
+    def _mk(self, spark, tmp_path, name):
+        path = str(tmp_path / name)
+        spark.range(100).selectExpr(
+            "CAST(id % 10 AS LONG) AS g",
+            "CAST(id AS LONG) AS k",
+            "CAST(0 AS DOUBLE) AS score",
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["g"])
+        return path
+
+    def test_composite_key_merge(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "ck")
+        src = spark.range(95, 105).selectExpr(
+            "CAST(id % 10 AS LONG) AS g",
+            "CAST(id AS LONG) AS k",
+            "CAST(500 AS DOUBLE) AS score",
+        )
+        res = M.merge_into(
+            spark, path, src, ["g", "k"],
+            when_matched_update={"score": "s.score"},
+        )
+        assert res["updated"] == 5 and res["inserted"] == 5
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 105
+        assert t.filter("score = 500").count() == 10
+        # composite ambiguity: same g, different k is NOT a dup...
+        okdup = spark.createDataFrame(
+            [(1, 1, 9.0), (1, 11, 9.0)], "g long, k long, score double"
+        )
+        M.merge_into(spark, path, okdup, ["g", "k"],
+                     when_matched_update={"score": "s.score"})
+        # ...but a true composite dup raises.
+        bad = spark.createDataFrame(
+            [(1, 1, 9.0), (1, 1, 8.0)], "g long, k long, score double"
+        )
+        with pytest.raises(ValueError, match="multiple rows per key"):
+            M.merge_into(spark, path, bad, ["g", "k"])
+
+    def test_not_matched_by_source_delete(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "nmsdel")
+        # Source holds keys 0..49 only; BY SOURCE DELETE culls the rest.
+        src = spark.range(50).selectExpr(
+            "CAST(id % 10 AS LONG) AS g",
+            "CAST(id AS LONG) AS k",
+            "CAST(1 AS DOUBLE) AS score",
+        )
+        res = M.merge_into(
+            spark, path, src, "k",
+            when_matched_update={"score": "s.score"},
+            when_not_matched_insert=False,
+            when_not_matched_by_source_delete=True,
+        )
+        assert res["updated"] == 50 and res["nms_deleted"] == 50
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 50
+        assert t.agg(F.min("k"), F.max("k")).first() == (0, 49)
+        assert t.filter("score = 1").count() == 50
+
+    def test_not_matched_by_source_conditional_update(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "nmsupd")
+        src = spark.range(30).selectExpr(
+            "CAST(id % 10 AS LONG) AS g",
+            "CAST(id AS LONG) AS k",
+            "CAST(1 AS DOUBLE) AS score",
+        )
+        res = M.merge_into(
+            spark, path, src, "k",
+            when_not_matched_insert=False,
+            when_not_matched_by_source_delete="t.k >= 90",
+            when_not_matched_by_source_update={"score": "t.score - 1"},
+        )
+        # 100 target rows: 30 matched (no matched clause -> untouched),
+        # 10 (k>=90) deleted by source, 60 updated by source.
+        assert res["updated"] == 0 and res["deleted"] == 0
+        assert res["nms_deleted"] == 10 and res["nms_updated"] == 60
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 90
+        assert t.filter("score = -1").count() == 60
+        assert t.filter("score = 0").count() == 30
+
+    def test_by_source_clause_defeats_file_prune(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "nmsfull")
+        before = set(M.read_manifest(path)["files"])
+        src = spark.createDataFrame([(0, 0, 5.0)], "g long, k long, score double")
+        res = M.merge_into(
+            spark, path, src, "k",
+            when_matched_update={"score": "s.score"},
+            when_not_matched_insert=False,
+            when_not_matched_by_source_update={"score": "t.score + 10"},
+        )
+        assert res["files_rewritten"] == len(before)
+        t = M.load_manifest_table(spark, path)
+        assert t.filter("score = 5").count() == 1
+        assert t.filter("score = 10").count() == 99
