@@ -729,6 +729,96 @@ def build_ivfpq_index(
     assigned.unpersist()
 
 
+def extend_ivfpq_index(
+    spark,
+    new_vecs: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted IVF-PQ index WITHOUT retraining
+    — the PQ twin of :func:`extend_ivf_index` (FAISS ``add()``): coarse
+    cell by Euclidean argmin against the STORED centroids, residual
+    encoded against the STORED codebooks, and both the code word and the
+    full vector appended into the cell's partition. Centroids and
+    codebooks are frozen, so per-batch cost is one broadcast-join encode
+    pass over the batch — flat as the index grows; quantization error
+    drifts as the data distribution moves (rebuild on a schedule, the
+    standard IVF-PQ trade).
+
+    The working dimensionality (MRL prefix or full) is recovered from
+    the stored centroid length, so the caller needs no prefix_dim —
+    build-time layout decisions live in the index, not the call site.
+    """
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    codebooks = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    first = cents.first()
+    work_dim = len(first["centroid"])
+    m_sub = 1 + codebooks.agg(F.max("m")).first()[0]
+    sub_d = work_dim // m_sub
+    n_centroids = cents.count()
+    feat = new_vecs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, work_dim).alias(
+            "__wv"
+        ),
+    )
+    assigned = (
+        feat.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", _sqdist(F.col("__wv"), F.col("centroid")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .withColumn(
+            "__res", F.zip_with("__wv", "centroid", lambda a, b: a - b)
+        )
+        .select(id_col, vec_col, "cell", "__res")
+    )
+    assigned.persist()
+    (
+        assigned.select(id_col, vec_col, "cell")
+        .repartition(n_centroids, "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    slices = F.array(
+        *[F.slice("__res", m * sub_d + 1, sub_d) for m in range(m_sub)]
+    )
+    sub = assigned.select(
+        id_col, "cell", F.posexplode(slices).alias("m", "__sub")
+    )
+    codes = (
+        sub.join(F.broadcast(codebooks), "m")
+        .withColumn("__d2", _sqdist(F.col("__sub"), F.col("cb")))
+        .groupBy(id_col, "cell", "m")
+        .agg(F.min(F.struct("__d2", "code")).alias("__best"))
+        .groupBy(id_col, "cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", F.col("__best.code").alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("codes")
+        )
+    )
+    (
+        codes.repartition(n_centroids, "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    assigned.unpersist()
+
+
 def ivfpq_topk(
     spark,
     index_dir: str,
