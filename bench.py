@@ -168,6 +168,9 @@ HEADLINE = [
     "frequent_part_pairs",
     "part_association_rules",
     "events_weekly_seasonality",
+    # Round-7 additions.
+    "manifest_merge_full_roundtrip",
+    "votes_browser_page",
 ]
 
 
