@@ -171,6 +171,7 @@ HEADLINE = [
     # Round-7 additions.
     "manifest_merge_full_roundtrip",
     "votes_browser_page",
+    "manifest_row_cdf_roundtrip",
 ]
 
 

@@ -135,6 +135,8 @@ def _commit(
     current_spec: int | None = None,
     colmap: dict | None = None,
     generated: dict | None = None,
+    props: dict | None = None,
+    cdf_files: "list | None" = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -187,6 +189,10 @@ def _commit(
         colmap = prev_doc.get("colmap")
     if generated is None:
         generated = prev_doc.get("generated")
+    if props is None:
+        # Table properties (delta.enableChangeDataFeed analog) carry
+        # forward verbatim; explicit {} clears them (restore's unit rule).
+        props = prev_doc.get("props")
     prev_parts = prev_doc.get("partitions") or {}
     merged_parts = {f: prev_parts[f] for f in files if f in prev_parts}
     if partitions:
@@ -223,6 +229,13 @@ def _commit(
         doc["colmap"] = {k: colmap[k] for k in sorted(colmap)}
     if generated:
         doc["generated"] = {k: generated[k] for k in sorted(generated)}
+    if props:
+        doc["props"] = {k: props[k] for k in sorted(props)}
+    if cdf_files is not None:
+        # This COMMIT's row-level change files (never carried forward —
+        # they describe one version transition). Present-but-empty means
+        # "no logical change" (compaction; a no-op clause cascade).
+        doc["cdf_files"] = sorted(cdf_files)
     if merged_parts:
         doc["partitions"] = {
             f: merged_parts[f] for f in sorted(merged_parts)
@@ -889,6 +902,144 @@ def read_version_delta(
             return spark.createDataFrame([], ddl)
         return load_manifest_table(spark, path, to_version).limit(0)
     return _read_files(spark, path, m_to, added)
+
+
+CDF_DIR = "_changes"
+CDF_TYPE_COL = "_change_type"
+CDF_VERSION_COL = "_commit_version"
+
+
+def _cdf_on(m: dict) -> bool:
+    return bool((m.get("props") or {}).get("cdf"))
+
+
+def enable_cdf(path: str) -> int:
+    """ALTER TABLE SET TBLPROPERTIES (delta.enableChangeDataFeed = true)
+    in minimal form: a metadata-only commit setting the ``cdf`` table
+    property. From this version onward the row-level DML paths
+    (:func:`delete_where`, :func:`update_where`, :func:`merge_into`,
+    :func:`upsert`) record their change rows as parquet files under
+    ``_changes/`` referenced by the commit (``cdf_files``), and
+    :func:`read_changes` serves the Delta-style feed (``_change_type``
+    in insert / update_preimage / update_postimage / delete, plus
+    ``_commit_version``). Appends need no change files — their adds ARE
+    the inserts, synthesized at read time from the sequence map. The
+    feed starts HERE: versions before enablement (and commit types that
+    do not record changes — positional/MoR DML, restore) make
+    read_changes raise rather than guess."""
+    m = read_manifest(path)
+    props = dict(m.get("props") or {})
+    if props.get("cdf"):
+        return m["version"]
+    props["cdf"] = True
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"), rows=m.get("rows"),
+        props=props, cdf_files=[],
+    )
+
+
+def _stage_changes(df: DataFrame, path: str) -> "list[str]":
+    """Write one commit's change rows (table columns + ``_change_type``)
+    as parquet under ``_changes/`` with unique names; returns the names
+    relative to the table root. Additive like every pre-commit step —
+    invisible until the manifest referencing them publishes; vacuum
+    collects orphans by the same age rule as data files."""
+    fs, rel = get_fs(path)
+    fs.makedirs(os.path.join(rel, CDF_DIR))
+    token = uuid.uuid4().hex[:12]
+    stage_name = f".stage_cdf_{token}"
+    df.write.mode("overwrite").parquet(os.path.join(path, stage_name))
+    stage_rel = os.path.join(rel, stage_name)
+    names: "list[str]" = []
+    for base in sorted(fs.listdir(stage_rel)):
+        if not base.endswith(".parquet"):
+            continue
+        f = os.path.join(stage_rel, base)
+        if fs.parquet_file(f).metadata.num_rows == 0:
+            continue
+        name = f"{CDF_DIR}/cdf-{token}-{len(names):04d}.parquet"
+        fs.rename(f, os.path.join(rel, name))
+        names.append(name)
+    fs.rmtree(stage_rel)
+    return names
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: "int | None" = None,
+) -> DataFrame:
+    """Row-level change feed between two versions (Delta's
+    ``table_changes`` / ``readChangeFeed``): for each version in
+    ``(from_version, to_version]`` emit its change rows with
+    ``_change_type`` and ``_commit_version``. DML commits read their
+    recorded ``cdf_files``; pure-append commits synthesize ``insert``
+    rows from the files the sequence map stamps with that version (no
+    change files needed — Delta's optimization too). Commits that are
+    neither (positional/MoR DML, restore, pre-enablement versions)
+    raise — a feed that silently guessed would be worse than none."""
+    m_to = read_manifest(path, to_version)
+    to_v = m_to["version"]
+    parts: "list[DataFrame]" = []
+    schema_cols = [n for n, _ in (m_to.get("schema") or [])]
+    for v in range(from_version + 1, to_v + 1):
+        doc = read_manifest(path, v)
+        if "cdf_files" in doc:
+            names = doc["cdf_files"]
+            if not names:
+                continue  # no logical change in this commit
+            fs, rel = get_fs(path)
+            df = spark.read.parquet(
+                *[os.path.join(rel, n) for n in names]
+            )
+            parts.append(df.withColumn(CDF_VERSION_COL, F.lit(v)))
+            continue
+        if not _cdf_on(doc):
+            raise ValueError(
+                f"change feed not enabled as of version {v} of {path}; "
+                "read_changes serves versions after enable_cdf()"
+            )
+        prev = read_manifest(path, v - 1)
+        pure_append = set(prev["files"]) <= set(doc["files"]) and (
+            prev.get("deletes") or []
+        ) == (doc.get("deletes") or [])
+        if not pure_append:
+            raise ValueError(
+                f"version {v} of {path} was committed by an operation "
+                "that does not record a change feed (positional/MoR DML "
+                "or restore); use snapshot_diff for rewrite-aware deltas"
+            )
+        added = [f for f in doc["files"] if f not in set(prev["files"])]
+        if added:
+            df = _read_files(spark, path, doc, added).withColumn(
+                CDF_TYPE_COL, F.lit("insert")
+            )
+            parts.append(df.withColumn(CDF_VERSION_COL, F.lit(v)))
+    if not parts:
+        ddl = ", ".join(
+            f"{n} {t}" for n, t in (m_to.get("schema") or [])
+        )
+        empty = (
+            f"{ddl}, {CDF_TYPE_COL} string, {CDF_VERSION_COL} int"
+            if ddl
+            else f"{CDF_TYPE_COL} string, {CDF_VERSION_COL} int"
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    if schema_cols:
+        out = out.select(
+            *[c for c in schema_cols if c in out.columns],
+            CDF_TYPE_COL,
+            CDF_VERSION_COL,
+        )
+    return out
 
 
 def _to_physical(df: DataFrame, colmap: dict | None) -> DataFrame:
@@ -1755,6 +1906,7 @@ def delete_keys(
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
+        cdf_files=cdf_names,
     )
     return len(affected), rows_before - rows_after
 
@@ -1800,7 +1952,14 @@ def delete_where(
     if not affected:
         return 0, 0
     alive = _with_deletes(spark, path, m, affected)
-    kept = alive.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    kept = alive.filter(~pred)
+    cdf_names = None
+    if _cdf_on(m):
+        cdf_names = _stage_changes(
+            alive.filter(pred).withColumn(CDF_TYPE_COL, F.lit("delete")),
+            path,
+        )
     new_names = _stage_rewrites(kept, path, "delw")
     # rows_deleted must count only rows ALIVE under pending merge-on-read
     # delete entries — raw footer counts would also bill rows that were
@@ -1823,6 +1982,7 @@ def delete_where(
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
+        cdf_files=cdf_names,
     )
     return len(affected), rows_before - rows_after
 
@@ -1977,6 +2137,18 @@ def update_where(
         if col in types:
             target = target.cast(types[col])
         out = out.withColumn(col, F.when(pred, target).otherwise(F.col(col)))
+    cdf_names = None
+    if _cdf_on(m):
+        cdf_names = _stage_changes(
+            src.filter(pred)
+            .withColumn(CDF_TYPE_COL, F.lit("update_preimage"))
+            .unionByName(
+                out.filter(pred).withColumn(
+                    CDF_TYPE_COL, F.lit("update_postimage")
+                )
+            ),
+            path,
+        )
     # The rewrite must satisfy the table's own invariants.
     _check_constraints(m, out)
     for gname, gexpr in gen.items():
@@ -2004,6 +2176,7 @@ def update_where(
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
+        cdf_files=cdf_names,
     )
     return len(affected), n_updated
 
@@ -2125,6 +2298,7 @@ def materialize_deletes(spark: SparkSession, path: str) -> "tuple[int, int]":
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
         deletes=None,
+        cdf_files=[] if _cdf_on(m) else None,
         rows=_updated_rows(m, fs, rel, new_names, set(victims)),
     )
     return len(victims), len(dels)
@@ -2176,6 +2350,35 @@ def upsert(
     )
     new_names: list[str] = []
     victims: set[str] = set()
+    cdf_names = None
+    if _cdf_on(m):
+        # Change rows BEFORE the rewrite plan runs (originals stay
+        # readable either way — staging is additive): replaced keys emit
+        # pre/post images, fresh keys emit inserts.
+        if affected:
+            alive_aff = _with_deletes(spark, path, m, affected)
+            pre = (
+                alive_aff.filter(F.col(key_col).isin(*key_set))
+                if key_set is not None and key_set
+                else alive_aff.join(keys_df, key_col, "left_semi")
+            ).localCheckpoint()
+            pre_keys = pre.select(key_col).distinct()
+            changes = (
+                pre.withColumn(CDF_TYPE_COL, F.lit("update_preimage"))
+                .unionByName(
+                    batch.join(pre_keys, key_col, "left_semi").withColumn(
+                        CDF_TYPE_COL, F.lit("update_postimage")
+                    )
+                )
+                .unionByName(
+                    batch.join(pre_keys, key_col, "left_anti").withColumn(
+                        CDF_TYPE_COL, F.lit("insert")
+                    )
+                )
+            )
+        else:
+            changes = batch.withColumn(CDF_TYPE_COL, F.lit("insert"))
+        cdf_names = _stage_changes(changes, path)
     if affected:
         kept = _purge_keys(
             _with_deletes(spark, path, m, affected), keys_df, key_col, key_set
@@ -2194,6 +2397,7 @@ def upsert(
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs2, rel2, new_names, victims),
+        cdf_files=cdf_names,
     )
 
 
@@ -2308,6 +2512,7 @@ def merge_into(
     )
     n_updated = n_deleted = n_nms_upd = n_nms_del = 0
     survivors = None
+    merge_changes = None
     if affected:
         t = _with_deletes(spark, path, m, affected).alias("t")
         on = F.lit(True)
@@ -2371,6 +2576,22 @@ def merge_into(
                 base = F.when(nms_upd_cond, target).otherwise(base)
             proj.append(base.alias(c))
         survivors = j.filter(~del_cond & ~nms_del_cond).select(*proj)
+        if _cdf_on(m):
+            tcols = [F.col(f"t.{c}").alias(c) for c in out_cols]
+            pre_all = del_cond | nms_del_cond | upd_cond | nms_upd_cond
+            typ = (
+                F.when(del_cond | nms_del_cond, F.lit("delete"))
+                .otherwise(F.lit("update_preimage"))
+            )
+            change_parts = [
+                j.filter(pre_all).select(
+                    *tcols, typ.alias(CDF_TYPE_COL)
+                ),
+                j.filter(upd_cond | nms_upd_cond)
+                .select(*proj)
+                .withColumn(CDF_TYPE_COL, F.lit("update_postimage")),
+            ]
+            merge_changes = change_parts[0].unionByName(change_parts[1])
     if when_not_matched_insert:
         existing = (
             _with_deletes(spark, path, m, affected).select(*key_cols)
@@ -2380,6 +2601,7 @@ def merge_into(
         inserts = src.select(*out_cols)
         if existing is not None:
             inserts = inserts.join(existing, key_cols, "left_anti")
+        inserts = inserts.localCheckpoint()
         n_inserted = inserts.count()
         batch = (
             survivors.unionByName(inserts)
@@ -2402,6 +2624,17 @@ def merge_into(
             "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
         }
     victims = set(affected)
+    cdf_names = None
+    if _cdf_on(m):
+        changes = merge_changes
+        if when_not_matched_insert and n_inserted:
+            ins = inserts.withColumn(CDF_TYPE_COL, F.lit("insert"))
+            changes = (
+                changes.unionByName(ins) if changes is not None else ins
+            )
+        cdf_names = (
+            _stage_changes(changes, path) if changes is not None else []
+        )
     new_names: "list[str]" = []
     if batch is not None:
         _check_constraints(m, batch)
@@ -2415,6 +2648,7 @@ def merge_into(
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
+        cdf_files=cdf_names,
     )
     keys_df.unpersist()
     return {
@@ -2661,6 +2895,9 @@ def compact_small_files(
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
         partitions=new_parts,
+        # Compaction is data-neutral: an enabled change feed records an
+        # explicitly EMPTY change set, not a gap.
+        cdf_files=[] if _cdf_on(m) else None,
     )
     return len(merged), len(new_names)
 
@@ -2739,6 +2976,7 @@ def _optimize_layout(
         # this commit IS a full materialization, entries drop here.
         deletes=None,
         rows=_updated_rows(m, fs, rel, new_names, victims=set(m["files"])),
+        cdf_files=[] if _cdf_on(m) else None,  # re-layout: data-neutral
     )
 
 
@@ -2887,6 +3125,10 @@ def restore(path: str, version: int) -> int:
         # restore past a rename would route the old logical name at the
         # wrong physical column (misread, not just a miss).
         colmap=target.get("colmap") or {},
+        # Table properties restore as a unit too (a restore past
+        # enable_cdf rolls the property back; the feed restarts at a
+        # future re-enable).
+        props=target.get("props") or {},
     )
 
 
@@ -3092,11 +3334,14 @@ def vacuum(
     tagged = set(list_tags(path).values())
     keep_vs = sorted(set(vs[-retain_versions:]) | (tagged & set(vs)))
     referenced: set[str] = set()
+    referenced_cdf: set[str] = set()
     for v in keep_vs:
         mv = read_manifest(path, v)
         referenced.update(mv["files"])
         # Equality-delete key files are part of the version's read view.
         referenced.update(d["file"] for d in (mv.get("deletes") or []))
+        # A retained version's change feed stays readable with it.
+        referenced_cdf.update(mv.get("cdf_files") or [])
     fs, rel = get_fs(path)
     now = _time.time()
 
@@ -3110,6 +3355,18 @@ def vacuum(
         return mt is not None and now - mt >= min_age_seconds
 
     removed = 0
+    cdir = os.path.join(rel, CDF_DIR)
+    if fs.isdir(cdir):
+        for f in fs.listdir(cdir):
+            name = f"{CDF_DIR}/{f}"
+            full = os.path.join(cdir, f)
+            if (
+                f.endswith(".parquet")
+                and name not in referenced_cdf
+                and _old_enough(full)
+            ):
+                fs.remove(full)
+                removed += 1
     for f in fs.listdir(rel):
         full = os.path.join(rel, f)
         if f.endswith(".parquet") and f not in referenced:

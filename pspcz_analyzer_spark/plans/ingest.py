@@ -2417,3 +2417,91 @@ def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_above_1000": (F.col("o_totalprice") >= 1000, 0.9),
         },
     )
+
+
+@register(
+    "manifest_row_cdf_roundtrip",
+    oracle="""
+    WITH deleted AS (
+      SELECT 'delete' AS change_type, 3 AS commit_version,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 50000
+    ),
+    pre AS (
+      SELECT 'update_preimage', 4, count(*),
+             round(sum(o_totalprice), 2)
+      FROM orders WHERE o_orderstatus = 'P'
+    ),
+    post AS (
+      SELECT 'update_postimage', 4, count(*),
+             round(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                            AS DOUBLE)), 2)
+      FROM orders WHERE o_orderstatus = 'P'
+    ),
+    ins AS (
+      SELECT 'insert', 5, count(*), round(sum(o_totalprice), 2)
+      FROM orders WHERE o_orderkey % 1009 = 0
+    )
+    SELECT * FROM deleted UNION ALL SELECT * FROM pre
+    UNION ALL SELECT * FROM post UNION ALL SELECT * FROM ins
+    ORDER BY commit_version, change_type
+    """,
+    tags=("manifest", "cdf", "dml", "change-feed"),
+    priority=18,
+    doc="ROW-LEVEL change data feed (manifest.py::enable_cdf / "
+    "read_changes — Delta enableChangeDataFeed + table_changes in "
+    "minimal form): after enablement, DELETE WHERE records its matched "
+    "rows as _change_type='delete' parquet under _changes/, UPDATE SET "
+    "WHERE records update_preimage/update_postimage pairs, and a plain "
+    "append needs NO change files — its inserts synthesize from the "
+    "sequence map at read time. The feed is replayed per commit version "
+    "and aggregated; the oracle derives the identical change sets from "
+    "the original table in SQL. Data-neutral commits (compaction) record "
+    "an explicitly empty set, and commit types the feed cannot represent "
+    "raise instead of guessing (pinned in test_manifest.py::"
+    "TestChangeDataFeed).",
+)
+def manifest_row_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_row_cdf")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])  # v1
+    M.enable_cdf(path)  # v2
+    M.delete_where(
+        spark, path, "o_orderstatus = 'F' AND o_totalprice < 50000"
+    )  # v3
+    M.update_where(
+        spark,
+        path,
+        "o_orderstatus = 'P'",
+        {"o_totalprice": "CAST(round(CAST(o_totalprice AS DECIMAL(18,2))"
+                         " * 1.1, 2) AS DOUBLE)"},
+    )  # v4
+    M.append(
+        orders.filter(F.col("o_orderkey") % 1009 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+        ),
+        path,
+    )  # v5
+    ch = M.read_changes(spark, path, 2)
+    return (
+        ch.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

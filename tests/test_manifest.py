@@ -3194,3 +3194,163 @@ class TestMergeIntoParity:
         t = M.load_manifest_table(spark, path)
         assert t.filter("score = 5").count() == 1
         assert t.filter("score = 10").count() == 99
+
+
+class TestChangeDataFeed:
+    """Row-level change feed (Delta enableChangeDataFeed/table_changes in
+    minimal form): DML commits record _change_type rows under _changes/,
+    appends synthesize inserts from the sequence map, data-neutral
+    commits record an explicitly empty set, and unrepresentable commit
+    types raise instead of guessing."""
+
+    def _mk(self, spark, tmp_path, name):
+        path = str(tmp_path / name)
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id % 7 AS DOUBLE) AS v"
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        M.enable_cdf(path)
+        return path
+
+    def test_append_synthesizes_inserts(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cdf_app")
+        v0 = M.current_version(path)
+        M.append(
+            spark.range(100, 110).selectExpr(
+                "id AS k", "CAST(1 AS DOUBLE) AS v"
+            ),
+            path,
+        )
+        ch = M.read_changes(spark, path, v0).collect()
+        assert len(ch) == 10
+        assert {r["_change_type"] for r in ch} == {"insert"}
+        assert {r["k"] for r in ch} == set(range(100, 110))
+        assert {r["_commit_version"] for r in ch} == {v0 + 1}
+
+    def test_delete_and_update_where_feed(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cdf_dml")
+        v0 = M.current_version(path)
+        M.delete_where(spark, path, "k < 10")
+        M.update_where(spark, path, "k >= 95", {"v": "v + 100"})
+        ch = M.read_changes(spark, path, v0)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert by_type == {
+            "delete": 10, "update_preimage": 5, "update_postimage": 5
+        }
+        post = {
+            r["k"]: r["v"]
+            for r in ch.filter("_change_type = 'update_postimage'").collect()
+        }
+        assert post == {k: (k % 7) + 100.0 for k in range(95, 100)}
+        # versions attribute correctly
+        assert ch.filter("_change_type = 'delete'").select(
+            "_commit_version"
+        ).distinct().collect()[0][0] == v0 + 1
+
+    def test_merge_feed_covers_all_clauses(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cdf_mrg")
+        v0 = M.current_version(path)
+        src = spark.range(90, 105).selectExpr(
+            "id AS k", "CAST(500 AS DOUBLE) AS v"
+        )
+        M.merge_into(
+            spark, path, src, "k",
+            when_matched_delete="t.k < 93",
+            when_matched_update={"v": "s.v"},
+            when_not_matched_by_source_update={"v": "t.v + 1000"},
+        )
+        ch = M.read_changes(spark, path, v0)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # 90..92 deleted (3), 93..99 updated (7), 100..104 inserted (5),
+        # 0..89 not-matched-by-source updated (90 pre + 90 post).
+        assert by_type == {
+            "delete": 3,
+            "update_preimage": 7 + 90,
+            "update_postimage": 7 + 90,
+            "insert": 5,
+        }
+
+    def test_upsert_feed_splits_updates_and_inserts(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cdf_up")
+        v0 = M.current_version(path)
+        batch = spark.range(95, 105).selectExpr(
+            "id AS k", "CAST(9 AS DOUBLE) AS v"
+        )
+        M.upsert(spark, batch, path, "k")
+        ch = M.read_changes(spark, path, v0)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert by_type == {
+            "update_preimage": 5, "update_postimage": 5, "insert": 5
+        }
+        pre = {r["k"] for r in
+               ch.filter("_change_type = 'update_preimage'").collect()}
+        assert pre == {95, 96, 97, 98, 99}
+
+    def test_compaction_is_change_neutral(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cdf_cmp")
+        v0 = M.current_version(path)
+        M.compact_small_files(spark, path, target_bytes=1 << 30)
+        assert M.current_version(path) > v0
+        assert M.read_changes(spark, path, v0).count() == 0
+
+    def test_positional_dml_raises_honestly(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cdf_pos")
+        v0 = M.current_version(path)
+        M.delete_where_pos(spark, path, "k < 5")
+        with pytest.raises(ValueError, match="does not record a change feed"):
+            M.read_changes(spark, path, v0).collect()
+
+    def test_pre_enable_versions_raise(self, spark, tmp_path):
+        path = str(tmp_path / "cdf_pre")
+        spark.range(10).selectExpr("id AS k").coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        M.append(spark.range(10, 12).selectExpr("id AS k"), path)  # v2, pre
+        M.enable_cdf(path)  # v3
+        with pytest.raises(ValueError, match="not enabled as of version 2"):
+            M.read_changes(spark, path, 1).collect()
+        # from the enablement version on, the feed works
+        M.append(spark.range(12, 15).selectExpr("id AS k"), path)
+        assert M.read_changes(spark, path, 3).count() == 3
+
+    def test_vacuum_collects_pruned_change_files(self, spark, tmp_path):
+        import os
+
+        path = self._mk(spark, tmp_path, "cdf_vac")
+        M.delete_where(spark, path, "k < 10")       # v3: has change files
+        M.update_where(spark, path, "k >= 95", {"v": "v + 1"})  # v4
+        cdir = os.path.join(path, "_changes")
+        n_before = len(os.listdir(cdir))
+        assert n_before >= 2
+        M.vacuum(path, retain_versions=1, min_age_seconds=0)
+        left = set(os.listdir(cdir))
+        kept_refs = {
+            n.split("/", 1)[1]
+            for n in (M.read_manifest(path).get("cdf_files") or [])
+        }
+        assert left == kept_refs  # only the retained version's files
+        # retained version's feed still readable
+        assert M.read_changes(spark, path, 3).count() == 10
+
+    def test_restore_rolls_property_back(self, spark, tmp_path):
+        path = str(tmp_path / "cdf_rst")
+        spark.range(5).selectExpr("id AS k").coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        v1 = M.current_version(path)
+        M.enable_cdf(path)
+        M.restore(path, v1)
+        assert not (M.read_manifest(path).get("props") or {}).get("cdf")
