@@ -922,11 +922,13 @@ def enable_cdf(path: str) -> int:
     ``_changes/`` referenced by the commit (``cdf_files``), and
     :func:`read_changes` serves the Delta-style feed (``_change_type``
     in insert / update_preimage / update_postimage / delete, plus
-    ``_commit_version``). Appends need no change files — their adds ARE
-    the inserts, synthesized at read time from the sequence map. The
-    feed starts HERE: versions before enablement (and commit types that
-    do not record changes — positional/MoR DML, restore) make
-    read_changes raise rather than guess."""
+    ``_commit_version``). Positional merge-on-read DML
+    (:func:`delete_where_pos` / :func:`update_where_pos`) records the
+    same feed. Appends need no change files — their adds ARE the
+    inserts, synthesized at read time from the sequence map. The feed
+    starts HERE: versions before enablement (and commit types that do
+    not record changes — equality-MoR deletes, SCD2, restore)
+    make read_changes raise rather than guess."""
     m = read_manifest(path)
     props = dict(m.get("props") or {})
     if props.get("cdf"):
@@ -981,8 +983,9 @@ def read_changes(
     recorded ``cdf_files``; pure-append commits synthesize ``insert``
     rows from the files the sequence map stamps with that version (no
     change files needed — Delta's optimization too). Commits that are
-    neither (positional/MoR DML, restore, pre-enablement versions)
-    raise — a feed that silently guessed would be worse than none."""
+    neither (equality-MoR deletes, SCD2, restore,
+    pre-enablement versions) raise — a feed that silently guessed would
+    be worse than none."""
     m_to = read_manifest(path, to_version)
     to_v = m_to["version"]
     parts: "list[DataFrame]" = []
@@ -1887,9 +1890,16 @@ def delete_keys(
     affected = _candidate_files(m, fs, rel, key_col, key_set)
     if not affected:
         return 0, 0
-    kept = _with_deletes(spark, path, m, affected).filter(
-        ~F.col(key_col).isin(*key_set)
-    )
+    alive = _with_deletes(spark, path, m, affected)
+    kept = alive.filter(~F.col(key_col).isin(*key_set))
+    cdf_names = None
+    if _cdf_on(m):
+        cdf_names = _stage_changes(
+            alive.filter(F.col(key_col).isin(*key_set)).withColumn(
+                CDF_TYPE_COL, F.lit("delete")
+            ),
+            path,
+        )
     new_names = _stage_rewrites(kept, path, "del")
     rows_before = _file_rows(m, fs, rel, affected)
     rows_after = sum(
@@ -2018,6 +2028,14 @@ def delete_where_pos(
         .filter(F.expr(predicate))
         .select("__file", "__row")
     )
+    cdf_names = None
+    if _cdf_on(m):
+        cdf_names = _stage_changes(
+            _with_deletes(spark, path, m, m["files"])
+            .filter(F.expr(predicate))
+            .withColumn(CDF_TYPE_COL, F.lit("delete")),
+            path,
+        )
     [name] = _stage_rewrites(coords.coalesce(1), path, "posdel")
     entry = {"file": name, "kind": "pos", "seq": new_v}
     _commit(
@@ -2027,6 +2045,7 @@ def delete_where_pos(
         constraints=m.get("constraints"),
         deletes=(m.get("deletes") or []) + [entry],
         rows=m.get("rows"),
+        cdf_files=cdf_names,
     )
     return 1, matches
 
@@ -2086,6 +2105,18 @@ def update_where_pos(
                     f"UPDATE breaks generated column {gname!r} "
                     f"(GENERATED ALWAYS AS ({gexpr}))"
                 )
+    cdf_names = None
+    if _cdf_on(m):
+        cdf_names = _stage_changes(
+            matched.drop("__file", "__row")
+            .withColumn(CDF_TYPE_COL, F.lit("update_preimage"))
+            .unionByName(
+                updated.withColumn(
+                    CDF_TYPE_COL, F.lit("update_postimage")
+                )
+            ),
+            path,
+        )
     [dv_name] = _stage_rewrites(
         matched.select("__file", "__row").coalesce(1), path, "posdel"
     )
@@ -2100,6 +2131,7 @@ def update_where_pos(
         constraints=m.get("constraints"),
         deletes=(m.get("deletes") or []) + [entry],
         rows=_updated_rows(m, fs, rel, new_names),
+        cdf_files=cdf_names,
     )
     return 1, n_updated
 

@@ -3308,10 +3308,40 @@ class TestChangeDataFeed:
         assert M.current_version(path) > v0
         assert M.read_changes(spark, path, v0).count() == 0
 
-    def test_positional_dml_raises_honestly(self, spark, tmp_path):
+    def test_positional_dml_records_the_feed(self, spark, tmp_path):
         path = self._mk(spark, tmp_path, "cdf_pos")
         v0 = M.current_version(path)
         M.delete_where_pos(spark, path, "k < 5")
+        M.update_where_pos(spark, path, "k >= 98", {"v": "v + 50"})
+        ch = M.read_changes(spark, path, v0)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert by_type == {
+            "delete": 5, "update_preimage": 2, "update_postimage": 2
+        }
+        post = {
+            r["k"]: r["v"]
+            for r in ch.filter("_change_type = 'update_postimage'").collect()
+        }
+        assert post == {98: 0.0 + 50, 99: 1.0 + 50}
+
+    def test_delete_keys_records_the_feed(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cdf_delkeys")
+        v0 = M.current_version(path)
+        M.delete_keys(spark, path, "k", [1, 2])
+        ch = M.read_changes(spark, path, v0).collect()
+        assert {(r["_change_type"], r["k"]) for r in ch} == {
+            ("delete", 1), ("delete", 2)
+        }
+
+    def test_unrepresentable_commit_raises_honestly(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cdf_raises")
+        v0 = M.current_version(path)
+        M.delete_keys_mor(spark, path, "k", [1, 2])  # equality MoR: no feed
         with pytest.raises(ValueError, match="does not record a change feed"):
             M.read_changes(spark, path, v0).collect()
 
