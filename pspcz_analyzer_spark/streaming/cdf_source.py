@@ -34,6 +34,13 @@ write) through the same format::
 
 Every output row carries ``_commit_version`` — the version whose commit
 added it (Delta's ``_commit_version`` CDF column).
+
+With ``.option("readChanges", "true")`` (requires ``manifest.enable_cdf``
+on the table) the stream serves the ROW-LEVEL feed instead — Delta's
+``readChangeFeed``: DML commits arrive as typed change rows
+(``_change_type`` in insert / update_preimage / update_postimage /
+delete) from their recorded ``_changes/`` files, appends as synthesized
+inserts, data-neutral commits as nothing.
 """
 
 from __future__ import annotations
@@ -127,6 +134,120 @@ def _read_file_slice(partition: _FileSlice):
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
+class _ChangeSlice(InputPartition):
+    """One change-feed input: a change file (carries its own
+    _change_type column) or an appended data file (every row a constant
+    'insert'), plus the commit version and schema triples."""
+
+    def __init__(self, abs_path, version, cols, fixed_type):
+        self.abs_path = abs_path
+        self.version = version
+        self.cols = cols
+        self.fixed_type = fixed_type
+
+
+class ManifestRowCDFStreamReader(DataSourceStreamReader):
+    """Streaming ROW-LEVEL change feed (Delta readChangeFeed streaming):
+    each micro-batch serves the versions in (start, end] as change rows
+    — DML commits from their recorded cdf_files (insert /
+    update_preimage / update_postimage / delete), pure appends
+    synthesized as inserts from the sequence map, data-neutral commits
+    as nothing. A version the feed cannot represent fails the stream
+    (the same honesty rule as manifest.read_changes). Offsets are table
+    versions held in the engine's checkpoint — exactly-once restarts
+    for free, like the adds-only reader."""
+
+    def __init__(self, table_path: str, start_version: int):
+        self._path = table_path
+        self._start = start_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        from pspcz_analyzer_spark.manifest import current_version
+
+        return {"version": current_version(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        from pspcz_analyzer_spark.manifest import _cdf_on, read_manifest
+
+        sv, ev = int(start["version"]), int(end["version"])
+        if ev <= sv:
+            return []
+        out = []
+        for v in range(sv + 1, ev + 1):
+            doc = read_manifest(self._path, v)
+            colmap = doc.get("colmap") or {}
+            cols = [
+                (n, t, colmap.get(n, n)) for n, t in (doc.get("schema") or [])
+            ]
+            if "cdf_files" in doc:
+                out += [
+                    _ChangeSlice(
+                        os.path.join(self._path, f), v, cols, None
+                    )
+                    for f in doc["cdf_files"]
+                ]
+                continue
+            if not _cdf_on(doc):
+                raise ValueError(
+                    f"change feed not enabled as of version {v} of "
+                    f"{self._path}"
+                )
+            prev = read_manifest(self._path, v - 1)
+            pure_append = set(prev["files"]) <= set(doc["files"]) and (
+                prev.get("deletes") or []
+            ) == (doc.get("deletes") or [])
+            if not pure_append:
+                raise ValueError(
+                    f"version {v} of {self._path} was committed by an "
+                    "operation that does not record a change feed"
+                )
+            seq = doc.get("seq") or {}
+            out += [
+                _ChangeSlice(
+                    os.path.join(self._path, f), v, cols, "insert"
+                )
+                for f in doc["files"]
+                if int(seq.get(f, 0)) == v
+            ]
+        return out
+
+    def read(self, partition: _ChangeSlice):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        n = tbl.num_rows
+        arrays, names = [], []
+        for logical, _ddl, physical in partition.cols:
+            # Change files are written under LOGICAL names at their
+            # commit; appended data files carry physical names.
+            if logical in tbl.column_names:
+                arrays.append(tbl[logical])
+            elif physical in tbl.column_names:
+                arrays.append(tbl[physical])
+            else:
+                arrays.append(pa.nulls(n))
+            names.append(logical)
+        if partition.fixed_type is not None:
+            arrays.append(
+                pa.array([partition.fixed_type] * n, type=pa.string())
+            )
+        else:
+            arrays.append(tbl["_change_type"])
+        names.append("_change_type")
+        arrays.append(pa.array([partition.version] * n, type=pa.int64()))
+        names.append("_commit_version")
+        yield from pa.table(arrays, names=names).to_batches(
+            max_chunksize=1 << 16
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class ManifestBatchReader(DataSourceReader):
     """Batch read of a manifest table through the same format —
     ``spark.read.format("manifest").option("tablePath", p)`` — with
@@ -177,11 +298,15 @@ class ManifestCDFDataSource(DataSource):
                 f"{path} has no manifest schema; init or append first"
             )
         ddl = ", ".join(f"{n} {t}" for n, t in schema)
+        if self.options.get("readchanges", "").lower() == "true":
+            return f"{ddl}, _change_type string, _commit_version bigint"
         return f"{ddl}, _commit_version bigint"
 
-    def streamReader(self, schema) -> ManifestCDFStreamReader:
+    def streamReader(self, schema):
         path = self.options["tablePath"]
         start = int(self.options.get("startversion", 0))
+        if self.options.get("readchanges", "").lower() == "true":
+            return ManifestRowCDFStreamReader(path, start)
         return ManifestCDFStreamReader(path, start)
 
     def reader(self, schema) -> ManifestBatchReader:

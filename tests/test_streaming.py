@@ -873,3 +873,70 @@ class TestManifestStreamSinkValidation:
                 spark, landing, tbl, str(tmp_path / "u_ck"),
                 "id long, v double, rogue long",
             )
+
+
+class TestRowCDFStream:
+    """Streaming row-level change feed (readChanges=true): DML commits
+    arrive as typed change rows, appends as synthesized inserts, and
+    offsets (table versions) live in the engine's checkpoint so a second
+    drain picks up only the delta."""
+
+    def test_stream_serves_dml_changes_exactly_once(self, spark, tmp_path):
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+
+        register_cdf_source(spark)
+        tbl = str(tmp_path / "rowcdf_tbl")
+        ck = str(tmp_path / "rowcdf_ck")
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id % 7 AS DOUBLE) AS v"
+        ).coalesce(2).write.parquet(tbl)
+        M.manifest_init(tbl, stat_cols=["k"])
+        M.enable_cdf(tbl)
+        start_v = M.current_version(tbl)
+        M.delete_where(spark, tbl, "k < 10")
+        M.update_where(spark, tbl, "k >= 95", {"v": "v + 100"})
+
+        out = str(tmp_path / "rowcdf_out")
+
+        def drain():
+            q = (
+                spark.readStream.format("manifest")
+                .option("tablePath", tbl)
+                .option("startVersion", str(start_v))
+                .option("readChanges", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        got = spark.read.parquet(out)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in got.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert by_type == {
+            "delete": 10, "update_preimage": 5, "update_postimage": 5
+        }
+        # second wave: plain append -> synthesized inserts, delta only
+        M.append(
+            spark.range(200, 203).selectExpr(
+                "id AS k", "CAST(0 AS DOUBLE) AS v"
+            ),
+            tbl,
+        )
+        drain()
+        got = spark.read.parquet(out)
+        ins = got.filter("_change_type = 'insert'").collect()
+        assert {r["k"] for r in ins} == {200, 201, 202}
+        assert got.count() == 23  # 20 + 3, nothing replayed
