@@ -94,5 +94,46 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def measure_cdf() -> None:
+    """read_changes cost must track the CHANGES, not the table size."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+    from pspcz_analyzer_spark.session import get_spark
+
+    spark = get_spark(app_name="measure_r07_cdf")
+    work = tempfile.mkdtemp(prefix="measure_cdf_")
+    for scale, n in (("1x", 200_000), ("10x", 2_000_000)):
+        tbl = os.path.join(work, f"cdf_{scale}")
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 991).alias("v")
+        )
+        write_range_sorted(df, tbl, "k", num_partitions=16)
+        M.manifest_init(tbl, stat_cols=["k"])
+        M.enable_cdf(tbl)
+        v0 = M.current_version(tbl)
+        t0 = time.time()
+        M.delete_where(spark, tbl, "k % 1000 = 7")  # ~n/1000 matches
+        dml = time.time() - t0
+        t0 = time.time()
+        cnt = M.read_changes(spark, tbl, v0).count()
+        rd = time.time() - t0
+        print(f"cdf {scale} (table {n}): delete_where {dml:.2f}s, "
+              f"read_changes {rd:.2f}s over {cnt} change rows")
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--cdf" in _sys.argv:
+        measure_cdf()
+    else:
+        main()
