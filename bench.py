@@ -172,6 +172,7 @@ HEADLINE = [
     "manifest_merge_full_roundtrip",
     "votes_browser_page",
     "manifest_row_cdf_roundtrip",
+    "manifest_replace_where_roundtrip",
 ]
 
 

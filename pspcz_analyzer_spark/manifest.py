@@ -1946,6 +1946,90 @@ def _predicate_victims(
     return [f for f in m["files"] if os.path.basename(f) in names]
 
 
+def replace_where(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    predicate: str,
+) -> "tuple[int, int]":
+    """Predicate-scoped atomic overwrite — Delta's ``replaceWhere``
+    (``INSERT OVERWRITE ... WHERE`` in minimal form), the backfill
+    primitive: in ONE committed version, every existing row matching
+    ``predicate`` is deleted and ``batch`` takes its place. A reader can
+    never observe the deleted-but-not-yet-inserted intermediate state
+    that a delete_where + append pair exposes.
+
+    Delta's constraint check applies: every BATCH row must itself
+    satisfy the predicate (one filtered count; violating rows raise
+    before any IO) — otherwise "replace the P orders" could smuggle
+    non-P rows past downstream partition reasoning. Victims are the
+    files actually containing matches (one metadata-carrying scan,
+    :func:`_predicate_victims`); survivors rewrite through the
+    merge-on-read view, untouched files carry over. CHECK constraints
+    and generated columns validate on the incoming batch exactly like
+    :func:`append`; with the change feed enabled the commit records
+    delete rows for the replaced set and insert rows for the batch.
+    Returns (rows_deleted, rows_inserted)."""
+    fs, rel = get_fs(path)
+    m = read_manifest(path)
+    schema = _check_schema(
+        m.get("schema") or _df_schema_list(batch), batch, merge_schema=False
+    )
+    _check_constraints(m, batch)
+    batch = _apply_generated(m, batch)
+    bad = batch.filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    ).limit(1).count()
+    if bad:
+        raise ConstraintViolation(
+            f"replace_where batch contains rows NOT matching the "
+            f"predicate ({predicate}); Delta's replaceWhere rule — the "
+            "batch must live entirely inside the replaced region"
+        )
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    affected = _predicate_victims(spark, m, path, predicate)
+    n_deleted = 0
+    new_names: "list[str]" = []
+    victims: "set[str]" = set()
+    cdf_names = None
+    if affected:
+        alive = _with_deletes(spark, path, m, affected)
+        n_deleted = alive.filter(pred).count()
+        if _cdf_on(m):
+            cdf_names = _stage_changes(
+                alive.filter(pred)
+                .withColumn(CDF_TYPE_COL, F.lit("delete"))
+                .unionByName(
+                    batch.withColumn(CDF_TYPE_COL, F.lit("insert"))
+                ),
+                path,
+            )
+        new_names += _stage_rewrites(alive.filter(~pred), path, "replw")
+        victims = set(affected)
+    elif _cdf_on(m):
+        cdf_names = _stage_changes(
+            batch.withColumn(CDF_TYPE_COL, F.lit("insert")), path
+        )
+    batch_names = _stage_rewrites(batch, path, "replw")
+    n_inserted = sum(
+        fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
+        for f in batch_names
+    )
+    new_names += batch_names
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
+    _commit(
+        path, new_files, m["version"],
+        txns=m.get("txns") or {}, schema=schema,
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=_updated_rows(m, fs, rel, new_names, victims),
+        cdf_files=cdf_names,
+    )
+    return n_deleted, n_inserted
+
+
 def delete_where(
     spark: SparkSession, path: str, predicate: str
 ) -> "tuple[int, int]":

@@ -2505,3 +2505,62 @@ def manifest_row_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+@register(
+    "manifest_replace_where_roundtrip",
+    oracle="""
+    WITH replaced AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderstatus <> 'P'
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'P', round(o_totalprice * 2, 2)
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM replaced
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "dml", "replace-where", "backfill"),
+    priority=18,
+    doc="Predicate-scoped atomic overwrite (manifest.py::replace_where — "
+    "Delta's replaceWhere / INSERT OVERWRITE WHERE, the backfill "
+    "primitive): every 'P' order is deleted and a recomputed batch takes "
+    "its place in ONE committed version (no observable delete-then-insert "
+    "gap); batch rows must satisfy the predicate (Delta's rule, "
+    "violations raise before IO); only files containing matches rewrite. "
+    "The *2 multiplier is binary-exact so both engines agree without "
+    "decimal casts. The oracle replays the overwrite as "
+    "anti-region UNION ALL batch.",
+)
+def manifest_replace_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_replw")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    batch = orders.filter(F.col("o_orderstatus") == "P").select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+    )
+    M.replace_where(spark, batch, path, "o_orderstatus = 'P'")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -3384,3 +3384,69 @@ class TestChangeDataFeed:
         M.enable_cdf(path)
         M.restore(path, v1)
         assert not (M.read_manifest(path).get("props") or {}).get("cdf")
+
+
+class TestReplaceWhere:
+    """Delta replaceWhere: predicate-scoped atomic overwrite in one
+    version, with the batch-inside-region constraint."""
+
+    def _mk(self, spark, tmp_path, name, cdf=False):
+        path = str(tmp_path / name)
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id % 3 AS LONG) AS part", "CAST(1 AS DOUBLE) AS v"
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        if cdf:
+            M.enable_cdf(path)
+        return path
+
+    def test_replaces_region_atomically(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rw")
+        v0 = M.current_version(path)
+        batch = spark.range(1000, 1010).selectExpr(
+            "id AS k", "CAST(1 AS LONG) AS part", "CAST(9 AS DOUBLE) AS v"
+        )
+        deleted, inserted = M.replace_where(spark, batch, path, "part = 1")
+        assert (deleted, inserted) == (33, 10)
+        assert M.current_version(path) == v0 + 1  # ONE version
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 100 - 33 + 10
+        assert t.filter("part = 1").count() == 10
+        assert t.filter("part = 1 AND v = 9").count() == 10
+        # untouched regions bit-identical
+        assert t.filter("part = 0").count() == 34
+
+    def test_batch_outside_region_rejected(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rwbad")
+        v0 = M.current_version(path)
+        batch = spark.range(5).selectExpr(
+            "id AS k", "CAST(2 AS LONG) AS part", "CAST(9 AS DOUBLE) AS v"
+        )
+        with pytest.raises(M.ConstraintViolation, match="NOT matching"):
+            M.replace_where(spark, batch, path, "part = 1")
+        assert M.current_version(path) == v0  # nothing committed
+
+    def test_empty_region_still_inserts(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rwempty")
+        batch = spark.range(7).selectExpr(
+            "id + 500 AS k", "CAST(7 AS LONG) AS part", "CAST(2 AS DOUBLE) AS v"
+        )
+        deleted, inserted = M.replace_where(spark, batch, path, "part = 7")
+        assert (deleted, inserted) == (0, 7)
+        assert M.load_manifest_table(spark, path).count() == 107
+
+    def test_change_feed_records_both_sides(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rwcdf", cdf=True)
+        v0 = M.current_version(path)
+        batch = spark.range(3).selectExpr(
+            "id + 300 AS k", "CAST(2 AS LONG) AS part", "CAST(5 AS DOUBLE) AS v"
+        )
+        M.replace_where(spark, batch, path, "part = 2")
+        ch = M.read_changes(spark, path, v0)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert by_type == {"delete": 33, "insert": 3}
