@@ -173,6 +173,7 @@ HEADLINE = [
     "votes_browser_page",
     "manifest_row_cdf_roundtrip",
     "manifest_replace_where_roundtrip",
+    "manifest_row_tracking_roundtrip",
 ]
 
 

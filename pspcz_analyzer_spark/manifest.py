@@ -137,6 +137,8 @@ def _commit(
     generated: dict | None = None,
     props: dict | None = None,
     cdf_files: "list | None" = None,
+    row_base: dict | None = None,
+    row_next: int | None = None,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -200,6 +202,28 @@ def _commit(
             {f: p for f, p in partitions.items() if f in set(files)}
         )
     fs, path = get_fs(path)
+    # Row tracking (Delta row lineage in minimal form): every file gets a
+    # BASE row id; fresh files allocate [row_next, row_next + rows) —
+    # metadata-only, appends pay zero storage (ids are base + row index
+    # at read time); rewrite outputs materialize survivors' ids as a
+    # physical __row_id column that wins per row. restore() passes the
+    # target's map verbatim (ids time-travel exactly).
+    if (props or {}).get("row_tracking"):
+        if row_base is None:
+            prev_base = prev_doc.get("row_base") or {}
+            nxt = int(prev_doc.get("row_next") or 0)
+            row_base = {f: prev_base[f] for f in files if f in prev_base}
+            for f in sorted(set(files) - set(row_base)):
+                n_rows = (rows or {}).get(f)
+                if n_rows is None:
+                    n_rows = fs.parquet_file(
+                        os.path.join(path, f)
+                    ).metadata.num_rows
+                row_base[f] = nxt
+                nxt += int(n_rows)
+            row_next = nxt
+    else:
+        row_base = row_next = None
     d = _manifest_dir(path)
     fs.makedirs(d)
     doc = {
@@ -236,6 +260,9 @@ def _commit(
         # they describe one version transition). Present-but-empty means
         # "no logical change" (compaction; a no-op clause cascade).
         doc["cdf_files"] = sorted(cdf_files)
+    if row_base is not None:
+        doc["row_base"] = {f: row_base[f] for f in sorted(row_base)}
+        doc["row_next"] = int(row_next or 0)
     if merged_parts:
         doc["partitions"] = {
             f: merged_parts[f] for f in sorted(merged_parts)
@@ -348,17 +375,29 @@ def _check_schema(
 
 
 def load_manifest_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read the table AS OF ``version`` (default latest) — the file list
     pinned at plan time, so a concurrent commit cannot shift the snapshot
     mid-query (and old versions stay readable until vacuumed: time
-    travel)."""
+    travel). ``with_row_ids=True`` (requires
+    :func:`enable_row_tracking`) appends the stable ``_row_id``
+    column."""
     m = read_manifest(path, version)
+    if with_row_ids and not _row_tracking_on(m):
+        raise ValueError(
+            f"row tracking is not enabled on {path}; call "
+            "enable_row_tracking() first"
+        )
     schema = m.get("schema")
     if not m["files"]:
         if schema:
             ddl = ", ".join(f"{n} {t}" for n, t in schema)
+            if with_row_ids:
+                ddl += f", {ROW_ID_COL} bigint"
             return spark.createDataFrame([], ddl)
         return spark.createDataFrame([], spark.read.parquet(path).schema)
     # Project to THIS version's schema: columns only later versions know
@@ -367,7 +406,29 @@ def load_manifest_table(
     # schema changes — but the projection is the contract); columns added
     # metadata-only (add_column) or by a later evolved append null-fill
     # for files written before them.
-    return _with_deletes(spark, path, m, m["files"])
+    return _with_deletes(
+        spark, path, m, m["files"], with_row_ids=with_row_ids
+    )
+
+
+ROW_ID_COL = "_row_id"       # logical output column
+ROW_ID_PHYS = "__row_id"     # materialized physical column in rewrites
+
+
+def _row_tracking_on(m: dict) -> bool:
+    return bool((m.get("props") or {}).get("row_tracking"))
+
+
+def _row_base_df(spark: SparkSession, m: dict):
+    """(file basename, base) frame from the manifest's row_base map —
+    one row per FILE (metadata scale), broadcast into the read."""
+    base = m.get("row_base") or {}
+    rows = [(os.path.basename(f), int(b)) for f, b in base.items()]
+    if not rows:
+        rows = [("", -1)]
+    return F.broadcast(
+        spark.createDataFrame(rows, "__file string, __base long")
+    )
 
 
 def _read_files(
@@ -376,6 +437,7 @@ def _read_files(
     m: dict,
     files: "list[str]",
     with_meta: bool = False,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read a SUBSET of a manifest table's data files the way
     :func:`load_manifest_table` reads the whole table: mergeSchema union
@@ -393,13 +455,16 @@ def _read_files(
     )
     schema = m.get("schema")
     if not schema:
-        if not with_meta:
+        if not (with_meta or with_row_ids):
             return df
-        return df.select(
+        out = df.select(
             "*",
             F.col("_metadata.file_name").alias("__file"),
             F.col("_metadata.row_index").alias("__row"),
         )
+        if with_row_ids:
+            out = _attach_row_ids(spark, m, out, drop_meta=not with_meta)
+        return out
     have = set(df.columns)
     colmap = m.get("colmap") or {}
     cols = [
@@ -410,12 +475,37 @@ def _read_files(
         )
         for n, t in schema
     ]
-    if with_meta:
+    if with_meta or with_row_ids:
         cols += [
             F.col("_metadata.file_name").alias("__file"),
             F.col("_metadata.row_index").alias("__row"),
         ]
-    return df.select(*cols)
+        if with_row_ids and ROW_ID_PHYS in have:
+            cols.append(F.col(ROW_ID_PHYS))
+    out = df.select(*cols)
+    if with_row_ids:
+        out = _attach_row_ids(spark, m, out, drop_meta=not with_meta)
+    return out
+
+
+def _attach_row_ids(
+    spark: SparkSession, m: dict, df: DataFrame, drop_meta: bool
+) -> DataFrame:
+    """Compute the stable ``_row_id``: a rewrite-materialized
+    ``__row_id`` column wins per row; otherwise the file's allocated
+    base + the parquet reader's row index (Delta row tracking's
+    metadata-only fresh-row path — appends pay ZERO storage for ids)."""
+    df = df.join(_row_base_df(spark, m), "__file", "left")
+    rid = F.col("__base") + F.col("__row")
+    if ROW_ID_PHYS in df.columns:
+        rid = F.coalesce(F.col(ROW_ID_PHYS), rid)
+        df = df.withColumn(ROW_ID_COL, rid.cast("long")).drop(ROW_ID_PHYS)
+    else:
+        df = df.withColumn(ROW_ID_COL, rid.cast("long"))
+    df = df.drop("__base")
+    if drop_meta:
+        df = df.drop("__file", "__row")
+    return df
 
 
 def _physical_col(m: dict, col: str) -> str:
@@ -441,6 +531,7 @@ def _with_deletes(
     m: dict,
     files: "list[str]",
     keep_meta: bool = False,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read ``files`` with the manifest's pending equality-delete entries
     applied (merge-on-read — Iceberg v2 equality deletes in minimal
@@ -458,7 +549,10 @@ def _with_deletes(
     ]
     pos = [d for d in (m.get("deletes") or []) if d.get("kind") == "pos"]
     if not (dels or pos) or not files:
-        return _read_files(spark, path, m, files, with_meta=keep_meta)
+        return _read_files(
+            spark, path, m, files,
+            with_meta=keep_meta, with_row_ids=with_row_ids,
+        )
     # Positional entries (deletion vectors): DV files hold (__file,
     # __row) coordinates; one broadcast anti-join on the parquet
     # reader's _metadata coordinates filters them out inside each
@@ -474,7 +568,9 @@ def _with_deletes(
     parts = []
     for applicable, grp in groups.items():
         df = _read_files(
-            spark, path, m, grp, with_meta=bool(pos) or keep_meta
+            spark, path, m, grp,
+            with_meta=bool(pos) or keep_meta,
+            with_row_ids=with_row_ids,
         )
         if pos:
             dv = (
@@ -942,6 +1038,38 @@ def enable_cdf(path: str) -> int:
         deletes=m.get("deletes"), rows=m.get("rows"),
         props=props, cdf_files=[],
     )
+
+
+def enable_row_tracking(path: str) -> int:
+    """ALTER TABLE SET TBLPROPERTIES (delta.enableRowTracking = true) in
+    minimal form — Delta's row lineage: every row gets a STABLE
+    ``_row_id`` that survives rewrites. Fresh rows are metadata-only
+    (file base + parquet row index — appends pay zero storage); rewrite
+    paths (DELETE/UPDATE/replace_where/MERGE/upsert/compaction/OPTIMIZE/
+    materialize) carry survivors' ids as a materialized ``__row_id``
+    column that wins per row at read. Read ids with
+    ``load_manifest_table(..., with_row_ids=True)``. Ids are unique and
+    stable from enablement on; they are NOT dense (deletes leave
+    holes — Delta's contract too)."""
+    m = read_manifest(path)
+    props = dict(m.get("props") or {})
+    if props.get("row_tracking"):
+        return m["version"]
+    props["row_tracking"] = True
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"), rows=m.get("rows"),
+        props=props,
+    )
+
+
+def _materialize_ids(df: DataFrame) -> DataFrame:
+    """Rename the read-time ``_row_id`` to the physical ``__row_id`` a
+    rewrite stages — survivors keep their identity across the rewrite."""
+    return df.withColumnRenamed(ROW_ID_COL, ROW_ID_PHYS)
 
 
 def _stage_changes(df: DataFrame, path: str) -> "list[str]":
@@ -1890,14 +2018,17 @@ def delete_keys(
     affected = _candidate_files(m, fs, rel, key_col, key_set)
     if not affected:
         return 0, 0
-    alive = _with_deletes(spark, path, m, affected)
+    rt = _row_tracking_on(m)
+    alive = _with_deletes(spark, path, m, affected, with_row_ids=rt)
     kept = alive.filter(~F.col(key_col).isin(*key_set))
+    if rt:
+        kept = _materialize_ids(kept)
     cdf_names = None
     if _cdf_on(m):
         cdf_names = _stage_changes(
-            alive.filter(F.col(key_col).isin(*key_set)).withColumn(
-                CDF_TYPE_COL, F.lit("delete")
-            ),
+            alive.filter(F.col(key_col).isin(*key_set))
+            .drop(ROW_ID_COL)
+            .withColumn(CDF_TYPE_COL, F.lit("delete")),
             path,
         )
     new_names = _stage_rewrites(kept, path, "del")
@@ -1992,19 +2123,24 @@ def replace_where(
     new_names: "list[str]" = []
     victims: "set[str]" = set()
     cdf_names = None
+    rt = _row_tracking_on(m)
     if affected:
-        alive = _with_deletes(spark, path, m, affected)
+        alive = _with_deletes(spark, path, m, affected, with_row_ids=rt)
         n_deleted = alive.filter(pred).count()
         if _cdf_on(m):
             cdf_names = _stage_changes(
                 alive.filter(pred)
+                .drop(ROW_ID_COL)
                 .withColumn(CDF_TYPE_COL, F.lit("delete"))
                 .unionByName(
                     batch.withColumn(CDF_TYPE_COL, F.lit("insert"))
                 ),
                 path,
             )
-        new_names += _stage_rewrites(alive.filter(~pred), path, "replw")
+        survivors = alive.filter(~pred)
+        if rt:
+            survivors = _materialize_ids(survivors)
+        new_names += _stage_rewrites(survivors, path, "replw")
         victims = set(affected)
     elif _cdf_on(m):
         cdf_names = _stage_changes(
@@ -2045,13 +2181,18 @@ def delete_where(
     affected = _predicate_victims(spark, m, path, predicate)
     if not affected:
         return 0, 0
-    alive = _with_deletes(spark, path, m, affected)
+    rt = _row_tracking_on(m)
+    alive = _with_deletes(spark, path, m, affected, with_row_ids=rt)
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     kept = alive.filter(~pred)
+    if rt:
+        kept = _materialize_ids(kept)
     cdf_names = None
     if _cdf_on(m):
         cdf_names = _stage_changes(
-            alive.filter(pred).withColumn(CDF_TYPE_COL, F.lit("delete")),
+            alive.filter(pred)
+            .drop(ROW_ID_COL)
+            .withColumn(CDF_TYPE_COL, F.lit("delete")),
             path,
         )
     new_names = _stage_rewrites(kept, path, "delw")
@@ -2244,7 +2385,8 @@ def update_where(
     affected = _predicate_victims(spark, m, path, predicate)
     if not affected:
         return 0, 0
-    src = _with_deletes(spark, path, m, affected)
+    rt = _row_tracking_on(m)
+    src = _with_deletes(spark, path, m, affected, with_row_ids=rt)
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     n_updated = src.filter(pred).count()
     out = src
@@ -2257,14 +2399,19 @@ def update_where(
     if _cdf_on(m):
         cdf_names = _stage_changes(
             src.filter(pred)
+            .drop(ROW_ID_COL)
             .withColumn(CDF_TYPE_COL, F.lit("update_preimage"))
             .unionByName(
-                out.filter(pred).withColumn(
-                    CDF_TYPE_COL, F.lit("update_postimage")
-                )
+                out.filter(pred)
+                .drop(ROW_ID_COL)
+                .withColumn(CDF_TYPE_COL, F.lit("update_postimage"))
             ),
             path,
         )
+    if rt:
+        # UPDATE preserves identity: updated rows keep their row ids —
+        # the lineage guarantee row tracking exists for.
+        out = _materialize_ids(out)
     # The rewrite must satisfy the table's own invariants.
     _check_constraints(m, out)
     for gname, gexpr in gen.items():
@@ -2404,7 +2551,11 @@ def materialize_deletes(spark: SparkSession, path: str) -> "tuple[int, int]":
             victims.append(f)
     new_names: "list[str]" = []
     if victims:
-        rewritten = _with_deletes(spark, path, m, victims)
+        rewritten = _with_deletes(
+            spark, path, m, victims, with_row_ids=_row_tracking_on(m)
+        )
+        if _row_tracking_on(m):
+            rewritten = _materialize_ids(rewritten)
         new_names = _stage_rewrites(rewritten, path, "matdel")
     new_files = [f for f in m["files"] if f not in set(victims)] + new_names
     stats, stat_cols = _updated_stats(m, fs, rel, new_names, set(victims))
@@ -2495,10 +2646,14 @@ def upsert(
         else:
             changes = batch.withColumn(CDF_TYPE_COL, F.lit("insert"))
         cdf_names = _stage_changes(changes, path)
+    rt = _row_tracking_on(m)
     if affected:
         kept = _purge_keys(
-            _with_deletes(spark, path, m, affected), keys_df, key_col, key_set
+            _with_deletes(spark, path, m, affected, with_row_ids=rt),
+            keys_df, key_col, key_set,
         )
+        if rt:
+            kept = _materialize_ids(kept)
         new_names += _stage_rewrites(kept, path, "upsert")
         victims = set(affected)
     keys_df.unpersist()
@@ -2629,8 +2784,11 @@ def merge_into(
     n_updated = n_deleted = n_nms_upd = n_nms_del = 0
     survivors = None
     merge_changes = None
+    rt = _row_tracking_on(m)
     if affected:
-        t = _with_deletes(spark, path, m, affected).alias("t")
+        t = _with_deletes(
+            spark, path, m, affected, with_row_ids=rt
+        ).alias("t")
         on = F.lit(True)
         for k in key_cols:
             on = on & (F.col(f"t.{k}") == F.col(f"s.{k}"))
@@ -2691,6 +2849,9 @@ def merge_into(
                     target = target.cast(types[c])
                 base = F.when(nms_upd_cond, target).otherwise(base)
             proj.append(base.alias(c))
+        if rt:
+            # Survivors — updated or untouched — keep their identity.
+            proj.append(F.col(f"t.{ROW_ID_COL}").alias(ROW_ID_PHYS))
         survivors = j.filter(~del_cond & ~nms_del_cond).select(*proj)
         if _cdf_on(m):
             tcols = [F.col(f"t.{c}").alias(c) for c in out_cols]
@@ -2705,6 +2866,7 @@ def merge_into(
                 ),
                 j.filter(upd_cond | nms_upd_cond)
                 .select(*proj)
+                .drop(ROW_ID_PHYS)
                 .withColumn(CDF_TYPE_COL, F.lit("update_postimage")),
             ]
             merge_changes = change_parts[0].unionByName(change_parts[1])
@@ -2720,7 +2882,7 @@ def merge_into(
         inserts = inserts.localCheckpoint()
         n_inserted = inserts.count()
         batch = (
-            survivors.unionByName(inserts)
+            survivors.unionByName(inserts, allowMissingColumns=True)
             if survivors is not None
             else inserts
         )
@@ -2883,7 +3045,9 @@ def scd2_merge(
     new_names: "list[str]" = []
     victims: "set[str]" = set()
     if affected:
-        old = _with_deletes(spark, path, m, affected)
+        old = _with_deletes(
+            spark, path, m, affected, with_row_ids=_row_tracking_on(m)
+        )
         closing = F.col(SCD2_CURRENT) & F.col("__close_at").isNotNull()
         rewritten = (
             old.join(bcast(eff_by_key), key_col, "left")
@@ -2893,6 +3057,7 @@ def scd2_merge(
                     for c in schema_cols
                     if c not in (SCD2_VALID_TO, SCD2_CURRENT)
                 ],
+                *([ROW_ID_COL] if _row_tracking_on(m) else []),
                 F.when(closing, F.col("__close_at"))
                 .otherwise(F.col(SCD2_VALID_TO))
                 .alias(SCD2_VALID_TO),
@@ -2900,8 +3065,13 @@ def scd2_merge(
                 .otherwise(F.col(SCD2_CURRENT))
                 .alias(SCD2_CURRENT),
             )
-            .select(*schema_cols)
+            .select(
+                *schema_cols,
+                *([ROW_ID_COL] if _row_tracking_on(m) else []),
+            )
         )
+        if _row_tracking_on(m):
+            rewritten = _materialize_ids(rewritten)
         new_names += _stage_rewrites(rewritten, path, "scd2close")
         victims = set(affected)
     inserts = to_insert.select(
@@ -2991,7 +3161,11 @@ def compact_small_files(
         for b in bins:
             if len(b) < 2:
                 continue
-            out = _with_deletes(spark, path, m, b).coalesce(1)
+            out = _with_deletes(
+                spark, path, m, b, with_row_ids=_row_tracking_on(m)
+            ).coalesce(1)
+            if _row_tracking_on(m):
+                out = _materialize_ids(out)
             staged = _stage_rewrites(out, path, "compact")
             new_names += staged
             merged += b
@@ -3072,12 +3246,17 @@ def _optimize_layout(
     m = read_manifest(path)
     if not m["files"]:
         return m["version"]
-    keyed, zcol = key_fn(load_manifest_table(spark, path), cols, bits)
+    rt = _row_tracking_on(m)
+    keyed, zcol = key_fn(
+        load_manifest_table(spark, path, with_row_ids=rt), cols, bits
+    )
     out = (
         keyed.repartitionByRange(num_partitions, F.col(zcol))
         .sortWithinPartitions(zcol)
         .drop(zcol)
     )
+    if rt:
+        out = _materialize_ids(out)
     new_names = _stage_rewrites(out, path, "zorder")
     fs, rel = get_fs(path)
     stats, stat_cols = _updated_stats(
@@ -3245,6 +3424,9 @@ def restore(path: str, version: int) -> int:
         # enable_cdf rolls the property back; the feed restarts at a
         # future re-enable).
         props=target.get("props") or {},
+        # Row-id map travels with the files it describes.
+        row_base=target.get("row_base"),
+        row_next=target.get("row_next"),
     )
 
 

@@ -2564,3 +2564,81 @@ def manifest_replace_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_row_tracking_roundtrip",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1,
+                                  2) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(*) AS n_id_preserved,
+           round(sum(o_totalprice), 2) AS total
+    FROM survivors
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "row-tracking", "dml", "lineage"),
+    priority=18,
+    doc="Row tracking (manifest.py::enable_row_tracking — Delta row "
+    "lineage in minimal form): every row's _row_id must survive a "
+    "DELETE WHERE + UPDATE SET WHERE pair — survivors (updated or "
+    "untouched) keep the exact id they had before the DML, carried "
+    "through the rewrite as a materialized __row_id column while fresh "
+    "rows stay metadata-only (file base + parquet row index, zero "
+    "storage). The query snapshots (key, id) before the DML, replays "
+    "the DML, and counts per status how many rows kept their id; the "
+    "oracle demands n_id_preserved == n for EVERY group — one flipped "
+    "id anywhere fails the hash. Values aggregate too, so the DML "
+    "semantics stay pinned alongside the lineage.",
+)
+def manifest_row_tracking_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_rowtrack")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    M.enable_row_tracking(path)
+    before = (
+        M.load_manifest_table(spark, path, with_row_ids=True)
+        .select("o_orderkey", F.col("_row_id").alias("_row_id_before"))
+        .localCheckpoint()
+    )
+    M.delete_where(
+        spark, path, "o_orderstatus = 'F' AND o_totalprice < 50000"
+    )
+    M.update_where(
+        spark,
+        path,
+        "o_orderstatus = 'P'",
+        {"o_totalprice": "CAST(round(CAST(o_totalprice AS DECIMAL(18,2))"
+                         " * 1.1, 2) AS DOUBLE)"},
+    )
+    after = M.load_manifest_table(spark, path, with_row_ids=True)
+    return (
+        after.join(before, "o_orderkey", "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("_row_id") == F.col("_row_id_before")).cast("long")
+            ).alias("n_id_preserved"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

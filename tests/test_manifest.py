@@ -3450,3 +3450,103 @@ class TestReplaceWhere:
             ).collect()
         }
         assert by_type == {"delete": 33, "insert": 3}
+
+
+class TestRowTracking:
+    """Row tracking (Delta row lineage): stable _row_id per row — fresh
+    rows metadata-only (file base + row index), survivors carried across
+    rewrites via a materialized __row_id column that wins per row."""
+
+    def _ids(self, spark, path):
+        return {
+            r["k"]: r["_row_id"]
+            for r in M.load_manifest_table(
+                spark, path, with_row_ids=True
+            ).collect()
+        }
+
+    def _mk(self, spark, tmp_path, name):
+        path = str(tmp_path / name)
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id % 5 AS DOUBLE) AS v"
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        M.enable_row_tracking(path)
+        return path
+
+    def test_ids_unique_and_appends_extend(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rt")
+        ids = self._ids(spark, path)
+        assert len(ids) == 100 and len(set(ids.values())) == 100
+        M.append(
+            spark.range(100, 120).selectExpr(
+                "id AS k", "CAST(0 AS DOUBLE) AS v"
+            ),
+            path,
+        )
+        ids2 = self._ids(spark, path)
+        assert len(set(ids2.values())) == 120
+        # existing rows kept their ids; new rows got fresh ones
+        assert all(ids2[k] == ids[k] for k in ids)
+        assert min(ids2[k] for k in range(100, 120)) > max(ids.values())
+
+    def test_delete_preserves_survivor_ids(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rtdel")
+        ids = self._ids(spark, path)
+        M.delete_where(spark, path, "k % 3 = 0")
+        ids2 = self._ids(spark, path)
+        assert set(ids2) == {k for k in range(100) if k % 3 != 0}
+        assert all(ids2[k] == ids[k] for k in ids2)
+
+    def test_update_preserves_identity(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rtupd")
+        ids = self._ids(spark, path)
+        M.update_where(spark, path, "k < 50", {"v": "v + 100"})
+        ids2 = self._ids(spark, path)
+        assert ids2 == ids  # every row, updated or not, keeps its id
+        t = M.load_manifest_table(spark, path, with_row_ids=True)
+        assert t.filter("v >= 100").count() == 50
+
+    def test_compaction_and_optimize_preserve_ids(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rtcmp")
+        ids = self._ids(spark, path)
+        M.compact_small_files(spark, path, target_bytes=1 << 30)
+        assert self._ids(spark, path) == ids
+        M.optimize_zorder(spark, path, ["k", "v"], num_partitions=4)
+        assert self._ids(spark, path) == ids
+
+    def test_merge_keeps_updated_ids_fresh_insert_ids(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rtmrg")
+        ids = self._ids(spark, path)
+        src = spark.range(90, 110).selectExpr(
+            "id AS k", "CAST(7 AS DOUBLE) AS v"
+        )
+        M.merge_into(
+            spark, path, src, "k",
+            when_matched_delete="t.k < 93",
+            when_matched_update={"v": "s.v"},
+        )
+        ids2 = self._ids(spark, path)
+        # deleted ids gone, updated keep identity, inserts fresh + unique
+        assert set(ids2) == (set(range(100)) - {90, 91, 92}) | set(
+            range(100, 110)
+        )
+        assert all(ids2[k] == ids[k] for k in range(93, 100))
+        assert all(ids2[k] == ids[k] for k in range(0, 90))
+        fresh = {ids2[k] for k in range(100, 110)}
+        assert len(fresh) == 10 and fresh.isdisjoint(set(ids.values()))
+
+    def test_restore_restores_id_map(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rtrst")
+        ids = self._ids(spark, path)
+        v = M.current_version(path)
+        M.delete_where(spark, path, "k < 50")
+        M.restore(path, v)
+        assert self._ids(spark, path) == ids
+
+    def test_requires_enablement(self, spark, tmp_path):
+        path = str(tmp_path / "rtoff")
+        spark.range(5).selectExpr("id AS k").coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        with pytest.raises(ValueError, match="row tracking is not enabled"):
+            M.load_manifest_table(spark, path, with_row_ids=True)
