@@ -343,6 +343,22 @@ class SchemaMismatch(ValueError):
     a type change on an existing column (never allowed — no widening)."""
 
 
+# Lossless type-widening lattice (Delta 3.x type widening in minimal
+# form). Keyed by the NARROW type; values are the wider types it can
+# move to (or be read under) without data change. Both Spark DDL
+# spellings and simpleString() forms appear so callers can pass either.
+_WIDENINGS = {
+    "tinyint": {"smallint", "short", "int", "bigint", "long"},
+    "byte": {"smallint", "short", "int", "bigint", "long"},
+    "smallint": {"int", "bigint", "long"},
+    "short": {"int", "bigint", "long"},
+    "int": {"bigint", "long"},
+    "integer": {"bigint", "long"},
+    "float": {"double"},
+    "real": {"double"},
+}
+
+
 def _check_schema(
     table_schema: list, df: DataFrame, merge_schema: bool
 ) -> list:
@@ -360,6 +376,12 @@ def _check_schema(
     for name, dtype in _df_schema_list(df):
         if name in types:
             if types[name] != dtype:
+                # A batch NARROWER than the (widened) table type is fine:
+                # the file keeps its narrow physical type and the
+                # requested-schema read upcasts it per file — same rule
+                # that makes widen_column_type metadata-only.
+                if types[name].lower() in _WIDENINGS.get(dtype.lower(), set()):
+                    continue
                 raise SchemaMismatch(
                     f"column {name!r}: table has {types[name]}, batch has "
                     f"{dtype}; type changes are not supported"
@@ -450,11 +472,10 @@ def _read_files(
     ``with_meta`` appends ``__file`` (basename) and ``__row`` (position
     in file, from the parquet reader's ``_metadata.row_index``) — the
     coordinates positional deletes are defined over."""
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in files]
-    )
+    paths = [os.path.join(path, f) for f in files]
     schema = m.get("schema")
     if not schema:
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if not (with_meta or with_row_ids):
             return df
         out = df.select(
@@ -465,22 +486,29 @@ def _read_files(
         if with_row_ids:
             out = _attach_row_ids(spark, m, out, drop_meta=not with_meta)
         return out
-    have = set(df.columns)
+    # REQUESTED-SCHEMA read (not mergeSchema inference): the parquet
+    # reader projects each file onto the declared physical schema —
+    # missing columns null-fill (pre-evolution files) and NARROWER
+    # physical types upcast per file (int32 under a widened bigint,
+    # float under double — Spark 4 read-side type widening), which
+    # mergeSchema cannot do (mixed-width unions fail to merge). This is
+    # what makes ALTER COLUMN TYPE widening metadata-only.
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
     colmap = m.get("colmap") or {}
-    cols = [
-        (
-            F.col(colmap.get(n, n)).alias(n)
-            if colmap.get(n, n) in have
-            else F.lit(None).cast(t).alias(n)
-        )
-        for n, t in schema
-    ]
+    req = StructType()
+    for n, t in schema:
+        req = req.add(colmap.get(n, n), _parse_datatype_string(t))
+    if with_row_ids:
+        req = req.add(ROW_ID_PHYS, _parse_datatype_string("bigint"))
+    df = spark.read.schema(req).parquet(*paths)
+    cols = [F.col(colmap.get(n, n)).alias(n) for n, t in schema]
     if with_meta or with_row_ids:
         cols += [
             F.col("_metadata.file_name").alias("__file"),
             F.col("_metadata.row_index").alias("__row"),
         ]
-        if with_row_ids and ROW_ID_PHYS in have:
+        if with_row_ids:
             cols.append(F.col(ROW_ID_PHYS))
     out = df.select(*cols)
     if with_row_ids:
@@ -1734,6 +1762,42 @@ def _apply_generated(m: dict, df: DataFrame) -> DataFrame:
                     f"differ from GENERATED ALWAYS AS ({expr})"
                 )
     return df
+
+
+def widen_column_type(path: str, name: str, new_type: str) -> int:
+    """Metadata-only ALTER TABLE ALTER COLUMN TYPE — Delta 3.x type
+    widening in minimal form: the declared type moves UP a safe lattice
+    (byte->short->int->long, float->double) in one metadata commit;
+    existing data files keep their narrow physical type and the
+    requested-schema read upcasts them per file (zero rewrite), while
+    new appends write the wide type. Narrowing or cross-family changes
+    raise — they would need a rewrite and can lose data."""
+    m = read_manifest(path)
+    schema = m.get("schema")
+    if not schema:
+        raise ValueError(f"{path} has no manifest schema")
+    cur = {n: t for n, t in schema}
+    if name not in cur:
+        raise SchemaMismatch(f"no such column {name!r}")
+    old_t = cur[name].lower()
+    new_t = new_type.lower()
+    if new_t not in _WIDENINGS.get(old_t, set()):
+        raise SchemaMismatch(
+            f"cannot change column {name!r} from {old_t!r} to {new_t!r}: "
+            "only lossless widenings (byte->short->int->long, "
+            "float->double) are metadata-only"
+        )
+    new_schema = [
+        [n, new_type if n == name else t] for n, t in schema
+    ]
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=new_schema,
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=m.get("rows"),
+    )
 
 
 def rename_column(path: str, old: str, new: str) -> int:

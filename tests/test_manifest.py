@@ -303,6 +303,82 @@ class TestSchemaEvolution:
         assert t.filter(F.col("user_id") == 1).count() == 0
 
 
+class TestTypeWidening:
+    """ALTER COLUMN TYPE widening (Delta 3.x type widening in minimal
+    form): the declared type moves up a lossless lattice in one
+    metadata-only commit; old files keep their narrow physical type and
+    the requested-schema read upcasts them per file."""
+
+    @pytest.fixture()
+    def narrow(self, spark, tmp_path):
+        df = spark.range(100).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") % 7).cast("float").alias("x"),
+        )
+        path = str(tmp_path / "wtab")
+        df.coalesce(2).write.parquet(path)
+        M.manifest_init(path)
+        return path
+
+    def test_widen_is_metadata_only_and_upcasts_reads(self, spark, narrow):
+        files_before = set(M.read_manifest(narrow)["files"])
+        M.widen_column_type(narrow, "k", "bigint")
+        M.widen_column_type(narrow, "x", "double")
+        m = M.read_manifest(narrow)
+        assert set(m["files"]) == files_before  # zero data IO
+        assert dict(m["schema"]) == {"k": "bigint", "x": "double"}
+        t = M.load_manifest_table(spark, narrow)
+        assert dict(t.dtypes) == {"k": "bigint", "x": "double"}
+        assert t.agg(F.sum("k")).first()[0] == sum(range(100))
+
+    def test_wide_append_after_widen_and_mixed_read(self, spark, narrow):
+        M.widen_column_type(narrow, "k", "bigint")
+        big = 5_000_000_000  # > int32 range: needs the wide type
+        wide = spark.range(1).select(
+            F.lit(big).alias("k"), F.lit(1.5).cast("float").alias("x")
+        )
+        M.append(wide, narrow)
+        t = M.load_manifest_table(spark, narrow)
+        assert t.count() == 101
+        assert t.filter(F.col("k") == big).count() == 1
+        # mixed narrow/wide physical files aggregate exactly
+        assert t.agg(F.sum("k")).first()[0] == sum(range(100)) + big
+
+    def test_narrow_batch_still_writes_under_widened_type(self, spark, narrow):
+        M.widen_column_type(narrow, "k", "bigint")
+        nb = spark.range(3).select(
+            (F.col("id") + 1_000).cast("int").alias("k"),
+            F.lit(0.0).cast("float").alias("x"),
+        )
+        M.append(nb, narrow)  # narrow batch accepted, upcast at read
+        t = M.load_manifest_table(spark, narrow)
+        assert t.filter(F.col("k") >= 1_000).count() == 3
+        assert dict(t.dtypes)["k"] == "bigint"
+
+    def test_narrowing_and_cross_family_rejected(self, spark, narrow):
+        with pytest.raises(M.SchemaMismatch, match="lossless widening"):
+            M.widen_column_type(narrow, "k", "smallint")
+        with pytest.raises(M.SchemaMismatch, match="lossless widening"):
+            M.widen_column_type(narrow, "x", "string")
+        with pytest.raises(M.SchemaMismatch, match="no such column"):
+            M.widen_column_type(narrow, "zz", "bigint")
+
+    def test_time_travel_reads_old_narrow_schema(self, spark, narrow):
+        v1 = M.current_version(narrow)
+        M.widen_column_type(narrow, "k", "bigint")
+        old = M.load_manifest_table(spark, narrow, version=v1)
+        assert dict(old.dtypes)["k"] == "int"
+        assert M.load_manifest_table(spark, narrow).dtypes != old.dtypes
+
+    def test_widen_survives_rewrite(self, spark, narrow):
+        M.widen_column_type(narrow, "k", "bigint")
+        M.delete_where(spark, narrow, "k < 10")
+        t = M.load_manifest_table(spark, narrow)
+        assert dict(t.dtypes)["k"] == "bigint"
+        assert t.count() == 90
+        assert t.agg(F.min("k")).first()[0] == 10
+
+
 class TestManifestStats:
     """Manifest-stored file stats: metadata-only scan pruning that stays
     exact, with stats refreshed by every commit."""
