@@ -2642,3 +2642,80 @@ def manifest_row_tracking_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_widen_roundtrip",
+    oracle="""
+    WITH narrow AS (
+      SELECT CAST(o_orderkey AS INT) AS k, o_orderstatus,
+             CAST(CAST(floor(o_totalprice) AS REAL) AS DOUBLE) AS price
+      FROM orders
+    ),
+    wide AS (
+      SELECT o_orderkey + 5000000000 AS k,
+             'W' AS o_orderstatus,
+             floor(o_totalprice) AS price
+      FROM orders WHERE o_orderkey % 1000 = 1
+    ),
+    u AS (
+      SELECT * FROM narrow UNION ALL SELECT * FROM wide
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS key_total,
+           CAST(sum(price) AS BIGINT) AS total
+    FROM u
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "ddl", "type-widening", "schema-evolution"),
+    priority=18,
+    doc="ALTER COLUMN TYPE widening (manifest.py::widen_column_type — "
+    "Delta 3.x type widening in minimal form): a table written with "
+    "INT keys and FLOAT prices widens both columns to BIGINT/DOUBLE in "
+    "one metadata-only commit (asserted: zero files change), then an "
+    "append lands keys ABOVE the int32 range — impossible without the "
+    "widen. Readers project every file onto the declared schema, so "
+    "old narrow files upcast per file (Spark 4 read-side type "
+    "widening) and mix with wide files in one scan. floor() keeps all "
+    "prices integral (exact in float32 below 2^24 and in the double "
+    "sums), so the aggregate is binary-exact on both engines. The "
+    "oracle replays the narrow cast + upcast + wide union in SQL.",
+)
+def manifest_widen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    orders = load_table(spark, sf_dir, "orders")
+    narrow = orders.select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("float").alias("price"),
+    )
+    path = _scratch(sf_dir, "orders_widen")
+    _shutil.rmtree(path, ignore_errors=True)
+    narrow.coalesce(4).write.parquet(path)
+    M.manifest_init(path, stat_cols=["k"])
+    files0 = set(M.read_manifest(path)["files"])
+    M.widen_column_type(path, "k", "bigint")
+    M.widen_column_type(path, "price", "double")
+    if set(M.read_manifest(path)["files"]) != files0:
+        raise AssertionError("type widening must be metadata-only")
+    wide = orders.filter(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + F.lit(5_000_000_000)).alias("k"),
+        F.lit("W").alias("o_orderstatus"),
+        F.floor("o_totalprice").cast("double").alias("price"),
+    )
+    M.append(wide, path)
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("key_total"),
+            F.sum("price").cast("long").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
