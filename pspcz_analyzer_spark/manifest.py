@@ -135,6 +135,7 @@ def _commit(
     current_spec: int | None = None,
     colmap: dict | None = None,
     generated: dict | None = None,
+    defaults: dict | None = None,
     props: dict | None = None,
     cdf_files: "list | None" = None,
     row_base: dict | None = None,
@@ -191,6 +192,11 @@ def _commit(
         colmap = prev_doc.get("colmap")
     if generated is None:
         generated = prev_doc.get("generated")
+    if defaults is None:
+        # Column defaults (Iceberg v3 initial/write defaults in minimal
+        # form) carry forward verbatim; explicit {} clears them
+        # (restore's schema-unit rule, same as generated/colmap).
+        defaults = prev_doc.get("defaults")
     if props is None:
         # Table properties (delta.enableChangeDataFeed analog) carry
         # forward verbatim; explicit {} clears them (restore's unit rule).
@@ -253,6 +259,8 @@ def _commit(
         doc["colmap"] = {k: colmap[k] for k in sorted(colmap)}
     if generated:
         doc["generated"] = {k: generated[k] for k in sorted(generated)}
+    if defaults:
+        doc["defaults"] = {k: defaults[k] for k in sorted(defaults)}
     if props:
         doc["props"] = {k: props[k] for k in sorted(props)}
     if cdf_files is not None:
@@ -275,7 +283,18 @@ def _commit(
     # generated columns accept writes that violate the invariant. Purely
     # additive metadata (stats, blooms, tags, row counts) stays at 1.
     reader = 1
-    if doc.get("deletes") or colmap or generated:
+    if (
+        doc.get("deletes")
+        or colmap
+        or generated
+        # An INITIAL default changes read results for pre-existing rows:
+        # a naive reader null-fills where the table says default-fills —
+        # a silent misread, so it gates like merge-on-read deletes.
+        # Write-only defaults affect writers, not readers, and stay at 1.
+        or any(
+            d.get("initial") is not None for d in (defaults or {}).values()
+        )
+    ):
         reader = 2
     doc["protocol"] = {"reader": reader}
     body = json.dumps(doc, indent=0).encode()
@@ -503,7 +522,8 @@ def _read_files(
         req = req.add(ROW_ID_PHYS, _parse_datatype_string("bigint"))
     df = spark.read.schema(req).parquet(*paths)
     cols = [F.col(colmap.get(n, n)).alias(n) for n, t in schema]
-    if with_meta or with_row_ids:
+    dplan = _initial_defaults_plan(m, files)
+    if with_meta or with_row_ids or dplan:
         cols += [
             F.col("_metadata.file_name").alias("__file"),
             F.col("_metadata.row_index").alias("__row"),
@@ -511,9 +531,63 @@ def _read_files(
         if with_row_ids:
             cols.append(F.col(ROW_ID_PHYS))
     out = df.select(*cols)
+    if dplan:
+        # Initial defaults (Iceberg v3): default-fill EXACTLY the files
+        # whose sequence number predates the column (they physically
+        # lack it) — an explicit NULL written later stays NULL. The
+        # file->seq map is manifest metadata, broadcast like row bases.
+        order = out.columns
+        out = out.join(_file_seq_df(spark, m), "__file", "left")
+        for c, t, lit, since in dplan:
+            out = out.withColumn(
+                c,
+                F.when(
+                    F.col("__seq") < F.lit(since),
+                    F.coalesce(F.col(c), F.expr(lit).cast(t)),
+                ).otherwise(F.col(c)),
+            )
+        out = out.select(*order)
+        if not (with_meta or with_row_ids):
+            out = out.drop("__file", "__row")
     if with_row_ids:
         out = _attach_row_ids(spark, m, out, drop_meta=not with_meta)
     return out
+
+
+def _initial_defaults_plan(
+    m: dict, files: "list[str]"
+) -> "list[tuple[str, str, str, int]]":
+    """[(col, dtype, literal, since)] for columns whose INITIAL default
+    applies to at least one of ``files`` — a metadata-only decision from
+    the manifest's defaults + sequence maps, so the common case (no
+    defaults, or every file newer than every default) adds nothing to
+    the plan."""
+    defaults = m.get("defaults") or {}
+    if not defaults:
+        return []
+    schema = {n: t for n, t in (m.get("schema") or [])}
+    seq = m.get("seq") or {}
+    plan = []
+    for c, d in defaults.items():
+        lit = d.get("initial")
+        if lit is None or c not in schema:
+            continue
+        since = int(d.get("since", 0))
+        if any(int(seq.get(f, since)) < since for f in files):
+            plan.append((c, schema[c], lit, since))
+    return plan
+
+
+def _file_seq_df(spark: SparkSession, m: dict):
+    """(file basename, seq) frame from the manifest's sequence map — one
+    row per FILE (metadata scale), broadcast into the read."""
+    seq = m.get("seq") or {}
+    rows = [(os.path.basename(f), int(v)) for f, v in seq.items()]
+    if not rows:
+        rows = [("", -1)]
+    return F.broadcast(
+        spark.createDataFrame(rows, "__file string, __seq long")
+    )
 
 
 def _attach_row_ids(
@@ -1276,9 +1350,11 @@ def append(
     files and returns the current version. Default 0 preserves the raw
     optimistic protocol: conflicts raise for the caller to re-plan."""
     m = read_manifest(path)
-    # Generated columns compute/validate first (the batch may legally
-    # omit them), then validate BEFORE staging so a rejected batch
-    # leaves zero artifacts.
+    # Write defaults fill omitted columns first (generated expressions
+    # may reference them), generated columns compute/validate next (the
+    # batch may legally omit them), then constraints validate BEFORE
+    # staging so a rejected batch leaves zero artifacts.
+    df = _apply_write_defaults(m, df)
     df = _apply_generated(m, df)
     _check_schema(m.get("schema") or _df_schema_list(df), df, merge_schema)
     _check_constraints(m, df)
@@ -1662,13 +1738,29 @@ def scan_manifest_table_partition(
     return _with_deletes(spark, path, m, files).filter(pred)
 
 
-def add_column(path: str, name: str, dtype: str) -> int:
+def add_column(
+    path: str,
+    name: str,
+    dtype: str,
+    initial_default: "str | None" = None,
+    write_default: "str | None" = None,
+) -> int:
     """Metadata-only ALTER TABLE ADD COLUMN: commits a new version with
     the same file list and an extended schema — zero data IO, the Delta/
     Iceberg DDL fast path. Readers of the new version see the column as
     null for every existing row; readers of pinned old versions never see
     it (schema is versioned with the manifest). ``dtype`` is a Spark DDL
-    type string (``int``, ``string``, ``array<double>`` ...)."""
+    type string (``int``, ``string``, ``array<double>`` ...).
+
+    ``initial_default`` (Iceberg v3 initial-default in minimal form) is a
+    SQL literal existing rows READ instead of null — still metadata-only:
+    the manifest records the literal plus the version it appeared
+    (``since``), and the read path default-fills exactly the files whose
+    sequence number predates it (they physically lack the column), so a
+    LATER batch writing an explicit NULL stays NULL. ``write_default``
+    is the value WRITTEN when an append batch omits the column (defaults
+    to ``initial_default``); unlike the initial default it materializes
+    into data files, so changing it later never rewrites history."""
     m = read_manifest(path)
     schema = m.get("schema")
     if not schema:
@@ -1678,6 +1770,16 @@ def add_column(path: str, name: str, dtype: str) -> int:
         )
     if any(n == name for n, _ in schema):
         raise SchemaMismatch(f"column {name!r} already exists")
+    defaults = None
+    if initial_default is not None or write_default is not None:
+        defaults = dict(m.get("defaults") or {})
+        defaults[name] = {
+            "initial": initial_default,
+            "write": (
+                write_default if write_default is not None else initial_default
+            ),
+            "since": m["version"] + 1,
+        }
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
@@ -1685,6 +1787,7 @@ def add_column(path: str, name: str, dtype: str) -> int:
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=m.get("rows"),
+        defaults=defaults,
     )
 
 
@@ -1741,6 +1844,25 @@ def add_generated_column(
         rows=m.get("rows"),
         generated=generated,
     )
+
+
+def _apply_write_defaults(m: dict, df: DataFrame) -> DataFrame:
+    """Fill columns a batch OMITS with their declared WRITE default
+    (Iceberg v3 write-default): the literal materializes into the
+    batch's data files at write time, so later changes to the default
+    never rewrite history. A column the batch supplies is untouched —
+    an explicit NULL is a NULL, not a default."""
+    defaults = m.get("defaults") or {}
+    if not defaults:
+        return df
+    types = {n: t for n, t in (m.get("schema") or [])}
+    have = set(df.columns)
+    for c, d in defaults.items():
+        lit = d.get("write")
+        if lit is None or c in have or c not in types:
+            continue
+        df = df.withColumn(c, F.expr(lit).cast(types[c]))
+    return df
 
 
 def _apply_generated(m: dict, df: DataFrame) -> DataFrame:
@@ -1855,6 +1977,12 @@ def rename_column(path: str, old: str, new: str) -> int:
     if phys != new:
         colmap[new] = phys
     new_schema = [[new if n == old else n, t] for n, t in schema]
+    # Column defaults key by LOGICAL name: the entry (and its `since`
+    # version) follows the rename so old files keep default-filling.
+    defaults = None
+    if old in (m.get("defaults") or {}):
+        defaults = dict(m["defaults"])
+        defaults[new] = defaults.pop(old)
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=new_schema,
@@ -1863,6 +1991,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         deletes=m.get("deletes"),
         rows=m.get("rows"),
         colmap=colmap,
+        defaults=defaults,
     )
 
 
@@ -3484,6 +3613,9 @@ def restore(path: str, version: int) -> int:
         # restore past a rename would route the old logical name at the
         # wrong physical column (misread, not just a miss).
         colmap=target.get("colmap") or {},
+        # ... and for column defaults: a restore past an ADD COLUMN with
+        # a default must drop the default with the column.
+        defaults=target.get("defaults") or {},
         # Table properties restore as a unit too (a restore past
         # enable_cdf rolls the property back; the feed restarts at a
         # future re-enable).
@@ -3587,6 +3719,15 @@ def clone_table(
         current_spec=m.get("current_spec"),
         colmap=m.get("colmap"),
         generated=m.get("generated") or {},
+        # Column defaults carry with the schema; their `since` version is
+        # on the SOURCE's sequence scale, so it shifts exactly like the
+        # carried seq entries (defaults keep applying to exactly the
+        # carried files they applied to, never to the clone's own
+        # commits, whose files stamp seq >= 1 > since - shift).
+        defaults={
+            c: dict(d, since=int(d.get("since", 0)) - shift)
+            for c, d in (m.get("defaults") or {}).items()
+        },
     )
 
 

@@ -2719,3 +2719,92 @@ def manifest_widen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_default_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, 'store' AS channel
+      FROM orders
+    ),
+    wave_a AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+             'web' AS channel
+      FROM orders WHERE o_orderkey % 100 = 1
+    ),
+    wave_b AS (
+      SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN 'app' ELSE NULL END AS channel
+      FROM orders WHERE o_orderkey % 100 = 2
+    ),
+    u AS (
+      SELECT * FROM base
+      UNION ALL SELECT * FROM wave_a
+      UNION ALL SELECT * FROM wave_b
+    ),
+    alive AS (
+      SELECT * FROM u WHERE NOT (o_orderkey % 10 = 9)
+    )
+    SELECT coalesce(channel, 'none') AS channel,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_total
+    FROM alive
+    GROUP BY coalesce(channel, 'none')
+    ORDER BY channel
+    """,
+    tags=("manifest", "ddl", "column-defaults", "schema-evolution"),
+    priority=18,
+    doc="ADD COLUMN ... DEFAULT (manifest.py::add_column initial/write "
+    "defaults — Iceberg v3 in minimal form): the initial default "
+    "'store' fills every pre-existing row METADATA-ONLY (exactly the "
+    "files whose sequence number predates the column — asserted zero "
+    "files change); an append OMITTING the column materializes the "
+    "write default 'web'; an append SUPPLYING it keeps explicit values "
+    "including explicit NULLs (which must NOT default-fill); a "
+    "DELETE WHERE rewrite then materializes the initial default into "
+    "survivor files without changing any read result. The oracle "
+    "replays all three waves plus the delete in SQL.",
+)
+def manifest_default_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = _scratch(sf_dir, "orders_defaults")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    files0 = set(M.read_manifest(path)["files"])
+    M.add_column(
+        path, "channel", "string",
+        initial_default="'store'", write_default="'web'",
+    )
+    if set(M.read_manifest(path)["files"]) != files0:
+        raise AssertionError("ADD COLUMN DEFAULT must be metadata-only")
+    wave_a = orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+    )
+    M.append(wave_a, path)  # omits channel -> write default
+    wave_b = orders.filter(F.col("o_orderkey") % 100 == 2).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "O", F.lit("app")).alias("channel"),
+    )
+    M.append(wave_b, path)  # explicit values incl. explicit NULLs
+    M.delete_where(spark, path, "o_orderkey % 10 = 9")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy(F.coalesce(F.col("channel"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_total"),
+        )
+        .orderBy("channel")
+    )
+

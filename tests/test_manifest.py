@@ -379,6 +379,101 @@ class TestTypeWidening:
         assert t.agg(F.min("k")).first()[0] == 10
 
 
+class TestColumnDefaults:
+    """ADD COLUMN ... DEFAULT (Iceberg v3 initial/write defaults in
+    minimal form): initial defaults fill pre-existing rows metadata-only
+    (exactly the files whose seq predates the column); write defaults
+    fill omitted columns at write time."""
+
+    @pytest.fixture()
+    def dtab(self, spark, tmp_path):
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        )
+        path = str(tmp_path / "dtab")
+        df.coalesce(2).write.parquet(path)
+        M.manifest_init(path)
+        return path
+
+    def test_initial_default_fills_old_rows_only(self, spark, dtab):
+        files0 = set(M.read_manifest(dtab)["files"])
+        M.add_column(dtab, "tier", "string", initial_default="'legacy'")
+        assert set(M.read_manifest(dtab)["files"]) == files0  # zero IO
+        t = M.load_manifest_table(spark, dtab)
+        assert t.filter(F.col("tier") == "legacy").count() == 10
+        # a LATER batch writing an explicit NULL stays NULL
+        batch = spark.range(2).select(
+            (F.col("id") + 100).alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.lit(None).cast("string").alias("tier"),
+        )
+        M.append(batch, dtab)
+        t = M.load_manifest_table(spark, dtab)
+        assert t.filter(F.col("tier").isNull()).count() == 2
+        assert t.filter(F.col("tier") == "legacy").count() == 10
+
+    def test_write_default_fills_omitted_column(self, spark, dtab):
+        M.add_column(
+            dtab, "src", "string",
+            initial_default="'old'", write_default="'live'",
+        )
+        batch = spark.range(3).select(
+            (F.col("id") + 200).alias("k"), F.lit(0).cast("bigint").alias("g")
+        )
+        M.append(batch, dtab)  # omits src -> write default materializes
+        t = M.load_manifest_table(spark, dtab)
+        assert t.filter(F.col("src") == "live").count() == 3
+        assert t.filter(F.col("src") == "old").count() == 10
+
+    def test_default_survives_rewrite_and_restore_drops_it(self, spark, dtab):
+        M.add_column(dtab, "w", "double", initial_default="1.5")
+        v_with = M.current_version(dtab)
+        M.delete_where(spark, dtab, "k >= 8")  # rewrites -> materializes
+        t = M.load_manifest_table(spark, dtab)
+        assert t.count() == 8
+        assert t.filter(F.col("w") == 1.5).count() == 8
+        # restore to BEFORE the column: default (and column) must vanish
+        M.restore(dtab, v_with - 1)
+        m = M.read_manifest(dtab)
+        assert "w" not in {n for n, _ in m["schema"]}
+        assert not m.get("defaults")
+        # re-adding later works and re-fills from the new `since`
+        M.add_column(dtab, "w", "double", initial_default="2.5")
+        t = M.load_manifest_table(spark, dtab)
+        assert t.filter(F.col("w") == 2.5).count() == 10
+
+    def test_rename_keeps_default(self, spark, dtab):
+        M.add_column(dtab, "tag", "string", initial_default="'x'")
+        M.rename_column(dtab, "tag", "label")
+        t = M.load_manifest_table(spark, dtab)
+        assert t.filter(F.col("label") == "x").count() == 10
+        assert "label" in M.read_manifest(dtab)["defaults"]
+
+    def test_clone_carries_default_on_shifted_seq(self, spark, dtab, tmp_path):
+        M.add_column(dtab, "tier", "string", initial_default="'legacy'")
+        dst = str(tmp_path / "dclone")
+        M.clone_table(dtab, dst, shallow=False)
+        t = M.load_manifest_table(spark, dst)
+        assert t.filter(F.col("tier") == "legacy").count() == 10
+        # the CLONE's own appends are never default-filled
+        batch = spark.range(1).select(
+            F.lit(999).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.lit(None).cast("string").alias("tier"),
+        )
+        M.append(batch, dst)
+        t = M.load_manifest_table(spark, dst)
+        assert t.filter(F.col("tier").isNull()).count() == 1
+
+    def test_initial_default_bumps_reader_version(self, dtab):
+        M.add_column(dtab, "tier", "string", initial_default="'legacy'")
+        assert M.read_manifest(dtab)["protocol"]["reader"] == 2
+
+    def test_write_only_default_keeps_reader_v1(self, dtab):
+        M.add_column(dtab, "src", "string", write_default="'live'")
+        assert M.read_manifest(dtab)["protocol"]["reader"] == 1
+
+
 class TestManifestStats:
     """Manifest-stored file stats: metadata-only scan pruning that stays
     exact, with stats refreshed by every commit."""

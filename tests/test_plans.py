@@ -110,6 +110,7 @@ _NESTED_LOOP_OK = {
     "events_hot_users",  # 1-row broadcast scalar total (share divisor)
     "laws_listing_page",  # 1-row broadcast scalar total-hit count
     "docs_browser_page",  # 1-row broadcast scalar total-hit count
+    "votes_browser_page",  # same 1-row broadcast scalar total-hit count
     "doc_bm25_topk",  # 1-row broadcast corpus stats (N, avgdl, df)
     "events_funnel",  # 1-row broadcast stage counts (3-row summary)
     "corpus_temperature_mix",  # 1-row broadcast weight total (rate table)
