@@ -136,6 +136,7 @@ def _commit(
     colmap: dict | None = None,
     generated: dict | None = None,
     defaults: dict | None = None,
+    identity: dict | None = None,
     props: dict | None = None,
     cdf_files: "list | None" = None,
     row_base: dict | None = None,
@@ -230,6 +231,35 @@ def _commit(
             row_next = nxt
     else:
         row_base = row_next = None
+    # Identity columns (Delta GENERATED ALWAYS AS IDENTITY in minimal
+    # form) allocate per-file ORDINAL bases exactly like row tracking:
+    # value = start + step * (base + row index) at read time, so appends
+    # pay zero storage and assignment is atomic with the commit (no
+    # cross-writer counter race — the optimistic commit IS the counter).
+    # Rewrite outputs carry the column physically (it is in the schema),
+    # which wins over the computed value per file; their base entries are
+    # allocated but unused — gaps, which identity semantics permit.
+    if identity is None:
+        identity = prev_doc.get("identity")
+    if identity:
+        identity = {c: dict(spec) for c, spec in identity.items()}
+        for c, spec in identity.items():
+            base = {
+                f: b
+                for f, b in (spec.get("base") or {}).items()
+                if f in set(files)
+            }
+            nxt = int(spec.get("next") or 0)
+            for f in sorted(set(files) - set(base)):
+                n_rows = (rows or {}).get(f)
+                if n_rows is None:
+                    n_rows = fs.parquet_file(
+                        os.path.join(path, f)
+                    ).metadata.num_rows
+                base[f] = nxt
+                nxt += int(n_rows)
+            spec["base"] = base
+            spec["next"] = nxt
     d = _manifest_dir(path)
     fs.makedirs(d)
     doc = {
@@ -261,6 +291,18 @@ def _commit(
         doc["generated"] = {k: generated[k] for k in sorted(generated)}
     if defaults:
         doc["defaults"] = {k: defaults[k] for k in sorted(defaults)}
+    if identity:
+        doc["identity"] = {
+            c: {
+                "start": int(spec.get("start", 1)),
+                "step": int(spec.get("step", 1)),
+                "base": {
+                    f: spec["base"][f] for f in sorted(spec.get("base") or {})
+                },
+                "next": int(spec.get("next") or 0),
+            }
+            for c, spec in sorted(identity.items())
+        }
     if props:
         doc["props"] = {k: props[k] for k in sorted(props)}
     if cdf_files is not None:
@@ -294,6 +336,9 @@ def _commit(
         or any(
             d.get("initial") is not None for d in (defaults or {}).values()
         )
+        # Identity columns: metadata-only files carry their values in the
+        # base map — a naive reader null-fills the column.
+        or identity
     ):
         reader = 2
     doc["protocol"] = {"reader": reader}
@@ -523,7 +568,8 @@ def _read_files(
     df = spark.read.schema(req).parquet(*paths)
     cols = [F.col(colmap.get(n, n)).alias(n) for n, t in schema]
     dplan = _initial_defaults_plan(m, files)
-    if with_meta or with_row_ids or dplan:
+    ident = m.get("identity") or {}
+    if with_meta or with_row_ids or dplan or ident:
         cols += [
             F.col("_metadata.file_name").alias("__file"),
             F.col("_metadata.row_index").alias("__row"),
@@ -546,12 +592,41 @@ def _read_files(
                     F.coalesce(F.col(c), F.expr(lit).cast(t)),
                 ).otherwise(F.col(c)),
             )
-        out = out.select(*order)
-        if not (with_meta or with_row_ids):
-            out = out.drop("__file", "__row")
+        out = out.select(*order).drop("__seq")
+    for c, spec in ident.items():
+        # Identity columns: a physical value (rewrite output) wins per
+        # row; metadata-only files compute start + step * (base + row
+        # index) through one broadcast file->base join per column.
+        order = out.columns
+        out = out.join(_identity_base_df(spark, spec, c), "__file", "left")
+        out = out.withColumn(
+            c,
+            F.coalesce(
+                F.col(c),
+                (
+                    F.lit(int(spec.get("start", 1)))
+                    + F.lit(int(spec.get("step", 1)))
+                    * (F.col(f"__ibase_{c}") + F.col("__row"))
+                ).cast("long"),
+            ),
+        ).select(*order)
+    if (dplan or ident) and not (with_meta or with_row_ids):
+        out = out.drop("__file", "__row")
     if with_row_ids:
         out = _attach_row_ids(spark, m, out, drop_meta=not with_meta)
     return out
+
+
+def _identity_base_df(spark: SparkSession, spec: dict, col: str):
+    """(file basename, ordinal base) frame for one identity column —
+    one row per FILE (metadata scale), broadcast into the read."""
+    base = spec.get("base") or {}
+    rows = [(os.path.basename(f), int(b)) for f, b in base.items()]
+    if not rows:
+        rows = [("", -1)]
+    return F.broadcast(
+        spark.createDataFrame(rows, f"__file string, __ibase_{col} long")
+    )
 
 
 def _initial_defaults_plan(
@@ -1350,6 +1425,14 @@ def append(
     files and returns the current version. Default 0 preserves the raw
     optimistic protocol: conflicts raise for the caller to re-plan."""
     m = read_manifest(path)
+    # GENERATED ALWAYS AS IDENTITY: the engine owns the values — a batch
+    # supplying the column would break uniqueness silently.
+    supplied = set(df.columns) & set(m.get("identity") or {})
+    if supplied:
+        raise SchemaMismatch(
+            f"identity column(s) {sorted(supplied)} are GENERATED ALWAYS; "
+            "batches must not supply them"
+        )
     # Write defaults fill omitted columns first (generated expressions
     # may reference them), generated columns compute/validate next (the
     # batch may legally omit them), then constraints validate BEFORE
@@ -1791,6 +1874,48 @@ def add_column(
     )
 
 
+def add_identity_column(
+    path: str, name: str, start: int = 1, step: int = 1
+) -> int:
+    """ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS IDENTITY — Delta's
+    identity columns in minimal form, strictly more capable (Delta only
+    allows them at table creation; here existing rows backfill too).
+    METADATA-ONLY at any table size: each file gets an ORDINAL base (the
+    row-tracking allocator), existing rows backfill as
+    ``start + step * (base + row index)`` with zero data IO, every
+    append allocates bases for its new files atomically WITH the commit
+    (the optimistic version file is the counter — no cross-writer race,
+    no side state), and rewrites materialize survivors' values
+    physically (a physical value wins per row, so DML preserves
+    identity). Values are unique and monotone per file; gaps appear
+    across rewrites, which identity semantics permit (Delta documents
+    the same). Batches supplying the column are rejected — GENERATED
+    ALWAYS, the engine owns the values."""
+    if step == 0:
+        raise ValueError("identity step must be nonzero")
+    m = read_manifest(path)
+    schema = m.get("schema")
+    if not schema:
+        raise ValueError(
+            f"{path} has no manifest schema (pre-evolution manifest); "
+            "re-init or append once to adopt one"
+        )
+    if any(n == name for n, _ in schema):
+        raise SchemaMismatch(f"column {name!r} already exists")
+    identity = {c: dict(s) for c, s in (m.get("identity") or {}).items()}
+    identity[name] = {"start": int(start), "step": int(step), "base": {},
+                      "next": 0}
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=schema + [[name, "bigint"]],
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=m.get("rows"),
+        identity=identity,
+    )
+
+
 def add_generated_column(
     spark: SparkSession, path: str, name: str, dtype: str, expr: str
 ) -> int:
@@ -1983,6 +2108,12 @@ def rename_column(path: str, old: str, new: str) -> int:
     if old in (m.get("defaults") or {}):
         defaults = dict(m["defaults"])
         defaults[new] = defaults.pop(old)
+    # Identity specs re-key the same way (base maps key by FILE, which a
+    # rename never touches).
+    identity = None
+    if old in (m.get("identity") or {}):
+        identity = {c: dict(s) for c, s in m["identity"].items()}
+        identity[new] = identity.pop(old)
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=new_schema,
@@ -1992,6 +2123,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         rows=m.get("rows"),
         colmap=colmap,
         defaults=defaults,
+        identity=identity,
     )
 
 
@@ -2491,6 +2623,11 @@ def update_where_pos(
     for col in set_exprs:
         if types and col not in types:
             raise SchemaMismatch(f"UPDATE SET on unknown column {col!r}")
+        if col in (m.get("identity") or {}):
+            raise SchemaMismatch(
+                f"column {col!r} is GENERATED ALWAYS AS IDENTITY; "
+                "UPDATE cannot assign it"
+            )
     # Coordinates must come from the ALIVE view (keep_meta) — computing
     # them on the raw read would resurrect rows already deleted
     # merge-on-read as freshly-updated appends. One eager checkpoint:
@@ -2574,6 +2711,11 @@ def update_where(
     for col in set_exprs:
         if types and col not in types:
             raise SchemaMismatch(f"UPDATE SET on unknown column {col!r}")
+        if col in (m.get("identity") or {}):
+            raise SchemaMismatch(
+                f"column {col!r} is GENERATED ALWAYS AS IDENTITY; "
+                "UPDATE cannot assign it"
+            )
     gen = m.get("generated") or {}
     affected = _predicate_victims(spark, m, path, predicate)
     if not affected:
@@ -3616,6 +3758,9 @@ def restore(path: str, version: int) -> int:
         # ... and for column defaults: a restore past an ADD COLUMN with
         # a default must drop the default with the column.
         defaults=target.get("defaults") or {},
+        # Identity allocator state travels with the files it describes
+        # (bases + next time-travel exactly, like the row-id map).
+        identity=target.get("identity") or {},
         # Table properties restore as a unit too (a restore past
         # enable_cdf rolls the property back; the feed restarts at a
         # future re-enable).
@@ -3727,6 +3872,13 @@ def clone_table(
         defaults={
             c: dict(d, since=int(d.get("since", 0)) - shift)
             for c, d in (m.get("defaults") or {}).items()
+        },
+        # Identity base maps re-key to the clone's file names; the
+        # allocator cursor (next) carries so the clone's own appends
+        # continue the sequence without colliding with carried values.
+        identity={
+            c: dict(spec, base=_rekey(spec.get("base") or {}))
+            for c, spec in (m.get("identity") or {}).items()
         },
     )
 

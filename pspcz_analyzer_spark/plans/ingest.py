@@ -2808,3 +2808,64 @@ def manifest_default_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("channel")
     )
 
+
+
+@register(
+    "manifest_identity_roundtrip",
+    oracle="""
+    WITH n AS (
+      SELECT (SELECT count(*) FROM orders)
+           + (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 1)
+           AS total
+    )
+    SELECT CAST(total AS BIGINT) AS n,
+           CAST(total AS BIGINT) AS distinct_ids,
+           CAST(1000 AS BIGINT) AS min_id,
+           CAST(1000 + 3 * (total - 1) AS BIGINT) AS max_id,
+           CAST(1000 * total + 3 * total * (total - 1) / 2 AS BIGINT)
+             AS id_total
+    FROM n
+    """,
+    tags=("manifest", "ddl", "identity", "schema-evolution"),
+    priority=18,
+    doc="GENERATED ALWAYS AS IDENTITY (manifest.py::add_identity_column "
+    "— Delta identity columns in minimal form): existing rows backfill "
+    "METADATA-ONLY (asserted: zero files change) as start + step * "
+    "ordinal via per-file bases, an append omitting the column extends "
+    "the sequence atomically with its commit (the optimistic version "
+    "file IS the counter — no side state, no cross-writer race). The "
+    "per-row assignment is allocation-order-defined, so the oracle "
+    "pins the order-independent invariants that identity semantics "
+    "guarantee: N ids, all distinct, exactly the arithmetic sequence "
+    "start..start+step*(N-1) (min, max, and the closed-form sum — one "
+    "duplicated or skipped id anywhere fails the hash).",
+)
+def manifest_identity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = _scratch(sf_dir, "orders_identity")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    files0 = set(M.read_manifest(path)["files"])
+    M.add_identity_column(path, "order_uid", start=1000, step=3)
+    if set(M.read_manifest(path)["files"]) != files0:
+        raise AssertionError("identity backfill must be metadata-only")
+    wave = orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+    )
+    M.append(wave, path)
+    return M.load_manifest_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("order_uid")).alias("distinct_ids"),
+        F.min("order_uid").alias("min_id"),
+        F.max("order_uid").alias("max_id"),
+        F.sum("order_uid").alias("id_total"),
+    )

@@ -474,6 +474,112 @@ class TestColumnDefaults:
         assert M.read_manifest(dtab)["protocol"]["reader"] == 1
 
 
+class TestIdentityColumns:
+    """GENERATED ALWAYS AS IDENTITY (Delta identity columns in minimal
+    form): per-file ordinal bases make backfill and appends zero-storage,
+    the optimistic commit is the counter, rewrites materialize survivors'
+    values so DML preserves identity."""
+
+    @pytest.fixture()
+    def itab(self, spark, tmp_path):
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        )
+        path = str(tmp_path / "itab")
+        df.coalesce(3).write.parquet(path)
+        M.manifest_init(path)
+        return path
+
+    def test_backfill_is_metadata_only_and_contiguous(self, spark, itab):
+        files0 = set(M.read_manifest(itab)["files"])
+        M.add_identity_column(itab, "uid", start=10, step=5)
+        m = M.read_manifest(itab)
+        assert set(m["files"]) == files0  # zero data IO
+        t = M.load_manifest_table(spark, itab)
+        got = sorted(r[0] for r in t.select("uid").collect())
+        assert got == [10 + 5 * i for i in range(100)]
+
+    def test_append_extends_sequence(self, spark, itab):
+        M.add_identity_column(itab, "uid")
+        batch = spark.range(7).select(
+            (F.col("id") + 500).alias("k"), F.lit(0).cast("bigint").alias("g")
+        )
+        M.append(batch, itab)
+        t = M.load_manifest_table(spark, itab)
+        got = sorted(r[0] for r in t.select("uid").collect())
+        assert got == [1 + i for i in range(107)]  # start=1, step=1
+        new_ids = {
+            r[0] for r in t.filter(F.col("k") >= 500).select("uid").collect()
+        }
+        assert new_ids == {101 + i for i in range(7)}
+
+    def test_supplying_or_updating_identity_rejected(self, spark, itab):
+        M.add_identity_column(itab, "uid")
+        bad = spark.range(1).select(
+            F.lit(999).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.lit(123).cast("bigint").alias("uid"),
+        )
+        with pytest.raises(M.SchemaMismatch, match="GENERATED ALWAYS"):
+            M.append(bad, itab)
+        with pytest.raises(M.SchemaMismatch, match="GENERATED ALWAYS"):
+            M.update_where(spark, itab, "k = 1", {"uid": "0"})
+        with pytest.raises(M.SchemaMismatch, match="GENERATED ALWAYS"):
+            M.update_where_pos(spark, itab, "k = 1", {"uid": "0"})
+
+    def test_dml_rewrite_preserves_identity(self, spark, itab):
+        M.add_identity_column(itab, "uid")
+        before = {
+            r["k"]: r["uid"]
+            for r in M.load_manifest_table(spark, itab).collect()
+        }
+        M.delete_where(spark, itab, "k % 10 = 3")
+        M.update_where(spark, itab, "k % 10 = 4", {"g": "g + 100"})
+        t = M.load_manifest_table(spark, itab)
+        after = {r["k"]: r["uid"] for r in t.collect()}
+        assert len(after) == 90
+        assert all(before[k] == uid for k, uid in after.items())
+        assert t.select("uid").distinct().count() == 90
+
+    def test_time_travel_and_restore(self, spark, itab):
+        v0 = M.current_version(itab)
+        M.add_identity_column(itab, "uid")
+        assert "uid" not in M.load_manifest_table(spark, itab, version=v0).columns
+        M.restore(itab, v0)
+        m = M.read_manifest(itab)
+        assert "uid" not in {n for n, _ in m["schema"]}
+        assert not m.get("identity")
+
+    def test_rename_keeps_values(self, spark, itab):
+        M.add_identity_column(itab, "uid", start=100)
+        M.rename_column(itab, "uid", "row_no")
+        t = M.load_manifest_table(spark, itab)
+        got = sorted(r[0] for r in t.select("row_no").collect())
+        assert got == [100 + i for i in range(100)]
+        assert "row_no" in M.read_manifest(itab)["identity"]
+
+    def test_clone_carries_values_and_continues(self, spark, itab, tmp_path):
+        M.add_identity_column(itab, "uid")
+        src_ids = sorted(
+            r[0]
+            for r in M.load_manifest_table(spark, itab).select("uid").collect()
+        )
+        dst = str(tmp_path / "iclone")
+        M.clone_table(itab, dst, shallow=False)
+        t = M.load_manifest_table(spark, dst)
+        assert sorted(r[0] for r in t.select("uid").collect()) == src_ids
+        batch = spark.range(3).select(
+            (F.col("id") + 900).alias("k"), F.lit(0).cast("bigint").alias("g")
+        )
+        M.append(batch, dst)
+        t = M.load_manifest_table(spark, dst)
+        assert t.select("uid").distinct().count() == 103  # no collisions
+
+    def test_identity_bumps_reader_version(self, itab):
+        M.add_identity_column(itab, "uid")
+        assert M.read_manifest(itab)["protocol"]["reader"] == 2
+
+
 class TestManifestStats:
     """Manifest-stored file stats: metadata-only scan pruning that stays
     exact, with stats refreshed by every commit."""
