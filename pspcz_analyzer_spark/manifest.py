@@ -137,6 +137,7 @@ def _commit(
     generated: dict | None = None,
     defaults: dict | None = None,
     identity: dict | None = None,
+    dropped: "list | None" = None,
     props: dict | None = None,
     cdf_files: "list | None" = None,
     row_base: dict | None = None,
@@ -198,6 +199,15 @@ def _commit(
         # form) carry forward verbatim; explicit {} clears them
         # (restore's schema-unit rule, same as generated/colmap).
         defaults = prev_doc.get("defaults")
+    if dropped is None:
+        # The dropped-physical-names ledger is MONOTONE: it grows on
+        # every DROP COLUMN and is never cleared — not even by restore —
+        # because its sole job is to stop a later ADD COLUMN from
+        # re-binding a physical name that still holds old data in some
+        # retained file (worst case of keeping an entry too long is a
+        # needlessly fresh physical name; losing one is a silent
+        # read-of-stale-data).
+        dropped = prev_doc.get("dropped")
     if props is None:
         # Table properties (delta.enableChangeDataFeed analog) carry
         # forward verbatim; explicit {} clears them (restore's unit rule).
@@ -291,6 +301,8 @@ def _commit(
         doc["generated"] = {k: generated[k] for k in sorted(generated)}
     if defaults:
         doc["defaults"] = {k: defaults[k] for k in sorted(defaults)}
+    if dropped:
+        doc["dropped"] = sorted(set(dropped))
     if identity:
         doc["identity"] = {
             c: {
@@ -1433,6 +1445,23 @@ def append(
             f"identity column(s) {sorted(supplied)} are GENERATED ALWAYS; "
             "batches must not supply them"
         )
+    # Schema evolution cannot re-bind a DROPPED physical name: old files
+    # still hold stale bytes under it, and the requested-schema read
+    # would resurrect them. add_column() allocates a fresh physical name
+    # for this case — route there.
+    if m.get("dropped") and m.get("schema"):
+        table_cols = {n for n, _ in m["schema"]}
+        reused = [
+            c
+            for c in df.columns
+            if c not in table_cols and c in set(m["dropped"])
+        ]
+        if reused:
+            raise SchemaMismatch(
+                f"batch column(s) {reused} re-use a DROPPED column name; "
+                "use add_column() first (it binds a fresh physical name) "
+                "and then append"
+            )
     # Write defaults fill omitted columns first (generated expressions
     # may reference them), generated columns compute/validate next (the
     # batch may legally omit them), then constraints validate BEFORE
@@ -1863,6 +1892,13 @@ def add_column(
             ),
             "since": m["version"] + 1,
         }
+    colmap = None
+    fresh = _fresh_physical(m, name)
+    if fresh:
+        # Re-adding a previously dropped name: bind a fresh physical
+        # name so old files' retained bytes can never read back.
+        colmap = dict(m.get("colmap") or {})
+        colmap[name] = fresh
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
@@ -1871,6 +1907,7 @@ def add_column(
         deletes=m.get("deletes"),
         rows=m.get("rows"),
         defaults=defaults,
+        colmap=colmap,
     )
 
 
@@ -1905,6 +1942,11 @@ def add_identity_column(
     identity = {c: dict(s) for c, s in (m.get("identity") or {}).items()}
     identity[name] = {"start": int(start), "step": int(step), "base": {},
                       "next": 0}
+    colmap = None
+    fresh = _fresh_physical(m, name)
+    if fresh:
+        colmap = dict(m.get("colmap") or {})
+        colmap[name] = fresh
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=schema + [[name, "bigint"]],
@@ -1913,6 +1955,7 @@ def add_identity_column(
         deletes=m.get("deletes"),
         rows=m.get("rows"),
         identity=identity,
+        colmap=colmap,
     )
 
 
@@ -1960,6 +2003,11 @@ def add_generated_column(
         ) from e
     generated = dict(m.get("generated") or {})
     generated[name] = expr
+    colmap = None
+    fresh = _fresh_physical(m, name)
+    if fresh:
+        colmap = dict(m.get("colmap") or {})
+        colmap[name] = fresh
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns") or {}, schema=schema + [[name, dtype]],
@@ -1968,6 +2016,7 @@ def add_generated_column(
         deletes=m.get("deletes"),
         rows=m.get("rows"),
         generated=generated,
+        colmap=colmap,
     )
 
 
@@ -2125,6 +2174,102 @@ def rename_column(path: str, old: str, new: str) -> int:
         defaults=defaults,
         identity=identity,
     )
+
+
+def drop_column(path: str, name: str) -> int:
+    """Metadata-only ALTER TABLE DROP COLUMN — Delta's drop-with-column-
+    mapping in minimal form: data files are NEVER rewritten; the column
+    leaves the schema (and the requested-schema read stops even SCANNING
+    its bytes — drop is also a read-cost win), its colmap/defaults/
+    identity/generated/stats entries go with it, and its PHYSICAL name
+    enters a monotone ``dropped`` ledger so a later ADD COLUMN with the
+    same name binds a FRESH physical name instead of silently reading
+    the old data. Pinned old versions still read the column (drops are
+    versioned DDL like everything here).
+
+    Raises if the column anchors a CHECK constraint, a partition-spec
+    transform, another generated column's expression, or a PENDING
+    equality-delete entry (materialize first) — the same cases Delta
+    blocks, because this layer does not rewrite those references."""
+    import re as _re
+
+    m = read_manifest(path)
+    schema = m.get("schema")
+    if not schema:
+        raise ValueError(
+            f"{path} has no manifest schema (pre-evolution manifest); "
+            "re-init or append once to adopt one"
+        )
+    if not any(n == name for n, _ in schema):
+        raise SchemaMismatch(f"column {name!r} does not exist")
+    for cname, cexpr in (m.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(name)}\b", cexpr):
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint "
+                f"{cname!r} ({cexpr}); drop it first"
+            )
+    for spec in m.get("specs") or []:
+        for entry in spec:
+            if _parse_transform(entry)[2] == name:
+                raise ValueError(
+                    f"column {name!r} anchors partition-spec entry "
+                    f"{entry!r}; evolve the spec first"
+                )
+    generated = dict(m.get("generated") or {})
+    generated.pop(name, None)  # dropping a generated column drops its rule
+    for gname, gexpr in generated.items():
+        if _re.search(rf"\b{_re.escape(name)}\b", gexpr):
+            raise ValueError(
+                f"column {name!r} is part of generated column {gname!r} "
+                f"(GENERATED ALWAYS AS ({gexpr})); drop it first"
+            )
+    phys = _physical_col(m, name)
+    for d in m.get("deletes") or []:
+        if d.get("key_col") == phys:
+            raise ValueError(
+                f"column {name!r} anchors a pending equality-delete "
+                "entry; run materialize_deletes first"
+            )
+    colmap = dict(m.get("colmap") or {})
+    colmap.pop(name, None)
+    defaults = dict(m.get("defaults") or {})
+    defaults.pop(name, None)
+    identity = {c: dict(s) for c, s in (m.get("identity") or {}).items()}
+    identity.pop(name, None)
+    stat_cols = m.get("stat_cols")
+    stats = m.get("stats")
+    if stat_cols and name in stat_cols:
+        stat_cols = [c for c in stat_cols if c != name]
+        stats = {
+            f: {c: v for c, v in per.items() if c != phys}
+            for f, per in (stats or {}).items()
+        }
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {},
+        schema=[[n, t] for n, t in schema if n != name],
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=m.get("rows"),
+        colmap=colmap,
+        generated=generated,
+        defaults=defaults,
+        identity=identity,
+        dropped=list(m.get("dropped") or []) + [phys],
+    )
+
+
+def _fresh_physical(m: dict, name: str) -> "str | None":
+    """A physical name for a (re-)added logical column: the name itself
+    unless some retained file may still hold old data under it (it is in
+    the dropped ledger, or an existing colmap routes another logical
+    column to it) — then a version-stamped fresh name that no data file
+    can contain."""
+    taken = set(m.get("dropped") or []) | set((m.get("colmap") or {}).values())
+    if name not in taken:
+        return None
+    return f"{name}__v{m['version'] + 1}"
 
 
 def set_constraint(

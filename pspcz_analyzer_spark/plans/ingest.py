@@ -2869,3 +2869,82 @@ def manifest_identity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("order_uid").alias("max_id"),
         F.sum("order_uid").alias("id_total"),
     )
+
+
+@register(
+    "manifest_drop_readd_roundtrip",
+    oracle="""
+    WITH old_rows AS (
+      SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM orders
+    ),
+    wave AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+             floor(o_totalprice) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 1
+    ),
+    u AS (
+      SELECT * FROM old_rows UNION ALL SELECT * FROM wave
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(coalesce(sum(o_totalprice), 0) AS BIGINT) AS total
+    FROM u
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "ddl", "drop-column", "schema-evolution"),
+    priority=18,
+    doc="DROP COLUMN + re-ADD (manifest.py::drop_column — Delta's "
+    "drop-with-column-mapping in minimal form): the column leaves the "
+    "schema in one metadata commit (asserted: zero files change; the "
+    "requested-schema scan stops reading its bytes), its physical name "
+    "enters a monotone dropped ledger, and a later add_column with the "
+    "SAME name binds a fresh physical name — so every pre-drop row "
+    "must read NULL, never the retained stale bytes (the n_null "
+    "aggregate fails the hash if even one old value resurrects). A "
+    "post-re-add append writes real values under the fresh physical "
+    "name, proving reads and writes route through the new binding.",
+)
+def manifest_drop_readd_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_dropreadd")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    files0 = set(M.read_manifest(path)["files"])
+    M.drop_column(path, "o_totalprice")
+    M.add_column(path, "o_totalprice", "double")
+    if set(M.read_manifest(path)["files"]) != files0:
+        raise AssertionError("DROP/ADD COLUMN must be metadata-only")
+    wave = orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    M.append(wave, path)
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+            ).alias("n_null"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0))
+            .cast("long")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

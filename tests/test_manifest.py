@@ -580,6 +580,114 @@ class TestIdentityColumns:
         assert M.read_manifest(itab)["protocol"]["reader"] == 2
 
 
+class TestDropColumn:
+    """Metadata-only DROP COLUMN: zero rewrites, versioned like all DDL,
+    with a monotone dropped-physical-names ledger that keeps a later
+    re-add from resurrecting stale bytes."""
+
+    @pytest.fixture()
+    def ptab(self, spark, tmp_path):
+        df = spark.range(50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") * 2.0).alias("price"),
+        )
+        path = str(tmp_path / "ptab")
+        df.coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k", "price"])
+        return path
+
+    def test_drop_is_metadata_only_and_versioned(self, spark, ptab):
+        files0 = set(M.read_manifest(ptab)["files"])
+        v0 = M.current_version(ptab)
+        M.drop_column(ptab, "price")
+        m = M.read_manifest(ptab)
+        assert set(m["files"]) == files0  # zero data IO
+        assert "price" not in {n for n, _ in m["schema"]}
+        assert m["dropped"] == ["price"]
+        t = M.load_manifest_table(spark, ptab)
+        assert t.columns == ["k", "g"]
+        # time travel still reads the dropped column
+        old = M.load_manifest_table(spark, ptab, version=v0)
+        assert "price" in old.columns
+        assert old.agg(F.sum("price")).first()[0] == sum(2.0 * i for i in range(50))
+
+    def test_readd_reads_null_not_stale_bytes(self, spark, ptab):
+        M.drop_column(ptab, "price")
+        M.add_column(ptab, "price", "double")
+        m = M.read_manifest(ptab)
+        assert m["colmap"]["price"].startswith("price__v")  # fresh binding
+        t = M.load_manifest_table(spark, ptab)
+        assert t.filter(F.col("price").isNotNull()).count() == 0
+        batch = spark.range(2).select(
+            (F.col("id") + 100).alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.lit(9.5).alias("price"),
+        )
+        M.append(batch, ptab)
+        t = M.load_manifest_table(spark, ptab)
+        assert t.filter(F.col("price") == 9.5).count() == 2
+        assert t.filter(F.col("price").isNull()).count() == 50
+
+    def test_merge_schema_cannot_rebind_dropped_name(self, spark, ptab):
+        M.drop_column(ptab, "price")
+        batch = spark.range(1).select(
+            F.lit(200).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.lit(1.0).alias("price"),
+        )
+        with pytest.raises(M.SchemaMismatch, match="DROPPED column name"):
+            M.append(batch, ptab, merge_schema=True)
+
+    def test_blockers_raise(self, spark, ptab):
+        M.set_constraint(spark, ptab, "pos_price", "price >= 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            M.drop_column(ptab, "price")
+        M.drop_constraint(ptab, "pos_price")
+        M.delete_keys_mor(spark, ptab, "k", [1])
+        with pytest.raises(ValueError, match="equality-delete"):
+            M.drop_column(ptab, "k")
+        M.drop_column(ptab, "price")  # price has no delete entry: fine
+        with pytest.raises(M.SchemaMismatch, match="does not exist"):
+            M.drop_column(ptab, "nope")
+
+    def test_drop_generated_and_identity_columns(self, spark, ptab):
+        M.add_generated_column(spark, ptab, "g2", "bigint", "g * 2")
+        M.add_identity_column(ptab, "uid")
+        M.drop_column(ptab, "g2")
+        M.drop_column(ptab, "uid")
+        m = M.read_manifest(ptab)
+        assert not m.get("generated")
+        assert not m.get("identity")
+        batch = spark.range(1).select(
+            F.lit(300).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.lit(1.0).alias("price"),
+        )
+        M.append(batch, ptab)  # no generated/identity machinery fires
+        assert M.load_manifest_table(spark, ptab).count() == 51
+
+    def test_stats_pruning_survives_stat_col_drop(self, spark, ptab):
+        M.drop_column(ptab, "price")
+        m = M.read_manifest(ptab)
+        assert m["stat_cols"] == ["k"]
+        assert all("price" not in per for per in m["stats"].values())
+        batch = spark.range(3).select(
+            (F.col("id") + 400).alias("k"), F.lit(0).cast("bigint").alias("g")
+        )
+        M.append(batch, ptab)  # stats refresh must not look for price
+        hits = M.scan_manifest_table(spark, ptab, "k", 400, 500)
+        assert hits.count() == 3
+
+    def test_dropped_ledger_survives_restore(self, spark, ptab):
+        v0 = M.current_version(ptab)
+        M.drop_column(ptab, "price")
+        M.restore(ptab, v0)
+        m = M.read_manifest(ptab)
+        assert "price" in {n for n, _ in m["schema"]}  # column is back
+        assert m["dropped"] == ["price"]  # ledger is monotone
+
+
 class TestManifestStats:
     """Manifest-stored file stats: metadata-only scan pruning that stays
     exact, with stats refreshed by every commit."""
