@@ -272,11 +272,19 @@ def _commit(
             spec["next"] = nxt
     d = _manifest_dir(path)
     fs.makedirs(d)
+    # In-commit timestamp (Delta ICT in minimal form): the commit time
+    # lives INSIDE the blob, immune to mtime loss (object-store copies,
+    # backup restores) and forced monotone per table — a writer with a
+    # skewed-backward clock stamps the predecessor's time, never an
+    # earlier one, so TIMESTAMP AS OF resolution is order-consistent.
+    import time as _time
+
     doc = {
         "version": new_v,
         "files": sorted(files),
         "txns": txns or {},
         "seq": {f: seq[f] for f in sorted(seq)},
+        "ts": max(_time.time(), float(prev_doc.get("ts") or 0.0)),
     }
     if schema is not None:
         doc["schema"] = schema
@@ -4259,20 +4267,26 @@ def refresh_aggregate(
 
 
 def version_at_timestamp(path: str, ts: float) -> int:
-    """Resolve ``TIMESTAMP AS OF``: the highest version whose commit file
-    was published at or before ``ts`` (epoch seconds), by the manifest
-    blob's mtime — Delta's timestamp resolution in minimal form (commit
-    time = commit-file modification time; Delta additionally smooths
-    non-monotonic clocks, which a single-writer minimal layer doesn't
-    need). Metadata-only: one listdir + one stat per retained version.
-    Raises ``ValueError`` if ``ts`` predates the first retained commit
-    (the snapshot it names is not reconstructable — vacuum may have
-    dropped its files), mirroring Delta's behavior."""
+    """Resolve ``TIMESTAMP AS OF``: the highest version committed at or
+    before ``ts`` (epoch seconds). Prefers the IN-COMMIT timestamp the
+    blob itself records (Delta ICT — immune to mtime loss from
+    object-store copies/restores, forced monotone per table at commit
+    time so skewed writer clocks cannot reorder history); manifests
+    written before the field fall back to the blob's mtime (Delta's
+    pre-ICT resolution). Metadata-only: one small read per retained
+    version. Raises ``ValueError`` if ``ts`` predates the first retained
+    commit (the snapshot it names is not reconstructable — vacuum may
+    have dropped its files), mirroring Delta's behavior."""
     fs, rel = get_fs(path)
     best = None
     for v in _versions(path):
-        mt = fs.mtime(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
-        if mt is not None and mt <= ts:
+        try:
+            t = read_manifest(rel, v).get("ts")
+        except Exception:
+            t = None
+        if t is None:
+            t = fs.mtime(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
+        if t is not None and float(t) <= ts:
             best = v
     if best is None:
         raise ValueError(

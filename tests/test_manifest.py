@@ -1704,19 +1704,31 @@ class TestRefreshAggregate:
 
 
 class TestTimestampTravel:
-    def test_resolves_commit_boundaries(self, spark, tmp_path):
+    @staticmethod
+    def _pin_ts(base: str, version: int, ts: "float | None") -> None:
+        """Fixture surgery: pin (or strip, ts=None) the in-commit
+        timestamp of a committed manifest blob."""
+        import json as _json
         import os as _os
 
+        p = _os.path.join(base, "_manifest", f"{version:08d}.json")
+        doc = _json.loads(open(p).read())
+        if ts is None:
+            doc.pop("ts", None)
+        else:
+            doc["ts"] = ts
+        open(p, "w").write(_json.dumps(doc))
+
+    def test_resolves_commit_boundaries(self, spark, tmp_path):
         base = str(tmp_path / "ts_tab")
         df1 = spark.range(10).select(F.col("id").alias("k"))
         write_range_sorted(df1, base, "k", num_partitions=2)
         M.manifest_init(base)
         M.append(spark.range(10, 20).select(F.col("id").alias("k")), base)
         M.append(spark.range(20, 25).select(F.col("id").alias("k")), base)
-        # Pin deterministic commit times: v1=1000, v2=2000, v3=3000.
-        mdir = _os.path.join(base, "_manifest")
+        # Pin deterministic IN-COMMIT times: v1=1000, v2=2000, v3=3000.
         for v, t in ((1, 1000), (2, 2000), (3, 3000)):
-            _os.utime(_os.path.join(mdir, f"{v:08d}.json"), (t, t))
+            self._pin_ts(base, v, t)
         assert M.version_at_timestamp(base, 1000) == 1
         assert M.version_at_timestamp(base, 1999.9) == 1
         assert M.version_at_timestamp(base, 2000) == 2
@@ -1725,6 +1737,59 @@ class TestTimestampTravel:
         assert M.load_manifest_table_asof(spark, base, 9999).count() == 25
         with pytest.raises(ValueError):
             M.version_at_timestamp(base, 999)
+
+    def test_in_commit_ts_immune_to_mtime_loss(self, spark, tmp_path):
+        import os as _os
+
+        base = str(tmp_path / "ict_tab")
+        write_range_sorted(
+            spark.range(5).select(F.col("id").alias("k")), base, "k",
+            num_partitions=1,
+        )
+        M.manifest_init(base)
+        M.append(spark.range(5, 9).select(F.col("id").alias("k")), base)
+        self._pin_ts(base, 1, 1000)
+        self._pin_ts(base, 2, 2000)
+        # An object-store copy/restore resets mtimes — resolution must
+        # not care: the commit time lives inside the blob.
+        mdir = _os.path.join(base, "_manifest")
+        for v in (1, 2):
+            _os.utime(_os.path.join(mdir, f"{v:08d}.json"), (9e9, 9e9))
+        assert M.version_at_timestamp(base, 1500) == 1
+        assert M.version_at_timestamp(base, 2500) == 2
+
+    def test_pre_ict_manifests_fall_back_to_mtime(self, spark, tmp_path):
+        import os as _os
+
+        base = str(tmp_path / "old_tab")
+        write_range_sorted(
+            spark.range(5).select(F.col("id").alias("k")), base, "k",
+            num_partitions=1,
+        )
+        M.manifest_init(base)
+        self._pin_ts(base, 1, None)  # pre-ICT blob: no ts field
+        _os.utime(
+            _os.path.join(base, "_manifest", "00000001.json"), (1234, 1234)
+        )
+        assert M.version_at_timestamp(base, 1234) == 1
+        with pytest.raises(ValueError):
+            M.version_at_timestamp(base, 1233)
+
+    def test_commit_ts_monotone_under_clock_skew(
+        self, spark, tmp_path, monkeypatch
+    ):
+        base = str(tmp_path / "skew_tab")
+        write_range_sorted(
+            spark.range(5).select(F.col("id").alias("k")), base, "k",
+            num_partitions=1,
+        )
+        M.manifest_init(base)
+        self._pin_ts(base, 1, 5_000_000_000.0)  # far future predecessor
+        M.append(spark.range(5, 9).select(F.col("id").alias("k")), base)
+        m1 = M.read_manifest(base, 1)
+        m2 = M.read_manifest(base, 2)
+        # The skewed-backward wall clock must not reorder history.
+        assert m2["ts"] >= m1["ts"]
 
 
 class TestStreamMaterializedAggregate:
