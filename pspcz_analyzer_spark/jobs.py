@@ -76,6 +76,18 @@ def write_bucketed(
     this converts the dominant per-query cost of a fact-fact join into a
     one-time layout decision at ingest.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A recycled/fresh session may have lost the catalog entry while the
+    # managed LOCATION survived on disk; saveAsTable refuses to adopt an
+    # orphan directory (LOCATION_ALREADY_EXISTS), so clear it first.
+    import os as _os
+    import shutil as _shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    _shutil.rmtree(_os.path.join(wh, table.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

@@ -1445,14 +1445,7 @@ def append(
     files and returns the current version. Default 0 preserves the raw
     optimistic protocol: conflicts raise for the caller to re-plan."""
     m = read_manifest(path)
-    # GENERATED ALWAYS AS IDENTITY: the engine owns the values — a batch
-    # supplying the column would break uniqueness silently.
-    supplied = set(df.columns) & set(m.get("identity") or {})
-    if supplied:
-        raise SchemaMismatch(
-            f"identity column(s) {sorted(supplied)} are GENERATED ALWAYS; "
-            "batches must not supply them"
-        )
+    _reject_identity_supplied(m, df, "append batches")
     # Schema evolution cannot re-bind a DROPPED physical name: old files
     # still hold stale bytes under it, and the requested-schema read
     # would resurrect them. add_column() allocates a fresh physical name
@@ -2028,6 +2021,18 @@ def add_generated_column(
     )
 
 
+def _reject_identity_supplied(m: dict, df: DataFrame, op: str) -> None:
+    """GENERATED ALWAYS AS IDENTITY: the engine owns the values on EVERY
+    write path — a batch/source supplying the column would break
+    uniqueness silently."""
+    supplied = set(df.columns) & set(m.get("identity") or {})
+    if supplied:
+        raise SchemaMismatch(
+            f"identity column(s) {sorted(supplied)} are GENERATED ALWAYS; "
+            f"{op} must not supply them"
+        )
+
+
 def _apply_write_defaults(m: dict, df: DataFrame) -> DataFrame:
     """Fill columns a batch OMITS with their declared WRITE default
     (Iceberg v3 write-default): the literal materializes into the
@@ -2581,6 +2586,8 @@ def replace_where(
     Returns (rows_deleted, rows_inserted)."""
     fs, rel = get_fs(path)
     m = read_manifest(path)
+    _reject_identity_supplied(m, batch, "replace_where batches")
+    batch = _apply_write_defaults(m, batch)
     schema = _check_schema(
         m.get("schema") or _df_schema_list(batch), batch, merge_schema=False
     )
@@ -3089,6 +3096,8 @@ def upsert(
     requires a full re-plan (the caller re-invokes; the txn watermark
     makes that retry safe)."""
     m = read_manifest(path)
+    _reject_identity_supplied(m, batch, "upsert batches")
+    batch = _apply_write_defaults(m, batch)
     schema = _check_schema(
         m.get("schema") or _df_schema_list(batch), batch, merge_schema=False
     )
@@ -3223,6 +3232,15 @@ def merge_into(
     }:
         if types and col not in types:
             raise SchemaMismatch(f"MERGE UPDATE SET on unknown column {col!r}")
+        if col in (m.get("identity") or {}):
+            raise SchemaMismatch(
+                f"column {col!r} is GENERATED ALWAYS AS IDENTITY; "
+                "MERGE UPDATE cannot assign it"
+            )
+    if when_not_matched_insert:
+        # Inserted rows may not carry identity values either — the key
+        # column itself is exempt only if it is NOT an identity column.
+        _reject_identity_supplied(m, source, "MERGE INSERT sources")
     dup = (
         source.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -3364,7 +3382,23 @@ def merge_into(
             if affected
             else None
         )
-        inserts = src.select(*out_cols)
+        # Columns the source legitimately omits fill per their feature:
+        # write-defaulted columns take the declared literal, identity
+        # columns stay NULL (values allocate metadata-only at commit),
+        # anything else nullable null-fills — the same write contract
+        # as append.
+        src_filled = _apply_write_defaults(m, src)
+        have = set(src_filled.columns)
+        types_all = {n: t for n, t in (m.get("schema") or [])}
+        ins_cols = [
+            (
+                F.col(c)
+                if c in have
+                else F.lit(None).cast(types_all.get(c, "string")).alias(c)
+            )
+            for c in out_cols
+        ]
+        inserts = src_filled.select(*ins_cols)
         if existing is not None:
             inserts = inserts.join(existing, key_cols, "left_anti")
         inserts = inserts.localCheckpoint()

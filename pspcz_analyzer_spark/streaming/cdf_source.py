@@ -367,6 +367,12 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         self._colmap = m.get("colmap") or {}
         self._constraints = m.get("constraints") or {}
         self._generated = m.get("generated") or {}
+        self._identity = sorted(m.get("identity") or {})
+        self._defaults = {
+            c: d["write"]
+            for c, d in (m.get("defaults") or {}).items()
+            if d.get("write") is not None
+        }
         self._types = {n: t for n, t in self._schema}
 
     # -- executor side -----------------------------------------------
@@ -387,7 +393,21 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                     f"stream batch has columns {extra} not in the table "
                     "schema — the manifest sink does not evolve schema"
                 )
-        if not (self._constraints or self._generated):
+        supplied_identity = [
+            c for c in self._identity if c in tbl.column_names
+        ]
+        if supplied_identity:
+            raise ValueError(
+                f"identity column(s) {supplied_identity} are GENERATED "
+                "ALWAYS; stream batches must not supply them (values "
+                "allocate metadata-only at commit)"
+            )
+        fill = {
+            c: lit
+            for c, lit in self._defaults.items()
+            if c not in tbl.column_names
+        }
+        if not (self._constraints or self._generated or fill):
             return tbl
         try:
             import duckdb
@@ -399,6 +419,17 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
             ) from exc
         con = duckdb.connect()
         con.register("__batch", tbl)
+        # Write defaults materialize BEFORE constraints/generated run —
+        # same ordering as manifest.append (a constraint may reference
+        # the defaulted column).
+        for name, lit in fill.items():
+            dtype = _duck_type(self._types.get(name, "string"))
+            tbl = con.execute(
+                f'SELECT *, CAST(({lit}) AS {dtype}) AS "{name}" '
+                "FROM __batch"
+            ).fetch_arrow_table()
+            con.unregister("__batch")
+            con.register("__batch", tbl)
         for name, expr in self._constraints.items():
             # NULL counts as a violation (Delta CHECK: must be TRUE).
             bad = con.execute(

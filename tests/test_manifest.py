@@ -579,6 +579,47 @@ class TestIdentityColumns:
         M.add_identity_column(itab, "uid")
         assert M.read_manifest(itab)["protocol"]["reader"] == 2
 
+    def test_upsert_and_merge_respect_identity(self, spark, itab):
+        M.add_identity_column(itab, "uid")
+        bad = spark.range(1).select(
+            F.lit(5).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.lit(1).cast("bigint").alias("uid"),
+        )
+        with pytest.raises(M.SchemaMismatch, match="GENERATED ALWAYS"):
+            M.upsert(spark, bad, itab, "k")
+        with pytest.raises(M.SchemaMismatch, match="GENERATED ALWAYS"):
+            M.merge_into(spark, itab, bad, "k")
+        with pytest.raises(M.SchemaMismatch, match="GENERATED ALWAYS"):
+            M.merge_into(
+                spark, itab, bad.drop("uid"), "k",
+                when_matched_update={"uid": "0"},
+                when_not_matched_insert=False,
+            )
+        # MERGE INSERT omitting the column allocates fresh unique ids.
+        src = spark.range(2).select(
+            (F.col("id") + 700).alias("k"), F.lit(0).cast("bigint").alias("g")
+        )
+        M.merge_into(spark, itab, src, "k")
+        t = M.load_manifest_table(spark, itab)
+        assert t.count() == 102
+        assert t.select("uid").distinct().count() == 102
+
+    def test_upsert_inserts_get_write_default_and_identity(self, spark, itab):
+        M.add_identity_column(itab, "uid")
+        M.add_column(
+            itab, "src", "string",
+            initial_default="'old'", write_default="'up'",
+        )
+        batch = spark.range(2).select(
+            (F.col("id") + 800).alias("k"), F.lit(0).cast("bigint").alias("g")
+        )
+        M.upsert(spark, batch, itab, "k")
+        t = M.load_manifest_table(spark, itab)
+        assert t.filter(F.col("src") == "up").count() == 2
+        assert t.filter(F.col("src") == "old").count() == 100
+        assert t.select("uid").distinct().count() == 102
+
 
 class TestDropColumn:
     """Metadata-only DROP COLUMN: zero rewrites, versioned like all DDL,

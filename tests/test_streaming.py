@@ -874,6 +874,58 @@ class TestManifestStreamSinkValidation:
                 "id long, v double, rogue long",
             )
 
+    def test_identity_supplied_rejected_omitted_allocates(
+        self, spark, tmp_path
+    ):
+        M, tbl = self._sink(
+            spark, tmp_path, "isink", "id long, v double",
+            spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        )
+        M.add_identity_column(tbl, "uid")
+        landing = str(tmp_path / "i_landing")
+        spark.range(3, 5).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "id AS uid"
+        ).coalesce(1).write.parquet(os.path.join(landing, "bad"))
+        v0 = M.current_version(tbl)
+        with pytest.raises(Exception, match="GENERATED"):
+            self._drain(
+                spark, landing, tbl, str(tmp_path / "i_ck1"),
+                "id long, v double, uid long",
+            )
+        assert M.current_version(tbl) == v0
+        # Omitting the column: the sink commits and identity allocates
+        # metadata-only at the commit (contiguous continuation).
+        landing2 = str(tmp_path / "i_landing2")
+        spark.range(3, 5).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(os.path.join(landing2, "b1"))
+        self._drain(
+            spark, landing2, tbl, str(tmp_path / "i_ck2"), "id long, v double"
+        )
+        t = M.load_manifest_table(spark, tbl)
+        got = sorted(r[0] for r in t.select("uid").collect())
+        assert got == [1, 2, 3, 4, 5]
+
+    def test_write_default_fills_omitted_column(self, spark, tmp_path):
+        M, tbl = self._sink(
+            spark, tmp_path, "dsinkd", "id long, v double",
+            spark.range(2).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        )
+        M.add_column(
+            tbl, "src", "string",
+            initial_default="'old'", write_default="'stream'",
+        )
+        landing = str(tmp_path / "d_landing")
+        spark.range(2, 5).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        self._drain(
+            spark, landing, tbl, str(tmp_path / "d_ck"), "id long, v double"
+        )
+        t = M.load_manifest_table(spark, tbl)
+        assert t.filter(F.col("src") == "stream").count() == 3
+        assert t.filter(F.col("src") == "old").count() == 2
+
 
 class TestRowCDFStream:
     """Streaming row-level change feed (readChanges=true): DML commits
