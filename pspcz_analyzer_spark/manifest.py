@@ -1108,6 +1108,7 @@ def history_table(spark: SparkSession, path: str) -> DataFrame:
     recs = [
         (
             int(h["version"]),
+            float(h["ts"]) if h.get("ts") is not None else None,
             int(h["n_files"]),
             h.get("n_rows"),
             h.get("rows_added"),
@@ -1119,7 +1120,7 @@ def history_table(spark: SparkSession, path: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         recs,
-        "version int, n_files int, n_rows long, rows_added long, "
+        "version int, ts double, n_files int, n_rows long, rows_added long, "
         "rows_removed long, files_added int, files_removed int",
     )
 
@@ -1150,6 +1151,8 @@ def history(path: str) -> "list[dict]":
         out.append(
             {
                 "version": v,
+                # In-commit timestamp (None for pre-ICT manifests).
+                "ts": m.get("ts"),
                 "n_files": len(cur),
                 "n_rows": _tot(cur, list(cur)) if rows is not None else None,
                 "files_added": len(added),

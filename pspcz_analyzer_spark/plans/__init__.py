@@ -36,10 +36,14 @@ _REGISTRY: dict[str, Query] = {}
 # Round-7 rotation: the driver re-attests 50 queries per round against
 # freshly regenerated testdata, so the budget goes to the queries with the
 # WEAKEST current attestation. Ledger note (corrects the stale r6 claim):
-# 210 of the 234 oracle-bearing queries have a green driver attestation in
-# some round; the 24 that do NOT (21 r6-new never yet rotated + the 3
-# r6-red manifest-DML rows fixed this round) all sit inside this round's
-# 50-slot budget. Tiers (lower first):
+# 210 of the 234 r6-era oracle-bearing queries have a green driver
+# attestation in some round; never-attested queries (the 21 r6-new never
+# yet rotated, the 3 r6-red manifest-DML rows fixed this round, and every
+# r7-new query — votes browser, MERGE-parity, replace_where, row CDF, row
+# tracking, type widening, column defaults, identity, drop/re-add — which
+# register at PRIORITY_NEW via their register() call) all sit inside this
+# round's 50-slot budget (38 slots at tiers <= 18, verified; the r02-stale
+# cohort head fills the rest). Tiers (lower first):
 #   10 = sentinels — every query whose PLAN changed this round: the three
 #        r6-red DML rows (decimal-safe arithmetic; delete_where alive-row
 #        accounting), the upsert/MERGE/SCD2 rows (size-adaptive victim
