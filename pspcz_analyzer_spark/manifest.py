@@ -2696,17 +2696,47 @@ def delete_where(
         for f in new_names
     )
     victims = set(affected)
-    new_files = [f for f in m["files"] if f not in victims] + new_names
-    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
-    _commit(
-        path, new_files, m["version"],
-        txns=m.get("txns") or {}, schema=m.get("schema"),
-        stats=stats, stat_cols=stat_cols,
-        constraints=m.get("constraints"),
-        deletes=m.get("deletes"),
-        rows=_updated_rows(m, fs, rel, new_names, victims),
-        cdf_files=cdf_names,
-    )
+    while True:
+        new_files = [f for f in m["files"] if f not in victims] + new_names
+        stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
+        try:
+            _commit(
+                path, new_files, m["version"],
+                txns=m.get("txns") or {}, schema=m.get("schema"),
+                stats=stats, stat_cols=stat_cols,
+                constraints=m.get("constraints"),
+                deletes=m.get("deletes"),
+                rows=_updated_rows(m, fs, rel, new_names, victims),
+                cdf_files=cdf_names,
+            )
+            break
+        except CommitConflict:
+            # WriteSerializable conflict resolution (Delta's rule for
+            # DELETE vs concurrent APPEND): re-read, and if every file we
+            # rewrote is still referenced and nothing that changes our
+            # semantics moved, the DELETE serializes BEFORE the
+            # concurrent commit — re-publish the same staged rewrites
+            # over the new file list (appended files carry through
+            # untouched; rows they contain arrived "after" the delete).
+            # Anything else (our victims compacted/rewritten away, new
+            # pending delete entries, schema/constraint drift) aborts:
+            # retrying blind would resurrect or miss rows.
+            m2 = read_manifest(path)
+            compatible = (
+                victims <= set(m2["files"])
+                and (m2.get("deletes") or []) == (m.get("deletes") or [])
+                and m2.get("schema") == m.get("schema")
+                and m2.get("constraints") == m.get("constraints")
+                and m2.get("colmap") == m.get("colmap")
+            )
+            if not compatible:
+                for n in new_names + (cdf_names or []):
+                    try:
+                        fs.remove(os.path.join(rel, n))
+                    except Exception:
+                        pass
+                raise
+            m = m2
     return len(affected), rows_before - rows_after
 
 
@@ -3628,6 +3658,7 @@ def compact_small_files(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
+    where: "dict[str, str] | None" = None,
 ) -> "tuple[int, int]":
     """Manifest-committed OPTIMIZE: merge the current version's files below
     half ``target_bytes`` into ~target-size outputs, publish as one new
@@ -3645,11 +3676,30 @@ def compact_small_files(
     would then have to keep conservatively (the Iceberg/Delta OPTIMIZE
     rule: compaction is per-partition). Files with no recorded values
     (pre-evolution data) form their own group.
-    Returns (files_merged, files_written)."""
+
+    ``where`` scopes the pass to a partition subset (Delta's ``OPTIMIZE
+    ... WHERE``, which likewise accepts only partition predicates):
+    a dict of partition-entry -> token (e.g. ``{"day(ts)": "2026-08-15"}``
+    — entry and token exactly as recorded per file), and only files whose
+    recorded values match EVERY pair are considered. At 100 TB this is
+    the difference between "compact yesterday's ingest" and touching the
+    whole table's small-file census. Files with no recorded values never
+    match a scoped pass (pre-evolution data is compacted by the unscoped
+    pass only). Returns (files_merged, files_written)."""
     fs, rel = get_fs(path)
     m = read_manifest(path)
-    sizes = {f: fs.size(os.path.join(rel, f)) for f in m["files"]}
-    small = [f for f in m["files"] if sizes[f] < target_bytes // 2]
+    cand = m["files"]
+    if where:
+        parts_all = m.get("partitions") or {}
+        cand = [
+            f
+            for f in cand
+            if all(
+                (parts_all.get(f) or {}).get(k) == v for k, v in where.items()
+            )
+        ]
+    sizes = {f: fs.size(os.path.join(rel, f)) for f in cand}
+    small = [f for f in cand if sizes[f] < target_bytes // 2]
     if len(small) < 2:
         return 0, 0
     parts_meta = m.get("partitions") or {}

@@ -729,6 +729,115 @@ class TestDropColumn:
         assert m["dropped"] == ["price"]  # ledger is monotone
 
 
+class TestDeleteConflictCommute:
+    """WriteSerializable conflict resolution for DELETE WHERE (Delta's
+    rule): a concurrent APPEND does not abort the DELETE — the staged
+    rewrites re-publish over the new file list (the delete serializes
+    first); a concurrent rewrite of the delete's own victims aborts."""
+
+    @pytest.fixture()
+    def ctab(self, spark, tmp_path):
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+        )
+        path = str(tmp_path / "ctab")
+        write_range_sorted(df, path, "k", num_partitions=4)
+        M.manifest_init(path, stat_cols=["k"])
+        return path
+
+    def test_concurrent_append_commutes(self, spark, ctab, monkeypatch):
+        orig = M._commit
+        state = {"raced": False}
+        wave = spark.range(2).select(
+            (F.col("id") + 900).alias("k"), F.lit(0).cast("bigint").alias("g")
+        )
+
+        def racing(path, files, expected_version, **kw):
+            if not state["raced"] and any(
+                n.startswith("delw-") for n in files
+            ):
+                state["raced"] = True
+                M.append(wave, ctab)  # interloper wins the version race
+            return orig(path, files, expected_version, **kw)
+
+        monkeypatch.setattr(M, "_commit", racing)
+        # predicate cuts WITHIN files so survivors rewrite (staged delw-)
+        nfiles, ndel = M.delete_where(spark, ctab, "k % 2 = 0")
+        assert state["raced"] and ndel == 50
+        t = M.load_manifest_table(spark, ctab)
+        # survivors + the concurrently appended rows both present
+        assert t.count() == 52
+        assert t.filter(F.col("k") >= 900).count() == 2
+        assert t.filter((F.col("k") < 900) & (F.col("k") % 2 == 0)).count() == 0
+
+    def test_victim_rewrite_aborts_and_cleans(self, spark, ctab, monkeypatch):
+        import os as _os
+
+        orig = M._commit
+        state = {"raced": False}
+
+        def racing(path, files, expected_version, **kw):
+            if not state["raced"] and any(
+                n.startswith("delw-") for n in files
+            ):
+                state["raced"] = True
+                # Interloper rewrites the SAME region the delete read:
+                # retrying blind would resurrect its effect.
+                M.delete_keys(spark, ctab, "k", [10])
+            return orig(path, files, expected_version, **kw)
+
+        monkeypatch.setattr(M, "_commit", racing)
+        with pytest.raises(M.CommitConflict):
+            M.delete_where(spark, ctab, "k % 2 = 0")
+        # interloper's state intact, no staged delete debris
+        t = M.load_manifest_table(spark, ctab)
+        assert t.count() == 99
+        assert not [
+            f for f in _os.listdir(ctab) if f.startswith("delw-")
+        ]
+
+
+class TestScopedCompaction:
+    """OPTIMIZE ... WHERE (partition-scoped compaction): only the named
+    partition's small files are examined or touched."""
+
+    def test_where_scopes_the_pass(self, spark, tmp_path):
+        path = str(tmp_path / "sctab")
+        # Build a partitioned table via appends under a spec.
+        df = spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+        )
+        df.coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        M.set_partition_spec(path, ["g"])
+        for i in range(3):  # three small appends per partition value
+            M.append(
+                spark.range(40 + i * 4, 44 + i * 4).select(
+                    F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+                ),
+                path,
+            )
+        m0 = M.read_manifest(path)
+        parts = m0.get("partitions") or {}
+        g0_before = [f for f, p in parts.items() if p.get("g") == "0"]
+        g1_before = [f for f, p in parts.items() if p.get("g") == "1"]
+        assert len(g0_before) >= 2 and len(g1_before) >= 2
+        merged, written = M.compact_small_files(
+            spark, path, target_bytes=1 << 20, where={"g": "0"}
+        )
+        assert merged >= 2 and written >= 1
+        m1 = M.read_manifest(path)
+        parts1 = m1.get("partitions") or {}
+        # partition g=1 files untouched; g=0 small files merged
+        assert set(g1_before) <= set(m1["files"])
+        assert not (set(g0_before) & set(m1["files"]))
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 52
+        # merged outputs inherit the partition tuple (pruning survives)
+        new_files = set(m1["files"]) - set(m0["files"])
+        assert all(parts1.get(f, {}).get("g") == "0" for f in new_files)
+
+
 class TestManifestStats:
     """Manifest-stored file stats: metadata-only scan pruning that stays
     exact, with stats refreshed by every commit."""
