@@ -2524,16 +2524,11 @@ def delete_keys(
         for f in new_names
     )
     victims = set(affected)
-    new_files = [f for f in m["files"] if f not in victims] + new_names
-    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
-    _commit(
-        path, new_files, m["version"],
-        txns=m.get("txns") or {}, schema=m.get("schema"),
-        stats=stats, stat_cols=stat_cols,
-        constraints=m.get("constraints"),
-        deletes=m.get("deletes"),
-        rows=_updated_rows(m, fs, rel, new_names, victims),
-        cdf_files=cdf_names,
+    # Key deletes commute with concurrent appends like DELETE WHERE
+    # (sequence semantics even bless it: a later append re-inserting a
+    # deleted key legitimately wins).
+    _commit_rewrite_commuting(
+        path, m, fs, rel, victims, new_names, cdf_names
     )
     return len(affected), rows_before - rows_after
 
@@ -2696,6 +2691,33 @@ def delete_where(
         for f in new_names
     )
     victims = set(affected)
+    _commit_rewrite_commuting(
+        path, m, fs, rel, victims, new_names, cdf_names
+    )
+    return len(affected), rows_before - rows_after
+
+
+def _commit_rewrite_commuting(
+    path: str,
+    m: dict,
+    fs,
+    rel: str,
+    victims: set,
+    new_names: "list[str]",
+    cdf_names: "list | None",
+    partitions: dict | None = None,
+) -> None:
+    """Publish a rewrite (victims replaced by staged new_names) with
+    WriteSerializable conflict resolution — Delta's rule for rewriting
+    DML/OPTIMIZE vs a concurrent APPEND: on :class:`CommitConflict`,
+    re-read, and if every file we rewrote is still referenced and
+    nothing semantics-bearing moved (pending delete entries, schema,
+    constraints, column mapping), this operation serializes BEFORE the
+    concurrent commit — the SAME staged files re-publish over the new
+    file list (appended files carry through untouched; their rows
+    arrived "after" this op), with zero Spark re-execution. Anything
+    else aborts AND removes the staged files: a blind retry would
+    resurrect or miss rows."""
     while True:
         new_files = [f for f in m["files"] if f not in victims] + new_names
         stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
@@ -2708,19 +2730,10 @@ def delete_where(
                 deletes=m.get("deletes"),
                 rows=_updated_rows(m, fs, rel, new_names, victims),
                 cdf_files=cdf_names,
+                partitions=partitions,
             )
-            break
+            return
         except CommitConflict:
-            # WriteSerializable conflict resolution (Delta's rule for
-            # DELETE vs concurrent APPEND): re-read, and if every file we
-            # rewrote is still referenced and nothing that changes our
-            # semantics moved, the DELETE serializes BEFORE the
-            # concurrent commit — re-publish the same staged rewrites
-            # over the new file list (appended files carry through
-            # untouched; rows they contain arrived "after" the delete).
-            # Anything else (our victims compacted/rewritten away, new
-            # pending delete entries, schema/constraint drift) aborts:
-            # retrying blind would resurrect or miss rows.
             m2 = read_manifest(path)
             compatible = (
                 victims <= set(m2["files"])
@@ -2737,7 +2750,6 @@ def delete_where(
                         pass
                 raise
             m = m2
-    return len(affected), rows_before - rows_after
 
 
 def delete_where_pos(
@@ -2957,17 +2969,11 @@ def update_where(
                     "consistently"
                 )
     new_names = _stage_rewrites(out, path, "updw")
-    victims = set(affected)
-    new_files = [f for f in m["files"] if f not in victims] + new_names
-    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
-    _commit(
-        path, new_files, m["version"],
-        txns=m.get("txns") or {}, schema=m.get("schema"),
-        stats=stats, stat_cols=stat_cols,
-        constraints=m.get("constraints"),
-        deletes=m.get("deletes"),
-        rows=_updated_rows(m, fs, rel, new_names, victims),
-        cdf_files=cdf_names,
+    # UPDATE commutes with a concurrent APPEND exactly like DELETE does
+    # (the appended rows arrived "after" this statement); anything that
+    # touched our victims or the table's semantics aborts.
+    _commit_rewrite_commuting(
+        path, m, fs, rel, set(affected), new_names, cdf_names
     )
     return len(affected), n_updated
 
@@ -3749,20 +3755,15 @@ def compact_small_files(
                     new_parts[n] = dict(pkey)
     if not merged:
         return 0, 0
-    victims = set(merged)
-    new_files = [f for f in m["files"] if f not in victims] + new_names
-    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
-    _commit(
-        path, new_files, m["version"],
-        txns=m.get("txns") or {}, schema=m.get("schema"),
-        stats=stats, stat_cols=stat_cols,
-        constraints=m.get("constraints"),
-        deletes=m.get("deletes"),
-        rows=_updated_rows(m, fs, rel, new_names, victims),
+    # OPTIMIZE commutes with a concurrent APPEND (Delta auto-resolves
+    # the same pair): the merged outputs re-publish over the new file
+    # list; an interloper that rewrote one of OUR inputs aborts.
+    # Compaction is data-neutral: an enabled change feed records an
+    # explicitly EMPTY change set, not a gap.
+    _commit_rewrite_commuting(
+        path, m, fs, rel, set(merged), new_names,
+        [] if _cdf_on(m) else None,
         partitions=new_parts,
-        # Compaction is data-neutral: an enabled change feed records an
-        # explicitly EMPTY change set, not a gap.
-        cdf_files=[] if _cdf_on(m) else None,
     )
     return len(merged), len(new_names)
 

@@ -770,6 +770,62 @@ class TestDeleteConflictCommute:
         assert t.filter(F.col("k") >= 900).count() == 2
         assert t.filter((F.col("k") < 900) & (F.col("k") % 2 == 0)).count() == 0
 
+    def test_update_commutes_with_append(self, spark, ctab, monkeypatch):
+        orig = M._commit
+        state = {"raced": False}
+        wave = spark.range(1).select(
+            F.lit(950).cast("bigint").alias("k"),
+            F.lit(7).cast("bigint").alias("g"),
+        )
+
+        def racing(path, files, expected_version, **kw):
+            if not state["raced"] and any(
+                n.startswith("updw-") for n in files
+            ):
+                state["raced"] = True
+                M.append(wave, ctab)
+            return orig(path, files, expected_version, **kw)
+
+        monkeypatch.setattr(M, "_commit", racing)
+        nfiles, nupd = M.update_where(
+            spark, ctab, "k % 2 = 0", {"g": "g + 100"}
+        )
+        assert state["raced"] and nupd == 50
+        t = M.load_manifest_table(spark, ctab)
+        assert t.count() == 101
+        assert t.filter(F.col("k") == 950).count() == 1
+        assert (
+            t.filter((F.col("k") < 900) & (F.col("k") % 2 == 0))
+            .filter(F.col("g") < 100)
+            .count()
+            == 0
+        )
+
+    def test_compaction_commutes_with_append(self, spark, ctab, monkeypatch):
+        orig = M._commit
+        state = {"raced": False}
+        wave = spark.range(1).select(
+            F.lit(960).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+        )
+
+        def racing(path, files, expected_version, **kw):
+            if not state["raced"] and any(
+                n.startswith("compact-") for n in files
+            ):
+                state["raced"] = True
+                M.append(wave, ctab)
+            return orig(path, files, expected_version, **kw)
+
+        monkeypatch.setattr(M, "_commit", racing)
+        merged, written = M.compact_small_files(
+            spark, ctab, target_bytes=1 << 20
+        )
+        assert state["raced"] and merged >= 2
+        t = M.load_manifest_table(spark, ctab)
+        assert t.count() == 101
+        assert t.filter(F.col("k") == 960).count() == 1
+
     def test_victim_rewrite_aborts_and_cleans(self, spark, ctab, monkeypatch):
         import os as _os
 
