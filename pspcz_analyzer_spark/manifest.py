@@ -56,6 +56,15 @@ MANIFEST_DIR = "_manifest"
 # a version-1 reader would silently MISREAD, not merely miss.
 SUPPORTED_READER_VERSION = 2
 
+# Highest manifest WRITER version this build can commit against (Delta's
+# minWriterVersion in minimal form). 1 = plain appends; 2 = tables whose
+# WRITE-TIME invariants must be enforced by every writer — CHECK
+# constraints, generated columns, identity allocation, write defaults,
+# row tracking: a version-1 writer appending blindly would corrupt the
+# invariant (not just miss a feature), so commits refuse, reads still
+# work (writer gates never block readers — Delta's split too).
+SUPPORTED_WRITER_VERSION = 2
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed this version first; re-plan and retry."""
@@ -166,6 +175,18 @@ def _commit(
             prev_doc = read_manifest(path, expected_version)
         except FileNotFoundError:
             prev_doc = {}
+    # Writer protocol gate: refuse to commit against a table written by
+    # a future format whose WRITE-TIME invariants this build cannot
+    # enforce — committing blind would corrupt them silently. Reads are
+    # never blocked by the writer version (only by the reader gate).
+    prev_writer = (prev_doc.get("protocol") or {}).get("writer", 1)
+    if prev_writer > SUPPORTED_WRITER_VERSION:
+        raise RuntimeError(
+            f"{path} requires manifest writer version {prev_writer}; this "
+            f"build supports <= {SUPPORTED_WRITER_VERSION} — upgrade before "
+            "writing (a blind commit would corrupt invariants this build "
+            "does not know how to enforce)"
+        )
     if seq is None:
         prev_seq = prev_doc.get("seq") or {}
         seq = {f: prev_seq.get(f, new_v) for f in files}
@@ -361,7 +382,18 @@ def _commit(
         or identity
     ):
         reader = 2
-    doc["protocol"] = {"reader": reader}
+    writer = 1
+    if (
+        constraints
+        or generated
+        or identity
+        or any(
+            d.get("write") is not None for d in (defaults or {}).values()
+        )
+        or (props or {}).get("row_tracking")
+    ):
+        writer = 2
+    doc["protocol"] = {"reader": reader, "writer": writer}
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:

@@ -3343,6 +3343,49 @@ class TestProtocolVersioning:
         with _pytest.raises(RuntimeError, match="reader version 99"):
             M.load_manifest_table(spark, p)
 
+    def test_writer_version_tracks_write_invariants(self, spark, tmp_path):
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "wt")
+        spark.createDataFrame([(1, 10)], "k long, v long").coalesce(
+            1
+        ).write.parquet(p)
+        M.manifest_init(p)
+        assert M.read_manifest(p)["protocol"]["writer"] == 1
+        M.set_constraint(spark, p, "v_pos", "v > 0")
+        assert M.read_manifest(p)["protocol"]["writer"] == 2
+        M.drop_constraint(p, "v_pos")
+        assert M.read_manifest(p)["protocol"]["writer"] == 1
+        M.add_identity_column(p, "uid")
+        assert M.read_manifest(p)["protocol"]["writer"] == 2
+
+    def test_future_writer_version_blocks_commits_not_reads(
+        self, spark, tmp_path
+    ):
+        import json, os
+
+        import pytest as _pytest
+
+        from pspcz_analyzer_spark import manifest as M
+
+        p = str(tmp_path / "wf")
+        spark.createDataFrame([(1,), (2,)], "k long").coalesce(
+            1
+        ).write.parquet(p)
+        M.manifest_init(p)
+        mpath = os.path.join(p, "_manifest", "00000001.json")
+        doc = json.loads(open(mpath).read())
+        doc["protocol"] = {"reader": 1, "writer": 99}
+        open(mpath, "w").write(json.dumps(doc))
+        # Reads never gate on the writer version...
+        assert M.load_manifest_table(spark, p).count() == 2
+        # ...but every commit path refuses before touching anything.
+        with _pytest.raises(RuntimeError, match="writer version 99"):
+            M.append(spark.createDataFrame([(3,)], "k long"), p)
+        with _pytest.raises(RuntimeError, match="writer version 99"):
+            M.delete_keys(spark, p, "k", [1])
+        assert M.current_version(p) == 1  # nothing committed
+
     def test_pre_protocol_manifests_read_as_version_1(self, spark, tmp_path):
         import json, os
 
