@@ -3883,6 +3883,99 @@ def _optimize_layout(
     )
 
 
+def optimize_clustered(
+    spark: SparkSession,
+    path: str,
+    cols: "list[str]",
+    bits: int = 12,
+    num_partitions: int = 4,
+    min_files: int = 2,
+    curve: str = "zorder",
+) -> "tuple[int, int]":
+    """INCREMENTAL clustering — Delta liquid clustering's core move, in
+    minimal form: cluster ONLY the files added since the last pass, so
+    maintenance cost tracks INGEST, not table size (a full OPTIMIZE
+    ZORDER of a 100 TB table rewrites 100 TB; this rewrites the day's
+    arrivals). Mechanics:
+
+    * the clustering watermark is a SEQUENCE number in table properties;
+      pending files are those with a higher sequence (appends since the
+      last pass — at any table size, a metadata-only decision);
+    * pending files rewrite through the curve layout (pending
+      merge-on-read deletes fold in for exactly those files);
+    * outputs are stamped with the WATERMARK sequence, not the commit's:
+      they are never re-clustered, a concurrent append's files (higher
+      seq) stay pending for the NEXT pass, and later equality-delete
+      entries still outrank them (the rows inside are old rows);
+    * the clustering column set is recorded and later passes must match
+      it (switch via a full :func:`optimize_zorder`/:func:`optimize_hilbert`,
+      which re-lays the whole table).
+
+    Fewer than ``min_files`` pending files is a no-op (no version churn
+    for a single straggler). Returns (files_clustered, files_written)."""
+    from pspcz_analyzer_spark.jobs import hilbert_value, zorder_value
+
+    key_fn = {"zorder": zorder_value, "hilbert": hilbert_value}[curve]
+    m = read_manifest(path)
+    props = dict(m.get("props") or {})
+    recorded = props.get("cluster_by")
+    spec = ",".join(cols)
+    if recorded and recorded != spec:
+        raise ValueError(
+            f"table is clustered by {recorded!r}; pass the same columns or "
+            "re-lay the whole table with optimize_zorder/optimize_hilbert"
+        )
+    wm = int(props.get("cluster_watermark") or 0)
+    seq = m.get("seq") or {}
+    pending = [f for f in m["files"] if int(seq.get(f, 0)) > wm]
+    if len(pending) < min_files:
+        return 0, 0
+    new_wm = max(int(seq.get(f, 0)) for f in pending)
+    rt = _row_tracking_on(m)
+    keyed, zcol = key_fn(
+        _with_deletes(spark, path, m, pending, with_row_ids=rt), cols, bits
+    )
+    out = (
+        keyed.repartitionByRange(num_partitions, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+    )
+    if rt:
+        out = _materialize_ids(out)
+    new_names = _stage_rewrites(out, path, "cluster")
+    fs, rel = get_fs(path)
+    victims = set(pending)
+    new_files = [f for f in m["files"] if f not in victims] + new_names
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
+    prev_seq = {f: int(seq.get(f, m["version"] + 1)) for f in m["files"]}
+    new_seq = {
+        **{f: prev_seq[f] for f in m["files"] if f not in victims},
+        **{n: new_wm for n in new_names},
+    }
+    props["cluster_by"] = spec
+    props["cluster_watermark"] = new_wm
+    try:
+        _commit(
+            path, new_files, m["version"],
+            txns=m.get("txns") or {}, schema=m.get("schema"),
+            stats=stats, stat_cols=stat_cols,
+            constraints=m.get("constraints"),
+            deletes=m.get("deletes"),
+            rows=_updated_rows(m, fs, rel, new_names, victims),
+            seq=new_seq,
+            props=props,
+            cdf_files=[] if _cdf_on(m) else None,  # re-layout: neutral
+        )
+    except CommitConflict:
+        for n in new_names:
+            try:
+                fs.remove(os.path.join(rel, n))
+            except Exception:
+                pass
+        raise
+    return len(pending), len(new_names)
+
+
 def clustering_depth(
     path: str, col: str, version: int | None = None
 ) -> int:

@@ -2948,3 +2948,80 @@ def manifest_drop_readd_roundtrip(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_cluster_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, floor(o_totalprice) AS price
+      FROM orders
+    ),
+    wave AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+             floor(o_totalprice) AS price
+      FROM orders WHERE o_orderkey % 50 = 1
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM wave)
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(price) AS BIGINT) AS total
+    FROM u
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "optimize", "liquid-clustering", "incremental"),
+    priority=18,
+    doc="Incremental clustering (manifest.py::optimize_clustered — Delta "
+    "liquid clustering's core move in minimal form): pass 1 clusters "
+    "the whole table on price; an appended wave then clusters in pass "
+    "2 WITHOUT touching pass 1's outputs (asserted in-query: every "
+    "pass-1 file still referenced, only the wave's files rewrote) — "
+    "maintenance cost tracks INGEST, not table size, which at 100 TB "
+    "is the difference between re-laying the lake nightly and "
+    "clustering the day's arrivals. Outputs are sequence-stamped AT "
+    "the watermark so they are never re-clustered and a concurrent "
+    "append stays pending for the next pass. The aggregate must equal "
+    "the plain union — clustering is layout, never semantics.",
+)
+def manifest_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("double").alias("price"),
+    )
+    path = _scratch(sf_dir, "orders_liquid")
+    _shutil.rmtree(path, ignore_errors=True)
+    orders.repartition(6).write.parquet(path)
+    M.manifest_init(path, stat_cols=["price"])
+    n1, w1 = M.optimize_clustered(spark, path, ["price"], num_partitions=4)
+    if n1 < 6:
+        raise AssertionError("pass 1 must cluster the whole table")
+    pass1_files = set(M.read_manifest(path)["files"])
+    wave = orders.filter(F.col("o_orderkey") % 50 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "price",
+    )
+    M.append(wave.repartition(2), path)
+    n2, w2 = M.optimize_clustered(spark, path, ["price"], num_partitions=2)
+    if n2 != 2:
+        raise AssertionError(
+            f"pass 2 must cluster ONLY the wave's 2 files, saw {n2}"
+        )
+    m = M.read_manifest(path)
+    if not pass1_files <= set(m["files"]):
+        raise AssertionError("pass 2 touched pass-1 outputs")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("long").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -894,6 +894,91 @@ class TestScopedCompaction:
         assert all(parts1.get(f, {}).get("g") == "0" for f in new_files)
 
 
+class TestIncrementalClustering:
+    """optimize_clustered: liquid clustering's core move — cluster only
+    the files added since the watermark; outputs never re-cluster and
+    cost tracks ingest, not table size."""
+
+    @pytest.fixture()
+    def ltab(self, spark, tmp_path):
+        # deliberately scrambled on v so clustering has work to do
+        df = spark.range(1_000).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 7919) % 1000).alias("v"),
+        )
+        path = str(tmp_path / "ltab")
+        df.repartition(4).write.parquet(path)
+        M.manifest_init(path, stat_cols=["v"])
+        return path
+
+    def test_second_pass_touches_only_new_files(self, spark, ltab):
+        n1, w1 = M.optimize_clustered(spark, ltab, ["v"], num_partitions=3)
+        assert n1 >= 4 and w1 == 3
+        clustered1 = set(M.read_manifest(ltab)["files"])
+        M.append(
+            spark.range(1_000, 1_200).select(
+                F.col("id").alias("k"), ((F.col("id") * 7919) % 1000).alias("v")
+            ).coalesce(1),
+            ltab,
+        )
+        M.append(
+            spark.range(1_200, 1_400).select(
+                F.col("id").alias("k"), ((F.col("id") * 7919) % 1000).alias("v")
+            ).coalesce(1),
+            ltab,
+        )
+        n2, w2 = M.optimize_clustered(spark, ltab, ["v"], num_partitions=2)
+        assert n2 == 2 and w2 >= 1  # ONLY the two appended files
+        m = M.read_manifest(ltab)
+        # every first-pass output survived untouched
+        assert clustered1 <= set(m["files"]) | set()
+        t = M.load_manifest_table(spark, ltab)
+        assert t.count() == 1_400
+        # clustering actually helps: depth on v stays small
+        assert M.clustering_depth(ltab, "v") <= 3
+
+    def test_outputs_not_reclustered_and_min_files(self, spark, ltab):
+        M.optimize_clustered(spark, ltab, ["v"])
+        assert M.optimize_clustered(spark, ltab, ["v"]) == (0, 0)  # no pending
+        M.append(
+            spark.range(5_000, 5_010).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+            ).coalesce(1),
+            ltab,
+        )
+        # one straggler file < min_files: no version churn
+        v0 = M.current_version(ltab)
+        assert M.optimize_clustered(spark, ltab, ["v"], min_files=2) == (0, 0)
+        assert M.current_version(ltab) == v0
+
+    def test_column_set_is_sticky(self, spark, ltab):
+        M.optimize_clustered(spark, ltab, ["v"])
+        with pytest.raises(ValueError, match="clustered by"):
+            M.optimize_clustered(spark, ltab, ["k"])
+
+    def test_row_ids_survive_clustering(self, spark, tmp_path):
+        path = str(tmp_path / "lrt")
+        spark.range(100).select(
+            F.col("id").alias("k"), ((F.col("id") * 31) % 100).alias("v")
+        ).repartition(3).write.parquet(path)
+        M.manifest_init(path)
+        M.enable_row_tracking(path)
+        before = {
+            r["k"]: r["_row_id"]
+            for r in M.load_manifest_table(
+                spark, path, with_row_ids=True
+            ).collect()
+        }
+        M.optimize_clustered(spark, path, ["v"])
+        after = {
+            r["k"]: r["_row_id"]
+            for r in M.load_manifest_table(
+                spark, path, with_row_ids=True
+            ).collect()
+        }
+        assert after == before
+
+
 class TestManifestStats:
     """Manifest-stored file stats: metadata-only scan pruning that stays
     exact, with stats refreshed by every commit."""
