@@ -4043,12 +4043,29 @@ def maintain(
     working — the inevitable fate of an append-only range layout), run
     :func:`optimize_zorder` on it; the decision itself is one sweep
     over the manifest stats."""
-    out = {"materialized": 0, "compacted": 0, "vacuumed": 0, "reclustered": 0}
+    out = {
+        "materialized": 0,
+        "compacted": 0,
+        "vacuumed": 0,
+        "reclustered": 0,
+        "clustered_incremental": 0,
+    }
     m = read_manifest(path)
     if len(m.get("deletes") or []) > max_delete_entries:
         nf, ne = materialize_deletes(spark, path)
         out["materialized"] = ne
         m = read_manifest(path)
+    # Liquid-style standing policy: a table with a recorded clustering
+    # column set gets its SINCE-LAST-PASS arrivals clustered every
+    # maintenance tick — cost tracks ingest (the pending-set decision is
+    # metadata-only), and the full-re-lay policy below stays the depth
+    # backstop.
+    cluster_by = (m.get("props") or {}).get("cluster_by")
+    if cluster_by:
+        n_inc, _w = optimize_clustered(spark, path, cluster_by.split(","))
+        out["clustered_incremental"] = n_inc
+        if n_inc:
+            m = read_manifest(path)
     fs, rel = get_fs(path)
     small = [
         f

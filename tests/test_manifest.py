@@ -1833,6 +1833,32 @@ def test_maintain_runs_policy_steps(spark, tmp_path):
     assert M.load_manifest_table(spark, path).count() == 4_000 - 240
 
 
+def test_maintain_runs_incremental_clustering_policy(spark, tmp_path):
+    """A table with a recorded clustering column set gets its new
+    arrivals clustered on every maintenance tick (liquid's standing
+    policy); tables without one skip the step entirely."""
+    path = str(tmp_path / "maint_liq")
+    spark.range(500).select(
+        F.col("id").alias("k"), ((F.col("id") * 31) % 500).alias("v")
+    ).repartition(3).write.parquet(path)
+    M.manifest_init(path, stat_cols=["v"])
+    out0 = M.maintain(spark, path, vacuum_min_age_seconds=0)
+    assert out0["clustered_incremental"] == 0  # no cluster_by recorded
+    M.optimize_clustered(spark, path, ["v"])  # records the column set
+    M.append(
+        spark.range(500, 700).select(
+            F.col("id").alias("k"), ((F.col("id") * 31) % 500).alias("v")
+        ).repartition(2),
+        path,
+    )
+    out = M.maintain(spark, path, vacuum_min_age_seconds=0)
+    assert out["clustered_incremental"] == 2  # exactly the new files
+    assert M.load_manifest_table(spark, path).count() == 700
+    # next tick: nothing pending, no churn
+    out2 = M.maintain(spark, path, vacuum_min_age_seconds=0)
+    assert out2["clustered_incremental"] == 0
+
+
 class TestRandomizedLifecycle:
     """Model-based check: a random interleaving of append / MOR-delete /
     upsert / materialize / compact / vacuum must always read back equal
