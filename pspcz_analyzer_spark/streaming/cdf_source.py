@@ -69,10 +69,34 @@ class _FileSlice(InputPartition):
         self.cols = cols
 
 
+def _check_stream_schema(pinned: "list | None", cols: list, path: str, v: int):
+    """A batch version whose schema no longer matches the stream's pinned
+    one must FAIL the stream, loudly (Delta's rule: schema changes
+    require a stream restart, which re-pins and resumes from the
+    checkpointed offset) — yielding shape-mismatched batches instead
+    would corrupt or crypticly kill the query."""
+    if pinned is None:
+        return
+    data_cols = [n for n in pinned if not n.startswith("_")]
+    now = [n for n, _t, _p in cols]
+    if now != data_cols:
+        raise RuntimeError(
+            f"{path}@{v}: table schema changed mid-stream "
+            f"({data_cols} -> {now}); restart the stream to pick up the "
+            "new schema (the checkpoint resumes from the same offset)"
+        )
+
+
 class ManifestCDFStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, start_version: int):
+    def __init__(
+        self,
+        table_path: str,
+        start_version: int,
+        pinned_cols: "list | None" = None,
+    ):
         self._path = table_path
         self._start = start_version
+        self._pinned = pinned_cols
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -95,6 +119,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         cols = [
             (n, t, colmap.get(n, n)) for n, t in (m.get("schema") or [])
         ]
+        _check_stream_schema(self._pinned, cols, self._path, ev)
         return [
             _FileSlice(
                 os.path.join(self._path, f), int(seq.get(f, 0)), cols
@@ -157,9 +182,15 @@ class ManifestRowCDFStreamReader(DataSourceStreamReader):
     versions held in the engine's checkpoint — exactly-once restarts
     for free, like the adds-only reader."""
 
-    def __init__(self, table_path: str, start_version: int):
+    def __init__(
+        self,
+        table_path: str,
+        start_version: int,
+        pinned_cols: "list | None" = None,
+    ):
         self._path = table_path
         self._start = start_version
+        self._pinned = pinned_cols
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -182,6 +213,7 @@ class ManifestRowCDFStreamReader(DataSourceStreamReader):
             cols = [
                 (n, t, colmap.get(n, n)) for n, t in (doc.get("schema") or [])
             ]
+            _check_stream_schema(self._pinned, cols, self._path, v)
             if "cdf_files" in doc:
                 out += [
                     _ChangeSlice(
@@ -305,9 +337,10 @@ class ManifestCDFDataSource(DataSource):
     def streamReader(self, schema):
         path = self.options["tablePath"]
         start = int(self.options.get("startversion", 0))
+        pinned = [f.name for f in schema.fields]
         if self.options.get("readchanges", "").lower() == "true":
-            return ManifestRowCDFStreamReader(path, start)
-        return ManifestCDFStreamReader(path, start)
+            return ManifestRowCDFStreamReader(path, start, pinned)
+        return ManifestCDFStreamReader(path, start, pinned)
 
     def reader(self, schema) -> ManifestBatchReader:
         path = self.options.get("tablepath") or self.options.get("tablePath")

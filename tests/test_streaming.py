@@ -927,6 +927,42 @@ class TestManifestStreamSinkValidation:
         assert t.filter(F.col("src") == "old").count() == 2
 
 
+class TestMidStreamSchemaChange:
+    """A version whose schema no longer matches the stream's pinned one
+    must fail the stream loudly (Delta's restart rule) — never emit
+    shape-mismatched batches. A RESTARTED stream re-pins and resumes
+    from the checkpointed offset."""
+
+    def test_reader_refuses_changed_schema_mid_stream(self, spark, tmp_path):
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            ManifestCDFStreamReader,
+            ManifestRowCDFStreamReader,
+        )
+
+        tbl = str(tmp_path / "mss_tbl")
+        spark.range(3).select(F.col("id").alias("k")).coalesce(
+            1
+        ).write.parquet(tbl)
+        M.manifest_init(tbl)
+        M.add_column(tbl, "tag", "string")
+        M.append(
+            spark.createDataFrame([(10, "x")], "k long, tag string"), tbl
+        )
+        # a stream pinned at the PRE-change schema sees the new version
+        r = ManifestCDFStreamReader(tbl, 0, ["k", "_commit_version"])
+        with pytest.raises(RuntimeError, match="changed mid-stream"):
+            r.partitions({"version": 1}, {"version": 3})
+        rc = ManifestRowCDFStreamReader(
+            tbl, 0, ["k", "_change_type", "_commit_version"]
+        )
+        with pytest.raises(RuntimeError, match="changed mid-stream"):
+            rc.partitions({"version": 1}, {"version": 3})
+        # a reader pinned at the CURRENT schema proceeds
+        r2 = ManifestCDFStreamReader(tbl, 0, ["k", "tag", "_commit_version"])
+        assert r2.partitions({"version": 2}, {"version": 3})
+
+
 class TestRowCDFStream:
     """Streaming row-level change feed (readChanges=true): DML commits
     arrive as typed change rows, appends as synthesized inserts, and
