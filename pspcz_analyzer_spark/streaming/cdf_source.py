@@ -59,14 +59,84 @@ from pyspark.sql.datasource import (
 
 
 class _FileSlice(InputPartition):
-    """One added data file: absolute path, its commit version, and the
+    """One added data file: absolute path, its commit version, the
     (logical name, ddl type, physical name) triples to reassemble the
-    declared schema from the file's physical columns."""
+    declared schema from the file's physical columns, plus the file's
+    initial-default fill values and identity specs (batch/stream reads
+    must match load_manifest_table row-for-row)."""
 
-    def __init__(self, abs_path: str, version: int, cols: list):
+    def __init__(
+        self,
+        abs_path: str,
+        version: int,
+        cols: list,
+        fills: "list | None" = None,
+        ident: "list | None" = None,
+    ):
         self.abs_path = abs_path
         self.version = version
         self.cols = cols
+        self.fills = fills
+        self.ident = ident
+
+
+def _slice_features(doc: dict, fname: str) -> "tuple[list | None, list | None]":
+    """(fills, ident) for one data file. ``fills`` holds the PYTHON
+    values of initial defaults for columns the file physically predates
+    (the SQL literal is evaluated here, driver-side, via DuckDB so
+    executors never parse SQL); ``ident`` holds (col, start, step, base)
+    for identity columns with the file's ordinal base. Mirrors the
+    file->seq / file->base broadcast joins of manifest._read_files."""
+    fills = []
+    seq = int((doc.get("seq") or {}).get(fname, 0))
+    types = {n: t for n, t in (doc.get("schema") or [])}
+    for c, d in (doc.get("defaults") or {}).items():
+        lit = d.get("initial")
+        if lit is None or c not in types or seq >= int(d.get("since", 0)):
+            continue
+        import duckdb
+
+        val = duckdb.sql(
+            f"SELECT CAST(({lit}) AS {_duck_type(types[c])})"
+        ).fetchone()[0]
+        fills.append((c, val))
+    ident = [
+        (
+            c,
+            int(spec.get("start", 1)),
+            int(spec.get("step", 1)),
+            (
+                int((spec.get("base") or {})[fname])
+                if fname in (spec.get("base") or {})
+                else None
+            ),
+        )
+        for c, spec in (doc.get("identity") or {}).items()
+        if c in types
+    ]
+    return fills or None, ident or None
+
+
+def _apply_slice_features(tbl, arr, n: int, logical: str, partition):
+    """Layer a slice's default fill / identity computation onto one
+    column array (physical value wins per row, like the batch reader)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fillmap = dict(partition.fills or [])
+    identmap = {
+        c: (s, st, b) for c, s, st, b in (getattr(partition, "ident", None) or [])
+    }
+    if arr is None and logical in fillmap:
+        arr = pa.array([fillmap[logical]] * n)
+    if logical in identmap:
+        s, st, b = identmap[logical]
+        if b is not None:
+            computed = pa.array(
+                [s + st * (b + i) for i in range(n)], type=pa.int64()
+            )
+            arr = computed if arr is None else pc.coalesce(arr, computed)
+    return arr if arr is not None else pa.nulls(n)
 
 
 def _check_stream_schema(pinned: "list | None", cols: list, path: str, v: int):
@@ -122,7 +192,8 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         _check_stream_schema(self._pinned, cols, self._path, ev)
         return [
             _FileSlice(
-                os.path.join(self._path, f), int(seq.get(f, 0)), cols
+                os.path.join(self._path, f), int(seq.get(f, 0)), cols,
+                *_slice_features(m, f),
             )
             for f in m["files"]
             if sv < int(seq.get(f, 0)) <= ev
@@ -148,10 +219,8 @@ def _read_file_slice(partition: _FileSlice):
     n = tbl.num_rows
     arrays, names = [], []
     for logical, _ddl, physical in partition.cols:
-        if physical in tbl.column_names:
-            arrays.append(tbl[physical])
-        else:
-            arrays.append(pa.nulls(n))
+        arr = tbl[physical] if physical in tbl.column_names else None
+        arrays.append(_apply_slice_features(tbl, arr, n, logical, partition))
         names.append(logical)
     arrays.append(pa.array([partition.version] * n, type=pa.int64()))
     names.append("_commit_version")
@@ -164,11 +233,19 @@ class _ChangeSlice(InputPartition):
     _change_type column) or an appended data file (every row a constant
     'insert'), plus the commit version and schema triples."""
 
-    def __init__(self, abs_path, version, cols, fixed_type):
+    def __init__(
+        self, abs_path, version, cols, fixed_type,
+        fills=None, ident=None,
+    ):
         self.abs_path = abs_path
         self.version = version
         self.cols = cols
         self.fixed_type = fixed_type
+        # Change files carry explicit values (staged from the alive view,
+        # defaults/identity already applied); synthesized-insert slices
+        # read raw appended files and need the fill/identity plan.
+        self.fills = fills
+        self.ident = ident
 
 
 class ManifestRowCDFStreamReader(DataSourceStreamReader):
@@ -239,7 +316,8 @@ class ManifestRowCDFStreamReader(DataSourceStreamReader):
             seq = doc.get("seq") or {}
             out += [
                 _ChangeSlice(
-                    os.path.join(self._path, f), v, cols, "insert"
+                    os.path.join(self._path, f), v, cols, "insert",
+                    *_slice_features(doc, f),
                 )
                 for f in doc["files"]
                 if int(seq.get(f, 0)) == v
@@ -257,11 +335,14 @@ class ManifestRowCDFStreamReader(DataSourceStreamReader):
             # Change files are written under LOGICAL names at their
             # commit; appended data files carry physical names.
             if logical in tbl.column_names:
-                arrays.append(tbl[logical])
+                arr = tbl[logical]
             elif physical in tbl.column_names:
-                arrays.append(tbl[physical])
+                arr = tbl[physical]
             else:
-                arrays.append(pa.nulls(n))
+                arr = None
+            arrays.append(
+                _apply_slice_features(tbl, arr, n, logical, partition)
+            )
             names.append(logical)
         if partition.fixed_type is not None:
             arrays.append(
@@ -299,7 +380,10 @@ class ManifestBatchReader(DataSourceReader):
         colmap = m.get("colmap") or {}
         cols = [(n, t, colmap.get(n, n)) for n, t in (m.get("schema") or [])]
         self._slices = [
-            _FileSlice(os.path.join(table_path, f), int(seq.get(f, 0)), cols)
+            _FileSlice(
+                os.path.join(table_path, f), int(seq.get(f, 0)), cols,
+                *_slice_features(m, f),
+            )
             for f in m["files"]
         ]
 

@@ -963,6 +963,80 @@ class TestMidStreamSchemaChange:
         assert r2.partitions({"version": 2}, {"version": 3})
 
 
+class TestSourceFeatureParity:
+    """The manifest DataSource (batch + streams) must read defaults and
+    identity columns exactly like load_manifest_table — a pipeline fed
+    by the stream and one fed by the table must agree row-for-row."""
+
+    def test_batch_source_applies_defaults_and_identity(self, spark, tmp_path):
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+
+        register_cdf_source(spark)
+        tbl = str(tmp_path / "fp_tbl")
+        spark.range(5).select(F.col("id").alias("k")).coalesce(
+            1
+        ).write.parquet(tbl)
+        M.manifest_init(tbl)
+        M.add_column(
+            tbl, "src", "string",
+            initial_default="'old'", write_default="'new'",
+        )
+        M.add_identity_column(tbl, "uid", start=100, step=2)
+        M.append(
+            spark.range(50, 53).select(F.col("id").alias("k")), tbl
+        )
+        expected = {
+            (r["k"], r["src"], r["uid"])
+            for r in M.load_manifest_table(spark, tbl).collect()
+        }
+        got = {
+            (r["k"], r["src"], r["uid"])
+            for r in spark.read.format("manifest")
+            .option("tablePath", tbl)
+            .load()
+            .collect()
+        }
+        assert got == expected
+        assert {r[1] for r in got} == {"old", "new"}
+        assert sorted(r[2] for r in got) == [100 + 2 * i for i in range(8)]
+
+    def test_cdf_stream_applies_features_on_synthesized_inserts(
+        self, spark, tmp_path
+    ):
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+
+        register_cdf_source(spark)
+        tbl = str(tmp_path / "fs_tbl")
+        spark.range(3).select(F.col("id").alias("k")).coalesce(
+            1
+        ).write.parquet(tbl)
+        M.manifest_init(tbl)
+        M.add_column(tbl, "src", "string", initial_default="'old'")
+        M.add_identity_column(tbl, "uid")
+        out = str(tmp_path / "fs_out")
+        q = (
+            spark.readStream.format("manifest")
+            .option("tablePath", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "fs_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(out)
+        assert got.filter(F.col("src") == "old").count() == 3
+        assert sorted(r[0] for r in got.select("uid").collect()) == [1, 2, 3]
+
+
 class TestRowCDFStream:
     """Streaming row-level change feed (readChanges=true): DML commits
     arrive as typed change rows, appends as synthesized inserts, and
