@@ -4266,6 +4266,133 @@ def clone_table(
     )
 
 
+def _staged_dir(path: str) -> str:
+    return os.path.join(_manifest_dir(path), "staged")
+
+
+def stage_append(df: DataFrame, path: str, ref: str) -> int:
+    """WRITE step of write-audit-publish (Iceberg's WAP pattern in
+    minimal form): the batch's data files land in the table directory
+    and a named STAGED ref records them OUTSIDE the version chain — no
+    reader of the table sees them, time travel is unaffected, vacuum
+    spares them — so audits can run against :func:`load_staged` before
+    :func:`publish_staged` makes the batch visible (metadata-only) or
+    :func:`drop_staged` discards it. Validation is the full append
+    contract AT STAGE TIME (identity rejection, write defaults,
+    generated columns, schema, CHECK constraints); publish re-validates
+    against the manifest it commits on, so rules added between stage
+    and publish still gate. Identity values allocate at PUBLISH (the
+    commit is the counter), so the audit view reads them as null.
+    Returns the number of staged files."""
+    m = read_manifest(path)
+    _reject_identity_supplied(m, df, "staged batches")
+    df = _apply_write_defaults(m, df)
+    df = _apply_generated(m, df)
+    _check_schema(m.get("schema") or _df_schema_list(df), df, False)
+    _check_constraints(m, df)
+    safe = "".join(c for c in ref if c.isalnum() or c in "-_")
+    if not safe or safe != ref:
+        raise ValueError(f"staged ref must be [-_a-zA-Z0-9]+, got {ref!r}")
+    fs, rel = get_fs(path)
+    names = _stage_rewrites(df, path, f"wap-{ref}")
+    d = _staged_dir(rel)
+    fs.makedirs(d)
+    doc = {
+        "ref": ref,
+        "files": sorted(names),
+        "base_version": m["version"],
+        "schema": _df_schema_list(df),
+    }
+    try:
+        fs.create_exclusive(
+            os.path.join(d, f"{ref}.json"), json.dumps(doc, indent=0).encode()
+        )
+    except FileExistsError:
+        for n in names:
+            try:
+                fs.remove(os.path.join(rel, n))
+            except Exception:
+                pass
+        raise ValueError(f"staged ref {ref!r} already exists") from None
+    return len(names)
+
+
+def list_staged(path: str) -> "dict[str, int]":
+    """{ref: n_files} for every staged-but-unpublished batch."""
+    fs, rel = get_fs(path)
+    d = _staged_dir(rel)
+    if not fs.isdir(d):
+        return {}
+    out = {}
+    for f in sorted(fs.listdir(d)):
+        if f.endswith(".json"):
+            doc = json.loads(fs.read_bytes(os.path.join(d, f)))
+            out[doc["ref"]] = len(doc["files"])
+    return out
+
+
+def _read_staged(path: str, ref: str) -> dict:
+    fs, rel = get_fs(path)
+    p = os.path.join(_staged_dir(rel), f"{ref}.json")
+    if not fs.exists(p):
+        raise FileNotFoundError(f"no staged ref {ref!r} at {path}")
+    return json.loads(fs.read_bytes(p))
+
+
+def load_staged(spark: SparkSession, path: str, ref: str) -> DataFrame:
+    """AUDIT view: the current table PLUS the staged batch — what the
+    table would look like after publish. Run your expectations /
+    row-count / distribution checks here, then publish or drop."""
+    m = read_manifest(path)
+    doc = _read_staged(path, ref)
+    return load_manifest_table(spark, path).unionByName(
+        _read_files(spark, path, m, doc["files"]),
+        allowMissingColumns=True,
+    )
+
+
+def publish_staged(spark: SparkSession, path: str, ref: str) -> int:
+    """PUBLISH step: commit the staged files as the next version —
+    pure metadata, the data bytes never move. Re-validates the staged
+    batch against the CURRENT manifest (constraints/schema may have
+    changed since staging); a failed re-validation leaves the ref
+    staged for inspection. Returns the committed version."""
+    m = read_manifest(path)
+    doc = _read_staged(path, ref)
+    staged_view = _read_files(spark, path, m, doc["files"])
+    _check_schema(m.get("schema") or doc["schema"], staged_view, False)
+    _check_constraints(m, staged_view)
+    fs, rel = get_fs(path)
+    new_names = list(doc["files"])
+    stats, stat_cols = _updated_stats(m, fs, rel, new_names)
+    v = _commit(
+        path, m["files"] + new_names, m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=stat_cols,
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=_updated_rows(m, fs, rel, new_names),
+    )
+    fs.remove(os.path.join(_staged_dir(rel), f"{ref}.json"))
+    return v
+
+
+def drop_staged(path: str, ref: str) -> int:
+    """Discard a staged batch: its files and ref are removed; the table
+    never saw it. Returns the number of files removed."""
+    doc = _read_staged(path, ref)
+    fs, rel = get_fs(path)
+    n = 0
+    for f in doc["files"]:
+        try:
+            fs.remove(os.path.join(rel, f))
+            n += 1
+        except Exception:
+            pass
+    fs.remove(os.path.join(_staged_dir(rel), f"{ref}.json"))
+    return n
+
+
 def _tags_dir(path: str) -> str:
     return os.path.join(_manifest_dir(path), "tags")
 
@@ -4380,6 +4507,11 @@ def vacuum(
         referenced.update(d["file"] for d in (mv.get("deletes") or []))
         # A retained version's change feed stays readable with it.
         referenced_cdf.update(mv.get("cdf_files") or [])
+    # Staged-but-unpublished WAP batches are referenced by their ref
+    # docs, not by any version — they must survive vacuum at any age
+    # until published or dropped.
+    for ref in list_staged(path):
+        referenced.update(_read_staged(path, ref)["files"])
     fs, rel = get_fs(path)
     now = _time.time()
 

@@ -3025,3 +3025,81 @@ def manifest_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_wap_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+    ),
+    published AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 1
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM published)
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_total
+    FROM u
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "wap", "write-audit-publish", "staging"),
+    priority=18,
+    doc="Write-audit-publish (manifest.py::stage_append/load_staged/"
+    "publish_staged/drop_staged — Iceberg's WAP pattern in minimal "
+    "form): one wave stages, audits against the would-be table "
+    "(asserted: the TABLE count is unchanged while the audit view "
+    "sees the union), and publishes METADATA-ONLY (asserted: the "
+    "staged files join the file list byte-identical); a second wave "
+    "stages and is DROPPED after a failed audit — the oracle counts "
+    "only base + published rows, so a leaked dropped row or a "
+    "premature publish fails the hash. At 100 TB this is how bad "
+    "ingests die before anyone queries them.",
+)
+def manifest_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = _scratch(sf_dir, "orders_wap")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    n_base = M.load_manifest_table(spark, path).count()
+    good = orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+    )
+    bad = orders.filter(F.col("o_orderkey") % 100 == 2).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+    )
+    M.stage_append(good, path, "good_wave")
+    M.stage_append(bad, path, "bad_wave")
+    if M.load_manifest_table(spark, path).count() != n_base:
+        raise AssertionError("staged batches must be invisible to readers")
+    n_good = good.count()
+    if M.load_staged(spark, path, "good_wave").count() != n_base + n_good:
+        raise AssertionError("audit view must show table + staged batch")
+    files0 = set(M.read_manifest(path)["files"])
+    M.publish_staged(spark, path, "good_wave")
+    if not files0 < set(M.read_manifest(path)["files"]):
+        raise AssertionError("publish must be metadata-only (additive)")
+    M.drop_staged(path, "bad_wave")  # the audit failed: discard
+    if M.list_staged(path):
+        raise AssertionError("no refs may remain staged")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -979,6 +979,95 @@ class TestIncrementalClustering:
         assert after == before
 
 
+class TestWriteAuditPublish:
+    """WAP (Iceberg write-audit-publish in minimal form): stage a batch
+    outside the version chain, audit it against the would-be table,
+    publish metadata-only or drop without the table ever seeing it."""
+
+    @pytest.fixture()
+    def wtab(self, spark, tmp_path):
+        path = str(tmp_path / "waptab")
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path)
+        return path
+
+    def _batch(self, spark, lo=1000, n=5):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("k"), F.lit(0).cast("bigint").alias("g")
+        )
+
+    def test_staged_invisible_until_publish(self, spark, wtab):
+        v0 = M.current_version(wtab)
+        n = M.stage_append(self._batch(spark), wtab, "nightly")
+        assert n >= 1
+        assert M.list_staged(wtab) == {"nightly": n}
+        assert M.current_version(wtab) == v0  # no version committed
+        assert M.load_manifest_table(spark, wtab).count() == 100
+        # audit view = table + staged batch
+        assert M.load_staged(spark, wtab, "nightly").count() == 105
+        files0 = set(M.read_manifest(wtab)["files"])
+        v1 = M.publish_staged(spark, wtab, "nightly")
+        assert v1 == v0 + 1
+        m = M.read_manifest(wtab)
+        assert files0 < set(m["files"])  # pure metadata: old files + staged
+        assert M.load_manifest_table(spark, wtab).count() == 105
+        assert M.list_staged(wtab) == {}
+
+    def test_drop_discards_without_a_version(self, spark, wtab):
+        import os as _os
+
+        M.stage_append(self._batch(spark), wtab, "exp1")
+        v0 = M.current_version(wtab)
+        n = M.drop_staged(wtab, "exp1")
+        assert n >= 1
+        assert M.current_version(wtab) == v0
+        assert M.list_staged(wtab) == {}
+        assert not [f for f in _os.listdir(wtab) if f.startswith("wap-exp1")]
+
+    def test_duplicate_ref_rejected_and_cleaned(self, spark, wtab):
+        import os as _os
+
+        M.stage_append(self._batch(spark), wtab, "r1")
+        before = [f for f in _os.listdir(wtab) if f.startswith("wap-r1")]
+        with pytest.raises(ValueError, match="already exists"):
+            M.stage_append(self._batch(spark, 2000), wtab, "r1")
+        after = [f for f in _os.listdir(wtab) if f.startswith("wap-r1")]
+        assert sorted(after) == sorted(before)  # loser's files cleaned
+
+    def test_publish_revalidates_against_current_rules(self, spark, wtab):
+        M.stage_append(self._batch(spark), wtab, "audit")
+        # a rule added AFTER staging must still gate the publish
+        M.set_constraint(spark, wtab, "k_small", "k < 500")
+        with pytest.raises(M.ConstraintViolation):
+            M.publish_staged(spark, wtab, "audit")
+        assert M.list_staged(wtab) == {"audit": M.list_staged(wtab)["audit"]}
+        M.drop_constraint(wtab, "k_small")
+        M.publish_staged(spark, wtab, "audit")
+        assert M.load_manifest_table(spark, wtab).count() == 105
+
+    def test_stage_validates_like_append(self, spark, wtab):
+        M.set_constraint(spark, wtab, "g_small", "g < 100")
+        bad = spark.range(1).select(
+            F.lit(1).cast("bigint").alias("k"),
+            F.lit(999).cast("bigint").alias("g"),
+        )
+        with pytest.raises(M.ConstraintViolation):
+            M.stage_append(bad, wtab, "badref")
+        assert M.list_staged(wtab) == {}
+
+    def test_vacuum_spares_staged_files(self, spark, wtab):
+        import os as _os
+
+        M.stage_append(self._batch(spark), wtab, "keepme")
+        M.append(self._batch(spark, 5000), wtab)  # a version to retain
+        M.vacuum(wtab, retain_versions=1, min_age_seconds=0)
+        assert [f for f in _os.listdir(wtab) if f.startswith("wap-keepme")]
+        M.publish_staged(spark, wtab, "keepme")
+        assert M.load_manifest_table(spark, wtab).count() == 110
+
+
 class TestManifestStats:
     """Manifest-stored file stats: metadata-only scan pruning that stays
     exact, with stats refreshed by every commit."""
