@@ -2015,6 +2015,142 @@ class TestRandomizedLifecycle:
             check(f"{step}:{op}")
 
 
+class TestRandomizedDdlLifecycle:
+    """Model-based check over the round-7 DDL features: random
+    interleavings of append / DELETE WHERE / upsert / compact / vacuum
+    with type widening, defaulted ADD COLUMN, DROP COLUMN + re-add,
+    identity, and incremental clustering must always read back equal to
+    a driver-side model — plus identity stability (a surviving row's
+    uid never drifts; an upsert-reinserted row legitimately gets a
+    fresh one) and global uid uniqueness at every step."""
+
+    @pytest.mark.parametrize("seed", [7, 31])
+    def test_ddl_interleaving_matches_model(self, spark, tmp_path, seed):
+        import random
+
+        rng = random.Random(seed)
+        path = str(tmp_path / f"ddl_{seed}")
+        init = {k: k * 10 for k in range(30)}
+        spark.createDataFrame(
+            [(k, v) for k, v in init.items()], "k int, v long"
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        model = {k: {"v": v} for k, v in init.items()}
+        cols = {"v"}
+        ddl = {"widened": False, "default_col": None, "identity": False,
+               "dropped_ever": 0}
+        uid_pin: dict = {}
+        next_key = 1000
+
+        def check(step):
+            rows = M.load_manifest_table(spark, path).collect()
+            got = {}
+            for r in rows:
+                d = r.asDict()
+                k = d.pop("k")
+                d.pop("uid", None)
+                got[k] = {c: d.get(c) for c in cols}
+            want = {
+                k: {c: row.get(c) for c in cols} for k, row in model.items()
+            }
+            assert got == want, f"divergence after {step} (seed {seed})"
+            if ddl["identity"]:
+                uids = {r["k"]: r["uid"] for r in rows}
+                assert len(set(uids.values())) == len(uids), step
+                for k, u in list(uid_pin.items()):
+                    if k in uids:
+                        assert uids[k] == u, f"uid drift for {k} at {step}"
+                uid_pin.update(uids)
+
+        def key_type():
+            return "bigint" if ddl["widened"] else "int"
+
+        for step in range(14):
+            op = rng.choice([
+                "append", "delete_where", "upsert", "compact", "vacuum",
+                "widen", "add_default", "drop_default", "identity",
+                "cluster",
+            ])
+            if op == "append":
+                ks = [next_key, next_key + 1]
+                next_key += 2
+                M.append(
+                    spark.createDataFrame(
+                        [(k, k * 10) for k in ks], f"k {key_type()}, v long"
+                    ),
+                    path,
+                )
+                for k in ks:
+                    row = {c: None for c in cols}
+                    row["v"] = k * 10
+                    if ddl["default_col"]:
+                        name, _ini, wr = ddl["default_col"]
+                        row[name] = wr
+                    model[k] = row
+            elif op == "delete_where":
+                r = step % 5
+                M.delete_where(spark, path, f"k % 5 = {r}")
+                gone = [k for k in model if k % 5 == r]
+                for k in gone:
+                    model.pop(k)
+                    uid_pin.pop(k, None)
+            elif op == "upsert":
+                keys = rng.sample(sorted(model), min(2, len(model)))
+                rows = [(k, k * 100 + step) for k in keys] + [
+                    (next_key, next_key * 100 + step)
+                ]
+                next_key += 1
+                M.upsert(
+                    spark,
+                    spark.createDataFrame(rows, f"k {key_type()}, v long"),
+                    path, "k",
+                )
+                for k, v in rows:
+                    row = {c: None for c in cols}
+                    row["v"] = v
+                    if ddl["default_col"]:
+                        name, _ini, wr = ddl["default_col"]
+                        row[name] = wr
+                    model[k] = row
+                    uid_pin.pop(k, None)  # reinsert: fresh identity is legal
+            elif op == "compact":
+                M.compact_small_files(spark, path, target_bytes=1 << 30)
+            elif op == "vacuum":
+                M.vacuum(path, retain_versions=1, min_age_seconds=0)
+            elif op == "widen":
+                if not ddl["widened"]:
+                    M.widen_column_type(path, "k", "bigint")
+                    ddl["widened"] = True
+            elif op == "add_default":
+                if ddl["default_col"] is None:
+                    n = ddl["dropped_ever"]
+                    name = f"c{n}"
+                    M.add_column(
+                        path, name, "string",
+                        initial_default=f"'d{n}'", write_default=f"'w{n}'",
+                    )
+                    cols.add(name)
+                    ddl["default_col"] = (name, f"d{n}", f"w{n}")
+                    for row in model.values():
+                        row[name] = f"d{n}"
+            elif op == "drop_default":
+                if ddl["default_col"]:
+                    name, _i, _w = ddl["default_col"]
+                    M.drop_column(path, name)
+                    cols.discard(name)
+                    for row in model.values():
+                        row.pop(name, None)
+                    ddl["default_col"] = None
+                    ddl["dropped_ever"] += 1
+            elif op == "identity":
+                if not ddl["identity"]:
+                    M.add_identity_column(path, "uid")
+                    ddl["identity"] = True
+            elif op == "cluster":
+                M.optimize_clustered(spark, path, ["k"], min_files=2)
+            check(f"{step}:{op}")
+
+
 class TestRefreshAggregate:
     @staticmethod
     def _mk_base(spark, tmp_path, n=1000):
