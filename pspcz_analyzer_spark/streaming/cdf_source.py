@@ -94,12 +94,7 @@ def _slice_features(doc: dict, fname: str) -> "tuple[list | None, list | None]":
         lit = d.get("initial")
         if lit is None or c not in types or seq >= int(d.get("since", 0)):
             continue
-        import duckdb
-
-        val = duckdb.sql(
-            f"SELECT CAST(({lit}) AS {_duck_type(types[c])})"
-        ).fetchone()[0]
-        fills.append((c, val))
+        fills.append((c, _eval_default_literal(lit, types[c])))
     ident = [
         (
             c,
@@ -115,6 +110,23 @@ def _slice_features(doc: dict, fname: str) -> "tuple[list | None, list | None]":
         if c in types
     ]
     return fills or None, ident or None
+
+
+_DEFAULT_LIT_CACHE: dict = {}
+
+
+def _eval_default_literal(lit: str, ddl: str):
+    """Evaluate one initial-default SQL literal to a Python value,
+    memoized per (literal, type) — the plan builds one slice PER FILE,
+    and a million-file table must not run a million DuckDB casts."""
+    key = (lit, ddl)
+    if key not in _DEFAULT_LIT_CACHE:
+        import duckdb
+
+        _DEFAULT_LIT_CACHE[key] = duckdb.sql(
+            f"SELECT CAST(({lit}) AS {_duck_type(ddl)})"
+        ).fetchone()[0]
+    return _DEFAULT_LIT_CACHE[key]
 
 
 def _apply_slice_features(tbl, arr, n: int, logical: str, partition):
