@@ -137,6 +137,17 @@ def create_app(service: QueryService):
         # First thing an operator curls (reference routes/health.py).
         return service.health()
 
+    @app.get("/api/lake/{name}")
+    def lake_detail(name: str):
+        # DESCRIBE DETAIL for a discovered manifest table — name-resolved
+        # (never a caller path), metadata-only.
+        try:
+            return service.lake_detail(name)
+        except KeyError:
+            from fastapi import HTTPException
+
+            raise HTTPException(404, f"no manifest table named {name!r}")
+
     @app.get("/api/laws")
     def laws(
         status: str | None = None,

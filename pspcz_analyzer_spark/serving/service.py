@@ -483,6 +483,69 @@ class QueryService:
             "total_pages": total_pages,
         }
 
+    def _discover_manifest_tables(self) -> "dict[str, str]":
+        """{name: path} of manifest-committed tables this service may
+        describe: directories under the data dir plus this sf_dir's
+        scratch tables — the SAME closed set /health reports, so the
+        lake-inspection route can resolve by NAME and never read an
+        arbitrary caller-supplied path."""
+        import os as _os
+        import tempfile as _tempfile
+
+        from pspcz_analyzer_spark import manifest as M
+
+        tag = self.sf_dir.strip("/").replace("/", "_")
+        tmp = _tempfile.gettempdir()
+        candidates = [
+            (name, _os.path.join(self.sf_dir, name))
+            for name in (
+                sorted(_os.listdir(self.sf_dir))
+                if _os.path.isdir(self.sf_dir)
+                else []
+            )
+        ] + [
+            (name, _os.path.join(tmp, name))
+            for name in sorted(_os.listdir(tmp))
+            if name.startswith("pspcz_spark_") and tag in name
+        ]
+        return {
+            name: p
+            for name, p in candidates
+            if _os.path.isdir(_os.path.join(p, M.MANIFEST_DIR))
+        }
+
+    def lake_detail(self, name: str) -> dict:
+        """DESCRIBE DETAIL for one manifest table (resolved by NAME from
+        the discovered set — unknown names raise KeyError): version +
+        in-commit timestamp, schema, protocol, table properties
+        (clustering spec etc.), pending merge-on-read delete entries,
+        tags, staged WAP refs, and the history tail. Pure metadata —
+        no Spark job runs, so the lake stays inspectable while the
+        cluster is saturated."""
+        from pspcz_analyzer_spark import manifest as M
+
+        tables = self._discover_manifest_tables()
+        if name not in tables:
+            raise KeyError(name)
+        path = tables[name]
+        m = M.read_manifest(path)
+        hist = M.history(path)
+        return {
+            "name": name,
+            "version": m["version"],
+            "committed_at": m.get("ts"),
+            "n_files": len(m["files"]),
+            "n_rows": hist[-1].get("n_rows") if hist else None,
+            "schema": m.get("schema"),
+            "protocol": m.get("protocol"),
+            "properties": m.get("props") or {},
+            "pending_delete_entries": len(m.get("deletes") or []),
+            "partition_spec": (m.get("specs") or [None])[-1],
+            "tags": M.list_tags(path),
+            "staged_refs": M.list_staged(path),
+            "history_tail": hist[-5:],
+        }
+
     def health(self) -> dict:
         """Operator's first curl (reference routes/health.py:16-21, widened
         per its data-freshness intent): session liveness, per-table
@@ -518,30 +581,13 @@ class QueryService:
                 tables[t] = None
         manifests = {}
         try:
-            import tempfile as _tempfile
-
             from pspcz_analyzer_spark import manifest as M
 
-            tag = self.sf_dir.strip("/").replace("/", "_")
-            tmp = _tempfile.gettempdir()
-            candidates = [
-                (name, _os.path.join(self.sf_dir, name))
-                for name in (
-                    sorted(_os.listdir(self.sf_dir))
-                    if _os.path.isdir(self.sf_dir)
-                    else []
-                )
-            ] + [
-                (name, _os.path.join(tmp, name))
-                for name in sorted(_os.listdir(tmp))
-                if name.startswith("pspcz_spark_") and tag in name
-            ]
-            for name, p in candidates:
-                if _os.path.isdir(_os.path.join(p, M.MANIFEST_DIR)):
-                    try:
-                        manifests[name] = M.current_version(p)
-                    except Exception:
-                        manifests[name] = None
+            for name, p in self._discover_manifest_tables().items():
+                try:
+                    manifests[name] = M.current_version(p)
+                except Exception:
+                    manifests[name] = None
         except Exception:
             pass
         return {

@@ -413,3 +413,73 @@ class TestHealthEndpoint:
         monkeypatch.setattr(_DF, "collect", boom)
         h = svc.health()
         assert h["status"] == "ok"
+
+
+class TestLakeDetailEndpoint:
+    @pytest.fixture()
+    def svc(self, spark):
+        return QueryService(spark, SF_DIR, ttl_seconds=3600)
+
+    def test_describe_detail_shape(self, svc, spark):
+        import os
+        import shutil
+
+        import pyspark.sql.functions as F
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.scratch import scratch_path
+
+        p = scratch_path(SF_DIR, "lake_detail_tbl")
+        shutil.rmtree(p, ignore_errors=True)
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ).coalesce(1).write.parquet(p)
+        M.manifest_init(p)
+        M.set_constraint(spark, p, "k_pos", "k >= 0")
+        M.create_tag(p, "baseline")
+        M.stage_append(
+            spark.range(100, 103).select(
+                F.col("id").alias("k"), F.lit(0).cast("bigint").alias("g")
+            ),
+            p, "pending_wave",
+        )
+        try:
+            name = os.path.basename(p)
+            d = svc.lake_detail(name)
+            assert d["name"] == name
+            assert d["version"] >= 2  # init + constraint
+            assert d["committed_at"] is not None  # in-commit ts
+            assert dict(map(tuple, d["schema"])) == {"k": "bigint", "g": "bigint"}
+            assert d["protocol"]["writer"] == 2  # constraint present
+            assert d["tags"] == {"baseline": 2}  # tagged at current (v2)
+            assert list(d["staged_refs"]) == ["pending_wave"]
+            assert d["history_tail"][-1]["version"] == d["version"]
+        finally:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def test_unknown_name_raises_keyerror_never_reads_paths(self, svc):
+        with pytest.raises(KeyError):
+            svc.lake_detail("../../etc")
+
+    def test_lake_detail_is_metadata_only(self, svc, spark, monkeypatch):
+        import os
+        import shutil
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.scratch import scratch_path
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        p = scratch_path(SF_DIR, "lake_detail_meta")
+        shutil.rmtree(p, ignore_errors=True)
+        spark.range(5).write.parquet(p)
+        M.manifest_init(p)
+
+        def boom(self_df):
+            raise AssertionError("lake_detail() ran a Spark job")
+
+        monkeypatch.setattr(_DF, "collect", boom)
+        try:
+            d = svc.lake_detail(os.path.basename(p))
+            assert d["version"] == 1
+        finally:
+            shutil.rmtree(p, ignore_errors=True)
