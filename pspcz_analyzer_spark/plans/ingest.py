@@ -3103,3 +3103,97 @@ def manifest_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_lakehouse_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, floor(o_totalprice) AS price
+      FROM orders
+    ),
+    wave AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+             floor(o_totalprice) AS price
+      FROM orders WHERE o_orderkey % 100 = 1
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM wave),
+    survivors AS (
+      SELECT * FROM u WHERE NOT (o_orderkey % 10 = 7)
+    ),
+    deleted AS (
+      SELECT count(*) AS n_deleted FROM u WHERE o_orderkey % 10 = 7
+    )
+    SELECT s.o_orderstatus,
+           count(*) AS n,
+           CAST(sum(s.price) AS BIGINT) AS total,
+           min(d.n_deleted) AS feed_deletes
+    FROM survivors s CROSS JOIN deleted d
+    GROUP BY s.o_orderstatus
+    ORDER BY s.o_orderstatus
+    """,
+    tags=("manifest", "lifecycle", "wap", "cdf", "liquid-clustering"),
+    priority=18,
+    doc="The composed lakehouse ingestion lifecycle in ONE query — the "
+    "integration the individual green rows imply but never exercise "
+    "together: a CDF-enabled, stat-tracked table takes a wave through "
+    "stage -> audit (load_staged row count) -> publish (metadata-only, "
+    "asserted), the arrivals incrementally cluster (pass touches only "
+    "them, asserted), a DELETE WHERE rewrites through the clustered "
+    "layout, and the change feed for the delete version is counted "
+    "back into the result — the oracle replays base + wave - deletes "
+    "in SQL and pins the feed's delete count per group. Any feature "
+    "interaction bug (publish breaking the watermark, clustering "
+    "eating the feed, DML losing clustered rows) fails the hash.",
+)
+def manifest_lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("double").alias("price"),
+    )
+    path = _scratch(sf_dir, "orders_lifecycle")
+    _shutil.rmtree(path, ignore_errors=True)
+    orders.repartition(6).write.parquet(path)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    M.enable_cdf(path)
+    M.optimize_clustered(spark, path, ["o_orderkey"], num_partitions=4)
+    n_base = M.load_manifest_table(spark, path).count()
+    wave = orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "price",
+    )
+    M.stage_append(wave.repartition(2), path, "ingest")
+    n_wave = wave.count()
+    if M.load_staged(spark, path, "ingest").count() != n_base + n_wave:
+        raise AssertionError("audit view must show table + staged wave")
+    files0 = set(M.read_manifest(path)["files"])
+    M.publish_staged(spark, path, "ingest")
+    if not files0 < set(M.read_manifest(path)["files"]):
+        raise AssertionError("publish must be metadata-only")
+    n_clustered, _w = M.optimize_clustered(
+        spark, path, ["o_orderkey"], num_partitions=2
+    )
+    if n_clustered != 2:
+        raise AssertionError(
+            f"incremental pass must cluster ONLY the wave, saw {n_clustered}"
+        )
+    v_before = M.current_version(path)
+    M.delete_where(spark, path, "o_orderkey % 10 = 7")
+    feed = M.read_changes(spark, path, v_before)
+    n_feed_deletes = feed.filter(F.col("_change_type") == "delete").count()
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("long").alias("total"),
+            F.lit(n_feed_deletes).cast("long").alias("feed_deletes"),
+        )
+        .orderBy("o_orderstatus")
+    )
