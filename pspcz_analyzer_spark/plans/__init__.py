@@ -40,10 +40,11 @@ _REGISTRY: dict[str, Query] = {}
 # attestation in some round; never-attested queries (the 21 r6-new never
 # yet rotated, the 3 r6-red manifest-DML rows fixed this round, and every
 # r7-new query — votes browser, MERGE-parity, replace_where, row CDF, row
-# tracking, type widening, column defaults, identity, drop/re-add — which
-# register at PRIORITY_NEW via their register() call) all sit inside this
-# round's 50-slot budget (38 slots at tiers <= 18, verified; the r02-stale
-# cohort head fills the rest). Tiers (lower first):
+# tracking, type widening, column defaults, identity, drop/re-add,
+# incremental clustering, WAP, the composed lifecycle — which register at
+# PRIORITY_NEW via their register() call) all sit inside this round's
+# 50-slot budget (41 slots at tiers <= 18, verified; the r02-stale cohort
+# head fills the rest). Tiers (lower first):
 #   10 = sentinels — every query whose PLAN changed this round: the three
 #        r6-red DML rows (decimal-safe arithmetic; delete_where alive-row
 #        accounting), the upsert/MERGE/SCD2 rows (size-adaptive victim
