@@ -1135,6 +1135,27 @@ def files_table(
     )
 
 
+def refs_table(spark: SparkSession, path: str) -> DataFrame:
+    """The table's NAMED REFS as a queryable DataFrame — Iceberg's
+    ``db.table.refs`` metadata table in minimal form: one row per tag
+    (kind='tag', pinned version) and per staged WAP ref (kind='staged',
+    version = the base it staged against, n_files = its pending files).
+    Metadata-only."""
+    recs = [
+        (name, "tag", int(v), None)
+        for name, v in sorted(list_tags(path).items())
+    ]
+    for ref in sorted(list_staged(path)):
+        doc = _read_staged(path, ref)
+        recs.append(
+            (ref, "staged", int(doc.get("base_version") or 0),
+             len(doc["files"]))
+        )
+    return spark.createDataFrame(
+        recs, "name string, kind string, version int, n_files int"
+    )
+
+
 def history_table(spark: SparkSession, path: str) -> DataFrame:
     """:func:`history` as a DataFrame (DESCRIBE HISTORY, queryable)."""
     recs = [

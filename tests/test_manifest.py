@@ -2969,6 +2969,24 @@ class TestMetadataTables:
         s = json.loads(ft[appended[0]].stats_json)
         assert "id" in s and s["id"][0] is not None
 
+    def test_refs_table_lists_tags_and_staged(self, spark, tmp_path):
+        df = spark.range(10).select("id")
+        path = str(tmp_path / "meta_refs")
+        df.coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        M.create_tag(path, "baseline")
+        M.stage_append(spark.range(10, 13).select("id"), path, "wave")
+        rows = {r["name"]: r for r in M.refs_table(spark, path).collect()}
+        assert rows["baseline"]["kind"] == "tag"
+        assert rows["baseline"]["version"] == 1
+        assert rows["wave"]["kind"] == "staged"
+        assert rows["wave"]["version"] == 1  # staged against v1
+        assert rows["wave"]["n_files"] >= 1
+        M.publish_staged(spark, path, "wave")
+        assert {
+            r["name"] for r in M.refs_table(spark, path).collect()
+        } == {"baseline"}
+
     def test_history_table_matches_history(self, spark, tmp_path):
         df = spark.range(30).select("id")
         path = str(tmp_path / "meta_hist")
