@@ -409,6 +409,53 @@ def _commit(
     return new_v
 
 
+def create_table(
+    path: str,
+    schema: "list",
+    partition_spec: "list | None" = None,
+    stat_cols: "list | None" = None,
+    props: dict | None = None,
+) -> int:
+    """CREATE TABLE: an EMPTY manifest table declared up front — schema,
+    optional partition spec (hidden-partitioning transforms), stat
+    columns, and table properties all land in version 1 before any data
+    exists, so the first append is already governed (enforced schema,
+    partition layout, CDF/row-tracking from row one). ``schema`` is
+    ``[[name, ddl-type], ...]`` or a DDL string ``"k bigint, v string"``.
+    Raises if the path already holds a manifest table."""
+    if _versions(path):
+        raise ValueError(f"{path} is already a manifest table")
+    if isinstance(schema, str):
+        schema = [
+            [p.strip().split(None, 1)[0], p.strip().split(None, 1)[1]]
+            for p in schema.split(",")
+        ]
+    schema = [[n, t] for n, t in schema]
+    if not schema:
+        raise ValueError("create_table needs at least one column")
+    names = {n for n, _ in schema}
+    if partition_spec:
+        for entry in partition_spec:
+            src = _parse_transform(entry)[2]
+            if src not in names:
+                raise ValueError(
+                    f"partition transform {entry!r} references unknown "
+                    f"column {src!r}"
+                )
+    fs, rel = get_fs(path)
+    fs.makedirs(rel)
+    return _commit(
+        path, [], 0,
+        schema=schema,
+        stat_cols=stat_cols,
+        stats={} if stat_cols else None,
+        rows={},
+        specs=[list(partition_spec)] if partition_spec else None,
+        current_spec=0 if partition_spec else None,
+        props=props,
+    )
+
+
 def manifest_init(path: str, stat_cols: "list | None" = None) -> int:
     """Adopt an existing plain Parquet directory: version 1 = its current
     file list. No-op (returns the current version) if already initialized.

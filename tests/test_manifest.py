@@ -47,6 +47,65 @@ class TestManifestBasics:
         assert M.load_manifest_table(spark, table, version=1).count() == 4_000
 
 
+class TestCreateTable:
+    """CREATE TABLE: an empty governed table before any data exists."""
+
+    def test_empty_create_then_governed_appends(self, spark, tmp_path):
+        path = str(tmp_path / "created")
+        v = M.create_table(
+            path, "k bigint, g bigint",
+            partition_spec=["bucket(4, k)"],
+            stat_cols=["k"],
+            props={"cdf": True},
+        )
+        assert v == 1
+        t = M.load_manifest_table(spark, path)
+        assert t.columns == ["k", "g"] and t.count() == 0
+        # first append is already schema-enforced and partition-laid
+        with pytest.raises(M.SchemaMismatch):
+            M.append(spark.range(2).select(F.col("id").alias("zzz")), path)
+        M.append(
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+            ),
+            path,
+        )
+        m = M.read_manifest(path)
+        assert m.get("partitions")  # laid out under the spec from row one
+        assert m.get("props") == {"cdf": True}
+        assert M.load_manifest_table(spark, path).count() == 10
+        # change feed live from the first commit
+        assert M.read_changes(spark, path, 1).count() == 10
+        with pytest.raises(ValueError, match="already a manifest table"):
+            M.create_table(path, "k bigint")
+
+    def test_create_rejects_bad_spec(self, tmp_path):
+        with pytest.raises(ValueError, match="unknown column"):
+            M.create_table(
+                str(tmp_path / "bad"), "k bigint",
+                partition_spec=["day(nope)"],
+            )
+
+    def test_identity_and_constraints_on_empty_table(self, spark, tmp_path):
+        path = str(tmp_path / "gov")
+        M.create_table(path, [["k", "bigint"], ["v", "double"]])
+        M.set_constraint(spark, path, "v_pos", "v >= 0")
+        M.add_identity_column(path, "uid")
+        bad = spark.range(1).select(
+            F.col("id").alias("k"), F.lit(-1.0).alias("v")
+        )
+        with pytest.raises(M.ConstraintViolation):
+            M.append(bad, path)
+        M.append(
+            spark.range(3).select(
+                F.col("id").alias("k"), F.lit(1.0).alias("v")
+            ),
+            path,
+        )
+        t = M.load_manifest_table(spark, path)
+        assert sorted(r["uid"] for r in t.collect()) == [1, 2, 3]
+
+
 class TestManifestDelete:
     def test_delete_commits_new_version_and_preserves_old(self, spark, table):
         nf, deleted = M.delete_keys(spark, table, "user_id", [7, 8])
