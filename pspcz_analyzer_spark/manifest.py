@@ -1309,6 +1309,45 @@ def _cdf_on(m: dict) -> bool:
     return bool((m.get("props") or {}).get("cdf"))
 
 
+def set_table_properties(path: str, **props) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES: merge the given key/values
+    into the table's properties in one metadata commit (``None`` unsets
+    a key). Feature-bearing keys route through their dedicated
+    enablement functions because setting the flag is not enough —
+    ``row_tracking`` must allocate per-file bases, ``cluster_by``/
+    ``cluster_watermark`` belong to :func:`optimize_clustered`'s
+    invariants — so this setter refuses them with a pointer."""
+    reserved = {
+        "row_tracking": "enable_row_tracking()",
+        "cdf": "enable_cdf()",
+        "cluster_by": "optimize_clustered()",
+        "cluster_watermark": "optimize_clustered()",
+    }
+    for k in props:
+        if k in reserved:
+            raise ValueError(
+                f"property {k!r} is feature-bearing; use {reserved[k]}"
+            )
+    m = read_manifest(path)
+    merged = dict(m.get("props") or {})
+    for k, v in props.items():
+        if v is None:
+            merged.pop(k, None)
+        else:
+            merged[k] = v
+    if merged == (m.get("props") or {}):
+        return m["version"]  # no-op: no version churn
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"),
+        rows=m.get("rows"),
+        props=merged,
+    )
+
+
 def enable_cdf(path: str) -> int:
     """ALTER TABLE SET TBLPROPERTIES (delta.enableChangeDataFeed = true)
     in minimal form: a metadata-only commit setting the ``cdf`` table

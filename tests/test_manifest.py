@@ -106,6 +106,31 @@ class TestCreateTable:
         assert sorted(r["uid"] for r in t.collect()) == [1, 2, 3]
 
 
+class TestTableProperties:
+    def test_set_unset_and_reserved(self, spark, tmp_path):
+        path = str(tmp_path / "props")
+        M.create_table(path, "k bigint")
+        v = M.set_table_properties(path, owner="ingest-team", retention_days=30)
+        assert M.read_manifest(path)["props"] == {
+            "owner": "ingest-team", "retention_days": 30
+        }
+        # no-op: same values commit nothing
+        assert M.set_table_properties(path, owner="ingest-team") == v
+        # unset via None
+        M.set_table_properties(path, retention_days=None)
+        assert M.read_manifest(path)["props"] == {"owner": "ingest-team"}
+        # feature-bearing keys are routed, not set
+        with pytest.raises(ValueError, match="enable_row_tracking"):
+            M.set_table_properties(path, row_tracking=True)
+        with pytest.raises(ValueError, match="optimize_clustered"):
+            M.set_table_properties(path, cluster_by="k")
+        # custom props survive a real feature enablement
+        M.enable_cdf(path)
+        assert M.read_manifest(path)["props"] == {
+            "owner": "ingest-team", "cdf": True
+        }
+
+
 class TestManifestDelete:
     def test_delete_commits_new_version_and_preserves_old(self, spark, table):
         nf, deleted = M.delete_keys(spark, table, "user_id", [7, 8])
