@@ -174,6 +174,13 @@ HEADLINE = [
     "manifest_row_cdf_roundtrip",
     "manifest_replace_where_roundtrip",
     "manifest_row_tracking_roundtrip",
+    "manifest_widen_roundtrip",
+    "manifest_default_roundtrip",
+    "manifest_identity_roundtrip",
+    "manifest_drop_readd_roundtrip",
+    "manifest_cluster_incremental",
+    "manifest_wap_roundtrip",
+    "manifest_lakehouse_lifecycle",
 ]
 
 
