@@ -4773,6 +4773,14 @@ def load_manifest_table_asof(
     return load_manifest_table(spark, path, version_at_timestamp(path, ts))
 
 
+def restore_timestamp(path: str, ts: float) -> int:
+    """RESTORE TABLE TO TIMESTAMP AS OF — :func:`version_at_timestamp`
+    resolution (in-commit timestamps, monotone per table) + the ordinary
+    versioned :func:`restore`: "roll the table back to how it was at
+    noon" as one metadata-only call."""
+    return restore(path, version_at_timestamp(path, ts))
+
+
 def _bloom_positions(value_str: str, bits: int, k: int) -> "list[int]":
     """The k bit positions for one key — Python twin of the Spark
     expression in :func:`ensure_blooms` (both are md5 over "seed:value",

@@ -2401,6 +2401,20 @@ class TestTimestampTravel:
         with pytest.raises(ValueError):
             M.version_at_timestamp(base, 1233)
 
+    def test_restore_to_timestamp(self, spark, tmp_path):
+        base = str(tmp_path / "rts_tab")
+        write_range_sorted(
+            spark.range(10).select(F.col("id").alias("k")), base, "k",
+            num_partitions=1,
+        )
+        M.manifest_init(base)
+        M.append(spark.range(10, 15).select(F.col("id").alias("k")), base)
+        self._pin_ts(base, 1, 1000)
+        self._pin_ts(base, 2, 2000)
+        v = M.restore_timestamp(base, 1500)  # resolves to v1
+        assert v == 3
+        assert M.load_manifest_table(spark, base).count() == 10
+
     def test_commit_ts_monotone_under_clock_skew(
         self, spark, tmp_path, monkeypatch
     ):
