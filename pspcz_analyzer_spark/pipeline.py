@@ -462,3 +462,42 @@ def extend_training_corpus(
     manifest["out_dir"] = out_dir
     manifest["shards"] = shards
     return manifest
+
+
+def ingest_with_audit(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_path: str,
+    ref: str,
+    rules: "dict[str, tuple]",
+):
+    """Audited corpus ingestion — the write-audit-publish loop a 100 TB
+    training-data lake runs on every arrival batch: STAGE the batch
+    against the manifest table (full append validation, invisible to
+    readers), run the declarative quality RULES over the audit view of
+    the WHOLE would-be table (not just the batch — a batch that is fine
+    alone can still push a corpus-level fraction past its floor), then
+    PUBLISH metadata-only if every rule passes or DROP the staged files
+    if any fails — the table never serves a byte of a bad batch, and a
+    crash at any point leaves either the old table or the staged ref
+    for a later retry/inspect.
+
+    Returns ``(published: bool, report_rows)`` where report_rows is
+    :func:`operators.validate.check_expectations`'s one-row-per-rule
+    verdict collected for the caller's ledger."""
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.operators.validate import check_expectations
+
+    M.stage_append(batch, table_path, ref)
+    try:
+        report = check_expectations(
+            M.load_staged(spark, table_path, ref), rules
+        ).collect()
+    except Exception:
+        M.drop_staged(table_path, ref)  # ref must not leak on audit crash
+        raise
+    if all(r["passed"] for r in report):
+        M.publish_staged(spark, table_path, ref)
+        return True, report
+    M.drop_staged(table_path, ref)
+    return False, report

@@ -311,3 +311,66 @@ class TestNearDupIndex:
             )
             assert sum(m.get("n_near_dup_history", 0) for m in m2) == 1
             assert sum(m.get("n_kept", 0) for m in m2) == 0
+
+
+class TestIngestWithAudit:
+    """WAP-gated corpus ingestion: a batch publishes only when the
+    quality rules pass over the WHOLE would-be table."""
+
+    @staticmethod
+    def _table(spark, tmp_path, name):
+        import pspcz_analyzer_spark.manifest as M
+
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, f"doc text number {i} with several words") for i in range(20)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(p)
+        M.manifest_init(p)
+        return p
+
+    def test_good_batch_publishes(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.pipeline import ingest_with_audit
+
+        p = self._table(spark, tmp_path, "good")
+        batch = spark.createDataFrame(
+            [(100 + i, "fresh healthy document with words") for i in range(5)],
+            "doc_id long, text string",
+        )
+        ok, report = ingest_with_audit(
+            spark, batch, p, "b1",
+            {"nonempty": (F.length("text") > 10, 1.0)},
+        )
+        assert ok and all(r["passed"] for r in report)
+        assert M.load_manifest_table(spark, p).count() == 25
+        assert M.list_staged(p) == {}
+
+    def test_bad_batch_drops_and_table_unchanged(self, spark, tmp_path):
+        import os
+
+        import pyspark.sql.functions as F
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.pipeline import ingest_with_audit
+
+        p = self._table(spark, tmp_path, "bad")
+        v0 = M.current_version(p)
+        batch = spark.createDataFrame(
+            [(200, ""), (201, ""), (202, "x")],  # mostly empty docs
+            "doc_id long, text string",
+        )
+        ok, report = ingest_with_audit(
+            spark, batch, p, "b2",
+            # corpus-level floor: >= 95% of the WHOLE table nonempty
+            {"nonempty": (F.length("text") > 10, 0.95)},
+        )
+        assert not ok
+        bad_rule = [r for r in report if r["rule"] == "nonempty"][0]
+        assert not bad_rule["passed"] and bad_rule["n_rows"] == 23
+        assert M.current_version(p) == v0
+        assert M.load_manifest_table(spark, p).count() == 20
+        assert M.list_staged(p) == {}
+        assert not [f for f in os.listdir(p) if f.startswith("wap-b2")]
