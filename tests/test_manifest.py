@@ -2124,6 +2124,7 @@ class TestRandomizedDdlLifecycle:
         ddl = {"widened": False, "default_col": None, "identity": False,
                "dropped_ever": 0}
         uid_pin: dict = {}
+        staged: dict = {}  # ref -> {k: row} pending publish/drop
         next_key = 1000
 
         def check(step):
@@ -2149,11 +2150,11 @@ class TestRandomizedDdlLifecycle:
         def key_type():
             return "bigint" if ddl["widened"] else "int"
 
-        for step in range(14):
+        for step in range(16):
             op = rng.choice([
                 "append", "delete_where", "upsert", "compact", "vacuum",
                 "widen", "add_default", "drop_default", "identity",
-                "cluster",
+                "cluster", "wap_stage", "wap_settle",
             ])
             if op == "append":
                 ks = [next_key, next_key + 1]
@@ -2232,6 +2233,41 @@ class TestRandomizedDdlLifecycle:
                     ddl["identity"] = True
             elif op == "cluster":
                 M.optimize_clustered(spark, path, ["k"], min_files=2)
+            elif op == "wap_stage":
+                if len(staged) < 2:
+                    ref = f"ref{step}"
+                    ks = [next_key, next_key + 1]
+                    next_key += 2
+                    M.stage_append(
+                        spark.createDataFrame(
+                            [(k, k * 10) for k in ks],
+                            f"k {key_type()}, v long",
+                        ),
+                        path, ref,
+                    )
+                    pend = {}
+                    for k in ks:
+                        row = {c: None for c in cols}
+                        row["v"] = k * 10
+                        if ddl["default_col"]:
+                            name, _ini, wr = ddl["default_col"]
+                            row[name] = wr
+                        pend[k] = row
+                    staged[ref] = pend
+            elif op == "wap_settle":
+                if staged:
+                    ref = rng.choice(sorted(staged))
+                    pend = staged.pop(ref)
+                    if rng.random() < 0.6:
+                        M.publish_staged(spark, path, ref)
+                        # a column DROPPED between stage and publish is
+                        # projected away at read; one ADDED defaults per
+                        # its own rules (write default only fills at
+                        # STAGE time) — model the current column set.
+                        for k, row in pend.items():
+                            model[k] = {c: row.get(c) for c in cols}
+                    else:
+                        M.drop_staged(path, ref)
             check(f"{step}:{op}")
 
 
