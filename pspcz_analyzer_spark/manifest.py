@@ -4130,6 +4130,7 @@ def maintain(
     vacuum_min_age_seconds: float = 3600.0,
     recluster_col: str | None = None,
     max_depth: int = 8,
+    max_staged_age_seconds: "float | None" = None,
 ) -> dict:
     """Policy-driven table maintenance in one call (the auto-OPTIMIZE /
     auto-VACUUM loop a production lake runs on a schedule): materialize
@@ -4156,7 +4157,25 @@ def maintain(
         "vacuumed": 0,
         "reclustered": 0,
         "clustered_incremental": 0,
+        "staged_expired": 0,
     }
+    # Abandoned WAP refs pin their files against vacuum forever; the
+    # optional age policy drops refs whose doc outlived the window
+    # (crashed audit jobs, forgotten experiments). Off by default —
+    # expiring someone's pending audit is a policy decision.
+    if max_staged_age_seconds is not None:
+        import time as _t
+
+        fs0, rel0 = get_fs(path)
+        for ref in list(list_staged(path)):
+            p = os.path.join(_staged_dir(rel0), f"{ref}.json")
+            try:
+                mt = fs0.mtime(p)
+            except Exception:
+                mt = None
+            if mt is not None and _t.time() - mt >= max_staged_age_seconds:
+                drop_staged(path, ref)
+                out["staged_expired"] += 1
     m = read_manifest(path)
     if len(m.get("deletes") or []) > max_delete_entries:
         nf, ne = materialize_deletes(spark, path)

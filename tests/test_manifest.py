@@ -2006,6 +2006,33 @@ def test_maintain_runs_policy_steps(spark, tmp_path):
     assert M.load_manifest_table(spark, path).count() == 4_000 - 240
 
 
+def test_maintain_expires_abandoned_staged_refs(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "maint_wap")
+    spark.range(10).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(path)
+    M.manifest_init(path)
+    M.stage_append(spark.range(10, 12).select(F.col("id").alias("k")), path, "old")
+    M.stage_append(spark.range(12, 14).select(F.col("id").alias("k")), path, "fresh")
+    # age the 'old' ref's doc past the window
+    os.utime(
+        os.path.join(path, "_manifest", "staged", "old.json"), (1000, 1000)
+    )
+    # default: policy OFF — nothing expires
+    out0 = M.maintain(spark, path, vacuum_min_age_seconds=0)
+    assert out0["staged_expired"] == 0
+    out = M.maintain(
+        spark, path, vacuum_min_age_seconds=0, max_staged_age_seconds=3600
+    )
+    assert out["staged_expired"] == 1
+    assert set(M.list_staged(path)) == {"fresh"}
+    assert not [f for f in os.listdir(path) if f.startswith("wap-old")]
+    M.publish_staged(spark, path, "fresh")
+    assert M.load_manifest_table(spark, path).count() == 12
+
+
 def test_maintain_runs_incremental_clustering_policy(spark, tmp_path):
     """A table with a recorded clustering column set gets its new
     arrivals clustered on every maintenance tick (liquid's standing
