@@ -4596,7 +4596,8 @@ def vacuum(
     path: str,
     retain_versions: int = 1,
     min_age_seconds: float = 3600.0,
-) -> int:
+    dry_run: bool = False,
+) -> "int | list[str]":
     """Garbage-collect data files referenced by NO retained manifest
     version, and drop the pruned manifests. ``retain_versions`` >= 1 keeps
     that many latest versions readable (time travel window); readers of
@@ -4651,6 +4652,7 @@ def vacuum(
         return mt is not None and now - mt >= min_age_seconds
 
     removed = 0
+    would: "list[str]" = []
     cdir = os.path.join(rel, CDF_DIR)
     if fs.isdir(cdir):
         for f in fs.listdir(cdir):
@@ -4661,19 +4663,32 @@ def vacuum(
                 and name not in referenced_cdf
                 and _old_enough(full)
             ):
+                if dry_run:
+                    would.append(name)
+                    continue
                 fs.remove(full)
                 removed += 1
     for f in fs.listdir(rel):
         full = os.path.join(rel, f)
         if f.endswith(".parquet") and f not in referenced:
             if _old_enough(full):
+                if dry_run:
+                    would.append(f)
+                    continue
                 fs.remove(full)
                 removed += 1
         elif f.startswith(".stage_") and fs.isdir(full):
             # Crash debris from a writer that died mid-stage; same age
             # rule — a LIVE writer's stage dir is younger than the window.
             if _old_enough(full):
+                if dry_run:
+                    would.append(f)
+                    continue
                 fs.rmtree(full)
+    if dry_run:
+        # VACUUM DRY RUN (Delta's): report, touch nothing — including
+        # the pruned manifests, which a real pass would drop.
+        return sorted(would)
     for v in vs[:-retain_versions]:
         if v in tagged:
             continue

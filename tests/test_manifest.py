@@ -229,6 +229,27 @@ class TestManifestCompact:
             M.vacuum(path, retain_versions=0)
 
 
+def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "dryrun")
+    spark.range(20).select(F.col("id").alias("k")).coalesce(
+        2
+    ).write.parquet(path)
+    M.manifest_init(path)
+    M.delete_keys(spark, path, "k", list(range(10)))  # rewrites: v1 garbage
+    files_on_disk = set(os.listdir(path))
+    would = M.vacuum(path, retain_versions=1, min_age_seconds=0, dry_run=True)
+    assert isinstance(would, list) and len(would) >= 1
+    # nothing moved: files, manifests, and reads all intact
+    assert set(os.listdir(path)) == files_on_disk
+    assert M.load_manifest_table(spark, path, version=1).count() == 20
+    # the real pass removes exactly the reported set
+    removed = M.vacuum(path, retain_versions=1, min_age_seconds=0)
+    assert removed == len(would)
+    assert not (set(would) & set(os.listdir(path)))
+
+
 class TestTxnIdempotence:
     """The Delta-style txn protocol: per-app batch watermarks commit with
     the files, so at-least-once callers converge to exactly-once."""
