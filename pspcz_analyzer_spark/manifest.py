@@ -148,6 +148,7 @@ def _commit(
     identity: dict | None = None,
     dropped: "list | None" = None,
     props: dict | None = None,
+    op: str | None = None,
     cdf_files: "list | None" = None,
     row_base: dict | None = None,
     row_next: int | None = None,
@@ -307,6 +308,10 @@ def _commit(
         "seq": {f: seq[f] for f in sorted(seq)},
         "ts": max(_time.time(), float(prev_doc.get("ts") or 0.0)),
     }
+    if op:
+        # Operation kind (Delta's DESCRIBE HISTORY `operation` column):
+        # audit metadata only — never interpreted by readers.
+        doc["op"] = op
     if schema is not None:
         doc["schema"] = schema
     if stats is not None:
@@ -453,6 +458,7 @@ def create_table(
         specs=[list(partition_spec)] if partition_spec else None,
         current_spec=0 if partition_spec else None,
         props=props,
+        op="CREATE TABLE",
     )
 
 
@@ -476,6 +482,7 @@ def manifest_init(path: str, stat_cols: "list | None" = None) -> int:
         schema=_table_schema_list(path, files),
         stats=stats, stat_cols=stat_cols,
         rows=_updated_rows({}, fs, rel, files),
+        op="CREATE TABLE",
     )
 
 
@@ -1208,6 +1215,7 @@ def history_table(spark: SparkSession, path: str) -> DataFrame:
     recs = [
         (
             int(h["version"]),
+            h.get("op"),
             float(h["ts"]) if h.get("ts") is not None else None,
             int(h["n_files"]),
             h.get("n_rows"),
@@ -1220,7 +1228,7 @@ def history_table(spark: SparkSession, path: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         recs,
-        "version int, ts double, n_files int, n_rows long, rows_added long, "
+        "version int, op string, ts double, n_files int, n_rows long, rows_added long, "
         "rows_removed long, files_added int, files_removed int",
     )
 
@@ -1253,6 +1261,8 @@ def history(path: str) -> "list[dict]":
                 "version": v,
                 # In-commit timestamp (None for pre-ICT manifests).
                 "ts": m.get("ts"),
+                # Operation kind (None for commits predating the field).
+                "op": m.get("op"),
                 "n_files": len(cur),
                 "n_rows": _tot(cur, list(cur)) if rows is not None else None,
                 "files_added": len(added),
@@ -1345,6 +1355,7 @@ def set_table_properties(path: str, **props) -> int:
         deletes=m.get("deletes"),
         rows=m.get("rows"),
         props=merged,
+        op="SET TBLPROPERTIES",
     )
 
 
@@ -1376,6 +1387,7 @@ def enable_cdf(path: str) -> int:
         constraints=m.get("constraints"),
         deletes=m.get("deletes"), rows=m.get("rows"),
         props=props, cdf_files=[],
+        op="SET TBLPROPERTIES",
     )
 
 
@@ -1402,6 +1414,7 @@ def enable_row_tracking(path: str) -> int:
         constraints=m.get("constraints"),
         deletes=m.get("deletes"), rows=m.get("rows"),
         props=props,
+        op="SET TBLPROPERTIES",
     )
 
 
@@ -1655,6 +1668,7 @@ def append(
                 deletes=m.get("deletes"),
                 rows=_updated_rows(m, fs, rel, new_names),
                 partitions=new_parts,
+                op="WRITE",
             )
         except CommitConflict:
             if attempt == max_commit_retries:
@@ -1785,6 +1799,7 @@ def set_partition_spec(path: str, cols: "list[str]") -> int:
         constraints=m.get("constraints"), deletes=m.get("deletes"),
         seq=m.get("seq"), rows=m.get("rows"),
         specs=specs, current_spec=spec_id,
+        op="ALTER PARTITION SPEC",
     )
 
 
@@ -2051,6 +2066,7 @@ def add_column(
         rows=m.get("rows"),
         defaults=defaults,
         colmap=colmap,
+        op="ADD COLUMN",
     )
 
 
@@ -2099,6 +2115,7 @@ def add_identity_column(
         rows=m.get("rows"),
         identity=identity,
         colmap=colmap,
+        op="ADD COLUMN",
     )
 
 
@@ -2160,6 +2177,7 @@ def add_generated_column(
         rows=m.get("rows"),
         generated=generated,
         colmap=colmap,
+        op="ADD COLUMN",
     )
 
 
@@ -2248,6 +2266,7 @@ def widen_column_type(path: str, name: str, new_type: str) -> int:
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=m.get("rows"),
+        op="ALTER COLUMN TYPE",
     )
 
 
@@ -2328,6 +2347,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         colmap=colmap,
         defaults=defaults,
         identity=identity,
+        op="RENAME COLUMN",
     )
 
 
@@ -2412,6 +2432,7 @@ def drop_column(path: str, name: str) -> int:
         defaults=defaults,
         identity=identity,
         dropped=list(m.get("dropped") or []) + [phys],
+        op="DROP COLUMN",
     )
 
 
@@ -2457,6 +2478,7 @@ def set_constraint(
         constraints=cons,
         deletes=m.get("deletes"),
         rows=m.get("rows"),
+        op="ADD CONSTRAINT",
     )
 
 
@@ -2472,6 +2494,7 @@ def drop_constraint(path: str, name: str) -> int:
         constraints=cons,
         deletes=m.get("deletes"),
         rows=m.get("rows"),
+        op="DROP CONSTRAINT",
     )
 
 
@@ -2667,7 +2690,7 @@ def delete_keys(
     # (sequence semantics even bless it: a later append re-inserting a
     # deleted key legitimately wins).
     _commit_rewrite_commuting(
-        path, m, fs, rel, victims, new_names, cdf_names
+        path, m, fs, rel, victims, new_names, cdf_names, op="DELETE"
     )
     return len(affected), rows_before - rows_after
 
@@ -2784,6 +2807,7 @@ def replace_where(
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
         cdf_files=cdf_names,
+        op="REPLACE WHERE",
     )
     return n_deleted, n_inserted
 
@@ -2831,7 +2855,7 @@ def delete_where(
     )
     victims = set(affected)
     _commit_rewrite_commuting(
-        path, m, fs, rel, victims, new_names, cdf_names
+        path, m, fs, rel, victims, new_names, cdf_names, op="DELETE"
     )
     return len(affected), rows_before - rows_after
 
@@ -2845,6 +2869,7 @@ def _commit_rewrite_commuting(
     new_names: "list[str]",
     cdf_names: "list | None",
     partitions: dict | None = None,
+    op: str | None = None,
 ) -> None:
     """Publish a rewrite (victims replaced by staged new_names) with
     WriteSerializable conflict resolution — Delta's rule for rewriting
@@ -2870,6 +2895,7 @@ def _commit_rewrite_commuting(
                 rows=_updated_rows(m, fs, rel, new_names, victims),
                 cdf_files=cdf_names,
                 partitions=partitions,
+                op=op,
             )
             return
         except CommitConflict:
@@ -2940,6 +2966,7 @@ def delete_where_pos(
         deletes=(m.get("deletes") or []) + [entry],
         rows=m.get("rows"),
         cdf_files=cdf_names,
+        op="DELETE",
     )
     return 1, matches
 
@@ -3031,6 +3058,7 @@ def update_where_pos(
         deletes=(m.get("deletes") or []) + [entry],
         rows=_updated_rows(m, fs, rel, new_names),
         cdf_files=cdf_names,
+        op="UPDATE",
     )
     return 1, n_updated
 
@@ -3112,7 +3140,7 @@ def update_where(
     # (the appended rows arrived "after" this statement); anything that
     # touched our victims or the table's semantics aborts.
     _commit_rewrite_commuting(
-        path, m, fs, rel, set(affected), new_names, cdf_names
+        path, m, fs, rel, set(affected), new_names, cdf_names, op="UPDATE"
     )
     return len(affected), n_updated
 
@@ -3154,6 +3182,7 @@ def delete_keys_mor(
         constraints=m.get("constraints"),
         deletes=(m.get("deletes") or []) + [entry],
         rows=m.get("rows"),
+        op="DELETE",
     )
 
 
@@ -3240,6 +3269,7 @@ def materialize_deletes(spark: SparkSession, path: str) -> "tuple[int, int]":
         deletes=None,
         cdf_files=[] if _cdf_on(m) else None,
         rows=_updated_rows(m, fs, rel, new_names, set(victims)),
+        op="OPTIMIZE",
     )
     return len(victims), len(dels)
 
@@ -3344,6 +3374,7 @@ def upsert(
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs2, rel2, new_names, victims),
         cdf_files=cdf_names,
+        op="MERGE",
     )
 
 
@@ -3627,6 +3658,7 @@ def merge_into(
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names, victims),
         cdf_files=cdf_names,
+        op="MERGE",
     )
     keys_df.unpersist()
     return {
@@ -3792,6 +3824,7 @@ def scd2_merge(
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs2, rel2, new_names, victims),
+        op="MERGE",
     )
     keys_df.unpersist()
     to_insert.unpersist()
@@ -3903,6 +3936,7 @@ def compact_small_files(
         path, m, fs, rel, set(merged), new_names,
         [] if _cdf_on(m) else None,
         partitions=new_parts,
+        op="OPTIMIZE",
     )
     return len(merged), len(new_names)
 
@@ -3986,7 +4020,8 @@ def _optimize_layout(
         # this commit IS a full materialization, entries drop here.
         deletes=None,
         rows=_updated_rows(m, fs, rel, new_names, victims=set(m["files"])),
-        cdf_files=[] if _cdf_on(m) else None,  # re-layout: data-neutral
+        cdf_files=[] if _cdf_on(m) else None,  # re-layout: data-neutral,
+        op="OPTIMIZE",
     )
 
 
@@ -4071,7 +4106,8 @@ def optimize_clustered(
             rows=_updated_rows(m, fs, rel, new_names, victims),
             seq=new_seq,
             props=props,
-            cdf_files=[] if _cdf_on(m) else None,  # re-layout: neutral
+            cdf_files=[] if _cdf_on(m) else None,  # re-layout: neutral,
+            op="OPTIMIZE",
         )
     except CommitConflict:
         for n in new_names:
@@ -4277,6 +4313,7 @@ def restore(path: str, version: int) -> int:
         # Row-id map travels with the files it describes.
         row_base=target.get("row_base"),
         row_next=target.get("row_next"),
+        op="RESTORE",
     )
 
 
@@ -4389,6 +4426,7 @@ def clone_table(
             c: dict(spec, base=_rekey(spec.get("base") or {}))
             for c, spec in (m.get("identity") or {}).items()
         },
+        op="CLONE",
     )
 
 
@@ -4498,6 +4536,7 @@ def publish_staged(spark: SparkSession, path: str, ref: str) -> int:
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
         rows=_updated_rows(m, fs, rel, new_names),
+        op="WRITE",
     )
     fs.remove(os.path.join(_staged_dir(rel), f"{ref}.json"))
     return v
@@ -4950,6 +4989,7 @@ def ensure_blooms(
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
         constraints=m.get("constraints"), deletes=m.get("deletes"),
         rows=m.get("rows"), seq=m.get("seq"), blooms=blooms,
+        op="OPTIMIZE",
     )
 
 

@@ -3151,6 +3151,24 @@ class TestMetadataTables:
         s = json.loads(ft[appended[0]].stats_json)
         assert "id" in s and s["id"][0] is not None
 
+    def test_history_records_operation_kinds(self, spark, tmp_path):
+        path = str(tmp_path / "ops_hist")
+        M.create_table(path, "k bigint, v double")
+        M.append(
+            spark.range(10).select(
+                F.col("id").alias("k"), F.lit(1.0).alias("v")
+            ),
+            path,
+        )
+        M.delete_where(spark, path, "k < 3")
+        M.compact_small_files(spark, path, target_bytes=1 << 30)
+        M.add_column(path, "tag", "string")
+        ops = [h["op"] for h in M.history(path)]
+        assert ops[:3] == ["CREATE TABLE", "WRITE", "DELETE"]
+        assert ops[-1] == "ADD COLUMN"
+        ht = {r["version"]: r["op"] for r in M.history_table(spark, path).collect()}
+        assert ht[1] == "CREATE TABLE" and ht[3] == "DELETE"
+
     def test_refs_table_lists_tags_and_staged(self, spark, tmp_path):
         df = spark.range(10).select("id")
         path = str(tmp_path / "meta_refs")
