@@ -642,6 +642,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                     constraints=m.get("constraints"),
                     deletes=m.get("deletes"),
                     rows=M._updated_rows(m, fs, rel, names),
+                    op="STREAMING WRITE",
                 )
                 return
             except M.CommitConflict:
