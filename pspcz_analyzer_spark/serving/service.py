@@ -530,6 +530,16 @@ class QueryService:
         path = tables[name]
         m = M.read_manifest(path)
         hist = M.history(path)
+        # Clustering health: when the table records a clustering column,
+        # report its overlap depth (1 = perfect pruning) — the number an
+        # operator watches to know when layout maintenance is due.
+        cluster_by = (m.get("props") or {}).get("cluster_by")
+        depth = None
+        if cluster_by:
+            try:
+                depth = M.clustering_depth(path, cluster_by.split(",")[0])
+            except Exception:
+                depth = None
         return {
             "name": name,
             "version": m["version"],
@@ -541,6 +551,7 @@ class QueryService:
             "properties": m.get("props") or {},
             "pending_delete_entries": len(m.get("deletes") or []),
             "partition_spec": (m.get("specs") or [None])[-1],
+            "clustering_depth": depth,
             "tags": M.list_tags(path),
             "staged_refs": M.list_staged(path),
             "history_tail": hist[-5:],
