@@ -2398,6 +2398,13 @@ def drop_column(path: str, name: str) -> int:
                 f"column {name!r} is part of generated column {gname!r} "
                 f"(GENERATED ALWAYS AS ({gexpr})); drop it first"
             )
+    cluster_by = (m.get("props") or {}).get("cluster_by")
+    if cluster_by and name in cluster_by.split(","):
+        raise ValueError(
+            f"column {name!r} is the table's clustering column "
+            f"({cluster_by}); re-lay with optimize_zorder/optimize_hilbert "
+            "on other columns first (Delta blocks the same case)"
+        )
     phys = _physical_col(m, name)
     for d in m.get("deletes") or []:
         if d.get("key_col") == phys:
@@ -4011,6 +4018,15 @@ def _optimize_layout(
     stats, stat_cols = _updated_stats(
         m, fs, rel, new_names, victims=set(m["files"])
     )
+    # A full re-lay RESETS the incremental-clustering state: the spec
+    # becomes these columns and the watermark the new commit (so a later
+    # optimize_clustered clusters only post-re-lay arrivals instead of
+    # re-clustering everything) — ALTER CLUSTER BY in minimal form.
+    props = dict(m.get("props") or {})
+    new_v = m["version"] + 1
+    if props.get("cluster_by") or len(cols) >= 1:
+        props["cluster_by"] = ",".join(cols)
+        props["cluster_watermark"] = new_v
     return _commit(
         path, new_names, m["version"],
         txns=m.get("txns") or {}, schema=m.get("schema"),
@@ -4021,6 +4037,7 @@ def _optimize_layout(
         deletes=None,
         rows=_updated_rows(m, fs, rel, new_names, victims=set(m["files"])),
         cdf_files=[] if _cdf_on(m) else None,  # re-layout: data-neutral,
+        props=props,
         op="OPTIMIZE",
     )
 

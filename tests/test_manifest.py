@@ -1061,6 +1061,29 @@ class TestIncrementalClustering:
         with pytest.raises(ValueError, match="clustered by"):
             M.optimize_clustered(spark, ltab, ["k"])
 
+    def test_full_relay_resets_spec_and_watermark(self, spark, ltab):
+        M.optimize_clustered(spark, ltab, ["v"])
+        # Full re-lay on a DIFFERENT column = ALTER CLUSTER BY: the spec
+        # switches and the watermark resets, so the next incremental pass
+        # clusters only post-re-lay arrivals (never the whole table).
+        M.optimize_zorder(spark, ltab, ["k"])
+        props = M.read_manifest(ltab)["props"]
+        assert props["cluster_by"] == "k"
+        assert M.optimize_clustered(spark, ltab, ["k"]) == (0, 0)  # nothing pending
+        M.append(
+            spark.range(9_000, 9_100).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            ).repartition(2),
+            ltab,
+        )
+        n, _w = M.optimize_clustered(spark, ltab, ["k"])
+        assert n == 2  # only the arrivals
+
+    def test_drop_clustering_column_blocked(self, spark, ltab):
+        M.optimize_clustered(spark, ltab, ["v"])
+        with pytest.raises(ValueError, match="clustering column"):
+            M.drop_column(ltab, "v")
+
     def test_row_ids_survive_clustering(self, spark, tmp_path):
         path = str(tmp_path / "lrt")
         spark.range(100).select(
