@@ -4245,6 +4245,19 @@ def maintain(
         out["clustered_incremental"] = n_inc
         if n_inc:
             m = read_manifest(path)
+    # Standing bloom policy: columns that ever got ensure_blooms keep
+    # their point-lookup pruning — new files backfill every tick (cost =
+    # a column scan of the MISSING files only; no-op when none).
+    out["blooms_backfilled"] = 0
+    for bcol in [
+        c
+        for c in ((m.get("props") or {}).get("bloom_cols") or "").split(",")
+        if c
+    ]:
+        before = current_version(path)
+        if ensure_blooms(spark, path, bcol) != before:
+            out["blooms_backfilled"] += 1
+            m = read_manifest(path)
     fs, rel = get_fs(path)
     small = [
         f
@@ -4926,13 +4939,32 @@ def ensure_blooms(
     import base64
 
     m = read_manifest(path)
+    logical = col
     col = _physical_col(m, col)  # blooms key data-file (physical) names
     blooms = dict(m.get("blooms") or {})
+    # Record the LOGICAL column in properties so maintain()'s standing
+    # policy re-backfills blooms for files NEW since this call — a
+    # point-lookup table keeps its pruning without anyone remembering
+    # to re-run ensure_blooms after every ingest.
+    props = dict(m.get("props") or {})
+    bcols = [c for c in (props.get("bloom_cols") or "").split(",") if c]
+    if logical not in bcols:
+        props["bloom_cols"] = ",".join(bcols + [logical])
     missing = [
         f for f in m["files"]
         if (blooms.get(f) or {}).get(col) is None
     ]
     if not missing:
+        if props != (m.get("props") or {}):
+            return _commit(
+                path, m["files"], m["version"],
+                txns=m.get("txns"), schema=m.get("schema"),
+                stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+                constraints=m.get("constraints"), deletes=m.get("deletes"),
+                rows=m.get("rows"), seq=m.get("seq"),
+                props=props,
+                op="SET TBLPROPERTIES",
+            )
         return m["version"]
     df = (
         spark.read.parquet(*[os.path.join(path, f) for f in missing])
@@ -5006,6 +5038,7 @@ def ensure_blooms(
         stats=m.get("stats"), stat_cols=m.get("stat_cols"),
         constraints=m.get("constraints"), deletes=m.get("deletes"),
         rows=m.get("rows"), seq=m.get("seq"), blooms=blooms,
+        props=props,
         op="OPTIMIZE",
     )
 

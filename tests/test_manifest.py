@@ -2077,6 +2077,34 @@ def test_maintain_expires_abandoned_staged_refs(spark, tmp_path):
     assert M.load_manifest_table(spark, path).count() == 12
 
 
+def test_maintain_backfills_blooms_for_new_files(spark, tmp_path):
+    path = str(tmp_path / "maint_bloom")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("g")
+    ).coalesce(2).write.parquet(path)
+    M.manifest_init(path)
+    M.ensure_blooms(spark, path, "g")  # records the standing column
+    M.append(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("g")
+        ).coalesce(1),
+        path,
+    )
+    m = M.read_manifest(path)
+    new_f = [f for f in m["files"] if "g" not in (m.get("blooms") or {}).get(f, {})]
+    assert new_f, "the appended file has no bloom yet"
+    out = M.maintain(spark, path, vacuum_min_age_seconds=0)
+    assert out["blooms_backfilled"] == 1
+    m2 = M.read_manifest(path)
+    assert all("g" in (m2["blooms"].get(f) or {}) for f in m2["files"])
+    # next tick: nothing missing, no churn
+    out2 = M.maintain(spark, path, vacuum_min_age_seconds=0)
+    assert out2["blooms_backfilled"] == 0
+    # pruning works through the backfilled blooms
+    may, total = M.prune_files_bloom(path, "g", 3)
+    assert 0 < len(may) <= total
+
+
 def test_maintain_runs_incremental_clustering_policy(spark, tmp_path):
     """A table with a recorded clustering column set gets its new
     arrivals clustered on every maintenance tick (liquid's standing
