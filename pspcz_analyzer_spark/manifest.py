@@ -526,6 +526,9 @@ _WIDENINGS = {
     "integer": {"bigint", "long"},
     "float": {"double"},
     "real": {"double"},
+    # Spark 4 parquet read-side widening also covers date -> timestampNTZ
+    # (midnight semantics, probed green on this build).
+    "date": {"timestamp_ntz"},
 }
 
 

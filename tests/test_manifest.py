@@ -468,6 +468,21 @@ class TestTypeWidening:
         with pytest.raises(M.SchemaMismatch, match="no such column"):
             M.widen_column_type(narrow, "zz", "bigint")
 
+    def test_widen_date_to_timestamp_ntz(self, spark, tmp_path):
+        path = str(tmp_path / "dwtab")
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            F.date_add(
+                F.lit("2026-01-01").cast("date"), F.col("id").cast("int")
+            ).alias("d"),
+        ).coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        M.widen_column_type(path, "d", "timestamp_ntz")
+        t = M.load_manifest_table(spark, path)
+        assert dict(t.dtypes)["d"] == "timestamp_ntz"
+        got = sorted(r["d"].isoformat() for r in t.collect())
+        assert got[0] == "2026-01-01T00:00:00"  # midnight semantics
+
     def test_time_travel_reads_old_narrow_schema(self, spark, narrow):
         v1 = M.current_version(narrow)
         M.widen_column_type(narrow, "k", "bigint")
