@@ -4879,6 +4879,22 @@ def load_manifest_table_asof(
     return load_manifest_table(spark, path, version_at_timestamp(path, ts))
 
 
+def read_changes_timestamp(
+    spark: SparkSession,
+    path: str,
+    from_ts: float,
+    to_ts: "float | None" = None,
+) -> DataFrame:
+    """Row-level change feed by WALL CLOCK (Delta's readChangeFeed
+    ``startingTimestamp``/``endingTimestamp``): changes committed AFTER
+    ``from_ts`` up to ``to_ts`` (default: now), resolved through the
+    in-commit timestamps — "what changed since yesterday's export"
+    without the caller tracking versions."""
+    fv = version_at_timestamp(path, from_ts)
+    tv = None if to_ts is None else version_at_timestamp(path, to_ts)
+    return read_changes(spark, path, fv, tv)
+
+
 def restore_timestamp(path: str, ts: float) -> int:
     """RESTORE TABLE TO TIMESTAMP AS OF — :func:`version_at_timestamp`
     resolution (in-commit timestamps, monotone per table) + the ordinary

@@ -2565,6 +2565,25 @@ class TestTimestampTravel:
         assert v == 3
         assert M.load_manifest_table(spark, base).count() == 10
 
+    def test_read_changes_by_timestamp(self, spark, tmp_path):
+        base = str(tmp_path / "cdf_ts")
+        write_range_sorted(
+            spark.range(5).select(F.col("id").alias("k")), base, "k",
+            num_partitions=1,
+        )
+        M.manifest_init(base)
+        M.enable_cdf(base)
+        M.append(spark.range(5, 8).select(F.col("id").alias("k")), base)
+        M.append(spark.range(8, 10).select(F.col("id").alias("k")), base)
+        for v, t in ((1, 1000), (2, 2000), (3, 3000), (4, 4000)):
+            self._pin_ts(base, v, t)
+        # changes AFTER t=3500 = version 4 only (the 2-row append)
+        feed = M.read_changes_timestamp(spark, base, 3500, 4500)
+        assert feed.count() == 2
+        assert {r["_commit_version"] for r in feed.collect()} == {4}
+        # open-ended: everything after enablement
+        assert M.read_changes_timestamp(spark, base, 2000).count() == 5
+
     def test_commit_ts_monotone_under_clock_skew(
         self, spark, tmp_path, monkeypatch
     ):
