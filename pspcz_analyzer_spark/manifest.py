@@ -4196,7 +4196,9 @@ def maintain(
     concurrent-writer age guard. Each step is the ordinary committed op
     — a crash between steps leaves a normal, consistent table, and a
     concurrent writer just wins/loses individual version commits.
-    Returns a dict of what ran: {materialized, compacted, vacuumed}.
+    Returns a dict of what ran: {materialized, compacted, vacuumed,
+    reclustered, clustered_incremental, blooms_backfilled,
+    staged_expired}.
 
     Thresholds are deliberately DECISIONS-from-metadata: the small-file
     census is a listing + size pass, the delete census reads the
