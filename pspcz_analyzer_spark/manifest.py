@@ -4352,6 +4352,30 @@ def restore(path: str, version: int) -> int:
     )
 
 
+def export_snapshot(
+    spark: SparkSession,
+    path: str,
+    dst: str,
+    version: int | None = None,
+    num_partitions: int | None = None,
+) -> int:
+    """Materialize one version as a PLAIN parquet directory — the
+    interchange escape hatch for consumers that read vanilla parquet
+    (a training job, another engine): the snapshot view resolves EVERY
+    manifest feature (merge-on-read deletes, column mapping, widened
+    types, initial defaults, identity values) into ordinary columns and
+    bytes, so the export needs no reader support and never drifts from
+    what ``load_manifest_table(version)`` shows. Unlike :func:`clone_table`
+    this pays full data IO and yields a DEAD copy (no history, no
+    features) — use clone for a live branch, export for hand-off.
+    Returns the exported row count."""
+    df = load_manifest_table(spark, path, version)
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    df.write.mode("error").parquet(dst)
+    return spark.read.parquet(dst).count()
+
+
 def clone_table(
     path: str,
     dst: str,

@@ -106,6 +106,50 @@ class TestCreateTable:
         assert sorted(r["uid"] for r in t.collect()) == [1, 2, 3]
 
 
+class TestExportSnapshot:
+    def test_export_resolves_every_feature_into_plain_parquet(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "exp_src")
+        spark.range(20).select(
+            F.col("id").cast("int").alias("k"), (F.col("id") % 4).alias("g")
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path)
+        M.widen_column_type(path, "k", "bigint")
+        M.add_column(path, "src", "string", initial_default="'old'")
+        M.add_identity_column(path, "uid")
+        M.delete_keys_mor(spark, path, "g", [3])  # pending MoR entry
+        M.rename_column(path, "g", "grp")
+        dst = str(tmp_path / "exp_dst")
+        n = M.export_snapshot(spark, path, dst, num_partitions=1)
+        plain = spark.read.parquet(dst)  # NO manifest machinery
+        assert n == plain.count() == 15  # MoR delete resolved
+        assert dict(plain.dtypes) == {
+            "k": "bigint", "grp": "bigint", "src": "string", "uid": "bigint"
+        }
+        assert plain.filter(F.col("src") == "old").count() == 15
+        assert plain.select("uid").distinct().count() == 15
+        assert plain.filter(F.col("grp") == 3).count() == 0
+        # exact row parity with the manifest view
+        want = {
+            tuple(r) for r in M.load_manifest_table(spark, path).collect()
+        }
+        assert {tuple(r) for r in plain.select(
+            *M.load_manifest_table(spark, path).columns
+        ).collect()} == want
+
+    def test_export_pins_a_version(self, spark, tmp_path):
+        path = str(tmp_path / "exp_v")
+        spark.range(5).select(F.col("id").alias("k")).coalesce(
+            1
+        ).write.parquet(path)
+        M.manifest_init(path)
+        v1 = M.current_version(path)
+        M.append(spark.range(5, 9).select(F.col("id").alias("k")), path)
+        dst = str(tmp_path / "exp_v_dst")
+        assert M.export_snapshot(spark, path, dst, version=v1) == 5
+
+
 class TestTableProperties:
     def test_set_unset_and_reserved(self, spark, tmp_path):
         path = str(tmp_path / "props")
