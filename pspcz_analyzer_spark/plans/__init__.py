@@ -33,35 +33,29 @@ _REGISTRY: dict[str, Query] = {}
 
 # Verification harnesses that budget a fixed number of queries consume the
 # registry in iteration order, so ordering is part of the public contract.
-# Round-7 rotation: the driver re-attests 50 queries per round against
+# Round-8 rotation: the driver re-attests 50 queries per round against
 # freshly regenerated testdata, so the budget goes to the queries with the
-# WEAKEST current attestation. Ledger note (corrects the stale r6 claim):
-# 210 of the 234 r6-era oracle-bearing queries have a green driver
-# attestation in some round; never-attested queries (the 21 r6-new never
-# yet rotated, the 3 r6-red manifest-DML rows fixed this round, and every
-# r7-new query — votes browser, MERGE-parity, replace_where, row CDF, row
-# tracking, type widening, column defaults, identity, drop/re-add,
-# incremental clustering, WAP, the composed lifecycle — which register at
-# PRIORITY_NEW via their register() call) all sit inside this round's
-# 50-slot budget (41 slots at tiers <= 18, verified; the r02-stale cohort
-# head fills the rest). Tiers (lower first):
-#   10 = sentinels — every query whose PLAN changed this round: the three
-#        r6-red DML rows (decimal-safe arithmetic; delete_where alive-row
-#        accounting), the upsert/MERGE/SCD2 rows (size-adaptive victim
-#        planning replaced driver-side key collection), and the
-#        restore/rename pair (restore now rolls the column mapping back
-#        with the schema);
-#   18 = never driver-attested (the 21 r6-new queries) — a query is not
-#        "done" until the driver has hashed it against its oracle;
-#   20 = r02-green and never re-attested since — the stalest cohort; its
-#        head fills the budget to exactly 50 (21 of 26 rotate, the tail
-#        queues for r8);
-#   22 = r03-green cohort — next-stalest, first in line next round;
+# WEAKEST current attestation. Ledger: after r7, 244 of 246 oracle-paired
+# queries have a green driver attestation in some round; the only two
+# non-green rows are the r7 reds fixed this round (votes_browser_page —
+# oracle tally sums now CAST AS BIGINT to match Spark's int64 against
+# DuckDB's HUGEINT→float64 rendering; doc_inverted_postings — postings
+# array flattened to a CSV string on both sides per the query-edge
+# convention). Tiers (lower first):
+#   10 = sentinels — every query whose PLAN or ORACLE changed this round:
+#        the two r7 reds;
+#   18 = never driver-attested (none at r8 open; reserved for new queries
+#        registered this round) — a query is not "done" until the driver
+#        has hashed it against its oracle;
+#   20 = r02-green and never re-attested since — the 17-query tail the r7
+#        budget didn't reach (9 of 26 rotated in r07);
+#   22 = r03-green cohort — next-stalest; 2 sentinels + 17 r02 leaves 31
+#        slots for this cohort's head, the tail queues for r9;
 #   52 = rows-only by design (no oracle possible: LSH/IVF results are
 #        approximation-defined, PCA basis signs impl-defined, HLL
 #        estimates); each has an oracle-paired anchor at a lower tier, so
 #        a driver slot on them would be wasted;
-#   60/62/64 = r04/r05/r06-green — freshest attestations yield last.
+#   60..66 = r04/r05/r06/r07-green — freshest attestations yield last.
 PRIORITY_SENTINEL = 10
 PRIORITY_NEW = 18
 PRIORITY_STALE_R02 = 20
@@ -70,66 +64,30 @@ PRIORITY_ROWS_ONLY = 52
 PRIORITY_ATTESTED_R04 = 60
 PRIORITY_ATTESTED_R05 = 62
 PRIORITY_ATTESTED_R06 = 64
+PRIORITY_ATTESTED_R07 = 66
 
 _PRIORITY: dict[str, int] = {
-    # Sentinels: plan changed this round (see tier note).
+    # Sentinels: the two r7-red rows, fixed this round (votes_browser_page
+    # oracle tallies CAST AS BIGINT; doc_inverted_postings postings
+    # flattened to CSV on both sides) — must re-attest green first.
     **{
         n: PRIORITY_SENTINEL
         for n in (
-            "manifest_dml_roundtrip",
-            "manifest_delete_pos_roundtrip",
-            "manifest_merge_roundtrip",
-            "manifest_cdc_roundtrip",
-            "manifest_scd2_customer",
-            "orders_scd2_asof_segment",
-            "manifest_restore_roundtrip",
-            "manifest_rename_roundtrip",
-        )
-    },
-    # Never driver-attested: every r6-new oracle query rotates in now.
-    **{
-        n: PRIORITY_NEW
-        for n in (
-            "clustering_coeff_suppliers",
-            "corpus_ngram_diversity",
-            "corpus_ppl_buckets",
+            "votes_browser_page",
             "doc_inverted_postings",
-            "eval_contamination_stats",
-            "events_anomaly_zscore",
-            "events_decayed_value",
-            "events_robust_outliers",
-            "events_weekly_seasonality",
-            "frequent_part_pairs",
-            "link_prediction_suppliers",
-            "manifest_day_partition_scan",
-            "manifest_files_accounting",
-            "manifest_mor_materialized",
-            "manifest_scan_box_zorder",
-            "manifest_scan_unpruned",
-            "media_audio_features",
-            "near_dup_containment",
-            "orc_roundtrip_supplier",
-            "orders_price_position",
-            "part_association_rules",
         )
     },
-    # r02-green, never re-attested: stalest standing attestation.
+    # r02-green tail not yet re-attested (9 of 26 rotated in r07).
     **{
         n: PRIORITY_STALE_R02
         for n in (
-            "anti_join_customers_without_orders",
             "cube_status_priority",
             "customer_display_names",
             "distinct_status_priority",
-            "doc_language_id",
-            "doc_quality_scores",
             "doc_topics_enriched",
-            "exact_dedup_survivors",
             "except_building_without_bigspenders",
             "fuzzy_match_supplier_customer",
-            "minhash_lsh_exact_recall",
             "nation_pairs_same_region",
-            "near_dup_jaccard",
             "orders_by_month",
             "orders_keyset_page",
             "orders_page3",
@@ -137,15 +95,13 @@ _PRIORITY: dict[str, int] = {
             "point_lookup_order",
             "prefix_match_parts",
             "rollup_priority_status",
-            "semi_join_customers_with_1997_orders",
-            "simhash_dup_pairs",
             "steno_crossval_letters",
             "steno_parse_votes",
-            "top3_orders_per_customer",
             "vote_number_resolution",
         )
     },
-    # r03-green cohort.
+    # r03-green cohort — stalest after the r02 tail; the 50-slot budget
+    # covers 2 sentinels + 17 r02 + the head of this cohort.
     **{
         n: PRIORITY_STALE_R03
         for n in (
@@ -316,7 +272,7 @@ _PRIORITY: dict[str, int] = {
             "semantic_dedup_farthest",
         )
     },
-    # r06-green cohort (CORRECTNESS_r06.json): freshest, last in line.
+    # r06-green cohort (CORRECTNESS_r06.json).
     **{
         n: PRIORITY_ATTESTED_R06
         for n in (
@@ -363,6 +319,60 @@ _PRIORITY: dict[str, int] = {
             "semantic_dedup_salted",
             "supplier_hops_bfs",
             "triangle_suppliers",
+        )
+    },
+    # r07-green cohort (CORRECTNESS_r07.json): freshest, last in line.
+    **{
+        n: PRIORITY_ATTESTED_R07
+        for n in (
+            "anti_join_customers_without_orders",
+            "clustering_coeff_suppliers",
+            "corpus_ngram_diversity",
+            "corpus_ppl_buckets",
+            "doc_language_id",
+            "doc_quality_scores",
+            "eval_contamination_stats",
+            "events_anomaly_zscore",
+            "events_decayed_value",
+            "events_robust_outliers",
+            "events_weekly_seasonality",
+            "exact_dedup_survivors",
+            "frequent_part_pairs",
+            "link_prediction_suppliers",
+            "manifest_cdc_roundtrip",
+            "manifest_cluster_incremental",
+            "manifest_day_partition_scan",
+            "manifest_default_roundtrip",
+            "manifest_delete_pos_roundtrip",
+            "manifest_dml_roundtrip",
+            "manifest_drop_readd_roundtrip",
+            "manifest_files_accounting",
+            "manifest_identity_roundtrip",
+            "manifest_lakehouse_lifecycle",
+            "manifest_merge_full_roundtrip",
+            "manifest_merge_roundtrip",
+            "manifest_mor_materialized",
+            "manifest_rename_roundtrip",
+            "manifest_replace_where_roundtrip",
+            "manifest_restore_roundtrip",
+            "manifest_row_cdf_roundtrip",
+            "manifest_row_tracking_roundtrip",
+            "manifest_scan_box_zorder",
+            "manifest_scan_unpruned",
+            "manifest_scd2_customer",
+            "manifest_wap_roundtrip",
+            "manifest_widen_roundtrip",
+            "media_audio_features",
+            "minhash_lsh_exact_recall",
+            "near_dup_containment",
+            "near_dup_jaccard",
+            "orc_roundtrip_supplier",
+            "orders_price_position",
+            "orders_scd2_asof_segment",
+            "part_association_rules",
+            "semi_join_customers_with_1997_orders",
+            "simhash_dup_pairs",
+            "top3_orders_per_customer",
         )
     },
 }

@@ -1568,7 +1568,8 @@ def doc_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms
     ),
     post AS (
-      SELECT term, list(doc_id ORDER BY doc_id) AS postings
+      SELECT term,
+             array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
       FROM ranked WHERE rn <= 20 GROUP BY term
     )
     SELECT d.term, d.df, p.postings
@@ -1582,13 +1583,22 @@ def doc_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classic MapReduce retrieval-index build. Per-term aggregation state "
     "is BOUNDED: a row_number window truncates each posting list to the "
     "cap before the list aggregate, so stopword-hot terms cannot blow a "
-    "group buffer; df rides the same term-keyed exchange. Nested "
-    "array<bigint> result hash-compared against DuckDB's ordered list().",
+    "group buffer; df rides the same term-keyed exchange. Query-edge "
+    "convention (plans/ingest.py JSON roundtrip): the array<bigint> "
+    "postings flatten to a CSV string on BOTH sides — the driver's "
+    "pandas hash canonicalizer cannot sort list cells.",
 )
 def doc_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.ranking import inverted_index
 
-    return inverted_index(load_table(spark, sf_dir, "documents")).orderBy("term")
+    return (
+        inverted_index(load_table(spark, sf_dir, "documents"))
+        .withColumn(
+            "postings",
+            F.array_join(F.col("postings").cast("array<string>"), ","),
+        )
+        .orderBy("term")
+    )
 
 
 @register(

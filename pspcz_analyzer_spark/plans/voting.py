@@ -345,10 +345,10 @@ _NORM_SQL = "trim(regexp_replace(strip_accents(lower({c})), '\\s+', ' ', 'g'))"
     void_votes AS ({_SQL_VOID}),
     tallies AS (
       SELECT id_hlasovani,
-             sum(CASE WHEN vysledek = 'A' THEN 1 ELSE 0 END) AS pro,
-             sum(CASE WHEN vysledek = 'B' THEN 1 ELSE 0 END) AS proti,
-             sum(CASE WHEN vysledek = 'C' THEN 1 ELSE 0 END) AS zdrzel,
-             sum(CASE WHEN vysledek = 'F' THEN 1 ELSE 0 END) AS nehlasoval,
+             CAST(sum(CASE WHEN vysledek = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS pro,
+             CAST(sum(CASE WHEN vysledek = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS proti,
+             CAST(sum(CASE WHEN vysledek = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS zdrzel,
+             CAST(sum(CASE WHEN vysledek = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nehlasoval,
              count(*) AS prihlaseno
       FROM mp_votes GROUP BY id_hlasovani
     ),
