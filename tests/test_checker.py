@@ -68,3 +68,44 @@ def test_norm_rows_column_order_insensitive():
     cols_b, rows_b = m._norm_rows(["a", "b"], [(1.0, 2.0)])
     assert cols_a == cols_b == ["a", "b"]
     assert rows_a == rows_b
+
+
+def test_representation_check_catches_the_r7_hugeint_drift():
+    """The exact r7 `votes_browser_page` signature: DuckDB sum(BIGINT) ->
+    HUGEINT (pandas float64) vs Spark LongType. Value-equal, driver
+    hash-red — the gate must flag it as a representation error."""
+    from pyspark.sql import types as T
+
+    m = _load_checker()
+    schema = T.StructType([T.StructField("pro", T.LongType())])
+    errs = m._representation_errors(schema, {"pro": "HUGEINT"})
+    assert len(errs) == 1 and "dtype drift" in errs[0]
+    # ...and CAST AS BIGINT on the oracle side fixes it
+    assert m._representation_errors(schema, {"pro": "BIGINT"}) == []
+
+
+def test_representation_check_rejects_nested_toplevel_columns():
+    """The exact r7 `doc_inverted_postings` signature: a top-level
+    array<bigint> output crashes the driver's pandas canonicalizer
+    (unhashable list) — the gate must reject it on EITHER side."""
+    from pyspark.sql import types as T
+
+    m = _load_checker()
+    nested = T.StructType(
+        [T.StructField("postings", T.ArrayType(T.LongType()))]
+    )
+    errs = m._representation_errors(nested, {"postings": "BIGINT[]"})
+    assert len(errs) == 2 and all("nested" in e for e in errs)
+    flat = T.StructType([T.StructField("postings", T.StringType())])
+    assert m._representation_errors(flat, {"postings": "VARCHAR"}) == []
+
+
+def test_representation_check_exempts_decimal_pairings():
+    """DECIMAL(18,2)-vs-DOUBLE pairings are the repo's documented money
+    convention and long-standing driver-green — no false positive."""
+    from pyspark.sql import types as T
+
+    m = _load_checker()
+    schema = T.StructType([T.StructField("rev", T.DecimalType(18, 2))])
+    assert m._representation_errors(schema, {"rev": "DECIMAL(18,2)"}) == []
+    assert m._representation_errors(schema, {"rev": "DOUBLE"}) == []

@@ -90,6 +90,49 @@ def test_oracles_bind_in_duckdb():
         con.execute(f"EXPLAIN {sql}")  # binder + planner, no execution
 
 
+def test_oracle_paired_output_is_driver_hashable(all_built):
+    """Registry-wide authoring lint (the r7 lesson, both classes): every
+    oracle-paired query's RESULT REPRESENTATION must survive the driver's
+    dtype-sensitive pandas hash — no top-level Array/Struct/Map column on
+    either side (the canonicalizer crashes on list cells:
+    `doc_inverted_postings` r7), and no int-vs-float kind drift between the
+    Spark schema and the oracle's DESCRIBE types, where HUGEINT counts as
+    float because that is what the driver's pandas frame holds
+    (`votes_browser_page` r7). Uses the same checker the local gate runs."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "check_correctness.py",
+        ),
+    )
+    checker = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(checker)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders = {}
+    for name, sql in oracle_sqls().items():
+        plan, schema = all_built[name]
+        if schema is None:
+            offenders[name] = plan  # build error, reported elsewhere too
+            continue
+        duck_types = dict(
+            (r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()
+        )
+        errs = checker._representation_errors(schema, duck_types)
+        if errs:
+            offenders[name] = errs
+    assert not offenders, offenders
+
+
 # Queries where a nested-loop join is the DOCUMENTED, intentionally bounded
 # plan: exact pairwise baselines over an explicitly capped side (<=200
 # vectors) or a broadcast-small theta join. Everything else must be
@@ -147,15 +190,22 @@ _NESTED_LOOP_OK = {
 
 
 @pytest.fixture(scope="module")
-def all_plans(spark) -> dict[str, str]:
-    """Executed-plan text for every registered query (compiled once)."""
-    plans = {}
+def all_built(spark) -> dict[str, tuple[str, object]]:
+    """(executed-plan text, result schema) for every registered query
+    (compiled once; schema extraction is free once the DF is built)."""
+    built = {}
     for qname, fn in query_fns().items():
         try:
-            plans[qname] = _plan(fn(spark, SF_DIR))
+            df = fn(spark, SF_DIR)
+            built[qname] = (_plan(df), df.schema)
         except Exception as e:  # pragma: no cover - plan build must not fail
-            plans[qname] = f"PLAN BUILD ERROR: {e}"
-    return plans
+            built[qname] = (f"PLAN BUILD ERROR: {e}", None)
+    return built
+
+
+@pytest.fixture(scope="module")
+def all_plans(all_built) -> dict[str, str]:
+    return {qname: plan for qname, (plan, _schema) in all_built.items()}
 
 
 def test_no_nested_loop_joins_anywhere(all_plans):

@@ -16,6 +16,20 @@ a 1.4e9 SUM (Spark vs DuckDB half-cent rounding on DOUBLE), so the local
 gate said green while the driver's exact hash said red. Never loosen the
 default below 15.
 
+Round-7 lesson (two new checks, both driver-faithful): the driver hashes
+PANDAS frames, so (a) its hash is dtype-sensitive — DuckDB ``sum(BIGINT)``
+returns HUGEINT which pandas renders float64 (``4.0``) while Spark returns
+int64 (``4``): value-equal, hash-red. The gate now derives a numeric KIND
+per column (Spark schema vs ``DESCRIBE`` on the oracle, where HUGEINT maps
+to FLOAT-kind because that is what the driver's pandas frame holds) and
+fails any int-vs-float pairing. (b) Its canonicalizer (``sort_values`` →
+``factorize``) crashes on list cells, so an oracle-paired query with a
+top-level Array/Struct/Map output column can never be attested — the gate
+now hard-fails those on either side (flatten to a CSV/JSON string at the
+query edge, see ``order_lines_nested``). DECIMAL pairings are exempt from
+the kind check: the repo convention computes money in DECIMAL(18,2) on
+both sides and those rows are long-standing driver-green.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -54,6 +68,69 @@ def _norm_cell(v, sig=15):
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x, sig) for x in v)
     return v
+
+
+# --- driver-faithful representation checks -------------------------------
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+# HUGEINT lands in the driver's pandas frame as float64 — that pandas-facing
+# representation (not the SQL type) is what the hash sees.
+_DUCK_FLOAT = {"HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL"}
+
+
+def _duck_kind(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP(", "LIST", "ARRAY")):
+        return "nested"
+    if t in _DUCK_INT:
+        return "i"
+    if t in _DUCK_FLOAT:
+        return "f"
+    if t.startswith("DECIMAL"):
+        return "d"
+    return "other"
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return "nested"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.DecimalType):
+        return "d"
+    return "other"
+
+
+def _representation_errors(sdf_schema, duck_types: dict[str, str]) -> list[str]:
+    """Driver-twin checks on the RESULT REPRESENTATION (not values):
+    top-level nested columns (either side) and int-vs-float kind drift.
+    Returns a list of human-readable problems (empty = fine)."""
+    errs = []
+    s_kinds = {f.name: _spark_kind(f.dataType) for f in sdf_schema.fields}
+    d_kinds = {c: _duck_kind(t) for c, t in duck_types.items()}
+    for c, k in s_kinds.items():
+        if k == "nested":
+            errs.append(f"spark column {c!r} is nested (array/struct/map) — "
+                        "flatten at the query edge")
+    for c, k in d_kinds.items():
+        if k == "nested":
+            errs.append(f"oracle column {c!r} is nested (list/struct/map) — "
+                        "flatten with array_to_string/to_json")
+    for c in sorted(set(s_kinds) & set(d_kinds)):
+        pair = {s_kinds[c], d_kinds[c]}
+        if pair == {"i", "f"}:
+            errs.append(
+                f"dtype drift on {c!r}: spark={s_kinds[c]} oracle={d_kinds[c]} "
+                "(driver hash is dtype-sensitive: 4 != 4.0 — CAST both sides)"
+            )
+    return errs
 
 
 def _norm_rows(cols, rows, sig=15):
@@ -110,11 +187,21 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            duck_types = dict(
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            )
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        rep_errs = _representation_errors(sdf.schema, duck_types)
+        if rep_errs:
+            print(f"FAIL {name}: representation: " + "; ".join(rep_errs))
             n_fail += 1
             failures.append(name)
             continue
