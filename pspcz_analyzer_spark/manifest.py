@@ -1479,9 +1479,10 @@ def read_changes(
             names = doc["cdf_files"]
             if not names:
                 continue  # no logical change in this commit
-            fs, rel = get_fs(path)
+            # Spark resolves the ORIGINAL path/URI (s3://, hdfs://); the
+            # fs/rel shim is only for fs-level ops, never spark.read.
             df = spark.read.parquet(
-                *[os.path.join(rel, n) for n in names]
+                *[os.path.join(path, n) for n in names]
             )
             parts.append(df.withColumn(CDF_VERSION_COL, F.lit(v)))
             continue
@@ -1608,18 +1609,25 @@ def append(
     # still hold stale bytes under it, and the requested-schema read
     # would resurrect them. add_column() allocates a fresh physical name
     # for this case — route there.
-    if m.get("dropped") and m.get("schema"):
+    if (m.get("dropped") or m.get("colmap")) and m.get("schema"):
         table_cols = {n for n, _ in m["schema"]}
+        # A NEW batch column may not re-bind a physical name that old
+        # files still populate: dropped columns, and — same stale-byte
+        # resurrection through the other door — colmap TARGETS (after
+        # rename_column('a','b') the physical 'a' holds b's data; a
+        # merge-schema batch introducing logical 'a' would read it).
+        # add_column's _fresh_physical covers both via its `taken` set.
+        taken = set(m.get("dropped") or ()) | set(
+            (m.get("colmap") or {}).values()
+        )
         reused = [
-            c
-            for c in df.columns
-            if c not in table_cols and c in set(m["dropped"])
+            c for c in df.columns if c not in table_cols and c in taken
         ]
         if reused:
             raise SchemaMismatch(
-                f"batch column(s) {reused} re-use a DROPPED column name; "
-                "use add_column() first (it binds a fresh physical name) "
-                "and then append"
+                f"batch column(s) {reused} re-use a DROPPED or renamed-away "
+                "physical column name; use add_column() first (it binds a "
+                "fresh physical name) and then append"
             )
     # Write defaults fill omitted columns first (generated expressions
     # may reference them), generated columns compute/validate next (the
@@ -2565,6 +2573,22 @@ def _candidate_files(m: dict, fs, rel: str, key_col: str, key_set: set):
 # 100 TB a CDC backfill with 10^9 keys is a shuffle join, not a
 # driver OOM + giant-isin AST.
 DML_COLLECT_KEY_LIMIT = 100_000
+# Cap on LITERAL ``isin(*keys)`` construction, decoupled from key
+# COLLECTION above: building the In AST costs ~0.5 ms/literal in py4j
+# conversion (measured, tools/measure_isin_knee.py: 10k keys = 6.0 s
+# build+analyze, 100k = 51 s) while the equivalent anti/semi JOIN against
+# a keys frame is flat <1 s at every size — the crossover sits near 2k
+# literals. Collecting up to DML_COLLECT_KEY_LIMIT keys stays worthwhile
+# (driver-side footer/stats victim pruning needs the Python set); only
+# the Catalyst expression must never be key-shaped.
+ISIN_LITERAL_LIMIT = 2_000
+# materialize_deletes' stats-intersection check collects an equality-delete
+# entry's keys driver-side only below this (footer-read) row count; larger
+# entries run the same check as a distributed range join (names-only
+# collect). delete_where/DVs are the sanctioned mass-delete path, but a
+# caller who equality-deletes millions of keys must degrade gracefully,
+# not OOM the driver.
+MOR_STATS_KEY_LIMIT = 100_000
 
 
 def _plan_source_keys(
@@ -2635,12 +2659,15 @@ def _plan_source_keys(
 
 def _purge_keys(kept: DataFrame, keys_df: DataFrame, key_col: str, key_set):
     """Drop rows whose key is in the source: Catalyst ``isin`` literal
-    filter on the fast path (prunable, no shuffle), ``LEFT ANTI`` join on
-    the large path (AQE sizes it; nothing driver-side)."""
+    filter on the fast path (prunable, no shuffle) — but only up to
+    ``ISIN_LITERAL_LIMIT`` literals, the measured planner knee — and a
+    ``LEFT ANTI`` join (AQE sizes it; nothing driver-side) above it or on
+    the uncollected large path."""
     if key_set is not None:
         if not key_set:
             return kept
-        return kept.filter(~F.col(key_col).isin(*key_set))
+        if len(key_set) <= ISIN_LITERAL_LIMIT:
+            return kept.filter(~F.col(key_col).isin(*key_set))
     return kept.join(keys_df, key_col, "left_anti")
 
 
@@ -2678,19 +2705,32 @@ def delete_keys(
         return 0, 0
     rt = _row_tracking_on(m)
     alive = _with_deletes(spark, path, m, affected, with_row_ids=rt)
-    kept = alive.filter(~F.col(key_col).isin(*key_set))
+    # Literal isin only below the measured planner knee; larger key lists
+    # anti/semi-join a keys frame (the In AST costs ~0.5 ms/literal to
+    # build — see ISIN_LITERAL_LIMIT).
+    if len(key_set) <= ISIN_LITERAL_LIMIT:
+        kept = alive.filter(~F.col(key_col).isin(*key_set))
+        dead = alive.filter(F.col(key_col).isin(*key_set))
+    else:
+        keys_df = spark.createDataFrame(
+            [(k,) for k in key_set], alive.select(key_col).schema
+        )
+        kept = alive.join(keys_df, key_col, "left_anti")
+        dead = alive.join(keys_df, key_col, "left_semi")
     if rt:
         kept = _materialize_ids(kept)
     cdf_names = None
     if _cdf_on(m):
         cdf_names = _stage_changes(
-            alive.filter(F.col(key_col).isin(*key_set))
-            .drop(ROW_ID_COL)
-            .withColumn(CDF_TYPE_COL, F.lit("delete")),
+            dead.drop(ROW_ID_COL).withColumn(CDF_TYPE_COL, F.lit("delete")),
             path,
         )
     new_names = _stage_rewrites(kept, path, "del")
-    rows_before = _file_rows(m, fs, rel, affected)
+    # Same alive-row accounting as delete_where: with pending merge-on-read
+    # delete entries, footer counts would also bill rows already dead.
+    rows_before = (
+        alive.count() if m.get("deletes") else _file_rows(m, fs, rel, affected)
+    )
     rows_after = sum(
         fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
         for f in new_names
@@ -3231,36 +3271,77 @@ def materialize_deletes(spark: SparkSession, path: str) -> "tuple[int, int]":
                 .collect()
             )
     # Stats prune per entry: a covered file is a victim only if SOME
-    # applicable entry's key set may intersect it.
-    victims: "list[str]" = []
-    key_cache: dict = {}
-    for f in covered:
-        fseq = seq.get(f, 0)
+    # applicable entry's key set may intersect it. Two-path key handling
+    # (the _plan_source_keys design): entries at or below
+    # MOR_STATS_KEY_LIMIT keys collect driver-side (right-to-be-forgotten
+    # sizes — key count read from the key file's FOOTER, metadata-only);
+    # larger entries run the SAME stats-intersection test as a
+    # distributed range join against the per-file [min,max] rows, so only
+    # distinct file NAMES ever reach the driver and a mass
+    # equality-delete cannot materialize an unbounded key list here.
+    stat_cols = m.get("stat_cols") or []
+    stats = m.get("stats") or {}
+    victims_set: set = {
         # DV coordinates store basenames (``_metadata.file_name``);
         # shallow-cloned manifests reference files absolutely.
-        hit = os.path.basename(f) in pos_victims
-        for d in dels:
-            if hit:
-                break
-            if d.get("kind") == "pos" or d["seq"] <= fseq:
-                continue
-            col = d["key_col"]
-            if col in (m.get("stat_cols") or []):
-                s = ((m.get("stats") or {}).get(f) or {}).get(col)
-                if s is not None and s[0] is not None:
-                    if d["file"] not in key_cache:
-                        key_cache[d["file"]] = [
-                            r[0]
-                            for r in spark.read.parquet(
-                                os.path.join(path, d["file"])
-                            ).collect()
-                        ]
-                    if not any(s[0] <= k <= s[1] for k in key_cache[d["file"]]):
-                        continue  # provably disjoint: entry can't touch f
-            hit = True
-            break
-        if hit:
-            victims.append(f)
+        f for f in covered if os.path.basename(f) in pos_victims
+    }
+    for d in dels:
+        if d.get("kind") == "pos":
+            continue
+        applicable = [
+            f
+            for f in covered
+            if f not in victims_set and d["seq"] > seq.get(f, 0)
+        ]
+        if not applicable:
+            continue
+        col = d["key_col"]
+        if col not in stat_cols:
+            victims_set.update(applicable)  # no tracked stats: keep all
+            continue
+        ranged: "list[tuple]" = []
+        for f in applicable:
+            s = (stats.get(f) or {}).get(col)
+            if s is None or s[0] is None:
+                victims_set.add(f)  # unknown stats -> cannot prune
+            else:
+                ranged.append((f, s[0], s[1]))
+        if not ranged:
+            continue
+        n_keys = fs.parquet_file(
+            os.path.join(rel, d["file"])
+        ).metadata.num_rows
+        if n_keys <= MOR_STATS_KEY_LIMIT:
+            keys = [
+                r[0]
+                for r in spark.read.parquet(
+                    os.path.join(path, d["file"])
+                ).collect()
+            ]
+            victims_set.update(
+                f
+                for f, lo, hi in ranged
+                if any(lo <= k <= hi for k in keys)
+            )
+        else:
+            kdf = spark.read.parquet(os.path.join(path, d["file"]))
+            kcol = kdf.columns[0]
+            fstats = F.broadcast(
+                spark.createDataFrame(ranged, ["__file", "__lo", "__hi"])
+            )
+            hit_rows = (
+                kdf.join(
+                    fstats,
+                    (F.col(kcol) >= F.col("__lo"))
+                    & (F.col(kcol) <= F.col("__hi")),
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            victims_set.update(r[0] for r in hit_rows)
+    victims: "list[str]" = [f for f in covered if f in victims_set]
     new_names: "list[str]" = []
     if victims:
         rewritten = _with_deletes(
@@ -3341,7 +3422,9 @@ def upsert(
             alive_aff = _with_deletes(spark, path, m, affected)
             pre = (
                 alive_aff.filter(F.col(key_col).isin(*key_set))
-                if key_set is not None and key_set
+                if key_set is not None
+                and key_set
+                and len(key_set) <= ISIN_LITERAL_LIMIT
                 else alive_aff.join(keys_df, key_col, "left_semi")
             ).localCheckpoint()
             pre_keys = pre.select(key_col).distinct()
@@ -4881,9 +4964,14 @@ def version_at_timestamp(path: str, ts: float) -> int:
     fs, rel = get_fs(path)
     best = None
     for v in _versions(path):
+        # read_manifest resolves the fs itself — pass the ORIGINAL path
+        # (rel has no scheme: on URI backends it would always throw and
+        # silently degrade ICT resolution to mtimes, the exact failure
+        # in-commit timestamps exist to prevent). Only a genuinely
+        # missing/corrupt blob falls back; real read errors surface.
         try:
-            t = read_manifest(rel, v).get("ts")
-        except Exception:
+            t = read_manifest(path, v).get("ts")
+        except (FileNotFoundError, KeyError, ValueError):
             t = None
         if t is None:
             t = fs.mtime(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))

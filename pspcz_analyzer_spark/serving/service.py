@@ -403,7 +403,7 @@ class QueryService:
             derive_void_votes,
         )
 
-        def build():
+        def build(page: int):
             mp = derive_mp_votes(self.spark, self.sf_dir)
             tallies = mp.groupBy("id_hlasovani").agg(
                 F.sum(F.when(F.col("vysledek") == "A", 1).otherwise(0)).alias("pro"),
@@ -467,13 +467,30 @@ class QueryService:
                 per_page=per_page,
             )
 
-        key = (
-            f"votes:{self.sf_dir}:{search}:{outcome}:{topic}:{page}:{per_page}"
-        )
-        rows = self._cached(key, build)
+        def fetch(p: int) -> list:
+            key = (
+                f"votes:{self.sf_dir}:{search}:{outcome}:{topic}:{p}:{per_page}"
+            )
+            return self._cached(key, lambda: build(page=p))
+
+        # Reference parity (votes_service.list_votes): page clamps into
+        # [1, total_pages] — an out-of-range request returns the LAST page,
+        # not an empty one. The total rides every row, so an empty
+        # out-of-range fetch learns it from page 1 and re-slices once.
+        page = max(1, int(page))
+        rows = fetch(page)
+        if not rows and page > 1:
+            rows = fetch(1)
+            total = rows[0]["total_hits"] if rows else 0
+            page = min(page, max(1, (total + per_page - 1) // per_page))
+            if page != 1:
+                rows = fetch(page)
         total = rows[0]["total_hits"] if rows else 0
-        for r in rows:
-            r.pop("total_hits", None)
+        # Strip via COPY — cached row dicts are shared across calls, and
+        # popping in place would strip the total from the cache itself.
+        rows = [
+            {k: v for k, v in r.items() if k != "total_hits"} for r in rows
+        ]
         total_pages = max(1, (total + per_page - 1) // per_page)
         return {
             "rows": rows,

@@ -126,3 +126,72 @@ def test_arrowfs_create_exclusive_fails_closed(tmp_path, monkeypatch):
     monkeypatch.setattr(ArrowFS, "read_bytes", lambda self, p: b"racer won")
     with _pytest.raises(FileExistsError, match="verify-after-write"):
         afs.create_exclusive(lost, b'{"version": 3}')
+
+
+def _subtree_get_fs(tmp_path):
+    """get_fs twin for an object-store layout where the STORE-RELATIVE
+    path differs from the table URI (on local disk both coincide, which
+    is exactly what hid the r7 rel-vs-path bugs): fs ops resolve through
+    a SubTreeFileSystem rooted at tmp_path, so `rel` is relative and NOT
+    readable by Spark — any spark.read against rel fails like it would
+    on s3://."""
+    from pyarrow.fs import LocalFileSystem, SubTreeFileSystem
+
+    sub = ArrowFS(SubTreeFileSystem(str(tmp_path), LocalFileSystem()))
+    base = str(tmp_path)
+
+    def fake_get_fs(p: str):
+        if p.startswith(base):
+            return sub, os.path.relpath(p, base)
+        return LocalFS(), p
+
+    return fake_get_fs
+
+
+def test_read_changes_resolves_table_uri_not_rel(spark, tmp_path, monkeypatch):
+    """ADVICE r07: read_changes must hand Spark the ORIGINAL table path,
+    not the store-relative one — on object stores rel has no scheme and
+    spark.read resolves it as a local path. Reproduced via a subtree fs
+    where rel is cwd-relative garbage for Spark."""
+    from pspcz_analyzer_spark import manifest as M
+
+    path = str(tmp_path / "cdf_uri")
+    spark.range(20).selectExpr("id AS k").coalesce(1).write.parquet(path)
+    M.manifest_init(path)
+    M.enable_cdf(path)
+    monkeypatch.setattr(M, "get_fs", _subtree_get_fs(tmp_path))
+    v0 = M.current_version(path)
+    M.delete_where(spark, path, "k < 5")  # records cdf_files
+    ch = M.read_changes(spark, path, v0)
+    assert ch.count() == 5
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+
+
+def test_version_at_timestamp_uses_ict_on_uri_backends(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r07: version_at_timestamp passed `rel` to read_manifest, so
+    on URI backends the in-commit-timestamp read ALWAYS threw and the
+    resolver silently fell back to mtimes — the exact failure ICT exists
+    to prevent. Pin mtimes to the far future so only ICT resolution can
+    answer correctly."""
+    import json
+
+    from pspcz_analyzer_spark import manifest as M
+
+    path = str(tmp_path / "ict_uri")
+    spark.range(10).selectExpr("id AS k").coalesce(1).write.parquet(path)
+    M.manifest_init(path)  # v1
+    M.append(spark.range(10, 15).selectExpr("id AS k"), path)  # v2
+    mdir = os.path.join(path, "_manifest")
+    for v, t in ((1, 1000.0), (2, 2000.0)):
+        p = os.path.join(mdir, f"{v:08d}.json")
+        doc = json.loads(open(p).read())
+        doc["ts"] = t
+        open(p, "w").write(json.dumps(doc))
+        os.utime(p, (9_999_999_999, 9_999_999_999))  # mtime: far future
+    monkeypatch.setattr(M, "get_fs", _subtree_get_fs(tmp_path))
+    # Between the commits: ICT resolves v1; the mtime fallback would see
+    # nothing <= 1500 and raise (pre-fix behavior on URI backends).
+    assert M.version_at_timestamp(path, 1500) == 1
+    assert M.version_at_timestamp(path, 2500) == 2

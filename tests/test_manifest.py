@@ -841,8 +841,37 @@ class TestDropColumn:
             F.lit(0).cast("bigint").alias("g"),
             F.lit(1.0).alias("price"),
         )
-        with pytest.raises(M.SchemaMismatch, match="DROPPED column name"):
+        with pytest.raises(M.SchemaMismatch, match="DROPPED or renamed-away"):
             M.append(batch, ptab, merge_schema=True)
+
+    def test_merge_schema_cannot_rebind_renamed_away_physical(
+        self, spark, ptab
+    ):
+        """ADVICE r07: after rename_column('price','cost') the physical
+        'price' still holds cost's data in every existing file — a
+        merge-schema batch introducing a NEW column named 'price' would
+        bind to it and resurrect those bytes (duplicate physical fields
+        in the requested schema). Same guard as the dropped ledger."""
+        M.rename_column(ptab, "price", "cost")
+        batch = spark.range(1).select(
+            F.lit(200).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.lit(1.0).alias("cost"),
+            F.lit(7.0).alias("price"),  # new logical col = old physical
+        )
+        with pytest.raises(M.SchemaMismatch, match="DROPPED or renamed-away"):
+            M.append(batch, ptab, merge_schema=True)
+        # the sanctioned route still works: add_column binds fresh physical
+        M.add_column(ptab, "price", "double")
+        m = M.read_manifest(ptab)
+        assert m["colmap"]["price"].startswith("price__v")
+        M.append(batch, ptab)
+        t = M.load_manifest_table(spark, ptab)
+        row = t.filter(F.col("k") == 200).first()
+        assert row["price"] == 7.0 and row["cost"] == 1.0
+        # old rows: cost reads the original bytes, price reads NULL
+        assert t.filter(F.col("price").isNotNull()).count() == 1
+        assert t.filter(F.col("cost").isNotNull()).count() == 51
 
     def test_blockers_raise(self, spark, ptab):
         M.set_constraint(spark, ptab, "pos_price", "price >= 0")
@@ -1975,6 +2004,23 @@ class TestMergeOnReadDeletes:
         assert t.filter(F.col("event_id").isin(3_000, 3_001)).count() == 0
         assert t.count() == 4_000 - 40 - 2
         assert len(M.read_manifest(table)["deletes"]) == 2
+
+    def test_delete_keys_bills_only_alive_rows(self, spark, tmp_path):
+        """ADVICE r07: with pending merge-on-read delete entries,
+        delete_keys' rows_deleted must count only rows ALIVE — raw footer
+        counts would also bill rows the MoR entries already killed (the
+        same overcount delete_where fixed in r7)."""
+        df = spark.range(10).select(F.col("id").alias("k"))
+        path = str(tmp_path / "dk_alive")
+        df.coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        M.delete_keys_mor(spark, path, "k", [1, 2])  # 2 rows now MoR-dead
+        files, rows_deleted = M.delete_keys(spark, path, "k", [1, 2, 3])
+        # only k=3 was still alive; footer math would have said 3
+        assert files == 1 and rows_deleted == 1
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 7
+        assert t.filter(F.col("k").isin(1, 2, 3)).count() == 0
 
     def test_materialize_folds_and_drops_entries(self, spark, table):
         M.delete_keys_mor(spark, table, "user_id", [7, 8])
@@ -4304,6 +4350,59 @@ class TestDistributedDmlPlanning:
         now = M.load_manifest_table(spark, path)
         assert now.filter(F.col("user_id") == 888).count() == 50
         assert now.count() == 2_000
+
+    def test_isin_literal_cap_routes_to_join_with_same_results(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Round-8 measurement (tools/measure_isin_knee.py): the literal
+        In AST costs ~0.5 ms/literal to BUILD (51 s at the old 100k cap)
+        while the anti/semi join is flat <1 s — above ISIN_LITERAL_LIMIT
+        every key-membership expression must be a join, with identical
+        results and CDF rows."""
+        results = {}
+        for label, lim in (("isin", 10**6), ("join", 3)):
+            path = self._mk(spark, tmp_path, f"cap_{label}")
+            M.enable_cdf(path)
+            v0 = M.current_version(path)
+            monkeypatch.setattr(M, "ISIN_LITERAL_LIMIT", lim)
+            nf, nd = M.delete_keys(spark, path, "event_id", list(range(40)))
+            rows = sorted(
+                tuple(r)
+                for r in M.load_manifest_table(spark, path).collect()
+            )
+            feed = sorted(
+                tuple(r) for r in M.read_changes(spark, path, v0).collect()
+            )
+            results[label] = (nf, nd, rows, feed)
+        assert results["isin"] == results["join"]
+        assert results["join"][1] == 40
+
+    def test_materialize_oversized_eqdelete_never_collects_keys(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r07 watch item: materialize_deletes' stats-intersection
+        check pulled WHOLE equality-delete key files driver-side
+        (key_cache) — fine for right-to-be-forgotten sizes, unbounded for
+        mass equality-deletes. Above MOR_STATS_KEY_LIMIT the same check
+        must run as a range join collecting only file names."""
+        path = self._mk(spark, tmp_path, "bigeqdel")
+        # 500 keys, all within the first two range-sorted files' spans.
+        M.delete_keys_mor(spark, path, "event_id", list(range(500)))
+        monkeypatch.setattr(M, "MOR_STATS_KEY_LIMIT", 8)
+        sizes = self._spy_collects(monkeypatch)
+        n_files = len(M.read_manifest(path)["files"])
+        nf, ne = M.materialize_deletes(spark, path)
+        assert ne == 1 and 1 <= nf <= 3  # stats still prune victims
+        assert sizes, "expected the names-only range-join collect"
+        assert max(sizes) <= n_files, (
+            f"a driver collect returned {max(sizes)} rows — key-sized "
+            "materialization on the large path"
+        )
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 1_500
+        assert t.filter(F.col("event_id") < 500).count() == 0
+        # and the entries are gone (idempotent second run)
+        assert M.materialize_deletes(spark, path) == (0, 0)
 
     def test_merge_into_large_source_matches_small_path(
         self, spark, tmp_path, monkeypatch

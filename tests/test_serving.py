@@ -355,6 +355,22 @@ class TestVotesBrowser:
         none = svc.votes(topic="NOSUCHTYPEWORD", per_page=1)
         assert none["total"] == 0 and none["rows"] == []
 
+    def test_out_of_range_page_clamps_to_last(self, svc):
+        """ADVICE r07 reference parity (votes_service.list_votes): page
+        clamps into [1, total_pages] — an out-of-range request returns
+        the LAST page with its rows, never an empty page echoing the
+        unclamped number."""
+        first = svc.votes(page=1, per_page=10)
+        last_page = first["total_pages"]
+        out = svc.votes(page=last_page + 50, per_page=10)
+        assert out["page"] == last_page
+        assert out["rows"]  # the last page's rows, not empty
+        expected_tail = first["total"] - (last_page - 1) * 10
+        assert len(out["rows"]) == expected_tail
+        # below-range clamps to 1
+        under = svc.votes(page=0, per_page=10)
+        assert under["page"] == 1 and len(under["rows"]) == 10
+
     def test_cache_key_covers_params(self, svc):
         svc.votes(search="a", page=1)
         n = svc.compute_calls
