@@ -2617,11 +2617,16 @@ def _plan_source_keys(
     :func:`_candidate_files`)."""
     lim = DML_COLLECT_KEY_LIMIT if limit is None else limit
     keys_df = source.select(key_col).distinct().persist()
-    n = keys_df.count()
-    if n == 0:
+    # ONE action probes size AND collects: limit(lim+1) either returns
+    # the complete key set (small path — no separate count() job; the
+    # count-then-collect pair cost ~0.4 s per DML call at bench scale
+    # and was the r7 orders_scd2_asof_segment bench regression) or
+    # proves the source exceeds the limit with lim+1 rows.
+    head = keys_df.limit(lim + 1).collect()
+    if not head:
         return keys_df, set(), []
-    if n <= lim:
-        key_set = {r[0] for r in keys_df.collect()}
+    if len(head) <= lim:
+        key_set = {r[0] for r in head}
         return keys_df, key_set, _candidate_files(m, fs, rel, key_col, key_set)
 
     pcol = _physical_col(m, key_col)
@@ -3819,23 +3824,28 @@ def scd2_merge(
 
     Returns (changed_keys, new_keys)."""
     m = read_manifest(path)
-    dup = (
-        batch.groupBy(key_col).count().filter(F.col("count") > 1).count()
-    )
-    if dup:
-        raise ValueError(
-            f"{dup} keys appear more than once in the batch; apply waves "
-            "in effective order, one scd2_merge per wave"
-        )
     cur = load_manifest_table(spark, path).filter(F.col(SCD2_CURRENT))
     b = batch.select(
         F.col(key_col),
         *[F.col(c).alias(f"__b_{c}") for c in attr_cols],
         F.col(effective_col).cast("date").alias("__eff"),
     ).persist()
+    # ONE aggregate serves both preconditions (was two jobs: a groupBy
+    # dup probe plus a count — part of the r7 bench regression on the
+    # SCD2 lifecycle query): rows != distinct keys means some key
+    # appears more than once, and the row count sizes the joins.
+    n_rows, n_keys = b.agg(
+        F.count(F.lit(1)), F.count_distinct(F.col(key_col))
+    ).first()
+    if n_rows != n_keys:
+        raise ValueError(
+            f"{n_rows - n_keys} batch row(s) re-use a key that appears "
+            "more than once in the batch; apply waves in effective "
+            "order, one scd2_merge per wave"
+        )
     # One row per key post-dup-check, so count == distinct keys; batches
     # above DML_COLLECT_KEY_LIMIT join by shuffle, not broadcast.
-    small_batch = b.count() <= DML_COLLECT_KEY_LIMIT
+    small_batch = n_rows <= DML_COLLECT_KEY_LIMIT
     bcast = (lambda d: F.broadcast(d)) if small_batch else (lambda d: d)
     diff = F.lit(False)
     for c in attr_cols:
@@ -3854,7 +3864,10 @@ def scd2_merge(
     keys_df, _key_set, affected = _plan_source_keys(
         spark, m, fs, rel, to_insert, key_col
     )
-    n_changed_total = keys_df.count()
+    # Small path: the collected set IS the count (no extra job).
+    n_changed_total = (
+        len(_key_set) if _key_set is not None else keys_df.count()
+    )
     n_new = new_keys.count()
     if n_changed_total == 0:
         keys_df.unpersist()
