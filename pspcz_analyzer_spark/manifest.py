@@ -2925,6 +2925,7 @@ def _commit_rewrite_commuting(
     cdf_names: "list | None",
     partitions: dict | None = None,
     op: str | None = None,
+    seq_new: "dict[str, int] | None" = None,
 ) -> None:
     """Publish a rewrite (victims replaced by staged new_names) with
     WriteSerializable conflict resolution — Delta's rule for rewriting
@@ -2936,10 +2937,26 @@ def _commit_rewrite_commuting(
     file list (appended files carry through untouched; their rows
     arrived "after" this op), with zero Spark re-execution. Anything
     else aborts AND removes the staged files: a blind retry would
-    resurrect or miss rows."""
+    resurrect or miss rows.
+
+    ``seq_new`` optionally pins sequence numbers for specific new files
+    (compaction stamping already-clustered merges at the clustering
+    watermark); unlisted new files take the commit's version as usual."""
     while True:
         new_files = [f for f in m["files"] if f not in victims] + new_names
         stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
+        seq = None
+        if seq_new:
+            prev_seq = m.get("seq") or {}
+            nv = m["version"] + 1
+            seq = {
+                **{
+                    f: int(prev_seq.get(f, nv))
+                    for f in m["files"]
+                    if f not in victims
+                },
+                **{n: int(seq_new.get(n, nv)) for n in new_names},
+            }
         try:
             _commit(
                 path, new_files, m["version"],
@@ -2950,6 +2967,7 @@ def _commit_rewrite_commuting(
                 rows=_updated_rows(m, fs, rel, new_names, victims),
                 cdf_files=cdf_names,
                 partitions=partitions,
+                seq=seq,
                 op=op,
             )
             return
@@ -4001,6 +4019,21 @@ def compact_small_files(
         # they can't widen a range-pure bin's bounding box.
         return (s is None or s[0] is None, s[0] if s else None, f)
 
+    # On a liquid-clustered table, a bin whose inputs are ALL at or below
+    # the clustering watermark holds only already-clustered rows: stamp
+    # its output at the watermark so optimize_clustered does NOT rewrite
+    # the same bytes again next maintenance tick (measured in the round-8
+    # lifecycle run: the unstamped compaction wave was re-clustered whole
+    # one tick later — 2x write amplification on the compacted volume).
+    # Bins mixing pending files stamp normally and stay pending.
+    props_c = m.get("props") or {}
+    cluster_wm = (
+        int(props_c.get("cluster_watermark") or 0)
+        if props_c.get("cluster_by")
+        else None
+    )
+    seq_meta = m.get("seq") or {}
+    stamped: "dict[str, int]" = {}
     new_names: list[str] = []
     merged: list[str] = []
     new_parts: dict = {}
@@ -4028,6 +4061,11 @@ def compact_small_files(
             staged = _stage_rewrites(out, path, "compact")
             new_names += staged
             merged += b
+            if cluster_wm is not None and all(
+                int(seq_meta.get(f, m["version"])) <= cluster_wm for f in b
+            ):
+                for n in staged:
+                    stamped[n] = cluster_wm
             if pkey:
                 for n in staged:
                     new_parts[n] = dict(pkey)
@@ -4043,6 +4081,7 @@ def compact_small_files(
         [] if _cdf_on(m) else None,
         partitions=new_parts,
         op="OPTIMIZE",
+        seq_new=stamped or None,
     )
     return len(merged), len(new_names)
 
@@ -4346,19 +4385,6 @@ def maintain(
         out["clustered_incremental"] = n_inc
         if n_inc:
             m = read_manifest(path)
-    # Standing bloom policy: columns that ever got ensure_blooms keep
-    # their point-lookup pruning — new files backfill every tick (cost =
-    # a column scan of the MISSING files only; no-op when none).
-    out["blooms_backfilled"] = 0
-    for bcol in [
-        c
-        for c in ((m.get("props") or {}).get("bloom_cols") or "").split(",")
-        if c
-    ]:
-        before = current_version(path)
-        if ensure_blooms(spark, path, bcol) != before:
-            out["blooms_backfilled"] += 1
-            m = read_manifest(path)
     fs, rel = get_fs(path)
     small = [
         f
@@ -4368,11 +4394,27 @@ def maintain(
     if len(small) > max_small_files:
         merged, _written = compact_small_files(spark, path, target_bytes)
         out["compacted"] = merged
+        m = read_manifest(path)
     if recluster_col is not None:
         depth = clustering_depth(path, recluster_col)
         if depth > max_depth:
             optimize_zorder(spark, path, [recluster_col])
             out["reclustered"] = depth
+            m = read_manifest(path)
+    # Standing bloom policy: columns that ever got ensure_blooms keep
+    # their point-lookup pruning — new files backfill every tick (cost =
+    # a column scan of the MISSING files only; no-op when none). Runs
+    # AFTER compaction/recluster so this tick's rewrite outputs get
+    # their blooms now instead of waiting a full tick.
+    out["blooms_backfilled"] = 0
+    for bcol in [
+        c
+        for c in ((m.get("props") or {}).get("bloom_cols") or "").split(",")
+        if c
+    ]:
+        before = current_version(path)
+        if ensure_blooms(spark, path, bcol) != before:
+            out["blooms_backfilled"] += 1
     out["vacuumed"] = vacuum(
         path,
         retain_versions=retain_versions,
@@ -4543,6 +4585,49 @@ def clone_table(
     def _rekey(d: "dict | None") -> "dict | None":
         return {ref[k]: v for k, v in d.items() if k in ref} if d else d
 
+    def _clone_blooms(bl: "dict | None") -> "dict | None":
+        # Sidecar refs need the same treatment as data-file refs: shallow
+        # clones absolutize them into the source's tree (vacuum there may
+        # still collect them — the documented shallow-clone caveat), deep
+        # clones copy each referenced blob once into the clone's own
+        # bloom dir. Probes fall back to basename lookup inside the blob,
+        # so re-keyed file names still resolve.
+        if not bl:
+            return bl
+        copied: "dict[str, str]" = {}
+        out: dict = {}
+        for f, cols in bl.items():
+            if f not in ref:
+                continue
+            newcols = {}
+            for c, spec in cols.items():
+                s = spec.get("sidecar")
+                if s:
+                    if shallow:
+                        spec = dict(
+                            spec,
+                            sidecar=(
+                                s
+                                if os.path.isabs(s)
+                                else os.path.join(rel_s, s)
+                            ),
+                        )
+                    else:
+                        if s not in copied:
+                            base = os.path.basename(s)
+                            fs_d.makedirs(os.path.join(rel_d, BLOOM_DIR))
+                            fs_d.copy(
+                                s
+                                if os.path.isabs(s)
+                                else os.path.join(rel_s, s),
+                                os.path.join(rel_d, BLOOM_DIR, base),
+                            )
+                            copied[s] = f"{BLOOM_DIR}/{base}"
+                        spec = dict(spec, sidecar=copied[s])
+                newcols[c] = spec
+            out[ref[f]] = newcols
+        return out
+
     seq = m.get("seq") or {}
     shift = max(list(seq.values()) + [d["seq"] for d in dels], default=0)
     return _commit(
@@ -4559,7 +4644,7 @@ def clone_table(
         ]
         or None,
         seq={ref[f]: seq.get(f, 0) - shift for f in m["files"]},
-        blooms=_rekey(m.get("blooms")),
+        blooms=_clone_blooms(m.get("blooms")),
         partitions=_rekey(m.get("partitions")),
         specs=m.get("specs"),
         current_spec=m.get("current_spec"),
@@ -4821,6 +4906,7 @@ def vacuum(
     keep_vs = sorted(set(vs[-retain_versions:]) | (tagged & set(vs)))
     referenced: set[str] = set()
     referenced_cdf: set[str] = set()
+    referenced_blooms: set[str] = set()
     for v in keep_vs:
         mv = read_manifest(path, v)
         referenced.update(mv["files"])
@@ -4828,6 +4914,14 @@ def vacuum(
         referenced.update(d["file"] for d in (mv.get("deletes") or []))
         # A retained version's change feed stays readable with it.
         referenced_cdf.update(mv.get("cdf_files") or [])
+        # Bloom SIDECARS referenced by a retained version stay readable
+        # with it (absolute refs point into another table — a shallow
+        # clone's source — and are never this vacuum's to collect).
+        for cols in (mv.get("blooms") or {}).values():
+            for spec in cols.values():
+                s = spec.get("sidecar")
+                if s and not os.path.isabs(s):
+                    referenced_blooms.add(s)
     # Staged-but-unpublished WAP batches are referenced by their ref
     # docs, not by any version — they must survive vacuum at any age
     # until published or dropped.
@@ -4855,6 +4949,21 @@ def vacuum(
             if (
                 f.endswith(".parquet")
                 and name not in referenced_cdf
+                and _old_enough(full)
+            ):
+                if dry_run:
+                    would.append(name)
+                    continue
+                fs.remove(full)
+                removed += 1
+    bdir = os.path.join(rel, BLOOM_DIR)
+    if fs.isdir(bdir):
+        for f in fs.listdir(bdir):
+            name = f"{BLOOM_DIR}/{f}"
+            full = os.path.join(bdir, f)
+            if (
+                f.endswith(".json")
+                and name not in referenced_blooms
                 and _old_enough(full)
             ):
                 if dry_run:
@@ -5043,6 +5152,41 @@ def _bloom_positions(value_str: str, bits: int, k: int) -> "list[int]":
     ]
 
 
+BLOOM_DIR = f"{MANIFEST_DIR}/blooms"
+
+# Sidecar blobs are named by uuid and immutable once written, so a
+# process-wide cache keyed by resolved path can never serve stale bits.
+_BLOOM_SIDECAR_CACHE: "dict[str, dict]" = {}
+
+
+def _bloom_sidecar(fs, rel: str, name: str) -> dict:
+    """Load (and cache) one bloom sidecar blob. ``name`` is table-relative
+    (``_manifest/blooms/bl-*.json``) or absolute (shallow clones)."""
+    full = name if os.path.isabs(name) else os.path.join(rel, name)
+    doc = _BLOOM_SIDECAR_CACHE.get(full)
+    if doc is None:
+        doc = json.loads(fs.read_bytes(full))
+        if len(_BLOOM_SIDECAR_CACHE) > 64:
+            _BLOOM_SIDECAR_CACHE.clear()
+        _BLOOM_SIDECAR_CACHE[full] = doc
+    return doc
+
+
+def _bloom_b64(fs, rel: str, fname: str, pcol: str, spec: dict):
+    """Resolve a bloom spec's bitset: inline ``b64`` (pre-sidecar tables)
+    or a sidecar lookup; ``None`` (conservative: keep the file) when the
+    sidecar is gone or lacks the entry."""
+    b64 = spec.get("b64")
+    if b64 is not None or not spec.get("sidecar"):
+        return b64
+    try:
+        doc = _bloom_sidecar(fs, rel, spec["sidecar"])
+    except (FileNotFoundError, OSError, ValueError):
+        return None
+    ent = doc.get(fname) or doc.get(os.path.basename(fname)) or {}
+    return (ent.get(pcol) or {}).get("b64")
+
+
 def ensure_blooms(
     spark: SparkSession,
     path: str,
@@ -5075,9 +5219,13 @@ def ensure_blooms(
     only; false negatives impossible — same conservative contract as
     stats pruning, skipping is an optimization, not a filter. Keys are
     canonicalized as strings; intended for int/string key columns (float
-    keys have no stable cross-engine rendering). At 100 TB the manifest
-    JSON should hive blooms off to a sidecar per file set (Iceberg's
-    puffin) — the probe contract stays identical.
+    keys have no stable cross-engine rendering). Bitsets live in one
+    immutable SIDECAR blob per backfill wave (Iceberg's puffin, in
+    minimal form) and the manifest stores {bits, k, sidecar} pointers —
+    the version blob stays O(files) while the bloom bytes grow with the
+    data; probes resolve sidecars lazily (:func:`_bloom_sidecar` caches
+    them), vacuum collects unreferenced blobs, and inline ``b64`` specs
+    from pre-sidecar tables keep reading.
 
     Returns the committed version (or the current one if nothing was
     missing). Probe with :func:`prune_files_bloom`.
@@ -5170,14 +5318,32 @@ def ensure_blooms(
             p = int(p)
             bs[p >> 3] |= 1 << (p & 7)
         got[r["__f"]] = base64.b64encode(bytes(bs)).decode()
+    # Bitsets land in ONE immutable SIDECAR blob per backfill wave
+    # (Iceberg's puffin, in minimal form) and the manifest records only
+    # {bits, k, sidecar} pointers per file — measured before this change,
+    # inline bitsets made the version blob grow with LIVE ROWS (6 MB at
+    # 1.8M rows in the round-8 lifecycle run), i.e. every commit rewrote
+    # all bloom bytes; with sidecars the blob stays O(files) and a commit
+    # writes no bloom bytes at all. Probes load a sidecar lazily, once,
+    # via _bloom_sidecar's cache; vacuum collects unreferenced blobs.
+    import uuid as _uuid
+
+    fs_b, rel_b = get_fs(path)
+    side_name = f"{BLOOM_DIR}/bl-{_uuid.uuid4().hex[:12]}.json"
+    payload: "dict[str, dict]" = {}
     for f in missing:
         entry = dict(blooms.get(f) or {})
         nb = file_bits[f]
         # A file whose column is entirely NULL gets an all-zero bloom —
         # correct: no key can be in it.
         bs64 = got.get(f, base64.b64encode(bytes(nb // 8)).decode())
-        entry[col] = {"bits": nb, "k": k, "b64": bs64}
+        payload.setdefault(f, {})[col] = {"bits": nb, "k": k, "b64": bs64}
+        entry[col] = {"bits": nb, "k": k, "sidecar": side_name}
         blooms[f] = entry
+    fs_b.makedirs(os.path.join(rel_b, BLOOM_DIR))
+    fs_b.create_exclusive(
+        os.path.join(rel_b, side_name), json.dumps(payload, indent=0).encode()
+    )
     return _commit(
         path, m["files"], m["version"],
         txns=m.get("txns"), schema=m.get("schema"),
@@ -5205,13 +5371,15 @@ def prune_files_bloom(
     m = read_manifest(path, version)
     blooms = m.get("blooms") or {}
     pcol = _physical_col(m, col)
+    fs, rel = get_fs(path)
     kept = []
     for f in m["files"]:
         bl = (blooms.get(f) or {}).get(pcol)
-        if bl is None:
+        b64 = _bloom_b64(fs, rel, f, pcol, bl) if bl else None
+        if b64 is None:
             kept.append(f)
             continue
-        bs = base64.b64decode(bl["b64"])
+        bs = base64.b64decode(b64)
         if all(
             bs[p >> 3] & (1 << (p & 7))
             for p in _bloom_positions(str(value), bl["bits"], bl["k"])

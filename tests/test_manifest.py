@@ -5031,3 +5031,130 @@ class TestRowTracking:
         M.manifest_init(path)
         with pytest.raises(ValueError, match="row tracking is not enabled"):
             M.load_manifest_table(spark, path, with_row_ids=True)
+
+
+class TestCdcLifecycleWaves:
+    """Round-8 composed lifecycle (SCALING.md "Round-8 lifecycle"): a
+    standing table with liquid clustering + bloom + CDF properties takes
+    daily WAP waves (stage -> audit -> publish -> maintain) and the
+    maintenance invariants hold wave over wave: the version blob stays
+    O(files) (bloom SIDECARS, not inline bitsets), compaction outputs
+    stamped at the clustering watermark are NOT re-clustered next tick,
+    and vacuum collects unreferenced sidecars but keeps referenced ones."""
+
+    def _mk(self, spark, tmp_path):
+        path = str(tmp_path / "cdc_waves")
+        spark.range(40_000).select(
+            F.col("id").alias("event_id"),
+            ((F.col("id") * 7919) % 10_000).alias("user_id"),
+        ).repartition(4).write.parquet(path)
+        M.manifest_init(path, stat_cols=["user_id"])
+        M.optimize_clustered(spark, path, ["user_id"], num_partitions=4)
+        M.ensure_blooms(spark, path, "event_id")
+        M.enable_cdf(path)
+        return path
+
+    def test_waves_flat_invariants(self, spark, tmp_path):
+        import os as _os
+
+        path = self._mk(spark, tmp_path)
+        fs, rel = M.get_fs(path)
+        blob_kb = []
+        for day in range(3):
+            lo = 1_000_000 + day * 20_000
+            wave = spark.range(lo, lo + 20_000).select(
+                F.col("id").alias("event_id"),
+                ((F.col("id") * 104729) % 10_000).alias("user_id"),
+            ).repartition(2)
+            ref = f"day{day}"
+            before = M.load_manifest_table(spark, path).count()
+            M.stage_append(wave, path, ref)
+            # staged batch invisible to readers, visible to the audit view
+            assert M.load_manifest_table(spark, path).count() == before
+            assert M.load_staged(spark, path, ref).count() == before + 20_000
+            M.publish_staged(spark, path, ref)
+            out = M.maintain(
+                spark, path, retain_versions=3, vacuum_min_age_seconds=0
+            )
+            assert out["clustered_incremental"] == 2  # the wave's files only
+            assert out["blooms_backfilled"] == 1
+            m = M.read_manifest(path)
+            blob = _os.path.join(
+                M._manifest_dir(rel), f"{m['version']:08d}.json"
+            )
+            blob_kb.append(fs.size(blob) / 1024)
+            # inline bitsets would be ~100+ KB at these row counts; the
+            # sidecar design keeps the blob metadata-sized
+            assert blob_kb[-1] < 32, f"version blob grew: {blob_kb}"
+            assert M.load_manifest_table(spark, path).count() == (
+                40_000 + (day + 1) * 20_000
+            )
+        # blooms still prune point lookups through the sidecars
+        may, total = M.prune_files_bloom(path, "event_id", 1_000_005)
+        assert 0 < len(may) < total
+        m = M.read_manifest(path)
+        assert all(
+            "b64" not in spec and spec.get("sidecar")
+            for cols in m["blooms"].values()
+            for spec in cols.values()
+        )
+
+    def test_compaction_outputs_not_reclustered_next_tick(
+        self, spark, tmp_path
+    ):
+        path = self._mk(spark, tmp_path)
+        # many small already-clustered files: force a compaction
+        for i in range(3):
+            lo = 2_000_000 + i * 5_000
+            M.append(
+                spark.range(lo, lo + 5_000).select(
+                    F.col("id").alias("event_id"),
+                    ((F.col("id") * 31) % 10_000).alias("user_id"),
+                ).repartition(2),
+                path,
+            )
+            M.optimize_clustered(spark, path, ["user_id"], min_files=1)
+        wm = int(M.read_manifest(path)["props"]["cluster_watermark"])
+        merged, written = M.compact_small_files(
+            spark, path, target_bytes=512 * 1024 * 1024
+        )
+        assert merged >= 2 and written >= 1
+        m = M.read_manifest(path)
+        seq = m.get("seq") or {}
+        new_files = [f for f in m["files"] if "compact" in f]
+        assert new_files and all(int(seq[f]) <= wm for f in new_files), (
+            "compaction outputs must stamp at the clustering watermark"
+        )
+        out = M.maintain(spark, path, vacuum_min_age_seconds=0)
+        assert out["clustered_incremental"] == 0, (
+            "already-clustered compaction outputs were re-clustered"
+        )
+        assert M.load_manifest_table(spark, path).count() == 55_000
+
+    def test_vacuum_collects_only_unreferenced_sidecars(
+        self, spark, tmp_path
+    ):
+        import os as _os
+
+        path = self._mk(spark, tmp_path)
+        fs, rel = M.get_fs(path)
+        bdir = _os.path.join(rel, M.BLOOM_DIR)
+        n0 = len(fs.listdir(bdir))
+        assert n0 >= 1
+        # orphan sidecar: referenced by NO manifest -> collected
+        fs.create_exclusive(
+            _os.path.join(bdir, "bl-orphan.json"), b"{}"
+        )
+        M.vacuum(path, retain_versions=1, min_age_seconds=0)
+        left = set(fs.listdir(bdir))
+        assert "bl-orphan.json" not in left
+        m = M.read_manifest(path)
+        referenced = {
+            _os.path.basename(spec["sidecar"])
+            for cols in m["blooms"].values()
+            for spec in cols.values()
+        }
+        assert referenced <= left
+        # the surviving sidecars still serve probes
+        may, total = M.prune_files_bloom(path, "event_id", 7)
+        assert 0 < len(may) <= total
