@@ -4514,6 +4514,67 @@ def export_snapshot(
     return spark.read.parquet(dst).count()
 
 
+def import_snapshot(
+    src: str,
+    dst: str,
+    stat_cols: "list | None" = None,
+    bloom_cols: "list | None" = None,
+    copy: bool = True,
+) -> int:
+    """IMPORT half of the interchange escape hatch (the inverse of
+    :func:`export_snapshot`): adopt a plain parquet directory — an
+    export, or any engine's output — as a FRESH manifest table at
+    ``dst`` WITHOUT mutating the source directory (:func:`manifest_init`
+    adopts in place; this one leaves the hand-off artifact untouched).
+
+    ``copy=True`` (default) byte-copies the files into ``dst`` —
+    self-contained at copy cost, like a deep clone. ``copy=False``
+    references the source files absolutely (zero data IO; same lifetime
+    caveat and scheme-less-path rule as shallow clones: deleting the
+    source breaks the import; ``dst``'s own vacuum never reaches across).
+
+    Metadata builds on the lazy plan a fresh adoption wants at 100 TB:
+    ``stat_cols`` computes per-file [min, max] once from footers
+    (metadata-only); ``bloom_cols`` records only the STANDING bloom
+    policy — the bitsets build on the first :func:`maintain` tick, a
+    column scan that runs when maintenance windows allow rather than
+    inside the import. Returns the committed version (1)."""
+    if _versions(dst):
+        raise ValueError(f"{dst} is already a manifest table")
+    fs_s, rel_s = get_fs(src)
+    fs_d, rel_d = get_fs(dst)
+    src_files = sorted(
+        f for f in fs_s.listdir(rel_s) if f.endswith(".parquet")
+    )
+    if not src_files:
+        raise FileNotFoundError(f"no parquet files to import at {src}")
+    fs_d.makedirs(rel_d)
+    if copy:
+        files = []
+        for f in src_files:
+            fs_d.copy(os.path.join(rel_s, f), os.path.join(rel_d, f))
+            files.append(f)
+    else:
+        if "://" in src or "://" in dst:
+            raise ValueError(
+                "reference import requires scheme-less paths (absolute "
+                "references resolve via os.path.join); use copy=True"
+            )
+        files = [os.path.join(rel_s, f) for f in src_files]
+    stats = _file_stats(fs_d, rel_d, files, stat_cols) if stat_cols else None
+    props = (
+        {"bloom_cols": ",".join(bloom_cols)} if bloom_cols else None
+    )
+    return _commit(
+        dst, files, 0,
+        schema=_table_schema_list(dst, files),
+        stats=stats, stat_cols=stat_cols,
+        rows=_updated_rows({}, fs_d, rel_d, files),
+        props=props,
+        op="CREATE TABLE",
+    )
+
+
 def clone_table(
     path: str,
     dst: str,

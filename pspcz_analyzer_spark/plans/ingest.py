@@ -3197,3 +3197,88 @@ def manifest_lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "interchange_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice) AS BIGINT) AS cena
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey NOT IN (3, 6, 9, 12)
+    )
+    SELECT o_custkey % 50 AS cust_bucket,
+           count(*) AS n,
+           CAST(sum(cena) AS BIGINT) AS cena_total,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM src
+    GROUP BY cust_bucket
+    ORDER BY cust_bucket
+    """,
+    tags=("manifest", "interchange", "import", "export", "new-surface"),
+    priority=18,
+    doc="Two-way interchange escape hatch (manifest.py::export_snapshot +"
+    " import_snapshot): a manifest table carrying reader-support features"
+    " (a renamed column via the column mapping, pending merge-on-read"
+    " delete entries) exports to PLAIN parquet — every feature resolved"
+    " into ordinary bytes — and the export is adopted back as a FRESH"
+    " manifest table WITHOUT mutating the hand-off directory (asserted:"
+    " the export dir's file list is unchanged). Metadata rebuilds on the"
+    " lazy plan a 100 TB adoption wants: [min,max] stats once from"
+    " footers at import, blooms only as a STANDING policy that the first"
+    " maintain() tick backfills (asserted: pointers prune a point lookup"
+    " through the sidecars afterwards). The oracle recomputes the"
+    " surviving rows from the base table, so a row lost or duplicated"
+    " anywhere in the export -> import -> maintain chain fails the hash.",
+)
+def interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    src = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor("o_totalprice").alias("price"),
+    )
+    path = _scratch(sf_dir, "interchange_src")
+    exp = _scratch(sf_dir, "interchange_export")
+    dst = _scratch(sf_dir, "interchange_import")
+    for p in (path, exp, dst):
+        _shutil.rmtree(p, ignore_errors=True)
+    write_range_sorted(src, path, "o_orderkey", num_partitions=4)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    M.rename_column(path, "price", "cena")  # column mapping in play
+    M.delete_keys_mor(spark, path, "o_orderkey", [3, 6, 9, 12])
+    M.export_snapshot(spark, path, exp, num_partitions=4)
+    fs, rel = M.get_fs(exp)
+    exp_files0 = sorted(f for f in fs.listdir(rel) if f.endswith(".parquet"))
+    M.import_snapshot(
+        exp, dst, stat_cols=["o_orderkey"], bloom_cols=["o_custkey"]
+    )
+    if (M.read_manifest(dst).get("blooms") or {}):
+        raise AssertionError("import must NOT build blooms eagerly")
+    out = M.maintain(spark, dst, vacuum_min_age_seconds=0)
+    if out["blooms_backfilled"] != 1:
+        raise AssertionError("first maintain() tick must backfill blooms")
+    probe = M.load_manifest_table(spark, dst).select("o_custkey").first()[0]
+    may, total = M.prune_files_bloom(dst, "o_custkey", probe)
+    if not (0 < len(may) <= total):
+        raise AssertionError("sidecar blooms must serve point-lookup pruning")
+    exp_files1 = sorted(f for f in fs.listdir(rel) if f.endswith(".parquet"))
+    if exp_files0 != exp_files1:
+        raise AssertionError("import must leave the hand-off dir untouched")
+    return (
+        M.load_manifest_table(spark, dst)
+        .groupBy((F.col("o_custkey") % 50).alias("cust_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cena").cast("long").alias("cena_total"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("cust_bucket")
+    )

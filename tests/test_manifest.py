@@ -149,6 +149,62 @@ class TestExportSnapshot:
         dst = str(tmp_path / "exp_v_dst")
         assert M.export_snapshot(spark, path, dst, version=v1) == 5
 
+    def test_import_adopts_without_mutating_source(self, spark, tmp_path):
+        """Round-8: the import half of the escape hatch — a plain parquet
+        hand-off directory becomes a fresh manifest table, the source
+        dir stays byte-identical, and the new table is fully live
+        (DML, maintain, time travel from its own v1)."""
+        src = str(tmp_path / "imp_src")
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+        ).repartition(3).write.parquet(src)
+        before = sorted(os.listdir(src))
+        dst = str(tmp_path / "imp_dst")
+        v = M.import_snapshot(src, dst, stat_cols=["k"], bloom_cols=["g"])
+        assert v == 1
+        assert sorted(os.listdir(src)) == before  # source untouched
+        t = M.load_manifest_table(spark, dst)
+        assert t.count() == 100
+        # stats built eagerly (footer pass), blooms only as standing policy
+        m = M.read_manifest(dst)
+        assert m.get("stats") and not m.get("blooms")
+        assert m["props"]["bloom_cols"] == "g"
+        out = M.maintain(spark, dst, vacuum_min_age_seconds=0)
+        assert out["blooms_backfilled"] == 1
+        may, total = M.prune_files_bloom(dst, "g", 3)
+        assert 0 < len(may) <= total
+        # the import is a live table: DML works and never touches src
+        M.delete_where(spark, dst, "k < 10")
+        assert M.load_manifest_table(spark, dst).count() == 90
+        assert sorted(os.listdir(src)) == before
+        assert spark.read.parquet(src).count() == 100
+
+    def test_import_by_reference_shares_bytes(self, spark, tmp_path):
+        src = str(tmp_path / "impref_src")
+        spark.range(50).select(F.col("id").alias("k")).coalesce(
+            2
+        ).write.parquet(src)
+        dst = str(tmp_path / "impref_dst")
+        M.import_snapshot(src, dst, copy=False)
+        # zero data files inside dst — absolute references into src
+        assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+        assert M.load_manifest_table(spark, dst).count() == 50
+        assert all(os.path.isabs(f) for f in M.read_manifest(dst)["files"])
+
+    def test_import_refuses_existing_table_and_empty_dir(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "impbad_src")
+        spark.range(5).selectExpr("id AS k").coalesce(1).write.parquet(src)
+        dst = str(tmp_path / "impbad_dst")
+        M.import_snapshot(src, dst)
+        with pytest.raises(ValueError, match="already a manifest table"):
+            M.import_snapshot(src, dst)
+        empty = str(tmp_path / "impbad_empty")
+        os.makedirs(empty)
+        with pytest.raises(FileNotFoundError, match="no parquet files"):
+            M.import_snapshot(empty, str(tmp_path / "impbad_dst2"))
+
 
 class TestTableProperties:
     def test_set_unset_and_reserved(self, spark, tmp_path):
