@@ -181,6 +181,8 @@ HEADLINE = [
     "manifest_cluster_incremental",
     "manifest_wap_roundtrip",
     "manifest_lakehouse_lifecycle",
+    # round-8 additions
+    "interchange_roundtrip",
 ]
 
 

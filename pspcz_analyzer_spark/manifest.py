@@ -5154,7 +5154,7 @@ def version_at_timestamp(path: str, ts: float) -> int:
         # missing/corrupt blob falls back; real read errors surface.
         try:
             t = read_manifest(path, v).get("ts")
-        except (FileNotFoundError, KeyError, ValueError):
+        except (FileNotFoundError, KeyError):
             t = None
         if t is None:
             t = fs.mtime(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
@@ -5405,15 +5405,24 @@ def ensure_blooms(
     fs_b.create_exclusive(
         os.path.join(rel_b, side_name), json.dumps(payload, indent=0).encode()
     )
-    return _commit(
-        path, m["files"], m["version"],
-        txns=m.get("txns"), schema=m.get("schema"),
-        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
-        constraints=m.get("constraints"), deletes=m.get("deletes"),
-        rows=m.get("rows"), seq=m.get("seq"), blooms=blooms,
-        props=props,
-        op="OPTIMIZE",
-    )
+    try:
+        return _commit(
+            path, m["files"], m["version"],
+            txns=m.get("txns"), schema=m.get("schema"),
+            stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+            constraints=m.get("constraints"), deletes=m.get("deletes"),
+            rows=m.get("rows"), seq=m.get("seq"), blooms=blooms,
+            props=props,
+            op="OPTIMIZE",
+        )
+    except CommitConflict:
+        # Lost the version race: the blob is referenced by nothing —
+        # remove it now (vacuum would get it, but why leave garbage).
+        try:
+            fs_b.remove(os.path.join(rel_b, side_name))
+        except Exception:
+            pass
+        raise
 
 
 def prune_files_bloom(
