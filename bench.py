@@ -183,6 +183,7 @@ HEADLINE = [
     "manifest_lakehouse_lifecycle",
     # round-8 additions
     "interchange_roundtrip",
+    "hive_adopt_roundtrip",
 ]
 
 

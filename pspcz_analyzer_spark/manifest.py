@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 import pyspark.sql.functions as F
@@ -48,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pspcz_analyzer_spark.fs import get_fs
 
 MANIFEST_DIR = "_manifest"
+HIVE_NULL_TOKEN = "__HIVE_DEFAULT_PARTITION__"
 
 
 # Highest manifest reader version this build understands. 1 = plain
@@ -486,6 +488,115 @@ def manifest_init(path: str, stat_cols: "list | None" = None) -> int:
     )
 
 
+def convert_to_manifest(
+    path: str,
+    stat_cols: "list | None" = None,
+    partition_schema: "dict[str, str] | None" = None,
+) -> int:
+    """Adopt a HIVE-PARTITIONED parquet directory IN PLACE (Delta's
+    ``CONVERT TO DELTA`` / Iceberg's ``migrate``): walk the
+    ``col=value`` directory tree, record every leaf file with its
+    partition values, declare an identity partition spec over the
+    discovered keys, and commit it all as version 1 — zero data IO at
+    any size, the adoption story for an existing 100 TB hive lake.
+
+    Hive layout keeps partition columns in DIRECTORY NAMES, not file
+    bytes, so two contracts make the adopted table a full citizen:
+
+    * reads restore the values per file from the manifest's recorded
+      tokens (``props["pfill"]`` drives a broadcast per-file join in
+      :func:`_read_files` — the Iceberg ``add_files`` read contract);
+      rewrites materialize them into ordinary columns, after which the
+      physical value wins per row;
+    * leaf files are RENAMED to uuid-unique names inside their
+      directories first: ``partitionBy`` writers reuse task names
+      (``part-00000-...``) across partition dirs, and every
+      basename-keyed feature (positional deletes, row tracking,
+      identity, the partition fill itself) requires table-wide
+      uniqueness. Renames are same-directory metadata ops; hive-path
+      readers that list directories keep working.
+
+    Partition column types come from ``partition_schema`` when given,
+    else every token parsing as an integer types the column ``bigint``
+    and anything else ``string``. Flat directories degrade to exactly
+    :func:`manifest_init` semantics. No-op (returns the current version)
+    if already a manifest table."""
+    from urllib.parse import unquote
+
+    if _versions(path):
+        return current_version(path)
+    fs, rel = get_fs(path)
+    leaves: "list[tuple[str, dict]]" = []
+    pcols: "list[str]" = []
+    stack = [("", {})]
+    while stack:
+        sub, vals = stack.pop()
+        d = os.path.join(rel, sub) if sub else rel
+        for base in sorted(fs.listdir(d)):
+            if base.startswith(("_", ".")):
+                continue
+            p = os.path.join(d, base)
+            child = os.path.join(sub, base) if sub else base
+            if fs.isdir(p):
+                if "=" in base:
+                    c, _, tok = base.partition("=")
+                    if c not in pcols:
+                        pcols.append(c)
+                    stack.append((child, {**vals, c: unquote(tok)}))
+                else:
+                    stack.append((child, dict(vals)))
+            elif base.endswith(".parquet"):
+                leaves.append((child, dict(vals)))
+    if not leaves:
+        raise FileNotFoundError(f"no parquet files to adopt at {path}")
+    files: "list[str]" = []
+    parts: dict = {}
+    for i, (f, vals) in enumerate(sorted(leaves)):
+        if os.path.dirname(f):
+            new = os.path.join(
+                os.path.dirname(f),
+                f"adopt-{uuid.uuid4().hex[:12]}-{i}.parquet",
+            )
+            fs.rename(os.path.join(rel, f), os.path.join(rel, new))
+            f = new
+        files.append(f)
+        if vals:
+            parts[f] = vals
+    ptypes = dict(partition_schema or {})
+    for c in pcols:
+        if c in ptypes:
+            continue
+        toks = [
+            v[c]
+            for _f, v in leaves
+            if c in v and v[c] != HIVE_NULL_TOKEN
+        ]
+        ptypes[c] = (
+            "bigint"
+            if toks and all(_INT_TOKEN.match(t) for t in toks)
+            else "string"
+        )
+    schema = _table_schema_list(path, files)
+    have = {n for n, _t in schema}
+    schema += [[c, ptypes[c]] for c in pcols if c not in have]
+    fill = [c for c in pcols if c not in have]
+    stats = _file_stats(fs, rel, files, stat_cols) if stat_cols else None
+    return _commit(
+        path, files, 0,
+        schema=schema,
+        stats=stats, stat_cols=stat_cols,
+        rows=_updated_rows({}, fs, rel, files),
+        partitions=parts or None,
+        specs=[list(pcols)] if pcols else None,
+        current_spec=0 if pcols else None,
+        props={"pfill": ",".join(fill)} if fill else None,
+        op="CONVERT",
+    )
+
+
+_INT_TOKEN = re.compile(r"^-?\d+$")
+
+
 def _df_schema_list(df: DataFrame) -> list:
     """[[name, ddl-type], ...] in column order — the manifest's schema
     encoding. simpleString keeps it engine-readable and diffable."""
@@ -678,7 +789,12 @@ def _read_files(
     cols = [F.col(colmap.get(n, n)).alias(n) for n, t in schema]
     dplan = _initial_defaults_plan(m, files)
     ident = m.get("identity") or {}
-    if with_meta or with_row_ids or dplan or ident:
+    pfill = [
+        c
+        for c in ((m.get("props") or {}).get("pfill") or "").split(",")
+        if c
+    ]
+    if with_meta or with_row_ids or dplan or ident or pfill:
         cols += [
             F.col("_metadata.file_name").alias("__file"),
             F.col("_metadata.row_index").alias("__row"),
@@ -719,7 +835,44 @@ def _read_files(
                 ).cast("long"),
             ),
         ).select(*order)
-    if (dplan or ident) and not (with_meta or with_row_ids):
+    if pfill:
+        # Hive-adopted files (convert_to_manifest) carry their partition
+        # columns in DIRECTORY TOKENS, not bytes — the requested-schema
+        # read null-fills them, and this per-file broadcast join restores
+        # the value (the Iceberg add_files read contract). A physical
+        # value wins per row (rewrite outputs embed the columns), same
+        # coalesce rule as identity columns.
+        types_all = {n: t for n, t in schema}
+        parts_all = m.get("partitions") or {}
+        for c in pfill:
+            if c not in types_all:
+                continue
+            rows = []
+            for f in files:
+                tok = (parts_all.get(f) or {}).get(c)
+                rows.append(
+                    (
+                        os.path.basename(f),
+                        None if tok in (None, HIVE_NULL_TOKEN) else tok,
+                    )
+                )
+            fill = F.broadcast(
+                spark.createDataFrame(
+                    rows, f"__file string, __pf_{c} string"
+                )
+            )
+            order = out.columns
+            out = (
+                out.join(fill, "__file", "left")
+                .withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(c), F.col(f"__pf_{c}").cast(types_all[c])
+                    ),
+                )
+                .select(*order)
+            )
+    if (dplan or ident or pfill) and not (with_meta or with_row_ids):
         out = out.drop("__file", "__row")
     if with_row_ids:
         out = _attach_row_ids(spark, m, out, drop_meta=not with_meta)
@@ -1951,7 +2104,7 @@ def prune_files_partition_range(
             kind, param, src = _parse_transform(entry)
             if src != col or kind == "bucket":
                 continue
-            if token == "__HIVE_DEFAULT_PARTITION__":
+            if token == HIVE_NULL_TOKEN:
                 ok = False  # all-null partition: BETWEEN is never true
                 break
             if kind == "truncate":
@@ -5032,23 +5185,39 @@ def vacuum(
                     continue
                 fs.remove(full)
                 removed += 1
-    for f in fs.listdir(rel):
-        full = os.path.join(rel, f)
-        if f.endswith(".parquet") and f not in referenced:
-            if _old_enough(full):
-                if dry_run:
-                    would.append(f)
-                    continue
-                fs.remove(full)
-                removed += 1
-        elif f.startswith(".stage_") and fs.isdir(full):
-            # Crash debris from a writer that died mid-stage; same age
-            # rule — a LIVE writer's stage dir is younger than the window.
-            if _old_enough(full):
-                if dry_run:
-                    would.append(f)
-                    continue
-                fs.rmtree(full)
+    # Recursive sweep: hive-adopted tables (convert_to_manifest) keep
+    # data files inside col=value subdirectories, referenced by their
+    # SUBDIR-RELATIVE names — a flat listdir would never collect their
+    # replaced files. Metadata dirs (_manifest, _changes) and stage
+    # debris are handled by their own rules above/below, never recursed.
+    dirs = [""]
+    while dirs:
+        sub = dirs.pop()
+        d = os.path.join(rel, sub) if sub else rel
+        for base in fs.listdir(d):
+            f = os.path.join(sub, base) if sub else base
+            full = os.path.join(rel, f)
+            if base.endswith(".parquet") and f not in referenced:
+                if _old_enough(full):
+                    if dry_run:
+                        would.append(f)
+                        continue
+                    fs.remove(full)
+                    removed += 1
+            elif base.startswith(".stage_") and fs.isdir(full):
+                # Crash debris from a writer that died mid-stage; same
+                # age rule — a LIVE writer's stage dir is younger than
+                # the window.
+                if _old_enough(full):
+                    if dry_run:
+                        would.append(f)
+                        continue
+                    fs.rmtree(full)
+            elif (
+                fs.isdir(full)
+                and not base.startswith(("_", "."))
+            ):
+                dirs.append(f)
     if dry_run:
         # VACUUM DRY RUN (Delta's): report, touch nothing — including
         # the pruned manifests, which a real pass would drop.

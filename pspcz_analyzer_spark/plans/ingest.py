@@ -3282,3 +3282,77 @@ def interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_bucket")
     )
+
+
+@register(
+    "hive_adopt_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority AS prio,
+             CAST(floor(o_totalprice) AS BIGINT) AS cena
+      FROM orders
+      WHERE o_orderkey % 5 != 0
+    )
+    SELECT prio,
+           count(*) AS n,
+           CAST(sum(cena) AS BIGINT) AS cena_total,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM src
+    GROUP BY prio
+    ORDER BY prio
+    """,
+    tags=("manifest", "convert", "hive", "partition", "new-surface"),
+    priority=18,
+    doc="In-place adoption of a hive-partitioned directory"
+    " (manifest.py::convert_to_manifest — Delta's CONVERT TO DELTA /"
+    " Iceberg migrate): orders land as a partitionBy(prio) hive tree,"
+    " adoption is METADATA-ONLY (leaf renames + one commit; zero data"
+    " IO — asserted: the adopted file set is byte-identical), partition"
+    " VALUES read back from directory tokens via the per-file broadcast"
+    " fill (asserted: token pruning gives a proper file subset), and a"
+    " cross-partition DELETE rewrites through the fill so the oracle's"
+    " surviving-row recompute hash-checks the whole"
+    " adopt -> read -> prune -> DML chain.",
+)
+def hive_adopt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    path = _scratch(sf_dir, "hive_adopt")
+    _shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.floor("o_totalprice").alias("cena"),
+    ).write.partitionBy("prio").parquet(path)
+    # Keyed by (dir, file): partitionBy writers REUSE basenames across
+    # partition dirs — the very collision convert_to_manifest renames away.
+    sizes0 = {
+        (d, f): _os.path.getsize(_os.path.join(path, d, f))
+        for d in _os.listdir(path)
+        if _os.path.isdir(_os.path.join(path, d)) and not d.startswith("_")
+        for f in _os.listdir(_os.path.join(path, d))
+        if f.endswith(".parquet")
+    }
+    M.convert_to_manifest(path)
+    m = M.read_manifest(path)
+    if sorted(sizes0.values()) != sorted(
+        _os.path.getsize(_os.path.join(path, f)) for f in m["files"]
+    ):
+        raise AssertionError("adoption must be zero-data-IO (renames only)")
+    may, total = M.prune_files_partition(path, {"prio": "1-URGENT"})
+    if not (0 < len(may) < total):
+        raise AssertionError("token pruning must give a proper file subset")
+    M.delete_where(spark, path, "o_orderkey % 5 = 0")
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cena").cast("long").alias("cena_total"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("prio")
+    )

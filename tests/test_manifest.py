@@ -5214,3 +5214,122 @@ class TestCdcLifecycleWaves:
         # the surviving sidecars still serve probes
         may, total = M.prune_files_bloom(path, "event_id", 7)
         assert 0 < len(may) <= total
+
+
+class TestConvertHiveDirectory:
+    """convert_to_manifest (round-8): adopt a hive-partitioned directory
+    in place — Delta's CONVERT TO DELTA / Iceberg migrate. Partition
+    values live in directory tokens; reads restore them per file, DML
+    rewrites materialize them, vacuum reaches into the subdirs."""
+
+    @staticmethod
+    def _mk_hive(spark, tmp_path, name="hive_src", nulls=False):
+        path = str(tmp_path / name)
+        df = spark.range(300).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("day"),
+            (F.col("id") % 2 == 0).cast("string").alias("src"),
+        )
+        if nulls:
+            df = df.withColumn(
+                "day", F.when(F.col("k") < 30, None).otherwise(F.col("day"))
+            )
+        df.write.partitionBy("day", "src").parquet(path)
+        return path
+
+    def test_adopts_in_place_and_restores_values(self, spark, tmp_path):
+        path = self._mk_hive(spark, tmp_path)
+        v = M.convert_to_manifest(path)
+        assert v == 1
+        m = M.read_manifest(path)
+        # partitionBy writers reuse part-task names across dirs: the
+        # adopted names must be table-wide basename-unique
+        bases = [os.path.basename(f) for f in m["files"]]
+        assert len(bases) == len(set(bases))
+        assert all(os.path.dirname(f) for f in m["files"])  # in subdirs
+        assert m["specs"] == [["day", "src"]]
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 300
+        # values restored per file from directory tokens, typed
+        assert dict(t.dtypes)["day"] == "bigint"
+        assert dict(t.dtypes)["src"] == "string"
+        got = {
+            (r["day"], r["src"]): r["n"]
+            for r in t.groupBy("day", "src").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert got[(0, "true")] == 50 and got[(1, "false")] == 50
+        # per-row parity with Spark's own hive reader
+        want = {
+            tuple(r)
+            for r in spark.read.parquet(path).select("k", "day", "src").collect()
+        }
+        assert {tuple(r) for r in t.select("k", "day", "src").collect()} == want
+
+    def test_partition_pruning_from_adopted_tokens(self, spark, tmp_path):
+        path = self._mk_hive(spark, tmp_path)
+        M.convert_to_manifest(path)
+        may, total = M.prune_files_partition(path, {"day": 1, "src": "true"})
+        assert 0 < len(may) < total
+        rows = M._read_files(
+            spark, path, M.read_manifest(path), may
+        ).filter((F.col("day") == 1) & (F.col("src") == "true"))
+        assert rows.count() == 50  # ids ≡ 1 (mod 3) and ≡ 0 (mod 2): 50 of 300
+
+    def test_null_partition_token_reads_as_null(self, spark, tmp_path):
+        path = self._mk_hive(spark, tmp_path, name="hive_nulls", nulls=True)
+        M.convert_to_manifest(path)
+        t = M.load_manifest_table(spark, path)
+        assert t.filter(F.col("day").isNull()).count() == 30
+        assert t.count() == 300
+
+    def test_partition_schema_override_beats_inference(self, spark, tmp_path):
+        path = self._mk_hive(spark, tmp_path, name="hive_typed")
+        M.convert_to_manifest(path, partition_schema={"day": "string"})
+        t = M.load_manifest_table(spark, path)
+        assert dict(t.dtypes)["day"] == "string"
+        assert t.filter(F.col("day") == "2").count() == 100
+
+    def test_dml_and_vacuum_reach_into_subdirs(self, spark, tmp_path):
+        path = self._mk_hive(spark, tmp_path, name="hive_dml")
+        M.convert_to_manifest(path)
+        files0 = set(M.read_manifest(path)["files"])
+        M.delete_where(spark, path, "day = 1 AND k < 100")
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 300 - 33  # ids 1,4,...,97: 33 rows
+        # the rewrite materialized the partition cols into real bytes
+        assert t.filter(F.col("day") == 1).count() == 100 - 33
+        replaced = files0 - set(M.read_manifest(path)["files"])
+        assert replaced and all(os.path.dirname(f) for f in replaced)
+        n = M.vacuum(path, retain_versions=1, min_age_seconds=0)
+        assert n >= len(replaced)
+        for f in replaced:
+            assert not os.path.exists(os.path.join(path, f))
+        assert M.load_manifest_table(spark, path).count() == 267
+
+    def test_append_after_adoption_follows_the_spec(self, spark, tmp_path):
+        path = self._mk_hive(spark, tmp_path, name="hive_app")
+        M.convert_to_manifest(path)
+        M.append(
+            spark.createDataFrame(
+                [(1000, 7, "new"), (1001, 7, "new")],
+                "k long, day bigint, src string",
+            ),
+            path,
+        )
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 302
+        assert t.filter(F.col("day") == 7).count() == 2
+        may, _total = M.prune_files_partition(path, {"day": 7})
+        assert len(may) == 1  # the new file, laid out per the spec
+
+    def test_flat_directory_degrades_to_manifest_init(self, spark, tmp_path):
+        path = str(tmp_path / "flat_conv")
+        spark.range(20).selectExpr("id AS k").coalesce(2).write.parquet(path)
+        M.convert_to_manifest(path, stat_cols=["k"])
+        m = M.read_manifest(path)
+        assert not m.get("specs") and not m.get("partitions")
+        assert not (m.get("props") or {}).get("pfill")
+        assert m.get("stats")
+        assert M.load_manifest_table(spark, path).count() == 20
