@@ -5490,11 +5490,19 @@ def ensure_blooms(
                 op="SET TBLPROPERTIES",
             )
         return m["version"]
+    # Read through _read_files, NOT a raw parquet scan: columns the
+    # manifest serves from METADATA — hive partition fill, initial
+    # defaults, identity values — are null in the bytes, and a bloom
+    # built from raw bytes would be all-zero for them, turning the
+    # conservative skip into FALSE NEGATIVES on exactly those lookups.
+    # The logical-schema read restores every such value first. Grouping
+    # keys on ``__file`` basenames (unique table-wide; hive-adopted
+    # names carry a subdir prefix, hence the basename lookups below).
     df = (
-        spark.read.parquet(*[os.path.join(path, f) for f in missing])
+        _read_files(spark, path, m, missing, with_meta=True)
         .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
-            F.col(col).cast("string").alias("__v"),
+            F.col("__file").alias("__f"),
+            F.col(logical).cast("string").alias("__v"),
         )
         .where(F.col("__v").isNotNull())
         .distinct()
@@ -5504,14 +5512,21 @@ def ensure_blooms(
         ndv = {r["__f"]: r["n"] for r in df.groupBy("__f").agg(
             F.count(F.lit(1)).alias("n")).collect()}
         file_bits = {
-            f: max(1024, 1 << (int(k * ndv.get(f, 0) / 0.48) - 1).bit_length())
+            f: max(
+                1024,
+                1
+                << (
+                    int(k * ndv.get(os.path.basename(f), 0) / 0.48) - 1
+                ).bit_length(),
+            )
             for f in missing
         }
     else:
         file_bits = {f: int(bits) for f in missing}
     bmap = F.broadcast(
         spark.createDataFrame(
-            [(f, b) for f, b in file_bits.items()], "__f string, __bits_n long"
+            [(os.path.basename(f), b) for f, b in file_bits.items()],
+            "__f string, __bits_n long",
         )
     )
     seeds = F.array(*[F.lit(i) for i in range(k)])
@@ -5540,9 +5555,10 @@ def ensure_blooms(
         .collect()
     )
     df.unpersist()
+    bits_by_base = {os.path.basename(f): b for f, b in file_bits.items()}
     got = {}
     for r in per_file:
-        nb = file_bits[r["__f"]]
+        nb = bits_by_base[r["__f"]]
         bs = bytearray(nb // 8)
         for p in r["__bits"]:
             p = int(p)
@@ -5566,7 +5582,10 @@ def ensure_blooms(
         nb = file_bits[f]
         # A file whose column is entirely NULL gets an all-zero bloom —
         # correct: no key can be in it.
-        bs64 = got.get(f, base64.b64encode(bytes(nb // 8)).decode())
+        bs64 = got.get(
+            os.path.basename(f),
+            base64.b64encode(bytes(nb // 8)).decode(),
+        )
         payload.setdefault(f, {})[col] = {"bits": nb, "k": k, "b64": bs64}
         entry[col] = {"bits": nb, "k": k, "sidecar": side_name}
         blooms[f] = entry

@@ -5333,3 +5333,43 @@ class TestConvertHiveDirectory:
         assert not (m.get("props") or {}).get("pfill")
         assert m.get("stats")
         assert M.load_manifest_table(spark, path).count() == 20
+
+
+class TestBloomsOverMetadataServedColumns:
+    """Round-8 correctness corner: blooms built from RAW bytes are
+    all-zero for columns the manifest serves from metadata (hive
+    partition fill, initial defaults, identity) — a conservative skip
+    silently becomes FALSE NEGATIVES on exactly those point lookups.
+    ensure_blooms must read through the logical schema."""
+
+    def test_bloom_on_hive_fill_column_never_false_negative(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "bl_fill")
+        spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("day")
+        ).write.partitionBy("day").parquet(path)
+        M.convert_to_manifest(path)
+        M.ensure_blooms(spark, path, "day")
+        # every day value exists; its file(s) must survive the bloom
+        for v in range(4):
+            may, total = M.prune_files_bloom(path, "day", v)
+            assert may, f"false negative: day={v} pruned everywhere"
+            got = M.scan_manifest_table_point(spark, path, "day", v).count()
+            assert got == 50
+        # and a missing value still prunes (the bloom is not vacuous)
+        may, total = M.prune_files_bloom(path, "day", 999)
+        assert len(may) < total
+
+    def test_bloom_on_initial_default_column(self, spark, tmp_path):
+        path = str(tmp_path / "bl_def")
+        spark.range(50).selectExpr("id AS k").coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        M.add_column(path, "src", "string", initial_default="'legacy'")
+        M.ensure_blooms(spark, path, "src")
+        # the default value is metadata-served for the pre-existing file
+        may, _total = M.prune_files_bloom(path, "src", "legacy")
+        assert may, "false negative on the initial-default value"
+        assert M.scan_manifest_table_point(
+            spark, path, "src", "legacy"
+        ).count() == 50
