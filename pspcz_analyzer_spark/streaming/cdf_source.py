@@ -95,6 +95,25 @@ def _slice_features(doc: dict, fname: str) -> "tuple[list | None, list | None]":
         if lit is None or c not in types or seq >= int(d.get("since", 0)):
             continue
         fills.append((c, _eval_default_literal(lit, types[c])))
+    # Hive-adopted partition columns (convert_to_manifest): the value
+    # lives in the file's recorded directory token, not its bytes — a
+    # per-file constant, exactly like an initial default. Physical
+    # values still win (fills apply only when the column is absent), so
+    # rewrite outputs are unaffected.
+    from pspcz_analyzer_spark.manifest import HIVE_NULL_TOKEN
+
+    pf = [
+        c
+        for c in ((doc.get("props") or {}).get("pfill") or "").split(",")
+        if c
+    ]
+    ptoks = (doc.get("partitions") or {}).get(fname) or {}
+    for c in pf:
+        tok = ptoks.get(c)
+        if c not in types or tok is None or tok == HIVE_NULL_TOKEN:
+            continue
+        lit = "'" + str(tok).replace("'", "''") + "'"
+        fills.append((c, _eval_default_literal(lit, types[c])))
     ident = [
         (
             c,

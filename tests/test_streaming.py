@@ -1036,6 +1036,47 @@ class TestSourceFeatureParity:
         assert got.filter(F.col("src") == "old").count() == 3
         assert sorted(r[0] for r in got.select("uid").collect()) == [1, 2, 3]
 
+    def test_cdf_stream_restores_hive_partition_values(
+        self, spark, tmp_path
+    ):
+        """Round-8: streaming a hive-adopted table must restore the
+        partition columns from the recorded directory tokens (they are
+        null in the bytes), mirroring the batch reader's pfill."""
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.streaming.cdf_source import (
+            register_cdf_source,
+        )
+
+        register_cdf_source(spark)
+        tbl = str(tmp_path / "hive_stream_tbl")
+        spark.range(90).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("day")
+        ).write.partitionBy("day").parquet(tbl)
+        M.convert_to_manifest(tbl)
+        out = str(tmp_path / "hive_stream_out")
+        q = (
+            spark.readStream.format("manifest")
+            .option("tablePath", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "hive_stream_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(out)
+        assert got.count() == 90
+        assert got.filter(F.col("day").isNull()).count() == 0
+        per = {
+            r["day"]: r["n"]
+            for r in got.groupBy("day").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert per == {0: 30, 1: 30, 2: 30}
+
 
 class TestRowCDFStream:
     """Streaming row-level change feed (readChanges=true): DML commits
