@@ -5373,3 +5373,71 @@ class TestBloomsOverMetadataServedColumns:
         assert M.scan_manifest_table_point(
             spark, path, "src", "legacy"
         ).count() == 50
+
+
+class TestAdoptedTableLifecycle:
+    """Hive-adopted tables must be full citizens of every lifecycle op:
+    key-addressed DML, compaction (per-partition groups), bloom policy,
+    and the append-only CDF all run through the partition fill."""
+
+    @staticmethod
+    def _mk(spark, tmp_path, name):
+        path = str(tmp_path / name)
+        spark.range(240).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("day"),
+            (F.col("id") * 2.0).alias("v"),
+        ).repartition(2).write.partitionBy("day").parquet(path)
+        M.convert_to_manifest(path, stat_cols=["k"])
+        return path
+
+    def test_upsert_by_key_crosses_partitions(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "adopt_up")
+        batch = spark.createDataFrame(
+            [(5, 1, 999.0), (1000, 9, 1.0)], "k long, day bigint, v double"
+        )
+        M.upsert(spark, batch, path, "k")
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 241
+        assert t.filter(F.col("k") == 5).first()["v"] == 999.0
+        # untouched rows still read their directory-token day values
+        assert t.filter(F.col("day").isNull()).count() == 0
+        assert t.filter((F.col("k") == 6) & (F.col("day") == 2)).count() == 1
+
+    def test_maintain_compacts_within_partitions_and_blooms(
+        self, spark, tmp_path
+    ):
+        path = self._mk(spark, tmp_path, "adopt_maint")
+        M.ensure_blooms(spark, path, "day")
+        out = M.maintain(
+            spark,
+            path,
+            target_bytes=64 * 1024 * 1024,
+            max_small_files=3,
+            vacuum_min_age_seconds=0,
+        )
+        assert out["compacted"] >= 4
+        m = M.read_manifest(path)
+        # compaction grouped by the recorded partition tuple: every
+        # output carries its day value and pruning still works
+        may, total = M.prune_files_partition(path, {"day": 2})
+        assert 0 < len(may) < total
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 240
+        assert t.filter(F.col("day") == 2).count() == 60
+        got = M.scan_manifest_table_point(spark, path, "day", 3).count()
+        assert got == 60
+
+    def test_append_only_cdf_fills_partition_values(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "adopt_cdf")
+        M.enable_cdf(path)
+        v0 = M.current_version(path)
+        M.append(
+            spark.createDataFrame(
+                [(2000, 5, 0.0)], "k long, day bigint, v double"
+            ),
+            path,
+        )
+        feed = M.read_changes(spark, path, v0)
+        assert feed.count() == 1
+        assert feed.first()["day"] == 5
