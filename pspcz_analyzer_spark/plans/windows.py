@@ -723,6 +723,11 @@ def events_stream_view_purchase_outer(
     landing = scratch_path(sf_dir, "events_outer_landing")
     _shutil.rmtree(landing, ignore_errors=True)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # Trigger count is NOT this query's cost (measured r8: 1 real file =
+    # 3 triggers vs 4 files = 6 triggers is time-identical at sf0.1) —
+    # the wall is state-store + join shuffle volume, which any trigger
+    # split pays once either way. Four files kept: multi-trigger
+    # incremental arrival is the scenario worth exercising.
     events.select(*cols).coalesce(4).write.parquet(
         _os.path.join(landing, "batch1")
     )

@@ -5441,3 +5441,27 @@ class TestAdoptedTableLifecycle:
         feed = M.read_changes(spark, path, v0)
         assert feed.count() == 1
         assert feed.first()["day"] == 5
+
+
+def test_zorder_on_adopted_table_materializes_and_keeps_values(
+    spark, tmp_path
+):
+    """A full re-layout of a hive-adopted table writes flat files with
+    the partition columns as real bytes (the fill's coalesce takes the
+    physical value from then on) and pruning moves from tokens to
+    stats."""
+    path = str(tmp_path / "adopt_zorder")
+    spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("day")
+    ).write.partitionBy("day").parquet(path)
+    M.convert_to_manifest(path, stat_cols=["k"])
+    M.optimize_zorder(spark, path, ["day", "k"])
+    m = M.read_manifest(path)
+    assert all(not os.path.dirname(f) for f in m["files"])  # flat now
+    t = M.load_manifest_table(spark, path)
+    assert t.count() == 200
+    assert t.filter(F.col("day") == 3).count() == 50
+    assert t.filter(F.col("day").isNull()).count() == 0
+    # stats recomputed from the new footers include the materialized col
+    may, total = M.prune_files(path, "day", 3, 3)
+    assert 0 < len(may) <= total
