@@ -5465,3 +5465,23 @@ def test_zorder_on_adopted_table_materializes_and_keeps_values(
     # stats recomputed from the new footers include the materialized col
     may, total = M.prune_files(path, "day", 3, 3)
     assert 0 < len(may) <= total
+
+
+def test_convert_handles_escaped_partition_tokens(spark, tmp_path):
+    """Hive dir names %-escape special characters ('=', '/', '%', ':');
+    convert_to_manifest must unquote them so the restored values (and
+    token pruning through _transform_value's re-encoding) match the
+    original data exactly."""
+    path = str(tmp_path / "hive_escaped")
+    vals = ["a=b", "x/y", "50%", "plain", "sp ace"]
+    spark.createDataFrame(
+        [(i, vals[i % len(vals)]) for i in range(100)], "k long, tag string"
+    ).write.partitionBy("tag").parquet(path)
+    M.convert_to_manifest(path)
+    t = M.load_manifest_table(spark, path)
+    got = {r["tag"] for r in t.select("tag").distinct().collect()}
+    assert got == set(vals)
+    assert t.filter(F.col("tag") == "a=b").count() == 20
+    # parity with Spark's own hive reader, row for row
+    want = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert {tuple(r) for r in t.select("k", "tag").collect()} == want
