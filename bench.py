@@ -184,6 +184,7 @@ HEADLINE = [
     # round-8 additions
     "interchange_roundtrip",
     "hive_adopt_roundtrip",
+    "manifest_scan_auto",
 ]
 
 

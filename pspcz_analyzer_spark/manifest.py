@@ -5646,6 +5646,74 @@ def prune_files_bloom(
     return kept, len(m["files"])
 
 
+def scan_auto(
+    spark: SparkSession,
+    path: str,
+    eq: "dict[str, object] | None" = None,
+    ranges: "dict[str, tuple] | None" = None,
+    version: int | None = None,
+) -> DataFrame:
+    """ONE planned scan composing EVERY metadata pruning source this
+    layer maintains — the scan-builder contract of Delta/Iceberg: the
+    caller states predicates (``eq``: col = value conjuncts; ``ranges``:
+    lo <= col <= hi conjuncts) and the planner intersects
+
+    * recorded PARTITION TOKENS (equality through hidden transforms,
+      ranges through order-preserving ones),
+    * per-file [min, max] STATS (equality as a degenerate range, both
+      folded into one box test),
+    * per-file BLOOMS for equality on bloom-tracked columns,
+
+    then reads only the surviving files through the merge-on-read view
+    and applies the EXACT predicate. Each source skips conservatively
+    (unknown metadata keeps the file), so the result equals
+    ``load_manifest_table(version).filter(<conjunction>)`` row-for-row
+    by construction — the oracle, and why callers never have to know
+    WHICH pruning metadata a table happens to maintain. At a million
+    files this is the difference between planning from one JSON and
+    listing/footer-opening the world; the exact filter still pushes into
+    the parquet scan for row-group pruning inside the kept files."""
+    eq = dict(eq or {})
+    ranges = dict(ranges or {})
+    if any(v is None for v in eq.values()):
+        raise ValueError("eq values must be non-null; use prune_files_null")
+    m = read_manifest(path, version)
+    keep = set(m["files"])
+    if eq:
+        k, _t = prune_files_partition(path, eq, version)
+        keep &= set(k)
+    for c, (lo, hi) in ranges.items():
+        k, _t = prune_files_partition_range(path, c, lo, hi, version)
+        keep &= set(k)
+    box = {c: (v, v) for c, v in eq.items()}
+    for c, (lo, hi) in ranges.items():
+        if c in box:  # eq AND range on one column: intersect
+            v = box[c][0]
+            if not (lo <= v <= hi):
+                keep = set()
+            continue
+        box[c] = (lo, hi)
+    if box and keep:
+        k, _t = prune_files_multi(path, box, version)
+        keep &= set(k)
+    for c, v in eq.items():
+        if not keep:
+            break
+        k, _t = prune_files_bloom(path, c, v, version)
+        keep &= set(k)
+    pred = F.lit(True)
+    for c, v in eq.items():
+        pred = pred & (F.col(c) == F.lit(v))
+    for c, (lo, hi) in ranges.items():
+        pred = pred & F.col(c).between(F.lit(lo), F.lit(hi))
+    files = [f for f in m["files"] if f in keep]
+    if not files:
+        return (
+            load_manifest_table(spark, path, version).filter(pred).limit(0)
+        )
+    return _with_deletes(spark, path, m, files).filter(pred)
+
+
 def scan_manifest_table_point(
     spark: SparkSession, path: str, col: str, value
 ) -> DataFrame:

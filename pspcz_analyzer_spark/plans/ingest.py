@@ -3356,3 +3356,56 @@ def hive_adopt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@register(
+    "manifest_scan_auto",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT) AS cena
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderkey BETWEEN 1000 AND 3000
+    ORDER BY o_orderkey
+    """,
+    tags=("manifest", "scan-builder", "pruning", "new-surface", "scale"),
+    priority=18,
+    doc="The composed scan planner (manifest.py::scan_auto — the"
+    " Delta/Iceberg scan-builder contract): the caller states eq+range"
+    " predicates and the planner intersects partition TOKENS (the"
+    " priority equality, through the hive-adopted identity spec),"
+    " per-file [min,max] STATS (the key range, range-sorted layout),"
+    " and per-file BLOOMS (the priority again, over the partition-fill"
+    " column — the r8 logical-read bloom path), then reads only the"
+    " surviving files through the MoR view and applies the exact"
+    " filter. Asserted: the planned file set is a PROPER subset of the"
+    " table; the oracle recomputes from the base table so any file the"
+    " planner wrongly skipped (a bloom/stats/token false negative)"
+    " fails the hash.",
+)
+def manifest_scan_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    path = _scratch(sf_dir, "scan_auto_orders")
+    _shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.floor("o_totalprice").alias("cena"),
+    ).sort("o_orderkey").write.partitionBy("prio").parquet(path)
+    M.convert_to_manifest(path, stat_cols=["o_orderkey"])
+    M.ensure_blooms(spark, path, "prio")
+    out = M.scan_auto(
+        spark,
+        path,
+        eq={"prio": "1-URGENT"},
+        ranges={"o_orderkey": (1000, 3000)},
+    )
+    # proper-subset proof: the token prune alone already restricts to
+    # one partition's files (scan_auto intersects it with stats+blooms)
+    may, total = M.prune_files_partition(path, {"prio": "1-URGENT"})
+    if not (0 < len(may) < total):
+        raise AssertionError("planned file set must be a proper subset")
+    return out.select("o_orderkey", "cena").orderBy("o_orderkey")

@@ -5485,3 +5485,81 @@ def test_convert_handles_escaped_partition_tokens(spark, tmp_path):
     # parity with Spark's own hive reader, row for row
     want = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert {tuple(r) for r in t.select("k", "tag").collect()} == want
+
+
+class TestScanAuto:
+    """scan_auto composes partition tokens + stats + blooms into one
+    planned scan and must equal the unplanned filter row-for-row on
+    every table shape (the conservative-skip contract end-to-end)."""
+
+    def test_composes_all_sources_on_adopted_table(self, spark, tmp_path):
+        path = str(tmp_path / "auto_hive")
+        spark.range(2_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("day"),
+            ((F.col("id") * 7) % 100).alias("u"),
+        ).repartition(2).write.partitionBy("day").parquet(path)
+        M.convert_to_manifest(path, stat_cols=["k"])
+        M.ensure_blooms(spark, path, "u")
+        got = M.scan_auto(
+            spark, path, eq={"day": 2, "u": 14}, ranges={"k": (100, 1500)}
+        )
+        want = (
+            M.load_manifest_table(spark, path)
+            .filter(
+                (F.col("day") == 2)
+                & (F.col("u") == 14)
+                & F.col("k").between(100, 1500)
+            )
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert got.count() > 0
+
+    def test_planned_file_set_is_proper_subset(self, spark, tmp_path):
+        path = str(tmp_path / "auto_prune")
+        df = spark.range(4_000).select(
+            F.col("id").alias("k"), ((F.col("id") * 13) % 50).alias("u")
+        )
+        write_range_sorted(df, path, "k", num_partitions=8)
+        M.manifest_init(path, stat_cols=["k"])
+        M.ensure_blooms(spark, path, "u")
+        # range hits ~2 of 8 range-sorted files; bloom may trim further
+        got = M.scan_auto(spark, path, eq={"u": 26}, ranges={"k": (0, 999)})
+        n_scanned = len(
+            [
+                s
+                for s in got._jdf.queryExecution().executedPlan()
+                .toString().splitlines()
+                if "Scan parquet" in s
+            ]
+        )
+        assert got.count() == sum(
+            1 for i in range(1000) if (i * 13) % 50 == 26
+        )
+        assert n_scanned >= 1  # plan sanity; the real subset check:
+        may_stats, total = M.prune_files(path, "k", 0, 999)
+        assert 0 < len(may_stats) < total
+
+    def test_contradictory_eq_and_range_returns_empty(self, spark, tmp_path):
+        path = str(tmp_path / "auto_contra")
+        spark.range(100).selectExpr("id AS k").coalesce(1).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        out = M.scan_auto(
+            spark, path, eq={"k": 5}, ranges={"k": (50, 60)}
+        )
+        assert out.count() == 0
+
+    def test_mor_deletes_apply_through_the_planned_scan(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "auto_mor")
+        spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        M.delete_keys_mor(spark, path, "k", [7, 17, 27])
+        out = M.scan_auto(spark, path, eq={"g": 7}, ranges={"k": (0, 100)})
+        ks = sorted(r["k"] for r in out.collect())
+        assert ks == [k for k in range(0, 101) if k % 10 == 7 and k not in (7, 17, 27)]
