@@ -55,8 +55,26 @@ HIVE_NULL_TOKEN = "__HIVE_DEFAULT_PARTITION__"
 # Highest manifest reader version this build understands. 1 = plain
 # file lists + additive metadata; 2 = merge-on-read delete entries
 # (equality + positional), column mapping, generated columns — features
-# a version-1 reader would silently MISREAD, not merely miss.
-SUPPORTED_READER_VERSION = 2
+# a version-1 reader would silently MISREAD, not merely miss; 3 =
+# two-level manifests (the per-file maps live in immutable SEGMENT blobs
+# referenced by name — Iceberg's manifest-list design in minimal form).
+SUPPORTED_READER_VERSION = 3
+
+# Two-level manifests: above this file count the version blob stores the
+# per-file maps (files/seq/stats/rows/blooms/partitions/row_base) as
+# references to immutable SEGMENT blobs, so a commit writes O(delta)
+# segment bytes + one small blob instead of re-serializing every file's
+# metadata (at a million files: KBs per append, not a ~100 MB blob).
+# Unchanged segments carry by NAME; a segment is rewritten only when one
+# of its files left the table or changed metadata. Below the threshold
+# blobs stay flat (reader v1/v2-compatible; zero churn for small tables).
+MANIFEST_SEGMENT_THRESHOLD = 64
+SEGMENT_TARGET_FILES = 512
+SEG_DIR = "_manifest/segments"
+
+# Segment blobs are named by uuid and immutable once written; cache
+# keyed by resolved path can never serve stale content.
+_SEGMENT_CACHE: "dict[str, dict]" = {}
 
 # Highest manifest WRITER version this build can commit against (Delta's
 # minWriterVersion in minimal form). 1 = plain appends; 2 = tables whose
@@ -101,6 +119,43 @@ def current_version(path: str) -> int:
     return vs[-1] if vs else 0
 
 
+_SEG_FIELDS = ("seq", "stats", "rows", "blooms", "partitions", "row_base")
+
+
+def _load_segment(fs, rel: str, name: str) -> dict:
+    """Load (and cache) one immutable manifest segment blob."""
+    full = os.path.join(rel, name)
+    doc = _SEGMENT_CACHE.get(full)
+    if doc is None:
+        doc = json.loads(fs.read_bytes(full))
+        if len(_SEGMENT_CACHE) > 256:
+            _SEGMENT_CACHE.clear()
+        _SEGMENT_CACHE[full] = doc
+    return doc
+
+
+def _expand_segments(fs, rel: str, doc: dict) -> dict:
+    """Rebuild the flat per-file maps of a TWO-LEVEL manifest from its
+    segment blobs — every consumer keeps seeing the v1 shape
+    (``files`` + per-file maps); ``segments`` stays on the doc for
+    commit-time reuse and vacuum's reference census."""
+    files: "list[str]" = []
+    maps: "dict[str, dict]" = {k: {} for k in _SEG_FIELDS}
+    for name in doc["segments"]:
+        seg = _load_segment(fs, rel, name)
+        for rec in seg["entries"]:
+            f = rec["f"]
+            files.append(f)
+            for k in _SEG_FIELDS:
+                if rec.get(k) is not None:
+                    maps[k][f] = rec[k]
+    doc["files"] = sorted(files)
+    for k in _SEG_FIELDS:
+        if maps[k]:
+            doc[k] = maps[k]
+    return doc
+
+
 def read_manifest(path: str, version: int | None = None) -> dict:
     """The manifest dict {version, files} for ``version`` (default latest)."""
     vs = _versions(path)
@@ -117,6 +172,8 @@ def read_manifest(path: str, version: int | None = None) -> dict:
     # format rather than silently misreading them (e.g. ignoring a
     # delete feature we don't know = resurrecting rows). Manifests
     # without a protocol key predate the field and read as version 1.
+    # Gate BEFORE segment expansion — a future format's segment encoding
+    # must fail here, not crash cryptically inside the expander.
     reader = (doc.get("protocol") or {}).get("reader", 1)
     if reader > SUPPORTED_READER_VERSION:
         raise RuntimeError(
@@ -125,7 +182,68 @@ def read_manifest(path: str, version: int | None = None) -> dict:
             "before reading (a silent partial read would be WRONG, not "
             "just incomplete)"
         )
+    if "segments" in doc:
+        doc = _expand_segments(fs, path, doc)
     return doc
+
+
+def _rec_of(f: str, d: dict) -> dict:
+    """One file's segment record: its entries across the per-file maps."""
+    r = {"f": f}
+    for k in _SEG_FIELDS:
+        v = (d.get(k) or {}).get(f)
+        if v is not None:
+            r[k] = v
+    return r
+
+
+def _canon(obj) -> str:
+    return json.dumps(obj, sort_keys=True)
+
+
+def _segmentize(fs, rel: str, doc: dict, prev_doc: dict):
+    """Rewrite ``doc`` into TWO-LEVEL form: per-file maps move into
+    immutable segment blobs, unchanged prev segments carry by NAME (a
+    segment is dirty only if one of its files left the table or changed
+    metadata — so an append writes one new segment, a targeted DML
+    rewrites the victims' segments, and everything else is a name list).
+    Returns (two-level doc, names of segments written this call)."""
+    files = doc["files"]
+    fset = set(files)
+    reused: "list[str]" = []
+    covered: "set[str]" = set()
+    for name in prev_doc.get("segments") or []:
+        try:
+            seg = _load_segment(fs, rel, name)
+        except (FileNotFoundError, OSError, ValueError):
+            continue
+        ok = all(
+            r["f"] in fset and _canon(_rec_of(r["f"], doc)) == _canon(r)
+            for r in seg["entries"]
+        )
+        if ok:
+            reused.append(name)
+            covered.update(r["f"] for r in seg["entries"])
+    fresh = [f for f in files if f not in covered]
+    new_names: "list[str]" = []
+    if fresh:
+        fs.makedirs(os.path.join(rel, SEG_DIR))
+    for i in range(0, len(fresh), SEGMENT_TARGET_FILES):
+        chunk = fresh[i : i + SEGMENT_TARGET_FILES]
+        name = f"{SEG_DIR}/seg-{uuid.uuid4().hex[:12]}.json"
+        fs.create_exclusive(
+            os.path.join(rel, name),
+            json.dumps(
+                {"entries": [_rec_of(f, doc) for f in chunk]}, indent=0
+            ).encode(),
+        )
+        new_names.append(name)
+    out = {
+        k: v for k, v in doc.items() if k != "files" and k not in _SEG_FIELDS
+    }
+    out["segments"] = sorted(reused) + new_names
+    out["n_files"] = len(files)
+    return out, new_names
 
 
 def _commit(
@@ -401,6 +519,12 @@ def _commit(
     ):
         writer = 2
     doc["protocol"] = {"reader": reader, "writer": writer}
+    new_segs: "list[str]" = []
+    if len(files) >= MANIFEST_SEGMENT_THRESHOLD:
+        # Two-level form: the blob becomes O(delta) — reader 3 (a v1/v2
+        # reader sees no file list at all: a hard miss, gated anyway).
+        doc, new_segs = _segmentize(fs, path, doc, prev_doc)
+        doc["protocol"]["reader"] = max(reader, 3)
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
@@ -410,6 +534,13 @@ def _commit(
         # conditional PUT — see fs.py for the per-store contract.
         fs.create_exclusive(target, body)
     except FileExistsError as e:
+        # Lost the race: this attempt's fresh segments are referenced by
+        # nothing — drop them now (vacuum would get them, but why wait).
+        for n in new_segs:
+            try:
+                fs.remove(os.path.join(path, n))
+            except Exception:
+                pass
         raise CommitConflict(
             f"version {new_v} already committed at {path}; re-plan"
         ) from e
@@ -5121,8 +5252,10 @@ def vacuum(
     referenced: set[str] = set()
     referenced_cdf: set[str] = set()
     referenced_blooms: set[str] = set()
+    referenced_segs: set[str] = set()
     for v in keep_vs:
         mv = read_manifest(path, v)
+        referenced_segs.update(mv.get("segments") or [])
         referenced.update(mv["files"])
         # Equality-delete key files are part of the version's read view.
         referenced.update(d["file"] for d in (mv.get("deletes") or []))
@@ -5178,6 +5311,21 @@ def vacuum(
             if (
                 f.endswith(".json")
                 and name not in referenced_blooms
+                and _old_enough(full)
+            ):
+                if dry_run:
+                    would.append(name)
+                    continue
+                fs.remove(full)
+                removed += 1
+    sdir = os.path.join(rel, SEG_DIR)
+    if fs.isdir(sdir):
+        for f in fs.listdir(sdir):
+            name = f"{SEG_DIR}/{f}"
+            full = os.path.join(sdir, f)
+            if (
+                f.endswith(".json")
+                and name not in referenced_segs
                 and _old_enough(full)
             ):
                 if dry_run:

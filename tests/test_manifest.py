@@ -5563,3 +5563,119 @@ class TestScanAuto:
         out = M.scan_auto(spark, path, eq={"g": 7}, ranges={"k": (0, 100)})
         ks = sorted(r["k"] for r in out.collect())
         assert ks == [k for k in range(0, 101) if k % 10 == 7 and k not in (7, 17, 27)]
+
+
+class TestTwoLevelManifests:
+    """Above MANIFEST_SEGMENT_THRESHOLD files the version blob stores
+    per-file maps as references to immutable SEGMENT blobs (Iceberg's
+    manifest-list design in minimal form): commits write O(delta)
+    segment bytes, unchanged segments carry by name, every reader sees
+    the flat v1 shape through read_manifest's expansion, and vacuum
+    collects segments of pruned versions."""
+
+    @pytest.fixture(autouse=True)
+    def _low_threshold(self, monkeypatch):
+        monkeypatch.setattr(M, "MANIFEST_SEGMENT_THRESHOLD", 4)
+        monkeypatch.setattr(M, "SEGMENT_TARGET_FILES", 3)
+
+    @staticmethod
+    def _raw(path, v):
+        import json as _json
+
+        return _json.loads(
+            open(os.path.join(path, "_manifest", f"{v:08d}.json")).read()
+        )
+
+    def _mk(self, spark, tmp_path, name, n=1200, files=6):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+        path = str(tmp_path / name)
+        write_range_sorted(df, path, "k", num_partitions=files)
+        M.manifest_init(path, stat_cols=["k"])
+        return path
+
+    def test_blob_is_two_level_and_readers_see_flat(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "seg_basic")
+        raw = self._raw(path, 1)
+        assert "segments" in raw and "files" not in raw
+        assert raw["protocol"]["reader"] == 3
+        assert raw["n_files"] == 6 and len(raw["segments"]) == 2
+        m = M.read_manifest(path)
+        assert len(m["files"]) == 6 and len(m["stats"]) == 6
+        assert M.load_manifest_table(spark, path).count() == 1200
+
+    def test_append_writes_one_segment_and_reuses_the_rest(
+        self, spark, tmp_path
+    ):
+        path = self._mk(spark, tmp_path, "seg_app")
+        segs1 = self._raw(path, 1)["segments"]
+        M.append(
+            spark.range(2000, 2100).selectExpr("id AS k", "id % 7 AS g")
+            .coalesce(1),
+            path,
+        )
+        segs2 = self._raw(path, 2)["segments"]
+        assert set(segs1) < set(segs2) and len(segs2) == len(segs1) + 1
+        assert M.load_manifest_table(spark, path).count() == 1300
+
+    def test_targeted_dml_rewrites_only_victim_segments(
+        self, spark, tmp_path
+    ):
+        path = self._mk(spark, tmp_path, "seg_dml")
+        segs1 = set(self._raw(path, 1)["segments"])
+        # range-sorted layout: key 5 lives in exactly ONE file, so only
+        # its segment is dirty
+        nf, nd = M.delete_keys(spark, path, "k", [5])
+        assert nf == 1 and nd == 1
+        segs2 = set(self._raw(path, 2)["segments"])
+        assert len(segs1 & segs2) == len(segs1) - 1
+        assert M.load_manifest_table(spark, path).count() == 1199
+        # time travel through segments stays exact
+        assert M.load_manifest_table(spark, path, version=1).count() == 1200
+
+    def test_vacuum_collects_unreferenced_segments(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "seg_vac")
+        M.delete_keys(spark, path, "k", [5])
+        M.append(
+            spark.range(3000, 3010).selectExpr("id AS k", "id % 7 AS g")
+            .coalesce(1),
+            path,
+        )
+        M.vacuum(path, retain_versions=1, min_age_seconds=0)
+        segdir = os.path.join(path, "_manifest", "segments")
+        left = set(os.listdir(segdir))
+        refd = {
+            os.path.basename(s)
+            for s in self._raw(path, M.current_version(path))["segments"]
+        }
+        assert left == refd
+        assert M.load_manifest_table(spark, path).count() == 1209
+
+    def test_features_ride_segments(self, spark, tmp_path):
+        """MoR deletes, blooms (sidecar pointers), CDF, restore — the
+        per-file maps all round-trip through segment blobs."""
+        path = self._mk(spark, tmp_path, "seg_feat")
+        M.enable_cdf(path)
+        M.ensure_blooms(spark, path, "g")
+        M.delete_keys_mor(spark, path, "k", [10, 11])
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 1198
+        may, total = M.prune_files_bloom(path, "g", 3)
+        assert 0 < len(may) <= total
+        v = M.current_version(path)
+        M.append(
+            spark.range(5000, 5005).selectExpr("id AS k", "id % 7 AS g"),
+            path,
+        )
+        assert M.read_changes(spark, path, v).count() == 5
+        M.restore(path, v)
+        assert M.load_manifest_table(spark, path).count() == 1198
+
+    def test_small_tables_stay_flat(self, spark, tmp_path):
+        path = str(tmp_path / "seg_flat")
+        spark.range(10).selectExpr("id AS k").coalesce(2).write.parquet(path)
+        M.manifest_init(path)
+        raw = self._raw(path, 1)
+        assert "files" in raw and "segments" not in raw
+        assert raw["protocol"]["reader"] == 1
