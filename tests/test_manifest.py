@@ -5679,3 +5679,35 @@ class TestTwoLevelManifests:
         raw = self._raw(path, 1)
         assert "files" in raw and "segments" not in raw
         assert raw["protocol"]["reader"] == 1
+
+
+def test_segmented_commit_conflict_cleans_fresh_segments(
+    spark, tmp_path, monkeypatch
+):
+    """A segmented commit that loses the version race must remove the
+    segment blobs it just wrote (they are referenced by nothing) and
+    raise CommitConflict like any commit."""
+    monkeypatch.setattr(M, "MANIFEST_SEGMENT_THRESHOLD", 2)
+    path = str(tmp_path / "seg_conflict")
+    spark.range(100).selectExpr("id AS k").coalesce(3).write.parquet(path)
+    M.manifest_init(path)
+    segdir = os.path.join(path, "_manifest", "segments")
+    n0 = len(os.listdir(segdir))
+    # occupy version 2 out from under the contender
+    import json as _json
+
+    blob = os.path.join(path, "_manifest", "00000002.json")
+    m = M.read_manifest(path)
+    with open(blob, "w") as fh:
+        fh.write(_json.dumps({
+            "version": 2, "files": m["files"], "txns": {},
+            "seq": {f: 1 for f in m["files"]}, "ts": 0.0,
+            "protocol": {"reader": 1, "writer": 1},
+        }))
+    # contender drops a file -> its only segment is dirty -> it must
+    # WRITE a fresh segment before losing the race
+    with pytest.raises(M.CommitConflict):
+        M._commit(path, m["files"][:2], 1, schema=m.get("schema"))
+    assert len(os.listdir(segdir)) == n0  # loser's segments removed
+    # winner's (flat) v2 still reads
+    assert M.read_manifest(path, 2)["version"] == 2
