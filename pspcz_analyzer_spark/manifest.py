@@ -246,6 +246,39 @@ def _segmentize(fs, rel: str, doc: dict, prev_doc: dict):
     return out, new_names
 
 
+def compact_segments(path: str) -> int:
+    """Metadata-only OPTIMIZE for the two-level manifest itself: re-chunk
+    the per-file records into target-size segments and publish as one
+    version. A standing append loop leaves one tiny segment per commit
+    (that IS the O(delta) contract); after enough of them the name list
+    and the per-read segment fetches grow linearly, so maintenance
+    consolidates — same economics as small-file compaction, at metadata
+    cost (no data IO, no Spark job). Returns segments merged (0 = table
+    flat or not fragmented)."""
+    m = read_manifest(path)
+    segs = m.get("segments") or []
+    want = -(-len(m["files"]) // SEGMENT_TARGET_FILES)  # ceil
+    if len(segs) <= max(want, 1):
+        return 0  # already optimally chunked: no version churn
+    _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+        constraints=m.get("constraints"), deletes=m.get("deletes"),
+        rows=m.get("rows"), seq=m.get("seq"), blooms=m.get("blooms"),
+        partitions=m.get("partitions"), specs=m.get("specs"),
+        current_spec=m.get("current_spec"), colmap=m.get("colmap"),
+        generated=m.get("generated") or {}, defaults=m.get("defaults"),
+        identity=m.get("identity"), dropped=m.get("dropped"),
+        props=m.get("props"),
+        row_base=m.get("row_base"), row_next=m.get("row_next"),
+        op="OPTIMIZE",
+        reseg=True,
+    )
+    m2 = read_manifest(path)
+    return len(segs) - len(m2.get("segments") or [])
+
+
 def _commit(
     path: str,
     files: list[str],
@@ -272,6 +305,7 @@ def _commit(
     cdf_files: "list | None" = None,
     row_base: dict | None = None,
     row_next: int | None = None,
+    reseg: bool = False,
 ) -> int:
     """Commit ``files`` as version ``expected_version + 1`` via
     create-exclusive; raises :class:`CommitConflict` if someone else got
@@ -523,7 +557,11 @@ def _commit(
     if len(files) >= MANIFEST_SEGMENT_THRESHOLD:
         # Two-level form: the blob becomes O(delta) — reader 3 (a v1/v2
         # reader sees no file list at all: a hard miss, gated anyway).
-        doc, new_segs = _segmentize(fs, path, doc, prev_doc)
+        # ``reseg`` (compact_segments) ignores the previous segmentation
+        # so fragmented name lists re-chunk to target size.
+        doc, new_segs = _segmentize(
+            fs, path, doc, {} if reseg else prev_doc
+        )
         doc["protocol"]["reader"] = max(reader, 3)
     body = json.dumps(doc, indent=0).encode()
     target = os.path.join(d, f"{new_v:08d}.json")
@@ -4617,7 +4655,7 @@ def maintain(
     concurrent writer just wins/loses individual version commits.
     Returns a dict of what ran: {materialized, compacted, vacuumed,
     reclustered, clustered_incremental, blooms_backfilled,
-    staged_expired}.
+    staged_expired, segments_compacted}.
 
     Thresholds are deliberately DECISIONS-from-metadata: the small-file
     census is a listing + size pass, the delete census reads the
@@ -4699,6 +4737,15 @@ def maintain(
         before = current_version(path)
         if ensure_blooms(spark, path, bcol) != before:
             out["blooms_backfilled"] += 1
+    # Two-level housekeeping: a standing append loop leaves one tiny
+    # segment per commit; consolidate once the name list is 2x past
+    # optimal (metadata-only — no Spark job, no data IO).
+    m = read_manifest(path)
+    segs = m.get("segments") or []
+    want = -(-len(m["files"]) // SEGMENT_TARGET_FILES)
+    out["segments_compacted"] = (
+        compact_segments(path) if len(segs) > 2 * max(want, 1) else 0
+    )
     out["vacuumed"] = vacuum(
         path,
         retain_versions=retain_versions,

@@ -5711,3 +5711,35 @@ def test_segmented_commit_conflict_cleans_fresh_segments(
     assert len(os.listdir(segdir)) == n0  # loser's segments removed
     # winner's (flat) v2 still reads
     assert M.read_manifest(path, 2)["version"] == 2
+
+
+def test_maintain_compacts_fragmented_segment_lists(
+    spark, tmp_path, monkeypatch
+):
+    """A standing append loop leaves one tiny segment per commit (the
+    O(delta) contract); once the name list is 2x past optimal, maintain()
+    re-chunks it metadata-only — and an already-optimal list is left
+    alone (no version churn)."""
+    monkeypatch.setattr(M, "MANIFEST_SEGMENT_THRESHOLD", 2)
+    monkeypatch.setattr(M, "SEGMENT_TARGET_FILES", 8)
+    path = str(tmp_path / "seg_maint")
+    spark.range(50).selectExpr("id AS k").coalesce(2).write.parquet(path)
+    M.manifest_init(path)
+    for i in range(6):
+        M.append(
+            spark.range(100 + i * 10, 110 + i * 10).selectExpr("id AS k")
+            .coalesce(1),
+            path,
+        )
+    m = M.read_manifest(path)
+    assert len(m["segments"]) == 7  # init + one per append
+    out = M.maintain(spark, path, vacuum_min_age_seconds=0)
+    assert out["segments_compacted"] > 0
+    m2 = M.read_manifest(path)
+    assert len(m2["segments"]) == 1  # 8 files / target 8
+    assert sorted(m2["files"]) == sorted(m["files"])
+    assert M.load_manifest_table(spark, path).count() == 110
+    v = M.current_version(path)
+    out2 = M.maintain(spark, path, vacuum_min_age_seconds=0)
+    assert out2["segments_compacted"] == 0
+    assert M.current_version(path) == v  # no churn when optimal
