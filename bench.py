@@ -185,6 +185,7 @@ HEADLINE = [
     "interchange_roundtrip",
     "hive_adopt_roundtrip",
     "manifest_scan_auto",
+    "manifest_segmented_lifecycle",
 ]
 
 

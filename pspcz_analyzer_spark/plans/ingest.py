@@ -3409,3 +3409,88 @@ def manifest_scan_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (0 < len(may) < total):
         raise AssertionError("planned file set must be a proper subset")
     return out.select("o_orderkey", "cena").orderBy("o_orderkey")
+
+
+@register(
+    "manifest_segmented_lifecycle",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderkey, o_custkey
+      FROM orders
+      WHERE o_orderkey % 97 != 3
+    ),
+    appended AS (
+      SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey
+      FROM orders WHERE o_orderkey % 500 = 7
+    ),
+    u AS (SELECT * FROM survivors UNION ALL SELECT * FROM appended)
+    SELECT o_custkey % 20 AS bucket,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_total
+    FROM u
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("manifest", "two-level", "segments", "new-surface", "scale"),
+    priority=18,
+    doc="Two-level manifest lifecycle (manifest.py::_segmentize /"
+    " compact_segments — Iceberg's manifest-list design in minimal"
+    " form): an 80-file table commits SEGMENTED (asserted: the version"
+    " blob holds segment references, no flat file list), an append"
+    " reuses every previous segment by name and writes exactly one new"
+    " one (asserted — the O(delta) commit contract), a predicate DELETE"
+    " dirties only victim segments, and maintain() consolidates the"
+    " fragmented name list metadata-only. The oracle recomputes"
+    " survivors + appended rows from the base table, so a row lost or"
+    " resurrected anywhere in the segment round-trip fails the hash.",
+)
+def manifest_segmented_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    path = _scratch(sf_dir, "segmented_orders")
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=80)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+
+    def raw(v):
+        return _json.loads(
+            open(_os.path.join(path, "_manifest", f"{v:08d}.json")).read()
+        )
+
+    r1 = raw(M.current_version(path))
+    if "segments" not in r1 or "files" in r1:
+        raise AssertionError("an 80-file commit must be two-level")
+    M.append(
+        orders.filter(F.col("o_orderkey") % 500 == 7).select(
+            (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            "o_custkey",
+        ).coalesce(1),
+        path,
+    )
+    r2 = raw(M.current_version(path))
+    if not (
+        set(r1["segments"]) < set(r2["segments"])
+        and len(r2["segments"]) == len(r1["segments"]) + 1
+    ):
+        raise AssertionError(
+            "an append must reuse every prior segment and add exactly one"
+        )
+    M.delete_where(spark, path, "o_orderkey % 97 = 3 AND o_orderkey < 20000000")
+    M.maintain(spark, path, vacuum_min_age_seconds=0.0)
+    return (
+        M.load_manifest_table(spark, path)
+        .groupBy((F.col("o_custkey") % 20).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_total"),
+        )
+        .orderBy("bucket")
+    )
