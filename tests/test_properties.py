@@ -377,3 +377,91 @@ class TestDuplicateSpanProperties:
                 for r in remove_duplicate_spans(df, window=window).collect()
             }
             assert got_removed == want_removed, (trial, window)
+
+
+class TestSegmentRoundTripProperty:
+    """Protocol-level guarantee for two-level manifests: for ANY set of
+    per-file maps, segmentize -> expand is the identity on every field,
+    and a second segmentize against the first reuses every clean
+    segment. Pure fs-level (no Spark) — runs hundreds of cases."""
+
+    @staticmethod
+    def _docs(draw):
+        names = draw(
+            st.lists(
+                st.text(
+                    alphabet=st.sampled_from("abcdef0123456789"),
+                    min_size=4,
+                    max_size=8,
+                ).map(lambda s: f"{s}.parquet"),
+                min_size=1,
+                max_size=40,
+                unique=True,
+            )
+        )
+        doc = {"version": 1, "files": sorted(names), "txns": {}, "ts": 1.0}
+        maybe = lambda v: draw(st.booleans()) and v is not None  # noqa: E731
+        seq, stats, rows, parts = {}, {}, {}, {}
+        for f in names:
+            seq[f] = draw(st.integers(1, 5))
+            if draw(st.booleans()):
+                lo = draw(st.integers(-100, 100))
+                stats[f] = {"k": [lo, lo + draw(st.integers(0, 50))]}
+            if draw(st.booleans()):
+                rows[f] = draw(st.integers(0, 1000))
+            if draw(st.booleans()):
+                parts[f] = {"day": str(draw(st.integers(0, 3)))}
+        doc["seq"] = seq
+        if stats:
+            doc["stats"] = stats
+        if rows:
+            doc["rows"] = rows
+        if parts:
+            doc["partitions"] = parts
+        del maybe
+        return doc
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def test_segmentize_expand_identity_and_reuse(self, data):
+        import json
+        import os
+        import tempfile
+        import uuid as _uuid
+
+        from pspcz_analyzer_spark import manifest as M
+        from pspcz_analyzer_spark.fs import LocalFS
+
+        # fresh dir PER EXAMPLE (a function-scoped fixture would be
+        # shared across hypothesis examples)
+        rel = os.path.join(
+            tempfile.gettempdir(), f"segprop_{_uuid.uuid4().hex[:10]}"
+        )
+        os.makedirs(rel)
+        fs = LocalFS()
+        doc = self._docs(data.draw)
+        flat = json.loads(json.dumps(doc))  # canonical copy
+        two, new1 = M._segmentize(fs, rel, dict(doc), {})
+        assert "files" not in two and two["segments"] == new1
+        back = M._expand_segments(fs, rel, dict(two))
+        for k in ("files", "seq", "stats", "rows", "partitions"):
+            assert back.get(k) == flat.get(k), k
+        # re-segmentize the SAME content against the first: full reuse
+        two2, new2 = M._segmentize(fs, rel, dict(doc), two)
+        assert new2 == [] and set(two2["segments"]) == set(two["segments"])
+        # drop one file: at most one segment rewritten, identity holds
+        victim = flat["files"][0]
+        doc2 = json.loads(json.dumps(flat))
+        doc2["files"] = [f for f in doc2["files"] if f != victim]
+        for k in ("seq", "stats", "rows", "partitions"):
+            if k in doc2:
+                doc2[k].pop(victim, None)
+        two3, new3 = M._segmentize(fs, rel, dict(doc2), two)
+        assert len(new3) <= 1
+        back3 = M._expand_segments(fs, rel, dict(two3))
+        for k in ("files", "seq", "stats", "rows", "partitions"):
+            if k in doc2 and doc2[k]:
+                assert back3[k] == doc2[k], k
+        import shutil
+
+        shutil.rmtree(rel, ignore_errors=True)
