@@ -400,7 +400,6 @@ class TestSegmentRoundTripProperty:
             )
         )
         doc = {"version": 1, "files": sorted(names), "txns": {}, "ts": 1.0}
-        maybe = lambda v: draw(st.booleans()) and v is not None  # noqa: E731
         seq, stats, rows, parts = {}, {}, {}, {}
         for f in names:
             seq[f] = draw(st.integers(1, 5))
@@ -418,7 +417,6 @@ class TestSegmentRoundTripProperty:
             doc["rows"] = rows
         if parts:
             doc["partitions"] = parts
-        del maybe
         return doc
 
     @settings(max_examples=60, deadline=None)
