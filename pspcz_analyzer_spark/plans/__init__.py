@@ -44,13 +44,15 @@ _REGISTRY: dict[str, Query] = {}
 # convention). Tiers (lower first):
 #   10 = sentinels — every query whose PLAN or ORACLE changed this round:
 #        the two r7 reds;
-#   18 = never driver-attested (none at r8 open; reserved for new queries
-#        registered this round) — a query is not "done" until the driver
-#        has hashed it against its oracle;
+#   18 = never driver-attested — the four r8-new queries
+#        (interchange_roundtrip, hive_adopt_roundtrip, manifest_scan_auto,
+#        manifest_segmented_lifecycle; registered at priority 18) — a
+#        query is not "done" until the driver has hashed it against its
+#        oracle;
 #   20 = r02-green and never re-attested since — the 17-query tail the r7
 #        budget didn't reach (9 of 26 rotated in r07);
-#   22 = r03-green cohort — next-stalest; 2 sentinels + 17 r02 leaves 31
-#        slots for this cohort's head, the tail queues for r9;
+#   22 = r03-green cohort — next-stalest; 2 sentinels + 4 new + 17 r02
+#        leaves 27 slots for this cohort's head, the tail queues for r9;
 #   52 = rows-only by design (no oracle possible: LSH/IVF results are
 #        approximation-defined, PCA basis signs impl-defined, HLL
 #        estimates); each has an oracle-paired anchor at a lower tier, so
