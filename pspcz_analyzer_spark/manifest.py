@@ -5846,6 +5846,7 @@ def scan_auto(
     path: str,
     eq: "dict[str, object] | None" = None,
     ranges: "dict[str, tuple] | None" = None,
+    nulls: "dict[str, bool] | None" = None,
     version: int | None = None,
 ) -> DataFrame:
     """ONE planned scan composing EVERY metadata pruning source this
@@ -5858,6 +5859,7 @@ def scan_auto(
     * per-file [min, max] STATS (equality as a degenerate range, both
       folded into one box test),
     * per-file BLOOMS for equality on bloom-tracked columns,
+    * per-file NULL COUNTS for ``nulls`` (col IS [NOT] NULL conjuncts),
 
     then reads only the surviving files through the merge-on-read view
     and applies the EXACT predicate. Each source skips conservatively
@@ -5896,11 +5898,24 @@ def scan_auto(
             break
         k, _t = prune_files_bloom(path, c, v, version)
         keep &= set(k)
+    nulls = dict(nulls or {})
+    for c, want_null in nulls.items():
+        if not keep:
+            break
+        if c in eq and want_null:
+            keep = set()  # col = v AND col IS NULL: contradiction
+            break
+        k, _t = prune_files_null(path, c, want_null, version)
+        keep &= set(k)
     pred = F.lit(True)
     for c, v in eq.items():
         pred = pred & (F.col(c) == F.lit(v))
     for c, (lo, hi) in ranges.items():
         pred = pred & F.col(c).between(F.lit(lo), F.lit(hi))
+    for c, want_null in nulls.items():
+        pred = pred & (
+            F.col(c).isNull() if want_null else F.col(c).isNotNull()
+        )
     files = [f for f in m["files"] if f in keep]
     if not files:
         return (

@@ -5743,3 +5743,37 @@ def test_maintain_compacts_fragmented_segment_lists(
     out2 = M.maintain(spark, path, vacuum_min_age_seconds=0)
     assert out2["segments_compacted"] == 0
     assert M.current_version(path) == v  # no churn when optimal
+
+
+def test_scan_auto_composes_null_pruning(spark, tmp_path):
+    """The fourth pruning source: per-file null counts serve IS [NOT]
+    NULL conjuncts; eq + IS NULL on one column is a contradiction and
+    short-circuits to empty."""
+    path = str(tmp_path / "auto_nulls")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, None).otherwise(F.col("id") % 7).alias("g"),
+    )
+    # nulls clustered in one file, the rest in three — so null counts can
+    # actually prove something per file
+    df.filter(F.col("g").isNull()).coalesce(1).write.parquet(path)
+    df.filter(F.col("g").isNotNull()).coalesce(3).write.mode(
+        "append"
+    ).parquet(path)
+    M.manifest_init(path, stat_cols=["k", "g"])
+    got = M.scan_auto(spark, path, nulls={"g": True}, ranges={"k": (0, 399)})
+    want = (
+        M.load_manifest_table(spark, path)
+        .filter(F.col("g").isNull() & F.col("k").between(0, 399))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 100
+    # proper file subset through the null counts
+    may, total = M.prune_files_null(path, "g", True)
+    assert 0 < len(may) < total
+    # contradiction short-circuits
+    assert M.scan_auto(spark, path, eq={"g": 3}, nulls={"g": True}).count() == 0
+    # NOT NULL side
+    assert M.scan_auto(spark, path, nulls={"g": False}).count() == 300
