@@ -186,6 +186,7 @@ HEADLINE = [
     "hive_adopt_roundtrip",
     "manifest_scan_auto",
     "manifest_segmented_lifecycle",
+    "manifest_join_auto",
 ]
 
 

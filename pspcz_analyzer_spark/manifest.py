@@ -5870,6 +5870,26 @@ def scan_auto(
     files this is the difference between planning from one JSON and
     listing/footer-opening the world; the exact filter still pushes into
     the parquet scan for row-group pruning inside the kept files."""
+    m, files, pred = _plan_scan(path, eq, ranges, nulls, version)
+    if not files:
+        return (
+            load_manifest_table(spark, path, version).filter(pred).limit(0)
+        )
+    return _with_deletes(spark, path, m, files).filter(pred)
+
+
+def _plan_scan(
+    path: str,
+    eq: "dict[str, object] | None" = None,
+    ranges: "dict[str, tuple] | None" = None,
+    nulls: "dict[str, bool] | None" = None,
+    version: int | None = None,
+) -> "tuple[dict, list[str], Column]":
+    """The metadata planner behind :func:`scan_auto` and
+    :func:`scan_estimate`: intersect every pruning source (partition
+    tokens, [min,max] stats, blooms, null counts) and return
+    ``(manifest, kept files in manifest order, exact predicate)``.
+    Touches ONLY the manifest JSON — no SparkSession, no data IO."""
     eq = dict(eq or {})
     ranges = dict(ranges or {})
     if any(v is None for v in eq.values()):
@@ -5917,11 +5937,197 @@ def scan_auto(
             F.col(c).isNull() if want_null else F.col(c).isNotNull()
         )
     files = [f for f in m["files"] if f in keep]
-    if not files:
-        return (
-            load_manifest_table(spark, path, version).filter(pred).limit(0)
+    return m, files, pred
+
+
+def scan_estimate(
+    path: str,
+    eq: "dict[str, object] | None" = None,
+    ranges: "dict[str, tuple] | None" = None,
+    nulls: "dict[str, bool] | None" = None,
+    version: int | None = None,
+    with_bytes: bool = True,
+) -> dict:
+    """Metadata-only SIZE ESTIMATE of the scan :func:`scan_auto` would
+    plan for the same predicates — the table-statistics contract a
+    DataSourceV2 ``SupportsReportStatistics`` scan gives Spark's CBO,
+    exposed as a library call (Iceberg `SparkScan.estimateStatistics`,
+    Delta's stats-based `LogicalRelation` sizing play the same role).
+
+    Returns ``{files_total, files_kept, rows_total_upper,
+    rows_kept_upper, bytes_kept, has_deletes}``. Row counts come from
+    the manifest's stored per-file footer counts, so with pending
+    merge-on-read deletes they are UPPER bounds on alive rows — the safe
+    direction for a broadcast decision (a table never looks smaller than
+    it is). ``bytes_kept`` is one ``fs.size`` stat per kept file
+    (file-count-bounded metadata IO, never data IO; ``with_bytes=False``
+    skips even that and leaves it None). Needs no SparkSession: at a
+    million files the whole estimate is one JSON read, which is what
+    lets a join planner consult BOTH sides before building any plan."""
+    m, files, _pred = _plan_scan(path, eq, ranges, nulls, version)
+    fs, rel = get_fs(path)
+    est = {
+        "files_total": len(m["files"]),
+        "files_kept": len(files),
+        "rows_total_upper": _file_rows(m, fs, rel, m["files"]),
+        "rows_kept_upper": _file_rows(m, fs, rel, files),
+        "bytes_kept": (
+            sum(fs.size(os.path.join(rel, f)) for f in files)
+            if with_bytes
+            else None
+        ),
+        "has_deletes": bool(m.get("deletes")),
+    }
+    return est
+
+
+# Mirrors Spark's spark.sql.autoBroadcastJoinThreshold default (10 MB of
+# on-disk parquet understates in-memory size, but the factor is absorbed
+# by Spark applying the SAME convention to file-based estimates).
+BROADCAST_BYTES_THRESHOLD = 10 * 1024 * 1024
+
+# Which sides of each join type MAY be the broadcast build side: the
+# row-preserved side of an outer join cannot be built (Spark would
+# silently ignore the hint; we never emit one it can't honor).
+_BROADCASTABLE_SIDES = {
+    "inner": ("left", "right"),
+    "cross": ("left", "right"),
+    "left": ("right",),
+    "leftouter": ("right",),
+    "left_outer": ("right",),
+    "leftsemi": ("right",),
+    "left_semi": ("right",),
+    "leftanti": ("right",),
+    "left_anti": ("right",),
+    "right": ("left",),
+    "rightouter": ("left",),
+    "right_outer": ("left",),
+    "full": (),
+    "fullouter": (),
+    "full_outer": (),
+    "outer": (),
+}
+
+
+def join_strategy(
+    left_est: dict,
+    right_est: dict,
+    how: str = "inner",
+    bytes_threshold: int = BROADCAST_BYTES_THRESHOLD,
+    rows_threshold: "int | None" = None,
+) -> str:
+    """Pick ``'broadcast_left' | 'broadcast_right' | 'shuffle'`` from two
+    :func:`scan_estimate` dicts — the decision Spark's CBO makes from
+    DSv2-reported statistics, driven here by POST-PRUNING sizes (a 100 TB
+    fact table filtered to one partition token can be the broadcast
+    side; Spark's own file-size estimate sees the unpruned relation
+    unless the source reports pruned stats — this is why governed scans
+    beat raw directory reads at plan time). A side qualifies when its
+    pruned byte estimate is under ``bytes_threshold`` (or, if bytes are
+    unknown, its row upper bound is under ``rows_threshold``); of the
+    qualifying sides the SMALLER one is broadcast. Row counts are upper
+    bounds (MoR deletes), so a qualifying side is genuinely small."""
+    sides = _BROADCASTABLE_SIDES.get(how.lower().replace("_", ""), None)
+    if sides is None:
+        sides = _BROADCASTABLE_SIDES.get(how.lower(), ("left", "right"))
+
+    def _qualifies(est: dict) -> bool:
+        b = est.get("bytes_kept")
+        if b is not None:
+            return b <= bytes_threshold
+        if rows_threshold is not None:
+            return est["rows_kept_upper"] <= rows_threshold
+        return False
+
+    def _size(est: dict) -> tuple:
+        b = est.get("bytes_kept")
+        return (0, b) if b is not None else (1, est["rows_kept_upper"])
+
+    candidates = [
+        s
+        for s, est in (("left", left_est), ("right", right_est))
+        if s in sides and _qualifies(est)
+    ]
+    if not candidates:
+        return "shuffle"
+    if len(candidates) == 2:
+        pick = (
+            "left"
+            if _size(left_est) <= _size(right_est)
+            else "right"
         )
-    return _with_deletes(spark, path, m, files).filter(pred)
+    else:
+        pick = candidates[0]
+    return f"broadcast_{pick}"
+
+
+def join_auto(
+    spark: SparkSession,
+    left: "str | dict",
+    right: "str | dict",
+    on: "str | list[str]",
+    how: str = "inner",
+    bytes_threshold: int = BROADCAST_BYTES_THRESHOLD,
+    rows_threshold: "int | None" = None,
+    choice_out: "dict | None" = None,
+) -> DataFrame:
+    """Stats-driven join of two manifest tables: :func:`scan_auto` each
+    side, then hint ``broadcast()`` on the side :func:`join_strategy`
+    picks from the POST-PRUNING :func:`scan_estimate` sizes. ``left`` /
+    ``right`` are table paths or ``{"path", "eq", "ranges", "nulls",
+    "version"}`` scan specs. Planning costs two manifest JSON reads plus
+    one fs stat per kept file — NO Spark action — so the decision is
+    made before Spark ever sees the plan, exactly where a DSv2 source
+    would report statistics into the CBO. When neither side qualifies,
+    no hint is emitted and runtime AQE keeps its usual freedom (it can
+    still convert to broadcast from observed shuffle sizes — this
+    planner only ever ADDS the conversions metadata already proves).
+    ``choice_out``, if supplied, receives {strategy, left, right} for
+    audit/explain surfaces."""
+    lspec = {"path": left} if isinstance(left, str) else dict(left)
+    rspec = {"path": right} if isinstance(right, str) else dict(right)
+    lest = scan_estimate(
+        lspec["path"],
+        lspec.get("eq"),
+        lspec.get("ranges"),
+        lspec.get("nulls"),
+        lspec.get("version"),
+    )
+    rest = scan_estimate(
+        rspec["path"],
+        rspec.get("eq"),
+        rspec.get("ranges"),
+        rspec.get("nulls"),
+        rspec.get("version"),
+    )
+    strategy = join_strategy(
+        lest, rest, how, bytes_threshold, rows_threshold
+    )
+    ldf = scan_auto(
+        spark,
+        lspec["path"],
+        lspec.get("eq"),
+        lspec.get("ranges"),
+        lspec.get("nulls"),
+        lspec.get("version"),
+    )
+    rdf = scan_auto(
+        spark,
+        rspec["path"],
+        rspec.get("eq"),
+        rspec.get("ranges"),
+        rspec.get("nulls"),
+        rspec.get("version"),
+    )
+    if choice_out is not None:
+        choice_out.update(
+            {"strategy": strategy, "left": lest, "right": rest}
+        )
+    if strategy == "broadcast_left":
+        ldf = F.broadcast(ldf)
+    elif strategy == "broadcast_right":
+        rdf = F.broadcast(rdf)
+    return ldf.join(rdf, on, how)
 
 
 def scan_manifest_table_point(

@@ -3494,3 +3494,77 @@ def manifest_segmented_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "manifest_join_auto",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey BETWEEN 1 AND 1500
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("manifest", "cbo", "broadcast", "join", "new-surface", "scale"),
+    priority=18,
+    doc="Stats-driven join planning (manifest.py::scan_estimate /"
+    " join_strategy / join_auto — the DSv2 SupportsReportStatistics"
+    " contract as a library): both sides are manifest tables, the"
+    " planner sizes each side FROM METADATA (post-pruning footer rows +"
+    " one fs stat per kept file, zero Spark actions), and hints"
+    " broadcast on the side that proves small — here the customer dim,"
+    " against an orders fact pruned by range-sorted [min,max] stats to"
+    " a proper file subset. Asserted: the fact prune engaged, a"
+    " broadcast side was chosen, and the hint reached Spark's analyzed"
+    " plan. The oracle replays the join from the base tables, so a row"
+    " lost to wrong pruning or a hint-induced semantics change fails"
+    " the hash. At 100 TB this decision is the difference between"
+    " shuffling a fact table and shipping a KB-sized dim — made before"
+    " Spark ever sees the plan, where a raw directory read would have"
+    " sized the UNPRUNED relation.",
+)
+def manifest_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    fact_path = _scratch(sf_dir, "join_auto_orders")
+    dim_path = _scratch(sf_dir, "join_auto_customer")
+    _shutil.rmtree(fact_path, ignore_errors=True)
+    _shutil.rmtree(dim_path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_range_sorted(orders, fact_path, "o_orderkey", num_partitions=6)
+    M.manifest_init(fact_path, stat_cols=["o_orderkey"])
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).coalesce(1).write.parquet(dim_path)
+    M.manifest_init(dim_path)
+
+    choice: dict = {}
+    joined = M.join_auto(
+        spark,
+        {"path": fact_path, "ranges": {"o_orderkey": (1, 1500)}},
+        dim_path,
+        on=F.col("o_custkey") == F.col("c_custkey"),
+        choice_out=choice,
+    )
+    if not choice["strategy"].startswith("broadcast"):
+        raise AssertionError(f"expected a broadcast pick, got {choice}")
+    if not choice["left"]["files_kept"] < choice["left"]["files_total"]:
+        raise AssertionError(f"fact prune did not engage: {choice['left']}")
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    if "broadcast" not in analyzed.lower():
+        raise AssertionError("broadcast hint missing from analyzed plan")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -5777,3 +5777,127 @@ def test_scan_auto_composes_null_pruning(spark, tmp_path):
     assert M.scan_auto(spark, path, eq={"g": 3}, nulls={"g": True}).count() == 0
     # NOT NULL side
     assert M.scan_auto(spark, path, nulls={"g": False}).count() == 300
+
+
+class TestScanEstimateJoinAuto:
+    """scan_estimate / join_strategy / join_auto — the DSv2
+    SupportsReportStatistics contract as a library: post-pruning sizes
+    from manifest metadata drive the broadcast decision with zero Spark
+    actions at plan time."""
+
+    def _tables(self, spark, tmp_path):
+        fact = spark.range(6_000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 40).alias("user_id"),
+        )
+        dim = spark.range(40).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("name"),
+        )
+        fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+        write_range_sorted(fact, fp, "event_id", num_partitions=8)
+        M.manifest_init(fp, stat_cols=["event_id"])
+        dim.coalesce(1).write.parquet(dp)
+        M.manifest_init(dp)
+        return fp, dp
+
+    def test_estimate_is_metadata_only_and_prunes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        fp, _dp = self._tables(spark, tmp_path)
+        # No SparkSession argument by construction; additionally spy
+        # every driver collect — the estimate must trigger none.
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        def boom(df):
+            raise AssertionError("scan_estimate ran a Spark action")
+
+        monkeypatch.setattr(_DF, "collect", boom)
+        est = M.scan_estimate(fp, ranges={"event_id": (0, 999)})
+        assert est["files_total"] == 8
+        assert est["files_kept"] < est["files_total"]
+        assert est["rows_total_upper"] == 6_000
+        # range-sorted on event_id: kept files hold exactly the span
+        assert est["rows_kept_upper"] < 6_000
+        assert est["bytes_kept"] > 0
+        assert est["has_deletes"] is False
+        lean = M.scan_estimate(fp, with_bytes=False)
+        assert lean["bytes_kept"] is None
+        assert lean["files_kept"] == 8
+
+    def test_estimate_rows_are_upper_bounds_under_mor_deletes(
+        self, spark, tmp_path
+    ):
+        fp, _dp = self._tables(spark, tmp_path)
+        M.delete_keys_mor(spark, fp, "event_id", list(range(100)))
+        est = M.scan_estimate(fp)
+        assert est["has_deletes"] is True
+        alive = M.load_manifest_table(spark, fp).count()
+        assert alive == 5_900
+        assert est["rows_kept_upper"] == 6_000  # footer counts: upper bound
+
+    def test_join_strategy_prefers_smaller_qualifying_side(self):
+        small = {"bytes_kept": 1_000, "rows_kept_upper": 10}
+        big = {"bytes_kept": 100 << 20, "rows_kept_upper": 10_000_000}
+        tiny = {"bytes_kept": 500, "rows_kept_upper": 5}
+        assert M.join_strategy(big, small) == "broadcast_right"
+        assert M.join_strategy(small, big) == "broadcast_left"
+        assert M.join_strategy(small, tiny) == "broadcast_right"
+        assert M.join_strategy(big, big) == "shuffle"
+
+    def test_join_strategy_respects_outer_build_sides(self):
+        small = {"bytes_kept": 1_000, "rows_kept_upper": 10}
+        big = {"bytes_kept": 100 << 20, "rows_kept_upper": 10_000_000}
+        # LEFT join preserves the left side: only right may build.
+        assert M.join_strategy(small, big, how="left") == "shuffle"
+        assert M.join_strategy(big, small, how="left") == "broadcast_right"
+        assert M.join_strategy(small, big, how="right") == "broadcast_left"
+        assert M.join_strategy(small, small, how="full") == "shuffle"
+
+    def test_join_strategy_rows_fallback_when_bytes_unknown(self):
+        small = {"bytes_kept": None, "rows_kept_upper": 10}
+        big = {"bytes_kept": None, "rows_kept_upper": 10_000_000}
+        assert M.join_strategy(small, big) == "shuffle"  # no rows gate set
+        assert (
+            M.join_strategy(small, big, rows_threshold=1_000)
+            == "broadcast_left"
+        )
+
+    def test_join_auto_broadcasts_dim_and_matches_plain_join(
+        self, spark, tmp_path
+    ):
+        fp, dp = self._tables(spark, tmp_path)
+        choice: dict = {}
+        j = M.join_auto(
+            spark,
+            {"path": fp, "ranges": {"event_id": (0, 999)}},
+            dp,
+            on="user_id",
+            choice_out=choice,
+        )
+        assert choice["strategy"] == "broadcast_right"
+        assert choice["left"]["files_kept"] < choice["left"]["files_total"]
+        # The hint must be in the plan Spark sees, not just the dict.
+        analyzed = j._jdf.queryExecution().analyzed().toString()
+        assert "broadcast" in analyzed.lower()
+        expect = (
+            M.load_manifest_table(spark, fp)
+            .filter(F.col("event_id").between(0, 999))
+            .join(M.load_manifest_table(spark, dp), "user_id")
+            .count()
+        )
+        assert j.count() == expect == 1_000
+
+    def test_join_auto_emits_no_hint_when_nothing_qualifies(
+        self, spark, tmp_path
+    ):
+        fp, dp = self._tables(spark, tmp_path)
+        choice: dict = {}
+        j = M.join_auto(
+            spark, fp, dp, on="user_id", bytes_threshold=1, choice_out=choice
+        )
+        assert choice["strategy"] == "shuffle"
+        analyzed = j._jdf.queryExecution().analyzed().toString()
+        assert "unresolvedhint" not in analyzed.lower()
+        assert "resolvedhint" not in analyzed.lower()
+        assert j.count() == 6_000
