@@ -187,6 +187,7 @@ HEADLINE = [
     "manifest_scan_auto",
     "manifest_segmented_lifecycle",
     "manifest_join_auto",
+    "manifest_agg_pushdown",
 ]
 
 

@@ -5981,6 +5981,137 @@ def scan_estimate(
     return est
 
 
+# Column types whose manifest [min,max] stats are EXACT table bounds.
+# Strings are excluded on purpose: Parquet writers may truncate string
+# stats (a truncated min is a prefix <= the true min, a truncated max is
+# incremented past the true max) — conservative for pruning overlap
+# tests, WRONG as an aggregate answer (the bound may be a value that
+# exists in no row). Iceberg's aggregate pushdown draws the same line.
+_EXACT_BOUND_TYPES = {
+    "tinyint",
+    "smallint",
+    "int",
+    "integer",
+    "bigint",
+    "long",
+    "float",
+    "double",
+    "date",
+    "timestamp",
+    "timestamp_ntz",
+}
+
+
+def stats_aggregate(
+    path: str,
+    aggs: "dict[str, tuple]",
+    version: int | None = None,
+) -> "dict | None":
+    """Answer COUNT/MIN/MAX aggregates from manifest metadata ALONE —
+    Iceberg's aggregate pushdown (`SparkScanBuilder.pushAggregation`) as
+    a library call: ``SELECT count(*), min(k), max(k)`` over a governed
+    100 TB table costs one JSON read, zero data IO, no SparkSession.
+
+    ``aggs`` maps result alias -> spec: ``("count",)`` (count(*)),
+    ``("count", col)`` (non-null count), ``("min", col)``,
+    ``("max", col)``. Returns ``{alias: value}`` — or **None whenever
+    metadata cannot answer EXACTLY**, and the caller must fall back to a
+    scan. Refusals are the contract, not a limitation:
+
+    * pending merge-on-read deletes (footer counts include dead rows,
+      and a dead row may hold the extremum);
+    * columns synthesized at read time (initial defaults, identity,
+      generated) — footer stats see the stored NULLs, not the logical
+      values;
+    * min/max on types whose parquet bounds may be truncated (strings)
+      or unordered (bool/binary) — see ``_EXACT_BOUND_TYPES``;
+    * any file missing the needed stats entry (untracked column, writer
+      without statistics, unknown null counts).
+
+    Date/timestamp bounds are stored as ISO strings (lexicographic ==
+    chronological) and converted back to date/datetime here."""
+    import datetime as _dt
+
+    m = read_manifest(path, version)
+    if m.get("deletes"):
+        return None
+    files = m["files"]
+    stats = m.get("stats") or {}
+    rows_map = m.get("rows") or {}
+    if any(f not in rows_map for f in files):
+        return None  # a pre-rows-tracking commit: counts unknown sans IO
+    synthesized = (
+        set(m.get("defaults") or ())
+        | set(m.get("identity") or ())
+        | set(m.get("generated") or ())
+    )
+    schema = {n: t for n, t in (m.get("schema") or [])}
+    total = sum(rows_map[f] for f in files)
+
+    def _entry(f: str, col: str):
+        e = (stats.get(f) or {}).get(_physical_col(m, col))
+        # entries are [min, max] (pre-round-6) or [min, max, nulls]
+        if e is None or len(e) < 2:
+            return None
+        return (e[0], e[1], e[2] if len(e) > 2 else None)
+
+    def _revive(v, typ: str):
+        if v is None or typ not in ("date", "timestamp", "timestamp_ntz"):
+            return v
+        return (
+            _dt.date.fromisoformat(v)
+            if typ == "date"
+            else _dt.datetime.fromisoformat(v)
+        )
+
+    out: dict = {}
+    for alias, spec in aggs.items():
+        kind = spec[0]
+        if kind == "count" and len(spec) == 1:
+            out[alias] = total
+            continue
+        col = spec[1]
+        if col in synthesized or col not in schema:
+            return None
+        if kind == "count":
+            n = 0
+            for f in files:
+                if rows_map[f] == 0:
+                    continue  # nothing to count; 0-row files store no stats
+                e = _entry(f, col)
+                if e is None or e[2] is None:
+                    return None
+                n += rows_map[f] - e[2]
+            out[alias] = n
+        elif kind in ("min", "max"):
+            typ = schema[col].lower()
+            if typ not in _EXACT_BOUND_TYPES:
+                return None
+            best = None
+            for f in files:
+                if rows_map[f] == 0:
+                    continue  # 0-row files store no stats and no extremum
+                e = _entry(f, col)
+                if e is None:
+                    return None
+                lo, hi, nulls = e
+                if nulls is not None and nulls == rows_map[f]:
+                    continue  # all-null file: no extremum here
+                if lo is None or hi is None:
+                    return None
+                v = lo if kind == "min" else hi
+                if best is None:
+                    best = v
+                elif kind == "min":
+                    best = min(best, v)
+                else:
+                    best = max(best, v)
+            out[alias] = _revive(best, typ)
+        else:
+            raise ValueError(f"unknown aggregate spec {spec!r}")
+    return out
+
+
 # Mirrors Spark's spark.sql.autoBroadcastJoinThreshold default (10 MB of
 # on-disk parquet understates in-memory size, but the factor is absorbed
 # by Spark applying the SAME convention to file-based estimates).

@@ -3568,3 +3568,68 @@ def manifest_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "manifest_agg_pushdown",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 != 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_custkey) AS BIGINT) AS n_cust,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust
+    FROM live
+    """,
+    tags=("manifest", "agg-pushdown", "cbo", "new-surface", "scale"),
+    priority=18,
+    doc="Aggregate pushdown into table metadata (manifest.py::"
+    "stats_aggregate — Iceberg's SparkScanBuilder.pushAggregation as a"
+    " library call): COUNT(*) / COUNT(col) / MIN / MAX answered from"
+    " the manifest JSON alone — zero data IO, no Spark action, the"
+    " same answer at 100 TB as at 100 rows. The table first takes a"
+    " predicate DELETE so the answer must track DML through the"
+    " rewritten stats, and the refusal contract is exercised inline"
+    " (a string column's possibly-truncated parquet bounds return"
+    " None, never a wrong value). The oracle replays the delete in"
+    " SQL and aggregates the survivors — a stale or truncated"
+    " metadata answer fails the hash.",
+)
+def manifest_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    path = _scratch(sf_dir, "agg_pushdown_orders")
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(
+        path, stat_cols=["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+    M.delete_where(spark, path, "o_orderkey % 7 = 3")
+    got = M.stats_aggregate(
+        path,
+        {
+            "n": ("count",),
+            "n_cust": ("count", "o_custkey"),
+            "min_key": ("min", "o_orderkey"),
+            "max_key": ("max", "o_orderkey"),
+            "max_cust": ("max", "o_custkey"),
+        },
+    )
+    if got is None:
+        raise AssertionError("metadata must answer after a CoW delete")
+    # Refusal honesty: string bounds may be truncated by the writer, so
+    # MIN over a string column must refuse rather than risk a wrong value.
+    if M.stats_aggregate(path, {"x": ("min", "o_orderpriority")}) is not None:
+        raise AssertionError("string min/max must refuse, not guess")
+    return spark.createDataFrame(
+        [tuple(int(got[k]) for k in ("n", "n_cust", "min_key", "max_key", "max_cust"))],
+        "n bigint, n_cust bigint, min_key bigint, max_key bigint, max_cust bigint",
+    )

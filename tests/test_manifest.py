@@ -5901,3 +5901,96 @@ class TestScanEstimateJoinAuto:
         assert "unresolvedhint" not in analyzed.lower()
         assert "resolvedhint" not in analyzed.lower()
         assert j.count() == 6_000
+
+
+class TestStatsAggregate:
+    """stats_aggregate — Iceberg's aggregate pushdown as a library:
+    COUNT/MIN/MAX answered from the manifest JSON alone, refusing (None)
+    whenever metadata cannot answer EXACTLY."""
+
+    def _table(self, spark, tmp_path, with_nulls=True):
+        df = spark.range(3_000).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id") % 40)
+            .alias("user_id")
+            if with_nulls
+            else (F.col("id") % 40).alias("user_id"),
+            F.concat(F.lit("n"), F.col("id")).alias("note"),
+        )
+        path = str(tmp_path / "aggtab")
+        write_range_sorted(df, path, "event_id", num_partitions=5)
+        M.manifest_init(path, stat_cols=["event_id", "user_id", "note"])
+        return path
+
+    def test_answers_without_spark(self, spark, tmp_path, monkeypatch):
+        path = self._table(spark, tmp_path)
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        def boom(df):
+            raise AssertionError("stats_aggregate ran a Spark action")
+
+        monkeypatch.setattr(_DF, "collect", boom)
+        got = M.stats_aggregate(
+            path,
+            {
+                "n": ("count",),
+                "n_users": ("count", "user_id"),
+                "lo": ("min", "event_id"),
+                "hi": ("max", "event_id"),
+            },
+        )
+        assert got == {"n": 3_000, "n_users": 2_700, "lo": 0, "hi": 2_999}
+
+    def test_refuses_on_pending_mor_deletes(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        M.delete_keys_mor(spark, path, "event_id", [2_999])
+        assert M.stats_aggregate(path, {"hi": ("max", "event_id")}) is None
+        # materializing the deletes restores exact metadata answers —
+        # and the dead extremum is gone from them
+        M.materialize_deletes(spark, path)
+        got = M.stats_aggregate(
+            path, {"hi": ("max", "event_id"), "n": ("count",)}
+        )
+        assert got == {"hi": 2_998, "n": 2_999}
+
+    def test_refuses_string_bounds_but_counts_them(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        assert M.stats_aggregate(path, {"x": ("min", "note")}) is None
+        got = M.stats_aggregate(path, {"x": ("count", "note")})
+        assert got == {"x": 3_000}
+
+    def test_refuses_untracked_and_synthesized_columns(
+        self, spark, tmp_path
+    ):
+        path = self._table(spark, tmp_path)
+        assert M.stats_aggregate(path, {"x": ("min", "nope")}) is None
+        M.add_column(path, "flagged", "bigint", initial_default="7")
+        assert M.stats_aggregate(path, {"x": ("min", "flagged")}) is None
+        # other columns still answer on the evolved table
+        got = M.stats_aggregate(path, {"lo": ("min", "event_id")})
+        assert got == {"lo": 0}
+
+    def test_tracks_dml_and_matches_scan(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        M.delete_where(spark, path, "event_id >= 2500")
+        got = M.stats_aggregate(
+            path,
+            {"n": ("count",), "hi": ("max", "event_id")},
+        )
+        live = M.load_manifest_table(spark, path)
+        assert got["n"] == live.count() == 2_500
+        assert got["hi"] == live.agg(F.max("event_id")).first()[0] == 2_499
+
+    def test_all_null_column_min_is_null(self, spark, tmp_path):
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.lit(None).cast("bigint").alias("v"),
+        )
+        path = str(tmp_path / "allnull")
+        df.coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k", "v"])
+        got = M.stats_aggregate(
+            path, {"lo": ("min", "v"), "nv": ("count", "v")}
+        )
+        assert got == {"lo": None, "nv": 0}
