@@ -6261,6 +6261,86 @@ def join_auto(
     return ldf.join(rdf, on, how)
 
 
+# Join types where dropping fact files that match NO dim key cannot
+# change the result: the join must FILTER the fact side. A fact-
+# preserving join (left outer with the fact on the left, full outer)
+# keeps unmatched fact rows, so file pruning would delete live output.
+_FACT_FILTERING_JOINS = {
+    "inner",
+    "leftsemi",
+    "left_semi",
+    "semi",
+    "rightouter",
+    "right_outer",
+    "right",
+}
+
+
+def join_runtime_pruned(
+    spark: SparkSession,
+    fact_path: str,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: "str | None" = None,
+    how: str = "inner",
+    version: int | None = None,
+    choice_out: "dict | None" = None,
+) -> DataFrame:
+    """Runtime-filter join — dynamic file pruning (Spark's DPP /
+    Iceberg-Delta runtime min-max filtering) as a library call: the dim
+    side's DISTINCT join keys are planned FIRST, the fact's file list
+    shrinks to the files that may contain ANY dim key, and only the
+    survivors are read through the merge-on-read view.
+
+    Planning reuses the DML victim planner (:func:`_plan_source_keys`):
+    under ``DML_COLLECT_KEY_LIMIT`` distinct keys the set collects and
+    prunes via stats+blooms per key (:func:`_candidate_files`); above
+    it, the per-file [min,max] stats frame (one row per FILE) broadcasts
+    against the distinct keys as a range join and only surviving file
+    NAMES are collected — driver materialization is bounded by the file
+    count at ANY dim size. Files without usable stats are kept, so the
+    result equals the unpruned join row-for-row by construction.
+
+    At 100 TB this is the plan a star-schema query needs: a dim filtered
+    to one region prunes the fact to the files whose key ranges the
+    surviving dim keys actually touch — BEFORE the scan, where Spark's
+    own DPP only prunes hive-style partition directories.
+
+    ``how`` must be a fact-FILTERING join (inner / left_semi / right
+    outer): a fact-preserving join keeps fact rows with no dim match, so
+    skipping their files would drop live output — refused loudly."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _FACT_FILTERING_JOINS
+    }:
+        raise ValueError(
+            f"join_runtime_pruned: {how!r} preserves unmatched fact rows; "
+            "file pruning is only sound for fact-filtering joins "
+            "(inner / left_semi / right_outer)"
+        )
+    dkey = dim_key or fact_key
+    fs, rel = get_fs(fact_path)
+    m = read_manifest(fact_path, version)
+    keys_df, _key_set, affected = _plan_source_keys(
+        spark, m, fs, rel, dim.select(F.col(dkey).alias(fact_key)), fact_key
+    )
+    keys_df.unpersist()
+    if choice_out is not None:
+        choice_out.update(
+            {
+                "files_total": len(m["files"]),
+                "files_kept": len(affected),
+                "path": "collected" if _key_set is not None else "stats-join",
+            }
+        )
+    if not affected:
+        fact = load_manifest_table(spark, fact_path, version).limit(0)
+    else:
+        fact = _with_deletes(spark, fact_path, m, affected)
+    if fact_key == dkey:
+        return fact.join(dim, fact_key, how)
+    return fact.join(dim, fact[fact_key] == dim[dkey], how)
+
+
 def scan_manifest_table_point(
     spark: SparkSession, path: str, col: str, value
 ) -> DataFrame:

@@ -3633,3 +3633,71 @@ def manifest_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(int(got[k]) for k in ("n", "n_cust", "min_key", "max_key", "max_cust"))],
         "n bigint, n_cust bigint, min_key bigint, max_key bigint, max_cust bigint",
     )
+
+
+@register(
+    "manifest_join_runtime_pruned",
+    oracle="""
+    WITH recent AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey > (SELECT max(c_custkey) - 150 FROM customer)
+    )
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN recent ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("manifest", "dpp", "runtime-filter", "join", "new-surface", "scale"),
+    priority=18,
+    doc="Runtime-filter join (manifest.py::join_runtime_pruned — DPP /"
+    " Iceberg-Delta runtime min-max filtering as a library): the dim"
+    " side ('recently onboarded' customers, the top-150 key window) is"
+    " planned FIRST and the orders fact — range-sorted on o_custkey —"
+    " prunes to the files whose [min,max] key spans any surviving dim"
+    " key, before the scan. Asserted: the kept file set is a proper"
+    " subset. Driver materialization is bounded by file count at any"
+    " dim size (the DML victim planner underneath). The oracle replays"
+    " the join from the base tables, so a fact row wrongly skipped by"
+    " pruning fails the hash. Spark's own DPP prunes only hive"
+    " partition directories; this prunes arbitrary stats-tracked"
+    " layouts.",
+)
+def manifest_join_runtime_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    fact_path = _scratch(sf_dir, "rtp_orders")
+    _shutil.rmtree(fact_path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_range_sorted(orders, fact_path, "o_custkey", num_partitions=8)
+    M.manifest_init(fact_path, stat_cols=["o_custkey"])
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cutoff = customer.agg(F.max("c_custkey")).first()[0] - 150
+    dim = customer.filter(F.col("c_custkey") > cutoff)
+    choice: dict = {}
+    j = M.join_runtime_pruned(
+        spark,
+        fact_path,
+        dim,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        choice_out=choice,
+    )
+    if not 0 < choice["files_kept"] < choice["files_total"]:
+        raise AssertionError(f"runtime pruning did not engage: {choice}")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

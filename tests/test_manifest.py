@@ -5994,3 +5994,100 @@ class TestStatsAggregate:
             path, {"lo": ("min", "v"), "nv": ("count", "v")}
         )
         assert got == {"lo": None, "nv": 0}
+
+
+class TestJoinRuntimePruned:
+    """join_runtime_pruned — dynamic file pruning from the dim side's
+    join keys (DPP / runtime min-max filtering as a library), sound only
+    for fact-filtering joins."""
+
+    def _fact(self, spark, tmp_path):
+        df = spark.range(8_000).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") * 3).alias("score"),
+        )
+        path = str(tmp_path / "rfact")
+        write_range_sorted(df, path, "user_id", num_partitions=8)
+        M.manifest_init(path, stat_cols=["user_id"])
+        return path
+
+    def test_prunes_and_matches_unpruned_join(self, spark, tmp_path):
+        path = self._fact(spark, tmp_path)
+        dim = spark.range(100).select(
+            (F.col("id") + 700).alias("user_id"),
+            F.lit("x").alias("tag"),
+        )
+        choice: dict = {}
+        j = M.join_runtime_pruned(
+            spark, path, dim, "user_id", choice_out=choice
+        )
+        assert choice["files_kept"] < choice["files_total"] == 8
+        assert choice["path"] == "collected"
+        expect = (
+            M.load_manifest_table(spark, path).join(dim, "user_id").count()
+        )
+        assert j.count() == expect == 100
+
+    def test_large_dim_uses_stats_join_and_bounds_driver(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = self._fact(spark, tmp_path)
+        monkeypatch.setattr(M, "DML_COLLECT_KEY_LIMIT", 16)
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        sizes: list[int] = []
+        real = _DF.collect
+
+        def spy(df):
+            rows = real(df)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(_DF, "collect", spy)
+        dim = spark.range(500).select(
+            (F.col("id") + 200).alias("user_id"), F.lit(1).alias("w")
+        )
+        choice: dict = {}
+        j = M.join_runtime_pruned(
+            spark, path, dim, "user_id", choice_out=choice
+        )
+        assert choice["path"] == "stats-join"
+        assert choice["files_kept"] < 8
+        assert max(sizes) <= 17, sizes  # lim+1 probe, then file names
+        assert j.count() == 500
+
+    def test_dim_key_rename_and_semi_join(self, spark, tmp_path):
+        path = self._fact(spark, tmp_path)
+        dim = spark.range(50).select((F.col("id") + 10).alias("cust"))
+        j = M.join_runtime_pruned(
+            spark, path, dim, "user_id", dim_key="cust", how="left_semi"
+        )
+        assert j.count() == 50
+        assert j.columns == ["user_id", "score"]
+
+    def test_refuses_fact_preserving_joins(self, spark, tmp_path):
+        path = self._fact(spark, tmp_path)
+        dim = spark.range(5).select(F.col("id").alias("user_id"))
+        with pytest.raises(ValueError, match="fact-filtering"):
+            M.join_runtime_pruned(spark, path, dim, "user_id", how="left")
+        with pytest.raises(ValueError, match="fact-filtering"):
+            M.join_runtime_pruned(spark, path, dim, "user_id", how="full")
+
+    def test_respects_mor_deletes(self, spark, tmp_path):
+        path = self._fact(spark, tmp_path)
+        M.delete_keys_mor(spark, path, "user_id", [701, 702])
+        dim = spark.range(10).select((F.col("id") + 700).alias("user_id"))
+        j = M.join_runtime_pruned(spark, path, dim, "user_id")
+        got = sorted(r["user_id"] for r in j.collect())
+        assert got == [700, 703, 704, 705, 706, 707, 708, 709]
+
+    def test_no_matching_keys_returns_empty_with_schema(
+        self, spark, tmp_path
+    ):
+        path = self._fact(spark, tmp_path)
+        dim = spark.range(3).select(
+            (F.col("id") + 1_000_000).alias("user_id")
+        )
+        j = M.join_runtime_pruned(spark, path, dim, "user_id")
+        assert j.count() == 0
+        assert set(j.columns) == {"user_id", "score"}
