@@ -189,6 +189,7 @@ HEADLINE = [
     "manifest_join_auto",
     "manifest_agg_pushdown",
     "manifest_join_runtime_pruned",
+    "manifest_mv_incremental_cdf",
 ]
 
 

@@ -3827,6 +3827,7 @@ def merge_into(
     when_not_matched_insert: bool = True,
     when_not_matched_by_source_update: "dict[str, str] | None" = None,
     when_not_matched_by_source_delete: "str | bool | None" = None,
+    txn: "tuple[str, int] | None" = None,
 ) -> "dict[str, int]":
     """General ``MERGE INTO`` (the Delta/Iceberg MERGE statement in
     minimal form), superseding the fixed-shape :func:`upsert`:
@@ -3872,6 +3873,21 @@ def merge_into(
         or when_not_matched_by_source_delete
     )
     m = read_manifest(path)
+    # ``txn = (app_id, batch_id)``: the same exactly-once watermark as
+    # append/upsert (Delta's txn action composes with ANY commit) — a
+    # replayed MERGE is skipped, and the watermark publishes atomically
+    # with the rows it describes (incremental view maintenance needs
+    # exactly this: the refreshed-through version commits WITH the
+    # merged partials or not at all).
+    if txn is not None and (m.get("txns") or {}).get(txn[0], -1) >= txn[1]:
+        return {
+            "updated": 0, "deleted": 0, "inserted": 0,
+            "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
+            "replayed": True,
+        }
+    txns_out = dict(m.get("txns") or {})
+    if txn is not None:
+        txns_out[txn[0]] = txn[1]
     types = {n: t for n, t in (m.get("schema") or [])}
     for col in {
         **(when_matched_update or {}),
@@ -3917,8 +3933,19 @@ def merge_into(
         # No candidate file holds a source key and inserts are off: every
         # clause is vacuously empty. Committing here would publish an
         # identical file list — version churn that only shifts the vacuum
-        # retention window.
+        # retention window. With a txn the watermark still has to
+        # advance (a no-op delta re-read forever otherwise): commit a
+        # METADATA-ONLY version carrying the file list verbatim.
         keys_df.unpersist()
+        if txn is not None:
+            _commit(
+                path, m["files"], m["version"],
+                txns=txns_out, schema=m.get("schema"),
+                stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+                constraints=m.get("constraints"),
+                deletes=m.get("deletes"), rows=m.get("rows"),
+                op="MERGE",
+            )
         return {
             "updated": 0, "deleted": 0, "inserted": 0,
             "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
@@ -4064,8 +4091,19 @@ def merge_into(
     ):
         # Candidate files held no row matching any clause (stats are an
         # over-approximation): survivors would rewrite byte-identical
-        # content. Commit nothing instead of churning a version.
+        # content. Commit nothing instead of churning a version —
+        # except the txn watermark, which must advance metadata-only
+        # (same rationale as the vacuous-clause path above).
         keys_df.unpersist()
+        if txn is not None:
+            _commit(
+                path, m["files"], m["version"],
+                txns=txns_out, schema=m.get("schema"),
+                stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+                constraints=m.get("constraints"),
+                deletes=m.get("deletes"), rows=m.get("rows"),
+                op="MERGE",
+            )
         return {
             "updated": 0, "deleted": 0, "inserted": 0,
             "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
@@ -4090,7 +4128,7 @@ def merge_into(
     stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
     _commit(
         path, new_files, m["version"],
-        txns=m.get("txns") or {}, schema=m.get("schema"),
+        txns=txns_out, schema=m.get("schema"),
         stats=stats, stat_cols=stat_cols,
         constraints=m.get("constraints"),
         deletes=m.get("deletes"),
@@ -5495,6 +5533,116 @@ def refresh_aggregate(
     return upsert(
         spark, dagg, mv_path, key_col, txn=(MV_TXN_APP, to_version)
     )
+
+
+MV_CDF_TXN_APP = "mv_refresh_cdf"
+
+
+def refresh_aggregate_cdf(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    key_col: str,
+    value_col: str,
+    to_version: "int | None" = None,
+) -> int:
+    """Incremental materialized-view maintenance over ARBITRARY DML —
+    the classic signed-delta view algebra (ΔV = +postimage −preimage;
+    Blakeley et al.'s self-maintainable aggregates) driven by the
+    row-level change feed, where :func:`refresh_aggregate` requires an
+    append-only base.
+
+    The MV holds per-key ``(sum_value, cnt, n_rows)``: ``cnt`` counts
+    NON-NULL values (SQL ``count(col)``), ``n_rows`` counts rows, and
+    SUM goes NULL exactly when ``cnt`` hits 0 — so the triple is closed
+    under inserts, updates, and deletes. Each refresh reads
+    :func:`read_changes` for ``(last, to_version]``, folds ``insert`` /
+    ``update_postimage`` rows with sign +1 and ``delete`` /
+    ``update_preimage`` with −1, and MERGEs the per-key deltas into the
+    MV: matched keys whose ``n_rows`` reaches 0 DELETE (the key left the
+    base), others update by addition, new keys insert. The
+    refreshed-through version rides the MERGE as its txn watermark —
+    exactly-once, crash-safe, no side state (:func:`merge_into`'s txn).
+
+    Cost at 100 TB tracks |delta| + the affected MV keys — never the
+    base, never the full MV. Floating-point ``sum_value`` maintained by
+    addition can drift from a recompute (use decimal/integer value
+    columns where byte-exactness matters); counts are exact always."""
+    if to_version is None:
+        to_version = current_version(base_path)
+    fs, rel = get_fs(mv_path)
+    if not fs.exists(rel):
+        fs.makedirs(rel)
+    if not _versions(mv_path):
+        manifest_init(mv_path)
+    m = read_manifest(mv_path)
+    last = (m.get("txns") or {}).get(MV_CDF_TXN_APP)
+    if last is not None and last >= to_version:
+        return m["version"]  # already refreshed through to_version
+    if last is None:
+        delta = load_manifest_table(
+            spark, base_path, version=to_version
+        ).select(
+            key_col, value_col, F.lit(1).alias("__sign")
+        )
+    else:
+        delta = read_changes(spark, base_path, last, to_version).select(
+            key_col,
+            value_col,
+            F.when(
+                F.col(CDF_TYPE_COL).isin("insert", "update_postimage"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("__sign"),
+        )
+    dagg = (
+        delta.groupBy(key_col)
+        .agg(
+            F.sum(F.col(value_col) * F.col("__sign")).alias("sum_value"),
+            F.sum(
+                F.when(F.col(value_col).isNotNull(), F.col("__sign"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("cnt"),
+            F.sum("__sign").cast("long").alias("n_rows"),
+        )
+        # Keys whose changes fully cancel within the delta are no-ops:
+        # merging them would churn victim files for identical content.
+        .filter(
+            (F.col("n_rows") != 0)
+            | (F.col("cnt") != 0)
+            | (F.coalesce(F.col("sum_value"), F.lit(0.0)) != 0.0)
+        )
+    )
+    if last is None:
+        out = upsert(
+            spark, dagg, mv_path, key_col, txn=(MV_CDF_TXN_APP, to_version)
+        )
+        return out
+    merge_into(
+        spark,
+        mv_path,
+        dagg,
+        key_col,
+        when_matched_delete="t.n_rows + s.n_rows = 0",
+        when_matched_update={
+            # SUM is NULL exactly when no non-null value remains — the
+            # cnt term decides, so a sum driven to 0.0 by deletes of the
+            # only non-null values still reads back as SQL NULL.
+            "sum_value": (
+                # integer 0 literals: they widen to the column's own type
+                # (double stays double, a bigint MV stays bigint)
+                "CASE WHEN t.cnt + s.cnt = 0 THEN NULL "
+                "ELSE coalesce(t.sum_value, 0) + coalesce(s.sum_value, 0) END"
+            ),
+            "cnt": "t.cnt + s.cnt",
+            "n_rows": "t.n_rows + s.n_rows",
+        },
+        txn=(MV_CDF_TXN_APP, to_version),
+    )
+    return current_version(mv_path)
 
 
 def version_at_timestamp(path: str, ts: float) -> int:

@@ -3701,3 +3701,94 @@ def manifest_join_runtime_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "manifest_mv_incremental_cdf",
+    oracle="""
+    WITH appended AS (
+      SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus,
+             o_custkey + 7 AS o_custkey
+      FROM orders WHERE o_orderkey % 100 = 1
+    ),
+    u AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
+      UNION ALL SELECT * FROM appended
+    ),
+    updated AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN o_custkey + 5
+                  ELSE o_custkey END AS o_custkey
+      FROM u
+    ),
+    live AS (
+      SELECT * FROM updated
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    )
+    SELECT o_orderstatus AS grp,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_value,
+           CAST(count(o_custkey) AS BIGINT) AS cnt,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM live
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("manifest", "mv", "cdf", "incremental", "new-surface", "scale"),
+    priority=18,
+    doc="Incremental materialized-view maintenance over ARBITRARY DML"
+    " (manifest.py::refresh_aggregate_cdf — signed-delta view algebra"
+    " on the row-level change feed, where refresh_aggregate requires"
+    " append-only): an MV of per-status (sum, count, row-count)"
+    " bootstraps from the base, then an append + UPDATE + DELETE wave"
+    " lands and ONE incremental refresh folds insert/update_postimage"
+    " rows at +1 and delete/update_preimage at -1, MERGEd into the MV"
+    " with the refreshed-through version as the txn watermark"
+    " (exactly-once; merge_into's txn). Asserted: the second refresh"
+    " took the incremental path (watermark present before it ran)."
+    " The oracle replays the full DML wave in SQL and re-aggregates"
+    " from scratch — any drift between the incrementally-maintained"
+    " MV and a recompute fails the hash. At 100 TB the refresh reads"
+    " |delta|, never the base or the full MV.",
+)
+def manifest_mv_incremental_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    base = _scratch(sf_dir, "mv_cdf_orders")
+    mv = _scratch(sf_dir, "mv_cdf_agg")
+    _shutil.rmtree(base, ignore_errors=True)
+    _shutil.rmtree(mv, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    write_range_sorted(orders, base, "o_orderkey", num_partitions=6)
+    M.manifest_init(base, stat_cols=["o_orderkey"])
+    M.enable_cdf(base)
+    M.refresh_aggregate_cdf(spark, base, mv, "o_orderstatus", "o_custkey")
+    M.append(
+        orders.filter(F.col("o_orderkey") % 100 == 1).select(
+            (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("o_custkey") + 7).alias("o_custkey"),
+        ),
+        base,
+    )
+    M.update_where(
+        spark, base, "o_orderstatus = 'P'", {"o_custkey": "o_custkey + 5"}
+    )
+    M.delete_where(spark, base, "o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    if M.read_manifest(mv)["txns"].get(M.MV_CDF_TXN_APP) is None:
+        raise AssertionError("bootstrap refresh must record the watermark")
+    M.refresh_aggregate_cdf(spark, base, mv, "o_orderstatus", "o_custkey")
+    return (
+        M.load_manifest_table(spark, mv)
+        .select(
+            F.col("o_orderstatus").alias("grp"),
+            "sum_value",
+            "cnt",
+            "n_rows",
+        )
+        .orderBy("grp")
+    )

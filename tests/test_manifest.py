@@ -6091,3 +6091,111 @@ class TestJoinRuntimePruned:
         j = M.join_runtime_pruned(spark, path, dim, "user_id")
         assert j.count() == 0
         assert set(j.columns) == {"user_id", "score"}
+
+
+class TestRefreshAggregateCdf:
+    """refresh_aggregate_cdf — incremental MV maintenance over arbitrary
+    DML via the row-level change feed (signed-delta view algebra), with
+    the refreshed-through version riding the MERGE as a txn watermark."""
+
+    def _base(self, spark, tmp_path):
+        df = spark.range(1_000).select(
+            F.col("id").alias("k_id"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") % 7).cast("double").alias("val"),
+        )
+        path = str(tmp_path / "cdfbase")
+        write_range_sorted(df, path, "k_id", num_partitions=4)
+        M.manifest_init(path, stat_cols=["k_id", "grp"])
+        M.enable_cdf(path)
+        return path
+
+    def _expect(self, spark, base):
+        rows = (
+            M.load_manifest_table(spark, base)
+            .groupBy("grp")
+            .agg(
+                F.sum("val").alias("sum_value"),
+                F.count("val").alias("cnt"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        )
+        return {r["grp"]: (r["sum_value"], r["cnt"], r["n_rows"]) for r in rows}
+
+    def _got(self, spark, mv):
+        rows = M.load_manifest_table(spark, mv).collect()
+        return {r["grp"]: (r["sum_value"], r["cnt"], r["n_rows"]) for r in rows}
+
+    def test_tracks_inserts_updates_deletes(self, spark, tmp_path):
+        base = self._base(spark, tmp_path)
+        mv = str(tmp_path / "mv")
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        assert self._got(spark, mv) == self._expect(spark, base)
+        # a wave of every DML flavor the CDF records
+        M.append(
+            spark.range(50).select(
+                (F.col("id") + 1_000).alias("k_id"),
+                (F.col("id") % 10).alias("grp"),
+                F.lit(2.0).alias("val"),
+            ),
+            base,
+        )
+        M.update_where(spark, base, "grp = 3", {"val": "val + 10.0"})
+        M.delete_where(spark, base, "grp = 7")
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        assert self._got(spark, mv) == self._expect(spark, base)
+
+    def test_key_leaves_mv_when_all_rows_deleted(self, spark, tmp_path):
+        base = self._base(spark, tmp_path)
+        mv = str(tmp_path / "mv2")
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        M.delete_where(spark, base, "grp = 4")
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        got = self._got(spark, mv)
+        assert 4 not in got
+        assert set(got) == set(range(10)) - {4}
+
+    def test_refresh_is_exactly_once(self, spark, tmp_path):
+        base = self._base(spark, tmp_path)
+        mv = str(tmp_path / "mv3")
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        M.delete_where(spark, base, "grp = 2")
+        v1 = M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        v2 = M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")  # replay
+        assert v1 == v2
+        assert self._got(spark, mv) == self._expect(spark, base)
+
+    def test_sum_goes_null_when_last_nonnull_value_leaves(
+        self, spark, tmp_path
+    ):
+        df = spark.createDataFrame(
+            [(1, 10, 5.0), (2, 10, None), (3, 20, 1.0)],
+            "k_id bigint, grp bigint, val double",
+        )
+        base = str(tmp_path / "nullbase")
+        df.coalesce(1).write.parquet(base)
+        M.manifest_init(base, stat_cols=["k_id"])
+        M.enable_cdf(base)
+        mv = str(tmp_path / "mv4")
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        M.delete_where(spark, base, "k_id = 1")
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        got = self._got(spark, mv)
+        # grp 10 still has one (null-valued) row: present, SUM=NULL, cnt=0
+        assert got[10] == (None, 0, 1)
+        assert got[20] == (1.0, 1, 1)
+
+    def test_merge_txn_watermark_survives_noop_delta(self, spark, tmp_path):
+        base = self._base(spark, tmp_path)
+        mv = str(tmp_path / "mv5")
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        # a base commit whose net per-key effect is zero: +10 then -10
+        M.update_where(spark, base, "grp = 5", {"val": "val + 10.0"})
+        M.update_where(spark, base, "grp = 5", {"val": "val - 10.0"})
+        v = M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        # watermark advanced even though the folded delta was a no-op
+        m = M.read_manifest(mv)
+        assert m["txns"][M.MV_CDF_TXN_APP] == M.current_version(base)
+        assert M.refresh_aggregate_cdf(spark, base, mv, "grp", "val") == v
+        assert self._got(spark, mv) == self._expect(spark, base)
