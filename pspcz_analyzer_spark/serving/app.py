@@ -148,6 +148,24 @@ def create_app(service: QueryService):
 
             raise HTTPException(404, f"no manifest table named {name!r}")
 
+    @app.get("/api/lake/{name}/estimate")
+    def lake_estimate(
+        name: str,
+        col: "str | None" = None,
+        lo: "str | None" = None,
+        hi: "str | None" = None,
+        value: "str | None" = None,
+    ):
+        # Scan-size preview (manifest.scan_estimate): files/rows/bytes a
+        # predicate would read + broadcast qualification — metadata-only,
+        # answers even while the cluster is saturated.
+        try:
+            return service.lake_estimate(name, col=col, lo=lo, hi=hi, value=value)
+        except KeyError:
+            from fastapi import HTTPException
+
+            raise HTTPException(404, f"no manifest table named {name!r}")
+
     @app.get("/api/laws")
     def laws(
         status: str | None = None,

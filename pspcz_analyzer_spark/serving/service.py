@@ -574,6 +574,55 @@ class QueryService:
             "history_tail": hist[-5:],
         }
 
+    def lake_estimate(
+        self,
+        name: str,
+        col: "str | None" = None,
+        lo: "str | None" = None,
+        hi: "str | None" = None,
+        value: "str | None" = None,
+    ) -> dict:
+        """Scan-size preview for a discovered manifest table — the
+        serving face of ``manifest.scan_estimate``: how many files/rows/
+        bytes would a scan with this predicate read, and would the
+        result qualify as a broadcast side? Query params arrive as
+        strings; the column's DECLARED type drives the cast, so a
+        numeric range compares numerically. Pure metadata — no Spark
+        job, so an operator can cost a query against a saturated
+        cluster before submitting it. Unknown names raise KeyError
+        (name-resolved, never a caller path); an untyped/unknown
+        column simply estimates conservatively (scan_estimate keeps
+        files whose metadata it cannot interpret)."""
+        from pspcz_analyzer_spark import manifest as M
+
+        tables = self._discover_manifest_tables()
+        if name not in tables:
+            raise KeyError(name)
+        path = tables[name]
+        m = M.read_manifest(path)
+        types = {n: (t or "").lower() for n, t in (m.get("schema") or [])}
+
+        def _cast(v: str):
+            t = types.get(col or "", "")
+            if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+                return int(v)
+            if t in ("float", "double"):
+                return float(v)
+            return v
+
+        eq = {col: _cast(value)} if col and value is not None else None
+        ranges = (
+            {col: (_cast(lo), _cast(hi))}
+            if col and lo is not None and hi is not None
+            else None
+        )
+        est = M.scan_estimate(path, eq=eq, ranges=ranges)
+        est["broadcastable"] = (
+            est["bytes_kept"] is not None
+            and est["bytes_kept"] <= M.BROADCAST_BYTES_THRESHOLD
+        )
+        return est
+
     def health(self) -> dict:
         """Operator's first curl (reference routes/health.py:16-21, widened
         per its data-freshness intent): session liveness, per-table

@@ -499,3 +499,51 @@ class TestLakeDetailEndpoint:
             assert d["version"] == 1
         finally:
             shutil.rmtree(p, ignore_errors=True)
+
+
+class TestLakeEstimateEndpoint:
+    @pytest.fixture()
+    def svc(self, spark):
+        return QueryService(spark, SF_DIR, ttl_seconds=3600)
+
+    def test_estimate_prunes_and_is_metadata_only(
+        self, svc, spark, monkeypatch
+    ):
+        import os
+        import shutil
+
+        import pyspark.sql.functions as F
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.jobs import write_range_sorted
+        from pspcz_analyzer_spark.scratch import scratch_path
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        p = scratch_path(SF_DIR, "lake_est_tbl")
+        shutil.rmtree(p, ignore_errors=True)
+        df = spark.range(4_000).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("g")
+        )
+        write_range_sorted(df, p, "k", num_partitions=8)
+        M.manifest_init(p, stat_cols=["k"])
+
+        def boom(self_df):
+            raise AssertionError("lake_estimate() ran a Spark job")
+
+        monkeypatch.setattr(_DF, "collect", boom)
+        try:
+            name = os.path.basename(p)
+            full = svc.lake_estimate(name)
+            assert full["files_kept"] == full["files_total"] == 8
+            assert full["rows_kept_upper"] == 4_000
+            assert full["broadcastable"] is True  # tiny table
+            # string query params cast through the declared bigint type
+            part = svc.lake_estimate(name, col="k", lo="0", hi="499")
+            assert 0 < part["files_kept"] < 8
+            assert part["rows_kept_upper"] < 4_000
+        finally:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def test_unknown_name_raises_keyerror(self, svc):
+        with pytest.raises(KeyError):
+            svc.lake_estimate("../../etc", col="k", lo="0", hi="1")
