@@ -3825,6 +3825,7 @@ def merge_into(
     matched_condition: "str | None" = None,
     when_matched_delete: "str | None" = None,
     when_not_matched_insert: bool = True,
+    not_matched_condition: "str | None" = None,
     when_not_matched_by_source_update: "dict[str, str] | None" = None,
     when_not_matched_by_source_delete: "str | bool | None" = None,
     txn: "tuple[str, int] | None" = None,
@@ -3836,7 +3837,11 @@ def merge_into(
       first, Delta's clause-order rule),
     - ``WHEN MATCHED [AND <matched_condition>] THEN UPDATE SET``
       ``when_matched_update`` (col -> SQL expr over ``t.*``/``s.*``),
-    - ``WHEN NOT MATCHED THEN INSERT *`` (``when_not_matched_insert``),
+    - ``WHEN NOT MATCHED [AND <not_matched_condition>] THEN INSERT *``
+      (``when_not_matched_insert``; the condition sees ``s.*`` only —
+      there is no matched target row — and is what lets a CDC source
+      carry tombstones: ``s.op != 'D'`` keeps a delete for an absent
+      key a no-op instead of an insert),
     - ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE / UPDATE
       SET`` (Delta 2.4 semantics): target rows with no source match
       — delete when ``when_not_matched_by_source_delete`` (``True`` or
@@ -3917,9 +3922,20 @@ def merge_into(
             "depend on join order; deduplicate the source first"
         )
     if when_not_matched_insert:
+        # Source columns beyond the table schema are CLAUSE-ONLY (a CDC
+        # op/tombstone flag, change metadata): INSERT * projects onto the
+        # table's columns, so they never land — type-check only what will.
+        tbl_schema = m.get("schema")
+        probe = (
+            source.select(
+                [c for c in source.columns if c in {n for n, _ in tbl_schema}]
+            )
+            if tbl_schema
+            else source
+        )
         _check_schema(
-            m.get("schema") or _df_schema_list(source),
-            source,
+            tbl_schema or _df_schema_list(source),
+            probe,
             merge_schema=False,
         )
     fs, rel = get_fs(path)
@@ -4061,7 +4077,10 @@ def merge_into(
         # columns stay NULL (values allocate metadata-only at commit),
         # anything else nullable null-fills — the same write contract
         # as append.
-        src_filled = _apply_write_defaults(m, src)
+        src_ins = src
+        if not_matched_condition is not None:
+            src_ins = src.alias("s").filter(F.expr(not_matched_condition))
+        src_filled = _apply_write_defaults(m, src_ins)
         have = set(src_filled.columns)
         types_all = {n: t for n, t in (m.get("schema") or [])}
         ins_cols = [

@@ -182,3 +182,77 @@ def stream_materialized_aggregate(
     )
     q.awaitTermination()
     return results
+
+
+def stream_cdc_apply_with_mv(
+    spark: SparkSession,
+    landing_dir: str,
+    table_dir: str,
+    mv_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    key_col: str,
+    mv_key_col: str,
+    value_col: str,
+    op_col: str = "op",
+    app_id: str = "stream_cdc",
+) -> "list[tuple[int, int, int]]":
+    """Streaming CDC APPLY with a continuously-maintained rollup — the
+    full change-data pipeline as one exactly-once loop: landing batches
+    carry upserts and tombstones (``op_col`` = 'I'/'U' upsert, 'D'
+    delete), each micro-batch lands as ONE :func:`manifest.merge_into`
+    commit (tombstoned keys delete, matched keys update, fresh non-
+    tombstone keys insert — ``not_matched_condition`` keeps a delete
+    for an absent key a no-op), and :func:`manifest.refresh_aggregate_
+    cdf` folds the commit's row-level change feed into the per-key
+    (sum, cnt, n_rows) MV.
+
+    Exactly-once anatomy: the MERGE rides ``txn=(app_id, batch_id)``
+    (a replayed micro-batch no-ops at the table), the refresh rides its
+    own refreshed-through watermark (a crash between MERGE and refresh
+    heals at the NEXT refresh, which reads the CDF delta from the last
+    committed watermark). Neither step can double-apply; no side state
+    beyond the two tables. Per-batch cost: |batch| for the MERGE's
+    victim rewrite + |delta| for the refresh — table history and
+    unaffected MV keys are never rescanned. The base table must have
+    CDF enabled (the MERGE records pre/postimages the refresh needs).
+
+    Returns [(batch_id, table_version, mv_version)] for this run."""
+    results: "list[tuple[int, int, int]]" = []
+    data_cols: "list[str] | None" = None
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal data_cols
+        if data_cols is None:
+            data_cols = [c for c in batch_df.columns if c != op_col]
+        M.merge_into(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            key_col,
+            when_matched_delete=f"s.{op_col} = 'D'",
+            when_matched_update={
+                c: f"s.{c}" for c in data_cols if c != key_col
+            },
+            when_not_matched_insert=True,
+            not_matched_condition=f"s.{op_col} != 'D'",
+            txn=(app_id, int(batch_id)),
+        )
+        v = M.current_version(table_dir)
+        mv_v = M.refresh_aggregate_cdf(
+            batch_df.sparkSession, table_dir, mv_dir, mv_key_col,
+            value_col, to_version=v,
+        )
+        results.append((int(batch_id), v, mv_v))
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return results

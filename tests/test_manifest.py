@@ -6199,3 +6199,95 @@ class TestRefreshAggregateCdf:
         assert m["txns"][M.MV_CDF_TXN_APP] == M.current_version(base)
         assert M.refresh_aggregate_cdf(spark, base, mv, "grp", "val") == v
         assert self._got(spark, mv) == self._expect(spark, base)
+
+
+class TestStreamCdcApplyWithMv:
+    """stream_cdc_apply_with_mv — landing CDC batches (upserts +
+    tombstones) applied as one MERGE per micro-batch with a
+    continuously-maintained CDF-incremental MV, end-to-end exactly-once."""
+
+    def test_cdc_waves_apply_and_mv_tracks(self, spark, tmp_path):
+        import os
+
+        from pspcz_analyzer_spark.streaming.lake import (
+            stream_cdc_apply_with_mv,
+        )
+
+        landing = str(tmp_path / "cdc_landing")
+        table = str(tmp_path / "cdc_tab")
+        mv = str(tmp_path / "cdc_mv")
+        ck = str(tmp_path / "cdc_ck")
+        seed = spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("grp"),
+            (F.col("id") % 11).cast("double").alias("val"),
+        )
+        seed.coalesce(1).write.parquet(table)
+        M.manifest_init(table, stat_cols=["k"])
+        M.enable_cdf(table)
+
+        # wave 1: update keys 0-9 (val -> 100), insert 100-104,
+        # tombstone 50-54 AND a key that never existed (999: must no-op)
+        w1 = spark.createDataFrame(
+            [(k, k % 5, 100.0, "U") for k in range(10)]
+            + [(k, k % 5, 7.0, "I") for k in range(100, 105)]
+            + [(k, 0, None, "D") for k in list(range(50, 55)) + [999]],
+            "k bigint, grp bigint, val double, op string",
+        )
+        w1.coalesce(1).write.mode("append").parquet(landing)
+        res = stream_cdc_apply_with_mv(
+            spark, landing, table, mv, ck,
+            schema="k bigint, grp bigint, val double, op string",
+            key_col="k", mv_key_col="grp", value_col="val",
+        )
+        assert len(res) == 1
+        live = M.load_manifest_table(spark, table)
+        assert live.count() == 100  # +5 inserts -5 deletes; 999 no-oped
+        assert live.filter(F.col("k").isin(50, 51, 52, 53, 54)).count() == 0
+        assert live.filter((F.col("k") < 10) & (F.col("val") == 100.0)).count() == 10
+
+        # the MV equals a from-scratch recompute of the live table
+        def mv_rows():
+            return {
+                r["grp"]: (r["sum_value"], r["cnt"], r["n_rows"])
+                for r in M.load_manifest_table(spark, mv).collect()
+            }
+
+        def expect():
+            return {
+                r["grp"]: (r["sum_value"], r["cnt"], r["n_rows"])
+                for r in M.load_manifest_table(spark, table)
+                .groupBy("grp")
+                .agg(
+                    F.sum("val").alias("sum_value"),
+                    F.count("val").alias("cnt"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+                .collect()
+            }
+
+        assert mv_rows() == expect()
+
+        # wave 2 drains through the SAME checkpoint; a fresh checkpoint
+        # replaying batch 0 is absorbed by the MERGE txn watermark
+        w2 = spark.createDataFrame(
+            [(k, 0, None, "D") for k in range(100, 105)],
+            "k bigint, grp bigint, val double, op string",
+        )
+        w2.coalesce(1).write.mode("append").parquet(landing)
+        stream_cdc_apply_with_mv(
+            spark, landing, table, mv, ck,
+            schema="k bigint, grp bigint, val double, op string",
+            key_col="k", mv_key_col="grp", value_col="val",
+        )
+        assert M.load_manifest_table(spark, table).count() == 95
+        assert mv_rows() == expect()
+        v = M.current_version(table)
+        ck2 = str(tmp_path / "cdc_ck2")
+        stream_cdc_apply_with_mv(
+            spark, landing, table, mv, ck2,
+            schema="k bigint, grp bigint, val double, op string",
+            key_col="k", mv_key_col="grp", value_col="val",
+        )
+        assert M.current_version(table) == v  # full replay: all no-ops
+        assert mv_rows() == expect()
