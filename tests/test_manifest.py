@@ -6291,3 +6291,36 @@ class TestStreamCdcApplyWithMv:
         )
         assert M.current_version(table) == v  # full replay: all no-ops
         assert mv_rows() == expect()
+
+
+def test_cdf_mv_survives_layout_maintenance(spark, tmp_path):
+    """Layout maintenance between refreshes must not break the feed: an
+    OPTIMIZE records an explicitly EMPTY change set (data-neutral), so a
+    refresh spanning delete -> compact -> update folds exactly the two
+    logical changes."""
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") % 13).cast("double").alias("val"),
+    )
+    base, mv = str(tmp_path / "mnt_base"), str(tmp_path / "mnt_mv")
+    write_range_sorted(df, base, "k", num_partitions=12)
+    M.manifest_init(base, stat_cols=["k"])
+    M.enable_cdf(base)
+    M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+    M.delete_where(spark, base, "grp = 3")
+    M.compact_small_files(spark, base, target_bytes=10**9)
+    M.update_where(spark, base, "grp = 2", {"val": "val + 1.0"})
+    M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+    got = {
+        r["grp"]: (r["sum_value"], r["cnt"])
+        for r in M.load_manifest_table(spark, mv).collect()
+    }
+    want = {
+        r["grp"]: (r["sum_value"], r["cnt"])
+        for r in M.load_manifest_table(spark, base)
+        .groupBy("grp")
+        .agg(F.sum("val").alias("sum_value"), F.count("val").alias("cnt"))
+        .collect()
+    }
+    assert got == want
