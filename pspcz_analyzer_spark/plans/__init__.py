@@ -53,8 +53,8 @@ _REGISTRY: dict[str, Query] = {}
 #        oracle;
 #   20 = r02-green and never re-attested since — the 17-query tail the r7
 #        budget didn't reach (9 of 26 rotated in r07);
-#   22 = r03-green cohort — next-stalest; 2 sentinels + 4 new + 17 r02
-#        leaves 27 slots for this cohort's head, the tail queues for r9;
+#   22 = r03-green cohort — next-stalest; 2 sentinels + 8 new + 17 r02
+#        leaves 23 slots for this cohort's head, the tail queues for r9;
 #   52 = rows-only by design (no oracle possible: LSH/IVF results are
 #        approximation-defined, PCA basis signs impl-defined, HLL
 #        estimates); each has an oracle-paired anchor at a lower tier, so
