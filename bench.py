@@ -190,6 +190,7 @@ HEADLINE = [
     "manifest_agg_pushdown",
     "manifest_join_runtime_pruned",
     "manifest_mv_incremental_cdf",
+    "manifest_partitions_table",
 ]
 
 

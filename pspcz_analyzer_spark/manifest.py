@@ -1514,6 +1514,50 @@ def files_table(
     )
 
 
+def partitions_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table's PARTITION-LEVEL rollup as a queryable DataFrame —
+    Iceberg's ``db.table.partitions`` metadata table in minimal form:
+    one row per recorded partition tuple with its file count, row count
+    (stored footer counts — upper bounds while merge-on-read deletes
+    are pending), and byte size. Files with no recorded partition
+    values (pre-evolution data, rewrites that mixed partitions) group
+    under a NULL partition rather than disappearing — the honest bucket
+    an operator needs when deciding whether a re-layout is due. Built
+    from the manifest + one fs.size stat per file; no data IO, so
+    "which partitions went small-file-heavy since the last OPTIMIZE"
+    is answerable at a million files without touching the lake."""
+    m = read_manifest(path, version)
+    fs, rel = get_fs(path)
+    rows_meta = m.get("rows") or {}
+    parts = m.get("partitions") or {}
+    agg: "dict[str | None, list]" = {}
+    for f in m["files"]:
+        p = parts.get(f)
+        token = (
+            "/".join(f"{k}={p[k]}" for k in sorted(p)) if p else None
+        )
+        ent = agg.setdefault(token, [0, 0, 0, True])
+        ent[0] += 1
+        r = rows_meta.get(f)
+        if r is None:
+            ent[3] = False  # a file without a stored count: rows unknown
+        else:
+            ent[1] += int(r)
+        ent[2] += int(fs.size(os.path.join(rel, f)))
+    recs = [
+        (tok, n, rows if known else None, size)
+        for tok, (n, rows, size, known) in sorted(
+            agg.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+        )
+    ]
+    return spark.createDataFrame(
+        recs,
+        "partition string, n_files int, n_rows long, size_bytes long",
+    )
+
+
 def refs_table(spark: SparkSession, path: str) -> DataFrame:
     """The table's NAMED REFS as a queryable DataFrame — Iceberg's
     ``db.table.refs`` metadata table in minimal form: one row per tag

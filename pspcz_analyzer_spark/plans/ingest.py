@@ -3792,3 +3792,46 @@ def manifest_mv_incremental_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "manifest_partitions_table",
+    oracle="""
+    SELECT concat('prio=', o_orderpriority) AS partition,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY partition
+    ORDER BY partition
+    """,
+    tags=("manifest", "metadata-table", "partitions", "new-surface"),
+    priority=18,
+    doc="SHOW PARTITIONS as a metadata table (manifest.py::"
+    "partitions_table — Iceberg's db.table.partitions in minimal"
+    " form): a hive-partitioned orders directory is adopted in place"
+    " and the per-partition rollup (file count, row count, bytes) is"
+    " built from the manifest + one fs stat per file, zero data IO."
+    " The oracle recomputes row counts per partition from the base"
+    " table, so a file mis-bucketed during adoption or a stale stored"
+    " count fails the hash. Asserted inline: every partition has >= 1"
+    " file and no NULL (untracked) bucket exists on a fully-adopted"
+    " table. At a million files this answers 'which partitions went"
+    " small-file-heavy' without touching the lake.",
+)
+def manifest_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+
+    path = _scratch(sf_dir, "partitions_table_orders")
+    _shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio")
+    ).write.partitionBy("prio").parquet(path)
+    M.convert_to_manifest(path, stat_cols=["o_orderkey"])
+    pt = M.partitions_table(spark, path)
+    rows = pt.collect()
+    if any(r["partition"] is None for r in rows):
+        raise AssertionError("fully-adopted table must have no NULL bucket")
+    if any(r["n_files"] < 1 or r["size_bytes"] <= 0 for r in rows):
+        raise AssertionError(f"degenerate partition rollup: {rows}")
+    return pt.select("partition", "n_rows").orderBy("partition")

@@ -6324,3 +6324,67 @@ def test_cdf_mv_survives_layout_maintenance(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+class TestPartitionsTable:
+    """partitions_table — Iceberg's db.table.partitions in minimal form."""
+
+    def test_rollup_tracks_adoption_and_spec_stamped_appends(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "ptab")
+        df = spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        )
+        df.write.partitionBy("g").parquet(path)
+        M.convert_to_manifest(path, stat_cols=["k"])
+        # the adopted spec stamps appended batches too: a new g value
+        # becomes its own partition row, not an untracked bucket
+        M.append(
+            spark.range(600, 650).select(
+                F.col("id").alias("k"), F.lit(9).cast("bigint").alias("g")
+            ),
+            path,
+        )
+        pt = {
+            r["partition"]: (r["n_files"], r["n_rows"], r["size_bytes"])
+            for r in M.partitions_table(spark, path).collect()
+        }
+        assert set(pt) == {"g=0", "g=1", "g=2", "g=9"}
+        assert pt["g=0"][1] == 200 and pt["g=9"][1] == 50
+        assert all(v[0] >= 1 and v[2] > 0 for v in pt.values())
+
+    def test_pre_evolution_files_group_under_null(self, spark, tmp_path):
+        path = str(tmp_path / "ptab_null")
+        spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])  # flat: no spec, no tokens
+        M.set_partition_spec(path, ["g"])
+        M.append(
+            spark.range(300, 340).select(
+                F.col("id").alias("k"), F.lit(7).cast("bigint").alias("g")
+            ),
+            path,
+        )
+        pt = {
+            r["partition"]: r["n_rows"]
+            for r in M.partitions_table(spark, path).collect()
+        }
+        assert pt[None] == 300  # pre-evolution files: honest bucket
+        assert pt["g=7"] == 40
+
+    def test_rows_are_upper_bounds_under_mor(self, spark, tmp_path):
+        path = str(tmp_path / "ptab2")
+        df = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+        )
+        df.write.partitionBy("g").parquet(path)
+        M.convert_to_manifest(path, stat_cols=["k"])
+        M.delete_keys_mor(spark, path, "k", [0, 2, 4])
+        pt = {
+            r["partition"]: r["n_rows"]
+            for r in M.partitions_table(spark, path).collect()
+        }
+        assert pt["g=0"] == 150  # stored counts: pending deletes not billed
+        assert M.load_manifest_table(spark, path).count() == 297
