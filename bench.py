@@ -191,6 +191,7 @@ HEADLINE = [
     "manifest_join_runtime_pruned",
     "manifest_mv_incremental_cdf",
     "manifest_partitions_table",
+    "manifest_scan_dnf",
 ]
 
 

@@ -6151,6 +6151,47 @@ def _plan_scan(
     return m, files, pred
 
 
+def scan_dnf(
+    spark: SparkSession,
+    path: str,
+    disjuncts: "list[dict]",
+    version: int | None = None,
+) -> DataFrame:
+    """:func:`scan_auto` generalized to DISJUNCTIVE predicates — the
+    OR-of-conjunctions (DNF) shape data skipping must handle for
+    q19-style queries (Delta/Iceberg evaluate OR natively in their
+    skipping expressions; a conjunction-only planner would degrade to a
+    full scan the moment a query has one OR).
+
+    Each element of ``disjuncts`` is a conjunct spec ``{"eq": {...},
+    "ranges": {...}, "nulls": {...}}``. The planner prunes files PER
+    DISJUNCT (each through every metadata source — tokens, stats,
+    blooms, null counts) and reads the UNION of the kept sets once;
+    the exact predicate is the OR of the conjunct predicates, applied
+    on top. A file is skipped only when EVERY disjunct's metadata
+    excludes it, so the result equals
+    ``load_manifest_table().filter(c1 OR c2 OR ...)`` row-for-row by
+    construction. Planning stays metadata-only and costs one manifest
+    read total (the JSON is cached across the per-disjunct passes)."""
+    if not disjuncts:
+        raise ValueError("scan_dnf needs at least one disjunct")
+    m = read_manifest(path, version)
+    keep: "set[str]" = set()
+    pred = F.lit(False)
+    for d in disjuncts:
+        _m, files, p = _plan_scan(
+            path, d.get("eq"), d.get("ranges"), d.get("nulls"), version
+        )
+        keep.update(files)
+        pred = pred | p
+    files = [f for f in m["files"] if f in keep]
+    if not files:
+        return (
+            load_manifest_table(spark, path, version).filter(pred).limit(0)
+        )
+    return _with_deletes(spark, path, m, files).filter(pred)
+
+
 def scan_estimate(
     path: str,
     eq: "dict[str, object] | None" = None,

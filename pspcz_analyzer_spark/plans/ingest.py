@@ -3835,3 +3835,71 @@ def manifest_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if any(r["n_files"] < 1 or r["size_bytes"] <= 0 for r in rows):
         raise AssertionError(f"degenerate partition rollup: {rows}")
     return pt.select("partition", "n_rows").orderBy("partition")
+
+
+@register(
+    "manifest_scan_dnf",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM orders
+    WHERE (o_orderkey BETWEEN 500 AND 2500)
+       OR (o_orderkey BETWEEN 50000 AND 52000)
+       OR o_orderkey = 33000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "dnf", "data-skipping", "new-surface", "scale"),
+    priority=18,
+    doc="Disjunctive data skipping (manifest.py::scan_dnf — the"
+    " OR-of-conjunctions shape Delta/Iceberg skipping expressions"
+    " evaluate natively, where a conjunction-only planner degrades to"
+    " a full scan on the first OR): three disjuncts (two key ranges at"
+    " opposite ends of a range-sorted orders table + one point bloom/"
+    "stats lookup) each prune independently and the scan reads the"
+    " UNION of the kept file sets once. Asserted: the union is a"
+    " proper subset of the table's files. The oracle replays the OR"
+    " filter from the base table — a file wrongly skipped (a disjunct"
+    " whose metadata pass missed it) fails the hash.",
+)
+def manifest_scan_dnf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    path = _scratch(sf_dir, "scan_dnf_orders")
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=8)
+    M.manifest_init(path, stat_cols=["o_orderkey"])
+    disjuncts = [
+        {"ranges": {"o_orderkey": (500, 2500)}},
+        {"ranges": {"o_orderkey": (50_000, 52_000)}},
+        {"eq": {"o_orderkey": 33_000}},
+    ]
+    total = M.scan_estimate(path, with_bytes=False)["files_total"]
+    union_est = sum(
+        M.scan_estimate(path, d.get("eq"), d.get("ranges"), with_bytes=False)[
+            "files_kept"
+        ]
+        for d in disjuncts
+    )
+    if not union_est < total:
+        raise AssertionError(
+            f"DNF pruning did not engage: union~{union_est} of {total}"
+        )
+    return (
+        M.scan_dnf(spark, path, disjuncts)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -6388,3 +6388,63 @@ class TestPartitionsTable:
         }
         assert pt["g=0"] == 150  # stored counts: pending deletes not billed
         assert M.load_manifest_table(spark, path).count() == 297
+
+
+class TestScanDnf:
+    """scan_dnf — data skipping through OR-of-conjunctions: a file is
+    skipped only when EVERY disjunct's metadata excludes it."""
+
+    def _table(self, spark, tmp_path):
+        df = spark.range(8_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("g"),
+        )
+        path = str(tmp_path / "dnftab")
+        write_range_sorted(df, path, "k", num_partitions=8)
+        M.manifest_init(path, stat_cols=["k"])
+        return path
+
+    def test_union_of_prunes_matches_or_filter(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        got = M.scan_dnf(
+            spark,
+            path,
+            [
+                {"ranges": {"k": (100, 300)}},
+                {"ranges": {"k": (7_500, 7_600)}},
+            ],
+        )
+        expect = (
+            M.load_manifest_table(spark, path)
+            .filter(F.col("k").between(100, 300) | F.col("k").between(7_500, 7_600))
+        )
+        assert got.count() == expect.count() == 302
+        # two narrow ranges at opposite ends: strictly fewer than all files
+        est_a = M.scan_estimate(path, ranges={"k": (100, 300)})
+        est_b = M.scan_estimate(path, ranges={"k": (7_500, 7_600)})
+        assert est_a["files_kept"] + est_b["files_kept"] < 8
+
+    def test_mixed_eq_and_range_disjuncts(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        got = M.scan_dnf(
+            spark,
+            path,
+            [
+                {"eq": {"k": 42}},
+                {"ranges": {"k": (7_990, 8_100)}, "eq": {"g": 3}},
+            ],
+        )
+        rows = sorted(r["k"] for r in got.collect())
+        want = [42] + [k for k in range(7_990, 8_000) if k % 4 == 3]
+        assert rows == sorted(want)
+
+    def test_empty_union_returns_empty_with_schema(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        got = M.scan_dnf(spark, path, [{"ranges": {"k": (90_000, 91_000)}}])
+        assert got.count() == 0
+        assert set(got.columns) == {"k", "g"}
+
+    def test_rejects_empty_disjunct_list(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="at least one disjunct"):
+            M.scan_dnf(spark, path, [])
