@@ -3966,17 +3966,39 @@ def merge_into(
             "depend on join order; deduplicate the source first"
         )
     if when_not_matched_insert:
-        # Source columns beyond the table schema are CLAUSE-ONLY (a CDC
-        # op/tombstone flag, change metadata): INSERT * projects onto the
-        # table's columns, so they never land — type-check only what will.
+        # A source column beyond the table schema is allowed ONLY when
+        # some clause references it as ``s.<col>`` (a CDC op/tombstone
+        # flag, change metadata): INSERT * projects onto the table's
+        # columns so it never lands. An extra column NO clause mentions
+        # is a misspelling/renamed upstream column — silently dropping
+        # it would NULL-fill the real column on every insert, so the
+        # original loud SchemaMismatch stays for that case.
         tbl_schema = m.get("schema")
-        probe = (
-            source.select(
-                [c for c in source.columns if c in {n for n, _ in tbl_schema}]
+        if tbl_schema:
+            clause_text = " ".join(
+                [
+                    when_matched_delete or "",
+                    matched_condition or "",
+                    not_matched_condition or "",
+                    when_not_matched_by_source_delete
+                    if isinstance(when_not_matched_by_source_delete, str)
+                    else "",
+                    *(when_matched_update or {}).values(),
+                    *(when_not_matched_by_source_update or {}).values(),
+                ]
             )
-            if tbl_schema
-            else source
-        )
+            declared = {n for n, _ in tbl_schema}
+            clause_only = {
+                c
+                for c in source.columns
+                if c not in declared
+                and re.search(rf"\bs\.`?{re.escape(c)}`?\b", clause_text)
+            }
+            probe = source.select(
+                [c for c in source.columns if c not in clause_only]
+            )
+        else:
+            probe = source
         _check_schema(
             tbl_schema or _df_schema_list(source),
             probe,
@@ -5662,7 +5684,7 @@ def refresh_aggregate_cdf(
     dagg = (
         delta.groupBy(key_col)
         .agg(
-            F.sum(F.col(value_col) * F.col("__sign")).alias("sum_value"),
+            F.sum(F.col(value_col) * F.col("__sign")).alias("sum_delta"),
             F.sum(
                 F.when(F.col(value_col).isNotNull(), F.col("__sign"))
                 .otherwise(F.lit(0))
@@ -5676,12 +5698,28 @@ def refresh_aggregate_cdf(
         .filter(
             (F.col("n_rows") != 0)
             | (F.col("cnt") != 0)
-            | (F.coalesce(F.col("sum_value"), F.lit(0.0)) != 0.0)
+            | (F.coalesce(F.col("sum_delta"), F.lit(0.0)) != 0.0)
+        )
+        # Two faces of the same delta: ``sum_value`` is INSERT-facing
+        # (a fresh key's absolute state — NULL when its non-null
+        # contributions cancel to cnt=0, e.g. insert 5 then update to
+        # NULL inside one window), ``sum_delta`` is UPDATE-facing (the
+        # raw signed accumulator a matched key must add — clause-only,
+        # never lands in the table).
+        .withColumn(
+            "sum_value",
+            F.when(F.col("cnt") == 0, F.lit(None)).otherwise(
+                F.col("sum_delta")
+            ),
         )
     )
     if last is None:
         out = upsert(
-            spark, dagg, mv_path, key_col, txn=(MV_CDF_TXN_APP, to_version)
+            spark,
+            dagg.select(key_col, "sum_value", "cnt", "n_rows"),
+            mv_path,
+            key_col,
+            txn=(MV_CDF_TXN_APP, to_version),
         )
         return out
     merge_into(
@@ -5693,12 +5731,14 @@ def refresh_aggregate_cdf(
         when_matched_update={
             # SUM is NULL exactly when no non-null value remains — the
             # cnt term decides, so a sum driven to 0.0 by deletes of the
-            # only non-null values still reads back as SQL NULL.
+            # only non-null values still reads back as SQL NULL. The
+            # update adds the RAW accumulator (s.sum_delta), not the
+            # insert-facing s.sum_value, which is already NULL-masked.
             "sum_value": (
                 # integer 0 literals: they widen to the column's own type
                 # (double stays double, a bigint MV stays bigint)
                 "CASE WHEN t.cnt + s.cnt = 0 THEN NULL "
-                "ELSE coalesce(t.sum_value, 0) + coalesce(s.sum_value, 0) END"
+                "ELSE coalesce(t.sum_value, 0) + coalesce(s.sum_delta, 0) END"
             ),
             "cnt": "t.cnt + s.cnt",
             "n_rows": "t.n_rows + s.n_rows",
@@ -6171,11 +6211,13 @@ def scan_dnf(
     on top. A file is skipped only when EVERY disjunct's metadata
     excludes it, so the result equals
     ``load_manifest_table().filter(c1 OR c2 OR ...)`` row-for-row by
-    construction. Planning stays metadata-only and costs one manifest
-    read total (the JSON is cached across the per-disjunct passes)."""
+    construction. Planning stays metadata-only; the version is resolved
+    ONCE up front and pinned through every per-disjunct pass, so a
+    concurrent commit cannot produce a mixed-snapshot plan."""
     if not disjuncts:
         raise ValueError("scan_dnf needs at least one disjunct")
     m = read_manifest(path, version)
+    version = m["version"]  # pin: every disjunct plans the SAME snapshot
     keep: "set[str]" = set()
     pred = F.lit(False)
     for d in disjuncts:
@@ -6217,8 +6259,17 @@ def scan_estimate(
     million files the whole estimate is one JSON read, which is what
     lets a join planner consult BOTH sides before building any plan."""
     m, files, _pred = _plan_scan(path, eq, ranges, nulls, version)
+    return _estimate_from_plan(path, m, files, with_bytes)
+
+
+def _estimate_from_plan(
+    path: str, m: dict, files: "list[str]", with_bytes: bool = True
+) -> dict:
+    """The :func:`scan_estimate` dict from an already-computed
+    ``_plan_scan`` result — lets callers that also need the scan itself
+    (``join_auto``) plan each side exactly once."""
     fs, rel = get_fs(path)
-    est = {
+    return {
         "files_total": len(m["files"]),
         "files_kept": len(files),
         "rows_total_upper": _file_rows(m, fs, rel, m["files"]),
@@ -6230,7 +6281,6 @@ def scan_estimate(
         ),
         "has_deletes": bool(m.get("deletes")),
     }
-    return est
 
 
 # Column types whose manifest [min,max] stats are EXACT table bounds.
@@ -6238,7 +6288,10 @@ def scan_estimate(
 # stats (a truncated min is a prefix <= the true min, a truncated max is
 # incremented past the true max) — conservative for pruning overlap
 # tests, WRONG as an aggregate answer (the bound may be a value that
-# exists in no row). Iceberg's aggregate pushdown draws the same line.
+# exists in no row). Float/double are excluded too: footer min/max
+# ignore NaN, but Spark's MAX returns NaN when one is present (NaN
+# sorts greatest) — a finite bound would be a confident wrong answer.
+# Iceberg's aggregate pushdown draws both lines in the same place.
 _EXACT_BOUND_TYPES = {
     "tinyint",
     "smallint",
@@ -6246,8 +6299,6 @@ _EXACT_BOUND_TYPES = {
     "integer",
     "bigint",
     "long",
-    "float",
-    "double",
     "date",
     "timestamp",
     "timestamp_ntz",
@@ -6380,8 +6431,10 @@ _BROADCASTABLE_SIDES = {
     "left_outer": ("right",),
     "leftsemi": ("right",),
     "left_semi": ("right",),
+    "semi": ("right",),
     "leftanti": ("right",),
     "left_anti": ("right",),
+    "anti": ("right",),
     "right": ("left",),
     "rightouter": ("left",),
     "right_outer": ("left",),
@@ -6409,10 +6462,13 @@ def join_strategy(
     pruned byte estimate is under ``bytes_threshold`` (or, if bytes are
     unknown, its row upper bound is under ``rows_threshold``); of the
     qualifying sides the SMALLER one is broadcast. Row counts are upper
-    bounds (MoR deletes), so a qualifying side is genuinely small."""
-    sides = _BROADCASTABLE_SIDES.get(how.lower().replace("_", ""), None)
-    if sides is None:
-        sides = _BROADCASTABLE_SIDES.get(how.lower(), ("left", "right"))
+    bounds (MoR deletes), so a qualifying side is genuinely small. A
+    join type this table does not know emits NO hint (a hint Spark
+    would silently ignore is worse than none — choice_out would report
+    a broadcast that never happens)."""
+    sides = _BROADCASTABLE_SIDES.get(
+        how.lower(), _BROADCASTABLE_SIDES.get(how.lower().replace("_", ""), ())
+    )
 
     def _qualifies(est: dict) -> bool:
         b = est.get("bytes_kept")
@@ -6467,40 +6523,31 @@ def join_auto(
     planner only ever ADDS the conversions metadata already proves).
     ``choice_out``, if supplied, receives {strategy, left, right} for
     audit/explain surfaces."""
-    lspec = {"path": left} if isinstance(left, str) else dict(left)
-    rspec = {"path": right} if isinstance(right, str) else dict(right)
-    lest = scan_estimate(
-        lspec["path"],
-        lspec.get("eq"),
-        lspec.get("ranges"),
-        lspec.get("nulls"),
-        lspec.get("version"),
-    )
-    rest = scan_estimate(
-        rspec["path"],
-        rspec.get("eq"),
-        rspec.get("ranges"),
-        rspec.get("nulls"),
-        rspec.get("version"),
-    )
+
+    def _plan_side(spec: "str | dict") -> "tuple[dict, DataFrame]":
+        s = {"path": spec} if isinstance(spec, str) else dict(spec)
+        path = s["path"]
+        # Pin the snapshot FIRST: the estimate that drives the decision
+        # and the scan that executes it must describe the same version —
+        # a commit landing in between must not split them. Planning each
+        # side exactly once also avoids re-walking every prune source
+        # twice per side.
+        m = read_manifest(path, s.get("version"))
+        v = m["version"]
+        m, files, pred = _plan_scan(
+            path, s.get("eq"), s.get("ranges"), s.get("nulls"), v
+        )
+        est = _estimate_from_plan(path, m, files, with_bytes=True)
+        if not files:
+            df = load_manifest_table(spark, path, v).filter(pred).limit(0)
+        else:
+            df = _with_deletes(spark, path, m, files).filter(pred)
+        return est, df
+
+    lest, ldf = _plan_side(left)
+    rest, rdf = _plan_side(right)
     strategy = join_strategy(
         lest, rest, how, bytes_threshold, rows_threshold
-    )
-    ldf = scan_auto(
-        spark,
-        lspec["path"],
-        lspec.get("eq"),
-        lspec.get("ranges"),
-        lspec.get("nulls"),
-        lspec.get("version"),
-    )
-    rdf = scan_auto(
-        spark,
-        rspec["path"],
-        rspec.get("eq"),
-        rspec.get("ranges"),
-        rspec.get("nulls"),
-        rspec.get("version"),
     )
     if choice_out is not None:
         choice_out.update(
@@ -6570,6 +6617,12 @@ def join_runtime_pruned(
             "(inner / left_semi / right_outer)"
         )
     dkey = dim_key or fact_key
+    # The dim evaluates TWICE — once for key planning, once in the join.
+    # Pin it first (same hazard merge_into checkpoints its source for):
+    # a nondeterministic or concurrently-growing dim must not present
+    # different keys to the pruner than to the join, or pruning would
+    # silently drop matching fact files.
+    dim = dim.localCheckpoint()
     fs, rel = get_fs(fact_path)
     m = read_manifest(fact_path, version)
     keys_df, _key_set, affected = _plan_source_keys(

@@ -165,6 +165,10 @@ def create_app(service: QueryService):
             from fastapi import HTTPException
 
             raise HTTPException(404, f"no manifest table named {name!r}")
+        except ValueError as e:
+            from fastapi import HTTPException
+
+            raise HTTPException(400, str(e))
 
     @app.get("/api/laws")
     def laws(

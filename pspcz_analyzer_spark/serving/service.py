@@ -590,9 +590,12 @@ class QueryService:
         numeric range compares numerically. Pure metadata — no Spark
         job, so an operator can cost a query against a saturated
         cluster before submitting it. Unknown names raise KeyError
-        (name-resolved, never a caller path); an untyped/unknown
-        column simply estimates conservatively (scan_estimate keeps
-        files whose metadata it cannot interpret)."""
+        (name-resolved, never a caller path). Bad input raises
+        ValueError — a non-numeric bound for a numeric column, or a
+        predicate on a type whose string form does not compare like
+        its stats (bool/decimal/nested) — mapped to 400 at the route;
+        string/date/timestamp params pass through verbatim (their
+        recorded stats ARE strings that order correctly)."""
         from pspcz_analyzer_spark import manifest as M
 
         tables = self._discover_manifest_tables()
@@ -605,10 +608,25 @@ class QueryService:
         def _cast(v: str):
             t = types.get(col or "", "")
             if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
-                return int(v)
+                try:
+                    return int(v)
+                except ValueError:
+                    raise ValueError(
+                        f"column {col!r} is {t}; {v!r} is not an integer"
+                    )
             if t in ("float", "double"):
-                return float(v)
-            return v
+                try:
+                    return float(v)
+                except ValueError:
+                    raise ValueError(
+                        f"column {col!r} is {t}; {v!r} is not a number"
+                    )
+            if t in ("string", "varchar", "date", "timestamp", "timestamp_ntz", ""):
+                return v
+            raise ValueError(
+                f"column {col!r} has type {t}; string query params cannot "
+                "express an exact predicate on it"
+            )
 
         eq = {col: _cast(value)} if col and value is not None else None
         ranges = (

@@ -196,6 +196,7 @@ def stream_cdc_apply_with_mv(
     mv_key_col: str,
     value_col: str,
     op_col: str = "op",
+    seq_col: "str | None" = None,
     app_id: str = "stream_cdc",
 ) -> "list[tuple[int, int, int]]":
     """Streaming CDC APPLY with a continuously-maintained rollup — the
@@ -218,14 +219,35 @@ def stream_cdc_apply_with_mv(
     unaffected MV keys are never rescanned. The base table must have
     CDF enabled (the MERGE records pre/postimages the refresh needs).
 
+    A real CDC feed carries several ops per key (insert then update in
+    one wave, or one availableNow drain sweeping many landing files):
+    ``seq_col`` names the feed's ordering column and each micro-batch
+    COMPACTS to the latest op per key before the MERGE — the standard
+    CDC-apply move (Delta's dedup-before-merge pattern). Without it, a
+    multi-op key raises MERGE's ambiguity error rather than guessing an
+    order (replays reproduce the same batch, so the failure is loud and
+    deterministic, never corrupting).
+
     Returns [(batch_id, table_version, mv_version)] for this run."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
     results: "list[tuple[int, int, int]]" = []
     data_cols: "list[str] | None" = None
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal data_cols
         if data_cols is None:
-            data_cols = [c for c in batch_df.columns if c != op_col]
+            data_cols = [
+                c for c in batch_df.columns if c not in (op_col, seq_col)
+            ]
+        if seq_col is not None:
+            w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", seq_col)
+            )
         M.merge_into(
             batch_df.sparkSession,
             table_dir,

@@ -6448,3 +6448,146 @@ class TestScanDnf:
         path = self._table(spark, tmp_path)
         with pytest.raises(ValueError, match="at least one disjunct"):
             M.scan_dnf(spark, path, [])
+
+
+class TestReviewRegressions:
+    """Pins for the round-8 self-review findings: each was a real defect
+    in the planning/MV wave, fixed and locked here."""
+
+    def test_fresh_key_cancelling_to_zero_inserts_null_sum(
+        self, spark, tmp_path
+    ):
+        # insert value 5 for a NEW key, then update it to NULL, both
+        # inside ONE refresh window: the MV row must carry SUM=NULL
+        # (cnt=0), not the cancelled accumulator 0.0.
+        base, mv = str(tmp_path / "rb"), str(tmp_path / "rm")
+        spark.createDataFrame(
+            [(1, 10, 1.0)], "k bigint, grp bigint, val double"
+        ).coalesce(1).write.parquet(base)
+        M.manifest_init(base, stat_cols=["k"])
+        M.enable_cdf(base)
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        M.append(
+            spark.createDataFrame(
+                [(2, 20, 5.0)], "k bigint, grp bigint, val double"
+            ),
+            base,
+        )
+        M.update_where(spark, base, "k = 2", {"val": "CAST(NULL AS DOUBLE)"})
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        got = {
+            r["grp"]: (r["sum_value"], r["cnt"], r["n_rows"])
+            for r in M.load_manifest_table(spark, mv).collect()
+        }
+        assert got[20] == (None, 0, 1)
+        # sum_delta is clause-only: it must not land in the MV schema
+        assert "sum_delta" not in M.load_manifest_table(spark, mv).columns
+
+    def test_merge_rejects_unreferenced_extra_source_column(
+        self, spark, tmp_path
+    ):
+        # the CDC relaxation must NOT swallow a misspelled column: an
+        # extra source column no clause references is still a loud error.
+        path = str(tmp_path / "m1")
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("amount")
+        ).coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        bad = spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("amt")
+        )
+        with pytest.raises(M.SchemaMismatch):
+            M.merge_into(spark, path, bad, "k")
+        # ...while a clause-referenced flag passes and never lands
+        src = spark.range(10, 13).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("amount"),
+            F.lit("I").alias("op"),
+        )
+        M.merge_into(
+            spark, path, src, "k",
+            when_matched_delete="s.op = 'D'",
+            not_matched_condition="s.op != 'D'",
+        )
+        live = M.load_manifest_table(spark, path)
+        assert live.count() == 13 and "op" not in live.columns
+
+    def test_stats_aggregate_refuses_float_bounds(self, spark, tmp_path):
+        # footer min/max ignore NaN but Spark MAX returns NaN: a float
+        # extremum from metadata would be a confident wrong answer.
+        path = str(tmp_path / "f1")
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan")), (3, 3.0)], "k bigint, v double"
+        ).coalesce(1).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k", "v"])
+        assert M.stats_aggregate(path, {"x": ("max", "v")}) is None
+        got = M.stats_aggregate(path, {"n": ("count", "v"), "hi": ("max", "k")})
+        assert got == {"n": 3, "hi": 3}
+
+    def test_join_strategy_never_hints_semi_left_side(self):
+        small = {"bytes_kept": 10, "rows_kept_upper": 1}
+        big = {"bytes_kept": 100 << 20, "rows_kept_upper": 10_000_000}
+        assert M.join_strategy(small, big, how="semi") == "shuffle"
+        assert M.join_strategy(big, small, how="semi") == "broadcast_right"
+        assert M.join_strategy(small, big, how="anti") == "shuffle"
+        # unknown join type: no hint rather than one Spark would ignore
+        assert M.join_strategy(small, small, how="sideways") == "shuffle"
+
+    def test_scan_dnf_pins_one_snapshot(self, spark, tmp_path):
+        # version resolved once: a commit BETWEEN planning calls cannot
+        # mix snapshots (simulated by planning against an explicit old
+        # version while the table moves on).
+        path = str(tmp_path / "pin")
+        df = spark.range(1_000).select(F.col("id").alias("k"))
+        write_range_sorted(df, path, "k", num_partitions=4)
+        M.manifest_init(path, stat_cols=["k"])
+        v1 = M.current_version(path)
+        M.delete_where(spark, path, "k < 100")
+        got = M.scan_dnf(
+            spark, path,
+            [{"ranges": {"k": (0, 150)}}, {"ranges": {"k": (900, 999)}}],
+            version=v1,
+        )
+        assert got.count() == 251  # pre-delete snapshot, both ranges
+
+    def test_cdc_stream_compacts_multi_op_batches(self, spark, tmp_path):
+        import os
+
+        from pspcz_analyzer_spark.streaming.lake import (
+            stream_cdc_apply_with_mv,
+        )
+
+        landing = str(tmp_path / "mo_landing")
+        table = str(tmp_path / "mo_tab")
+        mv = str(tmp_path / "mo_mv")
+        ck = str(tmp_path / "mo_ck")
+        spark.createDataFrame(
+            [(1, 10, 1.0)], "k bigint, grp bigint, val double"
+        ).coalesce(1).write.parquet(table)
+        M.manifest_init(table, stat_cols=["k"])
+        M.enable_cdf(table)
+        # one wave, THREE ops on key 2 (insert, update, update) plus an
+        # insert-then-delete on key 3: latest-per-key must win
+        wave = spark.createDataFrame(
+            [
+                (2, 20, 1.0, "I", 1),
+                (2, 20, 2.0, "U", 2),
+                (2, 20, 9.0, "U", 3),
+                (3, 30, 5.0, "I", 1),
+                (3, 30, None, "D", 2),
+            ],
+            "k bigint, grp bigint, val double, op string, seq bigint",
+        )
+        wave.coalesce(1).write.mode("append").parquet(landing)
+        stream_cdc_apply_with_mv(
+            spark, landing, table, mv, ck,
+            schema="k bigint, grp bigint, val double, op string, seq bigint",
+            key_col="k", mv_key_col="grp", value_col="val", seq_col="seq",
+        )
+        live = {r["k"]: r["val"] for r in M.load_manifest_table(spark, table).collect()}
+        assert live == {1: 1.0, 2: 9.0}  # key 3's final op was the tombstone
+        mv_rows = {
+            r["grp"]: (r["sum_value"], r["cnt"])
+            for r in M.load_manifest_table(spark, mv).collect()
+        }
+        assert mv_rows == {10: (1.0, 1), 20: (9.0, 1)}
