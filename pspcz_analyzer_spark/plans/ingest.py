@@ -3503,7 +3503,8 @@ def manifest_segmented_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(sum(o_totalprice), 2) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
-    WHERE o_orderkey BETWEEN 1 AND 1500
+    WHERE o_orderkey BETWEEN 1 AND
+          (SELECT CAST(floor(max(o_orderkey) * 0.25) AS BIGINT) FROM orders)
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
@@ -3545,10 +3546,14 @@ def manifest_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1).write.parquet(dim_path)
     M.manifest_init(dim_path)
 
+    # Scale-relative range: the first quarter of the key domain (keys
+    # are dense at every sf), so the stats prune keeps ~2 of 6 range-
+    # sorted files regardless of scale factor. One 1-row agg.
+    hi = int(orders.agg(F.max("o_orderkey")).first()[0] * 0.25)
     choice: dict = {}
     joined = M.join_auto(
         spark,
-        {"path": fact_path, "ranges": {"o_orderkey": (1, 1500)}},
+        {"path": fact_path, "ranges": {"o_orderkey": (1, hi)}},
         dim_path,
         on=F.col("o_custkey") == F.col("c_custkey"),
         choice_out=choice,
@@ -3640,7 +3645,8 @@ def manifest_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH recent AS (
       SELECT c_custkey, c_mktsegment FROM customer
-      WHERE c_custkey > (SELECT max(c_custkey) - 150 FROM customer)
+      WHERE c_custkey >
+            (SELECT CAST(floor(max(c_custkey) * 0.9) AS BIGINT) FROM customer)
     )
     SELECT c_mktsegment,
            count(*) AS n,
@@ -3653,7 +3659,7 @@ def manifest_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=18,
     doc="Runtime-filter join (manifest.py::join_runtime_pruned — DPP /"
     " Iceberg-Delta runtime min-max filtering as a library): the dim"
-    " side ('recently onboarded' customers, the top-150 key window) is"
+    " side ('recently onboarded' customers, the top decile of the key domain) is"
     " planned FIRST and the orders fact — range-sorted on o_custkey —"
     " prunes to the files whose [min,max] key spans any surviving dim"
     " key, before the scan. Asserted: the kept file set is a proper"
@@ -3680,7 +3686,10 @@ def manifest_join_runtime_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    cutoff = customer.agg(F.max("c_custkey")).first()[0] - 150
+    # Scale-relative window: the top 10% of the key domain (dense keys
+    # at every sf), so the dim's key span always prunes a custkey-sorted
+    # fact to a proper file subset. One 1-row agg.
+    cutoff = int(customer.agg(F.max("c_custkey")).first()[0] * 0.9)
     dim = customer.filter(F.col("c_custkey") > cutoff)
     choice: dict = {}
     j = M.join_runtime_pruned(
