@@ -192,6 +192,7 @@ HEADLINE = [
     "manifest_mv_incremental_cdf",
     "manifest_partitions_table",
     "manifest_scan_dnf",
+    "manifest_analyze_roundtrip",
 ]
 
 

@@ -6191,6 +6191,57 @@ def _plan_scan(
     return m, files, pred
 
 
+def analyze_columns(path: str, cols: "list[str]") -> int:
+    """``ANALYZE TABLE ... FOR COLUMNS`` as a manifest commit: start
+    tracking per-file [min, max, null_count] skipping stats for columns
+    the table was NOT initialized with — the reconfiguration Delta's
+    ``dataSkippingStatsColumns`` / Iceberg's metrics config allow after
+    the fact, so a query pattern that emerges in production can get its
+    pruning column without rewriting a byte of data.
+
+    Cost: ONE parquet footer-metadata open per existing file (row
+    groups' column chunk stats — never data pages), merged into the
+    stored stats; every future commit keeps the new columns fresh
+    through the same ``_updated_stats`` path as the original ones.
+    Columns already tracked are skipped (an all-tracked call commits
+    nothing and returns the current version). Renamed columns are
+    accepted by their CURRENT logical name and tracked under their
+    physical one, same as every stats consumer. Identity/generated
+    columns are refused loudly: their logical values are synthesized at
+    read time, so footer stats could never describe them."""
+    m = read_manifest(path)
+    fs, rel = get_fs(path)
+    synthesized = set(m.get("identity") or ()) | set(m.get("generated") or ())
+    declared = {n for n, _ in (m.get("schema") or [])}
+    tracked = list(m.get("stat_cols") or [])
+    to_add: "list[str]" = []
+    for c in cols:
+        if c in synthesized:
+            raise ValueError(
+                f"column {c!r} is synthesized at read time (identity/"
+                "generated); footer stats cannot describe its values"
+            )
+        if declared and c not in declared:
+            raise ValueError(f"column {c!r} is not in the table schema")
+        phys = _physical_col(m, c)
+        if phys not in tracked:
+            to_add.append(phys)
+    if not to_add:
+        return m["version"]
+    fresh = _file_stats(fs, rel, m["files"], to_add)
+    stats = {f: dict(per) for f, per in (m.get("stats") or {}).items()}
+    for f, per in fresh.items():
+        stats.setdefault(f, {}).update(per)
+    return _commit(
+        path, m["files"], m["version"],
+        txns=m.get("txns") or {}, schema=m.get("schema"),
+        stats=stats, stat_cols=tracked + to_add,
+        constraints=m.get("constraints"),
+        deletes=m.get("deletes"), rows=m.get("rows"),
+        op="ANALYZE",
+    )
+
+
 def scan_dnf(
     spark: SparkSession,
     path: str,

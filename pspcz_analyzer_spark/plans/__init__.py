@@ -44,19 +44,19 @@ _REGISTRY: dict[str, Query] = {}
 # convention). Tiers (lower first):
 #   10 = sentinels — every query whose PLAN or ORACLE changed this round:
 #        the two r7 reds;
-#   18 = never driver-attested — the ten r8-new queries
+#   18 = never driver-attested — the eleven r8-new queries
 #        (interchange_roundtrip, hive_adopt_roundtrip, manifest_scan_auto,
 #        manifest_segmented_lifecycle, manifest_join_auto,
 #        manifest_agg_pushdown, manifest_join_runtime_pruned,
 #        manifest_mv_incremental_cdf, manifest_partitions_table,
-#        manifest_scan_dnf;
+#        manifest_scan_dnf, manifest_analyze_roundtrip;
 #        registered at priority 18) — a
 #        query is not "done" until the driver has hashed it against its
 #        oracle;
 #   20 = r02-green and never re-attested since — the 17-query tail the r7
 #        budget didn't reach (9 of 26 rotated in r07);
-#   22 = r03-green cohort — next-stalest; 2 sentinels + 10 new + 17 r02
-#        leaves 21 slots for this cohort's head, the tail queues for r9;
+#   22 = r03-green cohort — next-stalest; 2 sentinels + 11 new + 17 r02
+#        leaves 20 slots for this cohort's head, the tail queues for r9;
 #   52 = rows-only by design (no oracle possible: LSH/IVF results are
 #        approximation-defined, PCA basis signs impl-defined, HLL
 #        estimates); each has an oracle-paired anchor at a lower tier, so

@@ -3912,3 +3912,61 @@ def manifest_scan_dnf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_analyze_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_total
+    FROM orders
+    WHERE o_orderkey BETWEEN 1 AND
+          (SELECT CAST(floor(max(o_orderkey) * 0.25) AS BIGINT) FROM orders)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("manifest", "analyze", "stats", "ddl", "new-surface"),
+    priority=18,
+    doc="ANALYZE ... FOR COLUMNS as a metadata commit (manifest.py::"
+    "analyze_columns — Delta's dataSkippingStatsColumns / Iceberg"
+    " metrics reconfiguration after the fact): an orders table"
+    " initialized WITHOUT any skipping stats gets o_orderkey analyzed"
+    " retroactively — one footer pass per file, zero data rewrites —"
+    " and the same range scan goes from keeping every file to a proper"
+    " subset (both asserted inline). The oracle replays the filter"
+    " from the base table, so stats that skip a matching file fail the"
+    " hash. At a million files this is how a query pattern that"
+    " emerges in production gets its pruning column without rewriting"
+    " the lake.",
+)
+def manifest_analyze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    path = _scratch(sf_dir, "analyze_orders")
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    write_range_sorted(orders, path, "o_orderkey", num_partitions=6)
+    M.manifest_init(path)  # deliberately NO stat_cols
+    hi = int(orders.agg(F.max("o_orderkey")).first()[0] * 0.25)
+    blind = M.scan_estimate(path, ranges={"o_orderkey": (1, hi)})
+    if blind["files_kept"] != blind["files_total"]:
+        raise AssertionError(f"stat-less table should keep all: {blind}")
+    M.analyze_columns(path, ["o_orderkey"])
+    sighted = M.scan_estimate(path, ranges={"o_orderkey": (1, hi)})
+    if not sighted["files_kept"] < sighted["files_total"]:
+        raise AssertionError(f"analyze did not enable pruning: {sighted}")
+    return (
+        M.scan_auto(spark, path, ranges={"o_orderkey": (1, hi)})
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("cust_total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -6591,3 +6591,67 @@ class TestReviewRegressions:
             for r in M.load_manifest_table(spark, mv).collect()
         }
         assert mv_rows == {10: (1.0, 1), 20: (9.0, 1)}
+
+
+class TestAnalyzeColumns:
+    """analyze_columns — retro-fitting skipping stats (ANALYZE ... FOR
+    COLUMNS): one footer pass, metadata commit, fresh thereafter."""
+
+    def test_pruning_engages_after_analyze_and_stays_fresh(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "an1")
+        df = spark.range(4_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+        write_range_sorted(df, path, "k", num_partitions=8)
+        M.manifest_init(path)  # NO stats at all
+        before = M.scan_estimate(path, ranges={"k": (0, 400)})
+        assert before["files_kept"] == 8  # nothing to prune with
+        v = M.analyze_columns(path, ["k", "v"])
+        assert v == M.current_version(path)
+        after = M.scan_estimate(path, ranges={"k": (0, 400)})
+        assert after["files_kept"] < 8
+        # parity: the planned scan equals the plain filter
+        got = M.scan_auto(spark, path, ranges={"k": (0, 400)}).count()
+        assert got == 401
+        # future commits keep the analyzed columns fresh
+        M.append(
+            spark.range(100)
+            .select(
+                (F.col("id") + 50_000).alias("k"),
+                (F.col("id")).alias("v"),
+            )
+            .coalesce(1),
+            path,
+        )
+        est = M.scan_estimate(path, ranges={"k": (50_000, 60_000)})
+        assert est["files_kept"] == 1  # only the appended file
+        assert est["rows_kept_upper"] == 100
+
+    def test_idempotent_and_validates(self, spark, tmp_path):
+        path = str(tmp_path / "an2")
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        ).coalesce(1).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        v0 = M.current_version(path)
+        assert M.analyze_columns(path, ["k"]) == v0  # already tracked
+        with pytest.raises(ValueError, match="not in the table schema"):
+            M.analyze_columns(path, ["nope"])
+        M.add_identity_column(path, "rid")
+        with pytest.raises(ValueError, match="synthesized"):
+            M.analyze_columns(path, ["rid"])
+
+    def test_tracks_renamed_columns_physically(self, spark, tmp_path):
+        path = str(tmp_path / "an3")
+        spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("old")
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path)
+        M.rename_column(path, "old", "neu")
+        M.analyze_columns(path, ["neu"])
+        est = M.scan_estimate(path, ranges={"neu": (0, 10)})
+        assert est["files_kept"] <= 2
+        got = M.scan_auto(spark, path, ranges={"neu": (0, 10)})
+        assert got.count() == 6  # 0,2,4,6,8,10
