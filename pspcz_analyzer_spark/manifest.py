@@ -3988,11 +3988,21 @@ def merge_into(
                 ]
             )
             declared = {n for n, _ in tbl_schema}
+            # Only REAL column references relax the schema guard: the
+            # literal text 's.amt' inside a string constant (e.g.
+            # matched_condition "t.note = 's.amt'") is data, not a
+            # reference — strip quoted literals ('' / "" with doubled-
+            # quote escapes; backticked identifiers survive) before
+            # matching, or a misspelled extra source column would be
+            # silently exempted whenever a constant happens to spell it.
+            ref_text = re.sub(
+                r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", " ", clause_text
+            )
             clause_only = {
                 c
                 for c in source.columns
                 if c not in declared
-                and re.search(rf"\bs\.`?{re.escape(c)}`?\b", clause_text)
+                and re.search(rf"\bs\.`?{re.escape(c)}`?\b", ref_text)
             }
             probe = source.select(
                 [c for c in source.columns if c not in clause_only]
@@ -5727,6 +5737,14 @@ def refresh_aggregate_cdf(
         mv_path,
         dagg,
         key_col,
+        # A brand-new key whose window changes cancel (n_rows=0) can
+        # still pass the no-op filter on a floating-point residue in
+        # sum_delta; inserting it would publish a phantom n_rows=0 MV
+        # row a full recompute would never contain (and the matched-
+        # delete clause could never remove, since t.n_rows + s.n_rows
+        # is 0 only against a real prior row). Only keys with net rows
+        # may INSERT; drift-only deltas apply through the matched path.
+        not_matched_condition="s.n_rows != 0",
         when_matched_delete="t.n_rows + s.n_rows = 0",
         when_matched_update={
             # SUM is NULL exactly when no non-null value remains — the
@@ -6121,7 +6139,8 @@ def scan_auto(
     files this is the difference between planning from one JSON and
     listing/footer-opening the world; the exact filter still pushes into
     the parquet scan for row-group pruning inside the kept files."""
-    m, files, pred = _plan_scan(path, eq, ranges, nulls, version)
+    m, files, pred_fn = _plan_scan(path, eq, ranges, nulls, version)
+    pred = pred_fn()
     if not files:
         return (
             load_manifest_table(spark, path, version).filter(pred).limit(0)
@@ -6139,8 +6158,12 @@ def _plan_scan(
     """The metadata planner behind :func:`scan_auto` and
     :func:`scan_estimate`: intersect every pruning source (partition
     tokens, [min,max] stats, blooms, null counts) and return
-    ``(manifest, kept files in manifest order, exact predicate)``.
-    Touches ONLY the manifest JSON — no SparkSession, no data IO."""
+    ``(manifest, kept files in manifest order, predicate BUILDER)``.
+    The exact predicate comes back as a zero-arg closure, not a Column:
+    building a Column needs an active SparkContext, and the estimate-
+    only consumers (:func:`scan_estimate`, the join planner's sizing
+    pass) must stay session-free. Touches ONLY the manifest JSON — no
+    SparkSession, no data IO."""
     eq = dict(eq or {})
     ranges = dict(ranges or {})
     if any(v is None for v in eq.values()):
@@ -6178,17 +6201,23 @@ def _plan_scan(
             break
         k, _t = prune_files_null(path, c, want_null, version)
         keep &= set(k)
-    pred = F.lit(True)
-    for c, v in eq.items():
-        pred = pred & (F.col(c) == F.lit(v))
-    for c, (lo, hi) in ranges.items():
-        pred = pred & F.col(c).between(F.lit(lo), F.lit(hi))
-    for c, want_null in nulls.items():
-        pred = pred & (
-            F.col(c).isNull() if want_null else F.col(c).isNotNull()
-        )
+    def pred_fn() -> Column:
+        # Built LAZILY: F.col/F.lit need an active SparkContext, and
+        # scan_estimate's contract is "needs no SparkSession" — only
+        # callers that execute the scan may force the Column.
+        pred = F.lit(True)
+        for c, v in eq.items():
+            pred = pred & (F.col(c) == F.lit(v))
+        for c, (lo, hi) in ranges.items():
+            pred = pred & F.col(c).between(F.lit(lo), F.lit(hi))
+        for c, want_null in nulls.items():
+            pred = pred & (
+                F.col(c).isNull() if want_null else F.col(c).isNotNull()
+            )
+        return pred
+
     files = [f for f in m["files"] if f in keep]
-    return m, files, pred
+    return m, files, pred_fn
 
 
 def analyze_columns(path: str, cols: "list[str]") -> int:
@@ -6272,11 +6301,11 @@ def scan_dnf(
     keep: "set[str]" = set()
     pred = F.lit(False)
     for d in disjuncts:
-        _m, files, p = _plan_scan(
+        _m, files, p_fn = _plan_scan(
             path, d.get("eq"), d.get("ranges"), d.get("nulls"), version
         )
         keep.update(files)
-        pred = pred | p
+        pred = pred | p_fn()
     files = [f for f in m["files"] if f in keep]
     if not files:
         return (
@@ -6309,7 +6338,7 @@ def scan_estimate(
     skips even that and leaves it None). Needs no SparkSession: at a
     million files the whole estimate is one JSON read, which is what
     lets a join planner consult BOTH sides before building any plan."""
-    m, files, _pred = _plan_scan(path, eq, ranges, nulls, version)
+    m, files, _pred_fn = _plan_scan(path, eq, ranges, nulls, version)
     return _estimate_from_plan(path, m, files, with_bytes)
 
 
@@ -6541,11 +6570,26 @@ def join_strategy(
     if not candidates:
         return "shuffle"
     if len(candidates) == 2:
-        pick = (
-            "left"
-            if _size(left_est) <= _size(right_est)
-            else "right"
-        )
+        lb = left_est.get("bytes_kept")
+        rb = right_est.get("bytes_kept")
+        if (lb is None) != (rb is None):
+            # Size KINDS differ (one side qualified via bytes, the
+            # other via rows): bytes and row counts are incomparable,
+            # and always preferring the bytes-known side would
+            # broadcast a 9.9 MB relation over a 10-row one. Row upper
+            # bounds exist for BOTH sides — compare those instead.
+            pick = (
+                "left"
+                if left_est["rows_kept_upper"]
+                <= right_est["rows_kept_upper"]
+                else "right"
+            )
+        else:
+            pick = (
+                "left"
+                if _size(left_est) <= _size(right_est)
+                else "right"
+            )
     else:
         pick = candidates[0]
     return f"broadcast_{pick}"
@@ -6585,10 +6629,11 @@ def join_auto(
         # twice per side.
         m = read_manifest(path, s.get("version"))
         v = m["version"]
-        m, files, pred = _plan_scan(
+        m, files, pred_fn = _plan_scan(
             path, s.get("eq"), s.get("ranges"), s.get("nulls"), v
         )
         est = _estimate_from_plan(path, m, files, with_bytes=True)
+        pred = pred_fn()
         if not files:
             df = load_manifest_table(spark, path, v).filter(pred).limit(0)
         else:

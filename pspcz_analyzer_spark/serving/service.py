@@ -10,6 +10,7 @@ absorbs repeats; a data refresh calls ``invalidate()``.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -604,6 +605,15 @@ class QueryService:
         path = tables[name]
         m = M.read_manifest(path)
         types = {n: (t or "").lower() for n, t in (m.get("schema") or [])}
+        # A typo'd ?col= must not masquerade as "this predicate prunes
+        # nothing": with a declared schema, an unknown column is a 400,
+        # not a full-table estimate (mirrors the unsupported-type
+        # refusal below). Schema-less tables keep the passthrough.
+        if col and types and col not in types:
+            raise ValueError(
+                f"table {name!r} has no column {col!r}; declared: "
+                + ", ".join(sorted(types))
+            )
 
         def _cast(v: str):
             t = types.get(col or "", "")
@@ -713,9 +723,26 @@ class QueryService:
         """Raw SQL over the registered testdata views (spark.sql) — the
         escape hatch for users who query with SQL strings rather than the
         named catalog. Views register lazily once per service; results cap
-        at ``max_rows`` so an unbounded SELECT cannot flood the driver."""
+        at ``max_rows`` so an unbounded SELECT cannot flood the driver.
+
+        CONTRACT: read-only. Only query statements (``SELECT`` / ``WITH``
+        / ``VALUES`` / ``TABLE``, optionally parenthesized) execute;
+        anything else — DDL, DML, ``INSERT OVERWRITE DIRECTORY``, ``SET``
+        — raises ``ValueError`` BEFORE reaching ``spark.sql`` (Spark runs
+        commands eagerly at parse time, so a post-hoc plan check would be
+        too late). The check strips SQL comments first so a smuggled
+        ``/* select */ DROP ...`` cannot pass."""
         from pspcz_analyzer_spark.catalog import register_views
 
+        stmt = re.sub(r"/\*.*?\*/", " ", query, flags=re.S)
+        stmt = re.sub(r"--[^\n]*", " ", stmt)
+        if not re.match(
+            r"^\s*(?:\(\s*)*(?:select|with|values|table)\b", stmt, re.I
+        ):
+            raise ValueError(
+                "sql() executes read-only queries only "
+                "(SELECT / WITH / VALUES / TABLE); statement refused"
+            )
         if not getattr(self, "_views_ready", False):
             register_views(self.spark, self.sf_dir)
             self._views_ready = True

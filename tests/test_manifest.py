@@ -6655,3 +6655,126 @@ class TestAnalyzeColumns:
         assert est["files_kept"] <= 2
         got = M.scan_auto(spark, path, ranges={"neu": (0, 10)})
         assert got.count() == 6  # 0,2,4,6,8,10
+
+
+class TestAdviceR8:
+    """Pins for the round-8 ADVICE findings — each a real defect in the
+    planning/MV wave, fixed and locked here."""
+
+    def test_mv_refresh_never_inserts_residue_only_new_key(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r08: a brand-new key whose window changes cancel
+        (n_rows=0, cnt=0) but leave a floating-point residue in
+        sum_delta must NOT insert a phantom n_rows=0 MV row a full
+        recompute would never contain."""
+        base, mv = str(tmp_path / "rb"), str(tmp_path / "rm")
+        spark.createDataFrame(
+            [(1, 10, 1.0)], "k bigint, grp bigint, val double"
+        ).coalesce(1).write.parquet(base)
+        M.manifest_init(base, stat_cols=["k"])
+        M.enable_cdf(base)
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        # advance the base so the refresh has a window to fold
+        M.append(
+            spark.createDataFrame(
+                [(2, 10, 1.0)], "k bigint, grp bigint, val double"
+            ),
+            base,
+        )
+        # deterministic residue delta for NEW key 99: +0.1 +0.2 -0.15
+        # -0.15 left-to-right leaves ~5.6e-17 in sum_delta while
+        # n_rows and cnt both net to zero
+        fake = spark.createDataFrame(
+            [
+                (99, 0.1, "insert"),
+                (99, 0.2, "insert"),
+                (99, 0.15, "delete"),
+                (99, 0.15, "delete"),
+                (10, 1.0, "insert"),  # the real append, kept honest
+            ],
+            f"grp bigint, val double, {M.CDF_TYPE_COL} string",
+        ).coalesce(1)
+        monkeypatch.setattr(
+            M, "read_changes", lambda *a, **k: fake
+        )
+        M.refresh_aggregate_cdf(spark, base, mv, "grp", "val")
+        got = {
+            r["grp"]: (r["sum_value"], r["cnt"], r["n_rows"])
+            for r in M.load_manifest_table(spark, mv).collect()
+        }
+        assert 99 not in got  # no phantom row
+        assert got[10] == (2.0, 2, 2)
+
+    def test_scan_estimate_needs_no_column_api(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r08: scan_estimate promises 'needs no SparkSession' —
+        the exact predicate must be built lazily, never during the
+        estimate (F.col/F.lit need an active SparkContext)."""
+        path = str(tmp_path / "se")
+        df = spark.range(2_000).select(F.col("id").alias("k"))
+        write_range_sorted(df, path, "k", num_partitions=4)
+        M.manifest_init(path, stat_cols=["k"])
+
+        def boom(*a, **k):
+            raise AssertionError("scan_estimate touched the Column API")
+
+        monkeypatch.setattr(M.F, "col", boom)
+        monkeypatch.setattr(M.F, "lit", boom)
+        est = M.scan_estimate(path, ranges={"k": (0, 499)})
+        assert 0 < est["files_kept"] < est["files_total"] == 4
+        assert est["rows_kept_upper"] < 2_000
+
+    def test_merge_literal_s_dot_col_does_not_relax_schema(
+        self, spark, tmp_path
+    ):
+        """ADVICE r08: the text 's.amt' inside a STRING CONSTANT is data,
+        not a clause reference — it must not exempt a misspelled extra
+        source column from the SchemaMismatch guard."""
+        path = str(tmp_path / "ml")
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("amount")
+        ).coalesce(1).write.parquet(path)
+        M.manifest_init(path)
+        bad = spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("amt")
+        )
+        with pytest.raises(M.SchemaMismatch):
+            M.merge_into(
+                spark, path, bad, "k",
+                matched_condition="'s.amt' = 'nope'",
+            )
+        # a REAL reference through quotes-stripping still relaxes
+        src = spark.range(10, 12).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("amount"),
+            F.lit("I").alias("op"),
+        )
+        M.merge_into(
+            spark, path, src, "k",
+            not_matched_condition="s.op != 'D'",
+        )
+        live = M.load_manifest_table(spark, path)
+        assert live.count() == 12 and "op" not in live.columns
+
+    def test_join_strategy_mixed_size_kinds_compares_rows(self):
+        """ADVICE r08: when one side qualifies via bytes and the other
+        via rows, prefer the side with fewer estimated rows — never
+        'bytes-known always wins'."""
+        by_bytes = {"bytes_kept": 9_900_000, "rows_kept_upper": 1_000_000}
+        by_rows = {"bytes_kept": None, "rows_kept_upper": 10}
+        got = M.join_strategy(
+            by_bytes, by_rows, how="inner", rows_threshold=1_000
+        )
+        assert got == "broadcast_right"
+        got = M.join_strategy(
+            by_rows, by_bytes, how="inner", rows_threshold=1_000
+        )
+        assert got == "broadcast_left"
+        # same kind on both sides: byte comparison unchanged
+        small = {"bytes_kept": 10, "rows_kept_upper": 99}
+        assert (
+            M.join_strategy(by_bytes, small, how="inner")
+            == "broadcast_right"
+        )

@@ -547,3 +547,56 @@ class TestLakeEstimateEndpoint:
     def test_unknown_name_raises_keyerror(self, svc):
         with pytest.raises(KeyError):
             svc.lake_estimate("../../etc", col="k", lo="0", hi="1")
+
+
+class TestServingGuards:
+    """ADVICE r08 + VERDICT r08 serving hardening: unknown-column
+    estimates are a 400, raw sql() is read-only."""
+
+    @pytest.fixture()
+    def svc(self, spark):
+        return QueryService(spark, SF_DIR, ttl_seconds=3600)
+
+    def test_lake_estimate_unknown_column_raises(self, svc, spark):
+        """ADVICE r08: a typo'd ?col= must error loudly, not return a
+        full-table estimate that reads as 'predicate prunes nothing'."""
+        import os
+        import shutil
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.scratch import scratch_path
+
+        p = scratch_path(SF_DIR, "lake_est_badcol")
+        shutil.rmtree(p, ignore_errors=True)
+        spark.range(100).selectExpr("id AS k").write.parquet(p)
+        M.manifest_init(p, stat_cols=["k"])
+        try:
+            name = os.path.basename(p)
+            with pytest.raises(ValueError, match="no column"):
+                svc.lake_estimate(name, col="zz", lo="0", hi="1")
+            # the real column still estimates
+            est = svc.lake_estimate(name, col="k", lo="0", hi="9")
+            assert est["files_total"] >= 1
+        finally:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def test_sql_rejects_non_query_statements(self, svc):
+        """VERDICT r08 watch item 1: spark.sql runs DDL/commands eagerly,
+        so sql() must refuse anything that is not a pure query BEFORE
+        parsing."""
+        rows = svc.sql("SELECT 1 AS one")
+        assert rows == [{"one": 1}]
+        assert svc.sql("  WITH t AS (SELECT 2 AS x) SELECT * FROM t") == [
+            {"x": 2}
+        ]
+        assert svc.sql("(SELECT 3 AS y)") == [{"y": 3}]
+        for stmt in (
+            "DROP TABLE nation",
+            "CREATE TABLE boom (k INT)",
+            "INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT 1",
+            "SET spark.sql.shuffle.partitions=1",
+            "/* select */ DROP TABLE nation",
+            "-- select\nDROP TABLE nation",
+        ):
+            with pytest.raises(ValueError, match="read-only"):
+                svc.sql(stmt)
