@@ -197,8 +197,20 @@ def _rec_of(f: str, d: dict) -> dict:
     return r
 
 
-def _canon(obj) -> str:
-    return json.dumps(obj, sort_keys=True)
+def _rec_same(f: str, docmaps, r: dict) -> bool:
+    """Is ``doc``'s record for file ``f`` identical to the stored segment
+    entry ``r``? Identity-first per field: every commit path carries
+    surviving files' metadata values forward BY REFERENCE (``{**prev,
+    **delta}``-style merges, or the whole map verbatim), so for a clean
+    file each field is one pointer compare — never a JSON
+    canonicalization. Equality is the fallback for callers that rebuilt
+    equal values."""
+    for k, mp in docmaps:
+        v = mp.get(f)
+        w = r.get(k)
+        if v is not w and v != w:
+            return False
+    return True
 
 
 def _segmentize(fs, rel: str, doc: dict, prev_doc: dict):
@@ -207,23 +219,37 @@ def _segmentize(fs, rel: str, doc: dict, prev_doc: dict):
     segment is dirty only if one of its files left the table or changed
     metadata — so an append writes one new segment, a targeted DML
     rewrites the victims' segments, and everything else is a name list).
-    Returns (two-level doc, names of segments written this call)."""
+    Returns (two-level doc, names of segments written this call).
+
+    The reuse check is driver-CPU-bounded by design: per clean file it
+    costs len(_SEG_FIELDS) pointer compares (see :func:`_rec_same`) plus
+    one frozenset membership pass, memoized per cached segment blob —
+    the earlier shape re-serialized EVERY file record to canonical JSON
+    on EVERY commit (~1M ``json.dumps`` per append at a million files).
+    """
     files = doc["files"]
     fset = set(files)
     reused: "list[str]" = []
     covered: "set[str]" = set()
+    docmaps = [(k, doc.get(k) or {}) for k in _SEG_FIELDS]
     for name in prev_doc.get("segments") or []:
         try:
             seg = _load_segment(fs, rel, name)
         except (FileNotFoundError, OSError, ValueError):
             continue
-        ok = all(
-            r["f"] in fset and _canon(_rec_of(r["f"], doc)) == _canon(r)
-            for r in seg["entries"]
+        sfiles = seg.get("__files")
+        if sfiles is None:
+            # Memoized on the cached blob dict (never serialized —
+            # segments are immutable; only _rec_of output lands in new
+            # blobs), so repeated commits pay the scan once per load.
+            sfiles = frozenset(r["f"] for r in seg["entries"])
+            seg["__files"] = sfiles
+        ok = sfiles <= fset and all(
+            _rec_same(r["f"], docmaps, r) for r in seg["entries"]
         )
         if ok:
             reused.append(name)
-            covered.update(r["f"] for r in seg["entries"])
+            covered.update(sfiles)
     fresh = [f for f in files if f not in covered]
     new_names: "list[str]" = []
     if fresh:

@@ -42,8 +42,15 @@ def main() -> int:
     spark = get_spark(shuffle_partitions=32)
     root = tempfile.mkdtemp(prefix="seg_scale_")
     try:
-        for mode in ("flat", "segmented"):
-            for label, files in (("1x", 200), ("10x", 2000)):
+        scales = {
+            "flat": (("1x", 200), ("10x", 2000)),
+            # r9 ask: prove the reuse check's DRIVER CPU stays flat-ish
+            # across another decade (the r8 shape re-canonicalized every
+            # file record per commit — O(files) json.dumps).
+            "segmented": (("1x", 200), ("10x", 2000), ("100x", 20000)),
+        }
+        for mode, pairs in scales.items():
+            for label, files in pairs:
                 M.MANIFEST_SEGMENT_THRESHOLD = (
                     10**9 if mode == "flat" else 64
                 )
@@ -53,25 +60,32 @@ def main() -> int:
                 ).repartition(files).write.parquet(path)
                 M.manifest_init(path, stat_cols=["k"])
                 before = _mdir_state(path)
-                t0 = time.time()
-                M.append(
-                    spark.range(10_000_000, 10_000_100).selectExpr(
-                        "id AS k", "id % 9 AS g"
-                    ).coalesce(1),
-                    path,
-                )
-                dt = time.time() - t0
+                # Three appends; report the best (scheduler noise) of
+                # wall AND driver process CPU — batch write cost is
+                # constant across scales, so growth isolates the commit.
+                walls, cpus = [], []
+                for i in range(3):
+                    t0, c0 = time.time(), time.process_time()
+                    M.append(
+                        spark.range(
+                            10_000_000 + i * 100, 10_000_100 + i * 100
+                        ).selectExpr("id AS k", "id % 9 AS g").coalesce(1),
+                        path,
+                    )
+                    walls.append(time.time() - t0)
+                    cpus.append(time.process_time() - c0)
                 after = _mdir_state(path)
                 new_bytes = sum(
                     sz for p, sz in after.items() if p not in before
-                )
+                ) // 3  # per-append average of the three commits
                 print(json.dumps({
                     "mode": mode, "scale": label, "files": files,
-                    "append_s": round(dt, 2),
+                    "append_s": round(min(walls), 3),
+                    "append_driver_cpu_s": round(min(cpus), 3),
                     "commit_manifest_bytes": new_bytes,
                 }), flush=True)
                 n = M.load_manifest_table(spark, path).count()
-                assert n == files * 100 + 100
+                assert n == files * 100 + 300
         return 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
