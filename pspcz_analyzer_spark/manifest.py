@@ -6621,6 +6621,23 @@ def join_strategy(
     return f"broadcast_{pick}"
 
 
+# Which SIDE of a join may have its files runtime-pruned by the other
+# side's keys: pruning side S is sound iff rows of S that match NO key
+# of the other side can never reach the output — i.e. the join does not
+# PRESERVE S's unmatched rows. (left outer preserves left; full outer
+# preserves both; left ANTI outputs exactly left's unmatched rows, so
+# the LEFT side must never be pruned for anti — but the RIGHT side may:
+# right rows provably matching no left key cannot change which left
+# rows count as unmatched.)
+_RUNTIME_PRUNABLE_SIDE = {
+    "left": {"inner", "right", "rightouter", "semi", "leftsemi"},
+    "right": {
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti",
+        "leftanti",
+    },
+}
+
+
 def join_auto(
     spark: SparkSession,
     left: "str | dict",
@@ -6630,22 +6647,40 @@ def join_auto(
     bytes_threshold: int = BROADCAST_BYTES_THRESHOLD,
     rows_threshold: "int | None" = None,
     choice_out: "dict | None" = None,
+    runtime_prune: bool = True,
 ) -> DataFrame:
     """Stats-driven join of two manifest tables: :func:`scan_auto` each
     side, then hint ``broadcast()`` on the side :func:`join_strategy`
     picks from the POST-PRUNING :func:`scan_estimate` sizes. ``left`` /
     ``right`` are table paths or ``{"path", "eq", "ranges", "nulls",
-    "version"}`` scan specs. Planning costs two manifest JSON reads plus
-    one fs stat per kept file — NO Spark action — so the decision is
-    made before Spark ever sees the plan, exactly where a DSv2 source
-    would report statistics into the CBO. When neither side qualifies,
-    no hint is emitted and runtime AQE keeps its usual freedom (it can
-    still convert to broadcast from observed shuffle sizes — this
-    planner only ever ADDS the conversions metadata already proves).
-    ``choice_out``, if supplied, receives {strategy, left, right} for
-    audit/explain surfaces."""
+    "version"}`` scan specs. Strategy planning costs two manifest JSON
+    reads plus one fs stat per kept file — NO Spark action — so the
+    decision is made before Spark ever sees the plan, exactly where a
+    DSv2 source would report statistics into the CBO. When neither side
+    qualifies, no hint is emitted and runtime AQE keeps its usual
+    freedom (it can still convert to broadcast from observed shuffle
+    sizes — this planner only ever ADDS the conversions metadata already
+    proves).
 
-    def _plan_side(spec: "str | dict") -> "tuple[dict, DataFrame]":
+    When the strategy broadcasts one side (the dim) and the join cannot
+    preserve the OTHER side's unmatched rows (``_RUNTIME_PRUNABLE_SIDE``),
+    the planner additionally RUNTIME-PRUNES the fact side: the dim's
+    distinct join keys (one small job over the already-pruned, already-
+    filtered dim scan — it is broadcast-sized by definition) shrink the
+    fact's kept-file list through the DML victim planner before the scan
+    is built — the :func:`join_runtime_pruned` composition, fused so a
+    star query gets predicate pruning + broadcast choice + dynamic file
+    pruning from ONE call. The dim here is a governed manifest scan
+    pinned to one version — deterministic — so no checkpoint is needed
+    against double evaluation (unlike ``join_runtime_pruned``'s
+    arbitrary-DataFrame dim). ``runtime_prune=False`` opts out (keeps
+    planning action-free).
+
+    ``choice_out``, if supplied, receives {strategy, left, right} plus,
+    when runtime pruning engaged, {"runtime_prune": {side, files_total,
+    files_kept, path}} for audit/explain surfaces."""
+
+    def _plan_side(spec: "str | dict"):
         s = {"path": spec} if isinstance(spec, str) else dict(spec)
         path = s["path"]
         # Pin the snapshot FIRST: the estimate that drives the decision
@@ -6659,15 +6694,16 @@ def join_auto(
             path, s.get("eq"), s.get("ranges"), s.get("nulls"), v
         )
         est = _estimate_from_plan(path, m, files, with_bytes=True)
+        return est, path, m, v, files, pred_fn
+
+    def _build(path, m, v, files, pred_fn) -> DataFrame:
         pred = pred_fn()
         if not files:
-            df = load_manifest_table(spark, path, v).filter(pred).limit(0)
-        else:
-            df = _with_deletes(spark, path, m, files).filter(pred)
-        return est, df
+            return load_manifest_table(spark, path, v).filter(pred).limit(0)
+        return _with_deletes(spark, path, m, files).filter(pred)
 
-    lest, ldf = _plan_side(left)
-    rest, rdf = _plan_side(right)
+    lest, lpath, lm, lv, lfiles, lpred = _plan_side(left)
+    rest, rpath, rm, rv, rfiles, rpred = _plan_side(right)
     strategy = join_strategy(
         lest, rest, how, bytes_threshold, rows_threshold
     )
@@ -6675,6 +6711,61 @@ def join_auto(
         choice_out.update(
             {"strategy": strategy, "left": lest, "right": rest}
         )
+    # Name-keyed joins only: an arbitrary Column join expression gives
+    # the pruner no column to plan keys from (and may not even be an
+    # equi-join) — those keep the strategy hint but skip file pruning.
+    key = (
+        on
+        if isinstance(on, str)
+        else (
+            on[0]
+            if isinstance(on, (list, tuple))
+            and on
+            and isinstance(on[0], str)
+            else None
+        )
+    )
+    if (
+        runtime_prune
+        and key is not None
+        and strategy in ("broadcast_left", "broadcast_right")
+    ):
+        fact_side = "right" if strategy == "broadcast_left" else "left"
+        if how.lower().replace("_", "") in _RUNTIME_PRUNABLE_SIDE[fact_side]:
+            dim_df = _build(
+                *(
+                    (lpath, lm, lv, lfiles, lpred)
+                    if strategy == "broadcast_left"
+                    else (rpath, rm, rv, rfiles, rpred)
+                )
+            )
+            fpath, fm, _fv, ffiles = (
+                (rpath, rm, rv, rfiles)
+                if fact_side == "right"
+                else (lpath, lm, lv, lfiles)
+            )
+            fs, rel = get_fs(fpath)
+            keys_df, _key_set, affected = _plan_source_keys(
+                spark, fm, fs, rel, dim_df.select(key), key
+            )
+            keys_df.unpersist()
+            hit = set(affected)
+            kept = [f for f in ffiles if f in hit]
+            if choice_out is not None:
+                choice_out["runtime_prune"] = {
+                    "side": fact_side,
+                    "files_total": len(ffiles),
+                    "files_kept": len(kept),
+                    "path": (
+                        "collected" if _key_set is not None else "stats-join"
+                    ),
+                }
+            if fact_side == "right":
+                rfiles = kept
+            else:
+                lfiles = kept
+    ldf = _build(lpath, lm, lv, lfiles, lpred)
+    rdf = _build(rpath, rm, rv, rfiles, rpred)
     if strategy == "broadcast_left":
         ldf = F.broadcast(ldf)
     elif strategy == "broadcast_right":

@@ -3576,6 +3576,95 @@ def manifest_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_join_auto_pruned",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey BETWEEN 1 AND
+          (SELECT CAST(floor(max(c_custkey) * 0.125) AS BIGINT)
+           FROM customer)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=(
+        "manifest", "cbo", "broadcast", "join", "dpp", "new-surface",
+        "scale",
+    ),
+    priority=18,
+    doc="Composed join planning (manifest.py::join_auto with"
+    " runtime_prune — the r8 verdict's ask #3): ONE call fuses the"
+    " three planners that were separate surfaces — predicate file"
+    " pruning (scan_auto), stats-driven broadcast choice"
+    " (join_strategy), and dim-driven runtime fact-file pruning"
+    " (join_runtime_pruned's dynamic file pruning). The customer dim"
+    " is filtered to the first eighth of the key domain; its surviving"
+    " keys shrink the custkey-range-sorted orders fact to a proper"
+    " file subset BEFORE the scan is built. Asserted in-plan: a"
+    " broadcast side was chosen, runtime pruning engaged with"
+    " files_kept < files_total, and the hint reached the analyzed"
+    " plan. The oracle replays the join from the base tables, so a"
+    " fact row lost to over-pruning fails the hash. At 100 TB this is"
+    " the star-schema plan: a dim filtered to one region prunes the"
+    " fact to the files its keys touch — where Spark's own DPP only"
+    " prunes hive partition directories.",
+)
+def manifest_join_auto_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    fact_path = _scratch(sf_dir, "join_pruned_orders")
+    dim_path = _scratch(sf_dir, "join_pruned_customer")
+    _shutil.rmtree(fact_path, ignore_errors=True)
+    _shutil.rmtree(dim_path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    # Range-sorted on the JOIN key: runtime pruning by dim keys can
+    # exclude whole files only when the fact's [min,max] stats carve
+    # the key domain.
+    write_range_sorted(orders, fact_path, "custkey", num_partitions=6)
+    M.manifest_init(fact_path, stat_cols=["custkey"])
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    cust.coalesce(1).write.parquet(dim_path)
+    M.manifest_init(dim_path)
+
+    # Scale-relative: first eighth of the (dense) key domain, so the
+    # dim survives as a broadcast side and the fact prunes to ~1 of 6
+    # range-sorted files at every sf. One 1-row agg.
+    hi = int(cust.agg(F.max("custkey")).first()[0] * 0.125)
+    choice: dict = {}
+    joined = M.join_auto(
+        spark,
+        fact_path,
+        {"path": dim_path, "ranges": {"custkey": (1, hi)}},
+        on="custkey",
+        choice_out=choice,
+    )
+    if choice["strategy"] != "broadcast_right":
+        raise AssertionError(f"expected broadcast_right, got {choice}")
+    rp = choice.get("runtime_prune")
+    if not rp or not rp["files_kept"] < rp["files_total"]:
+        raise AssertionError(f"runtime file pruning did not engage: {choice}")
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    if "broadcast" not in analyzed.lower():
+        raise AssertionError("broadcast hint missing from analyzed plan")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "manifest_agg_pushdown",
     oracle="""
     WITH live AS (

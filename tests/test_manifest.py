@@ -5888,6 +5888,79 @@ class TestScanEstimateJoinAuto:
         )
         assert j.count() == expect == 1_000
 
+    def test_join_auto_runtime_prunes_fact_files(self, spark, tmp_path):
+        # Fused composition (r8 verdict ask #3): one call yields the
+        # broadcast choice AND dynamic fact-file pruning by the dim's
+        # surviving keys.
+        fact = spark.range(8_000).select(
+            (F.col("id") % 400).alias("user_id"),
+            F.col("id").alias("event_id"),
+        )
+        dim = spark.range(400).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("name"),
+        )
+        fp, dp = str(tmp_path / "rfact"), str(tmp_path / "rdim")
+        write_range_sorted(fact, fp, "user_id", num_partitions=8)
+        M.manifest_init(fp, stat_cols=["user_id"])
+        dim.coalesce(1).write.parquet(dp)
+        M.manifest_init(dp)
+        choice: dict = {}
+        j = M.join_auto(
+            spark,
+            fp,
+            {"path": dp, "ranges": {"user_id": (0, 49)}},
+            on="user_id",
+            choice_out=choice,
+        )
+        assert choice["strategy"] == "broadcast_right"
+        rp = choice["runtime_prune"]
+        assert rp["side"] == "left"
+        assert rp["files_kept"] < rp["files_total"] == 8
+        # 20 events per user x 50 surviving users
+        assert j.count() == 1_000
+        # opt-out keeps planning action-free: no pruning recorded
+        choice2: dict = {}
+        j2 = M.join_auto(
+            spark,
+            fp,
+            {"path": dp, "ranges": {"user_id": (0, 49)}},
+            on="user_id",
+            choice_out=choice2,
+            runtime_prune=False,
+        )
+        assert "runtime_prune" not in choice2
+        assert j2.count() == 1_000
+
+    def test_join_auto_never_prunes_a_preserved_side(self, spark, tmp_path):
+        # LEFT OUTER preserves the fact side: pruning its files would
+        # drop live unmatched rows — the planner must refuse silently.
+        fact = spark.range(2_000).select(
+            (F.col("id") % 100).alias("user_id"),
+            F.col("id").alias("event_id"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("name"),
+        )
+        fp, dp = str(tmp_path / "pfact"), str(tmp_path / "pdim")
+        write_range_sorted(fact, fp, "user_id", num_partitions=4)
+        M.manifest_init(fp, stat_cols=["user_id"])
+        dim.coalesce(1).write.parquet(dp)
+        M.manifest_init(dp)
+        choice: dict = {}
+        j = M.join_auto(
+            spark,
+            fp,
+            {"path": dp, "ranges": {"user_id": (0, 9)}},
+            on="user_id",
+            how="left",
+            choice_out=choice,
+        )
+        assert choice["strategy"] == "broadcast_right"
+        assert "runtime_prune" not in choice
+        assert j.count() == 2_000  # every fact row preserved
+
     def test_join_auto_emits_no_hint_when_nothing_qualifies(
         self, spark, tmp_path
     ):
