@@ -188,6 +188,7 @@ HEADLINE = [
     "manifest_segmented_lifecycle",
     "manifest_join_auto",
     "manifest_join_auto_pruned",
+    "manifest_join_star",
     "manifest_agg_pushdown",
     "manifest_join_runtime_pruned",
     "manifest_mv_incremental_cdf",

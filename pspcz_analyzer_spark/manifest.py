@@ -6773,6 +6773,223 @@ def join_auto(
     return ldf.join(rdf, on, how)
 
 
+def join_star(
+    spark: SparkSession,
+    fact: "str | dict",
+    dims: "list[dict]",
+    bytes_threshold: int = BROADCAST_BYTES_THRESHOLD,
+    rows_threshold: "int | None" = None,
+    choice_out: "dict | None" = None,
+    runtime_prune: bool = True,
+) -> DataFrame:
+    """N-table STAR join planned from manifest metadata — the multi-way
+    generalization of :func:`join_auto` (Spark's CBO star-schema
+    detection / Iceberg-reported statistics, as one library call).
+
+    ``fact`` is a table path or scan spec; each dim in ``dims`` is
+    ``{"path", "on", "how"="inner", "eq"/"ranges"/"nulls"/"version"}``
+    where ``on`` is the join key name (or ``[fact_key, ...]`` composite;
+    must resolve in the ACCUMULATED frame — snowflake arms, dims keyed
+    by another dim's column, are ordered after the dim that supplies
+    their key automatically; an unsatisfiable spec raises).
+
+    The planner, all before Spark sees a plan:
+
+    * plans every side ONCE (:func:`_plan_scan` + post-pruning
+      :func:`scan_estimate` sizes),
+    * ORDERS the dims — inner (fact-filtering) joins first, each cohort
+      ascending by pruned-fraction ``rows_kept/rows_total`` then by
+      absolute rows: a dim its predicates cut to 5% of its keys removes
+      ~95% of fact rows, so the most-selective join runs while the
+      intermediate frame is widest-to-shrink; preserved-side joins
+      (left outer) cannot reduce rows and fold last,
+    * BROADCASTS every dim whose post-pruning size qualifies
+      (:func:`join_strategy` per dim against the fact — respecting
+      build-side legality per join type); a dim that does not qualify
+      joins unhinted (AQE keeps its freedom),
+    * RUNTIME-PRUNES the fact's file list by the key sets of every
+      broadcast-chosen, fact-filtering, fact-keyed dim (the
+      :func:`join_auto` mechanism) — the intersections compose, so a
+      star filtered on two dims reads only files that may match BOTH.
+
+    The fact is scanned ONCE: every dim joins onto the accumulated
+    frame. ``choice_out`` receives {"fact": est, "order": [dim key
+    names in join order], "dims": [{key, path, how, strategy, est,
+    pruned}, ...] in join order}.
+    """
+    fspec = {"path": fact} if isinstance(fact, str) else dict(fact)
+    fpath = fspec["path"]
+    fm = read_manifest(fpath, fspec.get("version"))
+    fv = fm["version"]
+    fm, ffiles, fpred_fn = _plan_scan(
+        fpath, fspec.get("eq"), fspec.get("ranges"), fspec.get("nulls"), fv
+    )
+    fest = _estimate_from_plan(fpath, fm, ffiles, with_bytes=True)
+
+    planned = []
+    for d in dims:
+        s = dict(d)
+        path = s["path"]
+        how = (s.get("how") or "inner").lower()
+        on = s["on"]
+        key = on if isinstance(on, str) else on[0]
+        m = read_manifest(path, s.get("version"))
+        v = m["version"]
+        m, files, pred_fn = _plan_scan(
+            path, s.get("eq"), s.get("ranges"), s.get("nulls"), v
+        )
+        est = _estimate_from_plan(path, m, files, with_bytes=True)
+        # Per-dim broadcast decision: the DIM broadcasts iff the join
+        # type admits a right-side build AND its post-pruning size
+        # qualifies — deliberately NOT join_strategy's two-sided pick,
+        # which could hand the hint to a small FACT (a star never
+        # broadcasts the fact: it is scanned once and every dim folds
+        # onto it).
+        sides = _BROADCASTABLE_SIDES.get(
+            how, _BROADCASTABLE_SIDES.get(how.replace("_", ""), ())
+        )
+        b = est.get("bytes_kept")
+        qualifies = (
+            b <= bytes_threshold
+            if b is not None
+            else (
+                rows_threshold is not None
+                and est["rows_kept_upper"] <= rows_threshold
+            )
+        )
+        strat = (
+            "broadcast_right" if "right" in sides and qualifies else "shuffle"
+        )
+        total = est["rows_total_upper"] or 1
+        sel = est["rows_kept_upper"] / total
+        planned.append(
+            {
+                "key": key, "on": on, "how": how, "path": path, "m": m,
+                "v": v, "files": files, "pred_fn": pred_fn, "est": est,
+                "strategy": strat, "sel": sel,
+            }
+        )
+
+    hkey = lambda h: h.replace("_", "")  # noqa: E731
+    filtering = lambda h: hkey(h) in _RUNTIME_PRUNABLE_SIDE["left"]  # noqa: E731
+
+    def _keys(p) -> "list[str]":
+        return [p["on"]] if isinstance(p["on"], str) else list(p["on"])
+
+    # Desired order: fact-filtering joins first (most selective first),
+    # preserved-side joins after — they cannot shrink the frame.
+    prio = sorted(
+        range(len(planned)),
+        key=lambda i: (
+            0 if filtering(planned[i]["how"]) else 1,
+            planned[i]["sel"],
+            planned[i]["est"]["rows_kept_upper"],
+        ),
+    )
+    fact_cols = {n for n, _t in (fm.get("schema") or [])} or None
+    # ...subject to DEPENDENCIES: a snowflake arm's key lives on another
+    # dim, so it can only fold once some earlier join supplied the
+    # column. Greedy: always take the highest-priority dim whose keys
+    # are already available. An unsatisfiable spec fails loudly — a
+    # silent skip would drop a join.
+    if fact_cols is None:
+        order = prio
+    else:
+        avail = set(fact_cols)
+        order = []
+        pending = list(prio)
+        while pending:
+            pick = next(
+                (i for i in pending if set(_keys(planned[i])) <= avail),
+                None,
+            )
+            if pick is None:
+                missing = sorted(
+                    k
+                    for i in pending
+                    for k in _keys(planned[i])
+                    if k not in avail
+                )
+                raise ValueError(
+                    f"join_star: no join order satisfies keys {missing}: "
+                    "not provided by the fact or any earlier dim"
+                )
+            pending.remove(pick)
+            order.append(pick)
+            avail |= {
+                n for n, _t in (planned[pick]["m"].get("schema") or [])
+            }
+    if runtime_prune and ffiles:
+        ffs, frel = get_fs(fpath)
+        for i in order:
+            p = planned[i]
+            if p["strategy"] != "broadcast_right":
+                continue
+            if not filtering(p["how"]):
+                continue
+            if fact_cols is not None and p["key"] not in fact_cols:
+                continue  # snowflake arm: keys live on another dim
+            dim_df = _star_build(spark, p)
+            keys_df, _ks, affected = _plan_source_keys(
+                spark, fm, ffs, frel, dim_df.select(p["key"]), p["key"]
+            )
+            keys_df.unpersist()
+            hit = set(affected)
+            kept = [f for f in ffiles if f in hit]
+            p["pruned"] = {
+                "files_before": len(ffiles), "files_kept": len(kept),
+            }
+            ffiles = kept
+            if not ffiles:
+                break
+
+    fpred = fpred_fn()
+    if not ffiles:
+        out = load_manifest_table(spark, fpath, fv).filter(fpred).limit(0)
+    else:
+        out = _with_deletes(spark, fpath, fm, ffiles).filter(fpred)
+    for i in order:
+        p = planned[i]
+        ddf = _star_build(spark, p)
+        if p["strategy"] == "broadcast_right":
+            ddf = F.broadcast(ddf)
+        out = out.join(ddf, p["on"], p["how"])
+    if choice_out is not None:
+        choice_out.update(
+            {
+                "fact": fest,
+                "order": [planned[i]["key"] for i in order],
+                # A LIST in join order (two dims may share a join key —
+                # users and tags both on user_id — so a key-indexed
+                # dict would silently drop a decision).
+                "dims": [
+                    {
+                        "key": planned[i]["key"],
+                        "path": planned[i]["path"],
+                        "how": planned[i]["how"],
+                        "strategy": planned[i]["strategy"],
+                        "est": planned[i]["est"],
+                        "pruned": planned[i].get("pruned"),
+                    }
+                    for i in order
+                ],
+            }
+        )
+    return out
+
+
+def _star_build(spark: SparkSession, p: dict) -> DataFrame:
+    """Materialize one planned :func:`join_star` side as a DataFrame."""
+    pred = p["pred_fn"]()
+    if not p["files"]:
+        return (
+            load_manifest_table(spark, p["path"], p["v"])
+            .filter(pred)
+            .limit(0)
+        )
+    return _with_deletes(spark, p["path"], p["m"], p["files"]).filter(pred)
+
+
 # Join types where dropping fact files that match NO dim key cannot
 # change the result: the join must FILTER the fact side. A fact-
 # preserving join (left outer with the fact on the left, full outer)

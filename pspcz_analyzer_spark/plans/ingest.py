@@ -3665,6 +3665,119 @@ def manifest_join_auto_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_join_star",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderkey BETWEEN 1 AND
+          (SELECT CAST(floor(max(o_orderkey) * 0.125) AS BIGINT)
+           FROM orders)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=(
+        "manifest", "cbo", "broadcast", "join", "star", "new-surface",
+        "scale",
+    ),
+    priority=18,
+    doc="Multi-way STAR planning (manifest.py::join_star — the r8"
+    " verdict's stretch ask #8): a 4-table q5-shaped star (lineitem"
+    " fact x orders/customer/nation arms) planned entirely from"
+    " manifest metadata in ONE call — every side sized post-pruning,"
+    " dims ordered most-selective-first under snowflake DEPENDENCIES"
+    " (customer keys live on orders, nation keys on customer: the"
+    " greedy order folds each arm only after its key exists in the"
+    " accumulated frame), every qualifying dim broadcast, and the"
+    " fact's file list runtime-pruned by the filtered orders arm's"
+    " surviving keys. Asserted in-plan: all three arms broadcast, the"
+    " fact pruned to a proper file subset, exactly 4 parquet scans"
+    " (fact scanned ONCE), and the join order"
+    " orderkey->custkey->nationkey. The oracle replays the star from"
+    " the base tables. At 100 TB this is the difference between N-1"
+    " fact shuffles and one pruned fact scan with KB-sized dims"
+    " shipped to executors.",
+)
+def manifest_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    fact_path = _scratch(sf_dir, "star_lineitem")
+    ord_path = _scratch(sf_dir, "star_orders")
+    cust_path = _scratch(sf_dir, "star_customer")
+    nat_path = _scratch(sf_dir, "star_nation")
+    for p in (fact_path, ord_path, cust_path, nat_path):
+        _shutil.rmtree(p, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    write_range_sorted(li, fact_path, "orderkey", num_partitions=6)
+    M.manifest_init(fact_path, stat_cols=["orderkey"])
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    orders.coalesce(1).write.parquet(ord_path)
+    M.manifest_init(ord_path)
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    ).coalesce(1).write.parquet(cust_path)
+    M.manifest_init(cust_path)
+    load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    ).coalesce(1).write.parquet(nat_path)
+    M.manifest_init(nat_path)
+
+    # Scale-relative: the filtered orders arm keeps the first eighth of
+    # the (dense) orderkey domain, so its surviving keys runtime-prune
+    # the orderkey-range-sorted fact to a proper file subset at any sf.
+    hi = int(orders.agg(F.max("orderkey")).first()[0] * 0.125)
+    choice: dict = {}
+    out = M.join_star(
+        spark,
+        fact_path,
+        [
+            {"path": ord_path, "on": "orderkey", "ranges": {"orderkey": (1, hi)}},
+            {"path": cust_path, "on": "custkey"},
+            {"path": nat_path, "on": "nationkey"},
+        ],
+        choice_out=choice,
+    )
+    if choice["order"] != ["orderkey", "custkey", "nationkey"]:
+        raise AssertionError(f"unexpected star order: {choice['order']}")
+    if not all(d["strategy"] == "broadcast_right" for d in choice["dims"]):
+        raise AssertionError(f"an arm failed to broadcast: {choice['dims']}")
+    pruned = choice["dims"][0]["pruned"]
+    if not pruned or not pruned["files_kept"] < pruned["files_before"]:
+        raise AssertionError(f"fact runtime pruning did not engage: {choice}")
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    if plan.count("Scan parquet") != 4:
+        raise AssertionError("expected exactly 4 scans (fact scanned once)")
+    return (
+        out.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
     "manifest_agg_pushdown",
     oracle="""
     WITH live AS (

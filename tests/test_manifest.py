@@ -6851,3 +6851,152 @@ class TestAdviceR8:
             M.join_strategy(by_bytes, small, how="inner")
             == "broadcast_right"
         )
+
+
+class TestJoinStar:
+    """join_star — N-table star planned from manifest metadata: dim
+    ordering by pruned-fraction selectivity, per-dim broadcast
+    qualification, composed runtime fact-file pruning, fact scanned
+    once."""
+
+    def _star(self, spark, tmp_path):
+        fact = spark.range(8_000).select(
+            (F.col("id") % 400).alias("user_id"),
+            (F.col("id") % 5).alias("status_id"),
+            F.col("id").alias("amount"),
+        )
+        users = spark.range(400).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("uname"),
+        )
+        status = spark.range(5).select(
+            F.col("id").alias("status_id"),
+            F.concat(F.lit("s"), F.col("id")).alias("sname"),
+        )
+        tags = spark.range(100).select(
+            (F.col("id") * 4).alias("user_id"),  # every 4th user tagged
+            F.lit("vip").alias("tag"),
+        )
+        fp = str(tmp_path / "sfact")
+        up = str(tmp_path / "susers")
+        sp = str(tmp_path / "sstatus")
+        tp = str(tmp_path / "stags")
+        write_range_sorted(fact, fp, "user_id", num_partitions=8)
+        M.manifest_init(fp, stat_cols=["user_id"])
+        write_range_sorted(users, up, "user_id", num_partitions=8)
+        M.manifest_init(up, stat_cols=["user_id"])
+        status.coalesce(1).write.parquet(sp)
+        M.manifest_init(sp)
+        tags.coalesce(1).write.parquet(tp)
+        M.manifest_init(tp)
+        return fp, up, sp, tp
+
+    def test_orders_broadcasts_prunes_and_scans_fact_once(
+        self, spark, tmp_path
+    ):
+        fp, up, sp, tp = self._star(spark, tmp_path)
+        choice: dict = {}
+        out = M.join_star(
+            spark,
+            fp,
+            [
+                {"path": sp, "on": "status_id"},  # sel 1.0
+                # users filtered to the first eighth: sel 0.125
+                {"path": up, "on": "user_id", "ranges": {"user_id": (0, 49)}},
+                {"path": tp, "on": "user_id", "how": "left"},
+            ],
+            choice_out=choice,
+        )
+        # most selective filtering dim first; preserved-side join last
+        assert choice["order"] == ["user_id", "status_id", "user_id"]
+        dims = choice["dims"]
+        assert all(d["strategy"] == "broadcast_right" for d in dims)
+        # runtime pruning engaged on the users arm (first in order)
+        # and composed into the fact file list
+        pr = dims[0]["pruned"]
+        assert pr and pr["files_kept"] < pr["files_before"] == 8
+        # result parity vs the unplanned chain
+        expect = (
+            M.load_manifest_table(spark, fp)
+            .join(
+                M.load_manifest_table(spark, up).filter(
+                    F.col("user_id").between(0, 49)
+                ),
+                "user_id",
+            )
+            .join(M.load_manifest_table(spark, sp), "status_id")
+            .join(M.load_manifest_table(spark, tp), "user_id", "left")
+            .count()
+        )
+        assert out.count() == expect == 1_000
+        # left-joined tag rows really survive (13 tagged users <= 49)
+        assert out.filter(F.col("tag").isNotNull()).count() == 260
+        # the fact is scanned ONCE: 4 parquet scans total in the plan
+        # (fact + each of the 3 dims exactly once; plan strings elide
+        # file paths, so count scan nodes)
+        plan = out._jdf.queryExecution().sparkPlan().toString()
+        assert plan.count("Scan parquet") == 4
+        # and three broadcast hints reached the plan
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert analyzed.lower().count("broadcast") >= 3
+
+    def test_unqualifying_dim_joins_unhinted(self, spark, tmp_path):
+        fp, up, sp, _tp = self._star(spark, tmp_path)
+        choice: dict = {}
+        out = M.join_star(
+            spark,
+            fp,
+            [
+                {"path": sp, "on": "status_id"},
+                {"path": up, "on": "user_id"},
+            ],
+            bytes_threshold=1,  # nothing qualifies
+            choice_out=choice,
+        )
+        assert all(d["strategy"] == "shuffle" for d in choice["dims"])
+        assert all(d["pruned"] is None for d in choice["dims"])
+        assert out.count() == 8_000
+
+    def test_snowflake_arm_orders_after_its_parent(self, spark, tmp_path):
+        # customer keys live on the ORDERS dim, not the fact: the
+        # planner must fold orders first even though customer is more
+        # selective, and refuse loudly when no order works.
+        fact = spark.range(4_000).select(
+            (F.col("id") % 200).alias("orderkey"),
+            F.col("id").alias("qty"),
+        )
+        orders = spark.range(200).select(
+            F.col("id").alias("orderkey"),
+            (F.col("id") % 50).alias("custkey"),
+        )
+        cust = spark.range(50).select(
+            F.col("id").alias("custkey"),
+            F.concat(F.lit("c"), F.col("id")).alias("cname"),
+        )
+        fp = str(tmp_path / "snfact")
+        op = str(tmp_path / "snorders")
+        cp = str(tmp_path / "sncust")
+        write_range_sorted(fact, fp, "orderkey", num_partitions=4)
+        M.manifest_init(fp, stat_cols=["orderkey"])
+        orders.coalesce(1).write.parquet(op)
+        M.manifest_init(op)
+        write_range_sorted(cust, cp, "custkey", num_partitions=4)
+        M.manifest_init(cp, stat_cols=["custkey"])
+        choice: dict = {}
+        out = M.join_star(
+            spark,
+            fp,
+            [
+                # listed FIRST and more selective, but depends on orders
+                {"path": cp, "on": "custkey", "ranges": {"custkey": (0, 9)}},
+                {"path": op, "on": "orderkey"},
+            ],
+            choice_out=choice,
+        )
+        assert choice["order"] == ["orderkey", "custkey"]
+        # 10 of 50 custkeys survive -> 40 orderkeys -> 20 rows/orderkey
+        assert out.count() == 800
+        with pytest.raises(ValueError, match="no join order"):
+            M.join_star(
+                spark, fp, [{"path": cp, "on": "custkey"}]
+            )
