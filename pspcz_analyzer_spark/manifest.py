@@ -5311,13 +5311,34 @@ def publish_staged(spark: SparkSession, path: str, ref: str) -> int:
     pure metadata, the data bytes never move. Re-validates the staged
     batch against the CURRENT manifest (constraints/schema may have
     changed since staging); a failed re-validation leaves the ref
-    staged for inspection. Returns the committed version."""
+    staged for inspection. IDEMPOTENT under retry: a publisher that
+    crashed between its commit and the ref removal left the batch live
+    — re-publishing detects the fully-published ref, removes it, and
+    returns the version that already carries the batch instead of
+    appending the files twice. Returns the committed version."""
     m = read_manifest(path)
     doc = _read_staged(path, ref)
+    fs, rel = get_fs(path)
+    # Crash-safe retry: a publisher killed between its commit and the
+    # ref removal leaves the batch LIVE but the ref staged — a blind
+    # re-publish would append the same files a second time (duplicated
+    # rows). Fully-published refs finish the interrupted publish
+    # (remove the ref, return the version that carries the batch);
+    # a PARTIAL overlap can only mean manifest surgery — refuse.
+    live = set(m["files"])
+    overlap = live & set(doc["files"])
+    if overlap:
+        if overlap == set(doc["files"]):
+            fs.remove(os.path.join(_staged_dir(rel), f"{ref}.json"))
+            return m["version"]
+        raise RuntimeError(
+            f"staged ref {ref!r}: {len(overlap)} of {len(doc['files'])} "
+            "files are already in the table — partial publish state; "
+            "inspect the manifest before retrying"
+        )
     staged_view = _read_files(spark, path, m, doc["files"])
     _check_schema(m.get("schema") or doc["schema"], staged_view, False)
     _check_constraints(m, staged_view)
-    fs, rel = get_fs(path)
     new_names = list(doc["files"])
     stats, stat_cols = _updated_stats(m, fs, rel, new_names)
     v = _commit(

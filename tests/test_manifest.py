@@ -7000,3 +7000,249 @@ class TestJoinStar:
             M.join_star(
                 spark, fp, [{"path": cp, "on": "custkey"}]
             )
+
+
+class _Crash(RuntimeError):
+    """Injected writer death between two fs mutations."""
+
+
+class _CrashFS:
+    """Wrap an fs handle; every MUTATION decrements a shared budget and
+    the first mutation past it raises _Crash — simulating a writer
+    killed between any two store operations. Reads always pass through
+    (a dead writer cannot corrupt what it never wrote)."""
+
+    MUTATORS = (
+        "create_exclusive", "remove", "makedirs", "rename", "rmtree",
+        "copy",
+    )
+
+    def __init__(self, inner, counter):
+        self._inner = inner
+        self._counter = counter
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name in _CrashFS.MUTATORS and callable(attr):
+            c = self._counter
+
+            def wrapped(*a, **k):
+                if c["used"] >= c["budget"]:
+                    raise _Crash(f"crash before fs.{name}")
+                c["used"] += 1
+                return attr(*a, **k)
+
+            return wrapped
+        return attr
+
+
+class TestCrashPointsTwoLevelCommits:
+    """r8 verdict ask #4: kill the writer between EVERY pair of fs
+    mutations of a multi-blob commit (segment blobs + pointer blob +
+    data staging) and assert, at every crash point: readers see only
+    the previous version OR the full new one (never a torn state),
+    vacuum collects the crashed attempt's orphan blobs, and a retry
+    completes the operation."""
+
+    @pytest.fixture(autouse=True)
+    def _low_threshold(self, monkeypatch):
+        monkeypatch.setattr(M, "MANIFEST_SEGMENT_THRESHOLD", 4)
+        monkeypatch.setattr(M, "SEGMENT_TARGET_FILES", 3)
+
+    def _mk(self, spark, tmp_path, name):
+        df = spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+        path = str(tmp_path / name)
+        write_range_sorted(df, path, "k", num_partitions=6)
+        M.manifest_init(path, stat_cols=["k"])
+        return path
+
+    def _matrix(self, spark, path, op, base_count, final_count):
+        import shutil as _sh
+
+        backup = path + ".bak"
+        _sh.copytree(path, backup)
+        v0 = M.current_version(path)
+        real_get_fs = M.get_fs
+
+        def _restore():
+            _sh.rmtree(path)
+            _sh.copytree(backup, path)
+            M._SEGMENT_CACHE.clear()
+
+        def _attempt(budget):
+            counter = {"used": 0, "budget": budget}
+
+            def patched(p):
+                fs, rel = real_get_fs(p)
+                return _CrashFS(fs, counter), rel
+
+            M.get_fs = patched
+            try:
+                op()
+                crashed = False
+            except _Crash:
+                crashed = True
+            finally:
+                M.get_fs = real_get_fs
+            return counter["used"], crashed
+
+        # counting pass: how many mutations does the op make?
+        total, crashed = _attempt(10**9)
+        assert not crashed and total >= 2, f"op made only {total} mutations"
+        _restore()
+
+        tried = 0
+        for budget in range(total):
+            used, crashed = _attempt(budget)
+            assert crashed, f"budget {budget} < {total} but op finished"
+            tried += 1
+            # 1) never a torn read: old version intact, or commit fully
+            #    durable (the pointer blob IS the atomic publish point)
+            v_now = M.current_version(path)
+            n_now = M.load_manifest_table(spark, path).count()
+            if v_now == v0:
+                assert n_now == base_count
+            else:
+                assert v_now == v0 + 1 and n_now == final_count
+            # 2) vacuum collects every blob the crashed attempt leaked
+            M.vacuum(path, retain_versions=1, min_age_seconds=0)
+            segdir = os.path.join(path, "_manifest", "segments")
+            refd = set()
+            for v in M._versions(path):
+                refd.update(
+                    os.path.basename(s)
+                    for s in (
+                        M.read_manifest(path, v).get("segments") or []
+                    )
+                )
+            left = set(os.listdir(segdir)) if os.path.isdir(segdir) else set()
+            assert left <= refd, f"orphan segments survived vacuum: {left - refd}"
+            # 3) a retry completes the op exactly once
+            if v_now == v0:
+                op()
+            assert M.load_manifest_table(spark, path).count() == final_count
+            _restore()
+        _sh.rmtree(backup)
+        return tried
+
+    def test_append_crash_matrix(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cr_append")
+
+        def op():
+            M.append(
+                spark.range(9_000, 9_010)
+                .selectExpr("id AS k", "id % 7 AS g")
+                .coalesce(1),
+                path,
+            )
+
+        n = self._matrix(spark, path, op, 600, 610)
+        assert n >= 2
+
+    def test_targeted_dml_crash_matrix(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cr_dml")
+
+        def op():
+            M.delete_keys(spark, path, "k", [5])
+
+        n = self._matrix(spark, path, op, 600, 599)
+        assert n >= 2
+
+    def test_compact_segments_crash_matrix(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cr_compact")
+        # fragment the segment list with three 1-file appends
+        for i in range(3):
+            M.append(
+                spark.range(9_000 + i * 10, 9_010 + i * 10)
+                .selectExpr("id AS k", "id % 7 AS g")
+                .coalesce(1),
+                path,
+            )
+        assert len(M.read_manifest(path)["segments"]) > 3
+
+        def op():
+            assert M.compact_segments(path) > 0
+
+        n = self._matrix(spark, path, op, 630, 630)
+        assert n >= 2
+
+    def test_wap_publish_crash_matrix(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "cr_wap")
+        M.stage_append(
+            spark.range(9_000, 9_010)
+            .selectExpr("id AS k", "id % 7 AS g")
+            .coalesce(1),
+            path,
+            "r1",
+        )
+
+        def op():
+            M.publish_staged(spark, path, "r1")
+
+        n = self._matrix(spark, path, op, 600, 610)
+        assert n >= 1
+
+    def test_wap_publish_retry_is_idempotent(self, spark, tmp_path):
+        # The exact hole the crash matrix exposed: a publisher killed
+        # BETWEEN its commit and the ref removal leaves the batch live
+        # and the ref staged — a blind retry used to append the same
+        # files twice (600 -> 610 -> 620). Now the retry finishes the
+        # interrupted publish instead.
+        path = self._mk(spark, tmp_path, "cr_wap_retry")
+        M.stage_append(
+            spark.range(9_000, 9_010)
+            .selectExpr("id AS k", "id % 7 AS g")
+            .coalesce(1),
+            path,
+            "r1",
+        )
+        real_get_fs = M.get_fs
+
+        def patched(p):
+            fs, rel = real_get_fs(p)
+
+            class _NoRemove:
+                def __getattr__(self, name):
+                    if name == "remove":
+                        def boom(pth):
+                            if pth.endswith("r1.json"):
+                                raise _Crash("die before ref removal")
+                            return fs.remove(pth)
+                        return boom
+                    return getattr(fs, name)
+
+            return _NoRemove(), rel
+
+        M.get_fs = patched
+        try:
+            with pytest.raises(_Crash):
+                M.publish_staged(spark, path, "r1")
+        finally:
+            M.get_fs = real_get_fs
+        v = M.current_version(path)
+        assert M.load_manifest_table(spark, path).count() == 610
+        assert "r1" in M.list_staged(path)
+        # retry: finishes the publish, no duplication, ref cleared
+        assert M.publish_staged(spark, path, "r1") == v
+        assert M.load_manifest_table(spark, path).count() == 610
+        assert "r1" not in M.list_staged(path)
+        # a fresh ref whose files PARTIALLY overlap the table refuses
+        import json as _json
+
+        M.stage_append(
+            spark.range(9_100, 9_110)
+            .selectExpr("id AS k", "id % 7 AS g")
+            .coalesce(1),
+            path,
+            "r2",
+        )
+        ref_p = os.path.join(path, "_manifest", "staged", "r2.json")
+        doc = _json.loads(open(ref_p).read())
+        doc["files"].append(M.read_manifest(path)["files"][0])
+        os.remove(ref_p)
+        with open(ref_p, "w") as fh:
+            fh.write(_json.dumps(doc))
+        with pytest.raises(RuntimeError, match="partial publish"):
+            M.publish_staged(spark, path, "r2")
