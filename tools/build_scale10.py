@@ -44,7 +44,12 @@ KEYS: dict[str, list[str] | None] = {
 }
 
 
-def build(src: str, out: str) -> None:
+def build(src: str, out: str, stride: int = STRIDE) -> None:
+    """``stride`` must exceed the SOURCE's key span: applying the tool
+    to its own output (the 100x build for SCALING.md's second decade)
+    needs a stride above 10*STRIDE + the original span — pass e.g.
+    1_000_000_000 for the second application or replica key ranges
+    would collide and silently inflate join fan-out."""
     import pyspark.sql.functions as F
 
     from pspcz_analyzer_spark.catalog import load_table, table_path
@@ -67,7 +72,7 @@ def build(src: str, out: str) -> None:
                 )
                 .select(
                     *[
-                        (F.col(c) + F.col("__r") * F.lit(STRIDE)).alias(c)
+                        (F.col(c) + F.col("__r") * F.lit(stride)).alias(c)
                         if c in keys
                         else F.col(c)
                         for c in df.columns
@@ -82,4 +87,5 @@ def build(src: str, out: str) -> None:
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pspcz_scale10"
-    build(src, out)
+    stride = int(sys.argv[3]) if len(sys.argv) > 3 else STRIDE
+    build(src, out, stride)
