@@ -26,6 +26,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# The Gram-trick PCA's driver ceiling: above this many SAMPLES the
+# dense n x n Gram + O(n^3) eigh stop being "hundreds-to-thousands"
+# driver work (n=10k is ~800 MB + tens of seconds of LAPACK; n=20k is
+# 3.2 GB + minutes). pca_coords refuses past it and points to the
+# distributed twin, whose cost has no n^2 driver term.
+PCA_GRAM_MAX_N = 10_000
+
 # Vote encoding (similarity_service.py:20-28): YES=+1, NO=-1, other 0.
 _ENCODE = {"A": 1.0, "B": -1.0}
 
@@ -198,6 +205,20 @@ def pca_coords(
     n = len(ids)
     if n == 0:
         return mp_votes.sparkSession.createDataFrame([], "id_poslanec long, x double, y double")
+    if n > PCA_GRAM_MAX_N:
+        # The Gram trick is n-BOUND by design: a dense n x n driver
+        # matrix + O(n^3) eigh. That matches the reference's domain
+        # (MP count is ~200 whatever the data volume — growth means
+        # more VOTES, which this path absorbs for free), but an input
+        # whose sample count scales with the corpus would melt the
+        # driver here (n=20k -> 3.2 GB Gram + minutes of LAPACK).
+        # Refuse loudly; the distributed twin has no n term.
+        raise ValueError(
+            f"pca_coords: {n} samples exceeds PCA_GRAM_MAX_N="
+            f"{PCA_GRAM_MAX_N} (dense n^2 Gram + O(n^3) driver eigh); "
+            "use pca_coords_distributed (randomized subspace, no "
+            "driver n^2 term) for sample counts that scale with data"
+        )
     idx = {p: i for i, p in enumerate(ids)}
 
     # D: pairwise dots incl. the diagonal, only over shared nonzero votes.

@@ -121,7 +121,17 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        # Env override first: scale measurements (SCALING.md's decade
+        # runs) need cluster-realistic parallelism — on a real cluster
+        # shuffle partitions grow with the data, but a fixed local 32
+        # makes every sort partition 10x bigger per decade and reads as
+        # a spill-induced superlinear bend that is the HARNESS, not the
+        # plan.
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp and env_sp.isdigit():
+            shuffle_partitions = int(env_sp)
+        else:
+            shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     # In local mode driver and all executor threads share ONE JVM whose heap
     # defaults to -Xmx1g — 32 task threads plus broadcast builds through 1 GiB

@@ -865,3 +865,26 @@ class TestIVFPQExtend:
         assert {r["vec_id"] for r in top} >= {7, 5000}
         assert all(abs(r["cosine_sim"] - 1.0) < 1e-6
                    for r in top if r["vec_id"] in (7, 5000))
+
+
+class TestPcaGramGuard:
+    """r9: the Gram trick is n-bound by design (dense n^2 driver matrix
+    + O(n^3) eigh) — sample counts that scale with the corpus must be
+    refused with a pointer to the distributed twin, not melt the
+    driver."""
+
+    def test_refuses_above_max_n(self, spark, void_votes, monkeypatch):
+        import pspcz_analyzer_spark.operators.similarity as S
+
+        monkeypatch.setattr(S, "PCA_GRAM_MAX_N", 3)
+        rows = []
+        for vid in range(1, 4):
+            rows += [(mp, vid, "A") for mp in range(1, 5)]  # 4 MPs > 3
+        mp_votes = spark.createDataFrame(
+            rows, "id_poslanec long, id_hlasovani long, vysledek string"
+        )
+        with pytest.raises(ValueError, match="pca_coords_distributed"):
+            S.pca_coords(mp_votes, void_votes)
+        # the distributed twin takes the same input fine
+        got = S.pca_coords_distributed(mp_votes, void_votes)
+        assert got.count() == 4
