@@ -33,100 +33,58 @@ _REGISTRY: dict[str, Query] = {}
 
 # Verification harnesses that budget a fixed number of queries consume the
 # registry in iteration order, so ordering is part of the public contract.
-# Round-8 rotation: the driver re-attests 50 queries per round against
+# Round-9 rotation: the driver re-attests 50 queries per round against
 # freshly regenerated testdata, so the budget goes to the queries with the
-# WEAKEST current attestation. Ledger: after r7, 244 of 246 oracle-paired
-# queries have a green driver attestation in some round; the only two
-# non-green rows are the r7 reds fixed this round (votes_browser_page —
-# oracle tally sums now CAST AS BIGINT to match Spark's int64 against
-# DuckDB's HUGEINT→float64 rendering; doc_inverted_postings — postings
-# array flattened to a CSV string on both sides per the query-edge
-# convention). Tiers (lower first):
-#   10 = sentinels — every query whose PLAN or ORACLE changed this round:
-#        the two r7 reds;
-#   18 = never driver-attested — the eleven r8-new queries
-#        (interchange_roundtrip, hive_adopt_roundtrip, manifest_scan_auto,
-#        manifest_segmented_lifecycle, manifest_join_auto,
-#        manifest_agg_pushdown, manifest_join_runtime_pruned,
-#        manifest_mv_incremental_cdf, manifest_partitions_table,
-#        manifest_scan_dnf, manifest_analyze_roundtrip;
-#        registered at priority 18) — a
-#        query is not "done" until the driver has hashed it against its
-#        oracle;
-#   20 = r02-green and never re-attested since — the 17-query tail the r7
-#        budget didn't reach (9 of 26 rotated in r07);
-#   22 = r03-green cohort — next-stalest; 2 sentinels + 11 new + 17 r02
-#        leaves 20 slots for this cohort's head, the tail queues for r9;
-#   52 = rows-only by design (no oracle possible: LSH/IVF results are
-#        approximation-defined, PCA basis signs impl-defined, HLL
-#        estimates); each has an oracle-paired anchor at a lower tier, so
-#        a driver slot on them would be wasted;
-#   60..66 = r04/r05/r06/r07-green — freshest attestations yield last.
+# WEAKEST current attestation. Ledger: after r8, ALL 257 oracle-paired
+# queries have a green driver attestation in some round (zero debt), so
+# the r9 budget goes to staleness plus this round's changed code paths.
+# Tiers (lower first):
+#   10 = sentinels — queries whose plan or commit path CHANGED this round
+#        (join_auto grew runtime file pruning; the MV merge grew the
+#        phantom-key insert guard; WAP publish grew retry idempotence;
+#        segment reuse became identity-checked);
+#   18 = never driver-attested — the r9-new queries
+#        (manifest_join_auto_pruned, manifest_join_star; registered at
+#        priority 18 via their @register calls);
+#   22 = r03-green cohort, never re-attested since (27 queries) — fully
+#        inside the budget this round;
+#   40 = r04-green cohort (45 queries) — head takes the
+#        ~17 remaining slots, tail queues for r10;
+#   52 = rows-only by design — oracle-paired anchors cover them;
+#   60..68 = r05/r06/r07/r08-green — freshest attestations yield last.
 PRIORITY_SENTINEL = 10
 PRIORITY_NEW = 18
-PRIORITY_STALE_R02 = 20
 PRIORITY_STALE_R03 = 22
+PRIORITY_ATTESTED_R04 = 40
 PRIORITY_ROWS_ONLY = 52
-PRIORITY_ATTESTED_R04 = 60
-PRIORITY_ATTESTED_R05 = 62
-PRIORITY_ATTESTED_R06 = 64
-PRIORITY_ATTESTED_R07 = 66
+PRIORITY_ATTESTED_R05 = 60
+PRIORITY_ATTESTED_R06 = 62
+PRIORITY_ATTESTED_R07 = 64
+PRIORITY_ATTESTED_R08 = 68
 
 _PRIORITY: dict[str, int] = {
-    # Sentinels: the two r7-red rows, fixed this round (votes_browser_page
-    # oracle tallies CAST AS BIGINT; doc_inverted_postings postings
-    # flattened to CSV on both sides) — must re-attest green first.
+    # Sentinels: queries whose PLAN or code path changed in r9 — re-attest first.
     **{
         n: PRIORITY_SENTINEL
         for n in (
-            "votes_browser_page",
-            "doc_inverted_postings",
+            "manifest_join_auto",
+            "manifest_mv_incremental_cdf",
+            "manifest_segmented_lifecycle",
+            "manifest_wap_roundtrip",
         )
     },
-    # r02-green tail not yet re-attested (9 of 26 rotated in r07).
-    **{
-        n: PRIORITY_STALE_R02
-        for n in (
-            "cube_status_priority",
-            "customer_display_names",
-            "distinct_status_priority",
-            "doc_topics_enriched",
-            "except_building_without_bigspenders",
-            "fuzzy_match_supplier_customer",
-            "nation_pairs_same_region",
-            "orders_by_month",
-            "orders_keyset_page",
-            "orders_page3",
-            "pivot_status_by_priority",
-            "point_lookup_order",
-            "prefix_match_parts",
-            "rollup_priority_status",
-            "steno_crossval_letters",
-            "steno_parse_votes",
-            "vote_number_resolution",
-        )
-    },
-    # r03-green cohort — stalest after the r02 tail; the 50-slot budget
-    # covers 2 sentinels + 17 r02 + the head of this cohort.
+    # r03-green cohort, never re-attested since — the stalest oracle rows.
     **{
         n: PRIORITY_STALE_R03
         for n in (
-            "amendments_merged",
             "ann_bruteforce_top10",
             "ann_ivf_exhaustive_top10",
-            "asof_cascade",
-            "asof_latest_order_before_event",
             "attendance_rates",
             "coalition_cohesion",
-            "corpus_decontaminate",
-            "corpus_pack_sequences",
-            "doc_length_quantiles",
-            "doc_vocab_exact",
             "embedding_near_dup",
             "embedding_pairs_cross_label",
             "events_carry_forward_purchase",
             "events_lag_gap",
-            "events_props_json",
             "events_running_value",
             "events_session_window_10m",
             "events_sessionized",
@@ -134,50 +92,21 @@ _PRIORITY: dict[str, int] = {
             "events_stream_tumbling_1h",
             "events_stream_view_purchase",
             "events_tumbling_1h",
-            "json_nested_roundtrip",
             "mp_similarity_top20",
             "mp_vote_similarity",
-            "near_dup_clusters",
-            "near_dup_jaccard_capped",
-            "order_lines_nested",
             "party_breakdown_vote42",
             "party_pair_agreement",
-            "pdf_letters_parse",
             "q10_returned_revenue",
             "q12_shipmode_priority",
             "q13_customer_distribution",
             "q14_promo_share",
-            "q18_large_orders",
             "q19_disjunctive_revenue",
-            "q1_pricing_summary",
             "q2_min_cost_supplier",
-            "q3_top_revenue_orders",
-            "q4_priority_with_returns",
-            "q6_forecast_revenue",
             "q7_nation_volume",
-            "training_corpus_prepare",
-            "unl_roundtrip_nation",
             "vote_detail_rows",
         )
     },
-    # Rows-only by design (see tier note above).
-    **{
-        n: PRIORITY_ROWS_ONLY
-        for n in (
-            "ann_ivf_top10",
-            "ann_ivfpq_top10",
-            "ann_lsh_pairs",
-            "doc_bpe_encoded",
-            "doc_bpe_merges",
-            "doc_unigram_encoded",
-            "doc_unigram_pieces",
-            "doc_vocab_approx",
-            "mp_pca_coords",
-            "mp_pca_coords_distributed",
-            "semantic_dedup_kmeans",
-        )
-    },
-    # r04-green cohort (CORRECTNESS_r04.json).
+    # r04-green cohort — next-stalest; the 50-slot budget covers 4 sentinels + 2 never-attested r9-new (decorator priority 18) + 27 r03 + this cohort's head (17 slots).
     **{
         n: PRIORITY_ATTESTED_R04
         for n in (
@@ -228,7 +157,24 @@ _PRIORITY: dict[str, int] = {
             "semantic_dedup_by_label",
         )
     },
-    # r05-green cohort (CORRECTNESS_r05.json).
+    # Rows-only by design (approximation/iteration-defined: LSH/IVF top-k, PCA basis, k-means, HLL, BPE/unigram training); each has an oracle-paired exact anchor at a lower tier, so a driver slot here would be wasted.
+    **{
+        n: PRIORITY_ROWS_ONLY
+        for n in (
+            "ann_ivf_top10",
+            "ann_ivfpq_top10",
+            "ann_lsh_pairs",
+            "doc_bpe_encoded",
+            "doc_bpe_merges",
+            "doc_unigram_encoded",
+            "doc_unigram_pieces",
+            "doc_vocab_approx",
+            "mp_pca_coords",
+            "mp_pca_coords_distributed",
+            "semantic_dedup_kmeans",
+        )
+    },
+    # r05-green cohort.
     **{
         n: PRIORITY_ATTESTED_R05
         for n in (
@@ -278,7 +224,7 @@ _PRIORITY: dict[str, int] = {
             "semantic_dedup_farthest",
         )
     },
-    # r06-green cohort (CORRECTNESS_r06.json).
+    # r06-green cohort.
     **{
         n: PRIORITY_ATTESTED_R06
         for n in (
@@ -327,7 +273,7 @@ _PRIORITY: dict[str, int] = {
             "triangle_suppliers",
         )
     },
-    # r07-green cohort (CORRECTNESS_r07.json): freshest, last in line.
+    # r07-green cohort.
     **{
         n: PRIORITY_ATTESTED_R07
         for n in (
@@ -366,7 +312,6 @@ _PRIORITY: dict[str, int] = {
             "manifest_scan_box_zorder",
             "manifest_scan_unpruned",
             "manifest_scd2_customer",
-            "manifest_wap_roundtrip",
             "manifest_widen_roundtrip",
             "media_audio_features",
             "minhash_lsh_exact_recall",
@@ -379,6 +324,59 @@ _PRIORITY: dict[str, int] = {
             "semi_join_customers_with_1997_orders",
             "simhash_dup_pairs",
             "top3_orders_per_customer",
+        )
+    },
+    # r08-green cohort — freshest attestations yield last.
+    **{
+        n: PRIORITY_ATTESTED_R08
+        for n in (
+            "amendments_merged",
+            "asof_cascade",
+            "asof_latest_order_before_event",
+            "corpus_decontaminate",
+            "corpus_pack_sequences",
+            "cube_status_priority",
+            "customer_display_names",
+            "distinct_status_priority",
+            "doc_inverted_postings",
+            "doc_length_quantiles",
+            "doc_topics_enriched",
+            "doc_vocab_exact",
+            "events_props_json",
+            "except_building_without_bigspenders",
+            "fuzzy_match_supplier_customer",
+            "hive_adopt_roundtrip",
+            "interchange_roundtrip",
+            "json_nested_roundtrip",
+            "manifest_agg_pushdown",
+            "manifest_analyze_roundtrip",
+            "manifest_join_runtime_pruned",
+            "manifest_partitions_table",
+            "manifest_scan_auto",
+            "manifest_scan_dnf",
+            "nation_pairs_same_region",
+            "near_dup_clusters",
+            "near_dup_jaccard_capped",
+            "order_lines_nested",
+            "orders_by_month",
+            "orders_keyset_page",
+            "orders_page3",
+            "pdf_letters_parse",
+            "pivot_status_by_priority",
+            "point_lookup_order",
+            "prefix_match_parts",
+            "q18_large_orders",
+            "q1_pricing_summary",
+            "q3_top_revenue_orders",
+            "q4_priority_with_returns",
+            "q6_forecast_revenue",
+            "rollup_priority_status",
+            "steno_crossval_letters",
+            "steno_parse_votes",
+            "training_corpus_prepare",
+            "unl_roundtrip_nation",
+            "vote_number_resolution",
+            "votes_browser_page",
         )
     },
 }
