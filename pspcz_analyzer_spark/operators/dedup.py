@@ -429,13 +429,19 @@ def semantic_dedup(
     train_fraction: float = 1.0,
     keep: str = "min_id",
     salt_cells: int | None = None,
+    target_cell_size: int | None = None,
+    fit_sample_cap: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
     near-duplicates WITHIN each cluster only, so pairwise cost is
     sum(|cluster|^2) instead of n^2 — grow ``n_clusters`` with the corpus
     (constant expected cluster size) and total work is O(n), which is the
-    paper's point and the 100 TB path. The fifth dedup tier: catches
+    paper's point and the 100 TB path. Pass ``target_cell_size`` to make
+    that automatic: k derives as ceil(n / target_cell_size) from one
+    count, and the k-means fit sample caps at ``fit_sample_cap`` so fit
+    cost stays O(cap * k * iters) instead of O(n * k * iters) (both
+    growing = quadratic). The fifth dedup tier: catches
     paraphrase-level duplicates that shingle/MinHash/SimHash (surface-form
     tiers) cannot see, at the price of needing an embedding column.
 
@@ -484,6 +490,20 @@ def semantic_dedup(
     hence rows-only attestation for that variant.
     """
     from pspcz_analyzer_spark.operators.ann import cosine
+
+    if cluster_col is None and target_cell_size is not None:
+        # The paper's O(n) contract made operational: per-cell pair cost
+        # is sum(|cell|^2), so a FIXED k on a growing corpus is
+        # quadratic (measured: fixed k=16 ran 66x slower on 10x data —
+        # SCALING.md round-9). Derive k = ceil(n / target_cell_size)
+        # (constant expected cell size -> linear total pair work) and,
+        # since the k-means FIT is O(sample * k * iters) = O(n^2) when
+        # both grow, cap the training sample at ``fit_sample_cap`` —
+        # cell QUALITY needs a representative sample, not every row.
+        n = df.count()
+        n_clusters = max(2, -(-n // target_cell_size))
+        if train_fraction >= 1.0 and n > fit_sample_cap:
+            train_fraction = fit_sample_cap / n
 
     if cluster_col is None and n_clusters <= 1:
         # Degenerate single cell == exact global dedup (no model to fit;

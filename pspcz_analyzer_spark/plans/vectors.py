@@ -561,16 +561,22 @@ def semantic_dedup_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic clustering) + soundness/recall tests in test_dedup.py.
     tags=("pipeline", "dedup-embedding", "semdedup", "scale-path"),
     priority=52,
-    doc="SemDeDup production path: 16 k-means cells (seeded, same builder "
-    "as the IVF index), near-duplicates pruned within cells only — "
-    "sum(|cell|^2) pair cost, one cluster-keyed shuffle; grow the cell "
-    "count with the corpus for O(n) total work at 100 TB.",
+    doc="SemDeDup production path: k-means cells sized to the corpus "
+    "(target_cell_size=128 -> k = ceil(n/128), seeded, same builder as "
+    "the IVF index), near-duplicates pruned within cells only — "
+    "sum(|cell|^2) pair cost, one cluster-keyed shuffle. The cell count "
+    "GROWING with the corpus is what makes total work O(n): the r9 "
+    "decade measurement caught the previous fixed k=16 running 66x "
+    "slower on 10x data (SCALING.md round-9, the exact failure the "
+    "SemDeDup paper's constant-cell-size rule exists to prevent).",
 )
 def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_clusters=16, threshold=0.3).orderBy("vec_id")
+    return semantic_dedup(
+        emb, target_cell_size=128, threshold=0.3
+    ).orderBy("vec_id")
 
 
 @register(

@@ -622,3 +622,58 @@ class TestContainmentPairs:
             for r in ngram_containment_pairs(df, n=3, threshold=0.5).collect()
         }
         assert got == want
+
+
+class TestSemanticDedupAutoCells:
+    """r9 scale fix: target_cell_size derives k from the corpus size so
+    per-cell pair cost stays constant — the fixed-k query measured 66x
+    slower on 10x data before this."""
+
+    def test_target_cell_size_scales_k_and_stays_sound(self, spark):
+        import numpy as np
+
+        from pspcz_analyzer_spark.operators.dedup import semantic_dedup
+
+        rng = np.random.RandomState(7)
+        # 12 well-separated blob centers x 20 points = 240 vectors
+        rows = []
+        vid = 0
+        for b in range(12):
+            c = rng.randn(8) * 10
+            for _ in range(20):
+                rows.append((vid, (c + rng.randn(8) * 0.01).tolist()))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, threshold=0.99, target_cell_size=20)
+        got = out.collect()
+        # every blob of 20 near-identical vectors collapses to 1 survivor
+        assert len(got) == 12 * 19
+        for r in got:
+            assert r["dup_of"] < r["vec_id"]
+        # k derived as ceil(240/20)=12: cluster ids span more than the
+        # old fixed default would ever produce for this corpus shape
+        n_cells = out.select("cluster").distinct().count()
+        assert n_cells >= 6  # k-means may merge some blobs, never to 1
+
+    def test_fit_sample_cap_engages(self, spark, monkeypatch):
+        from pyspark.ml.clustering import KMeans
+
+        from pspcz_analyzer_spark.operators import dedup as D
+
+        seen = {}
+        orig_fit = KMeans.fit
+
+        def spy(self, train):
+            seen["train_rows"] = train.count()
+            return orig_fit(self, train)
+
+        monkeypatch.setattr(KMeans, "fit", spy)
+        df = spark.range(500).selectExpr(
+            "id AS vec_id",
+            "array(cast(id % 7 AS double), cast(id % 11 AS double)) AS embedding",
+        )
+        D.semantic_dedup(
+            df, threshold=0.999, target_cell_size=50, fit_sample_cap=100
+        )
+        # 500 rows, cap 100: the fit trained on a sample, not the corpus
+        assert seen["train_rows"] < 250
