@@ -66,13 +66,21 @@ def build(src: str, out: str, stride: int = STRIDE) -> None:
         else:
             # explode over replica ids: one scan, 10x output, no union-of-10
             # plan (which would rescan the source per replica).
+            # The offset multiply MUST be 64-bit: with a ~1e9 stride the
+            # int32 product __r * stride wraps for replicas >= 3 (ANSI
+            # off = silent), handing 4 of 10 replicas NEGATIVE key
+            # offsets — joins stay consistent (same wrap on every
+            # table), but literal key predicates (user_id < 60) sweep
+            # whole wrapped replicas. Caught by the r9 wave-3 decade
+            # run (events_hourly_resample read 475x on 1000x input).
+            off = F.col("__r").cast("long") * F.lit(stride).cast("long")
             rep = (
                 df.withColumn(
                     "__r", F.explode(F.lit(list(range(REPLICAS))))
                 )
                 .select(
                     *[
-                        (F.col(c) + F.col("__r") * F.lit(stride)).alias(c)
+                        (F.col(c) + off).alias(c)
                         if c in keys
                         else F.col(c)
                         for c in df.columns
