@@ -7246,3 +7246,56 @@ class TestCrashPointsTwoLevelCommits:
             fh.write(_json.dumps(doc))
         with pytest.raises(RuntimeError, match="partial publish"):
             M.publish_staged(spark, path, "r2")
+
+    def test_mor_delete_crash_matrix(self, spark, tmp_path):
+        # equality-delete commit = delete-key sidecar blob + pointer:
+        # crash between them must leave readers on the old version and
+        # vacuum must collect the orphan sidecar.
+        path = self._mk(spark, tmp_path, "cr_mor")
+
+        def op():
+            M.delete_keys_mor(spark, path, "k", [5, 6, 7])
+
+        n = self._matrix(spark, path, op, 600, 597)
+        assert n >= 1
+
+    def test_cdf_append_crash_matrix(self, spark, tmp_path):
+        # CDF-enabled append = change-feed parquet + segment blobs +
+        # pointer; the cdf file of a crashed commit is referenced by
+        # nothing and must be vacuumed, and the retry must emit exactly
+        # one change batch.
+        path = self._mk(spark, tmp_path, "cr_cdf")
+        M.enable_cdf(path)
+        v0 = M.current_version(path)
+
+        def op():
+            M.append(
+                spark.range(9_000, 9_010)
+                .selectExpr("id AS k", "id % 7 AS g")
+                .coalesce(1),
+                path,
+            )
+
+        n = self._matrix(spark, path, op, 600, 610)
+        assert n >= 2
+        # the matrix restores the base state when done: one clean run,
+        # then the change feed must hold exactly that one batch
+        op()
+        assert M.read_changes(spark, path, v0).count() == 10
+
+    def test_bloom_build_crash_matrix(self, spark, tmp_path):
+        # ensure_blooms = per-file bloom sidecar blobs + a metadata
+        # commit referencing them; row counts never change, so the
+        # invariant is sidecar-reference consistency plus a clean retry.
+        path = self._mk(spark, tmp_path, "cr_bloom")
+
+        def op():
+            M.ensure_blooms(spark, path, "g")
+
+        n = self._matrix(spark, path, op, 600, 600)
+        assert n >= 1
+        # matrix restored the base: one clean build, then blooms must
+        # actually prune (a value outside the domain keeps no file)
+        op()
+        kept, total = M.prune_files_bloom(path, "g", 99_999)
+        assert total == 6 and len(kept) < total
