@@ -170,6 +170,37 @@ def create_app(service: QueryService):
 
             raise HTTPException(400, str(e))
 
+    @app.get("/api/lake/{left}/join/{right}")
+    def lake_join_plan(
+        left: str,
+        right: str,
+        how: str = "inner",
+        lcol: "str | None" = None,
+        llo: "str | None" = None,
+        lhi: "str | None" = None,
+        lvalue: "str | None" = None,
+        rcol: "str | None" = None,
+        rlo: "str | None" = None,
+        rhi: "str | None" = None,
+        rvalue: "str | None" = None,
+    ):
+        # Broadcast-vs-shuffle preview (manifest.join_strategy over two
+        # post-pruning scan_estimates) — metadata-only.
+        try:
+            return service.lake_join_plan(
+                left, right, how=how,
+                lcol=lcol, llo=llo, lhi=lhi, lvalue=lvalue,
+                rcol=rcol, rlo=rlo, rhi=rhi, rvalue=rvalue,
+            )
+        except KeyError as e:
+            from fastapi import HTTPException
+
+            raise HTTPException(404, f"no manifest table named {e.args[0]!r}")
+        except ValueError as e:
+            from fastapi import HTTPException
+
+            raise HTTPException(400, str(e))
+
     @app.get("/api/laws")
     def laws(
         status: str | None = None,

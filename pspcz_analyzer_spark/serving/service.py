@@ -651,6 +651,41 @@ class QueryService:
         )
         return est
 
+    def lake_join_plan(
+        self,
+        left: str,
+        right: str,
+        how: str = "inner",
+        lcol: "str | None" = None,
+        llo: "str | None" = None,
+        lhi: "str | None" = None,
+        lvalue: "str | None" = None,
+        rcol: "str | None" = None,
+        rlo: "str | None" = None,
+        rhi: "str | None" = None,
+        rvalue: "str | None" = None,
+    ) -> dict:
+        """Join-plan preview for two discovered manifest tables — the
+        serving face of ``manifest.join_strategy`` over two
+        ``scan_estimate``s: which side (if any) would ``join_auto``
+        broadcast for this join type, given each side's POST-PRUNING
+        size under the optional per-side predicate (same query-param
+        casting contract as :meth:`lake_estimate`). Pure metadata — two
+        manifest JSON reads plus one fs stat per kept file, no Spark
+        job, so an operator can see the broadcast-vs-shuffle answer for
+        a saturated cluster before submitting anything. Returns
+        ``{strategy, left, right}``; unknown names raise KeyError
+        (404), bad predicates ValueError (400)."""
+        from pspcz_analyzer_spark import manifest as M
+
+        lest = self.lake_estimate(left, col=lcol, lo=llo, hi=lhi, value=lvalue)
+        rest = self.lake_estimate(right, col=rcol, lo=rlo, hi=rhi, value=rvalue)
+        return {
+            "strategy": M.join_strategy(lest, rest, how=how),
+            "left": lest,
+            "right": rest,
+        }
+
     def health(self) -> dict:
         """Operator's first curl (reference routes/health.py:16-21, widened
         per its data-freshness intent): session liveness, per-table

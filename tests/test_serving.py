@@ -600,3 +600,62 @@ class TestServingGuards:
         ):
             with pytest.raises(ValueError, match="read-only"):
                 svc.sql(stmt)
+
+
+class TestLakeJoinPlanEndpoint:
+    """r9: the serving face of join_strategy — broadcast-vs-shuffle
+    preview over two post-pruning scan estimates, metadata-only."""
+
+    @pytest.fixture()
+    def svc(self, spark):
+        return QueryService(spark, SF_DIR, ttl_seconds=3600)
+
+    def test_plan_is_metadata_only_and_prunes(self, svc, spark, monkeypatch):
+        import os
+        import shutil
+
+        import pyspark.sql.functions as F
+
+        import pspcz_analyzer_spark.manifest as M
+        from pspcz_analyzer_spark.jobs import write_range_sorted
+        from pspcz_analyzer_spark.scratch import scratch_path
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        fp = scratch_path(SF_DIR, "ljp_fact")
+        dp = scratch_path(SF_DIR, "ljp_dim")
+        for p in (fp, dp):
+            shutil.rmtree(p, ignore_errors=True)
+        fact = spark.range(4_000).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("g")
+        )
+        write_range_sorted(fact, fp, "k", num_partitions=8)
+        M.manifest_init(fp, stat_cols=["k"])
+        spark.range(40).selectExpr("id AS k").coalesce(1).write.parquet(dp)
+        M.manifest_init(dp)
+
+        def boom(self_df):
+            raise AssertionError("lake_join_plan() ran a Spark job")
+
+        monkeypatch.setattr(_DF, "collect", boom)
+        try:
+            plan = svc.lake_join_plan(
+                os.path.basename(fp), os.path.basename(dp),
+                lcol="k", llo="0", lhi="499",
+            )
+            assert plan["strategy"] in ("broadcast_right", "broadcast_left")
+            assert plan["left"]["files_kept"] < plan["left"]["files_total"]
+            # outer joins respect build-side legality
+            plan_l = svc.lake_join_plan(
+                os.path.basename(fp), os.path.basename(dp), how="left"
+            )
+            assert plan_l["strategy"] in ("broadcast_right", "shuffle")
+            with pytest.raises(KeyError):
+                svc.lake_join_plan("nope", os.path.basename(dp))
+            with pytest.raises(ValueError, match="no column"):
+                svc.lake_join_plan(
+                    os.path.basename(fp), os.path.basename(dp),
+                    lcol="zz", llo="0", lhi="1",
+                )
+        finally:
+            shutil.rmtree(fp, ignore_errors=True)
+            shutil.rmtree(dp, ignore_errors=True)
