@@ -354,7 +354,9 @@ def _file_may_contain(
         st = meta.row_group(g).column(ci).statistics
         if st is None or st.min is None:
             return True
-        if any(st.min <= k <= st.max for k in key_set):
+        # None keys skip the compare: NULL never equi-matches (and
+        # None <= str raises TypeError on a mixed key set).
+        if any(k is not None and st.min <= k <= st.max for k in key_set):
             return True
     return False
 

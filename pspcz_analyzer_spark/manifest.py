@@ -75,6 +75,12 @@ SEG_DIR = "_manifest/segments"
 # Segment blobs are named by uuid and immutable once written; cache
 # keyed by resolved path can never serve stale content.
 _SEGMENT_CACHE: "dict[str, dict]" = {}
+# File-set memo for _segmentize's reuse check, SIDE-CAR to the blob
+# cache (never injected into the cached dict itself: a '__files'
+# frozenset stuffed onto the blob would make every cached segment
+# non-JSON-serializable for any consumer that re-dumps or key-iterates
+# it). Same key space and lifetime as _SEGMENT_CACHE.
+_SEGMENT_FILES_MEMO: "dict[str, frozenset]" = {}
 
 # Highest manifest WRITER version this build can commit against (Delta's
 # minWriterVersion in minimal form). 1 = plain appends; 2 = tables whose
@@ -130,6 +136,7 @@ def _load_segment(fs, rel: str, name: str) -> dict:
         doc = json.loads(fs.read_bytes(full))
         if len(_SEGMENT_CACHE) > 256:
             _SEGMENT_CACHE.clear()
+            _SEGMENT_FILES_MEMO.clear()
         _SEGMENT_CACHE[full] = doc
     return doc
 
@@ -237,13 +244,14 @@ def _segmentize(fs, rel: str, doc: dict, prev_doc: dict):
             seg = _load_segment(fs, rel, name)
         except (FileNotFoundError, OSError, ValueError):
             continue
-        sfiles = seg.get("__files")
+        memo_key = os.path.join(rel, name)
+        sfiles = _SEGMENT_FILES_MEMO.get(memo_key)
         if sfiles is None:
-            # Memoized on the cached blob dict (never serialized —
-            # segments are immutable; only _rec_of output lands in new
-            # blobs), so repeated commits pay the scan once per load.
+            # Memoized in a SIDE dict keyed by segment path (not on the
+            # cached blob itself — segments must stay pure JSON), so
+            # repeated commits pay the scan once per cached load.
             sfiles = frozenset(r["f"] for r in seg["entries"])
-            seg["__files"] = sfiles
+            _SEGMENT_FILES_MEMO[memo_key] = sfiles
         ok = sfiles <= fset and all(
             _rec_same(r["f"], docmaps, r) for r in seg["entries"]
         )
@@ -2941,7 +2949,12 @@ def _candidate_files(m: dict, fs, rel: str, key_col: str, key_set: set):
             s = (stats.get(f) or {}).get(pcol)
             if s is None or s[0] is None:
                 out.append(f)  # unknown stats -> cannot prune
-            elif any(s[0] <= k <= s[1] for k in key_set):
+            elif any(
+                k is not None and s[0] <= k <= s[1] for k in key_set
+            ):
+                # None keys are skipped, not compared: NULL never
+                # equi-matches, so a file is a candidate only for its
+                # non-null keys (and None <= str raises TypeError).
                 out.append(f)
         return out
     from pspcz_analyzer_spark.jobs import _file_may_contain
@@ -6766,8 +6779,16 @@ def join_auto(
                 else (lpath, lm, lv, lfiles)
             )
             fs, rel = get_fs(fpath)
+            # NULL dim keys never equi-match, so dropping them is sound
+            # for pruning — and required: a None in the collected key
+            # set would TypeError against str/int file stats.
             keys_df, _key_set, affected = _plan_source_keys(
-                spark, fm, fs, rel, dim_df.select(key), key
+                spark,
+                fm,
+                fs,
+                rel,
+                dim_df.select(key).where(F.col(key).isNotNull()),
+                key,
             )
             keys_df.unpersist()
             hit = set(affected)
@@ -6818,12 +6839,16 @@ def join_star(
 
     * plans every side ONCE (:func:`_plan_scan` + post-pruning
       :func:`scan_estimate` sizes),
-    * ORDERS the dims — inner (fact-filtering) joins first, each cohort
-      ascending by pruned-fraction ``rows_kept/rows_total`` then by
-      absolute rows: a dim its predicates cut to 5% of its keys removes
-      ~95% of fact rows, so the most-selective join runs while the
-      intermediate frame is widest-to-shrink; preserved-side joins
-      (left outer) cannot reduce rows and fold last,
+    * ORDERS the dims — only INNER arms reorder (ascending by
+      pruned-fraction ``rows_kept/rows_total`` then absolute rows,
+      within each contiguous listed run): a dim its predicates cut to
+      5% of its keys removes ~95% of fact rows, so the most-selective
+      inner join runs while the frame is widest-to-shrink. Non-inner
+      arms keep their LISTED position — right/full outer joins do not
+      commute with inner joins (they preserve dim-side rows with a
+      null-padded fact), so they are barriers nothing reorders across;
+      left/semi/anti arms are pinned conservatively and only move when
+      a snowflake dependency forces it,
     * BROADCASTS every dim whose post-pruning size qualifies
       (:func:`join_strategy` per dim against the fact — respecting
       build-side legality per join type); a dim that does not qualify
@@ -6893,26 +6918,62 @@ def join_star(
 
     hkey = lambda h: h.replace("_", "")  # noqa: E731
     filtering = lambda h: hkey(h) in _RUNTIME_PRUNABLE_SIDE["left"]  # noqa: E731
+    # Only INNER (and cross) arms commute freely, so only they reorder
+    # by selectivity. A right/full OUTER arm preserves DIM-side rows
+    # with a null-padded fact, so (F ⟖ d1) ⋈ d2 ≠ (F ⋈ d2) ⟖ d1 —
+    # those arms are BARRIERS nothing may cross. Left/semi/anti arms
+    # also keep their listed position (conservative: they are filters /
+    # preserved-side enrichments the user sequenced deliberately), but
+    # the dependency resolver may still order around them when a
+    # snowflake key forces it — that reordering is semantics-preserving
+    # for filter-shaped arms, unlike for barriers.
+    reorderable = lambda h: hkey(h) in ("inner", "cross")  # noqa: E731
+    barrier = lambda h: hkey(h) in (  # noqa: E731
+        "right", "rightouter", "full", "fullouter", "outer",
+    )
+    # A join type PROJECTS the dim's columns iff they appear in the
+    # output frame — semi/anti add no columns, so a snowflake arm keyed
+    # through one must fail to order, loudly, at plan time (it would
+    # fail at runtime anyway, with a worse error).
+    projects = lambda h: hkey(h) not in (  # noqa: E731
+        "semi", "leftsemi", "anti", "leftanti",
+    )
 
     def _keys(p) -> "list[str]":
         return [p["on"]] if isinstance(p["on"], str) else list(p["on"])
 
-    # Desired order: fact-filtering joins first (most selective first),
-    # preserved-side joins after — they cannot shrink the frame.
-    prio = sorted(
-        range(len(planned)),
-        key=lambda i: (
-            0 if filtering(planned[i]["how"]) else 1,
-            planned[i]["sel"],
-            planned[i]["est"]["rows_kept_upper"],
-        ),
-    )
+    # Desired order: LISTED order, with each contiguous run of inner
+    # arms re-sorted most-selective-first (a dim its predicates cut to
+    # 5% of its keys removes ~95% of fact rows, so it folds while the
+    # frame is widest-to-shrink). Non-inner arms never move here.
+    prio: "list[int]" = []
+    run: "list[int]" = []
+
+    def _flush_run():
+        run.sort(
+            key=lambda i: (
+                planned[i]["sel"],
+                planned[i]["est"]["rows_kept_upper"],
+            )
+        )
+        prio.extend(run)
+        run.clear()
+
+    for i in range(len(planned)):
+        if reorderable(planned[i]["how"]):
+            run.append(i)
+        else:
+            _flush_run()
+            prio.append(i)
+    _flush_run()
     fact_cols = {n for n, _t in (fm.get("schema") or [])} or None
     # ...subject to DEPENDENCIES: a snowflake arm's key lives on another
     # dim, so it can only fold once some earlier join supplied the
-    # column. Greedy: always take the highest-priority dim whose keys
-    # are already available. An unsatisfiable spec fails loudly — a
-    # silent skip would drop a join.
+    # column. Greedy: take the highest-priority dim whose keys are
+    # already available — but never hoist anything past an unsatisfied
+    # BARRIER arm (that reorder would change results, so the spec is
+    # unsatisfiable as written). An unsatisfiable spec fails loudly —
+    # a silent skip would drop a join.
     if fact_cols is None:
         order = prio
     else:
@@ -6920,10 +6981,13 @@ def join_star(
         order = []
         pending = list(prio)
         while pending:
-            pick = next(
-                (i for i in pending if set(_keys(planned[i])) <= avail),
-                None,
-            )
+            pick = None
+            for i in pending:
+                if set(_keys(planned[i])) <= avail:
+                    pick = i
+                    break
+                if barrier(planned[i]["how"]):
+                    break  # nothing may be hoisted across this arm
             if pick is None:
                 missing = sorted(
                     k
@@ -6933,13 +6997,16 @@ def join_star(
                 )
                 raise ValueError(
                     f"join_star: no join order satisfies keys {missing}: "
-                    "not provided by the fact or any earlier dim"
+                    "not provided by the fact or any earlier dim that "
+                    "projects them (semi/anti arms add no columns; "
+                    "right/full outer arms cannot be reordered across)"
                 )
             pending.remove(pick)
             order.append(pick)
-            avail |= {
-                n for n, _t in (planned[pick]["m"].get("schema") or [])
-            }
+            if projects(planned[pick]["how"]):
+                avail |= {
+                    n for n, _t in (planned[pick]["m"].get("schema") or [])
+                }
     if runtime_prune and ffiles:
         ffs, frel = get_fs(fpath)
         for i in order:
@@ -6951,8 +7018,15 @@ def join_star(
             if fact_cols is not None and p["key"] not in fact_cols:
                 continue  # snowflake arm: keys live on another dim
             dim_df = _star_build(spark, p)
+            # NULL keys dropped: sound (NULL never equi-matches) and
+            # required (None would TypeError in the stats compare).
             keys_df, _ks, affected = _plan_source_keys(
-                spark, fm, ffs, frel, dim_df.select(p["key"]), p["key"]
+                spark,
+                fm,
+                ffs,
+                frel,
+                dim_df.select(p["key"]).where(F.col(p["key"]).isNotNull()),
+                p["key"],
             )
             keys_df.unpersist()
             hit = set(affected)

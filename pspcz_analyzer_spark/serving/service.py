@@ -765,8 +765,16 @@ class QueryService:
         anything else — DDL, DML, ``INSERT OVERWRITE DIRECTORY``, ``SET``
         — raises ``ValueError`` BEFORE reaching ``spark.sql`` (Spark runs
         commands eagerly at parse time, so a post-hoc plan check would be
-        too late). The check strips SQL comments first so a smuggled
-        ``/* select */ DROP ...`` cannot pass."""
+        too late). Two layers: (1) the leading keyword must be a query
+        starter, comments stripped first so ``/* select */ DROP ...``
+        cannot pass; (2) because Spark's grammar allows a CTE prefix on
+        DML (``WITH q AS (...) INSERT OVERWRITE DIRECTORY ...``), the
+        statement is ALSO scanned — after stripping comments, string
+        literals, and backquoted identifiers — for any DML keyword at
+        word level. Layer 2 can refuse a legitimate query that uses an
+        unquoted column literally named ``insert``/``update``/etc.;
+        backquote it — false refusal is the right failure mode for a
+        read-only escape hatch."""
         from pspcz_analyzer_spark.catalog import register_views
 
         stmt = re.sub(r"/\*.*?\*/", " ", query, flags=re.S)
@@ -777,6 +785,25 @@ class QueryService:
             raise ValueError(
                 "sql() executes read-only queries only "
                 "(SELECT / WITH / VALUES / TABLE); statement refused"
+            )
+        # Strip quoted regions so 'insert' inside a string literal or a
+        # backquoted identifier cannot trip (or smuggle past) the scan.
+        bare = re.sub(r"'(?:[^'\\]|\\.)*'", " ", stmt, flags=re.S)
+        bare = re.sub(r'"(?:[^"\\]|\\.)*"', " ", bare, flags=re.S)
+        bare = re.sub(r"`[^`]*`", " ", bare)
+        hit = re.search(
+            r"\b(insert|update|delete|merge|set|drop|create|alter|"
+            r"truncate|grant|revoke|refresh|msck|analyze|cache|"
+            r"uncache|load)\b",
+            bare,
+            re.I,
+        )
+        if hit:
+            raise ValueError(
+                "sql() executes read-only queries only; statement "
+                f"contains {hit.group(1).upper()!r} outside a string "
+                "literal (CTE-prefixed DML is refused too) — backquote "
+                "the identifier if it is a column name"
             )
         if not getattr(self, "_views_ready", False):
             register_views(self.spark, self.sf_dir)

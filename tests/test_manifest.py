@@ -5672,6 +5672,24 @@ class TestTwoLevelManifests:
         M.restore(path, v)
         assert M.load_manifest_table(spark, path).count() == 1198
 
+    def test_cached_segment_blobs_stay_json_pure(self, spark, tmp_path):
+        """ADVICE r9 (low): the reuse check memoizes each segment's file
+        set in a SIDE dict — never injected onto the cached blob — so a
+        consumer that re-dumps or key-iterates a cached segment never
+        trips over a frozenset."""
+        import json as _json
+
+        path = self._mk(spark, tmp_path, "seg_pure")
+        # append runs the reuse pass over every cached prev segment
+        M.append(
+            spark.range(9000, 9050).selectExpr("id AS k", "id % 7 AS g")
+            .coalesce(1),
+            path,
+        )
+        assert M._SEGMENT_FILES_MEMO  # memo engaged
+        for blob in M._SEGMENT_CACHE.values():
+            _json.dumps(blob)  # TypeError if anything non-JSON leaked
+
     def test_small_tables_stay_flat(self, spark, tmp_path):
         path = str(tmp_path / "seg_flat")
         spark.range(10).selectExpr("id AS k").coalesce(2).write.parquet(path)
@@ -7000,6 +7018,172 @@ class TestJoinStar:
             M.join_star(
                 spark, fp, [{"path": cp, "on": "custkey"}]
             )
+
+
+class TestJoinStarOrderingSemantics:
+    """ADVICE r9 (medium): only inner arms commute, so only they may be
+    reordered by selectivity; right/full outer arms are barriers; and
+    semi/anti arms add no columns to the accumulated frame, so a
+    snowflake arm keyed through one must fail at PLAN time."""
+
+    def _base(self, spark, tmp_path, extra_dim_keys=15):
+        fact = spark.range(100).select(
+            (F.col("id") % 10).alias("user_id"),
+            F.col("id").alias("amount"),
+        )
+        d1 = spark.range(extra_dim_keys).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("uname"),
+        )
+        d2 = spark.range(10).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("tier"),
+        )
+        fp, p1, p2 = (str(tmp_path / n) for n in ("of", "od1", "od2"))
+        write_range_sorted(fact, fp, "user_id", num_partitions=4)
+        M.manifest_init(fp, stat_cols=["user_id"])
+        d1.coalesce(1).write.parquet(p1)
+        M.manifest_init(p1, stat_cols=["user_id"])
+        # multi-file so a range predicate really prunes (sel < 1)
+        write_range_sorted(d2, p2, "user_id", num_partitions=5)
+        M.manifest_init(p2, stat_cols=["user_id"])
+        return fp, p1, p2
+
+    def test_right_outer_arm_is_not_reordered(self, spark, tmp_path):
+        """(F right-outer d1) inner d2 != (F inner d2) right-outer d1:
+        the second keeps d1-preserved null-fact rows for d1 keys the
+        d2 filter removed. join_star must execute the LISTED order even
+        though the inner arm is more selective."""
+        fp, p1, p2 = self._base(spark, tmp_path)
+        choice: dict = {}
+        out = M.join_star(
+            spark,
+            fp,
+            [
+                {"path": p1, "on": "user_id", "how": "right"},  # sel 1.0
+                # more selective inner arm listed AFTER the barrier
+                {"path": p2, "on": "user_id",
+                 "ranges": {"user_id": (0, 3)}},
+            ],
+            choice_out=choice,
+        )
+        assert choice["order"] == ["user_id", "user_id"]
+        assert [d["how"] for d in choice["dims"]] == ["right", "inner"]
+        expect = (
+            M.load_manifest_table(spark, fp)
+            .join(M.load_manifest_table(spark, p1), "user_id", "right")
+            .join(
+                M.load_manifest_table(spark, p2).filter(
+                    F.col("user_id").between(0, 3)
+                ),
+                "user_id",
+            )
+        )
+        # listed order: 4 surviving users x 10 fact rows; the buggy
+        # reorder would ALSO keep 11 null-padded d1 rows (users 4..14)
+        assert out.count() == expect.count() == 40
+        assert out.filter(F.col("amount").isNull()).count() == 0
+
+    def test_inner_arms_reorder_within_their_run(self, spark, tmp_path):
+        """Two inner arms listed least-selective-first still swap — the
+        commuting cohort keeps the selectivity optimization."""
+        fp, p1, p2 = self._base(spark, tmp_path, extra_dim_keys=10)
+        choice: dict = {}
+        out = M.join_star(
+            spark,
+            fp,
+            [
+                {"path": p1, "on": "user_id"},  # sel 1.0
+                {"path": p2, "on": "user_id",
+                 "ranges": {"user_id": (0, 3)}},  # sel 0.4
+            ],
+            choice_out=choice,
+        )
+        assert [d["path"] for d in choice["dims"]] == [p2, p1]
+        assert out.count() == 40
+
+    def test_semi_arm_supplies_no_columns(self, spark, tmp_path):
+        """A snowflake arm keyed through a SEMI arm must raise at plan
+        time (semi joins project nothing), not fail inside Spark."""
+        fact = spark.range(50).select((F.col("id") % 5).alias("k"))
+        bridge = spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+        )
+        leaf = spark.range(2).select(
+            F.col("id").alias("grp"), F.lit("g").alias("gname")
+        )
+        fp, bp, lp = (str(tmp_path / n) for n in ("sf", "sb", "sl"))
+        for df, p in ((fact, fp), (bridge, bp), (leaf, lp)):
+            df.coalesce(1).write.parquet(p)
+            M.manifest_init(p)
+        with pytest.raises(ValueError, match="no join order"):
+            M.join_star(
+                spark,
+                fp,
+                [
+                    {"path": bp, "on": "k", "how": "semi"},
+                    {"path": lp, "on": "grp"},  # grp only on the semi arm
+                ],
+            )
+        # the same spec with an INNER bridge orders fine
+        out = M.join_star(
+            spark,
+            fp,
+            [
+                {"path": bp, "on": "k"},
+                {"path": lp, "on": "grp"},
+            ],
+        )
+        assert out.count() == 50
+
+    def test_dependency_cannot_hoist_across_barrier(self, spark, tmp_path):
+        """A right-outer arm whose key arrives only from a LATER dim is
+        unsatisfiable: hoisting the later dim across the barrier would
+        change results, so the planner refuses."""
+        fact = spark.range(50).select((F.col("id") % 5).alias("k"))
+        dim_a = spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+        )
+        leaf = spark.range(2).select(
+            F.col("id").alias("grp"), F.lit("g").alias("gname")
+        )
+        fp, ap, lp = (str(tmp_path / n) for n in ("bf", "ba", "bl"))
+        for df, p in ((fact, fp), (dim_a, ap), (leaf, lp)):
+            df.coalesce(1).write.parquet(p)
+            M.manifest_init(p)
+        with pytest.raises(ValueError, match="no join order"):
+            M.join_star(
+                spark,
+                fp,
+                [
+                    {"path": lp, "on": "grp", "how": "right"},
+                    {"path": ap, "on": "k"},
+                ],
+            )
+
+    def test_join_auto_null_dim_keys_prune_safely(self, spark, tmp_path):
+        """ADVICE r9 (low): NULL dim join keys must not reach the
+        stats-containment compare (None <= str TypeErrors); they never
+        equi-match, so dropping them is result-preserving."""
+        fact = spark.range(1000).select(
+            (F.col("id") % 100).alias("user_id"),
+            F.col("id").alias("amount"),
+        )
+        dim = spark.range(10).select(
+            F.when(F.col("id") < 5, F.col("id")).alias("user_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("uname"),
+        )
+        fp, dp = str(tmp_path / "nf"), str(tmp_path / "nd")
+        write_range_sorted(fact, fp, "user_id", num_partitions=4)
+        M.manifest_init(fp, stat_cols=["user_id"])
+        dim.coalesce(1).write.parquet(dp)
+        M.manifest_init(dp)
+        choice: dict = {}
+        out = M.join_auto(spark, fp, dp, "user_id", choice_out=choice)
+        assert choice["strategy"] == "broadcast_right"
+        assert choice["runtime_prune"]["files_kept"] <= 4
+        # 5 non-null dim keys x 10 fact rows each
+        assert out.count() == 50
 
 
 class _Crash(RuntimeError):

@@ -597,9 +597,25 @@ class TestServingGuards:
             "SET spark.sql.shuffle.partitions=1",
             "/* select */ DROP TABLE nation",
             "-- select\nDROP TABLE nation",
+            # ADVICE r9 (high): Spark's grammar allows a CTE prefix on
+            # DML, so the leading keyword alone is not enough
+            "WITH q AS (SELECT 1) INSERT OVERWRITE DIRECTORY '/tmp/x' "
+            "USING parquet SELECT * FROM q",
+            "WITH q AS (SELECT 1 AS k) DELETE FROM nation WHERE "
+            "n_nationkey IN (SELECT k FROM q)",
+            "WITH q AS (SELECT 1 AS k) UPDATE nation SET n_name = 'x'",
+            "WITH q AS (SELECT 1 AS k) MERGE INTO nation USING q ON "
+            "nation.n_nationkey = q.k WHEN MATCHED THEN DELETE",
         ):
             with pytest.raises(ValueError, match="read-only"):
                 svc.sql(stmt)
+        # DML keywords inside STRING LITERALS stay legal reads
+        assert svc.sql("SELECT 'please insert & update' AS s") == [
+            {"s": "please insert & update"}
+        ]
+        assert svc.sql(
+            "WITH t AS (SELECT 'delete me' AS s) SELECT s FROM t"
+        ) == [{"s": "delete me"}]
 
 
 class TestLakeJoinPlanEndpoint:
