@@ -195,7 +195,28 @@ HEADLINE = [
     "manifest_partitions_table",
     "manifest_scan_dnf",
     "manifest_analyze_roundtrip",
+    # round-10 additions
+    "manifest_join_star_snowflake",
 ]
+
+
+# Row-per-input queries: output cardinality is O(input rows) (pair lists,
+# enriched-event lists), so `.collect()` measures CPython driver
+# materialization, not the plan — at 100x scale mp_vote_similarity spent
+# 431 s collecting vs 65.5 s sink-writing the SAME plan (SCALING.md r9
+# addendum). On a cluster these queries terminate in a sink, so the bench
+# ALSO times a `write.parquet` termination for them and reports both
+# columns (collect stays the headline number for cross-round continuity).
+# SPARK_GRAFT_BENCH_SINK=0 disables the extra sink pass.
+SINK_QUERIES = {
+    "mp_vote_similarity",
+    "asof_latest_order_before_event",
+    "asof_cascade",
+    "steno_parse_votes",
+    "events_range_join_windows",
+    "minhash_lsh_exact_recall",
+    "events_sessionized",
+}
 
 
 # Round-6 lesson: 141 queries in ONE long-lived session regressed the
@@ -283,7 +304,14 @@ def main() -> None:
     # Resume-stateful queries time their FIRST pass only: a second pass
     # would measure the (intentionally cheap) resume path, not the work.
     single_run = {"doc_topics_enriched"}
+    sink_on = os.environ.get("SPARK_GRAFT_BENCH_SINK", "1") != "0"
+    sink_dir = None
+    if sink_on:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="bench_sink_")
     timings: dict[str, float] = {}
+    sink_timings: dict[str, float] = {}
     # First-run timings reported alongside best-of-N so cross-round deltas
     # can compare matching methodology (r03 and earlier were single-run).
     run1: dict[str, float] = {}
@@ -330,6 +358,25 @@ def main() -> None:
                 if dt < 0 or prev is None or prev < 0
                 else min(prev, dt)
             )
+            if sink_on and name in SINK_QUERIES and dt >= 0:
+                # Same plan, sink-terminated: what a cluster run would
+                # pay (the collect column above adds driver-side row
+                # materialization on top of the identical plan).
+                t0 = time.time()
+                try:
+                    qs[name](spark, sf_dir).write.mode("overwrite").parquet(
+                        os.path.join(sink_dir, name)
+                    )
+                    st = round(time.time() - t0, 3)
+                except Exception as e:
+                    print(f"bench sink error in {name}: {e}", file=sys.stderr)
+                    st = -1.0
+                sprev = sink_timings.get(name)
+                sink_timings[name] = (
+                    st
+                    if st < 0 or sprev is None or sprev < 0
+                    else min(sprev, st)
+                )
             # A query's persisted intermediates are dead once collected
             # (plans persist shared subtrees and rely on eviction);
             # dropping them between timings keeps the storage fraction
@@ -366,6 +413,7 @@ def main() -> None:
         "queries": timings,
         "run1": run1,
         "run1_total": total_run1,
+        "sink": sink_timings,
         "heap_mb": heap_trace,
         "recycle_every": recycle,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -391,10 +439,15 @@ def main() -> None:
             "n_queries": len(timings),
             "n_errors": sum(1 for v in timings.values() if v < 0),
             "run1_total": total_run1,
+            "sink": sink_timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "detail": "bench_detail.json",
         }
     )
+    if sink_dir:
+        import shutil
+
+        shutil.rmtree(sink_dir, ignore_errors=True)
     # The driver scrapes the output TAIL for the JSON line, so teardown
     # noise must land BEFORE it: stop Spark first (py4j/executor shutdown
     # chatter happens here), then print the line as the process's final

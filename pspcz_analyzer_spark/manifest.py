@@ -6856,7 +6856,13 @@ def join_star(
     * RUNTIME-PRUNES the fact's file list by the key sets of every
       broadcast-chosen, fact-filtering, fact-keyed dim (the
       :func:`join_auto` mechanism) — the intersections compose, so a
-      star filtered on two dims reads only files that may match BOTH.
+      star filtered on two dims reads only files that may match BOTH,
+    * propagates SNOWFLAKE cuts transitively (deepest arm first): a
+      broadcast inner/semi arm keyed on another dim's column shrinks
+      that parent dim's file list (``hop_pruned`` in ``choice_out``),
+      and each fact-keyed dim's key frame is semi-joined by its
+      qualifying children before fact pruning — so a filter on the leaf
+      of a 3-hop chain reaches the fact's file list.
 
     The fact is scanned ONCE: every dim joins onto the accumulated
     frame. ``choice_out`` receives {"fact": est, "order": [dim key
@@ -7007,9 +7013,78 @@ def join_star(
                 avail |= {
                     n for n, _t in (planned[pick]["m"].get("schema") or [])
                 }
+    # A snowflake arm X (keyed on a column another dim supplies) may
+    # hop-prune its PARENT when X filters the rows that carry the
+    # parent's columns: parent rows whose key value matches no X key
+    # produce no output through an inner/semi X regardless of the
+    # parent's own join type, so dropping parent FILES provably
+    # containing none of X's keys is result-preserving.
+    hop_filtering = lambda h: hkey(h) in ("inner", "semi", "leftsemi")  # noqa: E731
+
+    def _parent_of(pos: int) -> "int | None":
+        """Order-position of the UNIQUE earlier arm that projects this
+        arm's key (None when fact-keyed, unresolvable, or ambiguous —
+        two providers would make the hop direction a guess)."""
+        key = planned[order[pos]]["key"]
+        if fact_cols is None or key in fact_cols:
+            return None
+        providers = [
+            q
+            for q in range(pos)
+            if projects(planned[order[q]]["how"])
+            and key in {n for n, _t in (planned[order[q]]["m"].get("schema") or [])}
+        ]
+        return providers[0] if len(providers) == 1 else None
+
     if runtime_prune and ffiles:
         ffs, frel = get_fs(fpath)
-        for i in order:
+        # Pass 1 — snowflake hops, DEEPEST ARM FIRST (reverse join
+        # order): each qualifying child's key set shrinks its parent's
+        # file list, so by the time the parent acts — as a parent one
+        # hop up, or as a fact-pruner in pass 2 — its scan already
+        # carries the cut. A 3-hop chain C->B->A->fact propagates end
+        # to end (the r9 stretch ask).
+        children: "dict[int, list[int]]" = {}
+        for pos in range(len(order) - 1, -1, -1):
+            p = planned[order[pos]]
+            par = _parent_of(pos)
+            if par is None:
+                continue
+            if p["strategy"] != "broadcast_right":
+                continue
+            if not hop_filtering(p["how"]):
+                continue
+            children.setdefault(par, []).append(pos)
+            parent = planned[order[par]]
+            if not parent["files"]:
+                continue
+            pfs, prel = get_fs(parent["path"])
+            child_df = _star_build(spark, p)
+            keys_df, _ks, affected = _plan_source_keys(
+                spark,
+                parent["m"],
+                pfs,
+                prel,
+                child_df.select(p["key"]).where(
+                    F.col(p["key"]).isNotNull()
+                ),
+                p["key"],
+            )
+            keys_df.unpersist()
+            hit = set(affected)
+            kept = [f for f in parent["files"] if f in hit]
+            parent["hop_pruned"] = {
+                "by": p["key"],
+                "files_before": len(parent["files"]),
+                "files_kept": len(kept),
+            }
+            parent["files"] = kept
+        # Pass 2 — fact-keyed arms prune the FACT's file list. Each
+        # dim's key frame is additionally semi-joined by its qualifying
+        # children (row-level transitive cut: only parent keys that
+        # SURVIVE the child's filter count — file-level hop pruning
+        # above is the coarse version of the same reduction).
+        for pos, i in enumerate(order):
             p = planned[i]
             if p["strategy"] != "broadcast_right":
                 continue
@@ -7018,6 +7093,13 @@ def join_star(
             if fact_cols is not None and p["key"] not in fact_cols:
                 continue  # snowflake arm: keys live on another dim
             dim_df = _star_build(spark, p)
+            for cpos in children.get(pos, ()):
+                c = planned[order[cpos]]
+                dim_df = dim_df.join(
+                    F.broadcast(_star_build(spark, c).select(c["key"])),
+                    c["key"],
+                    "semi",
+                )
             # NULL keys dropped: sound (NULL never equi-matches) and
             # required (None would TypeError in the stats compare).
             keys_df, _ks, affected = _plan_source_keys(
@@ -7065,6 +7147,7 @@ def join_star(
                         "strategy": planned[i]["strategy"],
                         "est": planned[i]["est"],
                         "pruned": planned[i].get("pruned"),
+                        "hop_pruned": planned[i].get("hop_pruned"),
                     }
                     for i in order
                 ],

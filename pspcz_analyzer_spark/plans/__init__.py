@@ -33,107 +33,61 @@ _REGISTRY: dict[str, Query] = {}
 
 # Verification harnesses that budget a fixed number of queries consume the
 # registry in iteration order, so ordering is part of the public contract.
-# Round-9 rotation: the driver re-attests 50 queries per round against
+# Round-10 rotation: the driver re-attests 50 queries per round against
 # freshly regenerated testdata, so the budget goes to the queries with the
-# WEAKEST current attestation. Ledger: after r8, ALL 257 oracle-paired
-# queries have a green driver attestation in some round (zero debt), so
-# the r9 budget goes to staleness plus this round's changed code paths.
-# Tiers (lower first):
+# WEAKEST current attestation. Ledger: zero attestation debt remains (every
+# oracle-paired query is green in some round); after the r9 rotation the
+# stalest cohort is the r04 TAIL (the 28 r04-green queries r9's budget did
+# not reach — the r9 verdict's ask #5). Budget math: 6 sentinels + 1
+# never-attested r10-new (decorator priority 18) + 28 r04 tail = 35, the
+# ~15 remaining slots take the r05 cohort's head. Tiers (lower first):
 #   10 = sentinels — queries whose plan or commit path CHANGED this round
-#        (join_auto grew runtime file pruning; the MV merge grew the
-#        phantom-key insert guard; WAP publish grew retry idempotence;
-#        segment reuse became identity-checked);
-#   18 = never driver-attested — the r9-new queries
-#        (manifest_join_auto_pruned, manifest_join_star; registered at
-#        priority 18 via their @register calls);
-#   22 = r03-green cohort, never re-attested since (27 queries) — fully
-#        inside the budget this round;
-#   40 = r04-green cohort (45 queries) — head takes the
-#        ~17 remaining slots, tail queues for r10;
-#   52 = rows-only by design — oracle-paired anchors cover them;
-#   60..68 = r05/r06/r07/r08-green — freshest attestations yield last.
+#        (join_star grew barrier-pinned ordering + transitive snowflake
+#        hop pruning; join_auto grew null-key-safe pruning; the DML
+#        victim planner's stats compare changed; segment reuse moved its
+#        memo off the cached blob);
+#   18 = never driver-attested — manifest_join_star_snowflake (registered
+#        at priority 18 via its @register call);
+#   40 = r04-green TAIL (28 queries) — fully inside the budget this round;
+#   60..70 = r05/r06/r07/r08/r09-green — freshest attestations yield last;
+#   72 = rows-only by design — oracle-paired anchors cover them, so a
+#        driver slot here records only a weaker rows-only check; they
+#        yield to every oracle-paired tier.
 PRIORITY_SENTINEL = 10
 PRIORITY_NEW = 18
-PRIORITY_STALE_R03 = 22
 PRIORITY_ATTESTED_R04 = 40
-PRIORITY_ROWS_ONLY = 52
+PRIORITY_ROWS_ONLY = 72
 PRIORITY_ATTESTED_R05 = 60
 PRIORITY_ATTESTED_R06 = 62
 PRIORITY_ATTESTED_R07 = 64
 PRIORITY_ATTESTED_R08 = 68
+PRIORITY_ATTESTED_R09 = 70
 
 _PRIORITY: dict[str, int] = {
-    # Sentinels: queries whose PLAN or code path changed in r9 — re-attest first.
+    # Sentinels: queries whose PLAN or code path changed in r10 — re-attest first.
     **{
         n: PRIORITY_SENTINEL
         for n in (
             "manifest_join_auto",
-            "manifest_mv_incremental_cdf",
+            "manifest_join_auto_pruned",
+            "manifest_join_star",
             "manifest_segmented_lifecycle",
-            "manifest_wap_roundtrip",
+            "manifest_dml_roundtrip",
+            "manifest_merge_roundtrip",
         )
     },
-    # r03-green cohort, never re-attested since — the stalest oracle rows.
-    **{
-        n: PRIORITY_STALE_R03
-        for n in (
-            "ann_bruteforce_top10",
-            "ann_ivf_exhaustive_top10",
-            "attendance_rates",
-            "coalition_cohesion",
-            "embedding_near_dup",
-            "embedding_pairs_cross_label",
-            "events_carry_forward_purchase",
-            "events_lag_gap",
-            "events_running_value",
-            "events_session_window_10m",
-            "events_sessionized",
-            "events_sliding_1h_30m",
-            "events_stream_tumbling_1h",
-            "events_stream_view_purchase",
-            "events_tumbling_1h",
-            "mp_similarity_top20",
-            "mp_vote_similarity",
-            "party_breakdown_vote42",
-            "party_pair_agreement",
-            "q10_returned_revenue",
-            "q12_shipmode_priority",
-            "q13_customer_distribution",
-            "q14_promo_share",
-            "q19_disjunctive_revenue",
-            "q2_min_cost_supplier",
-            "q7_nation_volume",
-            "vote_detail_rows",
-        )
-    },
-    # r04-green cohort — next-stalest; the 50-slot budget covers 4 sentinels + 2 never-attested r9-new (decorator priority 18) + 27 r03 + this cohort's head (17 slots).
+    # r04-green TAIL — the 28 r04-attested queries the r9 rotation did not
+    # reach; the stalest attestations in the catalog (ask #5).
     **{
         n: PRIORITY_ATTESTED_R04
         for n in (
             "ann_ivf_index_roundtrip",
             "ann_lsh_exact_recall",
-            "corpus_chunk_windows",
             "corpus_embedding_decontaminate",
-            "corpus_extend_near_dup",
             "corpus_extend_semantic",
-            "corpus_lang_sample_exact",
-            "corpus_pii_redacted",
-            "corpus_quality_calibrated",
-            "corpus_remove_boilerplate",
-            "corpus_shuffle_order",
-            "corpus_source_cap",
-            "corpus_temperature_mix",
-            "corpus_train_split",
             "corpus_weighted_sample",
-            "doc_bm25_topk",
-            "doc_html_strip_roundtrip",
-            "doc_lm_perplexity",
             "doc_prompt_prep",
-            "doc_repetition_stats",
-            "doc_top_terms_by_lang",
-            "events_funnel",
             "events_hot_users",
-            "events_retention_cohorts",
             "events_rollup_hourly_daily",
             "events_session_dynamic_gap",
             "events_stream_nation_totals",
@@ -296,13 +250,11 @@ _PRIORITY: dict[str, int] = {
             "manifest_day_partition_scan",
             "manifest_default_roundtrip",
             "manifest_delete_pos_roundtrip",
-            "manifest_dml_roundtrip",
             "manifest_drop_readd_roundtrip",
             "manifest_files_accounting",
             "manifest_identity_roundtrip",
             "manifest_lakehouse_lifecycle",
             "manifest_merge_full_roundtrip",
-            "manifest_merge_roundtrip",
             "manifest_mor_materialized",
             "manifest_rename_roundtrip",
             "manifest_replace_where_roundtrip",
@@ -377,6 +329,60 @@ _PRIORITY: dict[str, int] = {
             "unl_roundtrip_nation",
             "vote_number_resolution",
             "votes_browser_page",
+        )
+    },
+    # r09-green cohort — freshest attestations yield last (the 27-query
+    # former r03 cohort + the r04 head + the r9 sentinels/new, all
+    # re-attested by CORRECTNESS_r09).
+    **{
+        n: PRIORITY_ATTESTED_R09
+        for n in (
+            "ann_bruteforce_top10",
+            "ann_ivf_exhaustive_top10",
+            "attendance_rates",
+            "coalition_cohesion",
+            "corpus_chunk_windows",
+            "corpus_extend_near_dup",
+            "corpus_lang_sample_exact",
+            "corpus_pii_redacted",
+            "corpus_quality_calibrated",
+            "corpus_remove_boilerplate",
+            "corpus_shuffle_order",
+            "corpus_source_cap",
+            "corpus_temperature_mix",
+            "corpus_train_split",
+            "doc_bm25_topk",
+            "doc_html_strip_roundtrip",
+            "doc_lm_perplexity",
+            "doc_repetition_stats",
+            "doc_top_terms_by_lang",
+            "embedding_near_dup",
+            "embedding_pairs_cross_label",
+            "events_carry_forward_purchase",
+            "events_funnel",
+            "events_lag_gap",
+            "events_retention_cohorts",
+            "events_running_value",
+            "events_session_window_10m",
+            "events_sessionized",
+            "events_sliding_1h_30m",
+            "events_stream_tumbling_1h",
+            "events_stream_view_purchase",
+            "events_tumbling_1h",
+            "manifest_mv_incremental_cdf",
+            "manifest_wap_roundtrip",
+            "mp_similarity_top20",
+            "mp_vote_similarity",
+            "party_breakdown_vote42",
+            "party_pair_agreement",
+            "q10_returned_revenue",
+            "q12_shipmode_priority",
+            "q13_customer_distribution",
+            "q14_promo_share",
+            "q19_disjunctive_revenue",
+            "q2_min_cost_supplier",
+            "q7_nation_volume",
+            "vote_detail_rows",
         )
     },
 }

@@ -3778,6 +3778,142 @@ def manifest_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_join_star_snowflake",
+    oracle="""
+    WITH m AS (SELECT max(c_custkey) AS mx FROM customer),
+    cust AS (
+      SELECT c_custkey AS custkey,
+             CAST(floor(c_custkey * 5.0 / (mx + 1)) AS BIGINT) AS block
+      FROM customer, m
+    ),
+    bd (block, block_name) AS (
+      SELECT * FROM (VALUES (0,'b0'), (1,'b1'), (2,'b2'), (3,'b3'), (4,'b4'))
+    )
+    SELECT block_name,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN cust   ON o_custkey = custkey
+    JOIN bd     ON cust.block = bd.block
+    WHERE bd.block BETWEEN 0 AND 1
+    GROUP BY block_name
+    ORDER BY block_name
+    """,
+    tags=(
+        "manifest", "cbo", "broadcast", "join", "star", "snowflake",
+        "new-surface", "scale",
+    ),
+    priority=18,
+    doc="TRANSITIVE snowflake runtime pruning (manifest.py::join_star"
+    " pass 1 — the r9 verdict's stretch ask #8): a 3-hop chain"
+    " block_dim -> customer -> orders -> lineitem where the ONLY"
+    " predicate sits on the LEAF dim (2 of 5 customer blocks). The"
+    " planner propagates the cut fact-ward, deepest arm first: the"
+    " block keys file-prune the block-clustered customer dim (hop 1,"
+    " 5 files -> subset), the surviving customers' custkeys file-prune"
+    " the custkey-range-sorted orders dim (hop 2, 6 files -> subset),"
+    " and the orders key frame is semi-joined by the surviving"
+    " customers before fact pruning (row-level transitive cut)."
+    " Asserted in-plan: choice_out shows files_kept < files_before at"
+    " BOTH hops, every arm broadcast, join order"
+    " orderkey->custkey->block, and exactly 4 scans (fact scanned"
+    " once). The oracle replays the chain UNPRUNED from the base"
+    " tables, so any row lost to over-pruning fails the hash. At"
+    " 100 TB this is the snowflake-schema plan: a filter on a"
+    " 5-row leaf dim shrinks the files every table in the chain"
+    " reads, before Spark sees the plan.",
+)
+def manifest_join_star_snowflake(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark import manifest as M
+    from pspcz_analyzer_spark.jobs import write_range_sorted
+
+    fact_path = _scratch(sf_dir, "snow_lineitem")
+    ord_path = _scratch(sf_dir, "snow_orders")
+    cust_path = _scratch(sf_dir, "snow_customer")
+    blk_path = _scratch(sf_dir, "snow_blocks")
+    for p in (fact_path, ord_path, cust_path, blk_path):
+        _shutil.rmtree(p, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    write_range_sorted(li, fact_path, "orderkey", num_partitions=6)
+    M.manifest_init(fact_path, stat_cols=["orderkey"])
+    # orders clustered on CUSTKEY: hop 2 prunes these files by the
+    # surviving customers' (contiguous-by-construction) custkeys
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    write_range_sorted(orders, ord_path, "custkey", num_partitions=6)
+    M.manifest_init(ord_path, stat_cols=["custkey"])
+    # customer with a derived BLOCK dimension (5 contiguous custkey
+    # ranges — a region/date-bucket-shaped snowflake key), clustered on
+    # custkey so block boundaries align with file boundaries: hop 1
+    # prunes these files by the leaf dim's block keys
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    mx = int(cust.agg(F.max("custkey")).first()[0])
+    cust = cust.withColumn(
+        "block", F.floor(F.col("custkey") * 5.0 / (mx + 1)).cast("long")
+    )
+    write_range_sorted(cust, cust_path, "custkey", num_partitions=5)
+    M.manifest_init(cust_path, stat_cols=["custkey", "block"])
+    spark.range(5).select(
+        F.col("id").alias("block"),
+        F.concat(F.lit("b"), F.col("id")).alias("block_name"),
+    ).coalesce(1).write.parquet(blk_path)
+    M.manifest_init(blk_path, stat_cols=["block"])
+
+    choice: dict = {}
+    out = M.join_star(
+        spark,
+        fact_path,
+        [
+            {"path": ord_path, "on": "orderkey"},
+            {"path": cust_path, "on": "custkey"},
+            # the ONLY predicate in the star sits on the 5-row leaf
+            {"path": blk_path, "on": "block", "ranges": {"block": (0, 1)}},
+        ],
+        choice_out=choice,
+    )
+    if choice["order"] != ["orderkey", "custkey", "block"]:
+        raise AssertionError(f"unexpected snowflake order: {choice['order']}")
+    if not all(d["strategy"] == "broadcast_right" for d in choice["dims"]):
+        raise AssertionError(f"an arm failed to broadcast: {choice['dims']}")
+    by_key = {d["key"]: d for d in choice["dims"]}
+    hop1 = by_key["custkey"]["hop_pruned"]  # block keys -> customer files
+    hop2 = by_key["orderkey"]["hop_pruned"]  # custkeys -> orders files
+    if not hop1 or not hop1["files_kept"] < hop1["files_before"] == 5:
+        raise AssertionError(f"hop 1 (block->customer) did not prune: {choice}")
+    if not hop2 or not hop2["files_kept"] < hop2["files_before"] == 6:
+        raise AssertionError(f"hop 2 (customer->orders) did not prune: {choice}")
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    if plan.count("Scan parquet") != 4:
+        raise AssertionError("expected exactly 4 scans (fact scanned once)")
+    return (
+        out.groupBy("block_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("block_name")
+    )
+
+
+@register(
     "manifest_agg_pushdown",
     oracle="""
     WITH live AS (
