@@ -1541,6 +1541,30 @@ class TestWriteAuditPublish:
         M.publish_staged(spark, wtab, "keepme")
         assert M.load_manifest_table(spark, wtab).count() == 110
 
+    def test_vacuum_age_guard_spares_inflight_writer(self, spark, wtab):
+        """The min_age_seconds concurrent-writer guard: a plain (non-WAP)
+        append stages its data files into the table dir BEFORE its
+        commit, so an unreferenced file younger than the threshold may
+        be an in-flight writer — vacuum must leave it, and the writer's
+        later commit must read back intact. min_age=0 (the
+        single-writer maintenance setting) collects the same file."""
+        from pspcz_analyzer_spark.manifest import _stage_rewrites
+
+        m = M.read_manifest(wtab)
+        staged = _stage_rewrites(self._batch(spark, 7000), wtab, "append")
+        # a concurrent maintenance vacuum with the default-style guard
+        M.vacuum(wtab, retain_versions=1, min_age_seconds=3600)
+        fs, rel = M.get_fs(wtab)
+        assert all(fs.exists(os.path.join(rel, n)) for n in staged)
+        # the in-flight writer now publishes exactly as it planned
+        M._commit(wtab, m["files"] + staged, m["version"])
+        assert M.load_manifest_table(spark, wtab).count() == 105
+        # and the trade documented on the knob: age 0 means "no writer
+        # can be concurrent" — the same unpublished file IS collected
+        staged2 = _stage_rewrites(self._batch(spark, 8000), wtab, "append")
+        M.vacuum(wtab, retain_versions=1, min_age_seconds=0)
+        assert not any(fs.exists(os.path.join(rel, n)) for n in staged2)
+
 
 class TestManifestStats:
     """Manifest-stored file stats: metadata-only scan pruning that stays
