@@ -1280,6 +1280,50 @@ class TestTwoWriterRaceMatrix:
         )
 
     @pytest.mark.parametrize("interloper", ["append", "dml"])
+    def test_update_where_commutes(
+        self, spark, tmp_path, monkeypatch, interloper
+    ):
+        path = self._mk(spark, tmp_path, f"race_updw_{interloper}")
+        fn, delta = self._interlopers(spark, path)[interloper]
+        state = self._race(spark, monkeypatch, fn)
+        _nf, nupd = M.update_where(spark, path, "k < 30", {"g": "g + 100"})
+        assert state["raced"] and nupd == 30
+        self._settle(spark, path, 200 + delta)
+        t = M.load_manifest_table(spark, path)
+        assert t.filter((F.col("k") < 30) & (F.col("g") < 100)).count() == 0
+
+    @pytest.mark.parametrize("interloper", ["append", "dml"])
+    def test_upsert_conflicts_then_retries(
+        self, spark, tmp_path, monkeypatch, interloper
+    ):
+        # upsert has no staged-once retry BY DESIGN: its victim planning
+        # is key-addressed, so a conflicting commit may move victims —
+        # the loser re-plans from scratch
+        path = self._mk(spark, tmp_path, f"race_ups_{interloper}")
+        fn, delta = self._interlopers(spark, path)[interloper]
+        state = self._race(spark, monkeypatch, fn)
+        batch = spark.createDataFrame(
+            [(10, 777), (11, 777), (999, 777)], "k long, g long"
+        )
+        with pytest.raises(M.CommitConflict):
+            M.upsert(spark, batch, path, "k")
+        assert state["raced"]
+        # zero effect: keys untouched, interloper intact
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 200 + delta
+        assert t.filter((F.col("k") == 10) & (F.col("g") == 777)).count() == 0
+        # a clean re-plan applies over the new version
+        M.upsert(spark, batch, path, "k")
+        self._settle(spark, path, 200 + delta + 1)
+        t = M.load_manifest_table(spark, path)
+        assert (
+            t.filter(F.col("k").isin(10, 11, 999))
+            .filter(F.col("g") == 777)
+            .count()
+            == 3
+        )
+
+    @pytest.mark.parametrize("interloper", ["append", "dml"])
     def test_cdf_append_commutes_exactly_once(
         self, spark, tmp_path, monkeypatch, interloper
     ):
