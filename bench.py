@@ -361,7 +361,12 @@ def main() -> None:
             if sink_on and name in SINK_QUERIES and dt >= 0:
                 # Same plan, sink-terminated: what a cluster run would
                 # pay (the collect column above adds driver-side row
-                # materialization on top of the identical plan).
+                # materialization on top of the identical plan). Cache
+                # cleared FIRST: plans persist shared subtrees, and a
+                # sink run satisfied from the collect run's still-live
+                # cache would understate the very cost this column
+                # exists to compare.
+                spark.catalog.clearCache()
                 t0 = time.time()
                 try:
                     qs[name](spark, sf_dir).write.mode("overwrite").parquet(

@@ -401,6 +401,11 @@ def delete_keys(
     src = spark.read.parquet(*affected)
     from pspcz_analyzer_spark.manifest import ISIN_LITERAL_LIMIT
 
+    # None keys never equi-match — and a None literal in the NEGATED
+    # isin would three-value-NULL the predicate and drop every row.
+    key_set = {k for k in key_set if k is not None}
+    if not key_set:
+        return 0, 0
     if len(key_set) <= ISIN_LITERAL_LIMIT:
         kept = src.filter(~F.col(key_col).isin(*key_set))
     else:

@@ -3072,12 +3072,19 @@ def _purge_keys(kept: DataFrame, keys_df: DataFrame, key_col: str, key_set):
     filter on the fast path (prunable, no shuffle) — but only up to
     ``ISIN_LITERAL_LIMIT`` literals, the measured planner knee — and a
     ``LEFT ANTI`` join (AQE sizes it; nothing driver-side) above it or on
-    the uncollected large path."""
+    the uncollected large path.
+
+    None keys are dropped BEFORE the negated isin: NULL never
+    equi-matches, so a NULL source key purges nothing — and a None
+    literal inside ``NOT (col IN (...))`` would three-value-NULL the
+    whole predicate and silently drop EVERY row of the victim files
+    (the anti-join path is naturally null-safe)."""
     if key_set is not None:
-        if not key_set:
+        live = [k for k in key_set if k is not None]
+        if not live:
             return kept
-        if len(key_set) <= ISIN_LITERAL_LIMIT:
-            return kept.filter(~F.col(key_col).isin(*key_set))
+        if len(live) <= ISIN_LITERAL_LIMIT:
+            return kept.filter(~F.col(key_col).isin(*live))
     return kept.join(keys_df, key_col, "left_anti")
 
 
@@ -3118,6 +3125,15 @@ def delete_keys(
     # Literal isin only below the measured planner knee; larger key lists
     # anti/semi-join a keys frame (the In AST costs ~0.5 ms/literal to
     # build — see ISIN_LITERAL_LIMIT).
+    # None keys never equi-match: dropped from the NEGATED isin (a None
+    # literal would three-value-NULL the predicate and delete every row
+    # of the victim files); harmless in the positive one, dropped for
+    # symmetry. All-None lists delete nothing (stats-less files stay in
+    # ``affected`` conservatively, so this cannot be reached via the
+    # candidate check alone).
+    key_set = {k for k in key_set if k is not None}
+    if not key_set:
+        return 0, 0
     if len(key_set) <= ISIN_LITERAL_LIMIT:
         kept = alive.filter(~F.col(key_col).isin(*key_set))
         dead = alive.filter(F.col(key_col).isin(*key_set))
@@ -6919,6 +6935,9 @@ def join_star(
                 "key": key, "on": on, "how": how, "path": path, "m": m,
                 "v": v, "files": files, "pred_fn": pred_fn, "est": est,
                 "strategy": strat, "sel": sel,
+                "has_pred": bool(
+                    s.get("eq") or s.get("ranges") or s.get("nulls")
+                ),
             }
         )
 
@@ -6988,12 +7007,19 @@ def join_star(
         pending = list(prio)
         while pending:
             pick = None
+            skipped = False  # any unsatisfied arm passed over this scan
             for i in pending:
                 if set(_keys(planned[i])) <= avail:
+                    if barrier(planned[i]["how"]) and skipped:
+                        # Picking the barrier would DEFER the skipped
+                        # arm (listed before it) to after it — the same
+                        # forbidden reorder as hoisting across: fail.
+                        break
                     pick = i
                     break
                 if barrier(planned[i]["how"]):
                     break  # nothing may be hoisted across this arm
+                skipped = True
             if pick is None:
                 missing = sorted(
                     k
@@ -7020,6 +7046,14 @@ def join_star(
     # parent's own join type, so dropping parent FILES provably
     # containing none of X's keys is result-preserving.
     hop_filtering = lambda h: hkey(h) in ("inner", "semi", "leftsemi")  # noqa: E731
+    # A child arm only carries a CUT worth propagating when its own
+    # predicates pruned something, or a grandchild's hop already shrank
+    # its file list. A predicate-free dense dim (sel 1.0) can only prune
+    # via referential gaps — not worth the planning job per arm.
+    cuts = lambda p: p.get("has_pred") or (  # noqa: E731
+        (p.get("hop_pruned") or {}).get("files_kept", 1)
+        < (p.get("hop_pruned") or {}).get("files_before", 1)
+    )
 
     def _parent_of(pos: int) -> "int | None":
         """Order-position of the UNIQUE earlier arm that projects this
@@ -7054,6 +7088,8 @@ def join_star(
                 continue
             if not hop_filtering(p["how"]):
                 continue
+            if not cuts(p):
+                continue  # unfiltered child: nothing to propagate
             children.setdefault(par, []).append(pos)
             parent = planned[order[par]]
             if not parent["files"]:

@@ -27,6 +27,64 @@ from pspcz_analyzer_spark.serving.cache import TTLCache
 Rows = list[dict[str, Any]]
 
 
+def _strip_sql_quoted(sql: str) -> str:
+    """ONE left-to-right scan that blanks string literals ('', "",
+    backslash and doubled-quote escapes), backquoted identifiers
+    (doubled-backquote escapes), line comments, and nested bracketed
+    comments from a Spark SQL text, each replaced by a single space.
+
+    The states are mutually exclusive IN ORDER, which is the security
+    property: a comment opener inside a string literal never starts a
+    comment, and a quote inside a comment never opens a string — the
+    earlier layered-regex version stripped comments FIRST and was
+    bypassable by smuggling ``/*`` / ``--`` / ``'`` markers inside
+    literals so the stripped copy lost the DML while Spark still saw
+    it. An unterminated region blanks to end-of-text (Spark would
+    reject the statement at parse anyway)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        two = sql[i : i + 2]
+        if two == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j  # the newline itself survives
+            out.append(" ")
+            continue
+        if two == "/*":
+            depth, i = 1, i + 2
+            while i < n and depth:
+                nxt = sql[i : i + 2]
+                if nxt == "/*":  # Spark supports nested comments
+                    depth += 1
+                    i += 2
+                elif nxt == "*/":
+                    depth -= 1
+                    i += 2
+                else:
+                    i += 1
+            out.append(" ")
+            continue
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            i += 1
+            while i < n:
+                if sql[i] == "\\" and c != "`":
+                    i += 2
+                    continue
+                if sql[i] == c:
+                    if sql[i + 1 : i + 2] == c:  # doubled-quote escape
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            out.append(" ")
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class QueryTimeoutError(TimeoutError):
     """Raised when a query exceeds the service's compute budget — the
     serving layer maps this to 503, exactly the reference's analysis
@@ -765,32 +823,27 @@ class QueryService:
         anything else — DDL, DML, ``INSERT OVERWRITE DIRECTORY``, ``SET``
         — raises ``ValueError`` BEFORE reaching ``spark.sql`` (Spark runs
         commands eagerly at parse time, so a post-hoc plan check would be
-        too late). Two layers: (1) the leading keyword must be a query
-        starter, comments stripped first so ``/* select */ DROP ...``
-        cannot pass; (2) because Spark's grammar allows a CTE prefix on
-        DML (``WITH q AS (...) INSERT OVERWRITE DIRECTORY ...``), the
-        statement is ALSO scanned — after stripping comments, string
-        literals, and backquoted identifiers — for any DML keyword at
-        word level. Layer 2 can refuse a legitimate query that uses an
-        unquoted column literally named ``insert``/``update``/etc.;
+        too late). Both checks run on the output of ONE lexical scan
+        (:func:`_strip_sql_quoted`) that blanks strings, quoted
+        identifiers, and comments in a single pass — so ``/* select */
+        DROP``, CTE-prefixed DML (``WITH q AS (...) INSERT OVERWRITE
+        DIRECTORY ...``), and comment/quote markers smuggled INSIDE
+        string literals all fail closed: (1) the leading keyword must
+        be a query starter; (2) no DML/DDL keyword may appear anywhere
+        at word level. Layer 2 can refuse a legitimate query that uses
+        an unquoted column literally named ``insert``/``update``/etc.;
         backquote it — false refusal is the right failure mode for a
         read-only escape hatch."""
         from pspcz_analyzer_spark.catalog import register_views
 
-        stmt = re.sub(r"/\*.*?\*/", " ", query, flags=re.S)
-        stmt = re.sub(r"--[^\n]*", " ", stmt)
+        bare = _strip_sql_quoted(query)
         if not re.match(
-            r"^\s*(?:\(\s*)*(?:select|with|values|table)\b", stmt, re.I
+            r"^\s*(?:\(\s*)*(?:select|with|values|table)\b", bare, re.I
         ):
             raise ValueError(
                 "sql() executes read-only queries only "
                 "(SELECT / WITH / VALUES / TABLE); statement refused"
             )
-        # Strip quoted regions so 'insert' inside a string literal or a
-        # backquoted identifier cannot trip (or smuggle past) the scan.
-        bare = re.sub(r"'(?:[^'\\]|\\.)*'", " ", stmt, flags=re.S)
-        bare = re.sub(r'"(?:[^"\\]|\\.)*"', " ", bare, flags=re.S)
-        bare = re.sub(r"`[^`]*`", " ", bare)
         hit = re.search(
             r"\b(insert|update|delete|merge|set|drop|create|alter|"
             r"truncate|grant|revoke|refresh|msck|analyze|cache|"

@@ -7483,6 +7483,100 @@ class TestJoinStarOrderingSemantics:
         assert all(d["hop_pruned"] is None for d in choice2["dims"])
         assert out2.count() == 100
 
+    def test_barrier_cannot_absorb_a_skipped_earlier_arm(
+        self, spark, tmp_path
+    ):
+        """r10 self-review: an unsatisfied arm LISTED BEFORE a
+        right-outer barrier must not be silently deferred to after it —
+        picking the (satisfiable) barrier first is the same forbidden
+        reorder as hoisting across it, so the planner refuses."""
+        fact = spark.range(50).select(
+            (F.col("id") % 5).alias("k"), (F.col("id") % 3).alias("r")
+        )
+        dim_b = spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+        )
+        leaf = spark.range(2).select(
+            F.col("id").alias("grp"), F.lit("g").alias("gname")
+        )
+        rdim = spark.range(3).select(
+            F.col("id").alias("r"), F.lit("r").alias("rname")
+        )
+        fp, bp, lp, rp = (
+            str(tmp_path / n) for n in ("df", "db", "dl", "dr")
+        )
+        for df, p in ((fact, fp), (dim_b, bp), (leaf, lp), (rdim, rp)):
+            df.coalesce(1).write.parquet(p)
+            M.manifest_init(p)
+        with pytest.raises(ValueError, match="no join order"):
+            M.join_star(
+                spark,
+                fp,
+                [
+                    # snowflake arm listed FIRST, key supplied only by
+                    # dim_b which is listed AFTER the barrier
+                    {"path": lp, "on": "grp"},
+                    {"path": rp, "on": "r", "how": "right"},  # barrier
+                    {"path": bp, "on": "k"},
+                ],
+            )
+        # without the barrier the same deferral is legal and resolves
+        out = M.join_star(
+            spark,
+            fp,
+            [
+                {"path": lp, "on": "grp"},
+                {"path": bp, "on": "k"},
+            ],
+        )
+        assert out.count() == 50
+
+    def test_delete_keys_with_null_key_deletes_nothing_extra(
+        self, spark, tmp_path
+    ):
+        """r10 self-review (the big one): a None in the key list must
+        not three-value-NULL the negated isin — before the fix,
+        delete_keys(path, 'k', [150, None]) silently deleted EVERY row
+        of the victim files."""
+        df = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+        )
+        path = str(tmp_path / "nulldel")
+        write_range_sorted(df, path, "k", num_partitions=4)
+        M.manifest_init(path, stat_cols=["k"])
+        nf, nd = M.delete_keys(spark, path, "k", [150, None])
+        assert nd == 1  # exactly k=150, never the whole file
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 199
+        assert t.filter(F.col("k") == 150).count() == 0
+        # all-None key list: nothing can match, nothing committed
+        v = M.current_version(path)
+        assert M.delete_keys(spark, path, "k", [None]) == (0, 0)
+        assert M.current_version(path) == v
+        # upsert with a NULL-key batch row: MERGE ON NULL never matches
+        # -> the row INSERTS and no existing row is purged
+        batch = spark.createDataFrame(
+            [(None, 777), (10, 888)], "k long, g long"
+        )
+        M.upsert(spark, batch, path, "k")
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 200  # 199 - 1 matched overwrite + 2 batch
+        assert t.filter(F.col("k").isNull()).count() == 1
+        assert t.filter((F.col("k") == 10) & (F.col("g") == 888)).count() == 1
+
+    def test_jobs_delete_keys_null_key_swap_path(self, spark, tmp_path):
+        """Same NULL hazard on the swap-committed (manifest-less) path."""
+        from pspcz_analyzer_spark import jobs as J
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+        )
+        path = str(tmp_path / "nulldel_swap")
+        J.write_range_sorted(df, path, "k", num_partitions=2)
+        nf, nd = J.delete_keys(spark, path, "k", [7, None])
+        assert nd == 1
+        assert spark.read.parquet(path).count() == 99
+
     def test_join_auto_null_dim_keys_prune_safely(self, spark, tmp_path):
         """ADVICE r9 (low): NULL dim join keys must not reach the
         stats-containment compare (None <= str TypeErrors); they never

@@ -606,6 +606,15 @@ class TestServingGuards:
             "WITH q AS (SELECT 1 AS k) UPDATE nation SET n_name = 'x'",
             "WITH q AS (SELECT 1 AS k) MERGE INTO nation USING q ON "
             "nation.n_nationkey = q.k WHEN MATCHED THEN DELETE",
+            # r10 self-review: quote/comment markers smuggled INSIDE
+            # string literals must not blind the scan (the layered-
+            # regex version stripped comments first and lost the DML)
+            "WITH q AS (SELECT '/*' AS a) INSERT OVERWRITE DIRECTORY "
+            "'/tmp/x' USING parquet SELECT '*/', a FROM q",
+            "WITH q AS (SELECT '--' AS a) INSERT OVERWRITE DIRECTORY "
+            "'/tmp/x' USING parquet SELECT a FROM q",
+            "WITH q AS (SELECT 1 AS `x'`) INSERT OVERWRITE DIRECTORY "
+            "'/tmp/x' USING parquet SELECT `x'` FROM q",
         ):
             with pytest.raises(ValueError, match="read-only"):
                 svc.sql(stmt)
