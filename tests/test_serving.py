@@ -626,6 +626,34 @@ class TestServingGuards:
             "WITH t AS (SELECT 'delete me' AS s) SELECT s FROM t"
         ) == [{"s": "delete me"}]
 
+    def test_sql_quote_stripper_lexing(self):
+        """Unit pins for the single-pass lexical scanner behind the
+        read-only guard: states are mutually exclusive in scan order."""
+        from pspcz_analyzer_spark.serving.service import _strip_sql_quoted
+
+        strip = _strip_sql_quoted
+        # strings/identifiers/comments blank to one space; code survives
+        assert strip("SELECT 'a' AS b") == "SELECT   AS b"
+        assert strip("SELECT `weird col` FROM t") == "SELECT   FROM t"
+        assert strip("SELECT /* hidden */ 1") == "SELECT   1"
+        assert strip("SELECT 1 -- tail\n+ 2") == "SELECT 1  \n+ 2"
+        # comment markers INSIDE strings never open a comment
+        assert strip("SELECT '/*' AS a, 1 DROP").endswith("DROP")
+        assert strip("SELECT '--' AS a, 1 DROP").endswith("DROP")
+        # quotes inside comments never open a string
+        assert strip("SELECT /* it's */ 1 DROP").endswith("DROP")
+        # doubled-quote and backslash escapes stay inside the literal
+        assert strip("SELECT 'it''s fine' AS a, 1 X").endswith("X")
+        assert strip(r"SELECT 'a\'b' AS a, 1 X").endswith("X")
+        assert strip("SELECT `a``b` AS a, 1 X").endswith("X")
+        # a quote inside a BACKQUOTED identifier doesn't open a string
+        assert strip("SELECT `x'` AS a, 1 DROP").endswith("DROP")
+        # nested bracketed comments (Spark supports them)
+        assert strip("SELECT /* a /* b */ c */ 1 X").endswith("X")
+        # unterminated regions blank to end-of-text (fail closed)
+        assert strip("SELECT 'open INSERT") == "SELECT  "
+        assert strip("SELECT /* open INSERT") == "SELECT  "
+
 
 class TestLakeJoinPlanEndpoint:
     """r9: the serving face of join_strategy — broadcast-vs-shuffle
