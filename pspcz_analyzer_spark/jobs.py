@@ -407,7 +407,11 @@ def delete_keys(
     if not key_set:
         return 0, 0
     if len(key_set) <= ISIN_LITERAL_LIMIT:
-        kept = src.filter(~F.col(key_col).isin(*key_set))
+        # isNull arm: NULL-keyed data rows survive (three-valued ~isin
+        # would silently drop them on this path only).
+        kept = src.filter(
+            ~F.col(key_col).isin(*key_set) | F.col(key_col).isNull()
+        )
     else:
         # Above the measured In-AST knee (~0.5 ms/literal plan build):
         # anti-join a keys frame instead of a key-shaped expression.

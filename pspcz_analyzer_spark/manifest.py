@@ -3084,7 +3084,12 @@ def _purge_keys(kept: DataFrame, keys_df: DataFrame, key_col: str, key_set):
         if not live:
             return kept
         if len(live) <= ISIN_LITERAL_LIMIT:
-            return kept.filter(~F.col(key_col).isin(*live))
+            # NULL-keyed DATA rows survive too: ~isin is NULL (not
+            # false) for them, so without the isNull arm the fast path
+            # would silently drop rows the anti-join path keeps.
+            return kept.filter(
+                ~F.col(key_col).isin(*live) | F.col(key_col).isNull()
+            )
     return kept.join(keys_df, key_col, "left_anti")
 
 
@@ -3135,7 +3140,12 @@ def delete_keys(
     if not key_set:
         return 0, 0
     if len(key_set) <= ISIN_LITERAL_LIMIT:
-        kept = alive.filter(~F.col(key_col).isin(*key_set))
+        # The isNull arm keeps NULL-keyed DATA rows (three-valued ~isin
+        # would drop them); they are never `dead` (positive isin is
+        # already null-excluding), matching the anti/semi path exactly.
+        kept = alive.filter(
+            ~F.col(key_col).isin(*key_set) | F.col(key_col).isNull()
+        )
         dead = alive.filter(F.col(key_col).isin(*key_set))
     else:
         keys_df = spark.createDataFrame(
@@ -7088,9 +7098,14 @@ def join_star(
                 continue
             if not hop_filtering(p["how"]):
                 continue
-            if not cuts(p):
-                continue  # unfiltered child: nothing to propagate
+            # ALWAYS registered for pass 2's row-level semi (it folds
+            # into the fact-prune key job that runs anyway, and a
+            # predicate-free child can still cut via referential gaps —
+            # a leaf holding 2 of the parent's 50 keys). Only the
+            # DEDICATED pass-1 planning job is gated on an actual cut.
             children.setdefault(par, []).append(pos)
+            if not cuts(p):
+                continue  # unfiltered child: no cut to hop-propagate
             parent = planned[order[par]]
             if not parent["files"]:
                 continue

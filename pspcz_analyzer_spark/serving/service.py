@@ -66,9 +66,18 @@ def _strip_sql_quoted(sql: str) -> str:
             continue
         c = sql[i]
         if c in ("'", '"', "`"):
+            # Spark RAW strings (r'...' / R"...") process NO escapes, so
+            # a backslash inside one must not extend the guard's string
+            # past Spark's. Treating ANY r/R-preceded quote as raw is
+            # the fail-closed direction: when the r is really the tail
+            # of an identifier (maximal-munch lexes `colr'x'` as
+            # identifier + NORMAL string), the guard may end the string
+            # early and scan string content as code — which can only
+            # ADD keyword hits (false refusal), never hide one.
+            raw = c != "`" and i > 0 and sql[i - 1] in "rR"
             i += 1
             while i < n:
-                if sql[i] == "\\" and c != "`":
+                if sql[i] == "\\" and c != "`" and not raw:
                     i += 2
                     continue
                 if sql[i] == c:

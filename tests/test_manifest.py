@@ -7483,6 +7483,45 @@ class TestJoinStarOrderingSemantics:
         assert all(d["hop_pruned"] is None for d in choice2["dims"])
         assert out2.count() == 100
 
+    def test_predicate_free_sparse_child_still_semi_prunes(
+        self, spark, tmp_path
+    ):
+        """A snowflake child with NO predicates skips the dedicated hop
+        planning job but STILL folds into pass 2's row-level semi — a
+        leaf whose table simply holds 2 of the parent's 5 keys
+        (referential gap) must shrink the fact's file list."""
+        fact = spark.range(100).select((F.col("id") % 10).alias("k"))
+        dim_a = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        )
+        leaf = spark.range(2).select(F.col("id").alias("grp"))  # 0,1 only
+        fp, ap, lp = (str(tmp_path / n) for n in ("gf", "ga", "gl"))
+        write_range_sorted(fact, fp, "k", num_partitions=4)
+        M.manifest_init(fp, stat_cols=["k"])
+        dim_a.coalesce(1).write.parquet(ap)
+        M.manifest_init(ap)
+        leaf.coalesce(1).write.parquet(lp)
+        M.manifest_init(lp)
+        choice: dict = {}
+        out = M.join_star(
+            spark,
+            fp,
+            [
+                {"path": ap, "on": "k"},
+                {"path": lp, "on": "grp"},  # NO predicate, sparse table
+            ],
+            choice_out=choice,
+        )
+        by_key = {d["key"]: d for d in choice["dims"]}
+        # no dedicated hop job for a cut-less child...
+        assert by_key["k"]["hop_pruned"] is None
+        # ...but the row-level semi still reached the fact's file list:
+        # grp in {0,1} -> k in {0,1,5,6} -> a proper subset of 4 files
+        pr = by_key["k"]["pruned"]
+        assert pr and pr["files_kept"] < pr["files_before"] == 4
+        # 4 surviving k values x 10 fact rows each
+        assert out.count() == 40
+
     def test_barrier_cannot_absorb_a_skipped_earlier_arm(
         self, spark, tmp_path
     ):
@@ -7563,6 +7602,41 @@ class TestJoinStarOrderingSemantics:
         assert t.count() == 200  # 199 - 1 matched overwrite + 2 batch
         assert t.filter(F.col("k").isNull()).count() == 1
         assert t.filter((F.col("k") == 10) & (F.col("g") == 888)).count() == 1
+        # NULL-keyed DATA rows survive later DML over their file: the
+        # (NULL, 777) row shares a file with k=10, so both the targeted
+        # delete and the follow-up upsert rewrite that file — before the
+        # isNull arm, three-valued ~isin silently dropped the NULL row
+        nf, nd = M.delete_keys(spark, path, "k", [10])
+        assert nd == 1
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == 199
+        assert t.filter(F.col("k").isNull()).count() == 1
+        M.upsert(
+            spark,
+            spark.createDataFrame([(11, 999)], "k long, g long"),
+            path,
+            "k",
+        )
+        t = M.load_manifest_table(spark, path)
+        assert t.filter(F.col("k").isNull()).count() == 1
+        assert t.count() == 199  # k=11 overwrote in place
+
+    def test_jobs_delete_keys_keeps_null_data_rows(self, spark, tmp_path):
+        """Swap path: a NULL-keyed DATA row in a victim file survives the
+        negated-isin fast path (it can never equi-match the keys)."""
+        from pspcz_analyzer_spark import jobs as J
+
+        df = spark.range(100).select(
+            F.when(F.col("id") != 7, F.col("id")).alias("k"),
+            (F.col("id") % 10).alias("g"),
+        )
+        path = str(tmp_path / "nullrow_swap")
+        J.write_range_sorted(df, path, "k", num_partitions=2)
+        nf, nd = J.delete_keys(spark, path, "k", [3])
+        assert nd == 1  # only k=3 — never the NULL neighbour
+        t = spark.read.parquet(path)
+        assert t.count() == 99
+        assert t.filter(F.col("k").isNull()).count() == 1
 
     def test_jobs_delete_keys_null_key_swap_path(self, spark, tmp_path):
         """Same NULL hazard on the swap-committed (manifest-less) path."""

@@ -615,9 +615,15 @@ class TestServingGuards:
             "'/tmp/x' USING parquet SELECT a FROM q",
             "WITH q AS (SELECT 1 AS `x'`) INSERT OVERWRITE DIRECTORY "
             "'/tmp/x' USING parquet SELECT `x'` FROM q",
+            # RAW strings process no escapes: the backslash must not
+            # extend the guard's string past Spark's closing quote
+            "WITH q AS (SELECT r'\\' AS a) INSERT OVERWRITE DIRECTORY "
+            "'/tmp/x' USING parquet SELECT 1",
         ):
             with pytest.raises(ValueError, match="read-only"):
                 svc.sql(stmt)
+        # legal raw-string reads still pass
+        assert svc.sql(r"SELECT r'a\b' AS s") == [{"s": "a\\b"}]
         # DML keywords inside STRING LITERALS stay legal reads
         assert svc.sql("SELECT 'please insert & update' AS s") == [
             {"s": "please insert & update"}
