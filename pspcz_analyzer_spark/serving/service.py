@@ -27,7 +27,7 @@ from pspcz_analyzer_spark.serving.cache import TTLCache
 Rows = list[dict[str, Any]]
 
 
-def _strip_sql_quoted(sql: str) -> str:
+def _strip_sql_quoted(sql: str, backslash_escapes: bool = True) -> str:
     """ONE left-to-right scan that blanks string literals ('', "",
     backslash and doubled-quote escapes), backquoted identifiers
     (doubled-backquote escapes), line comments, and nested bracketed
@@ -40,7 +40,14 @@ def _strip_sql_quoted(sql: str) -> str:
     bypassable by smuggling ``/*`` / ``--`` / ``'`` markers inside
     literals so the stripped copy lost the DML while Spark still saw
     it. An unterminated region blanks to end-of-text (Spark would
-    reject the statement at parse anyway)."""
+    reject the statement at parse anyway).
+
+    ``backslash_escapes=False`` mirrors the legacy session conf
+    ``spark.sql.parser.escapedStringLiterals=true`` (ADVICE r10):
+    under it Spark treats a backslash inside EVERY string literal as
+    an ordinary character, so the literal ends at the first closing
+    quote — the guard must end its string there too, or text Spark
+    executes as code is blanked from the guard's view."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -77,7 +84,12 @@ def _strip_sql_quoted(sql: str) -> str:
             raw = c != "`" and i > 0 and sql[i - 1] in "rR"
             i += 1
             while i < n:
-                if sql[i] == "\\" and c != "`" and not raw:
+                if (
+                    sql[i] == "\\"
+                    and c != "`"
+                    and not raw
+                    and backslash_escapes
+                ):
                     i += 2
                     continue
                 if sql[i] == c:
@@ -92,6 +104,95 @@ def _strip_sql_quoted(sql: str) -> str:
         out.append(c)
         i += 1
     return "".join(out)
+
+
+# Parse-tree classification (VERDICT r10 task 1). The lexer above is a
+# fast fail-closed PRE-FILTER; the authoritative read-only decision uses
+# Spark's OWN parser so the guard can never desync from Spark's grammar
+# (round 10 fixed three such desyncs in one round: comment/quote markers
+# smuggled inside string literals, CTE-prefixed DML, raw-string escapes).
+# Any node in the parsed tree matching one of these refuses the statement:
+#   Command          — every eagerly-run command (DDL, SET, EXPLAIN, CACHE,
+#                      ANALYZE, REFRESH, MSCK, LOAD, TRUNCATE, ALTER, SHOW,
+#                      DESCRIBE, DECLARE, SQL-scripting CompoundBody, and
+#                      the v2 DML nodes Update/Delete/MergeInto all mix it
+#                      in on Spark 4.1);
+#   ParsedStatement  — parser-level statements, notably InsertIntoStatement;
+#   InsertIntoDir    — INSERT OVERWRITE DIRECTORY (plain UnaryNode, neither
+#                      of the above);
+#   Update/Delete/Merge/InsertIntoStatement — listed explicitly anyway so
+#                      the guard survives a Spark release moving them off
+#                      the Command trait.
+# The TREE walk (not a root check) is load-bearing: `WITH q AS (...)
+# INSERT ...` parses to UnresolvedWith(InsertIntoStatement) — the DML is a
+# CHILD, verified against pyspark 4.1.2 in test_serving.
+_REFUSED_PLAN_TRAITS = (
+    "org.apache.spark.sql.catalyst.plans.logical.Command",
+    "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+    "org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir",
+    "org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement",
+    "org.apache.spark.sql.catalyst.plans.logical.UpdateTable",
+    "org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable",
+    "org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable",
+)
+# EXECUTE IMMEDIATE runs a DYNAMIC statement (its payload is a runtime
+# string the static classifier cannot see), so it is refused outright.
+# Its node class lives outside plans.logical and carries no refused
+# trait on 4.1, hence the simple-name match.
+_REFUSED_PLAN_NAMES = frozenset(
+    {
+        "UnresolvedExecuteImmediate",
+        "ExecuteImmediateQuery",
+        "ExecuteImmediateCommand",
+        "CompoundBody",
+    }
+)
+
+
+def classify_readonly_plan(spark: SparkSession, query: str) -> None:
+    """Parse ``query`` with Spark's own parser (parse ONLY — nothing
+    executes; commands run at ``spark.sql`` time, not at ``parsePlan``)
+    and raise ``ValueError`` if ANY node of the parse tree is a
+    command / DML / DDL / dynamic-SQL node. Returns silently for pure
+    query trees and for statements that fail to parse — a parse
+    failure cannot execute, and letting ``spark.sql`` re-raise keeps
+    the user-facing ``ParseException`` canonical. Fails CLOSED if the
+    classifier classes cannot be loaded."""
+    jparser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        root = jparser.parsePlan(query)
+    except Exception:
+        return  # unparseable => spark.sql raises the same ParseException
+    jvm = spark._jvm
+    traits = []
+    for name in _REFUSED_PLAN_TRAITS:
+        try:
+            traits.append((name, jvm.java.lang.Class.forName(name)))
+        except Exception:
+            pass  # class absent in this Spark version
+    if not any(n.endswith(".Command") for n, _ in traits):
+        raise ValueError(
+            "sql() read-only classifier could not load Spark's Command "
+            "trait; refusing the statement (fail closed)"
+        )
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        simple = node.getClass().getSimpleName()
+        for name, cls in traits:
+            if cls.isInstance(node):
+                raise ValueError(
+                    "sql() executes read-only queries only; parsed plan "
+                    f"contains {simple} ({name.rsplit('.', 1)[-1]} node)"
+                )
+        if simple in _REFUSED_PLAN_NAMES:
+            raise ValueError(
+                "sql() executes read-only queries only; parsed plan "
+                f"contains {simple} (dynamic/compound statement)"
+            )
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
 
 
 class QueryTimeoutError(TimeoutError):
@@ -832,20 +933,34 @@ class QueryService:
         anything else — DDL, DML, ``INSERT OVERWRITE DIRECTORY``, ``SET``
         — raises ``ValueError`` BEFORE reaching ``spark.sql`` (Spark runs
         commands eagerly at parse time, so a post-hoc plan check would be
-        too late). Both checks run on the output of ONE lexical scan
-        (:func:`_strip_sql_quoted`) that blanks strings, quoted
-        identifiers, and comments in a single pass — so ``/* select */
-        DROP``, CTE-prefixed DML (``WITH q AS (...) INSERT OVERWRITE
-        DIRECTORY ...``), and comment/quote markers smuggled INSIDE
-        string literals all fail closed: (1) the leading keyword must
-        be a query starter; (2) no DML/DDL keyword may appear anywhere
-        at word level. Layer 2 can refuse a legitimate query that uses
-        an unquoted column literally named ``insert``/``update``/etc.;
-        backquote it — false refusal is the right failure mode for a
-        read-only escape hatch."""
+        too late). TWO independent layers must both pass:
+
+        1. Lexical pre-filter (fail-closed, cheap): on the output of ONE
+           lexical scan (:func:`_strip_sql_quoted`, matched to the
+           session's ``spark.sql.parser.escapedStringLiterals`` conf so
+           its string lexing provably tracks Spark's) the leading keyword
+           must be a query starter and no DML/DDL keyword may appear
+           anywhere at word level. This layer can refuse a legitimate
+           query using an unquoted column literally named ``insert``/
+           ``update``/etc.; backquote it — false refusal is the right
+           failure mode for a read-only escape hatch.
+        2. Parse-tree classification (:func:`classify_readonly_plan`,
+           authoritative): Spark's OWN parser parses the statement (no
+           execution) and the whole tree is refused if any node is a
+           Command / ParsedStatement / DML / dynamic-SQL node — so the
+           guard cannot desync from Spark's grammar the way a bespoke
+           lexer can (r10's three in-round lexer fixes)."""
         from pspcz_analyzer_spark.catalog import register_views
 
-        bare = _strip_sql_quoted(query)
+        legacy_escapes = (
+            str(
+                self.spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                )
+            ).lower()
+            == "true"
+        )
+        bare = _strip_sql_quoted(query, backslash_escapes=not legacy_escapes)
         if not re.match(
             r"^\s*(?:\(\s*)*(?:select|with|values|table)\b", bare, re.I
         ):
@@ -867,6 +982,7 @@ class QueryService:
                 "literal (CTE-prefixed DML is refused too) — backquote "
                 "the identifier if it is a column name"
             )
+        classify_readonly_plan(self.spark, query)
         if not getattr(self, "_views_ready", False):
             register_views(self.spark, self.sf_dir)
             self._views_ready = True

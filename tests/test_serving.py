@@ -659,6 +659,157 @@ class TestServingGuards:
         # unterminated regions blank to end-of-text (fail closed)
         assert strip("SELECT 'open INSERT") == "SELECT  "
         assert strip("SELECT /* open INSERT") == "SELECT  "
+        # legacy escapedStringLiterals lexing: backslash is an ORDINARY
+        # character, the literal ends at the first closing quote
+        # (ADVICE r10 — the guard must track the session conf)
+        legacy = lambda s: _strip_sql_quoted(s, backslash_escapes=False)
+        assert legacy(r"SELECT '\' INSERT").endswith("INSERT")
+        assert strip(r"SELECT '\' INSERT") == "SELECT  "  # default mode
+
+
+class TestParseBasedReadOnlyClassifier:
+    """VERDICT r10 task 1: the authoritative read-only decision now comes
+    from Spark's OWN parser (classify_readonly_plan) — the lexer is a
+    fail-closed pre-filter only. These tests drive the classifier
+    STANDALONE so a lexer change can never mask a classifier hole."""
+
+    # Every bypass the lexer regressions cover, plus constructs a lexer
+    # cannot see at all. None of these may survive the parse-tree walk.
+    REFUSED = (
+        "DROP TABLE nation",
+        "CREATE TABLE boom (k INT)",
+        "CREATE TABLE boom AS SELECT 1",
+        "CREATE OR REPLACE TEMPORARY VIEW v AS SELECT 1",
+        "INSERT INTO nation VALUES (1)",
+        "INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT 1",
+        "UPDATE nation SET n_name = 'x'",
+        "DELETE FROM nation WHERE n_nationkey = 1",
+        "MERGE INTO nation USING region ON 1=1 WHEN MATCHED THEN DELETE",
+        "SET spark.sql.shuffle.partitions=1",
+        "TRUNCATE TABLE nation",
+        "ALTER TABLE nation ADD COLUMNS (y INT)",
+        "ANALYZE TABLE nation COMPUTE STATISTICS",
+        "REFRESH TABLE nation",
+        "MSCK REPAIR TABLE nation",
+        "LOAD DATA INPATH '/x' INTO TABLE nation",
+        "CACHE TABLE nation",
+        "UNCACHE TABLE nation",
+        # CTE-prefixed DML: the DML node is a CHILD of UnresolvedWith —
+        # a root-only check would miss every one of these
+        "WITH q AS (SELECT 1) INSERT OVERWRITE DIRECTORY '/tmp/x' "
+        "USING parquet SELECT * FROM q",
+        "WITH q AS (SELECT 1 AS k) DELETE FROM nation WHERE "
+        "n_nationkey IN (SELECT k FROM q)",
+        "WITH q AS (SELECT 1 AS k) UPDATE nation SET n_name = 'x'",
+        "WITH q AS (SELECT 1 AS k) MERGE INTO nation USING q ON "
+        "nation.n_nationkey = q.k WHEN MATCHED THEN DELETE",
+        # Lexer-blind constructs (the r10 verdict's new-coverage ask):
+        # EXPLAIN executes eagerly as a command — EXPLAIN-of-DML must
+        # not smuggle the DML through as "just a plan printout"
+        "EXPLAIN SELECT 1",
+        "EXPLAIN INSERT INTO nation VALUES (1)",
+        "EXPLAIN EXTENDED DELETE FROM nation",
+        # dynamic SQL: the payload string is invisible to ANY static
+        # classifier, refuse the construct itself
+        "EXECUTE IMMEDIATE 'DROP TABLE nation'",
+        "EXECUTE IMMEDIATE 'SELECT 1'",
+        # SQL-scripting compound blocks can contain arbitrary statements
+        "BEGIN SELECT 1; END",
+        "DECLARE v INT",
+        "SET VARIABLE v = 1",
+        # metadata commands are still commands (read-only-ish but the
+        # contract is SELECT/WITH/VALUES/TABLE only)
+        "SHOW TABLES",
+        "DESCRIBE TABLE nation",
+    )
+
+    ALLOWED = (
+        "SELECT 1 AS one",
+        "  WITH t AS (SELECT 2 AS x) SELECT * FROM t",
+        "(SELECT 3 AS y)",
+        "VALUES (1, 2), (3, 4)",
+        "TABLE nation",
+        "SELECT * FROM nation UNION ALL SELECT * FROM nation",
+        "SELECT 1 EXCEPT SELECT 2",
+        "WITH q AS (SELECT 1) (SELECT * FROM q)",
+        # parameter markers parse to a pure Project — classification
+        # passes; execution fails later with UNBOUND_SQL_PARAMETER,
+        # which is the correct (non-security) failure
+        "SELECT :p",
+        "SELECT ?",
+        # unicode escapes inside literals stay literals to the parser
+        "SELECT '\\u0044ROP TABLE nation' AS s",
+    )
+
+    def test_classifier_refuses_all_commands_standalone(self, spark):
+        from pspcz_analyzer_spark.serving.service import (
+            classify_readonly_plan,
+        )
+
+        for stmt in self.REFUSED:
+            with pytest.raises(ValueError, match="read-only"):
+                classify_readonly_plan(spark, stmt)
+
+    def test_classifier_passes_pure_queries(self, spark):
+        from pspcz_analyzer_spark.serving.service import (
+            classify_readonly_plan,
+        )
+
+        for stmt in self.ALLOWED:
+            classify_readonly_plan(spark, stmt)  # must not raise
+
+    def test_unparseable_text_defers_to_spark(self, spark):
+        """A parse failure cannot execute anything; the classifier
+        passes it through so spark.sql raises the canonical
+        ParseException (not a misleading read-only ValueError)."""
+        from pspcz_analyzer_spark.serving.service import (
+            classify_readonly_plan,
+        )
+
+        classify_readonly_plan(spark, "SELEC 1 FRO nowhere")  # no raise
+        svc = QueryService(spark, SF_DIR, ttl_seconds=3600)
+        with pytest.raises(Exception) as ei:
+            svc.sql("SELECT nation FROM WHERE GROUP")
+        assert not isinstance(ei.value, ValueError)
+
+    def test_service_sql_runs_both_layers(self, spark):
+        """EXPLAIN passes the old lexer's word-level scan (no DML word)
+        but is an eager command — only the parser layer catches it, so
+        this pins that sql() actually consults the classifier."""
+        svc = QueryService(spark, SF_DIR, ttl_seconds=3600)
+        with pytest.raises(ValueError, match="read-only"):
+            svc.sql("EXPLAIN INSERT INTO nation VALUES (1)")
+        with pytest.raises(ValueError, match="read-only"):
+            svc.sql("EXECUTE IMMEDIATE 'DROP TABLE nation'")
+
+    def test_legacy_escaped_string_literals_conf(self, spark):
+        """ADVICE r10: under spark.sql.parser.escapedStringLiterals=true
+        Spark ends a literal at \\' while default-mode lexing scans past
+        it — the guard now reads the conf, and the parser layer agrees
+        with Spark's grammar by construction."""
+        svc = QueryService(spark, SF_DIR, ttl_seconds=3600)
+        # Under LEGACY lexing this statement is CTE + INSERT OVERWRITE
+        # DIRECTORY (the '\' literal closes at the first quote); under
+        # default lexing the old guard blanked the INSERT into the
+        # string and saw nothing.
+        smuggle = (
+            "WITH q AS (SELECT '\\') INSERT OVERWRITE DIRECTORY "
+            "'/tmp/pspcz_guard_bypass' USING parquet SELECT 1 FROM q "
+            "WHERE '' = '"
+        )
+        key = "spark.sql.parser.escapedStringLiterals"
+        prev = spark.conf.get(key, "false")
+        try:
+            spark.conf.set(key, "true")
+            with pytest.raises(ValueError, match="read-only"):
+                svc.sql(smuggle)
+            # plain reads still work under the legacy conf
+            assert svc.sql(r"SELECT 'a\b' AS s") == [{"s": "a\\b"}]
+        finally:
+            spark.conf.set(key, prev)
+        import os
+
+        assert not os.path.exists("/tmp/pspcz_guard_bypass")
 
 
 class TestLakeJoinPlanEndpoint:
