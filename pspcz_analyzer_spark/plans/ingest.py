@@ -28,6 +28,30 @@ def _scratch(sf_dir: str, name: str) -> str:
     return scratch_path(sf_dir, name)
 
 
+def count_file_scans(df: DataFrame) -> int:
+    """Number of physical file-scan nodes in ``df``'s spark plan,
+    counted over the plan TREE — not the rendered string (ADVICE r10:
+    'Scan parquet' label casing/spacing has shifted across Spark
+    releases, and a rename would fail the single-fact-scan sentinels
+    spuriously instead of catching a real double scan). Counts both
+    the v1 ``FileSourceScanExec`` and v2 ``BatchScanExec`` nodes;
+    subquery plans (e.g. DPP filters) are separate trees, matching
+    what the previous main-tree string count saw."""
+    stack = [df._jdf.queryExecution().sparkPlan()]
+    n = 0
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() in (
+            "FileSourceScanExec",
+            "BatchScanExec",
+        ):
+            n += 1
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return n
+
+
 @register(
     "unl_roundtrip_nation",
     oracle="""
@@ -3759,8 +3783,7 @@ def manifest_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = choice["dims"][0]["pruned"]
     if not pruned or not pruned["files_kept"] < pruned["files_before"]:
         raise AssertionError(f"fact runtime pruning did not engage: {choice}")
-    plan = out._jdf.queryExecution().sparkPlan().toString()
-    if plan.count("Scan parquet") != 4:
+    if count_file_scans(out) != 4:
         raise AssertionError("expected exactly 4 scans (fact scanned once)")
     return (
         out.groupBy("n_name")
@@ -3895,8 +3918,7 @@ def manifest_join_star_snowflake(
         raise AssertionError(f"hop 1 (block->customer) did not prune: {choice}")
     if not hop2 or not hop2["files_kept"] < hop2["files_before"] == 6:
         raise AssertionError(f"hop 2 (customer->orders) did not prune: {choice}")
-    plan = out._jdf.queryExecution().sparkPlan().toString()
-    if plan.count("Scan parquet") != 4:
+    if count_file_scans(out) != 4:
         raise AssertionError("expected exactly 4 scans (fact scanned once)")
     return (
         out.groupBy("block_name")

@@ -757,8 +757,16 @@ def events_stream_view_purchase_outer(
         sentinel.select(*cols).coalesce(1).write.parquet(
             _os.path.join(landing, f"batch{i}")
         )
+    # The stream runs in a newSession() CLONE (ADVICE r10): it shares the
+    # SparkContext but owns its SQLConf, so pinning the state-partition
+    # count below cannot leak into queries running concurrently on the
+    # caller's session (the old set-and-restore was only safe while the
+    # harness stayed strictly serial). The memory sink registers in the
+    # clone's temp catalog, so the result frame reads from the clone too.
+    stream_sess = spark.newSession()
+    ensure_runtime_confs(stream_sess)
     stream = (
-        spark.readStream.schema(_EVENTS_RAW)
+        stream_sess.readStream.schema(_EVENTS_RAW)
         .option("maxFilesPerTrigger", "1")
         .parquet(_os.path.join(landing, "*"))
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -780,22 +788,19 @@ def events_stream_view_purchase_outer(
     # first checkpoint, so this is the one conf a production stream job
     # must size deliberately; on a real cluster it scales with state
     # volume (and this query's fresh checkpoint re-reads it each run).
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            view_purchase_attribution(stream, how="left_outer")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # Session-local to the clone — no restore needed, nothing leaks.
+    stream_sess.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        view_purchase_attribution(stream, how="left_outer")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return (
-        spark.table(sink)
+        stream_sess.table(sink)
         .filter(F.col("user_id") >= 0)
         .select(
             "purchase_id",

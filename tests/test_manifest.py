@@ -7220,10 +7220,11 @@ class TestJoinStar:
         # left-joined tag rows really survive (13 tagged users <= 49)
         assert out.filter(F.col("tag").isNotNull()).count() == 260
         # the fact is scanned ONCE: 4 parquet scans total in the plan
-        # (fact + each of the 3 dims exactly once; plan strings elide
-        # file paths, so count scan nodes)
-        plan = out._jdf.queryExecution().sparkPlan().toString()
-        assert plan.count("Scan parquet") == 4
+        # (fact + each of the 3 dims exactly once; counted over the
+        # plan TREE, not the rendered string — ADVICE r10)
+        from pspcz_analyzer_spark.plans.ingest import count_file_scans
+
+        assert count_file_scans(out) == 4
         # and three broadcast hints reached the plan
         analyzed = out._jdf.queryExecution().analyzed().toString()
         assert analyzed.lower().count("broadcast") >= 3
