@@ -141,6 +141,7 @@ HEADLINE = [
     "events_robust_outliers",
     "manifest_rename_roundtrip",
     "events_stream_view_purchase_outer",
+    "events_stream_late_drops",
     "manifest_day_partition_scan",
     "manifest_files_accounting",
     "orc_roundtrip_supplier",

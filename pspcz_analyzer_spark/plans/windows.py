@@ -815,6 +815,132 @@ def events_stream_view_purchase_outer(
 
 
 @register(
+    "events_stream_late_drops",
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL '749500' MILLISECONDS AS cutoff FROM events
+    )
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events, wm
+    WHERE event_id % 5 != 0
+       OR time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR > wm.cutoff
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming", "watermark", "late-data", "new-surface"),
+    priority=18,
+    doc="LATE-DATA drop accounting run live through the gate (VERDICT "
+    "r10 task 7): 80% of events replay on time together with a 'clock' "
+    "sentinel at corpus_max + 1050.5 s; the remaining 20% (event_id %% 5 "
+    "== 0) replay one filler trigger LATER, so Spark's late-event filter "
+    "confronts them with watermark = clock - 30 min = corpus_max - "
+    "749.5 s. Windows whose END precedes that cutoff were already "
+    "evicted/emitted, so their late rows must DROP; open windows must "
+    "absorb theirs. The oracle keeps exactly the rows a correct "
+    "watermark keeps. Two calibrated Spark facts are load-bearing "
+    "(pinned empirically, pyspark 4.1.2): the late filter at trigger N "
+    "uses the watermark IN EFFECT DURING trigger N-1 (stats through "
+    "N-2) — hence the filler batch between on-time and late waves — "
+    "and eviction uses stats through N-1, which the clock row makes the "
+    "SAME value, so emitted-without-late and dropped-as-late sets agree "
+    "exactly. The .5 s clock offset keeps the cutoff off every hour "
+    "boundary, so <= vs < eviction semantics and the ms flooring of "
+    "event-time stats cannot flip any window. State is bounded by the "
+    "watermark horizon at any corpus size; drops are O(late volume) "
+    "with zero state cost — the 100 TB story for out-of-order feeds.",
+)
+def events_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pspcz_analyzer_spark.scratch import scratch_path
+    from pspcz_analyzer_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    landing = scratch_path(sf_dir, "events_late_landing")
+    _shutil.rmtree(landing, ignore_errors=True)
+    cols = ["event_id", "ts", "event_type", "value"]
+
+    def sentinel(eid: int, ts_expr: str) -> DataFrame:
+        return (
+            events.agg(F.max("ts").alias("mx"))
+            .select(
+                F.lit(eid).cast("long").alias("event_id"),
+                F.expr(ts_expr).alias("ts"),
+                F.lit("__sentinel__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+
+    clock = "mx + INTERVAL '1050.5' SECOND"  # dominates on-time stats
+    # batch0: on-time wave + clock. ONE file — a split wave would make
+    # intra-wave file order (mtime) decide which on-time rows count as
+    # late, i.e. nondeterministic results.
+    events.filter(F.col("event_id") % 5 != 0).select(*cols).unionByName(
+        sentinel(-1, clock)
+    ).coalesce(1).write.parquet(_os.path.join(landing, "batch0"))
+    # batch1: filler re-stating the clock. Load-bearing: the late filter
+    # of trigger N applies the watermark that was in effect during
+    # trigger N-1, so the late wave must arrive TWO triggers after the
+    # stats that define its cutoff.
+    sentinel(-2, clock).coalesce(1).write.parquet(
+        _os.path.join(landing, "batch1")
+    )
+    # batch2: the late wave.
+    events.filter(F.col("event_id") % 5 == 0).select(*cols).coalesce(
+        1
+    ).write.parquet(_os.path.join(landing, "batch2"))
+    # batch3/4: far-future flush pair (watermark advances off batch N-1's
+    # stats, so passing ALL real windows takes two sentinel triggers).
+    for i, extra in enumerate(("100", "101"), start=3):
+        sentinel(-2 * i, f"mx + INTERVAL {extra} HOURS").coalesce(
+            1
+        ).write.parquet(_os.path.join(landing, f"batch{i}"))
+
+    # Fresh session clone: tiny state (hours x event types), 8 state
+    # partitions like the other fresh-checkpoint streams; conf stays
+    # session-local (ADVICE r10 pattern).
+    stream_sess = spark.newSession()
+    ensure_runtime_confs(stream_sess)
+    stream_sess.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        stream_sess.readStream.schema(
+            "event_id long, ts timestamp_ntz, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(landing, "*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sink = "events_stream_late_drops_sink"
+    q = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sv", 2).alias("total_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        stream_sess.table(sink)
+        .filter(F.col("event_type") != "__sentinel__")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
     "events_manifest_cdf_stream",
     oracle="""
     SELECT CASE WHEN event_id % 3 != 0 THEN 1 ELSE 2 END AS commit_version,

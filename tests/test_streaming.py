@@ -152,6 +152,44 @@ def test_watermark_drops_late_data(spark, tmp_path):
         q.stop()
 
 
+def test_late_drops_query_live_parity(spark):
+    """r11: the oracle-paired events_stream_late_drops query replays 20%
+    of events one filler-trigger late and must equal the batch twin that
+    keeps exactly what a correct watermark keeps — and must NOT equal
+    the no-watermark aggregate (i.e. drops really engaged)."""
+    import pyspark.sql.functions as F
+
+    from pspcz_analyzer_spark.catalog import load_table
+
+    got = query_fns()["events_stream_late_drops"](spark, SF_DIR).collect()
+
+    ev = load_table(spark, SF_DIR, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL '749.5' SECOND")).alias("c")
+    ).collect()[0]["c"]
+    win = F.window("ts", "1 hour")
+    kept = ev.filter(
+        (F.col("event_id") % 5 != 0) | (win.end > F.lit(cutoff))
+    )
+    want = (
+        kept.groupBy(win.start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # late drops actually happened: the stream kept fewer rows than the
+    # full corpus (scale-relative — the late wave is 1/5 of events and
+    # spans far below the cutoff at every sf)
+    n_streamed = sum(r["n_events"] for r in got)
+    n_total = ev.count()
+    assert n_streamed < n_total
+    assert n_streamed >= int(0.8 * n_total)  # on-time wave always kept
+
+
 def test_view_purchase_stream_parity(spark, stream):
     """Stream-stream interval self-join drained with availableNow equals
     the batch interval join row-for-row (inner joins emit on arrival; no
