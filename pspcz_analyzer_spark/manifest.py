@@ -100,6 +100,69 @@ class ConstraintViolation(ValueError):
     """Rows violate a table CHECK constraint; nothing was committed."""
 
 
+class SnapshotExpired(FileNotFoundError):
+    """Time travel / CDF asked for a version older than the earliest
+    retained manifest: vacuum already collected it. Subclasses
+    FileNotFoundError (the pre-r11 error type) so existing handlers keep
+    working, but readers get the honest story — the snapshot EXPIRED
+    under retention, it is not a typo'd version number."""
+
+
+class ManifestCorrupt(RuntimeError):
+    """A committed manifest or segment blob failed its integrity check
+    (truncated/garbled JSON, or the embedded crc/length disagrees with
+    the body). Raised on READ — commit-side atomicity is proven by the
+    crash matrix, but a blob damaged after commit (bit rot, torn copy,
+    partial restore from backup) must surface as this typed error at
+    the first read, not as a JSON parse stack or a silent misread
+    somewhere downstream; vacuum/restore refuse to proceed past it."""
+
+
+def _seal_doc(doc: dict) -> bytes:
+    """Serialize ``doc`` with a trailing ``crc`` field: crc32 and byte
+    length of the serialization WITHOUT that field. Readers that predate
+    the field ignore the extra key; readers that know it re-serialize
+    the crc-stripped doc (json object order round-trips) and compare."""
+    import zlib as _zlib
+
+    body = json.dumps(doc, indent=0).encode()
+    sealed = dict(doc)
+    sealed["crc"] = f"{_zlib.crc32(body) & 0xFFFFFFFF:08x}:{len(body)}"
+    return json.dumps(sealed, indent=0).encode()
+
+
+def _unseal(raw: bytes, where: str) -> dict:
+    """Parse a committed blob and verify its ``crc`` field if present
+    (absent = pre-crc blob, unchecked — backward compatible). Raises
+    :class:`ManifestCorrupt` on parse failure or checksum mismatch."""
+    import zlib as _zlib
+
+    try:
+        doc = json.loads(raw)
+    except Exception as e:
+        raise ManifestCorrupt(
+            f"{where}: blob is not valid JSON ({e}); the table's commit "
+            "log is damaged — restore the blob from a replica before "
+            "reading, vacuuming, or restoring"
+        ) from e
+    stored = doc.pop("crc", None)
+    if stored is None:
+        return doc
+    try:
+        want_crc, want_len = str(stored).split(":")
+        want_len = int(want_len)
+    except ValueError as e:
+        raise ManifestCorrupt(f"{where}: malformed crc field {stored!r}") from e
+    body = json.dumps(doc, indent=0).encode()
+    got_crc = f"{_zlib.crc32(body) & 0xFFFFFFFF:08x}"
+    if len(body) != want_len or got_crc != want_crc:
+        raise ManifestCorrupt(
+            f"{where}: checksum mismatch (recorded {stored}, got "
+            f"{got_crc}:{len(body)}); the blob was altered after commit"
+        )
+    return doc
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, MANIFEST_DIR)
 
@@ -133,7 +196,7 @@ def _load_segment(fs, rel: str, name: str) -> dict:
     full = os.path.join(rel, name)
     doc = _SEGMENT_CACHE.get(full)
     if doc is None:
-        doc = json.loads(fs.read_bytes(full))
+        doc = _unseal(fs.read_bytes(full), full)
         if len(_SEGMENT_CACHE) > 256:
             _SEGMENT_CACHE.clear()
             _SEGMENT_FILES_MEMO.clear()
@@ -170,10 +233,20 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         raise FileNotFoundError(f"no manifest at {path}; run manifest_init")
     v = vs[-1] if version is None else version
     if v not in vs:
+        # Versions commit contiguously from 1, so any gap below the
+        # latest retained version is a vacuumed snapshot (including
+        # holes around tagged pins), not a typo'd future version.
+        if 1 <= v < vs[-1]:
+            raise SnapshotExpired(
+                f"version {v} of {path} expired: vacuum collected it "
+                f"(earliest retained is {vs[0]}). Readers needing longer "
+                "time travel must raise retain_versions or pin a tag."
+            )
         raise FileNotFoundError(f"version {v} not in {vs}")
     fs, path = get_fs(path)
-    doc = json.loads(
-        fs.read_bytes(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
+    doc = _unseal(
+        fs.read_bytes(os.path.join(_manifest_dir(path), f"{v:08d}.json")),
+        f"{path}@{v}",
     )
     # Protocol gate (Delta-style): refuse versions written by a future
     # format rather than silently misreading them (e.g. ignoring a
@@ -267,9 +340,7 @@ def _segmentize(fs, rel: str, doc: dict, prev_doc: dict):
         name = f"{SEG_DIR}/seg-{uuid.uuid4().hex[:12]}.json"
         fs.create_exclusive(
             os.path.join(rel, name),
-            json.dumps(
-                {"entries": [_rec_of(f, doc) for f in chunk]}, indent=0
-            ).encode(),
+            _seal_doc({"entries": [_rec_of(f, doc) for f in chunk]}),
         )
         new_names.append(name)
     out = {
@@ -597,7 +668,7 @@ def _commit(
             fs, path, doc, {} if reseg else prev_doc
         )
         doc["protocol"]["reader"] = max(reader, 3)
-    body = json.dumps(doc, indent=0).encode()
+    body = _seal_doc(doc)  # embedded crc: read-side torn-blob detection
     target = os.path.join(d, f"{new_v:08d}.json")
     try:
         # The one correctness-critical store primitive: atomic publish of
@@ -5514,7 +5585,31 @@ def vacuum(
     # manifests stay readable and their files stay on disk until the
     # tag is dropped (Iceberg's ref-based expiry rule).
     tagged = set(list_tags(path).values())
-    keep_vs = sorted(set(vs[-retain_versions:]) | (tagged & set(vs)))
+    keep_set = set(vs[-retain_versions:]) | (tagged & set(vs))
+    # Reader retention FLOOR (r11, mirror of the concurrent-writer age
+    # guard below): a reader pins its snapshot at plan time, so a
+    # version superseded less than ``min_age_seconds`` ago may still be
+    # under a long-running scan that started while it was latest.
+    # Such versions stay FULLY readable — manifest, data files, CDF,
+    # blooms, segments all survive this pass — until their successor
+    # commit is provably old. An unreadable successor mtime fails
+    # CLOSED (keep), exactly like the writer guard's unknown-mtime rule.
+    if min_age_seconds > 0:
+        _vac_now = _time.time()
+        _fsf, _relf = get_fs(path)
+        for _i, _v in enumerate(vs[:-1]):
+            if _v in keep_set:
+                continue
+            succ = os.path.join(
+                _manifest_dir(_relf), f"{vs[_i + 1]:08d}.json"
+            )
+            try:
+                _mt = _fsf.mtime(succ)
+            except Exception:
+                _mt = None
+            if _mt is None or _vac_now - _mt < min_age_seconds:
+                keep_set.add(_v)
+    keep_vs = sorted(keep_set)
     referenced: set[str] = set()
     referenced_cdf: set[str] = set()
     referenced_blooms: set[str] = set()
@@ -5636,8 +5731,12 @@ def vacuum(
         # VACUUM DRY RUN (Delta's): report, touch nothing — including
         # the pruned manifests, which a real pass would drop.
         return sorted(would)
-    for v in vs[:-retain_versions]:
-        if v in tagged:
+    for v in vs:
+        # keep_set = retention window + tags + the reader floor; a
+        # floor-kept version keeps its MANIFEST too, so a reader that
+        # pinned it re-reads cleanly instead of hitting SnapshotExpired
+        # while its grace window is still open.
+        if v in keep_set:
             continue
         fs.remove(os.path.join(_manifest_dir(rel), f"{v:08d}.json"))
     return removed

@@ -2905,6 +2905,7 @@ class TestTimestampTravel:
 
         p = _os.path.join(base, "_manifest", f"{version:08d}.json")
         doc = _json.loads(open(p).read())
+        doc.pop("crc", None)  # hand-edited legacy blob: unchecked form
         if ts is None:
             doc.pop("ts", None)
         else:
@@ -4293,6 +4294,7 @@ class TestNullCountStats:
         v = M.current_version(p)
         mpath = os.path.join(p, "_manifest", f"{v:08d}.json")
         doc = json.loads(open(mpath).read())
+        doc.pop("crc", None)  # hand-edited legacy blob: unchecked form
         doc["stats"] = {
             f: {c: (s[:2] if s else None) for c, s in cols.items()}
             for f, cols in doc["stats"].items()
@@ -4393,6 +4395,7 @@ class TestProtocolVersioning:
         M.manifest_init(p)
         mpath = os.path.join(p, "_manifest", "00000001.json")
         doc = json.loads(open(mpath).read())
+        doc.pop("crc", None)  # hand-edited legacy blob: unchecked form
         doc["protocol"] = {"reader": 99}
         open(mpath, "w").write(json.dumps(doc))
         with _pytest.raises(RuntimeError, match="reader version 99"):
@@ -4430,6 +4433,7 @@ class TestProtocolVersioning:
         M.manifest_init(p)
         mpath = os.path.join(p, "_manifest", "00000001.json")
         doc = json.loads(open(mpath).read())
+        doc.pop("crc", None)  # hand-edited legacy blob: unchecked form
         doc["protocol"] = {"reader": 1, "writer": 99}
         open(mpath, "w").write(json.dumps(doc))
         # Reads never gate on the writer version...
@@ -4453,6 +4457,7 @@ class TestProtocolVersioning:
         M.manifest_init(p)
         mpath = os.path.join(p, "_manifest", "00000001.json")
         doc = json.loads(open(mpath).read())
+        doc.pop("crc", None)  # hand-edited legacy blob: unchecked form
         del doc["protocol"]
         open(mpath, "w").write(json.dumps(doc))
         assert M.load_manifest_table(spark, p).count() == 2
@@ -7974,3 +7979,254 @@ class TestCrashPointsTwoLevelCommits:
         op()
         kept, total = M.prune_files_bloom(path, "g", 99_999)
         assert total == 6 and len(kept) < total
+
+
+class TestTornManifestDetection:
+    """r11 (VERDICT r10 task 6): commit-side atomicity is proven by the
+    crash matrix, but a blob damaged AFTER commit (bit rot, torn copy)
+    must surface as the typed ManifestCorrupt error at first read — and
+    vacuum/restore must refuse to proceed past it, never collect or
+    roll back based on a half-read file list."""
+
+    def _blob(self, path, v):
+        return os.path.join(path, M.MANIFEST_DIR, f"{v:08d}.json")
+
+    def _mk(self, spark, tmp_path, name="torn"):
+        path = str(tmp_path / name)
+        df = spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+        write_range_sorted(df, path, "k", num_partitions=3)
+        M.manifest_init(path, stat_cols=["k"])
+        M.append(
+            spark.range(600, 700).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+            ),
+            path,
+        )
+        return path
+
+    def test_sealed_blob_roundtrips_and_carries_crc(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path)
+        v = M.current_version(path)
+        raw = open(self._blob(path, v), "rb").read()
+        assert b'"crc"' in raw
+        m = M.read_manifest(path)  # verifies the crc
+        assert "crc" not in m  # integrity field never leaks to consumers
+        assert len(m["files"]) >= 4
+
+    @pytest.mark.parametrize("cut", ["head", "mid", "tail"])
+    def test_truncated_blob_raises_typed_error(self, spark, tmp_path, cut):
+        path = self._mk(spark, tmp_path, f"torn_{cut}")
+        v = M.current_version(path)
+        blob = self._blob(path, v)
+        raw = open(blob, "rb").read()
+        keep = {"head": 10, "mid": len(raw) // 2, "tail": len(raw) - 2}[cut]
+        open(blob, "wb").write(raw[:keep])
+        with pytest.raises(M.ManifestCorrupt):
+            M.read_manifest(path)
+        with pytest.raises(M.ManifestCorrupt):
+            M.history(path)
+
+    def test_garbled_but_valid_json_caught_by_crc(self, spark, tmp_path):
+        # Flip bytes INSIDE a quoted string: the blob stays parseable
+        # JSON, so only the checksum can catch it.
+        path = self._mk(spark, tmp_path, "torn_crc")
+        v = M.current_version(path)
+        blob = self._blob(path, v)
+        raw = open(blob, "rb").read()
+        i = raw.index(b".parquet")
+        open(blob, "wb").write(raw[:i] + b".parqueX" + raw[i + 8 :])
+        with pytest.raises(M.ManifestCorrupt, match="checksum mismatch"):
+            M.read_manifest(path)
+
+    def test_vacuum_and_restore_refuse_past_corruption(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "torn_ops")
+        v = M.current_version(path)
+        assert v >= 2
+        blob = self._blob(path, v - 1)  # damage a RETAINED older version
+        raw = open(blob, "rb").read()
+        open(blob, "wb").write(raw[: len(raw) // 2])
+        # vacuum's census reads every retained version: it must refuse,
+        # not treat the unreadable version's files as unreferenced.
+        with pytest.raises(M.ManifestCorrupt):
+            M.vacuum(path, retain_versions=2, min_age_seconds=0)
+        # restore targets the damaged version: refuse, don't roll back
+        # to a half-read file list.
+        with pytest.raises(M.ManifestCorrupt):
+            M.restore(path, v - 1)
+        # data files are all still there (nothing was collected)
+        assert M.load_manifest_table(spark, path).count() == 700
+
+    def test_segment_blob_corruption_detected(self, spark, tmp_path, monkeypatch):
+        monkeypatch.setattr(M, "MANIFEST_SEGMENT_THRESHOLD", 2)
+        path = str(tmp_path / "torn_seg")
+        df = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        )
+        write_range_sorted(df, path, "k", num_partitions=4)
+        M.manifest_init(path, stat_cols=["k"])
+        segs = M.read_manifest(path).get("segments")
+        assert segs  # two-level form engaged under the lowered threshold
+        seg_file = os.path.join(path, segs[0])
+        raw = open(seg_file, "rb").read()
+        i = raw.index(b".parquet")
+        open(seg_file, "wb").write(raw[:i] + b".parqueX" + raw[i + 8 :])
+        M._SEGMENT_CACHE.clear()
+        M._SEGMENT_FILES_MEMO.clear()
+        with pytest.raises(M.ManifestCorrupt, match="checksum mismatch"):
+            M.read_manifest(path)
+
+    def test_pre_crc_blob_reads_unchecked(self, spark, tmp_path):
+        # Backward compatibility: blobs committed before the crc field
+        # read fine (absent = unchecked), so existing tables need no
+        # migration.
+        path = self._mk(spark, tmp_path, "torn_legacy")
+        v = M.current_version(path)
+        blob = self._blob(path, v)
+        import json as _json
+
+        doc = _json.loads(open(blob, "rb").read())
+        doc.pop("crc", None)
+        open(blob, "wb").write(_json.dumps(doc, indent=0).encode())
+        m = M.read_manifest(path)
+        assert len(m["files"]) >= 4
+
+
+class TestReaderVacuumRace:
+    """r11 (VERDICT r10 task 3): the reader side of the vacuum contract,
+    crash/race-matrix style. (1) vacuum never removes anything a
+    RETAINED snapshot references, so a reader pinned inside the
+    retention window survives a concurrent vacuum; (2) a reader of an
+    EXPIRED snapshot fails with the typed SnapshotExpired error at plan
+    time — never a partial result or a FileNotFound mid-collect; (3)
+    the reader retention FLOOR mirrors the concurrent-writer age guard:
+    a version superseded less than min_age_seconds ago stays fully
+    readable, because a long scan may have pinned it while it was
+    latest."""
+
+    def _mk(self, spark, tmp_path, name, cdf=False):
+        path = str(tmp_path / name)
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id % 5 AS DOUBLE) AS v"
+        ).coalesce(2).write.parquet(path)
+        M.manifest_init(path, stat_cols=["k"])
+        if cdf:
+            M.enable_cdf(path)
+        M.append(
+            spark.range(100, 150).selectExpr(
+                "id AS k", "CAST(1 AS DOUBLE) AS v"
+            ),
+            path,
+        )
+        M.append(
+            spark.range(150, 160).selectExpr(
+                "id AS k", "CAST(2 AS DOUBLE) AS v"
+            ),
+            path,
+        )
+        return path
+
+    @pytest.mark.parametrize("reader", ["time_travel", "cdf_range", "cdf_stream"])
+    def test_vacuum_during_read_keeps_retained_snapshots(
+        self, spark, tmp_path, reader
+    ):
+        path = self._mk(spark, tmp_path, f"rv_keep_{reader}", cdf=True)
+        cur = M.current_version(path)
+        pin = cur - 1  # inside the retain_versions=2 window
+        if reader == "time_travel":
+            df = M.load_manifest_table(spark, path, version=pin)
+        elif reader == "cdf_range":
+            df = M.read_changes(spark, path, from_version=pin)
+        else:
+            from pspcz_analyzer_spark.streaming.cdf_source import (
+                register_cdf_source,
+            )
+
+            register_cdf_source(spark)
+        # vacuum lands BETWEEN plan time and collect time
+        M.vacuum(path, retain_versions=2, min_age_seconds=0)
+        if reader == "time_travel":
+            assert df.count() == 150
+        elif reader == "cdf_range":
+            got = df.collect()
+            assert len(got) == 10
+            assert {r["_change_type"] for r in got} == {"insert"}
+        else:
+            out = str(tmp_path / "rv_keep_out")
+            q = (
+                spark.readStream.format("manifest")
+                .option("tablePath", path)
+                .option("startVersion", str(pin))
+                .option("readChanges", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "rv_keep_ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            assert spark.read.parquet(out).count() == 10
+
+    @pytest.mark.parametrize("reader", ["time_travel", "cdf_range", "cdf_stream"])
+    def test_expired_snapshot_fails_clean(self, spark, tmp_path, reader):
+        path = self._mk(spark, tmp_path, f"rv_exp_{reader}", cdf=True)
+        cur = M.current_version(path)
+        expired = cur - 1
+        M.vacuum(path, retain_versions=1, min_age_seconds=0)
+        if reader == "time_travel":
+            with pytest.raises(M.SnapshotExpired, match="expired"):
+                M.load_manifest_table(spark, path, version=expired)
+            # SnapshotExpired IS a FileNotFoundError: pre-r11 handlers
+            # keep working
+            with pytest.raises(FileNotFoundError):
+                M.read_manifest(path, expired)
+        elif reader == "cdf_range":
+            with pytest.raises(M.SnapshotExpired, match="expired"):
+                M.read_changes(spark, path, from_version=expired - 1)
+        else:
+            from pspcz_analyzer_spark.streaming.cdf_source import (
+                register_cdf_source,
+            )
+
+            register_cdf_source(spark)
+            q = (
+                spark.readStream.format("manifest")
+                .option("tablePath", path)
+                .option("startVersion", str(expired - 1))
+                .option("readChanges", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "rv_exp_out"))
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "rv_exp_ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            with pytest.raises(Exception, match="expired"):
+                q.awaitTermination()
+        # the LATEST snapshot is untouched either way
+        assert M.load_manifest_table(spark, path).count() == 160
+
+    def test_reader_retention_floor(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rv_floor")
+        # A rewrite makes the old versions' files real garbage once they
+        # expire — an append-only history shares every file with the
+        # latest version and vacuum would trivially remove nothing.
+        M.delete_where(spark, path, "k < 50")
+        cur = M.current_version(path)
+        # Every superseded version was retired seconds ago: the floor
+        # (min_age mirror of the writer guard) keeps ALL of them fully
+        # readable — manifests AND files — so this vacuum removes nothing.
+        assert M.vacuum(path, retain_versions=1, min_age_seconds=3600) == 0
+        for v in range(1, cur + 1):
+            assert M.read_manifest(path, v)["version"] == v
+        assert M.load_manifest_table(spark, path, version=1).count() == 100
+        # Age 0 disables the floor (single-writer maintenance window):
+        # now the old versions really expire and the replaced files go.
+        assert M.vacuum(path, retain_versions=1, min_age_seconds=0) > 0
+        with pytest.raises(M.SnapshotExpired):
+            M.read_manifest(path, 1)
+        assert M.load_manifest_table(spark, path).count() == 110
