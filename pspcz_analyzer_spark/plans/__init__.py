@@ -33,82 +33,84 @@ _REGISTRY: dict[str, Query] = {}
 
 # Verification harnesses that budget a fixed number of queries consume the
 # registry in iteration order, so ordering is part of the public contract.
-# Round-10 rotation: the driver re-attests 50 queries per round against
+# Round-11 rotation: the driver re-attests 50 queries per round against
 # freshly regenerated testdata, so the budget goes to the queries with the
 # WEAKEST current attestation. Ledger: zero attestation debt remains (every
-# oracle-paired query is green in some round); after the r9 rotation the
-# stalest cohort is the r04 TAIL (the 28 r04-green queries r9's budget did
-# not reach — the r9 verdict's ask #5). Budget math: 6 sentinels + 1
-# never-attested r10-new (decorator priority 18) + 28 r04 tail = 35, the
-# ~15 remaining slots take the r05 cohort's head. Tiers (lower first):
-#   10 = sentinels — queries whose plan or commit path CHANGED this round
-#        (join_star grew barrier-pinned ordering + transitive snowflake
-#        hop pruning; join_auto grew null-key-safe pruning; the DML
-#        victim planner's stats compare changed; segment reuse moved its
-#        memo off the cached blob);
-#   18 = never driver-attested — manifest_join_star_snowflake (registered
-#        at priority 18 via its @register call);
-#   40 = r04-green TAIL (28 queries) — fully inside the budget this round;
-#   60..70 = r05/r06/r07/r08/r09-green — freshest attestations yield last;
+# oracle-paired query is green in some round); after the r10 rotation the
+# stalest cohort is the r05 TAIL (the 29 r05-green queries r10's budget did
+# not reach — the r10 verdict's ask #2). Budget math: 4 sentinels + 1
+# never-attested r11-new (events_stream_late_drops, decorator priority 18)
+# + 29 r05 tail = 34; the ~16 remaining slots take the r06 cohort's head in
+# registration order. Tiers (lower first):
+#   10 = sentinels — queries whose plan or code path CHANGED this round
+#        (events_stream_view_purchase_outer drains in a newSession clone,
+#        commit 3dfbcb9; both join_star queries had their single-fact-scan
+#        sentinel rewritten from plan-text matching to plan-tree node
+#        counting, 3dfbcb9; manifest_lakehouse_lifecycle exercises the
+#        vacuum/restore paths that now verify blob crc32+length on read
+#        and enforce the reader retention floor, 33a2df1);
+#   18 = never driver-attested — events_stream_late_drops (registered at
+#        priority 18 via its @register call);
+#   40 = r05-green TAIL (29 queries) — fully inside the budget this round;
+#   60..71 = r06/r07/r08/r09/r10-green — freshest attestations yield last;
 #   72 = rows-only by design — oracle-paired anchors cover them, so a
 #        driver slot here records only a weaker rows-only check; they
 #        yield to every oracle-paired tier.
 PRIORITY_SENTINEL = 10
 PRIORITY_NEW = 18
-PRIORITY_ATTESTED_R04 = 40
+PRIORITY_ATTESTED_R05 = 40
 PRIORITY_ROWS_ONLY = 72
-PRIORITY_ATTESTED_R05 = 60
-PRIORITY_ATTESTED_R06 = 62
-PRIORITY_ATTESTED_R07 = 64
-PRIORITY_ATTESTED_R08 = 68
-PRIORITY_ATTESTED_R09 = 70
+PRIORITY_ATTESTED_R06 = 60
+PRIORITY_ATTESTED_R07 = 62
+PRIORITY_ATTESTED_R08 = 64
+PRIORITY_ATTESTED_R09 = 68
+PRIORITY_ATTESTED_R10 = 70
 
 _PRIORITY: dict[str, int] = {
-    # Sentinels: queries whose PLAN or code path changed in r10 — re-attest first.
+    # Sentinels: queries whose PLAN or code path changed in r11 — re-attest first.
     **{
         n: PRIORITY_SENTINEL
         for n in (
-            "manifest_join_auto",
-            "manifest_join_auto_pruned",
+            "events_stream_view_purchase_outer",
             "manifest_join_star",
-            "manifest_segmented_lifecycle",
-            "manifest_dml_roundtrip",
-            "manifest_merge_roundtrip",
+            "manifest_join_star_snowflake",
+            "manifest_lakehouse_lifecycle",
         )
     },
-    # r04-green TAIL — the 28 r04-attested queries the r9 rotation did not
-    # reach; the stalest attestations in the catalog (ask #5).
+    # r05-green TAIL — the 29 r05-attested queries the r10 rotation did not
+    # reach; the stalest attestations in the catalog (r10 verdict ask #2).
     **{
-        n: PRIORITY_ATTESTED_R04
+        n: PRIORITY_ATTESTED_R05
         for n in (
-            "ann_ivf_index_roundtrip",
-            "ann_lsh_exact_recall",
-            "corpus_embedding_decontaminate",
-            "corpus_extend_semantic",
-            "corpus_weighted_sample",
-            "doc_prompt_prep",
-            "events_hot_users",
-            "events_rollup_hourly_daily",
-            "events_session_dynamic_gap",
-            "events_stream_nation_totals",
-            "events_stream_user_totals",
-            "events_trailing_24h",
-            "incremental_agg_roundtrip",
-            "laws_listing_page",
-            "orders_snapshot_diff",
-            "parquet_zorder_roundtrip",
-            "profile_orders_columns",
-            "q11_important_stock",
-            "q15_top_supplier",
-            "q16_supplier_count",
-            "q17_small_qty_revenue",
-            "q20_part_promotion",
-            "q21_waiting_supplier",
-            "q22_global_sales",
-            "q8_market_share",
-            "q9_product_profit",
-            "salted_join_priority_revenue",
-            "semantic_dedup_by_label",
+            "asof_next_order_after_event",
+            "bloom_prune_orders_building",
+            "bucketed_join_revenue",
+            "corpus_dsir_scores",
+            "corpus_quality_calibrated_by_lang",
+            "corpus_weighted_sample_per_lang",
+            "doc_duplicate_spans",
+            "doc_duplicate_spans_removed",
+            "embedding_hard_negatives",
+            "embedding_matryoshka_prefix",
+            "events_cms_user_counts",
+            "events_stream_dedup",
+            "events_value_equidepth",
+            "events_value_histogram",
+            "law_refs_extracted",
+            "lineitem_numeric_correlations",
+            "loyalty_rebellion_rates",
+            "manifest_history_accounting",
+            "manifest_stats_prune",
+            "manifest_zorder_optimize",
+            "media_binary_stats",
+            "media_frame_sample",
+            "pagerank_suppliers",
+            "parquet_compact_roundtrip",
+            "parquet_overwrite_roundtrip",
+            "parquet_partitioned_prune",
+            "parquet_upsert_resume",
+            "q5_nation_revenue",
+            "semantic_dedup_farthest",
         )
     },
     # Rows-only by design (approximation/iteration-defined: LSH/IVF top-k, PCA basis, k-means, HLL, BPE/unigram training); each has an oracle-paired exact anchor at a lower tier, so a driver slot here would be wasted.
@@ -128,57 +130,8 @@ _PRIORITY: dict[str, int] = {
             "semantic_dedup_kmeans",
         )
     },
-    # r05-green cohort.
-    **{
-        n: PRIORITY_ATTESTED_R05
-        for n in (
-            "asof_next_order_after_event",
-            "bloom_prune_orders_building",
-            "bucketed_join_revenue",
-            "corpus_dsir_scores",
-            "corpus_lang_sample",
-            "corpus_quality_calibrated_by_lang",
-            "corpus_unimax_sample",
-            "corpus_weighted_sample_per_lang",
-            "doc_duplicate_spans",
-            "doc_duplicate_spans_removed",
-            "doc_fingerprints",
-            "doc_gopher_flags",
-            "doc_nb_lang_classify",
-            "doc_retrieval_eval",
-            "doc_search_normalized",
-            "doc_token_stats",
-            "doc_top_terms",
-            "docs_browser_page",
-            "docs_by_source_stats",
-            "embedding_hard_negatives",
-            "embedding_matryoshka_prefix",
-            "events_cms_user_counts",
-            "events_range_join_windows",
-            "events_stream_dedup",
-            "events_top_user_paths",
-            "events_transition_matrix",
-            "events_value_equidepth",
-            "events_value_histogram",
-            "latest_order_per_customer",
-            "law_refs_extracted",
-            "lineitem_numeric_correlations",
-            "loyalty_rebellion_rates",
-            "manifest_history_accounting",
-            "manifest_stats_prune",
-            "manifest_zorder_optimize",
-            "media_binary_stats",
-            "media_frame_sample",
-            "pagerank_suppliers",
-            "parquet_compact_roundtrip",
-            "parquet_overwrite_roundtrip",
-            "parquet_partitioned_prune",
-            "parquet_upsert_resume",
-            "q5_nation_revenue",
-            "semantic_dedup_farthest",
-        )
-    },
-    # r06-green cohort.
+    # r06-green cohort — next-stalest; the r11 budget remainder (~16 slots)
+    # reaches this tier's head in registration order.
     **{
         n: PRIORITY_ATTESTED_R06
         for n in (
@@ -197,7 +150,6 @@ _PRIORITY: dict[str, int] = {
             "events_hourly_resample",
             "events_manifest_cdf_stream",
             "events_stream_mv_refresh",
-            "events_stream_view_purchase_outer",
             "events_value_psi",
             "events_value_trend_ols",
             "hits_trade_graph",
@@ -253,7 +205,6 @@ _PRIORITY: dict[str, int] = {
             "manifest_drop_readd_roundtrip",
             "manifest_files_accounting",
             "manifest_identity_roundtrip",
-            "manifest_lakehouse_lifecycle",
             "manifest_merge_full_roundtrip",
             "manifest_mor_materialized",
             "manifest_rename_roundtrip",
@@ -278,7 +229,7 @@ _PRIORITY: dict[str, int] = {
             "top3_orders_per_customer",
         )
     },
-    # r08-green cohort — freshest attestations yield last.
+    # r08-green cohort.
     **{
         n: PRIORITY_ATTESTED_R08
         for n in (
@@ -331,9 +282,7 @@ _PRIORITY: dict[str, int] = {
             "votes_browser_page",
         )
     },
-    # r09-green cohort — freshest attestations yield last (the 27-query
-    # former r03 cohort + the r04 head + the r9 sentinels/new, all
-    # re-attested by CORRECTNESS_r09).
+    # r09-green cohort.
     **{
         n: PRIORITY_ATTESTED_R09
         for n in (
@@ -383,6 +332,62 @@ _PRIORITY: dict[str, int] = {
             "q2_min_cost_supplier",
             "q7_nation_volume",
             "vote_detail_rows",
+        )
+    },
+    # r10-green cohort — freshest attestations yield last (the r10 rotation:
+    # 6 manifest sentinels + the snowflake new + the 28-query r04 tail + the
+    # r05 cohort head, all re-attested by CORRECTNESS_r10).
+    **{
+        n: PRIORITY_ATTESTED_R10
+        for n in (
+            "ann_ivf_index_roundtrip",
+            "ann_lsh_exact_recall",
+            "corpus_embedding_decontaminate",
+            "corpus_extend_semantic",
+            "corpus_lang_sample",
+            "corpus_unimax_sample",
+            "corpus_weighted_sample",
+            "doc_fingerprints",
+            "doc_gopher_flags",
+            "doc_nb_lang_classify",
+            "doc_prompt_prep",
+            "doc_retrieval_eval",
+            "doc_search_normalized",
+            "doc_token_stats",
+            "doc_top_terms",
+            "docs_browser_page",
+            "docs_by_source_stats",
+            "events_hot_users",
+            "events_range_join_windows",
+            "events_rollup_hourly_daily",
+            "events_session_dynamic_gap",
+            "events_stream_nation_totals",
+            "events_stream_user_totals",
+            "events_top_user_paths",
+            "events_trailing_24h",
+            "events_transition_matrix",
+            "incremental_agg_roundtrip",
+            "latest_order_per_customer",
+            "laws_listing_page",
+            "manifest_dml_roundtrip",
+            "manifest_join_auto",
+            "manifest_join_auto_pruned",
+            "manifest_merge_roundtrip",
+            "manifest_segmented_lifecycle",
+            "orders_snapshot_diff",
+            "parquet_zorder_roundtrip",
+            "profile_orders_columns",
+            "q11_important_stock",
+            "q15_top_supplier",
+            "q16_supplier_count",
+            "q17_small_qty_revenue",
+            "q20_part_promotion",
+            "q21_waiting_supplier",
+            "q22_global_sales",
+            "q8_market_share",
+            "q9_product_profit",
+            "salted_join_priority_revenue",
+            "semantic_dedup_by_label",
         )
     },
 }

@@ -187,8 +187,9 @@ def test_version_at_timestamp_uses_ict_on_uri_backends(
     for v, t in ((1, 1000.0), (2, 2000.0)):
         p = os.path.join(mdir, f"{v:08d}.json")
         doc = json.loads(open(p).read())
+        doc.pop("crc", None)  # re-seal below: blobs are crc-checked on read
         doc["ts"] = t
-        open(p, "w").write(json.dumps(doc))
+        open(p, "wb").write(M._seal_doc(doc))
         os.utime(p, (9_999_999_999, 9_999_999_999))  # mtime: far future
     monkeypatch.setattr(M, "get_fs", _subtree_get_fs(tmp_path))
     # Between the commits: ICT resolves v1; the mtime fallback would see
