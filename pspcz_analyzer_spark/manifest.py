@@ -3053,11 +3053,17 @@ DML_COLLECT_KEY_LIMIT = 100_000
 # COLLECTION above: building the In AST costs ~0.5 ms/literal in py4j
 # conversion (measured, tools/measure_isin_knee.py: 10k keys = 6.0 s
 # build+analyze, 100k = 51 s) while the equivalent anti/semi JOIN against
-# a keys frame is flat <1 s at every size — the crossover sits near 2k
-# literals. Collecting up to DML_COLLECT_KEY_LIMIT keys stays worthwhile
-# (driver-side footer/stats victim pruning needs the Python set); only
-# the Catalyst expression must never be key-shaped.
-ISIN_LITERAL_LIMIT = 2_000
+# a keys frame is flat at every size. The DML purge builds TWO such ASTs
+# (kept = ~isin, dead = isin), so its crossover sits LOWER than the scan
+# knee's ~2k: end-to-end delete_keys on the 10x orders replica
+# (tools/measure_r11_dml.py, idle box) reads isin 1.0/1.6/2.4/4.5/9.9/
+# 19.5 s at 250/500/1k/2k/4k/8k keys vs anti-join flat 1.0-2.3 s —
+# crossover ≈ 500. Collecting up to DML_COLLECT_KEY_LIMIT keys stays
+# worthwhile (driver-side footer/stats victim pruning needs the Python
+# set); only the Catalyst expression must never be key-shaped. The
+# anti-join side is still shuffle-free at these sizes: the keys frame is
+# tiny, so AQE broadcasts it.
+ISIN_LITERAL_LIMIT = 500
 # materialize_deletes' stats-intersection check collects an equality-delete
 # entry's keys driver-side only below this (footer-read) row count; larger
 # entries run the same check as a distributed range join (names-only
