@@ -138,13 +138,19 @@ _REFUSED_PLAN_TRAITS = (
 # EXECUTE IMMEDIATE runs a DYNAMIC statement (its payload is a runtime
 # string the static classifier cannot see), so it is refused outright.
 # Its node class lives outside plans.logical and carries no refused
-# trait on 4.1, hence the simple-name match.
+# trait on 4.1, hence the simple-name match. CALL (r11 self-review):
+# `CALL cat.proc(...)` parses to Call(UnresolvedProcedure) which mixes
+# in NONE of the refused traits on 4.1 — a stored procedure is an
+# arbitrary catalog-defined mutation primitive, so the construct is
+# refused by name like EXECUTE IMMEDIATE.
 _REFUSED_PLAN_NAMES = frozenset(
     {
         "UnresolvedExecuteImmediate",
         "ExecuteImmediateQuery",
         "ExecuteImmediateCommand",
         "CompoundBody",
+        "Call",
+        "UnresolvedProcedure",
     }
 )
 

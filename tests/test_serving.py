@@ -713,6 +713,11 @@ class TestParseBasedReadOnlyClassifier:
         # classifier, refuse the construct itself
         "EXECUTE IMMEDIATE 'DROP TABLE nation'",
         "EXECUTE IMMEDIATE 'SELECT 1'",
+        # stored-procedure invocation (r11 self-review): parses to
+        # Call(UnresolvedProcedure) which mixes in NO refused trait on
+        # 4.1 — an arbitrary catalog-defined mutation primitive
+        "CALL cat.db.proc(1)",
+        "CALL proc()",
         # SQL-scripting compound blocks can contain arbitrary statements
         "BEGIN SELECT 1; END",
         "DECLARE v INT",
@@ -739,6 +744,10 @@ class TestParseBasedReadOnlyClassifier:
         "SELECT ?",
         # unicode escapes inside literals stay literals to the parser
         "SELECT '\\u0044ROP TABLE nation' AS s",
+        # time travel is a READ (RelationTimeTravel under Project) —
+        # classification passes; resolution fails later for sources
+        # without version support, the correct non-security failure
+        "SELECT * FROM nation FOR VERSION AS OF 1",
     )
 
     def test_classifier_refuses_all_commands_standalone(self, spark):
