@@ -463,3 +463,68 @@ class TestSegmentRoundTripProperty:
         import shutil
 
         shutil.rmtree(rel, ignore_errors=True)
+
+
+def _seal_doc_strategy():
+    keys = st.text(
+        alphabet=st.sampled_from("abxyz_09" + _CZ), min_size=1, max_size=8
+    ).filter(lambda k: k != "crc")
+    leaf = (
+        st.none()
+        | st.booleans()
+        | st.integers(-(2**40), 2**40)
+        | st.floats(allow_nan=False, allow_infinity=False)
+        | st.text(
+            alphabet=st.sampled_from('ab"\\\n\t {}[]:,' + _CZ), max_size=12
+        )
+    )
+    nested = st.recursive(
+        leaf,
+        lambda inner: st.lists(inner, max_size=4)
+        | st.dictionaries(keys, inner, max_size=4),
+        max_leaves=12,
+    )
+    return st.dictionaries(keys, nested, max_size=5)
+
+
+class TestSealUnsealProperty:
+    """Integrity contract for crc-sealed manifest blobs (r11): for ANY
+    JSON-serializable doc, seal -> unseal is the identity with the crc
+    verified; and ANY single-byte flip or truncation of the sealed
+    bytes either raises the typed ManifestCorrupt or parses back to
+    the EXACT original doc (a mutation that only touches JSON
+    whitespace is semantically invisible, and the crc — computed over
+    the canonical re-serialization — correctly treats it as benign).
+    Nothing may ever come back silently ALTERED."""
+
+    # Top-level key "crc" is reserved by the seal itself; manifest docs
+    # never carry one (the writer controls the key set).
+    _DOC = _seal_doc_strategy()
+
+    @settings(max_examples=250, deadline=None)
+    @given(doc=_DOC)
+    def test_roundtrip_identity(self, doc):
+        from pspcz_analyzer_spark import manifest as M
+
+        sealed = M._seal_doc(doc)
+        assert M._unseal(sealed, "prop") == doc
+
+    @settings(max_examples=250, deadline=None)
+    @given(doc=_DOC, data=st.data())
+    def test_corruption_detected_or_benign(self, doc, data):
+        from pspcz_analyzer_spark import manifest as M
+
+        sealed = bytearray(M._seal_doc(doc))
+        mode = data.draw(st.sampled_from(["flip", "truncate"]))
+        if mode == "flip":
+            i = data.draw(st.integers(0, len(sealed) - 1))
+            delta = data.draw(st.integers(1, 255))
+            sealed[i] = (sealed[i] + delta) % 256
+        else:
+            sealed = sealed[: data.draw(st.integers(0, len(sealed) - 1))]
+        try:
+            back = M._unseal(bytes(sealed), "prop")
+        except M.ManifestCorrupt:
+            return  # detected — the contract's strong arm
+        # undetected mutations must be semantically invisible
+        assert back == doc
