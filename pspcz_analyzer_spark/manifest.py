@@ -4095,8 +4095,20 @@ def merge_into(
         # Inserted rows may not carry identity values either — the key
         # column itself is exempt only if it is NOT an identity column.
         _reject_identity_supplied(m, source, "MERGE INSERT sources")
+    # Ambiguity = a TARGET row could match >1 source row. A source row
+    # with a NULL in ANY key component can never match (the ON clause is
+    # an equality conjunction, and NULL = x is never TRUE), so NULL-keyed
+    # rows are exempt from the dup check — several of them in one batch
+    # are legal and all flow to the INSERT clause, exactly as in Delta
+    # (r11 self-review: the unfiltered groupBy treated NULL as a regular
+    # group and refused harmless batches — the false-refusal mirror of
+    # the r10 NULL-key data-loss class).
+    non_null_keys = F.lit(True)
+    for k in key_cols:
+        non_null_keys = non_null_keys & F.col(k).isNotNull()
     dup = (
-        source.groupBy(*key_cols)
+        source.filter(non_null_keys)
+        .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
         .limit(1)
@@ -4449,9 +4461,22 @@ def scd2_merge(
     # dup probe plus a count — part of the r7 bench regression on the
     # SCD2 lifecycle query): rows != distinct keys means some key
     # appears more than once, and the row count sizes the joins.
-    n_rows, n_keys = b.agg(
-        F.count(F.lit(1)), F.count_distinct(F.col(key_col))
+    n_rows, n_keys, n_null = b.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(F.col(key_col)),
+        F.sum(F.col(key_col).isNull().cast("long")),
     ).first()
+    n_null = int(n_null or 0)
+    if n_null:
+        # A NULL business key can never be matched by a later wave (the
+        # key equi-join skips NULLs), so it would become a forever-
+        # current row no close-out can reach — refuse it loudly instead
+        # of letting count_distinct (which ignores NULLs) misreport it
+        # as a duplicate-key wave (r11 self-review).
+        raise ValueError(
+            f"{n_null} batch row(s) have a NULL {key_col!r}; SCD2 "
+            "requires a non-null business key"
+        )
     if n_rows != n_keys:
         raise ValueError(
             f"{n_rows - n_keys} batch row(s) re-use a key that appears "

@@ -2215,6 +2215,23 @@ class TestScd2Merge:
             M.scd2_merge(spark, w, path, "k", ["seg"], "eff")
         assert M.current_version(path) == 1
 
+    def test_null_key_batch_rejected_with_accurate_error(
+        self, spark, tmp_path
+    ):
+        """r11 self-review: a NULL business key would become a forever-
+        current row no later wave can close (key equi-joins skip NULLs),
+        so scd2_merge refuses it — and names the real problem instead of
+        the misleading duplicate-key message count_distinct's
+        NULL-skipping used to produce."""
+        path = self._dim(spark, tmp_path)
+        w = spark.createDataFrame(
+            [(None, "X", "2021-01-01"), (77, "Y", "2021-01-01")],
+            "k long, seg string, eff string",
+        ).withColumn("eff", F.col("eff").cast("date"))
+        with pytest.raises(ValueError, match="NULL 'k'"):
+            M.scd2_merge(spark, w, path, "k", ["seg"], "eff")
+        assert M.current_version(path) == 1
+
     def test_history_rows_survive_later_waves(self, spark, tmp_path):
         path = self._dim(spark, tmp_path)
         for i, (seg, eff) in enumerate([("Z", "2021-01-01"), ("W", "2022-01-01")]):
@@ -4063,6 +4080,35 @@ class TestMergeInto:
         src = spark.range(2).selectExpr("id", "CAST(0 AS DOUBLE) AS score")
         with pytest.raises(ValueError, match="multiple rows per key"):
             M.merge_into(spark, path, src.unionAll(src), "id")
+
+    def test_null_keyed_source_rows_are_not_duplicates(self, spark, tmp_path):
+        """r11 self-review (the false-refusal mirror of the r10 NULL-key
+        data-loss class): ambiguity means a TARGET row could match >1
+        source row, and a NULL key can never match anything under the
+        equality ON clause — so SEVERAL NULL-keyed source rows in one
+        batch are legal (Delta semantics): all of them INSERT, none
+        matches, and the dup pre-check must not fire."""
+        path = self._mk(spark, tmp_path, "mrgnull")
+        before = M.load_manifest_table(spark, path).count()
+        src = spark.createDataFrame(
+            [(None, 1.5), (None, 2.5), (5, 9.0)], "id long, score double"
+        )
+        res = M.merge_into(
+            spark, path, src, "id",
+            when_matched_update={"score": "s.score"},
+        )
+        assert res["updated"] == 1 and res["inserted"] == 2
+        t = M.load_manifest_table(spark, path)
+        assert t.count() == before + 2
+        assert t.filter(F.col("id").isNull()).count() == 2
+        assert t.filter("id = 5").first()["score"] == 9.0
+        # genuinely duplicated NON-null keys still refuse, even when
+        # NULL-keyed rows ride along in the same batch
+        dup = spark.createDataFrame(
+            [(None, 0.0), (7, 1.0), (7, 2.0)], "id long, score double"
+        )
+        with pytest.raises(ValueError, match="multiple rows per key"):
+            M.merge_into(spark, path, dup, "id")
 
     def test_insert_only_and_no_insert(self, spark, tmp_path):
         path = self._mk(spark, tmp_path, "mrgio")
