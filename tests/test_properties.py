@@ -528,3 +528,111 @@ class TestSealUnsealProperty:
             return  # detected — the contract's strong arm
         # undetected mutations must be semantically invisible
         assert back == doc
+
+
+class TestMergeModelProperty:
+    """Model-based check for manifest.merge_into (r11, after the
+    NULL-key dup-check fix): random targets/sources — including NULL
+    and duplicate keys — and a random clause subset drawn from fixed
+    templates, validated against a pure-Python reference model of the
+    documented MERGE semantics (delete wins over update; NMS clauses
+    see only unmatched target rows; NULL keys never match and insert;
+    duplicate NON-null source keys refuse and leave the table
+    untouched). Counts and the final (k, v) multiset must both agree."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(data=st.data())
+    def test_matches_reference_model(self, spark, data):
+        import collections
+        import os
+        import shutil
+        import tempfile
+        import uuid as _uuid
+
+        from pspcz_analyzer_spark import manifest as M
+
+        keys = st.one_of(st.integers(0, 6), st.none())
+        target = data.draw(
+            st.lists(st.tuples(keys, st.integers(-5, 5)), max_size=8)
+        )
+        source = data.draw(
+            st.lists(st.tuples(keys, st.integers(-5, 5)), max_size=6)
+        )
+        upd = data.draw(st.booleans())
+        upd_cond = data.draw(st.sampled_from([None, "t.v % 2 = 0"]))
+        mdel = data.draw(st.sampled_from([None, "s.v < 0"]))
+        ins = data.draw(st.booleans())
+        nms_del = data.draw(st.sampled_from([None, True]))
+        nms_upd = data.draw(st.booleans()) and nms_del is None
+
+        path = os.path.join(
+            tempfile.gettempdir(), f"mrgprop_{_uuid.uuid4().hex[:10]}"
+        )
+        try:
+            tdf = spark.createDataFrame(target, "k long, v long")
+            tdf.coalesce(2).write.parquet(path)
+            M.manifest_init(path, stat_cols=["k"])
+            sdf = spark.createDataFrame(source, "k long, v long")
+
+            nn = [k for k, _ in source if k is not None]
+            dup_src = len(nn) != len(set(nn))
+            kwargs = dict(
+                when_matched_update={"v": "s.v"} if upd else None,
+                matched_condition=upd_cond if upd else None,
+                when_matched_delete=mdel,
+                when_not_matched_insert=ins,
+                when_not_matched_by_source_delete=nms_del,
+                when_not_matched_by_source_update=(
+                    {"v": "-1"} if nms_upd else None
+                ),
+            )
+            if dup_src:
+                with pytest.raises(ValueError, match="multiple rows"):
+                    M.merge_into(spark, path, sdf, "k", **kwargs)
+                got = collections.Counter(
+                    (r["k"], r["v"])
+                    for r in M.load_manifest_table(spark, path).collect()
+                )
+                assert got == collections.Counter(target)
+                return
+
+            src_by_key = {k: v for k, v in source if k is not None}
+            survivors, n_upd, n_del, n_nu, n_nd = [], 0, 0, 0, 0
+            for tk, tv in target:
+                matched = tk is not None and tk in src_by_key
+                if matched:
+                    sv = src_by_key[tk]
+                    if mdel and sv < 0:
+                        n_del += 1
+                        continue
+                    if upd and (upd_cond is None or tv % 2 == 0):
+                        n_upd += 1
+                        survivors.append((tk, sv))
+                        continue
+                    survivors.append((tk, tv))
+                else:
+                    if nms_del:
+                        n_nd += 1
+                        continue
+                    if nms_upd:
+                        n_nu += 1
+                        survivors.append((tk, -1))
+                        continue
+                    survivors.append((tk, tv))
+            tkeys = {k for k, _ in target if k is not None}
+            inserts = [
+                (k, v)
+                for k, v in source
+                if ins and (k is None or k not in tkeys)
+            ]
+            res = M.merge_into(spark, path, sdf, "k", **kwargs)
+            assert res["updated"] == n_upd and res["deleted"] == n_del
+            assert res["inserted"] == len(inserts)
+            assert res["nms_updated"] == n_nu and res["nms_deleted"] == n_nd
+            got = collections.Counter(
+                (r["k"], r["v"])
+                for r in M.load_manifest_table(spark, path).collect()
+            )
+            assert got == collections.Counter(survivors + inserts)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
