@@ -636,3 +636,73 @@ class TestMergeModelProperty:
             assert got == collections.Counter(survivors + inserts)
         finally:
             shutil.rmtree(path, ignore_errors=True)
+
+
+class TestUpsertDeleteModelProperty:
+    """Model-based check for the other two DML primitives (same net as
+    TestMergeModelProperty): upsert = batch-rows-win (matched non-null
+    keys purge, every batch row lands, NULL batch keys always insert);
+    delete_keys removes exactly the rows whose key is in the non-null
+    key set (NULL-keyed DATA rows always survive — the r10 bug class)."""
+
+    @settings(max_examples=12, deadline=None)
+    @given(data=st.data())
+    def test_matches_reference_model(self, spark, data):
+        import collections
+        import os
+        import shutil
+        import tempfile
+        import uuid as _uuid
+
+        from pspcz_analyzer_spark import manifest as M
+
+        keys = st.one_of(st.integers(0, 6), st.none())
+        target = data.draw(
+            st.lists(st.tuples(keys, st.integers(-5, 5)), max_size=8)
+        )
+        batch = data.draw(
+            st.lists(st.tuples(keys, st.integers(10, 15)), max_size=5)
+        )
+        del_keys = data.draw(
+            st.lists(st.one_of(st.integers(0, 6), st.none()), max_size=5)
+        )
+        path = os.path.join(
+            tempfile.gettempdir(), f"udprop_{_uuid.uuid4().hex[:10]}"
+        )
+        try:
+            spark.createDataFrame(
+                target, "k long, v long"
+            ).coalesce(2).write.parquet(path)
+            M.manifest_init(path, stat_cols=["k"])
+
+            # upsert: non-null batch keys purge their matches; every
+            # batch row (dups and NULLs included) lands
+            bkeys = {k for k, _ in batch if k is not None}
+            expect = [
+                (k, v) for k, v in target if k is None or k not in bkeys
+            ] + batch
+            M.upsert(
+                spark,
+                spark.createDataFrame(batch, "k long, v long"),
+                path,
+                "k",
+            )
+            got = collections.Counter(
+                (r["k"], r["v"])
+                for r in M.load_manifest_table(spark, path).collect()
+            )
+            assert got == collections.Counter(expect)
+
+            # delete_keys over the upserted state: exactly the non-null
+            # listed keys go; NULL-keyed data rows survive
+            dset = {k for k in del_keys if k is not None}
+            expect2 = [(k, v) for k, v in expect if k is None or k not in dset]
+            nf, nd = M.delete_keys(spark, path, "k", del_keys)
+            assert nd == len(expect) - len(expect2)
+            got2 = collections.Counter(
+                (r["k"], r["v"])
+                for r in M.load_manifest_table(spark, path).collect()
+            )
+            assert got2 == collections.Counter(expect2)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
