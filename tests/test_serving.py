@@ -791,6 +791,29 @@ class TestParseBasedReadOnlyClassifier:
         with pytest.raises(ValueError, match="read-only"):
             svc.sql("EXECUTE IMMEDIATE 'DROP TABLE nation'")
 
+    def test_deferred_statements_never_execute(self, spark):
+        """r11 self-review: statements OSS Spark 4.1 cannot parse (GRANT,
+        USE CATALOG, OPTIMIZE, VACUUM, COPY INTO, scripting blocks with
+        declarations) pass the classifier by parse-failure DEFERRAL —
+        spark.sql then raises the same ParseException, so nothing runs.
+        This pins the full-contract form: every such statement must raise
+        SOMETHING through sql(); if a future Spark release starts
+        parsing one, this test catches it the moment deferral stops
+        covering it (the classifier must then refuse it itself)."""
+        svc = QueryService(spark, SF_DIR, ttl_seconds=3600)
+        for stmt in (
+            "GRANT SELECT ON nation TO ruffian",
+            "REVOKE SELECT ON nation FROM ruffian",
+            "USE CATALOG spark_catalog",
+            "OPTIMIZE nation ZORDER BY (n_nationkey)",
+            "VACUUM nation",
+            "COPY INTO nation FROM '/tmp/x'",
+            "BEGIN DECLARE x INT; SET VAR x = 1; END",
+            "CALL cat.db.proc(1)",
+        ):
+            with pytest.raises(Exception):
+                svc.sql(stmt)
+
     def test_legacy_escaped_string_literals_conf(self, spark):
         """ADVICE r10: under spark.sql.parser.escapedStringLiterals=true
         Spark ends a literal at \\' while default-mode lexing scans past
