@@ -122,7 +122,15 @@ def _seal_doc(doc: dict) -> bytes:
     """Serialize ``doc`` with a trailing ``crc`` field: crc32 and byte
     length of the serialization WITHOUT that field. Readers that predate
     the field ignore the extra key; readers that know it re-serialize
-    the crc-stripped doc (json object order round-trips) and compare."""
+    the crc-stripped doc (json object order round-trips) and compare.
+
+    Coverage limit (inherent to any OPTIONAL checksum, pinned by the
+    seal/unseal property test): damage landing INSIDE the trailing crc
+    field itself can at worst garble the field's NAME, which degrades
+    the blob to a legacy unchecked read (possibly with the crc token
+    sprayed into one stray key) — it can never silently alter a doc
+    field's value; damage anywhere ELSE is either detected
+    (:class:`ManifestCorrupt`) or provably byte-benign."""
     import zlib as _zlib
 
     body = json.dumps(doc, indent=0).encode()
