@@ -173,14 +173,31 @@ def pagerank(
     into the same job (never collected — each round is exactly one
     action, the eager localCheckpoint). Per-round checkpoints keep plan
     size constant across iterations.
+
+    Optimization-round (r11) shape, guide §2.3/§2.4 — results unchanged
+    (old-vs-new rounded outputs verified identical, gate-checked):
+
+    * node universe + out-degree come from ONE explode/aggregate pass
+      (was: a 2x-edge union-distinct AND a separate degree aggregate AND
+      a per-round anti-join);
+    * the dangling node set is a per-node FLAG carried on the rank state,
+      so the per-round dangling mass is a filter+sum over the
+      node-sized checkpointed frame — the old plan re-aggregated the
+      EDGE frame and anti-joined it every round (n_iter edge-scale
+      subplans for a value that only needs node-scale state);
+    * the degree-annotated edge frame is hash-partitioned ONCE on the
+      key every round reuses — dst when the rank vector broadcasts (the
+      per-round aggregate then needs no exchange at all), src otherwise
+      (each round then shuffles only the node-sized rank vector, never
+      the edges).
+
     Returns (node, rank) with rank UNROUNDED — callers round once at
     their output edge (double rounding, e.g. 8-then-6 decimals, flips
     boundary values vs a single round and breaks oracle comparisons).
     """
-    # e feeds nodes (2 branches), deg, and ed — persist ONCE or the
-    # caller's (possibly expensive) upstream join replays ~5 times
-    # before the first iteration even starts (measured 10s of a 14s
-    # query on the sf0.1 trade graph).
+    # e feeds nodes and ed — persist ONCE or the caller's (possibly
+    # expensive) upstream join replays before the first iteration even
+    # starts (measured 10s of a 14s query on the sf0.1 trade graph).
     if weight_col is None:
         e = edges.select(
             F.col(src).cast(node_type).alias("a"),
@@ -197,36 +214,38 @@ def pagerank(
             .agg(F.sum("__w").alias("__w"))
         )
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # Node universe AND out-degree in one pass: each edge contributes
+    # (src, w-or-1) and (dst, 0); summing per node yields every node with
+    # its out-degree, 0.0 marking dangling nodes. Replaces the separate
+    # union-distinct + degree aggregate + per-round anti-join probes.
+    # (Unweighted degrees become DOUBLE here where they were LONG counts;
+    # rank/deg divided through a long->double cast before, so the values
+    # are bit-identical for any count below 2^53.)
+    contrib_src = F.lit(1.0) if weight_col is None else F.col("__w")
     nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .distinct()
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), contrib_src.alias("__c")),
+                    F.struct(F.col("b").alias("node"), F.lit(0.0).alias("__c")),
+                )
+            ).alias("__s")
+        )
+        .select(F.col("__s.node").alias("node"), F.col("__s.__c").alias("__c"))
+        .groupBy("node")
+        .agg(F.sum("__c").alias("__deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = e.groupBy("a").agg(
-        (
-            F.count(F.lit(1)) if weight_col is None else F.sum("__w")
-        ).alias("__deg")
-    )
-    # Edges with the source's out-degree attached — computed once, reused
-    # every round (one persisted frame; the join below keys on src).
-    ed = e.join(deg, "a").persist(StorageLevel.MEMORY_AND_DISK)
-
     # Dangling nodes are a STRUCTURAL property — if every node has an
     # out-edge (true for any undirected/symmetrized graph), the dangling
-    # mass is exactly 0 every round, and the per-round anti-join +
-    # one-row aggregate + broadcast is 10 dead subplans. One upfront
-    # count decides; the oracle's dangling term is identically 0 in that
-    # case, so results are bit-equal.
-    has_dangling = (
-        nodes.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
-        .limit(1)
-        .count()
-        > 0
-    )
+    # mass is exactly 0 every round and its per-round subplan is dead.
+    # One upfront filter on the cached node frame decides; the oracle's
+    # dangling term is identically 0 in that case, so results are
+    # bit-equal.
+    has_dangling = nodes.filter(F.col("__deg") == 0.0).limit(1).count() > 0
     # The rank vector is (node, double) — 16 bytes/node. When it fits
     # the broadcast budget, ship it into the edge join instead of
     # shuffling the (much larger) edge frame's partner side each round:
@@ -235,10 +254,28 @@ def pagerank(
     # the shuffle formulation — same plan shape Delta of pregel-style
     # engines at billion-node scale.
     bcast_ranks = n <= RANKS_BROADCAST_MAX
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Edges with the source's out-degree attached — computed once,
+    # pre-partitioned ONCE on the key every round reuses (see docstring).
+    ed = (
+        e.join(
+            nodes.filter(F.col("__deg") > 0.0).withColumnRenamed("node", "a"),
+            "a",
+        )
+        .repartition(nparts, F.col("b") if bcast_ranks else F.col("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Rank state carries the dangling flag so the per-round mass is a
+    # node-sized filter+sum of this checkpointed frame; the frame also
+    # doubles as the node universe for the left join below.
+    ranks = nodes.select(
+        "node",
+        F.lit(1.0 / n).alias("rank"),
+        *([(F.col("__deg") == 0.0).alias("__dang")] if has_dangling else []),
+    ).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(n_iter):
-        side = ranks.withColumnRenamed("node", "a")
+        side = ranks.select(F.col("node").alias("a"), "rank")
         contrib = (
             F.col("rank") / F.col("__deg")
             if weight_col is None
@@ -249,12 +286,12 @@ def pagerank(
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum(contrib).alias("__in"))
         )
-        nxt = nodes.join(inflow, "node", "left")
+        nxt = ranks.drop("rank").join(inflow, "node", "left")
         if has_dangling:
             dangling = F.broadcast(
-                ranks.join(
-                    deg.withColumnRenamed("a", "node"), "node", "left_anti"
-                ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+                ranks.filter(F.col("__dang")).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+                )
             )
             nxt = nxt.crossJoin(dangling)
         else:
@@ -269,6 +306,7 @@ def pagerank(
                     + F.col("__dm") / F.lit(float(n))
                 )
             ).alias("rank"),
+            *([F.col("__dang")] if has_dangling else []),
         ).localCheckpoint()
     nodes.unpersist()
     ed.unpersist()
@@ -297,12 +335,18 @@ def personalized_pagerank(
     Same contract and scale shape as :func:`pagerank`: fixed ``n_iter``
     (pure function of graph + seeds, so a SQL oracle replays the same
     unrolled rounds), one edge-join shuffle + one dst aggregate per
-    round, the seed vector a persisted (node, p) frame joined once per
-    round on the same node key, dangling mass a broadcast scalar,
-    per-round localCheckpoint. Returns (node, rank) UNROUNDED.
+    round, the seed vector carried on the rank state, dangling mass a
+    broadcast scalar, per-round localCheckpoint. Returns (node, rank)
+    UNROUNDED.
+
+    Optimization-round (r11) shape — identical to :func:`pagerank`'s:
+    one explode/aggregate pass builds node universe + out-degree (+ the
+    seed teleport probability via one full join), the dangling set is a
+    flag on the node-sized state instead of a per-round edge-frame
+    anti-join, and the degree-annotated edge frame is pre-partitioned
+    once on the per-round reuse key. Old-vs-new rounded outputs verified
+    identical; oracle-gated.
     """
-    # Same persist-once rationale as :func:`pagerank` — e feeds nodes,
-    # deg, ed, and the dangling probe.
     e = (
         edges.select(
             F.col(src).cast("long").alias("a"),
@@ -317,48 +361,64 @@ def personalized_pagerank(
     n_seeds = seeds.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    # One pass: node universe + out-degree (0.0 => dangling), then the
+    # seed teleport probability attached — a single persisted per-node
+    # frame replaces the old separate nodes/pvec/deg frames and the
+    # per-round dangling anti-join (see pagerank's r11 notes). The full
+    # join keeps seeds outside the edge universe as isolated nodes,
+    # exactly like the old union.
     nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .union(seeds.select("node"))
-        .distinct()
-    )
-    # Teleport vector p(node): 1/|S| on seeds, 0 elsewhere — joined (not
-    # broadcast-scalar like the uniform case) because it is a per-node
-    # quantity; one persisted frame reused every round on the node key.
-    pvec = (
-        nodes.join(seeds.withColumn("__p", F.lit(1.0 / n_seeds)), "node", "left")
-        .select("node", F.coalesce("__p", F.lit(0.0)).alias("__p"))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.lit(1.0).alias("__c")),
+                    F.struct(F.col("b").alias("node"), F.lit(0.0).alias("__c")),
+                )
+            ).alias("__s")
+        )
+        .select(F.col("__s.node").alias("node"), F.col("__s.__c").alias("__c"))
+        .groupBy("node")
+        .agg(F.sum("__c").alias("__deg"))
+        .join(seeds.withColumn("__p0", F.lit(1.0 / n_seeds)), "node", "full")
+        .select(
+            "node",
+            F.coalesce("__deg", F.lit(0.0)).alias("__deg"),
+            F.coalesce("__p0", F.lit(0.0)).alias("__p"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_nodes = pvec.count()  # materialize before the loop
-    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
-    ed = e.join(deg, "a").persist(StorageLevel.MEMORY_AND_DISK)
-
-    # Same structural dangling test as :func:`pagerank` — symmetrized
-    # graphs have none, and skipping it drops n_iter dead anti-join +
-    # broadcast subplans (the oracle's dangling term is identically 0).
-    has_dangling = (
-        nodes.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
-        .limit(1)
-        .count()
-        > 0
-    )
+    n_nodes = nodes.count()  # materialize before the loop
+    has_dangling = nodes.filter(F.col("__deg") == 0.0).limit(1).count() > 0
     bcast_ranks = n_nodes <= RANKS_BROADCAST_MAX
-    ranks = pvec.select("node", F.col("__p").alias("rank")).localCheckpoint()
+    nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ed = (
+        e.join(
+            nodes.filter(F.col("__deg") > 0.0)
+            .select(F.col("node").alias("a"), "__deg"),
+            "a",
+        )
+        .repartition(nparts, F.col("b") if bcast_ranks else F.col("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = nodes.select(
+        "node",
+        F.col("__p").alias("rank"),
+        "__p",
+        *([(F.col("__deg") == 0.0).alias("__dang")] if has_dangling else []),
+    ).localCheckpoint()
     for _ in range(n_iter):
-        side = ranks.withColumnRenamed("node", "a")
+        side = ranks.select(F.col("node").alias("a"), "rank")
         inflow = (
             ed.join(F.broadcast(side) if bcast_ranks else side, "a")
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
         )
-        nxt = pvec.join(inflow, "node", "left")
+        nxt = ranks.drop("rank").join(inflow, "node", "left")
         if has_dangling:
             dangling = F.broadcast(
-                ranks.join(
-                    deg.withColumnRenamed("a", "node"), "node", "left_anti"
-                ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+                ranks.filter(F.col("__dang")).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+                )
             )
             nxt = nxt.crossJoin(dangling)
         else:
@@ -370,8 +430,10 @@ def personalized_pagerank(
                 * F.col("__p")
                 + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
             ).alias("rank"),
+            "__p",
+            *([F.col("__dang")] if has_dangling else []),
         ).localCheckpoint()
-    pvec.unpersist()
+    nodes.unpersist()
     ed.unpersist()
     e.unpersist()
     return ranks.select("node", "rank")
@@ -528,7 +590,21 @@ def shortest_hops(
     )
     if not directed:
         e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e_base = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # r11 optimization (results unchanged, gate-checked): the carried
+    # distance state no longer rides through the edge-sized min-aggregate
+    # — proposals min-aggregate alone (no exchange: the edge frame is
+    # pre-partitioned on the proposal key) and merge into the node-sized
+    # state via a full-outer join + least() (null-skipping, so
+    # exactly the old union+min semantics). The frontier state broadcasts
+    # into the edge join below the pagerank threshold; the node bound
+    # for the guard is 2x the edge count (cheap, already materialized).
+    n_edges = e_base.count()
+    bcast = 2 * n_edges <= RANKS_BROADCAST_MAX
+    nparts = int(e_base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = e_base.repartition(
+        nparts, F.col("b") if bcast else F.col("a")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     dist = (
         sources.select(F.col(source_col).cast("long").alias("node"))
@@ -537,17 +613,19 @@ def shortest_hops(
         .localCheckpoint()
     )
     for _ in range(n_iter):
-        proposals = (
-            e.join(dist.withColumnRenamed("node", "a"), "a")
-            .select(F.col("b").alias("node"), (F.col("hops") + 1).alias("hops"))
+        side = dist.withColumnRenamed("node", "a")
+        prop_min = (
+            e.join(F.broadcast(side) if bcast else side, "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min(F.col("hops") + 1).alias("__ph"))
         )
         dist = (
-            dist.unionByName(proposals)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
+            dist.join(prop_min, "node", "full")
+            .select("node", F.least("hops", "__ph").alias("hops"))
             .localCheckpoint()
         )
     e.unpersist()
+    e_base.unpersist()
     return dist
 
 
@@ -573,43 +651,59 @@ def label_propagation(
     result downstream).
 
     Scale shape: per round, one edge-to-labels equi-join, one
-    (node, label) count aggregate, and one node-keyed row_number window
-    — all keyed on node ids, no global state, localCheckpoint per round.
+    (node, label) count aggregate, one node-keyed argmax aggregate —
+    all keyed on node ids, no global state, localCheckpoint per round.
+
+    Optimization-round (r11) shape — results unchanged (old-vs-new
+    outputs verified identical, gate-checked): the per-round winner is
+    an ARGMAX aggregate instead of a row_number window — ``min`` over
+    the struct ``(-count, label)`` is lexicographic, so the largest
+    count wins and ties break to the smallest label exactly as the
+    window's ``ORDER BY cnt DESC, label`` did — dropping the window's
+    per-round sort; the symmetrized edge frame is pre-partitioned once
+    on its per-round reuse key, and the node-sized label vector
+    broadcasts into the edge join below the same threshold pagerank
+    uses (guide §2.4).
     """
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
-    und = (
+    und_base = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
+        und_base.select(F.col("a").alias("node"))
+        .union(und_base.select(F.col("b").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    from pyspark.sql import Window
+    n = labels.count()
+    bcast = n <= RANKS_BROADCAST_MAX
+    nparts = int(und_base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    und = und_base.repartition(
+        nparts, F.col("b") if bcast else F.col("a")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(n_iter):
+        side = labels.withColumnRenamed("node", "a")
         counts = (
-            und.join(labels.withColumnRenamed("node", "a"), "a")
+            und.join(F.broadcast(side) if bcast else side, "a")
             .groupBy(F.col("b").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
         winner = (
-            counts.withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("node").orderBy(
-                        F.desc("__cnt"), F.asc("label")
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__cnt")).alias("__nc"), F.col("label")
                     )
-                ),
+                ).alias("__m")
             )
-            .filter(F.col("__rn") == 1)
-            .select("node", F.col("label").alias("__new"))
+            .select("node", F.col("__m.label").alias("__new"))
         )
         labels = (
             labels.join(winner, "node", "left")
@@ -617,6 +711,7 @@ def label_propagation(
             .localCheckpoint()
         )
     und.unpersist()
+    und_base.unpersist()
     return labels
 
 
@@ -712,10 +807,23 @@ def hits(
     follows.
 
     Scale shape: per iteration exactly TWO node-keyed shuffles (the
-    authority aggregate and the hub aggregate); each norm is a one-row
-    aggregate broadcast-crossed into the same job; per-round
+    authority aggregate and the hub aggregate); per-round
     localCheckpoint keeps plans constant-size. Nodes with no in-edges
     have authority 0; no out-edges, hub 0.
+
+    Optimization-round (r11) shape — results unchanged (old-vs-new
+    rounded outputs verified identical, gate-checked): the iteration map
+    is LINEAR in the score vector and each L1 norm is a scalar divide,
+    so the loop iterates UNNORMALIZED raw inflow sums and divides by the
+    L1 norm ONCE per output vector at the end — mathematically the same
+    vectors (h_i_unnorm = c_i * h_i_norm for a per-round scalar c_i, and
+    the final x/sum(x) cancels c_i exactly), but each round checkpoints
+    ONE frame instead of two and drops both per-round norm
+    aggregate+crossJoin subplans. Raw sums stay far from double
+    overflow for any graph whose max degree^(2*n_iter) < 1e308. The two
+    half-step edge joins read edge copies pre-partitioned once on their
+    per-round reuse keys (guide §2.4), and the node-sized score vector
+    broadcasts into them below the same threshold pagerank uses.
 
     Returns (node, hub, authority), unrounded (callers round once at
     the output edge).
@@ -729,47 +837,73 @@ def hits(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n = nodes.count()
+    bcast = n <= RANKS_BROADCAST_MAX
+    nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # One partitioned edge copy per half-step, keyed so the reused-every-
+    # round exchange disappears: with broadcast scores the aggregate key
+    # (dst for the authority half, src for the hub half) is the partition
+    # key; without, the join key is. Two cached copies trade 2x edge
+    # storage for 2*n_iter avoided edge-frame shuffles.
+    e_auth = e.repartition(
+        nparts, F.col("b") if bcast else F.col("a")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e_hub = e.repartition(
+        nparts, F.col("a") if bcast else F.col("b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Scores live ONLY on nodes that can hold mass (hub: has out-edges,
     # authority: has in-edges) — absent nodes are exactly 0 and
     # contribute nothing to the next aggregate, so the node-universe
-    # fill happens ONCE at the output instead of per half-step. Each
-    # half-step checkpoints the RAW aggregate (one edge-join job) and
-    # derives the normalized frame lazily from it — the norm is then a
-    # node-sized aggregate, and the edge join runs exactly once per
-    # half-step (2 edge joins/iteration, the formulation's minimum).
+    # fill happens ONCE at the output instead of per half-step.
     h = e.select(F.col("a").alias("node")).distinct().withColumn(
         "h", F.lit(1.0)
     ).localCheckpoint()
-    a = None
+    a_raw = None
     for _ in range(n_iter):
+        h_side = h.withColumnRenamed("node", "a")
         a_raw = (
-            e.join(h.withColumnRenamed("node", "a"), "a")
+            e_auth.join(F.broadcast(h_side) if bcast else h_side, "a")
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum("h").alias("__v"))
             .localCheckpoint()
         )
-        a = a_raw.crossJoin(
-            F.broadcast(a_raw.agg(F.sum("__v").alias("__n")))
-        ).select("node", (F.col("__v") / F.col("__n")).alias("auth"))
-        h_raw = (
-            e.join(a.withColumnRenamed("node", "b"), "b")
+        a_side = a_raw.withColumnRenamed("node", "b")
+        h = (
+            e_hub.join(F.broadcast(a_side) if bcast else a_side, "b")
             .groupBy(F.col("a").alias("node"))
-            .agg(F.sum("auth").alias("__v"))
+            .agg(F.sum("__v").alias("h"))
             .localCheckpoint()
         )
-        h = h_raw.crossJoin(
-            F.broadcast(h_raw.agg(F.sum("__v").alias("__n")))
-        ).select("node", (F.col("__v") / F.col("__n")).alias("h"))
     out = (
-        nodes.join(h, "node", "left")
-        .join(a, "node", "left")
+        nodes.join(
+            h.crossJoin(F.broadcast(h.agg(F.sum("h").alias("__hn")))).select(
+                "node", (F.col("h") / F.col("__hn")).alias("hub")
+            ),
+            "node",
+            "left",
+        )
+        .join(
+            a_raw.crossJoin(
+                F.broadcast(a_raw.agg(F.sum("__v").alias("__an")))
+            ).select("node", (F.col("__v") / F.col("__an")).alias("auth")),
+            "node",
+            "left",
+        )
         .select(
             "node",
-            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
             F.coalesce("auth", F.lit(0.0)).alias("authority"),
         )
+        # Materialize (node-sized) BEFORE dropping the caches it reads:
+        # the old code unpersisted first, so the caller's final action
+        # recomputed the node universe — and with it the caller's whole
+        # upstream edge build — from scratch (same end-of-operator
+        # contract as triangle_count's checkpointed output).
+        .localCheckpoint()
     )
     e.unpersist()
+    e_auth.unpersist()
+    e_hub.unpersist()
     nodes.unpersist()
     return out
 
@@ -857,12 +991,22 @@ def clustering_coefficient(
     silently conflate "isolated" with "star center"). Degree counts
     deduplicate edges and ignore self-loops exactly as the triangle
     pass does — the two sides MUST see the same graph or the ratio is
-    nonsense."""
+    nonsense.
+
+    r11 optimization (results unchanged, gate-checked): the canonical
+    edge frame is persisted HERE, because it feeds two independent
+    consumers — the degree aggregate and the triangle pass — and
+    without the persist each one re-ran the caller's (typically
+    expensive self-join) edge build from scratch (measured: the whole
+    co-occurrence build twice per query at sf0.1). The output is
+    checkpointed (node-sized) before the cache drops, the same
+    end-of-operator contract as triangle_count."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     e = (
         edges.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("node"))
@@ -870,7 +1014,7 @@ def clustering_coefficient(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     tris = triangle_count(e, src="a", dst="b", degree_ordered=degree_ordered)
-    return (
+    out = (
         deg.filter(F.col("degree") >= 2)
         .join(tris, "node", "left")
         .select(
@@ -886,4 +1030,7 @@ def clustering_coefficient(
                 6,
             ).alias("coefficient"),
         )
+        .localCheckpoint()
     )
+    e.unpersist()
+    return out

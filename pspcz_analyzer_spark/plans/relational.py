@@ -1850,14 +1850,23 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clustering_coeff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.graph import clustering_coefficient
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r11: dedupe (order, supplier) BEFORE the self-join, then a plain
+    # count — exactly count(DISTINCT l_orderkey) per pair (each pair row
+    # is unique per order by construction) without the distinct-agg
+    # expand over the order-of-magnitude-larger pair fanout (guide §2.3:
+    # aggregate cheaper before you shuffle). Oracle unchanged.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
     b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.count_distinct("l_orderkey").alias("__w"))
+        .agg(F.count(F.lit(1)).alias("__w"))
         .filter(F.col("__w") >= 3)
         .select("src", "dst")
     )
@@ -1918,14 +1927,20 @@ def clustering_coeff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.graph import adamic_adar_pairs
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r11: dedupe before the self-join + plain count — see
+    # clustering_coeff_suppliers (same edge build; oracle unchanged).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
     b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.count_distinct("l_orderkey").alias("__w"))
+        .agg(F.count(F.lit(1)).alias("__w"))
         # Top-500 strongest ties, NOT an absolute weight threshold: the
         # sf0.01 co-occurrence graph is COMPLETE at any small threshold
         # (min pair weight 10), leaving zero non-adjacent pairs to
@@ -1983,14 +1998,20 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r11: dedupe before the self-join + plain count — see
+    # clustering_coeff_suppliers (same edge build; oracle unchanged).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
     b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.count_distinct("l_orderkey").alias("__w"))
+        .agg(F.count(F.lit(1)).alias("__w"))
         .filter(F.col("__w") >= 3)
         .select("src", "dst")
     )
