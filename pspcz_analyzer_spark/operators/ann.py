@@ -33,6 +33,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with both operand norms supplied by the caller.
+
+    For pair-fanout plans (self-joins, candidate joins) the norm of each
+    vector is a per-ROW quantity: computing it once per row with
+    :func:`_norm` and carrying it through the join replaces two of the
+    three per-PAIR array aggregates with a scalar multiply. The arithmetic
+    is unchanged — same aggregate expression per operand, same
+    ``na * nb == 0`` guard — so scores are bit-identical to cosine()."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -69,15 +82,28 @@ def pairwise_topk(
     O(n^2/2) — correct for dims in the thousands (the reference's ~200 MPs);
     use lsh_bucketed_pairs at corpus scale.
     """
+    # Cast + norm once per ROW before the O(n^2) fanout (guide §2.3) —
+    # per pair only the dot product remains; scores are bit-identical
+    # (see cosine_prenormed).
     cols = [id_col, vec_col] + ([group_col] if group_col else [])
-    a = df.select(*[F.col(c).alias(f"{c}_a") for c in cols])
-    b = df.select(*[F.col(c).alias(f"{c}_b") for c in cols])
+
+    def side(suffix: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            *[F.col(c).alias(f"{c}_{suffix}") for c in cols if c != vec_col],
+            v.alias(f"{vec_col}_{suffix}"),
+            _norm(v).alias(f"__n_{suffix}"),
+        )
+
+    a, b = side("a"), side("b")
     pairs = a.join(b, F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
     if group_col:
         pairs = pairs.filter(F.col(f"{group_col}_a") != F.col(f"{group_col}_b"))
-    score = cosine(
-        F.col(f"{vec_col}_a").cast("array<double>"),
-        F.col(f"{vec_col}_b").cast("array<double>"),
+    score = cosine_prenormed(
+        F.col(f"{vec_col}_a"),
+        F.col(f"{vec_col}_b"),
+        F.col("__n_a"),
+        F.col("__n_b"),
     )
     if round_to is not None:
         score = F.round(score, round_to)
@@ -272,10 +298,17 @@ def lsh_bucketed_pairs(
     each surviving pair is scored once.
     """
     cand = lsh_candidate_pairs(df, dim, num_planes, num_tables, id_col, vec_col)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    score = cosine(
-        F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
+    # Cast + norm once per row on each vector side (guide §2.3); the
+    # candidate join then pays one dot product per surviving pair.
+    vcast = F.col(vec_col).cast("array<double>")
+    va = df.select(
+        F.col(id_col).alias("id_a"), vcast.alias("vec_a"), _norm(vcast).alias("__n_a")
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), vcast.alias("vec_b"), _norm(vcast).alias("__n_b")
+    )
+    score = cosine_prenormed(
+        F.col("vec_a"), F.col("vec_b"), F.col("__n_a"), F.col("__n_b")
     )
     if round_to is not None:
         score = F.round(score, round_to)
@@ -441,11 +474,27 @@ def embedding_decontaminate(
     with no shuffle. At eval sets beyond broadcast size, block first with
     `lsh_bucket` and rescore candidates (the documented LSH scale path).
     """
-    ev = evalset.select(F.col(vec_col).alias("__ev"))
-    close = cosine(
-        F.col(vec_col).cast("array<double>"), F.col("__ev").cast("array<double>")
-    ) >= F.lit(threshold)
-    return corpus.join(F.broadcast(ev), on=close, how="left_anti")
+    # Norms are per-row quantities: compute the eval-vector norm once per
+    # (broadcast) eval row and the corpus norm once per corpus row, so the
+    # |corpus| x |eval| theta condition pays one dot product per pair
+    # instead of three array aggregates (guide §2.3; scores bit-identical
+    # per cosine_prenormed). The corpus norm rides on a projected column —
+    # dropped after the anti-join, which preserves the corpus schema.
+    evc = F.col(vec_col).cast("array<double>")
+    ev = evalset.select(evc.alias("__ev"), _norm(evc).alias("__evn"))
+    withn = corpus.withColumn(
+        "__cn", _norm(F.col(vec_col).cast("array<double>"))
+    )
+    close = (
+        cosine_prenormed(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__ev"),
+            F.col("__cn"),
+            F.col("__evn"),
+        )
+        >= F.lit(threshold)
+    )
+    return withn.join(F.broadcast(ev), on=close, how="left_anti").drop("__cn")
 
 
 def matryoshka_truncate(
@@ -505,18 +554,26 @@ def hard_negative_mine(
     """
     from pyspark.sql import Window
 
+    # Norm once per row before the n^2 fanout (guide §2.3; bit-identical
+    # per cosine_prenormed) — per pair only the dot product remains.
+    vcast = F.col(vec_col).cast("array<double>")
     a = emb.select(
         F.col(id_col).alias("anchor_id"),
-        F.col(vec_col).cast("array<double>").alias("__va"),
+        vcast.alias("__va"),
+        _norm(vcast).alias("__na"),
         F.col(label_col).alias("__la"),
     )
     b = emb.select(
         F.col(id_col).alias("pair_id"),
-        F.col(vec_col).cast("array<double>").alias("__vb"),
+        vcast.alias("__vb"),
+        _norm(vcast).alias("__nb"),
         F.col(label_col).alias("__lb"),
     )
     pairs = a.join(b, F.col("anchor_id") != F.col("pair_id")).withColumn(
-        "__sim", cosine(F.col("__va"), F.col("__vb"))
+        "__sim",
+        cosine_prenormed(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+        ),
     )
     same = F.col("__la") == F.col("__lb")
     w_pos = Window.partitionBy("anchor_id", same.cast("int")).orderBy(

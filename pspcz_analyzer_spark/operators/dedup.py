@@ -489,7 +489,11 @@ def semantic_dedup(
     (``operators/ann.py::build_ivf_index``) — model-defined boundaries,
     hence rows-only attestation for that variant.
     """
-    from pspcz_analyzer_spark.operators.ann import cosine
+    from pspcz_analyzer_spark.operators.ann import (
+        _norm as _l2norm,
+        cosine,
+        cosine_prenormed,
+    )
 
     if cluster_col is None and target_cell_size is not None:
         # The paper's O(n) contract made operational: per-cell pair cost
@@ -565,20 +569,29 @@ def semantic_dedup(
             ),
         )
 
+    # r11: cast float->double and compute the L2 norm ONCE per row before
+    # the self-join — both are per-row quantities, so evaluating them
+    # after the join paid an array allocation + two array aggregates per
+    # PAIR per side (sum(|cell|^2) of them) instead of per row (guide
+    # §2.3: project before the exchange). The cast is exact and
+    # cosine_prenormed keeps the arithmetic, so results are bit-identical.
+    vcast = F.col(vec_col).cast("array<double>")
     x = assigned.select(
         F.col(id_col).alias("__xid"),
-        F.col(vec_col).alias("__xv"),
+        vcast.alias("__xv"),
+        _l2norm(vcast).alias("__xn"),
         "cluster",
         *([F.col("__csim").alias("__xcsim")] if keep == "farthest" else []),
     )
     y = assigned.select(
         F.col(id_col).alias("__yid"),
-        F.col(vec_col).alias("__yv"),
+        vcast.alias("__yv"),
+        _l2norm(vcast).alias("__yn"),
         "cluster",
         *([F.col("__csim").alias("__ycsim")] if keep == "farthest" else []),
     )
-    sim = cosine(
-        F.col("__xv").cast("array<double>"), F.col("__yv").cast("array<double>")
+    sim = cosine_prenormed(
+        F.col("__xv"), F.col("__yv"), F.col("__xn"), F.col("__yn")
     )
     if salt_cells and salt_cells > 1:
         # The explicit repartition is the point, not just the join key:
