@@ -44,7 +44,7 @@ import re
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from pspcz_analyzer_spark.fs import get_fs
 
@@ -3340,9 +3340,13 @@ def replace_where(
     victims: "set[str]" = set()
     cdf_names = None
     rt = _row_tracking_on(m)
+    obs = None
     if affected:
         alive = _with_deletes(spark, path, m, affected, with_row_ids=rt)
-        n_deleted = alive.filter(pred).count()
+        # Deleted-row count observed on the survivor-rewrite pass (the
+        # CDF pass resolves it first when enabled) — one scan, not two.
+        obs = Observation()
+        alive = alive.observe(obs, F.sum(pred.cast("long")).alias("n"))
         if _cdf_on(m):
             cdf_names = _stage_changes(
                 alive.filter(pred)
@@ -3358,6 +3362,7 @@ def replace_where(
             survivors = _materialize_ids(survivors)
         new_names += _stage_rewrites(survivors, path, "replw")
         victims = set(affected)
+        n_deleted = int(obs.get["n"] or 0)
     elif _cdf_on(m):
         cdf_names = _stage_changes(
             batch.withColumn(CDF_TYPE_COL, F.lit("insert")), path
@@ -3400,6 +3405,17 @@ def delete_where(
         return 0, 0
     rt = _row_tracking_on(m)
     alive = _with_deletes(spark, path, m, affected, with_row_ids=rt)
+    # rows_deleted must count only rows ALIVE under pending merge-on-read
+    # delete entries — raw footer counts would also bill rows that were
+    # already dead. Footer counts (metadata-only) are exact when there
+    # are no pending entries; with entries pending the alive count rides
+    # the rewrite pass as an observed metric (CollectMetrics sits below
+    # the kept-filter — Catalyst never pushes predicates through it — so
+    # the metric sees every alive row) instead of paying a second scan.
+    obs = None
+    if m.get("deletes"):
+        obs = Observation()
+        alive = alive.observe(obs, F.count(F.lit(1)).alias("n"))
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     kept = alive.filter(~pred)
     if rt:
@@ -3413,12 +3429,9 @@ def delete_where(
             path,
         )
     new_names = _stage_rewrites(kept, path, "delw")
-    # rows_deleted must count only rows ALIVE under pending merge-on-read
-    # delete entries — raw footer counts would also bill rows that were
-    # already dead. Footer counts (metadata-only) are exact when there
-    # are no pending entries.
     rows_before = (
-        alive.count() if m.get("deletes") else _file_rows(m, fs, rel, affected)
+        int(obs.get["n"]) if obs is not None
+        else _file_rows(m, fs, rel, affected)
     )
     rows_after = sum(
         fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
@@ -3523,20 +3536,42 @@ def delete_where_pos(
     resurrect. Returns (dv_files_written, rows_deleted)."""
     m = read_manifest(path)
     new_v = m["version"] + 1
-    matches = (
-        _with_deletes(spark, path, m, m["files"])
-        .filter(F.expr(predicate))
-        .count()
-    )
-    if not matches:
-        return 0, 0
-    # Recompute coordinates on the raw subset read (the deletes view
-    # drops __file/__row): the DV must index the PHYSICAL rows.
-    coords = (
-        _read_files(spark, path, m, m["files"], with_meta=True)
-        .filter(F.expr(predicate))
-        .select("__file", "__row")
-    )
+    if not m.get("deletes"):
+        # No pending entries: the alive view IS the raw read, so the
+        # match count rides the DV-staging pass as an observed metric
+        # (the observe node sits below the coalesce/select — a second
+        # counting scan was pure waste). A no-match predicate stages an
+        # empty frame, which _stage_rewrites drops (zero-row parts are
+        # never referenced), so the early exit stays write-free from any
+        # reader's point of view.
+        obs = Observation()
+        coords = (
+            _read_files(spark, path, m, m["files"], with_meta=True)
+            .filter(F.expr(predicate))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .select("__file", "__row")
+        )
+        staged = _stage_rewrites(coords.coalesce(1), path, "posdel")
+        matches = int(obs.get["n"])
+        if not matches:
+            return 0, 0
+        [name] = staged
+    else:
+        matches = (
+            _with_deletes(spark, path, m, m["files"])
+            .filter(F.expr(predicate))
+            .count()
+        )
+        if not matches:
+            return 0, 0
+        # Recompute coordinates on the raw subset read (the deletes view
+        # drops __file/__row): the DV must index the PHYSICAL rows.
+        coords = (
+            _read_files(spark, path, m, m["files"], with_meta=True)
+            .filter(F.expr(predicate))
+            .select("__file", "__row")
+        )
+        [name] = _stage_rewrites(coords.coalesce(1), path, "posdel")
     cdf_names = None
     if _cdf_on(m):
         cdf_names = _stage_changes(
@@ -3545,7 +3580,6 @@ def delete_where_pos(
             .withColumn(CDF_TYPE_COL, F.lit("delete")),
             path,
         )
-    [name] = _stage_rewrites(coords.coalesce(1), path, "posdel")
     entry = {"file": name, "kind": "pos", "seq": new_v}
     _commit(
         path, m["files"], m["version"],
@@ -3684,7 +3718,18 @@ def update_where(
     rt = _row_tracking_on(m)
     src = _with_deletes(spark, path, m, affected, with_row_ids=rt)
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    n_updated = src.filter(pred).count()
+    # The matched-row count rides the rewrite pass as an observed metric
+    # (one scan instead of two). Generated-column tables keep the eager
+    # count: their verification probe is a limit(1) action on a derived
+    # frame, and a LIMIT may finish the observation with partial-flow
+    # metrics before the full rewrite runs.
+    obs = None
+    n_updated = -1
+    if gen:
+        n_updated = src.filter(pred).count()
+    else:
+        obs = Observation()
+        src = src.observe(obs, F.sum(pred.cast("long")).alias("n"))
     out = src
     for col, expr in set_exprs.items():
         target = F.expr(expr)
@@ -3725,6 +3770,8 @@ def update_where(
                     "consistently"
                 )
     new_names = _stage_rewrites(out, path, "updw")
+    if obs is not None:
+        n_updated = int(obs.get["n"] or 0)
     # UPDATE commutes with a concurrent APPEND exactly like DELETE does
     # (the appended rows arrived "after" this statement); anything that
     # touched our victims or the table's semantics aborts.
