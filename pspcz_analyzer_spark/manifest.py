@@ -3212,6 +3212,13 @@ def delete_keys(
         return 0, 0
     rt = _row_tracking_on(m)
     alive = _with_deletes(spark, path, m, affected, with_row_ids=rt)
+    # rows_before rides the survivor-staging pass as an observed metric
+    # when merge-on-read entries are pending (same single-scan fold as
+    # delete_where; footer counts stay metadata-only otherwise).
+    obs = None
+    if m.get("deletes"):
+        obs = Observation()
+        alive = alive.observe(obs, F.count(F.lit(1)).alias("n"))
     # Literal isin only below the measured planner knee; larger key lists
     # anti/semi-join a keys frame (the In AST costs ~0.5 ms/literal to
     # build — see ISIN_LITERAL_LIMIT).
@@ -3250,7 +3257,8 @@ def delete_keys(
     # Same alive-row accounting as delete_where: with pending merge-on-read
     # delete entries, footer counts would also bill rows already dead.
     rows_before = (
-        alive.count() if m.get("deletes") else _file_rows(m, fs, rel, affected)
+        int(obs.get["n"]) if obs is not None
+        else _file_rows(m, fs, rel, affected)
     )
     rows_after = sum(
         fs.parquet_file(os.path.join(rel, f)).metadata.num_rows
@@ -4150,6 +4158,14 @@ def merge_into(
         # Inserted rows may not carry identity values either — the key
         # column itself is exempt only if it is NOT an identity column.
         _reject_identity_supplied(m, source, "MERGE INSERT sources")
+    # Materialize the source ONCE, before the first action (Delta's
+    # merge does the same — materializeSource): the dup check, the
+    # victim-key planning, the clause join and the insert anti-join all
+    # re-evaluate the source plan otherwise, and a MERGE source is
+    # routinely an aggregate/CDC frame that costs a full upstream job
+    # per evaluation. Executor-side blocks (memory+disk), never the
+    # driver.
+    source = source.localCheckpoint()
     # Ambiguity = a TARGET row could match >1 source row. A source row
     # with a NULL in ANY key component can never match (the ON clause is
     # an equality conjunction, and NULL = x is never TRUE), so NULL-keyed
@@ -4254,7 +4270,7 @@ def merge_into(
     out_cols = [n for n, _ in (m.get("schema") or [])] or [
         c for c in source.columns
     ]
-    src = source.localCheckpoint().withColumn("__s_match", F.lit(True))
+    src = source.withColumn("__s_match", F.lit(True))
     # Dimension-sized sources broadcast (map-side join, no target
     # shuffle); above DML_COLLECT_KEY_LIMIT keys the join ships to AQE
     # as an ordinary shuffle join — a 100 TB CDC batch must never be a
@@ -4265,6 +4281,7 @@ def merge_into(
     n_updated = n_deleted = n_nms_upd = n_nms_del = 0
     survivors = None
     merge_changes = None
+    merge_obs = None
     rt = _row_tracking_on(m)
     if affected:
         t = _with_deletes(
@@ -4304,16 +4321,21 @@ def merge_into(
             if when_not_matched_by_source_update
             else F.lit(False)
         )
-        counts = j.agg(
+        # Clause counts ride the survivor-staging pass as observed
+        # metrics (CollectMetrics sits below the clause filters and
+        # Catalyst never pushes predicates through it, so the metric
+        # sees every joined row) — the dedicated j.agg pass re-ran the
+        # whole victim-scan + source join just to count. The all-clauses-
+        # empty early exit moves AFTER staging in consequence (the
+        # staged byte-identical rewrite is discarded unreferenced).
+        merge_obs = Observation()
+        j = j.observe(
+            merge_obs,
             F.sum(del_cond.cast("long")).alias("d"),
             F.sum(upd_cond.cast("long")).alias("u"),
             F.sum(nms_del_cond.cast("long")).alias("nd"),
             F.sum(nms_upd_cond.cast("long")).alias("nu"),
-        ).first()
-        n_deleted = int(counts["d"] or 0)
-        n_updated = int(counts["u"] or 0)
-        n_nms_del = int(counts["nd"] or 0)
-        n_nms_upd = int(counts["nu"] or 0)
+        )
         upd = when_matched_update or {}
         nms_upd = when_not_matched_by_source_update or {}
         proj = []
@@ -4389,29 +4411,6 @@ def merge_into(
     else:
         n_inserted = 0
         batch = survivors
-    if (
-        n_updated == 0 and n_deleted == 0 and n_inserted == 0
-        and n_nms_upd == 0 and n_nms_del == 0
-    ):
-        # Candidate files held no row matching any clause (stats are an
-        # over-approximation): survivors would rewrite byte-identical
-        # content. Commit nothing instead of churning a version —
-        # except the txn watermark, which must advance metadata-only
-        # (same rationale as the vacuous-clause path above).
-        keys_df.unpersist()
-        if txn is not None:
-            _commit(
-                path, m["files"], m["version"],
-                txns=txns_out, schema=m.get("schema"),
-                stats=m.get("stats"), stat_cols=m.get("stat_cols"),
-                constraints=m.get("constraints"),
-                deletes=m.get("deletes"), rows=m.get("rows"),
-                op="MERGE",
-            )
-        return {
-            "updated": 0, "deleted": 0, "inserted": 0,
-            "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
-        }
     victims = set(affected)
     cdf_names = None
     if _cdf_on(m):
@@ -4428,6 +4427,41 @@ def merge_into(
     if batch is not None:
         _check_constraints(m, batch)
         new_names = _stage_rewrites(batch, path, "merge")
+    if merge_obs is not None:
+        # Filled by the first action over j (CDF staging when enabled,
+        # else the survivor staging write; batch is never None when the
+        # observation exists, so an action is guaranteed).
+        vals = merge_obs.get
+        n_deleted = int(vals["d"] or 0)
+        n_updated = int(vals["u"] or 0)
+        n_nms_del = int(vals["nd"] or 0)
+        n_nms_upd = int(vals["nu"] or 0)
+    if (
+        n_updated == 0 and n_deleted == 0 and n_inserted == 0
+        and n_nms_upd == 0 and n_nms_del == 0
+    ):
+        # Candidate files held no row matching any clause (stats are an
+        # over-approximation): the staged survivors are byte-identical
+        # content. Discard the unreferenced staged files and commit
+        # nothing instead of churning a version — except the txn
+        # watermark, which must advance metadata-only (same rationale
+        # as the vacuous-clause path above).
+        for f in new_names + (cdf_names or []):
+            fs.remove(os.path.join(rel, f))
+        keys_df.unpersist()
+        if txn is not None:
+            _commit(
+                path, m["files"], m["version"],
+                txns=txns_out, schema=m.get("schema"),
+                stats=m.get("stats"), stat_cols=m.get("stat_cols"),
+                constraints=m.get("constraints"),
+                deletes=m.get("deletes"), rows=m.get("rows"),
+                op="MERGE",
+            )
+        return {
+            "updated": 0, "deleted": 0, "inserted": 0,
+            "files_rewritten": 0, "nms_updated": 0, "nms_deleted": 0,
+        }
     new_files = [f for f in m["files"] if f not in victims] + new_names
     stats, stat_cols = _updated_stats(m, fs, rel, new_names, victims)
     _commit(
@@ -4553,7 +4587,13 @@ def scd2_merge(
     new_keys = b.join(cur, key_col, "left_anti").select(
         key_col, "__eff", *[f"__b_{c}" for c in attr_cols]
     )
-    to_insert = changed.unionByName(new_keys)
+    # Arm marker instead of a dedicated new_keys.count() pass: that
+    # count re-ran the batch-vs-current anti-join (a full current-table
+    # scan) when the same information is a cheap aggregate over the
+    # persisted union.
+    to_insert = changed.withColumn("__is_new", F.lit(False)).unionByName(
+        new_keys.withColumn("__is_new", F.lit(True))
+    )
     to_insert.persist()
     fs, rel = get_fs(path)
     keys_df, _key_set, affected = _plan_source_keys(
@@ -4563,7 +4603,12 @@ def scd2_merge(
     n_changed_total = (
         len(_key_set) if _key_set is not None else keys_df.count()
     )
-    n_new = new_keys.count()
+    n_new = int(
+        to_insert.agg(
+            F.sum(F.col("__is_new").cast("long"))
+        ).first()[0]
+        or 0
+    )
     if n_changed_total == 0:
         keys_df.unpersist()
         to_insert.unpersist()
