@@ -603,6 +603,42 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _pq_encode(df: DataFrame, slices: Column, cb_rows, id_col: str) -> DataFrame:
+    """Nearest code per (vector, subspace) as ONE codegen'd expression.
+
+    The previous shape — posexplode to (id, m) rows, broadcast-join the
+    codebook (k_codes-way fanout), min-struct aggregate, regroup — paid
+    two shuffles and a join stage to argmin over a table that is
+    kilobytes. The codebook embeds as a literal nested array instead and
+    the argmin runs inline per row: zero shuffles, zero joins, identical
+    values (same ``_sqdist`` fold, and ``array_sort`` on
+    ``struct(d2, code)`` breaks ties exactly like
+    ``min(struct(d2, code))`` — smallest distance, then smallest code).
+    """
+    by_m: dict = {}
+    for m, c, cc in cb_rows:
+        by_m.setdefault(m, {})[c] = cc
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in by_m[m][c]])
+            for c in sorted(by_m[m])
+        ])
+        for m in sorted(by_m)
+    ])
+    codes = F.transform(
+        slices,
+        lambda s, i: F.array_sort(
+            F.transform(
+                F.element_at(cb_lit, i + F.lit(1)),
+                lambda cb, c: F.struct(
+                    _sqdist(s, cb).alias("d"), c.alias("c")
+                ),
+            )
+        )[0]["c"],
+    )
+    return df.select(id_col, "cell", codes.alias("codes"))
+
+
 def _lloyd(X, k: int, iters: int = 20, seed: int = 0):
     """Deterministic driver-side Lloyd k-means for PQ codebooks (the
     sample is capped, so this clusters kilobytes). Seeded random-point
@@ -718,7 +754,9 @@ def build_ivfpq_index(
         .parquet(os.path.join(index_dir, "vectors"))
     )
 
-    dim = len(assigned.select("__res").first()[0])
+    # __res = __wv - centroid, so its length is the centroid's — already
+    # on the driver from the fit; no probe action needed.
+    dim = len(model.clusterCenters()[0])
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sub_d = dim // m_sub
@@ -758,25 +796,10 @@ def build_ivfpq_index(
     codebooks.write.mode("overwrite").parquet(
         os.path.join(index_dir, "codebooks")
     )
-    # Encode: nearest code per (vector, subspace) — broadcast the
-    # m_sub*k_codes codebook, argmin via a min-struct aggregate, then
-    # reassemble the code word ordered by subspace. One shuffle keyed
-    # on (id, cell).
-    codes = (
-        sub.join(F.broadcast(codebooks), "m")
-        .withColumn("__d2", _sqdist(F.col("__sub"), F.col("cb")))
-        .groupBy(id_col, "cell", "m")
-        .agg(F.min(F.struct("__d2", "code")).alias("__best"))
-        .groupBy(id_col, "cell")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("m", F.col("__best.code").alias("c")))
-                ),
-                lambda s: s["c"],
-            ).alias("codes")
-        )
-    )
+    # Encode: nearest code per (vector, subspace) — literal-codebook
+    # argmin expression straight off the cached assignment pass
+    # (:func:`_pq_encode`): no explode fanout, no join, no shuffle.
+    codes = _pq_encode(assigned, slices, cb_rows, id_col)
     (
         codes.repartition(n_centroids, "cell")
         .write.mode("overwrite")
@@ -849,24 +872,10 @@ def extend_ivfpq_index(
     slices = F.array(
         *[F.slice("__res", m * sub_d + 1, sub_d) for m in range(m_sub)]
     )
-    sub = assigned.select(
-        id_col, "cell", F.posexplode(slices).alias("m", "__sub")
-    )
-    codes = (
-        sub.join(F.broadcast(codebooks), "m")
-        .withColumn("__d2", _sqdist(F.col("__sub"), F.col("cb")))
-        .groupBy(id_col, "cell", "m")
-        .agg(F.min(F.struct("__d2", "code")).alias("__best"))
-        .groupBy(id_col, "cell")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("m", F.col("__best.code").alias("c")))
-                ),
-                lambda s: s["c"],
-            ).alias("codes")
-        )
-    )
+    cb_rows = [
+        (r["m"], r["code"], r["cb"]) for r in codebooks.collect()
+    ]
+    codes = _pq_encode(assigned, slices, cb_rows, id_col)
     (
         codes.repartition(n_centroids, "cell")
         .write.mode("append")
