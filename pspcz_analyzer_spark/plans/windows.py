@@ -737,9 +737,12 @@ def events_stream_view_purchase_outer(
     # triggers: batch2 carries the far-future rows (its own watermark is
     # still the data's), batch3 then runs WITH the advanced watermark
     # and flushes every withheld outer row before the drain stops.
+    # ONE max(ts) scan feeds both sentinel batches (each selectExpr off
+    # the raw agg re-ran the full events scan per sentinel).
+    mx_df = events.agg(F.max("ts").alias("mx")).localCheckpoint()
     for i, extra in enumerate(("100", "101"), start=2):
         sentinel = (
-            events.agg(F.max("ts").alias("mx"))
+            mx_df
             .selectExpr(
                 f"stack(2, {-2 * i}L, 'view', {-2 * i - 1}L, 'purchase')"
                 " AS (event_id, event_type)",
@@ -862,9 +865,13 @@ def events_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.rmtree(landing, ignore_errors=True)
     cols = ["event_id", "ts", "event_type", "value"]
 
+    # ONE max(ts) scan feeds all four sentinel batches (each select off
+    # the raw agg re-ran the full events scan per sentinel).
+    mx_df = events.agg(F.max("ts").alias("mx")).localCheckpoint()
+
     def sentinel(eid: int, ts_expr: str) -> DataFrame:
         return (
-            events.agg(F.max("ts").alias("mx"))
+            mx_df
             .select(
                 F.lit(eid).cast("long").alias("event_id"),
                 F.expr(ts_expr).alias("ts"),
