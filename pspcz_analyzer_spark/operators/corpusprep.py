@@ -994,11 +994,7 @@ def dsir_logratio_scores(
             % n_buckets,
         )
 
-    def bucket_logprobs(df: DataFrame, name: str) -> DataFrame:
-        counts = feats(df, keep_id=False).groupBy("__b").agg(
-            F.count(F.lit(1)).alias("__c")
-        )
-        spark = df.sparkSession
+    def bucket_logprobs(counts: DataFrame, spark, name: str) -> DataFrame:
         full = (
             spark.range(n_buckets)
             .select(F.col("id").alias("__b"))
@@ -1017,13 +1013,25 @@ def dsir_logratio_scores(
             ).alias(name),
         )
 
-    logs = F.broadcast(
-        bucket_logprobs(target, "__lp_t").join(
-            bucket_logprobs(corpus, "__lp_s"), "__b"
-        )
+    # The corpus tokenizes ONCE: the source bucket distribution is the
+    # per-doc bucket counts re-aggregated (sum of longs — the exact same
+    # integers the dedicated corpus pass produced), so only the
+    # benchmark-sized target pays its own tokenize.
+    doc_buckets = (
+        feats(corpus, keep_id=True)
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
     )
-    doc_buckets = feats(corpus, keep_id=True).groupBy(id_col, "__b").agg(
+    target_counts = feats(target, keep_id=False).groupBy("__b").agg(
         F.count(F.lit(1)).alias("__c")
+    )
+    corpus_counts = doc_buckets.groupBy("__b").agg(F.sum("__c").alias("__c"))
+    spark = corpus.sparkSession
+    logs = F.broadcast(
+        bucket_logprobs(target_counts, spark, "__lp_t").join(
+            bucket_logprobs(corpus_counts, spark, "__lp_s"), "__b"
+        )
     )
     return (
         doc_buckets.join(logs, "__b")
