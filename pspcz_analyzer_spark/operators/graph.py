@@ -23,7 +23,7 @@ here because shingle/band/bucket edges never produce deep chains.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 from pyspark import StorageLevel
 
@@ -179,17 +179,25 @@ def pagerank(
 
     * node universe + out-degree come from ONE explode/aggregate pass
       (was: a 2x-edge union-distinct AND a separate degree aggregate AND
-      a per-round anti-join);
-    * the dangling node set is a per-node FLAG carried on the rank state,
-      so the per-round dangling mass is a filter+sum over the
-      node-sized checkpointed frame — the old plan re-aggregated the
-      EDGE frame and anti-joined it every round (n_iter edge-scale
-      subplans for a value that only needs node-scale state);
+      a per-round anti-join); n and the dangling-existence probe share
+      one action on the materialized node frame;
     * the degree-annotated edge frame is hash-partitioned ONCE on the
       key every round reuses — dst when the rank vector broadcasts (the
       per-round aggregate then needs no exchange at all), src otherwise
       (each round then shuffles only the node-sized rank vector, never
-      the edges).
+      the edges);
+    * the edge frame additionally carries one ZERO-contribution self row
+      per node (rank * 0.0 / 1.0 = 0.0, exact in IEEE — appending 0.0
+      terms never changes a double sum of non-negative contributions),
+      so the per-round aggregate emits EVERY node and the old per-round
+      node-universe left join disappears. The self row also carries the
+      node's dangling flag (real edges carry NULL; ``max`` in the same
+      aggregate re-attaches it);
+    * the per-round dangling mass is OBSERVED (CollectMetrics) inside
+      the round's own checkpoint job and fed forward as a literal — the
+      old plan ran a dedicated filter+sum+broadcast job per round for a
+      scalar the checkpoint pass was already scanning. A round is now
+      exactly two jobs: the rank-vector broadcast and the checkpoint.
 
     Returns (node, rank) with rank UNROUNDED — callers round once at
     their output edge (double rounding, e.g. 8-then-6 decimals, flips
@@ -236,16 +244,21 @@ def pagerank(
         .agg(F.sum("__c").alias("__deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
     # Dangling nodes are a STRUCTURAL property — if every node has an
     # out-edge (true for any undirected/symmetrized graph), the dangling
     # mass is exactly 0 every round and its per-round subplan is dead.
-    # One upfront filter on the cached node frame decides; the oracle's
-    # dangling term is identically 0 in that case, so results are
+    # One action materializes the cached node frame and answers both the
+    # node count and the dangling-existence probe; the oracle's dangling
+    # term is identically 0 in the no-dangling case, so results are
     # bit-equal.
-    has_dangling = nodes.filter(F.col("__deg") == 0.0).limit(1).count() > 0
+    hdr = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max((F.col("__deg") == 0.0).cast("int")).alias("hd"),
+    ).first()
+    n = hdr["n"]
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    has_dangling = bool(hdr["hd"])
     # The rank vector is (node, double) — 16 bytes/node. When it fits
     # the broadcast budget, ship it into the edge join instead of
     # shuffling the (much larger) edge frame's partner side each round:
@@ -255,59 +268,92 @@ def pagerank(
     # engines at billion-node scale.
     bcast_ranks = n <= RANKS_BROADCAST_MAX
     nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # Edges with the source's out-degree attached — computed once,
-    # pre-partitioned ONCE on the key every round reuses (see docstring).
+    dang_flag = (F.col("__deg") == 0.0).alias("__dang")
+    # Edges with the source's out-degree attached, UNIFIED to the
+    # weighted contribution form rank * __w / __deg (__w = 1.0 on
+    # unweighted edges — multiplying by exact 1.0 is the identity, so
+    # the unweighted doubles are bit-identical to the old rank / deg),
+    # plus one zero-contribution self row per node so the per-round
+    # aggregate covers the whole universe (see docstring). Computed
+    # once, pre-partitioned ONCE on the key every round reuses.
+    real = e.join(
+        nodes.filter(F.col("__deg") > 0.0).withColumnRenamed("node", "a"),
+        "a",
+    ).select(
+        "a",
+        "b",
+        (F.lit(1.0) if weight_col is None else F.col("__w")).alias("__w"),
+        "__deg",
+        *(
+            [F.lit(None).cast("boolean").alias("__dang")]
+            if has_dangling
+            else []
+        ),
+    )
+    selfr = nodes.select(
+        F.col("node").alias("a"),
+        F.col("node").alias("b"),
+        F.lit(0.0).alias("__w"),
+        *([dang_flag] if has_dangling else []),
+        F.lit(1.0).alias("__deg"),
+    )
     ed = (
-        e.join(
-            nodes.filter(F.col("__deg") > 0.0).withColumnRenamed("node", "a"),
-            "a",
-        )
+        real.unionByName(selfr)
         .repartition(nparts, F.col("b") if bcast_ranks else F.col("a"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Rank state carries the dangling flag so the per-round mass is a
-    # node-sized filter+sum of this checkpointed frame; the frame also
-    # doubles as the node universe for the left join below.
-    ranks = nodes.select(
-        "node",
-        F.lit(1.0 / n).alias("rank"),
-        *([(F.col("__deg") == 0.0).alias("__dang")] if has_dangling else []),
-    ).localCheckpoint()
+
+    def _ckpt(df: DataFrame) -> "tuple[DataFrame, float]":
+        """Checkpoint the round's rank state; the next round's dangling
+        mass rides the SAME job as an observed metric (no dedicated
+        filter+sum+broadcast pass — guide §1.2/§2.4)."""
+        if not has_dangling:
+            return df.localCheckpoint(), 0.0
+        obs = Observation()
+        out = df.observe(
+            obs, F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("dm")
+        ).localCheckpoint()
+        v = obs.get["dm"]
+        return out, (0.0 if v is None else float(v))
+
+    ranks, dm = _ckpt(
+        nodes.select(
+            "node",
+            F.lit(1.0 / n).alias("rank"),
+            *([dang_flag] if has_dangling else []),
+        )
+    )
     base = (1.0 - damping) / n
     for _ in range(n_iter):
         side = ranks.select(F.col("node").alias("a"), "rank")
-        contrib = (
-            F.col("rank") / F.col("__deg")
-            if weight_col is None
-            else F.col("rank") * F.col("__w") / F.col("__deg")
-        )
         inflow = (
             ed.join(F.broadcast(side) if bcast_ranks else side, "a")
             .groupBy(F.col("b").alias("node"))
-            .agg(F.sum(contrib).alias("__in"))
-        )
-        nxt = ranks.drop("rank").join(inflow, "node", "left")
-        if has_dangling:
-            dangling = F.broadcast(
-                ranks.filter(F.col("__dang")).agg(
-                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-                )
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("__w") / F.col("__deg")
+                ).alias("__in"),
+                *(
+                    [F.max("__dang").alias("__dang")]
+                    if has_dangling
+                    else []
+                ),
             )
-            nxt = nxt.crossJoin(dangling)
-        else:
-            nxt = nxt.withColumn("__dm", F.lit(0.0))
-        ranks = nxt.select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (
-                    F.coalesce("__in", F.lit(0.0))
-                    + F.col("__dm") / F.lit(float(n))
-                )
-            ).alias("rank"),
-            *([F.col("__dang")] if has_dangling else []),
-        ).localCheckpoint()
+        )
+        ranks, dm = _ckpt(
+            inflow.select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("__in", F.lit(0.0))
+                        + F.lit(dm) / F.lit(float(n))
+                    )
+                ).alias("rank"),
+                *([F.col("__dang")] if has_dangling else []),
+            )
+        )
     nodes.unpersist()
     ed.unpersist()
     e.unpersist()
@@ -341,11 +387,14 @@ def personalized_pagerank(
 
     Optimization-round (r11) shape — identical to :func:`pagerank`'s:
     one explode/aggregate pass builds node universe + out-degree (+ the
-    seed teleport probability via one full join), the dangling set is a
-    flag on the node-sized state instead of a per-round edge-frame
-    anti-join, and the degree-annotated edge frame is pre-partitioned
-    once on the per-round reuse key. Old-vs-new rounded outputs verified
-    identical; oracle-gated.
+    seed teleport probability via one full join); the degree-annotated
+    edge frame is pre-partitioned once on the per-round reuse key and
+    carries one zero-contribution self row per node (which also carries
+    the node's teleport probability and dangling flag), so each round is
+    ONE aggregate that emits every node — no node-universe left join —
+    and the dangling mass is observed inside the round's own checkpoint
+    job and fed forward as a literal. Old-vs-new rounded outputs
+    verified identical; oracle-gated.
     """
     e = (
         edges.select(
@@ -387,52 +436,95 @@ def personalized_pagerank(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_nodes = nodes.count()  # materialize before the loop
-    has_dangling = nodes.filter(F.col("__deg") == 0.0).limit(1).count() > 0
+    hdr = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max((F.col("__deg") == 0.0).cast("int")).alias("hd"),
+    ).first()
+    n_nodes = hdr["n"]
+    has_dangling = bool(hdr["hd"])
     bcast_ranks = n_nodes <= RANKS_BROADCAST_MAX
     nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    dang_flag = (F.col("__deg") == 0.0).alias("__dang")
+    # Same self-row shape as pagerank: __w = 1.0 on real edges / 0.0 on
+    # the per-node self row (rank * 1.0 / deg is bit-identical to the
+    # old rank / deg), and the self row carries the node's teleport
+    # probability and dangling flag so the round aggregate re-attaches
+    # both via max() — every round emits the whole node universe.
+    real = e.join(
+        nodes.filter(F.col("__deg") > 0.0)
+        .select(F.col("node").alias("a"), "__deg"),
+        "a",
+    ).select(
+        "a",
+        "b",
+        F.lit(1.0).alias("__w"),
+        "__deg",
+        F.lit(None).cast("double").alias("__p"),
+        *(
+            [F.lit(None).cast("boolean").alias("__dang")]
+            if has_dangling
+            else []
+        ),
+    )
+    selfr = nodes.select(
+        F.col("node").alias("a"),
+        F.col("node").alias("b"),
+        F.lit(0.0).alias("__w"),
+        "__p",
+        *([dang_flag] if has_dangling else []),
+        F.lit(1.0).alias("__deg"),
+    )
     ed = (
-        e.join(
-            nodes.filter(F.col("__deg") > 0.0)
-            .select(F.col("node").alias("a"), "__deg"),
-            "a",
-        )
+        real.unionByName(selfr)
         .repartition(nparts, F.col("b") if bcast_ranks else F.col("a"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ranks = nodes.select(
-        "node",
-        F.col("__p").alias("rank"),
-        "__p",
-        *([(F.col("__deg") == 0.0).alias("__dang")] if has_dangling else []),
-    ).localCheckpoint()
+
+    def _ckpt(df: DataFrame) -> "tuple[DataFrame, float]":
+        if not has_dangling:
+            return df.localCheckpoint(), 0.0
+        obs = Observation()
+        out = df.observe(
+            obs, F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("dm")
+        ).localCheckpoint()
+        v = obs.get["dm"]
+        return out, (0.0 if v is None else float(v))
+
+    ranks, dm = _ckpt(
+        nodes.select(
+            "node",
+            F.col("__p").alias("rank"),
+            *([dang_flag] if has_dangling else []),
+        )
+    )
     for _ in range(n_iter):
         side = ranks.select(F.col("node").alias("a"), "rank")
         inflow = (
             ed.join(F.broadcast(side) if bcast_ranks else side, "a")
             .groupBy(F.col("b").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
-        )
-        nxt = ranks.drop("rank").join(inflow, "node", "left")
-        if has_dangling:
-            dangling = F.broadcast(
-                ranks.filter(F.col("__dang")).agg(
-                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-                )
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("__w") / F.col("__deg")
+                ).alias("__in"),
+                F.max("__p").alias("__p"),
+                *(
+                    [F.max("__dang").alias("__dang")]
+                    if has_dangling
+                    else []
+                ),
             )
-            nxt = nxt.crossJoin(dangling)
-        else:
-            nxt = nxt.withColumn("__dm", F.lit(0.0))
-        ranks = nxt.select(
-            "node",
-            (
-                (F.lit(1.0 - damping) + F.lit(damping) * F.col("__dm"))
-                * F.col("__p")
-                + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
-            ).alias("rank"),
-            "__p",
-            *([F.col("__dang")] if has_dangling else []),
-        ).localCheckpoint()
+        )
+        ranks, dm = _ckpt(
+            inflow.select(
+                "node",
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.lit(dm))
+                    * F.col("__p")
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("rank"),
+                *([F.col("__dang")] if has_dangling else []),
+            )
+        )
     nodes.unpersist()
     ed.unpersist()
     e.unpersist()
@@ -694,7 +786,13 @@ def label_propagation(
             .groupBy(F.col("b").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
-        winner = (
+        # The winner aggregate ALREADY covers the entire label universe:
+        # und is symmetrized, so every labeled node appears as a dst and
+        # the old per-round left-join-back-to-state (whose coalesce arm
+        # only fired for nodes absent from und — impossible, labels are
+        # built from und's endpoints) was dead plan weight. One
+        # aggregate chain, zero joins beyond the broadcast edge join.
+        labels = (
             counts.groupBy("node")
             .agg(
                 F.min(
@@ -703,11 +801,7 @@ def label_propagation(
                     )
                 ).alias("__m")
             )
-            .select("node", F.col("__m.label").alias("__new"))
-        )
-        labels = (
-            labels.join(winner, "node", "left")
-            .select("node", F.coalesce("__new", "label").alias("label"))
+            .select("node", F.col("__m.label").alias("label"))
             .localCheckpoint()
         )
     und.unpersist()
