@@ -105,6 +105,20 @@ _SCALE_CONFS: dict[str, str] = {
 }
 
 
+def parse_env_confs(spec: str) -> dict[str, str]:
+    """Parse the ``SPARK_GRAFT_CONF`` deployment-lever spec: semicolon-
+    separated ``key=value`` pairs, whitespace-tolerant, empty segments and
+    keyless pairs ignored. Values may contain ``=`` (only the first splits).
+    """
+    confs: dict[str, str] = {}
+    for pair in spec.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            if k.strip():
+                confs[k.strip()] = v.strip()
+    return confs
+
+
 def get_spark(
     app_name: str = "pspcz_analyzer_spark",
     master: str | None = None,
@@ -141,6 +155,16 @@ def get_spark(
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     )
-    for k, v in {**_SCALE_CONFS, **(extra_confs or {})}.items():
+    # Deployment-level levers (optimization guide §9: io codec zstd,
+    # files.maxPartitionBytes up to 1g for big sequential scans,
+    # join.preferSortMergeJoin=false, memoryOverhead sizing) are a
+    # property of the CLUSTER, not of these plans — flipping them on
+    # local[N] over MB-scale inputs measures harness noise and would
+    # desync the bench from the verification driver's environment. They
+    # are therefore injected via env (`SPARK_GRAFT_CONF="k=v;k2=v2"`),
+    # default EMPTY locally; production values and their rationale live
+    # in OPTIMIZATION_r11.md / SCALING.md. Caller extra_confs still win.
+    env_confs = parse_env_confs(os.environ.get("SPARK_GRAFT_CONF", ""))
+    for k, v in {**_SCALE_CONFS, **env_confs, **(extra_confs or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
